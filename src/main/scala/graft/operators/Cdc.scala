@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.meta.MetaColumns
+
+/** Hash-based change-data-capture: delta / insert / update / delete
+  * classification between a current store and a new snapshot, plus the
+  * SCD1-style CDC merge.
+  *
+  * Re-expresses the reference's live delta operators
+  * (src/PandasETLHelpers/MetaColumnHelpers.py:180-208, main.py:12) and the
+  * dead-code CDC merge / delete detection
+  * (src/PandasETLHelpers/SCDHelpers.py:67-73, :233-235, :246-266).
+  *
+  * Every operator is an equi-join on one or two md5 hash columns — that is
+  * the reference's core design: precomputed digests reduce wide-row
+  * comparison to fixed-width column equality, so all change detection is
+  * broadcast- or shuffle-hash-joinable and scales linearly. Hashes are
+  * non-null by construction, so `left_anti` is exactly the reference's
+  * `LEFT JOIN ... IS NULL` / `NOT IN` semantics.
+  */
+object Cdc {
+  import MetaColumns.{KeyHash, RecordHash}
+
+  /** Inserts + updates: rows of `newData` with no (KEY_HASH, RECORD_HASH)
+    * match in `currentData` (MetaColumnHelpers.py:180-184; SQL main.py:12). */
+  def delta(currentData: DataFrame, newData: DataFrame): DataFrame =
+    newData.join(currentData.select(KeyHash, RecordHash), Seq(KeyHash, RecordHash), "left_anti")
+
+  /** Inserts only: KEY_HASH present in `newData` but not in `currentData`
+    * (MetaColumnHelpers.py:194-196). */
+  def inserts(currentData: DataFrame, newData: DataFrame): DataFrame =
+    newData.join(currentData.select(KeyHash), Seq(KeyHash), "left_anti")
+
+  /** Updates only: same KEY_HASH, differing RECORD_HASH
+    * (MetaColumnHelpers.py:206-208).
+    *
+    * Deviation recorded (SURVEY.md §7.4#5): the reference omits the join
+    * type, producing a raw inner join that carries *both* sides' columns.
+    * The documented intent is "the update rows from new_data", so we project
+    * back to the new side. The current side is pruned to its two hash
+    * columns before the join — at scale that means the join only moves
+    * 32-byte digests, never the wide current rows.
+    */
+  def updates(currentData: DataFrame, newData: DataFrame): DataFrame = {
+    val cur = currentData.select(col(KeyHash).as("__cur_key"), col(RecordHash).as("__cur_rec"))
+    newData
+      .join(cur, newData(KeyHash) === cur("__cur_key") && newData(RecordHash) =!= cur("__cur_rec"))
+      .drop("__cur_key", "__cur_rec")
+  }
+
+  /** SCD1-style CDC merge (SCDHelpers.py:67-73): drop current rows whose key
+    * is deleted, drop current rows re-delivered in `newData`, append
+    * `newData`. Key equality is on `keyColumns` (the reference passes
+    * business keys or KEY_HASH). */
+  def mergeCdc(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      keyColumns: Seq[String],
+      deletedDf: Option[DataFrame] = None): DataFrame = {
+    val afterDeletes = deletedDf.fold(currentDf) { del =>
+      currentDf.join(del.select(keyColumns.map(col): _*), keyColumns, "left_anti")
+    }
+    afterDeletes
+      .join(newDf.select(keyColumns.map(col): _*), keyColumns, "left_anti")
+      .unionByName(newDf.select(currentDf.columns.map(col).toSeq: _*))
+  }
+
+  /** Deleted keys flagged in-band: KEY_HASHes of rows where `delColName`
+    * equals `delColValue` (SCDHelpers.py:233-235). Returns a DataFrame —
+    * the reference collects to a driver-side list, which dies at scale;
+    * `deletesByColumnList` keeps that behavior for parity. */
+  def deletesByColumn(df: DataFrame, delColName: String, delColValue: Any): DataFrame =
+    df.filter(col(delColName) === lit(delColValue)).select(KeyHash)
+
+  /** Driver-side list variant, faithful to SCDHelpers.py:233-235. */
+  def deletesByColumnList(df: DataFrame, delColName: String, delColValue: Any): Seq[String] =
+    deletesByColumn(df, delColName, delColValue).collect().map(_.getString(0)).toSeq
+
+  /** Deleted keys by full-load diff: keys in current absent from the new
+    * full snapshot (SCDHelpers.py:246-266). */
+  def deletedByFullLoad(currentDf: DataFrame, newDf: DataFrame): DataFrame =
+    currentDf.select(KeyHash).join(newDf.select(KeyHash), Seq(KeyHash), "left_anti")
+
+  /** Driver-side list variant, faithful to SCDHelpers.py:264-265. */
+  def deletedByFullLoadList(currentDf: DataFrame, newDf: DataFrame): Seq[String] =
+    deletedByFullLoad(currentDf, newDf).collect().map(_.getString(0)).toSeq
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.meta.{Currents, MetaColumns}
+
+/** Slowly-Changing-Dimension Type 2 merge.
+  *
+  * Re-expresses the reference's design-spec SCD2 path — the PySpark code
+  * inside the dead `'''` blocks of src/PandasETLHelpers/SCDHelpers.py
+  * (`merge_scd2` :129-220, `create_empty_hist_dataframe` :10-18,
+  * `get_valid_from_date` :88-108, `historize_dataset` :297-301,
+  * `split_merged_dataset` :311-316).
+  *
+  * Two physical forms behind one semantic contract:
+  *
+  *  - [[mergeScd2]] — the faithful five-branch classification (current-only,
+  *    new-only, unchanged, changed-current, changed-new) unioned together,
+  *    exactly as SCDHelpers.py:139-216 specifies. Re-joins the two inputs
+  *    four times → four shuffles of the same data. Kept as the executable
+  *    specification.
+  *
+  *  - [[mergeScd2Fast]] — one full-outer join of the *active* slice of the
+  *    current store against the new snapshot on KEY_HASH, classification
+  *    flags, then a single explode that emits 0–2 output rows per joined
+  *    row (close-out + successor for changes). Closed history rows never
+  *    enter the join at all. One shuffle of each input; at 100 TB this is
+  *    the difference between 2 exchanges and 8.
+  *
+  * Day-granularity anomaly reproduced as specified (SURVEY.md §7.4#4):
+  * changed rows close at `date_sub(runDay, 1)` while successors open at
+  * `runDay` — two merges on the same calendar day yield a closed row ending
+  * the day before its successor opens. Faithful to SCDHelpers.py:191-212.
+  */
+object Scd2 {
+  import MetaColumns._
+
+  /** valid-from policy for brand-new keys (SCDHelpers.py:88-108). */
+  sealed trait ValidFromMode
+  object ValidFromMode {
+    /** open at the SCD2 epoch `1900-01-01` */
+    case object LowerBound extends ValidFromMode
+    /** open at the run day */
+    case object LoadDate extends ValidFromMode
+    /** open at a caller-supplied `yyyy-MM-dd` date */
+    final case class Custom(date: String) extends ValidFromMode
+  }
+
+  /** Resolve the valid-from date string per mode (SCDHelpers.py:88-108). */
+  def validFromDate(mode: ValidFromMode, currents: Currents): String = mode match {
+    case ValidFromMode.LowerBound   => Scd2LowerBound
+    case ValidFromMode.LoadDate     => currents.runDay
+    case ValidFromMode.Custom(date) => date
+  }
+
+  /** Empty historized frame: `df`'s schema plus null-date VALID_FROM/VALID_TO
+    * (SCDHelpers.py:10-18). */
+  def createEmptyHist(df: DataFrame): DataFrame =
+    df.limit(0)
+      .withColumn(ValidFrom, lit(null).cast(DateType))
+      .withColumn(ValidTo, lit(null).cast(DateType))
+
+  private def upperBound: Column = to_date(lit(Scd2UpperBound))
+
+  /** Faithful five-branch SCD2 merge (SCDHelpers.py:129-220).
+    *
+    * @param currentDf current store: meta columns + VALID_FROM/VALID_TO
+    * @param newDf new snapshot: meta columns (no validity columns yet)
+    */
+  def mergeScd2(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents,
+      mode: ValidFromMode): DataFrame = {
+    val c = currentDf.alias("c")
+    val n = newDf.alias("n")
+    val keyEq    = col("c." + KeyHash) === col("n." + KeyHash)
+    val recEq    = col("c." + RecordHash) === col("n." + RecordHash)
+    val recNeq   = col("c." + RecordHash) =!= col("n." + RecordHash)
+    val cActive  = col("c." + ValidTo) === upperBound
+    val runDay   = to_date(lit(currents.runDay))
+
+    // (a) rows staying untouched on the current side: key vanished from the
+    //     snapshot, or the row is already closed out (SCDHelpers.py:139-145)
+    val currentOnly = c.join(n, keyEq, "left_outer")
+      .filter(col("n." + KeyHash).isNull || col("c." + ValidTo) =!= upperBound)
+      .select("c.*")
+
+    // (b) brand-new keys (SCDHelpers.py:154-160)
+    val newOnly = n.join(c, keyEq, "left_anti")
+      .withColumn(ValidFrom, to_date(lit(validFromDate(mode, currents))))
+      .withColumn(ValidTo, upperBound)
+
+    // (c) unchanged active rows (SCDHelpers.py:165-172)
+    val unchangedCurrent = c.join(n, keyEq && recEq && cActive, "inner").select("c.*")
+
+    // (d) changed rows, current side → close out (SCDHelpers.py:177-194)
+    val changedCurrent = c.join(n, keyEq && recNeq && cActive, "inner").select("c.*")
+      .withColumn(UpdateTs, lit(currents.runTs).cast("timestamp"))
+      .withColumn(UpdateRunId, lit(currents.runId))
+      .withColumn(ValidTo, date_sub(runDay, 1))
+
+    // (e) changed rows, new side → open successor (SCDHelpers.py:199-212)
+    val changedNew = n.join(c, keyEq && recNeq && cActive, "inner").select("n.*")
+      .withColumn(ValidFrom, runDay)
+      .withColumn(ValidTo, upperBound)
+
+    currentOnly
+      .unionByName(newOnly)
+      .unionByName(unchangedCurrent)
+      .unionByName(changedCurrent)
+      .unionByName(changedNew)
+  }
+
+  /** Single-shuffle SCD2 merge: same result as [[mergeScd2]] (assuming
+    * key-unique active slice and key-unique snapshot — the reference's
+    * implicit contract), produced from ONE full-outer join plus an explode.
+    *
+    * Physical shape: closed rows are filtered out before the join (they can
+    * never change), the active slice and the snapshot are joined once on
+    * KEY_HASH, and each joined row emits its 0–2 output rows through
+    * `explode(filter(array(structs), notNull))` — whole-stage codegen end to
+    * end, no repeated scans, no driver round-trips.
+    */
+  def mergeScd2Fast(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents,
+      mode: ValidFromMode): DataFrame = {
+    val outCols  = currentDf.columns.toSeq
+    val runDay   = to_date(lit(currents.runDay))
+    val closed   = currentDf.filter(col(ValidTo) =!= upperBound || col(ValidTo).isNull)
+    val active   = currentDf.filter(col(ValidTo) === upperBound)
+
+    val c = active.alias("c")
+    val n = newDf.alias("n")
+    val joined = c.join(n, col("c." + KeyHash) === col("n." + KeyHash), "full_outer")
+
+    val hasC    = col("c." + KeyHash).isNotNull
+    val hasN    = col("n." + KeyHash).isNotNull
+    val changed = hasC && hasN && (col("c." + RecordHash) =!= col("n." + RecordHash))
+
+    // current-side output row: closed-out stamp when changed, else as-is
+    val currentSide = struct(outCols.map {
+      case UpdateTs    => when(changed, lit(currents.runTs).cast("timestamp"))
+                            .otherwise(col("c." + UpdateTs)).as(UpdateTs)
+      case UpdateRunId => when(changed, lit(currents.runId))
+                            .otherwise(col("c." + UpdateRunId)).as(UpdateRunId)
+      case ValidTo     => when(changed, date_sub(runDay, 1))
+                            .otherwise(col("c." + ValidTo)).as(ValidTo)
+      case other       => col("c." + other).as(other)
+    }: _*)
+
+    // new-side output row: fresh key opens per mode, successor opens at runDay
+    val newSide = struct(outCols.map {
+      case ValidFrom => when(!hasC, to_date(lit(validFromDate(mode, currents))))
+                          .otherwise(runDay).as(ValidFrom)
+      case ValidTo   => upperBound.as(ValidTo)
+      case other     => col("n." + other).as(other)
+    }: _*)
+
+    val emitted = joined.select(
+      explode(filter(array(
+        when(hasC, currentSide),
+        when(!hasC || changed, newSide)
+      ), x => x.isNotNull)).as("r"))
+      .select(outCols.map(cn => col("r." + cn)): _*)
+
+    closed.unionByName(emitted)
+  }
+
+  /** Bootstrap-aware wrapper (SCDHelpers.py:297-301): when no current store
+    * exists yet, merge against the empty historized frame. */
+  def historizeDataset(
+      newDf: DataFrame,
+      currentDf: Option[DataFrame],
+      currents: Currents,
+      mode: ValidFromMode,
+      fast: Boolean = true): DataFrame = {
+    val current = currentDf.getOrElse(createEmptyHist(newDf))
+    if (fast) mergeScd2Fast(current, newDf, currents, mode)
+    else mergeScd2(current, newDf, currents, mode)
+  }
+
+  /** Split a historized table into (closed history, active rows) by the
+    * SCD2 upper bound.
+    *
+    * Deviation recorded (SURVEY.md §7.4#5): the literal reference code
+    * (SCDHelpers.py:312) tests `VALID_TO > '9999-12-31'`, which can never be
+    * true; the documented intent (:307-308) is to split *at* the bound, so
+    * hist = strictly before it. */
+  def splitMergedDataset(df: DataFrame): (DataFrame, DataFrame) = {
+    val hist   = df.filter(col(ValidTo) < upperBound)
+    val active = df.filter(col(ValidTo) === upperBound)
+    (hist, active)
+  }
+}

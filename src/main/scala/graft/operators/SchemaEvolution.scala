@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema evolution: apply a target schema to a frame, adding missing
+  * columns with optional default values and optionally dropping extras.
+  *
+  * Re-expresses `prepare_schema`
+  * (src/PandasETLHelpers/SCDHelpers.py:44-61): field identity is the
+  * (name, dataType, nullable) triple; missing fields are appended as
+  * `lit(default).cast(type)` (null default when none supplied); extra fields
+  * are dropped only when `removeColumns` is set.
+  *
+  * Deviations recorded (documented intent over literal code, SURVEY.md
+  * §7.4#5): (1) when a column exists under the same name with a different
+  * type, the reference overwrites the data with the default literal and its
+  * drop pass can then drop the column it just added; we cast the existing
+  * data to the target type instead. (2) The reference iterates Python sets
+  * (nondeterministic order); we pin target-schema field order.
+  *
+  * Pure plan surgery — literal columns constant-fold, casts are codegen'd;
+  * no shuffle.
+  */
+object SchemaEvolution {
+
+  def prepareSchema(
+      df: DataFrame,
+      newSchema: StructType,
+      defaultValues: Map[String, Any] = Map.empty,
+      removeColumns: Boolean = false): DataFrame = {
+    val oldFields = df.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSet
+    val existing  = df.columns.toSet
+
+    val changed = newSchema.fields.filter(f => !oldFields.contains((f.name, f.dataType, f.nullable)))
+    val evolved = changed.foldLeft(df) { (acc, f) =>
+      if (existing.contains(f.name)) acc.withColumn(f.name, col(f.name).cast(f.dataType))
+      else acc.withColumn(f.name, lit(defaultValues.get(f.name).orNull).cast(f.dataType))
+    }
+
+    if (removeColumns) {
+      val keep = newSchema.fieldNames.toSet
+      evolved.drop(evolved.columns.filterNot(keep).toSeq: _*)
+    } else evolved
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.meta.MetaColumns
+
+import scala.util.Try
+
+/** Sources and sinks for the versioned current store.
+  *
+  * Covers the reference's IO surface: CSV snapshot scan (main.py:16), safe
+  * whole-store Parquet read (SCDHelpers.py:276-281), hash-only projected read
+  * (MetaColumnHelpers.py:164-169), and the key-partitioned Parquet overwrite
+  * (main.py:24).
+  *
+  * Scale notes:
+  *  - The hash-only read relies on Parquet column pruning — the plan only
+  *    references (KEY_HASH, RECORD_HASH), so the scan's ReadSchema is two
+  *    fixed-width-ish string columns regardless of business-table width.
+  *  - The reference Hive-partitions the store by raw business-key columns
+  *    (main.py:24). That is catastrophic at scale for high-cardinality keys
+  *    (one directory per distinct key). `writeStore` keeps the faithful
+  *    layout for parity; `writeStoreBucketed`-style layouts for scale use a
+  *    bounded `KEY_BUCKET` derived from KEY_HASH instead — O(buckets)
+  *    directories, pruning still possible via bucket derivation.
+  *  - Spark cannot overwrite a Parquet path it is concurrently reading
+  *    (the reference happily read-modify-rewrites, main.py:19-24). The swap
+  *    write goes to `<path>.tmp` then atomically renames (SURVEY.md §7.4#2).
+  */
+object Store {
+
+  /** CSV snapshot scan with header + schema inference (main.py:16). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Safe Parquet read: None when the path is missing/unreadable
+    * (SCDHelpers.py:276-281 returns None on any error). */
+  def readParquetSafe(spark: SparkSession, path: String): Option[DataFrame] =
+    Try(spark.read.parquet(path)).toOption
+
+  /** Projected read of only the two hash columns (MetaColumnHelpers.py:164-169).
+    * Parquet column pruning keeps the scan minimal. */
+  def readCurrentHashes(spark: SparkSession, path: String): Option[DataFrame] =
+    readParquetSafe(spark, path).map(_.select(MetaColumns.KeyHash, MetaColumns.RecordHash))
+
+  /** Persist the full current store, Hive-partitioned by the business-key
+    * columns (main.py:24). Overwrite semantics. */
+  def writeStore(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
+    val writer = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      .parquet(path)
+  }
+
+  /** Read-safe overwrite of a store the current plan may be reading from:
+    * write to `<path>.tmp`, then swap directories atomically on the
+    * FileSystem (rename is atomic per directory on HDFS/local). */
+  def writeStoreSwap(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val tmp   = path + ".tmp"
+    writeStore(df, tmp, partitionColumns)
+    val fs      = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val target  = new Path(path)
+    val tmpPath = new Path(tmp)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmpPath, target)
+  }
+
+  /** Canonicalize a store read back to `schema`'s column order and types.
+    * Partition columns come back repositioned (and possibly re-typed) after
+    * a partitioned read — both in fastparquet (main.py:33) and in Spark
+    * (SURVEY.md §7.4#6). */
+  def canonicalize(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+  }
+}

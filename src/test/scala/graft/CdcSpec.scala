@@ -1,0 +1,60 @@
+package graft
+
+import graft.meta.Currents
+import graft.operators.{Cdc, MetaEnrichment}
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = Seq("k")
+  private val currents1 = Currents("2024-01-01 10:00:00")
+  private val currents2 = Currents("2024-01-02 10:00:00")
+
+  private def enriched(rows: Seq[(String, String)], c: Currents) =
+    MetaEnrichment.addMetaColumns(rows.toDF("k", "v"), c, keys)
+
+  private val current = enriched(Seq("a" -> "1", "b" -> "2", "c" -> "3"), currents1)
+  // a unchanged, b changed, d new
+  private val incoming = enriched(Seq("a" -> "1", "b" -> "9", "d" -> "4"), currents2)
+
+  test("delta = inserts + updates, disjoint") {
+    val d = Cdc.delta(current, incoming)
+    assert(d.select("k").as[String].collect().sorted.toSeq === Seq("b", "d"))
+    val ins = Cdc.inserts(current, incoming).select("k").as[String].collect().toSeq
+    val upd = Cdc.updates(current, incoming).select("k").as[String].collect().toSeq
+    assert(ins === Seq("d"))
+    assert(upd === Seq("b"))
+    assert((ins ++ upd).sorted === d.select("k").as[String].collect().sorted.toSeq)
+  }
+
+  test("delta of identical snapshots is empty") {
+    assert(Cdc.delta(current, current).isEmpty)
+  }
+
+  test("updates projects back to new-side columns only") {
+    val upd = Cdc.updates(current, incoming)
+    assert(upd.columns.toSeq === incoming.columns.toSeq)
+    assert(upd.select("v").as[String].head() === "9")
+  }
+
+  test("mergeCdc upserts and deletes by key") {
+    val deleted = Seq("c").toDF("k")
+    val merged = Cdc.mergeCdc(current, incoming, keys, Some(deleted))
+    val byKey = merged.select("k", "v").as[(String, String)].collect().toMap
+    assert(byKey === Map("a" -> "1", "b" -> "9", "d" -> "4"))
+  }
+
+  test("deletedByFullLoad finds vanished keys") {
+    val gone = Cdc.deletedByFullLoadList(current, incoming)
+    val expected = current.filter($"k" === "c").select("KEY_HASH").as[String].head()
+    assert(gone === Seq(expected))
+  }
+
+  test("deletesByColumn selects KEY_HASH of flagged rows") {
+    val flagged = current.withColumn("op", org.apache.spark.sql.functions.when($"k" === "b",
+      "D").otherwise("U"))
+    val got = Cdc.deletesByColumnList(flagged, "op", "D")
+    val expected = current.filter($"k" === "b").select("KEY_HASH").as[String].head()
+    assert(got === Seq(expected))
+  }
+}

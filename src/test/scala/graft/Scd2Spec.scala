@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns}
+import graft.operators.{MetaEnrichment, Scd2}
+import graft.operators.Scd2.ValidFromMode
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+  import MetaColumns._
+
+  private val keys = Seq("k")
+  private val c1 = Currents("2024-01-01 10:00:00")
+  private val c2 = Currents("2024-02-15 10:00:00")
+  private val c3 = Currents("2024-03-20 10:00:00")
+
+  private def snapshot(rows: Seq[(String, String)], c: Currents): DataFrame =
+    MetaEnrichment.addMetaColumns(rows.toDF("k", "v"), c, keys)
+
+  private def sortedRows(df: DataFrame) =
+    df.select(df.columns.sorted.map(col).toSeq: _*)
+      .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+
+  private def assertSameResult(a: DataFrame, b: DataFrame): Unit =
+    assert(sortedRows(a) === sortedRows(b))
+
+  test("bootstrap merge opens every key; LowerBound mode uses 1900-01-01") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val merged = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LowerBound)
+    assert(merged.count() === 2)
+    assert(merged.filter(col(ValidFrom) === to_date(lit("1900-01-01"))).count() === 2)
+    assert(merged.filter(col(ValidTo) === to_date(lit("9999-12-31"))).count() === 2)
+  }
+
+  test("change closes old version the day before and opens successor at run day") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    val s2 = snapshot(Seq("a" -> "1", "b" -> "9", "c" -> "3"), c2)
+    val v2 = Scd2.historizeDataset(s2, Some(v1), c2, ValidFromMode.LoadDate)
+
+    assert(v2.count() === 4) // a active, b closed + b', c new
+    val bRows = v2.filter($"k" === "b")
+      .select(col("v"), col(ValidFrom).cast("string"), col(ValidTo).cast("string"))
+      .as[(String, String, String)].collect().sortBy(_._2).toSeq
+    assert(bRows === Seq(
+      ("2", "2024-01-01", "2024-02-14"),
+      ("9", "2024-02-15", "9999-12-31")))
+    // closed row carries the update stamps of run 2
+    val closedB = v2.filter($"k" === "b" && col(ValidTo) =!= to_date(lit("9999-12-31")))
+    assert(closedB.select(UpdateRunId).as[String].head() === c2.runId)
+    assert(closedB.select(InsertRunId).as[String].head() === c1.runId)
+  }
+
+  test("idempotence: re-merging the same snapshot adds no versions") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    val s1again = snapshot(Seq("a" -> "1", "b" -> "2"), c2)
+    val v2 = Scd2.historizeDataset(s1again, Some(v1), c2, ValidFromMode.LoadDate)
+    assertSameResult(v1, v2)
+  }
+
+  test("faithful five-branch and single-shuffle fast variant agree over 3 runs") {
+    val runs = Seq(
+      (Seq("a" -> "1", "b" -> "2", "c" -> "3"), c1),
+      (Seq("a" -> "1", "b" -> "X", "d" -> "4"), c2), // b changed, c vanished, d new
+      (Seq("a" -> "Z", "b" -> "X", "c" -> "3"), c3)) // a changed, c returns, d vanished
+
+    def drive(fast: Boolean): DataFrame =
+      runs.foldLeft(Option.empty[DataFrame]) { case (cur, (rows, cts)) =>
+        Some(Scd2.historizeDataset(snapshot(rows, cts), cur, cts, ValidFromMode.LoadDate, fast))
+      }.get
+
+    val slow = drive(false)
+    val fast = drive(true)
+    assertSameResult(slow, fast)
+
+    // SCD2 invariants: per key at most one active row; intervals ordered
+    val perKeyActive = fast.filter(col(ValidTo) === to_date(lit("9999-12-31")))
+      .groupBy("k").count().select("count").as[Long].collect()
+    assert(perKeyActive.forall(_ === 1L))
+  }
+
+  test("vanished keys stay active (no delete detection inside merge)") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    val s2 = snapshot(Seq("a" -> "1"), c2)
+    val v2 = Scd2.historizeDataset(s2, Some(v1), c2, ValidFromMode.LoadDate)
+    assert(v2.filter($"k" === "b" && col(ValidTo) === to_date(lit("9999-12-31"))).count() === 1)
+  }
+
+  test("splitMergedDataset separates closed history from active rows") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    val s2 = snapshot(Seq("a" -> "2", "b" -> "2"), c2)
+    val v2 = Scd2.historizeDataset(s2, Some(v1), c2, ValidFromMode.LoadDate)
+    val (hist, active) = Scd2.splitMergedDataset(v2)
+    assert(hist.count() === 1)
+    assert(active.count() === 2)
+    assert(hist.select("k").as[String].head() === "a")
+  }
+
+  test("custom valid-from mode stamps the supplied date on new keys") {
+    val s1 = snapshot(Seq("a" -> "1"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.Custom("2020-06-01"))
+    assert(v1.select(col(ValidFrom).cast("string")).as[String].head() === "2020-06-01")
+  }
+}
