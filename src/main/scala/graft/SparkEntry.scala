@@ -1,13 +1,601 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns => M}
+import graft.operators._
+import graft.operators.Scd2.ValidFromMode
+import graft.sources.Tables
+
+/** Driver contract: one registered query per implemented operator
+  * (SURVEY.md §2 + north-star extensions), each with DuckDB-equivalent
+  * oracle SQL over the same parquet tables.
+  *
+  * Cross-engine determinism rules used throughout (SURVEY.md §5.2/§7.4):
+  *  - fixed injected run timestamps, never wall clock;
+  *  - doubles that feed hashes or aggregates go through decimal casts
+  *    (raw double→string and double-sum order differ between engines);
+  *  - md5-hex everywhere a hash is needed — both engines agree bit-for-bit;
+  *  - ranking ties broken by an id column;
+  *  - the events table's nanosecond timestamps are truncated to micros on
+  *    both sides (Tables.events here, CAST(ts AS TIMESTAMP) in DuckDB).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val ts1 = "2024-01-01 10:00:00"
+  private val ts2 = "2024-02-15 10:30:00"
+  private def cur1 = Currents(ts1)
+  private def cur2 = Currents(ts2)
+  private val keys = Seq("l_orderkey", "l_linenumber")
+
+  /** Deterministic lineitem projection used as CDC/SCD2 snapshot base:
+    * doubles pre-cast to decimal so stringified hash inputs agree across
+    * engines. */
+  private def liProj(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").as("quantity"),
+      col("l_returnflag").as("returnflag"),
+      col("l_linestatus").as("linestatus"),
+      col("l_shipdate").cast("date").as("shipdate"))
+
+  /** Snapshot A: the "current" load — everything shipped before mid-1995. */
+  private def snapA(spark: SparkSession, dir: String): DataFrame =
+    liProj(spark, dir).filter(col("shipdate") < lit("1995-06-01").cast("date"))
+
+  /** Snapshot B: the full table with a deterministic mutation — quantity
+    * bumped for every 97th order key. Yields inserts (new keys) and
+    * updates (changed records) against snapshot A. */
+  private def snapB(spark: SparkSession, dir: String): DataFrame =
+    liProj(spark, dir).withColumn("quantity",
+      when(pmod(col("l_orderkey"), lit(97)) === 0,
+        (col("quantity") + 10).cast("decimal(18,2)")).otherwise(col("quantity")))
+
+  private def enrichedA(spark: SparkSession, dir: String): DataFrame =
+    MetaEnrichment.addMetaColumns(snapA(spark, dir), cur1, keys)
+  private def enrichedB(spark: SparkSession, dir: String): DataFrame =
+    MetaEnrichment.addMetaColumns(snapB(spark, dir), cur2, keys)
+
+  private def scd2v2(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Scd2.historizeDataset(enrichedA(spark, dir), None, cur1, ValidFromMode.LoadDate)
+    Scd2.historizeDataset(enrichedB(spark, dir), Some(v1), cur2, ValidFromMode.LoadDate)
+  }
+
+  /** Flagship (driver smoke, sf0.001): the reference's production path over
+    * two lineitem snapshots — enrich, delta anti-join, append — returning
+    * the versioned store content (SURVEY.md §7.5). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val current = enrichedA(spark, dir)
+    current.unionByName(Cdc.delta(current, enrichedB(spark, dir)))
+  }
+
+  // --------------------------------------------------------------------
+  // queries
+  // --------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parity: live operators (SURVEY §2.1) ----
+    "l05_meta_enrich" -> ((s, d) => enrichedA(s, d)),
+    "l11_hash_projection" -> ((s, d) => enrichedA(s, d).select(M.KeyHash, M.RecordHash)),
+    "l09_delta" -> ((s, d) => Cdc.delta(enrichedA(s, d), enrichedB(s, d))
+      .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash)),
+    "l13_inserts" -> ((s, d) => Cdc.inserts(enrichedA(s, d), enrichedB(s, d))
+      .select("l_orderkey", "l_linenumber", M.KeyHash)),
+    "l14_updates" -> ((s, d) => Cdc.updates(enrichedA(s, d), enrichedB(s, d))
+      .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash)),
+    "l10_union_append" -> ((s, d) => {
+      val cur = enrichedA(s, d)
+      cur.unionByName(Cdc.delta(cur, enrichedB(s, d)))
+        .select("l_orderkey", "l_linenumber", "quantity", "returnflag", "linestatus",
+          "shipdate", M.KeyHash, M.RecordHash, M.InsertRunId)
+    }),
+    // ---- parity: design-spec operators (SURVEY §2.2) ----
+    "d03_schema_evolution" -> ((s, d) => {
+      val base = snapA(s, d)
+      val target = org.apache.spark.sql.types.StructType(
+        base.schema.fields.filterNot(_.name == "linestatus") :+
+          org.apache.spark.sql.types.StructField("load_source",
+            org.apache.spark.sql.types.StringType, nullable = true))
+      SchemaEvolution.prepareSchema(base, target,
+        Map("load_source" -> "batch"), removeColumns = true)
+    }),
+    "d04_merge_cdc" -> ((s, d) => {
+      val cur  = enrichedA(s, d)
+      val newD = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(7)) === 0)
+      val del  = cur.filter(pmod(col("l_orderkey"), lit(13)) === 0).select(M.KeyHash)
+      Cdc.mergeCdc(cur, newD, Seq(M.KeyHash), Some(del))
+        .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash)
+    }),
+    "d06_scd2_merge" -> ((s, d) => scd2v2(s, d)),
+    "d07_deletes_by_column" -> ((s, d) =>
+      Cdc.deletesByColumn(enrichedA(s, d), "returnflag", "R")),
+    "d08_deleted_full_load" -> ((s, d) => {
+      val shrunk = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
+      Cdc.deletedByFullLoad(enrichedA(s, d), shrunk)
+    }),
+    "l15_split_active" -> ((s, d) => Scd2.splitMergedDataset(scd2v2(s, d))._2
+      .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
+    "l15_split_hist" -> ((s, d) => Scd2.splitMergedDataset(scd2v2(s, d))._1
+      .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
+    // ---- extensions: dedup ----
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", Seq("text"))),
+    "x_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minSim = 0.1)),
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", n = 3, k = 8, bands = 4)),
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text", bits = 16)),
+    // ---- extensions: similarity search ----
+    "x_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    }),
+    "x_sim_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4)
+    }),
+    "x_sim_near_dup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCos = 0.4, planes = 2)),
+    // ---- extensions: text analysis ----
+    "x_text_profile" -> ((s, d) =>
+      TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text")),
+    // ---- extensions: multimodal plumbing ----
+    "x_media_meta" -> ((s, d) =>
+      Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
+    "x_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
+    // ---- extensions: event analytics (batch twins of the streaming path) ----
+    "x_events_tumbling" -> ((s, d) => EventAnalytics.tumblingAgg(Tables.events(s, d), 60)),
+    "x_events_running" -> ((s, d) => EventAnalytics.userRunning(Tables.events(s, d))),
+    "x_events_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d), 30)),
+    "x_events_top_types" -> ((s, d) => EventAnalytics.topTypesPerHour(Tables.events(s, d), 3)),
+    // ---- extensions: analytic benchmarks over the star schema ----
+    "x_agg_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+    "x_join_revenue" -> ((s, d) => {
+      val li  = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    })
+  )
+
+  // --------------------------------------------------------------------
+  // oracle SQL (DuckDB dialect, tables = parquet files in the same dir)
+  // --------------------------------------------------------------------
+
+  /** Shared CTE text: deterministic snapshots + meta enrichment. */
+  private val snapshotsCte: String =
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+       |         l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |         CAST(l_shipdate AS DATE) AS shipdate
+       |  FROM lineitem
+       |),
+       |snapA AS (SELECT * FROM base WHERE shipdate < DATE '1995-06-01'),
+       |snapB AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CASE WHEN l_orderkey % 97 = 0
+       |              THEN CAST(quantity + 10 AS DECIMAL(18,2)) ELSE quantity END AS quantity,
+       |         returnflag, linestatus, shipdate
+       |  FROM base
+       |),
+       |enrichA AS (
+       |  SELECT *,
+       |    md5(concat_ws('#?', coalesce(CAST(l_orderkey AS VARCHAR),'nan'),
+       |                        coalesce(CAST(l_linenumber AS VARCHAR),'nan'))) AS "KEY_HASH",
+       |    md5(concat_ws('#?', coalesce(CAST(l_orderkey AS VARCHAR),'nan'),
+       |                        coalesce(CAST(l_linenumber AS VARCHAR),'nan'),
+       |                        coalesce(CAST(quantity AS VARCHAR),'nan'),
+       |                        coalesce(returnflag,'nan'), coalesce(linestatus,'nan'),
+       |                        coalesce(CAST(shipdate AS VARCHAR),'nan'))) AS "RECORD_HASH",
+       |    TIMESTAMP '$ts1' AS "INSERT_TS", TIMESTAMP '$ts1' AS "UPDATE_TS",
+       |    '20240101100000' AS "INSERT_RUN_ID", '20240101100000' AS "UPDATE_RUN_ID",
+       |    CAST(NULL AS TIMESTAMP) AS "DELETED"
+       |  FROM snapA
+       |),
+       |enrichB AS (
+       |  SELECT *,
+       |    md5(concat_ws('#?', coalesce(CAST(l_orderkey AS VARCHAR),'nan'),
+       |                        coalesce(CAST(l_linenumber AS VARCHAR),'nan'))) AS "KEY_HASH",
+       |    md5(concat_ws('#?', coalesce(CAST(l_orderkey AS VARCHAR),'nan'),
+       |                        coalesce(CAST(l_linenumber AS VARCHAR),'nan'),
+       |                        coalesce(CAST(quantity AS VARCHAR),'nan'),
+       |                        coalesce(returnflag,'nan'), coalesce(linestatus,'nan'),
+       |                        coalesce(CAST(shipdate AS VARCHAR),'nan'))) AS "RECORD_HASH",
+       |    TIMESTAMP '$ts2' AS "INSERT_TS", TIMESTAMP '$ts2' AS "UPDATE_TS",
+       |    '20240215103000' AS "INSERT_RUN_ID", '20240215103000' AS "UPDATE_RUN_ID",
+       |    CAST(NULL AS TIMESTAMP) AS "DELETED"
+       |  FROM snapB
+       |)""".stripMargin
+
+  /** SCD2 CTE chain on top of the snapshots: bootstrap merge of A, then the
+    * five-branch merge of B (semantics of SCDHelpers.py:129-220). */
+  private val scd2Cte: String =
+    s"""$snapshotsCte,
+       |v1 AS (
+       |  SELECT *, DATE '2024-01-01' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO"
+       |  FROM enrichA
+       |),
+       |cur_only AS (
+       |  SELECT c.* FROM v1 c LEFT JOIN enrichB n ON c."KEY_HASH" = n."KEY_HASH"
+       |  WHERE n."KEY_HASH" IS NULL OR c."VALID_TO" <> DATE '9999-12-31'
+       |),
+       |new_only AS (
+       |  SELECT n.*, DATE '2024-02-15' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO"
+       |  FROM enrichB n WHERE n."KEY_HASH" NOT IN (SELECT "KEY_HASH" FROM v1)
+       |),
+       |unchanged AS (
+       |  SELECT c.* FROM v1 c JOIN enrichB n
+       |  ON c."KEY_HASH" = n."KEY_HASH" AND c."RECORD_HASH" = n."RECORD_HASH"
+       |     AND c."VALID_TO" = DATE '9999-12-31'
+       |),
+       |changed_cur AS (
+       |  SELECT c.* REPLACE (TIMESTAMP '$ts2' AS "UPDATE_TS",
+       |                      '20240215103000' AS "UPDATE_RUN_ID",
+       |                      DATE '2024-02-14' AS "VALID_TO")
+       |  FROM v1 c JOIN enrichB n
+       |  ON c."KEY_HASH" = n."KEY_HASH" AND c."RECORD_HASH" <> n."RECORD_HASH"
+       |     AND c."VALID_TO" = DATE '9999-12-31'
+       |),
+       |changed_new AS (
+       |  SELECT n.*, DATE '2024-02-15' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO"
+       |  FROM enrichB n JOIN v1 c
+       |  ON c."KEY_HASH" = n."KEY_HASH" AND c."RECORD_HASH" <> n."RECORD_HASH"
+       |     AND c."VALID_TO" = DATE '9999-12-31'
+       |),
+       |v2 AS (
+       |  SELECT * FROM cur_only UNION ALL BY NAME
+       |  SELECT * FROM new_only UNION ALL BY NAME
+       |  SELECT * FROM unchanged UNION ALL BY NAME
+       |  SELECT * FROM changed_cur UNION ALL BY NAME
+       |  SELECT * FROM changed_new
+       |)""".stripMargin
+
+  /** Document tokenization / shingling CTEs shared by the dedup oracles. */
+  private val docShinglesCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+      |      i -> array_to_string(w[i+1:i+3], ' '))) AS shingles
+      |  FROM toks
+      |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "l05_meta_enrich" ->
+      s"""$snapshotsCte SELECT * FROM enrichA""",
+    "l11_hash_projection" ->
+      s"""$snapshotsCte SELECT "KEY_HASH", "RECORD_HASH" FROM enrichA""",
+    "l09_delta" ->
+      s"""$snapshotsCte
+         |SELECT n.l_orderkey, n.l_linenumber, n.quantity, n."KEY_HASH", n."RECORD_HASH"
+         |FROM enrichB n LEFT JOIN enrichA c
+         |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |WHERE c."KEY_HASH" IS NULL""".stripMargin,
+    "l13_inserts" ->
+      s"""$snapshotsCte
+         |SELECT n.l_orderkey, n.l_linenumber, n."KEY_HASH"
+         |FROM enrichB n WHERE NOT EXISTS
+         |  (SELECT 1 FROM enrichA c WHERE c."KEY_HASH" = n."KEY_HASH")""".stripMargin,
+    "l14_updates" ->
+      s"""$snapshotsCte
+         |SELECT n.l_orderkey, n.l_linenumber, n.quantity, n."RECORD_HASH"
+         |FROM enrichB n JOIN enrichA c
+         |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" <> c."RECORD_HASH"""".stripMargin,
+    "l10_union_append" ->
+      s"""$snapshotsCte,
+         |delta AS (
+         |  SELECT n.* FROM enrichB n LEFT JOIN enrichA c
+         |    ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |  WHERE c."KEY_HASH" IS NULL
+         |)
+         |SELECT l_orderkey, l_linenumber, quantity, returnflag, linestatus, shipdate,
+         |       "KEY_HASH", "RECORD_HASH", "INSERT_RUN_ID"
+         |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)""".stripMargin,
+    "d03_schema_evolution" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+        |       l_returnflag AS returnflag,
+        |       CAST(l_shipdate AS DATE) AS shipdate,
+        |       'batch' AS load_source
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1995-06-01'""".stripMargin,
+    "d04_merge_cdc" ->
+      s"""$snapshotsCte,
+         |newd AS (SELECT * FROM enrichB WHERE l_orderkey % 7 = 0),
+         |del AS (SELECT "KEY_HASH" FROM enrichA WHERE l_orderkey % 13 = 0),
+         |kept AS (
+         |  SELECT c.* FROM enrichA c
+         |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d."KEY_HASH" = c."KEY_HASH")
+         |    AND NOT EXISTS (SELECT 1 FROM newd n WHERE n."KEY_HASH" = c."KEY_HASH")
+         |)
+         |SELECT l_orderkey, l_linenumber, quantity, "KEY_HASH", "RECORD_HASH"
+         |FROM (SELECT * FROM kept UNION ALL BY NAME SELECT * FROM newd)""".stripMargin,
+    "d06_scd2_merge" ->
+      s"""$scd2Cte SELECT * FROM v2""",
+    "d07_deletes_by_column" ->
+      s"""$snapshotsCte SELECT "KEY_HASH" FROM enrichA WHERE returnflag = 'R'""",
+    "d08_deleted_full_load" ->
+      s"""$snapshotsCte
+         |SELECT c."KEY_HASH" FROM enrichA c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM enrichB n
+         |  WHERE n.l_orderkey % 3 <> 0 AND n."KEY_HASH" = c."KEY_HASH")""".stripMargin,
+    "l15_split_active" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE "VALID_TO" = DATE '9999-12-31'""".stripMargin,
+    "l15_split_hist" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE "VALID_TO" < DATE '9999-12-31'""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x_dedup_jaccard" ->
+      s"""$docShinglesCte,
+         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+         |joinable AS (
+         |  SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 1000
+         |),
+         |fil AS (SELECT ex.* FROM ex JOIN joinable USING (s)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM fil a JOIN fil b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1""".stripMargin,
+    "x_dedup_minhash" ->
+      s"""$docShinglesCte,
+         |sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(0, 8),
+         |      j -> list_min(list_transform(shingles,
+         |             s -> md5(concat(CAST(j AS VARCHAR), '#', s))))) AS sig
+         |  FROM sh
+         |),
+         |banded AS (
+         |  SELECT id, g.band,
+         |         md5(array_to_string(sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM sig, generate_series(0, 3) g(band)
+         |)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.id < b.id""".stripMargin,
+    "x_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 16), b ->
+        |      CASE WHEN list_sum(list_transform(w, t ->
+        |             (CAST(floor((strpos('0123456789abcdef',
+        |                         substring(md5(t), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+        |                  / pow(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)) > 0
+        |           THEN CAST(pow(2, 15 - b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS simhash
+        |  FROM toks
+        |)
+        |SELECT CAST(coalesce(simhash, 0) AS BIGINT) AS simhash,
+        |       min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM fp GROUP BY 1""".stripMargin,
+    "x_sim_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "x_sim_near_dup" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, embedding AS v,
+        |    array_to_string(list_transform(range(0, 2), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(embedding[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT a.id AS id_a, b2.id AS id_b,
+        |  round(
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b2.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE)))))
+        |  , 6) AS cos
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+        |WHERE round(
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(b2.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE)))))
+        |  , 6) >= 0.4""".stripMargin,
+    "x_text_profile" -> textProfileOracle,
+    "x_media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |       CAST(length(text) AS INT) AS "byteLen",
+        |       md5(text) AS "contentHash",
+        |       CAST(length(text) % 640 + 1 AS INT) AS width,
+        |       CAST(length(text) % 480 + 1 AS INT) AS height,
+        |       CASE WHEN length(text) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin,
+    "x_media_frames" ->
+      """WITH fl AS (
+        |  SELECT doc_id, text,
+        |    list_filter(range(0, greatest(CAST(floor(length(text) / 16) AS INT), 1)),
+        |      x -> x % 4 = 0) AS frames
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS id,
+        |       CAST(unnest(frames) AS INT) AS frame_no,
+        |       md5(substring(text, unnest(frames) * 16 + 1, 16)) AS frame_hash
+        |FROM fl""".stripMargin,
+    "x_events_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "x_events_running" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |  CAST(row_number() OVER w AS INT) AS seq,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) -
+        |    CAST(floor(date_part('epoch', lag(CAST(ts AS TIMESTAMP), 1) OVER w)) AS BIGINT)
+        |    AS gap_sec,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)))
+        |       OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)""".stripMargin,
+    "x_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    coalesce(CASE WHEN date_part('epoch', CAST(ts AS TIMESTAMP)) -
+        |              date_part('epoch', lag(CAST(ts AS TIMESTAMP), 1)
+        |                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))
+        |              > 1800 THEN 1 ELSE 0 END, 1) AS is_new
+        |  FROM events
+        |),
+        |sess AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "x_events_top_types" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT hour, event_type, sum_value,
+        |       CAST(row_number() OVER (PARTITION BY hour
+        |              ORDER BY sum_value DESC, event_type ASC) AS INT) AS rank
+        |FROM hourly QUALIFY rank <= 3""".stripMargin,
+    "x_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "x_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin
+  )
+
+  /** x_text_profile oracle: mirrors every TextAnalysis expression. */
+  private def textProfileOracle: String = {
+    def hits(lang: String): String = {
+      val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(w, t -> list_contains([$words], t)))"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+       |  FROM documents
+       |),
+       |feat AS (
+       |  SELECT doc_id, text, w,
+       |    len(w) AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpeish,
+       |    ${hits("en")} AS c_en, ${hits("de")} AS c_de,
+       |    ${hits("fr")} AS c_fr, ${hits("es")} AS c_es,
+       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+       |  FROM toks
+       |),
+       |scored AS (
+       |  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, CAST(n_bpeish AS INT) AS n_bpeish,
+       |    greatest(c_en, c_de, c_fr, c_es) AS best,
+       |    CASE WHEN c_en = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'en'
+       |         WHEN c_de = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'de'
+       |         WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'fr'
+       |         WHEN c_es = greatest(c_en, c_de, c_fr, c_es) AND greatest(c_en, c_de, c_fr, c_es) > 0 THEN 'es'
+       |         ELSE 'und' END AS lang_id,
+       |    round(CAST(c_en AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       |    round(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+       |    round(CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+       |          / greatest(n_tokens, 1), 6) AS mean_token_len,
+       |    round((least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+       |           + least(round(CAST(c_en AS DOUBLE) / greatest(n_tokens, 1), 6) * 5, 1.0)
+       |           + (1.0 - least(round(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 6) * 5, 1.0)))
+       |          / 3, 6) AS quality,
+       |    list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |      i -> md5(substring(text, i, 8)))) AS fingerprint
+       |  FROM feat
+       |)
+       |SELECT doc_id, n_tokens, n_bpeish, lang_id, stopword_ratio, punct_ratio,
+       |       mean_token_len, quality, fingerprint
+       |FROM scored""".stripMargin
+  }
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * North-star extension (BASELINE.json `north_star`; not present in the
+  * reference, whose only dedup is the hash anti-join —
+  * src/PandasETLHelpers/MetaColumnHelpers.py:180-184). Four families:
+  *
+  *  - exact: group by content digest — one shuffle of (digest, id), the
+  *    payload never moves.
+  *  - n-gram Jaccard: shingle self-join with document-frequency capping.
+  *  - MinHash + LSH: per-row signatures via higher-order functions (no
+  *    explode, no UDF), banded so candidate generation is a bucket join —
+  *    the only pairwise work left is within buckets.
+  *  - SimHash: per-row fingerprint; near-dups share a fingerprint.
+  *
+  * Everything is built from codegen'd `functions._` expressions (signature
+  * computation uses `transform`/`aggregate` higher-order functions), so the
+  * per-row work spans whole-stage codegen and the only exchanges are the
+  * candidate joins themselves.
+  *
+  * All hashing is md5-hex based so results are reproducible across engines
+  * (the DuckDB oracle mirrors each expression).
+  */
+object Dedup {
+
+  /** Whitespace tokens with empties dropped (split of an empty string
+    * yields [""], which would poison shingles). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles of a text column. A text with fewer
+    * than n tokens yields its full-token join as the single shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact deduplication by content digest over `contentCols`: one row per
+    * distinct content with the smallest `idCol` as the kept representative
+    * and the duplicate count. Map-side partial aggregation applies; only
+    * (digest, id) pairs shuffle — the payload never moves. */
+  def exactDuplicates(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        graft.functions.HashColumns.hashExpr(contentCols.map(col)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Candidate near-duplicate pairs by n-gram Jaccard similarity.
+    *
+    * Distinct shingles per doc are exploded and self-joined; shingles whose
+    * document frequency exceeds `maxShingleDocFreq` are dropped first (and
+    * singletons, which can never pair) — the standard guard that keeps the
+    * self-join from quadratic blowup on stop-shingles at scale. Jaccard
+    * uses distinct-shingle set sizes.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minSim.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minSim: Double = 0.5,
+      maxShingleDocFreq: Long = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
+    val filtered = sh.join(joinable.select("sh"), Seq("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: k md5-based min-hashes over the distinct n-gram
+    * shingles. Seeded by hash index, deterministic, reproducible in any
+    * engine with md5. Computed entirely per-row via higher-order
+    * functions — no shuffle, no UDF. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(sh, s => md5(concat(j.cast("string"), lit("#"), s)))))
+  }
+
+  /** LSH band keys over a minhash signature: `bands` buckets of
+    * `rowsPerBand` signature entries each, digested to one key per band.
+    * Docs agreeing on any band key are near-dup candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** Candidate pairs via MinHash + LSH banding: only docs sharing a band
+    * bucket are paired — candidate generation is a band-key equi-join,
+    * never an all-pairs product. Returns distinct (id_a, id_b). */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val banded = df.select(col(idCol).as("id"),
+        posexplode(lshBandKeys(minhashSignature(col(textCol), n, k), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */
+  private def hexDigitVal(hex: Column, pos: Column): Column =
+    conv(hex.substr(pos, lit(1)), 16, 10).cast("int")
+
+  /** Bit `b` (0 = most significant of the first hex digit) of md5 hex
+    * string `h`: arithmetic only, reproducible in engines without bitwise
+    * builtins. */
+  private def md5Bit(h: Column, b: Column): Column = {
+    val digit = hexDigitVal(h, floor(b / 4).cast("int") + 1)
+    val shift = lit(3) - pmod(b, lit(4))
+    pmod(floor(digit / pow(lit(2.0), shift.cast("double"))).cast("int"), lit(2))
+  }
+
+  /** SimHash fingerprint over whitespace tokens: `bits`-wide (max 32,
+    * default 16) weighted-majority of per-token md5 bits, returned as a
+    * non-negative long. Near-duplicate texts land on equal or
+    * Hamming-close fingerprints; exact-grouping by the fingerprint is a
+    * single shuffle of (fingerprint, id). */
+  def simhash(text: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    val toks = tokens(text)
+    val balances = transform(sequence(lit(0), lit(bits - 1)),
+      b => aggregate(toks, lit(0), (acc, t) => acc + md5Bit(md5(t), b) * 2 - 1))
+    aggregate(
+      zip_with(balances, sequence(lit(bits - 1), lit(0), lit(-1)),
+        (bal, pos) => when(bal > 0, pow(lit(2.0), pos.cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Group documents by SimHash fingerprint: returns (simhash, n_docs,
+    * keep_id) for every fingerprint bucket. */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    df.select(col(idCol), simhash(col(textCol), bits).as("simhash"))
+      .groupBy("simhash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+}

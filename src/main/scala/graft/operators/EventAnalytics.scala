@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed / analytic operators over the event stream table.
+  *
+  * Extension beyond the reference (which has no aggregations or window
+  * functions — SURVEY.md §2.3); these are the batch twins of the
+  * Structured Streaming path in [[graft.streaming.StreamingHistorization]].
+  *
+  * Scale notes: the tumbling aggregation is a single shuffle on
+  * (bucket, event_type) with map-side partial aggregation; the per-user
+  * analytics shuffle once on user_id and compute all window functions over
+  * the same sort order (one sort, shared by row_number / lag / running
+  * sum).
+  */
+object EventAnalytics {
+
+  /** Tumbling-window aggregation: epoch-aligned buckets of `minutes`, per
+    * event type — count, exact decimal sum of value (bit-reproducible
+    * across engines, unlike a double fold), and distinct users. */
+  def tumblingAgg(events: DataFrame, minutes: Int = 60): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$minutes minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Per-user ordered analytics: sequence number, previous event type, gap
+    * seconds since previous event, and running decimal sum of value. One
+    * shuffle on user_id; all four functions share one sort (ts, event_id —
+    * the id tie-break keeps output deterministic). */
+  def userRunning(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_sec",
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"))
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+  }
+
+  /** Sessionization: events more than `gapMinutes` apart start a new
+    * session; returns per-session bounds and stats. Classic two-window
+    * pattern — one shuffle, two sorts share the same partitioning. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)) >
+        gapMinutes * 60L, 1).otherwise(lit(0))
+    events
+      .withColumn("is_new", coalesce(newSession, lit(1)))
+      .withColumn("session_no", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+  }
+
+  /** Top-k event types by exact decimal revenue within each bucketed hour —
+    * rank-limited so only k rows per group survive the final exchange. */
+  def topTypesPerHour(events: DataFrame, k: Int = 3): DataFrame = {
+    val hourly = events.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    val w = Window.partitionBy("hour").orderBy(col("sum_value").desc, col("event_type").asc)
+    hourly.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata.
+  *
+  * North-star extension. Images/audio/video ride through the engine as
+  * `binary` columns plus a metadata struct; decode / feature-extraction /
+  * frame-sampling run per-partition so any real decoder processes a batch
+  * of blobs per task without per-row driver round-trips.
+  *
+  * STUB BOUNDARY: this container has no image/audio codecs, so the decode
+  * kernels below are clearly-marked deterministic fakes that derive
+  * "metadata" from blob length and bytes. The Spark-side contract — schema,
+  * encoder, partition-batch shape, null handling — is real and tested; a
+  * production deployment swaps only the function body marked STUB.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by media decode. */
+  final case class MediaMeta(
+      id: Long,
+      byteLen: Int,
+      contentHash: String,
+      width: Int,
+      height: Int,
+      format: String)
+
+  val mediaMetaSchema: StructType = Encoders.product[MediaMeta].schema
+
+  /** Wrap a table as media rows: id plus an opaque binary payload column.
+    * (Test fixtures carry text; a real pipeline reads binary files or
+    * Parquet BINARY columns directly.) */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(payloadCol).cast("binary").as("payload"))
+
+  /** STUB decode kernel: deterministic fake metadata from the blob bytes.
+    * A real implementation calls the codec here — same signature, same
+    * batch shape. */
+  private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+    val len = if (payload == null) 0 else payload.length
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(if (payload == null) Array.emptyByteArray else payload)
+      .map("%02x".format(_)).mkString
+    // STUB: "dimensions" derived from length so they're reproducible
+    MediaMeta(id, len, hex, width = len % 640 + 1, height = len % 480 + 1,
+      format = if (len % 2 == 0) "png" else "jpeg")
+  }
+
+  /** Decode a media table to typed metadata. Runs per-partition — each task
+    * decodes its batch of blobs locally; no shuffle is introduced and the
+    * input partitioning is preserved. */
+  def decodeMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+  }
+
+  /** Pure-SQL twin of [[decodeMeta]] for engines-parity checking: the same
+    * deterministic fake metadata as codegen'd expressions. Exists so the
+    * stub's plumbing has an oracle; a real decoder obviously has no SQL
+    * twin. */
+  def decodeMetaSql(media: DataFrame): DataFrame =
+    media.select(
+      col("id"),
+      length(col("payload")).cast("int").as("byteLen"),
+      md5(col("payload")).as("contentHash"),
+      (length(col("payload")) % 640 + 1).cast("int").as("width"),
+      (length(col("payload")) % 480 + 1).cast("int").as("height"),
+      when(length(col("payload")) % 2 === 0, "png").otherwise("jpeg").as("format"))
+
+  /** STUB frame sampling: every `stride`-th "frame" of a fake video =
+    * md5 digests of fixed-size byte windows. Real frame extraction keeps
+    * the same per-partition batch shape and output schema
+    * (id, frame_no, frame_hash). */
+  def sampleFrames(media: DataFrame, stride: Int = 4, frameBytes: Int = 16): DataFrame = {
+    val nFrames = greatest(floor(length(col("payload")) / frameBytes), lit(1)).cast("int")
+    media.select(col("id"),
+        posexplode(transform(sequence(lit(0), nFrames - 1),
+          i => md5(col("payload").substr(i * frameBytes + 1, lit(frameBytes)))))
+          .as(Seq("frame_no", "frame_hash")))
+      .filter(col("frame_no") % stride === 0)
+  }
+}

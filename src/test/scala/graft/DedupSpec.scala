@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 1
+    (4L, "completely different text about spark sql engines"),
+    (5L, "")                                                      // empty edge case
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = Dedup.exactDuplicates(docs, "doc_id", Seq("text"))
+    assert(got.count() === 4) // 1+2 collapse
+    val dup = got.filter($"n_dups" === 2)
+    assert(dup.select("keep_id").as[Long].head() === 1L)
+  }
+
+  test("shingles are distinct word n-grams; empty text yields one empty shingle") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val row1 = sh.filter($"doc_id" === 1L).select(size($"sh")).as[Int].head()
+    assert(row1 === 7) // 9 tokens -> 7 trigrams, all distinct
+    val row5 = sh.filter($"doc_id" === 5L).select($"sh").as[Seq[String]].head()
+    assert(row5 === Seq(""))
+  }
+
+  test("jaccard pairs finds the near dup and the exact dup, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+  }
+
+  test("minhash signature is deterministic and equal for identical docs") {
+    val sigs = docs.filter($"doc_id" <= 2).select(
+      Dedup.minhashSignature($"text", 3, 8).as("sig")).as[Seq[String]].collect()
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0).length === 8)
+  }
+
+  test("minhash LSH candidates include exact and near dups") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3, k = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    // near-dup 1-3 shares most shingles; with 4 bands of 2 it should bucket together
+    assert(cands.contains((1L, 3L)))
+  }
+
+  test("simhash: identical docs equal; near dup within small hamming distance") {
+    val fp = docs.select($"doc_id", Dedup.simhash($"text", 16).as("f"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    val hamming = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hamming <= 6, s"hamming=$hamming")
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+}

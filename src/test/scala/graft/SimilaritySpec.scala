@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(1.0f, 0.0f, 0.01f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(math.abs(c((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(c((0L, 2L))) < 1e-12)
+    assert(c((0L, 1L)) > 0.99 && c((0L, 1L)) < 1.0)
+  }
+
+  test("brute-force top-k ranks by cosine desc with id tie-break, excludes self") {
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    val rows = topk.select("corpus_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(rows.map(_._1).toSeq === Seq(4L, 1L)) // 4 is closest to 0, then 1
+  }
+
+  test("zero vector gets cosine 0, no NaN") {
+    val z = Seq((9L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(z, vecs, "vec_id", "embedding", "vec_id", "embedding", 5)
+    assert(got.filter($"cos".isNaN).count() === 0)
+    assert(got.count() === 5)
+  }
+
+  test("srp bucket key is deterministic, one bit per plane") {
+    val b = vecs.select(Similarity.srpBucket($"embedding", 8).as("b")).as[String].collect()
+    assert(b.forall(_.length === 8))
+    val b2 = vecs.select(Similarity.srpBucket($"embedding", 8).as("b")).as[String].collect()
+    assert(b.toSeq === b2.toSeq)
+  }
+
+  test("LSH top-k finds the near neighbor for a clustered corpus") {
+    val topk = Similarity.lshTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, planes = 2)
+    val ids = topk.select("corpus_id").as[Long].collect().toSet
+    assert(ids.contains(4L)) // nearest neighbor shares the bucket
+  }
+
+  test("near-dup pairs on real embeddings run end-to-end at sf0.001") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      minCos = 0.99, planes = 2)
+    // just exercises the full plan; synthetic vectors rarely collide at .99
+    assert(pairs.columns.toSeq === Seq("id_a", "id_b", "cos"))
+    pairs.count()
+  }
+}

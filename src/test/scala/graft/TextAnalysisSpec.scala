@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat and it is a good mat for the cat"),
+    (2L, "der hund ist nicht auf der couch und das ist gut"),
+    (3L, "le chat est dans la maison et les chiens dans le jardin pour que"),
+    (4L, "xyzzy plugh !!!"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("token counts") {
+    val got = docs.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got(1L) === 15)
+    assert(got(5L) === 0)
+  }
+
+  test("bpeish token count splits letters runs, digits, punctuation") {
+    val got = Seq(Tuple1("ab1c, x2!")).toDF("t")
+      .select(TextAnalysis.bpeishTokenCount($"t")).as[Int].head()
+    // ab / 1 / c / , / x / 2 / ! = 7
+    assert(got === 7)
+  }
+
+  test("langId picks the dominant function-word language, und on no signal") {
+    val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "fr")
+    assert(got(4L) === "und")
+    assert(got(5L) === "und")
+  }
+
+  test("punct ratio and quality score bounded, deterministic on empty") {
+    val rows = docs.select(
+      TextAnalysis.punctRatio($"text").as("p"),
+      TextAnalysis.qualityScore($"text").as("q")).as[(Double, Double)].collect()
+    assert(rows.forall { case (p, q) => p >= 0 && p <= 1 && q >= 0 && q <= 1 })
+  }
+
+  test("fingerprint stable under trailing append (min over k-grams)") {
+    val a = Seq(Tuple1("the quick brown fox jumps over everything")).toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("f")).as[String].head()
+    val b = Seq(Tuple1("the quick brown fox jumps over everything zzz")).toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("f")).as[String].head()
+    // min over shared 8-grams usually survives a small append
+    assert(a === b)
+  }
+
+  test("profile runs over the real documents table") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
+    val prof = TextAnalysis.profile(docsReal, "doc_id", "text")
+    assert(prof.count() === docsReal.count())
+    assert(prof.filter($"n_tokens" <= 0).count() === 0)
+  }
+}
