@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.meta.{Currents, MetaColumns => M}
 import graft.operators._
 import graft.operators.Scd2.ValidFromMode
-import graft.sources.Tables
+import graft.pipeline.Historization
+import graft.sources.{Store, Tables}
 
 /** Driver contract: one registered query per implemented operator
   * (SURVEY.md §2 + north-star extensions), each with DuckDB-equivalent
@@ -59,7 +60,10 @@ object SparkEntry {
     MetaEnrichment.addMetaColumns(snapB(spark, dir), cur2, keys)
 
   private def scd2v2(spark: SparkSession, dir: String): DataFrame = {
+    // v1 is referenced three times by the second merge (closed/active/
+    // closed-key splits) — persist so the bootstrap subtree runs once.
     val v1 = Scd2.historizeDataset(enrichedA(spark, dir), None, cur1, ValidFromMode.LoadDate)
+      .persist()
     Scd2.historizeDataset(enrichedB(spark, dir), Some(v1), cur2, ValidFromMode.LoadDate)
   }
 
@@ -76,21 +80,42 @@ object SparkEntry {
   // queries
   // --------------------------------------------------------------------
 
+  /** Dump-layer canonicalization: decimal columns hash-diverge between the
+    * Spark parquet dump and DuckDB (CORRECTNESS_r01: rows+schema matched,
+    * hash didn't, on every quantity-carrying entry). Decimal math stays
+    * internal; only the dumped projection casts to double (values are exact
+    * halves — lossless). Oracles mirror with CAST(... AS DOUBLE). */
+  private def qtyAsDouble(df: DataFrame): DataFrame =
+    df.withColumn("quantity", col("quantity").cast("double"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: live operators (SURVEY §2.1) ----
-    "l05_meta_enrich" -> ((s, d) => enrichedA(s, d)),
+    "l01_csv_scan" -> ((s, _) =>
+      Store.readCsv(s, "/root/reference/data/grades_full.csv").select(
+        col("Lastname"), col("Firstname"), col("SSN"),
+        col("Test1").cast("double").as("Test1"), col("Test2").cast("double").as("Test2"),
+        col("Test3").cast("double").as("Test3"), col("Test4").cast("double").as("Test4"),
+        col("Final").cast("double").as("Final"), col("Grade"))),
+    "l05_meta_enrich" -> ((s, d) => qtyAsDouble(enrichedA(s, d))),
     "l11_hash_projection" -> ((s, d) => enrichedA(s, d).select(M.KeyHash, M.RecordHash)),
-    "l09_delta" -> ((s, d) => Cdc.delta(enrichedA(s, d), enrichedB(s, d))
-      .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash)),
+    "l09_delta" -> ((s, d) => qtyAsDouble(Cdc.delta(enrichedA(s, d), enrichedB(s, d))
+      .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
     "l13_inserts" -> ((s, d) => Cdc.inserts(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", M.KeyHash)),
-    "l14_updates" -> ((s, d) => Cdc.updates(enrichedA(s, d), enrichedB(s, d))
-      .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash)),
+    "l14_updates" -> ((s, d) => qtyAsDouble(Cdc.updates(enrichedA(s, d), enrichedB(s, d))
+      .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash))),
     "l10_union_append" -> ((s, d) => {
       val cur = enrichedA(s, d)
-      cur.unionByName(Cdc.delta(cur, enrichedB(s, d)))
+      qtyAsDouble(cur.unionByName(Cdc.delta(cur, enrichedB(s, d)))
         .select("l_orderkey", "l_linenumber", "quantity", "returnflag", "linestatus",
-          "shipdate", M.KeyHash, M.RecordHash, M.InsertRunId)
+          "shipdate", M.KeyHash, M.RecordHash, M.InsertRunId))
+    }),
+    "l16_historize_runs" -> ((s, d) => {
+      // The reference's only end-to-end path (main.py:14-34) as the pure
+      // two-run chain: bootstrap run over snapshot A, incremental run over B.
+      val r1 = Historization.historizeFrames(
+        enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
+      qtyAsDouble(Historization.historizeFrames(r1, snapB(s, d), cur2, keys))
     }),
     // ---- parity: design-spec operators (SURVEY §2.2) ----
     "d03_schema_evolution" -> ((s, d) => {
@@ -99,17 +124,22 @@ object SparkEntry {
         base.schema.fields.filterNot(_.name == "linestatus") :+
           org.apache.spark.sql.types.StructField("load_source",
             org.apache.spark.sql.types.StringType, nullable = true))
-      SchemaEvolution.prepareSchema(base, target,
-        Map("load_source" -> "batch"), removeColumns = true)
+      qtyAsDouble(SchemaEvolution.prepareSchema(base, target,
+        Map("load_source" -> "batch"), removeColumns = true))
     }),
     "d04_merge_cdc" -> ((s, d) => {
       val cur  = enrichedA(s, d)
       val newD = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(7)) === 0)
       val del  = cur.filter(pmod(col("l_orderkey"), lit(13)) === 0).select(M.KeyHash)
-      Cdc.mergeCdc(cur, newD, Seq(M.KeyHash), Some(del))
-        .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash)
+      qtyAsDouble(Cdc.mergeCdc(cur, newD, Seq(M.KeyHash), Some(del))
+        .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))
     }),
-    "d06_scd2_merge" -> ((s, d) => scd2v2(s, d)),
+    "d06_scd2_merge" -> ((s, d) => qtyAsDouble(scd2v2(s, d))),
+    // D1 bootstrap + D5 valid-from policy variants (LoadDate is covered by d06)
+    "d05_valid_from_lower" -> ((s, d) => qtyAsDouble(
+      Scd2.historizeDataset(enrichedA(s, d), None, cur1, ValidFromMode.LowerBound))),
+    "d05_valid_from_custom" -> ((s, d) => qtyAsDouble(
+      Scd2.historizeDataset(enrichedA(s, d), None, cur1, ValidFromMode.Custom("2020-06-15")))),
     "d07_deletes_by_column" -> ((s, d) =>
       Cdc.deletesByColumn(enrichedA(s, d), "returnflag", "R")),
     "d08_deleted_full_load" -> ((s, d) => {
@@ -138,11 +168,13 @@ object SparkEntry {
     "x_sim_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
-        "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4)
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4, dims = 64)
     }),
+    // 2^4 buckets per table × 2 OR'd tables: bucket count sized for the
+    // sf0.01/sf0.1 corpus (use embeddingNearDupPairsAuto at unknown scale)
     "x_sim_near_dup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        minCos = 0.4, planes = 2)),
+        minCos = 0.4, planes = 4, dims = 64, tables = 2)),
     // ---- extensions: text analysis ----
     "x_text_profile" -> ((s, d) =>
       TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text")),
@@ -290,13 +322,40 @@ object SparkEntry {
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "l01_csv_scan" ->
+      """SELECT Lastname, Firstname, SSN,
+        |       CAST(Test1 AS DOUBLE) AS Test1, CAST(Test2 AS DOUBLE) AS Test2,
+        |       CAST(Test3 AS DOUBLE) AS Test3, CAST(Test4 AS DOUBLE) AS Test4,
+        |       CAST(Final AS DOUBLE) AS Final, Grade
+        |FROM read_csv('/root/reference/data/grades_full.csv', header = true)""".stripMargin,
+    "l16_historize_runs" ->
+      s"""$snapshotsCte,
+         |delta AS (
+         |  SELECT n.* FROM enrichB n LEFT JOIN enrichA c
+         |    ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |  WHERE c."KEY_HASH" IS NULL
+         |)
+         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity)
+         |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)""".stripMargin,
+    "d05_valid_from_lower" ->
+      s"""$snapshotsCte
+         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity),
+         |       DATE '1900-01-01' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO"
+         |FROM enrichA""".stripMargin,
+    "d05_valid_from_custom" ->
+      s"""$snapshotsCte
+         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity),
+         |       DATE '2020-06-15' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO"
+         |FROM enrichA""".stripMargin,
     "l05_meta_enrich" ->
-      s"""$snapshotsCte SELECT * FROM enrichA""",
+      s"""$snapshotsCte
+         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity) FROM enrichA""".stripMargin,
     "l11_hash_projection" ->
       s"""$snapshotsCte SELECT "KEY_HASH", "RECORD_HASH" FROM enrichA""",
     "l09_delta" ->
       s"""$snapshotsCte
-         |SELECT n.l_orderkey, n.l_linenumber, n.quantity, n."KEY_HASH", n."RECORD_HASH"
+         |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
+         |       n."KEY_HASH", n."RECORD_HASH"
          |FROM enrichB n LEFT JOIN enrichA c
          |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
          |WHERE c."KEY_HASH" IS NULL""".stripMargin,
@@ -307,7 +366,8 @@ object SparkEntry {
          |  (SELECT 1 FROM enrichA c WHERE c."KEY_HASH" = n."KEY_HASH")""".stripMargin,
     "l14_updates" ->
       s"""$snapshotsCte
-         |SELECT n.l_orderkey, n.l_linenumber, n.quantity, n."RECORD_HASH"
+         |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
+         |       n."RECORD_HASH"
          |FROM enrichB n JOIN enrichA c
          |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" <> c."RECORD_HASH"""".stripMargin,
     "l10_union_append" ->
@@ -317,12 +377,13 @@ object SparkEntry {
          |    ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
          |  WHERE c."KEY_HASH" IS NULL
          |)
-         |SELECT l_orderkey, l_linenumber, quantity, returnflag, linestatus, shipdate,
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       returnflag, linestatus, shipdate,
          |       "KEY_HASH", "RECORD_HASH", "INSERT_RUN_ID"
          |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)""".stripMargin,
     "d03_schema_evolution" ->
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
         |       l_returnflag AS returnflag,
         |       CAST(l_shipdate AS DATE) AS shipdate,
         |       'batch' AS load_source
@@ -336,10 +397,12 @@ object SparkEntry {
          |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d."KEY_HASH" = c."KEY_HASH")
          |    AND NOT EXISTS (SELECT 1 FROM newd n WHERE n."KEY_HASH" = c."KEY_HASH")
          |)
-         |SELECT l_orderkey, l_linenumber, quantity, "KEY_HASH", "RECORD_HASH"
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "KEY_HASH", "RECORD_HASH"
          |FROM (SELECT * FROM kept UNION ALL BY NAME SELECT * FROM newd)""".stripMargin,
     "d06_scd2_merge" ->
-      s"""$scd2Cte SELECT * FROM v2""",
+      s"""$scd2Cte
+         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity) FROM v2""".stripMargin,
     "d07_deletes_by_column" ->
       s"""$snapshotsCte SELECT "KEY_HASH" FROM enrichA WHERE returnflag = 'R'""",
     "d08_deleted_full_load" ->
@@ -434,10 +497,10 @@ object SparkEntry {
         |)
         |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
-    "x_sim_near_dup" ->
+    "x_sim_ann_lsh" ->
       """WITH b AS (
         |  SELECT vec_id AS id, embedding AS v,
-        |    array_to_string(list_transform(range(0, 2), p ->
+        |    array_to_string(list_transform(range(0, 4), p ->
         |      CASE WHEN list_sum(list_transform(range(1, 65),
         |             i -> CAST(embedding[i] AS DOUBLE) *
         |                  ((strpos('0123456789abcdef',
@@ -445,25 +508,56 @@ object SparkEntry {
         |                    - 1) % 2 * 2 - 1))) > 0
         |      THEN '1' ELSE '0' END), '') AS bucket
         |  FROM embeddings
+        |),
+        |scored AS (
+        |  SELECT q.id AS query_id, c.id AS corpus_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))))
+        |    , 6) AS cos
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.id < 5 AND q.id <> c.id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
         |)
-        |SELECT a.id AS id_a, b2.id AS id_b,
-        |  round(
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(b2.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE)))))
-        |  , 6) AS cos
-        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
-        |WHERE round(
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE))) /
-        |    (sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE)))) *
-        |     sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(b2.v[i] AS DOUBLE) * CAST(b2.v[i] AS DOUBLE)))))
-        |  , 6) >= 0.4""".stripMargin,
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "x_sim_near_dup" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 4 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id
+        |),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(va.vv[i] AS DOUBLE) * CAST(vb.vv[i] AS DOUBLE)))
+        |          / (va.nrm * vb.nrm), 6) AS cos
+        |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
+        |)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
@@ -506,9 +600,9 @@ object SparkEntry {
     "x_events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |    coalesce(CASE WHEN date_part('epoch', CAST(ts AS TIMESTAMP)) -
-        |              date_part('epoch', lag(CAST(ts AS TIMESTAMP), 1)
-        |                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))
+        |    coalesce(CASE WHEN CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) -
+        |              CAST(floor(date_part('epoch', lag(CAST(ts AS TIMESTAMP), 1)
+        |                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))) AS BIGINT)
         |              > 1800 THEN 1 ELSE 0 END, 1) AS is_new
         |  FROM events
         |),

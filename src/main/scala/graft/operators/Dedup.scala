@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *    the only pairwise work left is within buckets.
   *  - SimHash: per-row fingerprint; near-dups share a fingerprint.
   *
-  * Everything is built from codegen'd `functions._` expressions (signature
-  * computation uses `transform`/`aggregate` higher-order functions), so the
-  * per-row work spans whole-stage codegen and the only exchanges are the
-  * candidate joins themselves.
+  * Higher-order array functions (`transform`/`aggregate`/`zip_with`) are
+  * `CodegenFallback` — interpreted, not codegen'd — so the design principle
+  * here is "evaluate every expensive subtree exactly once": signatures are
+  * single-pass folds over the shingle/token array (k running minima instead
+  * of k separate passes), per-token digests are computed once and reused
+  * across all fingerprint bits, staged projections keep derived arrays as
+  * plain attribute references, and bucketed frames are persisted before
+  * their self-joins so neither join side recomputes the signature chain.
   *
   * All hashing is md5-hex based so results are reproducible across engines
   * (the DuckDB oracle mirrors each expression).
@@ -90,13 +94,21 @@ object Dedup {
 
   /** MinHash signature: k md5-based min-hashes over the distinct n-gram
     * shingles. Seeded by hash index, deterministic, reproducible in any
-    * engine with md5. Computed entirely per-row via higher-order
-    * functions — no shuffle, no UDF. */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => md5(concat(j.cast("string"), lit("#"), s)))))
-  }
+    * engine with md5 (same values as k independent `array_min` passes).
+    *
+    * Computed as ONE fold over the shingle array carrying k running minima
+    * — the k-passes form re-evaluates the whole shingle subtree k times
+    * under interpreted HOF evaluation (round 1: 47 ms/doc). `"g"` sorts
+    * after every md5 hex digit, so it is the fold's +infinity; `shingles`
+    * always yields at least one element, so no "g" survives. */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    minhashSignatureOfShingles(shingles(text, n), k)
+
+  /** The fold form over an already-computed shingle array column. */
+  def minhashSignatureOfShingles(sh: Column, k: Int): Column =
+    aggregate(sh, array_repeat(lit("g"), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, j) => least(m, md5(concat(j.cast("string"), lit("#"), s)))))
 
   /** LSH band keys over a minhash signature: `bands` buckets of
     * `rowsPerBand` signature entries each, digested to one key per band.
@@ -107,7 +119,12 @@ object Dedup {
 
   /** Candidate pairs via MinHash + LSH banding: only docs sharing a band
     * bucket are paired — candidate generation is a band-key equi-join,
-    * never an all-pairs product. Returns distinct (id_a, id_b). */
+    * never an all-pairs product. Returns distinct (id_a, id_b).
+    *
+    * Staged: the signature is computed in its own projection (the Generate
+    * above it references the `sig` attribute, so the fold runs once per
+    * row), and the exploded band frame is persisted so the self-join's two
+    * sides read it instead of recomputing the signature chain. */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
@@ -117,9 +134,10 @@ object Dedup {
       bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val banded = df.select(col(idCol).as("id"),
-        posexplode(lshBandKeys(minhashSignature(col(textCol), n, k), bands, rowsPerBand))
-          .as(Seq("band", "key")))
+    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+      .persist()
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
@@ -147,9 +165,13 @@ object Dedup {
     * single shuffle of (fingerprint, id). */
   def simhash(text: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
-    val toks = tokens(text)
-    val balances = transform(sequence(lit(0), lit(bits - 1)),
-      b => aggregate(toks, lit(0), (acc, t) => acc + md5Bit(md5(t), b) * 2 - 1))
+    // One digest per token (round 1 recomputed md5(t) for every bit — 16×
+    // redundant), then one fold over the digests maintaining all `bits`
+    // balances at once. Same values as the per-bit form.
+    val digests = transform(tokens(text), t => md5(t))
+    val balances = aggregate(digests, array_repeat(lit(0), bits),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (bal, b) => bal + md5Bit(h, b) * 2 - 1))
     aggregate(
       zip_with(balances, sequence(lit(bits - 1), lit(0), lit(-1)),
         (bal, pos) => when(bal > 0, pow(lit(2.0), pos.cast("double")).cast("long"))

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, StructType}
 
 import graft.meta.{Currents, MetaColumns}
 
@@ -55,10 +55,14 @@ object Scd2 {
     case ValidFromMode.Custom(date) => date
   }
 
+  /** Empty frame from an explicit schema (SCDHelpers.py:26-30). */
+  def emptyFromSchema(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
   /** Empty historized frame: `df`'s schema plus null-date VALID_FROM/VALID_TO
     * (SCDHelpers.py:10-18). */
   def createEmptyHist(df: DataFrame): DataFrame =
-    df.limit(0)
+    emptyFromSchema(df.sparkSession, df.schema)
       .withColumn(ValidFrom, lit(null).cast(DateType))
       .withColumn(ValidTo, lit(null).cast(DateType))
 
@@ -122,7 +126,12 @@ object Scd2 {
     * never change), the active slice and the snapshot are joined once on
     * KEY_HASH, and each joined row emits its 0–2 output rows through
     * `explode(filter(array(structs), notNull))` — whole-stage codegen end to
-    * end, no repeated scans, no driver round-trips.
+    * end, no repeated scans, no driver round-trips. A hash-only join against
+    * the distinct closed-key set preserves the faithful path's `NOT IN
+    * (full current)` semantics for keys surviving only as closed rows.
+    *
+    * When `currentDf` is a derived plan (not a store read), persist it first
+    * — the closed/active/closed-key splits reference it three times.
     */
   def mergeScd2Fast(
       currentDf: DataFrame,
@@ -136,11 +145,18 @@ object Scd2 {
 
     val c = active.alias("c")
     val n = newDf.alias("n")
+    // Keys that exist only as closed rows must NOT be re-inserted: the
+    // faithful path's new_only branch anti-joins against the FULL current
+    // store, closed rows included (SCDHelpers.py:154-156). The join moves
+    // only 32-byte digests; at scale it is broadcast- or bucket-joinable.
+    val closedKeys = closed.select(col(KeyHash).as("__closed_key")).distinct()
     val joined = c.join(n, col("c." + KeyHash) === col("n." + KeyHash), "full_outer")
+      .join(closedKeys, col("n." + KeyHash) === col("__closed_key"), "left_outer")
 
-    val hasC    = col("c." + KeyHash).isNotNull
-    val hasN    = col("n." + KeyHash).isNotNull
-    val changed = hasC && hasN && (col("c." + RecordHash) =!= col("n." + RecordHash))
+    val hasC     = col("c." + KeyHash).isNotNull
+    val hasN     = col("n." + KeyHash).isNotNull
+    val inClosed = col("__closed_key").isNotNull
+    val changed  = hasC && hasN && (col("c." + RecordHash) =!= col("n." + RecordHash))
 
     // current-side output row: closed-out stamp when changed, else as-is
     val currentSide = struct(outCols.map {
@@ -164,7 +180,7 @@ object Scd2 {
     val emitted = joined.select(
       explode(filter(array(
         when(hasC, currentSide),
-        when(!hasC || changed, newSide)
+        when(changed || (!hasC && !inClosed), newSide)
       ), x => x.isNotNull)).as("r"))
       .select(outCols.map(cn => col("r." + cn)): _*)
 

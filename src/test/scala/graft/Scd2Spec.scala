@@ -106,4 +106,26 @@ class Scd2Spec extends SparkSpec {
     val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.Custom("2020-06-01"))
     assert(v1.select(col(ValidFrom).cast("string")).as[String].head() === "2020-06-01")
   }
+
+  test("D2: emptyFromSchema builds an empty frame from an explicit schema") {
+    val schema = snapshot(Seq("a" -> "1"), c1).schema
+    val empty = Scd2.emptyFromSchema(spark, schema)
+    assert(empty.count() === 0)
+    assert(empty.schema === schema)
+  }
+
+  test("keys existing only as closed rows are NOT re-inserted (fast = faithful)") {
+    val s1 = snapshot(Seq("a" -> "1"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    // a store where key 'a' survives only closed (e.g. a manually closed-out
+    // row): the faithful new_only branch anti-joins the FULL store, so an
+    // incoming 'a' must be dropped, not re-opened
+    val closedOnly = v1.withColumn(ValidTo, to_date(lit("2024-02-01")))
+    val s2 = snapshot(Seq("a" -> "2"), c2)
+    val slow = Scd2.historizeDataset(s2, Some(closedOnly), c2, ValidFromMode.LoadDate, fast = false)
+    val fast = Scd2.historizeDataset(s2, Some(closedOnly), c2, ValidFromMode.LoadDate, fast = true)
+    assertSameResult(slow, fast)
+    assert(fast.count() === 1)
+    assert(fast.filter(col(ValidTo) === to_date(lit("9999-12-31"))).count() === 0)
+  }
 }

@@ -50,17 +50,39 @@ class SimilaritySpec extends SparkSpec {
   test("LSH top-k finds the near neighbor for a clustered corpus") {
     val topk = Similarity.lshTopK(
       vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", "vec_id", "embedding",
-      k = 3, planes = 2)
+      k = 3, planes = 2, dims = 3)
     val ids = topk.select("corpus_id").as[Long].collect().toSet
     assert(ids.contains(4L)) // nearest neighbor shares the bucket
+  }
+
+  test("literal-sign bucket keys equal the md5-expression srpBucket bit-for-bit") {
+    val both = vecs.select(
+      Similarity.srpBucket($"embedding", 8).as("expr"),
+      element_at(Similarity.srpBucketKeys($"embedding", 8, tables = 2, dims = 3), 1).as("lit0"))
+    assert(both.filter($"expr" =!= $"lit0").count() === 0)
+  }
+
+  test("aggregator top-k equals the window-rank form") {
+    val q = vecs.filter($"vec_id" < 3)
+    val a = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val w = Similarity.bruteForceTopKWindow(q, vecs, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a === w)
   }
 
   test("near-dup pairs on real embeddings run end-to-end at sf0.001") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
-      minCos = 0.99, planes = 2)
+      minCos = 0.99, planes = 2, dims = 64, tables = 2)
     // just exercises the full plan; synthetic vectors rarely collide at .99
     assert(pairs.columns.toSeq === Seq("id_a", "id_b", "cos"))
     pairs.count()
+  }
+
+  test("autoPlanes scales bucket count with corpus size") {
+    assert(Similarity.autoPlanes(1000, 1024) === 1)
+    assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
+    assert(Similarity.autoPlanes(100000000L, 1024) === 17)
   }
 }
