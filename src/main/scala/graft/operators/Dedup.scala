@@ -72,10 +72,13 @@ object Dedup {
       n: Int = 3,
       minSim: Double = 0.5,
       maxShingleDocFreq: Long = 1000): DataFrame = {
+    // sh feeds the doc-frequency filter, both self-join sides and the size
+    // aggregate — persist so shingling runs once, not four times
     val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .persist()
     val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
-    val filtered = sh.join(joinable.select("sh"), Seq("sh"))
+    val filtered = sh.join(joinable.select("sh"), Seq("sh")).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val inter = filtered.as("a").join(filtered.as("b"),

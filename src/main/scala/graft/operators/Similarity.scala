@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TopKAggregator
+import graft.functions.{TopKAggregator, VectorExpressions}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -43,8 +43,15 @@ import graft.functions.TopKAggregator
   */
 object Similarity {
 
-  /** Ordered-fold dot product of two equal-length numeric arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two equal-length numeric arrays: the codegen'd native
+    * [[graft.functions.DotProduct]] expression — one fused primitive loop in
+    * whole-stage codegen, bit-identical to the ordered fold [[dotFold]]. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotProduct(a, b)
+
+  /** Ordered-fold (`zip_with` + `aggregate`) dot product — the executable
+    * specification [[dot]] is property-tested against; interpreted, so only
+    * for tests/verification. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

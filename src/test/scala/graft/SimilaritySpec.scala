@@ -80,6 +80,33 @@ class SimilaritySpec extends SparkSpec {
     pairs.count()
   }
 
+  test("native dot product equals the interpreted fold bit-for-bit") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val pairs = emb.as("a").join(emb.as("b"),
+      col("a.vec_id") < col("b.vec_id") && col("b.vec_id") < 30)
+    val diff = pairs.select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("n"),
+        Similarity.dotFold(col("a.embedding"), col("b.embedding")).as("f"))
+      .filter(col("n") =!= col("f"))
+    assert(diff.count() === 0)
+  }
+
+  test("native dot product: length mismatch and null elements yield null, like the fold") {
+    val odd = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(1.0f), Some(2.0f), Some(3.0f))),
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),
+      (Seq.empty[Option[Float]], Seq.empty[Option[Float]])
+    ).toDF("a", "b")
+    val rows = odd.select(
+        Similarity.dot($"a", $"b").as("n"),
+        Similarity.dotFold($"a", $"b").as("f"))
+      .collect()
+    rows.foreach { r => assert(r.isNullAt(0) === r.isNullAt(1)) }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) === 0.0)
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
