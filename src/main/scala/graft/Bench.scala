@@ -19,7 +19,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Some(e.getClass.getSimpleName)
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediate frames; drop them so no query pays
+      // another query's cache pressure
+      spark.catalog.clearCache()
+      (name, sec, err)
     }
     val okTimes = raw.collect { case (_, sec, None) => sec }
     val penalty = math.max(60.0, if (okTimes.nonEmpty) okTimes.max else 60.0)

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native dedup expressions.
+  *
+  * Each computes bit-identical values to the `functions._` higher-order
+  * forms in [[graft.operators.Dedup]] (kept there as `...Fold` executable
+  * specs): md5 is MD5 over UTF-8 bytes rendered lowercase-hex, exactly
+  * Spark's `md5(concat(...))`. The kernels exist because HOF trees are
+  * `CodegenFallback` — per-element interpreted evaluation with an
+  * intermediate array allocation per lambda — while a kernel call is one
+  * virtual dispatch per row from generated code.
+  */
+object HashKernels {
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): Array[Byte] = {
+    md.reset()
+    val digest = md.digest(bytes)
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((digest(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(digest(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: for seed j in 0..k-1, the lexicographic minimum of
+    * md5(s"$j#$shingle") over the shingle array. Equals
+    * `Dedup.minhashSignatureOfShingles` value-for-value. */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    val md = mdLocal.get()
+    val n = shingles.numElements()
+    val mins = new Array[Array[Byte]](k)
+    var j = 0
+    while (j < k) {
+      val prefix = (j.toString + "#").getBytes("UTF-8")
+      var best: Array[Byte] = null
+      var i = 0
+      while (i < n) {
+        val s = shingles.getUTF8String(i).getBytes
+        val buf = new Array[Byte](prefix.length + s.length)
+        System.arraycopy(prefix, 0, buf, 0, prefix.length)
+        System.arraycopy(s, 0, buf, prefix.length, s.length)
+        val h = md5Hex(md, buf)
+        if (best == null || compareHex(h, best) < 0) best = h
+        i += 1
+      }
+      // empty shingle arrays cannot occur (shingles() always emits >= 1),
+      // but mirror the fold's initial value if they ever do
+      mins(j) = if (best == null) "g".getBytes("UTF-8") else best
+      j += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromBytes(_): Any))
+  }
+
+  private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return (a(i) & 0xff) - (b(i) & 0xff)
+      i += 1
+    }
+    0
+  }
+
+  /** SimHash fingerprint over a token array: per-token md5, per-bit
+    * weighted majority, `bits`-wide non-negative long. Equals
+    * `Dedup.simhash`'s fold value-for-value (bit b reads hex digit b/4,
+    * shift 3-(b%4)). */
+  def simhash(tokens: ArrayData, bits: Int): Long = {
+    val md = mdLocal.get()
+    val n = tokens.numElements()
+    val balance = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = md5Hex(md, tokens.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < bits) {
+        val digit = Character.digit(h(b / 4).toChar, 16)
+        val bit = (digit >> (3 - (b % 4))) & 1
+        balance(b) += bit * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (balance(b) > 0) fp |= 1L << (bits - 1 - b)
+      b += 1
+    }
+    fp
+  }
+}
+
+/** Codegen'd MinHash signature over a shingle array column. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSignature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Codegen'd SimHash fingerprint over a token array column. */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object DedupExpressions {
+  /** Codegen'd MinHash signature of an `array<string>` shingle column. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    CatalystBridge.column(MinHashSig(CatalystBridge.expression(shingles), k))
+
+  /** Codegen'd SimHash fingerprint of an `array<string>` token column. */
+  def simhashOf(tokens: Column, bits: Int): Column =
+    CatalystBridge.column(SimHash(CatalystBridge.expression(tokens), bits))
+}

@@ -105,10 +105,12 @@ object Dedup {
     * after every md5 hex digit, so it is the fold's +infinity; `shingles`
     * always yields at least one element, so no "g" survives. */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
-    minhashSignatureOfShingles(shingles(text, n), k)
+    graft.functions.DedupExpressions.minhashSig(shingles(text, n), k)
 
-  /** The fold form over an already-computed shingle array column. */
-  def minhashSignatureOfShingles(sh: Column, k: Int): Column =
+  /** Single-pass HOF fold form over an already-computed shingle array — the
+    * executable specification the codegen'd kernel is property-tested
+    * against. */
+  def minhashSignatureFold(sh: Column, k: Int): Column =
     aggregate(sh, array_repeat(lit("g"), k),
       (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
         (m, j) => least(m, md5(concat(j.cast("string"), lit("#"), s)))))
@@ -168,9 +170,14 @@ object Dedup {
     * single shuffle of (fingerprint, id). */
   def simhash(text: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
-    // One digest per token (round 1 recomputed md5(t) for every bit — 16×
-    // redundant), then one fold over the digests maintaining all `bits`
-    // balances at once. Same values as the per-bit form.
+    graft.functions.DedupExpressions.simhashOf(tokens(text), bits)
+  }
+
+  /** HOF fold form of [[simhash]] — one digest per token, one fold carrying
+    * all bit balances; the executable specification the codegen'd kernel is
+    * property-tested against. */
+  def simhashFold(text: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
     val digests = transform(tokens(text), t => md5(t))
     val balances = aggregate(digests, array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),

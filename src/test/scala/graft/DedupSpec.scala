@@ -53,6 +53,23 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 3L)))
   }
 
+  test("codegen'd minhash kernel equals the HOF fold on real documents") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val both = docsReal.select(Dedup.shingles($"text", 3).as("sh"))
+      .select(
+        graft.functions.DedupExpressions.minhashSig($"sh", 8).as("kernel"),
+        Dedup.minhashSignatureFold($"sh", 8).as("fold"))
+    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+  }
+
+  test("codegen'd simhash kernel equals the HOF fold on real documents") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val both = docsReal.select(
+      Dedup.simhash($"text", 16).as("kernel"),
+      Dedup.simhashFold($"text", 16).as("fold"))
+    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+  }
+
   test("simhash: identical docs equal; near dup within small hamming distance") {
     val fp = docs.select($"doc_id", Dedup.simhash($"text", 16).as("f"))
       .as[(Long, Long)].collect().toMap
