@@ -54,6 +54,31 @@ object Store {
       .parquet(path)
   }
 
+  /** Scale-safe store layout: the reference Hive-partitions by raw business
+    * keys (main.py:24) — one directory per distinct key, catastrophic at
+    * high cardinality. This variant partitions by a bounded `KEY_BUCKET`
+    * derived from the first hex digits of KEY_HASH: O(buckets) directories,
+    * co-located keys (every version of a key lands in one bucket), and
+    * bucket pruning for point lookups via the same derivation. */
+  def writeStoreBucketed(df: DataFrame, path: String, buckets: Int = 256): Unit = {
+    require(buckets >= 1 && buckets <= 65536, "buckets must be in [1, 65536]")
+    import org.apache.spark.sql.functions.{col, conv, pmod}
+    df.withColumn(KeyBucket,
+        pmod(conv(col(MetaColumns.KeyHash).substr(1, 4), 16, 10).cast("int"),
+          org.apache.spark.sql.functions.lit(buckets)))
+      .write.mode("overwrite").partitionBy(KeyBucket).parquet(path)
+  }
+
+  /** Bucket-pruned read of the rows that can contain `keyHash`: resolves the
+    * bucket driver-side and reads only that directory's row groups. */
+  def readStoreBucket(spark: SparkSession, path: String, keyHash: String, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val bucket = (Integer.parseInt(keyHash.substring(0, 4), 16) % buckets + buckets) % buckets
+    spark.read.parquet(path).filter(col(KeyBucket) === bucket).drop(KeyBucket)
+  }
+
+  private val KeyBucket = "KEY_BUCKET"
+
   /** Read-safe overwrite of a store the current plan may be reading from:
     * write to `<path>.tmp`, then swap directories atomically on the
     * FileSystem (rename is atomic per directory on HDFS/local). */

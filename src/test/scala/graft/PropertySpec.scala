@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.meta.{Currents, MetaColumns}
+import graft.operators.{Cdc, MetaEnrichment, Scd2}
+import graft.operators.Scd2.ValidFromMode
+
+/** Property-based invariants over random snapshots (SURVEY.md §5.2#3):
+  *
+  *  - delta(x, x) = ∅ and inserts(x, y) ∪ updates(x, y) = delta(x, y),
+  *    disjointly;
+  *  - historization idempotence (re-feeding a snapshot adds nothing);
+  *  - SCD2: per key exactly one active row, validity intervals
+  *    non-overlapping, closed rows end the day before a successor opens
+  *    (runs on distinct days — the same-day anomaly is SURVEY §7.4#4).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+  import MetaColumns._
+
+  private val c1 = Currents("2024-01-05 10:00:00")
+  private val c2 = Currents("2024-03-10 11:00:00")
+
+  private def checkProp(p: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Random snapshot: keys from a small alphabet (forcing overlap between
+    * generated snapshots), random small-int values. */
+  private val snapshotGen: Gen[Map[String, Int]] =
+    Gen.mapOf(Gen.zip(Gen.choose(0, 25).map(i => s"k$i"), Gen.choose(0, 5)))
+
+  private def enrich(rows: Map[String, Int], c: Currents): DataFrame =
+    MetaEnrichment.addMetaColumns(rows.toSeq.toDF("k", "v"), c, Seq("k"))
+
+  test("delta of a snapshot against itself is empty; inserts+updates partition the delta") {
+    checkProp(Prop.forAll(snapshotGen, snapshotGen) { (a, b) =>
+      val ea = enrich(a, c1)
+      val eb = enrich(b, c2)
+      val selfDelta = Cdc.delta(ea, ea).count() == 0L
+      val delta = Cdc.delta(ea, eb).select("k").as[String].collect().toSet
+      val ins = Cdc.inserts(ea, eb).select("k").as[String].collect().toSet
+      val upd = Cdc.updates(ea, eb).select("k").as[String].collect().toSet
+      selfDelta && (ins ++ upd) == delta && (ins & upd).isEmpty
+    }, n = 10)
+  }
+
+  test("historization is idempotent: re-feeding the same snapshot appends nothing") {
+    checkProp(Prop.forAll(snapshotGen) { a =>
+      val ea = enrich(a, c1)
+      val once = ea.unionByName(Cdc.delta(ea, enrich(a, c2)))
+      once.count() == ea.count()
+    }, n = 8)
+  }
+
+  test("SCD2 invariants: one active row per key, non-overlapping adjacent intervals") {
+    checkProp(Prop.forAll(snapshotGen.suchThat(_.nonEmpty), snapshotGen) { (a, b) =>
+      val v1 = Scd2.historizeDataset(enrich(a, c1), None, c1, ValidFromMode.LoadDate)
+      val v2 = Scd2.historizeDataset(enrich(b, c2), Some(v1), c2, ValidFromMode.LoadDate)
+      val rows = v2.select(col("k"), col(ValidFrom).cast("string"), col(ValidTo).cast("string"))
+        .as[(String, String, String)].collect().toSeq
+      rows.groupBy(_._1).values.forall { versions =>
+        val active = versions.count(_._3 == "9999-12-31")
+        val sorted = versions.sortBy(_._2)
+        val chained = sorted.sliding(2).forall {
+          case Seq((_, _, prevTo), (_, nextFrom, _)) =>
+            prevTo < nextFrom &&
+              java.time.LocalDate.parse(prevTo).plusDays(1) ==
+                java.time.LocalDate.parse(nextFrom)
+          case _ => true
+        }
+        active == 1 && chained
+      }
+    }, n = 8)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns}
+import graft.operators.MetaEnrichment
+import graft.sources.Store
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val enriched = MetaEnrichment.addMetaColumns(
+    (1 to 500).map(i => (s"k$i", s"v${i % 7}")).toDF("k", "v"),
+    Currents("2024-01-01 10:00:00"), Seq("k"))
+
+  test("bucketed store round-trips all rows under a bounded directory count") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
+    Store.writeStoreBucketed(enriched, path, buckets = 16)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 500)
+    val dirs = new java.io.File(path).listFiles.count(f => f.getName.startsWith("KEY_BUCKET="))
+    assert(dirs <= 16 && dirs > 1)
+  }
+
+  test("bucket-pruned read finds the key and scans one partition") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
+    Store.writeStoreBucketed(enriched, path, buckets = 16)
+    val someHash = enriched.filter($"k" === "k42")
+      .select(MetaColumns.KeyHash).as[String].head()
+    val hit = Store.readStoreBucket(spark, path, someHash, buckets = 16)
+    assert(hit.filter(col(MetaColumns.KeyHash) === someHash).count() === 1)
+    // partition pruning: the scan's partition filter pins KEY_BUCKET
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("KEY_BUCKET"))
+  }
+}

@@ -29,6 +29,39 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(streamed).count() === 0)
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch twin on closed sessions") {
+    val batch = graft.sources.Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-sessions").toString
+    batch.write.parquet(s"$dir/in")
+
+    val stream = StreamingHistorization.readParquetStream(spark, s"$dir/in", batch.schema)
+    val sessions = graft.streaming.StatefulSessions.sessionizeStream(stream, gapSec = 1800)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // every gap-closed session (all but each user's last) must be emitted;
+    // the final watermark advance may additionally emit last-open sessions
+    // via EventTimeTimeout — those must still match batch sessions exactly
+    val streamed = spark.table("sess")
+      .select($"user_id".cast("long"), $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events".cast("long"))
+      .collect().map(_.toSeq).toSet
+    val bt = graft.operators.EventAnalytics.sessionize(batch, 30)
+    val all = bt
+      .select($"user_id".cast("long"), $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events".cast("long"))
+      .collect().map(_.toSeq).toSet
+    val lastPerUser = bt.groupBy("user_id").agg(max("session_no").as("session_no"))
+    val gapClosed = bt.join(lastPerUser, Seq("user_id", "session_no"), "left_anti")
+      .select($"user_id".cast("long"), $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events".cast("long"))
+      .collect().map(_.toSeq).toSet
+    assert(gapClosed.subsetOf(streamed), "missing gap-closed sessions")
+    assert(streamed.subsetOf(all), "emitted a session the batch twin does not produce")
+    assert(gapClosed.nonEmpty)
+  }
+
   test("foreachBatch historization absorbs re-delivered snapshots idempotently") {
     val dir = Files.createTempDirectory("graft-stream-hist").toString
     val snap = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
