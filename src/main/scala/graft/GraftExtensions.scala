@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.CatalystBridge
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProduct, MinHashSig, SimHash}
+
+/** SQL-surface registration of graft's native expressions, so SQL-string
+  * pipelines can call them like built-ins:
+  *
+  *  - `graft_dot(a, b)` — codegen'd array dot product
+  *  - `graft_minhash(shingles, k)` — MinHash signature (k: int literal)
+  *  - `graft_simhash(tokens, bits)` — SimHash fingerprint (bits: int literal)
+  *
+  * Production path: `spark.sql.extensions=graft.GraftExtensions` (applied
+  * at session build). For an existing session or REPL,
+  * `GraftExtensions.register(spark)` adds them to the live function
+  * registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd dot product of two numeric arrays"),
+      { case Seq(a, b) => DotProduct(a, b)
+        case args => throw new IllegalArgumentException(s"graft_dot expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, k) - k-wide MinHash signature"),
+      { case Seq(arr, k) => MinHashSig(arr, intLit(k, "graft_minhash", "k"))
+        case args => throw new IllegalArgumentException(s"graft_minhash expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens, bits) - bits-wide SimHash fingerprint"),
+      { case Seq(arr, b) => SimHash(arr, intLit(b, "graft_simhash", "bits"))
+        case args => throw new IllegalArgumentException(s"graft_simhash expects 2 args, got ${args.size}") })
+  )
+
+  /** Register on a live session (tests, REPL, existing sessions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, inf, builder) =>
+      CatalystBridge.registerFunction(spark, ident, inf, builder)
+    }
+}

@@ -183,6 +183,16 @@ object SparkEntry {
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
+    // ---- extensions: as-of join (point-in-time lookup) ----
+    "x_asof_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", rightTieBreak = Some("event_id"))
+    }),
     // ---- extensions: event analytics (batch twins of the streaming path) ----
     "x_events_tumbling" -> ((s, d) => EventAnalytics.tumblingAgg(Tables.events(s, d), 60)),
     "x_events_running" -> ((s, d) => EventAnalytics.userRunning(Tables.events(s, d))),
@@ -578,6 +588,17 @@ object SparkEntry {
         |       CAST(unnest(frames) AS INT) AS frame_no,
         |       md5(substring(text, unnest(frames) * 16 + 1, 16)) AS frame_hash
         |FROM fl""".stripMargin,
+    "x_asof_purchase" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |r AS (
+        |  SELECT user_id, event_id AS p_event_id, CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.user_id, l.event_id, l.ts, r.p_event_id, r.p_ts, r.p_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.p_ts""".stripMargin,
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n_events,

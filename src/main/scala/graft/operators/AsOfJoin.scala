@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: match every left row to the most recent
+  * right row with `rightTs <= leftTs` within the same key — the lookup a
+  * versioned store answers ("which version was valid when this event
+  * happened"), and a first-class operator in DuckDB (`ASOF JOIN`), kdb,
+  * pandas (`merge_asof`) that Spark lacks.
+  *
+  * Implementation is the scalable union+window formulation, not a range
+  * join: both sides are tagged and unioned, one shuffle partitions by key,
+  * one sort orders by (ts, side, tie), and a running `last(right_struct,
+  * ignoreNulls)` carries the latest right row forward into each left row.
+  * Cost is O(shuffle of both sides + per-key sort) regardless of time-range
+  * density — a range-condition join explodes on wide ranges and skewed
+  * keys, this does not.
+  *
+  * Tie semantics: a right row at exactly `leftTs` matches (at-or-before,
+  * like DuckDB's `ON l.ts >= r.ts`). Right rows tied on (key, ts) are
+  * ordered by `rightTieBreak` so the result is deterministic.
+  *
+  * Unmatched left rows keep null right columns (left-outer semantics).
+  */
+object AsOfJoin {
+
+  /** @param keys        equi-join key columns (present on both sides)
+    * @param leftTs      left timestamp column
+    * @param rightTs     right timestamp column
+    * @param rightPrefix prefix for right-side output columns (all right
+    *                    columns except the keys are emitted, prefixed)
+    * @param rightTieBreak right column ordering ties on (key, rightTs)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPrefix: String = "right_",
+      rightTieBreak: Option[String] = None): DataFrame = {
+    val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    val rStruct = struct(rightPayload.map(col): _*)
+    val rStructType = right.select(rStruct.as("r")).schema("r").dataType
+
+    val tieOf: DataFrame => org.apache.spark.sql.Column = df =>
+      rightTieBreak.map(c => df.col(c).cast("string")).getOrElse(lit(null).cast("string"))
+
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).cast("timestamp").as("__ts"),
+        lit(true).as("__isLeft"),
+        lit(null).cast("string").as("__tie"),
+        struct(left.columns.map(col).toSeq: _*).as("__l"),
+        lit(null).cast(rStructType).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).cast("timestamp").as("__ts"),
+        lit(false).as("__isLeft"),
+        tieOf(right).as("__tie"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        rStruct.as("__r")): _*)
+
+    // right rows sort before left rows at equal ts (false < true), so an
+    // exactly-coincident right row is visible to the left row's running last
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__isLeft").asc, col("__tie").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft"))
+      .select(
+        left.columns.toSeq.map(c => col("__l." + c).as(c)) ++
+          rightPayload.map(c => col("__match." + c).as(rightPrefix + c)): _*)
+  }
+}

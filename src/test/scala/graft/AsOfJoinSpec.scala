@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    ("A", ts("2024-01-01 10:00:05"), 1L),
+    ("A", ts("2024-01-01 10:00:10"), 2L),
+    ("B", ts("2024-01-01 10:00:03"), 3L),
+    ("C", ts("2024-01-01 10:00:01"), 4L)   // no quote for C at all
+  ).toDF("sym", "t", "trade_id")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 10:00:05"), 101.0), // exactly coincident with trade 1
+    ("A", ts("2024-01-01 10:00:09"), 102.0),
+    ("B", ts("2024-01-01 10:00:04"), 200.0)  // after B's trade -> no match
+  ).toDF("sym", "t", "px")
+
+  test("as-of join matches the latest at-or-before right row per key") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t", rightPrefix = "q_")
+      .select($"trade_id", $"q_px")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got(1L) === Some(101.0)) // coincident quote matches (at-or-before)
+    assert(got(2L) === Some(102.0)) // latest earlier quote
+    assert(got(3L) === None)        // only later quotes exist
+    assert(got(4L) === None)        // key absent on right
+  }
+
+  test("left rows and columns are preserved; right payload is prefixed") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "t", rightPrefix = "q_")
+    assert(got.count() === 4)
+    assert(got.columns.toSeq === Seq("sym", "t", "trade_id", "q_t", "q_px"))
+  }
+
+  test("tie-broken deterministically when right rows collide on (key, ts)") {
+    val dupQuotes = quotes.unionByName(
+      Seq(("A", ts("2024-01-01 10:00:05"), 999.0)).toDF("sym", "t", "px"))
+    val got = AsOfJoin.asOf(trades, dupQuotes, Seq("sym"), "t", "t",
+      rightPrefix = "q_", rightTieBreak = Some("px"))
+    val px = got.filter($"trade_id" === 1L).select("q_px").as[Double].head()
+    assert(px === 999.0) // larger tiebreak value sorts last -> wins the running last()
+  }
+}

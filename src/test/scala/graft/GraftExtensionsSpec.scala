@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("graft_dot is callable from SQL and matches the Column API") {
+    val row = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(row === 11.0)
+  }
+
+  test("graft_minhash / graft_simhash from SQL equal the Column API forms") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("ext_docs")
+    val sqlRes = spark.sql(
+      """SELECT graft_minhash(array(text), 4) AS sig,
+        |       graft_simhash(split(text, ' '), 16) AS fp
+        |FROM ext_docs""".stripMargin).collect().head
+    val colRes = docs.select(
+      graft.functions.DedupExpressions.minhashSig(array($"text"), 4).as("sig"),
+      Dedup.simhash($"text", 16).as("fp")).collect().head
+    assert(sqlRes.getSeq[String](0) === colRes.getSeq[String](0))
+    assert(sqlRes.getLong(1) === colRes.getLong(1))
+  }
+
+  test("non-literal k is rejected with a clear error") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('x'), 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") || err.getMessage.contains("graft_minhash"))
+  }
+}
