@@ -170,6 +170,11 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4, dims = 64)
     }),
+    "x_sim_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 4)
+    }),
     // 2^4 buckets per table × 2 OR'd tables: bucket count sized for the
     // sf0.01/sf0.1 corpus (use embeddingNearDupPairsAuto at unknown scale)
     "x_sim_near_dup" -> ((s, d) =>
@@ -530,6 +535,49 @@ object SparkEntry {
         |        i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))))
         |    , 6) AS cos
         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.id < 5 AND q.id <> c.id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    "x_sim_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |cent AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cid,
+        |         vv AS cv, nrm AS cnrm
+        |  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16
+        |),
+        |pairs AS (
+        |  SELECT v.id, v.vv, v.nrm, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(v.vv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (v.nrm * c.cnrm) AS s
+        |  FROM v CROSS JOIN cent c
+        |),
+        |assign AS (
+        |  SELECT id, vv, nrm, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM pairs
+        |  ) WHERE rn = 1
+        |),
+        |probe AS (
+        |  SELECT id AS query_id, vv AS qv, nrm AS qn, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM pairs WHERE id < 5
+        |  ) WHERE rn <= 4
+        |),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.vv[i] AS DOUBLE))) / (p.qn * a.nrm), 6) AS cos
+        |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
         |),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -258,6 +258,73 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * `centroids` cells by nearest centroid; each query probes its `nprobe`
+    * nearest cells and scores only those cells' vectors.
+    *
+    * Centroids are a deterministic sample — the `centroids` corpus vectors
+    * with the smallest md5(id) (reproducible in any engine with md5; no
+    * iterative clustering, which is the standard "IVF-flat with sampled
+    * coarse quantizer" baseline). Cell assignment and probing rank by
+    * cosine; ties break toward the larger centroid index on both paths.
+    *
+    * Scale shape: assignment is a per-row argmax over `centroids` native
+    * dot products (no shuffle); the candidate join is a cell-id equi-join;
+    * per-query ranking is the bounded-heap aggregator. Wall-clock per query
+    * scales with nprobe/centroids of the corpus, not the corpus. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      centroids: Int = 16,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids, "need 1 <= nprobe <= centroids")
+    val idType = corpus.schema(corpusIdCol).dataType
+
+    // deterministic coarse quantizer: smallest-md5(id) corpus vectors
+    val cents: Array[(Int, Seq[Double], Double)] = corpus
+      .select(col(corpusIdCol).cast("string").as("id"), col(corpusVecCol).as("v"))
+      .withColumn("h", md5(col("id")))
+      .orderBy("h")
+      .limit(centroids)
+      .collect()
+      .zipWithIndex
+      .map { case (row, i) =>
+        val vec = row.getSeq[Float](1).map(_.toDouble)
+        val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
+        (i, vec, nrm)
+      }
+
+    // per-row cell scores: struct(cos, cid) so array_max / sort_array rank
+    // by (cos, cid) — ties toward the larger cid, mirrored in the oracle
+    def cellScores(vec: Column, nrm: Column): Column =
+      array(cents.map { case (i, cv, cnrm) =>
+        struct((dot(vec, typedLit(cv)) / (nrm * lit(cnrm))).as("s"), lit(i).as("i"))
+      }: _*)
+
+    val assigned = corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
+        l2Norm(col(corpusVecCol)).as("cn"))
+      .withColumn("cid", array_max(cellScores(col("cv"), col("cn"))).getField("i"))
+      .persist()
+
+    val probes = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+        l2Norm(col(queryVecCol)).as("qn"))
+      .withColumn("cid", explode(transform(
+        slice(reverse(sort_array(cellScores(col("qv"), col("qn")))), 1, nprobe),
+        s => s.getField("i"))))
+
+    val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
+    val scored = assigned.join(broadcast(probes), Seq("cid")).filter(self)
+      .withColumn("cos", round(cosFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .select("query_id", "corpus_id", "cos")
+    rankTopK(scored, k, idType)
+  }
+
   /** Size-aware near-dup: derives `planes` from the corpus count so bucket
     * count grows with the data (one extra count job). */
   def embeddingNearDupPairsAuto(

@@ -107,6 +107,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(2).getDouble(0) === 0.0)
   }
 
+  test("IVF top-k is deterministic, rank-dense, and scores match brute force per pair") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, centroids = 8, nprobe = 2)
+    val rows = ivf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // ranks are dense 1..n per query
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.size).toSeq)
+    }
+    // every (query, corpus) cosine equals the exact brute-force cosine
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (qid, cid, cos, _) => assert(bf((qid, cid)) === cos) }
+    // deterministic across invocations
+    val again = Similarity.ivfTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, centroids = 8, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.toSet === again.toSet)
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
