@@ -188,6 +188,10 @@ object SparkEntry {
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
+    "x_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), dims = 8)),
+    "x_media_resize" -> ((s, d) =>
+      Multimodal.resizeStub(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), 64, 64)),
     // ---- extensions: as-of join (point-in-time lookup) ----
     "x_asof_purchase" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -647,6 +651,19 @@ object SparkEntry {
         |)
         |SELECT l.user_id, l.event_id, l.ts, r.p_event_id, r.p_ts, r.p_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.p_ts""".stripMargin,
+    "x_media_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  list_transform(range(0, 8), i ->
+        |    CAST(list_sum(list_transform(range(1, 5), j ->
+        |      (strpos('0123456789abcdef',
+        |         substring(md5(text || '#' || CAST(i AS VARCHAR)), j, 1)) - 1)
+        |      * CAST(pow(16, 4 - j) AS BIGINT))) AS DOUBLE) / 65535.0 * 2 - 1) AS features
+        |FROM documents""".stripMargin,
+    "x_media_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+        |       unhex(md5(text || '#64x64')) AS payload
+        |FROM documents""".stripMargin,
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n_events,

@@ -72,6 +72,48 @@ object Multimodal {
       (length(col("payload")) % 480 + 1).cast("int").as("height"),
       when(length(col("payload")) % 2 === 0, "png").otherwise("jpeg").as("format"))
 
+  /** STUB feature extraction: a `dims`-wide deterministic fake embedding
+    * per blob — feature i is the first 4 hex digits of md5(payload ++ "#i")
+    * scaled to [-1, 1]. Runs per-partition like a real vision/audio encoder
+    * (batch of blobs per task, one dense vector out per blob); swap the
+    * function body for the model call. [[extractFeaturesSql]] is the
+    * expression twin that gives the plumbing an oracle. */
+  def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val base = if (payload == null) Array.emptyByteArray else payload
+          val fs = (0 until dims).map { i =>
+            md.reset()
+            val hex = md.digest(base ++ s"#$i".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Integer.parseInt(hex.substring(0, 4), 16) / 65535.0 * 2 - 1
+          }.toArray
+          (id, fs)
+        }
+      }.toDF("id", "features")
+  }
+
+  /** Expression twin of [[extractFeatures]] (same values, pure SQL). */
+  def extractFeaturesSql(media: DataFrame, dims: Int = 8): DataFrame =
+    media.select(col("id"),
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        conv(md5(concat(col("payload"), concat(lit("#"), i.cast("string")).cast("binary")))
+          .substr(1, 4), 16, 10).cast("double") / 65535.0 * 2 - 1).as("features"))
+
+  /** STUB resize: emits a deterministic fake resized payload (md5-derived
+    * bytes seeded by payload and target box) plus the target dimensions.
+    * Real resizing replaces the payload derivation only; schema
+    * (id, width, height, payload) and per-partition batch shape stay. */
+  def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame =
+    media.select(col("id"),
+      lit(width).as("width"), lit(height).as("height"),
+      unhex(md5(concat(col("payload"),
+        lit(s"#${width}x$height").cast("binary")))).as("payload"))
+
   /** STUB frame sampling: every `stride`-th "frame" of a fake video =
     * md5 digests of fixed-size byte windows. Real frame extraction keeps
     * the same per-partition batch shape and output schema

@@ -23,6 +23,18 @@ class MultimodalSpec extends SparkSpec {
     assert(t === s)
   }
 
+  test("feature-extract kernel equals its SQL twin; resize emits target box") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val media = graft.operators.Multimodal.asMedia(docs, "doc_id", "text")
+    val kernel = graft.operators.Multimodal.extractFeatures(media, dims = 8)
+    val sql = graft.operators.Multimodal.extractFeaturesSql(media, dims = 8)
+    assert(kernel.exceptAll(sql).count() === 0)
+    assert(sql.exceptAll(kernel).count() === 0)
+    val resized = graft.operators.Multimodal.resizeStub(media, 64, 64)
+    assert(resized.columns.toSeq === Seq("id", "width", "height", "payload"))
+    assert(resized.filter(length(col("payload")) =!= 16).count() === 0) // md5 = 16 bytes
+  }
+
   test("decode handles empty payloads without error") {
     val empty = Seq((1L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(Multimodal.asMedia(empty, "doc_id", "text")).collect()
