@@ -653,11 +653,13 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.p_ts""".stripMargin,
     "x_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
-        |  list_transform(range(0, 8), i ->
-        |    CAST(list_sum(list_transform(range(1, 5), j ->
-        |      (strpos('0123456789abcdef',
-        |         substring(md5(text || '#' || CAST(i AS VARCHAR)), j, 1)) - 1)
-        |      * CAST(pow(16, 4 - j) AS BIGINT))) AS DOUBLE) / 65535.0 * 2 - 1) AS features
+        |  CASE WHEN text IS NULL THEN NULL ELSE
+        |    list_transform(range(0, 8), i ->
+        |      CAST(list_sum(list_transform(range(1, 5), j ->
+        |        (strpos('0123456789abcdef',
+        |           substring(md5(text || '#' || CAST(i AS VARCHAR)), j, 1)) - 1)
+        |        * CAST(pow(16, 4 - j) AS BIGINT))) AS DOUBLE) / 65535.0 * 2 - 1)
+        |  END AS features
         |FROM documents""".stripMargin,
     "x_media_resize" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,

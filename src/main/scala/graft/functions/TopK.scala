@@ -30,7 +30,7 @@ case class TopKAggregator(k: Int)
 
   override def reduce(buf: Seq[(Double, Long)], row: (Double, Long)): Seq[(Double, Long)] = {
     val appended = buf :+ row
-    if (appended.size > 4 * k) trim(appended) else appended
+    if (appended.size.toLong > 4L * k) trim(appended) else appended
   }
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =

@@ -44,24 +44,28 @@ object AsOfJoin {
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rightPayload.map(col): _*)
     val rStructType = right.select(rStruct.as("r")).schema("r").dataType
-
-    val tieOf: DataFrame => org.apache.spark.sql.Column = df =>
-      rightTieBreak.map(c => df.col(c).cast("string")).getOrElse(lit(null).cast("string"))
+    // tie-break keeps its native type: a string cast would order numeric
+    // ties lexicographically ("99.0" > "101.0")
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
 
     val l = left.select(
       keys.map(col) ++ Seq(
         col(leftTs).cast("timestamp").as("__ts"),
         lit(true).as("__isLeft"),
-        lit(null).cast("string").as("__tie"),
+        lit(null).cast(tieType).as("__tie"),
         struct(left.columns.map(col).toSeq: _*).as("__l"),
         lit(null).cast(rStructType).as("__r")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).cast("timestamp").as("__ts"),
         lit(false).as("__isLeft"),
-        tieOf(right).as("__tie"),
+        rightTieBreak.map(right.col).getOrElse(lit(null).cast(tieType)).as("__tie"),
         lit(null).cast(l.schema("__l").dataType).as("__l"),
         rStruct.as("__r")): _*)
+      // a null right timestamp would sort nulls-first and "match" left rows
+      // preceding all real right rows; ASOF semantics exclude such rows
+      .filter(col("__ts").isNotNull)
 
     // right rows sort before left rows at equal ts (false < true), so an
     // exactly-coincident right row is visible to the left row's running last

@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   *
   * All hashing is md5-hex based so results are reproducible across engines
   * (the DuckDB oracle mirrors each expression).
+  *
+  * Cache lifecycle: operators with self-joins persist intermediate frames;
+  * those caches live until `spark.catalog.clearCache()` or session end.
+  * Long-lived applications calling these per batch should clear between
+  * batches (the Bench/Verify harnesses do).
   */
 object Dedup {
 

@@ -85,10 +85,12 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          val base = if (payload == null) Array.emptyByteArray else payload
-          val fs = (0 until dims).map { i =>
+          // null payload → null features, matching the SQL twin's
+          // null-propagating md5(concat(null, ...))
+          val fs = if (payload == null) null
+          else (0 until dims).map { i =>
             md.reset()
-            val hex = md.digest(base ++ s"#$i".getBytes("UTF-8"))
+            val hex = md.digest(payload ++ s"#$i".getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
             Integer.parseInt(hex.substring(0, 4), 16) / 65535.0 * 2 - 1
           }.toArray
@@ -97,12 +99,14 @@ object Multimodal {
       }.toDF("id", "features")
   }
 
-  /** Expression twin of [[extractFeatures]] (same values, pure SQL). */
+  /** Expression twin of [[extractFeatures]] (same values, pure SQL; a null
+    * payload nulls the whole array, matching the kernel). */
   def extractFeaturesSql(media: DataFrame, dims: Int = 8): DataFrame =
     media.select(col("id"),
-      transform(sequence(lit(0), lit(dims - 1)), i =>
-        conv(md5(concat(col("payload"), concat(lit("#"), i.cast("string")).cast("binary")))
-          .substr(1, 4), 16, 10).cast("double") / 65535.0 * 2 - 1).as("features"))
+      when(col("payload").isNotNull,
+        transform(sequence(lit(0), lit(dims - 1)), i =>
+          conv(md5(concat(col("payload"), concat(lit("#"), i.cast("string")).cast("binary")))
+            .substr(1, 4), 16, 10).cast("double") / 65535.0 * 2 - 1)).as("features"))
 
   /** STUB resize: emits a deterministic fake resized payload (md5-derived
     * bytes seeded by payload and target box) plus the target dimensions.

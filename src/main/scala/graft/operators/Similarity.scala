@@ -40,6 +40,11 @@ import graft.functions.{TopKAggregator, VectorExpressions}
   * `aggregate`), bit-reproducible for a given array order — the property the
   * DuckDB oracle comparison relies on. md5-derived hyperplanes keep
   * bucketing reproducible across engines.
+  *
+  * Cache lifecycle: the pairwise operators persist intermediate frames;
+  * those caches live until `spark.catalog.clearCache()` or session end.
+  * Long-lived applications calling these per batch should clear between
+  * batches (the Bench/Verify harnesses do).
   */
 object Similarity {
 
@@ -103,14 +108,21 @@ object Similarity {
   /** SRP bucket keys from literal sign arrays, one key per table; table t
     * uses global plane indices [t*planes, (t+1)*planes), so table 0's key
     * equals [[srpBucket]] bit-for-bit. Per row per plane this is a plain
-    * dot-product fold — no digests. */
-  def srpBucketKeys(vec: Column, planes: Int, tables: Int, dims: Int): Column =
-    array((0 until tables).map { t =>
+    * dot-product fold — no digests.
+    *
+    * A `dims` mismatch raises at runtime: silently it would null every
+    * projection, collapse all rows into one bucket and degenerate the
+    * candidate join to an all-pairs product. */
+  def srpBucketKeys(vec: Column, planes: Int, tables: Int, dims: Int): Column = {
+    val keys = array((0 until tables).map { t =>
       concat_ws("", (0 until planes).map { p =>
         val signs = array((0 until dims).map(d => lit(planeSign(t * planes + p, d))): _*)
         when(dot(vec, signs) > 0, lit("1")).otherwise(lit("0"))
       }: _*)
     }: _*)
+    when(size(vec) === lit(dims), keys).otherwise(raise_error(
+      concat(lit(s"srpBucketKeys: expected $dims-dim vectors, got "), size(vec).cast("string"))))
+  }
 
   /** Planes such that 2^planes buckets ≈ n / targetPerBucket: candidate
     * pair work stays O(n · targetPerBucket) as the corpus grows, instead of
@@ -120,23 +132,38 @@ object Similarity {
     math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
   }
 
-  /** Rank scored (query_id, corpus_id, cos) rows to per-query top-k via the
-    * bounded-heap aggregator; corpus ids are aggregated as longs and cast
-    * back to `idType` on output. Ties break on corpus_id ascending. */
+  /** Rank scored (query_id, corpus_id, cos) rows to per-query top-k.
+    * Integral corpus ids go through the bounded-heap aggregator (map-side
+    * partial aggregation, O(k) state per query over the shuffle) and are
+    * cast back to `idType` on output; non-integral ids fall back to the
+    * window-rank form, which preserves any id type. Ties break on
+    * corpus_id ascending either way. */
   private def rankTopK(
       scored: DataFrame,
       k: Int,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val topk = udaf(TopKAggregator(k))
-    scored
-      .groupBy("query_id")
-      .agg(topk(col("cos"), col("corpus_id").cast("long")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "r")))
-      .select(
-        col("query_id"),
-        col("r._2").cast(idType).as("corpus_id"),
-        col("r._1").as("cos"),
-        (col("pos") + 1).cast("int").as("rank"))
+    import org.apache.spark.sql.types._
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral) {
+      val topk = udaf(TopKAggregator(k))
+      scored
+        .groupBy("query_id")
+        .agg(topk(col("cos"), col("corpus_id").cast("long")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "r")))
+        .select(
+          col("query_id"),
+          col("r._2").cast(idType).as("corpus_id"),
+          col("r._1").as("cos"),
+          (col("pos") + 1).cast("int").as("rank"))
+    } else {
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "corpus_id", "cos", "rank")
+    }
   }
 
   /** Exact top-k nearest corpus vectors (cosine) for every query vector.
@@ -295,7 +322,7 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (row, i) =>
-        val vec = row.getSeq[Float](1).map(_.toDouble)
+        val vec = row.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)
         val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
         (i, vec, nrm)
       }

@@ -74,7 +74,11 @@ object StatefulSessions {
             out += close(uid, o)
             Some(OpenSession(e.ts, e.ts, 1L, e.value))
           case Some(o) =>
-            Some(OpenSession(o.start, e.ts, o.n + 1L, o.sum + e.value))
+            // a late-but-within-watermark event from a later micro-batch can
+            // precede the open session's bounds — extend, never regress them
+            val start = if (e.ts.before(o.start)) e.ts else o.start
+            val last  = if (e.ts.after(o.last)) e.ts else o.last
+            Some(OpenSession(start, last, o.n + 1L, o.sum + e.value))
           case None =>
             Some(OpenSession(e.ts, e.ts, 1L, e.value))
         }

@@ -42,12 +42,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("sym", "t", "trade_id", "q_t", "q_px"))
   }
 
-  test("tie-broken deterministically when right rows collide on (key, ts)") {
-    val dupQuotes = quotes.unionByName(
-      Seq(("A", ts("2024-01-01 10:00:05"), 999.0)).toDF("sym", "t", "px"))
+  test("tie-broken numerically, not lexicographically, on (key, ts) collisions") {
+    // 99.0 > "101.0" as strings but 101.0 > 99.0 numerically — the larger
+    // NUMERIC tiebreak must win
+    val dupQuotes = quotes
+      .filter($"px" =!= 101.0)
+      .unionByName(Seq(
+        ("A", ts("2024-01-01 10:00:05"), 99.0),
+        ("A", ts("2024-01-01 10:00:05"), 101.5)).toDF("sym", "t", "px"))
     val got = AsOfJoin.asOf(trades, dupQuotes, Seq("sym"), "t", "t",
       rightPrefix = "q_", rightTieBreak = Some("px"))
     val px = got.filter($"trade_id" === 1L).select("q_px").as[Double].head()
-    assert(px === 999.0) // larger tiebreak value sorts last -> wins the running last()
+    assert(px === 101.5)
+  }
+
+  test("right rows with null timestamps never match") {
+    val withNullTs = quotes.unionByName(
+      Seq(("C", null.asInstanceOf[Timestamp], 777.0)).toDF("sym", "t", "px"))
+    val got = AsOfJoin.asOf(trades, withNullTs, Seq("sym"), "t", "t", rightPrefix = "q_")
+    assert(got.filter($"trade_id" === 4L).select("q_px").collect().head.isNullAt(0))
   }
 }

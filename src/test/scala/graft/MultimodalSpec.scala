@@ -35,6 +35,16 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.filter(length(col("payload")) =!= 16).count() === 0) // md5 = 16 bytes
   }
 
+  test("feature-extract kernel and SQL twin agree on null payloads (both null)") {
+    val media = Seq((1L, "x".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val kernel = graft.operators.Multimodal.extractFeatures(media, dims = 4)
+    val sql = graft.operators.Multimodal.extractFeaturesSql(media, dims = 4)
+    assert(kernel.filter(col("id") === 2L).collect().head.isNullAt(1))
+    assert(kernel.exceptAll(sql).count() === 0)
+    assert(sql.exceptAll(kernel).count() === 0)
+  }
+
   test("decode handles empty payloads without error") {
     val empty = Seq((1L, "")).toDF("doc_id", "text")
     val meta = Multimodal.decodeMeta(Multimodal.asMedia(empty, "doc_id", "text")).collect()

@@ -130,6 +130,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet === again.toSet)
   }
 
+  test("top-k preserves non-numeric corpus id types via the window fallback") {
+    val named = vecs.withColumn("name", concat(lit("vec-"), $"vec_id"))
+      .select($"name", $"embedding")
+    val got = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0).withColumn("name", lit("q0")).select($"name", $"embedding"),
+      named, "name", "embedding", "name", "embedding", k = 2, excludeSelf = false)
+    val ids = got.orderBy("rank").select("corpus_id").as[String].collect().toSeq
+    assert(ids === Seq("vec-0", "vec-4")) // identical vector first, then nearest
+  }
+
+  test("srpBucketKeys raises on a dims mismatch instead of bucketing everything together") {
+    val err = intercept[Exception] {
+      vecs.select(Similarity.srpBucketKeys($"embedding", 2, 1, dims = 64)).collect()
+    }
+    assert(err.getMessage.contains("expected 64-dim") ||
+      Option(err.getCause).exists(_.getMessage.contains("expected 64-dim")))
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
