@@ -231,6 +231,29 @@ object SparkEntry {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
             .cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+    // TPC-H Q5-style star join: two fact SMJs, every dimension broadcast;
+    // exercises join ordering + broadcast selection on a 6-table plan
+    "x_join_region_revenue" -> ((s, d) => {
+      val li   = Tables.lineitem(s, d)
+      val ord  = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val supp = Tables.supplier(s, d)
+      val nat  = Tables.nation(s, d)
+      val reg  = Tables.region(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
     })
   )
 
@@ -733,7 +756,20 @@ object SparkEntry {
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "x_join_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** x_text_profile oracle: mirrors every TextAnalysis expression. */

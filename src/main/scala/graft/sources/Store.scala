@@ -62,10 +62,14 @@ object Store {
     * bucket pruning for point lookups via the same derivation. */
   def writeStoreBucketed(df: DataFrame, path: String, buckets: Int = 256): Unit = {
     require(buckets >= 1 && buckets <= 65536, "buckets must be in [1, 65536]")
-    import org.apache.spark.sql.functions.{col, conv, pmod}
+    import org.apache.spark.sql.functions.{col, conv, lit, pmod}
+    // repartition by bucket + sort by KEY_HASH within each task: every
+    // parquet file covers one bucket with tight KEY_HASH min/max per row
+    // group, so point lookups prune row groups, not just directories
     df.withColumn(KeyBucket,
-        pmod(conv(col(MetaColumns.KeyHash).substr(1, 4), 16, 10).cast("int"),
-          org.apache.spark.sql.functions.lit(buckets)))
+        pmod(conv(col(MetaColumns.KeyHash).substr(1, 4), 16, 10).cast("int"), lit(buckets)))
+      .repartition(col(KeyBucket))
+      .sortWithinPartitions(col(KeyBucket), col(MetaColumns.KeyHash))
       .write.mode("overwrite").partitionBy(KeyBucket).parquet(path)
   }
 
