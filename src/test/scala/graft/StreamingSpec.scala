@@ -62,6 +62,57 @@ class StreamingSpec extends SparkSpec {
     assert(gapClosed.nonEmpty)
   }
 
+  test("transformWithState sessionization agrees with the flatMapGroupsWithState form") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.sources.Tables.events(spark, sfDir)
+      val dir = Files.createTempDirectory("graft-tws").toString
+      batch.write.parquet(s"$dir/in")
+      val stream = StreamingHistorization.readParquetStream(spark, s"$dir/in", batch.schema)
+      val sessions = graft.streaming.TransformWithStateSessions.sessionizeStream(stream, 1800)
+      val q = sessions.writeStream.format("memory").queryName("tws_sess")
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table("tws_sess")
+        .select($"user_id", $"session_start".cast("string"), $"session_end".cast("string"),
+          $"n_events").collect().map(_.toSeq).toSet
+      // same guarantees as the flatMapGroupsWithState test: all gap-closed
+      // sessions present, nothing outside the batch twin's session set
+      val bt = graft.operators.EventAnalytics.sessionize(batch, 30)
+      val all = bt.select($"user_id".cast("long"), $"session_start".cast("string"),
+        $"session_end".cast("string"), $"n_events".cast("long"))
+        .collect().map(_.toSeq).toSet
+      val lastPerUser = bt.groupBy("user_id").agg(max("session_no").as("session_no"))
+      val gapClosed = bt.join(lastPerUser, Seq("user_id", "session_no"), "left_anti")
+        .select($"user_id".cast("long"), $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events".cast("long"))
+        .collect().map(_.toSeq).toSet
+      assert(gapClosed.subsetOf(streamed), "missing gap-closed sessions")
+      assert(streamed.subsetOf(all), "emitted a session the batch twin does not produce")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark dedup stream keeps one row per key") {
+    val batch = graft.sources.Tables.events(spark, sfDir).limit(200)
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    batch.write.parquet(s"$dir/in")
+    batch.write.mode("append").parquet(s"$dir/in") // full re-delivery
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
+    val deduped = graft.streaming.TransformWithStateSessions.dedupStream(
+      stream, "ts", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_stream").count() === 200)
+  }
+
   test("foreachBatch historization absorbs re-delivered snapshots idempotently") {
     val dir = Files.createTempDirectory("graft-stream-hist").toString
     val snap = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
