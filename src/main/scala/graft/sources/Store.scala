@@ -63,12 +63,15 @@ object Store {
   def writeStoreBucketed(df: DataFrame, path: String, buckets: Int = 256): Unit = {
     require(buckets >= 1 && buckets <= 65536, "buckets must be in [1, 65536]")
     import org.apache.spark.sql.functions.{col, conv, lit, pmod}
-    // repartition by bucket + sort by KEY_HASH within each task: every
-    // parquet file covers one bucket with tight KEY_HASH min/max per row
-    // group, so point lookups prune row groups, not just directories
+    // range-partition by (bucket, hash) then sort within tasks: write
+    // parallelism stays at spark.sql.shuffle.partitions even for small
+    // bucket counts (hash-repartitioning on the bucket alone would cap
+    // parallelism at `buckets`), while each parquet file still covers one
+    // bucket with tight, sorted KEY_HASH ranges — point lookups prune row
+    // groups, not just directories
     df.withColumn(KeyBucket,
         pmod(conv(col(MetaColumns.KeyHash).substr(1, 4), 16, 10).cast("int"), lit(buckets)))
-      .repartition(col(KeyBucket))
+      .repartitionByRange(col(KeyBucket), col(MetaColumns.KeyHash))
       .sortWithinPartitions(col(KeyBucket), col(MetaColumns.KeyHash))
       .write.mode("overwrite").partitionBy(KeyBucket).parquet(path)
   }

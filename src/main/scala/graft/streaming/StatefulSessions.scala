@@ -53,40 +53,60 @@ object StatefulSessions {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(process(gapSec) _)
   }
 
-  private def close(uid: Long, o: OpenSession): SessionOut =
+  private[streaming] def close(uid: Long, o: OpenSession): SessionOut =
     SessionOut(uid, o.start, o.last, o.n, o.sum)
+
+  /** The shared session fold: both stateful APIs
+    * ([[StatefulSessions.sessionizeStream]] and
+    * [[TransformWithStateSessions]]) run exactly this, so their gap
+    * semantics cannot diverge. Events fold in timestamp order; a
+    * whole-second gap > gapSec closes the open session; a
+    * late-but-within-watermark event extends the open session's bounds,
+    * never regresses them. Returns (closed sessions, open session). */
+  private[streaming] def foldEvents(
+      uid: Long,
+      current: Option[OpenSession],
+      rows: Seq[SessionIn],
+      gapSec: Int): (Seq[SessionOut], Option[OpenSession]) = {
+    val out = scala.collection.mutable.Buffer.empty[SessionOut]
+    var open = current
+    rows.sortBy(_.ts.getTime).foreach { e =>
+      open = open match {
+        case Some(o) if e.ts.getTime / 1000L - o.last.getTime / 1000L > gapSec =>
+          out += close(uid, o)
+          Some(OpenSession(e.ts, e.ts, 1L, e.value))
+        case Some(o) =>
+          val start = if (e.ts.before(o.start)) e.ts else o.start
+          val last  = if (e.ts.after(o.last)) e.ts else o.last
+          Some(OpenSession(start, last, o.n + 1L, o.sum + e.value))
+        case None =>
+          Some(OpenSession(e.ts, e.ts, 1L, e.value))
+      }
+    }
+    (out.toSeq, open)
+  }
+
+  /** Gap deadline for an open session: first instant whose whole-second
+    * distance from last-seen exceeds gapSec. */
+  private[streaming] def gapDeadlineMs(o: OpenSession, gapSec: Int): Long =
+    o.last.getTime + gapSec * 1000L + 1000L
 
   private def process(gapSec: Int)(
       uid: Long,
       rows: Iterator[SessionIn],
       state: GroupState[OpenSession]): Iterator[SessionOut] = {
-    val out = scala.collection.mutable.Buffer.empty[SessionOut]
     if (!rows.hasNext) {
       if (state.hasTimedOut) {
-        state.getOption.foreach(o => out += close(uid, o))
+        val closed = state.getOption.map(o => close(uid, o))
         state.remove()
-      }
+        closed.iterator
+      } else Iterator.empty
     } else {
-      var open = state.getOption
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        open = open match {
-          case Some(o) if e.ts.getTime / 1000L - o.last.getTime / 1000L > gapSec =>
-            out += close(uid, o)
-            Some(OpenSession(e.ts, e.ts, 1L, e.value))
-          case Some(o) =>
-            // a late-but-within-watermark event from a later micro-batch can
-            // precede the open session's bounds — extend, never regress them
-            val start = if (e.ts.before(o.start)) e.ts else o.start
-            val last  = if (e.ts.after(o.last)) e.ts else o.last
-            Some(OpenSession(start, last, o.n + 1L, o.sum + e.value))
-          case None =>
-            Some(OpenSession(e.ts, e.ts, 1L, e.value))
-        }
-      }
+      val (closed, open) = foldEvents(uid, state.getOption, rows.toSeq, gapSec)
       val o = open.get
       state.update(o)
-      state.setTimeoutTimestamp(o.last.getTime + gapSec * 1000L + 1000L)
+      state.setTimeoutTimestamp(gapDeadlineMs(o, gapSec))
+      closed.iterator
     }
-    out.iterator
   }
 }

@@ -39,6 +39,16 @@ object StreamingHistorization {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
 
+  /** Streaming exact dedup: drops rows repeating their `dedupCols` within
+    * the watermark window — bounded state for at-least-once sources. */
+  def dedupStream(
+      events: DataFrame,
+      tsCol: String,
+      dedupCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(dedupCols)
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

@@ -34,38 +34,24 @@ object TransformWithStateSessions {
         "deadline", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    private def close(uid: Long, o: OpenSession): SessionOut =
-      SessionOut(uid, o.start, o.last, o.n, o.sum)
-
     override def handleInputRows(
         uid: Long,
         rows: Iterator[SessionIn],
         timers: TimerValues): Iterator[SessionOut] = {
-      val out = scala.collection.mutable.Buffer.empty[SessionOut]
-      var cur = if (open.exists()) Some(open.get()) else None
-      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        cur = cur match {
-          case Some(o) if e.ts.getTime / 1000L - o.last.getTime / 1000L > gapSec =>
-            out += close(uid, o)
-            Some(OpenSession(e.ts, e.ts, 1L, e.value))
-          case Some(o) =>
-            val start = if (e.ts.before(o.start)) e.ts else o.start
-            val last  = if (e.ts.after(o.last)) e.ts else o.last
-            Some(OpenSession(start, last, o.n + 1L, o.sum + e.value))
-          case None =>
-            Some(OpenSession(e.ts, e.ts, 1L, e.value))
-        }
-      }
-      cur.foreach { o =>
+      val cur = if (open.exists()) Some(open.get()) else None
+      val (closed, next) = StatefulSessions.foldEvents(uid, cur, rows.toSeq, gapSec)
+      next.foreach { o =>
         open.update(o)
-        val newDeadline = o.last.getTime + gapSec * 1000L + 1000L
-        if (deadline.exists() && deadline.get() != newDeadline) {
-          getHandle.deleteTimer(deadline.get())
+        val newDeadline = StatefulSessions.gapDeadlineMs(o, gapSec)
+        // re-arm only when the deadline moved: re-registering an existing
+        // timer is a warn-and-no-op state-store probe per key per batch
+        if (!deadline.exists() || deadline.get() != newDeadline) {
+          if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+          getHandle.registerTimer(newDeadline)
+          deadline.update(newDeadline)
         }
-        getHandle.registerTimer(newDeadline)
-        deadline.update(newDeadline)
       }
-      out.iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(
@@ -77,7 +63,7 @@ object TransformWithStateSessions {
         val o = open.get()
         open.clear()
         deadline.clear()
-        Iterator.single(close(uid, o))
+        Iterator.single(StatefulSessions.close(uid, o))
       } else Iterator.empty
     }
   }
@@ -101,14 +87,4 @@ object TransformWithStateSessions {
       .transformWithState(new SessionProcessor(gapSec),
         TimeMode.EventTime(), OutputMode.Append())
   }
-
-  /** Streaming exact dedup: drops rows repeating their `dedupCols` within
-    * the watermark window — bounded state for at-least-once sources. */
-  def dedupStream(
-      events: DataFrame,
-      tsCol: String,
-      dedupCols: Seq[String],
-      watermarkDelay: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(dedupCols)
 }

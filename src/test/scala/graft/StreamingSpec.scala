@@ -105,8 +105,7 @@ class StreamingSpec extends SparkSpec {
     batch.write.parquet(s"$dir/in")
     batch.write.mode("append").parquet(s"$dir/in") // full re-delivery
     val stream = spark.readStream.schema(batch.schema).parquet(s"$dir/in")
-    val deduped = graft.streaming.TransformWithStateSessions.dedupStream(
-      stream, "ts", Seq("event_id"))
+    val deduped = StreamingHistorization.dedupStream(stream, "ts", Seq("event_id"))
     val q = deduped.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
