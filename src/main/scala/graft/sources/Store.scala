@@ -36,6 +36,21 @@ object Store {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** JSONL (newline-delimited JSON) scan — the lingua franca of
+    * training-data interchange. Always pass a schema at scale: inference
+    * costs a full extra pass over the corpus. */
+  def readJsonl(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read
+    schema.fold(reader)(reader.schema).json(path)
+  }
+
+  /** JSONL sink (one JSON object per line, overwrite semantics). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Safe Parquet read: None when the path is missing/unreadable
     * (SCDHelpers.py:276-281 returns None on any error). */
   def readParquetSafe(spark: SparkSession, path: String): Option[DataFrame] =

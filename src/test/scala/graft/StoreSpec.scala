@@ -22,6 +22,17 @@ class StoreSpec extends SparkSpec {
     assert(dirs <= 16 && dirs > 1)
   }
 
+  test("JSONL round-trips documents with an explicit schema") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    Store.writeJsonl(docs, path)
+    val back = Store.readJsonl(spark, path, Some(docs.schema))
+    assert(back.schema === docs.schema)
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
   test("bucket-pruned read finds the key and scans one partition") {
     val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
     Store.writeStoreBucketed(enriched, path, buckets = 16)
