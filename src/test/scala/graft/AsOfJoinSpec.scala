@@ -56,6 +56,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(px === 101.5)
   }
 
+  test("property: matches a naive per-row reference on random data") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val leftRows = (1 to 60).map { i =>
+        (s"k${rnd.nextInt(5)}", ts(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), i.toLong)
+      }
+      val rightRows = (1 to 40).map { i =>
+        (s"k${rnd.nextInt(6)}", ts(f"2024-01-01 10:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"), i * 1.0)
+      }
+      val got = AsOfJoin.asOf(
+        leftRows.toDF("sym", "t", "trade_id"), rightRows.toDF("sym", "t", "px"),
+        Seq("sym"), "t", "t", rightPrefix = "q_", rightTieBreak = Some("px"))
+        .select($"trade_id", $"q_px")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      // naive reference: latest at-or-before right row per key, ties -> max px
+      val expected = leftRows.map { case (k, lt, id) =>
+        val cands = rightRows.filter(r => r._1 == k && !r._2.after(lt))
+        id -> (if (cands.isEmpty) None
+               else {
+                 val maxTs = cands.map(_._2.getTime).max
+                 Some(cands.filter(_._2.getTime == maxTs).map(_._3).max)
+               })
+      }.toMap
+      assert(got === expected)
+    }
+  }
+
   test("right rows with null timestamps never match") {
     val withNullTs = quotes.unionByName(
       Seq(("C", null.asInstanceOf[Timestamp], 777.0)).toDF("sym", "t", "px"))
