@@ -37,7 +37,13 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Belt-and-braces: also drop the line in a file in case stdout is
+    // mangled by a wrapping build tool's log prefixes.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

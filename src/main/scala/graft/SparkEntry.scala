@@ -24,6 +24,12 @@ import graft.sources.{Store, Tables}
   */
 object SparkEntry {
 
+  /** CSV fixture for the L1 scan parity check; overridable where the
+    * reference checkout lives elsewhere (query and oracle stay in sync
+    * because both read this value). */
+  private val gradesCsvPath: String =
+    sys.env.getOrElse("GRAFT_GRADES_CSV", "/root/reference/data/grades_full.csv")
+
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
   private def cur1 = Currents(ts1)
@@ -91,7 +97,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parity: live operators (SURVEY §2.1) ----
     "l01_csv_scan" -> ((s, _) =>
-      Store.readCsv(s, "/root/reference/data/grades_full.csv").select(
+      Store.readCsv(s, gradesCsvPath).select(
         col("Lastname"), col("Firstname"), col("SSN"),
         col("Test1").cast("double").as("Test1"), col("Test2").cast("double").as("Test2"),
         col("Test3").cast("double").as("Test3"), col("Test4").cast("double").as("Test4"),
@@ -188,10 +194,21 @@ object SparkEntry {
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
+    // Dump projections canonicalize non-scalar outputs (the driver's pandas
+    // compare cannot sort array/binary cells): features -> comma-joined
+    // floor(x*1e6) ints, payload -> lowercase hex. The operators themselves
+    // keep the real types.
     "x_media_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), dims = 8)),
+      Multimodal.extractFeatures(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), dims = 8)
+        .select(col("id"),
+          when(col("features").isNotNull,
+            concat_ws(",",
+              transform(col("features"), x => floor(x * lit(1e6)).cast("long").cast("string"))))
+            .as("features_q"))),
     "x_media_resize" -> ((s, d) =>
-      Multimodal.resizeStub(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), 64, 64)),
+      Multimodal.resizeStub(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), 64, 64)
+        .select(col("id"), col("width"), col("height"),
+          lower(hex(col("payload"))).as("payload_hex"))),
     // ---- extensions: as-of join (point-in-time lookup) ----
     "x_asof_purchase" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -365,11 +382,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "l01_csv_scan" ->
-      """SELECT Lastname, Firstname, SSN,
+      s"""SELECT Lastname, Firstname, SSN,
         |       CAST(Test1 AS DOUBLE) AS Test1, CAST(Test2 AS DOUBLE) AS Test2,
         |       CAST(Test3 AS DOUBLE) AS Test3, CAST(Test4 AS DOUBLE) AS Test4,
         |       CAST(Final AS DOUBLE) AS Final, Grade
-        |FROM read_csv('/root/reference/data/grades_full.csv', header = true)""".stripMargin,
+        |FROM read_csv('$gradesCsvPath', header = true)""".stripMargin,
     "l16_historize_runs" ->
       s"""$snapshotsCte,
          |delta AS (
@@ -677,17 +694,18 @@ object SparkEntry {
     "x_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |  CASE WHEN text IS NULL THEN NULL ELSE
-        |    list_transform(range(0, 8), i ->
-        |      CAST(list_sum(list_transform(range(1, 5), j ->
+        |    array_to_string(list_transform(range(0, 8), i ->
+        |      CAST(CAST(floor((CAST(list_sum(list_transform(range(1, 5), j ->
         |        (strpos('0123456789abcdef',
         |           substring(md5(text || '#' || CAST(i AS VARCHAR)), j, 1)) - 1)
         |        * CAST(pow(16, 4 - j) AS BIGINT))) AS DOUBLE) / 65535.0 * 2 - 1)
-        |  END AS features
+        |        * 1e6) AS BIGINT) AS VARCHAR)), ',')
+        |  END AS features_q
         |FROM documents""".stripMargin,
     "x_media_resize" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-        |       unhex(md5(text || '#64x64')) AS payload
+        |       md5(text || '#64x64') AS payload_hex
         |FROM documents""".stripMargin,
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,

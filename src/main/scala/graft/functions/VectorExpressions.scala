@@ -71,8 +71,15 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val hasNull = ctx.freshName("hasNull")
-      val leftGet = CodeGenerator.getValue(a, elemType(left), i)
-      val rightGet = CodeGenerator.getValue(b, elemType(right), i)
+      // Decimal elements surface as o.a.s.sql.types.Decimal objects — a
+      // bare (double) cast is invalid Java and would fail codegen compile
+      // (silently falling back to interpreted eval); call .toDouble() there.
+      def asDouble(code: String, t: DataType): String = t match {
+        case _: DecimalType => s"($code).toDouble()"
+        case _ => s"((double)($code))"
+      }
+      val leftGet = asDouble(CodeGenerator.getValue(a, elemType(left), i), elemType(left))
+      val rightGet = asDouble(CodeGenerator.getValue(b, elemType(right), i), elemType(right))
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -82,7 +89,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |  boolean $hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
-         |    $acc += ((double)($leftGet)) * ((double)($rightGet));
+         |    $acc += $leftGet * $rightGet;
          |  }
          |  if ($hasNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}

@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   * All hashing is md5-hex based so results are reproducible across engines
   * (the DuckDB oracle mirrors each expression).
   *
-  * Cache lifecycle: operators with self-joins persist intermediate frames;
-  * those caches live until `spark.catalog.clearCache()` or session end.
-  * Long-lived applications calling these per batch should clear between
-  * batches (the Bench/Verify harnesses do).
+  * Cache lifecycle: operators with self-joins persist intermediate frames
+  * through a [[graft.CacheScope]] (default: session-global — reclaimed by
+  * `spark.catalog.clearCache()` or session end, which the Bench/Verify
+  * harnesses do). Long-lived applications pass `CacheScope.scoped()` and
+  * `close()` it once the output is consumed, so per-batch caches cannot
+  * accumulate in executor storage memory.
   */
 object Dedup {
 
@@ -76,14 +78,15 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minSim: Double = 0.5,
-      maxShingleDocFreq: Long = 1000): DataFrame = {
+      maxShingleDocFreq: Long = 1000,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     // sh feeds the doc-frequency filter, both self-join sides and the size
     // aggregate — persist so shingling runs once, not four times
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .persist()
+    val sh = scope.persist(
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh")))
     val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
-    val filtered = sh.join(joinable.select("sh"), Seq("sh")).persist()
+    val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val inter = filtered.as("a").join(filtered.as("b"),
@@ -141,13 +144,13 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       k: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
     val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = sig.select(col("id"),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
-      .persist()
+    val banded = scope.persist(sig.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key"))))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

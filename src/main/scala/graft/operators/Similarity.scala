@@ -41,10 +41,11 @@ import graft.functions.{TopKAggregator, VectorExpressions}
   * DuckDB oracle comparison relies on. md5-derived hyperplanes keep
   * bucketing reproducible across engines.
   *
-  * Cache lifecycle: the pairwise operators persist intermediate frames;
-  * those caches live until `spark.catalog.clearCache()` or session end.
-  * Long-lived applications calling these per batch should clear between
-  * batches (the Bench/Verify harnesses do).
+  * Cache lifecycle: the pairwise operators persist intermediate frames
+  * through a [[graft.CacheScope]] (default: session-global — reclaimed by
+  * `spark.catalog.clearCache()` or session end, which the Bench/Verify
+  * harnesses do). Long-lived applications pass `CacheScope.scoped()` and
+  * `close()` it once the output is consumed.
   */
 object Similarity {
 
@@ -112,7 +113,9 @@ object Similarity {
     *
     * A `dims` mismatch raises at runtime: silently it would null every
     * projection, collapse all rows into one bucket and degenerate the
-    * candidate join to an all-pairs product. */
+    * candidate join to an all-pairs product. A null vector propagates null
+    * keys (the row then drops out of the bucket equi-join) — it must NOT
+    * raise, or one null embedding kills the whole job. */
   def srpBucketKeys(vec: Column, planes: Int, tables: Int, dims: Int): Column = {
     val keys = array((0 until tables).map { t =>
       concat_ws("", (0 until planes).map { p =>
@@ -120,8 +123,10 @@ object Similarity {
         when(dot(vec, signs) > 0, lit("1")).otherwise(lit("0"))
       }: _*)
     }: _*)
-    when(size(vec) === lit(dims), keys).otherwise(raise_error(
-      concat(lit(s"srpBucketKeys: expected $dims-dim vectors, got "), size(vec).cast("string"))))
+    when(vec.isNull, lit(null))
+      .when(size(vec) === lit(dims), keys)
+      .otherwise(raise_error(
+        concat(lit(s"srpBucketKeys: expected $dims-dim vectors, got "), size(vec).cast("string"))))
   }
 
   /** Planes such that 2^planes buckets ≈ n / targetPerBucket: candidate
@@ -266,12 +271,12 @@ object Similarity {
       minCos: Double = 0.95,
       planes: Int = 4,
       dims: Int = 64,
-      tables: Int = 1): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm"))
-      .persist()
-    val b = v.select(col("id"),
-        posexplode(srpBucketKeys(col("v"), planes, tables, dims)).as(Seq("tbl", "bucket")))
-      .persist()
+      tables: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val v = scope.persist(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), l2Norm(col(vecCol)).as("nrm")))
+    val b = scope.persist(v.select(col("id"),
+      posexplode(srpBucketKeys(col("v"), planes, tables, dims)).as(Seq("tbl", "bucket"))))
     val cand0 = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -309,7 +314,8 @@ object Similarity {
       k: Int,
       centroids: Int = 16,
       nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids, "need 1 <= nprobe <= centroids")
     val idType = corpus.schema(corpusIdCol).dataType
 
@@ -331,13 +337,15 @@ object Similarity {
     // by (cos, cid) — ties toward the larger cid, mirrored in the oracle
     def cellScores(vec: Column, nrm: Column): Column =
       array(cents.map { case (i, cv, cnrm) =>
-        struct((dot(vec, typedLit(cv)) / (nrm * lit(cnrm))).as("s"), lit(i).as("i"))
+        // cosFromNorms, not a bare divide: a zero-norm vector must score a
+        // defined 0.0, not NaN-poison the argmax/probe ordering
+        struct(cosFromNorms(dot(vec, typedLit(cv)), nrm, lit(cnrm)).as("s"), lit(i).as("i"))
       }: _*)
 
-    val assigned = corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
-        l2Norm(col(corpusVecCol)).as("cn"))
-      .withColumn("cid", array_max(cellScores(col("cv"), col("cn"))).getField("i"))
-      .persist()
+    val assigned = scope.persist(
+      corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
+          l2Norm(col(corpusVecCol)).as("cn"))
+        .withColumn("cid", array_max(cellScores(col("cv"), col("cn"))).getField("i")))
 
     val probes = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
         l2Norm(col(queryVecCol)).as("qn"))
