@@ -79,6 +79,29 @@ object HashKernels {
     0
   }
 
+  /** Distinct word n-gram shingles over a token array: windows of up to
+    * `n` tokens joined by a single space, first-occurrence order, window
+    * starts 0..max(size-n, 0) — value-identical to the HOF form
+    * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+    * slice(toks, i+1, n))))` in [[graft.operators.Dedup.shinglesFold]],
+    * including the empty-token edge ([""]). Assumes non-null tokens (the
+    * tokenizer filters empties). */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val size = tokens.numElements()
+    val last = math.max(size - n, 0)
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, size)
+      val parts = new Array[UTF8String](math.max(end - i, 0))
+      var j = i
+      while (j < end) { parts(j - i) = tokens.getUTF8String(j); j += 1 }
+      seen.add(UTF8String.concatWs(UTF8String.fromString(" "), parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+
   /** SimHash fingerprint over a token array: per-token md5, per-bit
     * weighted majority, `bits`-wide non-negative long. Equals
     * `Dedup.simhash`'s fold value-for-value (bit b reads hex digit b/4,
@@ -129,6 +152,26 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd distinct n-gram shingling over a token array column. */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingles(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 /** Codegen'd SimHash fingerprint over a token array column. */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -153,6 +196,10 @@ object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
     CatalystBridge.column(MinHashSig(CatalystBridge.expression(shingles), k))
+
+  /** Codegen'd distinct n-gram shingles of an `array<string>` token column. */
+  def shinglesOf(tokens: Column, n: Int): Column =
+    CatalystBridge.column(Shingles(CatalystBridge.expression(tokens), n))
 
   /** Codegen'd SimHash fingerprint of an `array<string>` token column. */
   def simhashOf(tokens: Column, bits: Int): Column =

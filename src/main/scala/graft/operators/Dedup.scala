@@ -44,8 +44,14 @@ object Dedup {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Distinct word n-gram shingles of a text column. A text with fewer
-    * than n tokens yields its full-token join as the single shingle. */
-  def shingles(text: Column, n: Int): Column = {
+    * than n tokens yields its full-token join as the single shingle.
+    * Codegen'd kernel ([[graft.functions.Shingles]]); [[shinglesFold]] is
+    * the HOF executable spec it is property-tested against. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.DedupExpressions.shinglesOf(tokens(text), n)
+
+  /** HOF fold form of [[shingles]] — interpreted; spec/tests only. */
+  def shinglesFold(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
@@ -81,9 +87,14 @@ object Dedup {
       maxShingleDocFreq: Long = 1000,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     // sh feeds the doc-frequency filter, both self-join sides and the size
-    // aggregate — persist so shingling runs once, not four times
+    // aggregate — persist so shingling runs once, not four times. The join
+    // key is a 60-bit digest prefix, not the shingle text: the self-join
+    // shuffles 8-byte longs instead of multi-word strings and hash-joins on
+    // primitives (collision odds ~n²/2⁶¹ — vanishing against the shuffle
+    // volume it saves at 100 TB).
     val sh = scope.persist(
-      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh")))
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+        .select(col("id"), conv(md5(col("s")).substr(1, 15), 16, 10).cast("long").as("sh")))
     val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
     val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
@@ -125,10 +136,14 @@ object Dedup {
 
   /** LSH band keys over a minhash signature: `bands` buckets of
     * `rowsPerBand` signature entries each, digested to one key per band.
-    * Docs agreeing on any band key are near-dup candidates. */
+    * Docs agreeing on any band key are near-dup candidates. Keys are 60-bit
+    * digest prefixes (8-byte shuffle/join primitives, not 32-char hex;
+    * collision odds ~n²/2⁶¹ are noise next to LSH's own false-positive
+    * rate, and candidates are exact-verified downstream anyway). */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      b => conv(md5(concat_ws("|", slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))))
+        .substr(1, 15), 16, 10).cast("long"))
 
   /** Candidate pairs via MinHash + LSH banding: only docs sharing a band
     * bucket are paired — candidate generation is a band-key equi-join,

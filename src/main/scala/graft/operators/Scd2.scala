@@ -188,16 +188,26 @@ object Scd2 {
   }
 
   /** Bootstrap-aware wrapper (SCDHelpers.py:297-301): when no current store
-    * exists yet, merge against the empty historized frame. */
+    * exists yet, merge against the empty historized frame.
+    *
+    * The bootstrap case short-circuits: against an empty current store every
+    * snapshot row is a `new_only` row, so the merge degenerates to stamping
+    * VALID_FROM/VALID_TO — no join, no closed-key distinct, no shuffle. The
+    * general merge over an explicit empty frame returns the identical
+    * result, just through two pointless exchanges. */
   def historizeDataset(
       newDf: DataFrame,
       currentDf: Option[DataFrame],
       currents: Currents,
       mode: ValidFromMode,
-      fast: Boolean = true): DataFrame = {
-    val current = currentDf.getOrElse(createEmptyHist(newDf))
-    if (fast) mergeScd2Fast(current, newDf, currents, mode)
-    else mergeScd2(current, newDf, currents, mode)
+      fast: Boolean = true): DataFrame = currentDf match {
+    case None =>
+      newDf
+        .withColumn(ValidFrom, to_date(lit(validFromDate(mode, currents))))
+        .withColumn(ValidTo, upperBound)
+    case Some(current) =>
+      if (fast) mergeScd2Fast(current, newDf, currents, mode)
+      else mergeScd2(current, newDf, currents, mode)
   }
 
   /** Split a historized table into (closed history, active rows) by the

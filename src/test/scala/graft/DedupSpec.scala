@@ -53,6 +53,15 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 3L)))
   }
 
+  test("codegen'd shingles kernel equals the HOF fold on real documents") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select($"text").unionByName(docs.select($"text")) // include edge cases
+    val both = docsReal.select(
+      Dedup.shingles($"text", 3).as("kernel"),
+      Dedup.shinglesFold($"text", 3).as("fold"))
+    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+  }
+
   test("codegen'd minhash kernel equals the HOF fold on real documents") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
     val both = docsReal.select(Dedup.shingles($"text", 3).as("sh"))
