@@ -189,6 +189,17 @@ object SparkEntry {
     // ---- extensions: text analysis ----
     "x_text_profile" -> ((s, d) =>
       TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text")),
+    "x_text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "vector", "join", "hash"))),
+    // ---- extensions: deterministic sampling / splits ----
+    "x_split_assign" -> ((s, d) =>
+      Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+    "x_sample_stratified" -> ((s, d) =>
+      Sampling.sampleStratified(Tables.events(s, d), "event_id", "event_type",
+        Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
+        .select("event_id", "event_type")),
     // ---- extensions: multimodal plumbing ----
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
@@ -379,6 +390,14 @@ object SparkEntry {
       |      i -> array_to_string(w[i+1:i+3], ' '))) AS shingles
       |  FROM toks
       |)""".stripMargin
+
+  /** DuckDB mirror of [[graft.operators.Sampling.hashUniform]]: first 8 hex
+    * digits of md5(s"$$id#$$salt") as a 32-bit integer over 2^32. */
+  private def duckHashUniform(idExpr: String, salt: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 9), j ->
+       |      (strpos('0123456789abcdef',
+       |         substring(md5(CAST($idExpr AS VARCHAR) || '#$salt'), j, 1)) - 1)
+       |      * CAST(pow(16, 8 - j) AS BIGINT))) AS DOUBLE) / 4294967296.0""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "l01_csv_scan" ->
@@ -661,6 +680,49 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
     "x_text_profile" -> textProfileOracle,
+    "x_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        |terms AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM terms WHERE term IN ('spark', 'vector', 'join', 'hash')
+        |  GROUP BY doc_id, term
+        |),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |    (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS id,
+        |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY doc_id""".stripMargin,
+    "x_split_assign" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    ${duckHashUniform("doc_id", "split")} AS u
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    "x_sample_stratified" ->
+      s"""WITH u AS (
+         |  SELECT event_id, event_type,
+         |    ${duckHashUniform("event_id", "stratified")} AS u
+         |  FROM events
+         |)
+         |SELECT event_id, event_type FROM u
+         |WHERE u < CASE event_type
+         |  WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.1 WHEN 'purchase' THEN 1.0
+         |  ELSE NULL END""".stripMargin,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(length(text) AS INT) AS "byteLen",

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines.
+  *
+  * North-star extension. `df.sample()` / `sampleBy()` draw from a seeded
+  * RNG whose stream depends on partitioning — rerun the pipeline with a
+  * different partition count and the sample changes. Training-data splits
+  * must be a pure function of the ROW, not of the execution: a document's
+  * train/val/test assignment has to survive repartitioning, engine
+  * upgrades, and re-ingestion, or held-out data silently leaks into
+  * training. Everything here derives a uniform from md5(id + salt), so
+  * membership is reproducible in any engine with md5 (the DuckDB oracles
+  * mirror it) and changing the salt re-draws the whole assignment.
+  *
+  * Scale shape: all operators are stateless per-row projections/filters —
+  * no shuffle, no driver state, trivially parallel at any data size.
+  */
+object Sampling {
+
+  /** Deterministic uniform in [0, 1): the first 8 hex digits of
+    * md5(s"$id#$salt") as a 32-bit integer, scaled. 2^-32 resolution is
+    * plenty for split fractions and keeps the value exactly representable
+    * (and bit-identical) in any engine with md5 + double arithmetic. */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(md5(concat(id.cast("string"), lit("#" + salt))).substr(1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Assign each row to a named split by cumulative weight ranges over the
+    * hash-uniform. `splits` are (name, weight) with weights summing to ~1;
+    * the last split absorbs any remainder so every row is assigned.
+    *
+    * Rows with equal `idCol` values always land in the same split — pass a
+    * group/document key (not a row id) for leakage-safe grouped splits. */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
+    val u = hashUniform(col(idCol), salt)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    // last split takes everything remaining, so rounding in the weight sum
+    // can never leave a row unassigned
+    val expr = splits.init.zip(bounds.init).reverse.foldLeft(
+      lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
+      when(u < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff its hash-uniform falls
+    * under `fraction`. Unlike `df.sample`, membership is a pure function of
+    * (id, salt) — stable under repartitioning and re-runs. */
+  def sampleDeterministic(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(hashUniform(col(idCol), salt) < lit(fraction))
+
+  /** Deterministic stratified sample: per-stratum keep fractions, rows of
+    * unlisted strata are dropped (mirroring `sampleBy`). One per-row filter,
+    * no shuffle — rebalancing class skew in a 100 TB corpus costs one scan. */
+  def sampleStratified(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      salt: String = "stratified"): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    val u = hashUniform(col(idCol), salt)
+    val frac = fractions.foldLeft(lit(null).cast("double")) {
+      case (acc, (stratum, f)) => when(col(stratumCol) === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+}

@@ -91,6 +91,53 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), count), i => md5(text.substr(i, lit(k)))))
   }
 
+  /** BM25 relevance of every document against a bag of query terms —
+    * the standard lexical ranking function for corpus search / curation
+    * (Robertson & Walker's Okapi BM25, public literature).
+    *
+    * Scale shape: tokens explode → filter to the (tiny) query-term set
+    * BEFORE any shuffle, so the grouped frame holds only matching
+    * (doc, term) pairs; document frequency and corpus stats join back
+    * broadcast. One groupBy over matches + one scalar-stats cross join —
+    * corpus size only enters through the initial scan.
+    *
+    * Cross-engine determinism: per-term scores are IEEE doubles computed
+    * in a fixed expression order, summed as decimals (order-independent),
+    * rounded to 6 places.
+    *
+    * @return (id, bm25, n_terms) for documents matching >= 1 query term
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // expression order mirrored literally in the DuckDB oracle — do not
+    // re-associate
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = (col("idf") * (col("tf") * lit(k1 + 1))) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", idf)
+      .withColumn("s", score)
+      .groupBy("id")
+      .agg(
+        round(sum(col("s").cast("decimal(28,12)")).cast("double"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+
   /** One-stop profile of a document table. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

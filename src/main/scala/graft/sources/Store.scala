@@ -51,6 +51,15 @@ object Store {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC scan — second columnar interchange format (predicate pushdown and
+    * column pruning apply the same as Parquet). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink (overwrite semantics). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Safe Parquet read: None when the path is missing/unreadable
     * (SCDHelpers.py:276-281 returns None on any error). */
   def readParquetSafe(spark: SparkSession, path: String): Option[DataFrame] =

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+
+  test("assignSplit covers every row, respects weights, and is deterministic") {
+    val split = Sampling.assignSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000L)
+    assert(counts("train") > 1400 && counts("train") < 1800, s"train=${counts("train")}")
+    assert(counts("val") > 100 && counts("val") < 320, s"val=${counts("val")}")
+    assert(counts("test") > 100 && counts("test") < 320, s"test=${counts("test")}")
+    // pure function of (id, salt): a repartitioned rerun assigns identically
+    val again = Sampling.assignSplit(ids.repartition(13), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).count() === 0)
+  }
+
+  test("assignSplit re-draws under a different salt") {
+    val a = Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s1")
+    val b = Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5), salt = "s2")
+    assert(a.join(b, Seq("id")).filter(a("split") =!= b("split")).count() > 0)
+  }
+
+  test("sampleDeterministic keeps a stable subset near the fraction") {
+    val s = Sampling.sampleDeterministic(ids, "id", 0.25)
+    val n = s.count()
+    assert(n > 380 && n < 620, s"n=$n")
+    assert(s.exceptAll(Sampling.sampleDeterministic(ids.repartition(7), "id", 0.25)).count() === 0)
+  }
+
+  test("sampleStratified applies per-stratum fractions and drops unlisted strata") {
+    val rows = ids.withColumn("stratum",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val s = Sampling.sampleStratified(rows, "id", "stratum", Map("a" -> 1.0, "b" -> 0.2))
+    val counts = s.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts("a") === 666L)             // fraction 1.0 keeps every row
+    assert(counts("b") > 60 && counts("b") < 210, s"b=${counts("b")}")
+    assert(!counts.contains("c"))            // unlisted stratum dropped
+  }
+
+  test("grouped split keeps all rows of a group in one split (leakage safety)") {
+    val rows = ids.withColumn("group_id", col("id") % 50)
+    val split = Sampling.assignSplit(rows, "group_id", Seq("train" -> 0.7, "test" -> 0.3))
+    val violations = split.groupBy("group_id")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(violations === 0)
+  }
+}

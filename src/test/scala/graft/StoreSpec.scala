@@ -33,6 +33,16 @@ class StoreSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("ORC round-trips documents losslessly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val path = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
+    Store.writeOrc(docs, path)
+    val back = Store.readOrc(spark, path)
+    assert(back.exceptAll(docs).count() === 0)
+    assert(docs.exceptAll(back).count() === 0)
+  }
+
   test("bucket-pruned read finds the key and scans one partition") {
     val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
     Store.writeStoreBucketed(enriched, path, buckets = 16)

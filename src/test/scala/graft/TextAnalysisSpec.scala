@@ -61,4 +61,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(prof.count() === docsReal.count())
     assert(prof.filter($"n_tokens" <= 0).count() === 0)
   }
+
+  test("bm25 ranks repeated-term docs higher; absent-term docs are absent") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine"),
+      (3L, "totally unrelated words here"),
+      (4L, "hash join hash join hash")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("spark", "hash"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L))                       // no query term -> no row
+    assert(got(1L)._2 > got(2L)._2)                 // higher tf wins
+    assert(got(1L)._3 === 1L && got(4L)._3 === 1L)  // n_terms counts matched terms
+    assert(got.values.forall(_._2 > 0))
+  }
+
+  test("bm25 is deterministic under repartitioning") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = TextAnalysis.bm25(docsReal, "doc_id", "text", Seq("spark", "vector"))
+    val b = TextAnalysis.bm25(docsReal.repartition(11), "doc_id", "text", Seq("spark", "vector"))
+    assert(a.exceptAll(b).count() === 0)
+    assert(a.count() > 0)
+  }
 }
