@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan invariants: the properties that make these operators hold
+  * up at 100 TB, asserted against the actual Catalyst output so a
+  * regression (a lost pushdown, a join degrading to nested-loop, an
+  * accidental cartesian) fails CI instead of surfacing as a 100x slowdown
+  * on a cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  test("no registered query plans a cartesian product") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(!planOf(name).contains("CartesianProduct"),
+        s"$name degraded to a cartesian product")
+    }
+  }
+
+  test("snapshot filter and projection reach the parquet scan") {
+    val p = planOf("l05_meta_enrich")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      "shipdate filter not pushed to the scan")
+    // projection pruning: untouched lineitem columns must not be read
+    assert(!p.contains("l_extendedprice"), "scan reads columns the query never uses")
+    // the enrichment chain is one codegen'd stage over the scan — no shuffle
+    assert(p.contains("*(1)"), "enrichment fell out of whole-stage codegen")
+    assert(!p.contains("Exchange"), "enrichment introduced a shuffle")
+  }
+
+  test("fact-to-dimension joins broadcast the small side") {
+    val p = planOf("x_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dimension join is not broadcast")
+  }
+
+  test("LSH band self-joins stay equi hash joins, never nested loops") {
+    Seq("x_dedup_minhash", "x_sim_near_dup").foreach { name =>
+      val p = planOf(name)
+      assert(
+        p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"),
+        s"$name band join lost its equi-join keys")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name band join degraded to a nested loop")
+    }
+  }
+
+  test("scd2 merge executes inside whole-stage codegen") {
+    val df = SparkEntry.queries("d06_scd2_merge")(spark, sfDir)
+    df.count() // resolve AQE to the final plan
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    // codegen'd operators print with a "*(stageId)" star prefix
+    assert(p.contains("*("), "scd2 merge runs interpreted")
+  }
+}
