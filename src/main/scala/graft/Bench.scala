@@ -30,10 +30,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Some(e.getClass.getSimpleName)
         }
-        // queries persist intermediate frames; drop them so no run pays
-        // another run's cache pressure
+        val sec = (System.nanoTime() - t0) / 1e9
+        // queries persist intermediate frames; drop them (outside the timed
+        // window) so no run pays another run's cache pressure
         spark.catalog.clearCache()
-        ((System.nanoTime() - t0) / 1e9, err)
+        (sec, err)
       }
       val (s1, e1) = once()
       val (s2, e2) = once()

@@ -30,11 +30,16 @@ object Sampling {
       .cast("double") / lit(4294967296.0)
 
   /** Assign each row to a named split by cumulative weight ranges over the
-    * hash-uniform. `splits` are (name, weight) with weights summing to ~1;
+    * hash-uniform. `splits` are (name, weight) with weights summing to <= 1;
     * the last split absorbs any remainder so every row is assigned.
+    * Over-subscribed weights are rejected — they would silently starve the
+    * trailing splits (an empty test set is exactly the failure this API
+    * exists to prevent).
     *
     * Rows with equal `idCol` values always land in the same split — pass a
-    * group/document key (not a row id) for leakage-safe grouped splits. */
+    * group/document key (not a row id) for leakage-safe grouped splits.
+    * A NULL id hashes to a NULL uniform and is assigned a NULL split (kept,
+    * visibly unassigned) rather than being funneled into one split. */
   def assignSplit(
       df: DataFrame,
       idCol: String,
@@ -42,20 +47,21 @@ object Sampling {
       salt: String = "split"): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     require(splits.forall(_._2 >= 0), "split weights must be non-negative")
-    val u = hashUniform(col(idCol), salt)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
-    // last split takes everything remaining, so rounding in the weight sum
-    // can never leave a row unassigned
+    require(bounds.init.forall(_ <= 1.0),
+      s"split weights over-subscribe [0,1): cumulative bounds $bounds would starve later splits")
+    val u = hashUniform(col(idCol), salt)
     val expr = splits.init.zip(bounds.init).reverse.foldLeft(
       lit(splits.last._1): Column) { case (acc, ((name, _), hi)) =>
       when(u < hi, name).otherwise(acc)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split", when(u.isNotNull, expr))
   }
 
   /** Deterministic Bernoulli sample: keep a row iff its hash-uniform falls
     * under `fraction`. Unlike `df.sample`, membership is a pure function of
-    * (id, salt) — stable under repartitioning and re-runs. */
+    * (id, salt) — stable under repartitioning and re-runs. Rows with a NULL
+    * id are dropped (their uniform is NULL, the filter is not-true). */
   def sampleDeterministic(
       df: DataFrame,
       idCol: String,
@@ -64,8 +70,9 @@ object Sampling {
     df.filter(hashUniform(col(idCol), salt) < lit(fraction))
 
   /** Deterministic stratified sample: per-stratum keep fractions, rows of
-    * unlisted strata are dropped (mirroring `sampleBy`). One per-row filter,
-    * no shuffle — rebalancing class skew in a 100 TB corpus costs one scan. */
+    * unlisted strata are dropped (mirroring `sampleBy`), as are NULL-id
+    * rows. One per-row filter, no shuffle — rebalancing class skew in a
+    * 100 TB corpus costs one scan. */
   def sampleStratified(
       df: DataFrame,
       idCol: String,

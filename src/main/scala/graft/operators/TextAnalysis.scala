@@ -113,15 +113,20 @@ object TextAnalysis {
       textCol: String,
       queryTerms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     require(queryTerms.nonEmpty, "need at least one query term")
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
+    // corpus stats scan the token-length projection once; tf is persisted
+    // (it is tiny — matching (doc, term) pairs only) so the explode lineage
+    // is not re-run for document frequency and scoring
     val stats = toks.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
-    val tf = toks.select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy("id", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val tf = scope.persist(
+      toks.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy("id", "term")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // expression order mirrored literally in the DuckDB oracle — do not
     // re-associate

@@ -8,13 +8,27 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
+  /** Static (pre-execution) plan — what Catalyst commits to at planning
+    * time. Under AQE this is the initial adaptive plan. */
   private def planOf(name: String): String = {
     val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
     spark.catalog.clearCache()
     p
   }
 
+  /** Final plan after execution — includes AQE's runtime re-planning
+    * (join-strategy switches, skew splitting, coalescing). */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
   test("no registered query plans a cartesian product") {
+    // static check on purpose: a cartesian is a planning-time property, and
+    // every query's runtime behavior is already executed by its own spec
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       assert(!planOf(name).contains("CartesianProduct"),
         s"$name degraded to a cartesian product")
@@ -33,13 +47,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("fact-to-dimension joins broadcast the small side") {
-    val p = planOf("x_join_revenue")
+    val p = finalPlanOf("x_join_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension join is not broadcast")
   }
 
   test("LSH band self-joins stay equi hash joins, never nested loops") {
     Seq("x_dedup_minhash", "x_sim_near_dup").foreach { name =>
-      val p = planOf(name)
+      val p = finalPlanOf(name)
       assert(
         p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
           p.contains("ShuffledHashJoin"),

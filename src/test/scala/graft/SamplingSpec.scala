@@ -45,6 +45,16 @@ class SamplingSpec extends SparkSpec {
     assert(!counts.contains("c"))            // unlisted stratum dropped
   }
 
+  test("null ids get a null split, never a silent bucket; oversubscribed weights are rejected") {
+    val withNull = ids.unionByName(Seq(Option.empty[Long]).toDF("id"))
+    val split = Sampling.assignSplit(withNull, "id", Seq("train" -> 0.8, "test" -> 0.2))
+    assert(split.filter(col("id").isNull).select("split").head.isNullAt(0))
+    assert(split.filter(col("split").isNull).count() === 1)
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("train" -> 0.8, "val" -> 0.3, "test" -> 0.1))
+    }
+  }
+
   test("grouped split keeps all rows of a group in one split (leakage safety)") {
     val rows = ids.withColumn("group_id", col("id") % 50)
     val split = Sampling.assignSplit(rows, "group_id", Seq("train" -> 0.7, "test" -> 0.3))
