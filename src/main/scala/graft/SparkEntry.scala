@@ -192,6 +192,8 @@ object SparkEntry {
     "x_text_bm25" -> ((s, d) =>
       TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "vector", "join", "hash"))),
+    "x_text_quality" -> ((s, d) =>
+      TextAnalysis.gopherishFlags(Tables.documents(s, d), "doc_id", "text")),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -704,6 +706,38 @@ object SparkEntry {
         |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
         |  count(*) AS n_terms
         |FROM scored GROUP BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_tokens,
+        |    round(CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS DOUBLE)
+        |          / greatest(len(w), 1), 6) AS mean_token_len,
+        |    round(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |          / greatest(len(w), 1), 6) AS alpha_ratio,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      round(CAST(list_max(map_values(list_aggregate(
+        |        list_transform(range(0, len(w) - 1), i -> array_to_string(w[i+1:i+2], ' ')),
+        |        'histogram'))) AS DOUBLE) / (len(w) - 1), 6)
+        |    ELSE 0.0 END AS top_bigram_ratio,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      round(CAST(list_max(map_values(list_aggregate(
+        |        list_transform(range(0, len(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')),
+        |        'histogram'))) AS DOUBLE) / (len(w) - 2), 6)
+        |    ELSE 0.0 END AS top_trigram_ratio
+        |  FROM toks
+        |)
+        |SELECT doc_id, n_tokens, mean_token_len, alpha_ratio,
+        |       top_bigram_ratio, top_trigram_ratio,
+        |       (n_tokens BETWEEN 20 AND 100000)
+        |       AND (mean_token_len BETWEEN 2.0 AND 12.0)
+        |       AND alpha_ratio >= 0.8
+        |       AND top_bigram_ratio <= 0.30
+        |       AND top_trigram_ratio <= 0.20 AS keep
+        |FROM m""".stripMargin,
     "x_split_assign" ->
       s"""WITH u AS (
          |  SELECT doc_id,

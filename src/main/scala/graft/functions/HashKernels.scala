@@ -102,6 +102,30 @@ object HashKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Top n-gram repetition ratio: the frequency of the most common FULL
+    * n-token window over the count of all full windows (0.0 when the text
+    * has fewer than n tokens). The standard repetition signal in corpus
+    * quality filtering (Gopher/C4-style rules, public literature). One
+    * hash-map pass per row. */
+  def repeatRatio(tokens: ArrayData, n: Int): Double = {
+    val size = tokens.numElements()
+    val total = size - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Int](total * 2)
+    var max = 0
+    var i = 0
+    while (i < total) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+      val c = counts.merge(gram, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toDouble / total.toDouble
+  }
+
   /** SimHash fingerprint over a token array: per-token md5, per-bit
     * weighted majority, `bits`-wide non-negative long. Equals
     * `Dedup.simhash`'s fold value-for-value (bit b reads hex digit b/4,
@@ -172,6 +196,26 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd top-n-gram repetition ratio over a token array column. */
+case class RepeatRatio(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_repeat_ratio"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.repeatRatio(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.repeatRatio($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepeatRatio =
+    copy(child = newChild)
+}
+
 /** Codegen'd SimHash fingerprint over a token array column. */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -200,6 +244,10 @@ object DedupExpressions {
   /** Codegen'd distinct n-gram shingles of an `array<string>` token column. */
   def shinglesOf(tokens: Column, n: Int): Column =
     CatalystBridge.column(Shingles(CatalystBridge.expression(tokens), n))
+
+  /** Codegen'd top-n-gram repetition ratio of an `array<string>` token column. */
+  def repeatRatioOf(tokens: Column, n: Int): Column =
+    CatalystBridge.column(RepeatRatio(CatalystBridge.expression(tokens), n))
 
   /** Codegen'd SimHash fingerprint of an `array<string>` token column. */
   def simhashOf(tokens: Column, bits: Int): Column =

@@ -91,6 +91,69 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), count), i => md5(text.substr(i, lit(k)))))
   }
 
+  /** Frequency of the most common full n-token window over all full
+    * windows — the standard repetition signal for corpus filtering. 0.0
+    * for texts with fewer than n tokens. Codegen'd kernel
+    * ([[graft.functions.RepeatRatio]]); [[topNgramRatioFold]] is the HOF
+    * executable spec. */
+  def topNgramRatio(text: Column, n: Int): Column =
+    round(graft.functions.DedupExpressions.repeatRatioOf(tokens(text), n), 6)
+
+  /** HOF fold form of [[topNgramRatio]] — interpreted; spec/tests only. */
+  def topNgramRatioFold(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val total = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(0), greatest(total - 1, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    when(total <= 0, lit(0.0))
+      .otherwise(round(top.cast("double") / total.cast("double"), 6))
+  }
+
+  /** Fraction of tokens containing at least one ASCII letter (C4-style
+    * "real word" signal). */
+  def alphaTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Gopher/C4-style corpus quality flags (public filtering heuristics):
+    * per-row metrics plus a composite `keep` verdict. Pure per-row
+    * projection — no shuffle; at 100 TB this is a scan-speed pre-filter
+    * that combines with predicate pushdown on any preceding selection.
+    *
+    * Thresholds follow the published shapes (token-count bounds, mean word
+    * length bounds, alphabetic-token minimum, repetition caps) and are
+    * parameters, not constants. */
+  def gopherishFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 20,
+      maxTokens: Int = 100000,
+      minMeanTokenLen: Double = 2.0,
+      maxMeanTokenLen: Double = 12.0,
+      minAlphaRatio: Double = 0.8,
+      maxTopBigramRatio: Double = 0.30,
+      maxTopTrigramRatio: Double = 0.20): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol), t)
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("mean_token_len", meanTokenLen(t))
+      .withColumn("alpha_ratio", alphaTokenRatio(t))
+      .withColumn("top_bigram_ratio", topNgramRatio(t, 2))
+      .withColumn("top_trigram_ratio", topNgramRatio(t, 3))
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+          col("mean_token_len").between(minMeanTokenLen, maxMeanTokenLen) &&
+          col("alpha_ratio") >= minAlphaRatio &&
+          col("top_bigram_ratio") <= maxTopBigramRatio &&
+          col("top_trigram_ratio") <= maxTopTrigramRatio)
+      .drop(textCol)
+  }
+
   /** BM25 relevance of every document against a bag of query terms —
     * the standard lexical ranking function for corpus search / curation
     * (Robertson & Walker's Okapi BM25, public literature).

@@ -84,4 +84,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
     assert(a.count() > 0)
   }
+
+  test("repetition kernel equals the HOF fold; quality flags behave") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select($"text").unionByName(docs.select($"text"))
+    val both = docsReal.select(
+      TextAnalysis.topNgramRatio($"text", 2).as("kernel"),
+      TextAnalysis.topNgramRatioFold($"text", 2).as("fold"))
+    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+
+    val q = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, ("the quick brown fox jumps over one lazy dog and then runs far away " * 3).trim),
+      (3L, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 21")
+    ).toDF("doc_id", "text")
+    val flags = TextAnalysis.gopherishFlags(q, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!flags(1L))  // pure repetition -> top bigram ratio ~1
+    assert(!flags(3L))  // numeric tokens -> alpha ratio 0
+  }
 }
