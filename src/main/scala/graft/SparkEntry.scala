@@ -186,6 +186,11 @@ object SparkEntry {
     "x_sim_near_dup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCos = 0.4, planes = 4, dims = 64, tables = 2)),
+    // ---- extensions: embedding pooling ----
+    "x_emb_meanpool" -> ((s, d) =>
+      Embeddings.meanPoolExact(
+        Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(16))),
+        "grp", "embedding")),
     // ---- extensions: text analysis ----
     "x_text_profile" -> ((s, d) =>
       TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text")),
@@ -681,6 +686,16 @@ object SparkEntry {
         |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
         |)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    "x_emb_meanpool" ->
+      """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
+        |x AS (
+        |  SELECT grp, CAST(i - 1 AS INT) AS i,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM e, range(1, 65) t(i)
+        |)
+        |SELECT grp, i,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean
+        |FROM x GROUP BY grp, i""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_text_bm25" ->
       """WITH toks AS (

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Embedding pooling: per-group element-wise centroids of an
+  * `array<float>` column — the standard reduction for building
+  * user/document/cluster representations out of item embeddings.
+  *
+  * Two forms:
+  *
+  *  - [[meanPool]] — typed [[Aggregator]] summing into a dims-wide double
+  *    buffer: map-side partial aggregation, ONE shuffle of a dims-length
+  *    vector per (partition, group) — the 100 TB path. Float addition is
+  *    re-associated by partial aggregation, so results are deterministic
+  *    only to ~1e-15 relative; fine for ML, not for hash comparison.
+  *  - [[meanPoolExact]] — posexplode + DECIMAL sums per (group, dim):
+  *    order-independent bit-exact results (the oracle-checkable form).
+  *    Shuffles dims× more rows; the executable specification.
+  */
+object Embeddings {
+
+  /** Bit-exact mean pooling in long format: (grp, i, mean) per group and
+    * 0-based dimension. Decimal sums are order-independent; mean is a
+    * single double division rounded to 6. */
+  def meanPoolExact(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy("grp", "i")
+      .agg(
+        round((sum(col("v").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))), 6).as("mean"))
+
+  /** Bounded-state mean-vector aggregator: O(dims) per group regardless of
+    * group size, map-side combine before the shuffle. Buffer is a plain
+    * (sums, count) tuple — the sums array is mutated in place, only the
+    * tiny tuple shell reallocates per row. */
+  private final class MeanVecAgg(dims: Int)
+      extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+    override def zero: (Array[Double], Long) = (new Array[Double](dims), 0L)
+    override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+      if (v == null) b
+      else {
+        require(v.length == dims, s"expected $dims-dim vector, got ${v.length}")
+        var i = 0
+        while (i < dims) { b._1(i) += v(i); i += 1 }
+        (b._1, b._2 + 1)
+      }
+    }
+    override def merge(
+        a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dims) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(b: (Array[Double], Long)): Array[Double] = {
+      if (b._2 == 0L) return null
+      val out = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { out(i) = b._1(i) / b._2; i += 1 }
+      out
+    }
+    override def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** Scale-path mean pooling: (grp, centroid array<double>, n_members).
+    * Null vectors are skipped; a group of only nulls pools to null. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String, dims: Int): DataFrame = {
+    val agg = udaf(new MeanVecAgg(dims))
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(
+        agg(col(vecCol)).as("centroid"),
+        count(col(vecCol)).as("n_members"))
+  }
+}

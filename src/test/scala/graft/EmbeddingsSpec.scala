@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Embeddings
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .withColumn("grp", pmod(col("vec_id"), lit(8)))
+
+  test("aggregator mean pooling matches the exact decimal form within 1e-9") {
+    val exact = Embeddings.meanPoolExact(emb, "grp", "embedding")
+    val fast = Embeddings.meanPool(emb, "grp", "embedding", dims = 64)
+      .select(col("grp"), posexplode(col("centroid")).as(Seq("i", "m")))
+    val joined = exact.join(fast, Seq("grp", "i"))
+    assert(joined.count() === 8L * 64L)
+    // the exact form rounds to 6 places, so agreement is bounded by 5e-7
+    val maxErr = joined.agg(max(abs(col("mean") - col("m")))).as[Double].head()
+    assert(maxErr < 5.1e-7, s"maxErr=$maxErr")
+  }
+
+  test("mean pooling is stable under repartitioning (exact form bit-equal)") {
+    val a = Embeddings.meanPoolExact(emb, "grp", "embedding")
+    val b = Embeddings.meanPoolExact(emb.repartition(17), "grp", "embedding")
+    assert(a.exceptAll(b).count() === 0)
+  }
+
+  test("null vectors are skipped; all-null group pools to null") {
+    val withNulls = Seq(
+      (1L, Array(1.0f, 3.0f)), (1L, Array(3.0f, 5.0f))
+    ).toDF("grp", "embedding")
+      .unionByName(Seq((1L, Option.empty[Array[Float]]), (2L, Option.empty[Array[Float]]))
+        .toDF("grp", "embedding"))
+    val got = Embeddings.meanPool(withNulls, "grp", "embedding", dims = 2)
+      .orderBy("grp").collect()
+    assert(got(0).getSeq[Double](1) === Seq(2.0, 4.0))
+    assert(got(0).getLong(2) === 2L)
+    assert(got(1).isNullAt(1) && got(1).getLong(2) === 0L)
+  }
+}
