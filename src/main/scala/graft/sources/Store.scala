@@ -51,6 +51,21 @@ object Store {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Binary-file ingestion for multimodal pipelines: each matching file
+    * becomes a row (path, modificationTime, length, content) with the raw
+    * bytes as a `binary` column — the entry point that feeds
+    * [[graft.operators.Multimodal]]. `globFilter` restricts by extension
+    * (e.g. "*.png"); Spark's `spark.sql.sources.binaryFile.maxLength`
+    * bounds per-file size so an oversized blob fails fast instead of
+    * OOMing an executor mid-task. */
+  def readBinaryFiles(
+      spark: SparkSession,
+      path: String,
+      globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).load(path)
+  }
+
   /** ORC scan — second columnar interchange format (predicate pushdown and
     * column pruning apply the same as Parquet). */
   def readOrc(spark: SparkSession, path: String): DataFrame =

@@ -43,6 +43,25 @@ class StoreSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("binaryFile ingestion reads blobs with metadata and honors the glob") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    java.nio.file.Files.write(dir.resolve("a.png"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.png"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("c.txt"), Array[Byte](6))
+    val all = Store.readBinaryFiles(spark, dir.toString)
+    assert(all.count() === 3)
+    val pngs = Store.readBinaryFiles(spark, dir.toString, Some("*.png"))
+      .select($"path", $"length", $"content")
+    assert(pngs.count() === 2)
+    val a = pngs.filter($"path".endsWith("a.png")).head
+    assert(a.getLong(1) === 3L)
+    assert(a.getAs[Array[Byte]](2).toSeq === Seq[Byte](1, 2, 3))
+    // feeds the multimodal path directly
+    val media = graft.operators.Multimodal.decodeMetaSql(
+      pngs.select(monotonically_increasing_id().as("id"), $"content".as("payload")))
+    assert(media.count() === 2)
+  }
+
   test("bucket-pruned read finds the key and scans one partition") {
     val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
     Store.writeStoreBucketed(enriched, path, buckets = 16)
