@@ -20,24 +20,29 @@ object Bench {
     // Each query runs twice and scores its MIN: profiling showed a ~15s
     // transient stall that lands on a random query in some runs (no full
     // GCs in -Xlog:gc, stall moves between queries across runs) — min-of-2
-    // measures steady-state plan cost instead of scheduler weather. Cold
-    // (first-run) times are reported alongside for transparency.
-    val raw = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      def once(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            Some(e.getClass.getSimpleName)
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        // queries persist intermediate frames; drop them (outside the timed
-        // window) so no run pays another run's cache pressure
-        spark.catalog.clearCache()
-        (sec, err)
+    // measures steady-state plan cost instead of scheduler weather. The two
+    // runs are separate FULL PASSES over the query list (not back-to-back
+    // pairs): the stall is bursty in time, so temporal separation keeps one
+    // burst from poisoning both runs of the same query. Cold (first-pass)
+    // times are reported alongside for transparency.
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(e.getClass.getSimpleName)
       }
-      val (s1, e1) = once()
-      val (s2, e2) = once()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // queries persist intermediate frames; drop them (outside the timed
+      // window) so no run pays another run's cache pressure
+      spark.catalog.clearCache()
+      (sec, err)
+    }
+    val queries = SparkEntry.queries.toSeq
+    val pass1 = queries.map { case (name, fn) => once(name, fn) }
+    val pass2 = queries.map { case (name, fn) => once(name, fn) }
+    val raw = queries.zip(pass1).zip(pass2).map { case (((name, _), (s1, e1)), (s2, e2)) =>
       (name, math.min(s1, s2), s1, e1.orElse(e2))
     }
     val okTimes = raw.collect { case (_, sec, _, None) => sec }

@@ -360,6 +360,25 @@ object Similarity {
     rankTopK(scored, k, idType)
   }
 
+  /** Recall@k of an approximate top-k result against the exact one: the
+    * fraction of each query's true top-k the approximate method returned,
+    * averaged over queries. Both inputs are (query_id, corpus_id, …, rank)
+    * frames as produced by [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]].
+    * This is the tuning loop for planes/tables/nprobe: measure, adjust,
+    * re-measure — never ship bucket parameters on faith. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
+    val e = exact.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val a = approx.filter(col("rank") <= k).select("query_id", "corpus_id")
+    val perQuery = e.join(a, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hit"))
+    val nQueries = e.select("query_id").distinct().count()
+    if (nQueries == 0) return 1.0
+    // sum over an empty frame yields null — zero overlap, not a crash
+    val hits = Option(perQuery.agg(sum(col("hit"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    hits.toDouble / (nQueries.toDouble * k)
+  }
+
   /** Size-aware near-dup: derives `planes` from the corpus count so bucket
     * count grows with the data (one extra count job). */
   def embeddingNearDupPairsAuto(

@@ -153,4 +153,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
     assert(Similarity.autoPlanes(100000000L, 1024) === 17)
   }
+
+  test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.limit(5)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+    assert(Similarity.recallAtK(exact, exact, 10) === 1.0)
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 10,
+      planes = 4, dims = 64, tables = 4)
+    val r = Similarity.recallAtK(approx, exact, 10)
+    assert(r > 0.0 && r <= 1.0, s"recall=$r")
+    // disjoint results -> recall 0, no crash on the empty-overlap sum
+    import spark.implicits._
+    val fakeA = Seq((999L, 9999L, 1.0, 1)).toDF("query_id", "corpus_id", "cos", "rank")
+    assert(Similarity.recallAtK(fakeA, exact, 10) === 0.0)
+  }
 }
