@@ -199,6 +199,8 @@ object SparkEntry {
         Seq("spark", "vector", "join", "hash"))),
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.gopherishFlags(Tables.documents(s, d), "doc_id", "text")),
+    "x_text_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(Tables.documents(s, d), "text")),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -753,6 +755,21 @@ object SparkEntry {
         |       AND top_bigram_ratio <= 0.30
         |       AND top_trigram_ratio <= 0.20 AS keep
         |FROM m""".stripMargin,
+    "x_text_report" ->
+      """WITH toks AS (
+        |  SELECT text, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |),
+        |d AS (SELECT text, len(w) AS n_tok FROM toks)
+        |SELECT count(*) AS n_docs,
+        |  count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+        |  count(CASE WHEN length(text) = 0 THEN 1 END) AS n_empty,
+        |  quantile_cont(n_tok, 0.5) AS tokens_p50,
+        |  quantile_cont(n_tok, 0.9) AS tokens_p90,
+        |  quantile_cont(n_tok, 0.99) AS tokens_p99,
+        |  round(CAST(sum(CAST(n_tok AS DECIMAL(28,6))) AS DOUBLE) / count(n_tok), 6)
+        |    AS tokens_mean
+        |FROM d""".stripMargin,
     "x_split_assign" ->
       s"""WITH u AS (
          |  SELECT doc_id,

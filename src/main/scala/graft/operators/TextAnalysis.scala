@@ -206,6 +206,29 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
   }
 
+  /** One-row corpus report — the numbers a dataset card leads with: doc
+    * count, empty/null counts, token-count percentiles and mean. Uses
+    * EXACT percentiles (cross-engine verifiable); swap in
+    * `approx_percentile` at the 100 TB scale where a full sort of token
+    * counts is not worth it (same schema, sketch-accurate values). Mean is
+    * a decimal sum (order-independent) over a single aggregation — one
+    * job, one reduce. */
+  def corpusReport(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    df.select(t.as("text"))
+      .withColumn("n_tok", nTok)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(t.isNull, 1)).as("n_null"),
+        count(when(length(t) === 0, 1)).as("n_empty"),
+        percentile(col("n_tok"), lit(0.5)).as("tokens_p50"),
+        percentile(col("n_tok"), lit(0.9)).as("tokens_p90"),
+        percentile(col("n_tok"), lit(0.99)).as("tokens_p99"),
+        round(sum(col("n_tok").cast("decimal(28,6)")).cast("double") /
+          count(col("n_tok")), 6).as("tokens_mean"))
+  }
+
   /** One-stop profile of a document table. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -103,4 +103,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!flags(1L))  // pure repetition -> top bigram ratio ~1
     assert(!flags(3L))  // numeric tokens -> alpha ratio 0
   }
+
+  test("corpusReport: exact percentiles, nulls and empties counted apart") {
+    val corpus = (Seq.tabulate(9)(i => ("w " * (i + 1)).trim) :+ "")
+      .map(Option(_)).:+(Option.empty[String]).toDF("text")
+    val r = TextAnalysis.corpusReport(corpus, "text").head
+    assert(r.getAs[Long]("n_docs") === 11L)
+    assert(r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Long]("n_empty") === 1L)
+    // token counts over non-null texts: 1..9 and 0 -> p50 of {0,1,...,9} = 4.5
+    assert(r.getAs[Double]("tokens_p50") === 4.5)
+    assert(r.getAs[Double]("tokens_mean") === 4.5)
+  }
 }
