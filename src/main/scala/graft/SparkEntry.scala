@@ -696,7 +696,7 @@ object SparkEntry {
         |  FROM e, range(1, 65) t(i)
         |)
         |SELECT grp, i,
-        |  round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(v), 6) AS mean
         |FROM x GROUP BY grp, i""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_text_bm25" ->

@@ -29,8 +29,10 @@ object Embeddings {
     df.select(col(groupCol).as("grp"), posexplode(col(vecCol)).as(Seq("i", "v")))
       .groupBy("grp", "i")
       .agg(
+        // count(v), not count(*): a null ELEMENT must drop out of both the
+        // sum and the denominator (mirrors the oracle's count(v))
         round((sum(col("v").cast("double").cast("decimal(28,12)")).cast("double") /
-          count(lit(1))), 6).as("mean"))
+          count(col("v"))), 6).as("mean"))
 
   /** Bounded-state mean-vector aggregator: O(dims) per group regardless of
     * group size, map-side combine before the shuffle. Buffer is a plain

@@ -48,7 +48,10 @@ object Sampling {
     require(splits.nonEmpty, "need at least one split")
     require(splits.forall(_._2 >= 0), "split weights must be non-negative")
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
-    require(bounds.init.forall(_ <= 1.0),
+    // the FULL cumulative sum must stay within [0,1] (tiny epsilon for
+    // float accumulation, e.g. 0.8+0.1+0.1): excess in any position —
+    // including the last split's own weight — silently truncates it
+    require(bounds.forall(_ <= 1.0 + 1e-9),
       s"split weights over-subscribe [0,1): cumulative bounds $bounds would starve later splits")
     val u = hashUniform(col(idCol), salt)
     val expr = splits.init.zip(bounds.init).reverse.foldLeft(

@@ -367,16 +367,22 @@ object Similarity {
     * This is the tuning loop for planes/tables/nprobe: measure, adjust,
     * re-measure — never ship bucket parameters on faith. */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): Double = {
-    val e = exact.filter(col("rank") <= k).select("query_id", "corpus_id")
-    val a = approx.filter(col("rank") <= k).select("query_id", "corpus_id")
-    val perQuery = e.join(a, Seq("query_id", "corpus_id"), "left_semi")
-      .groupBy("query_id").agg(count(lit(1)).as("hit"))
-    val nQueries = e.select("query_id").distinct().count()
-    if (nQueries == 0) return 1.0
-    // sum over an empty frame yields null — zero overlap, not a crash
-    val hits = Option(perQuery.agg(sum(col("hit"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    hits.toDouble / (nQueries.toDouble * k)
+    // persist the exact side: it is the expensive frame in the tuning loop
+    // and feeds both the per-query counts and the overlap semi-join
+    val e = exact.filter(col("rank") <= k).select("query_id", "corpus_id").persist()
+    try {
+      val hits = e.join(approx.filter(col("rank") <= k).select("query_id", "corpus_id"),
+          Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hit"))
+      // denominator is each query's ACTUAL exact-result count (the true
+      // top-k can be shorter than k on small corpora / excludeSelf) — a
+      // fixed k would understate recall and drive over-expensive params
+      val perQuery = e.groupBy("query_id").agg(count(lit(1)).as("n"))
+        .join(hits, Seq("query_id"), "left_outer")
+        .select((coalesce(col("hit"), lit(0L)).cast("double") / col("n")).as("r"))
+      val row = perQuery.agg(avg(col("r"))).head
+      if (row.isNullAt(0)) 1.0 else row.getDouble(0) // no queries -> vacuous 1.0
+    } finally e.unpersist(blocking = false)
   }
 
   /** Size-aware near-dup: derives `planes` from the corpus count so bucket

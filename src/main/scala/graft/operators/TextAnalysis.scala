@@ -214,10 +214,11 @@ object TextAnalysis {
     * a decimal sum (order-independent) over a single aggregation — one
     * job, one reduce. */
   def corpusReport(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val nTok = tokenCount(t)
-    df.select(t.as("text"))
-      .withColumn("n_tok", nTok)
+    // rebind to the aliased name — referencing textCol after the select
+    // would only resolve when textCol happens to be "text"
+    val t = col("text")
+    df.select(col(textCol).as("text"))
+      .withColumn("n_tok", tokenCount(t))
       .agg(
         count(lit(1)).as("n_docs"),
         count(when(t.isNull, 1)).as("n_null"),

@@ -59,7 +59,7 @@ class DedupSpec extends SparkSpec {
     val both = docsReal.select(
       Dedup.shingles($"text", 3).as("kernel"),
       Dedup.shinglesFold($"text", 3).as("fold"))
-    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+    assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
   }
 
   test("codegen'd minhash kernel equals the HOF fold on real documents") {
@@ -68,7 +68,7 @@ class DedupSpec extends SparkSpec {
       .select(
         graft.functions.DedupExpressions.minhashSig($"sh", 8).as("kernel"),
         Dedup.minhashSignatureFold($"sh", 8).as("fold"))
-    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+    assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
   }
 
   test("codegen'd simhash kernel equals the HOF fold on real documents") {
@@ -76,7 +76,7 @@ class DedupSpec extends SparkSpec {
     val both = docsReal.select(
       Dedup.simhash($"text", 16).as("kernel"),
       Dedup.simhashFold($"text", 16).as("fold"))
-    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+    assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
   }
 
   test("simhash: identical docs equal; near dup within small hamming distance") {

@@ -91,7 +91,7 @@ class TextAnalysisSpec extends SparkSpec {
     val both = docsReal.select(
       TextAnalysis.topNgramRatio($"text", 2).as("kernel"),
       TextAnalysis.topNgramRatioFold($"text", 2).as("fold"))
-    assert(both.filter($"kernel" =!= $"fold").count() === 0)
+    assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
 
     val q = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
