@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill to tmpfs: /tmp is disk-backed here and periodic
+      // writeback stalls showed up as multi-second bursts on random
+      // queries (a cluster uses local SSDs; tmpfs is the single-node twin)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (classloading, codegen, parquet reader) on an uncounted
