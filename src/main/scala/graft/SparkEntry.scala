@@ -163,6 +163,9 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minSim = 0.1)),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", n = 3, k = 8, bands = 4)),
+    "x_dedup_minhash_verified" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, minSim = 0.3)),
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text", bits = 16)),
     // ---- extensions: similarity search ----
@@ -546,6 +549,40 @@ object SparkEntry {
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.key = b.key AND a.id < b.id""".stripMargin,
+    "x_dedup_minhash_verified" ->
+      s"""$docShinglesCte,
+         |sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(0, 8),
+         |      j -> list_min(list_transform(shingles,
+         |             s -> md5(concat(CAST(j AS VARCHAR), '#', s))))) AS sig
+         |  FROM sh
+         |),
+         |banded AS (
+         |  SELECT id, g.band,
+         |         md5(array_to_string(sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM sig, generate_series(0, 3) g(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         |),
+         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN ex a ON a.id = c.id_a
+         |  JOIN ex b ON b.id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3""".stripMargin,
     "x_dedup_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w

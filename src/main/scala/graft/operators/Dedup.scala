@@ -173,6 +173,39 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH near-duplicates with exact verification — the production
+    * composition: LSH banding bounds candidate generation (bucket join,
+    * never all-pairs), then TRUE Jaccard over each candidate's distinct
+    * shingles removes LSH false positives. Per-pair verify cost is
+    * candidates × shingles-per-doc, never corpus². Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= minSim. */
+  def minhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      minSim: Double = 0.5,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, n, k, bands, scope)
+    val sh = scope.persist(
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+        .select(col("id"), conv(md5(col("s")).substr(1, 15), 16, 10).cast("long").as("sh")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.toDF("id_a", "sh"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */
   private def hexDigitVal(hex: Column, pos: Column): Column =
     conv(hex.substr(pos, lit(1)), 16, 10).cast("int")

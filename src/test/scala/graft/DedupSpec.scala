@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 3L)))
   }
 
+  test("verified near-dups keep true duplicates and drop false-positive candidates") {
+    val got = Dedup.minhashNearDuplicates(docs, "doc_id", "text", n = 3, k = 8, bands = 4,
+      minSim = 0.3).select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)))          // exact dup survives, jaccard 1.0
+    assert(got.find(r => (r._1, r._2) == (1L, 2L)).get._3 === 1.0)
+    assert(pairs.contains((1L, 3L)))          // near dup survives
+    assert(got.forall(_._3 >= 0.3))           // every pair is exact-verified
+  }
+
   test("codegen'd shingles kernel equals the HOF fold on real documents") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
       .select($"text").unionByName(docs.select($"text")) // include edge cases
