@@ -29,6 +29,27 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(streamed).count() === 0)
   }
 
+  test("stateless curation operators run unchanged on a stream (quality + dedup hash)") {
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val dir = Files.createTempDirectory("graft-stream-curate").toString
+    batch.write.parquet(s"$dir/in")
+
+    // the whole per-row curation layer is stateless projections, so the
+    // SAME operator calls work on a streaming frame with no changes
+    val stream = StreamingHistorization.readParquetStream(spark, s"$dir/in", batch.schema)
+    val curated = graft.operators.TextAnalysis.gopherishFlags(stream, "doc_id", "text")
+      .withColumn("split", graft.operators.Sampling.hashUniform(col("doc_id"), "split"))
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("curated")
+    val expected = graft.operators.TextAnalysis.gopherishFlags(batch, "doc_id", "text")
+      .withColumn("split", graft.operators.Sampling.hashUniform(col("doc_id"), "split"))
+    assert(streamed.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(streamed).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch twin on closed sessions") {
     val batch = graft.sources.Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("graft-sessions").toString
