@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSig, SimHash}
+import graft.functions.{DotProduct, MinHashSig, RepeatRatio, Shingles, SimHash}
 
 /** SQL-surface registration of graft's native expressions, so SQL-string
   * pipelines can call them like built-ins:
@@ -48,7 +48,16 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokens, bits) - bits-wide SimHash fingerprint"),
       { case Seq(arr, b) => SimHash(arr, intLit(b, "graft_simhash", "bits"))
-        case args => throw new IllegalArgumentException(s"graft_simhash expects 2 args, got ${args.size}") })
+        case args => throw new IllegalArgumentException(s"graft_simhash expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, n) - distinct word n-gram shingles"),
+      { case Seq(arr, n) => Shingles(arr, intLit(n, "graft_shingles", "n"))
+        case args => throw new IllegalArgumentException(s"graft_shingles expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_repeat_ratio"),
+      info("graft_repeat_ratio",
+        "graft_repeat_ratio(tokens, n) - top full-n-gram frequency over all full n-grams"),
+      { case Seq(arr, n) => RepeatRatio(arr, intLit(n, "graft_repeat_ratio", "n"))
+        case args => throw new IllegalArgumentException(s"graft_repeat_ratio expects 2 args, got ${args.size}") })
   )
 
   /** Register on a live session (tests, REPL, existing sessions). */

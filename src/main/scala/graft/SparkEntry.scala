@@ -189,6 +189,16 @@ object SparkEntry {
     "x_sim_near_dup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCos = 0.4, planes = 4, dims = 64, tables = 2)),
+    // ---- extensions: salted skew join (oracle = the plain join it must
+    // be row-identical to; returnflag has 3 values -> maximal key skew) ----
+    "x_skew_join" -> ((s, d) => {
+      val li = liProj(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("returnflag"), col("quantity"))
+      val dim = li.groupBy("returnflag").agg(
+        count(lit(1)).as("n_flag"),
+        sum(col("quantity")).cast("double").as("sum_qty"))
+      SkewJoin.saltedInnerJoin(li.drop("quantity"), dim, Seq("returnflag"), salt = 8)
+    }),
     // ---- extensions: embedding pooling ----
     "x_emb_meanpool" -> ((s, d) =>
       Embeddings.meanPoolExact(
@@ -725,6 +735,19 @@ object SparkEntry {
         |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
         |)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    "x_skew_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS returnflag,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS quantity
+        |  FROM lineitem
+        |),
+        |dim AS (
+        |  SELECT returnflag, count(*) AS n_flag,
+        |         CAST(sum(quantity) AS DOUBLE) AS sum_qty
+        |  FROM li GROUP BY returnflag
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, returnflag, d.n_flag, d.sum_qty
+        |FROM li l JOIN dim d USING (returnflag)""".stripMargin,
     "x_emb_meanpool" ->
       """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
         |x AS (

@@ -36,4 +36,13 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("integer literal") || err.getMessage.contains("graft_minhash"))
   }
+
+  test("graft_shingles / graft_repeat_ratio from SQL equal the Column API forms") {
+    val sqlRes = spark.sql(
+      """SELECT graft_shingles(split('a b c d', ' '), 3) AS sh,
+        |       graft_repeat_ratio(split('x y x y x y', ' '), 2) AS rr""".stripMargin).head
+    assert(sqlRes.getSeq[String](0) === Seq("a b c", "b c d"))
+    // bigrams of x y x y x y: "x y" x3, "y x" x2 of 5 full windows -> 0.6
+    assert(sqlRes.getDouble(1) === 0.6)
+  }
 }
