@@ -252,6 +252,16 @@ object SparkEntry {
       AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
         rightPrefix = "p_", rightTieBreak = Some("event_id"))
     }),
+    "x_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "event_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", rightTieBreak = Some("event_id"),
+        tolerance = Some("30 MINUTES"))
+    }),
     // ---- extensions: event analytics (batch twins of the streaming path) ----
     "x_events_tumbling" -> ((s, d) => EventAnalytics.tumblingAgg(Tables.events(s, d), 60)),
     "x_events_running" -> ((s, d) => EventAnalytics.userRunning(Tables.events(s, d))),
@@ -879,6 +889,24 @@ object SparkEntry {
         |)
         |SELECT l.user_id, l.event_id, l.ts, r.p_event_id, r.p_ts, r.p_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.p_ts""".stripMargin,
+    "x_asof_tolerance" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |r AS (
+        |  SELECT user_id, event_id AS p_event_id, CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |m AS (
+        |  SELECT l.user_id, l.event_id, l.ts, r.p_event_id, r.p_ts, r.p_value
+        |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.p_ts
+        |)
+        |SELECT user_id, event_id, ts,
+        |  CASE WHEN p_ts >= ts - INTERVAL 30 MINUTES THEN p_event_id END AS p_event_id,
+        |  CASE WHEN p_ts >= ts - INTERVAL 30 MINUTES THEN p_ts END AS p_ts,
+        |  CASE WHEN p_ts >= ts - INTERVAL 30 MINUTES THEN p_value END AS p_value
+        |FROM m""".stripMargin,
     "x_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |  CASE WHEN text IS NULL THEN NULL ELSE

@@ -32,6 +32,12 @@ object AsOfJoin {
     * @param rightPrefix prefix for right-side output columns (all right
     *                    columns except the keys are emitted, prefixed)
     * @param rightTieBreak right column ordering ties on (key, rightTs)
+    * @param tolerance   optional staleness bound (SQL interval body, e.g.
+    *                    "30 MINUTES"): a match older than `leftTs -
+    *                    tolerance` is discarded (right columns null), the
+    *                    standard bounded-lookback variant (pandas
+    *                    merge_asof `tolerance`). Applied as a post-window
+    *                    null-out — plan shape and cost are unchanged.
     */
   def asOf(
       left: DataFrame,
@@ -40,7 +46,9 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightPrefix: String = "right_",
-      rightTieBreak: Option[String] = None): DataFrame = {
+      rightTieBreak: Option[String] = None,
+      tolerance: Option[String] = None): DataFrame = {
+    require(!keys.contains(rightTs), "rightTs cannot be a join key")
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rightPayload.map(col): _*)
     val rStructType = right.select(rStruct.as("r")).schema("r").dataType
@@ -73,8 +81,14 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__isLeft").asc, col("__tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    val carried = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    // a stale match (null field access -> null condition -> null struct)
+    // degrades to the unmatched case, preserving left-outer semantics
+    val bounded = tolerance.fold(carried)(tol => carried.withColumn("__match",
+      when(col("__match." + rightTs) >= col("__ts") - expr(s"INTERVAL $tol"),
+        col("__match"))))
+    bounded
       .filter(col("__isLeft"))
       .select(
         left.columns.toSeq.map(c => col("__l." + c).as(c)) ++

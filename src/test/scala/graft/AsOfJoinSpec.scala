@@ -90,4 +90,20 @@ class AsOfJoinSpec extends SparkSpec {
     val got = AsOfJoin.asOf(trades, withNullTs, Seq("sym"), "t", "t", rightPrefix = "q_")
     assert(got.filter($"trade_id" === 4L).select("q_px").collect().head.isNullAt(0))
   }
+
+  test("tolerance nulls out matches older than the bound, keeps fresh ones") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val l = Seq((1L, 100L, ts(50)), (2L, 101L, ts(50))).toDF("k", "lid", "ts")
+    val r = Seq((1L, 900L, ts(45)), (2L, 901L, ts(10))).toDF("k", "rid", "ts")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "ts", "ts", rightPrefix = "r_",
+        tolerance = Some("30 MINUTES"))
+      .select("k", "r_rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(900L))  // 5 minutes old: within bound
+    assert(got(2L) === None)        // 40 minutes old: stale, nulled
+    // without tolerance both match
+    val loose = AsOfJoin.asOf(l, r, Seq("k"), "ts", "ts", rightPrefix = "r_")
+      .select("k", "r_rid").as[(Long, Option[Long])].collect().toMap
+    assert(loose(2L) === Some(901L))
+  }
 }
