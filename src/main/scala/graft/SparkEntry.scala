@@ -214,6 +214,9 @@ object SparkEntry {
       TextAnalysis.gopherishFlags(Tables.documents(s, d), "doc_id", "text")),
     "x_text_report" -> ((s, d) =>
       TextAnalysis.corpusReport(Tables.documents(s, d), "text")),
+    "x_text_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -793,6 +796,14 @@ object SparkEntry {
         |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
         |  count(*) AS n_terms
         |FROM scored GROUP BY doc_id""".stripMargin,
+    // generated from the same pattern list the operator uses, so query and
+    // oracle cannot drift; DuckDB needs the 'g' flag for replace-all
+    "x_text_redact" -> {
+      val chain = TextAnalysis.piiPatterns.foldLeft("text") { case (acc, (tag, p)) =>
+        s"regexp_replace($acc, '$p', '<$tag>', 'g')"
+      }
+      s"SELECT doc_id, $chain AS redacted FROM documents"
+    },
     "x_text_quality" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w

@@ -206,6 +206,24 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
   }
 
+  /** PII redaction patterns (C4-style pre-processing; public patterns).
+    * Restricted to the regex subset that means the same thing in Java
+    * regex and RE2-style engines (no lookaround, no backrefs; greedy
+    * quantifiers over character classes): email, IPv4, E.164-ish
+    * international phone. Order matters — email first so its local part
+    * is not half-eaten by the phone pattern. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("IPV4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("PHONE", "\\+[0-9]{7,15}"))
+
+  /** Replace every PII match with its `<TYPE>` tag. Per-row codegen'd
+    * `regexp_replace` chain — no shuffle, scan-speed. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (tag, p)) =>
+      regexp_replace(c, p, s"<$tag>")
+    }
+
   /** One-row corpus report — the numbers a dataset card leads with: doc
     * count, empty/null counts, token-count percentiles and mean. Uses
     * EXACT percentiles (cross-engine verifiable); swap in

@@ -115,4 +115,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("tokens_p50") === 4.5)
     assert(r.getAs[Double]("tokens_mean") === 4.5)
   }
+
+  test("redactPii tags emails, IPv4s and intl phones, leaves clean text alone") {
+    val rows = Seq(
+      "contact me at jane.doe+x@example.co.uk today",
+      "server 192.168.1.254 responded",
+      "call +4915123456789 now",
+      "nothing sensitive here 12.5 percent"
+    ).toDF("text").select(TextAnalysis.redactPii($"text").as("r")).as[String].collect()
+    assert(rows(0) === "contact me at <EMAIL> today")
+    assert(rows(1) === "server <IPV4> responded")
+    assert(rows(2) === "call <PHONE> now")
+    assert(rows(3) === "nothing sensitive here 12.5 percent")
+  }
 }
