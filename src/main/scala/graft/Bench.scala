@@ -10,9 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // shuffle/spill to tmpfs: /tmp is disk-backed here and periodic
       // writeback stalls showed up as multi-second bursts on random
-      // queries (a cluster uses local SSDs; tmpfs is the single-node twin)
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
+      // queries (a cluster uses local SSDs; tmpfs is the single-node
+      // twin). Fall back to the JVM default where /dev/shm is absent.
+      .config("spark.local.dir", Harness.localDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (classloading, codegen, parquet reader) on an uncounted

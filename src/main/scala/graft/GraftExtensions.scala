@@ -14,6 +14,8 @@ import graft.functions.{DotProduct, MinHashSig, RepeatRatio, Shingles, SimHash}
   *  - `graft_dot(a, b)` — codegen'd array dot product
   *  - `graft_minhash(shingles, k)` — MinHash signature (k: int literal)
   *  - `graft_simhash(tokens, bits)` — SimHash fingerprint (bits: int literal)
+  *  - `graft_shingles(tokens, n)` — distinct word n-gram shingles
+  *  - `graft_repeat_ratio(tokens, n)` — top full-n-gram frequency ratio
   *
   * Production path: `spark.sql.extensions=graft.GraftExtensions` (applied
   * at session build). For an existing session or REPL,

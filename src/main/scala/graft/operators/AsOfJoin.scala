@@ -48,7 +48,9 @@ object AsOfJoin {
       rightPrefix: String = "right_",
       rightTieBreak: Option[String] = None,
       tolerance: Option[String] = None): DataFrame = {
-    require(!keys.contains(rightTs), "rightTs cannot be a join key")
+    // only the tolerance path reads the right ts out of the carried payload
+    require(tolerance.isEmpty || !keys.contains(rightTs),
+      "rightTs cannot be a join key when tolerance is set")
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rightPayload.map(col): _*)
     val rStructType = right.select(rStruct.as("r")).schema("r").dataType
@@ -85,8 +87,10 @@ object AsOfJoin {
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
     // a stale match (null field access -> null condition -> null struct)
     // degrades to the unmatched case, preserving left-outer semantics
+    // cast like the ordering path does — the payload keeps rightTs in its
+    // original type (epoch long / string ts columns are supported)
     val bounded = tolerance.fold(carried)(tol => carried.withColumn("__match",
-      when(col("__match." + rightTs) >= col("__ts") - expr(s"INTERVAL $tol"),
+      when(col("__match." + rightTs).cast("timestamp") >= col("__ts") - expr(s"INTERVAL $tol"),
         col("__match"))))
     bounded
       .filter(col("__isLeft"))

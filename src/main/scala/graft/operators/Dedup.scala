@@ -68,6 +68,38 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** 60-bit digest-prefix hash of a shingle string: an 8-byte primitive
+    * join/shuffle key instead of multi-word text (collision odds ~n²/2⁶¹
+    * — vanishing against the shuffle volume it saves at 100 TB). */
+  private def shingleHash(s: Column): Column =
+    conv(md5(s).substr(1, 15), 16, 10).cast("long")
+
+  /** Exploded (id, sh) hashed-shingle frame over distinct shingles. */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), shingleHash(col("s")).as("sh"))
+
+  /** Jaccard scoring tail shared by the all-pairs and candidate-verify
+    * paths: per-doc distinct-shingle sizes joined onto intersection
+    * counts, thresholded. */
+  private def scoreJaccard(inter: DataFrame, sizes: DataFrame, minSim: Double): DataFrame =
+    inter
+      .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Distinct candidate pairs from an exploded (id, band, key) frame:
+    * the band-key equi-join that makes LSH candidate generation bounded. */
+  private def bandPairs(banded: DataFrame): DataFrame =
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
   /** Candidate near-duplicate pairs by n-gram Jaccard similarity.
     *
     * Distinct shingles per doc are exploded and self-joined; shingles whose
@@ -87,14 +119,8 @@ object Dedup {
       maxShingleDocFreq: Long = 1000,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     // sh feeds the doc-frequency filter, both self-join sides and the size
-    // aggregate — persist so shingling runs once, not four times. The join
-    // key is a 60-bit digest prefix, not the shingle text: the self-join
-    // shuffles 8-byte longs instead of multi-word strings and hash-joins on
-    // primitives (collision odds ~n²/2⁶¹ — vanishing against the shuffle
-    // volume it saves at 100 TB).
-    val sh = scope.persist(
-      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-        .select(col("id"), conv(md5(col("s")).substr(1, 15), 16, 10).cast("long").as("sh")))
+    // aggregate — persist so shingling runs once, not four times
+    val sh = scope.persist(hashedShingles(df, idCol, textCol, n))
     val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
     val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
@@ -105,13 +131,7 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
 
-    inter
-      .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= minSim)
-      .select("id_a", "id_b", "jaccard")
+    scoreJaccard(inter, sizes, minSim)
   }
 
   /** MinHash signature: k md5-based min-hashes over the distinct n-gram
@@ -166,11 +186,7 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, k).as("sig"))
     val banded = scope.persist(sig.select(col("id"),
       posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key"))))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bandPairs(banded)
   }
 
   /** MinHash-LSH near-duplicates with exact verification — the production
@@ -188,22 +204,25 @@ object Dedup {
       bands: Int = 4,
       minSim: Double = 0.5,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, n, k, bands, scope)
-    val sh = scope.persist(
-      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
-        .select(col("id"), conv(md5(col("s")).substr(1, 15), 16, 10).cast("long").as("sh")))
+    require(k % bands == 0, "bands must divide k")
+    // ONE shingle pass: the persisted array frame feeds both the signature
+    // chain (candidates) and the exact-verify explode — the kernel never
+    // runs twice over the corpus
+    val shArr = scope.persist(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs")))
+    val sig = shArr.select(col("id"),
+      graft.functions.DedupExpressions.minhashSig(col("shs"), k).as("sig"))
+    val banded = scope.persist(sig.select(col("id"),
+      posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key"))))
+    val cand = bandPairs(banded)
+    val sh = shArr.select(col("id"), explode(col("shs")).as("s"))
+      .select(col("id"), shingleHash(col("s")).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(sh.toDF("id_a", "sh"), Seq("id_a"))
       .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
-      .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") / (col("sh_a") + col("sh_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= minSim)
-      .select("id_a", "id_b", "jaccard")
+    scoreJaccard(inter, sizes, minSim)
   }
 
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */

@@ -215,7 +215,10 @@ object TextAnalysis {
   val piiPatterns: Seq[(String, String)] = Seq(
     ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
     ("IPV4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
-    ("PHONE", "\\+[0-9]{7,15}"))
+    // digits with optional single separators ([ .-]), ending on a digit:
+    // covers "+49 151 234 5678" / "+1-555-123-4567" as well as compact
+    // E.164. Over-redaction beats leaving phone numbers in a corpus.
+    ("PHONE", "\\+[0-9][0-9 .-]{5,18}[0-9]"))
 
   /** Replace every PII match with its `<TYPE>` tag. Per-row codegen'd
     * `regexp_replace` chain — no shuffle, scan-speed. */
