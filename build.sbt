@@ -15,6 +15,10 @@ run / fork := true
 // mains print a machine-parsed JSON line that must not carry sbt's
 // "[info] " logger prefix.
 run / outputStrategy := Some(StdoutOutput)
+// The bench harness parses the LAST stdout line as JSON; sbt's trailing
+// "[success] Total time: …" line lands after the metric line and breaks
+// that parse. Suppress it so the metric JSON is the final line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,14 +22,16 @@ object Bench {
     // A failing query must not score as a speedup: record the error and
     // charge a penalty equal to the slowest successful query (min 60s).
     //
-    // Each query runs twice and scores its MIN: profiling showed a ~15s
-    // transient stall that lands on a random query in some runs (no full
-    // GCs in -Xlog:gc, stall moves between queries across runs) — min-of-2
-    // measures steady-state plan cost instead of scheduler weather. The two
-    // runs are separate FULL PASSES over the query list (not back-to-back
-    // pairs): the stall is bursty in time, so temporal separation keeps one
-    // burst from poisoning both runs of the same query. Cold (first-pass)
-    // times are reported alongside for transparency.
+    // Each query runs three times and scores its MIN: profiling showed a
+    // ~15s transient stall that lands on a random query in some runs (no
+    // full GCs in -Xlog:gc, stall moves between queries across runs) —
+    // min-of-N measures steady-state plan cost instead of scheduler
+    // weather. The runs are separate FULL PASSES over the query list (not
+    // back-to-back repeats): the stall is bursty in time, so temporal
+    // separation keeps one burst from poisoning every run of the same
+    // query; three passes survive the observed worst case of the burst
+    // hitting the same query twice. Cold (first-pass) times are reported
+    // alongside for transparency.
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -45,10 +47,10 @@ object Bench {
       (sec, err)
     }
     val queries = SparkEntry.queries.toSeq
-    val pass1 = queries.map { case (name, fn) => once(name, fn) }
-    val pass2 = queries.map { case (name, fn) => once(name, fn) }
-    val raw = queries.zip(pass1).zip(pass2).map { case (((name, _), (s1, e1)), (s2, e2)) =>
-      (name, math.min(s1, s2), s1, e1.orElse(e2))
+    val passes = (1 to 3).map(_ => queries.map { case (name, fn) => once(name, fn) })
+    val raw = queries.zipWithIndex.map { case ((name, _), i) =>
+      val runs = passes.map(_(i))
+      (name, runs.map(_._1).min, runs.head._1, runs.flatMap(_._2).headOption)
     }
     val okTimes = raw.collect { case (_, sec, _, None) => sec }
     val penalty = math.max(60.0, if (okTimes.nonEmpty) okTimes.max else 60.0)

@@ -30,6 +30,25 @@ object SparkEntry {
   private val gradesCsvPath: String =
     sys.env.getOrElse("GRAFT_GRADES_CSV", "/root/reference/data/grades_full.csv")
 
+  /** Fixture dir for the real-binary-file ingestion check (query and oracle
+    * both read this value, so they cannot disagree on the path). */
+  private val mediaFixtureDir: String =
+    sys.env.getOrElse("GRAFT_MEDIA_FIXTURE_DIR", "/tmp/graft_media_fixture")
+
+  /** (Re)write a deterministic 16-file binary fixture: file i holds the 16
+    * raw md5 bytes of "graft-media#i" — full 0..255 byte range, identical on
+    * every run, so ingesting it is oracle-checkable without shipping test
+    * data in the repo. */
+  private[graft] def writeMediaFixture(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    (0 until 16).foreach { i =>
+      val bytes = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft-media#$i".getBytes("UTF-8"))
+      java.nio.file.Files.write(p.resolve(f"f$i%02d.bin"), bytes)
+    }
+  }
+
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
   private def cur1 = Currents(ts1)
@@ -168,6 +187,9 @@ object SparkEntry {
         n = 3, k = 8, bands = 4, minSim = 0.3)),
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text", bits = 16)),
+    "x_dedup_simhash_near" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, maxHamming = 2)),
     // ---- extensions: similarity search ----
     "x_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -189,6 +211,12 @@ object SparkEntry {
     "x_sim_near_dup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCos = 0.4, planes = 4, dims = 64, tables = 2)),
+    // size-derived bucket count: planes = autoPlanes(count, 64) — the
+    // copy-paste template that still holds at unknown corpus scale (the
+    // oracle mirrors the derivation with a scalar count() subquery)
+    "x_sim_near_dup_auto" -> ((s, d) =>
+      Similarity.embeddingNearDupPairsAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCos = 0.4, dims = 64, tables = 2, targetPerBucket = 64)),
     // ---- extensions: salted skew join (oracle = the plain join it must
     // be row-identical to; returnflag has 3 values -> maximal key skew) ----
     "x_skew_join" -> ((s, d) => {
@@ -226,6 +254,17 @@ object SparkEntry {
         Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
         .select("event_id", "event_type")),
     // ---- extensions: multimodal plumbing ----
+    // real files on disk through the binaryFile source (not text-as-binary):
+    // a deterministic fixture is (re)written driver-side, Spark ingests the
+    // raw bytes, DuckDB's read_blob reads the same files as the oracle
+    "x_media_binary" -> ((s, _) => {
+      writeMediaFixture(mediaFixtureDir)
+      Store.readBinaryFiles(s, mediaFixtureDir, Some("*.bin"))
+        .select(
+          substring_index(col("path"), "/", -1).as("name"),
+          col("length").as("byte_len"),
+          lower(hex(col("content"))).as("content_hex"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -412,6 +451,28 @@ object SparkEntry {
        |  SELECT * FROM changed_cur UNION ALL BY NAME
        |  SELECT * FROM changed_new
        |)""".stripMargin
+
+  /** SimHash fingerprint CTE (16-bit, mirrors the kernel bit-for-bit) shared
+    * by the grouping and Hamming-neighborhood oracles. `fp` is the
+    * null-coalesced BIGINT fingerprint. */
+  private val simhashFpCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+      |  FROM documents
+      |),
+      |fp0 AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 16), b ->
+      |      CASE WHEN list_sum(list_transform(w, t ->
+      |             (CAST(floor((strpos('0123456789abcdef',
+      |                         substring(md5(t), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+      |                  / pow(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)) > 0
+      |           THEN CAST(pow(2, 15 - b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS simhash
+      |  FROM toks
+      |),
+      |fp AS (
+      |  SELECT doc_id, CAST(coalesce(simhash, 0) AS BIGINT) AS fp FROM fp0
+      |)""".stripMargin
 
   /** Document tokenization / shingling CTEs shared by the dedup oracles. */
   private val docShinglesCte: String =
@@ -607,23 +668,27 @@ object SparkEntry {
          |JOIN sizes sb ON sb.id = id_b
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3""".stripMargin,
     "x_dedup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
-        |  FROM documents
-        |),
-        |fp AS (
-        |  SELECT doc_id,
-        |    list_sum(list_transform(range(0, 16), b ->
-        |      CASE WHEN list_sum(list_transform(w, t ->
-        |             (CAST(floor((strpos('0123456789abcdef',
-        |                         substring(md5(t), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
-        |                  / pow(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)) > 0
-        |           THEN CAST(pow(2, 15 - b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS simhash
-        |  FROM toks
-        |)
-        |SELECT CAST(coalesce(simhash, 0) AS BIGINT) AS simhash,
-        |       min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM fp GROUP BY 1""".stripMargin,
+      s"""$simhashFpCte
+         |SELECT fp AS simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM fp GROUP BY 1""".stripMargin,
+    "x_dedup_simhash_near" -> {
+      // blocks generated from the SAME (lo, width) computation the operator
+      // uses (Dedup.hammingBlocks) — query and oracle cannot drift
+      val blocks = Dedup.hammingBlocks(16, 2).zipWithIndex.map { case ((lo, w), j) =>
+        s"SELECT doc_id AS id, fp, $j AS blk, (fp >> $lo) & ${(1L << w) - 1} AS bval FROM fp"
+      }.mkString("\n  UNION ALL ")
+      s"""$simhashFpCte,
+         |blocked AS (
+         |  $blocks
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+         |  FROM blocked a JOIN blocked b
+         |    ON a.blk = b.blk AND a.bval = b.bval AND a.id < b.id
+         |)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2""".stripMargin
+    },
     "x_sim_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

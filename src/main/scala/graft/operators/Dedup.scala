@@ -265,9 +265,65 @@ object Dedup {
   }
 
   /** Group documents by SimHash fingerprint: returns (simhash, n_docs,
-    * keep_id) for every fingerprint bucket. */
+    * keep_id) for every fingerprint bucket. Catches only EXACT fingerprint
+    * collisions — for the Hamming-neighborhood near-dups SimHash exists for,
+    * use [[simhashNearDuplicates]]. */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
     df.select(col(idCol), simhash(col(textCol), bits).as("simhash"))
       .groupBy("simhash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** (lo bit, width) of each pigeonhole block when a `bits`-wide fingerprint
+    * is cut into `maxHamming + 1` near-equal blocks. Shared by the operator
+    * and its oracle-SQL generation so the two cannot drift. */
+  private[graft] def hammingBlocks(bits: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val nBlocks = maxHamming + 1
+    val widths = (0 until nBlocks).map(j => bits / nBlocks + (if (j < bits % nBlocks) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance.
+    *
+    * Candidate generation is pigeonhole blocking (the standard multi-table
+    * SimHash index, Manku et al., WWW'07): the fingerprint is cut into
+    * `maxHamming + 1` bit blocks — two fingerprints within `maxHamming`
+    * differing bits MUST agree exactly on at least one block, so candidates
+    * come from an equi-join on (block index, block value) and the operator
+    * is exhaustive (every true pair is a candidate), never an all-pairs
+    * product. An exact `bit_count(xor)` verify then drops the false
+    * positives, so blocking is invisible in the output.
+    *
+    * Scale shape: per block, work is Σ bucket² over 2^width buckets — at a
+    * fixed corpus the knob is `bits` (wider fingerprint → wider blocks →
+    * smaller buckets; the kernel supports up to 32). Blocked frames are
+    * persisted through `scope` so the fingerprint kernel runs once, not once
+    * per self-join side.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
+    *         (0 = identical fingerprints, a superset of [[simhashGroups]]).
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      maxHamming: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < bits, "need 1 <= maxHamming < bits")
+    val blockCols = hammingBlocks(bits, maxHamming).zipWithIndex.map { case ((lo, w), j) =>
+      struct(lit(j).as("blk"),
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
+    }
+    val blocked = scope.persist(
+      df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
+        .select(col("id"), col("fp"), explode(array(blockCols: _*)).as("b"))
+        .select(col("id"), col("fp"), col("b.blk").as("blk"), col("b.bval").as("bval")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates(Seq("id_a", "id_b"))
+  }
 }
