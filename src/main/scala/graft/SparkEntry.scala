@@ -42,6 +42,17 @@ object SparkEntry {
   private[graft] def writeMediaFixture(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(p)
+    // drop stale *.bin first: the ingest glob (and the oracle's read_blob)
+    // match ALL .bin files, so leftovers from an older naming scheme would
+    // silently diverge query and oracle
+    val listing = java.nio.file.Files.list(p)
+    try {
+      val stale = listing.iterator()
+      while (stale.hasNext) {
+        val f = stale.next()
+        if (f.getFileName.toString.endsWith(".bin")) java.nio.file.Files.delete(f)
+      }
+    } finally listing.close()
     (0 until 16).foreach { i =>
       val bytes = java.security.MessageDigest.getInstance("MD5")
         .digest(s"graft-media#$i".getBytes("UTF-8"))
@@ -813,6 +824,44 @@ object SparkEntry {
         |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
         |)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    // same bucketed-pairs shape as x_sim_near_dup, but `planes` is the
+    // size-derived value: a params CTE mirrors Similarity.autoPlanes
+    // (ceil(ln(max(n/targetPerBucket, 1))/ln 2), floored at 1) with
+    // targetPerBucket = 64 — identical IEEE double math on both engines
+    "x_sim_near_dup_auto" ->
+      """WITH params AS (
+        |  SELECT greatest(1, CAST(ceil(ln(greatest(count(*) / 64.0, 1.0)) / ln(2.0)) AS INT)) AS planes
+        |  FROM embeddings
+        |),
+        |v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, params.planes), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * params.planes + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t), params
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id
+        |),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(va.vv[i] AS DOUBLE) * CAST(vb.vv[i] AS DOUBLE)))
+        |          / (va.nrm * vb.nrm), 6) AS cos
+        |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
+        |)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
     "x_skew_join" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_returnflag AS returnflag,
@@ -935,6 +984,13 @@ object SparkEntry {
          |WHERE u < CASE event_type
          |  WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.1 WHEN 'purchase' THEN 1.0
          |  ELSE NULL END""".stripMargin,
+    // DuckDB reads the same on-disk fixture files the Spark query ingests;
+    // the shared mediaFixtureDir value keeps the two paths in sync
+    "x_media_binary" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS name,
+         |       size AS byte_len,
+         |       lower(hex(content)) AS content_hex
+         |FROM read_blob('$mediaFixtureDir/*.bin')""".stripMargin,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(length(text) AS INT) AS "byteLen",

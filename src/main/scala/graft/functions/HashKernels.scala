@@ -127,9 +127,9 @@ object HashKernels {
   }
 
   /** SimHash fingerprint over a token array: per-token md5, per-bit
-    * weighted majority, `bits`-wide non-negative long. Equals
-    * `Dedup.simhash`'s fold value-for-value (bit b reads hex digit b/4,
-    * shift 3-(b%4)). */
+    * weighted majority, `bits`-wide long (bits <= 64; at 64 the sign bit
+    * carries fingerprint bit 0). Equals `Dedup.simhash`'s fold
+    * value-for-value (bit b reads hex digit b/4, shift 3-(b%4)). */
   def simhash(tokens: ArrayData, bits: Int): Long = {
     val md = mdLocal.get()
     val n = tokens.numElements()

@@ -238,13 +238,15 @@ object Dedup {
     pmod(floor(digit / pow(lit(2.0), shift.cast("double"))).cast("int"), lit(2))
   }
 
-  /** SimHash fingerprint over whitespace tokens: `bits`-wide (max 32,
+  /** SimHash fingerprint over whitespace tokens: `bits`-wide (max 64,
     * default 16) weighted-majority of per-token md5 bits, returned as a
-    * non-negative long. Near-duplicate texts land on equal or
-    * Hamming-close fingerprints; exact-grouping by the fingerprint is a
-    * single shuffle of (fingerprint, id). */
+    * long (bit 0 of the fingerprint is the long's bit `bits-1`, so at
+    * bits = 64 the sign bit carries fingerprint bit 0 — consumers use
+    * unsigned shifts / xor, never magnitude). Near-duplicate texts land on
+    * equal or Hamming-close fingerprints; exact-grouping by the fingerprint
+    * is a single shuffle of (fingerprint, id). */
   def simhash(text: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     graft.functions.DedupExpressions.simhashOf(tokens(text), bits)
   }
 
@@ -252,14 +254,19 @@ object Dedup {
     * all bit balances; the executable specification the codegen'd kernel is
     * property-tested against. */
   def simhashFold(text: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 32, "bits must be in [1, 32]")
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
     val digests = transform(tokens(text), t => md5(t))
     val balances = aggregate(digests, array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
         (bal, b) => bal + md5Bit(h, b) * 2 - 1))
     aggregate(
       zip_with(balances, sequence(lit(bits - 1), lit(0), lit(-1)),
-        (bal, pos) => when(bal > 0, pow(lit(2.0), pos.cast("double")).cast("long"))
+        // pow(2, 63) does not survive a double->long cast (saturates at
+        // Long.MaxValue), so the sign bit is set directly; positions <= 62
+        // are exact powers of two in a double
+        (bal, pos) => when(bal > 0,
+          when(pos === lit(63), lit(Long.MinValue))
+            .otherwise(pow(lit(2.0), pos.cast("double")).cast("long")))
           .otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
   }
@@ -295,7 +302,7 @@ object Dedup {
     *
     * Scale shape: per block, work is Σ bucket² over 2^width buckets — at a
     * fixed corpus the knob is `bits` (wider fingerprint → wider blocks →
-    * smaller buckets; the kernel supports up to 32). Blocked frames are
+    * smaller buckets; the kernel supports up to 64). Blocked frames are
     * persisted through `scope` so the fingerprint kernel runs once, not once
     * per self-join side.
     *

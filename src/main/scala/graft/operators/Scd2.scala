@@ -216,9 +216,13 @@ object Scd2 {
     * Deviation recorded (SURVEY.md §7.4#5): the literal reference code
     * (SCDHelpers.py:312) tests `VALID_TO > '9999-12-31'`, which can never be
     * true; the documented intent (:307-308) is to split *at* the bound, so
-    * hist = strictly before it. */
+    * hist = strictly before it.
+    *
+    * Total: null `VALID_TO` (unreachable post-merge, but possible on raw
+    * input) lands on the hist side — `< bound` alone would drop such rows
+    * from BOTH halves, so hist.count + active.count always equals df.count. */
   def splitMergedDataset(df: DataFrame): (DataFrame, DataFrame) = {
-    val hist   = df.filter(col(ValidTo) < upperBound)
+    val hist   = df.filter(col(ValidTo) < upperBound || col(ValidTo).isNull)
     val active = df.filter(col(ValidTo) === upperBound)
     (hist, active)
   }
