@@ -44,21 +44,27 @@ object SparkEntry {
     java.nio.file.Files.createDirectories(p)
     // drop stale *.bin first: the ingest glob (and the oracle's read_blob)
     // match ALL .bin files, so leftovers from an older naming scheme would
-    // silently diverge query and oracle
+    // silently diverge query and oracle. Materialize the listing before
+    // deleting — DirectoryStream iteration concurrent with deletion is only
+    // weakly consistent and provider-dependent.
     val listing = java.nio.file.Files.list(p)
-    try {
-      val stale = listing.iterator()
-      while (stale.hasNext) {
-        val f = stale.next()
-        if (f.getFileName.toString.endsWith(".bin")) java.nio.file.Files.delete(f)
-      }
-    } finally listing.close()
+    val stale =
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        listing.forEach(f => if (f.getFileName.toString.endsWith(".bin")) b += f)
+        b.result()
+      } finally listing.close()
+    stale.foreach(java.nio.file.Files.delete)
     (0 until 16).foreach { i =>
       val bytes = java.security.MessageDigest.getInstance("MD5")
         .digest(s"graft-media#$i".getBytes("UTF-8"))
       java.nio.file.Files.write(p.resolve(f"f$i%02d.bin"), bytes)
     }
   }
+
+  /** Harness entry point: (re)write the media fixture without running any
+    * query, so oracle-side consumers never depend on query execution order. */
+  private[graft] def ensureMediaFixture(): Unit = writeMediaFixture(mediaFixtureDir)
 
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
@@ -207,15 +213,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
+    // params measured, not guessed: recall@10 = 0.90 on the sf0.01
+    // embeddings (SimilaritySpec pins a 0.6 CI floor on exactly these)
     "x_sim_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
-        "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 4, dims = 64)
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        planes = 2, dims = 64, tables = 4)
     }),
+    // recall@10 = 0.70 at sf0.01 (same CI floor applies)
     "x_sim_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-        "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 4)
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
     }),
     // 2^4 buckets per table × 2 OR'd tables: bucket count sized for the
     // sf0.01/sf0.1 corpus (use embeddingNearDupPairsAuto at unknown scale)
@@ -720,29 +730,38 @@ object SparkEntry {
         |)
         |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    // 4 OR'd tables x 2 planes, global plane index t*2+p — exactly
+    // srpBucketKeys(planes = 2, tables = 4); candidate pairs are
+    // de-duplicated across tables before scoring, like lshTopK
     "x_sim_ann_lsh" ->
-      """WITH b AS (
-        |  SELECT vec_id AS id, embedding AS v,
-        |    array_to_string(list_transform(range(0, 4), p ->
-        |      CASE WHEN list_sum(list_transform(range(1, 65),
-        |             i -> CAST(embedding[i] AS DOUBLE) *
-        |                  ((strpos('0123456789abcdef',
-        |                     substring(md5(concat(CAST(p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
-        |                    - 1) % 2 * 2 - 1))) > 0
-        |      THEN '1' ELSE '0' END), '') AS bucket
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
         |  FROM embeddings
         |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 2), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 2 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 3) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |                    AND q.id < 5 AND q.id <> c.id
+        |),
         |scored AS (
-        |  SELECT q.id AS query_id, c.id AS corpus_id,
-        |    round(
-        |      list_sum(list_transform(range(1, 65),
-        |        i -> CAST(q.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) /
-        |      (sqrt(list_sum(list_transform(range(1, 65),
-        |        i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(range(1, 65),
-        |        i -> CAST(c.v[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE)))))
-        |    , 6) AS cos
-        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.id < 5 AND q.id <> c.id
+        |  SELECT query_id, corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(vq.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+        |          / (vq.nrm * vc.nrm), 6) AS cos
+        |  FROM cand JOIN v vq ON vq.id = query_id JOIN v vc ON vc.id = corpus_id
         |),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -779,7 +798,7 @@ object SparkEntry {
         |  SELECT id AS query_id, vv AS qv, nrm AS qn, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
         |    FROM pairs WHERE id < 5
-        |  ) WHERE rn <= 4
+        |  ) WHERE rn <= 8
         |),
         |scored AS (
         |  SELECT p.query_id, a.id AS corpus_id,
@@ -826,11 +845,12 @@ object SparkEntry {
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
     // same bucketed-pairs shape as x_sim_near_dup, but `planes` is the
     // size-derived value: a params CTE mirrors Similarity.autoPlanes
-    // (ceil(ln(max(n/targetPerBucket, 1))/ln 2), floored at 1) with
-    // targetPerBucket = 64 — identical IEEE double math on both engines
+    // (ceil(ln(max(n/targetPerBucket, 1))/ln 2 - 1e-9), floored at 1) with
+    // targetPerBucket = 64 — the shared epsilon absorbs 1-ulp ln()
+    // divergence between engines at exact-power-of-two bucket counts
     "x_sim_near_dup_auto" ->
       """WITH params AS (
-        |  SELECT greatest(1, CAST(ceil(ln(greatest(count(*) / 64.0, 1.0)) / ln(2.0)) AS INT)) AS planes
+        |  SELECT greatest(1, CAST(ceil(ln(greatest(count(*) / 64.0, 1.0)) / ln(2.0) - 1e-9) AS INT)) AS planes
         |  FROM embeddings
         |),
         |v AS (

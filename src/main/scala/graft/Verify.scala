@@ -17,6 +17,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the x_media_binary oracle reads the on-disk fixture; write it here,
+    // not only inside the query closure, so an oracle-first (or single-
+    // query) run on a clean machine still finds the files
+    SparkEntry.ensureMediaFixture()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

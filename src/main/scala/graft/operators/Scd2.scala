@@ -219,11 +219,13 @@ object Scd2 {
     * hist = strictly before it.
     *
     * Total: null `VALID_TO` (unreachable post-merge, but possible on raw
-    * input) lands on the hist side — `< bound` alone would drop such rows
-    * from BOTH halves, so hist.count + active.count always equals df.count. */
+    * input) lands on the ACTIVE side — in the common SCD2 convention a null
+    * VALID_TO marks the open/current row, and either way `< bound` alone
+    * would drop such rows from BOTH halves. hist.count + active.count
+    * always equals df.count. */
   def splitMergedDataset(df: DataFrame): (DataFrame, DataFrame) = {
-    val hist   = df.filter(col(ValidTo) < upperBound || col(ValidTo).isNull)
-    val active = df.filter(col(ValidTo) === upperBound)
+    val hist   = df.filter(col(ValidTo) < upperBound)
+    val active = df.filter(col(ValidTo) === upperBound || col(ValidTo).isNull)
     (hist, active)
   }
 }

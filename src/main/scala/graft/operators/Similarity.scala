@@ -134,7 +134,11 @@ object Similarity {
     * O(n² / 2^planes) with a constant plane count. */
   def autoPlanes(n: Long, targetPerBucket: Long = 1024L): Int = {
     val buckets = math.max(1.0, n.toDouble / math.max(1L, targetPerBucket).toDouble)
-    math.max(1, math.ceil(math.log(buckets) / math.log(2.0)).toInt)
+    // the 1e-9 guard keeps ceil() stable across engines: when buckets is an
+    // exact power of two, a 1-ulp ln() divergence (e.g. DuckDB vs java.lang
+    // .Math) would otherwise flip the plane count and diverge every bucket;
+    // the oracle SQL subtracts the same epsilon
+    math.max(1, math.ceil(math.log(buckets) / math.log(2.0) - 1e-9).toInt)
   }
 
   /** Rank scored (query_id, corpus_id, cos) rows to per-query top-k.

@@ -101,6 +101,22 @@ class Scd2Spec extends SparkSpec {
     assert(hist.select("k").as[String].head() === "a")
   }
 
+  test("splitMergedDataset is total: null VALID_TO routes to active, counts preserved") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    val s2 = snapshot(Seq("a" -> "2", "b" -> "2"), c2)
+    val v2 = Scd2.historizeDataset(s2, Some(v1), c2, ValidFromMode.LoadDate)
+    // raw input convention: a null VALID_TO marks the open/current row
+    val withNull = v2.unionByName(
+      snapshot(Seq("z" -> "9"), c1)
+        .withColumn(ValidFrom, to_date(lit("2024-01-01")))
+        .withColumn(ValidTo, lit(null).cast("date")))
+    val (hist, active) = Scd2.splitMergedDataset(withNull)
+    assert(hist.count() + active.count() === withNull.count())
+    assert(active.filter($"k" === "z").count() === 1)
+    assert(hist.filter(col(ValidTo).isNull).count() === 0)
+  }
+
   test("custom valid-from mode stamps the supplied date on new keys") {
     val s1 = snapshot(Seq("a" -> "1"), c1)
     val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.Custom("2020-06-01"))

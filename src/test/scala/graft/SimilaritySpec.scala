@@ -154,6 +154,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanes(100000000L, 1024) === 17)
   }
 
+  test("CI recall floor: shipped lshTopK and ivfTopK params reach recall@10 >= 0.6 at sf0.01") {
+    // The exact parameters SparkEntry registers for x_sim_ann_lsh / x_sim_ivf,
+    // measured on the sf0.01 embeddings. This is the gate that fails when
+    // someone degrades planes/tables/centroids/nprobe without re-measuring:
+    // a silent parameter regression must not pass CI.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val lsh = Similarity.lshTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10,
+      planes = 2, dims = 64, tables = 4) // = SparkEntry x_sim_ann_lsh (measured 0.90)
+    val rLsh = Similarity.recallAtK(lsh, exact, 10)
+    assert(rLsh >= 0.6, s"shipped LSH params recall@10=$rLsh < 0.6 — re-tune before shipping")
+    val ivf = Similarity.ivfTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10,
+      centroids = 16, nprobe = 8) // = SparkEntry x_sim_ivf (measured 0.70)
+    val rIvf = Similarity.recallAtK(ivf, exact, 10)
+    assert(rIvf >= 0.6, s"shipped IVF params recall@10=$rIvf < 0.6 — re-tune before shipping")
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5)
