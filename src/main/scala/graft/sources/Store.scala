@@ -115,6 +115,35 @@ object Store {
       .write.mode("overwrite").partitionBy(KeyBucket).parquet(path)
   }
 
+  /** Spark-bucketed TABLE layout: `bucketBy(KEY_HASH)` + `sortBy` through the
+    * catalog. Unlike [[writeStoreBucketed]] (directory partitioning — prunes
+    * point reads but carries no partitioning metadata), a bucketed table
+    * records its hash distribution in the catalog, so a join or aggregation
+    * keyed on KEY_HASH reads this side with NO Exchange at all — the scan IS
+    * the shuffle output. This is the store layout the SCD2 merge wants at
+    * 100 TB: run N's full-outer join shuffles only the (much smaller)
+    * incoming snapshot; the accumulated store never moves.
+    *
+    * `buckets` should match the cluster's effective join parallelism; the
+    * snapshot side is exchanged to the bucket count. */
+  def writeStoreTable(
+      df: DataFrame,
+      table: String,
+      buckets: Int = 256,
+      path: Option[String] = None): Unit = {
+    require(buckets >= 1 && buckets <= 65536, "buckets must be in [1, 65536]")
+    val writer = df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, MetaColumns.KeyHash)
+      .sortBy(MetaColumns.KeyHash)
+    path.fold(writer)(p => writer.option("path", p)).saveAsTable(table)
+  }
+
+  /** Catalog read of a [[writeStoreTable]] store — carries the bucketing
+    * metadata the bucketed-join elision relies on. */
+  def readStoreTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Bucket-pruned read of the rows that can contain `keyHash`: resolves the
     * bucket driver-side and reads only that directory's row groups. */
   def readStoreBucket(spark: SparkSession, path: String, keyHash: String, buckets: Int = 256): DataFrame = {

@@ -62,6 +62,53 @@ class StoreSpec extends SparkSpec {
     assert(media.count() === 2)
   }
 
+  test("bucketed-table SCD2 round trip: store side joins with no Exchange, result matches in-memory chain") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.Scd2
+    import graft.operators.Scd2.ValidFromMode
+
+    val c1 = Currents("2024-01-01 10:00:00")
+    val c2 = Currents("2024-02-15 10:30:00")
+    val enr1 = MetaEnrichment.addMetaColumns(
+      (1 to 500).map(i => (s"k$i", s"v${i % 7}")).toDF("k", "v"), c1, Seq("k"))
+    val v1 = Scd2.historizeDataset(enr1, None, c1, ValidFromMode.LoadDate)
+
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2_table").toString + "/store"
+    Store.writeStoreTable(v1, "graft_scd2_e2e", buckets = 4, path = Some(path))
+    val enr2 = MetaEnrichment.addMetaColumns(
+      (1 to 520).map(i => (s"k$i", s"v${i % 5}")).toDF("k", "v"), c2, Seq("k"))
+
+    // AQE off for the plan inspection: the adaptive wrapper hides the tree
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val current = Store.readStoreTable(spark, "graft_scd2_e2e")
+      val fromStore = Scd2.mergeScd2Fast(current, enr2, c2, ValidFromMode.LoadDate)
+      val expected = Scd2.historizeDataset(enr2, Some(v1), c2, ValidFromMode.LoadDate)
+      assert(fromStore.count() === expected.count())
+      assert(fromStore.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(fromStore).count() === 0)
+
+      // the scale claim itself: the store scan keeps its bucketed
+      // distribution and no shuffle sits anywhere above it — only the
+      // incoming snapshot side is exchanged
+      val plan = fromStore.queryExecution.executedPlan
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(bucketedScans.nonEmpty, "store read lost its bucketed-scan form")
+      val shuffledStoreReads = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty => e
+      }
+      assert(shuffledStoreReads.isEmpty,
+        s"bucketed store side is being shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_scd2_e2e")
+    }
+  }
+
   test("bucket-pruned read finds the key and scans one partition") {
     val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
     Store.writeStoreBucketed(enriched, path, buckets = 16)
