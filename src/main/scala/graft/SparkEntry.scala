@@ -207,6 +207,16 @@ object SparkEntry {
     "x_dedup_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    // benchmark decontamination: every 20th doc plays the eval set, the
+    // rest is the training corpus; 3-gram collision flags contamination
+    // (same shingle derivation as the dedup family / docShinglesCte)
+    "x_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, minHits = 1)
+    }),
     // ---- extensions: similarity search ----
     "x_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -266,6 +276,19 @@ object SparkEntry {
     "x_text_redact" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))),
+    // intra-doc repetition removal: collapse consecutive duplicate tokens
+    "x_text_collapse" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.collapseTokenRuns(col("text")).as("collapsed"))),
+    // ---- extensions: sequence packing (context-window assembly) ----
+    "x_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512L, shards = 8)),
+    "x_pack_summary" -> ((s, d) =>
+      Packing.packSummary(
+        Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+          budget = 512L, shards = 8),
+        budget = 512L)),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -710,6 +733,83 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2""".stripMargin
     },
+    // token-run collapsing: keep w[i] iff it differs from w[i-1] (i = 1
+    // always kept; w[0] is NULL in DuckDB's 1-based lists, and NULL <>
+    // never passes, so the i = 1 arm carries the first token)
+    "x_text_collapse" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(list_transform(range(1, len(w) + 1),
+        |    i -> CASE WHEN i = 1 OR w[i] <> w[i-1] THEN w[i] END),
+        |    x -> x IS NOT NULL), ' ') AS collapsed
+        |FROM toks""".stripMargin,
+    // contiguous-fill packing: pack = floor(preceding-cumsum / budget)
+    // within an id-ordered shard window — byte-identical window semantics
+    // in Spark and DuckDB
+    "x_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT doc_id, shard, n_tokens, pack_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
+        |    AS pack_pos
+        |FROM p""".stripMargin,
+    "x_pack_summary" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / 512.0, 6) AS fill_ratio
+        |FROM p GROUP BY shard, pack_id""".stripMargin,
+    "x_decontaminate" ->
+      s"""$docShinglesCte,
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |train AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 <> 0
+         |),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_hits
+         |  FROM train t JOIN bench USING (s) GROUP BY 1
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_shingles,
+         |       coalesce(h.n_hits, 0) AS n_hits,
+         |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles, 6) AS contamination,
+         |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
     "x_sim_topk" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

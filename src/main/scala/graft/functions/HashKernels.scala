@@ -126,6 +126,26 @@ object HashKernels {
     max.toDouble / total.toDouble
   }
 
+  /** Collapse runs of consecutive identical tokens to at most `maxRun`
+    * occurrences ("a a a b a" → "a b a" at maxRun = 1) — intra-document
+    * repetition removal, the token-level sibling of C4's duplicate-line
+    * drop. One pass, first `maxRun` of each run survive, order preserved. */
+  def collapseRuns(tokens: ArrayData, maxRun: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var prev: UTF8String = null
+    var run = 0
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (prev != null && t.equals(prev)) run += 1
+      else { run = 1; prev = t }
+      if (run <= maxRun) out.add(t)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** SimHash fingerprint over a token array: per-token md5, per-bit
     * weighted majority, `bits`-wide long (bits <= 64; at 64 the sign bit
     * carries fingerprint bit 0). Equals `Dedup.simhash`'s fold
@@ -216,6 +236,26 @@ case class RepeatRatio(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd consecutive-duplicate-run collapsing over a token array column. */
+case class CollapseRuns(child: Expression, maxRun: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_collapse_runs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.collapseRuns(input.asInstanceOf[ArrayData], maxRun)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.collapseRuns($c, $maxRun)")
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseRuns =
+    copy(child = newChild)
+}
+
 /** Codegen'd SimHash fingerprint over a token array column. */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -252,4 +292,8 @@ object DedupExpressions {
   /** Codegen'd SimHash fingerprint of an `array<string>` token column. */
   def simhashOf(tokens: Column, bits: Int): Column =
     CatalystBridge.column(SimHash(CatalystBridge.expression(tokens), bits))
+
+  /** Codegen'd consecutive-run collapsing of an `array<string>` token column. */
+  def collapseRunsOf(tokens: Column, maxRun: Int): Column =
+    CatalystBridge.column(CollapseRuns(CatalystBridge.expression(tokens), maxRun))
 }

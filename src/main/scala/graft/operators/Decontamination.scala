@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag (or drop) training documents whose word
+  * n-grams collide with a benchmark/test set.
+  *
+  * North-star extension (no counterpart in the reference — its only dedup
+  * is the hash anti-join, MetaColumnHelpers.py:180-184). This is the
+  * standard train/test-overlap guard for LLM training corpora: a training
+  * document sharing enough n-grams with an evaluation set leaks the
+  * benchmark into the weights, so it is flagged by n-gram collision (the
+  * published recipes use 8–13-gram exact overlap; `n` is the knob).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - The benchmark side is tiny by construction (benchmarks are MBs) — its
+  *    distinct shingle hashes are BROADCAST, so hit detection is a map-side
+  *    join at corpus-scan speed: zero shuffle of the training corpus.
+  *  - Per-document shingle counts come from `size(shingles)` in the same
+  *    row-local projection — no aggregation pass for the denominator.
+  *  - The only shuffles are (a) grouping the (rare) hit rows by doc and
+  *    (b) the narrow (doc_id, n_shingles) join against those counts; the
+  *    document payload never moves.
+  *  - Shingles join on 60-bit md5-prefix longs (8-byte primitive keys),
+  *    exactly like [[Dedup.jaccardPairs]].
+  */
+object Decontamination {
+
+  /** 60-bit digest-prefix hash of a shingle string — same derivation as
+    * [[Dedup]]'s join keys (8-byte primitives over the shuffle). */
+  private def shingleHash(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(md5(s).substr(1, 15), 16, 10).cast("long")
+
+  /** Per-training-document contamination report against a benchmark set.
+    *
+    * @param train     training corpus (one row per document)
+    * @param bench     benchmark/evaluation set (small; broadcast)
+    * @param idCol     training document id column
+    * @param textCol   text column name in BOTH frames
+    * @param n         shingle width in tokens (published recipes: 8–13;
+    *                  smaller n = stricter flagging)
+    * @param minHits   colliding-shingle count at which a doc is contaminated
+    * @return one row per training doc: (doc_id, n_shingles, n_hits,
+    *         contamination = n_hits/n_shingles, contaminated)
+    */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minHits: Long = 1L): DataFrame = {
+    val benchSh = broadcast(
+      bench.select(explode(Dedup.shingles(col(textCol), n)).as("s"))
+        .select(shingleHash(col("s")).as("sh"))
+        .distinct())
+    // one shingle pass: the denominator is row-local size(), the explode
+    // feeds hit detection — the kernel runs once per document
+    val withSh = train.select(col(idCol).as("doc_id"),
+      Dedup.shingles(col(textCol), n).as("shs"))
+    val hits = withSh.select(col("doc_id"), explode(col("shs")).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("sh"))
+      .join(benchSh, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    withSh.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Training corpus with contaminated documents REMOVED — the production
+    * wrapper around [[contaminationReport]]: an anti-join on the flagged id
+    * set, so clean rows stream through untouched. */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      minHits: Long = 1L): DataFrame = {
+    val flagged = contaminationReport(train, bench, idCol, textCol, n, minHits)
+      .filter(col("contaminated"))
+      .select(col("doc_id").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+}

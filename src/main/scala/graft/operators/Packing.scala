@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed token-budget packs for
+  * training-batch assembly (context-window filling).
+  *
+  * North-star extension (no counterpart in the reference). The semantics
+  * are deliberately the DETERMINISTIC contiguous-fill variant: within a
+  * shard, documents are laid out in id order and a pack closes when the
+  * running token total crosses the budget — so the assignment is a pure
+  * function of (ids, token counts, budget, shards), reproducible in any
+  * engine with window functions (the DuckDB oracle mirrors it exactly).
+  * First-fit-decreasing packs ~1% tighter but is order-sensitive and
+  * unstable under re-partitioning — the wrong trade for a distributed,
+  * resumable pipeline.
+  *
+  * Scale shape: one hash-partitioned window per shard (`doc_id % shards`),
+  * cumulative sum inside — a single shuffle of (id, shard, n_tokens)
+  * triples, never the text. Shards are independent, so parallelism is
+  * `shards`-wide regardless of corpus size; size `shards` ≈ cluster cores.
+  * A document longer than the budget gets a pack of its own (it overflows
+  * its pack; downstream truncation is a policy decision, not packing's).
+  */
+object Packing {
+
+  /** Per-document pack assignment.
+    *
+    * @param budget  pack capacity in tokens (e.g. a context length)
+    * @param shards  independent packing streams; parallelism knob
+    * @return (doc_id, shard, n_tokens, pack_id, pack_pos): `pack_id` is
+    *         unique within a shard; `pack_pos` is the document's 1-based
+    *         position inside its pack
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(shards >= 1, "shards must be positive")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val assigned = df.select(
+        col(idCol).as("doc_id"),
+        (col(idCol) % shards).cast("long").as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // a doc belongs to the pack its PRECEDING total lands in: floor of
+      // (cum - n_tokens) / budget — contiguous fill, overflow closes packs
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")).cast("double") / budget.toDouble).cast("long"))
+    assigned
+      .withColumn("pack_pos",
+        row_number().over(Window.partitionBy("shard", "pack_id").orderBy("doc_id"))
+          .cast("long"))
+      .select("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
+  }
+
+  /** Per-pack roll-up of a [[packSequences]] assignment: document count,
+    * token total, and fill ratio against the budget (>1 = the pack's last
+    * document overflowed). */
+  def packSummary(assignment: DataFrame, budget: Long): DataFrame =
+    assignment.groupBy("shard", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"))
+      .withColumn("fill_ratio",
+        round(col("tokens_total").cast("double") / budget.toDouble, 6))
+}

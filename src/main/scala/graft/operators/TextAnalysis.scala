@@ -91,6 +91,37 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), count), i => md5(text.substr(i, lit(k)))))
   }
 
+  /** Intra-document repetition REMOVAL: collapse runs of consecutive
+    * identical tokens to at most `maxRun` occurrences ("buy now now now"
+    * → "buy now"). The token-level sibling of [[dedupLines]]; whitespace
+    * canonicalizes to single spaces. Codegen'd kernel
+    * ([[graft.functions.CollapseRuns]]) — per-row, zero shuffle, scan
+    * speed; [[collapseTokenRunsFold]] is the HOF executable spec. */
+  def collapseTokenRuns(text: Column, maxRun: Int = 1): Column =
+    array_join(
+      graft.functions.DedupExpressions.collapseRunsOf(tokens(text), maxRun), " ")
+
+  /** HOF fold form of [[collapseTokenRuns]] at maxRun = 1 — interpreted;
+    * spec/tests only (also the shape the DuckDB oracle mirrors). */
+  def collapseTokenRunsFold(text: Column): Column = {
+    val toks = tokens(text)
+    array_join(
+      filter(
+        transform(sequence(lit(1), size(toks)),
+          i => when(i === 1 || element_at(toks, i) =!= element_at(toks, i - 1),
+            element_at(toks, i))),
+        x => x.isNotNull),
+      " ")
+  }
+
+  /** C4-style duplicate-line removal INSIDE a document: split on `sep`,
+    * keep each distinct line's first occurrence (Spark's `array_distinct`
+    * preserves first-occurrence order), rejoin. Exact-match semantics —
+    * empty lines dedup too, so repeated blank separators collapse. Per-row
+    * builtins, zero shuffle. */
+  def dedupLines(text: Column, sep: String = "\n"): Column =
+    array_join(array_distinct(split(text, java.util.regex.Pattern.quote(sep))), sep)
+
   /** Frequency of the most common full n-token window over all full
     * windows — the standard repetition signal for corpus filtering. 0.0
     * for texts with fewer than n tokens. Codegen'd kernel

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Decontamination
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bench = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  private lazy val train = Seq(
+    // contains "quick brown fox" and more — heavy overlap
+    (1L, "a quick brown fox jumps over a sleeping dog today"),
+    // no 3-gram in common with the benchmark
+    (2L, "completely unrelated text about spark physical plans"),
+    // exact copy — every shingle collides
+    (3L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("contamination report counts colliding 3-grams per training doc") {
+    val rep = Decontamination.contaminationReport(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rep.keySet === Set(1L, 2L, 3L))
+    // doc 2: clean
+    assert(rep(2L)._2 === 0L && !rep(2L)._4)
+    // doc 3: exact copy — every one of its shingles hits
+    assert(rep(3L)._1 === rep(3L)._2 && rep(3L)._3 === 1.0 && rep(3L)._4)
+    // doc 1: partial overlap, flagged
+    assert(rep(1L)._2 > 0L && rep(1L)._2 < rep(1L)._1 && rep(1L)._4)
+  }
+
+  test("minHits raises the flagging bar") {
+    val strict = Decontamination.contaminationReport(
+      train, bench, "doc_id", "text", n = 3, minHits = 1000L)
+    assert(strict.filter($"contaminated").count() === 0)
+    // counts are unchanged — only the flag moves
+    assert(strict.filter($"n_hits" > 0).count() === 2)
+  }
+
+  test("decontaminate drops flagged docs and keeps clean rows untouched") {
+    val clean = Decontamination.decontaminate(train, bench, "doc_id", "text", n = 3)
+    assert(clean.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(clean.columns.toSeq === train.columns.toSeq)
+  }
+
+  test("benchmark side is broadcast — the corpus never shuffles for hit detection") {
+    val rep = Decontamination.contaminationReport(
+      spark.read.parquet(s"$sfDir/documents.parquet"), bench, "doc_id", "text", n = 3)
+    rep.count()
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark shingles are not broadcast")
+  }
+
+  test("self-decontamination flags every doc (sanity: report is exhaustive)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val rep = Decontamination.contaminationReport(docs, docs, "doc_id", "text", n = 3)
+    assert(rep.filter(!$"contaminated").count() === 0)
+    assert(rep.filter($"contamination" =!= 1.0).count() === 0)
+  }
+}

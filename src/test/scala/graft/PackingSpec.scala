@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one shard (ids all ≡ 0 mod 1) so the fill order is just id order
+  private lazy val docs = Seq(
+    (0L, "a b c d e f"),       // 6 tokens
+    (1L, "g h i j k l"),       // 6 tokens -> closes pack 0 at 12 (overflow)
+    (2L, "m n o"),             // 3 tokens -> pack 1
+    (3L, "p q r s t u v w"),   // 8 tokens -> pack 1 closes at 17
+    (4L, "x y")                // 2 tokens -> pack 1 (prev cum 17 >= 20? no: floor(17/10)=1)
+  ).toDF("doc_id", "text")
+
+  test("contiguous fill: pack closes when the running total crosses the budget") {
+    val got = Packing.packSequences(docs, "doc_id", "text", budget = 10L, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 6L, 0L, 1L), // prev cum 0  -> pack 0
+      (1L, 6L, 0L, 2L), // prev cum 6  -> pack 0 (overflows to 12)
+      (2L, 3L, 1L, 1L), // prev cum 12 -> pack 1
+      (3L, 8L, 1L, 2L), // prev cum 15 -> pack 1 (overflows to 23)
+      (4L, 2L, 2L, 1L)  // prev cum 23 -> pack 2
+    ))
+  }
+
+  test("every doc is assigned exactly once; oversized docs get their own pack") {
+    val big = Seq((0L, Seq.fill(50)("w").mkString(" ")), (1L, "a b")).toDF("doc_id", "text")
+    val got = Packing.packSequences(big, "doc_id", "text", budget = 10L, shards = 1)
+    assert(got.count() === 2)
+    val rows = got.orderBy("doc_id").select("pack_id").as[Long].collect().toSeq
+    assert(rows === Seq(0L, 5L)) // giant doc fills packs 0..4's span; next opens at 5
+  }
+
+  test("shards are independent and assignment is repartition-stable") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)
+    val b = Packing.packSequences(corpus.repartition(13), "doc_id", "text",
+      budget = 512L, shards = 8)
+    assert(a.exceptAll(b).count() === 0)
+    assert(a.count() === corpus.count())
+    assert(a.select("shard").distinct().count() === 8)
+  }
+
+  test("pack summary: token totals conserve and fill ratios hover near 1") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val assign = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)
+    val summary = Packing.packSummary(assign, budget = 512L)
+    val totalA = assign.agg(sum("n_tokens")).as[Long].head()
+    val totalS = summary.agg(sum("tokens_total")).as[Long].head()
+    assert(totalA === totalS)
+    // all non-final packs are filled past the budget by construction;
+    // just sanity-check the ratio column is populated and positive
+    assert(summary.filter($"fill_ratio" <= 0).count() === 0)
+  }
+}

@@ -116,6 +116,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("tokens_mean") === 4.5)
   }
 
+  test("collapseTokenRuns removes consecutive duplicates; maxRun bounds the survivors") {
+    val rows = Seq(
+      "buy now now now and save",
+      "a a a",
+      "no repeats here",
+      "x  x\tx" // mixed whitespace still one run
+    ).toDF("text")
+    val m1 = rows.select(TextAnalysis.collapseTokenRuns($"text").as("c")).as[String].collect()
+    assert(m1.toSeq === Seq("buy now and save", "a", "no repeats here", "x"))
+    val m2 = rows.select(TextAnalysis.collapseTokenRuns($"text", maxRun = 2).as("c"))
+      .as[String].collect()
+    assert(m2.toSeq === Seq("buy now now and save", "a a", "no repeats here", "x x"))
+    // non-adjacent duplicates survive — this is run collapsing, not dedup
+    val far = Seq("a b a b a").toDF("text")
+      .select(TextAnalysis.collapseTokenRuns($"text").as("c")).as[String].head()
+    assert(far === "a b a b a")
+  }
+
+  test("collapseTokenRuns kernel equals the HOF fold on the real corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val diff = docs.select(
+        TextAnalysis.collapseTokenRuns($"text").as("k"),
+        TextAnalysis.collapseTokenRunsFold($"text").as("f"))
+      .filter($"k" =!= $"f")
+    assert(diff.count() === 0)
+    // and it does real work on this corpus (adjacent repeats exist)
+    val changed = docs.filter(
+      TextAnalysis.collapseTokenRuns($"text") =!= concat_ws(" ",
+        graft.operators.Dedup.tokens($"text"))).count()
+    assert(changed > 0)
+  }
+
+  test("dedupLines keeps each line's first occurrence, preserving order") {
+    val doc = Seq(
+      "intro\nrepeat me\nbody\nrepeat me\noutro",
+      "only\nunique\nlines"
+    ).toDF("text")
+    val got = doc.select(TextAnalysis.dedupLines($"text").as("d")).as[String].collect()
+    assert(got(0) === "intro\nrepeat me\nbody\noutro")
+    assert(got(1) === "only\nunique\nlines")
+    // custom separator (paragraph dedup)
+    val para = Seq("p1||p2||p1||p3").toDF("text")
+      .select(TextAnalysis.dedupLines($"text", "||").as("d")).as[String].head()
+    assert(para === "p1||p2||p3")
+  }
+
   test("redactPii tags emails, IPv4s and intl phones, leaves clean text alone") {
     val rows = Seq(
       "contact me at jane.doe+x@example.co.uk today",
