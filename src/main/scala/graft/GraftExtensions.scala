@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSig, RepeatRatio, Shingles, SimHash}
+import graft.functions.{CollapseRuns, DotProduct, MinHashSig, RepeatRatio, Shingles, SimHash}
 
 /** SQL-surface registration of graft's native expressions, so SQL-string
   * pipelines can call them like built-ins:
@@ -16,6 +16,8 @@ import graft.functions.{DotProduct, MinHashSig, RepeatRatio, Shingles, SimHash}
   *  - `graft_simhash(tokens, bits)` — SimHash fingerprint (bits: int literal)
   *  - `graft_shingles(tokens, n)` — distinct word n-gram shingles
   *  - `graft_repeat_ratio(tokens, n)` — top full-n-gram frequency ratio
+  *  - `graft_collapse_runs(tokens, maxRun)` — consecutive-duplicate-run
+  *    collapsing (intra-document repetition removal)
   *
   * Production path: `spark.sql.extensions=graft.GraftExtensions` (applied
   * at session build). For an existing session or REPL,
@@ -59,7 +61,12 @@ object GraftExtensions {
       info("graft_repeat_ratio",
         "graft_repeat_ratio(tokens, n) - top full-n-gram frequency over all full n-grams"),
       { case Seq(arr, n) => RepeatRatio(arr, intLit(n, "graft_repeat_ratio", "n"))
-        case args => throw new IllegalArgumentException(s"graft_repeat_ratio expects 2 args, got ${args.size}") })
+        case args => throw new IllegalArgumentException(s"graft_repeat_ratio expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_collapse_runs"),
+      info("graft_collapse_runs",
+        "graft_collapse_runs(tokens, maxRun) - collapse consecutive duplicate-token runs to maxRun"),
+      { case Seq(arr, m) => CollapseRuns(arr, intLit(m, "graft_collapse_runs", "maxRun"))
+        case args => throw new IllegalArgumentException(s"graft_collapse_runs expects 2 args, got ${args.size}") })
   )
 
   /** Register on a live session (tests, REPL, existing sessions). */

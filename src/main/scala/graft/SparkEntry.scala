@@ -207,6 +207,15 @@ object SparkEntry {
     "x_dedup_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    // incremental (cross-run) exact dedup: even-id docs play the already-
+    // ingested corpus (digest store), the full table is the new batch
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val known = docs.filter(col("doc_id") % 2 === 0)
+        .select(graft.functions.HashColumns.hashExpr(Seq(col("text"))).as("content_hash"))
+      Dedup.incrementalExact(docs, "doc_id", Seq("text"), known)
+        .select("doc_id", "content_hash")
+    }),
     // benchmark decontamination: every 20th doc plays the eval set, the
     // rest is the training corpus; 3-gram collision flags contamination
     // (same shingle derivation as the dedup family / docShinglesCte)
@@ -237,6 +246,11 @@ object SparkEntry {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
     }),
+    // int8 scalar quantization: 4x smaller vectors for the ANN shuffle
+    "x_sim_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"), col("q.codes").as("codes"))),
     // 2^4 buckets per table × 2 OR'd tables: bucket count sized for the
     // sf0.01/sf0.1 corpus (use embeddingNearDupPairsAuto at unknown scale)
     "x_sim_near_dup" -> ((s, d) =>
@@ -733,6 +747,21 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2""".stripMargin
     },
+    "x_dedup_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash
+        |  FROM documents
+        |),
+        |known AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0),
+        |novel AS (
+        |  SELECT h.* FROM h LEFT JOIN known k USING (content_hash)
+        |  WHERE k.content_hash IS NULL
+        |)
+        |SELECT doc_id, content_hash FROM (
+        |  SELECT doc_id, content_hash,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM novel
+        |) WHERE rn = 1""".stripMargin,
     // token-run collapsing: keep w[i] iff it differs from w[i-1] (i = 1
     // always kept; w[0] is NULL in DuckDB's 1-based lists, and NULL <>
     // never passes, so the i = 1 arm carries the first token)
@@ -913,6 +942,21 @@ object SparkEntry {
         |)
         |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    // same per-vector max/127 scale and round-half-away-from-zero code
+    // derivation as quantizeInt8; CAST of the already-integral round()
+    // output is exact in both engines
+    "x_sim_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0
+        |       THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding,
+        |              x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS codes
+        |FROM s""".stripMargin,
     "x_sim_near_dup" ->
       """WITH v AS (
         |  SELECT vec_id AS id, embedding AS vv,

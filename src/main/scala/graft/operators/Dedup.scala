@@ -68,6 +68,37 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup for continuous ingestion: drop batch rows
+    * whose content digest already exists in the corpus digest store, then
+    * keep one representative (smallest id) per digest within the batch.
+    *
+    * This is the cross-RUN form of [[exactDuplicates]]: at 100 TB the
+    * corpus side never re-reads its payload — `knownDigests` is the
+    * (digest-only, 32 bytes/row) store accumulated by prior runs, and the
+    * anti-join + window both key on that digest. The surviving rows carry
+    * `content_hash` so the caller can append them to both the corpus and
+    * the digest store, keeping the next run incremental too.
+    *
+    * @param knownDigests one `content_hash` column (extra columns ignored)
+    * @return surviving batch rows + `content_hash`
+    */
+  def incrementalExact(
+      batch: DataFrame,
+      idCol: String,
+      contentCols: Seq[String],
+      knownDigests: DataFrame): DataFrame = {
+    val hashed = batch.withColumn("content_hash",
+      graft.functions.HashColumns.hashExpr(contentCols.map(col)))
+    val novel = hashed.join(
+      knownDigests.select(col("content_hash")), Seq("content_hash"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol))
+    novel.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      // the using-column join fronted the digest; restore caller order
+      .select((batch.columns :+ "content_hash").map(col).toSeq: _*)
+  }
+
   /** 60-bit digest-prefix hash of a shingle string: an 8-byte primitive
     * join/shuffle key instead of multi-word text (collision odds ~n²/2⁶¹
     * — vanishing against the shuffle volume it saves at 100 TB). */

@@ -30,6 +30,18 @@ class DedupSpec extends SparkSpec {
     assert(row5 === Seq(""))
   }
 
+  test("incremental exact dedup: known digests drop, intra-batch dups keep min id") {
+    val known = Seq("completely different text about spark sql engines").toDF("text")
+      .select(graft.functions.HashColumns.hashExpr(Seq($"text")).as("content_hash"))
+    val got = Dedup.incrementalExact(docs, "doc_id", Seq("text"), known)
+    // doc 4 matches the store; docs 1+2 collapse to 1; 3 and 5 are novel
+    assert(got.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+    assert(got.columns.toSeq === docs.columns.toSeq :+ "content_hash")
+    // a second run against the union of digests ingests nothing
+    val allDigests = known.unionByName(got.select("content_hash"))
+    assert(Dedup.incrementalExact(docs, "doc_id", Seq("text"), allDigests).count() === 0)
+  }
+
   test("jaccard pairs finds the near dup and the exact dup, not the unrelated doc") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -45,4 +45,13 @@ class GraftExtensionsSpec extends SparkSpec {
     // bigrams of x y x y x y: "x y" x3, "y x" x2 of 5 full windows -> 0.6
     assert(sqlRes.getDouble(1) === 0.6)
   }
+
+  test("graft_collapse_runs from SQL equals the Column API form") {
+    val got = spark.sql(
+      "SELECT graft_collapse_runs(split('a a b b b a', ' '), 1) AS c").head.getSeq[String](0)
+    assert(got === Seq("a", "b", "a"))
+    val got2 = spark.sql(
+      "SELECT graft_collapse_runs(split('a a a b', ' '), 2) AS c").head.getSeq[String](0)
+    assert(got2 === Seq("a", "a", "b"))
+  }
 }

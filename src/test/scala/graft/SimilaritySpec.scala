@@ -148,6 +148,31 @@ class SimilaritySpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("expected 64-dim")))
   }
 
+  test("int8 quantization round-trips within scale/2 per component; zero vector is safe") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rt = emb.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("q"))
+      .select($"vec_id", $"embedding", $"q.scale".as("scale"),
+        Similarity.dequantizeInt8($"q").as("back"))
+    // max |x - back| <= scale/2 + ulp noise, codes bounded to [-127, 127]
+    val bad = rt.select(
+        aggregate(zip_with($"embedding", $"back",
+            (x, y) => abs(x.cast("double") - y)),
+          lit(0.0), (acc, v) => greatest(acc, v)).as("err"),
+        $"scale")
+      .filter($"err" > $"scale" / 2 + 1e-12)
+    assert(bad.count() === 0)
+    val outOfRange = emb.select(Similarity.quantizeInt8($"embedding").as("q"))
+      .select(explode($"q.codes").as("c")).filter(abs($"c") > 127)
+    assert(outOfRange.count() === 0)
+    // zero vector: scale 0, all-zero codes, no NaN/null
+    val z = Seq((0L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("q")).head
+    val zq = z.getStruct(0)
+    assert(zq.getDouble(0) === 0.0)
+    assert(zq.getSeq[Int](1) === Seq(0, 0))
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
