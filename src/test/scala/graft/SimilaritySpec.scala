@@ -173,6 +173,23 @@ class SimilaritySpec extends SparkSpec {
     assert(zq.getSeq[Int](1) === Seq(0, 0))
   }
 
+  test("LSH over quantized vectors keeps usable recall (candidate-gen on codes)") {
+    // the 100 TB shape: bucket/candidate generation over 4x-smaller
+    // dequantized vectors, exact scoring unchanged — recall should not
+    // collapse relative to the same params on full-precision vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val deq = emb.select($"vec_id",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("embedding"))
+    val q = deq.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 5), emb, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val lshQ = Similarity.lshTopK(
+      q, deq, "vec_id", "embedding", "vec_id", "embedding", k = 10,
+      planes = 2, dims = 64, tables = 4)
+    val r = Similarity.recallAtK(lshQ, exact, 10)
+    assert(r >= 0.6, s"quantized-vector LSH recall@10=$r < 0.6")
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
