@@ -40,4 +40,15 @@ object MetaEnrichment {
       .withColumn(MetaColumns.UpdateRunId, lit(currents.runId))
       .withColumn(MetaColumns.Deleted, lit(null).cast(TimestampType))
   }
+
+  /** Opt-in SOURCE_FILE_NAME stamp. The reference declares the column but
+    * never populates it (MetaColumnHelpers.py:28) — [[addMetaColumns]]
+    * faithfully leaves it absent. This helper fills the gap for file-based
+    * snapshots: `input_file_name()` resolves per-row from the scan, so it
+    * must run while the lineage still reaches the file source — apply it
+    * directly over the read, before any exchange (a join, limit, or
+    * repartition yields empty strings past its shuffle). Record hashes never include meta columns,
+    * so stamping does not perturb change detection. */
+  def withSourceFileName(df: DataFrame): DataFrame =
+    df.withColumn(MetaColumns.SourceFileName, input_file_name())
 }

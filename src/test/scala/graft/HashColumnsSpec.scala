@@ -49,4 +49,24 @@ class HashColumnsSpec extends SparkSpec {
     val got = HashColumns.addHashColumn(df, Seq("c"), "H").select("H").as[String].head()
     assert(got === md5Hex("only"))
   }
+
+  test("withSourceFileName stamps the per-row source file; hashes unaffected") {
+    import graft.operators.MetaEnrichment
+    import graft.meta.{Currents, MetaColumns}
+    // stamp directly over the scan: an exchange (e.g. a limit's shuffle)
+    // between the file source and input_file_name() yields empty strings
+    val docs = MetaEnrichment.withSourceFileName(
+      spark.read.parquet(s"$sfDir/documents.parquet")).limit(10)
+    val enriched = MetaEnrichment.addMetaColumns(
+      docs, Currents("2024-01-01 10:00:00"), Seq("doc_id"))
+    val files = enriched.select(MetaColumns.SourceFileName).as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("documents.parquet")))
+    // meta columns are excluded from RECORD_HASH, so stamping is hash-neutral
+    val plain = MetaEnrichment.addMetaColumns(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(10),
+      Currents("2024-01-01 10:00:00"), Seq("doc_id"))
+    val a = enriched.select("doc_id", MetaColumns.RecordHash)
+    val b = plain.select("doc_id", MetaColumns.RecordHash)
+    assert(a.exceptAll(b).count() === 0)
+  }
 }
