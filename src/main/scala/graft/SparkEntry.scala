@@ -367,6 +367,7 @@ object SparkEntry {
     "x_events_running" -> ((s, d) => EventAnalytics.userRunning(Tables.events(s, d))),
     "x_events_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d), 30)),
     "x_events_top_types" -> ((s, d) => EventAnalytics.topTypesPerHour(Tables.events(s, d), 3)),
+    "x_events_cohort" -> ((s, d) => EventAnalytics.cohortRetention(Tables.events(s, d))),
     // ---- extensions: analytic benchmarks over the star schema ----
     "x_agg_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1266,6 +1267,29 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY hour
         |              ORDER BY sum_value DESC, event_type ASC) AS INT) AS rank
         |FROM hourly QUALIFY rank <= 3""".stripMargin,
+    "x_events_cohort" ->
+      """WITH first_seen AS (
+        |  SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id
+        |),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS active_day
+        |  FROM events
+        |),
+        |cells AS (
+        |  SELECT f.cohort_day,
+        |         CAST(date_diff('day', f.cohort_day, a.active_day) AS INT) AS day_offset,
+        |         count(DISTINCT a.user_id) AS n_active
+        |  FROM activity a JOIN first_seen f USING (user_id)
+        |  GROUP BY 1, 2
+        |),
+        |sizes AS (
+        |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+        |  FROM first_seen GROUP BY 1
+        |)
+        |SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+        |       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM cells c JOIN sizes s USING (cohort_day)""".stripMargin,
     "x_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -68,6 +68,33 @@ object EventAnalytics {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
   }
 
+  /** Cohort retention: users are cohorted by the day of their FIRST event;
+    * each (cohort_day, day_offset) cell counts the cohort's users active
+    * that many days later, plus the retention ratio against cohort size.
+    *
+    * Two shuffles total at any scale: one groupBy(user) for first-seen
+    * (map-side partial — only (user, min_ts) crosses), one groupBy on the
+    * (cohort_day, offset) pairs of the distinct per-user-day activity.
+    * The cohort-size join is on cohort_day — tiny (one row per day),
+    * broadcast. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("active_day"))
+      .distinct()
+    val cells = activity.join(firstSeen, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("active_day"), col("cohort_day")))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = firstSeen.groupBy("cohort_day")
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 6))
+      .select("cohort_day", "day_offset", "n_active", "cohort_size", "retention")
+  }
+
   /** Top-k event types by exact decimal revenue within each bucketed hour —
     * rank-limited so only k rows per group survive the final exchange. */
   def topTypesPerHour(events: DataFrame, k: Int = 3): DataFrame = {

@@ -36,6 +36,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(s.filter($"session_end" < $"session_start").count() === 0)
   }
 
+  test("cohort retention: offset-0 cell is the full cohort; ratios bounded") {
+    val r = EventAnalytics.cohortRetention(events)
+    // every user's first day is an active day, so day_offset 0 retention = 1
+    val day0 = r.filter($"day_offset" === 0)
+    assert(day0.count() > 0)
+    assert(day0.filter($"retention" =!= 1.0).count() === 0)
+    assert(day0.filter($"n_active" =!= $"cohort_size").count() === 0)
+    // no negative offsets (nothing active before its cohort day), ratios in (0, 1]
+    assert(r.filter($"day_offset" < 0).count() === 0)
+    assert(r.filter($"retention" <= 0 || $"retention" > 1).count() === 0)
+    // cohort sizes partition the user base
+    val users = events.select("user_id").distinct().count()
+    assert(r.select("cohort_day", "cohort_size").distinct()
+      .agg(sum("cohort_size")).as[Long].head() === users)
+  }
+
   test("top types per hour returns at most k per hour, ranked") {
     val t = EventAnalytics.topTypesPerHour(events, k = 2)
     val over = t.groupBy("hour").count().filter($"count" > 2)
