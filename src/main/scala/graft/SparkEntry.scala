@@ -311,6 +311,10 @@ object SparkEntry {
       Sampling.sampleStratified(Tables.events(s, d), "event_id", "event_type",
         Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
         .select("event_id", "event_type")),
+    // epoch oversampling at weight 2.3: two full copies + a 0.3 draw
+    "x_sample_weighted" -> ((s, d) =>
+      Sampling.sampleWithWeight(Tables.documents(s, d).select("doc_id"), "doc_id", 2.3)
+        .select("doc_id", "copy")),
     // ---- extensions: multimodal plumbing ----
     // real files on disk through the binaryFile source (not text-as-binary):
     // a deterministic fixture is (re)written driver-side, Spark ingests the
@@ -1149,6 +1153,15 @@ object SparkEntry {
          |WHERE u < CASE event_type
          |  WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.1 WHEN 'purchase' THEN 1.0
          |  ELSE NULL END""".stripMargin,
+    // the fractional bound is written as (2.3 - 2), not 0.3, so both
+    // engines compare against the identical IEEE double
+    "x_sample_weighted" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, g.copy FROM documents, generate_series(0, 2) g(copy)
+         |)
+         |SELECT doc_id, CAST(copy AS INT) AS copy FROM c
+         |WHERE copy < 2
+         |   OR ${duckHashUniform("doc_id", "weight#2")} < (2.3 - 2)""".stripMargin,
     // DuckDB reads the same on-disk fixture files the Spark query ingests;
     // the shared mediaFixtureDir value keeps the two paths in sync
     "x_media_binary" ->

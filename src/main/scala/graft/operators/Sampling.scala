@@ -72,6 +72,35 @@ object Sampling {
       salt: String = "sample"): DataFrame =
     df.filter(hashUniform(col(idCol), salt) < lit(fraction))
 
+  /** Deterministic epoch oversampling: emit each row `floor(weight)` times
+    * plus one more with probability `frac(weight)` — the standard way to
+    * mix corpus sources at unequal rates (wiki ×2.5, web ×0.8, …) while
+    * keeping membership a pure function of (id, salt, copy index).
+    *
+    * Output gains a `copy` column (0-based): copies `0..floor(w)-1` are
+    * unconditional, the fractional copy draws its own uniform salted with
+    * the copy index so it is independent of every other decision. A
+    * weight <= 1 is plain deterministic Bernoulli (copy 0 only); NULL ids
+    * drop from the fractional copy like [[sampleDeterministic]].
+    *
+    * Scale shape: one `explode` of a literal 0..floor(w) sequence + a
+    * per-row filter — no shuffle; output size is weight × input by
+    * construction. Mixing several sources = union of `sampleWithWeight`
+    * calls with per-source weights (schemas must already align). */
+  def sampleWithWeight(
+      df: DataFrame,
+      idCol: String,
+      weight: Double,
+      salt: String = "weight"): DataFrame = {
+    require(weight >= 0, "weight must be non-negative")
+    val full = math.floor(weight).toInt
+    val frac = weight - full
+    val copies = explode(sequence(lit(0), lit(full))).as("copy")
+    df.select(col("*"), copies)
+      .filter(col("copy") < full ||
+        hashUniform(col(idCol), s"$salt#$full") < lit(frac))
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions, rows of
     * unlisted strata are dropped (mirroring `sampleBy`), as are NULL-id
     * rows. One per-row filter, no shuffle — rebalancing class skew in a

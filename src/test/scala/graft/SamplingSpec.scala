@@ -55,6 +55,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weighted oversampling: floor copies unconditional, fractional copy ~frac, stable") {
+    val w = Sampling.sampleWithWeight(ids, "id", 2.3)
+    val n = ids.count()
+    val byCopy = w.groupBy("copy").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCopy(0) === n && byCopy(1) === n) // full epochs
+    assert(byCopy(2) > n * 0.2 && byCopy(2) < n * 0.4) // ~0.3 draw
+    // deterministic and repartition-stable
+    val again = Sampling.sampleWithWeight(ids.repartition(7), "id", 2.3)
+    assert(w.exceptAll(again).count() === 0)
+    assert(again.exceptAll(w).count() === 0)
+    // weight 1.0 = identity with copy 0; weight 0 = empty
+    assert(Sampling.sampleWithWeight(ids, "id", 1.0).count() === n)
+    assert(Sampling.sampleWithWeight(ids, "id", 0.0).count() === 0)
+  }
+
   test("grouped split keeps all rows of a group in one split (leakage safety)") {
     val rows = ids.withColumn("group_id", col("id") % 50)
     val split = Sampling.assignSplit(rows, "group_id", Seq("train" -> 0.7, "test" -> 0.3))
