@@ -294,6 +294,15 @@ object SparkEntry {
     "x_text_collapse" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.collapseTokenRuns(col("text")).as("collapsed"))),
+    // the composed curation pipeline: quality -> dedup -> decontaminate
+    // -> split, one operator, oracle-checked as a whole
+    "x_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text")
+    }),
     // ---- extensions: sequence packing (context-window assembly) ----
     "x_pack_sequences" -> ((s, d) =>
       Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
@@ -550,6 +559,37 @@ object SparkEntry {
       |  FROM toks
       |)""".stripMargin
 
+  /** Gopher/C4 quality-metric CTE body (expects `toks`) + keep predicate —
+    * shared between the standalone quality oracle and the composed
+    * curation-pipeline oracle so the two cannot drift. */
+  private val qualityMetricsCte: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS INT) AS n_tokens,
+      |    round(CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS DOUBLE)
+      |          / greatest(len(w), 1), 6) AS mean_token_len,
+      |    round(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+      |          / greatest(len(w), 1), 6) AS alpha_ratio,
+      |    CASE WHEN len(w) >= 2 THEN
+      |      round(CAST(list_max(map_values(list_aggregate(
+      |        list_transform(range(0, len(w) - 1), i -> array_to_string(w[i+1:i+2], ' ')),
+      |        'histogram'))) AS DOUBLE) / (len(w) - 1), 6)
+      |    ELSE 0.0 END AS top_bigram_ratio,
+      |    CASE WHEN len(w) >= 3 THEN
+      |      round(CAST(list_max(map_values(list_aggregate(
+      |        list_transform(range(0, len(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')),
+      |        'histogram'))) AS DOUBLE) / (len(w) - 2), 6)
+      |    ELSE 0.0 END AS top_trigram_ratio
+      |  FROM toks
+      |)""".stripMargin
+
+  private val qualityKeepPredicate: String =
+    """(n_tokens BETWEEN 20 AND 100000)
+      |       AND (mean_token_len BETWEEN 2.0 AND 12.0)
+      |       AND alpha_ratio >= 0.8
+      |       AND top_bigram_ratio <= 0.30
+      |       AND top_trigram_ratio <= 0.20""".stripMargin
+
   /** DuckDB mirror of [[graft.operators.Sampling.hashUniform]]: first 8 hex
     * digits of md5(s"$$id#$$salt") as a 32-bit integer over 2^32. */
   private def duckHashUniform(idExpr: String, salt: String): String =
@@ -781,6 +821,47 @@ object SparkEntry {
         |    i -> CASE WHEN i = 1 OR w[i] <> w[i-1] THEN w[i] END),
         |    x -> x IS NOT NULL), ' ') AS collapsed
         |FROM toks""".stripMargin,
+    // the four curation stages in one statement; quality CTEs and the
+    // keep predicate are the SAME vals the standalone x_text_quality
+    // oracle uses, the split bound is written (0.9 + 0.05) so both
+    // engines accumulate the identical IEEE double
+    "x_curate" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN dedup USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM dedup d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
     // contiguous-fill packing: pack = floor(preceding-cumsum / budget)
     // within an id-ordered shard window — byte-identical window semantics
     // in Spark and DuckDB
@@ -1088,37 +1169,15 @@ object SparkEntry {
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
     "x_text_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
-        |  FROM documents
-        |),
-        |m AS (
-        |  SELECT doc_id,
-        |    CAST(len(w) AS INT) AS n_tokens,
-        |    round(CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0) AS DOUBLE)
-        |          / greatest(len(w), 1), 6) AS mean_token_len,
-        |    round(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
-        |          / greatest(len(w), 1), 6) AS alpha_ratio,
-        |    CASE WHEN len(w) >= 2 THEN
-        |      round(CAST(list_max(map_values(list_aggregate(
-        |        list_transform(range(0, len(w) - 1), i -> array_to_string(w[i+1:i+2], ' ')),
-        |        'histogram'))) AS DOUBLE) / (len(w) - 1), 6)
-        |    ELSE 0.0 END AS top_bigram_ratio,
-        |    CASE WHEN len(w) >= 3 THEN
-        |      round(CAST(list_max(map_values(list_aggregate(
-        |        list_transform(range(0, len(w) - 2), i -> array_to_string(w[i+1:i+3], ' ')),
-        |        'histogram'))) AS DOUBLE) / (len(w) - 2), 6)
-        |    ELSE 0.0 END AS top_trigram_ratio
-        |  FROM toks
-        |)
-        |SELECT doc_id, n_tokens, mean_token_len, alpha_ratio,
-        |       top_bigram_ratio, top_trigram_ratio,
-        |       (n_tokens BETWEEN 20 AND 100000)
-        |       AND (mean_token_len BETWEEN 2.0 AND 12.0)
-        |       AND alpha_ratio >= 0.8
-        |       AND top_bigram_ratio <= 0.30
-        |       AND top_trigram_ratio <= 0.20 AS keep
-        |FROM m""".stripMargin,
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM documents
+         |),
+         |$qualityMetricsCte
+         |SELECT doc_id, n_tokens, mean_token_len, alpha_ratio,
+         |       top_bigram_ratio, top_trigram_ratio,
+         |       $qualityKeepPredicate AS keep
+         |FROM m""".stripMargin,
     "x_text_report" ->
       """WITH toks AS (
         |  SELECT text, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w

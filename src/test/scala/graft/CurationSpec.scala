@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Decontamination, Sampling, TextAnalysis}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val train = docs.filter($"doc_id" % 20 =!= 0)
+  private lazy val bench = docs.filter($"doc_id" % 20 === 0)
+
+  test("curate equals the hand-composed stage chain") {
+    val got = Curation.curate(train, bench, "doc_id", "text")
+    val qualityIds = TextAnalysis.gopherishFlags(train, "doc_id", "text")
+      .filter($"keep").select("doc_id")
+    val kept = train.join(qualityIds, Seq("doc_id"), "left_semi")
+    val dedupIds = kept
+      .withColumn("h", graft.functions.HashColumns.hashExpr(Seq($"text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val deduped = kept.join(dedupIds, Seq("doc_id"), "left_semi")
+    val clean = Decontamination.decontaminate(deduped, bench, "doc_id", "text", 3, 1L)
+    val expected = Sampling.assignSplit(clean.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("each stage only removes rows; survivors carry a split") {
+    val got = Curation.curate(train, bench, "doc_id", "text")
+    assert(got.count() > 0)
+    assert(got.count() <= train.count())
+    assert(got.filter($"split".isNull).count() === 0)
+    assert(got.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // no benchmark doc can survive into the output
+    assert(got.join(bench, Seq("doc_id"), "left_semi").count() === 0)
+  }
+}
