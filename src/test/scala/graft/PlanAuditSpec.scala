@@ -26,6 +26,17 @@ class PlanAuditSpec extends SparkSpec {
     p
   }
 
+  test("every registered query has an oracle; no oracle is orphaned") {
+    // the round-4 regression class: a query registered without an oracleSql
+    // entry silently downgrades the driver's check to rows-only. A query
+    // may only be exempted here, explicitly, with a justification comment.
+    val oracleExempt = Set.empty[String]
+    assert(SparkEntry.queries.keySet -- oracleExempt === SparkEntry.oracleSql.keySet,
+      "queries and oracleSql drifted: " +
+        s"missing=${(SparkEntry.queries.keySet -- oracleExempt -- SparkEntry.oracleSql.keySet).toSeq.sorted} " +
+        s"orphaned=${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
+  }
+
   test("no registered query plans a cartesian product") {
     // static check on purpose: a cartesian is a planning-time property, and
     // every query's runtime behavior is already executed by its own spec
