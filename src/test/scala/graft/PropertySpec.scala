@@ -57,6 +57,41 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("collapseRuns kernel: idempotent, no adjacent duplicates, subsequence of input") {
+    val tokenGen = Gen.listOf(Gen.oneOf("a", "b", "c", "aa", "x9"))
+    checkProp(Prop.forAll(tokenGen) { toks =>
+      val text = toks.mkString(" ")
+      val out = Seq(Tuple1(text)).toDF("text")
+        .select(graft.operators.TextAnalysis.collapseTokenRuns(col("text")).as("c"))
+        .as[String].head()
+      val outToks = out.split(" ").filter(_.nonEmpty).toSeq
+      // reference semantics computed in plain Scala
+      val expected = toks.foldLeft(List.empty[String]) {
+        case (acc, t) if acc.headOption.contains(t) => acc
+        case (acc, t) => t :: acc
+      }.reverse
+      val noAdjacentDups = outToks.sliding(2).forall {
+        case Seq(x, y) => x != y
+        case _ => true
+      }
+      outToks == expected && noAdjacentDups
+    }, n = 30)
+  }
+
+  test("packSequences conserves rows and tokens for random corpora") {
+    val docGen = Gen.listOfN(40, Gen.choose(0, 30))
+    checkProp(Prop.forAll(docGen) { sizes =>
+      val docs = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val assign = graft.operators.Packing.packSequences(docs, "doc_id", "text",
+        budget = 16L, shards = 4)
+      val rows = assign.count()
+      val toks = assign.agg(sum("n_tokens")).as[Long].head()
+      rows == sizes.size && toks == sizes.map(_.toLong).sum
+    }, n = 8)
+  }
+
   test("SCD2 invariants: one active row per key, non-overlapping adjacent intervals") {
     checkProp(Prop.forAll(snapshotGen.suchThat(_.nonEmpty), snapshotGen) { (a, b) =>
       val v1 = Scd2.historizeDataset(enrich(a, c1), None, c1, ValidFromMode.LoadDate)
