@@ -49,6 +49,28 @@ object StreamingHistorization {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  /** Streaming incremental corpus dedup — the streaming twin of
+    * [[graft.operators.Dedup.incrementalExact]]: documents stream in,
+    * rows whose content digest already exists in the STATIC corpus digest
+    * store drop via a stream-static anti-join (map-side against the
+    * store read; no streaming state), then intra-stream repeats collapse
+    * through `dropDuplicates` keyed on the digest.
+    *
+    * State note: digest-keyed dedup state grows with distinct novel
+    * content. For continuous ingestion, restart the query per ingestion
+    * epoch with `knownDigests` refreshed to absorb the previous epoch —
+    * that is the batch operator's contract, streamed. (With an event-time
+    * column, [[dedupStream]]'s watermarked form bounds state instead.)
+    */
+  def incrementalExactStream(
+      docs: DataFrame,
+      contentCols: Seq[String],
+      knownDigests: DataFrame): DataFrame =
+    docs.withColumn("content_hash",
+        graft.functions.HashColumns.hashExpr(contentCols.map(col)))
+      .join(knownDigests.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .dropDuplicates("content_hash")
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

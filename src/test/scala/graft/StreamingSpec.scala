@@ -133,6 +133,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() === 200)
   }
 
+  test("streaming incremental dedup matches the batch operator's digest set") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
+    val known = docs.filter($"doc_id" % 2 === 0)
+      .select(graft.functions.HashColumns.hashExpr(Seq($"text")).as("content_hash"))
+    val dir = Files.createTempDirectory("graft-inc-dedup").toString
+    docs.write.parquet(s"$dir/in")
+    docs.write.mode("append").parquet(s"$dir/in") // full re-delivery
+
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    val novel = StreamingHistorization.incrementalExactStream(stream, Seq("text"), known)
+    val q = novel.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // keep-first on a stream is arrival-order-dependent, so compare the
+    // digest SET (and count) against the batch operator, not row identity
+    val streamed = spark.table("inc_dedup").select("content_hash").as[String].collect().toSet
+    val batchTwin = graft.operators.Dedup.incrementalExact(docs, "doc_id", Seq("text"), known)
+      .select("content_hash").as[String].collect().toSet
+    assert(streamed === batchTwin)
+    assert(spark.table("inc_dedup").count().toInt === batchTwin.size)
+  }
+
   test("foreachBatch historization absorbs re-delivered snapshots idempotently") {
     val dir = Files.createTempDirectory("graft-stream-hist").toString
     val snap = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
