@@ -38,9 +38,11 @@ object Curation {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       shingleN: Int = 3,
       minHits: Long = 1L): DataFrame = {
-    val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol)
-      .filter(col("keep")).select(col(idCol))
-    val kept = docs.join(quality, Seq(idCol), "left_semi")
+    // keepText = one corpus scan: quality metrics, the keep filter and the
+    // downstream stages all read the same projection — no semi-join back
+    val kept = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
+      .filter(col("keep"))
+      .select(col(idCol), col(textCol))
     val hashed = kept.withColumn("__content_hash",
       graft.functions.HashColumns.hashExpr(Seq(col(textCol))))
     val w = Window.partitionBy("__content_hash").orderBy(col(idCol))

@@ -168,9 +168,10 @@ object TextAnalysis {
       maxMeanTokenLen: Double = 12.0,
       minAlphaRatio: Double = 0.8,
       maxTopBigramRatio: Double = 0.30,
-      maxTopTrigramRatio: Double = 0.20): DataFrame = {
+      maxTopTrigramRatio: Double = 0.20,
+      keepText: Boolean = false): DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol), t)
+    val flagged = df.select(col(idCol), t)
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("mean_token_len", meanTokenLen(t))
       .withColumn("alpha_ratio", alphaTokenRatio(t))
@@ -182,7 +183,9 @@ object TextAnalysis {
           col("alpha_ratio") >= minAlphaRatio &&
           col("top_bigram_ratio") <= maxTopBigramRatio &&
           col("top_trigram_ratio") <= maxTopTrigramRatio)
-      .drop(textCol)
+    // keepText lets downstream pipeline stages (e.g. Curation) consume the
+    // text in the same scan instead of semi-joining back to the corpus
+    if (keepText) flagged else flagged.drop(textCol)
   }
 
   /** BM25 relevance of every document against a bag of query terms —
