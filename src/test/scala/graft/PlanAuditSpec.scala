@@ -74,6 +74,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("decontamination and curation broadcast the benchmark side as registered") {
+    Seq("x_decontaminate", "x_curate").foreach { name =>
+      val p = finalPlanOf(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost the broadcast benchmark join — the corpus would shuffle for hit detection")
+    }
+  }
+
   test("scd2 merge executes inside whole-stage codegen") {
     val df = SparkEntry.queries("d06_scd2_merge")(spark, sfDir)
     df.count() // resolve AQE to the final plan
