@@ -39,6 +39,18 @@ object Packing {
       idCol: String,
       textCol: String,
       budget: Long,
+      shards: Int = 32): DataFrame =
+    packByCount(df, idCol, TextAnalysis.tokenCount(col(textCol)).cast("long"),
+      budget, shards)
+
+  /** [[packSequences]] over a precomputed token-count column (expression) —
+    * for corpora already counted by a real tokenizer, where whitespace
+    * counts would mis-size the packs. Same contiguous-fill semantics. */
+  def packByCount(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Long,
       shards: Int = 32): DataFrame = {
     require(budget >= 1, "budget must be positive")
     require(shards >= 1, "shards must be positive")
@@ -46,7 +58,7 @@ object Packing {
     val assigned = df.select(
         col(idCol).as("doc_id"),
         (col(idCol) % shards).cast("long").as("shard"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        tokenCount.as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // a doc belongs to the pack its PRECEDING total lands in: floor of
       // (cum - n_tokens) / budget — contiguous fill, overflow closes packs

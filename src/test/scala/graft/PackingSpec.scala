@@ -38,6 +38,17 @@ class PackingSpec extends SparkSpec {
     assert(rows === Seq(0L, 5L)) // giant doc fills packs 0..4's span; next opens at 5
   }
 
+  test("packByCount over a precomputed count column equals the text form") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("tok_count",
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val byText = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)
+    val byCount = Packing.packByCount(corpus, "doc_id", col("tok_count"),
+      budget = 512L, shards = 8)
+    assert(byText.exceptAll(byCount).count() === 0)
+    assert(byCount.exceptAll(byText).count() === 0)
+  }
+
   test("shards are independent and assignment is repartition-stable") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)
