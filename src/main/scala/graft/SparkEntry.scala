@@ -216,6 +216,17 @@ object SparkEntry {
       Dedup.incrementalExact(docs, "doc_id", Seq("text"), known)
         .select("doc_id", "content_hash")
     }),
+    // per-benchmark attribution: the eval docs split into two suites by
+    // doc_id % 40; hits counted per (doc, suite)
+    "x_decontaminate_by" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.contaminationByBenchmark(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("suite",
+            when(col("doc_id") % 40 === 0, lit("suite_a")).otherwise(lit("suite_b"))),
+        "doc_id", "text", "suite", n = 3)
+    }),
     // benchmark decontamination: every 20th doc plays the eval set, the
     // rest is the training corpus; 3-gram collision flags contamination
     // (same shingle derivation as the dedup family / docShinglesCte)
@@ -907,6 +918,20 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
         |       round(CAST(sum(n_tokens) AS DOUBLE) / 512.0, 6) AS fill_ratio
         |FROM p GROUP BY shard, pack_id""".stripMargin,
+    "x_decontaminate_by" ->
+      s"""$docShinglesCte,
+         |bench AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN doc_id % 40 = 0 THEN 'suite_a' ELSE 'suite_b' END AS bench_id,
+         |    unnest(shingles) AS s
+         |  FROM sh WHERE doc_id % 20 = 0
+         |),
+         |train AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 <> 0
+         |)
+         |SELECT t.doc_id, b.bench_id, count(*) AS n_hits
+         |FROM train t JOIN bench b USING (s)
+         |GROUP BY 1, 2""".stripMargin,
     "x_decontaminate" ->
       s"""$docShinglesCte,
          |bench AS (

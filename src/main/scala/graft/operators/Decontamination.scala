@@ -74,6 +74,35 @@ object Decontamination {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Per-benchmark contamination attribution: like [[contaminationReport]],
+    * but the benchmark set carries a suite/benchmark id column and hits are
+    * counted per (training doc, benchmark) pair — the report that tells you
+    * WHICH eval set a document leaks, so policies can differ by suite
+    * (drop for held-out benchmarks, keep-and-tag for training-permitted
+    * ones). Same scale shape: the (suite, shingle) pairs broadcast, hit
+    * detection stays a map-side join.
+    *
+    * @return (doc_id, bench_id, n_hits) — only colliding pairs, n_hits >= 1
+    */
+  def contaminationByBenchmark(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchIdCol: String,
+      n: Int = 13): DataFrame = {
+    val benchSh = broadcast(
+      bench.select(col(benchIdCol).as("bench_id"),
+          explode(Dedup.shingles(col(textCol), n)).as("s"))
+        .select(col("bench_id"), shingleHash(col("s")).as("sh"))
+        .distinct())
+    train.select(col(idCol).as("doc_id"), explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(col("doc_id"), shingleHash(col("s")).as("sh"))
+      .join(benchSh, Seq("sh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Training corpus with contaminated documents REMOVED — the production
     * wrapper around [[contaminationReport]]: an anti-join on the flagged id
     * set, so clean rows stream through untouched. */

@@ -55,6 +55,28 @@ class DecontaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "benchmark shingles are not broadcast")
   }
 
+  test("per-benchmark attribution splits hits by suite and sums to the aggregate") {
+    val suites = bench
+      .unionByName(Seq((200L, "completely unrelated text about spark physical plans"))
+        .toDF("doc_id", "text"))
+      .withColumn("suite", when($"doc_id" === 100L, "qa").otherwise("code"))
+    val by = Decontamination.contaminationByBenchmark(
+      train, suites, "doc_id", "text", "suite", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 2 collides only with the 'code' suite (its text lives there)
+    assert(by.contains((2L, "code")) && !by.contains((2L, "qa")))
+    // docs 1 and 3 collide only with 'qa'
+    assert(by.contains((1L, "qa")) && by.contains((3L, "qa")))
+    // per-doc totals equal the un-attributed report against the same bench
+    // (valid here because the two suites share no shingles — a shingle in
+    // BOTH suites counts once per suite in the attribution, by design)
+    val agg = Decontamination.contaminationReport(train, suites, "doc_id", "text", n = 3)
+      .filter($"n_hits" > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val summed = by.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(summed === agg)
+  }
+
   test("self-decontamination flags every doc (sanity: report is exhaustive)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val rep = Decontamination.contaminationReport(docs, docs, "doc_id", "text", n = 3)
