@@ -323,6 +323,15 @@ object SparkEntry {
         Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
           budget = 512L, shards = 8),
         budget = 512L)),
+    // group-atomic: synthetic groups of ~1% of the corpus each stay whole
+    "x_pack_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.packGroups(
+        docs.withColumn("grp", (col("doc_id") % 100).cast("long")),
+        "doc_id", "grp",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        budget = 2048L, shards = 8)
+    }),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -897,6 +906,31 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
         |    AS pack_pos
         |FROM p""".stripMargin,
+    // groups pack as units by total tokens (window over GROUPS, keyed and
+    // sharded by each group's smallest doc_id), then join back to rows
+    "x_pack_groups" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 100 AS BIGINT) AS grp,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT grp, sum(n_tokens) AS grp_tokens, min(doc_id) AS grp_key
+        |  FROM t GROUP BY grp
+        |),
+        |c AS (
+        |  SELECT grp, grp_tokens, grp_key, CAST(grp_key % 8 AS BIGINT) AS shard,
+        |    sum(grp_tokens) OVER (PARTITION BY grp_key % 8 ORDER BY grp_key) AS cum
+        |  FROM g
+        |),
+        |p AS (
+        |  SELECT grp, shard,
+        |    CAST(floor(CAST(cum - grp_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT t.doc_id, t.grp, p.shard, p.pack_id
+        |FROM t JOIN p USING (grp)""".stripMargin,
     "x_pack_summary" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

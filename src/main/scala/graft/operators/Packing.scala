@@ -71,6 +71,38 @@ object Packing {
       .select("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
   }
 
+  /** Group-atomic packing: all rows of a group (a conversation's turns, a
+    * document's chunks) land in the SAME pack — groups are packed as units
+    * by their token totals, then the assignment joins back to rows. A
+    * group is never split across packs; a group larger than the budget
+    * overflows its own pack, like an oversized document in
+    * [[packSequences]]. Groups order by their smallest row id, shard by
+    * that key — deterministic and repartition-stable like the row form.
+    *
+    * Scale: one groupBy of (group, n_tokens) pairs, the group-level window
+    * (group count ≪ row count), and one join back on the group key.
+    *
+    * @return (doc_id, grp, shard, pack_id) — one row per input row
+    */
+  def packGroups(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCount: Column,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    val rows = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      tokenCount.as("n_tokens"))
+    val groups = rows.groupBy("grp")
+      .agg(sum(col("n_tokens")).as("grp_tokens"), min(col("doc_id")).as("grp_key"))
+    val packed = packByCount(groups, "grp_key", col("grp_tokens"), budget, shards)
+      .select(col("doc_id").as("grp_key"), col("shard"), col("pack_id"))
+    rows.select("doc_id", "grp")
+      .join(groups.select("grp", "grp_key"), Seq("grp"))
+      .join(packed, Seq("grp_key"))
+      .select("doc_id", "grp", "shard", "pack_id")
+  }
+
   /** Per-pack roll-up of a [[packSequences]] assignment: document count,
     * token total, and fill ratio against the budget (>1 = the pack's last
     * document overflowed). */

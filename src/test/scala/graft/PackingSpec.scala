@@ -59,6 +59,25 @@ class PackingSpec extends SparkSpec {
     assert(a.select("shard").distinct().count() === 8)
   }
 
+  test("packGroups never splits a group; every row keeps its group's pack") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("grp", (col("doc_id") % 25).cast("long"))
+    val got = Packing.packGroups(corpus, "doc_id", "grp",
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+      budget = 2048L, shards = 4)
+    assert(got.count() === corpus.count())
+    // group atomicity: one (shard, pack_id) per group
+    val split = got.groupBy("grp")
+      .agg(countDistinct(concat_ws("#", col("shard"), col("pack_id"))).as("n"))
+      .filter($"n" > 1)
+    assert(split.count() === 0)
+    // deterministic under repartitioning
+    val again = Packing.packGroups(corpus.repartition(13), "doc_id", "grp",
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+      budget = 2048L, shards = 4)
+    assert(got.exceptAll(again).count() === 0)
+  }
+
   test("pack summary: token totals conserve and fill ratios hover near 1") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val assign = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)
