@@ -207,6 +207,10 @@ object SparkEntry {
     "x_dedup_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    // duplicated 30-char substring spans across the corpus
+    "x_dedup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 30, stride = 1, minDocFreq = 2)),
     // incremental (cross-run) exact dedup: even-id docs play the already-
     // ingested corpus (digest store), the full table is the new batch
     "x_dedup_incremental" -> ((s, d) => {
@@ -812,6 +816,29 @@ object SparkEntry {
          |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2""".stripMargin
     },
+    // same position set (1-based starts, stride 1), raw-substring joins
+    // instead of the 60-bit hashes, identical island-merge windows
+    "x_dedup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p FROM docs)
+        |),
+        |dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |dp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM dp
+        |)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "x_dedup_incremental" ->
       """WITH h AS (
         |  SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash

@@ -256,6 +256,58 @@ object Dedup {
     scoreJaccard(inter, sizes, minSim)
   }
 
+  /** Cross-document duplicated-substring spans: the hashed character-k-gram
+    * form of substring deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22 — their exact form is a
+    * suffix array; the k-gram-hash approximation is the standard
+    * distributed variant). A position is duplicated when its k-character
+    * gram occurs in at least `minDocFreq` distinct documents; runs of
+    * duplicated positions merge into (span_start, span_end) islands.
+    *
+    * `stride` samples every s-th position — the knob that trades recall
+    * for explode volume at 100 TB (stride 1 = exhaustive; spans stay
+    * correct because island-merge groups positions `stride` apart).
+    * Docs shorter than k have no full gram and produce no spans.
+    *
+    * Scale shape: per-row bounded explode (≤ len/stride positions), one
+    * (gram-hash, id) shuffle for document frequency, a semi-join back,
+    * and one per-doc window for island merge. Never all-pairs; gram
+    * payloads move as 60-bit longs.
+    *
+    * @return (doc_id, span_start, span_end) — 1-based inclusive character
+    *         positions of each maximal duplicated region
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      stride: Int = 1,
+      minDocFreq: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(stride >= 1, "stride must be positive")
+    require(minDocFreq >= 2, "minDocFreq below 2 would flag every position")
+    val t = col("t")
+    val grams = scope.persist(
+      df.select(col(idCol).as("id"), col(textCol).as("t"))
+        .filter(length(t) >= k)
+        .select(col("id"),
+          explode(sequence(lit(1), length(t) - (k - 1), lit(stride))).as("p"),
+          t)
+        .select(col("id"), col("p"), shingleHash(t.substr(col("p"), lit(k))).as("gh")))
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val dupPos = grams.join(dupGrams.select("gh"), Seq("gh"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("p")
+    dupPos
+      .withColumn("grp", col("p") - row_number().over(w) * stride)
+      .groupBy(col("id").as("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"), (max(col("p")) + (k - 1)).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */
   private def hexDigitVal(hex: Column, pos: Column): Column =
     conv(hex.substr(pos, lit(1)), 16, 10).cast("int")

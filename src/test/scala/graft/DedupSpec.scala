@@ -42,6 +42,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalExact(docs, "doc_id", Seq("text"), allDigests).count() === 0)
   }
 
+  test("duplicated substring spans: shared regions found, merged, and bounded") {
+    val shared = "XXXXXXXXXXYYYYYYYYYYZZZZZZZZZZ!!" // 32 chars, appears in docs 10 and 11
+    val corpus = Seq(
+      (10L, s"aaaaaaaaaa${shared}bbbbbbbbbb"),
+      (11L, s"cccccccccccccccc${shared}dddd"),
+      (12L, "totally different content with no repeats at all here"),
+      (13L, "tiny") // shorter than k -> no grams
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 30, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // both carriers get exactly ONE merged span (3 overlapping 30-grams
+    // collapse into one island), nothing else is flagged
+    assert(spans.map(_._1).sorted.toSeq === Seq(10L, 11L))
+    val s10 = spans.find(_._1 == 10L).get
+    // shared region sits at 1-based 11..42 in doc 10; duplicated 30-grams
+    // start at 11..13, so the merged span is exactly [11, 42]
+    assert(s10._2 === 11 && s10._3 === 42)
+    val s11 = spans.find(_._1 == 11L).get
+    assert(s11._2 === 17 && s11._3 === 48)
+    // stride 2 still finds the region (coarser span bounds are acceptable)
+    val strided = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 30, stride = 2)
+    assert(strided.filter($"doc_id" === 10L).count() >= 1)
+  }
+
   test("jaccard pairs finds the near dup and the exact dup, not the unrelated doc") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
