@@ -142,6 +142,11 @@ object SparkEntry {
     "l11_hash_projection" -> ((s, d) => enrichedA(s, d).select(M.KeyHash, M.RecordHash)),
     "l09_delta" -> ((s, d) => qtyAsDouble(Cdc.delta(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
+    // the bucketed-store delta form: must produce EXACTLY the pair
+    // anti-join's rows (same oracle SQL), while re-keying the join so a
+    // KEY_HASH-bucketed store is read with zero Exchange
+    "l09_delta_bucketed" -> ((s, d) => qtyAsDouble(Cdc.deltaBucketed(enrichedA(s, d), enrichedB(s, d))
+      .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
     "l13_inserts" -> ((s, d) => Cdc.inserts(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", M.KeyHash)),
     "l14_updates" -> ((s, d) => qtyAsDouble(Cdc.updates(enrichedA(s, d), enrichedB(s, d))
@@ -211,6 +216,14 @@ object SparkEntry {
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         k = 30, stride = 1, minDocFreq = 2)),
+    // the scale setting of the same operator: stride 4 samples every 4th
+    // position, cutting explode volume 4x — the knob a 100 TB run uses.
+    // Registered alongside the exhaustive form so the stride arithmetic
+    // (position set AND island merge over stride-spaced runs) is
+    // oracle-checked, not just unit-tested
+    "x_dedup_spans_strided" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 30, stride = 4, minDocFreq = 2)),
     // incremental (cross-run) exact dedup: even-id docs play the already-
     // ingested corpus (digest store), the full table is the new batch
     "x_dedup_incremental" -> ((s, d) => {
@@ -261,11 +274,15 @@ object SparkEntry {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
     }),
-    // int8 scalar quantization: 4x smaller vectors for the ANN shuffle
+    // int8 scalar quantization: 4x smaller vectors for the ANN shuffle.
+    // The dump flattens codes to a CSV string: the driver's checker sorts
+    // every dumped column, and array-typed cells crash its pandas sort
+    // (r6 red row) — registered dumps expose only atomic-typed columns.
     "x_sim_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
-        .select(col("vec_id"), col("q.scale").as("scale"), col("q.codes").as("codes"))),
+        .select(col("vec_id"), col("q.scale").as("scale"),
+          array_join(col("q.codes"), ",").as("codes_csv"))),
     // 2^4 buckets per table × 2 OR'd tables: bucket count sized for the
     // sf0.01/sf0.1 corpus (use embeddingNearDupPairsAuto at unknown scale)
     "x_sim_near_dup" -> ((s, d) =>
@@ -309,6 +326,11 @@ object SparkEntry {
     "x_text_collapse" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.collapseTokenRuns(col("text")).as("collapsed"))),
+    // stopword-profile language ID (C4/Gopher gate): per-row argmax of
+    // function-word hit ratios; the oracle's stopword lists are generated
+    // from the SAME TextAnalysis.stopwords val, so they cannot drift
+    "x_text_lang" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
     // the composed curation pipeline: quality -> dedup -> decontaminate
     // -> split, one operator, oracle-checked as a whole
     "x_curate" -> ((s, d) => {
@@ -317,6 +339,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text")
+    }),
+    // the same pipeline with the optional language gate on: docs whose
+    // stopword-profile language is not English drop out at the scan stage
+    "x_curate_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", languages = Some(Set("en")))
     }),
     // ---- extensions: sequence packing (context-window assembly) ----
     "x_pack_sequences" -> ((s, d) =>
@@ -660,6 +691,15 @@ object SparkEntry {
          |FROM enrichB n LEFT JOIN enrichA c
          |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
          |WHERE c."KEY_HASH" IS NULL""".stripMargin,
+    // deliberately the SAME statement as l09_delta: the bucketed re-keyed
+    // join is an implementation strategy, not a semantic change
+    "l09_delta_bucketed" ->
+      s"""$snapshotsCte
+         |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
+         |       n."KEY_HASH", n."RECORD_HASH"
+         |FROM enrichB n LEFT JOIN enrichA c
+         |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |WHERE c."KEY_HASH" IS NULL""".stripMargin,
     "l13_inserts" ->
       s"""$snapshotsCte
          |SELECT n.l_orderkey, n.l_linenumber, n."KEY_HASH"
@@ -839,6 +879,30 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // strided twin: position set steps by 4 and the island-merge group key
+    // subtracts row_number()*4, so runs of stride-spaced duplicated
+    // positions merge exactly as the Scala window does
+    "x_dedup_spans_strided" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28, 4)) AS p FROM docs)
+        |),
+        |dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |dp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) * 4 AS grp
+        |  FROM dp
+        |)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "x_dedup_incremental" ->
       """WITH h AS (
         |  SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash
@@ -877,6 +941,53 @@ object SparkEntry {
          |$qualityMetricsCte,
          |base AS (
          |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN dedup USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM dedup d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    // x_curate with the language gate: identical statement except `base`
+    // additionally requires the generated stopword-profile argmax = 'en';
+    // the lang CASE is built from the same vals as the x_text_lang oracle
+    "x_curate_lang" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |lng AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      ${TextAnalysis.langOrder.map(l => s"${duckLangHits(l)} AS c_$l").mkString(", ")}
+         |    FROM toks
+         |  ) WHERE ($duckLangCase) = 'en'
+         |),
+         |base AS (
+         |  SELECT m.doc_id FROM m JOIN lng USING (doc_id)
          |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
          |),
          |hashed AS (
@@ -1116,7 +1227,8 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10""".stripMargin,
     // same per-vector max/127 scale and round-half-away-from-zero code
     // derivation as quantizeInt8; CAST of the already-integral round()
-    // output is exact in both engines
+    // output is exact in both engines. codes flattened to CSV so the
+    // driver's checker only ever sorts scalar cells (r6 fix).
     "x_sim_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -1124,10 +1236,12 @@ object SparkEntry {
         |  FROM embeddings
         |)
         |SELECT vec_id, scale,
-        |  CASE WHEN scale = 0
-        |       THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding,
-        |              x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS codes
+        |  array_to_string(
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END,
+        |    ',') AS codes_csv
         |FROM s""".stripMargin,
     "x_sim_near_dup" ->
       """WITH v AS (
@@ -1222,6 +1336,7 @@ object SparkEntry {
         |  round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(v), 6) AS mean
         |FROM x GROUP BY grp, i""".stripMargin,
     "x_text_profile" -> textProfileOracle,
+    "x_text_lang" -> langIdOracle,
     "x_text_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
@@ -1484,12 +1599,45 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin
   )
 
+  /** DuckDB mirror of TextAnalysis.stopwordHits over token list `w`:
+    * generated from the SAME stopwords val the Spark expressions use. */
+  private def duckLangHits(lang: String): String = {
+    val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, t -> list_contains([$words], t)))"
+  }
+
+  /** DuckDB mirror of TextAnalysis.langId's argmax (expects c_<lang>
+    * count columns): fixed check order, strict > 0, 'und' fallback. */
+  private def duckLangCase: String = {
+    val best = s"greatest(${TextAnalysis.langOrder.map(l => s"c_$l").mkString(", ")})"
+    TextAnalysis.langOrder
+      .map(l => s"WHEN c_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** x_text_lang oracle: mirrors TextAnalysis.languageId. */
+  private def langIdOracle: String = {
+    val hitCols = TextAnalysis.langOrder
+      .map(l => s"${duckLangHits(l)} AS c_$l").mkString(", ")
+    val best = s"greatest(${TextAnalysis.langOrder.map(l => s"c_$l").mkString(", ")})"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+       |  FROM documents
+       |),
+       |feat AS (
+       |  SELECT doc_id, len(w) AS n_tokens,
+       |    $hitCols
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |  $duckLangCase AS lang,
+       |  round(CAST($best AS DOUBLE) / greatest(n_tokens, 1), 6) AS confidence
+       |FROM feat""".stripMargin
+  }
+
   /** x_text_profile oracle: mirrors every TextAnalysis expression. */
   private def textProfileOracle: String = {
-    def hits(lang: String): String = {
-      val words = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(w, t -> list_contains([$words], t)))"
-    }
+    def hits(lang: String): String = duckLangHits(lang)
     s"""WITH toks AS (
        |  SELECT doc_id, text,
        |         list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w

@@ -29,6 +29,27 @@ object Cdc {
   def delta(currentData: DataFrame, newData: DataFrame): DataFrame =
     newData.join(currentData.select(KeyHash, RecordHash), Seq(KeyHash, RecordHash), "left_anti")
 
+  /** [[delta]] re-keyed for a KEY_HASH-bucketed current store. The pair
+    * anti-join's (KEY_HASH, RECORD_HASH) keys cannot use KEY_HASH-only
+    * bucketing — the planner disables the bucketed scan and shuffles the
+    * whole store. This form collapses the store's record hashes into a
+    * per-key set (a groupBy on KEY_HASH — satisfied BY the bucketing, no
+    * Exchange) and joins on KEY_HASH alone, so the accumulated store never
+    * moves; only the incoming snapshot is exchanged to the bucket count.
+    * A new row is delta iff its key is absent or its record hash is not in
+    * the key's set — exactly [[delta]]'s pair semantics (CdcSpec pins
+    * equivalence; the l09_delta oracle checks this form end-to-end).
+    * Versions per key are few, so the sets stay tiny. */
+  def deltaBucketed(currentData: DataFrame, newData: DataFrame): DataFrame = {
+    val sets = currentData.groupBy(col(KeyHash))
+      .agg(collect_set(col(RecordHash)).as("__cur_rhs"))
+    val deltaOrder = // mimic delta's Seq-join output order exactly
+      Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
+    newData.join(sets, Seq(KeyHash), "left_outer")
+      .filter(col("__cur_rhs").isNull || !array_contains(col("__cur_rhs"), col(RecordHash)))
+      .select(deltaOrder.map(col): _*)
+  }
+
   /** Inserts only: KEY_HASH present in `newData` but not in `currentData`
     * (MetaColumnHelpers.py:194-196). */
   def inserts(currentData: DataFrame, newData: DataFrame): DataFrame =

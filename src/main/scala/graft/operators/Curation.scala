@@ -25,9 +25,12 @@ object Curation {
 
   /** Run the full curation pipeline; returns surviving (idCol, split).
     *
-    * @param docs   training corpus (idCol, textCol)
-    * @param bench  benchmark/eval set to decontaminate against (broadcast)
-    * @param splits (name, weight) split spec, weights summing to <= 1
+    * @param docs      training corpus (idCol, textCol)
+    * @param bench     benchmark/eval set to decontaminate against (broadcast)
+    * @param splits    (name, weight) split spec, weights summing to <= 1
+    * @param languages when set, keep only docs whose [[TextAnalysis.langId]]
+    *                  is in the set (the C4/Gopher language gate); another
+    *                  per-row predicate fused into the same corpus scan
     */
   def curate(
       docs: DataFrame,
@@ -37,12 +40,17 @@ object Curation {
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       shingleN: Int = 3,
-      minHits: Long = 1L): DataFrame = {
+      minHits: Long = 1L,
+      languages: Option[Set[String]] = None): DataFrame = {
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
-    val kept = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
+    val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
       .filter(col("keep"))
       .select(col(idCol), col(textCol))
+    val kept = languages.fold(quality) { ls =>
+      quality.filter(TextAnalysis.langId(col(textCol))
+        .isInCollection(ls.toSeq.sorted))
+    }
     val hashed = kept.withColumn("__content_hash",
       graft.functions.HashColumns.hashExpr(Seq(col(textCol))))
     val w = Window.partitionBy("__content_hash").orderBy(col(idCol))

@@ -103,6 +103,21 @@ object Decontamination {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The benchmark's distinct shingle hashes collapsed into ONE row (a
+    * sorted array column) — the broadcastable form a stateless
+    * stream-static join can probe row-locally ([[graft.streaming
+    * .StreamingHistorization.decontaminateStream]]). */
+  def benchShingleSetRow(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench.select(explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(shingleHash(col("s")).as("sh"))
+      .distinct()
+      .agg(sort_array(collect_set(col("sh"))).as("__bench_sh"))
+
+  /** Row-local hashed distinct shingles of a text column — the per-document
+    * side of the probe against [[benchShingleSetRow]]. */
+  def hashedShingles(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    transform(Dedup.shingles(text, n), s => shingleHash(s))
+
   /** Training corpus with contaminated documents REMOVED — the production
     * wrapper around [[contaminationReport]]: an anti-join on the flagged id
     * set, so clean rows stream through untouched. */

@@ -46,19 +46,39 @@ object TextAnalysis {
       greatest(size(toks), lit(1)), 6)
   }
 
+  /** Fixed language check order: ties break toward the earlier entry. */
+  val langOrder: Seq[String] = Seq("en", "de", "fr", "es")
+
   /** Heuristic language ID: argmax of per-language function-word hit
     * counts; ties and all-zero fall back to "und" (undetermined).
     * Deterministic: languages are checked in fixed order and a strictly
     * greater count is required to take the lead. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val ordered = Seq("en", "de", "fr", "es")
-    val counts = ordered.map(l => stopwordHits(toks, stopwords(l)))
+    val counts = langOrder.map(l => stopwordHits(toks, stopwords(l)))
     val best = counts.reduce((a, b) => greatest(a, b))
-    ordered.zip(counts).foldRight(lit("und"): Column) { case ((l, c), acc) =>
+    langOrder.zip(counts).foldRight(lit("und"): Column) { case ((l, c), acc) =>
       when(c === best && best > 0, lit(l)).otherwise(acc)
     }
   }
+
+  /** Confidence of [[langId]]'s pick: the winning language's function-word
+    * hit ratio over all tokens (0.0 when undetermined). The standard
+    * stopword-profile LID signal (C4/Gopher-style pipelines gate on it);
+    * deterministic, so SQL-twinnable unlike model-based LID. */
+  def langConfidence(text: Column): Column = {
+    val toks = tokens(text)
+    val best = langOrder.map(l => stopwordHits(toks, stopwords(l)))
+      .reduce((a, b) => greatest(a, b))
+    round(best.cast("double") / greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Frame form: (idCol, lang, confidence). One per-row codegen'd
+    * projection — at 100 TB this runs at scan speed, no shuffle. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      langId(col(textCol)).as("lang"),
+      langConfidence(col(textCol)).as("confidence"))
 
   /** Ratio of non-alphanumeric, non-space characters. */
   def punctRatio(text: Column): Column =

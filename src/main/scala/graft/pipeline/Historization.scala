@@ -55,6 +55,40 @@ object Historization {
     Store.readParquetSafe(spark, storePath).get
   }
 
+  /** [[historizeRun]] against a catalog BUCKETED table instead of a path —
+    * the production write path at scale. Run N's store is a
+    * `bucketBy(KEY_HASH)` table, so run N+1's delta anti-join reads the
+    * accumulated store with NO Exchange (the bucketed scan IS the shuffle
+    * output; only the incoming snapshot is exchanged), and the updated
+    * generation lands via [[Store.writeStoreTableSwap]] — materialize to
+    * `__swap`, then an atomic catalog rename. The 100 TB shape: per run,
+    * the store payload never moves; shuffle volume is O(snapshot), not
+    * O(accumulated store).
+    */
+  def historizeRunTable(
+      spark: SparkSession,
+      newData: DataFrame,
+      table: String,
+      keyColumns: Seq[String],
+      loadTs: Option[String] = None,
+      buckets: Int = 256,
+      recordHashExclude: Seq[String] = Nil): DataFrame = {
+    val currents = loadTs.map(Currents(_)).getOrElse(Currents.now())
+    val enriched = MetaEnrichment.addMetaColumns(newData, currents, keyColumns, recordHashExclude)
+    if (!spark.catalog.tableExists(table)) {
+      // Bootstrap (main.py:20-21): everything is delta.
+      Store.writeStoreTable(enriched, table, buckets)
+    } else {
+      val current = Store.canonicalize(Store.readStoreTable(spark, table), enriched.schema)
+      // deltaBucketed, not delta: the pair-keyed anti-join would re-shuffle
+      // the store (bucketing is KEY_HASH-only); the re-keyed form reads the
+      // store with zero Exchange (StoreSpec pins this on the actual plan)
+      val delta = Cdc.deltaBucketed(current, enriched)
+      Store.writeStoreTableSwap(current.unionByName(delta), table, buckets)
+    }
+    Store.readStoreTable(spark, table)
+  }
+
   /** Multi-run driver (main.py:26-34): reset the store, feed each snapshot
     * in order with its injected timestamp, return the final store. */
   def simulateRuns(

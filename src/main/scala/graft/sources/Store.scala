@@ -144,6 +144,27 @@ object Store {
   def readStoreTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Catalog twin of [[writeStoreSwap]]: read-safe overwrite of a bucketed
+    * TABLE the incoming plan is itself reading. The new store generation is
+    * fully materialized into `<table>__swap` FIRST (saveAsTable is eager),
+    * then the old table drops and the swap renames into place — a reader
+    * failing mid-choreography sees either the old or the new generation,
+    * never a partial write, and the bucket spec travels with the rename.
+    *
+    * Managed tables only: `ALTER TABLE RENAME` relocates a managed table's
+    * directory, which is a metadata-only NameNode op on HDFS. On an object
+    * store (S3/GCS) that relocation is a physical copy — there, point an
+    * EXTERNAL table at a versioned location per generation and flip a view
+    * instead (same choreography, view replace as the atomic step). */
+  def writeStoreTableSwap(df: DataFrame, table: String, buckets: Int = 256): Unit = {
+    val spark = df.sparkSession
+    val tmp   = table + "__swap"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writeStoreTable(df, tmp, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** Bucket-pruned read of the rows that can contain `keyHash`: resolves the
     * bucket driver-side and reads only that directory's row groups. */
   def readStoreBucket(spark: SparkSession, path: String, keyHash: String, buckets: Int = 256): DataFrame = {

@@ -71,6 +71,37 @@ object StreamingHistorization {
       .join(knownDigests.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .dropDuplicates("content_hash")
 
+  /** Streaming benchmark decontamination — the streaming twin of
+    * [[graft.operators.Decontamination.decontaminate]]: the benchmark's
+    * distinct shingle hashes collapse into a single broadcast row
+    * (benchmarks are MBs by construction), every streamed document joins it
+    * on a constant key — a stateless stream-static BroadcastHashJoin — and
+    * counts colliding shingles row-locally with `array_intersect` (document
+    * shingles are distinct, so |intersection| equals the batch operator's
+    * n_hits). Stateless ⇒ re-delivered rows filter identically; no
+    * watermark or state store involved.
+    *
+    * Scale note: the probe builds a per-row hash set over the bench array,
+    * so for benches beyond ~1M shingles run the batch operator inside
+    * foreachBatch instead; this form suits the continuous low-latency path.
+    */
+  def decontaminateStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      n: Int = 13,
+      minHits: Long = 1L): DataFrame = {
+    import graft.operators.Decontamination
+    val benchRow = broadcast(
+      Decontamination.benchShingleSetRow(bench, textCol, n).withColumn("__k", lit(1)))
+    docs
+      .withColumn("__shs", Decontamination.hashedShingles(col(textCol), n))
+      .withColumn("__k", lit(1))
+      .join(benchRow, Seq("__k"))
+      .filter(size(array_intersect(col("__shs"), col("__bench_sh"))) < minHits)
+      .drop("__k", "__shs", "__bench_sh")
+  }
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

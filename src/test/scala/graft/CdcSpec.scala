@@ -27,6 +27,19 @@ class CdcSpec extends SparkSpec {
     assert((ins ++ upd).sorted === d.select("k").as[String].collect().sorted.toSeq)
   }
 
+  test("deltaBucketed is row- and column-identical to delta") {
+    // multiple record-hash versions per key: current carries b twice
+    val multi = current.unionByName(enriched(Seq("b" -> "8"), currents1))
+    val pair = Cdc.delta(multi, incoming)
+    val rekeyed = Cdc.deltaBucketed(multi, incoming)
+    assert(rekeyed.columns.toSeq === pair.columns.toSeq)
+    assert(rekeyed.exceptAll(pair).count() === 0)
+    assert(pair.exceptAll(rekeyed).count() === 0)
+    // and on an empty current store everything is delta
+    val empty = current.filter($"k" === "zzz")
+    assert(Cdc.deltaBucketed(empty, incoming).count() === incoming.count())
+  }
+
   test("delta of identical snapshots is empty") {
     assert(Cdc.delta(current, current).isEmpty)
   }

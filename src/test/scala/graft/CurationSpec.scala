@@ -27,6 +27,21 @@ class CurationSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("language gate only removes rows, and exactly the non-English ones") {
+    val gated = Curation.curate(train, bench, "doc_id", "text",
+      languages = Some(Set("en")))
+    val ungated = Curation.curate(train, bench, "doc_id", "text")
+    // gated ⊆ ungated: the gate is one more filter, never adds rows
+    assert(gated.join(ungated, Seq("doc_id"), "left_anti").count() === 0)
+    // every dropped survivor is exactly a non-en doc
+    val dropped = ungated.join(gated, Seq("doc_id"), "left_anti").select("doc_id")
+    val nonEn = TextAnalysis.languageId(train, "doc_id", "text")
+      .filter($"lang" =!= "en").select("doc_id")
+    assert(dropped.exceptAll(dropped.join(nonEn, Seq("doc_id"), "left_semi")).count() === 0)
+    // and no surviving doc is non-en
+    assert(gated.join(nonEn, Seq("doc_id"), "left_semi").count() === 0)
+  }
+
   test("each stage only removes rows; survivors carry a split") {
     val got = Curation.curate(train, bench, "doc_id", "text")
     assert(got.count() > 0)

@@ -37,6 +37,26 @@ class PlanAuditSpec extends SparkSpec {
         s"orphaned=${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
   }
 
+  test("registered dumps expose only atomic-typed columns") {
+    // the round-6 regression class: the driver's checker sorts every dumped
+    // column with pandas, and array/map/struct cells crash that sort
+    // (unhashable numpy.ndarray), leaving the query UNVERIFIED. Operators
+    // may return nested types; registered dumps must flatten them
+    // (array_join / getField) before exposure.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val schema = SparkEntry.queries(name)(spark, sfDir).schema
+      spark.catalog.clearCache()
+      val nested = schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(nested.isEmpty,
+        s"$name dumps non-atomic columns ${nested.mkString(",")} — the driver's checker cannot sort them")
+    }
+  }
+
   test("no registered query plans a cartesian product") {
     // static check on purpose: a cartesian is a planning-time property, and
     // every query's runtime behavior is already executed by its own spec

@@ -109,6 +109,66 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("pipeline bucketed-table historization: catalog-swap runs match the in-memory chain, store never shuffles") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.pipeline.Historization
+
+    val table = "graft_hist_table_e2e"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__swap")
+
+    val snap1 = (1 to 400).map(i => (s"k$i", s"v${i % 7}")).toDF("k", "v")
+    val snap2 = (1 to 430).map(i => (s"k$i", s"v${i % 5}")).toDF("k", "v")
+    val snap3 = (1 to 430).map(i => (s"k$i", s"v${i % 3}")).toDF("k", "v")
+    val (t1, t2, t3) = ("2024-01-01 10:00:00", "2024-02-15 10:30:00", "2024-03-01 09:00:00")
+    try {
+      Historization.historizeRunTable(spark, snap1, table, Seq("k"), Some(t1), buckets = 4)
+
+      // the scale claim, audited on run 2's merge plan before it executes:
+      // the accumulated store enters the delta join as a bucketed scan with
+      // NO shuffle anywhere above it. AQE off so the tree is bare, and
+      // broadcast off because at scale the store CANNOT broadcast — with it
+      // on, the tiny test store broadcasts and the planner rightly skips
+      // the bucketed scan, hiding the distribution this test pins.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val enr2 = MetaEnrichment.addMetaColumns(snap2, Currents(t2), Seq("k"))
+      val current = Store.canonicalize(Store.readStoreTable(spark, table), enr2.schema)
+      val updated = current.unionByName(graft.operators.Cdc.deltaBucketed(current, enr2))
+      val plan = updated.queryExecution.executedPlan
+      val bucketedScans = plan.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+      assert(bucketedScans.nonEmpty, "store read lost its bucketed-scan form")
+      assert(plan.collect {
+        case e: ShuffleExchangeExec
+            if e.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty => e
+      }.isEmpty, s"bucketed store side is being shuffled:\n$plan")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+      // runs 2 and 3 through the catalog swap (each reads the table it
+      // replaces — the choreography writeStoreSwap proves for paths)
+      Historization.historizeRunTable(spark, snap2, table, Seq("k"), Some(t2), buckets = 4)
+      Historization.historizeRunTable(spark, snap3, table, Seq("k"), Some(t3), buckets = 4)
+
+      // final store content ≡ the storage-free historizeFrames chain
+      val e1 = MetaEnrichment.addMetaColumns(snap1, Currents(t1), Seq("k"))
+      val m2 = Historization.historizeFrames(e1, snap2, Currents(t2), Seq("k"))
+      val m3 = Historization.historizeFrames(m2, snap3, Currents(t3), Seq("k"))
+      val got = Store.canonicalize(Store.readStoreTable(spark, table), m3.schema)
+      assert(got.count() === m3.count())
+      assert(got.exceptAll(m3).count() === 0)
+      assert(m3.exceptAll(got).count() === 0)
+      // the swap table never lingers
+      assert(!spark.catalog.tableExists(s"${table}__swap"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__swap")
+    }
+  }
+
   test("bucket-pruned read finds the key and scans one partition") {
     val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
     Store.writeStoreBucketed(enriched, path, buckets = 16)

@@ -156,6 +156,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("inc_dedup").count().toInt === batchTwin.size)
   }
 
+  test("streaming decontamination equals the batch twin and is stateless under re-delivery") {
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val train = docsAll.filter($"doc_id" % 20 =!= 0)
+    val bench = docsAll.filter($"doc_id" % 20 === 0)
+
+    val dir = Files.createTempDirectory("graft-stream-decon").toString
+    train.write.parquet(s"$dir/in")
+    train.write.mode("append").parquet(s"$dir/in") // full re-delivery
+
+    val stream = spark.readStream.schema(train.schema).parquet(s"$dir/in")
+    val clean = StreamingHistorization.decontaminateStream(stream, bench, "text", n = 3)
+    val q = clean.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("decon_stream")
+    val streamedIds = streamed.select("doc_id").as[Long].collect().toSet
+    val batchIds = graft.operators.Decontamination
+      .decontaminate(train, bench, "doc_id", "text", 3, 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedIds === batchIds)
+    // stateless by design: BOTH deliveries of every surviving doc pass
+    // through — the filter decision is per-row, no state store involved
+    assert(streamed.count() === 2L * batchIds.size)
+    assert(batchIds.nonEmpty && batchIds.size < train.count())
+  }
+
   test("foreachBatch historization absorbs re-delivered snapshots idempotently") {
     val dir = Files.createTempDirectory("graft-stream-hist").toString
     val snap = Seq(("a", "1"), ("b", "2")).toDF("k", "v")

@@ -39,6 +39,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) === "und")
   }
 
+  test("languageId frame: lang matches langId, confidence is the winning ratio") {
+    val got = TextAnalysis.languageId(docs, "doc_id", "text")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: en hits = the(3) + and + it + is + a + on?(no) + for = 3+1+1+1+1+1 = 8 of 15
+    assert(got(1L)._1 === "en")
+    assert(got(1L)._2 > 0.0 && got(1L)._2 <= 1.0)
+    assert(got(2L)._1 === "de")
+    assert(got(3L)._1 === "fr")
+    // no signal: und with confidence exactly 0
+    assert(got(4L) === ("und", 0.0))
+    assert(got(5L) === ("und", 0.0))
+    // confidence equals the recomputed best-hit ratio for the en doc
+    val en = docs.filter($"doc_id" === 1L)
+      .select(TextAnalysis.stopwordRatio($"text", "en")).as[Double].head()
+    assert(got(1L)._2 === en)
+  }
+
   test("punct ratio and quality score bounded, deterministic on empty") {
     val rows = docs.select(
       TextAnalysis.punctRatio($"text").as("p"),
