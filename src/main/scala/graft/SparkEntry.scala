@@ -268,6 +268,17 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 10,
         planes = 2, dims = 64, tables = 4)
     }),
+    // the composed quantized-ANN path: SRP buckets over int8 codes (the
+    // wide shuffle moves 1-byte codes, not floats), exact re-rank on the
+    // original vectors. Same planes/tables as x_sim_ann_lsh — bucket signs
+    // are scale-invariant, so recall matches the dequantized measurement
+    // (0.90 at sf0.01; same CI floor applies)
+    "x_sim_ann_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedLshTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        planes = 2, dims = 64, tables = 4)
+    }),
     // recall@10 = 0.70 at sf0.01 (same CI floor applies)
     "x_sim_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1162,6 +1173,60 @@ object SparkEntry {
         |                    - 1) % 2 * 2 - 1))) > 0
         |      THEN '1' ELSE '0' END), '') AS bucket
         |  FROM v, generate_series(0, 3) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |                    AND q.id < 5 AND q.id <> c.id
+        |),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(vq.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+        |          / (vq.nrm * vc.nrm), 6) AS cos
+        |  FROM cand JOIN v vq ON vq.id = query_id JOIN v vc ON vc.id = corpus_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // x_sim_ann_lsh's statement with one substitution: bucket signs come
+    // from the int8 codes (same scale/round derivation as x_sim_quantize);
+    // scoring still reads the original vectors — mirroring the operator's
+    // quantized-candidates / exact-re-rank split
+    "x_sim_ann_quantized" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT vec_id AS id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |),
+        |qz AS (
+        |  SELECT id,
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS codes
+        |  FROM s
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 2), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(codes[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 2 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM qz, generate_series(0, 3) t(t)
         |),
         |cand AS (
         |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id

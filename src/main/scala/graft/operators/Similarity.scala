@@ -263,6 +263,68 @@ object Similarity {
     rankTopK(scored, k, idType)
   }
 
+  /** [[lshTopK]] with candidate generation over int8-quantized codes — the
+    * composed form that makes [[quantizeInt8]] load-bearing. The bucket
+    * equi-join (the wide candidate-generation stage) carries 1-byte codes
+    * instead of 4/8-byte floats — at 100 TB that is the 4-8x shuffle-volume
+    * saving — while the exact re-rank joins the ORIGINAL vectors back for
+    * the (few) surviving candidates, so final scores are identical to
+    * scoring unquantized candidates.
+    *
+    * SRP bucket signs are invariant under each vector's positive
+    * quantization scale — sign(dot(codes, h)) = sign(dot(scale*codes, h))
+    * exactly, so bucketing on raw codes is bucketing on the dequantized
+    * vectors up to IEEE summation order at the sign boundary (a
+    * |projection| ~ 0 knife edge); the only real approximation vs
+    * [[lshTopK]] on full-precision vectors is int8 rounding. Bucketing on
+    * codes is in fact the MORE deterministic form: every dot(codes, ±1)
+    * term is integral with |sum| <= dims*127, exactly representable in a
+    * double, so bucket keys are reproducible bit-for-bit in any engine —
+    * no 1-ulp cross-engine hazard like float-vector projections carry.
+    * SimilaritySpec pins the near-agreement with dequantized bucketing and
+    * a CI recall floor on exactly the shipped parameters.
+    */
+  def quantizedLshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      planes: Int = 8,
+      dims: Int = 64,
+      tables: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    val idType = corpus.schema(corpusIdCol).dataType
+    // candidate generation: only (id, tbl, bucket) move — buckets are
+    // computed from the int8 codes, the float payload stays in place
+    val qb = queries.select(col(queryIdCol).as("query_id"),
+        quantizeInt8(col(queryVecCol)).getField("codes").as("qc"))
+      .select(col("query_id"),
+        posexplode(srpBucketKeys(col("qc"), planes, tables, dims)).as(Seq("tbl", "bucket")))
+    val cb = corpus.select(col(corpusIdCol).as("corpus_id"),
+        quantizeInt8(col(corpusVecCol)).getField("codes").as("cc"))
+      .select(col("corpus_id"),
+        posexplode(srpBucketKeys(col("cc"), planes, tables, dims)).as(Seq("tbl", "bucket")))
+    val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
+    val matched = cb.join(broadcast(qb), Seq("tbl", "bucket")).filter(self)
+      .drop("tbl", "bucket")
+    val pairs = if (tables > 1) matched.dropDuplicates(Seq("query_id", "corpus_id")) else matched
+    // exact re-rank: original full-precision vectors join back for
+    // survivors only
+    val qv = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+      l2Norm(col(queryVecCol)).as("qn"))
+    val cv = corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
+      l2Norm(col(corpusVecCol)).as("cn"))
+    val scored = pairs
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
+      .withColumn("cos", round(cosFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .select("query_id", "corpus_id", "cos")
+    rankTopK(scored, k, idType)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucketed so only same-bucket
     * pairs are scored, then thresholded. The vector+norm frame and the
     * bucket frame are persisted — the self-join and the two scoring joins

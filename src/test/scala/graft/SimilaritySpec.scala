@@ -190,6 +190,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"quantized-vector LSH recall@10=$r < 0.6")
   }
 
+  test("quantizedLshTopK: buckets from codes equal buckets from dequantized vectors; recall floor holds") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // scale invariance: SRP keys over int8 codes == keys over codes*scale
+    // in exact arithmetic; the dequantized path's per-element multiply
+    // perturbs IEEE summation order, so a |projection| ~ 0 knife edge may
+    // flip — divergence must stay at the knife-edge level, not structural
+    val keys = emb.select(
+      Similarity.srpBucketKeys(
+        Similarity.quantizeInt8($"embedding").getField("codes"), 2, 4, 64).as("kc"),
+      Similarity.srpBucketKeys(
+        Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")), 2, 4, 64).as("kd"))
+    val divergent = keys.filter(not($"kc" <=> $"kd")).count()
+    assert(divergent <= emb.count() / 100,
+      s"$divergent rows diverge from dequantized bucketing — more than knife-edge")
+    // CI recall floor on EXACTLY the registered x_sim_ann_quantized params
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val got = Similarity.quantizedLshTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10,
+      planes = 2, dims = 64, tables = 4) // = SparkEntry x_sim_ann_quantized (measured 0.90)
+    val r = Similarity.recallAtK(got, exact, 10)
+    assert(r >= 0.6, s"shipped quantized-ANN params recall@10=$r < 0.6 — re-tune before shipping")
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
