@@ -42,11 +42,24 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // queries persist intermediate frames; drop them (outside the timed
-      // window) so no run pays another run's cache pressure
+      // window) so no run pays another run's cache pressure, and ask for a
+      // GC so a heavy query's garbage isn't collected inside the NEXT
+      // query's timed window (r6: x_dedup_jaccard's min doubled when the
+      // Map-order reshuffle placed it after a heavy neighbor in every pass
+      // — min-of-3 cannot absorb positionally-consistent pressure)
       spark.catalog.clearCache()
+      System.gc()
       (sec, err)
     }
-    val queries = SparkEntry.queries.toSeq
+    // name-sorted, not Map order: adding a query to the Map reshuffles its
+    // hash-based iteration order, which moved queries next to different
+    // heavy neighbors across rounds and made per-query times incomparable
+    // round-over-round. Sorted order is stable under insertion forever.
+    // SPARK_GRAFT_ONLY (a substring filter) scopes a local run to the
+    // queries under study; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
     val passes = (1 to 3).map(_ => queries.map { case (name, fn) => once(name, fn) })
     val raw = queries.zipWithIndex.map { case ((name, _), i) =>
       val runs = passes.map(_(i))
