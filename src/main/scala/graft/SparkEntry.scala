@@ -212,6 +212,23 @@ object SparkEntry {
     "x_dedup_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    // transitive duplicate clusters over the simhash near-dup pairs: the
+    // step pair emitters stop short of — A~B, B~C collapse into one
+    // cluster named by the minimum member
+    "x_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+          Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+            bits = 16, maxHamming = 2))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+    // corpus-level cluster dedup: drop every clustered doc except the
+    // cluster minimum; unpaired docs survive
+    "x_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepCanonical(docs, "doc_id",
+          Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+            bits = 16, maxHamming = 2))
+        .select("doc_id")
+    }),
     // duplicated 30-char substring spans across the corpus
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
@@ -590,6 +607,30 @@ object SparkEntry {
        |  SELECT * FROM changed_new
        |)""".stripMargin
 
+  /** SimHash Hamming-near-duplicate PAIRS as a reusable CTE chain ending in
+    * `pairs (id_a, id_b, hamming)` — shared by the pair oracle and the two
+    * cluster oracles built on top of it. Blocks are generated from the SAME
+    * (lo, width) computation the operator uses ([[Dedup.hammingBlocks]]) —
+    * query and oracle cannot drift. */
+  private lazy val simhashNearPairsCte: String = {
+    val blocks = Dedup.hammingBlocks(16, 2).zipWithIndex.map { case ((lo, w), j) =>
+      s"SELECT doc_id AS id, fp, $j AS blk, (fp >> $lo) & ${(1L << w) - 1} AS bval FROM fp"
+    }.mkString("\n  UNION ALL ")
+    s"""$simhashFpCte,
+       |blocked AS (
+       |  $blocks
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.bval = b.bval AND a.id < b.id
+       |),
+       |pairs AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |  FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2
+       |)""".stripMargin
+  }
+
   /** SimHash fingerprint CTE (16-bit, mirrors the kernel bit-for-bit) shared
     * by the grouping and Hamming-neighborhood oracles. `fp` is the
     * null-coalesced BIGINT fingerprint. */
@@ -849,24 +890,43 @@ object SparkEntry {
       s"""$simhashFpCte
          |SELECT fp AS simhash, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM fp GROUP BY 1""".stripMargin,
-    "x_dedup_simhash_near" -> {
-      // blocks generated from the SAME (lo, width) computation the operator
-      // uses (Dedup.hammingBlocks) — query and oracle cannot drift
-      val blocks = Dedup.hammingBlocks(16, 2).zipWithIndex.map { case ((lo, w), j) =>
-        s"SELECT doc_id AS id, fp, $j AS blk, (fp >> $lo) & ${(1L << w) - 1} AS bval FROM fp"
-      }.mkString("\n  UNION ALL ")
-      s"""$simhashFpCte,
-         |blocked AS (
-         |  $blocks
+    "x_dedup_simhash_near" ->
+      s"""$simhashNearPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // min-label connected components as a recursive CTE: cc enumerates
+    // (node, reachable node) over the symmetric edge list, so min(label)
+    // per node is the component minimum — the same fixpoint the iterative
+    // Spark loop converges to
+    "x_dedup_clusters" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
          |),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
-         |  FROM blocked a JOIN blocked b
-         |    ON a.blk = b.blk AND a.bval = b.bval AND a.id < b.id
+         |cc AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
          |)
-         |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2""".stripMargin
-    },
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    "x_dedup_canonical" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |cc AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
+         |),
+         |losers AS (
+         |  SELECT id FROM cc GROUP BY id HAVING id <> min(label)
+         |)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
     // same position set (1-based starts, stride 1), raw-substring joins
     // instead of the 60-bit hashes, identical island-merge windows
     "x_dedup_spans" ->

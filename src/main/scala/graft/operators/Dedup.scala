@@ -416,4 +416,92 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates(Seq("id_a", "id_b"))
   }
+
+  /** Connected components over an undirected duplicate-pair graph, by
+    * iterative min-label propagation: each node's label converges to the
+    * smallest node id in its component, so every near-duplicate cluster is
+    * named by its minimum member. This is the step between pairwise
+    * candidates (MinHash/SimHash/Jaccard emit PAIRS) and an actually
+    * deduplicated corpus: transitive duplicates (A~B, B~C but never A~C)
+    * collapse into one cluster, which pair-level "keep min(id_a)" misses.
+    *
+    * Algorithm: the label-propagation scheme analyzed in Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14) — per round,
+    * newLabel(v) = min(label(v), min over neighbors' labels); rounds until
+    * fixpoint, detected by an exact-decimal checksum (labels only ever
+    * decrease, so an unchanged sum means an unchanged labeling). Each round
+    * is one equi-join plus one min-aggregate over (id, label) LONG pairs —
+    * node payloads never enter the loop — and rounds needed equal the
+    * graph diameter. Duplicate clusters are shallow (stars and short
+    * chains), so convergence is a handful of rounds; for adversarially
+    * deep graphs Kiveris et al.'s large-star/small-star variant bounds
+    * rounds at O(log² n) with the same per-round join shape. Each round's
+    * labeling is eagerly `localCheckpoint`ed: the round plan references
+    * the previous labeling twice (join + union), so without truncation
+    * the logical plan doubles per round — caching alone leaves an
+    * exponentially-growing lineage that OOMs on plan stringification
+    * alone by ~12 rounds. Checkpointed labelings are (long, long) pairs,
+    * tiny relative to the corpus; a fault-tolerant 100 TB run points
+    * `spark.checkpoint.dir` at reliable storage and uses `checkpoint()`
+    * instead, trading a write per round for executor-loss recovery.
+    *
+    * @param pairs one row per undirected edge (`idACol`, `idBCol`)
+    * @return (id, cluster_id) for every node that appears in `pairs`;
+    *         cluster_id = min node id of the component
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+    val rev = pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))
+    // symmetric closure: min labels must flow both ways along every edge
+    val edges = scope.persist(fwd.union(rev).distinct())
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var sumNow = checksum(labels)
+    var converged = sumNow == null // empty graph: nothing to propagate
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
+      val sumNext = checksum(next)
+      converged = sumNext.compareTo(sumNow) == 0
+      labels.unpersist(blocking = false)
+      labels = next
+      sumNow = sumNext
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — " +
+          "the pair graph has a longer path than expected for near-duplicate " +
+          "clusters; raise maxIters or investigate the candidate generator")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Deduplicate `df` by transitive near-duplicate clusters: every row
+    * whose id sits in a cluster of `pairs` and is not the cluster's
+    * minimum id is dropped; unpaired rows and cluster minima survive.
+    * The anti-join moves only the loser id set — never `df`'s payload. */
+  def keepCanonical(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val clusters = duplicateClusters(pairs, idACol, idBCol, maxIters, scope)
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

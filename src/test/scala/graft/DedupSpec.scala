@@ -133,4 +133,32 @@ class DedupSpec extends SparkSpec {
     assert(hamming <= 6, s"hamming=$hamming")
     assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
   }
+
+  test("duplicate clusters: transitive pairs collapse, components named by min id") {
+    // two components: {1,2,3} via a chain (1~2, 2~3 but never 1~3) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("duplicate clusters: long chain converges; reversed edge order agrees") {
+    // a 12-node path needs ~diameter rounds — exercises the fixpoint loop
+    val chain = (1L to 11L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert(got.size === 12 && got.values.forall(_ === 1L))
+  }
+
+  test("duplicate clusters: empty pair set yields empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(empty).count() === 0)
+  }
+
+  test("keepCanonical drops exactly the non-minimum cluster members") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 and 3 lose to 1; unpaired 4 and 5 survive untouched
+    assert(kept === Set(1L, 4L, 5L))
+  }
 }
