@@ -359,6 +359,14 @@ object SparkEntry {
     // from the SAME TextAnalysis.stopwords val, so they cannot drift
     "x_text_lang" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // positional winnowing fingerprints (Schleimer et al. SIGMOD'03):
+    // rightmost-min of each w-hash window over character k-grams
+    "x_text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d), "doc_id", "text", k = 12, w = 8)),
+    // MOSS-style overlap report: docs sharing >= 2 winnowed fingerprints
+    "x_text_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowSimilarPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 12, w = 8, minShared = 2, maxFpDocFreq = 100)),
     // the composed curation pipeline: quality -> dedup -> decontaminate
     // -> split, one operator, oracle-checked as a whole
     "x_curate" -> ((s, d) => {
@@ -696,6 +704,45 @@ object SparkEntry {
       |       AND alpha_ratio >= 0.8
       |       AND top_bigram_ratio <= 0.30
       |       AND top_trigram_ratio <= 0.20""".stripMargin
+
+  /** DuckDB mirror of [[Dedup.shingleHash]]: first 15 hex digits of md5 as
+    * a 60-bit BIGINT. Powers of 16 are exactly representable as doubles up
+    * to 16^14, and every partial product and the sum stay under 2^63, so
+    * the arithmetic is exact integer on both engines. */
+  private def duckHash60(expr: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 16), j ->
+       |      (strpos('0123456789abcdef', substring(md5($expr), j, 1)) - 1)
+       |      * CAST(pow(16, 15 - j) AS BIGINT))) AS BIGINT)""".stripMargin
+
+  /** Winnowing selection CTE chain (k = 12, w = 8; mirrors
+    * [[TextAnalysis.winnowFingerprints]] hash-for-hash) ending in
+    * `fps (doc_id, pos, fp)` — shared by the fingerprint-table oracle and
+    * the overlap-pairs oracle. */
+  private lazy val winnowFpsCte: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, CAST(length(text) - 11 AS INT) AS n FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, CAST(p AS INT) AS p,
+       |         ${duckHash60("substring(text, CAST(p AS INT), 12)")} AS gh
+       |  FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS p
+       |        FROM base WHERE n >= 1)
+       |),
+       |win AS (
+       |  SELECT doc_id, CAST(a AS INT) AS a
+       |  FROM (SELECT doc_id, unnest(range(1, greatest(n - 7, 1) + 1)) AS a
+       |        FROM base WHERE n >= 1)
+       |),
+       |sel AS (
+       |  SELECT w.doc_id, w.a, g.p, g.gh,
+       |         row_number() OVER (PARTITION BY w.doc_id, w.a
+       |                            ORDER BY g.gh ASC, g.p DESC) AS rn
+       |  FROM win w JOIN g ON g.doc_id = w.doc_id
+       |                   AND g.p >= w.a AND g.p < w.a + 8
+       |),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, p AS pos, gh AS fp FROM sel WHERE rn = 1
+       |)""".stripMargin
 
   /** DuckDB mirror of [[graft.operators.Sampling.hashUniform]]: first 8 hex
     * digits of md5(s"$$id#$$salt") as a 32-bit integer over 2^32. */
@@ -1462,6 +1509,19 @@ object SparkEntry {
         |FROM x GROUP BY grp, i""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_text_lang" -> langIdOracle,
+    "x_text_winnow" ->
+      s"""$winnowFpsCte
+         |SELECT doc_id, pos, fp FROM fps""".stripMargin,
+    "x_text_winnow_pairs" ->
+      s"""$winnowFpsCte,
+         |dfp AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+         |jn AS (
+         |  SELECT fp FROM dfp GROUP BY fp HAVING count(*) BETWEEN 2 AND 100
+         |),
+         |fl AS (SELECT id, d.fp FROM dfp d JOIN jn USING (fp))
+         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         |FROM fl a JOIN fl b ON a.fp = b.fp AND a.id < b.id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "x_text_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w

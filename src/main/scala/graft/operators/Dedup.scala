@@ -102,7 +102,7 @@ object Dedup {
   /** 60-bit digest-prefix hash of a shingle string: an 8-byte primitive
     * join/shuffle key instead of multi-word text (collision odds ~n²/2⁶¹
     * — vanishing against the shuffle volume it saves at 100 TB). */
-  private def shingleHash(s: Column): Column =
+  private[operators] def shingleHash(s: Column): Column =
     conv(md5(s).substr(1, 15), 16, 10).cast("long")
 
   /** Exploded (id, sh) hashed-shingle frame over distinct shingles. */

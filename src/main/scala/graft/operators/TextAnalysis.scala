@@ -111,6 +111,97 @@ object TextAnalysis {
     array_min(transform(sequence(lit(1), count), i => md5(text.substr(i, lit(k)))))
   }
 
+  /** Positional winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    * — the MOSS selection rule): hash every k-character gram, slide a
+    * window of `w` consecutive hashes, and in each window select the
+    * minimum hash, rightmost on ties. Selection density converges to
+    * 2/(w+1), and any shared substring of length ≥ k + w - 1 between two
+    * documents is GUARANTEED to share at least one selected fingerprint —
+    * the property that makes the fingerprint index sufficient for overlap
+    * detection.
+    *
+    * Per-row higher-order expression — selection never shuffles; only the
+    * ~2n/(w+1) selected (pos, fp) pairs leave the row for the index join.
+    * Docs with fewer than w grams winnow their single truncated window
+    * (so every doc with ≥ 1 gram yields ≥ 1 fingerprint); docs shorter
+    * than k yield none.
+    *
+    * @return array<struct<gh: long, p: int>> of distinct selections
+    */
+  def winnowFingerprints(text: Column, k: Int = 12, w: Int = 8): Column =
+    winnowSelect(winnowGramHashes(text, k), w)
+
+  /** Stage 1 of winnowing: (gh, p) structs for every k-gram position.
+    * Empty array (not a fingerprint) when the text is shorter than k. */
+  def winnowGramHashes(text: Column, k: Int): Column = {
+    require(k >= 2, "k must be at least 2")
+    val n = length(text) - (k - 1)
+    when(n >= 1, transform(sequence(lit(1), n),
+        p => struct(Dedup.shingleHash(text.substr(p, lit(k))).as("gh"), p.as("p"))))
+      .otherwise(lit(null).cast("array<struct<gh:bigint,p:int>>"))
+  }
+
+  /** Stage 2 of winnowing: rightmost-min selection over every w-window of
+    * an already-computed gram-hash array. KEEP THE TWO STAGES IN SEPARATE
+    * PROJECTIONS when composing manually ([[winnow]] does): higher-order
+    * functions are interpreted, so if `ghs` is an inline expression rather
+    * than an attribute reference, every one of the ~n windows re-evaluates
+    * all n md5 hashes — O(n²) per document instead of O(n·w). The
+    * many-reference shape here also stops `CollapseProject` from
+    * re-inlining a staged alias. */
+  def winnowSelect(ghs: Column, w: Int): Column = {
+    require(w >= 1, "w must be positive")
+    val n = size(ghs)
+    val sel = transform(sequence(lit(1), greatest(n - (w - 1), lit(1))), a =>
+      aggregate(slice(ghs, a, lit(w)), element_at(ghs, a),
+        (best, x) => when(x("gh") < best("gh") ||
+          (x("gh") === best("gh") && x("p") > best("p")), x).otherwise(best)))
+    when(n >= 1, array_distinct(sel))
+      .otherwise(lit(null).cast("array<struct<gh:bigint,p:int>>"))
+  }
+
+  /** Exploded winnowing fingerprint table: one row per selected position.
+    * Gram hashing and window selection run in separate staged projections
+    * (see [[winnowSelect]]). @return (doc_id, pos, fp) */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, w: Int = 8): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        winnowGramHashes(col(textCol), k).as("ghs"))
+      .select(col("doc_id"), explode(winnowSelect(col("ghs"), w)).as("f"))
+      .select(col("doc_id"), col("f.p").as("pos"), col("f.gh").as("fp"))
+
+  /** Documents sharing at least `minShared` distinct winnowing
+    * fingerprints — the MOSS-style overlap report. The index join is an
+    * equi-join on the 8-byte fingerprint over the ~2n/(w+1)-dense
+    * selection, with fingerprints above `maxFpDocFreq` documents dropped
+    * first (the boilerplate guard that keeps the self-join linear at
+    * corpus scale, same shape as [[Dedup.jaccardPairs]]).
+    *
+    * @return (id_a, id_b, n_shared) with id_a < id_b
+    */
+  def winnowSimilarPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 12,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxFpDocFreq: Long = 1000,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val fps = scope.persist(
+      winnow(df, idCol, textCol, k, w)
+        .select(col("doc_id").as("id"), col("fp")).distinct())
+    val joinable = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxFpDocFreq)
+    val filtered = scope.persist(fps.join(joinable.select("fp"), Seq("fp")))
+    filtered.as("a").join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Intra-document repetition REMOVAL: collapse runs of consecutive
     * identical tokens to at most `maxRun` occurrences ("buy now now now"
     * → "buy now"). The token-level sibling of [[dedupLines]]; whitespace

@@ -191,4 +191,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2) === "call <PHONE> now")
     assert(rows(3) === "nothing sensitive here 12.5 percent")
   }
+
+  test("winnowing: coverage gap <= w, shared substring guarantee, edge lengths") {
+    val k = 12; val w = 8
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val fps = TextAnalysis.winnow(docsReal, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(fps.nonEmpty)
+    // winnowing's defining property: every window of w consecutive gram
+    // positions contains a selected position, so consecutive selections
+    // are at most w apart
+    fps.foreach { case (id, rows) =>
+      val ps = rows.map(_._2).sorted
+      ps.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a <= w, s"doc $id gap $a->$b exceeds w")
+      case _ => () }
+      assert(ps.head <= w, s"doc $id first selection ${ps.head} outside first window")
+    }
+    // shorter than k: no grams, no fingerprints; k <= len < k+w-1: exactly
+    // one truncated window, exactly one selection
+    val edge = Seq((1L, "x" * (k - 1)), (2L, "abcdefghijklmn")).toDF("doc_id", "text")
+    val edgeFps = TextAnalysis.winnow(edge, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect()
+    assert(!edgeFps.exists(_._1 == 1L))
+    assert(edgeFps.count(_._1 == 2L) === 1)
+  }
+
+  test("winnowing pairs: duplicated docs share fingerprints, disjoint docs none") {
+    val a = "the quick brown fox jumps over the lazy dog again and again for a while"
+    val corpus = Seq(
+      (1L, a),
+      (2L, a + " with a small suffix edit"),
+      (3L, "completely unrelated content that talks about query optimizers only")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowSimilarPairs(corpus, "doc_id", "text",
+        k = 12, w = 8, minShared = 2, maxFpDocFreq = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
 }
