@@ -415,6 +415,12 @@ object SparkEntry {
     "x_sample_weighted" -> ((s, d) =>
       Sampling.sampleWithWeight(Tables.documents(s, d).select("doc_id"), "doc_id", 2.3)
         .select("doc_id", "copy")),
+    // KMV distinct-count sketch: per event type, distinct users estimated
+    // from the 64 smallest user-id hash uniforms (150 true distinct, so
+    // the (k-1)/U(k) estimator path is exercised, not the exact fallback)
+    "x_sketch_distinct" -> ((s, d) =>
+      Sketches.approxDistinctKmv(Tables.events(s, d), Seq("event_type"), "user_id",
+        k = 64)),
     // ---- extensions: multimodal plumbing ----
     // real files on disk through the binaryFile source (not text-as-binary):
     // a deterministic fixture is (re)written driver-side, Spark ingests the
@@ -1598,6 +1604,25 @@ object SparkEntry {
          |WHERE u < CASE event_type
          |  WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.1 WHEN 'purchase' THEN 1.0
          |  ELSE NULL END""".stripMargin,
+    // KMV: k-th smallest distinct hash-uniform per group; 63.0/U(64) is
+    // the same double division on the same operands in both engines
+    "x_sketch_distinct" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, ${duckHashUniform("user_id", "kmv")} AS u
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, u,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM u
+         |)
+         |SELECT event_type,
+         |       round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |             ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END) END, 6)
+         |         AS est_distinct,
+         |       CAST(least(max(nd), 64) AS INT) AS n_kept
+         |FROM r GROUP BY event_type""".stripMargin,
     // the fractional bound is written as (2.3 - 2), not 0.3, so both
     // engines compare against the identical IEEE double
     "x_sample_weighted" ->
