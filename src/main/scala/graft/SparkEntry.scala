@@ -332,6 +332,22 @@ object SparkEntry {
         sum(col("quantity")).cast("double").as("sum_qty"))
       SkewJoin.saltedInnerJoin(li.drop("quantity"), dim, Seq("returnflag"), salt = 8)
     }),
+    // bucketed interval join: shipments landing inside 31-day order
+    // windows (every 601st order), an equi-join on 16-day buckets plus the
+    // exact containment filter — never a nested-loop/cartesian plan.
+    // Day numbers are the NTZ timestamp's date part as epoch days
+    // (timezone-free on both engines); the window subset is deterministic
+    "x_range_join" -> ((s, d) => {
+      val day = (c: org.apache.spark.sql.Column) => unix_date(c.cast("date"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        day(col("l_shipdate")).as("ship_day"))
+      val win = Tables.orders(s, d).filter(col("o_orderkey") % 601 === 0)
+        .select(col("o_orderkey").as("win_key"),
+          day(col("o_orderdate")).as("lo"),
+          (day(col("o_orderdate")) + 30).as("hi"))
+      RangeJoin.pointInInterval(li, "ship_day", win, "lo", "hi", bucketWidth = 16)
+        .select("win_key", "l_orderkey", "l_linenumber", "ship_day")
+    }),
     // ---- extensions: embedding pooling ----
     "x_emb_meanpool" -> ((s, d) =>
       Embeddings.meanPoolExact(
@@ -1503,6 +1519,22 @@ object SparkEntry {
         |)
         |SELECT l.l_orderkey, l.l_linenumber, returnflag, d.n_flag, d.sum_qty
         |FROM li l JOIN dim d USING (returnflag)""".stripMargin,
+    // plain BETWEEN join — DuckDB plans it fine at oracle scale; the
+    // bucketed rewrite is the Spark side's distributed-scale concern
+    "x_range_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS ship_day
+        |  FROM lineitem
+        |),
+        |win AS (
+        |  SELECT o_orderkey AS win_key,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS lo,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) + 30 AS hi
+        |  FROM orders WHERE o_orderkey % 601 = 0
+        |)
+        |SELECT win_key, l_orderkey, l_linenumber, ship_day
+        |FROM li JOIN win ON ship_day BETWEEN lo AND hi""".stripMargin,
     "x_emb_meanpool" ->
       """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
         |x AS (
