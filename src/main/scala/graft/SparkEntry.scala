@@ -375,6 +375,16 @@ object SparkEntry {
     // from the SAME TextAnalysis.stopwords val, so they cannot drift
     "x_text_lang" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // corpus boilerplate discovery: top word-3-grams by document
+    // frequency, distributed top-k (TakeOrdered), gram-text tiebreak
+    "x_text_boilerplate" -> ((s, d) =>
+      TextAnalysis.frequentNgrams(Tables.documents(s, d), "doc_id", "text",
+        n = 3, topK = 20)),
+    // inverted-index tf-idf cosine: lexical near-dup pairs through shared
+    // sub-cap terms only — never all-pairs
+    "x_text_tfidf_pairs" -> ((s, d) =>
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+        minSim = 0.3, maxTermDocFreq = 100)),
     // positional winnowing fingerprints (Schleimer et al. SIGMOD'03):
     // rightmost-min of each w-hash window over character k-grams
     "x_text_winnow" -> ((s, d) =>
@@ -1547,6 +1557,49 @@ object SparkEntry {
         |FROM x GROUP BY grp, i""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_text_lang" -> langIdOracle,
+    "x_text_boilerplate" ->
+      s"""$docShinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)
+         |SELECT gram, count(*) AS df FROM ex GROUP BY gram
+         |ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    // weights, dot products and norms mirror TextAnalysis.tfidfCosinePairs
+    // operand-for-operand: round(tf*ln(1+n/df),6) weights, decimal sums
+    "x_text_tfidf_pairs" ->
+      s"""$docShinglesCte,
+         |tf AS (
+         |  SELECT id, term, count(*) AS tf
+         |  FROM (SELECT doc_id AS id, unnest(w) AS term FROM toks)
+         |  GROUP BY 1, 2
+         |),
+         |st AS (SELECT count(DISTINCT id) AS n FROM tf),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |  HAVING count(*) <= 100
+         |),
+         |wt AS (
+         |  SELECT id, term,
+         |         round(CAST(tf AS DOUBLE)
+         |               * ln(1.0 + CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS w
+         |  FROM tf JOIN dfreq USING (term), st
+         |),
+         |nrm AS (
+         |  SELECT id, sum(CAST(w * w AS DECIMAL(28,12))) AS nrm FROM wt GROUP BY id
+         |),
+         |num AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS dot
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(dot AS DOUBLE)
+         |             / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+         |         AS cosine
+         |FROM num
+         |JOIN nrm na ON na.id = id_a
+         |JOIN nrm nb ON nb.id = id_b
+         |WHERE round(CAST(dot AS DOUBLE)
+         |            / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) >= 0.3""".stripMargin,
     "x_text_winnow" ->
       s"""$winnowFpsCte
          |SELECT doc_id, pos, fp FROM fps""".stripMargin,

@@ -202,6 +202,78 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus-level frequent n-grams: the word shingles appearing in the
+    * most documents — the standard boilerplate/template detector (C4's
+    * recipe drops lines recurring across the corpus; this is the
+    * discovery side of that gate). Distinct shingles per doc, one
+    * (shingle, id) shuffle for document frequency, then a DISTRIBUTED
+    * top-k: `orderBy(...).limit(k)` plans as TakeOrdered — per-partition
+    * heaps merged on the driver, never an all-rows single-partition
+    * window sort. Ties break on the gram text so output is deterministic.
+    *
+    * @return (gram, df) — the topK grams by document frequency
+    */
+  def frequentNgrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      topK: Int = 20): DataFrame =
+    df.select(col(idCol).as("id"), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(topK)
+
+  /** Sparse lexical cosine similarity via an inverted index: tf-idf
+    * weights per (doc, term), pairs generated ONLY through shared terms
+    * (an equi-join on the term, never all-pairs), document-frequency cap
+    * on joinable terms as the stop-word/boilerplate guard.
+    *
+    * Cross-engine determinism: weights are `round(tf · ln(1 + n/df), 6)`
+    * with the expression order mirrored literally in the oracle (the
+    * [[bm25]] precedent for ln parity), and pair dot products / norms are
+    * decimal-summed so aggregation order cannot matter. Norms run over
+    * the SAME df-capped vocabulary as the dot product — the vector space
+    * is "all terms below the cap", consistently on both sides.
+    *
+    * @return (id_a, id_b, cosine) with id_a < id_b, cosine >= minSim
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSim: Double = 0.3,
+      maxTermDocFreq: Long = 100,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val tf = scope.persist(
+      toks.select(col("id"), explode(col("toks")).as("term"))
+        .groupBy("id", "term").agg(count(lit(1)).as("tf")))
+    val stats = tf.select("id").distinct().agg(count(lit(1)).as("n"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTermDocFreq)
+    val w = scope.persist(
+      tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        // literal expression order, mirrored in the oracle
+        .withColumn("w", round(col("tf").cast("double") *
+          log(lit(1.0) + col("n").cast("double") / col("df").cast("double")), 6))
+        .select("id", "term", "w"))
+    val norms = w.groupBy("id")
+      .agg(sum((col("w") * col("w")).cast("decimal(28,12)")).as("nrm"))
+    val num = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum((col("a.w") * col("b.w")).cast("decimal(28,12)")).as("dot"))
+    num
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nrm_b")), Seq("id_b"))
+      .withColumn("cosine", round(col("dot").cast("double") /
+        sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")), 6))
+      .filter(col("cosine") >= minSim)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Intra-document repetition REMOVAL: collapse runs of consecutive
     * identical tokens to at most `maxRun` occurrences ("buy now now now"
     * → "buy now"). The token-level sibling of [[dedupLines]]; whitespace

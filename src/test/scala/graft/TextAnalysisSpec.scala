@@ -217,6 +217,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(edgeFps.count(_._1 == 2L) === 1)
   }
 
+  test("frequentNgrams ranks by document frequency with deterministic ties") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma other"),
+      (3L, "alpha beta gamma words"),
+      (4L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.frequentNgrams(corpus, "doc_id", "text", n = 3, topK = 3)
+      .as[(String, Long)].collect()
+    assert(top.head === ("alpha beta gamma", 3L))
+    assert(top.length === 3)
+    // remaining df=1 grams tie; order must be gram-ascending
+    assert(top.tail.map(_._1).sorted.toSeq === top.tail.map(_._1).toSeq)
+    // distinct-per-doc: repeating a gram within one doc adds nothing
+    val rep = Seq((1L, "x y z x y z"), (2L, "x y z only")).toDF("doc_id", "text")
+    val df0 = TextAnalysis.frequentNgrams(rep, "doc_id", "text", n = 3, topK = 1)
+      .as[(String, Long)].head()
+    assert(df0 === ("x y z", 2L))
+  }
+
+  test("tfidf cosine: identical docs hit 1.0, overlap ranks above disjoint") {
+    val corpus = Seq(
+      (1L, "spark query engine optimizer"),
+      (2L, "spark query engine optimizer"),
+      (3L, "spark query planner internals"),
+      (4L, "entirely unrelated cooking recipe")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.tfidfCosinePairs(corpus, "doc_id", "text",
+        minSim = 0.0, maxTermDocFreq = 100)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((1L, 3L)) > 0 && pairs((1L, 3L)) < pairs((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
+  }
+
   test("winnowing pairs: duplicated docs share fingerprints, disjoint docs none") {
     val a = "the quick brown fox jumps over the lazy dog again and again for a while"
     val corpus = Seq(
