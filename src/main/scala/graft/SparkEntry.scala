@@ -478,6 +478,12 @@ object SparkEntry {
       Multimodal.resizeStub(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), 64, 64)
         .select(col("id"), col("width"), col("height"),
           lower(hex(col("payload"))).as("payload_hex"))),
+    // perceptual-hash near-dup pairs: aHash fingerprints (mean-threshold
+    // over the stub-decode features), pigeonhole Hamming blocking
+    "x_media_phash" -> ((s, d) =>
+      Multimodal.phashNearDuplicates(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"),
+        bits = 16, maxHamming = 2)),
     // ---- extensions: as-of join (point-in-time lookup) ----
     "x_asof_purchase" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -504,6 +510,11 @@ object SparkEntry {
     "x_events_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d), 30)),
     "x_events_top_types" -> ((s, d) => EventAnalytics.topTypesPerHour(Tables.events(s, d), 3)),
     "x_events_cohort" -> ((s, d) => EventAnalytics.cohortRetention(Tables.events(s, d))),
+    // ordered conversion funnel view -> click -> purchase: each step's
+    // time must be strictly after the previous step's
+    "x_events_funnel" -> ((s, d) =>
+      EventAnalytics.funnelCounts(Tables.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
     // ---- extensions: analytic benchmarks over the star schema ----
     "x_agg_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -652,12 +663,15 @@ object SparkEntry {
     * cluster oracles built on top of it. Blocks are generated from the SAME
     * (lo, width) computation the operator uses ([[Dedup.hammingBlocks]]) —
     * query and oracle cannot drift. */
-  private lazy val simhashNearPairsCte: String = {
-    val blocks = Dedup.hammingBlocks(16, 2).zipWithIndex.map { case ((lo, w), j) =>
+  /** Pigeonhole-blocked Hamming-pair CTEs over a preceding CTE named `fp`
+    * with columns (doc_id, fp) — the SQL twin of
+    * [[Dedup.hammingNearDuplicates]], blocks generated from the SAME
+    * (lo, width) computation the operator uses. */
+  private def duckHammingPairs(bits: Int, maxHamming: Int): String = {
+    val blocks = Dedup.hammingBlocks(bits, maxHamming).zipWithIndex.map { case ((lo, w), j) =>
       s"SELECT doc_id AS id, fp, $j AS blk, (fp >> $lo) & ${(1L << w) - 1} AS bval FROM fp"
     }.mkString("\n  UNION ALL ")
-    s"""$simhashFpCte,
-       |blocked AS (
+    s"""blocked AS (
        |  $blocks
        |),
        |cand AS (
@@ -667,9 +681,37 @@ object SparkEntry {
        |),
        |pairs AS (
        |  SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-       |  FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 2
+       |  FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $maxHamming
        |)""".stripMargin
   }
+
+  private lazy val simhashNearPairsCte: String =
+    s"""$simhashFpCte,
+       |${duckHammingPairs(16, 2)}""".stripMargin
+
+  /** Perceptual-hash CTE: aHash over the same md5 feature derivation the
+    * media-features oracle uses; `list_reduce` mirrors the Spark fold's
+    * left-to-right double addition order. Ends in `fp (doc_id, fp)`. */
+  private lazy val phashFpCte: String =
+    """WITH f AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    list_transform(range(0, 16), i ->
+      |      CAST(list_sum(list_transform(range(1, 5), j ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5(text || '#' || CAST(i AS VARCHAR)), j, 1)) - 1)
+      |        * CAST(pow(16, 4 - j) AS BIGINT))) AS DOUBLE) / 65535.0 * 2 - 1) AS f
+      |  FROM documents
+      |),
+      |m AS (
+      |  SELECT doc_id, f, list_reduce(f, (a, b) -> a + b) / 16 AS mean FROM f
+      |),
+      |fp AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), i ->
+      |    CASE WHEN f[CAST(i + 1 AS INT)] > mean
+      |         THEN CAST(pow(2, 15 - i) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+      |    AS BIGINT) AS fp
+      |  FROM m
+      |)""".stripMargin
 
   /** SimHash fingerprint CTE (16-bit, mirrors the kernel bit-for-bit) shared
     * by the grouping and Hamming-neighborhood oracles. `fp` is the
@@ -1772,6 +1814,10 @@ object SparkEntry {
         |  CASE WHEN p_ts >= ts - INTERVAL 30 MINUTES THEN p_ts END AS p_ts,
         |  CASE WHEN p_ts >= ts - INTERVAL 30 MINUTES THEN p_value END AS p_value
         |FROM m""".stripMargin,
+    "x_media_phash" ->
+      s"""$phashFpCte,
+         |${duckHammingPairs(16, 2)}
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
     "x_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |  CASE WHEN text IS NULL THEN NULL ELSE
@@ -1788,6 +1834,32 @@ object SparkEntry {
         |       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
         |       md5(text || '#64x64') AS payload_hex
         |FROM documents""".stripMargin,
+    // sequential min-joins mirror funnelTimes step for step; left joins
+    // keep users at the depth they reached, count(tN) skips nulls
+    "x_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type AS et, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |),
+        |s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM ev WHERE et = 'view' GROUP BY 1
+        |),
+        |s2 AS (
+        |  SELECT s1.user_id, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN ev e
+        |    ON e.user_id = s1.user_id AND e.et = 'click' AND e.ts > s1.t1
+        |  GROUP BY 1
+        |),
+        |s3 AS (
+        |  SELECT s2.user_id, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN ev e
+        |    ON e.user_id = s2.user_id AND e.et = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY 1
+        |)
+        |SELECT 1 AS step, 'view' AS step_name, count(t1) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2 AS step, 'click' AS step_name, count(t2) AS n_users FROM s2
+        |UNION ALL
+        |SELECT 3 AS step, 'purchase' AS step_name, count(t3) AS n_users FROM s3""".stripMargin,
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n_events,

@@ -79,6 +79,71 @@ object HashKernels {
     0
   }
 
+  /** Positional winnowing fingerprints over a text string: 60-bit gram
+    * hashes (first 15 hex digits of md5 over the k-char gram's UTF-8
+    * bytes, exactly `conv(md5(substr(text,p,k)),16,10)`) at every
+    * position, then the rightmost-min of each w-window — value-identical
+    * to the staged HOF form in
+    * [[graft.operators.TextAnalysis.winnowSelect]]. Texts shorter than k
+    * yield null (no gram); fewer than w grams winnow the single
+    * truncated window. One md5 per position and O(n·w) long compares —
+    * versus the HOF tree's per-element interpreted evaluation, which made
+    * the two winnow queries 24% of the whole benchmark.
+    *
+    * Selected positions are non-decreasing across windows (a later
+    * window's rightmost-min can never sit left of an earlier one's), so
+    * distinctness needs only a last-selected guard.
+    *
+    * @return array<struct<gh: long, p: int>> with p 1-based, or null
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    // char-positions: ASCII fast path slices bytes directly; multibyte
+    // falls back to String (BMP) slicing, same chars the HOF substr sees
+    val ascii = bytes.length == text.numChars()
+    val str = if (ascii) null else text.toString
+    val n = (if (ascii) bytes.length else str.length) - (k - 1)
+    if (n < 1) return null
+    val md = mdLocal.get()
+    val ghs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val gram =
+        if (ascii) java.util.Arrays.copyOfRange(bytes, p, p + k)
+        else str.substring(p, p + k).getBytes("UTF-8")
+      val hex = md5Hex(md, gram)
+      var v = 0L
+      var i = 0
+      while (i < 15) {
+        val c = hex(i)
+        v = v * 16 + (if (c <= '9') c - '0' else c - 'a' + 10)
+        i += 1
+      }
+      ghs(p) = v
+      p += 1
+    }
+    val nWin = math.max(n - (w - 1), 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * n / (w + 1) + 2)
+    var lastP = -1
+    var a = 0
+    while (a < nWin) {
+      val end = math.min(a + w, n)
+      var bestP = a
+      var i2 = a + 1
+      while (i2 < end) {
+        if (ghs(i2) <= ghs(bestP)) bestP = i2 // rightmost on ties
+        i2 += 1
+      }
+      if (bestP != lastP) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](ghs(bestP), bestP + 1))
+        lastP = bestP
+      }
+      a += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word n-gram shingles over a token array: windows of up to
     * `n` tokens joined by a single space, first-occurrence order, window
     * starts 0..max(size-n, 0) — value-identical to the HOF form
@@ -276,10 +341,41 @@ case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("gh", LongType, nullable = false),
+      StructField("p", IntegerType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true // short texts yield null
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = s"graft.functions.HashKernels.winnow"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $f($c, $k, $w);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
     CatalystBridge.column(MinHashSig(CatalystBridge.expression(shingles), k))
+
+  /** Codegen'd positional winnowing fingerprints of a string column. */
+  def winnowOf(text: Column, k: Int, w: Int): Column =
+    CatalystBridge.column(WinnowFps(CatalystBridge.expression(text), k, w))
 
   /** Codegen'd distinct n-gram shingles of an `array<string>` token column. */
   def shinglesOf(tokens: Column, n: Int): Column =

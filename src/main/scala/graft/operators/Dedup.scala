@@ -398,6 +398,28 @@ object Dedup {
       textCol: String,
       bits: Int = 16,
       maxHamming: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp")),
+      "id", "fp", bits, maxHamming, scope)
+
+  /** Hamming-distance near-duplicate pairs over ANY precomputed bit
+    * fingerprint column (SimHash text prints, perceptual image hashes,
+    * …): pigeonhole blocking — maxHamming+1 disjoint bit blocks, two
+    * prints within distance d agree exactly on at least one block (Manku
+    * et al. WWW'07) — so candidate generation is a (block, value)
+    * equi-join, then the exact popcount filter. Never all-pairs; the
+    * blocked frame is persisted once per self-join side.
+    *
+    * @param fps one row per item: (`idCol`, `fpCol` long)
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming <= maxHamming
+    */
+  def hammingNearDuplicates(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int,
+      maxHamming: Int,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     require(maxHamming >= 1 && maxHamming < bits, "need 1 <= maxHamming < bits")
     val blockCols = hammingBlocks(bits, maxHamming).zipWithIndex.map { case ((lo, w), j) =>
@@ -405,7 +427,7 @@ object Dedup {
         shiftrightunsigned(col("fp"), lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
     }
     val blocked = scope.persist(
-      df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
+      fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
         .select(col("id"), col("fp"), explode(array(blockCols: _*)).as("b"))
         .select(col("id"), col("fp"), col("b.blk").as("blk"), col("b.bval").as("bval")))
     blocked.as("a").join(blocked.as("b"),

@@ -104,4 +104,59 @@ object EventAnalytics {
     val w = Window.partitionBy("hour").orderBy(col("sum_value").desc, col("event_type").asc)
     hourly.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Per-user conversion-funnel times: `t1` is the user's earliest
+    * `steps(0)` event, `t(i)` the earliest `steps(i-1)` event STRICTLY
+    * after `t(i-1)` — the standard ordered-funnel semantics (ties at the
+    * exact same timestamp do not advance the funnel). A user appears iff
+    * they completed step 1; later columns are null from the first
+    * uncompleted step on.
+    *
+    * Scale shape: step i is one left equi-join on user_id plus a
+    * min-aggregate — k-1 narrow (user, timestamps) joins total, never a
+    * per-user event-list collect; each join's right side is pre-filtered
+    * to one event type before it shuffles.
+    *
+    * @return (user_id, t1 .. tN) with N = steps.size
+    */
+  def funnelTimes(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("__et"), col(tsCol).as("__ts"))
+    var acc = ev.filter(col("__et") === steps.head)
+      .groupBy("user_id").agg(min("__ts").as("t1"))
+    for (i <- 2 to steps.size) {
+      val si = ev.filter(col("__et") === steps(i - 1))
+        .select(col("user_id").as("__u"), col("__ts"))
+      val carry = "user_id" +: (1 until i).map(j => s"t$j")
+      acc = acc.join(si,
+          col("user_id") === col("__u") && col("__ts") > col(s"t${i - 1}"), "left")
+        .groupBy(carry.map(col): _*)
+        .agg(min(col("__ts")).as(s"t$i"))
+    }
+    acc
+  }
+
+  /** Funnel depth report: one row per step with the count of users whose
+    * [[funnelTimes]] time for that step is non-null. */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(events, userCol, typeCol, tsCol, steps)
+    val counted = times.agg(
+      count(col("t1")).as("c1"),
+      (2 to steps.size).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    counted.select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step"), lit(steps(i)).as("step_name"),
+          col(s"c${i + 1}").as("n_users"))): _*)).as("s"))
+      .select("s.step", "s.step_name", "s.n_users")
+  }
 }

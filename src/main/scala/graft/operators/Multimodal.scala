@@ -130,4 +130,43 @@ object Multimodal {
           .as(Seq("frame_no", "frame_hash")))
       .filter(col("frame_no") % stride === 0)
   }
+
+  /** Average-hash perceptual fingerprint: `bits` feature values from the
+    * (stubbed) decode, thresholded at their mean — the aHash recipe, with
+    * the real decode's downsampled grayscale pixels replaced by the same
+    * deterministic feature derivation [[extractFeaturesSql]] uses (a real
+    * codec swaps the feature source only; the thresholding, fingerprint
+    * packing and downstream blocking stay).
+    *
+    * Feature extraction, mean, and bit packing run in three STAGED
+    * projections (interpreted HOFs re-evaluate inline subtrees — the
+    * winnowing lesson). The mean is a seeded left-to-right fold, mirrored
+    * by `list_reduce` in the oracle so double addition order is identical.
+    *
+    * @return (id, fp) — fp is a `bits`-wide long, null for null payloads
+    */
+  def perceptualHash(media: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 2 && bits <= 62, "need 2 <= bits <= 62")
+    extractFeaturesSql(media, bits)
+      .select(col("id"), col("features"),
+        (aggregate(col("features"), lit(0.0), (a, x) => a + x) / bits).as("mean"))
+      .select(col("id"),
+        when(col("features").isNotNull,
+          aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
+            acc + when(element_at(col("features"), i + 1) > col("mean"),
+              pow(lit(2.0), lit(bits - 1) - i).cast("long")).otherwise(lit(0L))))
+          .as("fp"))
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash Hamming distance —
+    * [[Dedup.hammingNearDuplicates]] pigeonhole blocking over
+    * [[perceptualHash]] fingerprints. Null payloads cannot pair. */
+  def phashNearDuplicates(
+      media: DataFrame,
+      bits: Int = 16,
+      maxHamming: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    Dedup.hammingNearDuplicates(
+      perceptualHash(media, bits).filter(col("fp").isNotNull),
+      "id", "fp", bits, maxHamming, scope)
 }

@@ -130,6 +130,14 @@ object TextAnalysis {
     * @return array<struct<gh: long, p: int>> of distinct selections
     */
   def winnowFingerprints(text: Column, k: Int = 12, w: Int = 8): Column =
+    graft.functions.DedupExpressions.winnowOf(text, k, w)
+
+  /** Staged HOF form of [[winnowFingerprints]] — interpreted; the
+    * executable specification the kernel is property-tested against (and
+    * the shape the DuckDB oracle mirrors). At corpus scale use the
+    * kernel: the HOF tree made the two winnow queries 24% of the whole
+    * benchmark. */
+  def winnowFingerprintsFold(text: Column, k: Int = 12, w: Int = 8): Column =
     winnowSelect(winnowGramHashes(text, k), w)
 
   /** Stage 1 of winnowing: (gh, p) structs for every k-gram position.
@@ -162,13 +170,11 @@ object TextAnalysis {
   }
 
   /** Exploded winnowing fingerprint table: one row per selected position.
-    * Gram hashing and window selection run in separate staged projections
-    * (see [[winnowSelect]]). @return (doc_id, pos, fp) */
+    * @return (doc_id, pos, fp) */
   def winnow(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, w: Int = 8): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        winnowGramHashes(col(textCol), k).as("ghs"))
-      .select(col("doc_id"), explode(winnowSelect(col("ghs"), w)).as("f"))
+        explode(winnowFingerprints(col(textCol), k, w)).as("f"))
       .select(col("doc_id"), col("f.p").as("pos"), col("f.gh").as("fp"))
 
   /** Documents sharing at least `minShared` distinct winnowing

@@ -58,4 +58,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(over.count() === 0)
     assert(t.filter($"rank" < 1 || $"rank" > 2).count() === 0)
   }
+
+  test("funnel: strict ordering, ties do not advance, depths monotone") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 completes A -> B -> C in order
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 10:05:00")),
+      (1L, "C", ts("2024-01-01 10:10:00")),
+      // u2: B before A, then no B after A -> depth 1
+      (2L, "B", ts("2024-01-01 09:00:00")),
+      (2L, "A", ts("2024-01-01 09:30:00")),
+      // u3: B exactly AT A's time -> tie does not advance -> depth 1
+      (3L, "A", ts("2024-01-01 08:00:00")),
+      (3L, "B", ts("2024-01-01 08:00:00")),
+      // u4 never does A -> absent entirely
+      (4L, "B", ts("2024-01-01 07:00:00")),
+      (4L, "C", ts("2024-01-01 07:30:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val times = EventAnalytics.funnelTimes(ev, "user_id", "event_type", "ts",
+      Seq("A", "B", "C")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(times.keySet === Set(1L, 2L, 3L))
+    assert(!times(1L).isNullAt(1) && !times(1L).isNullAt(2) && !times(1L).isNullAt(3))
+    assert(times(2L).isNullAt(2) && times(3L).isNullAt(2))
+    val counts = EventAnalytics.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("A", "B", "C")).orderBy("step")
+      .as[(Int, String, Long)].collect()
+    assert(counts.toSeq === Seq((1, "A", 3L), (2, "B", 1L), (3, "C", 1L)))
+    // depths can only shrink
+    assert(counts.map(_._3).sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+  }
 }

@@ -58,4 +58,26 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.sampleFrames(media, stride = 4, frameBytes = 16)
     assert(frames.exceptAll(again).count() === 0)
   }
+
+  test("perceptual hash: bits-bounded, deterministic, null payload -> null fp") {
+    val fps = Multimodal.perceptualHash(media, bits = 16)
+    assert(fps.filter($"fp".isNotNull && ($"fp" < 0 || $"fp" >= (1L << 16))).count() === 0)
+    val again = Multimodal.perceptualHash(media, bits = 16)
+    assert(fps.exceptAll(again).count() === 0)
+    val withNull = Seq((1L, "x"), (2L, null)).toDF("doc_id", "text")
+    val nf = Multimodal.perceptualHash(
+      Multimodal.asMedia(withNull, "doc_id", "text"), bits = 16)
+    assert(nf.filter($"id" === 2L).head.isNullAt(1))
+    assert(!nf.filter($"id" === 1L).head.isNullAt(1))
+  }
+
+  test("phash near-dups: identical payloads pair at hamming 0; bound respected") {
+    val dup = Seq((1L, "same payload bytes"), (2L, "same payload bytes"),
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val pairs = Multimodal.phashNearDuplicates(
+        Multimodal.asMedia(dup, "doc_id", "text"), bits = 16, maxHamming = 2)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(_._3 <= 2))
+  }
 }

@@ -253,6 +253,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)))
   }
 
+  test("winnow kernel equals the staged HOF fold on real documents") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val both = docsReal
+      .select($"doc_id", TextAnalysis.winnowGramHashes($"text", 12).as("ghs"),
+        TextAnalysis.winnowFingerprints($"text", 12, 8).as("kernel"))
+      .select($"doc_id", $"kernel", TextAnalysis.winnowSelect($"ghs", 8).as("fold"))
+    assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
+    // short-text edges: below k -> null, truncated window -> one selection
+    val edges = Seq((1L, "too short"), (2L, "exactly twelve"), (3L, null))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.winnowFingerprints($"text", 12, 8).as("kernel"),
+        TextAnalysis.winnowFingerprintsFold($"text", 12, 8).as("fold"))
+    assert(edges.filter(!($"kernel" <=> $"fold")).count() === 0)
+  }
+
   test("winnowing pairs: duplicated docs share fingerprints, disjoint docs none") {
     val a = "the quick brown fox jumps over the lazy dog again and again for a while"
     val corpus = Seq(
