@@ -411,6 +411,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", languages = Some(Set("en")))
     }),
+    // curation with the near-dup cluster stage: exact dedup, then simhash
+    // Hamming pairs -> transitive clusters -> keep the cluster minimum
+    "x_curate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", nearDup = Some((16, 1)))
+    }),
     // ---- extensions: sequence packing (context-window assembly) ----
     "x_pack_sequences" -> ((s, d) =>
       Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
@@ -716,12 +725,18 @@ object SparkEntry {
   /** SimHash fingerprint CTE (16-bit, mirrors the kernel bit-for-bit) shared
     * by the grouping and Hamming-neighborhood oracles. `fp` is the
     * null-coalesced BIGINT fingerprint. */
-  private val simhashFpCte: String =
-    """WITH toks AS (
+  /** Shared whitespace-token CTE body (no WITH prefix) — the one `toks`
+    * definition every document oracle builds on. */
+  private val duckToksCte: String =
+    """toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
       |  FROM documents
-      |),
-      |fp0 AS (
+      |)""".stripMargin
+
+  /** SimHash fingerprint CTE tail (expects `toks`), ending in
+    * `fp (doc_id, fp)`. */
+  private val simhashFpTailCte: String =
+    """fp0 AS (
       |  SELECT doc_id,
       |    list_sum(list_transform(range(0, 16), b ->
       |      CASE WHEN list_sum(list_transform(w, t ->
@@ -735,18 +750,23 @@ object SparkEntry {
       |  SELECT doc_id, CAST(coalesce(simhash, 0) AS BIGINT) AS fp FROM fp0
       |)""".stripMargin
 
-  /** Document tokenization / shingling CTEs shared by the dedup oracles. */
-  private val docShinglesCte: String =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
-      |  FROM documents
-      |),
-      |sh AS (
+  private val simhashFpCte: String =
+    s"""WITH $duckToksCte,
+       |$simhashFpTailCte""".stripMargin
+
+  /** Distinct-3-gram shingle CTE body (expects `toks`). */
+  private val duckShinglesTailCte: String =
+    """sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
       |      i -> array_to_string(w[i+1:i+3], ' '))) AS shingles
       |  FROM toks
       |)""".stripMargin
+
+  /** Document tokenization / shingling CTEs shared by the dedup oracles. */
+  private val docShinglesCte: String =
+    s"""WITH $duckToksCte,
+       |$duckShinglesTailCte""".stripMargin
 
   /** Gopher/C4 quality-metric CTE body (expects `toks`) + keep predicate —
     * shared between the standalone quality oracle and the composed
@@ -1128,6 +1148,73 @@ object SparkEntry {
     // keep predicate are the SAME vals the standalone x_text_quality
     // oracle uses, the split bound is written (0.9 + 0.05) so both
     // engines accumulate the identical IEEE double
+    // x_curate plus the near-dup cluster stage between exact dedup and
+    // decontamination: simhash fps (shared tail CTE) -> pigeonhole pairs
+    // restricted to dedup survivors -> recursive min-label components ->
+    // drop non-minimum members. Restricting PAIRS to survivors equals the
+    // operator's pairs-over-survivors (blocking commutes with the subset)
+    "x_curate_neardup" ->
+      s"""WITH RECURSIVE $duckToksCte,
+         |$duckShinglesTailCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |$simhashFpTailCte,
+         |${duckHammingPairs(16, 1)},
+         |pairs2 AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN dedup da ON da.doc_id = p.id_a
+         |  JOIN dedup db ON db.doc_id = p.id_b
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs2
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs2
+         |),
+         |cc AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
+         |),
+         |losers AS (
+         |  SELECT id FROM cc GROUP BY id HAVING id <> min(label)
+         |),
+         |ndd AS (
+         |  SELECT d.doc_id FROM dedup d
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN ndd USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM ndd d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
     "x_curate" ->
       s"""$docShinglesCte,
          |$qualityMetricsCte,

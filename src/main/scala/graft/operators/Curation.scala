@@ -31,6 +31,11 @@ object Curation {
     * @param languages when set, keep only docs whose [[TextAnalysis.langId]]
     *                  is in the set (the C4/Gopher language gate); another
     *                  per-row predicate fused into the same corpus scan
+    * @param nearDup   when set to (simhashBits, maxHamming), add a
+    *                  near-duplicate stage after exact dedup: SimHash
+    *                  Hamming pairs → transitive clusters
+    *                  ([[Dedup.duplicateClusters]]) → keep each cluster's
+    *                  minimum id ([[Dedup.keepCanonical]])
     */
   def curate(
       docs: DataFrame,
@@ -41,7 +46,8 @@ object Curation {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       shingleN: Int = 3,
       minHits: Long = 1L,
-      languages: Option[Set[String]] = None): DataFrame = {
+      languages: Option[Set[String]] = None,
+      nearDup: Option[(Int, Int)] = None): DataFrame = {
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
     val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
@@ -56,8 +62,12 @@ object Curation {
     val w = Window.partitionBy("__content_hash").orderBy(col(idCol))
     val deduped = hashed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__content_hash")
+    val nearDeduped = nearDup.fold(deduped) { case (bits, maxHam) =>
+      Dedup.keepCanonical(deduped, idCol,
+        Dedup.simhashNearDuplicates(deduped, idCol, textCol, bits, maxHam))
+    }
     val clean = Decontamination.decontaminate(
-      deduped, bench, idCol, textCol, shingleN, minHits)
+      nearDeduped, bench, idCol, textCol, shingleN, minHits)
     Sampling.assignSplit(clean.select(col(idCol)), idCol, splits)
   }
 }

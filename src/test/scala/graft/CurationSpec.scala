@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Decontamination, Sampling, TextAnalysis}
+import graft.operators.{Curation, Decontamination, Dedup, Sampling, TextAnalysis}
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -40,6 +40,23 @@ class CurationSpec extends SparkSpec {
     assert(dropped.exceptAll(dropped.join(nonEn, Seq("doc_id"), "left_semi")).count() === 0)
     // and no surviving doc is non-en
     assert(gated.join(nonEn, Seq("doc_id"), "left_semi").count() === 0)
+  }
+
+  test("near-dup stage drops exactly the non-canonical cluster members") {
+    val withStage = Curation.curate(train, bench, "doc_id", "text",
+      nearDup = Some((16, 2)))
+    val without = Curation.curate(train, bench, "doc_id", "text")
+    // the stage can only remove rows, and every removed doc must be a
+    // non-minimum member of some simhash cluster over the deduped set
+    assert(withStage.count() <= without.count())
+    assert(withStage.join(without, Seq("doc_id"), "left_anti").count() === 0)
+    val removed = without.join(withStage, Seq("doc_id"), "left_anti").select("doc_id")
+    if (removed.count() > 0) {
+      val losers = Dedup.duplicateClusters(
+          Dedup.simhashNearDuplicates(train, "doc_id", "text", 16, 2))
+        .filter($"id" =!= $"cluster_id").select($"id".as("doc_id"))
+      assert(removed.join(losers, Seq("doc_id"), "left_semi").count() === removed.count())
+    }
   }
 
   test("each stage only removes rows; survivors carry a split") {
