@@ -667,15 +667,11 @@ object SparkEntry {
        |  SELECT * FROM changed_new
        |)""".stripMargin
 
-  /** SimHash Hamming-near-duplicate PAIRS as a reusable CTE chain ending in
-    * `pairs (id_a, id_b, hamming)` — shared by the pair oracle and the two
-    * cluster oracles built on top of it. Blocks are generated from the SAME
-    * (lo, width) computation the operator uses ([[Dedup.hammingBlocks]]) —
-    * query and oracle cannot drift. */
   /** Pigeonhole-blocked Hamming-pair CTEs over a preceding CTE named `fp`
     * with columns (doc_id, fp) — the SQL twin of
     * [[Dedup.hammingNearDuplicates]], blocks generated from the SAME
-    * (lo, width) computation the operator uses. */
+    * (lo, width) computation the operator uses, so query and oracle
+    * cannot drift. Ends in `pairs (id_a, id_b, hamming)`. */
   private def duckHammingPairs(bits: Int, maxHamming: Int): String = {
     val blocks = Dedup.hammingBlocks(bits, maxHamming).zipWithIndex.map { case ((lo, w), j) =>
       s"SELECT doc_id AS id, fp, $j AS blk, (fp >> $lo) & ${(1L << w) - 1} AS bval FROM fp"
@@ -698,9 +694,38 @@ object SparkEntry {
     s"""$simhashFpCte,
        |${duckHammingPairs(16, 2)}""".stripMargin
 
+  /** Recursive min-label connected-components CTEs over a pair relation
+    * (`id_a`, `id_b`): `cc` enumerates (node, reachable node) over the
+    * symmetric edge list — min(label) per id is the component minimum,
+    * the same fixpoint [[Dedup.duplicateClusters]] converges to. One
+    * definition shared by every cluster oracle so the recursion rule
+    * cannot drift between them. Requires a `WITH RECURSIVE` statement. */
+  private def duckConnectedComponents(pairsRel: String): String =
+    s"""edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM $pairsRel
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM $pairsRel
+       |),
+       |cc AS (
+       |  SELECT src AS id, src AS label FROM edges
+       |  UNION
+       |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
+       |)""".stripMargin
+
+  /** [[duckConnectedComponents]] plus the `losers` CTE: every node that is
+    * not its component's minimum — the set [[Dedup.keepCanonical]] drops. */
+  private def duckCcLosers(pairsRel: String): String =
+    s"""${duckConnectedComponents(pairsRel)},
+       |losers AS (
+       |  SELECT id FROM cc GROUP BY id HAVING id <> min(label)
+       |)""".stripMargin
+
   /** Perceptual-hash CTE: aHash over the same md5 feature derivation the
     * media-features oracle uses; `list_reduce` mirrors the Spark fold's
-    * left-to-right double addition order. Ends in `fp (doc_id, fp)`. */
+    * left-to-right double addition order. Null payloads are excluded
+    * entirely, mirroring the query's `fp IS NOT NULL` filter (without the
+    * guard a null text folds to fp = 0 here and would pair). Ends in
+    * `fp (doc_id, fp)`. */
   private lazy val phashFpCte: String =
     """WITH f AS (
       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -710,6 +735,7 @@ object SparkEntry {
       |           substring(md5(text || '#' || CAST(i AS VARCHAR)), j, 1)) - 1)
       |        * CAST(pow(16, 4 - j) AS BIGINT))) AS DOUBLE) / 65535.0 * 2 - 1) AS f
       |  FROM documents
+      |  WHERE text IS NOT NULL
       |),
       |m AS (
       |  SELECT doc_id, f, list_reduce(f, (a, b) -> a + b) / 16 AS mean FROM f
@@ -1040,32 +1066,11 @@ object SparkEntry {
     // Spark loop converges to
     "x_dedup_clusters" ->
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |),
-         |cc AS (
-         |  SELECT src AS id, src AS label FROM edges
-         |  UNION
-         |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
-         |)
+         |${duckConnectedComponents("pairs")}
          |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
     "x_dedup_canonical" ->
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM pairs
-         |),
-         |cc AS (
-         |  SELECT src AS id, src AS label FROM edges
-         |  UNION
-         |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
-         |),
-         |losers AS (
-         |  SELECT id FROM cc GROUP BY id HAVING id <> min(label)
-         |)
+         |${duckCcLosers("pairs")}
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
     // same position set (1-based starts, stride 1), raw-substring joins
@@ -1179,19 +1184,7 @@ object SparkEntry {
          |  JOIN dedup da ON da.doc_id = p.id_a
          |  JOIN dedup db ON db.doc_id = p.id_b
          |),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs2
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM pairs2
-         |),
-         |cc AS (
-         |  SELECT src AS id, src AS label FROM edges
-         |  UNION
-         |  SELECT e.src AS id, c.label FROM edges e JOIN cc c ON c.id = e.dst
-         |),
-         |losers AS (
-         |  SELECT id FROM cc GROUP BY id HAVING id <> min(label)
-         |),
+         |${duckCcLosers("pairs2")},
          |ndd AS (
          |  SELECT d.doc_id FROM dedup d
          |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)

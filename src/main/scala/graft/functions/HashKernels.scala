@@ -98,11 +98,12 @@ object HashKernels {
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.getBytes
-    // char-positions: ASCII fast path slices bytes directly; multibyte
-    // falls back to String (BMP) slicing, same chars the HOF substr sees
+    // char = CODE POINT, matching UTF8String.substr and DuckDB substring
+    // (UTF-16 slicing would shift grams after any astral character and
+    // could split surrogate pairs). ASCII fast path slices bytes directly.
     val ascii = bytes.length == text.numChars()
-    val str = if (ascii) null else text.toString
-    val n = (if (ascii) bytes.length else str.length) - (k - 1)
+    val cps = if (ascii) null else text.toString.codePoints().toArray
+    val n = (if (ascii) bytes.length else cps.length) - (k - 1)
     if (n < 1) return null
     val md = mdLocal.get()
     val ghs = new Array[Long](n)
@@ -110,7 +111,7 @@ object HashKernels {
     while (p < n) {
       val gram =
         if (ascii) java.util.Arrays.copyOfRange(bytes, p, p + k)
-        else str.substring(p, p + k).getBytes("UTF-8")
+        else new String(cps, p, k).getBytes("UTF-8")
       val hex = md5Hex(md, gram)
       var v = 0L
       var i = 0

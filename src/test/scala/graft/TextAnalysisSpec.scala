@@ -260,8 +260,12 @@ class TextAnalysisSpec extends SparkSpec {
         TextAnalysis.winnowFingerprints($"text", 12, 8).as("kernel"))
       .select($"doc_id", $"kernel", TextAnalysis.winnowSelect($"ghs", 8).as("fold"))
     assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
-    // short-text edges: below k -> null, truncated window -> one selection
-    val edges = Seq((1L, "too short"), (2L, "exactly twelve"), (3L, null))
+    // short-text edges: below k -> null, truncated window -> one selection;
+    // non-BMP chars: kernel must slice by code points like substr does
+    // (UTF-16 slicing would shift every gram after the astral char)
+    val edges = Seq((1L, "too short"), (2L, "exactly twelve"), (3L, null),
+        (4L, "emoji 😀 in the middle of this text here"),
+        (5L, "😀😁 leading astral pair plus some padding"))
       .toDF("doc_id", "text")
       .select(TextAnalysis.winnowFingerprints($"text", 12, 8).as("kernel"),
         TextAnalysis.winnowFingerprintsFold($"text", 12, 8).as("fold"))
