@@ -204,6 +204,15 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minSim = 0.1)),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", n = 3, k = 8, bands = 4)),
+    // cross-run near-dup: odd-id docs are the new batch, the even-id docs'
+    // persisted band index plays the accumulated corpus index
+    "x_dedup_minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.minhashBandIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalMinhashCandidates(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", index)
+    }),
     "x_dedup_minhash_verified" -> ((s, d) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         n = 3, k = 8, bands = 4, minSim = 0.3)),
@@ -375,6 +384,10 @@ object SparkEntry {
     // from the SAME TextAnalysis.stopwords val, so they cannot drift
     "x_text_lang" -> ((s, d) =>
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // CCNet-style unigram log-prob quality score against the corpus's own
+    // unigram distribution; decimal-summed, ln-parity per bm25 precedent
+    "x_text_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
     // corpus boilerplate discovery: top word-3-grams by document
     // frequency, distributed top-k (TakeOrdered), gram-text tiebreak
     "x_text_boilerplate" -> ((s, d) =>
@@ -789,6 +802,23 @@ object SparkEntry {
       |  FROM toks
       |)""".stripMargin
 
+  /** MinHash sig + LSH banded CTE chain ending in `banded (id, band,
+    * key)` — shared by the all-pairs and incremental-probe oracles. */
+  private lazy val minhashBandedCte: String =
+    s"""$docShinglesCte,
+       |sig AS (
+       |  SELECT doc_id AS id,
+       |    list_transform(range(0, 8),
+       |      j -> list_min(list_transform(shingles,
+       |             s -> md5(concat(CAST(j AS VARCHAR), '#', s))))) AS sig
+       |  FROM sh
+       |),
+       |banded AS (
+       |  SELECT id, g.band,
+       |         md5(array_to_string(sig[g.band*2+1:g.band*2+2], '|')) AS key
+       |  FROM sig, generate_series(0, 3) g(band)
+       |)""".stripMargin
+
   /** Document tokenization / shingling CTEs shared by the dedup oracles. */
   private val docShinglesCte: String =
     s"""WITH $duckToksCte,
@@ -1003,22 +1033,18 @@ object SparkEntry {
          |JOIN sizes sb ON sb.id = id_b
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1""".stripMargin,
     "x_dedup_minhash" ->
-      s"""$docShinglesCte,
-         |sig AS (
-         |  SELECT doc_id AS id,
-         |    list_transform(range(0, 8),
-         |      j -> list_min(list_transform(shingles,
-         |             s -> md5(concat(CAST(j AS VARCHAR), '#', s))))) AS sig
-         |  FROM sh
-         |),
-         |banded AS (
-         |  SELECT id, g.band,
-         |         md5(array_to_string(sig[g.band*2+1:g.band*2+2], '|')) AS key
-         |  FROM sig, generate_series(0, 3) g(band)
-         |)
+      s"""$minhashBandedCte
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.key = b.key AND a.id < b.id""".stripMargin,
+    // batch (odd ids) probes the accumulated band index (even ids): the
+    // same banded derivation, restricted on each join side
+    "x_dedup_minhash_incremental" ->
+      s"""$minhashBandedCte
+         |SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+         |FROM banded b JOIN banded c
+         |  ON b.band = c.band AND b.key = c.key
+         | AND b.id % 2 = 1 AND c.id % 2 = 0""".stripMargin,
     "x_dedup_minhash_verified" ->
       s"""$docShinglesCte,
          |sig AS (
@@ -1679,6 +1705,21 @@ object SparkEntry {
         |FROM x GROUP BY grp, i""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_text_lang" -> langIdOracle,
+    "x_text_logprob" ->
+      s"""WITH $duckToksCte,
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+         |  GROUP BY 1, 2
+         |),
+         |freq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+         |tot AS (SELECT sum(cf) AS total FROM freq)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE))
+         |                       * CAST(tf AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |        / CAST(sum(tf) AS DOUBLE), 6) AS logprob
+         |FROM tf JOIN freq USING (term), tot
+         |GROUP BY doc_id""".stripMargin,
     "x_text_boilerplate" ->
       s"""$docShinglesCte,
          |ex AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)

@@ -211,13 +211,52 @@ object Dedup {
       n: Int = 3,
       k: Int = 8,
       bands: Int = 4,
-      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    bandPairs(scope.persist(minhashBandIndex(df, idCol, textCol, n, k, bands)))
+
+  /** The exploded LSH band index: one (id, band, key) row per document
+    * band — the frame a continuous-ingestion pipeline PERSISTS as its
+    * near-duplicate index (the LSH sibling of the digest store behind
+    * [[incrementalExact]]). 8-byte keys, `bands` rows per doc, no
+    * payloads: the whole corpus's index is a sliver of the corpus. */
+  def minhashBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sig = df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = scope.persist(sig.select(col("id"),
-      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key"))))
-    bandPairs(banded)
+    df.select(col(idCol).as("id"), minhashSignature(col(textCol), n, k).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+  }
+
+  /** Incremental (cross-run) near-duplicate candidates: a new batch probes
+    * the accumulated [[minhashBandIndex]] with one (band, key) equi-join —
+    * corpus payloads are never re-read and never re-shingled, the exact
+    * property that keeps continuous near-dup ingestion at batch cost
+    * instead of corpus cost at 100 TB. Surviving batch rows' own band rows
+    * are what the caller appends to the index for the next run.
+    *
+    * @param index accumulated (id, band, key) band index
+    * @return distinct (batch_id, corpus_id) candidate pairs
+    */
+  def incrementalMinhashCandidates(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val banded = scope.persist(minhashBandIndex(batch, idCol, textCol, n, k, bands))
+    banded.as("b").join(index.as("c"),
+        col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
   }
 
   /** MinHash-LSH near-duplicates with exact verification — the production

@@ -208,6 +208,44 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Unigram log-probability quality score — the cheap deterministic form
+    * of LM-perplexity corpus filtering (CCNet-style: documents whose
+    * tokens are improbable under a background model are flagged as noise;
+    * here the background model is the corpus's own unigram distribution).
+    * score(doc) = mean over tokens of ln(count(token)/totalTokens) —
+    * higher (closer to 0) = more typical text; gibberish and boilerplate
+    * with rare tokens score very negative.
+    *
+    * Scale shape: one (token, id) shuffle for the frequency table, the
+    * total broadcast as a 1-row frame, one broadcast-joinable frequency
+    * lookup per distinct (doc, token) pair, per-doc decimal sums so
+    * aggregation order cannot matter. ln parity follows the [[bm25]]
+    * precedent; the per-token log runs once per DISTINCT (doc, token),
+    * weighted by its in-doc count.
+    *
+    * @return (doc_id, n_tokens, logprob); token-less docs are absent
+    */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val tf = scope.persist(
+      df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val freq = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+    val total = freq.agg(sum(col("cf")).as("total"))
+    tf.join(freq, Seq("term"))
+      .crossJoin(broadcast(total))
+      // literal operand order, mirrored in the oracle
+      .withColumn("lp", log(col("cf").cast("double") / col("total").cast("double")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        round((sum((col("lp") * col("tf").cast("double")).cast("decimal(28,12)"))
+          .cast("double") / sum(col("tf")).cast("double")), 6).as("logprob"))
+  }
+
   /** Corpus-level frequent n-grams: the word shingles appearing in the
     * most documents — the standard boilerplate/template detector (C4's
     * recipe drops lines recurring across the corpus; this is the

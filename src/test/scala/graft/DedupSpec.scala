@@ -154,6 +154,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(empty).count() === 0)
   }
 
+  test("incremental minhash probe equals the cross pairs of the full self-join") {
+    val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+    val even = docsReal.filter($"doc_id" % 2 === 0)
+    val odd = docsReal.filter($"doc_id" % 2 === 1)
+    val index = Dedup.minhashBandIndex(even, "doc_id", "text")
+    val inc = Dedup.incrementalMinhashCandidates(odd, "doc_id", "text", index)
+      .as[(Long, Long)].collect().toSet
+    // ground truth: all-pairs candidates over the union, kept only when
+    // they cross the batch/corpus boundary (either orientation)
+    val full = Dedup.minhashCandidates(docsReal, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val cross = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(inc === cross)
+    assert(inc.nonEmpty) // fixture sanity: some batch doc matches the corpus
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.keepCanonical(docs, "doc_id", pairs)

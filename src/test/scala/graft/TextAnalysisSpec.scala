@@ -217,6 +217,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(edgeFps.count(_._1 == 2L) === 1)
   }
 
+  test("unigram logprob: typical text outranks rare-token text; repartition-stable") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zyzzyva qwertyuiop flibbertigibbet")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 6L)
+    // docs 1/2 share common tokens; doc 3's tokens each occur once
+    assert(got(1L)._3 > got(3L)._3 && got(2L)._3 > got(3L)._3)
+    val again = TextAnalysis.unigramLogProb(corpus.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got === again)
+  }
+
   test("frequentNgrams ranks by document frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
