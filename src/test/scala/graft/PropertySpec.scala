@@ -92,6 +92,39 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("winnowing: coverage and density hold for random strings") {
+    val k = 4; val w = 3
+    val textGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    checkProp(Prop.forAll(textGen) { text =>
+      val sel = Seq(Tuple1(text)).toDF("text")
+        .select(graft.operators.TextAnalysis.winnowFingerprints(col("text"), k, w).as("s"))
+        .select(explode(col("s")).as("f")).select(col("f.p")).as[Int].collect().sorted
+      val n = text.length - (k - 1)
+      if (n < 1) sel.isEmpty
+      else {
+        // at least one selection; every full window [a, a+w-1] contains one;
+        // selections are valid positions
+        val covered = (1 to math.max(n - w + 1, 1)).forall(a =>
+          sel.exists(p => p >= a && p <= math.min(a + w - 1, n)))
+        sel.nonEmpty && covered && sel.forall(p => p >= 1 && p <= n)
+      }
+    }, n = 40)
+  }
+
+  test("kmv sketch: exact below k, bounded above k, for random multisets") {
+    val valsGen = Gen.listOfN(60, Gen.choose(0L, 300L))
+    checkProp(Prop.forAll(valsGen) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val truth = vs.distinct.size.toDouble
+      val exact = graft.operators.Sketches.approxDistinctKmv(df, Seq("g"), "v", k = 512)
+        .select("est_distinct").as[Double].head()
+      val est = graft.operators.Sketches.approxDistinctKmv(df, Seq("g"), "v", k = 8)
+        .select("est_distinct").as[Double].head()
+      exact == truth && (truth < 8 || (est > 0 && est < truth * 8))
+    }, n = 15)
+  }
+
   test("SCD2 invariants: one active row per key, non-overlapping adjacent intervals") {
     checkProp(Prop.forAll(snapshotGen.suchThat(_.nonEmpty), snapshotGen) { (a, b) =>
       val v1 = Scd2.historizeDataset(enrich(a, c1), None, c1, ValidFromMode.LoadDate)
