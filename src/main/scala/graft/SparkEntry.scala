@@ -229,6 +229,11 @@ object SparkEntry {
           Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
             bits = 16, maxHamming = 2))
         .select(col("id").as("doc_id"), col("cluster_id"))),
+    // one-row dedup dataset-card stats over the simhash clusters
+    "x_dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusterStats(Dedup.duplicateClusters(
+        Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+          bits = 16, maxHamming = 2)))),
     // corpus-level cluster dedup: drop every clustered doc except the
     // cluster minimum; unpaired docs survive
     "x_dedup_canonical" -> ((s, d) => {
@@ -1094,6 +1099,16 @@ object SparkEntry {
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |${duckConnectedComponents("pairs")}
          |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    "x_dedup_cluster_stats" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id)
+         |SELECT count(*) AS n_clusters,
+         |       CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
+         |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size,
+         |       CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS n_removable
+         |FROM szs""".stripMargin,
     "x_dedup_canonical" ->
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |${duckCcLosers("pairs")}

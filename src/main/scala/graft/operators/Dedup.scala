@@ -548,6 +548,17 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** One-row dataset-card statistics over a [[duplicateClusters]] labeling:
+    * cluster count, clustered-doc count, largest cluster, and how many
+    * docs cluster dedup would remove (sum of size-1 over clusters). */
+  def clusterStats(clusters: DataFrame): DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz")), lit(0L)).cast("long").as("n_docs_clustered"),
+        coalesce(max(col("sz")), lit(0L)).cast("long").as("max_cluster_size"),
+        coalesce(sum(col("sz") - 1), lit(0L)).cast("long").as("n_removable"))
+
   /** Deduplicate `df` by transitive near-duplicate clusters: every row
     * whose id sits in a cluster of `pairs` and is not the cluster's
     * minimum id is dropped; unpaired rows and cluster minima survive.

@@ -173,6 +173,17 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty) // fixture sanity: some batch doc matches the corpus
   }
 
+  test("clusterStats summarizes the labeling; empty graph yields zeros") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val stats = Dedup.clusterStats(Dedup.duplicateClusters(pairs))
+      .as[(Long, Long, Long, Long)].head()
+    assert(stats === ((2L, 5L, 3L, 3L)))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val zero = Dedup.clusterStats(Dedup.duplicateClusters(empty))
+      .as[(Long, Long, Long, Long)].head()
+    assert(zero === ((0L, 0L, 0L, 0L)))
+  }
+
   test("keepCanonical drops exactly the non-minimum cluster members") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
