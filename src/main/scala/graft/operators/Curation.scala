@@ -35,7 +35,11 @@ object Curation {
     *                  near-duplicate stage after exact dedup: SimHash
     *                  Hamming pairs → transitive clusters
     *                  ([[Dedup.duplicateClusters]]) → keep each cluster's
-    *                  minimum id ([[Dedup.keepCanonical]])
+    *                  minimum id ([[Dedup.keepCanonical]]). Clustering is
+    *                  diameter-free (large-star/small-star fallback), so
+    *                  long near-duplicate chains cannot abort the run;
+    *                  `ccMaxIters` is the total-round bug guard passed
+    *                  through to [[Dedup.keepCanonical]]
     */
   def curate(
       docs: DataFrame,
@@ -47,7 +51,8 @@ object Curation {
       shingleN: Int = 3,
       minHits: Long = 1L,
       languages: Option[Set[String]] = None,
-      nearDup: Option[(Int, Int)] = None): DataFrame = {
+      nearDup: Option[(Int, Int)] = None,
+      ccMaxIters: Int = 25): DataFrame = {
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
     val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
@@ -64,7 +69,8 @@ object Curation {
       .filter(col("__rn") === 1).drop("__rn", "__content_hash")
     val nearDeduped = nearDup.fold(deduped) { case (bits, maxHam) =>
       Dedup.keepCanonical(deduped, idCol,
-        Dedup.simhashNearDuplicates(deduped, idCol, textCol, bits, maxHam))
+        Dedup.simhashNearDuplicates(deduped, idCol, textCol, bits, maxHam),
+        maxIters = ccMaxIters)
     }
     val clean = Decontamination.decontaminate(
       nearDeduped, bench, idCol, textCol, shingleN, minHits)

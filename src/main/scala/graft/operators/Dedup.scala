@@ -478,35 +478,46 @@ object Dedup {
       .dropDuplicates(Seq("id_a", "id_b"))
   }
 
-  /** Connected components over an undirected duplicate-pair graph, by
-    * iterative min-label propagation: each node's label converges to the
-    * smallest node id in its component, so every near-duplicate cluster is
-    * named by its minimum member. This is the step between pairwise
-    * candidates (MinHash/SimHash/Jaccard emit PAIRS) and an actually
-    * deduplicated corpus: transitive duplicates (A~B, B~C but never A~C)
-    * collapse into one cluster, which pair-level "keep min(id_a)" misses.
+  /** Connected components over an undirected duplicate-pair graph: each
+    * node's label converges to the smallest node id in its component, so
+    * every near-duplicate cluster is named by its minimum member. This is
+    * the step between pairwise candidates (MinHash/SimHash/Jaccard emit
+    * PAIRS) and an actually deduplicated corpus: transitive duplicates
+    * (A~B, B~C but never A~C) collapse into one cluster, which pair-level
+    * "keep min(id_a)" misses.
     *
-    * Algorithm: the label-propagation scheme analyzed in Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond" (SoCC'14) — per round,
-    * newLabel(v) = min(label(v), min over neighbors' labels); rounds until
-    * fixpoint, detected by an exact-decimal checksum (labels only ever
-    * decrease, so an unchanged sum means an unchanged labeling). Each round
-    * is one equi-join plus one min-aggregate over (id, label) LONG pairs —
-    * node payloads never enter the loop — and rounds needed equal the
-    * graph diameter. Duplicate clusters are shallow (stars and short
-    * chains), so convergence is a handful of rounds; for adversarially
-    * deep graphs Kiveris et al.'s large-star/small-star variant bounds
-    * rounds at O(log² n) with the same per-round join shape. Each round's
-    * labeling is eagerly `localCheckpoint`ed: the round plan references
-    * the previous labeling twice (join + union), so without truncation
-    * the logical plan doubles per round — caching alone leaves an
-    * exponentially-growing lineage that OOMs on plan stringification
+    * Algorithm: two phases from Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC'14). Phase 1 is plain min-label
+    * propagation — per round, newLabel(v) = min(label(v), neighbors'
+    * labels); one equi-join plus one min-aggregate over (id, label) LONG
+    * pairs; rounds needed equal the graph diameter. Duplicate clusters
+    * are usually shallow (stars and short chains), so this converges in a
+    * handful of the cheapest possible rounds. If the graph is deeper than
+    * `switchAfter` rounds — long boilerplate chains in web corpora do
+    * this — phase 2 takes over: the large-star/small-star alternation
+    * ([[alternatingComponents]]), whose round count is O(log² n)
+    * regardless of diameter, seeded with the partial labels phase 1
+    * already earned (shortcut edges (v, label(v)) are component-
+    * preserving). The operator therefore never depends on graph diameter;
+    * `maxIters` is a total-round bug guard, not a data-shape assumption.
+    *
+    * Fixpoint detection is an exact-decimal checksum: labels only ever
+    * decrease, so an unchanged sum means an unchanged labeling. Each
+    * round's labeling is eagerly `localCheckpoint`ed: the round plan
+    * references the previous labeling twice (join + union), so without
+    * truncation the logical plan doubles per round — caching alone leaves
+    * an exponentially-growing lineage that OOMs on plan stringification
     * alone by ~12 rounds. Checkpointed labelings are (long, long) pairs,
     * tiny relative to the corpus; a fault-tolerant 100 TB run points
     * `spark.checkpoint.dir` at reliable storage and uses `checkpoint()`
     * instead, trading a write per round for executor-loss recovery.
     *
     * @param pairs one row per undirected edge (`idACol`, `idBCol`)
+    * @param maxIters total round budget across both phases; the default
+    *                 leaves the alternation enough rounds for graphs far
+    *                 beyond any real corpus (it needs ~log₂ diameter)
+    * @param switchAfter propagation rounds before falling back to the
+    *                    alternation; 0 = straight to large-star/small-star
     * @return (id, cluster_id) for every node that appears in `pairs`;
     *         cluster_id = min node id of the component
     */
@@ -515,37 +526,126 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIters: Int = 25,
-      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+      scope: graft.CacheScope = graft.CacheScope.Global,
+      switchAfter: Int = 8): DataFrame = {
     val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
     val rev = pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))
     // symmetric closure: min labels must flow both ways along every edge
-    val edges = scope.persist(fwd.union(rev).distinct())
-    def checksum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    val edges = scope.persist(fwd.union(rev).filter(col("src") =!= col("dst")).distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    var sumNow = checksum(labels)
+    var sumNow = labelChecksum(labels)
     var converged = sumNow == null // empty graph: nothing to propagate
     var iter = 0
-    while (!converged && iter < maxIters) {
+    while (!converged && iter < math.min(switchAfter, maxIters)) {
       val viaNeighbor = edges.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.id"))
         .select(col("e.src").as("id"), col("l.label"))
       val next = labels.union(viaNeighbor)
         .groupBy("id").agg(min("label").as("label")).localCheckpoint()
-      val sumNext = checksum(next)
+      val sumNext = labelChecksum(next)
       converged = sumNext.compareTo(sumNow) == 0
       labels.unpersist(blocking = false)
       labels = next
       sumNow = sumNext
       iter += 1
     }
-    if (!converged)
+    if (converged) labels.select(col("id"), col("label").as("cluster_id"))
+    else {
+      // deep graph: shortcut edges from the partial labeling (each (v,
+      // label(v)) stays inside v's component) seed the diameter-free phase
+      val shortcuts = labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("src"), col("label").as("dst"))
+      alternatingComponents(edges.union(shortcuts), maxIters - iter)
+    }
+  }
+
+  private def labelChecksum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
+  /** The large-star/small-star alternation of Kiveris et al. (SoCC'14
+    * §3, Algorithm 2): per round, large-star connects every neighbor v > u
+    * to m(u) = min(Γ(u) ∪ {u}), then small-star (grouping each edge under
+    * its larger endpoint) connects the center and its smaller neighbors to
+    * the group minimum. Both steps preserve connected components and the
+    * node set; the edge set converges to per-component stars rooted at the
+    * component minimum in O(log² n) rounds independent of diameter (in
+    * practice ~log₂ of the longest chain). Per round: two equi-joins and
+    * two min-aggregates over (long, long) canonical edges — the same
+    * narrow-shuffle shape as plain propagation, never touching payloads.
+    *
+    * Convergence is detected soundly, not probabilistically: per-node
+    * labels l(v) = min(v, Γ(v)) only ever decrease, so their exact-decimal
+    * sum is monotone; when the sum stalls, a one-join check tests that l
+    * is constant across every remaining edge. Label constancy per edge ⇒
+    * constancy per component (components are preserved), and the component
+    * minimum m always has l(m) = m, so a consistent labeling IS the
+    * component-min labeling — the loop can stop even if the edge set
+    * itself has not reached its own fixpoint yet.
+    *
+    * @param sym symmetric-or-not (src, dst) edges; self-loops dropped
+    * @return (id, cluster_id) for every node appearing in `sym`
+    */
+  private def alternatingComponents(sym: DataFrame, maxRounds: Int): DataFrame = {
+    val nodes = sym.select(col("src").as("id"))
+      .union(sym.select(col("dst").as("id"))).distinct().localCheckpoint()
+    var edges = sym.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct().localCheckpoint()
+    def labelsOf(e: DataFrame): DataFrame = {
+      val adj = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("id"), least(col("u"), col("mn")).as("label"))
+    }
+    var labels: DataFrame = null
+    var sumPrev: java.math.BigDecimal = null
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // large-star: center u, m = min(Γ(u) ∪ {u}); every larger neighbor
+      // v > u re-attaches to m (m <= u < v, so (m, v) is canonical)
+      val adj = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = adj.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi")).distinct()
+      // small-star: group by the larger endpoint; the center and all its
+      // smaller neighbors re-attach to the group minimum
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      val next = large.join(smins, Seq("hi"))
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(smins.select(col("m").as("lo"), col("hi")))
+        .distinct().localCheckpoint()
+      val l = labelsOf(next).localCheckpoint()
+      val sumNow = labelChecksum(l)
+      if (sumNow == null) done = true // edge set emptied: only singletons left
+      else if (sumPrev != null && sumNow.compareTo(sumPrev) == 0) {
+        // checksum stalled: run the sound edge-consistency test
+        val la = l.select(col("id").as("lo"), col("label").as("la"))
+        val lb = l.select(col("id").as("hi"), col("label").as("lb"))
+        done = next.join(la, Seq("lo")).join(lb, Seq("hi"))
+          .filter(col("la") =!= col("lb")).isEmpty
+      }
+      edges.unpersist(blocking = false)
+      if (labels != null) labels.unpersist(blocking = false)
+      edges = next
+      labels = l
+      sumPrev = sumNow
+      round += 1
+    }
+    if (!done)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIters rounds — " +
-          "the pair graph has a longer path than expected for near-duplicate " +
-          "clusters; raise maxIters or investigate the candidate generator")
-    labels.select(col("id"), col("label").as("cluster_id"))
+        s"alternatingComponents did not converge in $maxRounds rounds — " +
+          "large-star/small-star needs ~log2(longest chain) rounds, so this " +
+          "indicates a bug or an absurdly small maxIters, not a data shape")
+    val lab = if (labels == null) nodes.limit(0).withColumn("label", col("id"))
+      else labels
+    nodes.join(lab, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** One-row dataset-card statistics over a [[duplicateClusters]] labeling:

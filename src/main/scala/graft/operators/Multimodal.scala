@@ -140,8 +140,14 @@ object Multimodal {
     *
     * Feature extraction, mean, and bit packing run in three STAGED
     * projections (interpreted HOFs re-evaluate inline subtrees — the
-    * winnowing lesson). The mean is a seeded left-to-right fold, mirrored
-    * by `list_reduce` in the oracle so double addition order is identical.
+    * winnowing lesson). CollapseProject re-inlines an alias referenced
+    * exactly once, which would push the mean fold INSIDE the per-bit
+    * lambda (bits re-evaluations per row) — so the final projection
+    * references `mean` twice: once in the lambda and once in a
+    * semantically-neutral null guard (mean is null iff features is null),
+    * which keeps the stage boundary in force. The mean is a seeded
+    * left-to-right fold, mirrored by `list_reduce` in the oracle so
+    * double addition order is identical.
     *
     * @return (id, fp) — fp is a `bits`-wide long, null for null payloads
     */
@@ -151,7 +157,7 @@ object Multimodal {
       .select(col("id"), col("features"),
         (aggregate(col("features"), lit(0.0), (a, x) => a + x) / bits).as("mean"))
       .select(col("id"),
-        when(col("features").isNotNull,
+        when(col("features").isNotNull && col("mean").isNotNull,
           aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
             acc + when(element_at(col("features"), i + 1) > col("mean"),
               pow(lit(2.0), lit(bits - 1) - i).cast("long")).otherwise(lit(0L))))

@@ -280,6 +280,12 @@ object TextAnalysis {
     * the SAME df-capped vocabulary as the dot product — the vector space
     * is "all terms below the cap", consistently on both sides.
     *
+    * The df-capped term table joins back by a plain shuffle equi-join on
+    * term, NOT a broadcast: the cap removes only frequent terms, so what
+    * survives is essentially the long-tail vocabulary — it grows with the
+    * corpus and has no broadcast-sized bound (unlike [[bm25]]'s per-term
+    * frame, which is bounded by the user's query-term list).
+    *
     * @return (id_a, id_b, cosine) with id_a < id_b, cosine >= minSim
     */
   def tfidfCosinePairs(
@@ -297,7 +303,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxTermDocFreq)
     val w = scope.persist(
-      tf.join(broadcast(dfreq), Seq("term"))
+      tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(stats))
         // literal expression order, mirrored in the oracle
         .withColumn("w", round(col("tf").cast("double") *

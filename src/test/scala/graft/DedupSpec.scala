@@ -152,6 +152,32 @@ class DedupSpec extends SparkSpec {
   test("duplicate clusters: empty pair set yields empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() === 0)
+    assert(Dedup.duplicateClusters(empty, switchAfter = 0).count() === 0)
+  }
+
+  test("duplicate clusters: 200-node path converges under the default cap " +
+    "via the large-star/small-star fallback") {
+    // diameter 199: plain propagation would need 199 rounds, far past the
+    // default maxIters = 25 — the alternation phase must carry it
+    val path = (1L to 199L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(path).as[(Long, Long)].collect().toMap
+    assert(got.size === 200)
+    assert(got.values.forall(_ === 1L))
+  }
+
+  test("alternation-only labeling equals plain propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60 + trial * 30)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      val alt = Dedup.duplicateClusters(df, switchAfter = 0)
+        .as[(Long, Long)].collect().toMap
+      val plain = Dedup.duplicateClusters(df, maxIters = 200, switchAfter = 200)
+        .as[(Long, Long)].collect().toMap
+      assert(alt === plain, s"trial $trial: alternation diverged from propagation")
+    }
   }
 
   test("incremental minhash probe equals the cross pairs of the full self-join") {
