@@ -221,6 +221,13 @@ object SparkEntry {
     "x_dedup_simhash_near" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 2)),
+    // the corpus-scale setting of the same operator: a 64-bit fingerprint
+    // (bits=16 saturates its 2^16 space on a real corpus and buckets go
+    // quadratic) — exercises the full-width block arithmetic including
+    // the sign bit, which carries fingerprint bit 0 at width 64
+    "x_dedup_simhash_wide" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 64, maxHamming = 3)),
     // transitive duplicate clusters over the simhash near-dup pairs: the
     // step pair emitters stop short of — A~B, B~C collapse into one
     // cluster named by the minimum member
@@ -778,21 +785,34 @@ object SparkEntry {
       |)""".stripMargin
 
   /** SimHash fingerprint CTE tail (expects `toks`), ending in
-    * `fp (doc_id, fp)`. */
-  private val simhashFpTailCte: String =
-    """fp0 AS (
-      |  SELECT doc_id,
-      |    list_sum(list_transform(range(0, 16), b ->
-      |      CASE WHEN list_sum(list_transform(w, t ->
-      |             (CAST(floor((strpos('0123456789abcdef',
-      |                         substring(md5(t), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
-      |                  / pow(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)) > 0
-      |           THEN CAST(pow(2, 15 - b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS simhash
-      |  FROM toks
-      |),
-      |fp AS (
-      |  SELECT doc_id, CAST(coalesce(simhash, 0) AS BIGINT) AS fp FROM fp0
-      |)""".stripMargin
+    * `fp (doc_id, fp)`. Fingerprint bit b lands on the long's bit
+    * `bits-1-b`, so at bits = 64 fingerprint bit 0 is the SIGN bit —
+    * `pow(2, 63)` does not fit a BIGINT, so that one position adds
+    * Long.MinValue directly, exactly as the Spark fold does
+    * (`Dedup.simhashFold`); every lower position is an exact power of
+    * two in a double. */
+  private def simhashFpTail(bits: Int): String = {
+    val signSafePow =
+      if (bits == 64)
+        s"""CASE WHEN b = 0 THEN (-9223372036854775807 - 1)
+           |                ELSE CAST(pow(2, ${bits - 1} - b) AS BIGINT) END""".stripMargin
+      else s"CAST(pow(2, ${bits - 1} - b) AS BIGINT)"
+    s"""fp0 AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, $bits), b ->
+       |      CASE WHEN list_sum(list_transform(w, t ->
+       |             (CAST(floor((strpos('0123456789abcdef',
+       |                         substring(md5(t), CAST(floor(b / 4) AS INT) + 1, 1)) - 1)
+       |                  / pow(2, 3 - (b % 4))) AS INT) % 2) * 2 - 1)) > 0
+       |           THEN $signSafePow ELSE CAST(0 AS BIGINT) END)) AS simhash
+       |  FROM toks
+       |),
+       |fp AS (
+       |  SELECT doc_id, CAST(coalesce(simhash, 0) AS BIGINT) AS fp FROM fp0
+       |)""".stripMargin
+  }
+
+  private val simhashFpTailCte: String = simhashFpTail(16)
 
   private val simhashFpCte: String =
     s"""WITH $duckToksCte,
@@ -1090,6 +1110,15 @@ object SparkEntry {
          |FROM fp GROUP BY 1""".stripMargin,
     "x_dedup_simhash_near" ->
       s"""$simhashNearPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // 64-bit twin: same pigeonhole pipeline, blocks generated from the
+    // SAME hammingBlocks computation; DuckDB's arithmetic >> differs from
+    // Spark's unsigned shift only above the masked width, so the block
+    // values agree bit-for-bit even when the sign bit is set
+    "x_dedup_simhash_wide" ->
+      s"""WITH $duckToksCte,
+         |${simhashFpTail(64)},
+         |${duckHammingPairs(64, 3)}
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
     // min-label connected components as a recursive CTE: cc enumerates
     // (node, reachable node) over the symmetric edge list, so min(label)

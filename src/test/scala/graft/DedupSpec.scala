@@ -123,6 +123,13 @@ class DedupSpec extends SparkSpec {
       Dedup.simhash($"text", 16).as("kernel"),
       Dedup.simhashFold($"text", 16).as("fold"))
     assert(both.filter(!($"kernel" <=> $"fold")).count() === 0)
+    // full width: fingerprint bit 0 rides the sign bit at bits = 64
+    val wide = docsReal.select(
+      Dedup.simhash($"text", 64).as("kernel"),
+      Dedup.simhashFold($"text", 64).as("fold"))
+    assert(wide.filter(!($"kernel" <=> $"fold")).count() === 0)
+    assert(wide.filter($"kernel" < 0).count() > 0,
+      "fixture sanity: some 64-bit fingerprint should set the sign bit")
   }
 
   test("simhash: identical docs equal; near dup within small hamming distance") {
