@@ -262,6 +262,12 @@ object SparkEntry {
     "x_dedup_spans_strided" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         k = 30, stride = 4, minDocFreq = 2)),
+    // the transformation side of span dedup: cut every duplicated island
+    // from all but its first-occurrence (min doc id) document and re-emit
+    // the cleaned corpus — Lee et al.'s actual output, not coordinates
+    "x_dedup_spans_removed" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 30, stride = 1, minDocFreq = 2)),
     // incremental (cross-run) exact dedup: even-id docs play the already-
     // ingested corpus (digest store), the full table is the new batch
     "x_dedup_incremental" -> ((s, d) => {
@@ -1190,6 +1196,69 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // removal twin of the span report: same position set, but a position
+    // is cut only when this doc is not the gram's min-id keeper; islands
+    // interval-merge (strictly-overlapping only), then the cleaned text
+    // reassembles from lag-segments + string_agg + tail — equivalent to
+    // the Spark fold over disjoint sorted spans
+    "x_dedup_spans_removed" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p FROM docs)
+        |),
+        |st AS (
+        |  SELECT gram, min(doc_id) AS keeper FROM pos
+        |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |cut AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN st USING (gram)
+        |  WHERE pos.doc_id <> st.keeper
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM cut
+        |),
+        |sp AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 29 AS e FROM isl GROUP BY doc_id, grp
+        |),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp
+        |),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS mgrp
+        |  FROM mk
+        |),
+        |merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg GROUP BY doc_id, mgrp
+        |),
+        |segs AS (
+        |  SELECT m.doc_id, m.s,
+        |    substring(d.text,
+        |      coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) + 1,
+        |      m.s - coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) - 1) AS seg
+        |  FROM merged m JOIN documents d USING (doc_id)
+        |),
+        |heads AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY s) AS head FROM segs GROUP BY doc_id
+        |),
+        |tails AS (
+        |  SELECT doc_id, max(e) AS me FROM merged GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN t.me IS NULL THEN d.text
+        |       ELSE coalesce(h.head, '') || substring(d.text, t.me + 1) END AS cleaned
+        |FROM documents d
+        |LEFT JOIN heads h USING (doc_id)
+        |LEFT JOIN tails t USING (doc_id)""".stripMargin,
     "x_dedup_incremental" ->
       """WITH h AS (
         |  SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash

@@ -324,27 +324,121 @@ object Dedup {
       stride: Int = 1,
       minDocFreq: Int = 2,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val grams = spanGrams(df, idCol, textCol, k, stride, minDocFreq, scope)
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+    val dupPos = grams.join(dupGrams.select("gh"), Seq("gh"), "left_semi")
+    spanIslands(dupPos, k, stride)
+      .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
+  }
+
+  /** Hashed k-gram positions (id, p, gh), the shared derivation of
+    * [[duplicatedSpans]] and [[removeDuplicatedSpans]]: one bounded
+    * per-row explode (≤ len/stride positions), grams as 60-bit longs. */
+  private def spanGrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      stride: Int,
+      minDocFreq: Int,
+      scope: graft.CacheScope): DataFrame = {
     require(k >= 2, "k must be at least 2")
     require(stride >= 1, "stride must be positive")
     require(minDocFreq >= 2, "minDocFreq below 2 would flag every position")
     val t = col("t")
-    val grams = scope.persist(
+    scope.persist(
       df.select(col(idCol).as("id"), col(textCol).as("t"))
         .filter(length(t) >= k)
         .select(col("id"),
           explode(sequence(lit(1), length(t) - (k - 1), lit(stride))).as("p"),
           t)
         .select(col("id"), col("p"), shingleHash(t.substr(col("p"), lit(k))).as("gh")))
-    val dupGrams = grams.groupBy("gh")
-      .agg(countDistinct(col("id")).as("df"))
-      .filter(col("df") >= minDocFreq)
-    val dupPos = grams.join(dupGrams.select("gh"), Seq("gh"), "left_semi")
+  }
+
+  /** Merge a (id, p) duplicated-position set into maximal islands
+    * (id, s, e) of stride-spaced runs — the island step shared by the
+    * span report and the span removal. */
+  private def spanIslands(dupPos: DataFrame, k: Int, stride: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("p")
     dupPos
       .withColumn("grp", col("p") - row_number().over(w) * stride)
-      .groupBy(col("id").as("doc_id"), col("grp"))
-      .agg(min(col("p")).as("span_start"), (max(col("p")) + (k - 1)).as("span_end"))
-      .select("doc_id", "span_start", "span_end")
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (k - 1)).as("e"))
+      .select("id", "s", "e")
+  }
+
+  /** Remove cross-document duplicated substrings from the corpus — the
+    * transformation side of [[duplicatedSpans]] (Lee et al. ACL'22 §4
+    * deduplicate-and-keep-one): a position is cut when its k-gram occurs
+    * in at least `minDocFreq` distinct documents AND this document is not
+    * the gram's first occurrence, "first" being the smallest doc id
+    * containing the gram (the same deterministic min-id canonical-keeper
+    * convention the cluster-dedup family uses). The keeper document keeps
+    * its text intact; every other document has its duplicated islands
+    * excised and the surviving segments re-joined in order.
+    *
+    * Scale shape: gram derivation and island merge are
+    * [[duplicatedSpans]]'s (bounded per-row explode, one (gram-hash, id)
+    * shuffle, per-doc windows over narrow (id, position) rows).
+    * Overlapping islands (gap < k between duplicated runs) are interval-
+    * merged per doc so the cut sees disjoint sorted spans. The payload
+    * joins exactly once: merged spans collapse to ONE array row per
+    * affected doc before meeting the text, so the surgery join moves each
+    * doc at most once and unaffected docs pass through a left join
+    * untouched; the cut itself is a per-row fold over the doc's own
+    * sorted spans — no further shuffle.
+    *
+    * @return (doc_id, cleaned) for EVERY input row; cleaned = original
+    *         text when nothing was cut (including null and short texts)
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      stride: Int = 1,
+      minDocFreq: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = spanGrams(df, idCol, textCol, k, stride, minDocFreq, scope)
+    val stats = grams.groupBy("gh")
+      .agg(countDistinct(col("id")).as("df"), min(col("id")).as("keeper"))
+      .filter(col("df") >= minDocFreq)
+    val cut = grams.join(stats, Seq("gh")).filter(col("id") =!= col("keeper"))
+      .select("id", "p")
+    val islands = spanIslands(cut, k, stride)
+    // interval-merge overlapping islands: strictly s > running-max(e)
+    // starts a new group (adjacent spans may stay separate — the fold
+    // emits an empty segment between them, which is harmless)
+    val wm = Window.partitionBy("id").orderBy("s")
+    val prevMax = max(col("e")).over(wm.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = islands
+      .withColumn("newgrp", when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("mgrp", sum(col("newgrp")).over(wm.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("mgrp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val spansPerDoc = merged
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+      .withColumnRenamed("id", idCol)
+    val txt = col(textCol)
+    // (pos, acc) fold over disjoint sorted spans: emit the segment before
+    // each span, jump pos past it, finish with the tail after the last
+    val fold = aggregate(
+      col("spans"),
+      struct(lit(1).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + 1).as("pos"),
+        concat(st.getField("acc"),
+          txt.substr(st.getField("pos"), sp.getField("s") - st.getField("pos"))).as("acc")),
+      st => concat(st.getField("acc"),
+        txt.substr(st.getField("pos"),
+          greatest(length(txt) - st.getField("pos") + 1, lit(0)))))
+    df.join(spansPerDoc, Seq(idCol), "left_outer")
+      .select(col(idCol).as("doc_id"),
+        when(col("spans").isNull, txt).otherwise(fold).as("cleaned"))
   }
 
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */

@@ -187,6 +187,62 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicatedSpans: keeper doc intact, later doc loses shared affixes") {
+    val pre = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdef"            // 32 chars, shared
+    val suf = "0123456789012345678901234567890123"          // 34 chars, shared
+    val d1 = pre + "unique-one-xx" + suf
+    val d2 = pre + "UNIQUE-TWO-yy" + suf
+    val d3 = "totally unrelated text with no duplicated grams at all ......"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(df, "doc_id", "text",
+      k = 10, stride = 1, minDocFreq = 2).as[(Long, String)].collect().toMap
+    assert(out(1L) === d1, "min-id keeper keeps its text")
+    assert(out(2L) === "UNIQUE-TWO-yy", "shared prefix and suffix cut")
+    assert(out(3L) === d3, "un-duplicated doc untouched")
+  }
+
+  test("removeDuplicatedSpans equals the brute-force cut on real documents") {
+    val k = 20
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 60).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // brute force over code points (Spark/DuckDB substr semantics)
+    val cps: Map[Long, Array[Int]] = rows.collect {
+      case (id, t) if t != null => id -> t.codePoints().toArray
+    }.toMap
+    val keeper = scala.collection.mutable.Map[String, Long]()
+    val docsOf = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    for ((id, a) <- cps.toSeq.sortBy(_._1); p <- 0 to a.length - k) {
+      val g = new String(a, p, k)
+      keeper.getOrElseUpdate(g, id)
+      docsOf.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id
+    }
+    val expected = rows.map { case (id, t) =>
+      if (t == null) id -> null
+      else {
+        val a = cps(id)
+        val cutFlags = new Array[Boolean](a.length)
+        for (p <- 0 to a.length - k) {
+          val g = new String(a, p, k)
+          if (docsOf(g).size >= 2 && keeper(g) != id)
+            for (q <- p until p + k) cutFlags(q) = true
+        }
+        val kept = a.indices.collect { case i if !cutFlags(i) => a(i) }.toArray
+        id -> new String(kept, 0, kept.length)
+      }
+    }.toMap
+    val got = Dedup.removeDuplicatedSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet").filter($"doc_id" < 60),
+      "doc_id", "text", k = k, stride = 1, minDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet === expected.keySet)
+    for ((id, exp) <- expected)
+      assert(got(id) === exp, s"doc $id cleaned text diverged from brute force")
+    // fixture sanity: the cut actually removed something somewhere
+    assert(expected.exists { case (id, c) =>
+      c != null && cps.contains(id) && c.codePointCount(0, c.length) < cps(id).length })
+  }
+
   test("incremental minhash probe equals the cross pairs of the full self-join") {
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
     val even = docsReal.filter($"doc_id" % 2 === 0)
