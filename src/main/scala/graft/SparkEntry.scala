@@ -236,6 +236,19 @@ object SparkEntry {
           Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
             bits = 16, maxHamming = 2))
         .select(col("id").as("doc_id"), col("cluster_id"))),
+    // incremental cluster maintenance: the even-id pair subgraph plays the
+    // standing labeling, every pair touching an odd id plays the new
+    // batch; updateClusters folds the batch in at batch cost and must be
+    // row-identical to the full recompute — so the oracle IS the
+    // x_dedup_clusters statement
+    "x_dedup_clusters_incremental" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, maxHamming = 2)
+      val standing = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
+      val batch = pairs.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      Dedup.updateClusters(Dedup.duplicateClusters(standing), batch)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
     // one-row dedup dataset-card stats over the simhash clusters
     "x_dedup_cluster_stats" -> ((s, d) =>
       Dedup.clusterStats(Dedup.duplicateClusters(
@@ -1131,6 +1144,12 @@ object SparkEntry {
     // per node is the component minimum — the same fixpoint the iterative
     // Spark loop converges to
     "x_dedup_clusters" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // incremental ≡ full recompute on the union graph, so the oracle is
+    // the same recursive-CC statement as x_dedup_clusters
+    "x_dedup_clusters_incremental" ->
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |${duckConnectedComponents("pairs")}
          |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,

@@ -770,4 +770,59 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Fold a batch of NEW duplicate-pair edges into an existing
+    * [[duplicateClusters]] labeling at batch cost — the last step of the
+    * incremental ingestion story: [[incrementalMinhashCandidates]] finds a
+    * new batch's edges against the corpus index at batch cost, and this
+    * operator merges them into the standing labeling without recomputing
+    * components over all historical pairs.
+    *
+    * Correctness: components of the union graph are exactly the old
+    * components (plus fresh nodes) glued together by the new edges, so it
+    * suffices to contract every old component to its label and run
+    * connected components on the CONDENSED graph — each new edge mapped to
+    * (label(a), label(b)), fresh nodes labeling themselves. That graph has
+    * at most one edge per new pair, so the CC loop runs at batch size, and
+    * the resulting old-label → merged-min mapping (also batch-sized, so
+    * the join back is broadcast in practice) relabels the corpus with ONE
+    * equi-join. Labels stay "min member id": the min of a merged component
+    * is the min over its constituent minima and fresh node ids, which is
+    * precisely what CC over the condensed graph computes. A spec proves
+    * the result row-identical to a full recompute on the union graph.
+    *
+    * @param labels existing (id, cluster_id) labeling
+    * @param newPairs the batch's edges; endpoints may be known or fresh
+    * @return (id, cluster_id) over all labeled nodes plus the batch's
+    *         endpoints — the same frame a full recompute would produce
+    */
+  def updateClusters(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val ends = newPairs.select(col(idACol).as("id"))
+      .union(newPairs.select(col(idBCol).as("id"))).distinct()
+    // batch endpoints → current labels; fresh nodes label themselves
+    val lab = scope.persist(
+      ends.join(labels, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("lbl"),
+          col("cluster_id").isNull.as("fresh")))
+    val condensed = newPairs
+      .join(lab.select(col("id").as(idACol), col("lbl").as("la")), Seq(idACol))
+      .join(lab.select(col("id").as(idBCol), col("lbl").as("lb")), Seq(idBCol))
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val remap = duplicateClusters(condensed, "id_a", "id_b", maxIters, scope)
+      .select(col("id").as("old_label"), col("cluster_id").as("new_label"))
+    val relabeled = labels
+      .join(remap.withColumnRenamed("old_label", "cluster_id"), Seq("cluster_id"), "left_outer")
+      .select(col("id"), coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val freshNodes = lab.filter(col("fresh"))
+      .join(remap.withColumnRenamed("old_label", "lbl"), Seq("lbl"), "left_outer")
+      .select(col("id"), coalesce(col("new_label"), col("lbl")).as("cluster_id"))
+    relabeled.union(freshNodes)
+  }
 }

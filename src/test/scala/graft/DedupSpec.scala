@@ -262,6 +262,33 @@ class DedupSpec extends SparkSpec {
     assert(inc.nonEmpty) // fixture sanity: some batch doc matches the corpus
   }
 
+  test("updateClusters: folding batch edges equals full recompute on the union") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      // old edges over ids [0, 50); batch edges span old ids and fresh
+      // ids [50, 80) — merges, brand-new clusters, and no-op intra-cluster
+      // edges all occur across the trials
+      val oldE = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2)
+      val batchE = Seq.fill(40)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val oldDf = oldE.toDF("id_a", "id_b")
+      val batchDf = batchE.toDF("id_a", "id_b")
+      val incremental = Dedup.updateClusters(Dedup.duplicateClusters(oldDf), batchDf)
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.duplicateClusters(oldDf.union(batchDf))
+        .as[(Long, Long)].collect().toMap
+      assert(incremental === full, s"trial $trial: incremental diverged from recompute")
+    }
+  }
+
+  test("updateClusters: empty batch is the identity on the labeling") {
+    val labels = Dedup.duplicateClusters(Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b"))
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.updateClusters(labels, empty).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("clusterStats summarizes the labeling; empty graph yields zeros") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val stats = Dedup.clusterStats(Dedup.duplicateClusters(pairs))
