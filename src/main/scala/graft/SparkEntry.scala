@@ -388,6 +388,13 @@ object SparkEntry {
       RangeJoin.pointInInterval(li, "ship_day", win, "lo", "hi", bucketWidth = 16)
         .select("win_key", "l_orderkey", "l_linenumber", "ship_day")
     }),
+    // SemDeDup-style semantic dedup: deterministic k-means (IVF-seeded,
+    // two decimal-sum Lloyd rounds) buckets the corpus; within-cluster
+    // cosine pairs feed the standard cluster/canonical machinery; output
+    // is the surviving (canonical + unpaired) vec_ids
+    "x_emb_semdedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCos = 0.4, k = 8, iters = 2).select("vec_id")),
     // ---- extensions: embedding pooling ----
     "x_emb_meanpool" -> ((s, d) =>
       Embeddings.meanPoolExact(
@@ -762,6 +769,68 @@ object SparkEntry {
     s"""${duckConnectedComponents(pairsRel)},
        |losers AS (
        |  SELECT id FROM cc GROUP BY id HAVING id <> min(label)
+       |)""".stripMargin
+
+  /** Deterministic-k-means CTE chain (the SQL twin of
+    * [[Similarity.kmeansAssign]]): `v` = vectors with norms, `c0` =
+    * smallest-md5(id) seed centroids as doubles, then per Lloyd round r a
+    * norm CTE `n{r}`, cosine-argmax assignment `a{r}` (ties toward the
+    * larger cid, the IVF rule), and decimal-sum means `c{r+1}` with
+    * empty clusters keeping their previous centroid. Ends with the final
+    * assignment `a{iters} (id, vv, nrm, cid)`. Every numeric step reuses
+    * an already-green derivation: the x_sim_ivf init/argmax and the
+    * x_emb_meanpool decimal-mean. */
+  private def duckKmeansCtes(k: Int, iters: Int, dims: Int = 64): String = {
+    val d1 = dims + 1
+    val head =
+      s"""v AS (
+         |  SELECT vec_id AS id, embedding AS vv,
+         |    sqrt(list_sum(list_transform(range(1, $d1),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cid,
+         |         list_transform(range(1, $d1), i -> CAST(vv[i] AS DOUBLE)) AS cv
+         |  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT $k
+         |)""".stripMargin
+    def round_(r: Int): String = {
+      val mean =
+        s"""m${r + 1} AS (
+           |  SELECT cid, CAST(i AS INT) AS i,
+           |    round(CAST(sum(CAST(CAST(vv[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+           |          / count(vv[CAST(i AS INT)]), 6) AS m
+           |  FROM a$r, range(1, $d1) t(i) GROUP BY cid, i
+           |),
+           |g${r + 1} AS (SELECT cid, list(m ORDER BY i) AS cv FROM m${r + 1} GROUP BY cid),
+           |c${r + 1} AS (
+           |  SELECT c.cid, coalesce(g.cv, c.cv) AS cv
+           |  FROM c$r c LEFT JOIN g${r + 1} g USING (cid)
+           |)""".stripMargin
+      s"""${assignCte(r, d1)}${if (r < iters) ",\n" + mean else ""}"""
+    }
+    (head +: (0 to iters).map(round_)).mkString(",\n")
+  }
+
+  /** One k-means assignment round: centroid norms `n{r}`, all-pairs
+    * cosine `p{r}`, argmax `a{r}`. */
+  private def assignCte(r: Int, d1: Int): String =
+    s"""n$r AS (
+       |  SELECT cid, cv,
+       |    sqrt(list_sum(list_transform(range(1, $d1), i -> cv[i] * cv[i]))) AS cnrm
+       |  FROM c$r
+       |),
+       |p$r AS (
+       |  SELECT v.id, v.vv, v.nrm, c.cid,
+       |    list_sum(list_transform(range(1, $d1),
+       |      i -> CAST(v.vv[i] AS DOUBLE) * c.cv[i])) / (v.nrm * c.cnrm) AS s
+       |  FROM v CROSS JOIN n$r c
+       |),
+       |a$r AS (
+       |  SELECT id, vv, nrm, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+       |    FROM p$r
+       |  ) WHERE rn = 1
        |)""".stripMargin
 
   /** Perceptual-hash CTE: aHash over the same md5 feature derivation the
@@ -1825,6 +1894,21 @@ object SparkEntry {
         |)
         |SELECT win_key, l_orderkey, l_linenumber, ship_day
         |FROM li JOIN win ON ship_day BETWEEN lo AND hi""".stripMargin,
+    // k-means (k=8, 2 Lloyd rounds) -> within-cluster cosine pairs ->
+    // recursive-CC losers -> survivors; the clustering CTEs reuse the
+    // green IVF-init/argmax and meanpool-decimal derivations
+    "x_emb_semdedup" ->
+      s"""WITH RECURSIVE ${duckKmeansCtes(8, 2)},
+         |prs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(a.vv[i] AS DOUBLE) * CAST(b.vv[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+         |),
+         |pairs2 AS (SELECT id_a, id_b FROM prs WHERE cos >= 0.4),
+         |${duckCcLosers("pairs2")}
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = e.vec_id)""".stripMargin,
     "x_emb_meanpool" ->
       """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
         |x AS (

@@ -478,6 +478,127 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  /** Deterministic Lloyd k-means assignment over an embedding column —
+    * the clustering primitive behind [[semanticDedup]] (and a drop-in
+    * refinement for [[ivfTopK]]'s sampled coarse quantizer). Engineered
+    * for reproducibility rather than ML-library parity:
+    *
+    *  - init = the `k` corpus vectors with smallest md5(id) (exactly
+    *    [[ivfTopK]]'s deterministic sample);
+    *  - assignment = per-row argmax of cosine against the centroid
+    *    literals, ties toward the larger centroid index (the IVF rule);
+    *  - update = per-(cluster, dim) mean with DECIMAL sums and a single
+    *    rounded double division (the [[Embeddings.meanPoolExact]] recipe),
+    *    so means are independent of partitioning and row order — the
+    *    property that makes the whole loop repartition-stable and
+    *    oracle-checkable. Empty clusters keep their previous centroid.
+    *
+    * Scale shape: assignment is a per-row projection over k native dot
+    * products (no shuffle); each update round is one narrow
+    * (cid, dim, value) shuffle; centroids live driver-side as k × dims
+    * doubles — the same bounded-collect contract as IVF's 16-row sample,
+    * scaling with k, never with the corpus.
+    *
+    * @return (`idCol`, cid) — cid in [0, k)
+    */
+  def kmeansAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      iters: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    kmeansAssigned(corpus, idCol, vecCol, k, iters, scope)
+      .select(col("id").as(idCol), col("cid"))
+
+  /** [[kmeansAssign]] core keeping (id, v, nrm, cid) so downstream pair
+    * scoring reuses the persisted vectors and norms. */
+  private def kmeansAssigned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scope: graft.CacheScope): DataFrame = {
+    require(k >= 1, "need k >= 1 clusters")
+    require(iters >= 0, "iters must be non-negative")
+    val base = scope.persist(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm")))
+    // deterministic seed: smallest-md5(id) corpus vectors, as doubles
+    var cents: Array[Seq[Double]] = base
+      .select(col("id").cast("string").as("sid"), col("v"))
+      .withColumn("h", md5(col("sid")))
+      .orderBy("h")
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+    def assign(c: Array[Seq[Double]]): DataFrame = {
+      val scores = array(c.zipWithIndex.map { case (cv, i) =>
+        val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+        struct(cosFromNorms(dot(col("v"), typedLit(cv)), col("nrm"), lit(cnrm)).as("s"),
+          lit(i).as("i"))
+      }: _*)
+      base.withColumn("cid", array_max(scores).getField("i"))
+    }
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(round((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(col("x"))), 6).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        means.get(cid)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(old)
+      }
+    }
+    assign(cents)
+  }
+
+  /** Within-cluster embedding near-duplicate pairs — the candidate
+    * generation of SemDeDup (Abbas et al., arXiv:2303.09540): k-means
+    * buckets the corpus semantically, and only same-cluster pairs are
+    * scored with exact cosine, so pair work is Σ cluster² instead of n².
+    * At scale, `k` grows with the corpus (n / target-cluster-size) the
+    * same way [[autoPlanes]] sizes SRP buckets.
+    *
+    * @return (id_a, id_b, cos) with id_a < id_b, cos >= minCos
+    */
+  def semanticNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      k: Int = 16,
+      iters: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val a = scope.persist(kmeansAssigned(df, idCol, vecCol, k, iters, scope))
+    a.as("a").join(a.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        round(cosFromNorms(dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** SemDeDup-style semantic deduplication: [[semanticNearDupPairs]]
+    * feeds the standard transitive-cluster machinery
+    * ([[Dedup.keepCanonical]]) — every row whose id is a non-minimum
+    * member of a semantic near-duplicate component is dropped. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double = 0.95,
+      k: Int = 16,
+      iters: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    Dedup.keepCanonical(df, idCol,
+      semanticNearDupPairs(df, idCol, vecCol, minCos, k, iters, scope),
+      scope = scope)
+
   /** Size-aware near-dup: derives `planes` from the corpus count so bucket
     * count grows with the data (one extra count job). */
   def embeddingNearDupPairsAuto(

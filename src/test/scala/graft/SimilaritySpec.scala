@@ -215,6 +215,39 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"shipped quantized-ANN params recall@10=$r < 0.6 — re-tune before shipping")
   }
 
+  test("kmeansAssign is repartition-stable and covers every row") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = Similarity.kmeansAssign(emb.repartition(7), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    val b = Similarity.kmeansAssign(emb.repartition(3).sortWithinPartitions(desc("vec_id")),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(a === b, "Lloyd rounds must not depend on partitioning or row order")
+    assert(a.size === emb.count())
+    assert(a.values.forall(c => c >= 0 && c < 8))
+    assert(a.values.toSet.size > 1, "fixture sanity: more than one cluster in use")
+  }
+
+  test("semanticDedup keeps cluster minima and unpaired rows, drops the rest") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding",
+      minCos = 0.4, k = 8, iters = 2)
+    val survivors = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      minCos = 0.4, k = 8, iters = 2).select("vec_id").as[Long].collect().toSet
+    val p = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(p.nonEmpty, "fixture sanity: some semantic near-dup pairs exist")
+    // survivors + losers partition the corpus; every pair's min endpoint
+    // can survive, and no pair has both endpoints surviving unless they
+    // sit in different components (they don't, by construction of pairs)
+    val losers = emb.select("vec_id").as[Long].collect().toSet -- survivors
+    // direct CC cross-check: losers == exactly the non-minimum members
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect()
+    val expectedLosers = clusters.collect { case (id, cl) if id != cl => id }.toSet
+    assert(losers === expectedLosers)
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
