@@ -102,6 +102,70 @@ object StreamingHistorization {
       .drop("__k", "__shs", "__bench_sh")
   }
 
+  /** Streaming near-duplicate candidate discovery — the streaming twin of
+    * [[graft.operators.Dedup.incrementalMinhashCandidates]]. Per
+    * micro-batch:
+    *
+    *  1. drop documents already present in the band-index store (an
+    *     anti-join on id) — this is the re-delivery absorber: an
+    *     at-least-once source can replay a document, but its pairs were
+    *     emitted when it first arrived, so it contributes nothing now;
+    *  2. emit candidate pairs exactly once per pair: intra-batch pairs
+    *     from the batch's own band rows, plus batch × index pairs from
+    *     the stream-static (band, key) equi-join, normalized to
+    *     id_a < id_b;
+    *  3. append the batch's band rows to the index store so later
+    *     batches probe against this one.
+    *
+    * The accumulated state is the (id, band, 8-byte key) index — a sliver
+    * of the corpus (no payloads) — and each batch's work is batch-cost:
+    * the equi-join probes the index, never the corpus text. The union of
+    * the pairs store over any batch partitioning of the corpus equals the
+    * batch operator's all-pairs candidates ([[graft.operators.Dedup
+    * .minhashCandidates]]); a spec pins that equality under full
+    * re-delivery. */
+  def nearDupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val banded0 = graft.operators.Dedup.minhashBandIndex(
+          batch.dropDuplicates(idCol), idCol, textCol, n, k, bands)
+        val index = Store.readParquetSafe(session, indexPath)
+        val novel = index.fold(banded0) { ix =>
+          banded0.join(ix.select("id").distinct(), Seq("id"), "left_anti")
+        }.persist()
+        try {
+          val intra = novel.as("a").join(novel.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          val pairs = index.fold(intra) { ix =>
+            intra.union(
+              novel.as("b").join(ix.as("c"),
+                  col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+                .select(least(col("b.id"), col("c.id")).as("id_a"),
+                  greatest(col("b.id"), col("c.id")).as("id_b")))
+          }.distinct()
+          // pairs first: if the job dies between the writes, the replayed
+          // batch still finds its docs un-indexed and re-emits into the
+          // pairs store, whose consumers read it as a set
+          pairs.write.mode("append").parquet(pairsPath)
+          novel.write.mode("append").parquet(indexPath)
+        } finally { novel.unpersist(blocking = false); () }
+        ()
+      }
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

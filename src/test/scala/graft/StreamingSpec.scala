@@ -156,6 +156,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("inc_dedup").count().toInt === batchTwin.size)
   }
 
+  test("streaming near-dup candidates equal the batch self-join under re-delivery") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-neardup-stream").toString
+    // three file drops -> three micro-batches (maxFilesPerTrigger=1):
+    // evens, odds, then a FULL re-delivery of every document
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/in/d0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$dir/in/d1")
+    docs.write.parquet(s"$dir/in/d2")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val writer = StreamingHistorization.nearDupStream(
+      stream, "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/chk")
+    StreamingHistorization.runOnce(writer)
+
+    val streamed = spark.read.parquet(s"$dir/pairs")
+    val streamedSet = streamed.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchTwin = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamedSet === batchTwin)
+    assert(batchTwin.nonEmpty, "fixture sanity: candidates exist")
+    // exactly-once per pair: the store holds no duplicate rows, because
+    // re-delivered docs are absorbed before probing
+    assert(streamed.count() === streamedSet.size)
+    // the index holds each doc once (bands rows each), despite re-delivery
+    val ix = spark.read.parquet(s"$dir/index")
+    assert(ix.select("id").distinct().count() === docs.count())
+    assert(ix.count() === docs.count() * 4)
+  }
+
   test("streaming decontamination equals the batch twin and is stateless under re-delivery") {
     val docsAll = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val train = docsAll.filter($"doc_id" % 20 =!= 0)
