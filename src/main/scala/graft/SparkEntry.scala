@@ -147,6 +147,12 @@ object SparkEntry {
     // KEY_HASH-bucketed store is read with zero Exchange
     "l09_delta_bucketed" -> ((s, d) => qtyAsDouble(Cdc.deltaBucketed(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
+    // the Bloom-routed delta form: definite-new rows bypass the anti-join
+    // map-side; must produce EXACTLY the pair anti-join's rows (same
+    // oracle SQL — false positives cost a probe, never a wrong answer)
+    "l09_delta_bloom" -> ((s, d) => qtyAsDouble(
+      Cdc.deltaBloom(enrichedA(s, d), enrichedB(s, d), bits = 1 << 20)
+        .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
     "l13_inserts" -> ((s, d) => Cdc.inserts(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", M.KeyHash)),
     "l14_updates" -> ((s, d) => qtyAsDouble(Cdc.updates(enrichedA(s, d), enrichedB(s, d))
@@ -507,6 +513,20 @@ object SparkEntry {
     "x_sketch_distinct" -> ((s, d) =>
       Sketches.approxDistinctKmv(Tables.events(s, d), Seq("event_type"), "user_id",
         k = 64)),
+    // Count-Min frequencies: lineitem part keys sketched into 4×256
+    // cells, probed for every 50th part key; width is deliberately small
+    // relative to ~2k distinct keys so the min-over-rows estimate path
+    // (not a collision-free identity) is what's being checked
+    "x_sketch_cms" -> ((s, d) =>
+      Sketches.cmsFrequencies(Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d).filter(col("p_partkey") % 50 === 0), "p_partkey",
+        width = 256, depth = 4)),
+    // bottom-k quantiles: per-priority order totals from the 256
+    // hash-smallest orders per group (~3k rows/group, so the sampled
+    // path is exercised, not the exact small-group fallback)
+    "x_sketch_quantiles" -> ((s, d) =>
+      Sketches.approxQuantilesBottomK(Tables.orders(s, d), Seq("o_orderpriority"),
+        "o_orderkey", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 256)),
     // ---- extensions: multimodal plumbing ----
     // real files on disk through the binaryFile source (not text-as-binary):
     // a deterministic fixture is (re)written driver-side, Spark ingests the
@@ -1056,6 +1076,16 @@ object SparkEntry {
     // deliberately the SAME statement as l09_delta: the bucketed re-keyed
     // join is an implementation strategy, not a semantic change
     "l09_delta_bucketed" ->
+      s"""$snapshotsCte
+         |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
+         |       n."KEY_HASH", n."RECORD_HASH"
+         |FROM enrichB n LEFT JOIN enrichA c
+         |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |WHERE c."KEY_HASH" IS NULL""".stripMargin,
+    // deliberately the SAME statement again: the Bloom pre-route is an
+    // implementation strategy — false positives fall through to the
+    // exact anti-join, so the output is the pair anti-join's rows
+    "l09_delta_bloom" ->
       s"""$snapshotsCte
          |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
          |       n."KEY_HASH", n."RECORD_HASH"
@@ -2087,6 +2117,53 @@ object SparkEntry {
          |         AS est_distinct,
          |       CAST(least(max(nd), 64) AS INT) AS n_kept
          |FROM r GROUP BY event_type""".stripMargin,
+    // Count-Min: cell counts are plain sums over md5-bucketed rows, the
+    // estimate is the min over the 4 hash rows — identical integer
+    // arithmetic in both engines
+    // the depth index is named hj, NOT j: duckHash60 embeds its argument
+    // inside a list_transform lambda whose variable is j, which would
+    // shadow an outer j and hash the wrong string
+    "x_sketch_cms" ->
+      s"""WITH cells AS (
+         |  SELECT hj,
+         |         ${duckHash60("CAST(l_partkey AS VARCHAR) || '#cms#' || CAST(hj AS VARCHAR)")}
+         |           % 256 AS b
+         |  FROM lineitem, (SELECT unnest(range(0, 4)) AS hj)
+         |  WHERE l_partkey IS NOT NULL
+         |),
+         |sk AS (SELECT hj, b, count(*) AS c FROM cells GROUP BY hj, b),
+         |cand AS (SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 50 = 0),
+         |pr AS (
+         |  SELECT p_partkey, hj,
+         |         ${duckHash60("CAST(p_partkey AS VARCHAR) || '#cms#' || CAST(hj AS VARCHAR)")}
+         |           % 256 AS b
+         |  FROM cand, (SELECT unnest(range(0, 4)) AS hj)
+         |)
+         |SELECT p_partkey, min(coalesce(c, 0)) AS est_count
+         |FROM pr LEFT JOIN sk USING (hj, b)
+         |GROUP BY p_partkey""".stripMargin,
+    // bottom-k quantiles: the k hash-smallest DISTINCT (uniform, value)
+    // pairs per group are the sample in both engines; quantile q reads
+    // the sorted sample at floor(q*(m-1)) (lower-value convention)
+    "x_sketch_quantiles" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT o_orderpriority, ${duckHashUniform("o_orderkey", "bkq")} AS u,
+         |         CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT o_orderpriority, u, v,
+         |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY u, v) AS rn
+         |  FROM d
+         |),
+         |s AS (
+         |  SELECT o_orderpriority, list_sort(list(v)) AS vs, count(*) AS m
+         |  FROM r WHERE rn <= 256 GROUP BY o_orderpriority
+         |)
+         |SELECT o_orderpriority, CAST(q AS DOUBLE) AS q,
+         |       round(vs[CAST(floor(CAST(q AS DOUBLE) * (m - 1)) AS INT) + 1], 6) AS est_value,
+         |       CAST(m AS INT) AS n_sample
+         |FROM s, (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)""".stripMargin,
     // the fractional bound is written as (2.3 - 2), not 0.3, so both
     // engines compare against the identical IEEE double
     "x_sample_weighted" ->

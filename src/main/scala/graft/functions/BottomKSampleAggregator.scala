@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded bottom-k sample accumulator: keeps the k (hash, value) pairs
+  * with the smallest DISTINCT hash coordinates seen, and finishes with
+  * the retained values sorted ascending.
+  *
+  * The state behind bottom-k quantile estimation (the sampling scheme of
+  * Cohen & Kaplan, "Summarizing Data using Bottom-k Sketches", PODC'07):
+  * hashing each row's id to a uniform and keeping the k hash-smallest
+  * rows IS a uniform k-row sample of the group — but deterministic,
+  * engine-reproducible, and mergeable: the bottom-k of a union is the
+  * trimmed union of per-shard bottom-k sets, so map-side partial
+  * aggregation applies and per-shard sketches roll up without re-reading
+  * shards. At most k (double, double) pairs per group cross the shuffle
+  * regardless of group size.
+  *
+  * Same amortization as [[KmvAggregator]]: the buffer grows to 4k entries
+  * between O(k·log k) compactions, so per-row maintenance is O(1) appends.
+  */
+case class BottomKSampleAggregator(k: Int)
+    extends Aggregator[(Double, Double), Seq[(Double, Double)], Seq[Double]] {
+
+  private def trim(buf: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    buf.distinct.sorted.take(k)
+
+  override def zero: Seq[(Double, Double)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Double)], uv: (Double, Double)): Seq[(Double, Double)] = {
+    val appended = buf :+ uv
+    if (appended.size.toLong > 4L * k) trim(appended) else appended
+  }
+
+  override def merge(a: Seq[(Double, Double)], b: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(Double, Double)]): Seq[Double] =
+    trim(buf).map(_._2).sorted
+
+  override def bufferEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+}

@@ -47,4 +47,112 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) / element_at(col("__mins"), k)), 6))
       .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_kept")): _*)
   }
+
+  /** Bucket index of `item` under the sketch's j-th hash row: a 60-bit
+    * md5 prefix of s"$item#$salt#$j" reduced mod `width` — deterministic
+    * and engine-reproducible (the DuckDB oracle mirrors it digit for
+    * digit). */
+  private def cmsBucket(item: org.apache.spark.sql.Column, j: Int, width: Int, salt: String) =
+    pmod(conv(md5(concat(item.cast("string"), lit(s"#$salt#$j"))).substr(1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-Min sketch of an item column (Cormode & Muthukrishnan,
+    * J. Algorithms'05): `depth` hash rows × `width` buckets of counts.
+    * Each occurrence increments one bucket per row; an item's estimate is
+    * the MIN of its `depth` bucket counts — never an under-count, and an
+    * over-count only when the item collides in every row.
+    *
+    * Scale shape: the corpus collapses to at most depth × width cells in
+    * ONE map-side-combinable aggregation — a shuffle of bounded size
+    * regardless of item cardinality, where an exact per-item count would
+    * shuffle the full item column. Cells are plain sums, so sketches over
+    * shards/batches merge by adding cells — the mergeability that lets
+    * per-ingest sketches roll up to corpus totals without re-reading
+    * anything. Null items are excluded (they hash to null).
+    *
+    * @return (j, b, c): hash-row index, bucket, count — only occupied
+    *         cells; absent cells are zero
+    */
+  def cmsSketch(
+      df: DataFrame,
+      itemCol: String,
+      width: Int = 1024,
+      depth: Int = 4,
+      salt: String = "cms"): DataFrame = {
+    require(width >= 2, "width must be at least 2")
+    require(depth >= 1, "depth must be at least 1")
+    val buckets = array((0 until depth).map(j => cmsBucket(col(itemCol), j, width, salt)): _*)
+    df.filter(col(itemCol).isNotNull)
+      .select(posexplode(buckets).as(Seq("j", "b")))
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Estimated occurrence counts for a candidate item set against a
+    * [[cmsSketch]] of the corpus. The candidate side is tiny (a probe
+    * list) and the sketch is bounded, so the lookup join never touches
+    * the corpus — the standard heavy-hitter monitoring shape: sketch the
+    * stream once, probe it for any watchlist after the fact.
+    *
+    * @return one row per distinct non-null candidate: (candidateCol,
+    *         est_count) with est_count >= the true count
+    */
+  def cmsFrequencies(
+      corpus: DataFrame,
+      itemCol: String,
+      candidates: DataFrame,
+      candidateCol: String,
+      width: Int = 1024,
+      depth: Int = 4,
+      salt: String = "cms"): DataFrame = {
+    val sketch = cmsSketch(corpus, itemCol, width, depth, salt)
+    val probeBuckets = array((0 until depth).map(j => cmsBucket(col(candidateCol), j, width, salt)): _*)
+    candidates.select(col(candidateCol)).filter(col(candidateCol).isNotNull).distinct()
+      .select(col(candidateCol), posexplode(probeBuckets).as(Seq("j", "b")))
+      .join(sketch, Seq("j", "b"), "left_outer")
+      .groupBy(candidateCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  /** Approximate per-group quantiles from a bottom-k hash sample (Cohen
+    * & Kaplan, PODC'07): the k rows with the smallest md5(id) uniforms
+    * ARE a uniform k-row sample of the group — deterministic, stable
+    * under repartitioning, and mergeable (bottom-k of a union = trimmed
+    * union of bottom-k sets, so map-side partials apply and per-shard
+    * sketches roll up). Quantile q is read from the sorted sample at
+    * index floor(q·(m−1)) (lower-value convention, m = sample size) —
+    * exact when the group has at most k rows, ~1/sqrt(k) rank error
+    * beyond. The value payload never shuffles: at most k (8+8)-byte
+    * pairs per group cross the exchange.
+    *
+    * Rows with a null id or null value are excluded (a null cannot be
+    * hashed or ranked).
+    *
+    * @param qs quantiles in [0, 1], one output row per group per q
+    * @return groupCols + (q, est_value rounded to 6, n_sample)
+    */
+  def approxQuantilesBottomK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      qs: Seq[Double],
+      k: Int = 256,
+      salt: String = "bkq"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be non-empty quantiles in [0, 1]")
+    val bks = udaf(graft.functions.BottomKSampleAggregator(k))
+    val u = Sampling.hashUniform(col(idCol), salt)
+    val grouped = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ u.as("__u") :+ col(valueCol).cast("double").as("__v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bks(col("__u"), col("__v")).as("__vs"))
+    val m = size(col("__vs"))
+    grouped
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("est_value",
+        round(element_at(col("__vs"), (floor(col("q") * (m - 1)) + 1).cast("int")), 6))
+      .withColumn("n_sample", m)
+      .select((groupCols.map(col) :+ col("q") :+ col("est_value") :+ col("n_sample")): _*)
+  }
 }

@@ -189,6 +189,56 @@ object Store {
     fs.rename(tmpPath, target)
   }
 
+  /** Compact a Parquet store's small files: rewrite the SAME rows into
+    * ~`targetBytes`-sized files and swap the result into place.
+    *
+    * Why this exists: every append-per-batch store in the library — the
+    * incremental exact-dedup digest store, the MinHash band index,
+    * [[graft.streaming.StreamingHistorization]]'s sinks — grows one-or-
+    * more files per micro-batch. At 100 TB ingestion cadence that is
+    * thousands of KB-sized files per day, and scan cost becomes file
+    * OPEN cost (listing, footer reads, one task per tiny split) rather
+    * than byte cost. Periodic compaction restores ~target-sized files,
+    * so this is the maintenance half of the continuous-ingestion story.
+    *
+    * File count = ceil(current bytes / targetBytes). Unpartitioned
+    * stores round-robin into that many files; partitioned stores
+    * range-partition by the partition columns so each output task writes
+    * whole directories (no task fans out across every partition, which
+    * would re-create the small-file problem per directory). The rewrite
+    * goes through the swap write, so concurrent readers see the old or
+    * the new generation, never a half-compacted store.
+    *
+    * @return (files before, files after) parquet data-file counts
+    */
+  def compactStore(
+      spark: SparkSession,
+      path: String,
+      partitionColumns: Seq[String] = Nil,
+      targetBytes: Long = 512L * 1024 * 1024): (Long, Long) = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    import org.apache.spark.sql.functions.col
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetCount(new Path(path))
+    val bytes = fs.getContentSummary(new Path(path)).getLength
+    val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    // the swap write fully materializes into <path>.tmp BEFORE the old
+    // generation is deleted, so the rewrite streams straight from the
+    // store it is compacting — no staging copy, no read-overwrite race
+    val compacted =
+      if (partitionColumns.isEmpty) df.repartition(numFiles)
+      else df.repartitionByRange(numFiles, partitionColumns.map(col): _*)
+    writeStoreSwap(compacted, path, partitionColumns)
+    (before, parquetCount(new Path(path)))
+  }
+
   /** Canonicalize a store read back to `schema`'s column order and types.
     * Partition columns come back repositioned (and possibly re-typed) after
     * a partitioned read — both in fastparquet (main.py:33) and in Spark

@@ -44,6 +44,24 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.delta(current, current).isEmpty)
   }
 
+  test("deltaBloom is row- and column-identical to delta at any filter size") {
+    val pair = Cdc.delta(current, incoming)
+    // realistic size (few false positives: most rows bypass the join) and
+    // a pathological 64-bit filter (everything collides into the join
+    // path) must both reproduce the exact anti-join
+    Seq(1 << 16, 64).foreach { bits =>
+      val routed = Cdc.deltaBloom(current, incoming, bits = bits)
+      assert(routed.columns.toSeq === pair.columns.toSeq)
+      assert(routed.exceptAll(pair).count() === 0)
+      assert(pair.exceptAll(routed).count() === 0)
+    }
+    // empty store: the filter is all-zero, every row is definite-new
+    val empty = current.filter($"k" === "zzz")
+    assert(Cdc.deltaBloom(empty, incoming).count() === incoming.count())
+    // identical snapshots: every pair is in the filter, nothing survives
+    assert(Cdc.deltaBloom(current, current, bits = 1 << 16).isEmpty)
+  }
+
   test("updates projects back to new-side columns only") {
     val upd = Cdc.updates(current, incoming)
     assert(upd.columns.toSeq === incoming.columns.toSeq)

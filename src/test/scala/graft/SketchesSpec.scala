@@ -44,6 +44,68 @@ class SketchesSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("cms never under-counts, and is exact when width kills collisions") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val cand = graft.sources.Tables.part(spark, sfDir)
+      .filter(col("p_partkey") % 10 === 0)
+    val truth = li.groupBy("l_partkey").count()
+      .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    // tight width: estimates must still dominate the true counts
+    val est = Sketches.cmsFrequencies(li, "l_partkey", cand, "p_partkey",
+        width = 64, depth = 4)
+      .as[(Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (k, e) => assert(e >= truth(k), s"part $k: $e < ${truth(k)}") }
+    // width far above the distinct key count: no row collides everywhere
+    val wide = Sketches.cmsFrequencies(li, "l_partkey", cand, "p_partkey",
+        width = 1 << 16, depth = 4)
+      .as[(Long, Long)].collect()
+    wide.foreach { case (k, e) => assert(e === truth(k), s"part $k: $e != ${truth(k)}") }
+  }
+
+  test("cms sketch merges by cell addition and ignores partitioning") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir).select("l_partkey")
+    val a = li.filter(col("l_partkey") % 2 === 0)
+    val b = li.filter(col("l_partkey") % 2 =!= 0)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsSketch(df, "l_partkey", width = 32, depth = 3)
+        .as[(Int, Long, Long)].collect().map { case (j, bk, c) => (j, bk) -> c }.toMap
+    val whole = cells(li)
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged === whole)
+    assert(cells(li.repartition(13)) === whole)
+  }
+
+  test("bottom-k quantiles are exact below k and close above it") {
+    val df = (1 to 1000).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    // k >= group size: the sample IS the group, quantiles are exact under
+    // the lower-value convention est(q) = sorted(v)[floor(q * (n-1))]
+    val exact = Sketches.approxQuantilesBottomK(df, Seq("g"), "id", "v",
+        qs = Seq(0.0, 0.5, 1.0), k = 1000)
+      .select("q", "est_value", "n_sample").as[(Double, Double, Int)].collect()
+      .map { case (q, e, n) => q -> ((e, n)) }.toMap
+    assert(exact(0.0) === ((1.0, 1000)))
+    assert(exact(0.5) === ((500.0, 1000))) // floor(0.5 * 999) = 499 -> v=500
+    assert(exact(1.0) === ((1000.0, 1000)))
+    // k << group size: a uniform 64-row sample; rank error ~1/sqrt(k)
+    val approx = Sketches.approxQuantilesBottomK(df, Seq("g"), "id", "v",
+        qs = Seq(0.5), k = 64)
+      .select("est_value").as[Double].head()
+    assert(approx > 250.0 && approx < 750.0, s"median estimate $approx")
+  }
+
+  test("bottom-k quantile sample is invariant under repartitioning") {
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.approxQuantilesBottomK(df, Seq("o_orderpriority"), "o_orderkey",
+          "o_totalprice", qs = Seq(0.25, 0.9), k = 32)
+        .as[(String, Double, Double, Int)].collect().toSet
+    val base = run(orders)
+    assert(base.nonEmpty)
+    assert(run(orders.repartition(17)) === base)
+  }
+
   test("kmv dedups hash values: duplicated rows do not inflate the estimate") {
     val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
     val doubled = df.union(df)

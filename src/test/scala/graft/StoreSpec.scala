@@ -22,6 +22,36 @@ class StoreSpec extends SparkSpec {
     assert(dirs <= 16 && dirs > 1)
   }
 
+  test("compactStore collapses append-born small files without changing rows") {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/digests"
+    // simulate continuous ingestion: 20 per-batch appends, 2 files each
+    (1 to 20).foreach { b =>
+      (1 to 25).map(i => (s"k${b}_$i", b)).toDF("digest", "batch")
+        .repartition(2).write.mode("append").parquet(path)
+    }
+    val rowsBefore = spark.read.parquet(path).collect().toSet
+    val (before, after) = Store.compactStore(spark, path, targetBytes = 64L * 1024 * 1024)
+    assert(before === 40L)
+    assert(after === 1L) // tiny store, one target-sized file
+    assert(spark.read.parquet(path).collect().toSet === rowsBefore)
+  }
+
+  test("compactStore keeps partition directories and rows on a partitioned store") {
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_p").toString + "/store"
+    (1 to 10).foreach { b =>
+      (1 to 40).map(i => (s"k${b}_$i", i % 4, b)).toDF("k", "part", "batch")
+        .repartition(3).write.mode("append").partitionBy("part").parquet(path)
+    }
+    val rowsBefore = spark.read.parquet(path)
+      .select("k", "part", "batch").collect().toSet
+    val (before, after) = Store.compactStore(spark, path, Seq("part"))
+    assert(after < before)
+    val back = spark.read.parquet(path)
+    assert(back.select("k", "part", "batch").collect().toSet === rowsBefore)
+    val dirs = new java.io.File(path).listFiles.count(_.getName.startsWith("part="))
+    assert(dirs === 4)
+  }
+
   test("JSONL round-trips documents with an explicit schema") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").limit(100)
