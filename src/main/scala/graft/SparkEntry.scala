@@ -423,6 +423,15 @@ object SparkEntry {
     "x_text_collapse" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.collapseTokenRuns(col("text")).as("collapsed"))),
+    // corpus-wide C4-style line dedup: the synthetic corpus is single-
+    // line, so the query first derives 8-token lines (regex parity with
+    // the oracle checked byte-for-byte), then keeps only each repeated
+    // line's global first occurrence
+    "x_text_dedup_lines" -> ((s, d) =>
+      Dedup.dedupLinesAcrossCorpus(
+        Tables.documents(s, d).withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n")),
+        "doc_id", "text")),
     // stopword-profile language ID (C4/Gopher gate): per-row argmax of
     // function-word hit ratios; the oracle's stopword lists are generated
     // from the SAME TextAnalysis.stopwords val, so they cannot drift
@@ -1406,6 +1415,33 @@ object SparkEntry {
         |    i -> CASE WHEN i = 1 OR w[i] <> w[i-1] THEN w[i] END),
         |    x -> x IS NOT NULL), ' ') AS collapsed
         |FROM toks""".stripMargin,
+    // global line dedup: keeper = row_number 1 over (doc_id, p) per line
+    // hash — the same lexicographic-min convention as Spark's
+    // min(struct(id, p)); DuckDB list lambdas are 1-based, hence i - 1
+    "x_text_dedup_lines" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |         regexp_replace(text, '((?:\\S+ ){8})', '\\1' || chr(10), 'g') AS text
+         |  FROM documents
+         |),
+         |sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+         |ex AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, ls[CAST(i AS INT)] AS line
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM sp)
+         |),
+         |el AS (SELECT doc_id, p, ${duckHash60("line")} AS lh FROM ex
+         |       WHERE length(line) >= 1),
+         |rk AS (SELECT doc_id, p,
+         |              row_number() OVER (PARTITION BY lh ORDER BY doc_id, p) AS rn
+         |       FROM el),
+         |dl AS (SELECT doc_id, list(p) AS dp FROM rk WHERE rn > 1 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       CASE WHEN d.dp IS NULL THEN s.text
+         |            ELSE array_to_string(
+         |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
+         |              chr(10))
+         |       END AS cleaned
+         |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
     // the four curation stages in one statement; quality CTEs and the
     // keep predicate are the SAME vals the standalone x_text_quality
     // oracle uses, the split bound is written (0.9 + 0.05) so both

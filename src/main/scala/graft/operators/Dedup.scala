@@ -441,6 +441,62 @@ object Dedup {
         when(col("spans").isNull, txt).otherwise(fold).as("cleaned"))
   }
 
+  /** Corpus-wide duplicated-LINE removal — the global form of C4's
+    * three-sentence/line dedup (Raffel et al. JMLR'20 §2.2: of every
+    * line occurring more than once in the corpus, keep one): each
+    * document's text splits on `sep`, and every occurrence of a repeated
+    * line EXCEPT its global first — "first" = lexicographically smallest
+    * (doc id, line position), the library's deterministic keep-min
+    * convention — is cut; surviving lines re-join in order. Complements
+    * [[removeDuplicatedSpans]]: that operator cuts character-k-gram
+    * islands (boilerplate of any shape), this one cuts at the natural
+    * line/sentence boundary a web corpus actually repeats at.
+    *
+    * Lines shorter than `minLineLen` characters are exempt (always
+    * kept): without the floor, every blank line and stray separator in
+    * the corpus would collapse into one global survivor.
+    *
+    * Scale shape: one bounded explode to narrow (id, pos, line-hash)
+    * rows, ONE shuffle keyed on the 60-bit line hash to elect keepers
+    * (map-side combinable min), and the drop positions collapse to one
+    * array row per affected doc before meeting the text — the payload
+    * joins exactly once, unaffected docs pass through a left join
+    * untouched, and the cut is a per-row lambda over the doc's own
+    * split. No payload ever enters the dedup shuffle.
+    *
+    * @return (doc_id, cleaned) for EVERY input row; cleaned = original
+    *         text when nothing was cut (including null texts)
+    */
+  def dedupLinesAcrossCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minLineLen: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(minLineLen >= 0, "minLineLen must be non-negative")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = scope.persist(
+      df.select(col(idCol).as("id"),
+          posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
+        .filter(length(col("line")) >= minLineLen)
+        .select(col("id"), col("p"), shingleHash(col("line")).as("lh")))
+    val keepers = lines.groupBy("lh")
+      .agg(min(struct(col("id"), col("p"))).as("keep"))
+    val drops = lines.join(keepers, Seq("lh"))
+      .filter(struct(col("id"), col("p")) =!= col("keep"))
+      .groupBy(col("id").as(idCol))
+      .agg(collect_set(col("p")).as("__drop"))
+    val txt = col(textCol)
+    df.join(drops, Seq(idCol), "left_outer")
+      .select(col(idCol).as("doc_id"),
+        when(col("__drop").isNull, txt).otherwise(
+          array_join(
+            filter(split(txt, sepLit), (_, i) => !array_contains(col("__drop"), i)),
+            sep)).as("cleaned"))
+  }
+
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */
   private def hexDigitVal(hex: Column, pos: Column): Column =
     conv(hex.substr(pos, lit(1)), 16, 10).cast("int")

@@ -201,6 +201,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === d3, "un-duplicated doc untouched")
   }
 
+  test("dedupLinesAcrossCorpus keeps each repeated line's global first occurrence only") {
+    val df = Seq(
+      (1L, "alpha beta\nshared line\ngamma"),
+      (2L, "shared line\ndelta\nshared line"), // cross-doc AND intra-doc dup
+      (3L, "epsilon\n\nzeta"),                 // blank line: exempt, kept
+      (4L, "epsilon\nunique tail")             // 'epsilon' repeats doc 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesAcrossCorpus(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "alpha beta\nshared line\ngamma", "first occurrences keep")
+    assert(out(2L) === "delta", "both later occurrences cut")
+    assert(out(3L) === "epsilon\n\nzeta", "blank line exempt from dedup")
+    assert(out(4L) === "unique tail", "cross-doc repeat cut at doc 4")
+    // conservation: kept lines are exactly the global-first set, in order
+    val repart = Dedup.dedupLinesAcrossCorpus(df.repartition(7), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(repart === out, "labeling independent of partitioning")
+  }
+
   test("removeDuplicatedSpans equals the brute-force cut on real documents") {
     val k = 20
     val rows = spark.read.parquet(s"$sfDir/documents.parquet")
