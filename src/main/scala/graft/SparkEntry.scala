@@ -1437,9 +1437,11 @@ object SparkEntry {
          |dl AS (SELECT doc_id, list(p) AS dp FROM rk WHERE rn > 1 GROUP BY doc_id)
          |SELECT s.doc_id,
          |       CASE WHEN d.dp IS NULL THEN s.text
-         |            ELSE array_to_string(
+         |            -- coalesce: DuckDB's array_to_string is NULL on an empty
+         |            -- list, but a fully-deduplicated doc keeps empty text
+         |            ELSE coalesce(array_to_string(
          |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
-         |              chr(10))
+         |              chr(10)), '')
          |       END AS cleaned
          |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
     // the four curation stages in one statement; quality CTEs and the
