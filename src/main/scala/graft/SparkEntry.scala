@@ -536,6 +536,13 @@ object SparkEntry {
     "x_sketch_quantiles" -> ((s, d) =>
       Sketches.approxQuantilesBottomK(Tables.orders(s, d), Seq("o_orderpriority"),
         "o_orderkey", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 256)),
+    // EXACT heavy hitters (bot/abuse detection shape): Misra-Gries
+    // candidates (pass 1, bounded state) -> exact recount of candidates
+    // (pass 2, broadcast). Output is exact regardless of sketch
+    // internals, so the oracle is a plain GROUP BY ... HAVING; the MG
+    // superset guarantee itself is property-tested in SketchesSpec
+    "x_sketch_heavy" -> ((s, d) =>
+      Sketches.heavyHitters(Tables.events(s, d), "user_id", minShare = 0.005)),
     // ---- extensions: multimodal plumbing ----
     // real files on disk through the binaryFile source (not text-as-binary):
     // a deterministic fixture is (re)written driver-side, Spark ingests the
@@ -2202,6 +2209,16 @@ object SparkEntry {
          |       round(vs[CAST(floor(CAST(q AS DOUBLE) * (m - 1)) AS INT) + 1], 6) AS est_value,
          |       CAST(m AS INT) AS n_sample
          |FROM s, (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)""".stripMargin,
+    // heavy hitters are EXACT (the sketch only proposes candidates), so
+    // the oracle is the definition itself; the threshold literal is cast
+    // to DOUBLE so both engines compare against the identical IEEE value
+    "x_sketch_heavy" ->
+      """WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM e)
+        |SELECT user_id, count(*) AS cnt,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+        |FROM e, n GROUP BY user_id, n
+        |HAVING count(*) >= CAST(0.005 AS DOUBLE) * n""".stripMargin,
     // the fractional bound is written as (2.3 - 2), not 0.3, so both
     // engines compare against the identical IEEE double
     "x_sample_weighted" ->

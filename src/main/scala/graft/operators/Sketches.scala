@@ -113,6 +113,56 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
   }
 
+  /** EXACT heavy hitters — every item whose share of the non-null rows is
+    * at least `minShare`, with its exact count — via the classic two-pass
+    * shape: a bounded Misra-Gries summary proposes a candidate superset
+    * (pass 1), an exact recount of only the candidates confirms (pass 2).
+    *
+    * Pass 1 is a single map-side-combinable aggregation whose state never
+    * exceeds ~4×capacity entries per partial ([[graft.functions.MisraGriesAggregator]]);
+    * the MG error bound n/(capacity+1) < n·minShare guarantees no true
+    * heavy hitter is missing from the summary, so pass 2's exactness does
+    * NOT depend on sketch internals. Pass 2 broadcast-joins the ≤ capacity
+    * candidates against the corpus and recounts — heavy-hitter rows are
+    * many, but the map-side combine collapses them to ≤ capacity groups
+    * before the exchange, so both passes shuffle bounded state regardless
+    * of corpus size or item cardinality. The corpus is read twice (the
+    * price of exactness; a single-pass user accepts [[cmsFrequencies]]'s
+    * over-count instead).
+    *
+    * The threshold predicate `cnt >= minShare · n` is evaluated in IEEE
+    * double on both engines (the oracle casts the literal to DOUBLE), so
+    * boundary behavior is identical even when minShare has no exact
+    * binary representation.
+    *
+    * @param capacity override the MG summary size; 0 (default) derives
+    *                 max(64, ceil(2/minShare)) — a 2× safety factor over
+    *                 the minimum the superset guarantee needs
+    * @return (itemCol — original type, cnt, share rounded to 6), one row
+    *         per confirmed heavy hitter
+    */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: String,
+      minShare: Double = 0.001,
+      capacity: Int = 0): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, "minShare must be in (0, 1]")
+    val cap = if (capacity > 0) capacity else math.max(64, math.ceil(2.0 / minShare).toInt)
+    require((cap + 1).toDouble > 1.0 / minShare,
+      s"capacity $cap cannot guarantee the candidate superset at minShare $minShare")
+    val mg = udaf(graft.functions.MisraGriesAggregator(cap))
+    val rows = df.filter(col(itemCol).isNotNull)
+    val summary = rows.agg(
+      mg(col(itemCol).cast("string")).as("__mg"),
+      count(lit(1)).as("__n"))
+    val cands = summary.select(explode(map_keys(col("__mg"))).as("__cand"), col("__n"))
+    rows.join(broadcast(cands), col(itemCol).cast("string") === col("__cand"))
+      .groupBy(col(itemCol), col("__n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(minShare) * col("__n"))
+      .select(col(itemCol), col("cnt"), round(col("cnt") / col("__n"), 6).as("share"))
+  }
+
   /** Approximate per-group quantiles from a bottom-k hash sample (Cohen
     * & Kaplan, PODC'07): the k rows with the smallest md5(id) uniforms
     * ARE a uniform k-row sample of the group — deterministic, stable

@@ -106,6 +106,43 @@ class SketchesSpec extends SparkSpec {
     assert(run(orders.repartition(17)) === base)
   }
 
+  test("heavyHitters equals the exact GROUP BY ... HAVING definition") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val n = events.filter(col("user_id").isNotNull).count()
+    val truth = events.filter(col("user_id").isNotNull)
+      .groupBy("user_id").count()
+      .filter(col("count") >= lit(0.005) * lit(n))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val got = Sketches.heavyHitters(events, "user_id", minShare = 0.005)
+      .select("user_id", "cnt").as[(Long, Long)].collect().toSet
+    assert(got === truth)
+  }
+
+  test("heavyHitters stays exact when compaction fires (capacity << distinct)") {
+    // 5 heavy items (200 rows each) in a sea of 2000 singletons: with the
+    // auto capacity max(64, ceil(2/0.05)) = 64 << 2005 distinct items, the
+    // MG summary compacts many times, yet the candidate superset guarantee
+    // must keep every true heavy hitter for pass 2 to confirm
+    val heavy = (1 to 5).flatMap(i => Seq.fill(200)(s"h$i"))
+    val tail = (1 to 2000).map(i => s"t$i")
+    val df = (heavy ++ tail).toDF("item").repartition(13)
+    val got = Sketches.heavyHitters(df, "item", minShare = 0.05)
+      .as[(String, Long, Double)].collect().toSet
+    val share = BigDecimal(200.0 / 3000.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got === (1 to 5).map(i => (s"h$i", 200L, share)).toSet)
+  }
+
+  test("heavyHitters is invariant under repartitioning (merge path)") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val a = Sketches.heavyHitters(events, "user_id", minShare = 0.005)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Sketches.heavyHitters(events.repartition(17), "user_id", minShare = 0.005)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a.nonEmpty && a === b)
+  }
+
   test("kmv dedups hash values: duplicated rows do not inflate the estimate") {
     val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
     val doubled = df.union(df)
