@@ -441,6 +441,11 @@ object SparkEntry {
     // unigram distribution; decimal-summed, ln-parity per bm25 precedent
     "x_text_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    // bigram conditional log-prob: word-order-sensitive quality score
+    // against the corpus's own bigram distribution; docs with < 2 tokens
+    // are absent on both engines
+    "x_text_bigram" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
     // corpus boilerplate discovery: top word-3-grams by document
     // frequency, distributed top-k (TakeOrdered), gram-text tiebreak
     "x_text_boilerplate" -> ((s, d) =>
@@ -2010,6 +2015,24 @@ object SparkEntry {
          |                       * CAST(tf AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
          |        / CAST(sum(tf) AS DOUBLE), 6) AS logprob
          |FROM tf JOIN freq USING (term), tot
+         |GROUP BY doc_id""".stripMargin,
+    // bigram mirror of x_text_logprob: P(w2|w1) = cbg/cp where cp sums
+    // the bigram counts sharing the prefix; 1-based list indexing, i in
+    // [1, len-1] pairs w[i] with w[i+1], so <2-token docs vanish
+    "x_text_bigram" ->
+      s"""WITH $duckToksCte,
+         |bg AS (
+         |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+         |),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |bgf AS (SELECT w1, w2, sum(tf) AS cbg FROM tf GROUP BY 1, 2),
+         |pref AS (SELECT w1, sum(cbg) AS cp FROM bgf GROUP BY 1)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(ln(CAST(cbg AS DOUBLE) / CAST(cp AS DOUBLE))
+         |                       * CAST(tf AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |        / CAST(sum(tf) AS DOUBLE), 6) AS logprob
+         |FROM tf JOIN bgf USING (w1, w2) JOIN pref USING (w1)
          |GROUP BY doc_id""".stripMargin,
     "x_text_boilerplate" ->
       s"""$docShinglesCte,

@@ -246,6 +246,56 @@ object TextAnalysis {
           .cast("double") / sum(col("tf")).cast("double")), 6).as("logprob"))
   }
 
+  /** Bigram conditional log-probability quality score — one model order
+    * up from [[unigramLogProb]], the same CCNet-style corpus-self-model
+    * idea: score(doc) = mean over the doc's adjacent token pairs of
+    * ln P(w2 | w1), where P(w2 | w1) = c(w1 w2) / c(w1 ·) over the whole
+    * corpus (c(w1 ·) = occurrences of w1 as a bigram prefix). Every
+    * observed bigram has probability in (0, 1], so no smoothing is
+    * needed for scoring the corpus against itself. Repetitive/templated
+    * text scores near 0 (its continuations are predictable); rare or
+    * shuffled word orders score very negative — word-ORDER sensitivity
+    * is exactly what the unigram score cannot see.
+    *
+    * Scale shape: one (doc, w1, w2) shuffle for the term frequencies,
+    * a vocabulary-sized bigram table and its prefix marginal derived by
+    * two bounded aggregations, both joined back by plain equi-joins —
+    * deliberately NOT broadcast, since a corpus bigram vocabulary is
+    * far beyond broadcast limits (the [[bm25]]/tfidf caveat); per-doc
+    * decimal sums make the mean order-independent.
+    *
+    * @return (doc_id, n_bigrams, logprob rounded to 6); docs with fewer
+    *         than two tokens are absent (no pairs to score)
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val toks = tokens(col(textCol))
+    // sequence(1, n-1) guarded: Spark's sequence DESCENDS when start >
+    // stop, which would fabricate pairs for 0/1-token docs
+    val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    val pairs = df
+      .select(col(idCol).as("doc_id"), toks.as("__w"), explode(idxs).as("__i"))
+      .select(col("doc_id"),
+        element_at(col("__w"), col("__i")).as("w1"),
+        element_at(col("__w"), col("__i") + 1).as("w2"))
+    val tf = scope.persist(
+      pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf")))
+    val bgf = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("cbg"))
+    val pref = bgf.groupBy("w1").agg(sum(col("cbg")).as("cp"))
+    tf.join(bgf, Seq("w1", "w2")).join(pref, Seq("w1"))
+      // literal operand order, mirrored in the oracle
+      .withColumn("lp", log(col("cbg").cast("double") / col("cp").cast("double")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        round((sum((col("lp") * col("tf").cast("double")).cast("decimal(28,12)"))
+          .cast("double") / sum(col("tf")).cast("double")), 6).as("logprob"))
+  }
+
   /** Corpus-level frequent n-grams: the word shingles appearing in the
     * most documents — the standard boilerplate/template detector (C4's
     * recipe drops lines recurring across the corpus; this is the

@@ -233,6 +233,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === again)
   }
 
+  test("bigram logprob: hand-computed conditionals, order sensitivity, short docs absent") {
+    val corpus = Seq(
+      (1L, "a b"),
+      (2L, "a c"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // prefix 'a' continues to b and c once each: P = 1/2 for both docs;
+    // doc 3 has one token -> no bigrams -> absent
+    val half = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((1L, 1L, half)) && got(2L) === ((2L, 1L, half)))
+    // word order matters: a reversed doc scores differently from itself
+    // forward when the corpus only ever sees the forward order
+    val ordered = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "sat cat the")
+    ).toDF("doc_id", "text")
+    val o = TextAnalysis.bigramLogProb(ordered, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(o(1L) > o(3L), s"forward ${o(1L)} must outrank reversed ${o(3L)}")
+    // repartition-stable (decimal sums)
+    val again = TextAnalysis.bigramLogProb(corpus.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got === again)
+  }
+
   test("frequentNgrams ranks by document frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
