@@ -127,6 +127,14 @@ object SparkEntry {
     * hash didn't, on every quantity-carrying entry). Decimal math stays
     * internal; only the dumped projection casts to double (values are exact
     * halves — lossless). Oracles mirror with CAST(... AS DOUBLE). */
+  /** Mixture-sampling setting shared by the x_sample_mixture query and
+    * its oracle: 4 weighted sources splitting a 10k-char budget 4:3:2:1.
+    * One val so the weight list (and so the normalized IEEE targets from
+    * [[graft.operators.Sampling.budgetTargets]]) cannot drift between
+    * the two engines. */
+  private val mixtureWeights: Seq[(String, Double)] =
+    Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+
   private def qtyAsDouble(df: DataFrame): DataFrame =
     df.withColumn("quantity", col("quantity").cast("double"))
 
@@ -517,6 +525,13 @@ object SparkEntry {
       Sampling.sampleStratified(Tables.events(s, d), "event_id", "event_type",
         Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
         .select("event_id", "event_type")),
+    // mixture down-sampling to a char budget: 4 weighted sources share
+    // 10k chars 4:3:2:1, the rest of the corpus is dropped; the oracle
+    // embeds the SAME Sampling.budgetTargets doubles as literals
+    "x_sample_mixture" -> ((s, d) =>
+      Sampling.sampleToBudget(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", budget = 10000.0, mixtureWeights)),
     // epoch oversampling at weight 2.3: two full copies + a 0.3 draw
     "x_sample_weighted" -> ((s, d) =>
       Sampling.sampleWithWeight(Tables.documents(s, d).select("doc_id"), "doc_id", 2.3)
@@ -2166,6 +2181,31 @@ object SparkEntry {
          |WHERE u < CASE event_type
          |  WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.1 WHEN 'purchase' THEN 1.0
          |  ELSE NULL END""".stripMargin,
+    // mixture sampling: per-source fraction = least(1, target/total) with
+    // the target literals produced by the SAME Sampling.budgetTargets
+    // call the operator uses — interpolated via Double.toString, whose
+    // shortest round-trip repr DuckDB parses back to the identical IEEE
+    // double
+    "x_sample_mixture" -> {
+      val targetCase = graft.operators.Sampling
+        .budgetTargets(10000.0, mixtureWeights)
+        .map { case (g, t) => s"WHEN '$g' THEN CAST($t AS DOUBLE)" }
+        .mkString(" ")
+      val inList = mixtureWeights.map(w => s"'${w._1}'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS total
+         |  FROM documents WHERE source IN ($inList) GROUP BY source
+         |),
+         |f AS (
+         |  SELECT source,
+         |    least(CAST(1.0 AS DOUBLE),
+         |          CASE source $targetCase ELSE NULL END / total) AS frac
+         |  FROM t
+         |)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN f USING (source)
+         |WHERE ${duckHashUniform("d.doc_id", "mixture")} < frac""".stripMargin
+    },
     // KMV: k-th smallest distinct hash-uniform per group; 63.0/U(64) is
     // the same double division on the same operands in both engines
     "x_sketch_distinct" ->

@@ -101,6 +101,66 @@ object Sampling {
         hashUniform(col(idCol), s"$salt#$full") < lit(frac))
   }
 
+  /** Per-group cost targets for [[sampleToBudget]]: group g gets
+    * budget · w_g / Σw. Exposed so an oracle/mirror can embed the SAME
+    * IEEE doubles the operator uses — weight normalization is float
+    * arithmetic, and recomputing it in another order can flip the last
+    * bit and with it a boundary row. */
+  def budgetTargets(budget: Double, weights: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val wsum = weights.map(_._2).sum
+    weights.map { case (g, w) => g -> budget * (w / wsum) }
+  }
+
+  /** Deterministic mixture down-sampling to a cost budget — the
+    * data-mixing step of a training pipeline: given per-source weights
+    * (wiki 40%, web 30%, …) and a total budget in cost units (tokens,
+    * chars, bytes), sample each source down to its budget share.
+    *
+    * Group g's keep fraction is min(1, target_g / total_g) with
+    * target_g = budget · w_g / Σw and total_g = the group's cost sum;
+    * a row survives iff its [[hashUniform]] falls under the fraction, so
+    * membership is a pure function of (id, salt) given the group totals
+    * — repartition-stable and re-runnable. Groups without a weight are
+    * dropped; a group whose total already fits its target keeps every
+    * row (fraction capped at 1). The realized cost of a kept group
+    * concentrates around its target (Bernoulli row sampling; exactness
+    * of the SHARE, not a hard byte cap).
+    *
+    * Scale shape: one map-side-combinable aggregation over the weighted
+    * groups for the totals (a handful of rows), broadcast back as a
+    * per-group fraction, then a stateless per-row filter — one scan, no
+    * wide shuffle, any corpus size.
+    *
+    * @return the surviving rows with the input schema
+    */
+  def sampleToBudget(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      costCol: String,
+      budget: Double,
+      weights: Seq[(String, Double)],
+      salt: String = "mixture"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "need at least one group weight, all positive")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate group in weights")
+    val targets = budgetTargets(budget, weights)
+    val totals = df.filter(col(groupCol).isin(weights.map(_._1): _*))
+      .groupBy(col(groupCol))
+      .agg(sum(col(costCol)).cast("double").as("__total"))
+    val targetCol = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, t)) => when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    val fracs = totals.select(col(groupCol),
+      least(lit(1.0), targetCol / col("__total")).as("__frac"))
+    df.join(broadcast(fracs), Seq(groupCol))
+      .filter(hashUniform(col(idCol), salt) < col("__frac"))
+      .drop("__frac")
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic stratified sample: per-stratum keep fractions, rows of
     * unlisted strata are dropped (mirroring `sampleBy`), as are NULL-id
     * rows. One per-row filter, no shuffle — rebalancing class skew in a

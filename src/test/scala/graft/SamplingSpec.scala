@@ -71,6 +71,38 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleWithWeight(ids, "id", 0.0).count() === 0)
   }
 
+  test("sampleToBudget: shares track targets, caps at 1, drops unweighted groups") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars")
+    val weights = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+    val got = Sampling.sampleToBudget(docs, "doc_id", "source", "n_chars",
+      budget = 10000.0, weights)
+    // only weighted sources survive
+    val srcs = got.select("source").distinct().as[String].collect().toSet
+    assert(srcs.subsetOf(weights.map(_._1).toSet) && srcs.nonEmpty)
+    // membership is exactly u < min(1, target/total), recomputed by hand
+    val totals = docs.filter(col("source").isin(weights.map(_._1): _*))
+      .groupBy("source").agg(sum("n_chars").cast("double").as("total"))
+      .as[(String, Double)].collect().toMap
+    val targets = Sampling.budgetTargets(10000.0, weights).toMap
+    val expected = docs.filter(col("source").isin(weights.map(_._1): _*))
+      .withColumn("u", Sampling.hashUniform(col("doc_id"), "mixture"))
+      .as[(Long, String, Long, Double)].collect()
+      .filter { case (_, src, _, u) => u < math.min(1.0, targets(src) / totals(src)) }
+      .map { case (id, src, nc, _) => (id, src, nc) }.toSet
+    assert(got.as[(Long, String, Long)].collect().toSet === expected)
+    assert(expected.nonEmpty)
+    // a budget beyond every total keeps every weighted row (fraction 1)
+    val all = Sampling.sampleToBudget(docs, "doc_id", "source", "n_chars",
+      budget = 1e9, weights)
+    assert(all.count() ===
+      docs.filter(col("source").isin(weights.map(_._1): _*)).count())
+    // repartition-stable
+    val again = Sampling.sampleToBudget(docs.repartition(17), "doc_id",
+      "source", "n_chars", budget = 10000.0, weights)
+    assert(again.as[(Long, String, Long)].collect().toSet === expected)
+  }
+
   test("grouped split keeps all rows of a group in one split (leakage safety)") {
     val rows = ids.withColumn("group_id", col("id") % 50)
     val split = Sampling.assignSplit(rows, "group_id", Seq("train" -> 0.7, "test" -> 0.3))
