@@ -66,6 +66,34 @@ object SparkEntry {
     * query, so oracle-side consumers never depend on query execution order. */
   private[graft] def ensureMediaFixture(): Unit = writeMediaFixture(mediaFixtureDir)
 
+  /** Fixture dir for the schema'd JSONL ingestion check (query and oracle
+    * both read this value, so they cannot disagree on the path). */
+  private val jsonlFixtureDir: String =
+    sys.env.getOrElse("GRAFT_JSONL_FIXTURE_DIR", "/tmp/graft_jsonl_fixture")
+
+  /** (Re)write a deterministic 24-line JSONL fixture exercising the parse
+    * edges a schema'd reader must get right: an explicit null field
+    * (title, every 7th-ish line), a MISSING nested object (meta, line 5
+    * and 16 — absent key, not null literal), variable-length arrays, and
+    * doubles that print exactly (multiples of 0.25). Identical on every
+    * run, so ingestion is oracle-checkable without shipping test data. */
+  private[graft] def writeJsonlFixture(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val lines = (0 until 24).map { i =>
+      val tags = (0 to i % 3).map(j => s""""t$j"""").mkString(",")
+      val title = if (i % 7 == 3) "null" else s""""doc $i""""
+      val meta =
+        if (i % 11 == 5) ""
+        else s""","meta":{"lang":"${if (i % 2 == 0) "en" else "de"}","tokens":${i * 3}}"""
+      s"""{"id":$i,"title":$title,"score":${i * 0.25},"tags":[$tags]$meta}"""
+    }
+    java.nio.file.Files.write(p.resolve("docs.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private[graft] def ensureJsonlFixture(): Unit = writeJsonlFixture(jsonlFixtureDir)
+
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
   private def cur1 = Currents(ts1)
@@ -567,6 +595,26 @@ object SparkEntry {
     // real files on disk through the binaryFile source (not text-as-binary):
     // a deterministic fixture is (re)written driver-side, Spark ingests the
     // raw bytes, DuckDB's read_blob reads the same files as the oracle
+    // schema'd JSONL ingestion (the interchange format of training-data
+    // pipelines): explicit schema (no inference pass), nested struct and
+    // array fields, null vs MISSING keys distinguished correctly; output
+    // projects to scalars so the dump/oracle compare stays canonical
+    "x_jsonl_scan" -> ((s, _) => {
+      writeJsonlFixture(jsonlFixtureDir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("tags",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        org.apache.spark.sql.types.StructField("meta", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("tokens", org.apache.spark.sql.types.LongType))))))
+      Store.readJsonl(s, s"$jsonlFixtureDir/docs.jsonl", Some(schema))
+        .select(col("id"), col("title"), col("score"),
+          size(col("tags")).as("n_tags"),
+          col("meta.lang").as("lang"), col("meta.tokens").as("tokens"))
+    }),
     "x_media_binary" -> ((s, _) => {
       writeMediaFixture(mediaFixtureDir)
       Store.readBinaryFiles(s, mediaFixtureDir, Some("*.bin"))
@@ -2291,6 +2339,17 @@ object SparkEntry {
          |SELECT doc_id, CAST(copy AS INT) AS copy FROM c
          |WHERE copy < 2
          |   OR ${duckHashUniform("doc_id", "weight#2")} < (2.3 - 2)""".stripMargin,
+    // DuckDB reads the same on-disk JSONL fixture the Spark query ingests
+    // with an equivalent explicit column spec — null literals, missing
+    // nested keys, and array lengths must all agree
+    "x_jsonl_scan" ->
+      s"""SELECT id, title, score, CAST(len(tags) AS INT) AS n_tags,
+         |       meta.lang AS lang, meta.tokens AS tokens
+         |FROM read_json('$jsonlFixtureDir/docs.jsonl',
+         |  format='newline_delimited',
+         |  columns={id:'BIGINT', title:'VARCHAR', score:'DOUBLE',
+         |           tags:'VARCHAR[]',
+         |           meta:'STRUCT(lang VARCHAR, tokens BIGINT)'})""".stripMargin,
     // DuckDB reads the same on-disk fixture files the Spark query ingests;
     // the shared mediaFixtureDir value keeps the two paths in sync
     "x_media_binary" ->

@@ -21,6 +21,7 @@ object Verify {
     // not only inside the query closure, so an oracle-first (or single-
     // query) run on a clean machine still finds the files
     SparkEntry.ensureMediaFixture()
+    SparkEntry.ensureJsonlFixture()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

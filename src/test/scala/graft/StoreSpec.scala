@@ -63,6 +63,24 @@ class StoreSpec extends SparkSpec {
     assert(docs.exceptAll(back).count() === 0)
   }
 
+  test("schema'd JSONL fixture scan: null literal vs missing key both parse to null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_fx").toString
+    SparkEntry.writeJsonlFixture(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("title", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("meta", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tokens", org.apache.spark.sql.types.LongType))))))
+    val back = Store.readJsonl(spark, s"$dir/docs.jsonl", Some(schema))
+      .select($"id", $"title", $"meta.lang".as("lang"))
+    assert(back.count() === 24)
+    // line 3: explicit "title": null; lines 5 and 16: meta key absent
+    assert(back.filter($"id" === 3 && $"title".isNull).count() === 1)
+    assert(back.filter($"title".isNull).count() === 3) // ids 3, 10, 17 (i % 7 == 3)
+    assert(back.filter($"lang".isNull).count() === 2)
+  }
+
   test("ORC round-trips documents losslessly") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").limit(100)
