@@ -378,6 +378,16 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 10,
         planes = 2, dims = 64, tables = 4)
     }),
+    // product quantization + ADC: corpus as 16 4-dim-subspace codes,
+    // per-query lookup tables, reconstructed-norm cosine shortlist,
+    // exact re-rank of the top-40. recall@10 = 0.76 at sf0.01 (CI floor
+    // 0.6 in SimilaritySpec)
+    "x_sim_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        m = 16, codes = 16, iters = 2, probe = 40)
+    }),
     // recall@10 = 0.70 at sf0.01 (same CI floor applies)
     "x_sim_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -914,6 +924,129 @@ object SparkEntry {
       s"""${assignCte(r, d1)}${if (r < iters) ",\n" + mean else ""}"""
     }
     (head +: (0 to iters).map(round_)).mkString(",\n")
+  }
+
+  /** Product-quantization ANN mirror ([[graft.operators.Similarity.pqTopK]]):
+    * every CTE carries the subspace index `s` as a column, so one set of
+    * CTEs covers all m subspaces. Parity pins, operand for operand:
+    * md5-smallest seed rows sliced per subspace; L2 assignment score
+    * `2.0 * dot - cn2` with ties toward the larger code; decimal-sum
+    * means rounded to 6; ADC dot and reconstructed norm as list_sum over
+    * ascending s (Spark's reduceLeft order); the zero-denominator guard;
+    * round-then-rank with (cos DESC, id ASC) at both the probe shortlist
+    * and the final exact re-rank. */
+  private def duckPqSql(m: Int, ks: Int, iters: Int, probe: Int, k: Int,
+      dims: Int = 64): String = {
+    val d0 = dims / m
+    val d1 = d0 + 1
+    val head =
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, embedding AS vv,
+         |    sqrt(list_sum(list_transform(range(1, ${dims + 1}),
+         |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |),
+         |sub AS (
+         |  SELECT id, CAST(t.s AS INT) AS s,
+         |    list_transform(range(CAST(t.s AS INT) * $d0 + 1, CAST(t.s AS INT) * $d0 + $d1),
+         |      i -> CAST(vv[CAST(i AS INT)] AS DOUBLE)) AS sv
+         |  FROM v, range(0, $m) t(s)
+         |),
+         |sd AS (
+         |  SELECT id, vv,
+         |    CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cid
+         |  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT $ks
+         |),
+         |c0 AS (
+         |  SELECT CAST(t.s AS INT) AS s, cid,
+         |    list_transform(range(CAST(t.s AS INT) * $d0 + 1, CAST(t.s AS INT) * $d0 + $d1),
+         |      i -> CAST(vv[CAST(i AS INT)] AS DOUBLE)) AS cv
+         |  FROM sd, range(0, $m) t(s)
+         |)""".stripMargin
+    def assignRound(r: Int): String =
+      s"""n$r AS (
+         |  SELECT s, cid, cv,
+         |    list_sum(list_transform(range(1, $d1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])) AS cn2
+         |  FROM c$r
+         |),
+         |p$r AS (
+         |  SELECT x.id, x.s, x.sv, c.cid,
+         |    2.0 * list_sum(list_transform(range(1, $d1),
+         |      i -> x.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) - c.cn2 AS sc
+         |  FROM sub x JOIN n$r c USING (s)
+         |),
+         |a$r AS (
+         |  SELECT id, s, sv, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY sc DESC, cid DESC) AS rn
+         |    FROM p$r
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    def meanRound(r: Int): String =
+      s"""m${r + 1} AS (
+         |  SELECT s, cid, CAST(i AS INT) AS i,
+         |    round(CAST(sum(CAST(CAST(sv[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |          / count(sv[CAST(i AS INT)]), 6) AS mn
+         |  FROM a$r, range(1, $d1) t(i) GROUP BY s, cid, i
+         |),
+         |g${r + 1} AS (SELECT s, cid, list(mn ORDER BY i) AS cv FROM m${r + 1} GROUP BY s, cid),
+         |c${r + 1} AS (
+         |  SELECT c.s, c.cid, coalesce(g.cv, c.cv) AS cv
+         |  FROM c$r c LEFT JOIN g${r + 1} g ON g.s = c.s AND g.cid = c.cid
+         |)""".stripMargin
+    val rounds = (0 to iters).map { r =>
+      if (r < iters) assignRound(r) + ",\n" + meanRound(r) else assignRound(r)
+    }
+    val tail =
+      s"""ec AS (SELECT id, list(cid ORDER BY s) AS cs FROM a$iters GROUP BY id),
+         |tq AS (
+         |  SELECT x.id AS qid, x.s, c.cid,
+         |    list_sum(list_transform(range(1, $d1),
+         |      i -> x.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) AS d,
+         |    c.cn2
+         |  FROM sub x JOIN n$iters c USING (s) WHERE x.id < 5
+         |),
+         |tqa AS (
+         |  SELECT qid, s, list(d ORDER BY cid) AS ds, list(cn2 ORDER BY cid) AS c2
+         |  FROM tq GROUP BY qid, s
+         |),
+         |tqq AS (
+         |  SELECT qid, list(ds ORDER BY s) AS tabs, list(c2 ORDER BY s) AS cn2s
+         |  FROM tqa GROUP BY qid
+         |),
+         |adc AS (
+         |  SELECT t.qid AS query_id, e.id AS corpus_id,
+         |    round(CASE WHEN vq.nrm * sqrt(list_sum(list_transform(range(0, $m),
+         |        u -> cn2s[CAST(u AS INT) + 1][e.cs[CAST(u AS INT) + 1] + 1]))) = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(range(0, $m),
+         |             u -> tabs[CAST(u AS INT) + 1][e.cs[CAST(u AS INT) + 1] + 1]))
+         |           / (vq.nrm * sqrt(list_sum(list_transform(range(0, $m),
+         |               u -> cn2s[CAST(u AS INT) + 1][e.cs[CAST(u AS INT) + 1] + 1]))))
+         |      END, 6) AS cos
+         |  FROM ec e CROSS JOIN tqq t JOIN v vq ON vq.id = t.qid
+         |  WHERE t.qid <> e.id
+         |),
+         |sl AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, corpus_id ASC) AS rn
+         |    FROM adc
+         |  ) WHERE rn <= $probe
+         |),
+         |scored AS (
+         |  SELECT query_id, corpus_id,
+         |    round(list_sum(list_transform(range(1, ${dims + 1}),
+         |            i -> CAST(vq.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+         |          / (vq.nrm * vc.nrm), 6) AS cos
+         |  FROM sl JOIN v vq ON vq.id = query_id JOIN v vc ON vc.id = corpus_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
   }
 
   /** One k-means assignment round: centroid norms `n{r}`, all-pairs
@@ -1878,6 +2011,9 @@ object SparkEntry {
         |)
         |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    // full PQ mirror: subspace-indexed kmeans CTEs, ADC lookup tables,
+    // shortlist + exact re-rank — see duckPqSql for the parity pins
+    "x_sim_pq" -> duckPqSql(m = 16, ks = 16, iters = 2, probe = 40, k = 10),
     "x_sim_ivf" ->
       """WITH v AS (
         |  SELECT vec_id AS id, embedding AS vv,

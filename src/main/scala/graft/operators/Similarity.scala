@@ -478,6 +478,187 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("double") * q.getField("scale"))
 
+  // ---- product quantization (Jégou, Douze & Schmid, TPAMI'11) ----
+
+  /** Per-subspace codebooks: for subspace s, `codes` centroid subvectors
+    * paired with their precomputed squared norms. */
+  private type PqCodebooks = Array[Array[(Seq[Double], Double)]]
+
+  /** Train the PQ codebooks: split `dims` into `m` equal subspaces and run
+    * the deterministic Lloyd recipe ([[kmeansAssign]]'s rules — md5-smallest
+    * seed rows, ties toward the larger code, decimal-sum means rounded to
+    * 6) independently per subspace, with L2 assignment (2·dot − |c|²
+    * argmax — the PQ-standard metric; cosine of a subvector is
+    * meaningless). ALL subspaces train in the same jobs: the corpus
+    * explodes to (id, s, subvector) once per round, so a round costs one
+    * narrow (s, cid, dim) shuffle regardless of m. Codebooks are
+    * m × codes × (dims/m) doubles driver-side — the bounded-collect
+    * contract, scaling with the model, never the corpus. */
+  private def pqTrain(
+      base: DataFrame,
+      m: Int,
+      codes: Int,
+      iters: Int,
+      dims: Int): PqCodebooks = {
+    val d0 = dims / m
+    // the same md5-smallest corpus rows seed every subspace (PQ trains
+    // subspaces on the same sample), sliced driver-side
+    val seeds: Array[Seq[Double]] = base
+      .select(col("id").cast("string").as("sid"), col("v"))
+      .withColumn("h", md5(col("sid")))
+      .orderBy("h")
+      .limit(codes)
+      .collect()
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+    def withNorm(cv: Seq[Double]): (Seq[Double], Double) =
+      cv -> cv.foldLeft(0.0)((acc, x) => acc + x * x)
+    var cents: PqCodebooks = Array.tabulate(m) { s =>
+      seeds.map(v => withNorm(v.slice(s * d0, s * d0 + d0)))
+    }
+    val sub = base.select(col("id"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * d0 + 1, d0).as("sv"))): _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.sv").as("sv"))
+    def assignCol(c: PqCodebooks): Column =
+      (0 until m).foldLeft(lit(-1)) { (acc, s) =>
+        val scores = array(c(s).zipWithIndex.map { case ((cv, cn2), i) =>
+          struct((lit(2.0) * dot(col("sv"), typedLit(cv)) - lit(cn2)).as("sc"),
+            lit(i).as("i"))
+        }: _*)
+        when(col("s") === s, array_max(scores).getField("i")).otherwise(acc)
+      }
+    for (_ <- 1 to iters) {
+      val means = sub.withColumn("cid", assignCol(cents))
+        .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("s", "cid", "i")
+        .agg(round((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
+          count(col("x"))), 6).as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      cents = cents.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, cid) =>
+          means.get((s, cid))
+            .map(rows => withNorm(rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq))
+            .getOrElse(old)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Code columns c0..c{m-1} for a frame holding the full vector in `v`:
+    * per subspace, the argmax of 2·dot − |c|² over the codebook — a pure
+    * per-row projection, no shuffle. */
+  private def pqCodeCols(cents: PqCodebooks, dims: Int): Seq[Column] = {
+    val m = cents.length
+    val d0 = dims / m
+    (0 until m).map { s =>
+      val scores = array(cents(s).zipWithIndex.map { case ((cv, cn2), i) =>
+        struct((lit(2.0) * dot(slice(col("v"), s * d0 + 1, d0), typedLit(cv)) - lit(cn2)).as("sc"),
+          lit(i).as("i"))
+      }: _*)
+      array_max(scores).getField("i").as(s"c$s")
+    }
+  }
+
+  /** PQ-encode a corpus: train the codebooks on it and return each row's
+    * m-byte code word — the 100 TB artifact: a 64-dim float vector (256 B)
+    * compresses to m small ints, and every downstream ANN scan moves codes
+    * instead of floats.
+    *
+    * @return (`idCol`, codes array<int>), codes(s) in [0, `codes`)
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      codes: Int = 8,
+      iters: Int = 2,
+      dims: Int = 64,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val base = scope.persist(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val cents = pqTrain(base, m, codes, iters, dims)
+    base.select(col("id").as(idCol),
+      array(pqCodeCols(cents, dims): _*).as("codes"))
+  }
+
+  /** Approximate top-k by product quantization with asymmetric distance
+    * computation (ADC; Jégou et al. TPAMI'11 §III): corpus vectors are
+    * m-byte code words, each query precomputes its m × codes table of
+    * subspace dot products ONCE, and scoring a (query, corpus) pair is m
+    * table lookups + adds instead of a dims-length dot product — 1/m-th
+    * the arithmetic and ~1/(4·dims/m)-th the memory traffic of the brute
+    * force scan. The shortlist's approximate cosine divides ADC dot by
+    * the RECONSTRUCTED corpus norm (Σ per-code squared norms), then the
+    * top `probe` candidates re-rank with the original vectors — exact
+    * scores, bounded extra reads.
+    *
+    * Scale shape: codebook training is [[pqTrain]]'s bounded loop; the
+    * scan joins the narrow code table against broadcast query tables
+    * ([[bruteForceTopK]]'s shape, minus the float payload); the
+    * per-query shortlist/rank both run on the bounded-heap
+    * [[TopKAggregator]] — no corpus-wide window sort anywhere.
+    *
+    * @return (query_id, corpus_id, cos, rank), rank 1..k, exact cosine
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      m: Int = 4,
+      codes: Int = 8,
+      iters: Int = 2,
+      probe: Int = 40,
+      dims: Int = 64,
+      excludeSelf: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    require(probe >= k, "probe shortlist must be at least k")
+    val idType = corpus.schema(corpusIdCol).dataType
+    val d0 = dims / m
+    val base = scope.persist(corpus.select(col(corpusIdCol).as("id"), col(corpusVecCol).as("v")))
+    val cents = pqTrain(base, m, codes, iters, dims)
+    val enc = base.select((col("id").as("corpus_id") +: pqCodeCols(cents, dims)): _*)
+    // per-query ADC tables t0..t{m-1}: dot of the query subvector with
+    // every code of that subspace — m × codes doubles per QUERY row
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("qv"), l2Norm(col(queryVecCol)).as("qn"))
+      .select((col("query_id") +: col("qn") +: (0 until m).map { s =>
+        array(cents(s).map { case (cv, _) =>
+          dot(slice(col("qv"), s * d0 + 1, d0), typedLit(cv))
+        }: _*).as(s"t$s")
+      }): _*)
+    val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
+    // literal + chains (not a fold into one expr tree with re-grouping):
+    // left-to-right adds, mirrored operand-for-operand in the oracle
+    val adcDot = (0 until m).map(s => element_at(col(s"t$s"), col(s"c$s") + 1))
+      .reduceLeft(_ + _)
+    val cn2 = (0 until m).map { s =>
+      element_at(typedLit(cents(s).map(_._2).toSeq), col(s"c$s") + 1)
+    }.reduceLeft(_ + _)
+    val shortlist = enc.join(broadcast(qt), self)
+      .withColumn("cos", round(cosFromNorms(adcDot, col("qn"), sqrt(cn2)), 6))
+      .select("query_id", "corpus_id", "cos")
+    val cand = rankTopK(shortlist, probe, idType).select("query_id", "corpus_id")
+    // exact re-rank of the survivors with the original vectors
+    val qv = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+      l2Norm(col(queryVecCol)).as("qn"))
+    val cv = base.select(col("id").as("corpus_id"), col("v").as("cv"),
+      l2Norm(col("v")).as("cn"))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
+      .withColumn("cos", round(cosFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .select("query_id", "corpus_id", "cos")
+    rankTopK(scored, k, idType)
+  }
+
   /** Deterministic Lloyd k-means assignment over an embedding column —
     * the clustering primitive behind [[semanticDedup]] (and a drop-in
     * refinement for [[ivfTopK]]'s sampled coarse quantizer). Engineered

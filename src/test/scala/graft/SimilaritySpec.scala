@@ -275,6 +275,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rIvf >= 0.6, s"shipped IVF params recall@10=$rIvf < 0.6 — re-tune before shipping")
   }
 
+  test("pqEncode: codes bounded by the codebook, repartition-stable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding",
+      m = 4, codes = 8, iters = 2)
+    val rows = enc.as[(Long, Seq[Int])].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (id, cs) =>
+      assert(cs.length === 4 && cs.forall(c => c >= 0 && c < 8), s"vec $id codes $cs")
+    }
+    val again = Similarity.pqEncode(emb.repartition(17), "vec_id", "embedding",
+      m = 4, codes = 8, iters = 2)
+      .as[(Long, Seq[Int])].collect()
+    assert(rows.toSet === again.toSet)
+  }
+
+  test("pqTopK: shipped params reach recall@10 >= 0.6; re-ranked scores are exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val pq = Similarity.pqTopK(
+      q, emb, "vec_id", "embedding", "vec_id", "embedding", k = 10,
+      m = 16, codes = 16, iters = 2, probe = 40) // = SparkEntry x_sim_pq (measured 0.76)
+    val r = Similarity.recallAtK(pq, exact, 10)
+    assert(r >= 0.6, s"shipped PQ params recall@10=$r < 0.6 — re-tune before shipping")
+    // every (query, corpus) pair the shortlist surfaced carries the same
+    // exact cosine the brute-force scorer assigns it
+    val mism = pq.drop("rank").as("p")
+      .join(exact.drop("rank").as("e"),
+        Seq("query_id", "corpus_id"))
+      .filter($"p.cos" =!= $"e.cos").count()
+    assert(mism === 0)
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5)
