@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.CatalystBridge
@@ -101,9 +101,254 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd product-quantization ADC table: dot products of one window of a
+  * numeric array column against every row of a literal codebook.
+  *
+  * `codebook` is the flattened codes × d0 matrix (row-major); the window is
+  * `vec[offset, offset + d0)`, zero-based. Output entry `i` is bit-identical
+  * (same left-to-right IEEE double adds) to
+  * `DotProduct(Slice(vec, offset + 1, d0), Literal(codebook.slice(i*d0, i*d0+d0)))`
+  * — the unrolled form this kernel replaces. The unrolled form is `codes`
+  * separate expression trees, which past ~100 codes overflows Janino's 64 KB
+  * method limit and silently drops the whole stage to interpreted eval; here
+  * the codebook is a referenced `double[]` and the generated code is one
+  * nested loop regardless of `codes`.
+  *
+  * Null semantics: null array → null; a window element that is null or out of
+  * range (vector shorter than offset + d0 — where the unrolled `slice` + dot
+  * yields a length mismatch) → every output entry null, matching the per-dot
+  * nulls of the unrolled form entry-for-entry.
+  */
+case class PqAdcTable(
+    child: Expression,
+    codebook: IndexedSeq[Double],
+    offset: Int,
+    d0: Int) extends UnaryExpression {
+
+  private def codes: Int = codebook.length / d0
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array, got ${other.sql}")
+  }
+
+  private def windowOk(arr: ArrayData): Boolean = {
+    if (arr.numElements() < offset + d0) return false
+    var j = 0
+    while (j < d0) {
+      if (arr.isNullAt(offset + j)) return false
+      j += 1
+    }
+    true
+  }
+
+  private def toDouble(arr: ArrayData, i: Int): Double = elemType match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType  => arr.getFloat(i).toDouble
+    case LongType   => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case ShortType  => arr.getShort(i).toDouble
+    case ByteType   => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (!windowOk(arr))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](codes))
+    val out = new Array[Any](codes)
+    var c = 0
+    while (c < codes) {
+      var acc = 0.0
+      var j = 0
+      while (j < d0) {
+        acc += toDouble(arr, offset + j) * codebook(c * d0 + j)
+        j += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("cb", codebook.toArray, "double[]")
+      val out = ctx.freshName("out")
+      val ok = ctx.freshName("ok")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val get = CodeGenerator.getValue(a, elemType, s"($offset + $j)")
+      val asDouble = elemType match {
+        case _: DecimalType => s"($get).toDouble()"
+        case _ => s"((double)($get))"
+      }
+      s"""
+         |Object[] $out = new Object[$codes];
+         |boolean $ok = $a.numElements() >= ${offset + d0};
+         |if ($ok) {
+         |  for (int $j = 0; $j < $d0; $j++) {
+         |    if ($a.isNullAt($offset + $j)) { $ok = false; break; }
+         |  }
+         |}
+         |if ($ok) {
+         |  for (int $c = 0; $c < $codes; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $d0; $j++) {
+         |      $acc += $asDouble * $cb[$c * $d0 + $j];
+         |    }
+         |    $out[$c] = $acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+/** Codegen'd product-quantization code assignment: the code index `i`
+  * maximizing `2 · dot(window, codebook(i)) − norms2(i)` (the L2-nearest
+  * code, by the expanded-square identity), over the same literal codebook
+  * layout as [[PqAdcTable]].
+  *
+  * Tie and order semantics replicate the unrolled
+  * `array_max(array(struct(score_i, i))).getField("i")` form exactly: scores
+  * compare as IEEE doubles accumulated in index order, equal scores resolve
+  * to the larger code index (ascending scan with `>=` replacement).
+  *
+  * Null semantics: null array, short array, or null window element → null —
+  * where the unrolled form's per-dot nulls make every struct score null and
+  * the array_max result degenerate; no well-formed corpus hits either path,
+  * and the kernel picks the defensible one (null, not an arbitrary code).
+  */
+case class PqArgBest(
+    child: Expression,
+    codebook: IndexedSeq[Double],
+    norms2: IndexedSeq[Double],
+    offset: Int,
+    d0: Int) extends UnaryExpression {
+
+  private def codes: Int = norms2.length
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_argbest"
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array, got ${other.sql}")
+  }
+
+  private def toDouble(arr: ArrayData, i: Int): Double = elemType match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType  => arr.getFloat(i).toDouble
+    case LongType   => arr.getLong(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case ShortType  => arr.getShort(i).toDouble
+    case ByteType   => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    if (arr.numElements() < offset + d0) return null
+    var j = 0
+    while (j < d0) {
+      if (arr.isNullAt(offset + j)) return null
+      j += 1
+    }
+    var best = Double.NegativeInfinity
+    var bi = -1
+    var c = 0
+    while (c < codes) {
+      var acc = 0.0
+      j = 0
+      while (j < d0) {
+        acc += toDouble(arr, offset + j) * codebook(c * d0 + j)
+        j += 1
+      }
+      val score = 2.0 * acc - norms2(c)
+      if (score >= best) { best = score; bi = c }
+      c += 1
+    }
+    bi
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("cb", codebook.toArray, "double[]")
+      val n2 = ctx.addReferenceObj("n2", norms2.toArray, "double[]")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      val get = CodeGenerator.getValue(a, elemType, s"($offset + $j)")
+      val asDouble = elemType match {
+        case _: DecimalType => s"($get).toDouble()"
+        case _ => s"((double)($get))"
+      }
+      s"""
+         |if ($a.numElements() < ${offset + d0}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean ${bi}_null = false;
+         |  for (int $j = 0; $j < $d0; $j++) {
+         |    if ($a.isNullAt($offset + $j)) { ${bi}_null = true; break; }
+         |  }
+         |  if (${bi}_null) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $best = Double.NEGATIVE_INFINITY;
+         |    int $bi = -1;
+         |    for (int $c = 0; $c < $codes; $c++) {
+         |      double $acc = 0.0;
+         |      for (int $j = 0; $j < $d0; $j++) {
+         |        $acc += $asDouble * $cb[$c * $d0 + $j];
+         |      }
+         |      double $score = 2.0 * $acc - $n2[$c];
+         |      if ($score >= $best) { $best = $score; $bi = $c; }
+         |    }
+         |    ${ev.value} = $bi;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqArgBest =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd dot product of two numeric arrays. */
   def dotProduct(a: Column, b: Column): Column =
     CatalystBridge.column(DotProduct(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Column wrapper: [[PqAdcTable]] — per-code dots of a vector window
+    * against a flattened codes × d0 codebook. */
+  def pqAdcTable(vec: Column, codebook: IndexedSeq[Double], offset: Int, d0: Int): Column =
+    CatalystBridge.column(PqAdcTable(CatalystBridge.expression(vec), codebook, offset, d0))
+
+  /** Column wrapper: [[PqArgBest]] — nearest-code index for a vector window
+    * by maximized 2·dot − |code|². */
+  def pqArgBest(vec: Column, codebook: IndexedSeq[Double], norms2: IndexedSeq[Double],
+      offset: Int, d0: Int): Column =
+    CatalystBridge.column(PqArgBest(
+      CatalystBridge.expression(vec), codebook, norms2, offset, d0))
 }

@@ -519,13 +519,16 @@ object Similarity {
       explode(array((0 until m).map(s =>
         struct(lit(s).as("s"), slice(col("v"), s * d0 + 1, d0).as("sv"))): _*)).as("e"))
       .select(col("e.s").as("s"), col("e.sv").as("sv"))
+    // per-subspace nearest-code via the loop kernel (the unrolled
+    // struct-array form is `codes` expression trees per subspace — at
+    // m=16, codes=16 it overflowed Janino's 64 KB method limit and the
+    // whole training stage fell back to interpreted eval)
     def assignCol(c: PqCodebooks): Column =
       (0 until m).foldLeft(lit(-1)) { (acc, s) =>
-        val scores = array(c(s).zipWithIndex.map { case ((cv, cn2), i) =>
-          struct((lit(2.0) * dot(col("sv"), typedLit(cv)) - lit(cn2)).as("sc"),
-            lit(i).as("i"))
-        }: _*)
-        when(col("s") === s, array_max(scores).getField("i")).otherwise(acc)
+        val flat = c(s).flatMap(_._1).toIndexedSeq
+        val n2 = c(s).map(_._2).toIndexedSeq
+        when(col("s") === s,
+          VectorExpressions.pqArgBest(col("sv"), flat, n2, 0, d0)).otherwise(acc)
       }
     for (_ <- 1 to iters) {
       val means = sub.withColumn("cid", assignCol(cents))
@@ -553,11 +556,10 @@ object Similarity {
     val m = cents.length
     val d0 = dims / m
     (0 until m).map { s =>
-      val scores = array(cents(s).zipWithIndex.map { case ((cv, cn2), i) =>
-        struct((lit(2.0) * dot(slice(col("v"), s * d0 + 1, d0), typedLit(cv)) - lit(cn2)).as("sc"),
-          lit(i).as("i"))
-      }: _*)
-      array_max(scores).getField("i").as(s"c$s")
+      VectorExpressions.pqArgBest(col("v"),
+        cents(s).flatMap(_._1).toIndexedSeq,
+        cents(s).map(_._2).toIndexedSeq,
+        s * d0, d0).as(s"c$s")
     }
   }
 
@@ -630,9 +632,8 @@ object Similarity {
     val qt = queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).as("qv"), l2Norm(col(queryVecCol)).as("qn"))
       .select((col("query_id") +: col("qn") +: (0 until m).map { s =>
-        array(cents(s).map { case (cv, _) =>
-          dot(slice(col("qv"), s * d0 + 1, d0), typedLit(cv))
-        }: _*).as(s"t$s")
+        VectorExpressions.pqAdcTable(col("qv"),
+          cents(s).flatMap(_._1).toIndexedSeq, s * d0, d0).as(s"t$s")
       }): _*)
     val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
     // literal + chains (not a fold into one expr tree with re-grouping):

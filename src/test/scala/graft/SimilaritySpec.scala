@@ -309,6 +309,43 @@ class SimilaritySpec extends SparkSpec {
     assert(mism === 0)
   }
 
+  test("PQ kernels are bit-identical to the unrolled slice+dot spec form") {
+    // the loop kernels (PqAdcTable / PqArgBest) replaced the unrolled
+    // struct-array expressions after m=16 × codes=16 overflowed Janino's
+    // 64 KB method limit; this pins kernel output to the spec form they
+    // replaced, element-for-element, on real embedding data
+    import graft.functions.VectorExpressions
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+    val d0 = 4
+    val offset = 8
+    // deterministic small codebook: 6 codes × d0 dims
+    val cb: IndexedSeq[IndexedSeq[Double]] = (0 until 6).map(c =>
+      (0 until d0).map(j => math.sin(c * 7 + j).toDouble * 0.5).toIndexedSeq)
+    val flat = cb.flatten.toIndexedSeq
+    val n2 = cb.map(v => v.foldLeft(0.0)((a, x) => a + x * x)).toIndexedSeq
+    val specAdc = array(cb.map(cv =>
+      Similarity.dot(slice(col("embedding"), offset + 1, d0), typedLit(cv))): _*)
+    val specBest = array_max(array(cb.zipWithIndex.map { case (cv, i) =>
+      struct((lit(2.0) * Similarity.dot(slice(col("embedding"), offset + 1, d0), typedLit(cv))
+        - lit(n2(i))).as("sc"), lit(i).as("i"))
+    }: _*)).getField("i")
+    val got = emb.select(
+      VectorExpressions.pqAdcTable(col("embedding"), flat, offset, d0).as("kt"),
+      specAdc.as("st"),
+      VectorExpressions.pqArgBest(col("embedding"), flat, n2, offset, d0).as("kb"),
+      specBest.as("sb"))
+    val bad = got.filter(not(col("kt") === col("st")) || col("kb") =!= col("sb")).count()
+    assert(bad === 0)
+    // interpreted eval path agrees with codegen (collect forces both shapes
+    // via the local relation vs parquet scan plans above; re-check one row
+    // explicitly through a driver-side literal frame)
+    val one = Seq(Tuple1((0 until 16).map(i => i.toFloat / 16f))).toDF("embedding")
+    val r = one.select(
+      VectorExpressions.pqAdcTable(col("embedding"), flat, offset, d0).as("kt"),
+      specAdc.as("st")).head()
+    assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5)
