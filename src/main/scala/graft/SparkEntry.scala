@@ -270,6 +270,13 @@ object SparkEntry {
     "x_dedup_simhash_wide" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 64, maxHamming = 3)),
+    // record-linkage dedup: every part-name pair within one edit, found by
+    // PassJoin segment pigeonhole blocking with an exact levenshtein
+    // verify — templated names over a tiny vocabulary make a dense
+    // near-miss space, the adversarial case for candidate blow-up
+    "x_dedup_editdist" -> ((s, d) =>
+      Dedup.editDistanceNearDuplicates(Tables.part(s, d), "p_partkey", "p_name",
+        maxDist = 1)),
     // transitive duplicate clusters over the simhash near-dup pairs: the
     // step pair emitters stop short of — A~B, B~C collapse into one
     // cluster named by the minimum member
@@ -574,6 +581,12 @@ object SparkEntry {
     "x_sample_weighted" -> ((s, d) =>
       Sampling.sampleWithWeight(Tables.documents(s, d).select("doc_id"), "doc_id", 2.3)
         .select("doc_id", "copy")),
+    // domain-cap curation: at most 10 docs survive per source, elected by
+    // the deterministic hash order (every source has 25 at this SF, so
+    // every group truncates and the election itself is what's checked)
+    "x_sample_cap" -> ((s, d) =>
+      Sampling.capPerGroup(Tables.documents(s, d), "doc_id", "source", maxPerGroup = 10)
+        .select("doc_id", "source")),
     // KMV distinct-count sketch: per event type, distinct users estimated
     // from the 64 smallest user-id hash uniforms (150 true distinct, so
     // the (k-1)/U(k) estimator path is exercised, not the exact fallback)
@@ -1455,6 +1468,13 @@ object SparkEntry {
          |${simhashFpTail(64)},
          |${duckHammingPairs(64, 3)}
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // the blocking is an implementation detail; the contract is the O(n²)
+    // definition, which the oracle states directly
+    "x_dedup_editdist" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
     // min-label connected components as a recursive CTE: cc enumerates
     // (node, reachable node) over the symmetric edge list, so min(label)
     // per node is the component minimum — the same fixpoint the iterative
@@ -2475,6 +2495,16 @@ object SparkEntry {
          |SELECT doc_id, CAST(copy AS INT) AS copy FROM c
          |WHERE copy < 2
          |   OR ${duckHashUniform("doc_id", "weight#2")} < (2.3 - 2)""".stripMargin,
+    // the bounded-heap election is the implementation; the contract is
+    // "the 10 smallest (hash-uniform, id) rows per source", which the
+    // oracle states as a window rank
+    "x_sample_cap" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source, ${duckHashUniform("doc_id", "cap")} AS u
+         |  FROM documents WHERE doc_id IS NOT NULL
+         |)
+         |SELECT doc_id, source FROM u
+         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 10""".stripMargin,
     // DuckDB reads the same on-disk JSONL fixture the Spark query ingests
     // with an equivalent explicit column spec — null literals, missing
     // nested keys, and array lengths must all agree

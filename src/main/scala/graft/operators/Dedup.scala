@@ -497,6 +497,103 @@ object Dedup {
             sep)).as("cleaned"))
   }
 
+  /** Start offsets (0-based) and widths of the `maxDist + 1` contiguous
+    * segments an `l`-char string splits into for pigeonhole blocking: the
+    * first `k − l mod k` segments take `l div k` chars, the rest one more.
+    * Shared by both sides of [[editDistanceNearDuplicates]] so index
+    * segments and probe substrings agree exactly. */
+  private def segGeom(laCol: Column, i: Column, k: Int): (Column, Column) = {
+    val base = floor(laCol / k).cast("int")
+    val rem = (laCol % k).cast("int")
+    val w = base + when(i >= lit(k) - rem, 1).otherwise(0)
+    val st = i * base + greatest(lit(0), i - (lit(k) - rem))
+    (st, w)
+  }
+
+  /** All unordered pairs within Levenshtein distance `maxDist` — the
+    * record-linkage dedup family (near-identical keys, names, titles), by
+    * segment pigeonhole blocking in the PassJoin style (Li, Deng, Feng,
+    * ICDE'11) with an exact `levenshtein` verify:
+    *
+    *  - every string splits into `maxDist + 1` contiguous segments; if
+    *    edit(a, b) ≤ `maxDist`, at least one segment of `a` is untouched
+    *    by any edit (pigeonhole: each edit touches ≤ 1 segment) and so
+    *    appears contiguously in `b`, shifted by at most `maxDist`
+    *    positions (one per unmatched indel before it);
+    *  - index side emits each row's `maxDist + 1` segment keys
+    *    (length, segment index, 8-byte xxhash64 of the segment text);
+    *  - probe side emits, per candidate source length within ±`maxDist`
+    *    of its own, every substring of that segment geometry inside the
+    *    ±`maxDist` position window — a bounded
+    *    (maxDist+1) × (2·maxDist+1)² keys per row, deduplicated before
+    *    the join;
+    *  - candidates = one (length, segment, hash) equi-join; hash
+    *    collisions and window false-positives are both removed by the
+    *    exact verify, so hashing the segment text is safe and keeps the
+    *    shuffle key 8 bytes regardless of string length.
+    *
+    * Scale shape: no all-pairs anywhere — candidate volume is bounded by
+    * real segment agreement, the join keys are fixed-width, and only
+    * (id, length, hash) rows shuffle; the strings themselves are read
+    * again only for the bounded verify join. Zero-width segments (strings
+    * shorter than `maxDist + 1`) emit empty-substring keys, which keeps
+    * the pigeonhole complete for tiny strings at bounded extra fan-out
+    * (only strings within ±`maxDist` of such lengths emit them).
+    *
+    * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ `maxDist`
+    *         (exact duplicates included at dist 0)
+    */
+  def editDistanceNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(maxDist >= 1, "maxDist must be at least 1")
+    val d = maxDist
+    val k = d + 1
+    val base = scope.persist(df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("l", length(col("s"))))
+    val segIdx = explode(array((0 until k).map(lit): _*)).as("i")
+    val idxKeys = {
+      val withI = base.select(col("id").as("id_a"), col("s"), col("l").as("la"), segIdx)
+      val (st, w) = segGeom(col("la"), col("i"), k)
+      withI.select(col("id_a"), col("la"), col("i"),
+        xxhash64(col("s").substr(st + 1, w)).as("h"))
+    }
+    val probeKeys = {
+      val combo = explode(array((for (i <- 0 until k; delta <- -d to d)
+        yield struct(lit(i).as("i"), lit(delta).as("delta"))): _*)).as("c")
+      val withC = base.select(col("id").as("id_b"), col("s"), col("l").as("lb"), combo)
+        .select(col("id_b"), col("s"), col("lb"),
+          col("c.i").as("i"), (col("lb") + col("c.delta")).as("la"))
+        .filter(col("la") >= 0)
+      val (st, w) = segGeom(col("la"), col("i"), k)
+      withC
+        .withColumn("pmin", greatest(lit(0), st - d))
+        .withColumn("pmax", least(col("lb") - w, st + d))
+        .filter(col("pmax") >= col("pmin"))
+        .select(col("id_b"), col("la"), col("i"), col("s"), w.as("w"),
+          explode(sequence(col("pmin"), col("pmax"))).as("p"))
+        .select(col("id_b"), col("la"), col("i"),
+          xxhash64(col("s").substr(col("p") + 1, col("w"))).as("h"))
+        .distinct()
+    }
+    val cand = idxKeys.join(probeKeys, Seq("la", "i", "h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val strs = base.select(col("id"), col("s"))
+    cand
+      .join(strs.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(strs.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= d)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */
   private def hexDigitVal(hex: Column, pos: Column): Column =
     conv(hex.substr(pos, lit(1)), 16, 10).cast("int")

@@ -178,4 +178,45 @@ object Sampling {
     }
     df.filter(u < frac)
   }
+
+  /** Keep at most `maxPerGroup` rows per `groupCol` value — the
+    * domain/source frequency cap of web-corpus curation (RefinedWeb §3.2,
+    * FineWeb): a handful of template-heavy domains otherwise dominate the
+    * mixture. Kept rows are the `maxPerGroup` smallest by
+    * ([[hashUniform]], id) within the group, so the survivors are a
+    * deterministic uniform subsample, not a scan-order artifact, and the
+    * same rows survive on any cluster layout or re-run.
+    *
+    * Election runs in a bounded-heap [[graft.functions.TopKAggregator]],
+    * not a `row_number` window: the window would shuffle AND sort every
+    * row of the biggest domain on one reducer — the exact skew this
+    * operator exists to fight — while the heap keeps O(maxPerGroup) state
+    * per group and combines map-side, so a 10M-page domain sends each
+    * mapper's top list across the exchange, never its 10M rows. The
+    * payload only moves in the final id semi-join (AQE broadcasts it when
+    * the kept set is small).
+    *
+    * `idCol` must be integral and unique per row (a NULL id hashes to a
+    * NULL uniform; such rows are dropped, matching [[sampleStratified]]).
+    * NULL group values form their own capped group. */
+  def capPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      maxPerGroup: Int,
+      salt: String = "cap"): DataFrame = {
+    require(maxPerGroup >= 1, "maxPerGroup must be at least 1")
+    // TopKAggregator keeps the LARGEST scores (ties: id asc), so feeding
+    // the negated uniform elects the smallest-u rows.
+    val topk = udaf(graft.functions.TopKAggregator(maxPerGroup))
+    val kept = df
+      .filter(col(idCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"))
+      .withColumn("__score", -hashUniform(col("__id"), salt))
+      .groupBy("__g")
+      .agg(topk(col("__score"), col("__id")).as("tk"))
+      .select(explode(col("tk")).as("r"))
+      .select(col("r._2").as("__keep_id"))
+    df.join(kept, df(idCol).cast("long") === kept("__keep_id"), "left_semi")
+  }
 }

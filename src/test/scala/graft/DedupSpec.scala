@@ -326,4 +326,39 @@ class DedupSpec extends SparkSpec {
     // 2 and 3 lose to 1; unpaired 4 and 5 survive untouched
     assert(kept === Set(1L, 4L, 5L))
   }
+
+  test("editDistanceNearDuplicates finds exactly the brute-force pairs (d=1 and d=2)") {
+    // deterministic pseudo-random short strings over a 3-letter alphabet —
+    // small alphabet + short lengths force plenty of near-miss pairs,
+    // including empty and sub-segment-count lengths (the zero-width
+    // segment edge), so the pigeonhole blocking's completeness is pinned
+    // against the O(n²) definition, not a curated fixture
+    val alpha = "abc"
+    val rows = (0 until 60).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"edns$i".getBytes("UTF-8")).map(b => (b & 0xff)).toSeq
+      val len = h.head % 8
+      (i.toLong, (0 until len).map(j => alpha(h(j + 1) % 3)).mkString)
+    }
+    val df = rows.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistanceNearDuplicates(df, "id", "s", maxDist = d)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+      val brute = df.as("a").crossJoin(df.as("b"))
+        .filter($"a.id" < $"b.id")
+        .select($"a.id", $"b.id", levenshtein($"a.s", $"b.s").as("dist"))
+        .filter($"dist" <= d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(brute.nonEmpty, "fixture produced no near pairs — regenerate")
+      assert(got === brute, s"d=$d: blocking missed or invented pairs")
+    }
+  }
+
+  test("editDistanceNearDuplicates: null strings are ignored, self-pairs excluded") {
+    val df = Seq((1L, Some("abc")), (2L, Some("abd")), (3L, None), (4L, Some("abc")))
+      .toDF("id", "s")
+    val got = Dedup.editDistanceNearDuplicates(df, "id", "s", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1)))
+  }
 }

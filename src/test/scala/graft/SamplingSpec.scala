@@ -110,4 +110,35 @@ class SamplingSpec extends SparkSpec {
       .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
     assert(violations === 0)
   }
+
+  test("capPerGroup keeps the hash-minimal rows per group, repartition-stable") {
+    // skewed groups: group g has 10*(g+1) members
+    val rows = (0 until 4).flatMap(g => (0 until 10 * (g + 1)).map(i => (g * 1000L + i, g)))
+      .toDF("id", "g")
+    val capped = Sampling.capPerGroup(rows, "id", "g", maxPerGroup = 12)
+    // brute-force election: 12 smallest (hashUniform, id) per group
+    val expected = rows
+      .withColumn("u", Sampling.hashUniform(col("id"), "cap"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("u"), col("id"))))
+      .filter(col("rn") <= 12)
+      .select("id", "g").as[(Long, Int)].collect().toSet
+    assert(capped.as[(Long, Int)].collect().toSet === expected)
+    // under-cap groups survive whole: group 0 has 10 <= 12 members
+    assert(capped.filter(col("g") === 0).count() === 10)
+    // layout-independent: same survivors from a different partitioning
+    val again = Sampling.capPerGroup(rows.repartition(13), "id", "g", maxPerGroup = 12)
+    assert(again.as[(Long, Int)].collect().toSet === expected)
+  }
+
+  test("capPerGroup drops null ids and caps the null group like any other") {
+    val rows = Seq((Some(1L), "a"), (Some(2L), "a"), (Some(3L), "a"),
+      (None, "a"), (Some(4L), null), (Some(5L), null), (Some(6L), null))
+      .toDF("id", "g")
+    val capped = Sampling.capPerGroup(rows, "id", "g", maxPerGroup = 2)
+    val byGroup = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byGroup("a") === 2)          // null id never elected
+    assert(byGroup(null) === 2)         // null group capped, not dropped
+  }
 }
