@@ -312,6 +312,16 @@ object SparkEntry {
             bits = 16, maxHamming = 2))
         .select("doc_id")
     }),
+    // score-elected survivor: within each simhash cluster the LONGEST
+    // member survives (ties: min id) — the election real curation runs,
+    // instead of keepCanonical's min-id convention
+    "x_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(docs, "doc_id", "n_chars",
+          Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+            bits = 16, maxHamming = 2))
+        .select("doc_id")
+    }),
     // duplicated 30-char substring spans across the corpus
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
@@ -415,6 +425,18 @@ object SparkEntry {
     "x_sim_near_dup" -> ((s, d) =>
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         minCos = 0.4, planes = 4, dims = 64, tables = 2)),
+    // cross-run semantic near-dup: odd-id vectors are the new batch, the
+    // even-id vectors' persisted bucket index plays the accumulated
+    // corpus index (the embedding twin of x_dedup_minhash_incremental)
+    "x_sim_near_dup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.srpBucketIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        planes = 4, dims = 64, tables = 2)
+      Similarity.incrementalEmbeddingCandidates(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", index,
+        planes = 4, dims = 64, tables = 2)
+    }),
     // size-derived bucket count: planes = autoPlanes(count, 64) — the
     // copy-paste template that still holds at unknown corpus scale (the
     // oracle mirrors the derivation with a scalar count() subquery)
@@ -1504,6 +1526,20 @@ object SparkEntry {
          |${duckCcLosers("pairs")}
          |SELECT d.doc_id FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
+    // survivor = rank-1 by (n_chars DESC, id) within the recursive-CTE
+    // component — NULLS LAST mirrors the struct-max's null-loses rule
+    "x_dedup_keep_best" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
     // same position set (1-based starts, stride 1), raw-substring joins
     // instead of the 60-bit hashes, identical island-merge windows
     "x_dedup_spans" ->
@@ -2125,6 +2161,26 @@ object SparkEntry {
         |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
         |)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    // batch (odd ids) probes the accumulated bucket index (even ids):
+    // the same bucket derivation as x_sim_near_dup, restricted per side
+    "x_sim_near_dup_incremental" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 4 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t)
+        |)
+        |SELECT DISTINCT b1.id AS batch_id, c.id AS corpus_id
+        |FROM b b1 JOIN b c ON b1.tbl = c.tbl AND b1.bucket = c.bucket
+        | AND b1.id % 2 = 1 AND c.id % 2 = 0""".stripMargin,
     // same bucketed-pairs shape as x_sim_near_dup, but `planes` is the
     // size-derived value: a params CTE mirrors Similarity.autoPlanes
     // (ceil(ln(max(n/targetPerBucket, 1))/ln 2 - 1e-9), floored at 1) with

@@ -924,6 +924,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[keepCanonical]] with a caller-chosen survivor: within each cluster
+    * the row with the LARGEST `scoreCol` value survives (ties: minimum
+    * id) — the election real curation pipelines run, keeping the longest
+    * or highest-quality member rather than the accidentally-smallest id.
+    * Unpaired rows survive untouched. A NULL score never wins against a
+    * non-NULL one; an all-NULL cluster falls back to the minimum id.
+    *
+    * Scale shape matches [[keepCanonical]]: only (id, score) pairs join
+    * the (id, cluster_id) labeling — the payload never enters the
+    * election — the per-cluster argmax is one map-side-combinable
+    * max(struct) aggregate, and the payload moves once, in the final
+    * loser anti-join. */
+  def keepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val clusters = duplicateClusters(pairs, idACol, idBCol, maxIters, scope)
+    val scored = clusters.join(
+      df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
+      Seq("id"))
+    // max over (score, -id): larger score wins, score tie -> smaller id;
+    // struct ordering ranks a NULL score below every non-NULL score
+    val winners = scored.groupBy("cluster_id")
+      .agg(max(struct(col("__score").as("s"), (-col("id")).as("neg_id"))).as("w"))
+      .select((-col("w.neg_id")).as("win_id"))
+    val losers = scored.join(winners, scored("id") === winners("win_id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Fold a batch of NEW duplicate-pair edges into an existing
     * [[duplicateClusters]] labeling at batch cost — the last step of the
     * incremental ingestion story: [[incrementalMinhashCandidates]] finds a

@@ -356,6 +356,49 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** The exploded SRP bucket index: one (id, tbl, bucket) row per hash
+    * table — the embedding-space sibling of
+    * [[Dedup.minhashBandIndex]], the frame a continuous-ingestion
+    * pipeline persists as its semantic near-duplicate index. No vectors,
+    * no payloads: `tables` short rows per vector, a sliver of the corpus. */
+  def srpBucketIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 4,
+      dims: Int = 64,
+      tables: Int = 1): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(srpBucketKeys(col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
+
+  /** Incremental (cross-run) embedding near-duplicate candidates: a new
+    * batch probes the accumulated [[srpBucketIndex]] with one
+    * (tbl, bucket) equi-join — corpus vectors are never re-read and never
+    * re-hashed, keeping continuous semantic-dedup ingestion at batch cost
+    * instead of corpus cost (the embedding twin of
+    * [[Dedup.incrementalMinhashCandidates]]). The caller joins vectors
+    * onto the surviving pairs for the exact-cosine verify, and appends the
+    * batch's own bucket rows to the index for the next run.
+    *
+    * @param index accumulated (id, tbl, bucket) bucket index
+    * @return distinct (batch_id, corpus_id) candidate pairs
+    */
+  def incrementalEmbeddingCandidates(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: DataFrame,
+      planes: Int = 4,
+      dims: Int = 64,
+      tables: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val banded = scope.persist(srpBucketIndex(batch, idCol, vecCol, planes, dims, tables))
+    banded.as("b").join(index.as("c"),
+        col("b.tbl") === col("c.tbl") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `centroids` cells by nearest centroid; each query probes its `nprobe`
     * nearest cells and scores only those cells' vectors.

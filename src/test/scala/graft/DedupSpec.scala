@@ -327,6 +327,22 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L))
   }
 
+  test("keepBest elects the highest score (ties: min id), nulls never beat scores") {
+    val scored = docs.withColumn("score",
+      when($"doc_id" === 1, 5.0).when($"doc_id" === 2, 9.0)
+        .when($"doc_id" === 3, 9.0).otherwise(lit(null).cast("double")))
+    // cluster {1,2,3}: 2 and 3 tie at 9.0, min id 2 wins; 4,5 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(scored, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // all-null cluster falls back to min id
+    val noScores = docs.withColumn("score", lit(null).cast("double"))
+    val kept2 = Dedup.keepBest(noScores, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(1L, 4L, 5L))
+  }
+
   test("editDistanceNearDuplicates finds exactly the brute-force pairs (d=1 and d=2)") {
     // deterministic pseudo-random short strings over a 3-letter alphabet —
     // small alphabet + short lengths force plenty of near-miss pairs,

@@ -248,6 +248,25 @@ class SimilaritySpec extends SparkSpec {
     assert(losers === expectedLosers)
   }
 
+  test("incremental bucket probe equals the cross pairs of the full self-join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = Similarity.srpBucketIndex(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", planes = 4, dims = 64, tables = 2)
+    val probed = Similarity.incrementalEmbeddingCandidates(
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", index,
+      planes = 4, dims = 64, tables = 2)
+      .as[(Long, Long)].collect().toSet
+    // ground truth: every cross-parity bucket collision of the full index
+    val full = Similarity.srpBucketIndex(emb, "vec_id", "embedding",
+      planes = 4, dims = 64, tables = 2)
+    val expected = full.as("a").join(full.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+          $"a.id" % 2 === 1 && $"b.id" % 2 === 0)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture sanity: some cross-parity collisions exist")
+    assert(probed === expected)
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
