@@ -270,12 +270,16 @@ object SparkEntry {
     "x_dedup_simhash_wide" -> ((s, d) =>
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 64, maxHamming = 3)),
-    // record-linkage dedup: every part-name pair within one edit, found by
-    // PassJoin segment pigeonhole blocking with an exact levenshtein
-    // verify — templated names over a tiny vocabulary make a dense
-    // near-miss space, the adversarial case for candidate blow-up
+    // record-linkage dedup: every supplier-name pair within one edit,
+    // found by PassJoin segment pigeonhole blocking with an exact
+    // levenshtein verify. Sequential ID-style names ("Supplier#000...")
+    // keep the true near-pair count linear-ish in rows — the density
+    // regime the operator is for; saturated template spaces (part names:
+    // 2% of ALL pairs are true dist-1 matches at sf0.1) make any exact
+    // method's OUTPUT quadratic and belong to the n-gram/simhash family
+    // instead (density caveat on the operator's scaladoc)
     "x_dedup_editdist" -> ((s, d) =>
-      Dedup.editDistanceNearDuplicates(Tables.part(s, d), "p_partkey", "p_name",
+      Dedup.editDistanceNearDuplicates(Tables.supplier(s, d), "s_suppkey", "s_name",
         maxDist = 1)),
     // transitive duplicate clusters over the simhash near-dup pairs: the
     // step pair emitters stop short of — A~B, B~C collapse into one
@@ -1493,10 +1497,10 @@ object SparkEntry {
     // the blocking is an implementation detail; the contract is the O(n²)
     // definition, which the oracle states directly
     "x_dedup_editdist" ->
-      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |       levenshtein(a.p_name, b.p_name) AS dist
-        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
     // min-label connected components as a recursive CTE: cc enumerates
     // (node, reachable node) over the symmetric edge list, so min(label)
     // per node is the component minimum — the same fixpoint the iterative

@@ -540,6 +540,16 @@ object Dedup {
     * the pigeonhole complete for tiny strings at bounded extra fan-out
     * (only strings within ±`maxDist` of such lengths emit them).
     *
+    * Density caveat: candidate volume tracks TRUE near-pair density,
+    * which is a property of the data. ID-like keys keep it linear-ish
+    * (each string has O(alphabet × length) possible 1-edit neighbors);
+    * a saturated template vocabulary (e.g. short names composed from a
+    * handful of words, where whole shared halves become hot join keys)
+    * makes the exact OUTPUT itself quadratic — no exact method beats
+    * that, and such corpora belong to the Jaccard/SimHash family
+    * instead. AQE's skew-join split handles moderate hot keys; don't
+    * point this at a column whose values mostly collide.
+    *
     * @return (id_a, id_b, dist) with id_a < id_b, dist ≤ `maxDist`
     *         (exact duplicates included at dist 0)
     */
