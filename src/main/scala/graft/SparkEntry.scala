@@ -493,6 +493,10 @@ object SparkEntry {
         Seq("spark", "vector", "join", "hash"))),
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.gopherishFlags(Tables.documents(s, d), "doc_id", "text")),
+    // code-point Shannon entropy: the gibberish/binary-junk band signal
+    "x_text_entropy" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))),
     "x_text_report" -> ((s, d) =>
       TextAnalysis.corpusReport(Tables.documents(s, d), "text")),
     "x_text_redact" -> ((s, d) =>
@@ -2401,6 +2405,14 @@ object SparkEntry {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    // DuckDB's entropy aggregate is log2-based and substring is
+    // code-point addressed, both matching the kernel; empty list → 0.0
+    // on both engines
+    "x_text_entropy" ->
+      """SELECT doc_id,
+        |  round(list_aggregate(list_transform(range(1, length(text) + 1),
+        |          i -> substring(text, i, 1)), 'entropy'), 6) AS char_entropy
+        |FROM documents""".stripMargin,
     "x_text_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w

@@ -192,6 +192,34 @@ object HashKernels {
     max.toDouble / total.toDouble
   }
 
+  /** Shannon entropy in bits over the string's code-point distribution —
+    * the gibberish/binary-junk signal of corpus quality filtering: natural
+    * prose sits ~4-4.7 bits, base64/hex blobs higher, single-char padding
+    * near 0. Code points (not UTF-16 units), matching engines whose
+    * `substring` is code-point addressed; empty string → 0.0. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    val counts = new java.util.HashMap[Integer, Integer](64)
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    val invLn2 = 1.0 / math.log(2.0)
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * math.log(p) * invLn2
+    }
+    h
+  }
+
   /** Collapse runs of consecutive identical tokens to at most `maxRun`
     * occurrences ("a a a b a" → "a b a" at maxRun = 1) — intra-document
     * repetition removal, the token-level sibling of C4's duplicate-line
@@ -369,6 +397,26 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Codegen'd Shannon entropy (bits) over a string column's code points. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charEntropy(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
@@ -393,4 +441,8 @@ object DedupExpressions {
   /** Codegen'd consecutive-run collapsing of an `array<string>` token column. */
   def collapseRunsOf(tokens: Column, maxRun: Int): Column =
     CatalystBridge.column(CollapseRuns(CatalystBridge.expression(tokens), maxRun))
+
+  /** Codegen'd code-point Shannon entropy (bits) of a string column. */
+  def charEntropyOf(text: Column): Column =
+    CatalystBridge.column(CharEntropy(CatalystBridge.expression(text)))
 }

@@ -425,6 +425,28 @@ object TextAnalysis {
       .otherwise(round(top.cast("double") / total.cast("double"), 6))
   }
 
+  /** Shannon entropy in bits over the text's code-point distribution —
+    * the gibberish/binary-junk quality signal: natural prose sits around
+    * 4-4.7 bits, base64/hex dumps higher, single-char padding near 0, so
+    * band filters on it catch both extremes. Codegen'd kernel
+    * ([[graft.functions.CharEntropy]]) — per-row, zero shuffle, scan
+    * speed; [[charEntropyFold]] is the HOF executable spec. Empty string
+    * → 0.0, null → null. */
+  def charEntropy(text: Column): Column =
+    graft.functions.DedupExpressions.charEntropyOf(text)
+
+  /** HOF fold form of [[charEntropy]] — interpreted; spec/tests only. */
+  def charEntropyFold(text: Column): Column = {
+    val n = length(text)
+    val chars = transform(sequence(lit(1), n), i => text.substr(i, lit(1)))
+    val h = aggregate(
+      transform(array_distinct(chars),
+        c => size(filter(chars, x => x === c)).cast("double") / n.cast("double")),
+      lit(0.0),
+      (acc, p) => acc - p * log2(p))
+    when(n === 0, lit(0.0)).otherwise(h)
+  }
+
   /** Fraction of tokens containing at least one ASCII letter (C4-style
     * "real word" signal). */
   def alphaTokenRatio(text: Column): Column = {

@@ -165,6 +165,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(changed > 0)
   }
 
+  test("charEntropy: known values, edge cases, kernel equals the HOF fold") {
+    val cases = Seq(
+      (1L, Some("aab")),          // -2/3·log2(2/3) - 1/3·log2(1/3) = 0.918296
+      (2L, Some("")),             // empty -> 0.0
+      (3L, None),                 // null -> null
+      (4L, Some("aaaa")),         // one symbol -> 0.0
+      (5L, Some("ab𝄞𝄞"))          // astral chars count as ONE code point
+    ).toDF("id", "text")
+    val got = cases.select($"id", TextAnalysis.charEntropy($"text").as("h"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(got(1L).get - 0.9182958340544896) < 1e-12)
+    assert(got(2L).contains(0.0))
+    assert(got(3L).isEmpty)
+    assert(got(4L).contains(0.0))
+    assert(math.abs(got(5L).get - 1.5) < 1e-12) // p = (1/4, 1/4, 2/4)
+    // kernel === interpreted fold on the real corpus (1e-9: fold sums in
+    // array order, kernel in hash-map order — same values, different order)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val diff = docs.select(
+        TextAnalysis.charEntropy($"text").as("k"),
+        TextAnalysis.charEntropyFold($"text").as("f"))
+      .filter(abs($"k" - $"f") > 1e-9)
+    assert(diff.count() === 0)
+  }
+
   test("dedupLines keeps each line's first occurrence, preserving order") {
     val doc = Seq(
       "intro\nrepeat me\nbody\nrepeat me\noutro",
