@@ -617,6 +617,16 @@ object SparkEntry {
     "x_sample_cap" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), "doc_id", "source", maxPerGroup = 10)
         .select("doc_id", "source")),
+    // quality-band mixture: tertile the corpus by (rounded) char entropy
+    // via the bottom-k cutpoint sketch, keep 20%/50%/100% per band — the
+    // no-global-sort "sample harder from better data" recipe; the score
+    // rounds to 6dp upstream so both engines band identical doubles
+    "x_sample_band" -> ((s, d) =>
+      Sampling.sampleByScoreBand(
+          Tables.documents(s, d).select(col("doc_id"),
+            round(TextAnalysis.charEntropy(col("text")), 6).as("score")),
+          "doc_id", "score", fractions = Seq(0.2, 0.5, 1.0), k = 64)
+        .select(col("doc_id"), col("score"), col("band").cast("int").as("band"))),
     // KMV distinct-count sketch: per event type, distinct users estimated
     // from the 64 smallest user-id hash uniforms (150 true distinct, so
     // the (k-1)/U(k) estimator path is exercised, not the exact fallback)
@@ -2567,6 +2577,39 @@ object SparkEntry {
          |SELECT doc_id, CAST(copy AS INT) AS copy FROM c
          |WHERE copy < 2
          |   OR ${duckHashUniform("doc_id", "weight#2")} < (2.3 - 2)""".stripMargin,
+    // the cutpoint sample mirrors x_sketch_quantiles' bottom-k CTE (one
+    // global group); tertile q literals are the operator's own doubles
+    // via toString round-trip, CAST to DOUBLE because DuckDB otherwise
+    // parses them as exact DECIMALs and floors q*(m-1) one ulp lower
+    // than the IEEE multiply both engines must share; band = count of
+    // cuts <= score
+    "x_sample_band" -> {
+      val q1 = s"CAST(${(1.0 / 3).toString} AS DOUBLE)"
+      val q2 = s"CAST(${(2.0 / 3).toString} AS DOUBLE)"
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    round(list_aggregate(list_transform(range(1, length(text) + 1),
+         |            i -> substring(text, i, 1)), 'entropy'), 6) AS score
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |),
+         |d AS (
+         |  SELECT DISTINCT ${duckHashUniform("doc_id", "band#cut")} AS u, score AS v
+         |  FROM e
+         |),
+         |r AS (SELECT u, v, row_number() OVER (ORDER BY u, v) AS rn FROM d),
+         |s AS (SELECT list_sort(list(v)) AS vs, count(*) AS m FROM r WHERE rn <= 64),
+         |banded AS (
+         |  SELECT e.doc_id, e.score,
+         |    (CASE WHEN e.score >= s.vs[CAST(floor($q1 * (s.m - 1)) AS INT) + 1]
+         |          THEN 1 ELSE 0 END +
+         |     CASE WHEN e.score >= s.vs[CAST(floor($q2 * (s.m - 1)) AS INT) + 1]
+         |          THEN 1 ELSE 0 END) AS band
+         |  FROM e, s
+         |)
+         |SELECT doc_id, score, CAST(band AS INT) AS band FROM banded
+         |WHERE ${duckHashUniform("doc_id", "band#keep")} <
+         |      (CASE band WHEN 0 THEN 0.2 WHEN 1 THEN 0.5 ELSE 1.0 END)""".stripMargin
+    },
     // the bounded-heap election is the implementation; the contract is
     // "the 10 smallest (hash-uniform, id) rows per source", which the
     // oracle states as a window rank

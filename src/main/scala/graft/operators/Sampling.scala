@@ -199,6 +199,59 @@ object Sampling {
     * `idCol` must be integral and unique per row (a NULL id hashes to a
     * NULL uniform; such rows are dropped, matching [[sampleStratified]]).
     * NULL group values form their own capped group. */
+  /** Quality-band mixture sampling: split the corpus into `fractions.size`
+    * equal-population bands by a per-row score (entropy, log-prob, any
+    * quality signal) and keep each band at its own rate — the
+    * "sample harder from better data" recipe of quality-weighted corpus
+    * construction. Band cut points are read from a bottom-k hash sample
+    * ([[graft.functions.BottomKSampleAggregator]]), NOT a global sort:
+    * the corpus crosses no wide exchange, the k-value sample collapses to
+    * one broadcast row of `fractions.size - 1` doubles, and membership is
+    * then a stateless per-row filter — two scans total at any scale.
+    *
+    * Band i covers scores in [cut_i, cut_i+1) (band 0 unbounded below,
+    * the last band unbounded above); a row's band is the number of cuts
+    * ≤ its score. Rows with a null id or score are dropped (they can be
+    * neither hashed nor ranked). Keep/drop is a pure function of
+    * (id, salt), repartition-stable like every sampler here. Scores
+    * should be identically computable in any mirroring engine (round
+    * upstream if the score is float-derived).
+    *
+    * @param fractions per-band keep fractions, lowest band first
+    * @return kept rows plus their `band` (0-based)
+    */
+  def sampleByScoreBand(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      fractions: Seq[Double],
+      k: Int = 256,
+      salt: String = "band"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be non-empty keep rates in [0, 1]")
+    val nBands = fractions.size
+    val clean = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+    if (nBands == 1) {
+      return clean.filter(hashUniform(col(idCol), s"$salt#keep") < fractions.head)
+        .withColumn("band", lit(0))
+    }
+    val bks = udaf(graft.functions.BottomKSampleAggregator(k))
+    val cuts = clean
+      .select(hashUniform(col(idCol), s"$salt#cut").as("__u"),
+        col(scoreCol).cast("double").as("__v"))
+      .agg(bks(col("__u"), col("__v")).as("__vs"))
+      .select(array((1 until nBands).map { i =>
+        element_at(col("__vs"),
+          (floor(lit(i.toDouble / nBands) * (size(col("__vs")) - 1)) + 1).cast("int"))
+      }: _*).as("__cuts"))
+    clean.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        size(filter(col("__cuts"), c => c <= col(scoreCol).cast("double"))))
+      .filter(hashUniform(col(idCol), s"$salt#keep") <
+        element_at(array(fractions.map(lit): _*), col("band") + 1))
+      .drop("__cuts")
+  }
+
   def capPerGroup(
       df: DataFrame,
       idCol: String,

@@ -132,6 +132,30 @@ class SamplingSpec extends SparkSpec {
     assert(again.as[(Long, Int)].collect().toSet === expected)
   }
 
+  test("sampleByScoreBand: bands partition by cutpoints, rates steer keeps, stable") {
+    // ids 0..899 with score = id: bands should be ~equal thirds
+    val rows = (0L until 900L).toDF("id").withColumn("score", col("id").cast("double"))
+    val out = Sampling.sampleByScoreBand(rows, "id", "score",
+      fractions = Seq(0.0, 0.5, 1.0), k = 256)
+    val byBand = out.groupBy("band").count().as[(Int, Long)].collect().toMap
+    // band 0 kept at 0.0 -> absent; band 2 kept fully -> ~300 rows
+    assert(!byBand.contains(0))
+    assert(byBand(2) > 250 && byBand(2) < 350)
+    assert(byBand(1) > 90 && byBand(1) < 210) // ~300 * 0.5
+    // banding is monotone in score: every kept band-2 score > every kept band-1
+    val maxB1 = out.filter(col("band") === 1).agg(max("score")).head.getDouble(0)
+    val minB2 = out.filter(col("band") === 2).agg(min("score")).head.getDouble(0)
+    assert(maxB1 < minB2)
+    // repartition-stable
+    val again = Sampling.sampleByScoreBand(rows.repartition(11), "id", "score",
+      fractions = Seq(0.0, 0.5, 1.0), k = 256)
+    assert(again.select("id", "band").as[(Long, Int)].collect().toSet ===
+      out.select("id", "band").as[(Long, Int)].collect().toSet)
+    // single band degenerates to plain deterministic Bernoulli
+    val one = Sampling.sampleByScoreBand(rows, "id", "score", fractions = Seq(1.0))
+    assert(one.count() === 900)
+  }
+
   test("capPerGroup drops null ids and caps the null group like any other") {
     val rows = Seq((Some(1L), "a"), (Some(2L), "a"), (Some(3L), "a"),
       (None, "a"), (Some(4L), null), (Some(5L), null), (Some(6L), null))
