@@ -497,6 +497,15 @@ object SparkEntry {
     "x_text_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))),
+    // tokenizer coverage: every-5th-doc slice plays the reference vocab,
+    // the rest of the corpus is measured against it
+    "x_text_oov" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.oovRate(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(explode(graft.operators.Dedup.tokens(col("text"))).as("tok")))
+    }),
     "x_text_report" -> ((s, d) =>
       TextAnalysis.corpusReport(Tables.documents(s, d), "text")),
     "x_text_redact" -> ((s, d) =>
@@ -2415,6 +2424,30 @@ object SparkEntry {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    // same whitespace tokenization CTE shape as x_text_quality; vocab =
+    // distinct tokens of the every-5th-doc slice
+    "x_text_oov" ->
+      """WITH voc AS (
+        |  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |           t -> length(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |           t -> length(t) > 0) AS w
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |),
+        |ex AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |kn AS (
+        |  SELECT doc_id, count(*) AS n_known
+        |  FROM ex JOIN voc USING (tok) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, len(w) AS n_tokens,
+        |       len(w) - coalesce(n_known, 0) AS n_oov,
+        |       round(CASE WHEN len(w) = 0 THEN 0.0
+        |             ELSE CAST(len(w) - coalesce(n_known, 0) AS DOUBLE) / len(w)
+        |             END, 6) AS oov_rate
+        |FROM d LEFT JOIN kn USING (doc_id)""".stripMargin,
     // DuckDB's entropy aggregate is log2-based and substring is
     // code-point addressed, both matching the kernel; empty list → 0.0
     // on both engines

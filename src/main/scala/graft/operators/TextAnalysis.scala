@@ -425,6 +425,38 @@ object TextAnalysis {
       .otherwise(round(top.cast("double") / total.cast("double"), 6))
   }
 
+  /** Per-document out-of-vocabulary rate against a reference vocabulary —
+    * the tokenizer-coverage metric of corpus QA: a rising OOV rate flags
+    * domain shift, encoding junk, or the wrong tokenizer for the corpus.
+    * The vocabulary (bounded — real tokenizers carry 32k-256k entries)
+    * broadcasts; hit detection is a map-side hash join on the exploded
+    * token frame, so only narrow (doc_id, token) rows ever shuffle and
+    * the text payload is read once. Tokens compare exactly (whitespace
+    * tokenization, case-sensitive) — normalize upstream if the vocab is
+    * lowercased. Null texts yield null metrics; empty texts 0-token rows
+    * with rate 0.0.
+    *
+    * @param vocab a one-string-column frame of known tokens
+    * @return (doc_id, n_tokens, n_oov, oov_rate)
+    */
+  def oovRate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val vb = broadcast(vocab.toDF("tok").distinct())
+    val withT = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val known = withT.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(vb, Seq("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+    withT.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(known, Seq("doc_id"), "left_outer")
+      .withColumn("n_oov", col("n_tokens") - coalesce(col("n_known"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")), 6).as("oov_rate"))
+  }
+
   /** Shannon entropy in bits over the text's code-point distribution —
     * the gibberish/binary-junk quality signal: natural prose sits around
     * 4-4.7 bits, base64/hex dumps higher, single-char padding near 0, so

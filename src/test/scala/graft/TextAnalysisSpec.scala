@@ -165,6 +165,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(changed > 0)
   }
 
+  test("oovRate counts per-occurrence misses; empty and null texts degrade cleanly") {
+    val docs = Seq(
+      (1L, Some("the cat sat on the mat")),  // "mat" OOV, 2x "the" known
+      (2L, Some("zz zz qq")),                // all OOV
+      (3L, Some("")),                        // 0 tokens
+      (4L, None)                             // null text
+    ).toDF("doc_id", "text")
+    val vocab = Seq("the", "cat", "sat", "on").toDF("tok")
+    val got = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((Some(6L), Some(1L), Some(0.166667))))
+    assert(got(2L) === ((Some(3L), Some(3L), Some(1.0))))
+    assert(got(3L) === ((Some(0L), Some(0L), Some(0.0))))
+    assert(got(4L) === ((None, None, None)))
+  }
+
   test("charEntropy: known values, edge cases, kernel equals the HOF fold") {
     val cases = Seq(
       (1L, Some("aab")),          // -2/3·log2(2/3) - 1/3·log2(1/3) = 0.918296
