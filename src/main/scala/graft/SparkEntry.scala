@@ -441,6 +441,17 @@ object SparkEntry {
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", index,
         planes = 4, dims = 64, tables = 2)
     }),
+    // the production composition: candidates from the index probe, then
+    // exact cosine over only the candidate pairs
+    "x_sim_near_dup_incr_verified" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val index = Similarity.srpBucketIndex(corpus, "vec_id", "embedding",
+        planes = 4, dims = 64, tables = 2)
+      Similarity.incrementalEmbeddingNearDuplicates(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", index, corpus,
+        minCos = 0.4, planes = 4, dims = 64, tables = 2)
+    }),
     // size-derived bucket count: planes = autoPlanes(count, 64) — the
     // copy-paste template that still holds at unknown corpus scale (the
     // oracle mirrors the derivation with a scalar count() subquery)
@@ -2208,6 +2219,39 @@ object SparkEntry {
         |SELECT DISTINCT b1.id AS batch_id, c.id AS corpus_id
         |FROM b b1 JOIN b c ON b1.tbl = c.tbl AND b1.bucket = c.bucket
         | AND b1.id % 2 = 1 AND c.id % 2 = 0""".stripMargin,
+    // candidates CTE as above, then the x_sim_near_dup cosine verify
+    // restricted to them
+    "x_sim_near_dup_incr_verified" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 4 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT b1.id AS batch_id, c.id AS corpus_id
+        |  FROM b b1 JOIN b c ON b1.tbl = c.tbl AND b1.bucket = c.bucket
+        |   AND b1.id % 2 = 1 AND c.id % 2 = 0
+        |),
+        |scored AS (
+        |  SELECT batch_id, corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(vb.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+        |          / (vb.nrm * vc.nrm), 6) AS cos
+        |  FROM cand JOIN v vb ON vb.id = batch_id JOIN v vc ON vc.id = corpus_id
+        |)
+        |SELECT batch_id, corpus_id, cos FROM scored WHERE cos >= 0.4""".stripMargin,
     // same bucketed-pairs shape as x_sim_near_dup, but `planes` is the
     // size-derived value: a params CTE mirrors Similarity.autoPlanes
     // (ceil(ln(max(n/targetPerBucket, 1))/ln 2 - 1e-9), floored at 1) with

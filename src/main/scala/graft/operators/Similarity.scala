@@ -399,6 +399,39 @@ object Similarity {
       .distinct()
   }
 
+  /** [[incrementalEmbeddingCandidates]] plus the exact-cosine verify —
+    * the production composition for continuous semantic dedup. Corpus
+    * VECTORS are read only for the candidate ids (a bounded semi-join
+    * read, never a corpus re-hash); the index still bounds candidate
+    * generation to one equi-join at batch cost.
+    *
+    * @param corpus (id, vector) frame the index was built over
+    * @return (batch_id, corpus_id, cos) with cos >= minCos
+    */
+  def incrementalEmbeddingNearDuplicates(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: DataFrame,
+      corpus: DataFrame,
+      minCos: Double = 0.95,
+      planes: Int = 4,
+      dims: Int = 64,
+      tables: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val cand = incrementalEmbeddingCandidates(
+      batch, idCol, vecCol, index, planes, dims, tables, scope)
+    val bv = batch.select(col(idCol).as("batch_id"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("vc"),
+      l2Norm(col(vecCol)).as("nc"))
+    cand.join(bv, Seq("batch_id")).join(cv, Seq("corpus_id"))
+      .withColumn("cos",
+        round(cosFromNorms(dot(col("vb"), col("vc")), col("nb"), col("nc")), 6))
+      .filter(col("cos") >= minCos)
+      .select("batch_id", "corpus_id", "cos")
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
     * `centroids` cells by nearest centroid; each query probes its `nprobe`
     * nearest cells and scores only those cells' vectors.

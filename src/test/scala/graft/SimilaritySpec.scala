@@ -267,6 +267,27 @@ class SimilaritySpec extends SparkSpec {
     assert(probed === expected)
   }
 
+  test("verified incremental probe equals the cross pairs of the full verified self-join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 2 === 0)
+    val index = Similarity.srpBucketIndex(corpus, "vec_id", "embedding",
+      planes = 4, dims = 64, tables = 2)
+    val probed = Similarity.incrementalEmbeddingNearDuplicates(
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding", index, corpus,
+      minCos = 0.4, planes = 4, dims = 64, tables = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: full self-join near-dups, restricted to odd-even pairs
+    val full = Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      minCos = 0.4, planes = 4, dims = 64, tables = 2)
+      .as[(Long, Long, Double)].collect()
+    val expected = full.collect {
+      case (a, b, c) if a % 2 == 1 && b % 2 == 0 => (a, b, c)
+      case (a, b, c) if a % 2 == 0 && b % 2 == 1 => (b, a, c)
+    }.toSet
+    assert(expected.nonEmpty, "fixture sanity: some cross-parity verified pairs exist")
+    assert(probed === expected)
+  }
+
   test("autoPlanes scales bucket count with corpus size") {
     assert(Similarity.autoPlanes(1000, 1024) === 1)
     assert(Similarity.autoPlanes(1024 * 16, 1024) === 4)
