@@ -508,6 +508,16 @@ object SparkEntry {
     "x_text_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))),
+    // pre-dedup canonicalization: NFC composition + whitespace collapse.
+    // The fixture corpus is ASCII (NFC-identity), so a decomposed suffix
+    // — combining acute U+0301 and the Angstrom sign U+212B, which NFC
+    // maps to precomposed é and Å — is appended to make the composition
+    // path itself the thing under oracle check
+    "x_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeWhitespace(TextAnalysis.normalizeNfc(
+          concat(col("text"), lit("  café Å end ")))).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))),
     // tokenizer coverage: every-5th-doc slice plays the reference vocab,
     // the rest of the corpus is measured against it
     "x_text_oov" -> ((s, d) => {
@@ -2468,6 +2478,20 @@ object SparkEntry {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    // the suffix is built from chr() so the oracle text is unambiguous:
+    // chr(769) = combining acute, chr(8491) = Angstrom sign; DuckDB's
+    // nfc_normalize must produce the same precomposed bytes as the
+    // JDK Normalizer, and \s is ASCII whitespace in both regex engines
+    "x_text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(text || '  cafe' || chr(769) || ' ' || chr(8491) || ' end ')
+        |      AS nfc
+        |  FROM documents
+        |)
+        |SELECT doc_id, trim(regexp_replace(nfc, '\s+', ' ', 'g')) AS norm_text,
+        |       length(trim(regexp_replace(nfc, '\s+', ' ', 'g'))) AS n_chars_norm
+        |FROM raw""".stripMargin,
     // same whitespace tokenization CTE shape as x_text_quality; vocab =
     // distinct tokens of the every-5th-doc slice
     "x_text_oov" ->

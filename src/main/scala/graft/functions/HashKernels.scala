@@ -192,6 +192,19 @@ object HashKernels {
     max.toDouble / total.toDouble
   }
 
+  /** Unicode NFC canonical composition — the normalization dedup
+    * pipelines apply BEFORE hashing, so "é" and "e"+U+0301 dedup
+    * together instead of passing as distinct content. Already-NFC
+    * strings (the overwhelming majority; UTF-8 web text is mostly
+    * composed) short-circuit through the JDK's quick-check without
+    * allocation. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Shannon entropy in bits over the string's code-point distribution —
     * the gibberish/binary-junk signal of corpus quality filtering: natural
     * prose sits ~4-4.7 bits, base64/hex blobs higher, single-char padding
@@ -397,6 +410,26 @@ case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Codegen'd Unicode NFC canonical composition of a string column. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Codegen'd Shannon entropy (bits) over a string column's code points. */
 case class CharEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -445,4 +478,8 @@ object DedupExpressions {
   /** Codegen'd code-point Shannon entropy (bits) of a string column. */
   def charEntropyOf(text: Column): Column =
     CatalystBridge.column(CharEntropy(CatalystBridge.expression(text)))
+
+  /** Codegen'd Unicode NFC composition of a string column. */
+  def nfcNormalizeOf(text: Column): Column =
+    CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
 }

@@ -425,6 +425,20 @@ object TextAnalysis {
       .otherwise(round(top.cast("double") / total.cast("double"), 6))
   }
 
+  /** Unicode NFC canonical composition — run BEFORE content hashing so
+    * "é" and "e"+combining-acute dedup together instead of passing as
+    * distinct bytes. Codegen'd kernel ([[graft.functions.NfcNormalize]]);
+    * already-composed strings short-circuit without allocation, so the
+    * common case costs one quick-check pass at scan speed. */
+  def normalizeNfc(text: Column): Column =
+    graft.functions.DedupExpressions.nfcNormalizeOf(text)
+
+  /** Whitespace canonicalization: runs of any whitespace collapse to one
+    * space, leading/trailing whitespace drops — the other half of the
+    * standard pre-dedup normalization. Pure built-ins, zero shuffle. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
   /** Per-document out-of-vocabulary rate against a reference vocabulary —
     * the tokenizer-coverage metric of corpus QA: a rising OOV rate flags
     * domain shift, encoding junk, or the wrong tokenizer for the corpus.

@@ -165,6 +165,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(changed > 0)
   }
 
+  test("normalizeNfc composes combining marks; normalizeWhitespace collapses runs") {
+    // escapes, not literals, so source encoding can't silently pre-compose
+    val rows = Seq(
+      (1L, Some("cafe\u0301")),  // e + combining acute -> precomposed e-acute
+      (2L, Some("\u212B")),      // Angstrom sign -> A-ring (U+00C5)
+      (3L, Some("caf\u00e9")),   // already NFC: unchanged
+      (4L, Some("")), (5L, None)
+    ).toDF("id", "text")
+    val got = rows.select($"id", TextAnalysis.normalizeNfc($"text").as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("caf\u00e9"))
+    assert(got(2L).contains("\u00c5"))
+    assert(got(3L).contains("caf\u00e9"))
+    assert(got(4L).contains(""))
+    assert(got(5L).isEmpty)
+    val ws = Seq(("a \t b\n\n c ", 1)).toDF("t", "i")
+      .select(TextAnalysis.normalizeWhitespace($"t")).head.getString(0)
+    assert(ws === "a b c")
+  }
+
   test("oovRate counts per-occurrence misses; empty and null texts degrade cleanly") {
     val docs = Seq(
       (1L, Some("the cat sat on the mat")),  // "mat" OOV, 2x "the" known
