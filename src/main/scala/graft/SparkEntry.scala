@@ -508,6 +508,14 @@ object SparkEntry {
     "x_text_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))),
+    // deequ-style publish gate: one aggregation pass profiles all three
+    // columns; o_orderkey is unique (uniqueness 1.0), o_custkey is a
+    // 10:1 foreign key (0.1), o_orderstatus is a tiny enum
+    "x_quality_checks" -> ((s, d) =>
+      DataQuality.checkColumns(Tables.orders(s, d),
+        minCompleteness = Map("o_orderkey" -> 1.0, "o_custkey" -> 1.0,
+          "o_orderstatus" -> 1.0),
+        minUniqueness = Map("o_orderkey" -> 1.0))),
     // pre-dedup canonicalization: NFC composition + whitespace collapse.
     // The fixture corpus is ASCII (NFC-identity), so a decomposed suffix
     // — combining acute U+0301 and the Angstrom sign U+212B, which NFC
@@ -2478,6 +2486,31 @@ object SparkEntry {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    // the gate is definitional SQL: per-column counts over one scan;
+    // pass = thresholds in the registered call
+    "x_quality_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(o_custkey) AS nn_ck, count(DISTINCT o_custkey) AS nd_ck,
+        |    count(o_orderkey) AS nn_ok, count(DISTINCT o_orderkey) AS nd_ok,
+        |    count(o_orderstatus) AS nn_os, count(DISTINCT o_orderstatus) AS nd_os
+        |  FROM orders
+        |)
+        |SELECT u."column", n AS n_rows, u.n_nonnull, u.n_distinct,
+        |  round(CAST(u.n_nonnull AS DOUBLE) / n, 6) AS completeness,
+        |  round(CAST(u.n_distinct AS DOUBLE) / n, 6) AS uniqueness,
+        |  (CASE u."column"
+        |     WHEN 'o_orderkey' THEN
+        |       round(CAST(u.n_nonnull AS DOUBLE) / n, 6) >= 1.0
+        |       AND round(CAST(u.n_distinct AS DOUBLE) / n, 6) >= 1.0
+        |     WHEN 'o_custkey' THEN round(CAST(u.n_nonnull AS DOUBLE) / n, 6) >= 1.0
+        |     ELSE round(CAST(u.n_nonnull AS DOUBLE) / n, 6) >= 1.0
+        |   END) AS pass
+        |FROM m, (VALUES
+        |  ('o_custkey',     (SELECT nn_ck FROM m), (SELECT nd_ck FROM m)),
+        |  ('o_orderkey',    (SELECT nn_ok FROM m), (SELECT nd_ok FROM m)),
+        |  ('o_orderstatus', (SELECT nn_os FROM m), (SELECT nd_os FROM m))
+        |) AS u("column", n_nonnull, n_distinct)""".stripMargin,
     // the suffix is built from chr() so the oracle text is unambiguous:
     // chr(769) = combining acute, chr(8491) = Angstrom sign; DuckDB's
     // nfc_normalize must produce the same precomposed bytes as the

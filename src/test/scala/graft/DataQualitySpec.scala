@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataQuality
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = Seq(
+    (Some(1L), Some("a")),
+    (Some(2L), Some("a")),
+    (Some(3L), None),
+    (None, Some("b"))
+  ).toDF("id", "tag")
+
+  test("profileColumns: exact counts and ratios per column in one report") {
+    val got = DataQuality.profileColumns(rows, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") === (("id", 4L, 3L, 3L, 0.75, 0.75)))
+    assert(got("tag") === (("tag", 4L, 3L, 2L, 0.75, 0.5)))
+  }
+
+  test("profileColumns on empty input: zero counts, null ratios") {
+    val empty = rows.filter(lit(false))
+    val got = DataQuality.profileColumns(empty, Seq("id"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(got === (("id", 0L, 0L, 0L, None, None)))
+  }
+
+  test("checkColumns gates on thresholds; untouched dimensions don't gate") {
+    val got = DataQuality.checkColumns(rows,
+      minCompleteness = Map("id" -> 0.7, "tag" -> 0.9),
+      minUniqueness = Map("id" -> 0.7))
+      .select("column", "pass").as[(String, Boolean)].collect().toMap
+    assert(got("id") === true)   // 0.75 >= 0.7 on both dimensions
+    assert(got("tag") === false) // completeness 0.75 < 0.9
+  }
+}
