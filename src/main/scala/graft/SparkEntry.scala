@@ -516,6 +516,13 @@ object SparkEntry {
         minCompleteness = Map("o_orderkey" -> 1.0, "o_custkey" -> 1.0,
           "o_orderstatus" -> 1.0),
         minUniqueness = Map("o_orderkey" -> 1.0))),
+    // FK gate with REAL orphans: every 7th order is withheld from the
+    // parent side, so its lineitems must surface in n_orphans
+    "x_quality_fk" -> ((s, d) =>
+      DataQuality.checkReferentialIntegrity(
+        Tables.lineitem(s, d),
+        Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0),
+        Seq("l_orderkey" -> "o_orderkey"))),
     // pre-dedup canonicalization: NFC composition + whitespace collapse.
     // The fixture corpus is ASCII (NFC-identity), so a decomposed suffix
     // — combining acute U+0301 and the Angstrom sign U+212B, which NFC
@@ -2486,6 +2493,24 @@ object SparkEntry {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    // definitional FK check: orphans = non-null child keys absent from
+    // the (shrunken) parent; the greatest(…, 1) guard mirrors the
+    // operator's all-null denominator clamp
+    "x_quality_fk" ->
+      """WITH par AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+        |),
+        |agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (l_orderkey IS NULL) AS n_null_key,
+        |    count(*) FILTER (l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM par)) AS n_orphans
+        |  FROM lineitem
+        |)
+        |SELECT 'l_orderkey' AS key, n_rows, n_null_key, n_orphans,
+        |  round(CAST(n_rows - n_null_key - n_orphans AS DOUBLE) /
+        |        greatest(n_rows - n_null_key, 1), 6) AS match_ratio
+        |FROM agg""".stripMargin,
     // the gate is definitional SQL: per-column counts over one scan;
     // pass = thresholds in the registered call
     "x_quality_checks" ->

@@ -48,6 +48,46 @@ object DataQuality {
           .as("uniqueness"))
   }
 
+  /** Referential-integrity gate: one row per child key column set with
+    * the orphan count (child rows whose non-null key has no match in the
+    * parent) and the match ratio — the FK check a pipeline runs before
+    * publishing a fact table against its dimensions. NULL child keys are
+    * reported separately (`n_null_key`), not counted as orphans, matching
+    * SQL FK semantics.
+    *
+    * Scale shape: one left-anti equi-join on the key columns — the parent
+    * side projects keys only and is typically dimension-sized, so AQE
+    * broadcasts it; the child is scanned once and only (key) columns
+    * shuffle if the join isn't broadcast. The report is ONE row. */
+  def checkReferentialIntegrity(
+      child: DataFrame,
+      parent: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "need at least one (childKey, parentKey) pair")
+    val childKeys = keys.map(_._1)
+    val nonNull = childKeys.map(col(_).isNotNull).reduce(_ && _)
+    val parentProj = parent.select(keys.map { case (c, p) => col(p).as(s"__p_$c") }: _*)
+      .distinct()
+    val joinCond = keys.map { case (c, _) => col(c) === col(s"__p_$c") }.reduce(_ && _)
+    val orphans = child.filter(nonNull)
+      .join(parentProj, joinCond, "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val totals = child.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(nonNull, 0L).otherwise(1L)).as("n_null_key"))
+    totals.crossJoin(broadcast(orphans))
+      .select(
+        lit(childKeys.mkString(",")).as("key"),
+        col("n_rows"),
+        coalesce(col("n_null_key"), lit(0L)).as("n_null_key"),
+        col("n_orphans"),
+        round(when(col("n_rows") === 0, lit(null)).otherwise(
+          (col("n_rows") - coalesce(col("n_null_key"), lit(0L)) - col("n_orphans"))
+            .cast("double") /
+            greatest(col("n_rows") - coalesce(col("n_null_key"), lit(0L)), lit(1L))), 6)
+          .as("match_ratio"))
+  }
+
   /** [[profileColumns]] plus pass/fail gating: a column passes when its
     * completeness and uniqueness meet the thresholds given for it
     * (absent thresholds don't gate). The report stays data-sized-

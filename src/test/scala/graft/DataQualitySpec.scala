@@ -29,6 +29,21 @@ class DataQualitySpec extends SparkSpec {
     assert(got === (("id", 0L, 0L, 0L, None, None)))
   }
 
+  test("checkReferentialIntegrity: orphans exact, null keys reported apart") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = DataQuality.checkReferentialIntegrity(child, parent, Seq("fk" -> "pk"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    // 5 rows, 1 null key, 1 orphan (9), 3 of 4 non-null match
+    assert(got === (("fk", 5L, 1L, 1L, Some(0.75))))
+    // all matching: zero orphans, ratio 1.0
+    val clean = DataQuality.checkReferentialIntegrity(
+      Seq(1L, 2L).toDF("fk"), parent, Seq("fk" -> "pk"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(clean === (("fk", 2L, 0L, 0L, Some(1.0))))
+  }
+
   test("checkColumns gates on thresholds; untouched dimensions don't gate") {
     val got = DataQuality.checkColumns(rows,
       minCompleteness = Map("id" -> 0.7, "tag" -> 0.9),
