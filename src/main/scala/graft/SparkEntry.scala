@@ -692,6 +692,13 @@ object SparkEntry {
     "x_sketch_quantiles" -> ((s, d) =>
       Sketches.approxQuantilesBottomK(Tables.orders(s, d), Seq("o_orderpriority"),
         "o_orderkey", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 256)),
+    // robust anomaly detection: event values score by |v-med|/MAD with
+    // med and MAD from the bottom-k row sample; the value column is
+    // right-skewed, so mean/stddev would mask exactly these outliers
+    "x_sketch_outliers" -> ((s, d) =>
+      Sketches.robustOutliers(
+        Tables.events(s, d).select("event_id", "value"),
+        "event_id", "value", threshold = 3.0, k = 256)),
     // EXACT heavy hitters (bot/abuse detection shape): Misra-Gries
     // candidates (pass 1, bounded state) -> exact recount of candidates
     // (pass 2, broadcast). Output is exact regardless of sketch
@@ -2511,6 +2518,32 @@ object SparkEntry {
         |  round(CAST(n_rows - n_null_key - n_orphans AS DOUBLE) /
         |        greatest(n_rows - n_null_key, 1), 6) AS match_ratio
         |FROM agg""".stripMargin,
+    // same bottom-k sample CTE as x_sketch_quantiles (one global group,
+    // salt "mad"); med and MAD read the sorted sample / sorted absolute
+    // deviations at the same floor(0.5*(m-1)) index
+    "x_sketch_outliers" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT ${duckHashUniform("event_id", "mad")} AS u,
+         |         CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL
+         |),
+         |r AS (SELECT u, v, row_number() OVER (ORDER BY u, v) AS rn FROM d),
+         |s AS (SELECT list_sort(list(v)) AS vs, count(*) AS m FROM r WHERE rn <= 256),
+         |model AS (
+         |  SELECT vs[CAST(floor(CAST(0.5 AS DOUBLE) * (m - 1)) AS INT) + 1] AS med, m, vs
+         |  FROM s
+         |),
+         |model2 AS (
+         |  SELECT med,
+         |    list_sort(list_transform(vs, x -> abs(x - med)))
+         |      [CAST(floor(CAST(0.5 AS DOUBLE) * (m - 1)) AS INT) + 1] AS mad
+         |  FROM model
+         |)
+         |SELECT e.event_id, e.value,
+         |       round(abs(CAST(e.value AS DOUBLE) - med) / mad, 6) AS score
+         |FROM events e, model2
+         |WHERE e.event_id IS NOT NULL AND e.value IS NOT NULL AND mad > 0
+         |  AND round(abs(CAST(e.value AS DOUBLE) - med) / mad, 6) > CAST(3.0 AS DOUBLE)""".stripMargin,
     // the gate is definitional SQL: per-column counts over one scan;
     // pass = thresholds in the registered call
     "x_quality_checks" ->

@@ -163,6 +163,51 @@ object Sketches {
       .select(col(itemCol), col("cnt"), round(col("cnt") / col("__n"), 6).as("share"))
   }
 
+  /** Robust (median/MAD) outlier scoring — anomaly detection that a
+    * skewed corpus can't fool the way it fools mean/stddev z-scores:
+    * the median and the median absolute deviation both come from a
+    * bottom-k hash sample of the rows (same estimator as
+    * [[approxQuantilesBottomK]], lower-value convention), so one
+    * aggregation pass produces a two-double model that broadcasts back
+    * for a stateless per-row score. Rows with
+    * `|v − median| / MAD > threshold` survive, with the score attached.
+    *
+    * Scale shape: the corpus crosses no wide exchange — at most k
+    * (8+8)-byte pairs reach one reducer, one 2-double row broadcasts
+    * back, and scoring is a per-row projection. A zero MAD (constant
+    * sample) yields no outliers rather than dividing by zero: a column
+    * whose sample doesn't vary gives the estimator no scale to judge
+    * deviation against.
+    *
+    * @return input rows with `score` appended, filtered to outliers
+    */
+  def robustOutliers(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      threshold: Double = 3.0,
+      k: Int = 256,
+      salt: String = "mad"): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val bks = udaf(graft.functions.BottomKSampleAggregator(k))
+    val clean = df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+    val medIdx = (m: org.apache.spark.sql.Column) => (floor(lit(0.5) * (m - 1)) + 1).cast("int")
+    val model = clean
+      .select(Sampling.hashUniform(col(idCol), salt).as("__u"),
+        col(valueCol).cast("double").as("__v"))
+      .agg(bks(col("__u"), col("__v")).as("__vs"))
+      .select(col("__vs"), element_at(col("__vs"), medIdx(size(col("__vs")))).as("__med"))
+      .select(col("__med"),
+        element_at(array_sort(transform(col("__vs"), v => abs(v - col("__med")))),
+          medIdx(size(col("__vs")))).as("__mad"))
+    clean.crossJoin(broadcast(model))
+      .withColumn("score",
+        when(col("__mad") > 0.0,
+          round(abs(col(valueCol).cast("double") - col("__med")) / col("__mad"), 6)))
+      .filter(col("score") > threshold)
+      .drop("__med", "__mad")
+  }
+
   /** Approximate per-group quantiles from a bottom-k hash sample (Cohen
     * & Kaplan, PODC'07): the k rows with the smallest md5(id) uniforms
     * ARE a uniform k-row sample of the group — deterministic, stable

@@ -152,4 +152,21 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Double, Int)].head()
     assert(once === twice)
   }
+
+  test("robustOutliers flags the planted spike, is repartition-stable, zero-MAD safe") {
+    // 200 values near 100 plus one spike; k covers all rows, so med/MAD
+    // are exact and the spike's score is hand-checkable
+    val base = (0 until 200).map(i => (i.toLong, 100.0 + (i % 11) - 5))
+    val rows = (base :+ (999L, 10000.0)).toDF("id", "v")
+    val got = Sketches.robustOutliers(rows, "id", "v", threshold = 3.0, k = 512)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(999L))
+    assert(!got.exists(id => id < 200 && id != 999L) || got.size < 5)
+    val again = Sketches.robustOutliers(rows.repartition(13), "id", "v",
+      threshold = 3.0, k = 512).select("id").as[Long].collect().toSet
+    assert(again === got)
+    // constant column: MAD 0 -> no outliers, no division blow-up
+    val const = (0 until 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
+    assert(Sketches.robustOutliers(const, "id", "v").count() === 0)
+  }
 }
