@@ -523,6 +523,11 @@ object SparkEntry {
         Tables.lineitem(s, d),
         Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0),
         Seq("l_orderkey" -> "o_orderkey"))),
+    // embedding-prep chunking: 120-char windows, 24-char overlap; the
+    // tail window is shorter, which the oracle's substring mirrors
+    "x_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        size = 120, overlap = 24)),
     // pre-dedup canonicalization: NFC composition + whitespace collapse.
     // The fixture corpus is ASCII (NFC-identity), so a decomposed suffix
     // — combining acute U+0301 and the Angstrom sign U+212B, which NFC
@@ -2569,6 +2574,19 @@ object SparkEntry {
         |  ('o_orderkey',    (SELECT nn_ok FROM m), (SELECT nd_ok FROM m)),
         |  ('o_orderstatus', (SELECT nn_os FROM m), (SELECT nd_os FROM m))
         |) AS u("column", n_nonnull, n_distinct)""".stripMargin,
+    // stride = size - overlap = 96; generate_series is inclusive like
+    // Spark's sequence, and both substrings are code-point addressed
+    "x_text_chunks" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text), 96)) AS start
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 96 AS INT) AS chunk_idx,
+        |  start AS chunk_start,
+        |  substring(text, CAST(start AS INT), 120) AS chunk_text
+        |FROM st""".stripMargin,
     // the suffix is built from chr() so the oracle text is unambiguous:
     // chr(769) = combining acute, chr(8491) = Angstrom sign; DuckDB's
     // nfc_normalize must produce the same precomposed bytes as the

@@ -425,6 +425,37 @@ object TextAnalysis {
       .otherwise(round(top.cast("double") / total.cast("double"), 6))
   }
 
+  /** Split documents into fixed-size overlapping character windows — the
+    * chunking step ahead of embedding/indexing (a retrieval or semantic-
+    * dedup pipeline embeds chunks, not whole documents). Windows start
+    * every `size - overlap` code points; the tail window may be shorter;
+    * empty and null texts yield no chunks. Pure per-row explode — no
+    * shuffle, chunking runs at scan speed and parallelizes with the
+    * scan. Code-point addressed (Spark `substring` semantics), so
+    * multi-byte text never splits inside a character.
+    *
+    * @return (doc_id, chunk_idx, chunk_start, chunk_text) with
+    *         chunk_idx 0-based and chunk_start 1-based (SQL convention)
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int = 512,
+      overlap: Int = 64): DataFrame = {
+    require(size >= 1, "size must be at least 1")
+    require(overlap >= 0 && overlap < size, "overlap must be in [0, size)")
+    val stride = size - overlap
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1), length(col(textCol)), lit(stride))).as("chunk_start"),
+        col(textCol).as("__t"))
+      .select(col("doc_id"),
+        ((col("chunk_start") - 1) / stride).cast("int").as("chunk_idx"),
+        col("chunk_start"),
+        col("__t").substr(col("chunk_start"), lit(size)).as("chunk_text"))
+  }
+
   /** Unicode NFC canonical composition — run BEFORE content hashing so
     * "é" and "e"+combining-acute dedup together instead of passing as
     * distinct bytes. Codegen'd kernel ([[graft.functions.NfcNormalize]]);

@@ -165,6 +165,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(changed > 0)
   }
 
+  test("chunkDocuments: full coverage, exact overlap, short tail, clean edges") {
+    val rows = Seq(
+      (1L, Some("abcdefghij")),  // len 10, size 4, overlap 1 -> starts 1,4,7,10
+      (2L, Some("ab")),          // shorter than size -> one short chunk
+      (3L, Some("")), (4L, None)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(rows, "doc_id", "text", size = 4, overlap = 1)
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0, 1, "abcd"), (1L, 1, 4, "defg"), (1L, 2, 7, "ghij"), (1L, 3, 10, "j")))
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 1, "ab")))
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+    // reassembling stride-aligned prefixes reproduces the document
+    val doc1 = got.filter(_._1 == 1L).map(_._4.take(3)).mkString
+    assert(doc1 === "abcdefghij")
+  }
+
   test("normalizeNfc composes combining marks; normalizeWhitespace collapses runs") {
     // escapes, not literals, so source encoding can't silently pre-compose
     val rows = Seq(
