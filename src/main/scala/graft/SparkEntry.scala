@@ -2506,8 +2506,8 @@ object SparkEntry {
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
     // definitional FK check: orphans = non-null child keys absent from
-    // the (shrunken) parent; the greatest(…, 1) guard mirrors the
-    // operator's all-null denominator clamp
+    // the (shrunken) parent; NULL match_ratio when no key is checkable
+    // (n_rows = n_null_key), mirroring the operator's convention
     "x_quality_fk" ->
       """WITH par AS (
         |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
@@ -2520,8 +2520,10 @@ object SparkEntry {
         |  FROM lineitem
         |)
         |SELECT 'l_orderkey' AS key, n_rows, n_null_key, n_orphans,
-        |  round(CAST(n_rows - n_null_key - n_orphans AS DOUBLE) /
-        |        greatest(n_rows - n_null_key, 1), 6) AS match_ratio
+        |  CASE WHEN n_rows - n_null_key = 0 THEN NULL
+        |       ELSE round(CAST(n_rows - n_null_key - n_orphans AS DOUBLE) /
+        |                  (n_rows - n_null_key), 6)
+        |  END AS match_ratio
         |FROM agg""".stripMargin,
     // same bottom-k sample CTE as x_sketch_quantiles (one global group,
     // salt "mad"); med and MAD read the sorted sample / sorted absolute

@@ -224,8 +224,11 @@ case class PqAdcTable(
   *
   * Tie and order semantics replicate the unrolled
   * `array_max(array(struct(score_i, i))).getField("i")` form exactly: scores
-  * compare as IEEE doubles accumulated in index order, equal scores resolve
-  * to the larger code index (ascending scan with `>=` replacement).
+  * compare via `java.lang.Double.compare` — Spark's total ordering, which
+  * ranks NaN above every double (so a NaN subspace score, e.g. from an
+  * Inf/NaN vector component, wins exactly as it would under `array_max`) —
+  * and equal scores resolve to the larger code index (ascending scan with
+  * `>= 0` replacement).
   *
   * Null semantics: null array, short array, or null window element → null —
   * where the unrolled form's per-dot nulls make every struct score null and
@@ -282,7 +285,7 @@ case class PqArgBest(
         j += 1
       }
       val score = 2.0 * acc - norms2(c)
-      if (score >= best) { best = score; bi = c }
+      if (java.lang.Double.compare(score, best) >= 0) { best = score; bi = c }
       c += 1
     }
     bi
@@ -322,7 +325,7 @@ case class PqArgBest(
          |        $acc += $asDouble * $cb[$c * $d0 + $j];
          |      }
          |      double $score = 2.0 * $acc - $n2[$c];
-         |      if ($score >= $best) { $best = $score; $bi = $c; }
+         |      if (java.lang.Double.compare($score, $best) >= 0) { $best = $score; $bi = $c; }
          |    }
          |    ${ev.value} = $bi;
          |  }

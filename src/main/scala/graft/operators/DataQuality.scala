@@ -53,7 +53,11 @@ object DataQuality {
     * parent) and the match ratio — the FK check a pipeline runs before
     * publishing a fact table against its dimensions. NULL child keys are
     * reported separately (`n_null_key`), not counted as orphans, matching
-    * SQL FK semantics.
+    * SQL FK semantics. When NO key is checkable — the child is empty, or
+    * every child key is NULL — `match_ratio` is NULL (0 performable
+    * checks is "no evidence", not "0% match"), so a `match_ratio >= t`
+    * gate neither passes nor hard-fails vacuously; gate on
+    * `coalesce(match_ratio, …)` to choose a policy.
     *
     * Scale shape: one left-anti equi-join on the key columns — the parent
     * side projects keys only and is typically dimension-sized, so AQE
@@ -81,10 +85,12 @@ object DataQuality {
         col("n_rows"),
         coalesce(col("n_null_key"), lit(0L)).as("n_null_key"),
         col("n_orphans"),
-        round(when(col("n_rows") === 0, lit(null)).otherwise(
-          (col("n_rows") - coalesce(col("n_null_key"), lit(0L)) - col("n_orphans"))
-            .cast("double") /
-            greatest(col("n_rows") - coalesce(col("n_null_key"), lit(0L)), lit(1L))), 6)
+        round(when(
+          col("n_rows") - coalesce(col("n_null_key"), lit(0L)) === 0, lit(null))
+          .otherwise(
+            (col("n_rows") - coalesce(col("n_null_key"), lit(0L)) - col("n_orphans"))
+              .cast("double") /
+              (col("n_rows") - coalesce(col("n_null_key"), lit(0L)))), 6)
           .as("match_ratio"))
   }
 

@@ -268,8 +268,13 @@ object Sampling {
       .withColumn("__score", -hashUniform(col("__id"), salt))
       .groupBy("__g")
       .agg(topk(col("__score"), col("__id")).as("tk"))
-      .select(explode(col("tk")).as("r"))
-      .select(col("r._2").as("__keep_id"))
-    df.join(kept, df(idCol).cast("long") === kept("__keep_id"), "left_semi")
+      .select(col("__g"), explode(col("tk")).as("r"))
+      .select(col("__g").as("__keep_g"), col("r._2").as("__keep_id"))
+    // Semi-join on (group, id), not id alone: even if the documented
+    // unique-id contract is violated, an id elected in one group cannot
+    // resurrect same-id rows capped out of another group.
+    df.join(kept,
+      df(idCol).cast("long") === kept("__keep_id") &&
+        df(groupCol) <=> kept("__keep_g"), "left_semi")
   }
 }

@@ -44,6 +44,20 @@ class DataQualitySpec extends SparkSpec {
     assert(clean === (("fk", 2L, 0L, 0L, Some(1.0))))
   }
 
+  test("checkReferentialIntegrity: no checkable keys → NULL match_ratio") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // every child key NULL: zero performable checks, not a 0% match
+    val allNull = DataQuality.checkReferentialIntegrity(
+      Seq[Option[Long]](None, None).toDF("fk"), parent, Seq("fk" -> "pk"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(allNull === (("fk", 2L, 2L, 0L, None)))
+    // empty child: same convention
+    val empty = DataQuality.checkReferentialIntegrity(
+      Seq(Some(1L)).toDF("fk").filter(lit(false)), parent, Seq("fk" -> "pk"))
+      .as[(String, Long, Long, Long, Option[Double])].head()
+    assert(empty === (("fk", 0L, 0L, 0L, None)))
+  }
+
   test("checkColumns gates on thresholds; untouched dimensions don't gate") {
     val got = DataQuality.checkColumns(rows,
       minCompleteness = Map("id" -> 0.7, "tag" -> 0.9),

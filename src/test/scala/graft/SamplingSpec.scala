@@ -165,4 +165,18 @@ class SamplingSpec extends SparkSpec {
     assert(byGroup("a") === 2)          // null id never elected
     assert(byGroup(null) === 2)         // null group capped, not dropped
   }
+
+  test("capPerGroup: a duplicate id elected in one group cannot leak into another") {
+    // contract violation on purpose: id 7 appears in groups a AND b. Whatever
+    // happens inside its own groups, electing 7 in group a must never
+    // resurrect a capped-out id-7 row of group b — the semi-join keys on
+    // (group, id), not id alone.
+    val rows = Seq((7L, "a"), (1L, "a"), (2L, "a"),
+      (7L, "b"), (3L, "b"), (4L, "b"), (5L, "b"), (6L, "b"))
+      .toDF("id", "g")
+    val capped = Sampling.capPerGroup(rows, "id", "g", maxPerGroup = 1)
+    val byGroup = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byGroup("a") === 1, s"group a over cap: $byGroup")
+    assert(byGroup("b") === 1, s"group b over cap: $byGroup")
+  }
 }

@@ -384,6 +384,18 @@ class SimilaritySpec extends SparkSpec {
       VectorExpressions.pqAdcTable(col("embedding"), flat, offset, d0).as("kt"),
       specAdc.as("st")).head()
     assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    // non-finite components: an Inf in the window makes subspace scores a
+    // mix of ±Inf and NaN (Inf − Inf); the kernel compares via
+    // Double.compare — Spark's total order, NaN above every double — so it
+    // must still pick the same code as the array_max(struct) spec form
+    val weird = Seq(
+      Tuple1((0 until 16).map(i => if (i == 9) Float.PositiveInfinity else i / 16f)),
+      Tuple1((0 until 16).map(i => if (i == 10) Float.NaN else i / 16f)))
+      .toDF("embedding")
+    val w = weird.select(
+      VectorExpressions.pqArgBest(col("embedding"), flat, n2, offset, d0).as("kb"),
+      specBest.as("sb")).collect()
+    w.foreach(row => assert(row.getInt(0) === row.getInt(1), row.toString))
   }
 
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
