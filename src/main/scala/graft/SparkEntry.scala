@@ -289,16 +289,18 @@ object SparkEntry {
           Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
             bits = 16, maxHamming = 2))
         .select(col("id").as("doc_id"), col("cluster_id"))),
-    // incremental cluster maintenance: the even-id pair subgraph plays the
-    // standing labeling, every pair touching an odd id plays the new
-    // batch; updateClusters folds the batch in at batch cost and must be
-    // row-identical to the full recompute — so the oracle IS the
-    // x_dedup_clusters statement
+    // incremental cluster maintenance: pairs NOT touching a doc_id ≡ 9
+    // (mod 10) play the standing labeling, every pair touching one plays
+    // the new ~10% batch — a realistic ingestion slice, so the query's
+    // cost demonstrates the batch-cost claim (the r8 registration made
+    // the "batch" half the corpus and cost two full CC loops).
+    // updateClusters must be row-identical to the full recompute — so the
+    // oracle IS the x_dedup_clusters statement
     "x_dedup_clusters_incremental" -> ((s, d) => {
       val pairs = Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
         bits = 16, maxHamming = 2)
-      val standing = pairs.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
-      val batch = pairs.filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      val standing = pairs.filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
+      val batch = pairs.filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
       Dedup.updateClusters(Dedup.duplicateClusters(standing), batch)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),

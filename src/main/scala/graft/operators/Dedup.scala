@@ -785,10 +785,17 @@ object Dedup {
       maxIters: Int = 25,
       scope: graft.CacheScope = graft.CacheScope.Global,
       switchAfter: Int = 8): DataFrame = {
-    val fwd = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
-    val rev = pairs.select(col(idBCol).as("src"), col(idACol).as("dst"))
-    // symmetric closure: min labels must flow both ways along every edge
-    val edges = scope.persist(fwd.union(rev).filter(col("src") =!= col("dst")).distinct())
+    // symmetric closure: min labels must flow both ways along every edge.
+    // Dedup in canonical (lo, hi) form FIRST — the distinct shuffles |E|
+    // rows, then the reverse direction is a map-only mirror of the same
+    // deduped frame; distinct-ing the 2|E|-row symmetric union would pay
+    // double shuffle volume on the largest frame the loop touches.
+    val canon = pairs
+      .select(least(col(idACol), col(idBCol)).as("src"),
+        greatest(col(idACol), col(idBCol)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val edges = scope.persist(
+      canon.union(canon.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var sumNow = labelChecksum(labels)
