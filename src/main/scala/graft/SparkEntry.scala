@@ -417,6 +417,30 @@ object SparkEntry {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
     }),
+    // persist-then-probe PQ: the codebook frame and code table are the
+    // artifacts a production corpus encodes ONCE and stores; the probe
+    // trains and encodes nothing. Must equal x_sim_pq row-for-row (same
+    // oracle statement); the parquet round-trip itself is pinned in
+    // SimilaritySpec — registered queries stay pure
+    "x_sim_pq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 16, codes = 16, iters = 2)
+      Similarity.pqTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb), cb,
+        k = 10, probe = 40)
+    }),
+    // persist-then-probe IVF: stored centroid frame + inverted file,
+    // corpus vectors join in by id only for scoring; equals x_sim_ivf
+    "x_sim_ivf_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents), cents,
+        k = 10, nprobe = 8)
+    }),
     // int8 scalar quantization: 4x smaller vectors for the ANN shuffle.
     // The dump flattens codes to a CSV string: the driver's checker sorts
     // every dumped column, and array-typed cells crash its pandas sort
@@ -1364,7 +1388,15 @@ object SparkEntry {
        |         substring(md5(CAST($idExpr AS VARCHAR) || '#$salt'), j, 1)) - 1)
        |      * CAST(pow(16, 8 - j) AS BIGINT))) AS DOUBLE) / 4294967296.0""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracles ++ Map(
+    // deliberately the SAME statements as x_sim_pq / x_sim_ivf: probing a
+    // stored codebook + code table (resp. centroid frame + inverted file)
+    // is an implementation strategy — persist-then-probe — not a semantic
+    // change, exactly the l09_delta_bucketed precedent
+    "x_sim_pq_index" -> baseOracles("x_sim_pq"),
+    "x_sim_ivf_index" -> baseOracles("x_sim_ivf"))
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "l01_csv_scan" ->
       s"""SELECT Lastname, Firstname, SSN,
         |       CAST(Test1 AS DOUBLE) AS Test1, CAST(Test2 AS DOUBLE) AS Test2,

@@ -458,48 +458,140 @@ object Similarity {
       nprobe: Int = 4,
       excludeSelf: Boolean = true,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids, "need 1 <= nprobe <= centroids")
-    val idType = corpus.schema(corpusIdCol).dataType
-
-    // deterministic coarse quantizer: smallest-md5(id) corpus vectors
-    val cents: Array[(Int, Seq[Double], Double)] = corpus
-      .select(col(corpusIdCol).cast("string").as("id"), col(corpusVecCol).as("v"))
-      .withColumn("h", md5(col("id")))
-      .orderBy("h")
-      .limit(centroids)
-      .collect()
-      .zipWithIndex
-      .map { case (row, i) =>
-        val vec = row.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)
-        val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
-        (i, vec, nrm)
-      }
-
-    // per-row cell scores: struct(cos, cid) so array_max / sort_array rank
-    // by (cos, cid) — ties toward the larger cid, mirrored in the oracle
-    def cellScores(vec: Column, nrm: Column): Column =
-      array(cents.map { case (i, cv, cnrm) =>
-        // cosFromNorms, not a bare divide: a zero-norm vector must score a
-        // defined 0.0, not NaN-poison the argmax/probe ordering
-        struct(cosFromNorms(dot(vec, typedLit(cv)), nrm, lit(cnrm)).as("s"), lit(i).as("i"))
-      }: _*)
-
+    val cents = ivfSample(corpus, corpusIdCol, corpusVecCol, centroids)
     val assigned = scope.persist(
       corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
           l2Norm(col(corpusVecCol)).as("cn"))
-        .withColumn("cid", array_max(cellScores(col("cv"), col("cn"))).getField("i")))
+        .withColumn("cid", array_max(ivfCellScores(cents, col("cv"), col("cn"))).getField("i")))
+    ivfProbeCore(queries, queryIdCol, queryVecCol, assigned, cents, k, nprobe,
+      excludeSelf, corpus.schema(corpusIdCol).dataType)
+  }
 
+  /** The deterministic coarse quantizer behind [[ivfTopK]]: the `centroids`
+    * corpus vectors with the smallest md5(id), as driver-side literals. */
+  private def ivfSample(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      centroids: Int): Array[(Int, Seq[Double], Double)] = corpus
+    .select(col(corpusIdCol).cast("string").as("id"), col(corpusVecCol).as("v"))
+    .withColumn("h", md5(col("id")))
+    .orderBy("h")
+    .limit(centroids)
+    .collect()
+    .zipWithIndex
+    .map { case (row, i) =>
+      val vec = row.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue)
+      val nrm = math.sqrt(vec.foldLeft(0.0)((acc, x) => acc + x * x))
+      (i, vec, nrm)
+    }
+
+  // per-row cell scores: struct(cos, cid) so array_max / sort_array rank
+  // by (cos, cid) — ties toward the larger cid, mirrored in the oracle
+  private def ivfCellScores(
+      cents: Array[(Int, Seq[Double], Double)], vec: Column, nrm: Column): Column =
+    array(cents.map { case (i, cv, cnrm) =>
+      // cosFromNorms, not a bare divide: a zero-norm vector must score a
+      // defined 0.0, not NaN-poison the argmax/probe ordering
+      struct(cosFromNorms(dot(vec, typedLit(cv)), nrm, lit(cnrm)).as("s"), lit(i).as("i"))
+    }: _*)
+
+  /** The probe half shared by [[ivfTopK]] (fresh assignment) and
+    * [[ivfTopKWith]] (stored assignment): each query ranks the cells,
+    * probes its `nprobe` best, and scores only those cells' vectors. */
+  private def ivfProbeCore(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      assigned: DataFrame, // (corpus_id, cv, cn, cid)
+      cents: Array[(Int, Seq[Double], Double)],
+      k: Int,
+      nprobe: Int,
+      excludeSelf: Boolean,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.length, "need 1 <= nprobe <= centroids")
     val probes = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
         l2Norm(col(queryVecCol)).as("qn"))
       .withColumn("cid", explode(transform(
-        slice(reverse(sort_array(cellScores(col("qv"), col("qn")))), 1, nprobe),
+        slice(reverse(sort_array(ivfCellScores(cents, col("qv"), col("qn")))), 1, nprobe),
         s => s.getField("i"))))
-
     val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
     val scored = assigned.join(broadcast(probes), Seq("cid")).filter(self)
       .withColumn("cos", round(cosFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .select("query_id", "corpus_id", "cos")
     rankTopK(scored, k, idType)
+  }
+
+  /** Persistable IVF coarse-quantizer frame: (cid, centroid array<double>,
+    * nrm) — the model artifact of [[ivfTopK]]'s deterministic sample. A
+    * production corpus trains this ONCE, writes it next to the inverted
+    * file ([[ivfAssignWith]]), and every later run probes via
+    * [[ivfTopKWith]] without re-deriving either. Bounded: `centroids`
+    * rows regardless of corpus size. */
+  def ivfCentroids(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      centroids: Int = 16): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    ivfSample(corpus, corpusIdCol, corpusVecCol, centroids)
+      .toSeq.toDF("cid", "centroid", "nrm")
+  }
+
+  private def collectIvfCentroids(centroidsDf: DataFrame): Array[(Int, Seq[Double], Double)] =
+    centroidsDf.select(col("cid"), col("centroid"), col("nrm")).collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue),
+        r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** The inverted file for a stored [[ivfCentroids]] frame: (`corpusIdCol`,
+    * cid) — each corpus row's nearest cell by the same (cos, cid) argmax
+    * as [[ivfTopK]]. A pure per-row projection (the centroid frame is a
+    * bounded driver-side synopsis, never the corpus); encode once, store,
+    * probe forever. */
+  def ivfAssignWith(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      centroidsDf: DataFrame): DataFrame = {
+    val cents = collectIvfCentroids(centroidsDf)
+    corpus.select(col(corpusIdCol),
+      array_max(ivfCellScores(cents, col(corpusVecCol), l2Norm(col(corpusVecCol))))
+        .getField("i").as("cid"))
+  }
+
+  /** IVF top-k over STORED artifacts — the production probe path: the
+    * centroid frame ([[ivfCentroids]]) and inverted file
+    * ([[ivfAssignWith]]) are read back (e.g. from parquet), corpus
+    * vectors join in by id for scoring, and no training or re-assignment
+    * happens in the query. Row-identical to [[ivfTopK]] at the same
+    * parameters (the probe core is shared code).
+    *
+    * @param assigned stored (`corpusIdCol`, cid) inverted file
+    * @param centroidsDf stored (cid, centroid, nrm) frame
+    */
+  def ivfTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      assigned: DataFrame,
+      centroidsDf: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val cents = collectIvfCentroids(centroidsDf)
+    val withVecs = scope.persist(
+      corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
+          l2Norm(col(corpusVecCol)).as("cn"))
+        .join(assigned.select(col(corpusIdCol).as("corpus_id"), col("cid")), Seq("corpus_id")))
+    ivfProbeCore(queries, queryIdCol, queryVecCol, withVecs, cents, k, nprobe,
+      excludeSelf, corpus.schema(corpusIdCol).dataType)
   }
 
   /** Recall@k of an approximate top-k result against the exact one: the
@@ -697,12 +789,32 @@ object Similarity {
       excludeSelf: Boolean = true,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     require(dims % m == 0, s"dims $dims must divide into $m subspaces")
-    require(probe >= k, "probe shortlist must be at least k")
-    val idType = corpus.schema(corpusIdCol).dataType
-    val d0 = dims / m
     val base = scope.persist(corpus.select(col(corpusIdCol).as("id"), col(corpusVecCol).as("v")))
     val cents = pqTrain(base, m, codes, iters, dims)
     val enc = base.select((col("id").as("corpus_id") +: pqCodeCols(cents, dims)): _*)
+    pqProbeCore(queries, queryIdCol, queryVecCol, enc, cents,
+      base.select(col("id").as("corpus_id"), col("v").as("cv"), l2Norm(col("v")).as("cn")),
+      k, probe, dims, excludeSelf, corpus.schema(corpusIdCol).dataType)
+  }
+
+  /** The ADC probe half shared by [[pqTopK]] (fresh codebooks) and
+    * [[pqTopKWith]] (stored codebooks + stored codes): per-query lookup
+    * tables, reconstructed-norm cosine shortlist, exact re-rank. */
+  private def pqProbeCore(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      enc: DataFrame, // (corpus_id, c0..c{m-1})
+      cents: PqCodebooks,
+      corpusVecs: DataFrame, // (corpus_id, cv, cn)
+      k: Int,
+      probe: Int,
+      dims: Int,
+      excludeSelf: Boolean,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    require(probe >= k, "probe shortlist must be at least k")
+    val m = cents.length
+    val d0 = dims / m
     // per-query ADC tables t0..t{m-1}: dot of the query subvector with
     // every code of that subspace — m × codes doubles per QUERY row
     val qt = queries.select(col(queryIdCol).as("query_id"),
@@ -726,14 +838,100 @@ object Similarity {
     // exact re-rank of the survivors with the original vectors
     val qv = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
       l2Norm(col(queryVecCol)).as("qn"))
-    val cv = base.select(col("id").as("corpus_id"), col("v").as("cv"),
-      l2Norm(col("v")).as("cn"))
     val scored = cand
       .join(broadcast(qv), Seq("query_id"))
-      .join(cv, Seq("corpus_id"))
+      .join(corpusVecs, Seq("corpus_id"))
       .withColumn("cos", round(cosFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .select("query_id", "corpus_id", "cos")
     rankTopK(scored, k, idType)
+  }
+
+  /** Persistable PQ codebook frame: one row per (subspace, code) with the
+    * centroid subvector and its precomputed squared norm — m × codes rows,
+    * the model artifact a production corpus trains ONCE ([[pqTrain]]'s
+    * deterministic Lloyd recipe) and stores next to its encoded codes
+    * ([[pqEncodeWith]]); every later run probes via [[pqTopKWith]] with
+    * no retraining and no re-encoding. */
+  def pqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      codes: Int = 8,
+      iters: Int = 2,
+      dims: Int = 64,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val base = scope.persist(corpus.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val cents = pqTrain(base, m, codes, iters, dims)
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    cents.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case ((cv, n2), cid) => (s, cid, cv, n2) }
+    }.toSeq.toDF("s", "cid", "centroid", "norm2")
+  }
+
+  private def collectPqCodebooks(codebook: DataFrame): PqCodebooks = {
+    val rows = codebook.select(col("s"), col("cid"), col("centroid"), col("norm2")).collect()
+    require(rows.nonEmpty, "empty PQ codebook frame")
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(r =>
+        (r.getSeq[Any](2).map(_.asInstanceOf[Number].doubleValue).toSeq, r.getDouble(3)))
+    }
+  }
+
+  /** PQ-encode a corpus against a STORED [[pqCodebook]] frame — the
+    * append path of a persisted PQ index: new rows encode with the
+    * standing codebooks (a pure per-row projection; the codebook collect
+    * is the m × codes model synopsis, never the corpus) and their code
+    * words append to the stored code table.
+    *
+    * @return (`idCol`, codes array<int>), same layout as [[pqEncode]]
+    */
+  def pqEncodeWith(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      dims: Int = 64): DataFrame = {
+    val cents = collectPqCodebooks(codebook)
+    require(dims % cents.length == 0, s"dims $dims must divide into ${cents.length} subspaces")
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id").as(idCol), array(pqCodeCols(cents, dims): _*).as("codes"))
+  }
+
+  /** PQ top-k over STORED artifacts — the production probe path: the
+    * codebook frame ([[pqCodebook]]) and code table ([[pqEncode]] /
+    * [[pqEncodeWith]]) are read back (e.g. from parquet), corpus vectors
+    * join in by id only for the exact re-rank of shortlist survivors, and
+    * no training or encoding happens in the query. Row-identical to
+    * [[pqTopK]] at the same parameters (the ADC probe core is shared
+    * code).
+    *
+    * @param encoded stored (`corpusIdCol`, codes array<int>) code table
+    * @param codebook stored (s, cid, centroid, norm2) frame
+    */
+  def pqTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      encoded: DataFrame,
+      codebook: DataFrame,
+      k: Int,
+      probe: Int = 40,
+      dims: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents = collectPqCodebooks(codebook)
+    val m = cents.length
+    val enc = encoded.select(col(corpusIdCol).as("corpus_id") +:
+      (0 until m).map(s => element_at(col("codes"), s + 1).as(s"c$s")): _*)
+    pqProbeCore(queries, queryIdCol, queryVecCol, enc, cents,
+      corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
+        l2Norm(col(corpusVecCol)).as("cn")),
+      k, probe, dims, excludeSelf, corpus.schema(corpusIdCol).dataType)
   }
 
   /** Deterministic Lloyd k-means assignment over an embedding column —

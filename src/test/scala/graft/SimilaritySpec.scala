@@ -398,6 +398,44 @@ class SimilaritySpec extends SparkSpec {
     w.foreach(row => assert(row.getInt(0) === row.getInt(1), row.toString))
   }
 
+  test("persisted ANN index: parquet round-trip probe is row-identical to the fresh path") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ann_index").toString
+    // --- PQ: codebook + code table written once, probed from storage
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, codes = 8, iters = 1)
+    cb.write.parquet(s"$dir/pq_codebook")
+    Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb)
+      .write.parquet(s"$dir/pq_codes")
+    val storedPq = Similarity.pqTopKWith(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding",
+      spark.read.parquet(s"$dir/pq_codes"), spark.read.parquet(s"$dir/pq_codebook"),
+      k = 10, probe = 40)
+    val freshPq = Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10, m = 8, codes = 8, iters = 1, probe = 40)
+    assert(storedPq.as[(Long, Long, Double, Int)].collect().toSet ===
+      freshPq.as[(Long, Long, Double, Int)].collect().toSet)
+    // encoding with the stored codebook = encoding inside fresh training
+    val freshCodes = Similarity.pqEncode(emb, "vec_id", "embedding", m = 8, codes = 8, iters = 1)
+      .select(col("vec_id"), col("codes"))
+    val storedCodes = spark.read.parquet(s"$dir/pq_codes")
+    assert(storedCodes.as[(Long, Seq[Int])].collect().toSet ===
+      freshCodes.as[(Long, Seq[Int])].collect().toSet)
+    // --- IVF: centroid frame + inverted file written once, probed from storage
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+    cents.write.parquet(s"$dir/ivf_centroids")
+    Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents)
+      .write.parquet(s"$dir/ivf_assigned")
+    val storedIvf = Similarity.ivfTopKWith(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding",
+      spark.read.parquet(s"$dir/ivf_assigned"), spark.read.parquet(s"$dir/ivf_centroids"),
+      k = 10, nprobe = 8)
+    val freshIvf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
+    assert(storedIvf.as[(Long, Long, Double, Int)].collect().toSet ===
+      freshIvf.as[(Long, Long, Double, Int)].collect().toSet)
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5)
