@@ -166,6 +166,85 @@ object StreamingHistorization {
         ()
       }
 
+  /** The continuous-ingestion dedup LOOP — [[nearDupStream]]'s candidate
+    * discovery composed with [[graft.operators.Dedup.updateClusters]]'s
+    * incremental maintenance, so the store always holds a live
+    * corpus-wide duplicate labeling. Per micro-batch:
+    *
+    *  1. drop documents already present in the band-index store (the
+    *     at-least-once re-delivery absorber, as in [[nearDupStream]]);
+    *  2. emit this batch's candidate pairs: intra-batch from its own band
+    *     rows, plus batch × index from the stream-static (band, key)
+    *     equi-join — batch-cost, the corpus text is never re-read;
+    *  3. fold the pairs into the standing (id, cluster_id) labeling via
+    *     [[graft.operators.Dedup.updateClusters]] — condensed-graph CC at
+    *     batch size, one relabel equi-join, never a corpus-wide CC;
+    *  4. persist: append pairs, swap the labeling store
+    *     ([[Store.writeStoreSwap]] — readers see old or new generation,
+    *     never half), append the batch's band rows to the index.
+    *
+    * Write order makes replay safe at every crash point: pairs consumers
+    * read a set; a replay after the labels swap but before the index
+    * append re-derives the same pairs, and [[graft.operators.Dedup
+    * .updateClusters]] over already-merged pairs is the identity (both
+    * endpoints condense to the same label), so the second swap writes the
+    * same labeling.
+    *
+    * After any prefix of batches, the labels store equals
+    * `duplicateClusters(minhashCandidates(all docs ingested so far))` —
+    * the streaming/batch twin equality a spec pins under re-delivery.
+    *
+    * State at 100 TB: the index is (id, band, key) rows and the labeling
+    * (id, cluster_id) pairs — both payload-free slivers; compact both
+    * periodically with [[Store.compactStore]]. */
+  def clusterMaintainStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      pairsPath: String,
+      labelsPath: String,
+      checkpoint: String,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      maxIters: Int = 25): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        graft.CacheScope.withScope { scope =>
+          val banded0 = graft.operators.Dedup.minhashBandIndex(
+            batch.dropDuplicates(idCol), idCol, textCol, n, k, bands)
+          val index = Store.readParquetSafe(session, indexPath)
+          val novel = scope.persist(index.fold(banded0) { ix =>
+            banded0.join(ix.select("id").distinct(), Seq("id"), "left_anti")
+          })
+          val intra = novel.as("a").join(novel.as("b"),
+              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          val pairs = scope.persist(index.fold(intra) { ix =>
+            intra.union(
+              novel.as("b").join(ix.as("c"),
+                  col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+                .select(least(col("b.id"), col("c.id")).as("id_a"),
+                  greatest(col("b.id"), col("c.id")).as("id_b")))
+          }.distinct())
+          val standing = Store.readParquetSafe(session, labelsPath)
+            .getOrElse(pairs.select(col("id_a").as("id"), col("id_a").as("cluster_id")).limit(0))
+          val updated = graft.operators.Dedup.updateClusters(
+            standing, pairs, maxIters = maxIters, scope = scope)
+          pairs.write.mode("append").parquet(pairsPath)
+          // swap AFTER the tmp write fully materializes `updated` (which
+          // still reads the old labels generation), never in place
+          Store.writeStoreSwap(updated, labelsPath, Seq.empty)
+          novel.write.mode("append").parquet(indexPath)
+        }
+        ()
+      }
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

@@ -187,6 +187,36 @@ class StreamingSpec extends SparkSpec {
     assert(ix.count() === docs.count() * 4)
   }
 
+  test("streaming cluster maintenance converges to the full-recompute labeling") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-clmaint-stream").toString
+    // three micro-batches: evens, odds, then a FULL re-delivery
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/in/d0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$dir/in/d1")
+    docs.write.parquet(s"$dir/in/d2")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    val writer = StreamingHistorization.clusterMaintainStream(
+      stream, "doc_id", "text",
+      s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/chk")
+    StreamingHistorization.runOnce(writer)
+
+    val labels = spark.read.parquet(s"$dir/labels")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    val batchTwin = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text"))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(labels === batchTwin)
+    assert(batchTwin.nonEmpty, "fixture sanity: clusters exist")
+    // one label per node, no duplicate rows in the swapped store
+    assert(spark.read.parquet(s"$dir/labels").count() === labels.size)
+    // re-delivery absorbed: the index holds each doc once (bands rows each)
+    val ix = spark.read.parquet(s"$dir/index")
+    assert(ix.select("id").distinct().count() === docs.count())
+  }
+
   test("streaming decontamination equals the batch twin and is stateless under re-delivery") {
     val docsAll = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val train = docsAll.filter($"doc_id" % 20 =!= 0)
