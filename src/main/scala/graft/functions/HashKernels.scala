@@ -281,6 +281,43 @@ object HashKernels {
     }
     fp
   }
+
+  /** Average-hash (aHash) fingerprint over a binary payload: `bits`
+    * stub-decode features — feature i is the first 16 bits of
+    * md5(payload ++ "#i") scaled to [-1, 1], exactly
+    * `conv(md5(concat(payload, '#i')).substr(1,4), 16, 10) / 65535.0
+    * * 2 - 1` — thresholded at their seeded left-to-right mean, packed
+    * MSB-first. Value-identical to the staged HOF form
+    * ([[graft.operators.Multimodal.perceptualHashStaged]]); one kernel
+    * call per row replaces three interpreted-HOF projections and `bits`
+    * re-walks of the feature array. */
+  def phashFp(payload: Array[Byte], bits: Int): Long = {
+    val md = mdLocal.get()
+    val fs = new Array[Double](bits)
+    var i = 0
+    while (i < bits) {
+      val suffix = ("#" + i).getBytes("UTF-8")
+      val buf = new Array[Byte](payload.length + suffix.length)
+      System.arraycopy(payload, 0, buf, 0, payload.length)
+      System.arraycopy(suffix, 0, buf, payload.length, suffix.length)
+      md.reset()
+      val digest = md.digest(buf)
+      val v = ((digest(0) & 0xff) << 8) | (digest(1) & 0xff)
+      fs(i) = v / 65535.0 * 2 - 1
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < bits) { acc += fs(i); i += 1 }
+    val mean = acc / bits
+    var fp = 0L
+    i = 0
+    while (i < bits) {
+      if (fs(i) > mean) fp |= 1L << (bits - 1 - i)
+      i += 1
+    }
+    fp
+  }
 }
 
 /** Codegen'd MinHash signature over a shingle array column. */
@@ -450,6 +487,26 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd average-hash perceptual fingerprint over a binary payload. */
+case class PhashFp(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.phashFp(input.asInstanceOf[Array[Byte]], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.phashFp($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): PhashFp =
+    copy(child = newChild)
+}
+
 object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
@@ -482,4 +539,8 @@ object DedupExpressions {
   /** Codegen'd Unicode NFC composition of a string column. */
   def nfcNormalizeOf(text: Column): Column =
     CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
+
+  /** Codegen'd average-hash perceptual fingerprint of a binary column. */
+  def phashOf(payload: Column, bits: Int): Column =
+    CatalystBridge.column(PhashFp(CatalystBridge.expression(payload), bits))
 }

@@ -138,20 +138,31 @@ object Multimodal {
     * codec swaps the feature source only; the thresholding, fingerprint
     * packing and downstream blocking stay).
     *
-    * Feature extraction, mean, and bit packing run in three STAGED
-    * projections (interpreted HOFs re-evaluate inline subtrees — the
-    * winnowing lesson). CollapseProject re-inlines an alias referenced
-    * exactly once, which would push the mean fold INSIDE the per-bit
-    * lambda (bits re-evaluations per row) — so the final projection
-    * references `mean` twice: once in the lambda and once in a
-    * semantically-neutral null guard (mean is null iff features is null),
-    * which keeps the stage boundary in force. The mean is a seeded
+    * One codegen'd kernel call per row ([[graft.functions.HashKernels
+    * .phashFp]]) — the [[graft.functions.WinnowFps]] lesson applied to
+    * the media path, whose three interpreted-HOF stages
+    * ([[perceptualHashStaged]], kept as the executable spec) made
+    * `x_media_phash` the first media-scale wall. The mean is a seeded
     * left-to-right fold, mirrored by `list_reduce` in the oracle so
     * double addition order is identical.
     *
     * @return (id, fp) — fp is a `bits`-wide long, null for null payloads
     */
   def perceptualHash(media: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 2 && bits <= 62, "need 2 <= bits <= 62")
+    media.select(col("id"),
+      graft.functions.DedupExpressions.phashOf(col("payload"), bits).as("fp"))
+  }
+
+  /** The staged-HOF executable spec [[perceptualHash]]'s kernel is pinned
+    * against (MultimodalSpec): feature extraction, mean, and bit packing
+    * as three STAGED projections. CollapseProject re-inlines an alias
+    * referenced exactly once, which would push the mean fold INSIDE the
+    * per-bit lambda (bits re-evaluations per row) — so the final
+    * projection references `mean` twice: once in the lambda and once in a
+    * semantically-neutral null guard (mean is null iff features is null),
+    * which keeps the stage boundary in force. */
+  def perceptualHashStaged(media: DataFrame, bits: Int = 16): DataFrame = {
     require(bits >= 2 && bits <= 62, "need 2 <= bits <= 62")
     extractFeaturesSql(media, bits)
       .select(col("id"), col("features"),

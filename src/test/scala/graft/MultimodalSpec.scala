@@ -71,6 +71,19 @@ class MultimodalSpec extends SparkSpec {
     assert(!nf.filter($"id" === 1L).head.isNullAt(1))
   }
 
+  test("phash kernel is value-identical to the staged HOF spec form") {
+    // real corpus payloads, several widths incl. the 62-bit edge (sign-free
+    // long) and the 16-bit shipped setting
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val m = Multimodal.asMedia(docs, "doc_id", "text")
+    for (bits <- Seq(16, 31, 62)) {
+      val kernel = Multimodal.perceptualHash(m, bits)
+      val staged = Multimodal.perceptualHashStaged(m, bits)
+      assert(kernel.exceptAll(staged).count() === 0, s"bits=$bits kernel minus staged")
+      assert(staged.exceptAll(kernel).count() === 0, s"bits=$bits staged minus kernel")
+    }
+  }
+
   test("phash near-dups: identical payloads pair at hamming 0; bound respected") {
     val dup = Seq((1L, "same payload bytes"), (2L, "same payload bytes"),
       (3L, "something else entirely")).toDF("doc_id", "text")
