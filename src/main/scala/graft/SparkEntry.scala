@@ -239,6 +239,17 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
     "l15_split_hist" -> ((s, d) => Scd2.splitMergedDataset(scd2v2(s, d))._1
       .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
+    // point-in-time reconstruction: the historized table as it was on a
+    // mid-history day (run 1 live, run 2 not yet — every v1 row valid)
+    // and on the close-out boundary day itself (closed rows' VALID_TO is
+    // inclusive, so 2024-02-14 still reads the pre-change versions)
+    "x_store_asof" -> ((s, d) => qtyAsDouble(Scd2.asOf(scd2v2(s, d), "2024-02-01")
+      .select("l_orderkey", "l_linenumber", "quantity",
+        M.RecordHash, M.ValidFrom, M.ValidTo))),
+    "x_store_asof_boundary" -> ((s, d) =>
+      qtyAsDouble(Scd2.asOf(scd2v2(s, d), "2024-02-14")
+        .select("l_orderkey", "l_linenumber", "quantity",
+          M.RecordHash, M.ValidFrom, M.ValidTo))),
     // ---- extensions: dedup ----
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", Seq("text"))),
@@ -1513,6 +1524,19 @@ object SparkEntry {
       s"""$scd2Cte
          |SELECT l_orderkey, l_linenumber, "RECORD_HASH", "VALID_FROM", "VALID_TO"
          |FROM v2 WHERE "VALID_TO" < DATE '9999-12-31'""".stripMargin,
+    // definitional as-of: both validity bounds inclusive
+    "x_store_asof" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE "VALID_FROM" <= DATE '2024-02-01'
+         |  AND DATE '2024-02-01' <= "VALID_TO"""".stripMargin,
+    "x_store_asof_boundary" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE "VALID_FROM" <= DATE '2024-02-14'
+         |  AND DATE '2024-02-14' <= "VALID_TO"""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

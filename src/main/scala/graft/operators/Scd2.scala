@@ -228,4 +228,27 @@ object Scd2 {
     val active = df.filter(col(ValidTo) === upperBound || col(ValidTo).isNull)
     (hist, active)
   }
+
+  /** Point-in-time reconstruction of a historized table: the rows valid
+    * ON `day` — `VALID_FROM <= day <= VALID_TO`, both bounds inclusive
+    * (a closed row ends the day BEFORE its successor opens, so exactly
+    * one version per key covers any day; the SCD2 invariant a spec
+    * asserts). A null `VALID_TO` (possible on raw input, never
+    * post-merge) reads as the open bound, matching
+    * [[splitMergedDataset]]'s active side.
+    *
+    * This is the most common consumer query against a historized store —
+    * "the table as it was on day d". It is a pure per-row filter: both
+    * comparisons push down to a parquet scan (see
+    * [[graft.sources.Store.readStoreAsOf]] for the store-read
+    * composition whose plan is audited for `PushedFilters`), so a 100 TB
+    * store reads only row groups whose [min, max] validity ranges cover
+    * the day. */
+  def asOf(df: DataFrame, day: Column): DataFrame =
+    df.filter(col(ValidFrom) <= day &&
+      (col(ValidTo).isNull || day <= col(ValidTo)))
+
+  /** [[asOf]] with an ISO `yyyy-MM-dd` day literal. */
+  def asOf(df: DataFrame, day: String): DataFrame =
+    asOf(df, to_date(lit(day)))
 }

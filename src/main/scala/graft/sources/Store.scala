@@ -85,6 +85,15 @@ object Store {
   def readCurrentHashes(spark: SparkSession, path: String): Option[DataFrame] =
     readParquetSafe(spark, path).map(_.select(MetaColumns.KeyHash, MetaColumns.RecordHash))
 
+  /** Point-in-time store read: the historized table as it was on `day`
+    * (ISO `yyyy-MM-dd`) — [[graft.operators.Scd2.asOf]] applied at the
+    * scan, so both validity comparisons reach the parquet reader as
+    * `PushedFilters` and row groups whose VALID_FROM/VALID_TO [min, max]
+    * ranges exclude the day are skipped without being read. None when
+    * the store does not exist yet, like [[readParquetSafe]]. */
+  def readStoreAsOf(spark: SparkSession, path: String, day: String): Option[DataFrame] =
+    readParquetSafe(spark, path).map(graft.operators.Scd2.asOf(_, day))
+
   /** Persist the full current store, Hive-partitioned by the business-key
     * columns (main.py:24). Overwrite semantics. */
   def writeStore(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {

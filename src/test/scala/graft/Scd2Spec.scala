@@ -117,6 +117,34 @@ class Scd2Spec extends SparkSpec {
     assert(hist.filter(col(ValidTo).isNull).count() === 0)
   }
 
+  test("asOf reconstructs the table on any day; one version per key; bounds inclusive") {
+    val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
+    val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
+    val s2 = snapshot(Seq("a" -> "1", "b" -> "9", "c" -> "3"), c2)
+    val v2 = Scd2.historizeDataset(s2, Some(v1), c2, ValidFromMode.LoadDate)
+
+    def state(day: String): Map[String, String] =
+      Scd2.asOf(v2, day).select("k", "v").as[(String, String)].collect().toMap
+    // mid-history: run 1's world (b still "2", c absent)
+    assert(state("2024-02-01") === Map("a" -> "1", "b" -> "2"))
+    // boundary: the closed row's VALID_TO (2024-02-14) is inclusive
+    assert(state("2024-02-14") === Map("a" -> "1", "b" -> "2"))
+    // run-2 day onward: successor visible, new key arrived
+    assert(state("2024-02-15") === Map("a" -> "1", "b" -> "9", "c" -> "3"))
+    // before history began: empty
+    assert(state("2023-12-31") === Map.empty)
+    // the SCD2 invariant: at most one version per key on EVERY day
+    for (day <- Seq("2024-01-01", "2024-02-01", "2024-02-14", "2024-02-15", "2024-06-01")) {
+      val dups = Scd2.asOf(v2, day).groupBy(KeyHash)
+        .agg(count(lit(1)).as("n")).filter($"n" > 1).count()
+      assert(dups === 0, s"multiple versions valid on $day")
+    }
+    // null VALID_TO on raw input reads as the open bound (active row)
+    val raw = Seq(("x", "7", java.sql.Date.valueOf("2024-01-01"), null: java.sql.Date))
+      .toDF("k", "v", ValidFrom, ValidTo)
+    assert(Scd2.asOf(raw, "2024-05-05").count() === 1)
+  }
+
   test("custom valid-from mode stamps the supplied date on new keys") {
     val s1 = snapshot(Seq("a" -> "1"), c1)
     val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.Custom("2020-06-01"))

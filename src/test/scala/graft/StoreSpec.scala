@@ -22,6 +22,35 @@ class StoreSpec extends SparkSpec {
     assert(dirs <= 16 && dirs > 1)
   }
 
+  test("readStoreAsOf pushes both validity bounds to the scan and matches asOf") {
+    import graft.operators.Scd2
+    import graft.operators.Scd2.ValidFromMode
+    val c1 = Currents("2024-01-01 10:00:00")
+    val c2 = Currents("2024-02-15 10:00:00")
+    def snap(rows: Seq[(String, String)], c: Currents) =
+      MetaEnrichment.addMetaColumns(rows.toDF("k", "v"), c, Seq("k"))
+    val v1 = Scd2.historizeDataset(snap(Seq("a" -> "1", "b" -> "2"), c1),
+      None, c1, ValidFromMode.LoadDate)
+    val v2 = Scd2.historizeDataset(snap(Seq("a" -> "1", "b" -> "9"), c2),
+      Some(v1), c2, ValidFromMode.LoadDate)
+    val path = java.nio.file.Files.createTempDirectory("graft_asof").toString + "/store"
+    Store.writeStore(v2, path, Seq.empty)
+    val got = Store.readStoreAsOf(spark, path, "2024-02-01").get
+    assert(got.select("k", "v").as[(String, String)].collect().toMap ===
+      Map("a" -> "1", "b" -> "2"))
+    // both comparisons reach the parquet reader as pushed filters
+    val plan = got.queryExecution.executedPlan.toString
+    // (the VALID_TO bound pushes inside Or(IsNull(VALID_TO), GreaterThan-
+    // OrEqual(...)); the plan string truncates the Or's tail, so assert on
+    // its stable prefix)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(VALID_FROM") &&
+      plan.contains("Or(IsNull(VALID_TO)"),
+      s"validity bounds not pushed to the scan:\n$plan")
+    // missing store reads as None, like readParquetSafe
+    assert(Store.readStoreAsOf(spark, path + "_missing", "2024-02-01").isEmpty)
+  }
+
   test("compactStore collapses append-born small files without changing rows") {
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/digests"
     // simulate continuous ingestion: 20 per-batch appends, 2 files each
