@@ -339,6 +339,23 @@ object SparkEntry {
             bits = 16, maxHamming = 2))
         .select("doc_id")
     }),
+    // the corpus-scale width run END-TO-END: 64-bit pairs (the setting a
+    // real corpus ships — 16-bit fingerprint space saturates) fed through
+    // CC and the score election, so the full-width block arithmetic is
+    // oracle-checked all the way to cluster labels and survivors, not
+    // just at the pair emitter
+    "x_dedup_clusters_wide" -> ((s, d) =>
+      Dedup.duplicateClusters(
+          Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+            bits = 64, maxHamming = 3))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+    "x_dedup_keep_best_wide" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepBest(docs, "doc_id", "n_chars",
+          Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+            bits = 64, maxHamming = 3))
+        .select("doc_id")
+    }),
     // duplicated 30-char substring spans across the corpus
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
@@ -1006,6 +1023,14 @@ object SparkEntry {
     s"""$simhashFpCte,
        |${duckHammingPairs(16, 2)}""".stripMargin
 
+  /** The 64-bit sibling of [[simhashNearPairsCte]] — one definition shared
+    * by the wide pair, cluster, and election oracles so the corpus-scale
+    * width's arithmetic cannot drift between them. */
+  private lazy val simhashWideNearPairsCte: String =
+    s"""WITH $duckToksCte,
+       |${simhashFpTail(64)},
+       |${duckHammingPairs(64, 3)}""".stripMargin
+
   /** Recursive min-label connected-components CTEs over a pair relation
     * (`id_a`, `id_b`): `cc` enumerates (node, reachable node) over the
     * symmetric edge list — min(label) per id is the component minimum,
@@ -1619,10 +1644,26 @@ object SparkEntry {
     // Spark's unsigned shift only above the masked width, so the block
     // values agree bit-for-bit even when the sign bit is set
     "x_dedup_simhash_wide" ->
-      s"""WITH $duckToksCte,
-         |${simhashFpTail(64)},
-         |${duckHammingPairs(64, 3)}
+      s"""$simhashWideNearPairsCte
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // the wide pair graph through the SAME recursive-CC and election
+    // statements as the 16-bit family
+    "x_dedup_clusters_wide" ->
+      s"""${simhashWideNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    "x_dedup_keep_best_wide" ->
+      s"""${simhashWideNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
     // the blocking is an implementation detail; the contract is the O(n²)
     // definition, which the oracle states directly
     "x_dedup_editdist" ->
