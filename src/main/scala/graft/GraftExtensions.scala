@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CollapseRuns, DotProduct, MinHashSig, RepeatRatio, Shingles, SimHash}
+import graft.functions.{CollapseRuns, DotProduct, MinHashSig, PhashFp, RepeatRatio, Shingles, SimHash}
 
 /** SQL-surface registration of graft's native expressions, so SQL-string
   * pipelines can call them like built-ins:
@@ -18,6 +18,8 @@ import graft.functions.{CollapseRuns, DotProduct, MinHashSig, RepeatRatio, Shing
   *  - `graft_repeat_ratio(tokens, n)` — top full-n-gram frequency ratio
   *  - `graft_collapse_runs(tokens, maxRun)` — consecutive-duplicate-run
   *    collapsing (intra-document repetition removal)
+  *  - `graft_phash(payload, bits)` — average-hash perceptual fingerprint
+  *    of a binary payload
   *
   * Production path: `spark.sql.extensions=graft.GraftExtensions` (applied
   * at session build). For an existing session or REPL,
@@ -66,7 +68,12 @@ object GraftExtensions {
       info("graft_collapse_runs",
         "graft_collapse_runs(tokens, maxRun) - collapse consecutive duplicate-token runs to maxRun"),
       { case Seq(arr, m) => CollapseRuns(arr, intLit(m, "graft_collapse_runs", "maxRun"))
-        case args => throw new IllegalArgumentException(s"graft_collapse_runs expects 2 args, got ${args.size}") })
+        case args => throw new IllegalArgumentException(s"graft_collapse_runs expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_phash"),
+      info("graft_phash",
+        "graft_phash(payload, bits) - bits-wide average-hash perceptual fingerprint of a binary payload"),
+      { case Seq(p, b) => PhashFp(p, intLit(b, "graft_phash", "bits"))
+        case args => throw new IllegalArgumentException(s"graft_phash expects 2 args, got ${args.size}") })
   )
 
   /** Register on a live session (tests, REPL, existing sessions). */

@@ -54,4 +54,17 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_collapse_runs(split('a a a b', ' '), 2) AS c").head.getSeq[String](0)
     assert(got2 === Seq("a", "a", "b"))
   }
+
+  test("graft_phash from SQL equals the Column API form; null payload -> null") {
+    import org.apache.spark.sql.functions._
+    val sqlRes = spark.sql(
+      "SELECT graft_phash(CAST('some payload' AS BINARY), 16) AS fp").head.getLong(0)
+    val colRes = spark.range(1)
+      .select(graft.functions.DedupExpressions
+        .phashOf(lit("some payload").cast("binary"), 16).as("fp"))
+      .head.getLong(0)
+    assert(sqlRes === colRes)
+    assert(sqlRes >= 0L && sqlRes < (1L << 16))
+    assert(spark.sql("SELECT graft_phash(CAST(NULL AS BINARY), 16) AS fp").head.isNullAt(0))
+  }
 }

@@ -145,4 +145,23 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 8)
   }
+
+  test("asOf invariants: at most one version per key on any day; run-day state = snapshot keys") {
+    checkProp(Prop.forAll(snapshotGen.suchThat(_.nonEmpty), snapshotGen) { (a, b) =>
+      val v1 = Scd2.historizeDataset(enrich(a, c1), None, c1, ValidFromMode.LoadDate)
+      val v2 = Scd2.historizeDataset(enrich(b, c2), Some(v1), c2, ValidFromMode.LoadDate)
+      // probe days: before history, both run days (c1 = 2024-01-05,
+      // c2 = 2024-03-10), the closing boundary, far future
+      val days = Seq("2024-01-04", "2024-01-05", "2024-03-09", "2024-03-10", "2030-01-01")
+      val atMostOne = days.forall { d =>
+        Scd2.asOf(v2, d).groupBy("k").count().filter(col("count") > 1).isEmpty
+      }
+      // on run-2's day the reconstruction carries run-1 keys too (SCD2
+      // never deletes), so its key set is keys(a) ∪ keys(b)
+      val run2Keys = Scd2.asOf(v2, "2024-03-10").select("k").as[String].collect().toSet
+      // before history began, nothing is valid
+      val empty = Scd2.asOf(v2, "2024-01-04").isEmpty
+      atMostOne && run2Keys == (a.keySet ++ b.keySet) && empty
+    }, n = 8)
+  }
 }
