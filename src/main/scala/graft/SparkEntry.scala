@@ -250,6 +250,16 @@ object SparkEntry {
       qtyAsDouble(Scd2.asOf(scd2v2(s, d), "2024-02-14")
         .select("l_orderkey", "l_linenumber", "quantity",
           M.RecordHash, M.ValidFrom, M.ValidTo))),
+    // run-based time travel over the APPEND-ONLY hash store (the l16
+    // loop's sink): filtering the two-run chain to run 1's INSERT_RUN_ID
+    // must reproduce exactly the run-1 snapshot content — the
+    // "reproduce the training set a past run trained on" query
+    "x_store_asof_run" -> ((s, d) => {
+      val r1 = Historization.historizeFrames(
+        enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
+      val full = Historization.historizeFrames(r1, snapB(s, d), cur2, keys)
+      qtyAsDouble(full.filter(col(M.InsertRunId) <= cur1.runId))
+    }),
     // ---- extensions: dedup ----
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", Seq("text"))),
@@ -1448,6 +1458,18 @@ object SparkEntry {
          |)
          |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity)
          |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)""".stripMargin,
+    // the l16 statement filtered to run 1's INSERT_RUN_ID: run-based
+    // time travel over the append-only store = the run-1 snapshot content
+    "x_store_asof_run" ->
+      s"""$snapshotsCte,
+         |delta AS (
+         |  SELECT n.* FROM enrichB n LEFT JOIN enrichA c
+         |    ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |  WHERE c."KEY_HASH" IS NULL
+         |)
+         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity)
+         |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)
+         |WHERE "INSERT_RUN_ID" <= '20240101100000'""".stripMargin,
     "d05_valid_from_lower" ->
       s"""$snapshotsCte
          |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity),

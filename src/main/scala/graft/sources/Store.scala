@@ -4,6 +4,7 @@ import java.net.URI
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.meta.MetaColumns
 
@@ -93,6 +94,19 @@ object Store {
     * the store does not exist yet, like [[readParquetSafe]]. */
   def readStoreAsOf(spark: SparkSession, path: String, day: String): Option[DataFrame] =
     readParquetSafe(spark, path).map(graft.operators.Scd2.asOf(_, day))
+
+  /** Run-based time travel over the append-only hash-historized store
+    * (the L16 loop's sink, which only ever appends rows stamped with
+    * their run): the store exactly as run `runId` left it — rows whose
+    * INSERT_RUN_ID is at or before it. Run ids are `yyyyMMddHHmmss`
+    * ([[graft.meta.Currents]]), so one string comparison is
+    * chronological and pushes to the parquet scan. This is the
+    * "reproduce the training snapshot a past run trained on" query of a
+    * production corpus store; the SCD2 (date-interval) twin is
+    * [[readStoreAsOf]]. */
+  def readStoreAsOfRun(spark: SparkSession, path: String, runId: String): Option[DataFrame] =
+    readParquetSafe(spark, path)
+      .map(_.filter(col(MetaColumns.InsertRunId) <= runId))
 
   /** Persist the full current store, Hive-partitioned by the business-key
     * columns (main.py:24). Overwrite semantics. */

@@ -51,6 +51,27 @@ class StoreSpec extends SparkSpec {
     assert(Store.readStoreAsOf(spark, path + "_missing", "2024-02-01").isEmpty)
   }
 
+  test("readStoreAsOfRun reproduces the store a past run left behind") {
+    import graft.pipeline.Historization
+    val c1 = Currents("2024-01-01 10:00:00")
+    val c2 = Currents("2024-02-15 10:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_run").toString + "/store"
+    Historization.historizeRun(spark, Seq(("a", "1"), ("b", "2")).toDF("k", "v"),
+      dir, Seq("k"), Some("2024-01-01 10:00:00"))
+    val afterRun1 = spark.read.parquet(dir).collect().toSet
+    Historization.historizeRun(spark,
+      Seq(("a", "1"), ("b", "9"), ("c", "3")).toDF("k", "v"),
+      dir, Seq("k"), Some("2024-02-15 10:00:00"))
+    assert(spark.read.parquet(dir).count() > afterRun1.size)
+    // time travel back to run 1: exactly the rows run 1 left behind
+    val got = Store.readStoreAsOfRun(spark, dir, c1.runId).get
+    assert(got.collect().toSet === afterRun1)
+    // as of run 2: the whole store; missing path: None
+    assert(Store.readStoreAsOfRun(spark, dir, c2.runId).get.count() ===
+      spark.read.parquet(dir).count())
+    assert(Store.readStoreAsOfRun(spark, dir + "_missing", c1.runId).isEmpty)
+  }
+
   test("compactStore collapses append-born small files without changing rows") {
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/digests"
     // simulate continuous ingestion: 20 per-batch appends, 2 files each
