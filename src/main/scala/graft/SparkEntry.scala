@@ -555,6 +555,17 @@ object SparkEntry {
     "x_emb_semdedup" -> ((s, d) =>
       Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         minCos = 0.4, k = 8, iters = 2).select("vec_id")),
+    // persisted k-means model: centroids trained on the corpus once
+    // (kmeansCentroids — the k-means leg of the persisted-model story),
+    // a ~20% "new batch" assigned through the stored frame
+    // (kmeansAssignWith) must land in exactly the cells the full in-loop
+    // assignment gives those rows
+    "x_emb_kmeans_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.kmeansAssignWith(emb.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", cents)
+    }),
     // ---- extensions: embedding pooling ----
     "x_emb_meanpool" -> ((s, d) =>
       Embeddings.meanPoolExact(
@@ -2493,6 +2504,12 @@ object SparkEntry {
          |${duckCcLosers("pairs2")}
          |SELECT e.vec_id FROM embeddings e
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = e.vec_id)""".stripMargin,
+    // the Lloyd chain's own final assignment, restricted to the batch —
+    // assignment through the stored centroid frame is definitionally the
+    // same argmax
+    "x_emb_kmeans_incremental" ->
+      s"""WITH ${duckKmeansCtes(8, 2)}
+         |SELECT id AS vec_id, cid FROM a2 WHERE id % 5 = 4""".stripMargin,
     "x_emb_meanpool" ->
       """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
         |x AS (

@@ -967,19 +967,62 @@ object Similarity {
     kmeansAssigned(corpus, idCol, vecCol, k, iters, scope)
       .select(col("id").as(idCol), col("cid"))
 
-  /** [[kmeansAssign]] core keeping (id, v, nrm, cid) so downstream pair
-    * scoring reuses the persisted vectors and norms. */
-  private def kmeansAssigned(
+  /** Persistable k-means model frame: (cid, centroid array<double>) —
+    * the trained centroids of [[kmeansAssign]]'s deterministic Lloyd
+    * loop, k rows regardless of corpus size. Train once, store next to
+    * the corpus assignment, and route every later batch through
+    * [[kmeansAssignWith]] — the k-means leg of the persisted-model story
+    * ([[pqCodebook]] / [[ivfCentroids]] are the PQ and IVF legs); the
+    * semantic-dedup cell structure then extends to new data at batch
+    * cost instead of a corpus re-cluster. */
+  def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      iters: Int,
-      scope: graft.CacheScope): DataFrame = {
-    require(k >= 1, "need k >= 1 clusters")
-    require(iters >= 0, "iters must be non-negative")
+      k: Int = 16,
+      iters: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     val base = scope.persist(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm")))
+    val cents = kmeansTrain(base, k, iters)
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    cents.zipWithIndex.map { case (cv, cid) => (cid, cv) }.toSeq
+      .toDF("cid", "centroid")
+  }
+
+  /** Assign rows to a STORED [[kmeansCentroids]] frame's cells — the same
+    * (cos, cid) argmax rule as [[kmeansAssign]], with the centroid frame
+    * read back as a bounded model synopsis (k rows, never the corpus).
+    * A batch assigned with the standing centroids lands in exactly the
+    * cells a full retrain-free corpus pass would give it.
+    *
+    * @return (`idCol`, cid) */
+  def kmeansAssignWith(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidsDf: DataFrame): DataFrame = {
+    val cents: Array[Seq[Double]] = centroidsDf
+      .select(col("cid"), col("centroid")).collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+    require(cents.nonEmpty, "empty centroid frame")
+    val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"))
+    kmeansAssignCol(base, cents).select(col("id").as(idCol), col("cid"))
+  }
+
+  /** The deterministic Lloyd loop over a prepared (id, v, nrm) frame:
+    * smallest-md5(id) seeds, (cos, cid) argmax assignment, decimal-sum
+    * means, empty clusters keeping their previous centroid. Returns the
+    * trained centroids driver-side (k × dims doubles — the bounded-model
+    * contract). One definition feeds [[kmeansAssigned]] (fresh full run)
+    * and [[kmeansCentroids]] (the persistable model), so the two cannot
+    * drift. */
+  private def kmeansTrain(base: DataFrame, k: Int, iters: Int): Array[Seq[Double]] = {
+    require(k >= 1, "need k >= 1 clusters")
+    require(iters >= 0, "iters must be non-negative")
     // deterministic seed: smallest-md5(id) corpus vectors, as doubles
     var cents: Array[Seq[Double]] = base
       .select(col("id").cast("string").as("sid"), col("v"))
@@ -988,16 +1031,8 @@ object Similarity {
       .limit(k)
       .collect()
       .map(_.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
-    def assign(c: Array[Seq[Double]]): DataFrame = {
-      val scores = array(c.zipWithIndex.map { case (cv, i) =>
-        val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
-        struct(cosFromNorms(dot(col("v"), typedLit(cv)), col("nrm"), lit(cnrm)).as("s"),
-          lit(i).as("i"))
-      }: _*)
-      base.withColumn("cid", array_max(scores).getField("i"))
-    }
     for (_ <- 1 to iters) {
-      val means = assign(cents)
+      val means = kmeansAssignCol(base, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("cid", "i")
         .agg(round((sum(col("x").cast("double").cast("decimal(28,12)")).cast("double") /
@@ -1010,7 +1045,32 @@ object Similarity {
           .getOrElse(old)
       }
     }
-    assign(cents)
+    cents
+  }
+
+  /** The (cos, cid) argmax assignment over a prepared (id, v, nrm) frame
+    * — ties toward the larger cid, the IVF rule. */
+  private def kmeansAssignCol(base: DataFrame, c: Array[Seq[Double]]): DataFrame = {
+    val scores = array(c.zipWithIndex.map { case (cv, i) =>
+      val cnrm = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct(cosFromNorms(dot(col("v"), typedLit(cv)), col("nrm"), lit(cnrm)).as("s"),
+        lit(i).as("i"))
+    }: _*)
+    base.withColumn("cid", array_max(scores).getField("i"))
+  }
+
+  /** [[kmeansAssign]] core keeping (id, v, nrm, cid) so downstream pair
+    * scoring reuses the persisted vectors and norms. */
+  private def kmeansAssigned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scope: graft.CacheScope): DataFrame = {
+    val base = scope.persist(corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm")))
+    kmeansAssignCol(base, kmeansTrain(base, k, iters))
   }
 
   /** Within-cluster embedding near-duplicate pairs — the candidate

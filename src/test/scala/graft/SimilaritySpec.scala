@@ -434,6 +434,14 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
     assert(storedIvf.as[(Long, Long, Double, Int)].collect().toSet ===
       freshIvf.as[(Long, Long, Double, Int)].collect().toSet)
+    // --- k-means: centroid frame written once, assignment from storage
+    Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .write.parquet(s"$dir/km_centroids")
+    val storedKm = Similarity.kmeansAssignWith(emb, "vec_id", "embedding",
+      spark.read.parquet(s"$dir/km_centroids"))
+    val freshKm = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(storedKm.as[(Long, Int)].collect().toSet ===
+      freshKm.as[(Long, Int)].collect().toSet)
   }
 
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
