@@ -489,6 +489,10 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 
 /** Codegen'd average-hash perceptual fingerprint over a binary payload. */
 case class PhashFp(child: Expression, bits: Int) extends UnaryExpression {
+  // Shared contract for the Column and SQL surfaces: below 2 the mean is
+  // degenerate, above 62 the 1L << (bits-1-i) weights wrap mod 64.
+  require(bits >= 2 && bits <= 62, s"graft_phash bits must be in [2, 62], got $bits")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_phash"
 

@@ -509,11 +509,15 @@ object Similarity {
       nprobe: Int,
       excludeSelf: Boolean,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    require(nprobe >= 1 && nprobe <= cents.length, "need 1 <= nprobe <= centroids")
+    require(nprobe >= 1, "need nprobe >= 1")
+    // A corpus smaller than the requested centroid count yields fewer cells
+    // than nprobe; clamp rather than throw (slice semantics made this legal
+    // before the probe core was factored out, and should stay legal).
+    val effProbe = math.min(nprobe, cents.length)
     val probes = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
         l2Norm(col(queryVecCol)).as("qn"))
       .withColumn("cid", explode(transform(
-        slice(reverse(sort_array(ivfCellScores(cents, col("qv"), col("qn")))), 1, nprobe),
+        slice(reverse(sort_array(ivfCellScores(cents, col("qv"), col("qn")))), 1, effProbe),
         s => s.getField("i"))))
     val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
     val scored = assigned.join(broadcast(probes), Seq("cid")).filter(self)

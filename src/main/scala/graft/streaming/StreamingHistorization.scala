@@ -142,8 +142,11 @@ object StreamingHistorization {
         val banded0 = graft.operators.Dedup.minhashBandIndex(
           batch.dropDuplicates(idCol), idCol, textCol, n, k, bands)
         val index = Store.readParquetSafe(session, indexPath)
+        // Novelty is per (id, band, key) tuple, not per id: a crash mid
+        // index-append can commit a partial subset of a doc's band rows,
+        // and an id-level anti-join would then drop the rest forever.
         val novel = index.fold(banded0) { ix =>
-          banded0.join(ix.select("id").distinct(), Seq("id"), "left_anti")
+          banded0.join(ix.select("id", "band", "key"), Seq("id", "band", "key"), "left_anti")
         }.persist()
         try {
           val intra = novel.as("a").join(novel.as("b"),
@@ -183,12 +186,18 @@ object StreamingHistorization {
     *     ([[Store.writeStoreSwap]] — readers see old or new generation,
     *     never half), append the batch's band rows to the index.
     *
-    * Write order makes replay safe at every crash point: pairs consumers
-    * read a set; a replay after the labels swap but before the index
-    * append re-derives the same pairs, and [[graft.operators.Dedup
-    * .updateClusters]] over already-merged pairs is the identity (both
-    * endpoints condense to the same label), so the second swap writes the
-    * same labeling.
+    * Write order makes replay safe at every crash point: a replay after
+    * the labels swap but before the index append re-derives the same
+    * pairs, and [[graft.operators.Dedup.updateClusters]] over
+    * already-merged pairs is the identity (both endpoints condense to the
+    * same label), so the second swap writes the same labeling. The index
+    * append itself is not atomic — a crash can commit part of a doc's
+    * band rows — which is why novelty is judged per (id, band, key) tuple,
+    * so a replay appends exactly the missing rows and re-emits the pairs
+    * they generate. Consequence of at-least-once appends: `pairsPath` MAY
+    * hold duplicate (id_a, id_b) rows across replays; consumers must read
+    * it as a set (`distinct()`), which [[graft.operators.Dedup
+    * .updateClusters]] and every registered reader already do.
     *
     * After any prefix of batches, the labels store equals
     * `duplicateClusters(minhashCandidates(all docs ingested so far))` —
@@ -218,8 +227,10 @@ object StreamingHistorization {
           val banded0 = graft.operators.Dedup.minhashBandIndex(
             batch.dropDuplicates(idCol), idCol, textCol, n, k, bands)
           val index = Store.readParquetSafe(session, indexPath)
+          // tuple-level novelty, as in [[nearDupStream]]: survives a crash
+          // that committed only part of a doc's band rows
           val novel = scope.persist(index.fold(banded0) { ix =>
-            banded0.join(ix.select("id").distinct(), Seq("id"), "left_anti")
+            banded0.join(ix.select("id", "band", "key"), Seq("id", "band", "key"), "left_anti")
           })
           val intra = novel.as("a").join(novel.as("b"),
               col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -67,4 +67,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRes >= 0L && sqlRes < (1L << 16))
     assert(spark.sql("SELECT graft_phash(CAST(NULL AS BINARY), 16) AS fp").head.isNullAt(0))
   }
+
+  test("graft_phash rejects out-of-contract bit widths from SQL and Column surfaces") {
+    // bits < 2 degenerates the mean; bits > 62 wraps the 1L << (bits-1-i)
+    // weights mod 64 — both must error, not silently corrupt fingerprints
+    for (bad <- Seq(0, 1, 63, 64, 128)) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_phash(CAST('x' AS BINARY), $bad)").head
+      }
+      assert(e.getMessage.contains("[2, 62]"), s"bits=$bad: ${e.getMessage}")
+      val e2 = intercept[Exception] {
+        spark.range(1).select(graft.functions.DedupExpressions
+          .phashOf(org.apache.spark.sql.functions.lit("x").cast("binary"), bad)).head
+      }
+      assert(e2.getMessage.contains("[2, 62]"), s"bits=$bad column: ${e2.getMessage}")
+    }
+  }
 }

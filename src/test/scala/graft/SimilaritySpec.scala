@@ -130,6 +130,18 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet === again.toSet)
   }
 
+  test("IVF clamps nprobe to the actual cell count for corpora smaller than centroids") {
+    // 4 corpus vectors but centroids=8 requested: the sample yields 4 cells;
+    // nprobe=6 must clamp to 4 (probe everything), not throw
+    val tiny = vecs.filter($"vec_id" < 4)
+    val got = Similarity.ivfTopK(tiny.filter($"vec_id" === 0), tiny,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, centroids = 8, nprobe = 6)
+    val bf = Similarity.bruteForceTopK(tiny.filter($"vec_id" === 0), tiny,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    assert(got.select("query_id", "corpus_id", "cos").collect().toSet ===
+      bf.select("query_id", "corpus_id", "cos").collect().toSet)
+  }
+
   test("top-k preserves non-numeric corpus id types via the window fallback") {
     val named = vecs.withColumn("name", concat(lit("vec-"), $"vec_id"))
       .select($"name", $"embedding")

@@ -187,6 +187,43 @@ class StreamingSpec extends SparkSpec {
     assert(ix.count() === docs.count() * 4)
   }
 
+  test("replay after a partial index append recovers the missing band rows and pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val dir = Files.createTempDirectory("graft-partial-append").toString
+
+    // Crash state after the evens batch: pairs fully committed (pairs are
+    // written BEFORE the index), but the index append died mid-write and
+    // committed only bands 0-1 of one doc. Every other even doc is whole.
+    val victim = evens.select(min("doc_id")).first().getLong(0)
+    graft.operators.Dedup.minhashCandidates(evens, "doc_id", "text")
+      .select("id_a", "id_b").write.parquet(s"$dir/pairs")
+    graft.operators.Dedup.minhashBandIndex(evens, "doc_id", "text", 3, 8, 4)
+      .filter(!(col("id") === victim && col("band") >= 2))
+      .write.parquet(s"$dir/index")
+
+    // The replay: the source re-delivers the evens, then the odds arrive.
+    evens.write.parquet(s"$dir/in/d0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.nearDupStream(
+      stream, "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/chk"))
+
+    // The victim's missing band rows were re-appended (tuple-level novelty),
+    // nothing was duplicated, and the pair SET equals the batch twin.
+    val ix = spark.read.parquet(s"$dir/index")
+    assert(ix.count() === docs.count() * 4)
+    assert(ix.distinct().count() === ix.count())
+    val streamedSet = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val batchTwin = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamedSet === batchTwin)
+    assert(batchTwin.nonEmpty, "fixture sanity: candidates exist")
+  }
+
   test("streaming cluster maintenance converges to the full-recompute labeling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)
