@@ -325,6 +325,18 @@ object SparkEntry {
       Dedup.updateClusters(Dedup.duplicateClusters(standing), batch)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
+    // the takedown direction: remove the doc_id ≡ 3 (mod 25) batch (~4%)
+    // from the standing labeling + pair set at affected-component cost;
+    // removeDocsFromClusters must equal the full recompute without the
+    // ids, so the oracle is the recursive-CC statement over the kept pairs
+    "x_dedup_clusters_removed" -> ((s, d) => {
+      val pairs = Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, maxHamming = 2)
+      val removed = Tables.documents(s, d).filter(col("doc_id") % 25 === 3).select("doc_id")
+      val (labels2, _) = Dedup.removeDocsFromClusters(
+        Dedup.duplicateClusters(pairs), pairs, removed)
+      labels2.select(col("id").as("doc_id"), col("cluster_id"))
+    }),
     // one-row dedup dataset-card stats over the simhash clusters
     "x_dedup_cluster_stats" -> ((s, d) =>
       Dedup.clusterStats(Dedup.duplicateClusters(
@@ -1717,6 +1729,16 @@ object SparkEntry {
     "x_dedup_clusters_incremental" ->
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |${duckConnectedComponents("pairs")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // takedown ≡ full recompute over the pairs not touching a removed id
+    // (other docs' fingerprints are unchanged, so kept pairs ARE the
+    // surviving corpus's pairs)
+    "x_dedup_clusters_removed" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |kept AS (
+         |  SELECT id_a, id_b FROM pairs WHERE id_a % 25 <> 3 AND id_b % 25 <> 3
+         |),
+         |${duckConnectedComponents("kept")}
          |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
     "x_dedup_cluster_stats" ->
       s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},

@@ -1030,4 +1030,100 @@ object Dedup {
       .select(col("id"), coalesce(col("new_label"), col("lbl")).as("cluster_id"))
     relabeled.union(freshNodes)
   }
+
+  /** Remove a batch of document ids from a standing [[duplicateClusters]]
+    * labeling and its pair set — the takedown direction of the incremental
+    * story ([[updateClusters]] is the ingestion direction). Every
+    * production corpus faces deletion requests; this repairs the standing
+    * artifacts at affected-component cost instead of a full recompute.
+    *
+    * Correctness: dropping a node removes exactly the pairs touching it
+    * (other documents' fingerprints are unchanged, so the surviving pair
+    * set IS what a recompute over the surviving corpus would emit). A
+    * removal can SPLIT a component (the removed node may be the only
+    * bridge), so surviving labels cannot be patched in place — but only
+    * components that CONTAINED a removed id can change, and no surviving
+    * pair links an affected component to an unaffected one (such a pair
+    * would have made them one component already). So it suffices to re-run
+    * [[duplicateClusters]] on the surviving pairs of the affected
+    * components only; every other label passes through untouched. Nodes of
+    * affected components left with no surviving pair drop out, exactly as
+    * a recompute (which labels only paired nodes) would drop them.
+    *
+    * Scale: `removed` and the affected-component frames are bounded by the
+    * takedown batch and its clusters' membership, never the corpus —
+    * broadcast-hinted so the labels/pairs passes stay map-side; the CC
+    * loop runs on the affected subgraph only. A spec pins labels' and
+    * pairs' row-identical to the full recompute without the ids,
+    * including a bridge-removal split.
+    *
+    * @param labels  standing (id, cluster_id) labeling
+    * @param pairs   standing pair set (read stores with `distinct()` per
+    *                the at-least-once append contract)
+    * @param removed frame whose FIRST column holds the ids to remove
+    * @return (repaired labels, surviving pairs)
+    */
+  def removeDocsFromClusters(
+      labels: DataFrame,
+      pairs: DataFrame,
+      removed: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIters: Int = 25,
+      scope: graft.CacheScope = graft.CacheScope.Global): (DataFrame, DataFrame) = {
+    val ids = broadcast(removed.select(col(removed.columns.head).as("id")).distinct())
+    val keptPairs = pairs
+      .join(ids.select(col("id").as(idACol)), Seq(idACol), "left_anti")
+      .join(ids.select(col("id").as(idBCol)), Seq(idBCol), "left_anti")
+      .select(pairs.columns.map(col).toIndexedSeq: _*) // using-joins reorder columns
+    // clusters that contained a removed id: the only labels that can change
+    val affected = broadcast(
+      labels.join(ids, Seq("id"), "left_semi").select("cluster_id").distinct())
+    val affectedNodes = labels.join(affected, Seq("cluster_id"), "left_semi").select("id")
+    // surviving pairs inside affected components (a pair's endpoints share
+    // a component, so membership of one endpoint decides)
+    val subPairs = keptPairs.join(
+      affectedNodes.select(col("id").as(idACol)), Seq(idACol), "left_semi")
+    val repaired = duplicateClusters(subPairs, idACol, idBCol, maxIters, scope)
+    val untouched = labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select("id", "cluster_id")
+    (untouched.union(repaired.select("id", "cluster_id")), keptPairs)
+  }
+
+  /** Takedown maintenance over the standing dedup STORES — the band index,
+    * pair store, and labels store that [[graft.streaming
+    * .StreamingHistorization.clusterMaintainStream]] maintains: delete the
+    * ids' band rows, drop their pairs, and repair the labeling via
+    * [[removeDocsFromClusters]], swapping each store atomically
+    * ([[graft.sources.Store.writeStoreSwap]] — readers see the old or new
+    * generation, never half). After the pass the three stores equal what
+    * a from-scratch rebuild over the surviving corpus would write. */
+  def removeDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      removed: DataFrame,
+      indexPath: String,
+      pairsPath: String,
+      labelsPath: String,
+      maxIters: Int = 25): Unit = {
+    import graft.sources.Store
+    val ids = removed.select(col(removed.columns.head).as("id")).distinct()
+    Store.deleteFromStore(spark, indexPath, ids, "id")
+    val pairsOpt = Store.readParquetSafe(spark, pairsPath).map(_.distinct())
+    val labelsOpt = Store.readParquetSafe(spark, labelsPath)
+    (pairsOpt, labelsOpt) match {
+      case (Some(pairs), Some(labels)) => graft.CacheScope.withScope { scope =>
+        val (labels2, pairs2) = removeDocsFromClusters(
+          labels, pairs, ids, maxIters = maxIters, scope = scope)
+        // labels swap FIRST: its lineage reads the old labels AND old pairs
+        // stores (each swap fully materializes into <path>.tmp before its
+        // own target is replaced); the pairs output reads only old pairs.
+        // A crash between the swaps leaves labels repaired / pairs stale —
+        // re-running the same removal converges (already-unlabeled ids
+        // yield an empty affected set, so only the pair filter re-applies).
+        Store.writeStoreSwap(labels2, labelsPath, Seq.empty)
+        Store.writeStoreSwap(pairs2, pairsPath, Seq.empty)
+      }
+      case _ => () // nothing standing to repair
+    }
+  }
 }

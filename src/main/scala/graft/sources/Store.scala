@@ -212,6 +212,33 @@ object Store {
     fs.rename(tmpPath, target)
   }
 
+  /** Delete rows from a standing store by id — the takedown primitive
+    * shared by every persisted artifact that carries per-document rows
+    * (MinHash band index, PQ code table, IVF inverted file, exact-dedup
+    * digest store): anti-join the store on `idCol` against the removal
+    * batch and swap the result into place. The batch is broadcast (a
+    * takedown set is bounded), so the rewrite is one map-side pass over
+    * the store; model synopses (codebooks, centroids) are left alone —
+    * they carry no per-document rows. No-op when the store doesn't exist.
+    * Returns the number of rows deleted. */
+  def deleteFromStore(
+      spark: SparkSession,
+      path: String,
+      removed: DataFrame,
+      idCol: String,
+      partitionColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    readParquetSafe(spark, path) match {
+      case Some(df) =>
+        val ids = broadcast(removed.select(col(removed.columns.head).as(idCol)).distinct())
+        val kept = df.join(ids, Seq(idCol), "left_anti")
+        val before = df.count()
+        writeStoreSwap(kept, path, partitionColumns)
+        before - spark.read.parquet(path).count()
+      case None => 0L
+    }
+  }
+
   /** Compact a Parquet store's small files: rewrite the SAME rows into
     * ~`targetBytes`-sized files and swap the result into place.
     *

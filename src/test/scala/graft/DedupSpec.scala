@@ -308,6 +308,74 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("removeDocsFromClusters: bridge removal splits; result equals full recompute") {
+    // 1-2-3 chained through bridge 2; 5-6-7-8 a cycle; 10-11 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClusters(pairs)
+    // removing bridge 2 isolates 1 and 3 (both drop out, as a recompute
+    // would drop unpaired nodes); removing 6 leaves 5-8-7 connected
+    val (labels2, pairs2) = Dedup.removeDocsFromClusters(
+      labels, pairs, Seq(2L, 6L).toDF("id"))
+    assert(pairs2.as[(Long, Long)].collect().toSet === Set((7L, 8L), (5L, 8L), (10L, 11L)))
+    assert(labels2.as[(Long, Long)].collect().toMap ===
+      Map(5L -> 5L, 7L -> 5L, 8L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("removeDocsFromClusters equals full recompute without the ids (randomized)") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+      val pairs = edges.toDF("id_a", "id_b")
+      val removedIds = (0 until 10).map(_ => rnd.nextInt(60).toLong).distinct
+      val (labels2, pairs2) = Dedup.removeDocsFromClusters(
+        Dedup.duplicateClusters(pairs), pairs, removedIds.toDF("id"))
+      val keptEdges = edges.filter(p => !removedIds.contains(p._1) && !removedIds.contains(p._2))
+      val full = Dedup.duplicateClusters(keptEdges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(labels2.as[(Long, Long)].collect().toMap === full,
+        s"trial $trial: repair diverged from recompute")
+      assert(pairs2.as[(Long, Long)].collect().toSet === keptEdges.toSet)
+    }
+  }
+
+  test("removeDocs store pass leaves index/pairs/labels equal to a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-removedocs").toString
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    graft.operators.Dedup.minhashBandIndex(corpus, "doc_id", "text", 3, 8, 4)
+      .write.parquet(s"$dir/index")
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text")
+    pairs.select("id_a", "id_b").write.parquet(s"$dir/pairs")
+    // the pairs store is at-least-once: append a duplicate delivery, which
+    // removeDocs must absorb via its distinct() read
+    pairs.select("id_a", "id_b").limit(3).write.mode("append").parquet(s"$dir/pairs")
+    graft.sources.Store.writeStoreSwap(
+      Dedup.duplicateClusters(pairs), s"$dir/labels", Seq.empty)
+
+    val removed = corpus.filter($"doc_id" % 7 === 0).select("doc_id")
+    Dedup.removeDocs(spark, removed, s"$dir/index", s"$dir/pairs", s"$dir/labels")
+
+    val survivors = corpus.filter($"doc_id" % 7 =!= 0)
+    val ixWant = graft.operators.Dedup.minhashBandIndex(survivors, "doc_id", "text", 3, 8, 4)
+      .select("id", "band", "key").collect().toSet
+    val ixGot = spark.read.parquet(s"$dir/index").select("id", "band", "key").collect().toSet
+    assert(ixGot === ixWant)
+    val pairsWant = Dedup.minhashCandidates(survivors, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairsGot = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsGot === pairsWant)
+    val labelsWant = Dedup.duplicateClusters(
+        Dedup.minhashCandidates(survivors, "doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    val labelsGot = spark.read.parquet(s"$dir/labels")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(labelsGot === labelsWant)
+    assert(labelsWant.nonEmpty, "fixture sanity: clusters survive the removal")
+  }
+
   test("clusterStats summarizes the labeling; empty graph yields zeros") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val stats = Dedup.clusterStats(Dedup.duplicateClusters(pairs))

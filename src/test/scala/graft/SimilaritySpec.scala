@@ -456,6 +456,52 @@ class SimilaritySpec extends SparkSpec {
       freshKm.as[(Long, Int)].collect().toSet)
   }
 
+  test("takedown over persisted ANN artifacts: deleted postings equal re-encode, probes agree") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("ann_takedown").toString
+    val removed = emb.filter(col("vec_id") % 9 === 2).select("vec_id")
+    val survivors = emb.filter(col("vec_id") % 9 =!= 2)
+    val queries = survivors.filter(col("vec_id") < 5)
+
+    // PQ: the code table loses exactly the removed ids' rows; the codebook
+    // (a model synopsis with no per-document rows) stays — so the deleted
+    // table must equal re-encoding the survivors with the SAME codebook
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, codes = 8, iters = 1)
+    cb.write.parquet(s"$dir/pq_codebook")
+    Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb).write.parquet(s"$dir/pq_codes")
+    val nPq = graft.sources.Store.deleteFromStore(spark, s"$dir/pq_codes", removed, "vec_id")
+    assert(nPq === removed.count())
+    val codesGot = spark.read.parquet(s"$dir/pq_codes").as[(Long, Seq[Int])].collect().toSet
+    val codesWant = Similarity.pqEncodeWith(survivors, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toSet
+    assert(codesGot === codesWant)
+    val probeGot = Similarity.pqTopKWith(queries, survivors, "vec_id", "embedding",
+      "vec_id", "embedding", spark.read.parquet(s"$dir/pq_codes"), cb, k = 10, probe = 40)
+    val probeWant = Similarity.pqTopKWith(queries, survivors, "vec_id", "embedding",
+      "vec_id", "embedding", Similarity.pqEncodeWith(survivors, "vec_id", "embedding", cb),
+      cb, k = 10, probe = 40)
+    assert(probeGot.as[(Long, Long, Double, Int)].collect().toSet ===
+      probeWant.as[(Long, Long, Double, Int)].collect().toSet)
+
+    // IVF: inverted file loses the ids' postings, centroid frame stays
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+    Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents)
+      .write.parquet(s"$dir/ivf_assigned")
+    val nIvf = graft.sources.Store.deleteFromStore(spark, s"$dir/ivf_assigned", removed, "vec_id")
+    assert(nIvf === removed.count())
+    val postGot = spark.read.parquet(s"$dir/ivf_assigned").as[(Long, Int)].collect().toSet
+    val postWant = Similarity.ivfAssignWith(survivors, "vec_id", "embedding", cents)
+      .as[(Long, Int)].collect().toSet
+    assert(postGot === postWant)
+    val ivfGot = Similarity.ivfTopKWith(queries, survivors, "vec_id", "embedding",
+      "vec_id", "embedding", spark.read.parquet(s"$dir/ivf_assigned"), cents, k = 10, nprobe = 8)
+    val ivfWant = Similarity.ivfTopKWith(queries, survivors, "vec_id", "embedding",
+      "vec_id", "embedding", Similarity.ivfAssignWith(survivors, "vec_id", "embedding", cents),
+      cents, k = 10, nprobe = 8)
+    assert(ivfGot.as[(Long, Long, Double, Int)].collect().toSet ===
+      ivfWant.as[(Long, Long, Double, Int)].collect().toSet)
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; LSH recall is measurable and sane") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.limit(5)
