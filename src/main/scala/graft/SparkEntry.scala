@@ -491,6 +491,25 @@ object SparkEntry {
         Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents), cents,
         k = 10, nprobe = 8)
     }),
+    // the batch-cost demonstration for the PQ leg (the kmeans-incremental
+    // shape): codebook trained on the corpus, but ONLY the vec_id ≡ 4
+    // (mod 5) batch is encoded through the stored model — the per-batch
+    // cost a production ingest pays. Codes flattened to CSV (atomic dump
+    // columns only, the r6 rule)
+    "x_sim_pq_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 16, codes = 16, iters = 2)
+      Similarity.pqEncodeWith(emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", cb)
+        .select(col("vec_id"), array_join(col("codes"), ",").as("codes_csv"))
+    }),
+    // same for the IVF leg: centroids trained on the corpus, only the
+    // batch assigned through the stored frame into the inverted file
+    "x_sim_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+      Similarity.ivfAssignWith(emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", cents)
+    }),
     // int8 scalar quantization: 4x smaller vectors for the ANN shuffle.
     // The dump flattens codes to a CSV string: the driver's checker sorts
     // every dumped column, and array-typed cells crash its pandas sort
@@ -1140,8 +1159,40 @@ object SparkEntry {
     * ascending s (Spark's reduceLeft order); the zero-denominator guard;
     * round-then-rank with (cos DESC, id ASC) at both the probe shortlist
     * and the final exact re-rank. */
-  private def duckPqSql(m: Int, ks: Int, iters: Int, probe: Int, k: Int,
-      dims: Int = 64): String = {
+  /** Shared IVF CTE chain through the inverted file `assign` (id, vv,
+    * nrm, cid): vectors+norms, deterministic centroid sample, all-pairs
+    * cell scores, per-vector argmax. The x_sim_ivf probe statement and
+    * the batch-assign oracle both build on it. */
+  private val duckIvfAssignCtes: String =
+    """v AS (
+      |  SELECT vec_id AS id, embedding AS vv,
+      |    sqrt(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      |  FROM embeddings
+      |),
+      |cent AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cid,
+      |         vv AS cv, nrm AS cnrm
+      |  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16
+      |),
+      |pairs AS (
+      |  SELECT v.id, v.vv, v.nrm, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(v.vv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (v.nrm * c.cnrm) AS s
+      |  FROM v CROSS JOIN cent c
+      |),
+      |assign AS (
+      |  SELECT id, vv, nrm, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+      |    FROM pairs
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  /** Shared PQ CTE chain through the corpus code table `ec` (id, cs —
+    * the per-vector code list): training head + Lloyd rounds + encode.
+    * [[duckPqSql]] appends the ADC probe; the batch-encode oracle selects
+    * from `ec` directly. */
+  private def duckPqCtes(m: Int, ks: Int, iters: Int, dims: Int = 64): String = {
     val d0 = dims / m
     val d1 = d0 + 1
     val head =
@@ -1201,9 +1252,16 @@ object SparkEntry {
     val rounds = (0 to iters).map { r =>
       if (r < iters) assignRound(r) + ",\n" + meanRound(r) else assignRound(r)
     }
+    val ec = s"ec AS (SELECT id, list(cid ORDER BY s) AS cs FROM a$iters GROUP BY id)"
+    (head +: rounds :+ ec).mkString(",\n")
+  }
+
+  private def duckPqSql(m: Int, ks: Int, iters: Int, probe: Int, k: Int,
+      dims: Int = 64): String = {
+    val d0 = dims / m
+    val d1 = d0 + 1
     val tail =
-      s"""ec AS (SELECT id, list(cid ORDER BY s) AS cs FROM a$iters GROUP BY id),
-         |tq AS (
+      s"""tq AS (
          |  SELECT x.id AS qid, x.s, c.cid,
          |    list_sum(list_transform(range(1, $d1),
          |      i -> x.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) AS d,
@@ -1251,7 +1309,7 @@ object SparkEntry {
          |)
          |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
          |FROM ranked WHERE rank <= $k""".stripMargin
-    (head +: rounds :+ tail).mkString(",\n")
+    duckPqCtes(m, ks, iters, dims) + ",\n" + tail
   }
 
   /** One k-means assignment round: centroid norms `n{r}`, all-pairs
@@ -1463,7 +1521,17 @@ object SparkEntry {
     // is an implementation strategy — persist-then-probe — not a semantic
     // change, exactly the l09_delta_bucketed precedent
     "x_sim_pq_index" -> baseOracles("x_sim_pq"),
-    "x_sim_ivf_index" -> baseOracles("x_sim_ivf"))
+    "x_sim_ivf_index" -> baseOracles("x_sim_ivf"),
+    // batch-cost legs: the fresh-path encode/assign statements restricted
+    // to the batch — encoding through the stored model is definitionally
+    // the same argmax (the x_emb_kmeans_incremental precedent)
+    "x_sim_pq_incremental" ->
+      s"""${duckPqCtes(16, 16, 2)}
+         |SELECT id AS vec_id, array_to_string(cs, ',') AS codes_csv
+         |FROM ec WHERE id % 5 = 4""".stripMargin,
+    "x_sim_ivf_incremental" ->
+      s"""WITH $duckIvfAssignCtes
+         |SELECT id AS vec_id, cid FROM assign WHERE id % 5 = 4""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "l01_csv_scan" ->
@@ -2300,29 +2368,7 @@ object SparkEntry {
     // shortlist + exact re-rank — see duckPqSql for the parity pins
     "x_sim_pq" -> duckPqSql(m = 16, ks = 16, iters = 2, probe = 40, k = 10),
     "x_sim_ivf" ->
-      """WITH v AS (
-        |  SELECT vec_id AS id, embedding AS vv,
-        |    sqrt(list_sum(list_transform(range(1, 65),
-        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-        |  FROM embeddings
-        |),
-        |cent AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cid,
-        |         vv AS cv, nrm AS cnrm
-        |  FROM v ORDER BY md5(CAST(id AS VARCHAR)) LIMIT 16
-        |),
-        |pairs AS (
-        |  SELECT v.id, v.vv, v.nrm, c.cid,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(v.vv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) / (v.nrm * c.cnrm) AS s
-        |  FROM v CROSS JOIN cent c
-        |),
-        |assign AS (
-        |  SELECT id, vv, nrm, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
-        |    FROM pairs
-        |  ) WHERE rn = 1
-        |),
+      s"""WITH $duckIvfAssignCtes,
         |probe AS (
         |  SELECT id AS query_id, vv AS qv, nrm AS qn, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
