@@ -22,7 +22,7 @@ import graft.meta.MetaColumns
   * `LEFT JOIN ... IS NULL` / `NOT IN` semantics.
   */
 object Cdc {
-  import MetaColumns.{KeyHash, RecordHash}
+  import MetaColumns.{Deleted, KeyHash, RecordHash}
 
   /** Inserts + updates: rows of `newData` with no (KEY_HASH, RECORD_HASH)
     * match in `currentData` (MetaColumnHelpers.py:180-184; SQL main.py:12). */
@@ -181,6 +181,40 @@ object Cdc {
     * full snapshot (SCDHelpers.py:246-266). */
   def deletedByFullLoad(currentDf: DataFrame, newDf: DataFrame): DataFrame =
     currentDf.select(KeyHash).join(newDf.select(KeyHash), Seq(KeyHash), "left_anti")
+
+  /** Soft-delete stamping — the third option between "keep the row" and
+    * [[mergeCdc]]'s physical removal: keys present in the current store but
+    * absent from the new full snapshot get `DELETED` = the run timestamp,
+    * and every row is KEPT. The reference declares exactly this hook — a
+    * DELETED *timestamp* meta column initialized to NaT
+    * (MetaColumnHelpers.py:150) with full-load diff detection
+    * (SCDHelpers.py:246-266) — but never stamps it; this completes the
+    * design so run-based time travel stays truthful for removals
+    * ([[graft.pipeline.Historization.asOfRun]] reads the stamp).
+    *
+    * Re-delivered keys are NOT un-stamped: a stamp is an audit fact about
+    * the run that observed the disappearance; resurrection arrives as a
+    * fresh row version with a null DELETED, so travel sees both epochs
+    * correctly. Already-stamped rows keep their original stamp (first
+    * observation wins), which keeps the operator idempotent under re-runs.
+    *
+    * Scale shape: the diff is a hash-only anti-join (32-byte digests), the
+    * stamp itself a broadcast-friendly left join on KEY_HASH followed by a
+    * per-row conditional — the store payload moves once, map-side when the
+    * vanished-key set is small (AQE broadcasts it).
+    */
+  def stampDeleted(currentDf: DataFrame, newDf: DataFrame, currents: graft.meta.Currents): DataFrame = {
+    val gone = deletedByFullLoad(currentDf, newDf)
+      .distinct()
+      .withColumn("__gone", lit(true))
+    currentDf.join(gone, Seq(KeyHash), "left")
+      .withColumn(Deleted,
+        when(col("__gone") && col(Deleted).isNull,
+          lit(currents.runTs).cast(org.apache.spark.sql.types.TimestampType))
+          .otherwise(col(Deleted)))
+      .drop("__gone")
+      .select(currentDf.columns.map(col).toSeq: _*)
+  }
 
   /** Driver-side list variant, faithful to SCDHelpers.py:264-265. */
   def deletedByFullLoadList(currentDf: DataFrame, newDf: DataFrame): Seq[String] =

@@ -40,6 +40,25 @@ object Curation {
     *                  long near-duplicate chains cannot abort the run;
     *                  `ccMaxIters` is the total-round bug guard passed
     *                  through to [[Dedup.keepCanonical]]
+    * @param nearDupPairs when set (requires `nearDup`), a precomputed
+    *                  near-dup pair set (id_a, id_b) — e.g. a pairs store
+    *                  another pipeline maintains — used INSTEAD of
+    *                  recomputing SimHash pairs in-query. Pairs are
+    *                  restricted to the surviving ids on both endpoints
+    *                  first, which makes "full-corpus pairs, filtered"
+    *                  equal to "pairs computed on the survivors" (pair
+    *                  membership is pairwise, so the restriction is exact).
+    *                  This is the production shape: pairs are computed
+    *                  once per corpus, not once per question.
+    * @param mediaDup  when set to (phashBits, maxHamming), add a media
+    *                  near-duplicate stage after the text stages:
+    *                  perceptual-hash fingerprints over the docs treated
+    *                  as media payloads ([[Multimodal.phashNearDuplicates]]
+    *                  — pigeonhole Hamming blocking, never all-pairs) →
+    *                  the same transitive-cluster + keep-minimum election.
+    *                  Visually-near-identical assets collapse the way
+    *                  near-identical text does; with a real codec the
+    *                  fingerprint source swaps, the stage stays.
     */
   def curate(
       docs: DataFrame,
@@ -52,7 +71,9 @@ object Curation {
       minHits: Long = 1L,
       languages: Option[Set[String]] = None,
       nearDup: Option[(Int, Int)] = None,
-      ccMaxIters: Int = 25): DataFrame = {
+      ccMaxIters: Int = 25,
+      nearDupPairs: Option[DataFrame] = None,
+      mediaDup: Option[(Int, Int)] = None): DataFrame = {
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
     val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
@@ -68,12 +89,24 @@ object Curation {
     val deduped = hashed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__content_hash")
     val nearDeduped = nearDup.fold(deduped) { case (bits, maxHam) =>
-      Dedup.keepCanonical(deduped, idCol,
-        Dedup.simhashNearDuplicates(deduped, idCol, textCol, bits, maxHam),
+      val pairs = nearDupPairs.fold(
+        Dedup.simhashNearDuplicates(deduped, idCol, textCol, bits, maxHam)) { staged =>
+        // restrict staged full-corpus pairs to survivors on BOTH endpoints:
+        // exactly the pair set a fresh computation over `deduped` yields
+        val ids = deduped.select(col(idCol))
+        staged.join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+          .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+      }
+      Dedup.keepCanonical(deduped, idCol, pairs, maxIters = ccMaxIters)
+    }
+    val mediaDeduped = mediaDup.fold(nearDeduped) { case (bits, maxHam) =>
+      Dedup.keepCanonical(nearDeduped, idCol,
+        Multimodal.phashNearDuplicates(
+          Multimodal.asMedia(nearDeduped, idCol, textCol), bits, maxHam),
         maxIters = ccMaxIters)
     }
     val clean = Decontamination.decontaminate(
-      nearDeduped, bench, idCol, textCol, shingleN, minHits)
+      mediaDeduped, bench, idCol, textCol, shingleN, minHits)
     Sampling.assignSplit(clean.select(col(idCol)), idCol, splits)
   }
 }

@@ -934,8 +934,16 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIters: Int = 25,
-      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    val clusters = duplicateClusters(pairs, idACol, idBCol, maxIters, scope)
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    keepCanonicalWith(df, idCol, duplicateClusters(pairs, idACol, idBCol, maxIters, scope))
+
+  /** [[keepCanonical]] against an ALREADY-COMPUTED (id, cluster_id)
+    * labeling — the store-fed form (naming convention of
+    * [[graft.operators.Similarity.kmeansAssignWith]]): production computes
+    * the labeling once per corpus (or maintains it incrementally /
+    * streaming) and answers every downstream question from the stored
+    * labels, not from a per-question CC re-run. */
+  def keepCanonicalWith(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
     val losers = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -961,8 +969,17 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIters: Int = 25,
-      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    val clusters = duplicateClusters(pairs, idACol, idBCol, maxIters, scope)
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    keepBestWith(df, idCol, scoreCol,
+      duplicateClusters(pairs, idACol, idBCol, maxIters, scope))
+
+  /** [[keepBest]] against an already-computed (id, cluster_id) labeling —
+    * the store-fed form (see [[keepCanonicalWith]]). */
+  def keepBestWith(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      clusters: DataFrame): DataFrame = {
     val scored = clusters.join(
       df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
       Seq("id"))

@@ -1,9 +1,10 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.meta.Currents
-import graft.operators.{Cdc, MetaEnrichment}
+import graft.operators.{Cdc, MetaEnrichment, SchemaEvolution}
 import graft.sources.Store
 
 /** Append-only meta-column historization: the reference's production path.
@@ -115,5 +116,90 @@ object Historization {
       recordHashExclude: Seq[String] = Nil): DataFrame = {
     val enriched = MetaEnrichment.addMetaColumns(newData, currents, keyColumns, recordHashExclude)
     current.unionByName(Cdc.delta(current, enriched))
+  }
+
+  /** Schema evolution INSIDE the loop: [[historizeFrames]] over a snapshot
+    * first coerced to `targetSchema` ([[graft.operators.SchemaEvolution
+    * .prepareSchema]]) — the reference's design intent (SCDHelpers.py:44-61
+    * feeds `prepare_schema` output into the merge), which the standalone D3
+    * operator leaves un-composed. Drifting snapshot schemas are the normal
+    * case in long-lived feeds: a run that starts delivering a new column
+    * must not fork the store.
+    *
+    * Evolution happens BEFORE meta enrichment, so RECORD_HASH is computed
+    * over the full target column set: a run-1 row hashed with the default
+    * in the new column and a run-2 re-delivery carrying a real value differ
+    * in RECORD_HASH and version correctly; re-deliveries where the new
+    * column still holds the default stay unchanged and are not re-appended.
+    * Extra columns outside the target schema are dropped (the store's
+    * schema is the contract, not the feed's).
+    */
+  def historizeFramesEvolving(
+      current: DataFrame,
+      newData: DataFrame,
+      currents: Currents,
+      keyColumns: Seq[String],
+      targetSchema: org.apache.spark.sql.types.StructType,
+      defaultValues: Map[String, Any] = Map.empty,
+      recordHashExclude: Seq[String] = Nil): DataFrame =
+    historizeFrames(
+      current,
+      SchemaEvolution.prepareSchema(newData, targetSchema, defaultValues, removeColumns = true),
+      currents, keyColumns, recordHashExclude)
+
+  /** [[historizeRun]] with in-loop schema evolution: the persisted twin of
+    * [[historizeFramesEvolving]]. The stored generation is ALSO widened to
+    * the enriched target schema before the delta, so a store bootstrapped
+    * under an older schema evolves in place the first time a run arrives
+    * with new columns — old rows take a null default in the new columns.
+    * Their stored RECORD_HASH values are kept as-is (hashes are facts
+    * about what was loaded), which means a key re-delivered unchanged
+    * except for the widening re-versions exactly once: its record now
+    * hashes with the new column's default included. After that one bump
+    * the feed is stable again — the schema change itself is versioned,
+    * which is the honest historization of a contract change. */
+  def historizeRunEvolving(
+      spark: SparkSession,
+      newData: DataFrame,
+      storePath: String,
+      keyColumns: Seq[String],
+      targetSchema: org.apache.spark.sql.types.StructType,
+      defaultValues: Map[String, Any] = Map.empty,
+      loadTs: Option[String] = None,
+      recordHashExclude: Seq[String] = Nil): DataFrame = {
+    val currents = loadTs.map(Currents(_)).getOrElse(Currents.now())
+    val evolved = SchemaEvolution.prepareSchema(
+      newData, targetSchema, defaultValues, removeColumns = true)
+    val enriched = MetaEnrichment.addMetaColumns(evolved, currents, keyColumns, recordHashExclude)
+    Store.readParquetSafe(spark, storePath) match {
+      case None =>
+        Store.writeStore(enriched, storePath, keyColumns)
+      case Some(stored) =>
+        val widened = SchemaEvolution.prepareSchema(stored, enriched.schema)
+        val current = Store.canonicalize(widened, enriched.schema)
+        val delta   = Cdc.delta(current, enriched)
+        Store.writeStoreSwap(current.unionByName(delta), storePath, keyColumns)
+    }
+    Store.readParquetSafe(spark, storePath).get
+  }
+
+  /** Run-based time travel filter over an append-only hash-historized
+    * frame: rows inserted at or before `runId`, minus rows whose
+    * soft-delete stamp ([[graft.operators.Cdc.stampDeleted]]) is at or
+    * before the as-of instant — `DELETED IS NULL OR DELETED > runTs`, so
+    * travel lands BEFORE a deletion sees the row and travel at-or-after
+    * does not. Run ids are `yyyyMMddHHmmss` ([[Currents]]); both
+    * comparisons are literal bounds that push to a parquet scan. */
+  def asOfRun(df: DataFrame, runId: String): DataFrame = {
+    import graft.meta.MetaColumns
+    val base = df.filter(col(MetaColumns.InsertRunId) <= runId)
+    if (!df.columns.contains(MetaColumns.Deleted)) base
+    else {
+      val ts = java.time.LocalDateTime
+        .parse(runId, java.time.format.DateTimeFormatter.ofPattern(MetaColumns.RunIdFormat))
+        .format(java.time.format.DateTimeFormatter.ofPattern(MetaColumns.TsFormat))
+      base.filter(col(MetaColumns.Deleted).isNull ||
+        col(MetaColumns.Deleted) > lit(ts).cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

@@ -98,15 +98,18 @@ object Store {
   /** Run-based time travel over the append-only hash-historized store
     * (the L16 loop's sink, which only ever appends rows stamped with
     * their run): the store exactly as run `runId` left it — rows whose
-    * INSERT_RUN_ID is at or before it. Run ids are `yyyyMMddHHmmss`
-    * ([[graft.meta.Currents]]), so one string comparison is
-    * chronological and pushes to the parquet scan. This is the
-    * "reproduce the training snapshot a past run trained on" query of a
-    * production corpus store; the SCD2 (date-interval) twin is
+    * INSERT_RUN_ID is at or before it, minus rows soft-deleted at or
+    * before it ([[graft.operators.Cdc.stampDeleted]];
+    * [[graft.pipeline.Historization.asOfRun]] holds the filter). Run ids
+    * are `yyyyMMddHHmmss` ([[graft.meta.Currents]]), so one string
+    * comparison is chronological, and both the run bound and the
+    * deletion bound are literals that push to the parquet scan. This is
+    * the "reproduce the training snapshot a past run trained on" query
+    * of a production corpus store; the SCD2 (date-interval) twin is
     * [[readStoreAsOf]]. */
   def readStoreAsOfRun(spark: SparkSession, path: String, runId: String): Option[DataFrame] =
     readParquetSafe(spark, path)
-      .map(_.filter(col(MetaColumns.InsertRunId) <= runId))
+      .map(graft.pipeline.Historization.asOfRun(_, runId))
 
   /** Persist the full current store, Hive-partitioned by the business-key
     * columns (main.py:24). Overwrite semantics. */
@@ -196,6 +199,26 @@ object Store {
     spark.read.parquet(path).filter(col(KeyBucket) === bucket).drop(KeyBucket)
   }
 
+  /** Point-in-time point lookup against a [[writeStoreBucketed]] SCD2
+    * store: "the version of key X live on day D" — THE interactive query
+    * against a historized store. Composes the bucket derivation (one
+    * directory read out of `buckets`), the KEY_HASH equality (row-group
+    * pruned: [[writeStoreBucketed]] sorts each file by KEY_HASH, so
+    * min/max statistics skip everything else), and the as-of validity
+    * window ([[graft.operators.Scd2.asOf]], both bounds pushed). Cost is
+    * O(one bucket's footer reads + the key's row groups) regardless of
+    * store size — the full-scan twin is `readStoreAsOf` + a filter. */
+  def readStoreBucketAsOf(
+      spark: SparkSession,
+      path: String,
+      keyHash: String,
+      day: String,
+      buckets: Int = 256): DataFrame =
+    graft.operators.Scd2.asOf(
+      readStoreBucket(spark, path, keyHash, buckets)
+        .filter(col(MetaColumns.KeyHash) === keyHash),
+      day)
+
   private val KeyBucket = "KEY_BUCKET"
 
   /** Read-safe overwrite of a store the current plan may be reading from:
@@ -210,6 +233,24 @@ object Store {
     val tmpPath = new Path(tmp)
     if (fs.exists(target)) fs.delete(target, true)
     fs.rename(tmpPath, target)
+  }
+
+  /** Materialize-once staging for a derived store: read `path` when it
+    * already holds a committed generation; otherwise evaluate `build`,
+    * persist it via the atomic swap write, and read it back. This is the
+    * compute-once/ask-many shape of every expensive derived artifact — a
+    * near-dup pair set, a cluster labeling, an ANN code table: production
+    * computes it once per corpus generation and feeds every downstream
+    * question from the store, instead of re-deriving it per question.
+    * Committed-ness is the `_SUCCESS` marker; the swap write materializes
+    * fully in `<path>.tmp` before renaming, so a crash mid-build leaves no
+    * half-store behind and concurrent readers of an existing generation
+    * are never disturbed. Callers that need input-change invalidation put
+    * a content tag of the inputs in `path`. */
+  def readOrCreate(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path, "_SUCCESS"))) writeStoreSwap(build, path, Nil)
+    spark.read.parquet(path)
   }
 
   /** Delete rows from a standing store by id — the takedown primitive

@@ -81,6 +81,40 @@ class CdcSpec extends SparkSpec {
     assert(gone === Seq(expected))
   }
 
+  test("stampDeleted stamps vanished keys, keeps every row, and is idempotent") {
+    val stamped = Cdc.stampDeleted(current, incoming, currents2)
+    // all rows kept, columns unchanged
+    assert(stamped.count() === current.count())
+    assert(stamped.columns.toSeq === current.columns.toSeq)
+    val byKey = stamped.select($"k", $"DELETED".cast("string"))
+      .as[(String, Option[String])].collect().toMap
+    // only c vanished from the incoming full load
+    assert(byKey("c") === Some("2024-01-02 10:00:00"))
+    assert(byKey("a").isEmpty && byKey("b").isEmpty)
+    // re-stamping at a later run keeps the ORIGINAL stamp (first
+    // observation wins) and stamps nothing new
+    val again = Cdc.stampDeleted(stamped, incoming, Currents("2024-01-03 10:00:00"))
+    val byKey2 = again.select($"k", $"DELETED".cast("string"))
+      .as[(String, Option[String])].collect().toMap
+    assert(byKey2 === byKey)
+  }
+
+  test("asOfRun: travel before a soft delete sees the row, at/after does not") {
+    val stamped = Cdc.stampDeleted(current, incoming, currents2)
+    import graft.pipeline.Historization
+    // run 1 (before the deletion run): c is still visible
+    val at1 = Historization.asOfRun(stamped, currents1.runId)
+      .select("k").as[String].collect().sorted.toSeq
+    assert(at1 === Seq("a", "b", "c"))
+    // run 2 (the run that observed the deletion): c is gone
+    val at2 = Historization.asOfRun(stamped, currents2.runId)
+      .select("k").as[String].collect().sorted.toSeq
+    assert(at2 === Seq("a", "b"))
+    // a frame without the DELETED column falls back to the run bound only
+    val bare = Historization.asOfRun(stamped.drop("DELETED"), currents2.runId)
+    assert(bare.select("k").as[String].collect().sorted.toSeq === Seq("a", "b", "c"))
+  }
+
   test("deletesByColumn selects KEY_HASH of flagged rows") {
     val flagged = current.withColumn("op", org.apache.spark.sql.functions.when($"k" === "b",
       "D").otherwise("U"))

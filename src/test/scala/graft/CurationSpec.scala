@@ -59,6 +59,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("precomputed-pairs near-dup stage equals the in-query computation") {
+    // staged full-corpus pairs at a WIDER bound, filtered down — the
+    // production shape (one pair store, many questions); must equal the
+    // fresh per-stage computation exactly
+    val staged = Dedup.simhashNearDuplicates(docs, "doc_id", "text", 16, 2)
+      .filter($"hamming" <= 1)
+    val fresh = Curation.curate(train, bench, "doc_id", "text", nearDup = Some((16, 1)))
+    val fed = Curation.curate(train, bench, "doc_id", "text", nearDup = Some((16, 1)),
+      nearDupPairs = Some(staged))
+    assert(fed.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(fed).count() === 0)
+  }
+
+  test("media near-dup stage drops exactly the non-canonical phash cluster members") {
+    val withStage = Curation.curate(train, bench, "doc_id", "text",
+      mediaDup = Some((16, 2)))
+    val without = Curation.curate(train, bench, "doc_id", "text")
+    assert(withStage.count() <= without.count())
+    assert(withStage.join(without, Seq("doc_id"), "left_anti").count() === 0)
+    val removed = without.join(withStage, Seq("doc_id"), "left_anti").select("doc_id")
+    if (removed.count() > 0) {
+      val losers = Dedup.duplicateClusters(
+          graft.operators.Multimodal.phashNearDuplicates(
+            graft.operators.Multimodal.asMedia(train, "doc_id", "text"), 16, 2))
+        .filter($"id" =!= $"cluster_id").select($"id".as("doc_id"))
+      assert(removed.join(losers, Seq("doc_id"), "left_semi").count() === removed.count())
+    }
+  }
+
   test("each stage only removes rows; survivors carry a split") {
     val got = Curation.curate(train, bench, "doc_id", "text")
     assert(got.count() > 0)

@@ -68,4 +68,52 @@ class HistorizationGoldenSpec extends SparkSpec {
       assert(finalDf.count() === 14)
     } else cancel("reference fixtures not available")
   }
+
+  test("historizeFramesEvolving: a run that adds a column does not fork the store") {
+    import graft.meta.Currents
+    import graft.operators.{MetaEnrichment, SchemaEvolution}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val c1 = Currents(ts1); val c2 = Currents(ts2)
+    val kcols = Seq("k")
+    val run1 = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    val target = StructType(run1.schema.fields :+ StructField("src", StringType, nullable = true))
+    // run 2: a re-delivered at the default (null src, same v) -> unchanged;
+    // b carries a real src -> re-versions; c is new
+    val run2 = Seq(("a", "1", Option.empty[String]), ("b", "2", Some("s2")),
+      ("c", "3", Some("s2"))).toDF("k", "v", "src")
+    val boot = MetaEnrichment.addMetaColumns(
+      SchemaEvolution.prepareSchema(run1, target), c1, kcols).limit(0)
+    val r1 = Historization.historizeFramesEvolving(boot, run1, c1, kcols, target)
+    val r2 = Historization.historizeFramesEvolving(r1, run2, c2, kcols, target)
+    val versions = r2.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(versions === Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+    // the evolved column is live: b's new version carries it
+    val bSrc = r2.filter($"k" === "b" && $"INSERT_RUN_ID" === c2.runId)
+      .select("src").as[Option[String]].head()
+    assert(bSrc === Some("s2"))
+  }
+
+  test("historizeRunEvolving widens a store bootstrapped under an older schema") {
+    import graft.meta.Currents
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/current.parquet"
+    val kcols = Seq("k")
+    val run1 = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    // bootstrap under the OLD schema (plain historizeRun, no src column)
+    Historization.historizeRun(spark, run1, dir, kcols, Some(ts1))
+    // run 2 mandates the widened schema
+    val target = StructType(run1.schema.fields :+ StructField("src", StringType, nullable = true))
+    val run2 = Seq(("a", "1", Option.empty[String]), ("c", "3", Some("s2")))
+      .toDF("k", "v", "src")
+    val out = Historization.historizeRunEvolving(spark, run2, dir, kcols, target, loadTs = Some(ts2))
+    assert(out.columns.contains("src"))
+    // pre-widening rows survive with a null default in the new column
+    val r1Rows = out.filter($"INSERT_RUN_ID" === Currents(ts1).runId)
+    assert(r1Rows.count() === 2)
+    assert(r1Rows.filter($"src".isNull).count() === 2)
+    // a, re-delivered unchanged, re-versions exactly ONCE (its record now
+    // hashes with the widened column's default); c is new
+    val versions = out.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(versions === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
 }

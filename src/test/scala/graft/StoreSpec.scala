@@ -267,6 +267,56 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("readOrCreate builds once, then reads the committed store") {
+    val path = java.nio.file.Files.createTempDirectory("graft_once").toString + "/derived"
+    var builds = 0
+    def build() = { builds += 1; (1 to 50).map(i => (i.toLong, i % 5)).toDF("id", "g") }
+    val first = Store.readOrCreate(spark, path)(build())
+    assert(first.count() === 50)
+    assert(builds === 1)
+    // second ask: served from the store, the builder never runs
+    val second = Store.readOrCreate(spark, path)(build())
+    assert(builds === 1)
+    assert(second.exceptAll(first).count() === 0)
+    assert(first.exceptAll(second).count() === 0)
+  }
+
+  test("bucketed point-lookup as-of reads one bucket and matches the full-scan path") {
+    import graft.operators.Scd2
+    import graft.operators.Scd2.ValidFromMode
+    val c1 = Currents("2024-01-01 10:00:00")
+    val c2 = Currents("2024-02-15 10:00:00")
+    def snap(n: Int, c: Currents, salt: Int) = MetaEnrichment.addMetaColumns(
+      (1 to n).map(i => (s"k$i", s"v${i % salt}")).toDF("k", "v"), c, Seq("k"))
+    val v1 = Scd2.historizeDataset(snap(300, c1, 7), None, c1, ValidFromMode.LoadDate)
+    val v2 = Scd2.historizeDataset(snap(300, c2, 5), Some(v1), c2, ValidFromMode.LoadDate)
+    val path = java.nio.file.Files.createTempDirectory("graft_basof").toString + "/store"
+    Store.writeStoreBucketed(v2, path, buckets = 16)
+    val keyHash = v2.filter($"k" === "k42").select(MetaColumns.KeyHash).as[String].head()
+    Seq("2024-01-15", "2024-03-01").foreach { day =>
+      val hit = Store.readStoreBucketAsOf(spark, path, keyHash, day, buckets = 16)
+      // exactly the version live that day: full-scan twin agrees
+      val full = Store.readStoreAsOf(spark, path, day).get
+        .filter(col(MetaColumns.KeyHash) === keyHash).drop("KEY_BUCKET")
+      val cols = hit.columns.sorted.toSeq.map(col)
+      assert(hit.count() === 1)
+      assert(hit.select(cols: _*).exceptAll(full.select(cols: _*)).count() === 0)
+      assert(full.select(cols: _*).exceptAll(hit.select(cols: _*)).count() === 0)
+      // one bucket directory scanned; KEY_HASH and both validity bounds
+      // reach the scan as pushed filters (read from the scan node's
+      // metadata — the rendered plan string truncates the filter list)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = hit.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      val parts = scans.flatMap(_.metadata.get("PartitionFilters")).mkString
+      assert(parts.contains("KEY_BUCKET"), s"no bucket pruning: $parts")
+      val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString
+      assert(pushed.contains("EqualTo(KEY_HASH") &&
+        pushed.contains("LessThanOrEqual(VALID_FROM"),
+        s"point-lookup filters not pushed: $pushed")
+    }
+  }
+
   test("bucket-pruned read finds the key and scans one partition") {
     val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/bucketed"
     Store.writeStoreBucketed(enriched, path, buckets = 16)
