@@ -256,6 +256,52 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming takedown — the REMOVAL direction of the continuous
+    * maintenance story ([[clusterMaintainStream]] is the ingestion
+    * direction): a stream of document ids (a takedown /
+    * right-to-be-forgotten feed) applied per micro-batch to every standing
+    * artifact. The dedup triple — band index, pairs store, labels store —
+    * repairs through [[graft.operators.Dedup.removeDocs]] (delete the ids'
+    * rows, re-run condensed CC on affected components only); any other
+    * per-document store (PQ code table, IVF inverted file, exact-dedup
+    * digest store) passes as `(path, idColumn)` in `extraStores` and loses
+    * the ids' rows via [[graft.sources.Store.deleteFromStore]].
+    *
+    * Replay safety: removal is idempotent at every crash point. A replayed
+    * batch anti-joins ids whose rows are already gone (identity on every
+    * store), and the cluster repair over ids no longer present in the
+    * labels yields an empty affected set, so only the (also-identity) pair
+    * filter re-applies — re-running the same removal converges to the same
+    * stores. No state store or watermark: the standing parquet stores ARE
+    * the state, and each rewrite goes through the atomic swap, so readers
+    * concurrent with a takedown see the old or new generation, never half.
+    *
+    * Scale: each batch's work is bounded by the takedown set and its
+    * clusters' membership (broadcast-hinted anti-joins; CC on the affected
+    * subgraph only) — a takedown feed over a 100 TB standing corpus costs
+    * per-batch what the batch touches, never a recompute. */
+  def takedownStream(
+      removals: DataFrame,
+      indexPath: String,
+      pairsPath: String,
+      labelsPath: String,
+      checkpoint: String,
+      extraStores: Seq[(String, String)] = Nil,
+      maxIters: Int = 25): DataStreamWriter[org.apache.spark.sql.Row] =
+    removals.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val ids = batch.dropDuplicates()
+        graft.operators.Dedup.removeDocs(
+          session, ids, indexPath, pairsPath, labelsPath, maxIters)
+        extraStores.foreach { case (path, idCol) =>
+          Store.deleteFromStore(session, path, ids, idCol); ()
+        }
+        ()
+      }
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

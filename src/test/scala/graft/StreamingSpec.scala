@@ -254,6 +254,54 @@ class StreamingSpec extends SparkSpec {
     assert(ix.select("id").distinct().count() === docs.count())
   }
 
+  test("streaming takedown repairs standing stores to the recompute without the ids") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-takedown-stream").toString
+
+    // standing state: the maintenance loop ingests the whole corpus
+    docs.write.parquet(s"$dir/in/d0")
+    val ingest = spark.readStream.schema(docs.schema).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.clusterMaintainStream(
+      ingest, "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/chk_in"))
+    // plus an extra per-document artifact: the exact-dedup digest store
+    val digests = docs.withColumn("content_hash",
+      graft.functions.HashColumns.hashExpr(Seq($"text")))
+      .select("doc_id", "content_hash")
+    digests.write.parquet(s"$dir/digests")
+
+    // takedown feed: two ids that ARE paired (so cluster repair runs),
+    // delivered in two micro-batches, the first re-delivered (replay)
+    val paired = spark.read.parquet(s"$dir/pairs")
+      .select($"id_a").distinct().orderBy($"id_a").limit(2).as[Long].collect()
+    val Array(r0, r1) = paired
+    Seq(r0).toDF("doc_id").write.parquet(s"$dir/rm/d0")
+    Seq(r1).toDF("doc_id").write.parquet(s"$dir/rm/d1")
+    Seq(r0).toDF("doc_id").write.parquet(s"$dir/rm/d2") // re-delivery
+    val feed = spark.readStream.schema(Seq(r0).toDF("doc_id").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/rm/*")
+    StreamingHistorization.runOnce(StreamingHistorization.takedownStream(
+      feed, s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/chk_rm",
+      extraStores = Seq((s"$dir/digests", "doc_id"))))
+
+    // stores ≡ from-scratch rebuild over the surviving corpus
+    val survivors = docs.filter(!$"doc_id".isin(r0, r1))
+    val labelTwin = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashCandidates(survivors, "doc_id", "text"))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(spark.read.parquet(s"$dir/labels")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet === labelTwin)
+    val pairTwin = graft.operators.Dedup.minhashCandidates(survivors, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === pairTwin)
+    val ix = spark.read.parquet(s"$dir/index")
+    assert(ix.filter($"id".isin(r0, r1)).count() === 0)
+    assert(ix.select("id").distinct().count() === survivors.count())
+    assert(spark.read.parquet(s"$dir/digests").filter($"doc_id".isin(r0, r1)).count() === 0)
+    assert(pairTwin.nonEmpty, "fixture sanity: surviving pairs exist")
+  }
+
   test("streaming decontamination equals the batch twin and is stateless under re-delivery") {
     val docsAll = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val train = docsAll.filter($"doc_id" % 20 =!= 0)
