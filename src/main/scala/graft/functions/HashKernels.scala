@@ -168,6 +168,46 @@ object HashKernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
 
+  /** Adjacent word pairs over a text's whitespace tokens, in reading
+    * order, NON-distinct — the bigram event list an order-sensitive
+    * language model counts. One byte-scan pass; tokenization is
+    * value-identical to `filter(split(text, "\\s+"), t => length(t) > 0)`
+    * (maximal runs of the six ASCII `\s` characters separate tokens; the
+    * bytes compared are < 0x80, so multi-byte UTF-8 passes through
+    * unsplit). Texts with fewer than two tokens yield an empty array, so
+    * they contribute no exploded rows. Consecutive pairs share their
+    * boundary token's UTF8String, so the pass allocates one object per
+    * token plus one 2-field row per pair — not the O(tokens) array copy
+    * per exploded row that an `explode(sequence)` + post-Generate
+    * `element_at` formulation carries. */
+  def tokenPairs(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val toks = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isSpaceByte(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpaceByte(bytes(i))) i += 1
+      if (i > start)
+        toks += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i))
+    }
+    val m = toks.length
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - 1)
+    var j = 0
+    while (j < m - 1) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks(j), toks(j + 1)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // the six characters Java's \s matches (no UNICODE_CHARACTER_CLASS)
+  @inline private def isSpaceByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
   /** Top n-gram repetition ratio: the frequency of the most common FULL
     * n-token window over the count of all full windows (0.0 when the text
     * has fewer than n tokens). The standard repetition signal in corpus
@@ -511,6 +551,28 @@ case class PhashFp(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd adjacent-token bigram pair generator over a string column. */
+case class TokenPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_token_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenPairs(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPairs =
+    copy(child = newChild)
+}
+
 object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
@@ -547,4 +609,8 @@ object DedupExpressions {
   /** Codegen'd average-hash perceptual fingerprint of a binary column. */
   def phashOf(payload: Column, bits: Int): Column =
     CatalystBridge.column(PhashFp(CatalystBridge.expression(payload), bits))
+
+  /** Codegen'd adjacent-token bigram pairs of a string column. */
+  def tokenPairsOf(text: Column): Column =
+    CatalystBridge.column(TokenPairs(CatalystBridge.expression(text)))
 }

@@ -272,16 +272,17 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    val toks = tokens(col(textCol))
-    // sequence(1, n-1) guarded: Spark's sequence DESCENDS when start >
-    // stop, which would fabricate pairs for 0/1-token docs
-    val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
-      .otherwise(array().cast("array<int>"))
+    // pair generation is a codegen'd kernel ([[graft.functions
+    // .TokenPairs]]): the HOF-tokenize + explode(sequence) + post-Generate
+    // element_at formulation evaluated the interpreted tokenizer up to 3×
+    // per row and carried the full token array through the Generate —
+    // measured 5.5 s of this query's 7.2 s at sf0.1, vs 1.1–2.0 s warm
+    // for the kernel form (pair set bit-identical, corpus + edge cases).
+    // Fewer-than-two-token docs yield an empty array ⇒ absent, as before.
     val pairs = df
-      .select(col(idCol).as("doc_id"), toks.as("__w"), explode(idxs).as("__i"))
-      .select(col("doc_id"),
-        element_at(col("__w"), col("__i")).as("w1"),
-        element_at(col("__w"), col("__i") + 1).as("w2"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.DedupExpressions.tokenPairsOf(col(textCol))).as("__p"))
+      .select(col("doc_id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     val tf = scope.persist(
       pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf")))
     val bgf = tf.groupBy("w1", "w2").agg(sum(col("tf")).as("cbg"))

@@ -339,6 +339,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === again)
   }
 
+  test("TokenPairs kernel matches the HOF-staged pair formulation") {
+    // executable spec: explode(sequence) over the HOF tokenizer with
+    // post-Generate element_at — the formulation the kernel replaced
+    def staged(df: org.apache.spark.sql.DataFrame) = {
+      val toks = graft.operators.Dedup.tokens($"text")
+      val idxs = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+        .otherwise(array().cast("array<int>"))
+      df.select($"doc_id", toks.as("__w"), explode(idxs).as("__i"))
+        .select($"doc_id",
+          element_at($"__w", $"__i").as("w1"),
+          element_at($"__w", $"__i" + 1).as("w2"))
+    }
+    def kernel(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id",
+          explode(graft.functions.DedupExpressions.tokenPairsOf($"text")).as("__p"))
+        .select($"doc_id", $"__p.w1".as("w1"), $"__p.w2".as("w2"))
+    // every \s separator class, runs, leading/trailing, 0/1-token docs,
+    // multi-byte UTF-8, repeated pairs (non-distinctness)
+    val edge = Seq(
+      (1L, "a b\tc\nd"), (2L, "  leading  inner  trailing "), (3L, "one"),
+      (4L, ""), (5L, "émoji é́ pair"), (6L, "xy\fz\rw"),
+      (7L, "go go go go")).toDF("doc_id", "text")
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    for (df <- Seq(edge, corpus)) {
+      val a = staged(df); val b = kernel(df)
+      assert(a.exceptAll(b).count() === 0)
+      assert(b.exceptAll(a).count() === 0)
+    }
+    // non-distinct: "go go go go" emits the same pair three times
+    assert(kernel(edge).filter($"doc_id" === 7L).count() === 3)
+  }
+
   test("frequentNgrams ranks by document frequency with deterministic ties") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
