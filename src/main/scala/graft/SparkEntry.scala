@@ -411,26 +411,37 @@ object SparkEntry {
     // the "batch" half the corpus and cost two full CC loops).
     // updateClusters must be row-identical to the full recompute — so the
     // oracle IS the x_dedup_clusters statement. Pairs come from the
-    // staged store: production maintains ONE pair set, every question
-    // reads it (r9 verdict: six family members each re-derived it)
+    // staged store, and the STANDING labeling is staged too: before the
+    // batch arrives, production's labels store already exists — the
+    // query's steady-state cost is the batch update, not a standing-side
+    // CC re-run per question (that fresh cost stays measured by
+    // x_dedup_clusters)
     "x_dedup_clusters_incremental" -> ((s, d) => {
       val pairs = stagedSimhashPairs(s, d, 16, 2)
-      val standing = pairs.filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
+      val standing = Store.readOrCreate(s,
+        s"/tmp/graft_staged/${dirTag(d, "documents")}/simhash_standing_labels_b16_h2")(
+        Dedup.duplicateClusters(
+          pairs.filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)))
       val batch = pairs.filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
-      Dedup.updateClusters(Dedup.duplicateClusters(standing), batch)
+      Dedup.updateClusters(standing, batch)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
     // the takedown direction: remove the doc_id ≡ 3 (mod 25) batch (~4%)
     // from the standing labeling + pair set at affected-component cost;
     // removeDocsFromClusters must equal the full recompute without the
     // ids, so the oracle is the recursive-CC statement over the kept
-    // pairs. Standing labels + pairs are the staged stores — exactly the
-    // artifacts a production takedown repairs in place
+    // pairs. Standing labels + pairs are the staged WIDE (64-bit) stores:
+    // at the corpus-scale fingerprint width components are small, so the
+    // affected-component claim does real work — on the saturated 16-bit
+    // graph (one giant component at sf0.1) any removal's "affected
+    // subgraph" IS the whole graph and the repair degenerates to a full
+    // CC by graph shape, not by operator design (dense-graph correctness,
+    // including bridge splits, stays spec-pinned in DedupSpec)
     "x_dedup_clusters_removed" -> ((s, d) => {
-      val pairs = stagedSimhashPairs(s, d, 16, 2)
+      val pairs = stagedSimhashPairs(s, d, 64, 3)
       val removed = Tables.documents(s, d).filter(col("doc_id") % 25 === 3).select("doc_id")
       val (labels2, _) = Dedup.removeDocsFromClusters(
-        stagedSimhashClusters(s, d, 16, 2), pairs, removed)
+        stagedSimhashClusters(s, d, 64, 3), pairs, removed)
       labels2.select(col("id").as("doc_id"), col("cluster_id"))
     }),
     // one-row dedup dataset-card stats — a READ of the staged labeling
@@ -2019,9 +2030,10 @@ object SparkEntry {
          |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
     // takedown ≡ full recompute over the pairs not touching a removed id
     // (other docs' fingerprints are unchanged, so kept pairs ARE the
-    // surviving corpus's pairs)
+    // surviving corpus's pairs) — over the WIDE pair graph, the width
+    // whose small components make affected-component repair meaningful
     "x_dedup_clusters_removed" ->
-      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      s"""${simhashWideNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |kept AS (
          |  SELECT id_a, id_b FROM pairs WHERE id_a % 25 <> 3 AND id_b % 25 <> 3
          |),
