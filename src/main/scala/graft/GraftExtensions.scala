@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CollapseRuns, DotProduct, MinHashSig, PhashFp, RepeatRatio, Shingles, SimHash}
+import graft.functions.{CharEntropy, CollapseRuns, DotProduct, MinHashSig, NfcNormalize, PhashFp, RepeatRatio, Shingles, SimHash, TokenPairs, WinnowFps}
 
 /** SQL-surface registration of graft's native expressions, so SQL-string
   * pipelines can call them like built-ins:
@@ -20,6 +20,12 @@ import graft.functions.{CollapseRuns, DotProduct, MinHashSig, PhashFp, RepeatRat
   *    collapsing (intra-document repetition removal)
   *  - `graft_phash(payload, bits)` — average-hash perceptual fingerprint
   *    of a binary payload
+  *  - `graft_token_pairs(text)` — adjacent whitespace-token bigram pairs
+  *    as `array<struct<w1, w2>>` (non-distinct, reading order)
+  *  - `graft_char_entropy(text)` — code-point Shannon entropy in bits
+  *  - `graft_nfc_normalize(text)` — Unicode NFC canonical composition
+  *  - `graft_winnow(text, k, w)` — positional winnowing fingerprints
+  *    as `array<struct<gh, p>>` (k-gram hashes, window w)
   *
   * Production path: `spark.sql.extensions=graft.GraftExtensions` (applied
   * at session build). For an existing session or REPL,
@@ -73,7 +79,27 @@ object GraftExtensions {
       info("graft_phash",
         "graft_phash(payload, bits) - bits-wide average-hash perceptual fingerprint of a binary payload"),
       { case Seq(p, b) => PhashFp(p, intLit(b, "graft_phash", "bits"))
-        case args => throw new IllegalArgumentException(s"graft_phash expects 2 args, got ${args.size}") })
+        case args => throw new IllegalArgumentException(s"graft_phash expects 2 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_token_pairs"),
+      info("graft_token_pairs",
+        "graft_token_pairs(text) - adjacent whitespace-token bigram pairs, non-distinct, reading order"),
+      { case Seq(t) => TokenPairs(t)
+        case args => throw new IllegalArgumentException(s"graft_token_pairs expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("graft_char_entropy"),
+      info("graft_char_entropy",
+        "graft_char_entropy(text) - Shannon entropy (bits) over the text's code points"),
+      { case Seq(t) => CharEntropy(t)
+        case args => throw new IllegalArgumentException(s"graft_char_entropy expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize",
+        "graft_nfc_normalize(text) - Unicode NFC canonical composition"),
+      { case Seq(t) => NfcNormalize(t)
+        case args => throw new IllegalArgumentException(s"graft_nfc_normalize expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - positional winnowing fingerprints (k-gram hashes, window w)"),
+      { case Seq(t, k, w) => WinnowFps(t, intLit(k, "graft_winnow", "k"), intLit(w, "graft_winnow", "w"))
+        case args => throw new IllegalArgumentException(s"graft_winnow expects 3 args, got ${args.size}") })
   )
 
   /** Register on a live session (tests, REPL, existing sessions). */

@@ -68,6 +68,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_phash(CAST(NULL AS BINARY), 16) AS fp").head.isNullAt(0))
   }
 
+  test("graft_token_pairs / graft_char_entropy / graft_nfc_normalize / graft_winnow from SQL equal the Column API forms") {
+    val sqlRes = spark.sql(
+      "SELECT graft_token_pairs('a b  c') AS p").head.getSeq[org.apache.spark.sql.Row](0)
+    assert(sqlRes.map(r => (r.getString(0), r.getString(1))) === Seq(("a", "b"), ("b", "c")))
+    assert(spark.sql("SELECT graft_token_pairs('solo') AS p").head.getSeq[Any](0).isEmpty)
+
+    val eSql = spark.sql("SELECT graft_char_entropy('aabb') AS e").head.getDouble(0)
+    val eCol = spark.range(1).select(graft.functions.DedupExpressions
+      .charEntropyOf(lit("aabb")).as("e")).head.getDouble(0)
+    assert(eSql === eCol && eSql === 1.0)
+
+    // U+0065 U+0301 (e + combining acute) composes to U+00E9
+    val n = spark.sql("SELECT graft_nfc_normalize('é') AS s").head.getString(0)
+    assert(n === "é")
+
+    val wSql = spark.sql("SELECT graft_winnow('abcdefghij', 3, 4) AS w").head.getSeq[org.apache.spark.sql.Row](0)
+    val wCol = spark.range(1).select(graft.functions.DedupExpressions
+      .winnowOf(lit("abcdefghij"), 3, 4).as("w")).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(wSql === wCol && wSql.nonEmpty)
+  }
+
   test("graft_phash rejects out-of-contract bit widths from SQL and Column surfaces") {
     // bits < 2 degenerates the mean; bits > 62 wraps the 1L << (bits-1-i)
     // weights mod 64 — both must error, not silently corrupt fingerprints
