@@ -77,6 +77,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "enrichment introduced a shuffle")
   }
 
+  test("as-of travel over the staged SCD2 store pushes the validity bounds to its scan") {
+    // the staged registrations turned the as-of reads into parquet-store
+    // reads — the production shape — which makes the validity-bound
+    // pushdown REAL (before, the filter ran over an in-memory merge
+    // result). Assert on the scan's own pushed-filter metadata rather
+    // than the plan string, whose PushedFilters list truncates.
+    val df = SparkEntry.queries("x_store_asof")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    spark.catalog.clearCache()
+    assert(scans.nonEmpty, "staged as-of read lost its parquet scan")
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters")).mkString(";")
+    assert(pushed.contains("LessThanOrEqual(VALID_FROM"),
+      s"VALID_FROM bound not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(VALID_TO"),
+      s"VALID_TO bound not pushed: $pushed")
+  }
+
   test("fact-to-dimension joins broadcast the small side") {
     val p = finalPlanOf("x_join_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension join is not broadcast")

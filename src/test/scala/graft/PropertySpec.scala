@@ -78,6 +78,24 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("TokenPairs kernel: parity with a plain-Scala bigram spec on random whitespace-laced text") {
+    // pieces mix every \s separator with multi-byte and ASCII tokens, so
+    // random concatenations cover runs, leading/trailing separators, and
+    // 0/1-token texts
+    val pieceGen = Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r",
+      "a", "bb", "é", "日本", "x9")
+    val textGen = Gen.listOf(pieceGen).map(_.mkString)
+    checkProp(Prop.forAll(textGen) { text =>
+      val got = Seq(Tuple1(text)).toDF("text")
+        .select(explode(graft.functions.DedupExpressions.tokenPairsOf(col("text"))).as("p"))
+        .select("p.w1", "p.w2").as[(String, String)].collect().toSeq
+      // reference semantics in plain Scala: \s+ split, empties dropped
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected = if (toks.length < 2) Seq.empty else toks.zip(toks.tail)
+      got == expected
+    }, n = 30)
+  }
+
   test("packSequences conserves rows and tokens for random corpora") {
     val docGen = Gen.listOfN(40, Gen.choose(0, 30))
     checkProp(Prop.forAll(docGen) { sizes =>
