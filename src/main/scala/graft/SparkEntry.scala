@@ -190,6 +190,19 @@ object SparkEntry {
     Store.readOrCreate(s,
       s"/tmp/graft_staged/${dirTag(d, "lineitem")}/scd2_v2")(scd2v2(s, d))
 
+  /** Staged BUCKETED twin of the SCD2 store ([[graft.sources.Store
+    * .writeStoreBucketed]] layout) for the point-lookup registration:
+    * history point reads hit one bucket directory out of 8 with KEY_HASH
+    * row groups pruned by the within-file sort. */
+  private def stagedScd2v2BucketedPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/scd2_v2_bucketed"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      Store.writeStoreBucketed(stagedScd2v2(s, d), path, buckets = 8)
+    path
+  }
+
   /** Staged soft-delete-stamped two-run hash store: `x_store_deleted_stamp`
     * measures the stamping pass fresh; deletion-aware run travel reads the
     * standing stamped store. */
@@ -317,6 +330,23 @@ object SparkEntry {
       qtyAsDouble(Scd2.asOf(stagedScd2v2(s, d), "2024-02-14")
         .select("l_orderkey", "l_linenumber", "quantity",
           M.RecordHash, M.ValidFrom, M.ValidTo))),
+    // bucketed point-in-time POINT lookup: "the version of key X live on
+    // day D" against the writeStoreBucketed layout — one bucket directory
+    // of 8, KEY_HASH row-group pruned, validity bounds pushed (plan
+    // pinned in StoreSpec). The demo key is the snapshot's minimum
+    // business key; its KEY_HASH literal derives driver-side exactly as
+    // the md5 enrichment defines it (bounded collect: two scalars)
+    "x_store_asof_point" -> ((s, d) => {
+      val path = stagedScd2v2BucketedPath(s, d)
+      val k = snapA(s, d).orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber").limit(1).collect()(0)
+      val kh = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${k.get(0)}#?${k.get(1)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      qtyAsDouble(Store.readStoreBucketAsOf(s, path, kh, "2024-02-01", buckets = 8)
+        .select("l_orderkey", "l_linenumber", "quantity",
+          M.RecordHash, M.ValidFrom, M.ValidTo))
+    }),
     // run-based time travel over the APPEND-ONLY hash store (the l16
     // loop's sink): filtering the two-run chain to run 1's INSERT_RUN_ID
     // must reproduce exactly the run-1 snapshot content — the
@@ -1922,6 +1952,21 @@ object SparkEntry {
          |       "RECORD_HASH", "VALID_FROM", "VALID_TO"
          |FROM v2 WHERE "VALID_FROM" <= DATE '2024-02-14'
          |  AND DATE '2024-02-14' <= "VALID_TO"""".stripMargin,
+    // the point lookup: the as-of statement restricted to the snapshot's
+    // minimum business key (min orderkey, then min linenumber within it —
+    // the Spark side's orderBy-limit-1 selection)
+    "x_store_asof_point" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE "VALID_FROM" <= DATE '2024-02-01'
+         |  AND DATE '2024-02-01' <= "VALID_TO"
+         |  AND l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+         |        WHERE l_shipdate < DATE '1995-06-01')
+         |  AND l_linenumber = (SELECT min(l_linenumber) FROM lineitem
+         |        WHERE l_shipdate < DATE '1995-06-01'
+         |          AND l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+         |                WHERE l_shipdate < DATE '1995-06-01'))""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_dups
