@@ -203,6 +203,41 @@ object SparkEntry {
     path
   }
 
+  /** Deterministic orders projection — the SECOND historized dimension for
+    * the temporal join: price pre-cast to decimal so stringified hash
+    * inputs agree across engines (same discipline as [[liProj]]). */
+  private def ordProj(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("totalprice"),
+      col("o_orderdate").cast("date").as("orderdate"))
+
+  /** Orders run-2 snapshot: totalprice bumped for every 53rd order key — a
+    * modulus DISJOINT from lineitem's 97, so the two histories version at
+    * different keys and the temporal join exercises real window splits
+    * (1 lineitem version × 2 order versions and vice versa), plus the
+    * cross-epoch rejection on keys divisible by both. */
+  private def ordSnapB(spark: SparkSession, dir: String): DataFrame =
+    ordProj(spark, dir).withColumn("totalprice",
+      when(pmod(col("o_orderkey"), lit(53)) === 0,
+        (col("totalprice") + 100).cast("decimal(18,2)")).otherwise(col("totalprice")))
+
+  /** Staged two-merge SCD2 store over ORDERS (key = o_orderkey), the right
+    * side of `x_store_temporal_join`: same two-run scheme as the lineitem
+    * store, mutation modulus 53. */
+  private def stagedOrdersScd2(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "orders")}/scd2_orders") {
+      val keysO = Seq("o_orderkey")
+      val v1 = Scd2.historizeDataset(
+        MetaEnrichment.addMetaColumns(ordProj(s, d), cur1, keysO),
+        None, cur1, ValidFromMode.LoadDate).persist()
+      Scd2.historizeDataset(
+        MetaEnrichment.addMetaColumns(ordSnapB(s, d), cur2, keysO),
+        Some(v1), cur2, ValidFromMode.LoadDate)
+    }
+
   /** Staged soft-delete-stamped two-run hash store: `x_store_deleted_stamp`
     * measures the stamping pass fresh; deletion-aware run travel reads the
     * standing stamped store. */
@@ -347,6 +382,22 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "quantity",
           M.RecordHash, M.ValidFrom, M.ValidTo))
     }),
+    // temporal join: align the lineitem history (versions at keys % 97)
+    // with the orders history (versions at keys % 53) on the time axis —
+    // equi-join on orderkey, windows intersected, empty intersections
+    // dropped. Both sides read standing stores; the plan is a plain
+    // equi-join with the overlap test as a post-join filter (no nested
+    // loop — pinned in PlanAuditSpec)
+    "x_store_temporal_join" -> ((s, d) =>
+      Scd2.temporalJoin(
+        stagedScd2v2(s, d), stagedOrdersScd2(s, d),
+        Seq("l_orderkey" -> "o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("quantity").cast("double").as("quantity"),
+          col("totalprice").cast("double").as("totalprice"),
+          col(M.RecordHash),
+          col(M.RecordHash + "_R").as("RECORD_HASH_R"),
+          col(M.ValidFrom), col(M.ValidTo))),
     // run-based time travel over the APPEND-ONLY hash store (the l16
     // loop's sink): filtering the two-run chain to run 1's INSERT_RUN_ID
     // must reproduce exactly the run-1 snapshot content — the
@@ -1967,6 +2018,46 @@ object SparkEntry {
          |        WHERE l_shipdate < DATE '1995-06-01'
          |          AND l_orderkey = (SELECT min(l_orderkey) FROM lineitem
          |                WHERE l_shipdate < DATE '1995-06-01'))""".stripMargin,
+    // temporal join: the lineitem SCD2 chain joined to the orders history
+    // on orderkey with intersected validity windows. The orders side uses
+    // the closed form of the two-run merge (key sets equal across runs;
+    // a key versions iff its modulus-53 bump changes the record): version
+    // 1 closes 2024-02-14 exactly for changed keys, version 2 opens
+    // 2024-02-15 for them — the same rows the five-branch chain yields
+    "x_store_temporal_join" ->
+      s"""$scd2Cte,
+         |obase AS (
+         |  SELECT o_orderkey, o_orderstatus AS orderstatus,
+         |         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+         |         CAST(o_orderdate AS DATE) AS orderdate
+         |  FROM orders
+         |),
+         |ohist AS (
+         |  SELECT o_orderkey, totalprice,
+         |         md5(concat_ws('#?', coalesce(CAST(o_orderkey AS VARCHAR),'nan'),
+         |                             coalesce(orderstatus,'nan'),
+         |                             coalesce(CAST(totalprice AS VARCHAR),'nan'),
+         |                             coalesce(CAST(orderdate AS VARCHAR),'nan'))) AS record_hash_r,
+         |         DATE '2024-01-01' AS vf,
+         |         CASE WHEN o_orderkey % 53 = 0 THEN DATE '2024-02-14'
+         |              ELSE DATE '9999-12-31' END AS vt
+         |  FROM obase
+         |  UNION ALL
+         |  SELECT o_orderkey, CAST(totalprice + 100 AS DECIMAL(18,2)) AS totalprice,
+         |         md5(concat_ws('#?', coalesce(CAST(o_orderkey AS VARCHAR),'nan'),
+         |                             coalesce(orderstatus,'nan'),
+         |                             coalesce(CAST(CAST(totalprice + 100 AS DECIMAL(18,2)) AS VARCHAR),'nan'),
+         |                             coalesce(CAST(orderdate AS VARCHAR),'nan'))) AS record_hash_r,
+         |         DATE '2024-02-15' AS vf, DATE '9999-12-31' AS vt
+         |  FROM obase WHERE o_orderkey % 53 = 0
+         |)
+         |SELECT v.l_orderkey, v.l_linenumber, CAST(v.quantity AS DOUBLE) AS quantity,
+         |       CAST(o.totalprice AS DOUBLE) AS totalprice,
+         |       v."RECORD_HASH", o.record_hash_r AS "RECORD_HASH_R",
+         |       greatest(v."VALID_FROM", o.vf) AS "VALID_FROM",
+         |       least(v."VALID_TO", o.vt) AS "VALID_TO"
+         |FROM v2 v JOIN ohist o ON v.l_orderkey = o.o_orderkey
+         |WHERE greatest(v."VALID_FROM", o.vf) <= least(v."VALID_TO", o.vt)""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -172,4 +172,46 @@ class Scd2Spec extends SparkSpec {
     assert(fast.count() === 1)
     assert(fast.filter(col(ValidTo) === to_date(lit("9999-12-31"))).count() === 0)
   }
+
+  private def snapshotR(rows: Seq[(String, String)], c: Currents): DataFrame =
+    MetaEnrichment.addMetaColumns(rows.toDF("k2", "w"), c, Seq("k2"))
+
+  test("temporalJoin: self-join is the diagonal — a key's versions never overlap each other") {
+    val v1 = Scd2.historizeDataset(snapshot(Seq("a" -> "1", "b" -> "2"), c1), None, c1, ValidFromMode.LoadDate)
+    val v2 = Scd2.historizeDataset(snapshot(Seq("a" -> "1", "b" -> "9"), c2), Some(v1), c2, ValidFromMode.LoadDate)
+    val j = Scd2.temporalJoin(v2, v2, Seq("k" -> "k"))
+    assert(j.count() === v2.count())
+    // every surviving pair is a version with itself: the close-at-day-
+    // before / open-at-run-day convention leaves no self-overlap
+    assert(j.filter(col(RecordHash) =!= col(RecordHash + "_R")).count() === 0)
+  }
+
+  test("temporalJoin: windows split at either side's boundaries; asOf commutes with the join") {
+    // left versions key b at Feb 15; right (keyed k2) versions b at Mar 20
+    val l1 = Scd2.historizeDataset(snapshot(Seq("a" -> "1", "b" -> "2"), c1), None, c1, ValidFromMode.LoadDate)
+    val l2 = Scd2.historizeDataset(snapshot(Seq("a" -> "1", "b" -> "9"), c2), Some(l1), c2, ValidFromMode.LoadDate)
+    val r1 = Scd2.historizeDataset(snapshotR(Seq("a" -> "x", "b" -> "y"), c1), None, c1, ValidFromMode.LoadDate)
+    val r2 = Scd2.historizeDataset(snapshotR(Seq("a" -> "x", "b" -> "z"), c3), Some(r1), c3, ValidFromMode.LoadDate)
+    val j = Scd2.temporalJoin(l2, r2, Seq("k" -> "k2"))
+    // right key and both validity originals are consumed; unsuffixed
+    // payloads from both sides survive
+    assert(!j.columns.contains("k2") && j.columns.contains("v") && j.columns.contains("w"))
+    // b: [jan1,feb14],[feb15,∞) × [jan1,mar19],[mar20,∞) → three slices
+    // (the cross-epoch pair [jan1,feb14]×[mar20,∞) is rejected)
+    val bwins = j.filter($"k" === "b")
+      .select(col(ValidFrom).cast("string"), col(ValidTo).cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(bwins === Set(
+      ("2024-01-01", "2024-02-14"),
+      ("2024-02-15", "2024-03-19"),
+      ("2024-03-20", "9999-12-31")))
+    assert(j.count() === 4) // a: one full-window row; b: the three slices
+    for (day <- Seq("2024-01-31", "2024-02-20", "2024-03-25")) {
+      val viaJoin = Scd2.asOf(j, day).select("k", "v", "w")
+      val direct = Scd2.asOf(l2, day).select("k", "v")
+        .join(Scd2.asOf(r2, day).select(col("k2"), col("w")), col("k") === col("k2"))
+        .select("k", "v", "w")
+      assertSameResult(viaJoin, direct)
+    }
+  }
 }
