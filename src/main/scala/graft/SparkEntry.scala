@@ -238,6 +238,17 @@ object SparkEntry {
         Some(v1), cur2, ValidFromMode.LoadDate)
     }
 
+  /** Driver-side KEY_HASH literal of `base`'s minimum (orderkey,
+    * linenumber) key — the bounded two-scalar collect behind the bucketed
+    * point reads, deriving exactly the md5 the meta enrichment defines. */
+  private def minKeyHash(base: DataFrame): String = {
+    val k = base.orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_linenumber").limit(1).collect()(0)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${k.get(0)}#?${k.get(1)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Staged soft-delete-stamped two-run hash store: `x_store_deleted_stamp`
     * measures the stamping pass fresh; deletion-aware run travel reads the
     * standing stamped store. */
@@ -371,17 +382,29 @@ object SparkEntry {
     // pinned in StoreSpec). The demo key is the snapshot's minimum
     // business key; its KEY_HASH literal derives driver-side exactly as
     // the md5 enrichment defines it (bounded collect: two scalars)
-    "x_store_asof_point" -> ((s, d) => {
-      val path = stagedScd2v2BucketedPath(s, d)
-      val k = snapA(s, d).orderBy("l_orderkey", "l_linenumber")
-        .select("l_orderkey", "l_linenumber").limit(1).collect()(0)
-      val kh = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"${k.get(0)}#?${k.get(1)}".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      qtyAsDouble(Store.readStoreBucketAsOf(s, path, kh, "2024-02-01", buckets = 8)
+    "x_store_asof_point" -> ((s, d) =>
+      qtyAsDouble(Store.readStoreBucketAsOf(s, stagedScd2v2BucketedPath(s, d),
+        minKeyHash(snapA(s, d)), "2024-02-01", buckets = 8)
         .select("l_orderkey", "l_linenumber", "quantity",
-          M.RecordHash, M.ValidFrom, M.ValidTo))
-    }),
+          M.RecordHash, M.ValidFrom, M.ValidTo))),
+    // full version chain of one key — the point lookup without the day
+    // restriction; the demo key is the minimum CHANGED key (modulus-97
+    // bump), so the history has both the closed row and its successor
+    "x_store_key_history" -> ((s, d) =>
+      qtyAsDouble(Store.readStoreBucketKey(s, stagedScd2v2BucketedPath(s, d),
+        minKeyHash(snapA(s, d).filter(pmod(col("l_orderkey"), lit(97)) === 0)),
+        buckets = 8)
+        .select("l_orderkey", "l_linenumber", "quantity",
+          M.RecordHash, M.ValidFrom, M.ValidTo))),
+    // interval audit read: every version valid at any point of
+    // [2024-01-05, 2024-02-10] — the window ends BEFORE the run-2
+    // boundary, so run-1 rows qualify (including ones later closed on
+    // Feb 14: they were live during the window) while every Feb 15
+    // opening is excluded; both bounds push to the scan like asOf
+    "x_store_between" -> ((s, d) =>
+      qtyAsDouble(Scd2.between(stagedScd2v2(s, d), "2024-01-05", "2024-02-10")
+        .select("l_orderkey", "l_linenumber", "quantity",
+          M.RecordHash, M.ValidFrom, M.ValidTo))),
     // temporal join: align the lineitem history (versions at keys % 97)
     // with the orders history (versions at keys % 53) on the time axis —
     // equi-join on orderkey, windows intersected, empty intersections
@@ -2058,6 +2081,26 @@ object SparkEntry {
          |       least(v."VALID_TO", o.vt) AS "VALID_TO"
          |FROM v2 v JOIN ohist o ON v.l_orderkey = o.o_orderkey
          |WHERE greatest(v."VALID_FROM", o.vf) <= least(v."VALID_TO", o.vt)""".stripMargin,
+    // the key history: v2 restricted to the minimum modulus-97 key of
+    // snapshot A (the Spark side's filtered orderBy-limit-1 selection)
+    "x_store_key_history" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+         |        WHERE l_shipdate < DATE '1995-06-01' AND l_orderkey % 97 = 0)
+         |  AND l_linenumber = (SELECT min(l_linenumber) FROM lineitem
+         |        WHERE l_shipdate < DATE '1995-06-01'
+         |          AND l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+         |                WHERE l_shipdate < DATE '1995-06-01'
+         |                  AND l_orderkey % 97 = 0))""".stripMargin,
+    // the interval audit read: window-overlap against [Feb 1, Feb 20]
+    "x_store_between" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "RECORD_HASH", "VALID_FROM", "VALID_TO"
+         |FROM v2 WHERE "VALID_FROM" <= DATE '2024-02-10'
+         |  AND DATE '2024-01-05' <= "VALID_TO"""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash,
         |       min(doc_id) AS keep_id, count(*) AS n_dups

@@ -252,6 +252,19 @@ object Scd2 {
   def asOf(df: DataFrame, day: String): DataFrame =
     asOf(df, to_date(lit(day)))
 
+  /** Every version valid at ANY point of the inclusive day interval
+    * `[fromDay, toDay]` — the audit read ("what was live during
+    * February", "what changed this quarter" = between minus the asOf
+    * endpoints). Window-overlap is two per-row comparisons, so — like
+    * [[asOf]] — both bounds push down to the parquet scan and row groups
+    * wholly outside the interval are never read. `between(d, d)` ≡
+    * `asOf(d)`. */
+  def between(df: DataFrame, fromDay: String, toDay: String): DataFrame = {
+    require(fromDay <= toDay, s"need fromDay <= toDay, got [$fromDay, $toDay]")
+    df.filter(col(ValidFrom) <= to_date(lit(toDay)) &&
+      (col(ValidTo).isNull || to_date(lit(fromDay)) <= col(ValidTo)))
+  }
+
   /** Temporal join of two SCD2 histories: one output row per pair of
     * versions that share the business key AND whose validity windows
     * intersect, carrying the INTERSECTED window — `VALID_FROM` =

@@ -219,6 +219,18 @@ object Store {
         .filter(col(MetaColumns.KeyHash) === keyHash),
       day)
 
+  /** Full version chain of one key against a [[writeStoreBucketed]] SCD2
+    * store — the "history of key X" audit read, [[readStoreBucketAsOf]]
+    * without the day restriction: one bucket directory touched, KEY_HASH
+    * equality row-group pruned by the within-file sort. */
+  def readStoreBucketKey(
+      spark: SparkSession,
+      path: String,
+      keyHash: String,
+      buckets: Int = 256): DataFrame =
+    readStoreBucket(spark, path, keyHash, buckets)
+      .filter(col(MetaColumns.KeyHash) === keyHash)
+
   private val KeyBucket = "KEY_BUCKET"
 
   /** Read-safe overwrite of a store the current plan may be reading from:
