@@ -34,6 +34,10 @@ object StreamingHistorization {
       windowLen: String = "5 minutes",
       watermarkDelay: String = "10 minutes"): DataFrame =
     events
+      // Parquet `timestamp[us]` without a timezone reads back as
+      // TIMESTAMP_NTZ in Spark 4, and event-time watermarks require
+      // TIMESTAMP — normalize first (same guard as StatefulSessions).
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -46,7 +50,10 @@ object StreamingHistorization {
       tsCol: String,
       dedupCols: Seq[String],
       watermarkDelay: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, watermarkDelay)
+    events
+      // NTZ→TIMESTAMP normalization, as in [[windowedEventAgg]].
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(dedupCols)
 
   /** Streaming incremental corpus dedup — the streaming twin of

@@ -133,6 +133,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_stream").count() === 200)
   }
 
+  test("watermarked paths accept a TIMESTAMP_NTZ event-time column (parquet timestamp[us])") {
+    // Parquet `timestamp[us]` with no timezone reads back as TIMESTAMP_NTZ in
+    // Spark 4; withWatermark requires TIMESTAMP. Both watermarked operators
+    // must normalize rather than throw EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    val ntz = graft.sources.Tables.events(spark, sfDir).limit(100)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assert(ntz.schema("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
+    val dir = Files.createTempDirectory("graft-ntz").toString
+    ntz.write.parquet(s"$dir/in")
+    val readBack = spark.read.parquet(s"$dir/in")
+    assert(readBack.schema("ts").dataType === org.apache.spark.sql.types.TimestampNTZType)
+
+    val stream = spark.readStream.schema(readBack.schema).parquet(s"$dir/in")
+    val agg = StreamingHistorization.windowedEventAgg(stream, windowLen = "60 minutes")
+    val q1 = agg.writeStream.format("memory").queryName("ntz_agg")
+      .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    assert(spark.table("ntz_agg").count() > 0)
+
+    val deduped = StreamingHistorization.dedupStream(stream, "ts", Seq("event_id"))
+    val q2 = deduped.writeStream.format("memory").queryName("ntz_dedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("ntz_dedup").count() === 100)
+  }
+
   test("streaming incremental dedup matches the batch operator's digest set") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id", $"text")
     val known = docs.filter($"doc_id" % 2 === 0)
