@@ -74,6 +74,9 @@ object Curation {
       ccMaxIters: Int = 25,
       nearDupPairs: Option[DataFrame] = None,
       mediaDup: Option[(Int, Int)] = None): DataFrame = {
+    require(nearDupPairs.isEmpty || nearDup.nonEmpty,
+      "nearDupPairs requires nearDup: staged pairs are only consumed by the " +
+        "near-duplicate stage, which nearDup enables")
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
     val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)

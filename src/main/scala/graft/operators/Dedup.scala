@@ -1089,10 +1089,13 @@ object Dedup {
       maxIters: Int = 25,
       scope: graft.CacheScope = graft.CacheScope.Global): (DataFrame, DataFrame) = {
     val ids = broadcast(removed.select(col(removed.columns.head).as("id")).distinct())
-    val keptPairs = pairs
+    // persisted within the caller's scope: keptPairs backs BOTH outputs
+    // (the repaired labels via subPairs, and the returned pair set) — one
+    // evaluation instead of one per consumer
+    val keptPairs = scope.persist(pairs
       .join(ids.select(col("id").as(idACol)), Seq(idACol), "left_anti")
       .join(ids.select(col("id").as(idBCol)), Seq(idBCol), "left_anti")
-      .select(pairs.columns.map(col).toIndexedSeq: _*) // using-joins reorder columns
+      .select(pairs.columns.map(col).toIndexedSeq: _*)) // using-joins reorder columns
     // clusters that contained a removed id: the only labels that can change
     val affected = broadcast(
       labels.join(ids, Seq("id"), "left_semi").select("cluster_id").distinct())
@@ -1140,6 +1143,18 @@ object Dedup {
         Store.writeStoreSwap(labels2, labelsPath, Seq.empty)
         Store.writeStoreSwap(pairs2, pairsPath, Seq.empty)
       }
+      case (Some(pairs), None) =>
+        // Labels store absent but pairs standing (a crash between the two
+        // swaps, or a pairs-only deployment): the takedown guarantee on the
+        // pairs store must hold regardless — filter the ids' pairs even
+        // with no labeling to repair, so a replayed removal can never leave
+        // a removed id's pairs behind permanently.
+        val bids = broadcast(ids)
+        val keptPairs = pairs
+          .join(bids.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
+          .join(bids.select(col("id").as("id_b")), Seq("id_b"), "left_anti")
+          .select(pairs.columns.map(col).toIndexedSeq: _*)
+        Store.writeStoreSwap(keptPairs, pairsPath, Seq.empty)
       case _ => () // nothing standing to repair
     }
   }

@@ -273,22 +273,30 @@ object Store {
     * takedown set is bounded), so the rewrite is one map-side pass over
     * the store; model synopses (codebooks, centroids) are left alone —
     * they carry no per-document rows. No-op when the store doesn't exist.
-    * Returns the number of rows deleted. */
+    *
+    * The deleted-row count is OPT-IN (`countDeleted`): counting costs one
+    * extra semi-join scan of the store, and the callers that run this per
+    * takedown micro-batch ([[graft.streaming.StreamingHistorization
+    * .takedownStream]]) don't consume it — the default path pays exactly
+    * one scan, the rewrite itself. Returns -1 when not counting. */
   def deleteFromStore(
       spark: SparkSession,
       path: String,
       removed: DataFrame,
       idCol: String,
-      partitionColumns: Seq[String] = Nil): Long = {
+      partitionColumns: Seq[String] = Nil,
+      countDeleted: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     readParquetSafe(spark, path) match {
       case Some(df) =>
         val ids = broadcast(removed.select(col(removed.columns.head).as(idCol)).distinct())
         val kept = df.join(ids, Seq(idCol), "left_anti")
-        val before = df.count()
+        // count the hits directly (one broadcast semi-join pass) instead of
+        // full-store counts before and after the swap
+        val deleted = if (countDeleted) df.join(ids, Seq(idCol), "left_semi").count() else -1L
         writeStoreSwap(kept, path, partitionColumns)
-        before - spark.read.parquet(path).count()
-      case None => 0L
+        deleted
+      case None => if (countDeleted) 0L else -1L
     }
   }
 

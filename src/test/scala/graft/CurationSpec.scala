@@ -27,6 +27,16 @@ class CurationSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("curate rejects staged pairs without the near-dup stage enabled") {
+    // nearDupPairs is only consumed by the nearDup stage; supplying it
+    // alone must fail loudly instead of silently skipping near-dup
+    val staged = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.curate(train, bench, "doc_id", "text", nearDupPairs = Some(staged))
+    }
+    assert(ex.getMessage.contains("nearDupPairs requires nearDup"))
+  }
+
   test("language gate only removes rows, and exactly the non-English ones") {
     val gated = Curation.curate(train, bench, "doc_id", "text",
       languages = Some(Set("en")))

@@ -340,6 +340,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("removeDocs with labels store missing still filters the ids' pairs") {
+    // a crash between the labels and pairs swaps (or a pairs-only
+    // deployment) can leave pairs standing with no labels store; the
+    // takedown guarantee on the pairs store must hold regardless
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm-nolabels").toString
+    Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b").write.parquet(s"$dir/pairs")
+    Dedup.removeDocs(spark, Seq(2L).toDF("id"), s"$dir/index", s"$dir/pairs", s"$dir/labels")
+    assert(spark.read.parquet(s"$dir/pairs").as[(Long, Long)].collect().toSet ===
+      Set((5L, 6L)))
+    // and the removal stays idempotent: replaying converges to the same store
+    Dedup.removeDocs(spark, Seq(2L).toDF("id"), s"$dir/index", s"$dir/pairs", s"$dir/labels")
+    assert(spark.read.parquet(s"$dir/pairs").as[(Long, Long)].collect().toSet ===
+      Set((5L, 6L)))
+  }
+
   test("removeDocs store pass leaves index/pairs/labels equal to a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-removedocs").toString
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -469,7 +469,7 @@ class SimilaritySpec extends SparkSpec {
     val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 8, codes = 8, iters = 1)
     cb.write.parquet(s"$dir/pq_codebook")
     Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb).write.parquet(s"$dir/pq_codes")
-    val nPq = graft.sources.Store.deleteFromStore(spark, s"$dir/pq_codes", removed, "vec_id")
+    val nPq = graft.sources.Store.deleteFromStore(spark, s"$dir/pq_codes", removed, "vec_id", countDeleted = true)
     assert(nPq === removed.count())
     val codesGot = spark.read.parquet(s"$dir/pq_codes").as[(Long, Seq[Int])].collect().toSet
     val codesWant = Similarity.pqEncodeWith(survivors, "vec_id", "embedding", cb)
@@ -487,7 +487,7 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
     Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents)
       .write.parquet(s"$dir/ivf_assigned")
-    val nIvf = graft.sources.Store.deleteFromStore(spark, s"$dir/ivf_assigned", removed, "vec_id")
+    val nIvf = graft.sources.Store.deleteFromStore(spark, s"$dir/ivf_assigned", removed, "vec_id", countDeleted = true)
     assert(nIvf === removed.count())
     val postGot = spark.read.parquet(s"$dir/ivf_assigned").as[(Long, Int)].collect().toSet
     val postWant = Similarity.ivfAssignWith(survivors, "vec_id", "embedding", cents)
