@@ -263,6 +263,31 @@ object SparkEntry {
         r2, MetaEnrichment.addMetaColumns(shrunk, cur2, keys), cur2)
     }
 
+  /** Staged GENERATION-committed hash store ([[graft.sources.Store
+    * .writeStoreGeneration]]): maintenance pass 1 commits the run-1
+    * historization as generation 1, pass 2 reads pass 1's pinned
+    * generation and commits the two-run chain as generation 2 (keep=2 —
+    * both passes stand). This is the concurrent-reader-safe commit shape:
+    * a commit only ever creates a NEW directory, so a reader mid-scan of
+    * pass 1 is untouched by pass 2's commit, and the pass-1 store remains
+    * addressable afterwards — which is exactly what the travel query
+    * reads. */
+  private def stagedGenerationStore(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/hash_store_gens"
+    if (Store.listGenerations(s, path).size < 2) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val r1 = Historization.historizeFrames(
+        enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
+      val g1 = Store.writeStoreGeneration(r1, path, keep = 2)
+      val r2 = Historization.historizeFrames(
+        Store.readStoreGeneration(s, path, g1), snapB(s, d), cur2, keys)
+      Store.writeStoreGeneration(r2, path, keep = 2)
+    }
+    path
+  }
+
   /** Flagship (driver smoke, sf0.001): the reference's production path over
     * two lineitem snapshots — enrich, delta anti-join, append — returning
     * the versioned store content (SURVEY.md §7.5). */
@@ -430,6 +455,14 @@ object SparkEntry {
         enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
       val full = Historization.historizeFrames(r1, snapB(s, d), cur2, keys)
       qtyAsDouble(full.filter(col(M.InsertRunId) <= cur1.runId))
+    }),
+    // generation travel: the physical-rewrite axis of time travel — the
+    // store exactly as maintenance pass 1 committed it, read AFTER pass 2
+    // committed its successor generation (pass 1's directory is never
+    // touched by the commit, so the read is the pass-1 run-1 content)
+    "x_store_generation_travel" -> ((s, d) => {
+      val path = stagedGenerationStore(s, d)
+      qtyAsDouble(Store.readStoreGeneration(s, path, Store.listGenerations(s, path).head))
     }),
     // soft-delete stamping: run 2 delivers a SHRUNK full snapshot (every
     // 3rd order key vanished); instead of dropping the vanished keys'
@@ -1775,7 +1808,12 @@ object SparkEntry {
          |FROM ec WHERE id % 5 = 4""".stripMargin,
     "x_sim_ivf_incremental" ->
       s"""WITH $duckIvfAssignCtes
-         |SELECT id AS vec_id, cid FROM assign WHERE id % 5 = 4""".stripMargin)
+         |SELECT id AS vec_id, cid FROM assign WHERE id % 5 = 4""".stripMargin,
+    // deliberately the SAME statement as x_store_asof_run: generation 1
+    // IS the store run 1 left behind, preserved physically — generation
+    // travel and run travel answer the same question through different
+    // axes (physical rewrites vs logical loads)
+    "x_store_generation_travel" -> baseOracles("x_store_asof_run"))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "l01_csv_scan" ->

@@ -234,18 +234,139 @@ object Store {
   private val KeyBucket = "KEY_BUCKET"
 
   /** Read-safe overwrite of a store the current plan may be reading from:
-    * write to `<path>.tmp`, then swap directories atomically on the
-    * FileSystem (rename is atomic per directory on HDFS/local). */
+    * write to `<path>.tmp`, rename the old generation aside to
+    * `<path>.old`, rename the tmp in, then drop the aside copy.
+    *
+    * Crash safety (the delete-then-rename it replaces could lose the
+    * store): at every crash point the data exists in full somewhere —
+    * before the aside-rename the old generation is live at `path`; between
+    * the renames BOTH generations exist (`<path>.old` and `<path>.tmp`);
+    * after the rename-in the new generation is live. A restarted swap
+    * self-heals: a missing target with an `.old` present restores the old
+    * generation before proceeding. The remaining gap — a reader that
+    * resolves `path` in the instant between the two renames fails to list
+    * it — is closed by the generation layout ([[writeStoreGeneration]]),
+    * where commits never touch the directory a reader resolved. */
   def writeStoreSwap(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
     val spark = df.sparkSession
     val tmp   = path + ".tmp"
-    writeStore(df, tmp, partitionColumns)
-    val fs      = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val fs    = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val target  = new Path(path)
     val tmpPath = new Path(tmp)
-    if (fs.exists(target)) fs.delete(target, true)
+    val aside   = new Path(path + ".old")
+    // self-heal a crash between the renames of a previous swap BEFORE
+    // planning reads `path` (the write below may have lineage on it)
+    if (!fs.exists(target) && fs.exists(aside)) fs.rename(aside, target)
+    writeStore(df, tmp, partitionColumns)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(target)) fs.rename(target, aside)
     fs.rename(tmpPath, target)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    ()
   }
+
+  // --- generation-based commits ----------------------------------------
+
+  /** Generation store layout: `<path>/gen-<13-digit seq>/`, each a plain
+    * parquet directory. A generation is COMMITTED iff its `_SUCCESS`
+    * marker exists — Spark writes the marker last, so commit is one atomic
+    * file create and there is NO window where a resolved store is missing
+    * or partial (the weakness [[writeStoreSwap]] retains for path-level
+    * readers). Readers resolve a committed generation once and read that
+    * directory directly; writers only ever create NEW directories, so a
+    * reader mid-scan of generation N is untouched by the commit of N+1 —
+    * the concurrent-reader contract a 100 TB store needs when maintenance
+    * loops ([[graft.streaming.StreamingHistorization
+    * .clusterMaintainStream]], takedowns, compaction) rewrite stores that
+    * are being read continuously. Retention keeps the newest `keep`
+    * committed generations, so a reader survives at least `keep - 1`
+    * rewrites; pin retention to the longest reader you run.
+    *
+    * Single-writer contract (one maintenance loop per store — the same
+    * contract the swap write already required); concurrent writers race
+    * on the next sequence number. */
+  private val GenPrefix = "gen-"
+
+  private def genDirName(gen: Long): String = f"$GenPrefix$gen%013d"
+
+  /** Path of one generation directory (committed or not). */
+  def generationPath(path: String, gen: Long): String = s"$path/${genDirName(gen)}"
+
+  /** Committed generation sequence numbers, ascending. Uncommitted
+    * directories (a writer died mid-write, or one is writing right now)
+    * are invisible. */
+  def listGenerations(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+        .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix(GenPrefix).toLong)
+        .sorted
+  }
+
+  /** Commit `df` as the next generation of the store at `path` and prune
+    * to the newest `keep` committed generations (plus any uncommitted
+    * leftovers older than the newest committed, which are dead writers'
+    * debris). Returns the committed generation number. */
+  def writeStoreGeneration(
+      df: DataFrame,
+      path: String,
+      partitionColumns: Seq[String] = Nil,
+      keep: Int = 2): Long = {
+    require(keep >= 1, "keep must be >= 1")
+    val spark = df.sparkSession
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    // next = one past the highest EXISTING directory, committed or not:
+    // an uncommitted leftover must not be re-entered (its files could be
+    // mid-write when a dead writer's executor lingers)
+    val existing =
+      if (!fs.exists(root)) Seq.empty[Long]
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+        .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption)
+    val next = existing.foldLeft(0L)(math.max) + 1
+    writeStore(df, generationPath(path, next), partitionColumns)
+    // retention: committed beyond `keep` newest, and dead uncommitted dirs
+    val committed = listGenerations(spark, path)
+    val cut = committed.takeRight(keep).headOption.getOrElse(next)
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .filter { s =>
+        val g = scala.util.Try(s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption
+        g.exists(_ < cut)
+      }
+      .foreach(s => fs.delete(s.getPath, true))
+    next
+  }
+
+  /** Generation travel: read one committed generation — "the store as
+    * maintenance pass N left it". Throws if the generation was never
+    * committed or has been pruned. */
+  def readStoreGeneration(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(generationPath(path, gen), "_SUCCESS")),
+      s"generation $gen of $path is not committed (never written, mid-write, or pruned)")
+    spark.read.parquet(generationPath(path, gen))
+  }
+
+  /** Resolve-and-pin read of the newest committed generation: the
+    * (generation, frame) a continuous reader holds across a concurrent
+    * commit. None when no generation has ever committed. */
+  def readStoreLatest(spark: SparkSession, path: String): Option[(Long, DataFrame)] =
+    listGenerations(spark, path).lastOption.map(g => (g, readStoreGeneration(spark, path, g)))
+
+  /** Run travel ACROSS generations: run-based time travel
+    * ([[readStoreAsOfRun]]) applied to one pinned generation of an
+    * append-only hash store — "the snapshot run R saw, as maintenance pass
+    * G preserved it". Composes the two axes a production store versions
+    * on: generations (physical rewrites) and runs (logical loads). */
+  def readStoreGenerationAsOfRun(
+      spark: SparkSession, path: String, gen: Long, runId: String): DataFrame =
+    graft.pipeline.Historization.asOfRun(readStoreGeneration(spark, path, gen), runId)
 
   /** Materialize-once staging for a derived store: read `path` when it
     * already holds a committed generation; otherwise evaluate `build`,

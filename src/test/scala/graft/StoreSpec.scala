@@ -281,6 +281,85 @@ class StoreSpec extends SparkSpec {
     assert(first.exceptAll(second).count() === 0)
   }
 
+  test("generation store: a reader holding the pre-commit frame completes during a swap") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen").toString + "/store"
+    val g1 = Store.writeStoreGeneration(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), path)
+    // the continuous reader resolves and PINS generation 1
+    val Some((pinnedGen, pinned)) = Store.readStoreLatest(spark, path)
+    assert(pinnedGen === g1)
+    // a maintenance pass commits generation 2 (keep=2: gen 1 survives)
+    val g2 = Store.writeStoreGeneration(Seq((1L, "a2")).toDF("id", "v"), path)
+    assert(g2 === g1 + 1)
+    // the pinned plan still reads generation 1's files — no vanished-store
+    // failure, old content intact (the writeStoreSwap weakness closed)
+    assert(pinned.count() === 2)
+    assert(pinned.filter($"v" === "b").count() === 1)
+    // a fresh resolve sees the new generation
+    assert(Store.readStoreLatest(spark, path).get._2.count() === 1)
+  }
+
+  test("generation store: retention prunes to keep newest, travel reads a pinned pass") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_keep").toString + "/store"
+    val g1 = Store.writeStoreGeneration(Seq(1L).toDF("id"), path, keep = 2)
+    val g2 = Store.writeStoreGeneration(Seq(1L, 2L).toDF("id"), path, keep = 2)
+    assert(Store.readStoreGeneration(spark, path, g1).count() === 1)
+    val g3 = Store.writeStoreGeneration(Seq(1L, 2L, 3L).toDF("id"), path, keep = 2)
+    assert(Store.listGenerations(spark, path) === Seq(g2, g3))
+    // generation travel: pass 2's store exactly as it was committed
+    assert(Store.readStoreGeneration(spark, path, g2).as[Long].collect().toSet === Set(1L, 2L))
+    // pruned generations refuse loudly
+    intercept[IllegalArgumentException](Store.readStoreGeneration(spark, path, g1))
+  }
+
+  test("generation store: uncommitted debris is invisible and never re-entered") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_dead").toString + "/store"
+    val g1 = Store.writeStoreGeneration(Seq(1L).toDF("id"), path)
+    // a dead writer's directory: exists, no _SUCCESS
+    val dead = new java.io.File(Store.generationPath(path, g1 + 1))
+    assert(dead.mkdirs())
+    assert(Store.listGenerations(spark, path) === Seq(g1))
+    assert(Store.readStoreLatest(spark, path).get._1 === g1)
+    // the next commit skips PAST the dead directory instead of writing into it
+    val g3 = Store.writeStoreGeneration(Seq(1L, 2L).toDF("id"), path)
+    assert(g3 === g1 + 2)
+    assert(Store.listGenerations(spark, path) === Seq(g1, g3))
+  }
+
+  test("generation store: run travel across generations composes both axes") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_run").toString + "/store"
+    val cur1 = Currents("2024-01-01 10:00:00")
+    val cur2 = Currents("2024-02-15 10:00:00")
+    val r1 = graft.pipeline.Historization.historizeFrames(
+      MetaEnrichment.addMetaColumns(Seq(("a", "1")).toDF("k", "v"), cur1, Seq("k")).limit(0),
+      Seq(("a", "1"), ("b", "2")).toDF("k", "v"), cur1, Seq("k"))
+    val gen1 = Store.writeStoreGeneration(r1, path)
+    val r2 = graft.pipeline.Historization.historizeFrames(
+      Store.readStoreGeneration(spark, path, gen1),
+      Seq(("a", "1x"), ("b", "2")).toDF("k", "v"), cur2, Seq("k"))
+    val gen2 = Store.writeStoreGeneration(r2, path)
+    // pass 2 preserved: travel within it to run 1 reproduces run 1's content
+    val traveled = Store.readStoreGenerationAsOfRun(spark, path, gen2, cur1.runId)
+    assert(traveled.select("k", "v").as[(String, String)].collect().toSet ===
+      Set(("a", "1"), ("b", "2")))
+    // and the full pass-2 store holds the run-2 version too
+    assert(Store.readStoreGeneration(spark, path, gen2).count() === 3)
+  }
+
+  test("writeStoreSwap self-heals a crash between the aside and final renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap_heal").toString
+    val path = s"$dir/store"
+    Seq((1L, "old")).toDF("id", "v").write.parquet(path)
+    // simulate the crash window: target renamed aside, tmp never renamed in
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    assert(!new java.io.File(path).exists())
+    // next swap restores the old generation first (its lineage may read it),
+    // then commits the new one; no data is ever lost
+    Store.writeStoreSwap(Seq((2L, "new")).toDF("id", "v"), path, Nil)
+    assert(spark.read.parquet(path).select("v").as[String].collect().toSeq === Seq("new"))
+    assert(!new java.io.File(path + ".old").exists())
+    assert(!new java.io.File(path + ".tmp").exists())
+  }
+
   test("bucketed point-lookup as-of reads one bucket and matches the full-scan path") {
     import graft.operators.Scd2
     import graft.operators.Scd2.ValidFromMode
