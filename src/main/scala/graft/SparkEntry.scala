@@ -288,6 +288,39 @@ object SparkEntry {
     path
   }
 
+  /** The incremental-feed batch: every 100th order key's rows of run 2's
+    * snapshot — ~1% of keys, a mix of rows new to the store (post-cutoff
+    * shipdates), unchanged re-deliveries, and changed records (keys
+    * divisible by 9700). The small-batch-vs-standing-store regime the
+    * Bloom route exists for. */
+  private def batchB(s: SparkSession, d: String): DataFrame =
+    enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(100)) === 0)
+
+  /** Bloom sizing for the staged store synopsis: 2^22 bits over the
+    * sf0.1 store's ~300k pairs ≈ 13 bits/pair → <1% false positives with
+    * 4 hashes; the dense words are 512 KiB — bounded, store-size-free. */
+  private val BloomBits = 1 << 22
+
+  /** Staged ENRICHED hash store (run-1 content): the standing-store side
+    * of the incremental-feed regime, read the way production reads it —
+    * a committed parquet store with precomputed digests — instead of
+    * re-deriving the md5 enrichment from the raw snapshot per question. */
+  private def stagedHashStoreA(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "lineitem")}/hash_store_a")(enrichedA(s, d))
+
+  /** Staged Bloom synopsis of the standing store's digest pairs
+    * ([[graft.operators.Cdc.bloomSynopsis]]): built once per store
+    * generation — the artifact a production store maintains on append
+    * (word-wise bit_or merge) — so the per-batch delta pays only the
+    * probe. One file: the synopsis is a bounded sliver (≤ 64k word rows
+    * here), and a collect from 32 micro-files costs more open/footer
+    * overhead than the data. */
+  private def stagedBloomSynopsis(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "lineitem")}/bloom_synopsis_b22")(
+      Cdc.bloomSynopsis(stagedHashStoreA(s, d), bits = BloomBits).coalesce(1))
+
   /** Flagship (driver smoke, sf0.001): the reference's production path over
     * two lineitem snapshots — enrich, delta anti-join, append — returning
     * the versioned store content (SURVEY.md §7.5). */
@@ -334,11 +367,21 @@ object SparkEntry {
     // KEY_HASH-bucketed store is read with zero Exchange
     "l09_delta_bucketed" -> ((s, d) => qtyAsDouble(Cdc.deltaBucketed(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
-    // the Bloom-routed delta form: definite-new rows bypass the anti-join
-    // map-side; must produce EXACTLY the pair anti-join's rows (same
-    // oracle SQL — false positives cost a probe, never a wrong answer)
+    // the incremental-feed regime pair: a SMALL batch (every 100th order
+    // key of run 2 — ~1% of keys) against the large standing store. The
+    // plain-anti-join twin measures what the regime costs without routing…
+    "l09_delta_batch" -> ((s, d) => qtyAsDouble(Cdc.delta(stagedHashStoreA(s, d), batchB(s, d))
+      .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
+    // …and the Bloom route probes the STAGED store synopsis (built once
+    // per store generation, its cost visible in x_stage_build_bloom):
+    // definite-new rows bypass the store entirely, maybe rows resolve
+    // through the broadcast residual — the store is scanned once
+    // (pair columns only) and never shuffled. Must produce EXACTLY the
+    // pair anti-join's rows (same oracle SQL — false positives cost a
+    // probe, never a wrong answer)
     "l09_delta_bloom" -> ((s, d) => qtyAsDouble(
-      Cdc.deltaBloom(enrichedA(s, d), enrichedB(s, d), bits = 1 << 20)
+      Cdc.deltaBloomWith(stagedHashStoreA(s, d), batchB(s, d),
+        stagedBloomSynopsis(s, d), bits = BloomBits)
         .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
     "l13_inserts" -> ((s, d) => Cdc.inserts(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", M.KeyHash)),
@@ -1981,16 +2024,24 @@ object SparkEntry {
          |FROM enrichB n LEFT JOIN enrichA c
          |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
          |WHERE c."KEY_HASH" IS NULL""".stripMargin,
-    // deliberately the SAME statement again: the Bloom pre-route is an
-    // implementation strategy — false positives fall through to the
-    // exact anti-join, so the output is the pair anti-join's rows
+    // the incremental-feed regime: the delta statement restricted to the
+    // 1% batch — identical SQL for the plain twin and the Bloom route
+    // (the route is an implementation strategy: false positives fall
+    // through to the exact residual, so the output is the anti-join's)
+    "l09_delta_batch" ->
+      s"""$snapshotsCte
+         |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
+         |       n."KEY_HASH", n."RECORD_HASH"
+         |FROM enrichB n LEFT JOIN enrichA c
+         |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+         |WHERE c."KEY_HASH" IS NULL AND n.l_orderkey % 100 = 0""".stripMargin,
     "l09_delta_bloom" ->
       s"""$snapshotsCte
          |SELECT n.l_orderkey, n.l_linenumber, CAST(n.quantity AS DOUBLE) AS quantity,
          |       n."KEY_HASH", n."RECORD_HASH"
          |FROM enrichB n LEFT JOIN enrichA c
          |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
-         |WHERE c."KEY_HASH" IS NULL""".stripMargin,
+         |WHERE c."KEY_HASH" IS NULL AND n.l_orderkey % 100 = 0""".stripMargin,
     "l13_inserts" ->
       s"""$snapshotsCte
          |SELECT n.l_orderkey, n.l_linenumber, n."KEY_HASH"

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.CatalystBridge
@@ -68,6 +68,41 @@ object HashKernels {
       j += 1
     }
     new GenericArrayData(mins.map(UTF8String.fromBytes(_): Any))
+  }
+
+  /** Bloom membership probe over the digest pair: for each per-hash salt
+    * suffix, position = (first 60 bits of md5(key ++ record ++ suffix))
+    * mod `bits`; true iff every position's bit is set in `words`.
+    * Bit-identical to the SQL forms in [[graft.operators.Cdc]]: the
+    * 15-hex-char md5 prefix IS the digest's high 60 bits, and `>>> 4` of
+    * the first 8 bytes recovers exactly that value. Short-circuits at the
+    * first clear bit — definite-new rows cost one or two md5s, not k. */
+  def bloomMightContain(
+      kh: UTF8String,
+      rh: UTF8String,
+      words: Array[Long],
+      bits: Int,
+      suffixes: Array[Array[Byte]]): Boolean = {
+    val md = mdLocal.get()
+    val k = kh.getBytes
+    val r = rh.getBytes
+    var j = 0
+    while (j < suffixes.length) {
+      val sfx = suffixes(j)
+      val buf = new Array[Byte](k.length + r.length + sfx.length)
+      System.arraycopy(k, 0, buf, 0, k.length)
+      System.arraycopy(r, 0, buf, k.length, r.length)
+      System.arraycopy(sfx, 0, buf, k.length + r.length, sfx.length)
+      md.reset()
+      val d = md.digest(buf)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      val pos = ((v >>> 4) % bits).toInt
+      if (((words(pos >> 6) >>> (pos & 63)) & 1L) == 0L) return false
+      j += 1
+    }
+    true
   }
 
   private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
@@ -573,6 +608,51 @@ case class TokenPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Bloom-filter membership probe over the (KEY_HASH,
+  * RECORD_HASH) digest pair. The word array and per-hash salt suffixes
+  * ride along as REFERENCED objects (`ctx.addReferenceObj`), not plan
+  * literals: a 2^22-bit filter is 64k longs, and embedding it as an
+  * array-literal column bloated the plan, the generated source, and
+  * every task's deserialization — MEASURED (sf0.1, min-of-3): the
+  * literal-array SQL probe cost 4.18 s on the 1%-batch delta vs 0.56 s
+  * for the plain anti-join; this kernel form is what makes the route
+  * competitive. Bit positions are identical to the synopsis build's SQL
+  * ([[graft.operators.Cdc.bloomSynopsis]]): first 60 bits of
+  * md5(key ++ record ++ "#salt#j") mod bits. */
+case class BloomProbe(
+    left: Expression,
+    right: Expression,
+    words: Array[Long],
+    bits: Int,
+    numHashes: Int,
+    salt: String) extends BinaryExpression {
+  @transient private lazy val suffixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(j => s"#$salt#$j".getBytes("UTF-8"))
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got (${l.sql}, ${r.sql})")
+  }
+
+  override def nullSafeEval(kh: Any, rh: Any): Any =
+    HashKernels.bloomMightContain(kh.asInstanceOf[UTF8String],
+      rh.asInstanceOf[UTF8String], words, bits, suffixes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("bloomWords", words, "long[]")
+    val s = ctx.addReferenceObj("bloomSuffixes", suffixes, "byte[][]")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.bloomMightContain($a, $b, $w, $bits, $s)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbe =
+    copy(left = newLeft, right = newRight)
+}
+
 object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
@@ -613,4 +693,11 @@ object DedupExpressions {
   /** Codegen'd adjacent-token bigram pairs of a string column. */
   def tokenPairsOf(text: Column): Column =
     CatalystBridge.column(TokenPairs(CatalystBridge.expression(text)))
+
+  /** Codegen'd Bloom membership probe of two string digest columns. */
+  def bloomProbeOf(
+      keyHash: Column, recordHash: Column,
+      words: Array[Long], bits: Int, numHashes: Int, salt: String): Column =
+    CatalystBridge.column(BloomProbe(CatalystBridge.expression(keyHash),
+      CatalystBridge.expression(recordHash), words, bits, numHashes, salt))
 }

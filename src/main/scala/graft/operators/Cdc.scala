@@ -77,6 +77,52 @@ object Cdc {
     *             pair count keeps false positives under 1%
     * @param numHashes bit positions per pair; 4-7 is the standard range
     */
+  /** j-th Bloom bit position of a row's digest pair: 60-bit md5 prefix
+    * mod `bits` (SQL-string form: the pos feeds variable-distance shifts,
+    * which the Scala DSL wrappers fix at literal distances). */
+  private def bloomPosSql(bits: Int, salt: String)(j: Int): String =
+    s"pmod(CAST(conv(substring(md5(concat(`$KeyHash`, `$RecordHash`, '#$salt#$j')), 1, 15)" +
+      s", 16, 10) AS BIGINT), ${bits}L)"
+
+  /** PERSISTABLE Bloom synopsis of a store's (KEY_HASH, RECORD_HASH)
+    * pairs: sparse (w, m) word rows — word index, 64-bit mask — built
+    * with one map-side-combinable aggregation over the store. This is
+    * the store-maintained artifact the incremental-feed regime wants:
+    * build it once per store generation (or maintain it on append — the
+    * synopsis of a union is the word-wise `bit_or` of the parts'
+    * synopses, a spec-pinned merge law), persist it next to the store,
+    * and route every incoming batch through [[deltaBloomWith]] without
+    * touching the store at all for definite-new rows. At most `bits/64`
+    * rows (2^23 bits → 1 MiB), bounded by `bits`, never by the store. */
+  def bloomSynopsis(
+      currentData: DataFrame,
+      bits: Int = 1 << 23,
+      numHashes: Int = 4,
+      salt: String = "bloom"): DataFrame = {
+    require(bits >= 64 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    require(numHashes >= 1, "numHashes must be at least 1")
+    val posSql = bloomPosSql(bits, salt) _
+    currentData
+      .selectExpr(s"explode(array(${(0 until numHashes).map(posSql).mkString(", ")})) AS p")
+      .groupBy(expr("CAST(shiftright(p, 6) AS INT)").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pmod(p, 64) AS INT)))").as("m"))
+  }
+
+  /** Collect a [[bloomSynopsis]] into the dense word array the probe
+    * broadcasts — the bounded-synopsis collect (≤ bits/64 longs).
+    * Word-wise OR on the way in, so a synopsis store that accumulated
+    * per-append rows (the merge law) collapses correctly. */
+  private def collectBloomWords(synopsis: DataFrame, bits: Int): Array[Long] = {
+    val words = new Array[Long](bits / 64)
+    synopsis.select(col("w"), col("m")).collect().foreach { r =>
+      val w = r.getInt(0)
+      require(w >= 0 && w < words.length,
+        s"synopsis word index $w out of range for bits=$bits — bits mismatch with the build?")
+      words(w) |= r.getLong(1)
+    }
+    words
+  }
+
   def deltaBloom(
       currentData: DataFrame,
       newData: DataFrame,
@@ -85,44 +131,98 @@ object Cdc {
       salt: String = "bloom"): DataFrame = {
     require(bits >= 64 && bits % 64 == 0, "bits must be a positive multiple of 64")
     require(numHashes >= 1, "numHashes must be at least 1")
-    // j-th bit position of the current row's digest pair: 60-bit md5
-    // prefix mod bits (SQL-string form: the pos feeds variable-distance
-    // shifts, which the Scala DSL wrappers fix at literal distances)
-    def posSql(j: Int): String =
-      s"pmod(CAST(conv(substring(md5(concat(`$KeyHash`, `$RecordHash`, '#$salt#$j')), 1, 15)" +
-        s", 16, 10) AS BIGINT), ${bits}L)"
-    val words = new Array[Long](bits / 64)
-    currentData
-      .selectExpr(s"explode(array(${(0 until numHashes).map(posSql).mkString(", ")})) AS p")
-      .groupBy(expr("CAST(shiftright(p, 6) AS INT)").as("w"))
-      .agg(expr("bit_or(shiftleft(1L, CAST(pmod(p, 64) AS INT)))").as("m"))
-      .collect()
-      .foreach(r => words(r.getInt(0)) = r.getLong(1))
-    // posSql(j) textually appears twice per hash (word index + bit
-    // index), but this is NOT a double md5 evaluation: whole-stage
-    // codegen's subexpression elimination computes each position once per
-    // row, and the && chain short-circuits definite-new rows at their
-    // first clear bit. MEASURED (sf0.1, min-of-3): this inline form 8.9 s
-    // vs 30.7 s for the "bind positions once in a __bp array projection"
-    // variant — the staged array defeats both effects (an alias
-    // re-inlined per reference re-evaluates the whole 4-md5 array per
-    // lookup). Keep the predicate inline; codegen already does the
-    // binding.
-    val mightContain = (0 until numHashes)
-      .map { j =>
-        expr(s"(shiftright(element_at(`__bloom`, CAST(shiftright(${posSql(j)}, 6) AS INT) + 1)" +
-          s", CAST(pmod(${posSql(j)}, 64) AS INT)) & 1L) = 1L")
-      }
-      .reduce(_ && _)
-    val flagged = newData.withColumn("__bloom", typedLit(words.toSeq))
-      .withColumn("__maybe", mightContain)
-      .drop("__bloom")
+    val words = collectBloomWords(bloomSynopsis(currentData, bits, numHashes, salt), bits)
+    val flagged = bloomFlag(newData, words, bits, numHashes, salt)
     val deltaOrder = // match delta's Seq-join output order
       Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
     val definite = flagged.filter(!col("__maybe"))
       .drop("__maybe").select(deltaOrder.map(col): _*)
     val viaJoin = flagged.filter(col("__maybe")).drop("__maybe")
       .join(currentData.select(KeyHash, RecordHash), Seq(KeyHash, RecordHash), "left_anti")
+      .select(deltaOrder.map(col): _*)
+    definite.unionByName(viaJoin)
+  }
+
+  /** Map-side Bloom probe: `newData` plus a `__maybe` flag — false means
+    * definitely absent from the filtered set. One kernel call per row
+    * ([[graft.functions.BloomProbe]]): the word array rides along as a
+    * referenced object, never a plan literal (a 2^22-bit filter as an
+    * array-literal column cost 7× the whole route — measured note on the
+    * expression), and the probe short-circuits at the first clear bit. */
+  private def bloomFlag(
+      newData: DataFrame,
+      words: Array[Long],
+      bits: Int,
+      numHashes: Int,
+      salt: String): DataFrame =
+    newData.withColumn("__maybe",
+      graft.functions.DedupExpressions.bloomProbeOf(
+        col(KeyHash), col(RecordHash), words, bits, numHashes, salt))
+
+  /** The Bloom route in its INTENDED regime: a small incoming batch
+    * against a large standing store whose synopsis ([[bloomSynopsis]]) is
+    * already persisted. [[deltaBloom]] builds the filter in-query, so at
+    * snapshot-sized inputs it pays a full store pass that the plain
+    * anti-join doesn't — measured 5.2× slower at sf0.1 on equal-sized
+    * sides (BENCH_r10, the regime it is NOT for). This form is the
+    * production shape: the store maintains its synopsis (merge law:
+    * word-wise `bit_or` across appends), and the per-batch cost is
+    *
+    *  1. collect the synopsis (≤ bits/64 longs, store-size-independent);
+    *  2. probe the batch map-side — definite-new rows are delta by
+    *     construction and never touch the store;
+    *  3. residually decide the maybe rows with a BROADCAST route: the
+    *     store is scanned once, pair columns only, map-side semi-probed
+    *     by the broadcast maybe-pairs, and the (batch-bounded) matches
+    *     broadcast back into an anti-join — the standing store is never
+    *     shuffled, sorted, or exchanged.
+    *
+    * Output is row-identical to [[delta]] (false positives fall through
+    * to the exact residual; spec-pinned). Contract: the maybe side is
+    * batch-bounded, so both broadcasts are bounded by the batch — for
+    * snapshot-sized `newData` use [[delta]] or [[deltaBloom]] instead.
+    *
+    * MEASURED (sf0.1, local[32], min-of-3, 1% batch vs the ~300k-pair
+    * staged store): 0.92 s vs 0.51 s for the plain anti-join twin
+    * (`l09_delta_batch`) — down from 12.1 s for the in-query-build form
+    * this replaces (BENCH_r10). The residual gap is the route's FIXED
+    * cost: one synopsis-collect job plus two batch-bounded broadcast
+    * builds, ~0.4 s of driver round-trips that do not grow with the
+    * store. The plain twin's cost DOES grow with the store (its
+    * anti-join exchanges the store's pair projection once the store
+    * outgrows the broadcast threshold), while this plan holds ZERO
+    * shuffle exchanges at any store size — the store is read once,
+    * map-side, under a broadcast semi-join (pinned in PlanAuditSpec).
+    * The crossover is a store a few× larger than sf0.1's; at the 100 TB
+    * target the comparison is not close. */
+  def deltaBloomWith(
+      currentData: DataFrame,
+      newData: DataFrame,
+      synopsis: DataFrame,
+      bits: Int = 1 << 23,
+      numHashes: Int = 4,
+      salt: String = "bloom",
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(bits >= 64 && bits % 64 == 0, "bits must be a positive multiple of 64")
+    require(numHashes >= 1, "numHashes must be at least 1")
+    val words = collectBloomWords(synopsis, bits)
+    // persist the probed batch: three consumers (definite branch, maybe
+    // branch, the broadcast pair projection) would otherwise re-run the
+    // batch's source pipeline per branch — the batch is small by the
+    // regime's contract, so the cache is batch-bounded
+    val flagged = scope.persist(bloomFlag(newData, words, bits, numHashes, salt))
+    val deltaOrder = // match delta's Seq-join output order
+      Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
+    val definite = flagged.filter(!col("__maybe"))
+      .drop("__maybe").select(deltaOrder.map(col): _*)
+    val maybe = flagged.filter(col("__maybe")).drop("__maybe")
+    // no distinct(): a semi-join build side tolerates duplicate pairs, and
+    // the distinct would be the route's ONLY shuffle — the whole plan
+    // stays exchange-free below the broadcasts (pinned in PlanAuditSpec)
+    val maybePairs = maybe.select(col(KeyHash), col(RecordHash))
+    val matched = currentData.select(col(KeyHash), col(RecordHash))
+      .join(broadcast(maybePairs), Seq(KeyHash, RecordHash), "left_semi")
+    val viaJoin = maybe.join(broadcast(matched), Seq(KeyHash, RecordHash), "left_anti")
       .select(deltaOrder.map(col): _*)
     definite.unionByName(viaJoin)
   }

@@ -62,6 +62,32 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.deltaBloom(current, current, bits = 1 << 16).isEmpty)
   }
 
+  test("deltaBloomWith over a prebuilt synopsis equals delta; merge law holds") {
+    val pair = Cdc.delta(current, incoming)
+    // synopsis built whole, and synopsis accumulated from two append
+    // halves (the production shape: per-append rows merged by word-wise
+    // OR at collect time) — both must reproduce the exact anti-join
+    val whole = Cdc.bloomSynopsis(current, bits = 1 << 16)
+    val halves = Cdc.bloomSynopsis(current.filter($"k" < "b"), bits = 1 << 16)
+      .union(Cdc.bloomSynopsis(current.filter($"k" >= "b"), bits = 1 << 16))
+    Seq(whole, halves).foreach { syn =>
+      val routed = Cdc.deltaBloomWith(current, incoming, syn, bits = 1 << 16)
+      assert(routed.columns.toSeq === pair.columns.toSeq)
+      assert(routed.exceptAll(pair).count() === 0)
+      assert(pair.exceptAll(routed).count() === 0)
+    }
+    // pathological 64-bit filter: everything collides into the residual
+    val tiny = Cdc.bloomSynopsis(current, bits = 64)
+    val collided = Cdc.deltaBloomWith(current, incoming, tiny, bits = 64)
+    assert(collided.exceptAll(pair).count() === 0)
+    assert(pair.exceptAll(collided).count() === 0)
+    // a synopsis built at different bits must refuse, not mis-route
+    intercept[IllegalArgumentException] {
+      Cdc.deltaBloomWith(current, incoming, Cdc.bloomSynopsis(current, bits = 1 << 16),
+        bits = 64).count()
+    }
+  }
+
   test("updates projects back to new-side columns only") {
     val upd = Cdc.updates(current, incoming)
     assert(upd.columns.toSeq === incoming.columns.toSeq)

@@ -121,6 +121,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bloom-routed batch delta never exchanges the standing store") {
+    // the route's 100 TB claim in plan form: the store is read once,
+    // map-side, under a broadcast semi-join — zero shuffle exchanges
+    // anywhere in the plan, at ANY store size (the plain twin's anti-join
+    // exchanges the store's pair projection once it outgrows the
+    // broadcast threshold). The probe itself must be the native kernel,
+    // not a literal-array SQL predicate (the 7× regression this replaced).
+    val p = planOf("l09_delta_bloom")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bloom-routed delta gained a shuffle exchange — the store (or batch) is being exchanged")
+    assert(p.contains("graft_bloom_probe"), "bloom probe lost the native kernel")
+  }
+
   test("scd2 merge executes inside whole-stage codegen") {
     val df = SparkEntry.queries("d06_scd2_merge")(spark, sfDir)
     df.count() // resolve AQE to the final plan
