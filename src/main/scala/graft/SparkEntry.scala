@@ -164,6 +164,18 @@ object SparkEntry {
       s"/tmp/graft_staged/${dirTag(d, "documents")}/simhash_pairs_b${bits}_h$maxHamming")(
       Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text", bits, maxHamming))
 
+  /** Staged phash near-dup pair store — the MEDIA twin of
+    * [[stagedSimhashPairs]]: perceptual-hash Hamming pairs over the
+    * corpus treated as media payloads, computed once per corpus
+    * generation (pigeonhole blocking, never all-pairs) and read by every
+    * media-dedup question. */
+  private def stagedPhashPairs(
+      s: SparkSession, d: String, bits: Int, maxHamming: Int): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "documents")}/phash_pairs_b${bits}_h$maxHamming")(
+      Multimodal.phashNearDuplicates(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), bits, maxHamming))
+
   /** Staged cluster labeling over [[stagedSimhashPairs]] — the `labelsPath`
     * store of the maintenance loop: labels are computed once (then
     * maintained incrementally), and stats/canonical/election questions are
@@ -1043,7 +1055,12 @@ object SparkEntry {
       Curation.curate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", mediaDup = Some((16, 2)))
+        "doc_id", "text", mediaDup = Some((16, 2)),
+        // the staged full-corpus phash pair store, restricted to
+        // survivors inside curate — the production shape (pairs computed
+        // once per corpus, not once per question); equality with the
+        // in-query computation is spec-pinned in CurationSpec
+        mediaDupPairs = Some(stagedPhashPairs(s, d, 16, 2)))
     }),
     // ---- extensions: sequence packing (context-window assembly) ----
     "x_pack_sequences" -> ((s, d) =>

@@ -59,6 +59,12 @@ object Curation {
     *                  Visually-near-identical assets collapse the way
     *                  near-identical text does; with a real codec the
     *                  fingerprint source swaps, the stage stays.
+    * @param mediaDupPairs when set (requires `mediaDup`), a precomputed
+    *                  phash pair set (id_a, id_b) — the staged media twin
+    *                  of `nearDupPairs`, restricted to surviving ids on
+    *                  both endpoints (exact for the same pairwise-
+    *                  membership reason). Production computes the phash
+    *                  pair store once per corpus generation.
     */
   def curate(
       docs: DataFrame,
@@ -73,10 +79,14 @@ object Curation {
       nearDup: Option[(Int, Int)] = None,
       ccMaxIters: Int = 25,
       nearDupPairs: Option[DataFrame] = None,
-      mediaDup: Option[(Int, Int)] = None): DataFrame = {
+      mediaDup: Option[(Int, Int)] = None,
+      mediaDupPairs: Option[DataFrame] = None): DataFrame = {
     require(nearDupPairs.isEmpty || nearDup.nonEmpty,
       "nearDupPairs requires nearDup: staged pairs are only consumed by the " +
         "near-duplicate stage, which nearDup enables")
+    require(mediaDupPairs.isEmpty || mediaDup.nonEmpty,
+      "mediaDupPairs requires mediaDup: staged pairs are only consumed by the " +
+        "media near-duplicate stage, which mediaDup enables")
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
     val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
@@ -103,10 +113,17 @@ object Curation {
       Dedup.keepCanonical(deduped, idCol, pairs, maxIters = ccMaxIters)
     }
     val mediaDeduped = mediaDup.fold(nearDeduped) { case (bits, maxHam) =>
-      Dedup.keepCanonical(nearDeduped, idCol,
+      val pairs = mediaDupPairs.fold(
         Multimodal.phashNearDuplicates(
-          Multimodal.asMedia(nearDeduped, idCol, textCol), bits, maxHam),
-        maxIters = ccMaxIters)
+          Multimodal.asMedia(nearDeduped, idCol, textCol), bits, maxHam)) { staged =>
+        // same exactness argument as nearDupPairs: phash membership is
+        // per-document, so full-corpus pairs restricted to survivors on
+        // both endpoints equal pairs computed on the survivors
+        val ids = nearDeduped.select(col(idCol))
+        staged.join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+          .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+      }
+      Dedup.keepCanonical(nearDeduped, idCol, pairs, maxIters = ccMaxIters)
     }
     val clean = Decontamination.decontaminate(
       mediaDeduped, bench, idCol, textCol, shingleN, minHits)

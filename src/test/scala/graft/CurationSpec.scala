@@ -98,6 +98,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("precomputed-pairs media stage equals the in-query phash computation") {
+    // staged FULL-CORPUS phash pairs fed into curate must equal the fresh
+    // per-stage computation exactly — the media twin of the text staged-
+    // pairs law (phash membership is per-document, so restriction to
+    // survivors on both endpoints is exact)
+    val staged = graft.operators.Multimodal.phashNearDuplicates(
+      graft.operators.Multimodal.asMedia(docs, "doc_id", "text"), 16, 2)
+    val fresh = Curation.curate(train, bench, "doc_id", "text", mediaDup = Some((16, 2)))
+    val fed = Curation.curate(train, bench, "doc_id", "text", mediaDup = Some((16, 2)),
+      mediaDupPairs = Some(staged))
+    assert(fed.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(fed).count() === 0)
+    // and staged pairs without the stage enabled must refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      Curation.curate(train, bench, "doc_id", "text", mediaDupPairs = Some(staged))
+    }
+    assert(ex.getMessage.contains("mediaDupPairs requires mediaDup"))
+  }
+
   test("each stage only removes rows; survivors carry a split") {
     val got = Curation.curate(train, bench, "doc_id", "text")
     assert(got.count() > 0)
