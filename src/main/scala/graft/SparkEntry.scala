@@ -176,6 +176,16 @@ object SparkEntry {
       Multimodal.phashNearDuplicates(
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), bits, maxHamming))
 
+  /** Staged standing labeling for the incremental-maintenance row: the
+    * labels store as it stands BEFORE the 10%-batch arrives (pairs not
+    * touching a doc_id ≡ 9 mod 10). */
+  private def stagedStandingLabels(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "documents")}/simhash_standing_labels_b16_h2")(
+      Dedup.duplicateClusters(
+        stagedSimhashPairs(s, d, 16, 2)
+          .filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)))
+
   /** Staged cluster labeling over [[stagedSimhashPairs]] — the `labelsPath`
     * store of the maintenance loop: labels are computed once (then
     * maintained incrementally), and stats/canonical/election questions are
@@ -208,10 +218,8 @@ object SparkEntry {
     * row groups pruned by the within-file sort. */
   private def stagedScd2v2BucketedPath(s: SparkSession, d: String): String = {
     val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/scd2_v2_bucketed"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      Store.writeStoreBucketed(stagedScd2v2(s, d), path, buckets = 8)
+    Store.readOrCreateWith(s, path)(tmp =>
+      Store.writeStoreBucketed(stagedScd2v2(s, d), tmp, buckets = 8))
     path
   }
 
@@ -333,6 +341,42 @@ object SparkEntry {
       s"/tmp/graft_staged/${dirTag(d, "lineitem")}/bloom_synopsis_b22")(
       Cdc.bloomSynopsis(stagedHashStoreA(s, d), bits = BloomBits).coalesce(1))
 
+  /** Scratch store write for the `x_stage_build_*` accounting rows: these
+    * rows measure BUILD cost (compute + persist) honestly on every run,
+    * so they write to a throwaway path instead of the shared staging root
+    * (which, once committed, is immutable) and return the written store's
+    * content for the oracle compare. */
+  private def buildScratch(s: SparkSession, name: String)(df: DataFrame): DataFrame = {
+    val path = s"/tmp/graft_scratch/$name"
+    Store.writeStoreSwap(df, path, Nil)
+    s.read.parquet(path)
+  }
+
+  /** Build every staged derived store for `d` so a bench run measures
+    * steady-state reads in every pass: called by [[graft.Bench]] OUTSIDE
+    * the timed window (the one-time build cost otherwise lands on
+    * whichever registered query touches a store first and distorts that
+    * row — BENCH_r10's x_curate_neardup charged 38 s of pairs-store build
+    * to a read query). Build cost stays visible in its own rows
+    * (`x_stage_build_*`) and in the fresh-computation rows
+    * (x_dedup_clusters, d06_scd2_merge, x_store_deleted_stamp). */
+  def prebuildStaged(s: SparkSession, d: String): Unit = {
+    stagedSimhashPairs(s, d, 16, 2).count()
+    stagedSimhashPairs(s, d, 64, 3).count()
+    stagedSimhashClusters(s, d, 16, 2).count()
+    stagedSimhashClusters(s, d, 64, 3).count()
+    stagedStandingLabels(s, d).count()
+    stagedScd2v2(s, d).count()
+    stagedScd2v2BucketedPath(s, d)
+    stagedOrdersScd2(s, d).count()
+    stagedStamped2Run(s, d).count()
+    stagedGenerationStore(s, d)
+    stagedHashStoreA(s, d).count()
+    stagedBloomSynopsis(s, d).count()
+    stagedPhashPairs(s, d, 16, 2).count()
+    ()
+  }
+
   /** Flagship (driver smoke, sf0.001): the reference's production path over
     * two lineitem snapshots — enrich, delta anti-join, append — returning
     * the versioned store content (SURVEY.md §7.5). */
@@ -395,6 +439,16 @@ object SparkEntry {
       Cdc.deltaBloomWith(stagedHashStoreA(s, d), batchB(s, d),
         stagedBloomSynopsis(s, d), bits = BloomBits)
         .select("l_orderkey", "l_linenumber", "quantity", M.KeyHash, M.RecordHash))),
+    // ---- staged-store BUILD accounting rows: the one-time cost of the
+    // artifacts every staged read above amortizes, measured as its own
+    // row (compute + persist to scratch) instead of silently landing on
+    // whichever read-query touches a store first ----
+    "x_stage_build_neardup_pairs" -> ((s, d) =>
+      buildScratch(s, "neardup_pairs_b16_h2")(
+        Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text", 16, 2))),
+    "x_stage_build_bloom" -> ((s, d) =>
+      buildScratch(s, "bloom_synopsis_b22")(
+        Cdc.bloomSynopsis(stagedHashStoreA(s, d), bits = BloomBits).coalesce(1))),
     "l13_inserts" -> ((s, d) => Cdc.inserts(enrichedA(s, d), enrichedB(s, d))
       .select("l_orderkey", "l_linenumber", M.KeyHash)),
     "l14_updates" -> ((s, d) => qtyAsDouble(Cdc.updates(enrichedA(s, d), enrichedB(s, d))
@@ -627,12 +681,8 @@ object SparkEntry {
     // x_dedup_clusters)
     "x_dedup_clusters_incremental" -> ((s, d) => {
       val pairs = stagedSimhashPairs(s, d, 16, 2)
-      val standing = Store.readOrCreate(s,
-        s"/tmp/graft_staged/${dirTag(d, "documents")}/simhash_standing_labels_b16_h2")(
-        Dedup.duplicateClusters(
-          pairs.filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)))
       val batch = pairs.filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
-      Dedup.updateClusters(standing, batch)
+      Dedup.updateClusters(stagedStandingLabels(s, d), batch)
         .select(col("id").as("doc_id"), col("cluster_id"))
     }),
     // the takedown direction: remove the doc_id ≡ 3 (mod 25) batch (~4%)
@@ -2059,6 +2109,33 @@ object SparkEntry {
          |FROM enrichB n LEFT JOIN enrichA c
          |  ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
          |WHERE c."KEY_HASH" IS NULL AND n.l_orderkey % 100 = 0""".stripMargin,
+    // build-accounting rows return the built artifact's content, so the
+    // oracle is the artifact's defining statement. The bloom synopsis
+    // twin walks the identical md5 bit derivation: 15-hex-char prefix →
+    // 60-bit value (exact in BIGINT: per-digit products are ≤ 15·16^14),
+    // position mod 2^22, word = pos/64, mask = OR of 2^(pos%64) — the OR
+    // as SUM(DISTINCT) over HUGEINT, folded back to the signed 64-bit
+    // word Spark's shiftleft produces
+    "x_stage_build_bloom" ->
+      s"""$snapshotsCte,
+         |hx AS (
+         |  SELECT md5("KEY_HASH" || "RECORD_HASH" || '#bloom#' || CAST(j AS VARCHAR)) AS h
+         |  FROM enrichA, (SELECT unnest([0, 1, 2, 3]) AS j)
+         |),
+         |pos AS (
+         |  SELECT list_sum(list_transform(range(1, 16),
+         |    i -> CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)
+         |         * CAST(pow(16, 15 - i) AS BIGINT))) % 4194304 AS p
+         |  FROM hx
+         |),
+         |words AS (
+         |  SELECT CAST(p // 64 AS INT) AS w,
+         |         SUM(DISTINCT CAST(pow(2, p % 64) AS HUGEINT)) AS s
+         |  FROM pos GROUP BY 1
+         |)
+         |SELECT w, CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616
+         |                    ELSE s END AS BIGINT) AS m
+         |FROM words""".stripMargin,
     "l13_inserts" ->
       s"""$snapshotsCte
          |SELECT n.l_orderkey, n.l_linenumber, n."KEY_HASH"
@@ -2282,6 +2359,10 @@ object SparkEntry {
          |SELECT fp AS simhash, min(doc_id) AS keep_id, count(*) AS n_docs
          |FROM fp GROUP BY 1""".stripMargin,
     "x_dedup_simhash_near" ->
+      s"""$simhashNearPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // the pairs-store build row persists exactly this pair set
+    "x_stage_build_neardup_pairs" ->
       s"""$simhashNearPairsCte
          |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
     // 64-bit twin: same pigeonhole pipeline, blocks generated from the

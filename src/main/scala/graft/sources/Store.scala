@@ -370,19 +370,42 @@ object Store {
 
   /** Materialize-once staging for a derived store: read `path` when it
     * already holds a committed generation; otherwise evaluate `build`,
-    * persist it via the atomic swap write, and read it back. This is the
-    * compute-once/ask-many shape of every expensive derived artifact — a
-    * near-dup pair set, a cluster labeling, an ANN code table: production
-    * computes it once per corpus generation and feeds every downstream
-    * question from the store, instead of re-deriving it per question.
-    * Committed-ness is the `_SUCCESS` marker; the swap write materializes
-    * fully in `<path>.tmp` before renaming, so a crash mid-build leaves no
-    * half-store behind and concurrent readers of an existing generation
-    * are never disturbed. Callers that need input-change invalidation put
-    * a content tag of the inputs in `path`. */
-  def readOrCreate(spark: SparkSession, path: String)(build: => DataFrame): DataFrame = {
+    * persist it, and read it back. This is the compute-once/ask-many
+    * shape of every expensive derived artifact — a near-dup pair set, a
+    * cluster labeling, an ANN code table: production computes it once per
+    * corpus generation and feeds every downstream question from the
+    * store, instead of re-deriving it per question. Callers that need
+    * input-change invalidation put a content tag of the inputs in `path`.
+    *
+    * Commit is a rename-if-absent CAS, so CONCURRENT builders (two bench
+    * or CI runs sharing a staging root) are safe: each builds into a
+    * unique `_build_*` sibling, exactly one rename lands as `path`, and
+    * the loser discards its copy — a committed store is NEVER rewritten,
+    * so no reader can observe a swap window. (Filesystems rename INTO an
+    * existing target directory; the underscore prefix keeps a lost-race
+    * copy invisible to parquet readers until the loser deletes it.) */
+  def readOrCreate(spark: SparkSession, path: String)(build: => DataFrame): DataFrame =
+    readOrCreateWith(spark, path)(tmp => writeStore(build, tmp, Nil))
+
+  /** [[readOrCreate]] generalized over the writer: `writeTo` persists the
+    * store content at the path it is given (any layout — partitioned,
+    * bucketed directories, …); commit-if-absent choreography as above. */
+  def readOrCreateWith(spark: SparkSession, path: String)(writeTo: String => Unit): DataFrame = {
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(path, "_SUCCESS"))) writeStoreSwap(build, path, Nil)
+    val target = new Path(path)
+    if (!fs.exists(new Path(target, "_SUCCESS"))) {
+      val tmpName = s"_build_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tmp = new Path(target.getParent, tmpName)
+      writeTo(tmp.toString)
+      // CAS: rename lands iff `path` is still absent. A lost race either
+      // returns false or relocates tmp INSIDE the winner's directory —
+      // detect both and discard our copy.
+      if (!fs.rename(tmp, target) || fs.exists(new Path(target, tmpName))) {
+        fs.delete(new Path(target, tmpName), true)
+        fs.delete(tmp, true)
+        ()
+      }
+    }
     spark.read.parquet(path)
   }
 
