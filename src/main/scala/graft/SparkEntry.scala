@@ -851,6 +851,22 @@ object SparkEntry {
         Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents), cents,
         k = 10, nprobe = 8)
     }),
+    // the COMPOSED index (IVFADC, Jégou et al. 2011): PQ codes of the
+    // residual within each IVF cell, probed by q·c + ADC(q·r) over the
+    // posting's stored true norm, exact re-rank of the top-80. All three
+    // artifacts (centroid frame, residual codebooks, coded postings) are
+    // the persist-once model synopses; recall@10 = 0.78 at sf0.01
+    // (CI floor 0.6 in SimilaritySpec)
+    "x_sim_ivfpq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+      val cb = Similarity.ivfPqCodebook(emb, "vec_id", "embedding", cents,
+        m = 16, codes = 32, iters = 2)
+      val post = Similarity.ivfPqEncodeWith(emb, "vec_id", "embedding", cents, cb)
+      Similarity.ivfPqTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", post, cents, cb,
+        k = 10, nprobe = 10, probe = 80)
+    }),
     // the batch-cost demonstration for the PQ leg (the kmeans-incremental
     // shape): codebook trained on the corpus, but ONLY the vec_id ≡ 4
     // (mod 5) batch is encoded through the stored model — the per-batch
@@ -1601,41 +1617,154 @@ object SparkEntry {
          |      i -> CAST(vv[CAST(i AS INT)] AS DOUBLE)) AS cv
          |  FROM sd, range(0, $m) t(s)
          |)""".stripMargin
-    def assignRound(r: Int): String =
-      s"""n$r AS (
-         |  SELECT s, cid, cv,
-         |    list_sum(list_transform(range(1, $d1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])) AS cn2
-         |  FROM c$r
-         |),
-         |p$r AS (
-         |  SELECT x.id, x.s, x.sv, c.cid,
-         |    2.0 * list_sum(list_transform(range(1, $d1),
-         |      i -> x.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) - c.cn2 AS sc
-         |  FROM sub x JOIN n$r c USING (s)
-         |),
-         |a$r AS (
-         |  SELECT id, s, sv, cid FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY sc DESC, cid DESC) AS rn
-         |    FROM p$r
-         |  ) WHERE rn = 1
-         |)""".stripMargin
-    def meanRound(r: Int): String =
-      s"""m${r + 1} AS (
-         |  SELECT s, cid, CAST(i AS INT) AS i,
-         |    round(CAST(sum(CAST(CAST(sv[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-         |          / count(sv[CAST(i AS INT)]), 6) AS mn
-         |  FROM a$r, range(1, $d1) t(i) GROUP BY s, cid, i
-         |),
-         |g${r + 1} AS (SELECT s, cid, list(mn ORDER BY i) AS cv FROM m${r + 1} GROUP BY s, cid),
-         |c${r + 1} AS (
-         |  SELECT c.s, c.cid, coalesce(g.cv, c.cv) AS cv
-         |  FROM c$r c LEFT JOIN g${r + 1} g ON g.s = c.s AND g.cid = c.cid
-         |)""".stripMargin
     val rounds = (0 to iters).map { r =>
-      if (r < iters) assignRound(r) + ",\n" + meanRound(r) else assignRound(r)
+      if (r < iters) duckPqAssignRound(r, d1) + ",\n" + duckPqMeanRound(r, d1)
+      else duckPqAssignRound(r, d1)
     }
     val ec = s"ec AS (SELECT id, list(cid ORDER BY s) AS cs FROM a$iters GROUP BY id)"
     (head +: rounds :+ ec).mkString(",\n")
+  }
+
+  /** One Lloyd assignment round of the DuckDB PQ trainer (n/p/a CTEs over
+    * `sub` and `c\$r`) — shared by the flat-PQ chain ([[duckPqCtes]]) and
+    * the residual-PQ chain of the composed IVF-PQ oracle. */
+  private def duckPqAssignRound(r: Int, d1: Int): String =
+    s"""n$r AS (
+       |  SELECT s, cid, cv,
+       |    list_sum(list_transform(range(1, $d1), i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)])) AS cn2
+       |  FROM c$r
+       |),
+       |p$r AS (
+       |  SELECT x.id, x.s, x.sv, c.cid,
+       |    2.0 * list_sum(list_transform(range(1, $d1),
+       |      i -> x.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) - c.cn2 AS sc
+       |  FROM sub x JOIN n$r c USING (s)
+       |),
+       |a$r AS (
+       |  SELECT id, s, sv, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY sc DESC, cid DESC) AS rn
+       |    FROM p$r
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** One Lloyd mean-update round of the DuckDB PQ trainer (decimal sums,
+    * 6-decimal rounded means, empty clusters keep their centroid). */
+  private def duckPqMeanRound(r: Int, d1: Int): String =
+    s"""m${r + 1} AS (
+       |  SELECT s, cid, CAST(i AS INT) AS i,
+       |    round(CAST(sum(CAST(CAST(sv[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+       |          / count(sv[CAST(i AS INT)]), 6) AS mn
+       |  FROM a$r, range(1, $d1) t(i) GROUP BY s, cid, i
+       |),
+       |g${r + 1} AS (SELECT s, cid, list(mn ORDER BY i) AS cv FROM m${r + 1} GROUP BY s, cid),
+       |c${r + 1} AS (
+       |  SELECT c.s, c.cid, coalesce(g.cv, c.cv) AS cv
+       |  FROM c$r c LEFT JOIN g${r + 1} g ON g.s = c.s AND g.cid = c.cid
+       |)""".stripMargin
+
+  /** The composed IVF-PQ oracle (IVFADC): IVF assignment
+    * ([[duckIvfAssignCtes]]) → residuals → the SAME Lloyd PQ trainer over
+    * the residuals → per-query probe of the `nprobe` best cells scoring
+    * coded postings by q·c + ADC(q·r) over true norms → exact re-rank of
+    * the `probe` shortlist. Every arithmetic step mirrors the Spark
+    * operator operand-for-operand. */
+  private def duckIvfPqSql(
+      m: Int, ks: Int, iters: Int, nprobe: Int, probe: Int, k: Int,
+      dims: Int = 64): String = {
+    val d0 = dims / m
+    val d1 = d0 + 1
+    val head =
+      s"""WITH $duckIvfAssignCtes,
+         |rv AS (
+         |  SELECT a.id, list_transform(range(1, ${dims + 1}),
+         |    i -> CAST(a.vv[CAST(i AS INT)] AS DOUBLE) - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS vv
+         |  FROM assign a JOIN cent c USING (cid)
+         |),
+         |sub AS (
+         |  SELECT id, CAST(t.s AS INT) AS s,
+         |    list_transform(range(CAST(t.s AS INT) * $d0 + 1, CAST(t.s AS INT) * $d0 + $d1),
+         |      i -> vv[CAST(i AS INT)]) AS sv
+         |  FROM rv, range(0, $m) t(s)
+         |),
+         |sd AS (
+         |  SELECT id, vv,
+         |    CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS INT) AS cid
+         |  FROM rv ORDER BY md5(CAST(id AS VARCHAR)) LIMIT $ks
+         |),
+         |c0 AS (
+         |  SELECT CAST(t.s AS INT) AS s, cid,
+         |    list_transform(range(CAST(t.s AS INT) * $d0 + 1, CAST(t.s AS INT) * $d0 + $d1),
+         |      i -> vv[CAST(i AS INT)]) AS cv
+         |  FROM sd, range(0, $m) t(s)
+         |)""".stripMargin
+    val rounds = (0 to iters).map { r =>
+      if (r < iters) duckPqAssignRound(r, d1) + ",\n" + duckPqMeanRound(r, d1)
+      else duckPqAssignRound(r, d1)
+    }
+    val tail =
+      s"""ec AS (SELECT id, list(cid ORDER BY s) AS cs FROM a$iters GROUP BY id),
+         |qcell AS (
+         |  SELECT id AS qid, cid FROM (
+         |    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+         |    FROM pairs WHERE id < 5
+         |  ) WHERE rn <= $nprobe
+         |),
+         |dcc AS (
+         |  SELECT q.qid, q.cid,
+         |    list_sum(list_transform(range(1, ${dims + 1}),
+         |      i -> CAST(vq.vv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS dotc
+         |  FROM qcell q JOIN v vq ON vq.id = q.qid JOIN cent c ON c.cid = q.cid
+         |),
+         |subq AS (
+         |  SELECT id, CAST(t.s AS INT) AS s,
+         |    list_transform(range(CAST(t.s AS INT) * $d0 + 1, CAST(t.s AS INT) * $d0 + $d1),
+         |      i -> CAST(vv[CAST(i AS INT)] AS DOUBLE)) AS sv
+         |  FROM v, range(0, $m) t(s) WHERE id < 5
+         |),
+         |tq AS (
+         |  SELECT x.id AS qid, x.s, c.cid,
+         |    list_sum(list_transform(range(1, $d1),
+         |      i -> x.sv[CAST(i AS INT)] * c.cv[CAST(i AS INT)])) AS d
+         |  FROM subq x JOIN n$iters c USING (s)
+         |),
+         |tqa AS (SELECT qid, s, list(d ORDER BY cid) AS ds FROM tq GROUP BY qid, s),
+         |tqq AS (SELECT qid, list(ds ORDER BY s) AS tabs FROM tqa GROUP BY qid),
+         |adc AS (
+         |  SELECT q.qid AS query_id, e.id AS corpus_id,
+         |    round(CASE WHEN vq.nrm * ve.nrm = 0 THEN 0.0
+         |      ELSE (d.dotc + list_sum(list_transform(range(0, $m),
+         |             u -> t.tabs[CAST(u AS INT) + 1][ec.cs[CAST(u AS INT) + 1] + 1])))
+         |           / (vq.nrm * ve.nrm) END, 6) AS cos
+         |  FROM qcell q
+         |  JOIN assign e ON e.cid = q.cid AND e.id <> q.qid
+         |  JOIN dcc d ON d.qid = q.qid AND d.cid = q.cid
+         |  JOIN tqq t ON t.qid = q.qid
+         |  JOIN ec ON ec.id = e.id
+         |  JOIN v vq ON vq.id = q.qid
+         |  JOIN v ve ON ve.id = e.id
+         |),
+         |sl AS (
+         |  SELECT query_id, corpus_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cos DESC, corpus_id ASC) AS rn
+         |    FROM adc
+         |  ) WHERE rn <= $probe
+         |),
+         |scored AS (
+         |  SELECT query_id, corpus_id,
+         |    round(list_sum(list_transform(range(1, ${dims + 1}),
+         |            i -> CAST(vq.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+         |          / (vq.nrm * vc.nrm), 6) AS cos
+         |  FROM sl JOIN v vq ON vq.id = query_id JOIN v vc ON vc.id = corpus_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= $k""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
   }
 
   private def duckPqSql(m: Int, ks: Int, iters: Int, probe: Int, k: Int,
@@ -1919,6 +2048,11 @@ object SparkEntry {
     "x_sim_ivf_incremental" ->
       s"""WITH $duckIvfAssignCtes
          |SELECT id AS vec_id, cid FROM assign WHERE id % 5 = 4""".stripMargin,
+    // the composed-index oracle reproduces the whole IVFADC pipeline:
+    // IVF assignment, residuals, the Lloyd trainer over residuals, the
+    // q·c + ADC(q·r) probe, exact re-rank
+    "x_sim_ivfpq_index" ->
+      duckIvfPqSql(m = 16, ks = 32, iters = 2, nprobe = 10, probe = 80, k = 10),
     // deliberately the SAME statement as x_store_asof_run: generation 1
     // IS the store run 1 left behind, preserved physically — generation
     // travel and run travel answer the same question through different

@@ -938,6 +938,154 @@ object Similarity {
       k, probe, dims, excludeSelf, corpus.schema(corpusIdCol).dataType)
   }
 
+  // --- composed IVF-PQ (IVFADC; Jégou et al. TPAMI'11 §V) ---------------
+
+  /** Cell assignment + residual for every corpus row: (id, cid, v) where
+    * `v` = vector − its cell's centroid (double arithmetic; exact float
+    * widening on both engines). The residual is what PQ encodes in the
+    * composed index: residual magnitudes are much smaller than vector
+    * magnitudes, so the same code budget quantizes them with far less
+    * error — the reason IVFADC beats flat PQ at equal bytes. */
+  private def residualBase(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[(Int, Seq[Double], Double)]): DataFrame = {
+    val cvs = typedLit(cents.map(_._2).toSeq) // ordered by cid
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v0"))
+      .withColumn("cid",
+        array_max(ivfCellScores(cents, col("v0"), l2Norm(col("v0")))).getField("i"))
+      .withColumn("v",
+        zip_with(col("v0"), element_at(cvs, col("cid") + 1),
+          (a, b) => a.cast("double") - b))
+      .select(col("id"), col("cid"), col("v"), l2Norm(col("v0")).as("cn"))
+  }
+
+  /** Residual PQ codebook for a composed IVF-PQ index: [[pqTrain]]'s
+    * deterministic Lloyd recipe run on the RESIDUALS against a stored
+    * [[ivfCentroids]] frame. Persist next to the centroid frame and the
+    * coded postings ([[ivfPqEncodeWith]]); probe via [[ivfPqTopKWith]].
+    * Same (s, cid, centroid, norm2) layout as [[pqCodebook]]. */
+  def ivfPqCodebook(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidsDf: DataFrame,
+      m: Int = 4,
+      codes: Int = 8,
+      iters: Int = 2,
+      dims: Int = 64,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val cents = collectIvfCentroids(centroidsDf)
+    val base = scope.persist(
+      residualBase(corpus, idCol, vecCol, cents).select(col("id"), col("v")))
+    val cbs = pqTrain(base, m, codes, iters, dims)
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case ((cv, n2), cid) => (s, cid, cv, n2) }
+    }.toSeq.toDF("s", "cid", "centroid", "norm2")
+  }
+
+  /** Coded posting list of a composed IVF-PQ index: (`idCol`, cid, codes,
+    * cn) — each row's cell, its residual's m-byte PQ code word, and the
+    * ORIGINAL vector's norm (one double; makes the probe's approximate
+    * cosine denominators exact instead of reconstructed). Encode is a
+    * pure per-row projection against the two stored model synopses —
+    * batch-appendable, never touching standing rows. */
+  def ivfPqEncodeWith(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidsDf: DataFrame,
+      codebook: DataFrame,
+      dims: Int = 64): DataFrame = {
+    val cents = collectIvfCentroids(centroidsDf)
+    val cbs = collectPqCodebooks(codebook)
+    require(dims % cbs.length == 0, s"dims $dims must divide into ${cbs.length} subspaces")
+    residualBase(corpus, idCol, vecCol, cents)
+      .select(col("id").as(idCol), col("cid"),
+        array(pqCodeCols(cbs, dims): _*).as("codes"), col("cn"))
+  }
+
+  /** Composed IVF-PQ probe over STORED artifacts — billion-vector ANN's
+    * standard shape (IVFADC): each query ranks the cells ([[ivfTopK]]'s
+    * (cos, cid) rule), probes its `nprobe` best, and scores ONLY those
+    * cells' coded postings by asymmetric distance: the exact decomposition
+    * q·v = q·c + q·r, with q·c computed per probed cell (nprobe dot
+    * products per query) and q·r approximated by m lookups into the
+    * query's residual-codebook ADC tables. The shortlist's approximate
+    * cosine divides by the posting's STORED true norm, and the top
+    * `probe` candidates re-rank exactly with the original vectors.
+    *
+    * Scale shape: the scan is a cell-id equi-join against broadcast query
+    * probes moving (cid, m codes, one norm) per corpus row — 1/nprobe-th
+    * of the corpus touched, PQ-compressed, float payloads only for the
+    * `probe` survivors; training and encoding live in the stored
+    * artifacts ([[ivfCentroids]], [[ivfPqCodebook]],
+    * [[ivfPqEncodeWith]]), never in the query.
+    *
+    * @param postings stored (`corpusIdCol`, cid, codes, cn) frame
+    * @return (query_id, corpus_id, cos, rank), rank 1..k, exact cosine
+    */
+  def ivfPqTopKWith(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      postings: DataFrame,
+      centroidsDf: DataFrame,
+      codebook: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      probe: Int = 40,
+      dims: Int = 64,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(probe >= k, "probe shortlist must be at least k")
+    val cents = collectIvfCentroids(centroidsDf)
+    val cbs = collectPqCodebooks(codebook)
+    val m = cbs.length
+    val d0 = dims / m
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
+    val effProbe = math.min(nprobe, cents.length)
+    val cvs = typedLit(cents.map(_._2).toSeq)
+    // query side: norm, residual-codebook ADC tables (depend only on q),
+    // then one row per probed cell carrying q·c for that cell
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).as("qv"), l2Norm(col(queryVecCol)).as("qn"))
+      .select((col("query_id") +: col("qv") +: col("qn") +: (0 until m).map { s =>
+        VectorExpressions.pqAdcTable(col("qv"),
+          cbs(s).flatMap(_._1).toIndexedSeq, s * d0, d0).as(s"t$s")
+      }): _*)
+      .withColumn("cid", explode(transform(
+        slice(reverse(sort_array(ivfCellScores(cents, col("qv"), col("qn")))), 1, effProbe),
+        s => s.getField("i"))))
+      .withColumn("dotc", dot(col("qv"), element_at(cvs, col("cid") + 1)))
+      .drop("qv")
+    val enc = postings.select(col(corpusIdCol).as("corpus_id") +: col("cid") +: col("cn") +:
+      (0 until m).map(s => element_at(col("codes"), s + 1).as(s"c$s")): _*)
+    val self = if (excludeSelf) col("query_id") =!= col("corpus_id") else lit(true)
+    val adcDot = (0 until m).map(s => element_at(col(s"t$s"), col(s"c$s") + 1))
+      .reduceLeft(_ + _)
+    val shortlist = enc.join(broadcast(qt), Seq("cid")).filter(self)
+      .withColumn("cos", round(cosFromNorms(col("dotc") + adcDot, col("qn"), col("cn")), 6))
+      .select("query_id", "corpus_id", "cos")
+    val idType = corpus.schema(corpusIdCol).dataType
+    val cand = rankTopK(shortlist, probe, idType).select("query_id", "corpus_id")
+    val qv = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv"),
+      l2Norm(col(queryVecCol)).as("qn"))
+    val scored = cand
+      .join(broadcast(qv), Seq("query_id"))
+      .join(corpus.select(col(corpusIdCol).as("corpus_id"), col(corpusVecCol).as("cv"),
+        l2Norm(col(corpusVecCol)).as("cn")), Seq("corpus_id"))
+      .withColumn("cos", round(cosFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
+      .select("query_id", "corpus_id", "cos")
+    rankTopK(scored, k, idType)
+  }
+
   /** Deterministic Lloyd k-means assignment over an embedding column —
     * the clustering primitive behind [[semanticDedup]] (and a drop-in
     * refinement for [[ivfTopK]]'s sampled coarse quantizer). Engineered

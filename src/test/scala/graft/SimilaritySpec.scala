@@ -410,6 +410,41 @@ class SimilaritySpec extends SparkSpec {
     w.foreach(row => assert(row.getInt(0) === row.getInt(1), row.toString))
   }
 
+  test("composed IVF-PQ: parquet round-trip probe is row-identical; recall floor holds") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    // the three model artifacts persist once: centroid frame, residual
+    // codebooks, coded postings (cell + codes + true norm per row)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+    cents.write.parquet(s"$dir/centroids")
+    val cb = Similarity.ivfPqCodebook(emb, "vec_id", "embedding", cents,
+      m = 16, codes = 32, iters = 2)
+    cb.write.parquet(s"$dir/codebook")
+    Similarity.ivfPqEncodeWith(emb, "vec_id", "embedding", cents, cb)
+      .write.parquet(s"$dir/postings")
+    val stored = Similarity.ivfPqTopKWith(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding",
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"), k = 10, nprobe = 10, probe = 80)
+    val fresh = Similarity.ivfPqTopKWith(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding",
+      Similarity.ivfPqEncodeWith(emb, "vec_id", "embedding", cents, cb), cents, cb,
+      k = 10, nprobe = 10, probe = 80)
+    assert(stored.as[(Long, Long, Double, Int)].collect().toSet ===
+      fresh.as[(Long, Long, Double, Int)].collect().toSet)
+    // postings carry one cell per row, codes bounded by the codebook
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.count() === emb.count())
+    assert(post.filter(col("cid") < 0 || col("cid") >= 16).count() === 0)
+    assert(post.filter(exists(col("codes"), c => c < 0 || c >= 32)).count() === 0)
+    // CI recall floor on EXACTLY the registered x_sim_ivfpq_index params
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      "vec_id", "embedding", 10)
+    val recall = Similarity.recallAtK(stored, exact, 10)
+    assert(recall >= 0.6, s"composed IVF-PQ recall@10 degraded to $recall")
+  }
+
   test("persisted ANN index: parquet round-trip probe is row-identical to the fresh path") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
