@@ -1146,6 +1146,15 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long"),
         budget = 2048L, shards = 8)
     }),
+    // packing budgeted by the byte-level BPE merge-table count
+    // ([[graft.operators.TextAnalysis.bpeCount]]) — the production-
+    // truthful budget: context windows are sized in tokenizer tokens,
+    // and a whitespace count under-sizes punctuation-dense text. The
+    // oracle replays the SAME merges table as a sequential replace
+    // chain (equivalent to the encoder loop for the well-formed table)
+    "x_pack_bpe" -> ((s, d) =>
+      Packing.packByCount(Tables.documents(s, d), "doc_id",
+        TextAnalysis.bpeCount(col("text")).cast("long"), budget = 2048L, shards = 8)),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -1661,6 +1670,19 @@ object SparkEntry {
        |  SELECT c.s, c.cid, coalesce(g.cv, c.cv) AS cv
        |  FROM c$r c LEFT JOIN g${r + 1} g ON g.s = c.s AND g.cid = c.cid
        |)""".stripMargin
+
+  /** DuckDB twin of the byte-level BPE count: the per-byte hex symbol
+    * string ('>xx|' per byte) pushed through the merges table as a
+    * sequential replace chain — rank order, all non-overlapping
+    * occurrences per rule, exactly the encoder loop's result for the
+    * training-well-formed [[graft.operators.TextAnalysis
+    * .DefaultBpeMerges]] (see its scaladoc for the argument). */
+  private def duckBpeSymExpr(tokCol: String): String = {
+    val base = s"regexp_replace(lower(hex(encode($tokCol))), '(..)', '>\\1|', 'g')"
+    graft.operators.TextAnalysis.DefaultBpeMerges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, '>$a|>$b|', '>$a$b|')"
+    }
+  }
 
   /** The composed IVF-PQ oracle (IVFADC): IVF assignment
     * ([[duckIvfAssignCtes]]) → residuals → the SAME Lloyd PQ trainer over
@@ -2952,6 +2974,44 @@ object SparkEntry {
     // contiguous-fill packing: pack = floor(preceding-cumsum / budget)
     // within an id-ordered shard window — byte-identical window semantics
     // in Spark and DuckDB
+    "x_pack_bpe" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN i = 1 THEN tok0 ELSE ' ' || tok0 END AS tok
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(text, ' ')) AS tok0,
+         |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |    FROM documents
+         |  )
+         |),
+         |sym AS (
+         |  SELECT doc_id, ${duckBpeSymExpr("tok")} AS s
+         |  FROM tok WHERE tok <> ''
+         |),
+         |cnt AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(length(s) - length(replace(s, '>', ''))), 0) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d LEFT JOIN sym ON sym.doc_id = d.doc_id
+         |  GROUP BY d.doc_id
+         |),
+         |t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, n_tokens FROM cnt
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM t
+         |),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id
+         |  FROM c
+         |)
+         |SELECT doc_id, shard, n_tokens, pack_id,
+         |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
+         |    AS pack_pos
+         |FROM p""".stripMargin,
     "x_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

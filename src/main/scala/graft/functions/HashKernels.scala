@@ -105,6 +105,69 @@ object HashKernels {
     true
   }
 
+  /** Byte-level BPE token count over a merges table (the public GPT-2
+    * encoder algorithm, openai/gpt-2 encoder.py `bpe()`): split on the
+    * space byte (non-first pre-tokens keep their leading space, the
+    * GPT-2 convention), explode each pre-token to per-byte symbols, then
+    * repeatedly merge ALL left-to-right non-overlapping occurrences of
+    * the adjacent pair with the LOWEST rank until no ranked pair
+    * remains; the count is the surviving symbol total. Symbols are
+    * lowercase-hex byte strings; `ranks` maps "xx yy" → rank. */
+  def bpeTokenCount(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    val s = text.toString
+    val n = s.length
+    var count = 0
+    var tokStart = 0
+    var first = true
+    while (tokStart <= n) {
+      val sp = s.indexOf(' ', tokStart)
+      val end = if (sp < 0) n else sp
+      val raw = s.substring(tokStart, end)
+      val tok = if (first) raw else " " + raw
+      if (tok.nonEmpty) count += bpeSymbolCount(tok, ranks)
+      first = false
+      tokStart = if (sp < 0) n + 1 else end + 1
+    }
+    count
+  }
+
+  private def bpeSymbolCount(tok: String, ranks: java.util.HashMap[String, Integer]): Int = {
+    val bytes = tok.getBytes("UTF-8")
+    if (bytes.length <= 1) return bytes.length
+    var syms = new java.util.ArrayList[String](bytes.length)
+    var bi = 0
+    while (bi < bytes.length) {
+      syms.add(f"${bytes(bi) & 0xff}%02x")
+      bi += 1
+    }
+    var done = false
+    while (!done && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = ranks.get(syms.get(i) + " " + syms.get(i + 1))
+        if (r != null && r.intValue() < bestRank) {
+          bestRank = r.intValue(); bestA = syms.get(i); bestB = syms.get(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) done = true
+      else {
+        val merged = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == bestA && syms.get(j + 1) == bestB) {
+            merged.add(bestA + bestB); j += 2
+          } else { merged.add(syms.get(j)); j += 1 }
+        }
+        syms = merged
+      }
+    }
+    syms.size
+  }
+
   private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     while (i < 32) {
@@ -653,6 +716,38 @@ case class BloomProbe(
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd byte-level BPE token count over a merges table. The rank map
+  * rides along as a referenced object; merging walks the GPT-2 encoder
+  * loop (lowest-rank adjacent pair, all occurrences, to fixpoint). For a
+  * training-well-formed merges table — every rule's symbols formed only
+  * by strictly earlier rules — this loop coincides with sequential
+  * rank-order application, which is what the DuckDB oracle replays. */
+case class BpeCount(child: Expression, merges: Seq[(String, String)]) extends UnaryExpression {
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, Integer.valueOf(i)) }
+    m
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeTokenCount(input.asInstanceOf[UTF8String], ranks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeTokenCount($c, $r)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}
+
 object DedupExpressions {
   /** Codegen'd MinHash signature of an `array<string>` shingle column. */
   def minhashSig(shingles: Column, k: Int): Column =
@@ -693,6 +788,10 @@ object DedupExpressions {
   /** Codegen'd adjacent-token bigram pairs of a string column. */
   def tokenPairsOf(text: Column): Column =
     CatalystBridge.column(TokenPairs(CatalystBridge.expression(text)))
+
+  /** Codegen'd byte-level BPE token count of a string column. */
+  def bpeCountOf(text: Column, merges: Seq[(String, String)]): Column =
+    CatalystBridge.column(BpeCount(CatalystBridge.expression(text), merges))
 
   /** Codegen'd Bloom membership probe of two string digest columns. */
   def bloomProbeOf(

@@ -27,6 +27,48 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
 
+  /** Deterministic byte-level BPE merges table for [[bpeCount]]: symbols
+    * are lowercase-hex byte strings, rank = list position (the public
+    * GPT-2 merges-file format, with a library-defined vocabulary since
+    * the real merges file is licensed data, not an algorithm). The table
+    * is TRAINING-WELL-FORMED — every rule's symbols are single bytes or
+    * the product of a strictly earlier rule — which makes the encoder's
+    * lowest-rank-first merge loop coincide with sequential rank-order
+    * application (a merge can only create adjacencies involving its own
+    * product, whose rules all rank later), the form a SQL oracle can
+    * replay as a replace chain. Frequent-English digrams, leading-space
+    * digrams (the GPT-2 space-prefix convention), then composites. */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    // frequent English digrams over raw bytes
+    "74" -> "68", "68" -> "65", "69" -> "6e", "65" -> "72", "61" -> "6e", // th he in er an
+    "72" -> "65", "6f" -> "6e", "61" -> "74", "65" -> "6e", "6e" -> "64", // re on at en nd
+    "73" -> "74", "65" -> "73", "6f" -> "72", "74" -> "65", "6f" -> "66", // st es or te of
+    "65" -> "64", "69" -> "73", "69" -> "74", "61" -> "6c", "61" -> "72", // ed is it al ar
+    "6f" -> "75", "6c" -> "65", "76" -> "65", "63" -> "6f", "6d" -> "65", // ou le ve co me
+    "64" -> "65", "68" -> "69", "72" -> "69", "72" -> "6f", "6e" -> "67", // de hi ri ro ng
+    "6f" -> "6d", "75" -> "73", "61" -> "73", "65" -> "6c", "6c" -> "6c", // om us as el ll
+    // leading-space digrams (0x20 prefix carried by non-first pre-tokens)
+    "20" -> "74", "20" -> "61", "20" -> "73", "20" -> "77", "20" -> "6f",
+    "20" -> "63", "20" -> "62", "20" -> "66", "20" -> "6d", "20" -> "70",
+    "20" -> "64", "20" -> "68", "20" -> "69", "20" -> "6c", "20" -> "72",
+    // composites: every referenced symbol is formed by an earlier rule
+    "7468" -> "65", // th+e  -> the
+    "696e" -> "67", // in+g  -> ing
+    "616e" -> "64", // an+d  -> and
+    "20" -> "7468", //  +th  ->  th
+    "20" -> "746865", //  +the ->  the
+    "6572" -> "73", // er+s  -> ers
+    "6f75" -> "74", // ou+t  -> out
+    "2061" -> "6e64") //  a+nd ->  and
+
+  /** Byte-level BPE token count over a merges table (default:
+    * [[DefaultBpeMerges]]) — the production-truthful budget for
+    * [[Packing]]: context windows are sized in tokenizer tokens, and a
+    * whitespace count under-sizes non-ASCII and punctuation-dense text.
+    * One codegen kernel call per row ([[graft.functions.BpeCount]]). */
+  def bpeCount(text: Column, merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    graft.functions.DedupExpressions.bpeCountOf(text, merges)
+
   /** Small function-word inventories per language. Function words are the
     * standard cheap language-ID signal (they dominate any topic). */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -22,6 +22,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) === 0)
   }
 
+  /** Independent reference for the BPE kernel: the ORACLE's algorithm —
+    * per-byte '>xx|' symbol string, merges applied sequentially in rank
+    * order, each as a left-to-right all-occurrences replace. Agreement
+    * proves the encoder-loop kernel ≡ sequential application for the
+    * well-formed default table. */
+  private def bpeRef(text: String, merges: Seq[(String, String)]): Int = {
+    def sym(tok: String): String =
+      tok.getBytes("UTF-8").map(b => f">${b & 0xff}%02x|").mkString
+    val parts = text.split(" ", -1)
+    val toks = parts.zipWithIndex.map { case (t, i) => if (i == 0) t else " " + t }
+      .filter(_.nonEmpty)
+    toks.map { tok =>
+      val merged = merges.foldLeft(sym(tok)) { case (s, (a, b)) =>
+        s.replace(s">$a|>$b|", s">$a$b|")
+      }
+      merged.count(_ == '>')
+    }.sum
+  }
+
+  test("byte-level BPE count: kernel equals the sequential-replace reference") {
+    // hand-checked anchors: "the" -> th -> the = 1 symbol; " the" walks
+    // the space-composites to 1; unicode counts BYTES (é = 2)
+    val anchors = Seq(
+      "the" -> 1, " the" -> 1, "" -> 0, "é" -> 2)
+    anchors.foreach { case (s, want) =>
+      val got = Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.bpeCount($"t").as("n")).as[Int].head()
+      assert(got === want, s"'$s' counted $got, want $want")
+      assert(bpeRef(s, TextAnalysis.DefaultBpeMerges) === want, s"reference drifted on '$s'")
+    }
+    // the real corpus: kernel ≡ reference on every document
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text",
+        TextAnalysis.bpeCount($"text").as("n"))
+      .as[(Long, String, Int)].collect()
+    real.foreach { case (id, text, n) =>
+      assert(n === bpeRef(text, TextAnalysis.DefaultBpeMerges), s"doc $id diverged")
+    }
+    // sanity: merging only shrinks, never below the pre-token count;
+    // byte total is the upper bound
+    val bounds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextAnalysis.bpeCount($"text").as("n"),
+        octet_length($"text").as("bytes")).filter($"n" > $"bytes").count()
+    assert(bounds === 0)
+  }
+
   test("bpeish token count splits letters runs, digits, punctuation") {
     val got = Seq(Tuple1("ab1c, x2!")).toDF("t")
       .select(TextAnalysis.bpeishTokenCount($"t")).as[Int].head()
