@@ -742,6 +742,13 @@ object SparkEntry {
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         k = 30, stride = 1, minDocFreq = 2)),
+    // the EXACT form (suffix-array semantics, string-verified — the
+    // oracle statement is shared with x_dedup_spans because that SQL
+    // already groups by the gram string; equality of the two rows is the
+    // no-collision observation, spec-pinned on a planted fixture)
+    "x_dedup_spans_exact" -> ((s, d) =>
+      Dedup.duplicatedSpansExact(Tables.documents(s, d), "doc_id", "text",
+        k = 30, minDocFreq = 2)),
     // the scale setting of the same operator: stride 4 samples every 4th
     // position, cutting explode volume 4x — the knob a 100 TB run uses.
     // Registered alongside the exhaustive form so the stride arithmetic
@@ -2075,6 +2082,11 @@ object SparkEntry {
     // q·c + ADC(q·r) probe, exact re-rank
     "x_sim_ivfpq_index" ->
       duckIvfPqSql(m = 16, ks = 32, iters = 2, nprobe = 10, probe = 80, k = 10),
+    // the exact spans row shares x_dedup_spans' statement: that oracle
+    // already decides duplication by the gram STRING, which is exactly
+    // the exact operator's semantics (the hashed operator merely has no
+    // collisions to expose at this scale)
+    "x_dedup_spans_exact" -> baseOracles("x_dedup_spans"),
     // deliberately the SAME statement as x_store_asof_run: generation 1
     // IS the store run 1 left behind, preserved physically — generation
     // travel and run travel answer the same question through different

@@ -333,6 +333,62 @@ object Dedup {
       .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
   }
 
+  /** EXACT cross-document duplicated-substring spans — the suffix-array
+    * SEMANTICS of Lee et al. ACL'22, computed distributively. A position
+    * is duplicated iff its k-character gram STRING (not a hash of it)
+    * occurs in at least `minDocFreq` distinct documents; runs merge into
+    * maximal islands. This equals what the paper's suffix array reports
+    * at minimum match length k: every duplicated substring of length
+    * m ≥ k covers only duplicated k-windows (each window is itself a
+    * duplicated substring's window), and every duplicated k-window IS a
+    * duplicated substring of length k — so the union of duplicated
+    * k-windows is exactly the union of duplicated (≥ k)-substrings. The
+    * suffix array is the single-NODE space optimization of this
+    * computation; the distributed form routes by gram hash first (a
+    * collision can only ADD candidates, never drop a true duplicate, so
+    * the hash prefilter is a sound negative filter) and verifies only
+    * hash-candidate positions by full string — gram strings shuffle only
+    * for candidates, not the k× corpus. [[duplicatedSpans]] stops at the
+    * hash level (rare false-positive spans under 60-bit collisions);
+    * this form is collision-free and costs the verify pass.
+    *
+    * @return (doc_id, span_start, span_end) — 1-based inclusive character
+    *         positions of each maximal duplicated region
+    */
+  def duplicatedSpansExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minDocFreq: Int = 2,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minDocFreq >= 2, "minDocFreq below 2 would flag every position")
+    val t = col("t")
+    val grams = scope.persist(
+      df.select(col(idCol).as("id"), col(textCol).as("t"))
+        .filter(length(t) >= k)
+        .select(col("id"),
+          explode(sequence(lit(1), length(t) - (k - 1), lit(1))).as("p"), t)
+        .select(col("id"), col("p"), t.substr(col("p"), lit(k)).as("g"),
+          shingleHash(t.substr(col("p"), lit(k))).as("gh")))
+    // hash-level candidates: a 60-bit hash with doc frequency < minDocFreq
+    // cannot hide a string with doc frequency >= minDocFreq
+    val candHash = grams.groupBy("gh")
+      .agg(countDistinct(col("id")).as("hdf"))
+      .filter(col("hdf") >= minDocFreq)
+      .select("gh")
+    val cand = grams.join(candHash, Seq("gh"), "left_semi")
+    // string-level verify: exact duplication, collision-free
+    val dupStr = cand.groupBy("g")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("g")
+    val dupPos = cand.join(dupStr, Seq("g"), "left_semi").select("id", "p")
+    spanIslands(dupPos, k, 1)
+      .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
+  }
+
   /** Hashed k-gram positions (id, p, gh), the shared derivation of
     * [[duplicatedSpans]] and [[removeDuplicatedSpans]]: one bounded
     * per-row explode (≤ len/stride positions), grams as 60-bit longs. */

@@ -220,6 +220,60 @@ class DedupSpec extends SparkSpec {
     assert(repart === out, "labeling independent of partitioning")
   }
 
+  test("duplicatedSpansExact equals brute force on a planted-overlap fixture") {
+    val k = 10
+    // planted overlaps: docs 1/2 share a k+5 block mid-text (one maximal
+    // island each), docs 3/4 share their full text, doc 5 is unique, doc
+    // 6 shares a block with 1/2 too (doc freq 3)
+    val shared = "ABCDEFGHIJKLMNO" // length k+5
+    val fixture = Seq(
+      (1L, s"aaaaa${shared}zzzzz"),
+      (2L, s"qqq${shared}pp"),
+      (3L, "identical-full-text!"),
+      (4L, "identical-full-text!"),
+      (5L, "nothing in common here at all"),
+      (6L, s"__${shared}__")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpansExact(fixture, "doc_id", "text", k = k)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: position duplicated iff its k-gram string occurs in
+    // >= 2 docs; islands merged
+    val rows = Seq(1L -> s"aaaaa${shared}zzzzz", 2L -> s"qqq${shared}pp",
+      3L -> "identical-full-text!", 4L -> "identical-full-text!",
+      5L -> "nothing in common here at all", 6L -> s"__${shared}__")
+    val docsOf = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    for ((id, t) <- rows; p <- 0 to t.length - k)
+      docsOf.getOrElseUpdate(t.substring(p, p + k), scala.collection.mutable.Set.empty) += id
+    val expected = rows.flatMap { case (id, t) =>
+      val dup = (0 to t.length - k).filter(p => docsOf(t.substring(p, p + k)).size >= 2)
+      // merge consecutive duplicated positions into islands (1-based)
+      dup.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((d, s, e) :: tail, p) if p + 1 <= e - k + 2 && d == id =>
+          (d, s, math.max(e, p + k)) :: tail
+        case (acc, p) => (id, p + 1L, p + k.toLong) :: acc
+      }
+    }.toSet
+    assert(got === expected)
+    // sanity on the fixture: the planted shapes are all present
+    // doc 1: the island covers exactly the planted block (1-based 6..20)
+    assert(got.exists(s => s._1 == 1L && s._2 == 6 && s._3 == 6 + shared.length - 1))
+    assert(got.contains((3L, 1L, 20L)) && got.contains((4L, 1L, 20L)))
+    assert(!got.exists(_._1 == 5L))
+  }
+
+  test("duplicatedSpansExact equals the hashed form on real documents (no collisions)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter($"doc_id" < 200)
+    val exact = Dedup.duplicatedSpansExact(docs, "doc_id", "text", k = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashed = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 20, stride = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // 60-bit gram hashes produce no collisions at this scale, so the
+    // approximation and the exact form agree row-for-row — the empirical
+    // form of the approximation-quality claim
+    assert(exact === hashed)
+    assert(exact.nonEmpty, "fixture sanity: duplicated spans exist")
+  }
+
   test("removeDuplicatedSpans equals the brute-force cut on real documents") {
     val k = 20
     val rows = spark.read.parquet(s"$sfDir/documents.parquet")
