@@ -1180,24 +1180,39 @@ object Dedup {
       indexPath: String,
       pairsPath: String,
       labelsPath: String,
-      maxIters: Int = 25): Unit = {
+      maxIters: Int = 25,
+      labelsGenerations: Int = 0): Unit = {
     import graft.sources.Store
     val ids = removed.select(col(removed.columns.head).as("id")).distinct()
     Store.deleteFromStore(spark, indexPath, ids, "id")
     val pairsOpt = Store.readParquetSafe(spark, pairsPath).map(_.distinct())
-    val labelsOpt = Store.readParquetSafe(spark, labelsPath)
+    // labelsGenerations > 0 switches the labels store to the generation
+    // layout ([[graft.sources.Store.writeStoreGeneration]]): reads pin the
+    // latest committed pass, the repair commits a NEW generation, and
+    // retention keeps `labelsGenerations` passes. RIGHT-TO-BE-FORGOTTEN
+    // CAVEAT: retained older generations still hold the removed ids'
+    // label rows until pruned by later commits — for legal-erasure
+    // semantics run with labelsGenerations = 1 (commit + immediate prune)
+    // or purge the retained generations out of band.
+    val labelsOpt =
+      if (labelsGenerations > 0) Store.readStoreLatest(spark, labelsPath).map(_._2)
+      else Store.readParquetSafe(spark, labelsPath)
     (pairsOpt, labelsOpt) match {
       case (Some(pairs), Some(labels)) => graft.CacheScope.withScope { scope =>
         val (labels2, pairs2) = removeDocsFromClusters(
           labels, pairs, ids, maxIters = maxIters, scope = scope)
-        // labels swap FIRST: its lineage reads the old labels AND old pairs
-        // stores (each swap fully materializes into <path>.tmp before its
-        // own target is replaced); the pairs output reads only old pairs.
-        // A crash between the swaps leaves labels repaired / pairs stale —
-        // re-running the same removal converges (already-unlabeled ids
-        // yield an empty affected set, so only the pair filter re-applies).
-        Store.writeStoreSwap(labels2, labelsPath, Seq.empty)
+        // labels commit FIRST: its lineage reads the old labels AND old
+        // pairs stores (a swap fully materializes into <path>.tmp before
+        // its target is replaced; a generation commit only ever creates a
+        // new directory). A crash between the commits leaves labels
+        // repaired / pairs stale — re-running the same removal converges
+        // (already-unlabeled ids yield an empty affected set, so only the
+        // pair filter re-applies).
+        if (labelsGenerations > 0)
+          Store.writeStoreGeneration(labels2, labelsPath, keep = labelsGenerations)
+        else Store.writeStoreSwap(labels2, labelsPath, Seq.empty)
         Store.writeStoreSwap(pairs2, pairsPath, Seq.empty)
+        ()
       }
       case (Some(pairs), None) =>
         // Labels store absent but pairs standing (a crash between the two

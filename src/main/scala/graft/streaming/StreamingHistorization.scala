@@ -212,7 +212,16 @@ object StreamingHistorization {
     *
     * State at 100 TB: the index is (id, band, key) rows and the labeling
     * (id, cluster_id) pairs — both payload-free slivers; compact both
-    * periodically with [[Store.compactStore]]. */
+    * periodically with [[Store.compactStore]].
+    *
+    * `labelsGenerations` > 0 commits the labeling through the GENERATION
+    * layout ([[Store.writeStoreGeneration]]) instead of the swap write —
+    * the shape for a labels store read CONTINUOUSLY while this loop
+    * rewrites it every batch: each pass is a new directory, a reader
+    * pinned to pass N is untouched by pass N+1's commit, and it survives
+    * at least `labelsGenerations - 1` rewrites. Replay stays safe: a
+    * replayed batch re-derives the same labeling and commits it as
+    * another (content-identical) generation, which retention prunes. */
   def clusterMaintainStream(
       docs: DataFrame,
       idCol: String,
@@ -224,7 +233,8 @@ object StreamingHistorization {
       n: Int = 3,
       k: Int = 8,
       bands: Int = 4,
-      maxIters: Int = 25): DataStreamWriter[org.apache.spark.sql.Row] =
+      maxIters: Int = 25,
+      labelsGenerations: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -250,14 +260,18 @@ object StreamingHistorization {
                 .select(least(col("b.id"), col("c.id")).as("id_a"),
                   greatest(col("b.id"), col("c.id")).as("id_b")))
           }.distinct())
-          val standing = Store.readParquetSafe(session, labelsPath)
+          val standing = (
+            if (labelsGenerations > 0) Store.readStoreLatest(session, labelsPath).map(_._2)
+            else Store.readParquetSafe(session, labelsPath))
             .getOrElse(pairs.select(col("id_a").as("id"), col("id_a").as("cluster_id")).limit(0))
           val updated = graft.operators.Dedup.updateClusters(
             standing, pairs, maxIters = maxIters, scope = scope)
           pairs.write.mode("append").parquet(pairsPath)
-          // swap AFTER the tmp write fully materializes `updated` (which
+          // commit AFTER the write fully materializes `updated` (which
           // still reads the old labels generation), never in place
-          Store.writeStoreSwap(updated, labelsPath, Seq.empty)
+          if (labelsGenerations > 0)
+            Store.writeStoreGeneration(updated, labelsPath, keep = labelsGenerations)
+          else Store.writeStoreSwap(updated, labelsPath, Seq.empty)
           novel.write.mode("append").parquet(indexPath)
         }
         ()
@@ -294,7 +308,8 @@ object StreamingHistorization {
       labelsPath: String,
       checkpoint: String,
       extraStores: Seq[(String, String)] = Nil,
-      maxIters: Int = 25): DataStreamWriter[org.apache.spark.sql.Row] =
+      maxIters: Int = 25,
+      labelsGenerations: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     removals.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -302,7 +317,7 @@ object StreamingHistorization {
         val session = batch.sparkSession
         val ids = batch.dropDuplicates()
         graft.operators.Dedup.removeDocs(
-          session, ids, indexPath, pairsPath, labelsPath, maxIters)
+          session, ids, indexPath, pairsPath, labelsPath, maxIters, labelsGenerations)
         extraStores.foreach { case (path, idCol) =>
           Store.deleteFromStore(session, path, ids, idCol); ()
         }

@@ -280,6 +280,60 @@ class StreamingSpec extends SparkSpec {
     assert(ix.select("id").distinct().count() === docs.count())
   }
 
+  test("generation-committed labels: maintenance preserves passes, takedown repairs latest") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-gen-labels").toString
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    // two micro-batches: evens, then odds — each commits a labels GENERATION
+    evens.write.parquet(s"$dir/in/d0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.clusterMaintainStream(
+      stream, "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/labels",
+      s"$dir/chk", labelsGenerations = 3))
+
+    val gens = graft.sources.Store.listGenerations(spark, s"$dir/labels")
+    assert(gens.size === 2, "one committed generation per micro-batch")
+    // pass 1's labeling is PRESERVED: exactly the evens-only recompute
+    val g1 = graft.sources.Store.readStoreGeneration(spark, s"$dir/labels", gens.head)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    val evensTwin = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashCandidates(evens, "doc_id", "text"))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(g1 === evensTwin)
+    // the latest pass equals the full recompute
+    val g2 = graft.sources.Store.readStoreLatest(spark, s"$dir/labels").get._2
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    val fullTwin = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text"))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(g2 === fullTwin)
+
+    // takedown on the generation-layout labels: latest generation equals
+    // the rebuild over survivors; the pre-takedown pass is still pinned
+    val victim = spark.read.parquet(s"$dir/pairs")
+      .select($"id_a").orderBy($"id_a").limit(1).as[Long].head()
+    Seq(victim).toDF("doc_id").write.parquet(s"$dir/rm/d0")
+    val feed = spark.readStream.schema(Seq(victim).toDF("doc_id").schema).parquet(s"$dir/rm/*")
+    StreamingHistorization.runOnce(StreamingHistorization.takedownStream(
+      feed, s"$dir/index", s"$dir/pairs", s"$dir/labels", s"$dir/chk_rm",
+      labelsGenerations = 3))
+    val survivors = docs.filter($"doc_id" =!= victim)
+    val survivorTwin = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashCandidates(survivors, "doc_id", "text"))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(graft.sources.Store.readStoreLatest(spark, s"$dir/labels").get._2
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet === survivorTwin)
+    // the pre-takedown generation still reads (the reader-grace contract;
+    // also the erasure caveat the scaladoc documents — keep=1 to prune)
+    val gens2 = graft.sources.Store.listGenerations(spark, s"$dir/labels")
+    assert(gens2.size === 3)
+    assert(graft.sources.Store.readStoreGeneration(spark, s"$dir/labels", gens2(1))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet === fullTwin)
+  }
+
   test("streaming takedown repairs standing stores to the recompute without the ids") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)
