@@ -359,6 +359,37 @@ object Store {
   def readStoreLatest(spark: SparkSession, path: String): Option[(Long, DataFrame)] =
     listGenerations(spark, path).lastOption.map(g => (g, readStoreGeneration(spark, path, g)))
 
+  /** Compact the LATEST committed generation of a generation store:
+    * rewrite its rows at ~`targetBytes` file sizes and commit the result
+    * as a NEW generation — compaction is just another maintenance pass,
+    * so readers pinned to prior passes are undisturbed and a crashed
+    * compaction leaves an invisible uncommitted directory. This is the
+    * generation-layout twin of [[compactStore]] (which must NOT be
+    * pointed at a generation ROOT: a plain parquet read of the root
+    * would mix generations). Returns (files before, files after). */
+  def compactStoreGenerations(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 512L * 1024 * 1024,
+      keep: Int = 2): (Long, Long) = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    val (gen, df) = readStoreLatest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed generation at $path"))
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    def parquetCount(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val genDir = new Path(generationPath(path, gen))
+    val before = parquetCount(genDir)
+    val bytes = fs.getContentSummary(genDir).getLength
+    val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val next = writeStoreGeneration(df.repartition(numFiles), path, keep = keep)
+    (before, parquetCount(new Path(generationPath(path, next))))
+  }
+
   /** Run travel ACROSS generations: run-based time travel
     * ([[readStoreAsOfRun]]) applied to one pinned generation of an
     * append-only hash store — "the snapshot run R saw, as maintenance pass

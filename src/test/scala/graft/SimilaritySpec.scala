@@ -325,6 +325,15 @@ class SimilaritySpec extends SparkSpec {
       centroids = 16, nprobe = 8) // = SparkEntry x_sim_ivf (measured 0.70)
     val rIvf = Similarity.recallAtK(ivf, exact, 10)
     assert(rIvf >= 0.6, s"shipped IVF params recall@10=$rIvf < 0.6 — re-tune before shipping")
+    // the Lloyd-refined coarse quantizer (x_sim_ivf_kmeans) buys recall
+    // at the same probe cost — 0.88 measured vs the sample's 0.70; its
+    // floor is higher so a silent fallback to the sample fails CI
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+      .withColumn("nrm", Similarity.l2Norm(col("centroid")))
+    val ivfKm = Similarity.ivfTopKWith(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+      Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents), cents, k = 10, nprobe = 8)
+    val rKm = Similarity.recallAtK(ivfKm, exact, 10)
+    assert(rKm >= 0.75, s"Lloyd-refined IVF recall@10=$rKm < 0.75 — quantizer degraded")
   }
 
   test("pqEncode: codes bounded by the codebook, repartition-stable") {

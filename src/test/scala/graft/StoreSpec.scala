@@ -325,6 +325,23 @@ class StoreSpec extends SparkSpec {
     assert(Store.listGenerations(spark, path) === Seq(g1, g3))
   }
 
+  test("generation store: compaction commits a compacted NEW pass, priors undisturbed") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_compact").toString + "/store"
+    val df = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val g1 = Store.writeStoreGeneration(df.repartition(40), path, keep = 3)
+    val pinned = Store.readStoreGeneration(spark, path, g1)
+    val (before, after) = Store.compactStoreGenerations(spark, path, keep = 3)
+    assert(before >= 40 && after < before, s"files $before -> $after")
+    // rows identical in the compacted pass; the pre-compaction pass still reads
+    val latest = Store.readStoreLatest(spark, path).get
+    assert(latest._1 === g1 + 1)
+    assert(latest._2.as[(Long, String)].collect().toSet ===
+      df.as[(Long, String)].collect().toSet)
+    assert(pinned.count() === 500)
+    intercept[IllegalArgumentException](
+      Store.compactStoreGenerations(spark, path + "_missing"))
+  }
+
   test("generation store: run travel across generations composes both axes") {
     val path = java.nio.file.Files.createTempDirectory("graft_gen_run").toString + "/store"
     val cur1 = Currents("2024-01-01 10:00:00")
