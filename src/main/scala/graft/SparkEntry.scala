@@ -622,6 +622,12 @@ object SparkEntry {
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", Seq("text"))),
     "x_dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minSim = 0.1)),
+    // the subset-duplicate screen: |A∩B| / min(|A|,|B|) — catches a short
+    // doc contained in a long one, which Jaccard's union denominator
+    // structurally misses (spec pins an explicit planted case)
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minContainment = 0.5)),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", n = 3, k = 8, bands = 4)),
     // cross-run near-dup: odd-id docs are the new batch, the even-id docs'
@@ -2514,6 +2520,27 @@ object SparkEntry {
          |JOIN sizes sa ON sa.id = id_a
          |JOIN sizes sb ON sb.id = id_b
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1""".stripMargin,
+    // same CTE chain as the Jaccard statement; only the denominator
+    // changes — containment of the smaller shingle set
+    "x_dedup_containment" ->
+      s"""$docShinglesCte,
+         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+         |joinable AS (
+         |  SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 1000
+         |),
+         |fil AS (SELECT ex.* FROM ex JOIN joinable USING (s)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM fil a JOIN fil b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5""".stripMargin,
     "x_dedup_minhash" ->
       s"""$minhashBandedCte
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b

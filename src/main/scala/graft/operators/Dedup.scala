@@ -165,6 +165,44 @@ object Dedup {
     scoreJaccard(inter, sizes, minSim)
   }
 
+  /** Near-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over distinct n-gram
+    * shingle sets — the subset-duplicate detector Jaccard structurally
+    * misses: a short document quoted whole inside a long one has tiny
+    * Jaccard (the union is the long doc) but containment ≈ 1. This is
+    * Broder's containment measure applied to the smaller set — the
+    * standard screen for quotes, concatenations, and chunk-of-a-larger-
+    * file duplicates in training corpora. Candidate generation and the
+    * document-frequency cap are EXACTLY [[jaccardPairs]]' df-capped
+    * shingle equi-join (never all-pairs); only the denominator differs.
+    *
+    * Returns (id_a, id_b, containment) with id_a < id_b,
+    * containment >= minContainment. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.8,
+      maxShingleDocFreq: Long = 1000,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val sh = scope.persist(hashedShingles(df, idCol, textCol, n))
+    val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
+    val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / least(col("sh_a"), col("sh_b")), 6))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** MinHash signature: k md5-based min-hashes over the distinct n-gram
     * shingles. Seeded by hash index, deterministic, reproducible in any
     * engine with md5 (same values as k independent `array_min` passes).

@@ -74,6 +74,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
   }
 
+  test("containment catches the subset-duplicate that Jaccard structurally misses") {
+    // doc 11 is doc 10's opening quoted whole inside much more text: the
+    // shingle union is dominated by doc 10, so Jaccard is small, but
+    // every doc-11 shingle is in doc 10 — containment 1.0
+    val quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val fixture = Seq(
+      (10L, quote + " " + ("and then a very long unrelated continuation " * 20)),
+      (11L, quote),
+      (12L, "completely different content with no overlap whatsoever in any window")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(fixture, "doc_id", "text", n = 3, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.map(c => (c._1, c._2)).toSet === Set((10L, 11L)))
+    assert(cont.head._3 === 1.0)
+    // the same pair under Jaccard at the same threshold: absent
+    val jac = Dedup.jaccardPairs(fixture, "doc_id", "text", n = 3, minSim = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => (p._1, p._2) == (10L, 11L)))
+    // brute-force value check: containment = |A∩B| / min sizes over
+    // distinct hashed 3-gram sets — mirror via the jaccard identity
+    // c = j * (|A|+|B|-inter) / min(|A|,|B|) is overkill; assert instead
+    // that doc 12 pairs with nothing at any threshold
+    val all = Dedup.containmentPairs(fixture, "doc_id", "text", n = 3, minContainment = 0.01)
+      .as[(Long, Long, Double)].collect()
+    assert(!all.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
   test("minhash signature is deterministic and equal for identical docs") {
     val sigs = docs.filter($"doc_id" <= 2).select(
       Dedup.minhashSignature($"text", 3, 8).as("sig")).as[Seq[String]].collect()
