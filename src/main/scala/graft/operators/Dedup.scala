@@ -403,20 +403,30 @@ object Dedup {
     require(k >= 2, "k must be at least 2")
     require(minDocFreq >= 2, "minDocFreq below 2 would flag every position")
     val t = col("t")
-    val grams = scope.persist(
-      df.select(col(idCol).as("id"), col(textCol).as("t"))
-        .filter(length(t) >= k)
-        .select(col("id"),
-          explode(sequence(lit(1), length(t) - (k - 1), lit(1))).as("p"), t)
-        .select(col("id"), col("p"), t.substr(col("p"), lit(k)).as("g"),
-          shingleHash(t.substr(col("p"), lit(k))).as("gh")))
+    // pass 1, NARROW: hashed positions only (the [[spanGrams]] shape) —
+    // caching gram STRINGS for every position would hold k× the corpus
+    val grams = spanGrams(df, idCol, textCol, k, stride = 1, minDocFreq, scope)
     // hash-level candidates: a 60-bit hash with doc frequency < minDocFreq
     // cannot hide a string with doc frequency >= minDocFreq
     val candHash = grams.groupBy("gh")
       .agg(countDistinct(col("id")).as("hdf"))
       .filter(col("hdf") >= minDocFreq)
       .select("gh")
-    val cand = grams.join(candHash, Seq("gh"), "left_semi")
+    // pass 2: re-derive gram strings for CANDIDATE DOCS only (the cached
+    // hash frame names them — docs with no hash-candidate position cannot
+    // contribute a duplicated gram), then keep only hash-candidate
+    // positions BEFORE anything shuffles or caches — the persisted frame
+    // is candidate-sized (≈ the duplicated volume), not k× the corpus
+    val candDocs = grams.join(candHash, Seq("gh"), "left_semi").select("id").distinct()
+    val cand = scope.persist(
+      df.select(col(idCol).as("id"), col(textCol).as("t"))
+        .join(candDocs, Seq("id"), "left_semi")
+        .filter(length(t) >= k)
+        .select(col("id"),
+          explode(sequence(lit(1), length(t) - (k - 1), lit(1))).as("p"), t)
+        .select(col("id"), col("p"), t.substr(col("p"), lit(k)).as("g"),
+          shingleHash(t.substr(col("p"), lit(k))).as("gh"))
+        .join(candHash, Seq("gh"), "left_semi"))
     // string-level verify: exact duplication, collision-free
     val dupStr = cand.groupBy("g")
       .agg(countDistinct(col("id")).as("df"))
