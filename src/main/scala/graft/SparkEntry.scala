@@ -748,6 +748,18 @@ object SparkEntry {
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         k = 30, stride = 1, minDocFreq = 2)),
+    // incremental spans: odd-id docs play the new batch, the even-id
+    // docs' distinct gram-hash store plays the accumulated corpus — the
+    // spans the batch would get from the full-corpus run, at batch cost
+    // (the minhash/exact/embedding incremental convention)
+    "x_dedup_spans_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        Dedup.spanGramsOf(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          k = 30, stride = 1),
+        k = 30, stride = 1)
+    }),
     // the EXACT form (suffix-array semantics, string-verified — the
     // oracle statement is shared with x_dedup_spans because that SQL
     // already groups by the gram string; equality of the two rows is the
@@ -2127,6 +2139,31 @@ object SparkEntry {
     // q·c + ADC(q·r) probe, exact re-rank
     "x_sim_ivfpq_index" ->
       duckIvfPqSql(m = 16, ks = 32, iters = 2, nprobe = 10, probe = 80, k = 10),
+    // incremental ≡ the full-corpus spans statement restricted to the
+    // batch's documents: a gram is in ≥2 distinct docs overall iff it
+    // hits the standing store or a second batch doc
+    "x_dedup_spans_incremental" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p FROM docs)
+        |),
+        |dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |dp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)
+        |  WHERE pos.doc_id % 2 = 1
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM dp
+        |)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     // the exact spans row shares x_dedup_spans' statement: that oracle
     // already decides duplication by the gram STRING, which is exactly
     // the exact operator's semantics (the hashed operator merely has no

@@ -437,6 +437,71 @@ object Dedup {
       .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
   }
 
+  /** Batch-cost duplicated-substring spans for continuous ingestion —
+    * the incremental twin of [[duplicatedSpans]], completing the
+    * incremental family (exact digests, minhash bands, embedding
+    * buckets, and now spans). A batch position is duplicated iff its
+    * k-gram occurs in the STANDING gram store (grams of everything
+    * ingested so far — distinct 60-bit hashes, no text, no positions)
+    * or in at least one OTHER batch document; after emitting, append
+    * the batch's distinct gram hashes to the store so later batches
+    * probe against this one (the [[minhashBandIndex]] /
+    * [[incrementalMinhashCandidates]] split: probe here, maintenance at
+    * the caller). Equals [[duplicatedSpans]] over the full corpus
+    * restricted to the batch's documents (cross-doc `minDocFreq = 2`
+    * semantics; spec-pinned): a gram is in ≥ 2 distinct docs overall
+    * iff it hits the standing store or a second batch doc.
+    *
+    * Scale shape: the batch explodes once (bounded per-row), probes the
+    * store with one hash semi-join (8-byte keys, store never rewritten),
+    * and islands merge per batch doc — per-batch cost scales with the
+    * batch, never the corpus.
+    *
+    * Re-delivery contract (at-least-once sources): drop already-ingested
+    * doc ids from the batch BEFORE probing — the store is gram-level, so
+    * a re-delivered document would self-match its own stored grams and
+    * over-flag. This is the same id-level novelty absorber the band
+    * index uses ([[graft.streaming.StreamingHistorization
+    * .nearDupStream]] step 1).
+    *
+    * @param standingGrams standing gram store — any frame with a `gh`
+    *                      column (e.g. [[spanGramsOf]] output accumulated
+    *                      across ingested batches)
+    * @return (doc_id, span_start, span_end) for the BATCH documents
+    */
+  def incrementalDuplicatedSpans(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      standingGrams: DataFrame,
+      k: Int = 50,
+      stride: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val grams = spanGrams(batch, idCol, textCol, k, stride, minDocFreq = 2, scope)
+    val viaStore = grams.join(standingGrams.select("gh"), Seq("gh"), "left_semi")
+    val intraBatch = grams.join(
+      grams.groupBy("gh").agg(countDistinct(col("id")).as("df"))
+        .filter(col("df") >= 2).select("gh"),
+      Seq("gh"), "left_semi")
+    val dupPos = viaStore.select("id", "p").union(intraBatch.select("id", "p")).distinct()
+    spanIslands(dupPos, k, stride)
+      .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
+  }
+
+  /** The standing gram store's per-batch contribution: the batch's
+    * DISTINCT k-gram hashes — append these to the store after
+    * [[incrementalDuplicatedSpans]] emits, exactly the band-index
+    * maintenance convention. */
+  def spanGramsOf(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      stride: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    spanGrams(batch, idCol, textCol, k, stride, minDocFreq = 2, scope)
+      .select("gh").distinct()
+
   /** Hashed k-gram positions (id, p, gh), the shared derivation of
     * [[duplicatedSpans]] and [[removeDuplicatedSpans]]: one bounded
     * per-row explode (≤ len/stride positions), grams as 60-bit longs. */

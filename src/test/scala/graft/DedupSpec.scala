@@ -288,6 +288,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 5L))
   }
 
+  test("incremental spans accumulate: each batch equals the full run restricted to it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter($"doc_id" < 300)
+    val standing = docs.filter($"doc_id" % 3 === 0)
+    val batch1 = docs.filter($"doc_id" % 3 === 1)
+    val batch2 = docs.filter($"doc_id" % 3 === 2)
+    // batch 1 against the standing store
+    val store0 = Dedup.spanGramsOf(standing, "doc_id", "text", k = 20)
+    val got1 = Dedup.incrementalDuplicatedSpans(batch1, "doc_id", "text", store0, k = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val full1 = Dedup.duplicatedSpans(standing.union(batch1), "doc_id", "text",
+        k = 20, stride = 1)
+      .filter($"doc_id" % 3 === 1).as[(Long, Long, Long)].collect().toSet
+    assert(got1 === full1)
+    assert(got1.nonEmpty, "fixture sanity: batch-1 spans exist")
+    // maintenance appends batch 1's grams; batch 2 probes the grown store
+    val store1 = store0.union(Dedup.spanGramsOf(batch1, "doc_id", "text", k = 20))
+    val got2 = Dedup.incrementalDuplicatedSpans(batch2, "doc_id", "text", store1, k = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    val full2 = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 20, stride = 1)
+      .filter($"doc_id" % 3 === 2).as[(Long, Long, Long)].collect().toSet
+    assert(got2 === full2)
+  }
+
   test("duplicatedSpansExact equals the hashed form on real documents (no collisions)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").filter($"doc_id" < 200)
     val exact = Dedup.duplicatedSpansExact(docs, "doc_id", "text", k = 20)
