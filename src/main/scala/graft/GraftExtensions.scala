@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharEntropy, CollapseRuns, DotProduct, MinHashSig, NfcNormalize, PhashFp, RepeatRatio, Shingles, SimHash, TokenPairs, WinnowFps}
+import graft.functions.{BpeCount, CharEntropy, CollapseRuns, DotProduct, MinHashSig, NfcNormalize, PhashFp, RepeatRatio, Shingles, SimHash, TokenPairs, WinnowFps}
 
 /** SQL-surface registration of graft's native expressions, so SQL-string
   * pipelines can call them like built-ins:
@@ -26,6 +26,10 @@ import graft.functions.{CharEntropy, CollapseRuns, DotProduct, MinHashSig, NfcNo
   *  - `graft_nfc_normalize(text)` — Unicode NFC canonical composition
   *  - `graft_winnow(text, k, w)` — positional winnowing fingerprints
   *    as `array<struct<gh, p>>` (k-gram hashes, window w)
+  *  - `graft_bpe_count(text)` — byte-level BPE token count over the
+  *    library's default merges table (packing budgets in plain SQL;
+  *    custom vocabularies go through the Column API, a merges table is
+  *    not SQL-literal-shaped)
   *
   * Production path: `spark.sql.extensions=graft.GraftExtensions` (applied
   * at session build). For an existing session or REPL,
@@ -99,7 +103,12 @@ object GraftExtensions {
       info("graft_winnow",
         "graft_winnow(text, k, w) - positional winnowing fingerprints (k-gram hashes, window w)"),
       { case Seq(t, k, w) => WinnowFps(t, intLit(k, "graft_winnow", "k"), intLit(w, "graft_winnow", "w"))
-        case args => throw new IllegalArgumentException(s"graft_winnow expects 3 args, got ${args.size}") })
+        case args => throw new IllegalArgumentException(s"graft_winnow expects 3 args, got ${args.size}") }),
+    (FunctionIdentifier("graft_bpe_count"),
+      info("graft_bpe_count",
+        "graft_bpe_count(text) - byte-level BPE token count over the library's default merges table"),
+      { case Seq(t) => BpeCount(t, graft.operators.TextAnalysis.DefaultBpeMerges)
+        case args => throw new IllegalArgumentException(s"graft_bpe_count expects 1 arg, got ${args.size}") })
   )
 
   /** Register on a live session (tests, REPL, existing sessions). */

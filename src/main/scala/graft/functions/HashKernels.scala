@@ -694,6 +694,22 @@ case class BloomProbe(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_probe"
 
+  // case-class equality on Array is REFERENCE equality, which would make
+  // two semantically identical probes never compare equal — harmless for
+  // results but it defeats Catalyst canonicalization / common-subexpression
+  // reuse. Compare the filter CONTENT instead (cheap relative to the plan
+  // work canonicalization saves; two probes only reach the array compare
+  // when the scalar config already matches).
+  override def equals(obj: Any): Boolean = obj match {
+    case o: BloomProbe => (o eq this) ||
+      (bits == o.bits && numHashes == o.numHashes && salt == o.salt &&
+        left == o.left && right == o.right && java.util.Arrays.equals(words, o.words))
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    left, right, Int.box(bits), Int.box(numHashes), salt,
+    Int.box(java.util.Arrays.hashCode(words)))
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(

@@ -93,7 +93,16 @@ object Cdc {
     * synopses, a spec-pinned merge law), persist it next to the store,
     * and route every incoming batch through [[deltaBloomWith]] without
     * touching the store at all for definite-new rows. At most `bits/64`
-    * rows (2^23 bits → 1 MiB), bounded by `bits`, never by the store. */
+    * rows (2^23 bits → 1 MiB), bounded by `bits`, never by the store.
+    *
+    * The synopsis CARRIES its own `bits` in a sentinel row (w = -1,
+    * m = bits): the probe's correctness depends on build and probe
+    * agreeing on the modulus, and a caller-supplied mismatch is silent
+    * wrong answers otherwise (a synopsis built SMALLER than the probe's
+    * `bits` passes every bounds check while store-present rows read as
+    * definite-new). The sentinel survives the merge law — bit_or of
+    * identical sentinels is the sentinel — and mismatched sentinels are
+    * rejected at probe time in both directions. */
   def bloomSynopsis(
       currentData: DataFrame,
       bits: Int = 1 << 23,
@@ -102,23 +111,35 @@ object Cdc {
     require(bits >= 64 && bits % 64 == 0, "bits must be a positive multiple of 64")
     require(numHashes >= 1, "numHashes must be at least 1")
     val posSql = bloomPosSql(bits, salt) _
-    currentData
+    val words = currentData
       .selectExpr(s"explode(array(${(0 until numHashes).map(posSql).mkString(", ")})) AS p")
       .groupBy(expr("CAST(shiftright(p, 6) AS INT)").as("w"))
       .agg(expr("bit_or(shiftleft(1L, CAST(pmod(p, 64) AS INT)))").as("m"))
+    words.unionByName(currentData.sparkSession.range(1)
+      .select(lit(-1).cast("int").as("w"), lit(bits.toLong).as("m")))
   }
 
   /** Collect a [[bloomSynopsis]] into the dense word array the probe
     * broadcasts — the bounded-synopsis collect (≤ bits/64 longs).
     * Word-wise OR on the way in, so a synopsis store that accumulated
-    * per-append rows (the merge law) collapses correctly. */
+    * per-append rows (the merge law) collapses correctly. Validates the
+    * sentinel bits row against the probe's `bits` — a mismatch in EITHER
+    * direction is a hard error, not a silent wrong delta. (A legacy
+    * synopsis without the sentinel only gets the one-directional bounds
+    * check below; rebuild to upgrade.) */
   private def collectBloomWords(synopsis: DataFrame, bits: Int): Array[Long] = {
     val words = new Array[Long](bits / 64)
     synopsis.select(col("w"), col("m")).collect().foreach { r =>
       val w = r.getInt(0)
-      require(w >= 0 && w < words.length,
-        s"synopsis word index $w out of range for bits=$bits — bits mismatch with the build?")
-      words(w) |= r.getLong(1)
+      if (w == -1) {
+        require(r.getLong(1) == bits.toLong,
+          s"synopsis was built with bits=${r.getLong(1)} but probed with bits=$bits — " +
+            "the bit derivations disagree; rebuild the synopsis or probe with the build's size")
+      } else {
+        require(w >= 0 && w < words.length,
+          s"synopsis word index $w out of range for bits=$bits — bits mismatch with the build?")
+        words(w) |= r.getLong(1)
+      }
     }
     words
   }

@@ -1308,8 +1308,16 @@ object Dedup {
     // semantics run with labelsGenerations = 1 (commit + immediate prune)
     // or purge the retained generations out of band.
     val labelsOpt =
-      if (labelsGenerations > 0) Store.readStoreLatest(spark, labelsPath).map(_._2)
-      else Store.readParquetSafe(spark, labelsPath)
+      if (labelsGenerations > 0) {
+        // a labels store previously written in the SWAP layout would read
+        // as absent here (no gen-* directories) and the repair would
+        // silently skip the standing labels — adopt it as generation 1
+        // first ([[graft.sources.Store.migrateToGenerations]]), so
+        // flipping the flag on an existing deployment keeps the takedown
+        // guarantee intact
+        Store.migrateToGenerations(spark, labelsPath)
+        Store.readStoreLatest(spark, labelsPath).map(_._2)
+      } else Store.readParquetSafe(spark, labelsPath)
     (pairsOpt, labelsOpt) match {
       case (Some(pairs), Some(labels)) => graft.CacheScope.withScope { scope =>
         val (labels2, pairs2) = removeDocsFromClusters(

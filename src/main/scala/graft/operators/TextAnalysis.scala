@@ -65,9 +65,122 @@ object TextAnalysis {
     * [[DefaultBpeMerges]]) — the production-truthful budget for
     * [[Packing]]: context windows are sized in tokenizer tokens, and a
     * whitespace count under-sizes non-ASCII and punctuation-dense text.
-    * One codegen kernel call per row ([[graft.functions.BpeCount]]). */
+    * One codegen kernel call per row ([[graft.functions.BpeCount]]).
+    *
+    * The kernel's lowest-rank-first encoder loop is exact for ANY merges
+    * table; only SEQUENTIAL-REPLAY twins (the SQL-oracle form) require
+    * the table to be training-well-formed — validate with
+    * [[validateBpeMerges]] on oracle-checked paths. */
   def bpeCount(text: Column, merges: Seq[(String, String)] = DefaultBpeMerges): Column =
     graft.functions.DedupExpressions.bpeCountOf(text, merges)
+
+  /** Inverse of the public GPT-2 byte→unicode alphabet (openai/gpt-2
+    * encoder.py `bytes_to_unicode`): the 188 visible latin-1 bytes map to
+    * themselves, the remaining 68 (controls, space, DEL, soft hyphen…)
+    * shift to U+0100+n so a merges file is whitespace-clean. */
+  private lazy val unicodeToByte: Map[Char, Int] = {
+    // integer literals, not char literals: '!'..'~', '¡'..'¬', '®'..'ÿ' —
+    // spelled numerically so a non-UTF-8 build encoding cannot corrupt
+    // the latin-1 ranges
+    val direct = (0x21 to 0x7e) ++ (0xa1 to 0xac) ++ (0xae to 0xff)
+    val directSet = direct.toSet
+    val shifted = (0 until 256).filterNot(directSet)
+    (direct.map(b => (b.toChar, b)) ++
+      shifted.zipWithIndex.map { case (b, i) => ((256 + i).toChar, b) }).toMap
+  }
+
+  /** Load a merges table in the public GPT-2 `merges.txt` format — one
+    * `left right` rule per line in the byte→unicode alphabet, `#`-header
+    * and blank lines skipped — mapped back to the kernel's lowercase-hex
+    * byte symbols. Driver-side by design: a merges table is a bounded
+    * model artifact (50k rules ≈ a few hundred KiB) that rides into the
+    * codegen kernel as a referenced object, like the k-means/PQ/IVF
+    * codebooks. Validates training-well-formedness by default — a real
+    * BPE trainer's output always passes ([[validateBpeMerges]]); pass
+    * `validate = false` only for non-oracle use of a hand-edited table
+    * (the kernel itself stays exact either way). */
+  def loadBpeMerges(path: String, validate: Boolean = true): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    def toHex(sym: String): String = sym.map { ch =>
+      val b = unicodeToByte.getOrElse(ch, throw new IllegalArgumentException(
+        f"merges symbol character '$ch' (U+${ch.toInt}%04X) is not in the GPT-2 byte alphabet"))
+      f"$b%02x"
+    }.mkString
+    val rules = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+      .asScala.iterator
+      .map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ")
+        require(parts.length == 2, s"malformed merges line (want 'left right'): '$l'")
+        (toHex(parts(0)), toHex(parts(1)))
+      }
+      .toVector
+    if (validate) validateBpeMerges(rules) else rules
+  }
+
+  /** First training-well-formedness violation: (rule index, left, right,
+    * reason), or None. A table is TRAINING-WELL-FORMED when every rule's
+    * two symbols are single bytes or the product of a STRICTLY EARLIER
+    * rule — the property a real BPE trainer guarantees by construction
+    * (a trainer can only rank a pair of symbols it has already formed).
+    * Under it the encoder's lowest-rank-first loop coincides with
+    * sequential rank-order application — the form a SQL oracle replays
+    * as a replace chain; without it the two can disagree, so
+    * oracle-checked paths must reject, never silently mis-count. */
+  def bpeWellFormednessViolation(
+      merges: Seq[(String, String)]): Option[(Int, String, String, String)] = {
+    val formed = scala.collection.mutable.HashSet.empty[String]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      def bad(sym: String): Option[String] =
+        if (!sym.matches("([0-9a-f]{2})+"))
+          Some(s"'$sym' is not a lowercase-hex byte string")
+        else if (sym.length > 2 && !formed(sym))
+          Some(s"'$sym' is neither a single byte nor the product of an earlier rule")
+        else None
+      bad(a).orElse(bad(b)) match {
+        case Some(reason) => return Some((i, a, b, reason))
+        case None => formed += (a + b)
+      }
+    }
+    None
+  }
+
+  /** True iff the table satisfies [[bpeWellFormednessViolation]]'s
+    * training-well-formedness property. */
+  def isTrainingWellFormed(merges: Seq[(String, String)]): Boolean =
+    bpeWellFormednessViolation(merges).isEmpty
+
+  /** Validate a merges table for oracle-checked / replay-twinned use:
+    * returns the table unchanged, or throws naming the first violating
+    * rule. [[DefaultBpeMerges]] passes; any real trainer output passes. */
+  def validateBpeMerges(merges: Seq[(String, String)]): Seq[(String, String)] = {
+    bpeWellFormednessViolation(merges).foreach { case (i, a, b, reason) =>
+      throw new IllegalArgumentException(
+        s"merges table is not training-well-formed at rule $i ('$a' '$b'): $reason — " +
+          "sequential-replay equivalence does not hold for this table; fix it, or use " +
+          "bpeCount without oracle twinning (the kernel's encoder loop stays exact)")
+    }
+    merges
+  }
+
+  /** Deterministic ~55k-rule stress vocabulary for measuring kernel cost
+    * at a production vocabulary size (the real ~50k GPT-2 merges file is
+    * licensed DATA, not shippable): every printable-ASCII digram ranked
+    * lexicographically, then trigram composites of the frequent-letter
+    * digram products with every printable byte. Training-well-formed by
+    * construction (digram symbols are single bytes; trigram left symbols
+    * are products of earlier digram rules), and deliberately DENSER in
+    * merge activity than a trained vocabulary — every adjacent printable
+    * pair merges — so the measured cost upper-bounds a real 50k table. */
+  lazy val StressBpeMerges50k: Seq[(String, String)] = {
+    val printable = (0x20 to 0x7e).map(b => f"$b%02x")
+    val digrams = for (a <- printable; b <- printable) yield (a, b)
+    val frequent = "etaoinshrdlucmfwypvbgk".map(c => f"${c.toInt}%02x")
+    val trigrams = for (a <- frequent; b <- frequent; c <- printable) yield (a + b, c)
+    (digrams ++ trigrams).toVector
+  }
 
   /** Small function-word inventories per language. Function words are the
     * standard cheap language-ID signal (they dominate any topic). */

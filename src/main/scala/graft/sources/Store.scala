@@ -282,10 +282,16 @@ object Store {
     * committed generations, so a reader survives at least `keep - 1`
     * rewrites; pin retention to the longest reader you run.
     *
-    * Single-writer contract (one maintenance loop per store — the same
-    * contract the swap write already required); concurrent writers race
-    * on the next sequence number. */
+    * CONCURRENT writers are safe: each builds into a writer-private
+    * `_gen_build_*` sibling (underscore-prefixed — invisible to parquet
+    * readers) and commits by rename-if-absent of the next `gen-<seq>`,
+    * retrying with the following sequence number on a lost race — the
+    * same CAS shape [[readOrCreate]] uses for staging. Two interleaved
+    * maintenance loops therefore commit two DISTINCT generations and can
+    * never interleave files in one directory. */
   private val GenPrefix = "gen-"
+
+  private val GenBuildPrefix = "_gen_build_"
 
   private def genDirName(gen: Long): String = f"$GenPrefix$gen%013d"
 
@@ -307,10 +313,73 @@ object Store {
         .sorted
   }
 
+  /** Existing generation sequence numbers, committed or not: an
+    * uncommitted leftover must never be re-entered (a dead writer's
+    * executor could still be writing into it), so the next sequence is
+    * one past the highest EXISTING directory. */
+  private def existingGenerations(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty[Long]
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption)
+
+  /** CAS-commit a fully-written build directory (its `_SUCCESS` already
+    * inside) as the next generation: rename-if-absent of `gen-<seq>`,
+    * retrying with the following sequence on a lost race. The rename is
+    * one directory move, so the generation appears committed atomically —
+    * there is no window where `gen-<seq>` exists without its marker. A
+    * lost race either returns false (target existed) or relocates the
+    * build INSIDE the winner's directory (local-fs rename semantics);
+    * both are detected, the build is recovered, and the commit retries
+    * against the next number. */
+  private def commitGeneration(fs: FileSystem, root: Path, build: Path): Long = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val next = existingGenerations(fs, root).foldLeft(0L)(math.max) + 1
+      val target = new Path(root, genDirName(next))
+      val nested = new Path(target, build.getName)
+      if (fs.rename(build, target) && !fs.exists(nested)) return next
+      if (fs.exists(nested)) fs.rename(nested, build) // relocated inside the winner: recover
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"could not commit a generation under $root after 1000 attempts — " +
+        "is something creating gen-* directories faster than the CAS can retry?")
+  }
+
+  /** Retention: prune generation directories below the cut implied by the
+    * newest `keep` COMMITTED generations — pruned dirs are either old
+    * committed passes or dead writers' uncommitted debris. Stale
+    * `_gen_build_*` siblings (a builder crashed between write and commit)
+    * are swept once they are older than `staleBuildMillis` — age-gated so
+    * a LIVE concurrent builder's directory is never deleted from under it. */
+  private def pruneGenerations(
+      fs: FileSystem, root: Path, keep: Int, newest: Long,
+      staleBuildMillis: Long = 24L * 3600 * 1000): Unit = {
+    val committed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption)
+      .sorted
+    val cut = committed.takeRight(keep).headOption.getOrElse(newest)
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).toSeq.foreach { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory && name.startsWith(GenPrefix)) {
+        val g = scala.util.Try(name.stripPrefix(GenPrefix).toLong).toOption
+        if (g.exists(_ < cut)) fs.delete(s.getPath, true)
+      } else if (s.isDirectory && name.startsWith(GenBuildPrefix)
+          && now - s.getModificationTime > staleBuildMillis) {
+        fs.delete(s.getPath, true)
+      }
+    }
+  }
+
   /** Commit `df` as the next generation of the store at `path` and prune
     * to the newest `keep` committed generations (plus any uncommitted
     * leftovers older than the newest committed, which are dead writers'
-    * debris). Returns the committed generation number. */
+    * debris). Concurrent-writer safe: see [[commitGeneration]]. Returns
+    * the committed generation number. */
   def writeStoreGeneration(
       df: DataFrame,
       path: String,
@@ -320,27 +389,125 @@ object Store {
     val spark = df.sparkSession
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
-    // next = one past the highest EXISTING directory, committed or not:
-    // an uncommitted leftover must not be re-entered (its files could be
-    // mid-write when a dead writer's executor lingers)
-    val existing =
-      if (!fs.exists(root)) Seq.empty[Long]
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
-        .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption)
-    val next = existing.foldLeft(0L)(math.max) + 1
-    writeStore(df, generationPath(path, next), partitionColumns)
-    // retention: committed beyond `keep` newest, and dead uncommitted dirs
-    val committed = listGenerations(spark, path)
-    val cut = committed.takeRight(keep).headOption.getOrElse(next)
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
-      .filter { s =>
-        val g = scala.util.Try(s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption
-        g.exists(_ < cut)
-      }
-      .foreach(s => fs.delete(s.getPath, true))
+    if (!fs.exists(root)) fs.mkdirs(root)
+    // build writer-private (underscore prefix: invisible to parquet
+    // readers of the root), then CAS-commit — the write itself races with
+    // nothing, and the commit is one atomic rename
+    val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
+    writeStore(df, build.toString, partitionColumns)
+    val next = commitGeneration(fs, root, build)
+    pruneGenerations(fs, root, keep, next)
     next
+  }
+
+  /** Compliance erasure ACROSS generations — the missing half of takedown
+    * over a generation store: [[graft.operators.Dedup.removeDocs]] (and
+    * any maintenance loop) repairs the LATEST generation, but retention
+    * keeps `keep` prior generations that still hold the removed rows. A
+    * right-to-be-forgotten purge must scrub ALL retained state, so this
+    * rewrites EVERY retained committed generation dropping `removed`'s
+    * ids (anti-join on `idCol`; the removal batch is broadcast — each
+    * rewrite is one map-side pass), commits each rewrite as a NEW
+    * generation IN THE SAME ORDER (the retained history survives, minus
+    * the purged rows, and readers resolving mid-purge stay safe — commits
+    * never touch a directory a reader resolved), then prunes every
+    * pre-purge generation, dead-writer `_gen_build_*` debris, and any
+    * path-level `.old`/`.tmp` aside a swap-layout past left behind.
+    *
+    * `graceMillis` holds the prune back so a reader pinned to a pre-purge
+    * generation can finish its scan: after the window every pre-purge
+    * directory is provably gone ([[readStoreGeneration]] on it throws).
+    * Size the grace to the longest reader you run — erasure compliance
+    * deadlines are hours, reader scans are minutes. Concurrent WRITERS
+    * must be quiesced for the purge to be exhaustive: a commit racing the
+    * purge could re-introduce removed ids from pre-purge lineage (the
+    * same contract any compliance pass over a live store carries).
+    *
+    * @return pre-purge generation -> its purged replacement, empty when
+    *         the store has no committed generation
+    */
+  def purgeGenerations(
+      spark: SparkSession,
+      path: String,
+      removed: DataFrame,
+      idCol: String,
+      partitionColumns: Seq[String] = Nil,
+      graceMillis: Long = 0L): Map[Long, Long] = {
+    import org.apache.spark.sql.functions.broadcast
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val preGens = listGenerations(spark, path)
+    if (preGens.isEmpty) return Map.empty
+    val ids = broadcast(removed.select(col(removed.columns.head).as(idCol)).distinct())
+    // phase 1: rewrite every retained generation, ascending, each
+    // committed as a new generation — all pre-purge directories still
+    // stand, so pinned readers are untouched
+    val mapping = preGens.map { g =>
+      val purged = readStoreGeneration(spark, path, g).join(ids, Seq(idCol), "left_anti")
+      val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
+      writeStore(purged, build.toString, partitionColumns)
+      g -> commitGeneration(fs, root, build)
+    }.toMap
+    // phase 2: grace window for readers pinned to pre-purge generations
+    if (graceMillis > 0) Thread.sleep(graceMillis)
+    // phase 3: prune EVERYTHING pre-purge — committed generations,
+    // uncommitted debris (a dead writer's partial files can hold removed
+    // rows too), stale builds, and swap-layout asides
+    val firstNew = mapping.values.min
+    fs.listStatus(root).toSeq.foreach { s =>
+      val name = s.getPath.getName
+      val preGen = name.startsWith(GenPrefix) &&
+        scala.util.Try(name.stripPrefix(GenPrefix).toLong).toOption.exists(_ < firstNew)
+      if (s.isDirectory && (preGen || name.startsWith(GenBuildPrefix)))
+        fs.delete(s.getPath, true)
+    }
+    Seq(".old", ".tmp").foreach { suffix =>
+      val aside = new Path(path + suffix)
+      if (fs.exists(aside)) fs.delete(aside, true)
+    }
+    mapping
+  }
+
+  /** Adopt a store previously written in the plain swap layout into the
+    * generation layout: the standing content (committed — root-level
+    * `_SUCCESS`) becomes the first committed generation by two renames,
+    * no data rewrite. Without this, pointing a generation-aware
+    * maintenance loop at a plain-layout store silently treats it as
+    * ABSENT ([[readStoreLatest]] finds no `gen-*` directories) — a
+    * takedown would skip repairing the standing rows and a labeling loop
+    * would restart from empty, so the flag-migration path must either
+    * adopt or fail, never skip.
+    *
+    * Crash-safe: the content moves root → `<path>.migrating` →
+    * `gen-<seq>`; a crash between the renames leaves the aside standing,
+    * and the next call resumes by committing it. Mixed layouts (root
+    * `_SUCCESS` AND committed generations — two writers disagreed about
+    * the layout) fail loudly rather than nest one store inside the other.
+    *
+    * @return the committed generation holding the adopted content, None
+    *         when there was nothing to migrate (already generation layout
+    *         or no committed store at all)
+    */
+  def migrateToGenerations(spark: SparkSession, path: String): Option[Long] = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val aside = new Path(path + ".migrating")
+    val plainCommitted = fs.exists(new Path(root, "_SUCCESS"))
+    val crashed = fs.exists(aside)
+    if (!plainCommitted && !crashed) return None
+    if (plainCommitted && crashed)
+      throw new IllegalStateException(
+        s"both a committed plain store at $path and a migration aside at $aside exist — " +
+          "a crashed migration was followed by a new plain-layout write; resolve manually")
+    if (plainCommitted) {
+      require(listGenerations(spark, path).isEmpty,
+        s"mixed layout at $path: root-level _SUCCESS AND committed gen-* directories — " +
+          "refusing to nest one store inside the other")
+      if (!fs.rename(root, aside))
+        throw new IllegalStateException(s"could not move $path aside for migration")
+    }
+    fs.mkdirs(root)
+    Some(commitGeneration(fs, root, aside))
   }
 
   /** Generation travel: read one committed generation — "the store as
@@ -436,6 +603,29 @@ object Store {
         fs.delete(tmp, true)
         ()
       }
+      // the rename can also fail for non-race reasons (permissions, quota,
+      // missing parent) with `path` still absent — then the read below
+      // would surface a confusing missing-path error and the built tmp
+      // was just discarded. Fail descriptively instead.
+      if (!fs.exists(new Path(target, "_SUCCESS")))
+        throw new IllegalStateException(
+          s"readOrCreate: commit of $path did not land and no concurrent builder " +
+            "committed it either — rename failed for a non-race reason " +
+            "(permissions, quota, missing parent directory?)")
+    } else {
+      // a committed store stands: opportunistically sweep crashed builders'
+      // stale `_build_*` siblings (invisible to parquet readers, but
+      // unbounded debris otherwise). Age-gated so a LIVE concurrent
+      // builder — about to lose the race and clean up after itself — is
+      // never deleted from under its write.
+      val staleMillis = 24L * 3600 * 1000
+      val now = System.currentTimeMillis()
+      val parent = target.getParent
+      if (parent != null && fs.exists(parent)) fs.listStatus(parent).toSeq.foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("_build_")
+            && now - s.getModificationTime > staleMillis)
+          fs.delete(s.getPath, true)
+      }
     }
     spark.read.parquet(path)
   }
@@ -453,14 +643,16 @@ object Store {
     * extra semi-join scan of the store, and the callers that run this per
     * takedown micro-batch ([[graft.streaming.StreamingHistorization
     * .takedownStream]]) don't consume it — the default path pays exactly
-    * one scan, the rewrite itself. Returns -1 when not counting. */
+    * one scan, the rewrite itself. Returns `Some(count)` when counting,
+    * `None` otherwise — the option (rather than a -1 sentinel) makes the
+    * not-counted case a type error to consume as a count. */
   def deleteFromStore(
       spark: SparkSession,
       path: String,
       removed: DataFrame,
       idCol: String,
       partitionColumns: Seq[String] = Nil,
-      countDeleted: Boolean = false): Long = {
+      countDeleted: Boolean = false): Option[Long] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     readParquetSafe(spark, path) match {
       case Some(df) =>
@@ -468,10 +660,10 @@ object Store {
         val kept = df.join(ids, Seq(idCol), "left_anti")
         // count the hits directly (one broadcast semi-join pass) instead of
         // full-store counts before and after the swap
-        val deleted = if (countDeleted) df.join(ids, Seq(idCol), "left_semi").count() else -1L
+        val deleted = if (countDeleted) Some(df.join(ids, Seq(idCol), "left_semi").count()) else None
         writeStoreSwap(kept, path, partitionColumns)
         deleted
-      case None => if (countDeleted) 0L else -1L
+      case None => if (countDeleted) Some(0L) else None
     }
   }
 

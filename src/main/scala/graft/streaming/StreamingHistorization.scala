@@ -261,8 +261,13 @@ object StreamingHistorization {
                   greatest(col("b.id"), col("c.id")).as("id_b")))
           }.distinct())
           val standing = (
-            if (labelsGenerations > 0) Store.readStoreLatest(session, labelsPath).map(_._2)
-            else Store.readParquetSafe(session, labelsPath))
+            if (labelsGenerations > 0) {
+              // adopt a swap-layout labels store as generation 1 rather
+              // than silently restarting the labeling from empty when the
+              // flag flips on an existing deployment
+              Store.migrateToGenerations(session, labelsPath)
+              Store.readStoreLatest(session, labelsPath).map(_._2)
+            } else Store.readParquetSafe(session, labelsPath))
             .getOrElse(pairs.select(col("id_a").as("id"), col("id_a").as("cluster_id")).limit(0))
           val updated = graft.operators.Dedup.updateClusters(
             standing, pairs, maxIters = maxIters, scope = scope)

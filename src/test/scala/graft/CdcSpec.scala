@@ -86,6 +86,18 @@ class CdcSpec extends SparkSpec {
       Cdc.deltaBloomWith(current, incoming, Cdc.bloomSynopsis(current, bits = 1 << 16),
         bits = 64).count()
     }
+    // ...and the previously-SILENT direction — synopsis built SMALLER than
+    // the probe's bits: every word index passes the bounds check while
+    // store-present rows hash to clear bits and would mis-route as
+    // definite-new; the carried sentinel turns that into a refusal too
+    intercept[IllegalArgumentException] {
+      Cdc.deltaBloomWith(current, incoming, Cdc.bloomSynopsis(current, bits = 64),
+        bits = 1 << 16).count()
+    }
+    // the sentinel itself survives the merge law: identical (w=-1, bits)
+    // rows OR into themselves across appended synopsis parts
+    assert(halves.filter($"w" === -1).select($"m").as[Long].collect().toSeq
+      === Seq((1L << 16), (1L << 16)))
   }
 
   test("updates projects back to new-side columns only") {

@@ -459,6 +459,34 @@ class DedupSpec extends SparkSpec {
       Set((5L, 6L)))
   }
 
+  test("removeDocs with labelsGenerations adopts a swap-layout labels store, never skips it") {
+    // the flag-migration path: a labels store previously written in the
+    // plain swap layout, then the deployment flips labelsGenerations on —
+    // without the adoption the generation read finds no gen-* directories,
+    // the repair silently skips, and the removed ids' label rows persist
+    // indefinitely (the takedown guarantee silently violated)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm-migrate").toString
+    Seq((1L, 1, "x")).toDF("id", "band", "key")
+      .limit(0).write.parquet(s"$dir/index")
+    Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b").write.parquet(s"$dir/pairs")
+    graft.sources.Store.writeStoreSwap(
+      Dedup.duplicateClusters(Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")),
+      s"$dir/labels", Seq.empty)
+    Dedup.removeDocs(spark, Seq(2L).toDF("id"), s"$dir/index", s"$dir/pairs",
+      s"$dir/labels", labelsGenerations = 2)
+    // the standing labels were adopted as generation 1 and REPAIRED as
+    // generation 2: the removed id's label row is gone, survivors keep
+    // their (split) clusters
+    val (_, labels) = graft.sources.Store.readStoreLatest(spark, s"$dir/labels").get
+    val got = labels.select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    // id 2's label row is gone; ids 1 and 3 lost their only pair partner
+    // and drop out of the pair-derived labeling; the untouched {5,6}
+    // cluster stands — exactly the full-recompute-over-survivors labeling
+    assert(!got.contains(2L), s"removed id still labeled: $got")
+    assert(got.keySet === Set(5L, 6L), s"unexpected labeling: $got")
+    assert(got(5L) === got(6L))
+  }
+
   test("removeDocs store pass leaves index/pairs/labels equal to a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-removedocs").toString
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")

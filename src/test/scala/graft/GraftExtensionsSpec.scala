@@ -89,6 +89,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(wSql === wCol && wSql.nonEmpty)
   }
 
+  test("graft_bpe_count from SQL equals the Column API form over the default table") {
+    import org.apache.spark.sql.functions._
+    val text = "the thing out there is the thing we want"
+    val sqlRes = spark.sql(s"SELECT graft_bpe_count('$text') AS c").head.getInt(0)
+    val colRes = spark.range(1)
+      .select(graft.operators.TextAnalysis.bpeCount(lit(text)).as("c")).head.getInt(0)
+    assert(sqlRes === colRes)
+    assert(sqlRes > 0 && sqlRes < text.length)
+    assert(spark.sql("SELECT graft_bpe_count(CAST(NULL AS STRING)) AS c").head.isNullAt(0))
+    intercept[Exception](spark.sql("SELECT graft_bpe_count('a', 'b')").collect())
+  }
+
   test("graft_phash rejects out-of-contract bit widths from SQL and Column surfaces") {
     // bits < 2 degenerates the mean; bits > 62 wraps the 1L << (bits-1-i)
     // weights mod 64 — both must error, not silently corrupt fingerprints

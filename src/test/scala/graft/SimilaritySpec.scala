@@ -514,7 +514,7 @@ class SimilaritySpec extends SparkSpec {
     cb.write.parquet(s"$dir/pq_codebook")
     Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb).write.parquet(s"$dir/pq_codes")
     val nPq = graft.sources.Store.deleteFromStore(spark, s"$dir/pq_codes", removed, "vec_id", countDeleted = true)
-    assert(nPq === removed.count())
+    assert(nPq === Some(removed.count()))
     val codesGot = spark.read.parquet(s"$dir/pq_codes").as[(Long, Seq[Int])].collect().toSet
     val codesWant = Similarity.pqEncodeWith(survivors, "vec_id", "embedding", cb)
       .as[(Long, Seq[Int])].collect().toSet
@@ -532,7 +532,7 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents)
       .write.parquet(s"$dir/ivf_assigned")
     val nIvf = graft.sources.Store.deleteFromStore(spark, s"$dir/ivf_assigned", removed, "vec_id", countDeleted = true)
-    assert(nIvf === removed.count())
+    assert(nIvf === Some(removed.count()))
     val postGot = spark.read.parquet(s"$dir/ivf_assigned").as[(Long, Int)].collect().toSet
     val postWant = Similarity.ivfAssignWith(survivors, "vec_id", "embedding", cents)
       .as[(Long, Int)].collect().toSet

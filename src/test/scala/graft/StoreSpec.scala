@@ -362,6 +362,141 @@ class StoreSpec extends SparkSpec {
     assert(Store.readStoreGeneration(spark, path, gen2).count() === 3)
   }
 
+  test("generation store: interleaved concurrent writers commit distinct generations") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_cas").toString + "/store"
+    // 3 writers × 3 commits each, racing on the next sequence number; the
+    // CAS commit (build private, rename-if-absent, retry on collision)
+    // must land every commit in its OWN directory
+    val written = Await.result(Future.traverse((0 until 3).toList) { w =>
+      Future {
+        (0 until 3).map { i =>
+          val tag = s"w$w-$i"
+          val gen = Store.writeStoreGeneration(
+            (1 to 10).map(r => (tag, r)).toDF("tag", "r"), path, keep = 100)
+          (gen, tag)
+        }
+      }
+    }.map(_.flatten), 120.seconds)
+    // every commit got a DISTINCT generation number
+    assert(written.map(_._1).distinct.size === 9, s"collided: $written")
+    assert(Store.listGenerations(spark, path).toSet === written.map(_._1).toSet)
+    // and no directory interleaves files from two writers: each committed
+    // generation holds exactly its writer's 10 rows, one tag
+    written.foreach { case (gen, tag) =>
+      val rows = Store.readStoreGeneration(spark, path, gen)
+      assert(rows.count() === 10, s"gen $gen row count")
+      assert(rows.select("tag").distinct().as[String].collect().toSeq === Seq(tag),
+        s"gen $gen interleaved writers")
+    }
+    // no build debris left behind
+    val leftovers = new java.io.File(path).listFiles.filter(_.getName.startsWith("_gen_build_"))
+    assert(leftovers.isEmpty, s"stale builds: ${leftovers.mkString(",")}")
+  }
+
+  test("purgeGenerations scrubs removed ids from every retained generation") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_purge").toString + "/store"
+    val g1 = Store.writeStoreGeneration(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), path, keep = 3)
+    val g2 = Store.writeStoreGeneration(
+      (1L to 30L).map(i => (i, s"v$i")).toDF("id", "v"), path, keep = 3)
+    val g3 = Store.writeStoreGeneration(
+      (1L to 40L).map(i => (i, s"w$i")).toDF("id", "v"), path, keep = 3)
+    // a swap-layout past left an aside holding pre-purge content too
+    Seq((7L, "aside")).toDF("id", "v").write.parquet(path + ".old")
+    val preContents = Seq(g1, g2, g3).map(g =>
+      g -> Store.readStoreGeneration(spark, path, g).as[(Long, String)].collect().toSet).toMap
+    val removed = Seq(7L, 13L, 35L).toDF("id")
+    val mapping = Store.purgeGenerations(spark, path, removed, "id")
+    assert(mapping.keySet === Set(g1, g2, g3))
+    // order preserved: g1's purge committed before g2's before g3's
+    assert(mapping(g1) < mapping(g2) && mapping(g2) < mapping(g3))
+    // only the purged replacements remain
+    assert(Store.listGenerations(spark, path).toSet === mapping.values.toSet)
+    // each replacement = its pre-purge content minus the removed ids —
+    // which also means NO retained generation contains a removed id
+    mapping.foreach { case (old, nw) =>
+      val got = Store.readStoreGeneration(spark, path, nw).as[(Long, String)].collect().toSet
+      assert(got === preContents(old).filterNot(r => Set(7L, 13L, 35L)(r._1)))
+    }
+    // latest content ≡ recompute over survivors
+    assert(Store.readStoreLatest(spark, path).get._2.as[(Long, String)].collect().toSet ===
+      (1L to 40L).filterNot(Set(7L, 13L, 35L)).map(i => (i, s"w$i")).toSet)
+    // pre-purge generations provably pruned; the aside is gone
+    Seq(g1, g2, g3).foreach(g =>
+      intercept[IllegalArgumentException](Store.readStoreGeneration(spark, path, g)))
+    assert(!new java.io.File(path + ".old").exists())
+    // nothing standing → nothing to purge
+    assert(Store.purgeGenerations(spark, path + "_missing", removed, "id") === Map.empty)
+  }
+
+  test("purgeGenerations: a reader pinned pre-purge completes inside the grace window") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_grace").toString + "/store"
+    val g1 = Store.writeStoreGeneration(
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), path, keep = 2)
+    val pinned = Store.readStoreGeneration(spark, path, g1)
+    val purge = Future {
+      Store.purgeGenerations(spark, path, Seq(3L).toDF("id"), "id", graceMillis = 6000)
+    }
+    // wait until the purge has committed its rewrites (pre-purge dirs
+    // still standing — the grace window is now open)
+    val deadline = System.currentTimeMillis() + 60000
+    while (Store.listGenerations(spark, path).size < 2 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(Store.listGenerations(spark, path).size >= 2, "purge rewrite never committed")
+    // the pinned reader completes during the grace window
+    assert(pinned.count() === 50)
+    val mapping = Await.result(purge, 120.seconds)
+    // after the window: the pre-purge generation is provably pruned
+    intercept[IllegalArgumentException](Store.readStoreGeneration(spark, path, g1))
+    assert(Store.readStoreGeneration(spark, path, mapping(g1)).count() === 49)
+  }
+
+  test("migrateToGenerations adopts a swap-layout store as generation 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_migrate").toString
+    val path = s"$dir/labels"
+    Store.writeStoreSwap(Seq((1L, 10L), (2L, 10L)).toDF("id", "cluster_id"), path, Nil)
+    // plain layout reads as ABSENT through the generation API — the silent
+    // data-loss shape the migration exists to close
+    assert(Store.readStoreLatest(spark, path).isEmpty)
+    val gen = Store.migrateToGenerations(spark, path)
+    assert(gen.isDefined)
+    val (g, adopted) = Store.readStoreLatest(spark, path).get
+    assert(g === gen.get)
+    assert(adopted.as[(Long, Long)].collect().toSet === Set((1L, 10L), (2L, 10L)))
+    // idempotent: a second call finds generation layout, nothing to do
+    assert(Store.migrateToGenerations(spark, path) === None)
+    // and the generation loop continues on top of the adopted content
+    val g2 = Store.writeStoreGeneration(Seq((1L, 10L)).toDF("id", "cluster_id"), path)
+    assert(g2 === g + 1)
+    // mixed layout (root _SUCCESS AND committed generations) refuses
+    val mixed = s"$dir/mixed"
+    Store.writeStoreGeneration(Seq(1L).toDF("id"), mixed)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(mixed, "_SUCCESS"))
+    intercept[IllegalArgumentException](Store.migrateToGenerations(spark, mixed))
+  }
+
+  test("readOrCreate sweeps stale crashed-builder siblings of a committed store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sweep").toString
+    val path = s"$dir/derived"
+    Store.readOrCreate(spark, path)(Seq(1L, 2L).toDF("id"))
+    // a crashed builder's debris: _build_* sibling, 25 h old
+    val stale = new java.io.File(dir, "_build_deadbeef")
+    assert(stale.mkdirs())
+    assert(stale.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    // a LIVE builder's sibling (fresh mtime) must survive the sweep
+    val live = new java.io.File(dir, "_build_12345678")
+    assert(live.mkdirs())
+    assert(Store.readOrCreate(spark, path)(Seq(1L, 2L).toDF("id")).count() === 2)
+    assert(!stale.exists(), "stale builder debris not swept")
+    assert(live.exists(), "live builder directory must not be touched")
+  }
+
   test("writeStoreSwap self-heals a crash between the aside and final renames") {
     val dir = java.nio.file.Files.createTempDirectory("graft_swap_heal").toString
     val path = s"$dir/store"

@@ -473,6 +473,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(edges.filter(!($"kernel" <=> $"fold")).count() === 0)
   }
 
+  test("BPE merges loader parses the public merges.txt format into hex rules") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merges")
+    // "t h" / "th e" in the identity range; U+0120 (Ġ) is the GPT-2
+    // byte→unicode image of the space byte 0x20
+    val content = "#version: 0.2\nt h\nth e\n" + 288.toChar + " t\n\n"
+    java.nio.file.Files.write(dir.resolve("merges.txt"), content.getBytes("UTF-8"))
+    val rules = TextAnalysis.loadBpeMerges(dir.resolve("merges.txt").toString)
+    assert(rules === Seq(("74", "68"), ("7468", "65"), ("20", "74")))
+    // the loaded table drives the kernel like any other: "th" merges
+    val counts = Seq((1L, "the the")).toDF("id", "text")
+      .select(TextAnalysis.bpeCount($"text", rules).as("c")).as[Int].collect()
+    // "the": [74,68,65] -> (74,68)@0 -> [7468,65] -> (7468,65)@1 -> one
+    // symbol. " the": [20,74,68,65] -> (74,68)@0 (lowest rank first, NOT
+    // the leftmost (20,74)@2) -> [20,7468,65] -> (7468,65)@1 ->
+    // [20,746865] -> two symbols. Total 3.
+    assert(counts.head === 1 + 2)
+    // a symbol outside the GPT-2 byte alphabet refuses descriptively
+    java.nio.file.Files.write(dir.resolve("bad.txt"), "t �\n".getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException](
+      TextAnalysis.loadBpeMerges(dir.resolve("bad.txt").toString))
+    assert(err.getMessage.contains("byte alphabet"))
+    // malformed line (three symbols) refuses
+    java.nio.file.Files.write(dir.resolve("bad2.txt"), "t h e\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.loadBpeMerges(dir.resolve("bad2.txt").toString))
+  }
+
+  test("BPE well-formedness validator accepts trainer-shaped tables, rejects ill-formed ones") {
+    assert(TextAnalysis.isTrainingWellFormed(TextAnalysis.DefaultBpeMerges))
+    assert(TextAnalysis.isTrainingWellFormed(TextAnalysis.StressBpeMerges50k))
+    assert(TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges) eq
+      TextAnalysis.DefaultBpeMerges)
+    // rule 0 references the product '7468' that no earlier rule formed
+    val illFormed = Seq(("7468", "65"), ("74", "68"))
+    assert(!TextAnalysis.isTrainingWellFormed(illFormed))
+    val err = intercept[IllegalArgumentException](TextAnalysis.validateBpeMerges(illFormed))
+    assert(err.getMessage.contains("rule 0"))
+    // non-hex symbols are structural violations too
+    assert(!TextAnalysis.isTrainingWellFormed(Seq(("th", "e"))))
+    assert(TextAnalysis.bpeWellFormednessViolation(illFormed).map(_._1) === Some(0))
+    // order sensitivity: a composite symbol must be formed by a STRICTLY
+    // EARLIER rule — the same two rules pass or fail on order alone
+    assert(TextAnalysis.isTrainingWellFormed(Seq(("68", "65"), ("74", "6865"))))
+    assert(!TextAnalysis.isTrainingWellFormed(Seq(("74", "6865"), ("68", "65"))))
+  }
+
   test("winnowing pairs: duplicated docs share fingerprints, disjoint docs none") {
     val a = "the quick brown fox jumps over the lazy dog again and again for a while"
     val corpus = Seq(
