@@ -653,6 +653,22 @@ object SparkEntry {
     "x_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, minContainment = 0.5)),
+    // the containment screen wired into the ELECTION path: pairs → CC →
+    // keepBest with n_chars scoring, so a contained near-subset LOSES to
+    // its container (the container is the longer member of the pair) —
+    // the composition real curation runs on subset duplicates. Pairs are
+    // computed FRESH over the full corpus, deliberately NOT the staged
+    // survivor-restricted shortcut the simhash/phash stages use: their
+    // pair membership is per-document (fingerprints), so restriction is
+    // exact; containment's df-capped shingle join makes pair membership
+    // corpus-relative (dropping docs changes shingle document
+    // frequencies), and a restricted staged set would NOT equal a fresh
+    // computation over the survivors
+    "x_dedup_containment_elect" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d), "doc_id", "n_chars",
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minContainment = 0.5).select("id_a", "id_b"))
+        .select("doc_id")),
     "x_dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", n = 3, k = 8, bands = 4)),
     // cross-run near-dup: odd-id docs are the new batch, the even-id docs'
@@ -2055,6 +2071,23 @@ object SparkEntry {
     s"""WITH $duckToksCte,
        |$duckShinglesTailCte""".stripMargin
 
+  /** Containment-pair derivation through its intersection counts (ends at
+    * the `inter` CTE) — shared by the pair report and the election twin
+    * so the two statements cannot drift. */
+  private lazy val containmentInterCte: String =
+    s"""$docShinglesCte,
+       |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+       |joinable AS (
+       |  SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 1000
+       |),
+       |fil AS (SELECT ex.* FROM ex JOIN joinable USING (s)),
+       |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+       |  FROM fil a JOIN fil b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   /** Gopher/C4 quality-metric CTE body (expects `toks`) + keep predicate —
     * shared between the standalone quality oracle and the composed
     * curation-pipeline oracle so the two cannot drift. */
@@ -2614,26 +2647,36 @@ object SparkEntry {
          |JOIN sizes sb ON sb.id = id_b
          |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1""".stripMargin,
     // same CTE chain as the Jaccard statement; only the denominator
-    // changes — containment of the smaller shingle set
+    // changes — containment of the smaller shingle set (shared CTE with
+    // the election twin so the derivations cannot drift)
     "x_dedup_containment" ->
-      s"""$docShinglesCte,
-         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
-         |joinable AS (
-         |  SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 1000
-         |),
-         |fil AS (SELECT ex.* FROM ex JOIN joinable USING (s)),
-         |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
-         |inter AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-         |  FROM fil a JOIN fil b ON a.s = b.s AND a.id < b.id
-         |  GROUP BY 1, 2
-         |)
+      s"""$containmentInterCte
          |SELECT id_a, id_b,
          |       round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
          |FROM inter
          |JOIN sizes sa ON sa.id = id_a
          |JOIN sizes sb ON sb.id = id_b
          |WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5""".stripMargin,
+    // containment pairs through CC + the n_chars election: identical
+    // ranked/losers tail as x_dedup_keep_best, over the containment CTE
+    "x_dedup_containment_elect" ->
+      s"""${containmentInterCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5
+         |),
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
     "x_dedup_minhash" ->
       s"""$minhashBandedCte
          |SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   * kernels below are clearly-marked deterministic fakes that derive
   * "metadata" from blob length and bytes. The Spark-side contract — schema,
   * encoder, partition-batch shape, null handling — is real and tested; a
-  * production deployment swaps only the function body marked STUB.
+  * production deployment swaps only the function body marked STUB. One
+  * path is production-true already: [[perceptualHashImage]] decodes real
+  * image payloads through `javax.imageio` (public JDK API), selected per
+  * row by magic bytes, with the stub derivation retained for non-image
+  * fixtures and decode failures quarantined per row.
   */
 object Multimodal {
 
@@ -173,6 +177,121 @@ object Multimodal {
             acc + when(element_at(col("features"), i + 1) > col("mean"),
               pow(lit(2.0), lit(bits - 1) - i).cast("long")).otherwise(lit(0L))))
           .as("fp"))
+  }
+
+  /** Magic-byte sniff of a payload's image container. Public signatures:
+    * PNG (89 50 4E 47), JPEG (FF D8 FF), GIF ("GIF8"), BMP ("BM").
+    * None when no known image magic leads the payload. */
+  private[operators] def imageMagic(payload: Array[Byte]): Option[String] =
+    if (payload == null || payload.length < 4) None
+    else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G') Some("png")
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff) Some("jpeg")
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8') Some("gif")
+    else if (payload(0) == 'B' && payload(1) == 'M') Some("bmp")
+    else None
+
+  /** `bits`-cell mean-luma grid of a decoded image — the aHash
+    * downsample: the image partitions into a ceil(sqrt(bits))-column
+    * grid, each cell's value is the mean ITU-R BT.601 luma of its pixel
+    * box, scaled to [-1, 1] like the stub features (so the shared
+    * mean-threshold-pack stage is source-agnostic). */
+  private def lumaGrid(img: java.awt.image.BufferedImage, bits: Int): Array[Double] = {
+    val gw = math.ceil(math.sqrt(bits)).toInt
+    val gh = math.ceil(bits.toDouble / gw).toInt
+    val w = img.getWidth
+    val h = img.getHeight
+    val fs = new Array[Double](bits)
+    var c = 0
+    while (c < bits) {
+      val cx = c % gw
+      val cy = c / gw
+      val x0 = (cx.toLong * w / gw).toInt
+      val x1 = math.min(math.max(x0 + 1, ((cx + 1).toLong * w / gw).toInt), w)
+      val y0 = (cy.toLong * h / gh).toInt
+      val y1 = math.min(math.max(y0 + 1, ((cy + 1).toLong * h / gh).toInt), h)
+      var sum = 0.0
+      var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      fs(c) = if (n == 0) 0.0 else sum / n / 255.0 * 2 - 1
+      c += 1
+    }
+    fs
+  }
+
+  /** The shared aHash tail: mean-threshold the feature cells and pack
+    * MSB-first — bit-identical to the [[graft.functions.HashKernels
+    * .phashFp]] packing, so real-decode and stub fingerprints live in the
+    * same Hamming space. */
+  private def packAHash(fs: Array[Double], bits: Int): Long = {
+    var acc = 0.0
+    var i = 0
+    while (i < bits) { acc += fs(i); i += 1 }
+    val mean = acc / bits
+    var fp = 0L
+    i = 0
+    while (i < bits) {
+      if (fs(i) > mean) fp |= 1L << (bits - 1 - i)
+      i += 1
+    }
+    fp
+  }
+
+  /** PRODUCTION-TRUE perceptual hash: payloads carrying a known image
+    * magic decode through `javax.imageio` (public JDK API — no external
+    * codec dependency) into the `bits`-cell luma grid; payloads without
+    * one keep the deterministic stub derivation ([[perceptualHash]]'s
+    * kernel — byte fixtures stay oracle-stable); decode FAILURES
+    * (truncated container, unsupported variant) land in the
+    * `decode_error` quarantine column and NEVER throw — at 100 TB a
+    * corrupt blob must cost one quarantined row, not the stage. The
+    * mean-threshold-pack tail is shared with the stub path, so both
+    * fingerprint families block and pair identically downstream
+    * ([[phashNearDuplicates]]).
+    *
+    * Runs `mapPartitions` like [[decodeMeta]]: binary codec work has no
+    * Catalyst expression form, each task decodes its batch of blobs
+    * locally, input partitioning preserved, no shuffle.
+    *
+    * @return (id, fp, decode_error) — fp null for null payloads and
+    *         quarantined rows; decode_error null unless decode failed
+    */
+  def perceptualHashImage(media: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 2 && bits <= 62, "need 2 <= bits <= 62")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map[(Long, Option[Long], Option[String])] { case (id, payload) =>
+          if (payload == null) (id, None, None)
+          else imageMagic(payload) match {
+            case None =>
+              (id, Some(graft.functions.HashKernels.phashFp(payload, bits)), None)
+            case Some(fmt) =>
+              try {
+                val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                if (img == null) (id, None, Some(s"$fmt: no ImageIO reader decoded the payload"))
+                else (id, Some(packAHash(lumaGrid(img, bits), bits)), None)
+              } catch {
+                case e: Exception =>
+                  (id, None, Some(s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+              }
+          }
+        }
+      }.toDF("id", "fp", "decode_error")
   }
 
   /** Near-duplicate media pairs by perceptual-hash Hamming distance —

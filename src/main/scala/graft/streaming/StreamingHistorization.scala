@@ -282,6 +282,80 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming duplicated-substring spans — the streaming twin of
+    * [[graft.operators.Dedup.incrementalDuplicatedSpans]], completing the
+    * streaming family (exact dedup, near-dup candidates, cluster
+    * maintenance, decontamination, takedown, and now spans). Per
+    * micro-batch `b`:
+    *
+    *  1. id-novelty absorber: drop documents whose ids were ingested by
+    *     an EARLIER batch — the gram store is gram-level (distinct
+    *     hashes, no contributor ids), so a re-delivered document would
+    *     self-match its own stored grams and over-flag;
+    *  2. probe: spans for the batch's novel docs against the standing
+    *     gram store, plus intra-batch duplication
+    *     ([[graft.operators.Dedup.incrementalDuplicatedSpans]]);
+    *  3. emit the spans; append the batch's distinct gram hashes and its
+    *     ingested ids.
+    *
+    * Exactly-once without a transaction log: all three stores are
+    * partitioned by `ingest_batch`, each batch OVERWRITES only its own
+    * partition directory, and every read EXCLUDES the current batch id.
+    * A replayed batch (same checkpointed id, same data) therefore
+    * recomputes identical content from identical earlier-batch state and
+    * rewrites it in place — no crash point can self-match, double-emit,
+    * or lose grams. (The append loops above get replay safety from set
+    * semantics + tuple-level novelty instead; spans need the partition
+    * form precisely because the gram store cannot carry contributor ids
+    * without growing corpus-shaped.)
+    *
+    * Per-batch directories are the familiar small-files shape; the
+    * maintenance pass is [[Store.compactStore]] with `ingest_batch` as
+    * the partition column, as for every append store in this file.
+    *
+    * State at 100 TB: distinct 60-bit gram hashes and ingested ids —
+    * payload-free slivers; each batch's work is batch-cost (one bounded
+    * explode, one hash semi-join against the store). After any prefix of
+    * batches, the spans store equals the batch operator over the corpus
+    * so far, restricted to each batch's novel documents (spec-pinned
+    * under full re-delivery). */
+  def spansStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramsPath: String,
+      idsPath: String,
+      spansPath: String,
+      checkpoint: String,
+      k: Int = 50,
+      stride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        graft.CacheScope.withScope { scope =>
+          def prior(p: String) = Store.readParquetSafe(session, p)
+            .map(_.filter(col("ingest_batch") < batchId))
+          val novel = scope.persist {
+            val b = batch.dropDuplicates(idCol)
+              .select(col(idCol).as("id"), col(textCol).as("t"))
+            prior(idsPath).fold(b)(ids =>
+              b.join(ids.select("id"), Seq("id"), "left_anti"))
+          }
+          val standing = prior(gramsPath).map(_.select("gh"))
+            .getOrElse(session.range(0).select(col("id").as("gh")))
+          val spans = graft.operators.Dedup.incrementalDuplicatedSpans(
+            novel, "id", "t", standing, k, stride, scope)
+          spans.write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$batchId")
+          graft.operators.Dedup.spanGramsOf(novel, "id", "t", k, stride, scope)
+            .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$batchId")
+          novel.select("id").write.mode("overwrite")
+            .parquet(s"$idsPath/ingest_batch=$batchId")
+        }
+        ()
+      }
+
   /** Streaming takedown — the REMOVAL direction of the continuous
     * maintenance story ([[clusterMaintainStream]] is the ingestion
     * direction): a stream of document ids (a takedown /

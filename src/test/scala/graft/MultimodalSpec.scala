@@ -93,4 +93,59 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     assert(pairs.forall(_._3 <= 2))
   }
+
+  /** PNG bytes of a w×h image painted by `pixel(x, y) -> rgb`. */
+  private def pngBytes(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real image decode: a generated PNG's phash matches the independently derived aHash") {
+    // 64x64, left half black, right half white: on the 4x4 grid (bits=16)
+    // the two right columns of every row sit above the mean luma, so the
+    // expected aHash is 0011 repeated — derived from the IMAGE CONTENT,
+    // not from re-running the decode path
+    val png = pngBytes(64, 64)((x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val expected = java.lang.Long.parseLong("0011001100110011", 2)
+    val media = Seq((1L, png)).toDF("id", "payload")
+    val got = Multimodal.perceptualHashImage(media, bits = 16)
+      .as[(Long, Option[Long], Option[String])].head()
+    assert(got === ((1L, Some(expected), None)))
+    // a JPEG payload of the same image lands in the same Hamming space
+    // (JPEG is lossy; a half-black/half-white image survives exactly)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val viaJpeg = Multimodal.perceptualHashImage(
+        Seq((2L, jout.toByteArray)).toDF("id", "payload"), bits = 16)
+      .as[(Long, Option[Long], Option[String])].head()
+    assert(viaJpeg === ((2L, Some(expected), None)))
+  }
+
+  test("real image decode: magic routing, quarantine on corrupt payloads, stub for non-images") {
+    val png = pngBytes(8, 8)((x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
+    // a payload that CLAIMS png by magic but is truncated garbage
+    val corrupt = png.take(12)
+    // a non-image payload: must keep the deterministic stub fingerprint
+    val textPayload = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      (1L, png), (2L, corrupt), (3L, textPayload), (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val rows = Multimodal.perceptualHashImage(media, bits = 16)
+      .as[(Long, Option[Long], Option[String])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // real decode succeeded, no error
+    assert(rows(1L)._1.isDefined && rows(1L)._2.isEmpty)
+    // corrupt: quarantined, never thrown
+    assert(rows(2L)._1.isEmpty && rows(2L)._2.exists(_.startsWith("png")))
+    // non-image: the stub derivation, bit-identical to perceptualHash
+    val stubFp = Multimodal.perceptualHash(
+        Seq((3L, textPayload)).toDF("id", "payload"), bits = 16)
+      .as[(Long, Long)].head()._2
+    assert(rows(3L)._1 === Some(stubFp) && rows(3L)._2.isEmpty)
+    // null payload: null fp, no error
+    assert(rows(4L)._1.isEmpty && rows(4L)._2.isEmpty)
+  }
 }

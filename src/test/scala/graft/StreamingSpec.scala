@@ -250,6 +250,81 @@ class StreamingSpec extends SparkSpec {
     assert(batchTwin.nonEmpty, "fixture sanity: candidates exist")
   }
 
+  test("streaming spans equal the batch operator per ingestion prefix under re-delivery") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-spans-stream").toString
+    // three micro-batches: evens, odds, then a FULL re-delivery
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val odds = docs.filter($"doc_id" % 2 === 1)
+    evens.write.parquet(s"$dir/in/d0")
+    odds.write.parquet(s"$dir/in/d1")
+    docs.write.parquet(s"$dir/in/d2")
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.spansStream(
+      stream, "doc_id", "text",
+      s"$dir/grams", s"$dir/ids", s"$dir/spans", s"$dir/chk", k = 20))
+
+    // spans per ingestion prefix: batch 0's docs against themselves,
+    // batch 1's docs against the full corpus (evens' grams standing);
+    // the re-delivered batch 2 contributes NOTHING (absorbed by id)
+    val want0 = graft.operators.Dedup.duplicatedSpans(evens, "doc_id", "text",
+      k = 20, stride = 1).as[(Long, Long, Long)].collect().toSet
+    val want1 = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text",
+        k = 20, stride = 1)
+      .filter($"doc_id" % 2 === 1).as[(Long, Long, Long)].collect().toSet
+    val spans = spark.read.parquet(s"$dir/spans")
+    val got = spans.select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === (want0 ++ want1))
+    assert(want1.nonEmpty, "fixture sanity: cross-batch spans exist")
+    // exactly-once: no duplicate span rows despite the full re-delivery,
+    // and the re-delivered batch's partition is empty
+    assert(spans.count() === got.size)
+    assert(spans.filter($"ingest_batch" === 2).count() === 0)
+    // the gram store holds each prefix's distinct hashes; the ids store
+    // each doc once
+    val ids = spark.read.parquet(s"$dir/ids")
+    assert(ids.select("id").distinct().count() === docs.count())
+    assert(ids.count() === docs.count())
+    val gramsGot = spark.read.parquet(s"$dir/grams").select("gh").distinct().count()
+    val gramsWant = graft.operators.Dedup.spanGramsOf(docs, "doc_id", "text", k = 20).count()
+    assert(gramsGot === gramsWant)
+  }
+
+  test("spans stream replay: a crash between the gram append and the ids append cannot self-match") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 200)
+    val dir = Files.createTempDirectory("graft-spans-replay").toString
+    // crash state after batch 0 committed spans AND grams but NOT ids:
+    // the dangerous window — a naive replay would probe its own grams
+    // and flag every position of every batch-0 doc
+    graft.operators.Dedup.incrementalDuplicatedSpans(
+        docs.select($"doc_id".as("id"), $"text".as("t")), "id", "t",
+        spark.range(0).select($"id".as("gh")), k = 20)
+      .write.parquet(s"$dir/spans/ingest_batch=0")
+    graft.operators.Dedup.spanGramsOf(docs, "doc_id", "text", k = 20)
+      .write.parquet(s"$dir/grams/ingest_batch=0")
+    // no checkpoint: the stream replays batch 0 from scratch
+    docs.write.parquet(s"$dir/in/d0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.spansStream(
+      stream, "doc_id", "text",
+      s"$dir/grams", s"$dir/ids", s"$dir/spans", s"$dir/chk", k = 20))
+    // the replay read EXCLUDED its own batch partition: result identical
+    // to the batch twin, no self-match blow-up
+    val got = spark.read.parquet(s"$dir/spans")
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text",
+      k = 20, stride = 1).as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture sanity: spans exist")
+    assert(spark.read.parquet(s"$dir/ids").count() === docs.count())
+  }
+
   test("streaming cluster maintenance converges to the full-recompute labeling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)
