@@ -343,6 +343,44 @@ object SparkEntry {
       s"/tmp/graft_staged/${dirTag(d, "lineitem")}/bloom_synopsis_b22s1")(
       Cdc.bloomSynopsis(stagedHashStoreA(s, d), bits = BloomBits).coalesce(1))
 
+  /** Build the three spans-family stores (grams / ids / spans, each
+    * partitioned by ingest_batch) by the driver-side twin of
+    * [[graft.streaming.StreamingHistorization.spansStream]]'s batch body:
+    * three batches split by `doc_id % 3`, each probing the standing gram
+    * partitions of the earlier batches — the standing state
+    * [[graft.operators.Dedup.purgeSpanStores]] repairs. */
+  private def buildSpanStores(s: SparkSession, d: String, root: String): Unit = {
+    val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text").as("t"))
+    (0 to 2).foreach { b =>
+      graft.CacheScope.withScope { scope =>
+        val batch = scope.persist(docs.filter(pmod(col("id"), lit(3)) === b))
+        val standing =
+          if (b == 0) s.range(0).select(col("id").as("gh"))
+          else s.read.parquet(s"$root/grams").filter(col("ingest_batch") < b).select("gh")
+        Dedup.incrementalDuplicatedSpans(batch, "id", "t", standing, k = 30,
+            stride = 1, scope = scope)
+          .write.mode("overwrite").parquet(s"$root/spans/ingest_batch=$b")
+        Dedup.spanGramsOf(batch, "id", "t", k = 30, stride = 1, scope = scope)
+          .write.mode("overwrite").parquet(s"$root/grams/ingest_batch=$b")
+        batch.select("id").write.mode("overwrite").parquet(s"$root/ids/ingest_batch=$b")
+      }
+    }
+  }
+
+  /** Staged spans-family stores (build-once): the standing state the
+    * purge row repairs a fresh copy of. */
+  private def stagedSpanStores(s: SparkSession, d: String): String = {
+    val root = s"/tmp/graft_staged/${dirTag(d, "documents")}/span_stores"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$root/ids/ingest_batch=2/_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      buildSpanStores(s, d, root)
+    }
+    root
+  }
+
   /** Scratch store write for the `x_stage_build_*` accounting rows: these
     * rows measure BUILD cost (compute + persist) honestly on every run,
     * so they write to a throwaway path instead of the shared staging root
@@ -376,6 +414,7 @@ object SparkEntry {
     stagedHashStoreA(s, d).count()
     stagedBloomSynopsis(s, d).count()
     stagedPhashPairs(s, d, 16, 2).count()
+    stagedSpanStores(s, d)
     ()
   }
 
@@ -813,6 +852,45 @@ object SparkEntry {
     // Registered alongside the exhaustive form so the stride arithmetic
     // (position set AND island merge over stride-spaced runs) is
     // oracle-checked, not just unit-tested
+    // the standing spans-family stores (grams / ids / spans, built by the
+    // per-batch ingestion loop over three doc_id%3 batches) — the BUILD
+    // accounting row: fresh build into scratch each run, returning the
+    // accumulated spans store. Prefix-asymmetric semantics: a position is
+    // duplicated iff another doc in an earlier-or-same batch shares its
+    // gram (the spansStream contract), which the oracle replays with a
+    // batch-aware join
+    "x_stage_build_spans" -> ((s, d) => {
+      val path = s"/tmp/graft_scratch/span_stores_build"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      buildSpanStores(s, d, path)
+      s.read.parquet(s"$path/spans").select(col("doc_id"), col("span_start"),
+        col("span_end"), col("ingest_batch").cast("int").as("ingest_batch"))
+    }),
+    // takedown over the spans family: purge every 7th doc from a fresh
+    // copy of the staged stores — the replay rewrites the affected batch
+    // suffix, so survivors' spans that existed only through a removed
+    // doc's grams die too (no per-id delete can see those). The result
+    // must equal the ingestion loop over the SURVIVOR corpus, which the
+    // oracle computes independently; the copy+replay cost is the honest
+    // per-takedown price
+    "x_dedup_spans_purged" -> ((s, d) => {
+      val src = stagedSpanStores(s, d)
+      val path = s"/tmp/graft_scratch/spans_purge_${dirTag(d, "documents")}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+        fs, new org.apache.hadoop.fs.Path(path), false, conf)
+      val docs = Tables.documents(s, d)
+      Dedup.purgeSpanStores(s,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0).select("doc_id", "text"),
+        "doc_id", "text", s"$path/grams", s"$path/ids", s"$path/spans", k = 30)
+      s.read.parquet(s"$path/spans").select(col("doc_id"), col("span_start"),
+        col("span_end"), col("ingest_batch").cast("int").as("ingest_batch"))
+    }),
     "x_dedup_spans_strided" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         k = 30, stride = 4, minDocFreq = 2)),
@@ -2263,6 +2341,33 @@ object SparkEntry {
          |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)
          |WHERE "INSERT_RUN_ID" <= '20240101100000' AND l_orderkey % 7 <> 0""".stripMargin)
 
+  /** Batch-aware spans twin shared by the staged-build and purge rows:
+    * the spansStream contract is prefix-asymmetric — a position of a doc
+    * in batch b (= doc_id % 3) is duplicated iff ANOTHER doc of an
+    * earlier-or-same batch shares its 30-gram — which the join condition
+    * `o.b <= a.b` replays; `where` restricts the corpus (the purge row
+    * passes the survivor filter). */
+  private def duckSpansBatchedSql(where: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, CAST(doc_id % 3 AS INT) AS b
+       |  FROM documents WHERE $where AND length(text) >= 30
+       |),
+       |pos AS (
+       |  SELECT doc_id, b, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+       |  FROM (SELECT doc_id, text, b, unnest(range(1, length(text) - 28)) AS p FROM docs)
+       |),
+       |dp AS (
+       |  SELECT DISTINCT a.doc_id, a.b, a.p
+       |  FROM pos a JOIN pos o ON o.gram = a.gram AND o.doc_id <> a.doc_id AND o.b <= a.b
+       |),
+       |isl AS (
+       |  SELECT doc_id, b, p,
+       |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+       |  FROM dp
+       |)
+       |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end, b AS ingest_batch
+       |FROM isl GROUP BY doc_id, grp, b""".stripMargin
+
   private lazy val baseOracles: Map[String, String] = Map(
     "l01_csv_scan" ->
       s"""SELECT Lastname, Firstname, SSN,
@@ -2844,6 +2949,13 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // the staged spans stores' accumulated content: the ingestion loop
+    // over the full corpus, replayed batch-aware
+    "x_stage_build_spans" -> duckSpansBatchedSql("1 = 1"),
+    // after purging every 7th doc, the stores equal the ingestion loop
+    // over the SURVIVOR corpus — including survivor spans that existed
+    // only through a removed doc's grams, which must be gone
+    "x_dedup_spans_purged" -> duckSpansBatchedSql("doc_id % 7 <> 0"),
     // strided twin: position set steps by 4 and the island-merge group key
     // subtracts row_number()*4, so runs of stride-spaced duplicated
     // positions merge exactly as the Scala window does

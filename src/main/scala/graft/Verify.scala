@@ -22,7 +22,12 @@ object Verify {
     // query) run on a clean machine still finds the files
     SparkEntry.ensureMediaFixture()
     SparkEntry.ensureJsonlFixture()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY (substring filter) scopes a local run to the
+    // queries under study, mirroring Bench; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(n.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

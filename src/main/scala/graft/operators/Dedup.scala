@@ -502,6 +502,95 @@ object Dedup {
     spanGrams(batch, idCol, textCol, k, stride, minDocFreq = 2, scope)
       .select("gh").distinct()
 
+  /** Takedown over the STANDING SPANS STORES — the removal direction of
+    * [[graft.streaming.StreamingHistorization.spansStream]], completing
+    * the spans family's maintenance story the way [[removeDocs]] does the
+    * band/pairs/labels triple's.
+    *
+    * Why this cannot be a row delete: the gram store holds DISTINCT
+    * 60-bit gram hashes with no contributor ids (carrying them would make
+    * the store corpus-shaped — the design choice documented at
+    * [[graft.streaming.StreamingHistorization.spansStream]]), so a
+    * removed document's grams cannot be subtracted in place; and a
+    * SURVIVOR's span that matched only the removed document's grams must
+    * disappear too, which no per-id delete can see. The exact repair is a
+    * REPLAY: re-run the per-batch computation over the surviving
+    * documents from the earliest affected batch onward — each batch's
+    * partition is deterministic content from earlier-batch state, so
+    * rewriting the affected suffix reproduces exactly what
+    * `spansStream` over the survivor stream would have written
+    * (rebuild-over-survivors semantics, spec-pinned). Batches before the
+    * earliest affected one are untouched: their state never saw the
+    * removed documents' grams.
+    *
+    * Cost: the affected SUFFIX of batches, each at its original batch
+    * cost — bounded by takedown recency, not corpus size (a takedown of
+    * last week's ingest replays a week, not a year). Crash-safe the same
+    * way the stream is: per-batch partition overwrites of deterministic
+    * content — re-running the purge at any crash point converges.
+    *
+    * @param survivors surviving documents' (idCol, textCol) — the
+    *                  post-takedown document store; ids present in the
+    *                  spans stores but absent here are treated as removed
+    * @return the batch ids whose partitions were rewritten (empty when no
+    *         store partition held a removed id)
+    */
+  def purgeSpanStores(
+      spark: org.apache.spark.sql.SparkSession,
+      removed: DataFrame,
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramsPath: String,
+      idsPath: String,
+      spansPath: String,
+      k: Int = 50,
+      stride: Int = 1): Seq[Long] = {
+    import graft.sources.Store
+    val ids = broadcast(removed.select(col(removed.columns.head).as("id")).distinct())
+    Store.readParquetSafe(spark, idsPath) match {
+      case None => Seq.empty
+      case Some(idsStore) =>
+        // bounded driver lists: one value per ingested batch (ops-cadence
+        // cardinality, never corpus-shaped)
+        // partition discovery infers ingest_batch as int; normalize
+        val batches = idsStore.select(col("ingest_batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val affected = idsStore.join(ids, Seq("id"), "left_semi")
+          .select(col("ingest_batch").cast("long")).distinct()
+          .collect().map(_.getLong(0))
+        if (affected.isEmpty) Seq.empty
+        else {
+          val docs = survivors.select(col(idCol).as("id"), col(textCol).as("t"))
+          val replay = batches.filter(_ >= affected.min)
+          replay.foreach { b =>
+            graft.CacheScope.withScope { scope =>
+              // the batch's original novel-id set minus the removed ids;
+              // the inner join against the survivor store drops ids whose
+              // documents are already gone (defense in depth — takedown
+              // deletes the doc store first)
+              val batchIds = spark.read.parquet(idsPath)
+                .filter(col("ingest_batch") === b).select("id")
+                .join(ids, Seq("id"), "left_anti")
+              val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
+              // earlier iterations' rewrites are already on disk, so this
+              // standing set is the repaired prefix — the cascade that
+              // makes the replay exact
+              val standing = spark.read.parquet(gramsPath)
+                .filter(col("ingest_batch") < b).select("gh")
+              incrementalDuplicatedSpans(batchDocs, "id", "t", standing, k, stride, scope)
+                .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
+              spanGramsOf(batchDocs, "id", "t", k, stride, scope)
+                .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")
+              batchDocs.select("id").write.mode("overwrite")
+                .parquet(s"$idsPath/ingest_batch=$b")
+            }
+          }
+          replay
+        }
+    }
+  }
+
   /** Hashed k-gram positions (id, p, gh), the shared derivation of
     * [[duplicatedSpans]] and [[removeDuplicatedSpans]]: one bounded
     * per-row explode (≤ len/stride positions), grams as 60-bit longs. */
@@ -1294,7 +1383,9 @@ object Dedup {
       pairsPath: String,
       labelsPath: String,
       maxIters: Int = 25,
-      labelsGenerations: Int = 0): Unit = {
+      labelsGenerations: Int = 0,
+      purgeRetained: Boolean = false,
+      purgeGraceMillis: Long = 0L): Unit = {
     import graft.sources.Store
     val ids = removed.select(col(removed.columns.head).as("id")).distinct()
     Store.deleteFromStore(spark, indexPath, ids, "id")
@@ -1305,8 +1396,10 @@ object Dedup {
     // retention keeps `labelsGenerations` passes. RIGHT-TO-BE-FORGOTTEN
     // CAVEAT: retained older generations still hold the removed ids'
     // label rows until pruned by later commits — for legal-erasure
-    // semantics run with labelsGenerations = 1 (commit + immediate prune)
-    // or purge the retained generations out of band.
+    // semantics pass `purgeRetained = true` (scrubs every retained
+    // generation through [[graft.sources.Store.purgeGenerations]] after
+    // the repair commits) or run with labelsGenerations = 1 (commit +
+    // immediate prune).
     val labelsOpt =
       if (labelsGenerations > 0) {
         // a labels store previously written in the SWAP layout would read
@@ -1329,9 +1422,22 @@ object Dedup {
         // repaired / pairs stale — re-running the same removal converges
         // (already-unlabeled ids yield an empty affected set, so only the
         // pair filter re-applies).
-        if (labelsGenerations > 0)
+        if (labelsGenerations > 0) {
           Store.writeStoreGeneration(labels2, labelsPath, keep = labelsGenerations)
-        else Store.writeStoreSwap(labels2, labelsPath, Seq.empty)
+          // Erasure across RETAINED generations: the commit above repairs
+          // the latest pass, but retention keeps labelsGenerations prior
+          // passes that still hold the removed ids' label rows. With
+          // purgeRetained the whole retained history is scrubbed —
+          // every generation rewritten minus the ids (the repaired head
+          // included; its rewrite is the identity), pre-purge directories
+          // pruned after the grace window. Without it the caveat above
+          // applies until later commits organically prune the old passes.
+          if (purgeRetained) {
+            Store.purgeGenerations(
+              spark, labelsPath, ids, "id", graceMillis = purgeGraceMillis)
+            ()
+          }
+        } else Store.writeStoreSwap(labels2, labelsPath, Seq.empty)
         Store.writeStoreSwap(pairs2, pairsPath, Seq.empty)
         ()
       }

@@ -379,7 +379,15 @@ object StreamingHistorization {
     * Scale: each batch's work is bounded by the takedown set and its
     * clusters' membership (broadcast-hinted anti-joins; CC on the affected
     * subgraph only) — a takedown feed over a 100 TB standing corpus costs
-    * per-batch what the batch touches, never a recompute. */
+    * per-batch what the batch touches, never a recompute.
+    *
+    * Legal-erasure composition: with `labelsGenerations > 1` the repair
+    * commits a new labels generation but retention keeps prior passes
+    * that still hold the removed ids — set `purgeRetained = true` to
+    * scrub the retained history per batch
+    * ([[graft.sources.Store.purgeGenerations]] via
+    * [[graft.operators.Dedup.removeDocs]]); `extraStores` are swap-layout
+    * and need no purge. */
   def takedownStream(
       removals: DataFrame,
       indexPath: String,
@@ -388,7 +396,8 @@ object StreamingHistorization {
       checkpoint: String,
       extraStores: Seq[(String, String)] = Nil,
       maxIters: Int = 25,
-      labelsGenerations: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      labelsGenerations: Int = 0,
+      purgeRetained: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     removals.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -396,7 +405,8 @@ object StreamingHistorization {
         val session = batch.sparkSession
         val ids = batch.dropDuplicates()
         graft.operators.Dedup.removeDocs(
-          session, ids, indexPath, pairsPath, labelsPath, maxIters, labelsGenerations)
+          session, ids, indexPath, pairsPath, labelsPath, maxIters,
+          labelsGenerations, purgeRetained)
         extraStores.foreach { case (path, idCol) =>
           Store.deleteFromStore(session, path, ids, idCol); ()
         }

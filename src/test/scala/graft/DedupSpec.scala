@@ -487,6 +487,79 @@ class DedupSpec extends SparkSpec {
     assert(got(5L) === got(6L))
   }
 
+  test("purgeSpanStores replays only the affected suffix and kills survivor spans that depended on a removed doc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-suffix").toString
+    // batch 0: A/B share a 10-gram; batch 1: D's only duplicated gram is
+    // shared with C, the doc that gets taken down
+    val b0 = Seq((1L, "aaaaaaaaaaZZZZ"), (2L, "aaaaaaaaaaQQQQ")).toDF("id", "t")
+    val b1 = Seq((3L, "ddddddddddPPPP"), (4L, "ddddddddddRRRR")).toDF("id", "t")
+    val empty = spark.range(0).select($"id".as("gh"))
+    Dedup.incrementalDuplicatedSpans(b0, "id", "t", empty, k = 10)
+      .write.parquet(s"$dir/spans/ingest_batch=0")
+    Dedup.spanGramsOf(b0, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=0")
+    b0.select("id").write.parquet(s"$dir/ids/ingest_batch=0")
+    Dedup.incrementalDuplicatedSpans(
+        b1, "id", "t", spark.read.parquet(s"$dir/grams"), k = 10)
+      .write.parquet(s"$dir/spans/ingest_batch=1")
+    Dedup.spanGramsOf(b1, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=1")
+    b1.select("id").write.parquet(s"$dir/ids/ingest_batch=1")
+    assert(spark.read.parquet(s"$dir/spans").filter($"doc_id" === 4L).count() === 1)
+
+    val survivors = b0.union(b1.filter($"id" =!= 3L))
+    val replayed = Dedup.purgeSpanStores(spark, Seq(3L).toDF("id"), survivors,
+      "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
+    // only the batch holding the removed id is rewritten — batches before
+    // the earliest affected one never saw the removed doc's grams
+    assert(replayed === Seq(1L))
+    val spans = spark.read.parquet(s"$dir/spans")
+    // batch 0 untouched: A/B keep their span; batch 1: the removed doc's
+    // span is gone AND D's span died with its only gram partner
+    assert(spans.filter($"ingest_batch" === 0).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    assert(spans.filter($"ingest_batch" === 1).count() === 0)
+    assert(spark.read.parquet(s"$dir/ids").filter($"ingest_batch" === 1)
+      .select("id").as[Long].collect().toSet === Set(4L))
+    // the gram store kept only the survivor's contribution
+    val d4Grams = Dedup.spanGramsOf(b1.filter($"id" === 4L), "id", "t", k = 10)
+      .as[Long].collect().toSet
+    assert(spark.read.parquet(s"$dir/grams").filter($"ingest_batch" === 1)
+      .select("gh").as[Long].collect().toSet === d4Grams)
+    // idempotent: re-running the purge converges to the same stores
+    val again = Dedup.purgeSpanStores(spark, Seq(3L).toDF("id"), survivors,
+      "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
+    assert(again === Seq.empty, "removed id already gone from the ids store")
+  }
+
+  test("removeDocs purgeRetained scrubs the removed ids from every retained labels generation") {
+    // the r11 caveat: with labelsGenerations > 1 the repair commits a new
+    // labels generation but retention keeps prior passes that still hold
+    // the removed ids' rows — purgeRetained must leave NO retained
+    // generation containing a removed id, while preserving the retained
+    // history (minus the purged rows) for pinned readers
+    val dir = java.nio.file.Files.createTempDirectory("graft-rm-purge").toString
+    Seq((1L, 1, "x")).toDF("id", "band", "key").limit(0).write.parquet(s"$dir/index")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    edges.toDF("id_a", "id_b").write.parquet(s"$dir/pairs")
+    // two maintenance passes, both labeling the doomed id 2
+    val labels = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+    graft.sources.Store.writeStoreGeneration(
+      labels.filter($"id" =!= 6L), s"$dir/labels", keep = 3)
+    graft.sources.Store.writeStoreGeneration(labels, s"$dir/labels", keep = 3)
+    Dedup.removeDocs(spark, Seq(2L).toDF("id"), s"$dir/index", s"$dir/pairs",
+      s"$dir/labels", labelsGenerations = 3, purgeRetained = true)
+    val gens = graft.sources.Store.listGenerations(spark, s"$dir/labels")
+    // history preserved: both pre-takedown passes plus the repaired head
+    assert(gens.size === 3, s"expected 3 retained generations, got $gens")
+    gens.foreach { g =>
+      val rows = graft.sources.Store.readStoreGeneration(spark, s"$dir/labels", g)
+        .select("id").as[Long].collect().toSet
+      assert(!rows.contains(2L), s"generation $g still holds the removed id: $rows")
+    }
+    // the head is the full repair: 1 and 3 lost their only partner, {5,6} stands
+    val (_, head) = graft.sources.Store.readStoreLatest(spark, s"$dir/labels").get
+    assert(head.select("id").as[Long].collect().toSet === Set(5L, 6L))
+  }
+
   test("removeDocs store pass leaves index/pairs/labels equal to a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-removedocs").toString
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -325,6 +325,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/ids").count() === docs.count())
   }
 
+  test("purgeSpanStores leaves the spans stores equal to a survivor-stream rebuild") {
+    // takedown over the spans family: after removing every 7th doc, all
+    // three stores must equal what spansStream over the SURVIVOR stream
+    // would have written — including survivors' spans that existed only
+    // because of a removed doc's grams (no per-id delete can see those)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val removedIds = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    val survivors = docs.filter($"doc_id" % 7 =!= 0)
+    def ingest(src: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      (0 to 2).foreach(b => src.filter($"doc_id" % 3 === b).write.parquet(s"$dir/in/d$b"))
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      StreamingHistorization.runOnce(StreamingHistorization.spansStream(
+        stream, "doc_id", "text",
+        s"$dir/grams", s"$dir/ids", s"$dir/spans", s"$dir/chk", k = 20))
+    }
+    val dirA = Files.createTempDirectory("graft-spans-purge").toString
+    ingest(docs, dirA)
+    val replayed = graft.operators.Dedup.purgeSpanStores(
+      spark, removedIds, survivors, "doc_id", "text",
+      s"$dirA/grams", s"$dirA/ids", s"$dirA/spans", k = 20)
+    // doc 0 sits in batch 0, so the replay cascades over the whole suffix
+    assert(replayed === Seq(0L, 1L, 2L))
+    val dirB = Files.createTempDirectory("graft-spans-rebuild").toString
+    ingest(survivors, dirB)
+    def slurp(dir: String, store: String, cols: Seq[String]) =
+      spark.read.parquet(s"$dir/$store").select(cols.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSet
+    val spanCols = Seq("doc_id", "span_start", "span_end", "ingest_batch")
+    assert(slurp(dirA, "spans", spanCols) === slurp(dirB, "spans", spanCols))
+    assert(slurp(dirA, "ids", Seq("id", "ingest_batch")) ===
+      slurp(dirB, "ids", Seq("id", "ingest_batch")))
+    assert(slurp(dirA, "grams", Seq("gh", "ingest_batch")) ===
+      slurp(dirB, "grams", Seq("gh", "ingest_batch")))
+    // fixture sanity: the purge actually changed the spans store
+    assert(slurp(dirA, "spans", spanCols).nonEmpty)
+  }
+
   test("streaming cluster maintenance converges to the full-recompute labeling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)
