@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BpeCount, CharEntropy, CollapseRuns, DotProduct, MinHashSig, NfcNormalize, PhashFp, RepeatRatio, Shingles, SimHash, TokenPairs, WinnowFps}
+import graft.functions.{BpeCount, BpeEncode, CharEntropy, CollapseRuns, DotProduct, MinHashSig, NfcNormalize, PhashFp, RepeatRatio, Shingles, SimHash, TokenPairs, WinnowFps}
 
 /** SQL-surface registration of graft's native expressions, so SQL-string
   * pipelines can call them like built-ins:
@@ -108,7 +108,12 @@ object GraftExtensions {
       info("graft_bpe_count",
         "graft_bpe_count(text) - byte-level BPE token count over the library's default merges table"),
       { case Seq(t) => BpeCount(t, graft.operators.TextAnalysis.DefaultBpeMerges)
-        case args => throw new IllegalArgumentException(s"graft_bpe_count expects 1 arg, got ${args.size}") })
+        case args => throw new IllegalArgumentException(s"graft_bpe_count expects 1 arg, got ${args.size}") }),
+    (FunctionIdentifier("graft_bpe_encode"),
+      info("graft_bpe_encode",
+        "graft_bpe_encode(text) - byte-level BPE token ids (array<int>) over the library's default merges table"),
+      { case Seq(t) => BpeEncode(t, graft.operators.TextAnalysis.DefaultBpeMerges)
+        case args => throw new IllegalArgumentException(s"graft_bpe_encode expects 1 arg, got ${args.size}") })
   )
 
   /** Register on a live session (tests, REPL, existing sessions). */

@@ -1329,6 +1329,40 @@ object SparkEntry {
       Packing.packByCount(Tables.documents(s, d), "doc_id",
         TextAnalysis.bpeCount(col("text"),
           TextAnalysis.StressBpeMerges50k).cast("long"), budget = 8192L, shards = 8)),
+    // the id-emitting side of the tokenizer: the token STREAM a training
+    // pipeline feeds the model (bpeCount only sizes it). Exploded to
+    // scalar rows for the compare; 1/13 of the corpus bounds the row
+    // volume while exercising every kernel path on real text
+    "x_text_bpe_encode" -> ((s, d) =>
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), posexplode(TextAnalysis.bpeEncode(col("text"),
+          TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges))))
+        .select(col("doc_id"), (col("pos") + 1).as("tok_pos"),
+          col("col").as("token_id"))),
+    // the packed TRAINING SEQUENCES themselves: pack membership by the
+    // count kernel, per-pack token stream = member docs' id arrays
+    // concatenated in pack_pos order — the operator a 100 TB pretraining
+    // run ships to the trainer. collect_list is per-(shard, pack) — its
+    // size is the pack's doc count, bounded by budget/min-doc-tokens,
+    // never corpus-shaped; array_sort makes the unordered collect
+    // deterministic
+    "x_pack_bpe_sequences" -> ((s, d) => {
+      val merges = TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)
+      val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(13)) === 0)
+      val packed = Packing.packByCount(docs, "doc_id",
+        TextAnalysis.bpeCount(col("text"), merges).cast("long"),
+        budget = 2048L, shards = 8)
+      packed
+        .join(docs.select(col("doc_id"),
+          TextAnalysis.bpeEncode(col("text"), merges).as("ids")), Seq("doc_id"))
+        .groupBy("shard", "pack_id")
+        .agg(collect_list(struct(col("pack_pos"), col("ids"))).as("parts"))
+        .select(col("shard"), col("pack_id"),
+          posexplode(flatten(transform(array_sort(col("parts")),
+            x => x.getField("ids")))))
+        .select(col("shard"), col("pack_id"),
+          (col("pos") + 1).cast("long").as("seq_pos"), col("col").as("token_id"))
+    }),
     // ---- extensions: deterministic sampling / splits ----
     "x_split_assign" -> ((s, d) =>
       Sampling.assignSplit(Tables.documents(s, d).select("doc_id"), "doc_id",
@@ -1856,6 +1890,52 @@ object SparkEntry {
     graft.operators.TextAnalysis.DefaultBpeMerges.foldLeft(base) { case (acc, (a, b)) =>
       s"replace($acc, '>$a|>$b|', '>$a$b|')"
     }
+  }
+
+  /** CTE chain from `documents` (restricted by `where`) to the per-doc
+    * BPE token-ID stream `ord(doc_id, id, tok_pos)`: the replay chain of
+    * [[duckBpeSymExpr]] split back into symbols, joined to the standard
+    * BPE vocabulary — byte symbols are ids 0..255, the rule at rank r
+    * defines id 256 + r (first rule wins on a duplicated concatenation,
+    * mirroring the kernel's putIfAbsent). */
+  private def duckBpeIdCtes(where: String): String = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    val mergeRows = graft.operators.TextAnalysis.DefaultBpeMerges.zipWithIndex.flatMap {
+      case ((a, b), i) => if (seen.add(a + b)) Some(s"('${a + b}', ${256 + i})") else None
+    }.mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, CASE WHEN i = 1 THEN tok0 ELSE ' ' || tok0 END AS tok, i
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(text, ' ')) AS tok0,
+       |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+       |    FROM documents WHERE $where
+       |  )
+       |),
+       |sym AS (
+       |  SELECT doc_id, i, ${duckBpeSymExpr("tok")} AS s
+       |  FROM tok WHERE tok <> ''
+       |),
+       |sp AS (
+       |  SELECT doc_id, i,
+       |    unnest(string_split(s, '|')) AS piece,
+       |    unnest(range(1, len(string_split(s, '|')) + 1)) AS j
+       |  FROM sym
+       |),
+       |ts AS (
+       |  SELECT doc_id, i, j, substring(piece, 2) AS sym FROM sp WHERE piece <> ''
+       |),
+       |vocab AS (
+       |  SELECT lpad(lower(hex(r)), 2, '0') AS sym, CAST(r AS INT) AS id
+       |  FROM range(0, 256) t(r)
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $mergeRows) v(sym, id)
+       |),
+       |ord AS (
+       |  SELECT ts.doc_id, v.id,
+       |    row_number() OVER (PARTITION BY ts.doc_id ORDER BY ts.i, ts.j) AS tok_pos
+       |  FROM ts JOIN vocab v USING (sym)
+       |)""".stripMargin
   }
 
   /** The composed IVF-PQ oracle (IVFADC): IVF assignment
@@ -3300,6 +3380,51 @@ object SparkEntry {
     // contiguous-fill packing: pack = floor(preceding-cumsum / budget)
     // within an id-ordered shard window — byte-identical window semantics
     // in Spark and DuckDB
+    // per-doc token-ID stream: the replay chain split back into symbols
+    // and joined to the standard BPE vocabulary (bytes 0..255, rule at
+    // rank r = id 256 + r)
+    "x_text_bpe_encode" ->
+      s"""WITH ${duckBpeIdCtes("doc_id % 13 = 0")}
+         |SELECT doc_id, CAST(tok_pos AS INT) AS tok_pos, id AS token_id
+         |FROM ord""".stripMargin,
+    // packed training sequences: the x_pack_bpe pack derivation (counts
+    // from the id stream, same cum/floor fill) restricted to the 1/13
+    // corpus, then each pack's stream = member docs' ids in
+    // (pack_pos, tok_pos) order
+    "x_pack_bpe_sequences" ->
+      s"""WITH ${duckBpeIdCtes("doc_id % 13 = 0")},
+         |cnt AS (
+         |  SELECT d.doc_id, CAST(coalesce(count(o.id), 0) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) d
+         |  LEFT JOIN ord o ON o.doc_id = d.doc_id
+         |  GROUP BY d.doc_id
+         |),
+         |t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, n_tokens FROM cnt
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM t
+         |),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id
+         |  FROM c
+         |),
+         |pp AS (
+         |  SELECT doc_id, shard, pack_id,
+         |    row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS pack_pos
+         |  FROM p
+         |),
+         |seq AS (
+         |  SELECT pp.shard, pp.pack_id, o.id,
+         |    row_number() OVER (PARTITION BY pp.shard, pp.pack_id
+         |                       ORDER BY pp.pack_pos, o.tok_pos) AS seq_pos
+         |  FROM pp JOIN ord o ON o.doc_id = pp.doc_id
+         |)
+         |SELECT shard, pack_id, CAST(seq_pos AS BIGINT) AS seq_pos, id AS token_id
+         |FROM seq""".stripMargin,
     "x_pack_bpe" ->
       s"""WITH tok AS (
          |  SELECT doc_id, CASE WHEN i = 1 THEN tok0 ELSE ' ' || tok0 END AS tok

@@ -133,7 +133,62 @@ object HashKernels {
 
   private def bpeSymbolCount(tok: String, ranks: java.util.HashMap[String, Integer]): Int = {
     val bytes = tok.getBytes("UTF-8")
-    if (bytes.length <= 1) return bytes.length
+    if (bytes.length <= 1) bytes.length else bpeSymbolsOf(tok, ranks).size
+  }
+
+  /** Byte-level BPE token IDS of a full text — the id-emitting twin of
+    * [[bpeTokenCount]] (same pre-tokenization, same merge loop via
+    * [[bpeSymbolsOf]], so `ids.length == count` by construction).
+    * Vocabulary ids follow the standard BPE construction: byte symbols
+    * are ids 0..255 (parsed straight off the hex symbol), the rule at
+    * rank r defines id 256 + r, first rule wins when two rules
+    * concatenate to the same symbol. Every post-merge symbol is either a
+    * single byte or some rule's concatenation, so the mapping is total —
+    * a miss can only mean ranks and vocab came from different tables,
+    * which the expression construction makes impossible. */
+  def bpeEncodeIds(text: UTF8String, ranks: java.util.HashMap[String, Integer],
+      vocab: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = text.toString
+    val n = s.length
+    val out = new java.util.ArrayList[Integer](math.max(8, n / 3))
+    var tokStart = 0
+    var first = true
+    while (tokStart <= n) {
+      val sp = s.indexOf(' ', tokStart)
+      val end = if (sp < 0) n else sp
+      val raw = s.substring(tokStart, end)
+      val tok = if (first) raw else " " + raw
+      if (tok.nonEmpty) {
+        val syms = bpeSymbolsOf(tok, ranks)
+        var i = 0
+        while (i < syms.size) {
+          val sym = syms.get(i)
+          val id =
+            if (sym.length == 2) Integer.parseInt(sym, 16)
+            else {
+              val v = vocab.get(sym)
+              if (v == null) throw new IllegalStateException(
+                s"BPE symbol '$sym' missing from vocabulary — ranks/vocab table mismatch")
+              v.intValue()
+            }
+          out.add(Integer.valueOf(id))
+          i += 1
+        }
+      }
+      first = false
+      tokStart = if (sp < 0) n + 1 else end + 1
+    }
+    val arr = new Array[Int](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i).intValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** The shared merge loop: a pre-token's byte symbols (hex strings)
+    * merged lowest-rank-first to convergence — the GPT-2 encoder loop. */
+  private def bpeSymbolsOf(
+      tok: String, ranks: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    val bytes = tok.getBytes("UTF-8")
     var syms = new java.util.ArrayList[String](bytes.length)
     var bi = 0
     while (bi < bytes.length) {
@@ -165,7 +220,7 @@ object HashKernels {
         syms = merged
       }
     }
-    syms.size
+    syms
   }
 
   private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
@@ -738,6 +793,48 @@ case class BloomProbe(
   * training-well-formed merges table — every rule's symbols formed only
   * by strictly earlier rules — this loop coincides with sequential
   * rank-order application, which is what the DuckDB oracle replays. */
+/** Byte-level BPE ENCODE of a string to vocabulary ids — the id-emitting
+  * twin of [[BpeCount]] (same pre-tokenization and merge loop, so the
+  * array's length equals the count kernel's value on every input).
+  * Vocabulary = the standard BPE construction over the SAME merges
+  * table: byte symbols are ids 0..255, the rule at rank r defines id
+  * 256 + r. This is what a training pipeline feeds the model: packing
+  * decides membership by [[BpeCount]], this kernel emits the actual
+  * token stream the pack concatenates. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)]) extends UnaryExpression {
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, Integer.valueOf(i)) }
+    m
+  }
+  @transient private lazy val vocab: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, Integer.valueOf(256 + i))
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeEncodeIds(input.asInstanceOf[UTF8String], ranks, vocab)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    val v = ctx.addReferenceObj("bpeVocab", vocab, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeEncodeIds($c, $r, $v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 case class BpeCount(child: Expression, merges: Seq[(String, String)]) extends UnaryExpression {
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
@@ -808,6 +905,11 @@ object DedupExpressions {
   /** Codegen'd byte-level BPE token count of a string column. */
   def bpeCountOf(text: Column, merges: Seq[(String, String)]): Column =
     CatalystBridge.column(BpeCount(CatalystBridge.expression(text), merges))
+
+  /** Codegen'd byte-level BPE encode of a string column to vocabulary
+    * ids (array<int>). */
+  def bpeEncodeOf(text: Column, merges: Seq[(String, String)]): Column =
+    CatalystBridge.column(BpeEncode(CatalystBridge.expression(text), merges))
 
   /** Codegen'd Bloom membership probe of two string digest columns. */
   def bloomProbeOf(

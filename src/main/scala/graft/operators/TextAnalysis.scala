@@ -74,6 +74,16 @@ object TextAnalysis {
   def bpeCount(text: Column, merges: Seq[(String, String)] = DefaultBpeMerges): Column =
     graft.functions.DedupExpressions.bpeCountOf(text, merges)
 
+  /** Byte-level BPE ENCODE to vocabulary ids (array<int>) — what a
+    * training pipeline actually feeds the model: [[bpeCount]] sizes the
+    * packs, this emits the token stream the pack concatenates. Same
+    * pre-tokenization and merge loop as the count kernel (so
+    * `size(bpeEncode(t)) == bpeCount(t)` on every input, spec-pinned);
+    * ids follow the standard BPE vocabulary construction — bytes are
+    * 0..255, the merge rule at rank r defines id 256 + r. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    graft.functions.DedupExpressions.bpeEncodeOf(text, merges)
+
   /** Inverse of the public GPT-2 byte→unicode alphabet (openai/gpt-2
     * encoder.py `bytes_to_unicode`): the 188 visible latin-1 bytes map to
     * themselves, the remaining 68 (controls, space, DEL, soft hyphen…)

@@ -101,6 +101,19 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT graft_bpe_count('a', 'b')").collect())
   }
 
+  test("graft_bpe_encode from SQL equals the Column API form and sizes to graft_bpe_count") {
+    import org.apache.spark.sql.functions._
+    val text = "the thing out there is the thing we want"
+    val sqlRes = spark.sql(s"SELECT graft_bpe_encode('$text') AS ids").head.getSeq[Int](0)
+    val colRes = spark.range(1)
+      .select(graft.operators.TextAnalysis.bpeEncode(lit(text)).as("ids")).head.getSeq[Int](0)
+    assert(sqlRes === colRes && sqlRes.nonEmpty)
+    val count = spark.sql(s"SELECT graft_bpe_count('$text') AS c").head.getInt(0)
+    assert(sqlRes.size === count)
+    assert(spark.sql("SELECT graft_bpe_encode(CAST(NULL AS STRING)) AS ids").head.isNullAt(0))
+    intercept[Exception](spark.sql("SELECT graft_bpe_encode('a', 'b')").collect())
+  }
+
   test("graft_phash rejects out-of-contract bit widths from SQL and Column surfaces") {
     // bits < 2 degenerates the mean; bits > 62 wraps the 1L << (bits-1-i)
     // weights mod 64 — both must error, not silently corrupt fingerprints

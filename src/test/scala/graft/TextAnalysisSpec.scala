@@ -68,6 +68,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bounds === 0)
   }
 
+  test("byte-level BPE encode: ids decode back to the exact input bytes; length equals the count kernel") {
+    // the id map inverts trivially: ids < 256 are bytes, the rule at
+    // rank r owns id 256 + r and expands to its concatenated byte-hex —
+    // so decode(encode(text)) must reproduce text's UTF-8 bytes exactly,
+    // for ANY segmentation. A wrong id anywhere breaks the round-trip.
+    val expand: Map[Int, String] = {
+      val bytes = (0 until 256).map(b => b -> f"$b%02x")
+      val seen = scala.collection.mutable.HashSet[String]()
+      val merged = TextAnalysis.DefaultBpeMerges.zipWithIndex.flatMap { case ((a, b), i) =>
+        if (seen.add(a + b)) Some((256 + i) -> (a + b)) else None
+      }
+      (bytes ++ merged).toMap
+    }
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text",
+        TextAnalysis.bpeEncode($"text").as("ids"),
+        TextAnalysis.bpeCount($"text").as("n"))
+      .as[(Long, String, Seq[Int], Int)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (id, text, ids, n) =>
+      assert(ids.length === n, s"doc $id: encode length != count")
+      val decoded = ids.map(expand).mkString
+      val want = text.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+      assert(decoded === want, s"doc $id: decode round-trip diverged")
+    }
+    // merged ids really occur (the fixture exercises the vocab, not just
+    // the byte fallback)
+    assert(real.exists(_._3.exists(_ >= 256)))
+    // pre-tokenization anchors: mid-text tokens carry their leading
+    // space; empty text encodes to the empty stream
+    val anchor = Seq(Tuple1("a b")).toDF("t")
+      .select(TextAnalysis.bpeEncode($"t").as("ids")).as[Seq[Int]].head()
+    assert(anchor.map(expand).mkString === "a b".getBytes("UTF-8")
+      .map(b => f"${b & 0xff}%02x").mkString)
+    assert(Seq(Tuple1("")).toDF("t")
+      .select(TextAnalysis.bpeEncode($"t").as("ids")).as[Seq[Int]].head().isEmpty)
+  }
+
   test("bpeish token count splits letters runs, digits, punctuation") {
     val got = Seq(Tuple1("ab1c, x2!")).toDF("t")
       .select(TextAnalysis.bpeishTokenCount($"t")).as[Int].head()
