@@ -343,6 +343,30 @@ object SparkEntry {
       s"/tmp/graft_staged/${dirTag(d, "lineitem")}/bloom_synopsis_b22s1")(
       Cdc.bloomSynopsis(stagedHashStoreA(s, d), bits = BloomBits).coalesce(1))
 
+  /** Staged two-pass CROSS-STORE snapshot ([[graft.sources.Store
+    * .commitSnapshot]]): each maintenance pass commits the hash store
+    * AND a stats store, then one manifest pinning both generations —
+    * pass 1 holds the run-1 historization, pass 2 the two-run chain. */
+  private def stagedManifestSnapshot(s: SparkSession, d: String): String = {
+    val root = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/manifest_pair"
+    if (Store.listGenerations(s, s"$root/manifest").size < 2) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      def stats(df: DataFrame) = df.groupBy().agg(count(lit(1)).as("n_rows"))
+      val r1 = Historization.historizeFrames(
+        enrichedA(s, d).limit(0), snapA(s, d), cur1, keys)
+      Store.commitSnapshot(s, s"$root/manifest", Seq(
+        ("hash", s"$root/hash", r1), ("stats", s"$root/stats", stats(r1))), keep = 2)
+      val r2 = Historization.historizeFrames(
+        Store.readStoreLatest(s, s"$root/hash").get._2, snapB(s, d), cur2, keys)
+      Store.commitSnapshot(s, s"$root/manifest", Seq(
+        ("hash", s"$root/hash", r2), ("stats", s"$root/stats", stats(r2))), keep = 2)
+      ()
+    }
+    root
+  }
+
   /** Build the three spans-family stores (grams / ids / spans, each
     * partitioned by ingest_batch) by the driver-side twin of
     * [[graft.streaming.StreamingHistorization.spansStream]]'s batch body:
@@ -415,6 +439,7 @@ object SparkEntry {
     stagedBloomSynopsis(s, d).count()
     stagedPhashPairs(s, d, 16, 2).count()
     stagedSpanStores(s, d)
+    stagedManifestSnapshot(s, d)
     ()
   }
 
@@ -613,6 +638,19 @@ object SparkEntry {
     "x_store_generation_travel" -> ((s, d) => {
       val path = stagedGenerationStore(s, d)
       qtyAsDouble(Store.readStoreGeneration(s, path, Store.listGenerations(s, path).head))
+    }),
+    // CROSS-STORE snapshot travel: resolve the PASS-1 manifest and read
+    // the hash store at its pinned generation — after pass 2 committed
+    // both stores and its own manifest. The pin must land on pass 1's
+    // run-1 content (the oracle recomputes it); that the companion stats
+    // store pins to the SAME pass is the consistency property the specs
+    // exercise (a latest-per-store read would race the pass boundary)
+    "x_store_manifest_snapshot" -> ((s, d) => {
+      val root = stagedManifestSnapshot(s, d)
+      val firstGen = Store.listGenerations(s, s"$root/manifest").head
+      val pinned = Store.readSnapshot(s, s"$root/manifest",
+        Map("hash" -> s"$root/hash", "stats" -> s"$root/stats"), Some(firstGen)).get._2
+      qtyAsDouble(pinned("hash"))
     }),
     // cross-generation ERASURE: takedown repairs the latest generation,
     // but retention keeps prior passes that still hold the removed rows —
@@ -2406,6 +2444,10 @@ object SparkEntry {
     // travel and run travel answer the same question through different
     // axes (physical rewrites vs logical loads)
     "x_store_generation_travel" -> baseOracles("x_store_asof_run"),
+    // the pass-1 manifest pins the pass-1 hash-store generation, whose
+    // content IS the run-1 historization — same statement again through
+    // the cross-store snapshot axis
+    "x_store_manifest_snapshot" -> baseOracles("x_store_asof_run"),
     // the purged twin of generation 1 = run-1 content minus the removed
     // keys, recomputed independently from the snapshots — no retained
     // generation may contain a removed key (spec-pinned in StoreSpec;

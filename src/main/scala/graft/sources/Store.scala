@@ -557,6 +557,81 @@ object Store {
     (before, parquetCount(new Path(generationPath(path, next))))
   }
 
+  /** CROSS-STORE atomic visibility: commit several derived stores AND a
+    * manifest pinning their generations, so a reader composing them (a
+    * labeling plus its cluster stats, a PQ code table plus its postings)
+    * sees all-from-pass-N or all-from-pass-N+1, never a mix. Per-store
+    * generation commits are individually atomic but mutually unordered —
+    * without the manifest a reader resolving "latest" per store races
+    * the pass boundary.
+    *
+    * The manifest IS a generation store of (store, generation) rows, so
+    * it inherits everything the layer already guarantees: CAS commit
+    * (two concurrent passes commit distinct, internally-consistent
+    * manifests), `_SUCCESS` atomicity, retention, debris pruning. The
+    * commit ORDER is the crash contract: stores first, manifest last —
+    * a crash before the manifest commit leaves newly-committed store
+    * generations unreferenced (invisible to snapshot readers, pruned by
+    * later retention) and the previous manifest still names a complete,
+    * older set.
+    *
+    * Retention sizing: each store keeps `keep` generations, the manifest
+    * keeps `keep` pins — equal `keep` means every retained manifest's
+    * pins are readable (each pass advances every store by exactly one
+    * generation; a purge or out-of-band commit breaks that alignment, so
+    * size `keep` to the oldest manifest you still serve).
+    *
+    * @param stores (name, root path, content) per store; name is the key
+    *               readers use
+    * @return the committed manifest generation
+    */
+  def commitSnapshot(
+      spark: SparkSession,
+      manifestPath: String,
+      stores: Seq[(String, String, DataFrame)],
+      keep: Int = 2): Long = {
+    import spark.implicits._
+    require(stores.nonEmpty, "a snapshot needs at least one store")
+    require(stores.map(_._1).distinct.size == stores.size, "store names must be unique")
+    val pins = stores.map { case (name, path, df) =>
+      (name, writeStoreGeneration(df, path, keep = keep))
+    }
+    // one row per store — a driver-sized frame by construction
+    writeStoreGeneration(pins.toDF("store", "generation").coalesce(1),
+      manifestPath, keep = keep)
+  }
+
+  /** Read a consistent cross-store snapshot: resolve the manifest (the
+    * newest committed generation, or `manifestGen` for snapshot travel),
+    * then open every pinned store AT ITS PINNED GENERATION. Stores in
+    * the manifest but absent from `paths` are ignored (a reader may care
+    * about a subset); asking for a name the manifest does not pin
+    * throws — a silent fallback to "latest" would reintroduce exactly
+    * the mixed-pass read this exists to prevent.
+    *
+    * @param paths name -> store root, for the stores the reader wants
+    * @return (manifest generation, name -> pinned frame); None when no
+    *         manifest has ever committed
+    */
+  def readSnapshot(
+      spark: SparkSession,
+      manifestPath: String,
+      paths: Map[String, String],
+      manifestGen: Option[Long] = None): Option[(Long, Map[String, DataFrame])] = {
+    val resolved = manifestGen.orElse(listGenerations(spark, manifestPath).lastOption)
+    resolved.map { g =>
+      val pins = readStoreGeneration(spark, manifestPath, g)
+        .select("store", "generation")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // one row per store
+      val missing = paths.keySet.diff(pins.keySet)
+      require(missing.isEmpty,
+        s"manifest generation $g of $manifestPath does not pin: ${missing.mkString(", ")}")
+      g -> paths.map { case (name, root) =>
+        name -> readStoreGeneration(spark, root, pins(name))
+      }
+    }
+  }
+
   /** Run travel ACROSS generations: run-based time travel
     * ([[readStoreAsOfRun]]) applied to one pinned generation of an
     * append-only hash store — "the snapshot run R saw, as maintenance pass

@@ -234,7 +234,9 @@ object StreamingHistorization {
       k: Int = 8,
       bands: Int = 4,
       maxIters: Int = 25,
-      labelsGenerations: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      labelsGenerations: Int = 0,
+      manifestPath: Option[String] = None,
+      statsPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -274,9 +276,31 @@ object StreamingHistorization {
           pairs.write.mode("append").parquet(pairsPath)
           // commit AFTER the write fully materializes `updated` (which
           // still reads the old labels generation), never in place
-          if (labelsGenerations > 0)
-            Store.writeStoreGeneration(updated, labelsPath, keep = labelsGenerations)
-          else Store.writeStoreSwap(updated, labelsPath, Seq.empty)
+          (manifestPath, statsPath) match {
+            case (Some(mp), Some(sp)) =>
+              // cross-store atomic visibility: the pass commits labels
+              // AND the pass's cluster stats, then one manifest pinning
+              // both — a reader composing them ([[graft.sources.Store
+              // .readSnapshot]]) sees one pass, never labels from pass N
+              // with stats from pass N+1. Stores first, manifest last:
+              // a crash mid-pass leaves the previous manifest naming a
+              // complete older set.
+              require(labelsGenerations > 0,
+                "manifestPath requires labelsGenerations > 0 (snapshot pins generations)")
+              Store.commitSnapshot(session, mp, Seq(
+                ("labels", labelsPath, updated),
+                ("stats", sp, graft.operators.Dedup.clusterStats(updated))),
+                keep = labelsGenerations)
+              ()
+            case (None, None) =>
+              if (labelsGenerations > 0) {
+                Store.writeStoreGeneration(updated, labelsPath, keep = labelsGenerations)
+                ()
+              } else Store.writeStoreSwap(updated, labelsPath, Seq.empty)
+            case _ => throw new IllegalArgumentException(
+              "manifestPath and statsPath come together: a manifest without its " +
+                "second store pins nothing to compose")
+          }
           novel.write.mode("append").parquet(indexPath)
         }
         ()

@@ -396,6 +396,61 @@ class StoreSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"stale builds: ${leftovers.mkString(",")}")
   }
 
+  test("commitSnapshot/readSnapshot: cross-store reads are all-from-one-pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapshot").toString
+    def pass(tag: String) = Seq(
+      ("a", s"$dir/a", Seq((1L, tag)).toDF("id", "v")),
+      ("b", s"$dir/b", Seq((2L, tag)).toDF("id", "v")))
+    val m1 = Store.commitSnapshot(spark, s"$dir/manifest", pass("p1"))
+    val paths = Map("a" -> s"$dir/a", "b" -> s"$dir/b")
+    // a reader resolves the pass-1 manifest, then pass 2 commits UNDER it
+    val (g1, pinned1) = Store.readSnapshot(spark, s"$dir/manifest", paths).get
+    assert(g1 === m1)
+    Store.commitSnapshot(spark, s"$dir/manifest", pass("p2"))
+    // the held snapshot still reads pass 1 from BOTH stores — commits
+    // only ever create new directories
+    assert(pinned1("a").select("v").as[String].head() === "p1")
+    assert(pinned1("b").select("v").as[String].head() === "p1")
+    // a fresh resolve sees pass 2 from both
+    val (_, pinned2) = Store.readSnapshot(spark, s"$dir/manifest", paths).get
+    assert(pinned2("a").select("v").as[String].head() === "p2")
+    assert(pinned2("b").select("v").as[String].head() === "p2")
+    // snapshot TRAVEL: the pass-1 manifest still resolves the pass-1 pair
+    val (_, back) = Store.readSnapshot(spark, s"$dir/manifest", paths, Some(m1)).get
+    assert(back("a").select("v").as[String].head() === "p1")
+    assert(back("b").select("v").as[String].head() === "p1")
+    // a subset read is fine; an unpinned name fails loudly (a silent
+    // latest-fallback would reintroduce the mixed-pass read)
+    assert(Store.readSnapshot(spark, s"$dir/manifest",
+      Map("a" -> s"$dir/a")).get._2.keySet === Set("a"))
+    intercept[IllegalArgumentException](Store.readSnapshot(spark, s"$dir/manifest",
+      Map("c" -> s"$dir/c")))
+    // no manifest ever committed -> None
+    assert(Store.readSnapshot(spark, s"$dir/none", paths) === None)
+  }
+
+  test("commitSnapshot crash contract: store generations without a manifest stay invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapshot_crash").toString
+    val paths = Map("a" -> s"$dir/a", "b" -> s"$dir/b")
+    Store.commitSnapshot(spark, s"$dir/manifest", Seq(
+      ("a", s"$dir/a", Seq((1L, "p1")).toDF("id", "v")),
+      ("b", s"$dir/b", Seq((2L, "p1")).toDF("id", "v"))))
+    // pass 2 crashes AFTER committing both stores but BEFORE the
+    // manifest: snapshot readers keep resolving the complete pass-1 set
+    Store.writeStoreGeneration(Seq((1L, "p2")).toDF("id", "v"), s"$dir/a")
+    Store.writeStoreGeneration(Seq((2L, "p2")).toDF("id", "v"), s"$dir/b")
+    val (_, pinned) = Store.readSnapshot(spark, s"$dir/manifest", paths).get
+    assert(pinned("a").select("v").as[String].head() === "p1")
+    assert(pinned("b").select("v").as[String].head() === "p1")
+    // the restarted pass re-commits and the new manifest exposes it
+    Store.commitSnapshot(spark, s"$dir/manifest", Seq(
+      ("a", s"$dir/a", Seq((1L, "p2")).toDF("id", "v")),
+      ("b", s"$dir/b", Seq((2L, "p2")).toDF("id", "v"))))
+    val (_, after) = Store.readSnapshot(spark, s"$dir/manifest", paths).get
+    assert(after("a").select("v").as[String].head() === "p2")
+    assert(after("b").select("v").as[String].head() === "p2")
+  }
+
   test("purgeGenerations scrubs removed ids from every retained generation") {
     val path = java.nio.file.Files.createTempDirectory("graft_gen_purge").toString + "/store"
     val g1 = Store.writeStoreGeneration(

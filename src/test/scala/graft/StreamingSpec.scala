@@ -394,6 +394,50 @@ class StreamingSpec extends SparkSpec {
     assert(ix.select("id").distinct().count() === docs.count())
   }
 
+  test("manifest-committed maintenance: labels and stats compose from one pass, never mixed") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-manifest-labels").toString
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    evens.write.parquet(s"$dir/in/d0")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.clusterMaintainStream(
+      stream, "doc_id", "text", s"$dir/index", s"$dir/pairs", s"$dir/labels",
+      s"$dir/chk", labelsGenerations = 3,
+      manifestPath = Some(s"$dir/manifest"), statsPath = Some(s"$dir/stats")))
+    val paths = Map("labels" -> s"$dir/labels", "stats" -> s"$dir/stats")
+    val manifests = graft.sources.Store.listGenerations(spark, s"$dir/manifest")
+    assert(manifests.size === 2, "one manifest per micro-batch")
+    // every retained manifest resolves a CONSISTENT pair: the pinned
+    // stats row equals clusterStats of the pinned labels — for the old
+    // pass as for the new (a latest-per-store read could not promise
+    // this across the pass boundary)
+    manifests.foreach { m =>
+      val (_, pinned) = graft.sources.Store.readSnapshot(
+        spark, s"$dir/manifest", paths, Some(m)).get
+      val statsOfLabels = graft.operators.Dedup.clusterStats(pinned("labels"))
+        .collect().head.toSeq
+      assert(pinned("stats").collect().head.toSeq === statsOfLabels,
+        s"manifest $m pins a mixed pass")
+    }
+    // and the latest labels equal the full recompute (the loop is still
+    // the same loop)
+    val fullTwin = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text"))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    val (_, latest) = graft.sources.Store.readSnapshot(spark, s"$dir/manifest", paths).get
+    assert(latest("labels").select("id", "cluster_id")
+      .as[(Long, Long)].collect().toSet === fullTwin)
+    // the two passes' stats DIFFER (the fixture really crosses a pass
+    // boundary, so a mixed read would have been caught)
+    val s1 = graft.sources.Store.readSnapshot(spark, s"$dir/manifest", paths,
+      Some(manifests.head)).get._2("stats").collect().head.toSeq
+    val s2 = latest("stats").collect().head.toSeq
+    assert(s1 !== s2)
+  }
+
   test("generation-committed labels: maintenance preserves passes, takedown repairs latest") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)
