@@ -652,6 +652,28 @@ object SparkEntry {
         Map("hash" -> s"$root/hash", "stats" -> s"$root/stats"), Some(firstGen)).get._2
       qtyAsDouble(pinned("hash"))
     }),
+    // erasure COMPOSED with snapshots: purging a pinned store renumbers
+    // its generations, so purgeSnapshot rewrites the retained manifest
+    // history through the purge mapping — the pass-1 manifest still
+    // resolves pass 1, now minus the erased keys (the stats store is
+    // untouched and keeps its original pins). Copy + purge + remap each
+    // run: the honest per-erasure cost on a snapshot deployment
+    "x_store_manifest_purged" -> ((s, d) => {
+      val src = stagedManifestSnapshot(s, d)
+      val path = s"/tmp/graft_scratch/manifest_purge_${dirTag(d, "lineitem")}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+        fs, new org.apache.hadoop.fs.Path(path), false, conf)
+      val removed = liProj(s, d).select("l_orderkey").distinct()
+        .filter(pmod(col("l_orderkey"), lit(7)) === 0)
+      val mapping = Store.purgeSnapshot(s, s"$path/manifest",
+        Seq(("hash", s"$path/hash", "l_orderkey")), removed)
+      val pass1 = mapping(mapping.keys.min)
+      qtyAsDouble(Store.readSnapshot(s, s"$path/manifest",
+        Map("hash" -> s"$path/hash"), Some(pass1)).get._2("hash"))
+    }),
     // cross-generation ERASURE: takedown repairs the latest generation,
     // but retention keeps prior passes that still hold the removed rows —
     // purgeGenerations rewrites EVERY retained generation (order
@@ -2452,16 +2474,25 @@ object SparkEntry {
     // keys, recomputed independently from the snapshots — no retained
     // generation may contain a removed key (spec-pinned in StoreSpec;
     // here the oracle pins the surviving content exactly)
-    "x_store_generation_purged" ->
-      s"""$snapshotsCte,
-         |delta AS (
-         |  SELECT n.* FROM enrichB n LEFT JOIN enrichA c
-         |    ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
-         |  WHERE c."KEY_HASH" IS NULL
-         |)
-         |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity)
-         |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)
-         |WHERE "INSERT_RUN_ID" <= '20240101100000' AND l_orderkey % 7 <> 0""".stripMargin)
+    "x_store_generation_purged" -> duckRun1PurgedSql,
+    // the remapped pass-1 manifest resolves the purged twin of the
+    // pass-1 hash-store generation: run-1 content minus the erased keys
+    // — the same statement through the snapshot axis
+    "x_store_manifest_purged" -> duckRun1PurgedSql)
+
+  /** Run-1 store content minus the erased keys — shared by the
+    * generation-purge and manifest-purge rows (both read "pass 1, after
+    * erasure" through different resolution axes). */
+  private lazy val duckRun1PurgedSql: String =
+    s"""$snapshotsCte,
+       |delta AS (
+       |  SELECT n.* FROM enrichB n LEFT JOIN enrichA c
+       |    ON n."KEY_HASH" = c."KEY_HASH" AND n."RECORD_HASH" = c."RECORD_HASH"
+       |  WHERE c."KEY_HASH" IS NULL
+       |)
+       |SELECT * REPLACE (CAST(quantity AS DOUBLE) AS quantity)
+       |FROM (SELECT * FROM enrichA UNION ALL BY NAME SELECT * FROM delta)
+       |WHERE "INSERT_RUN_ID" <= '20240101100000' AND l_orderkey % 7 <> 0""".stripMargin
 
   /** Batch-aware spans twin shared by the staged-build and purge rows:
     * the spansStream contract is prefix-asymmetric — a position of a doc

@@ -525,9 +525,16 @@ object Dedup {
     *
     * Cost: the affected SUFFIX of batches, each at its original batch
     * cost — bounded by takedown recency, not corpus size (a takedown of
-    * last week's ingest replays a week, not a year). Crash-safe the same
-    * way the stream is: per-batch partition overwrites of deterministic
-    * content — re-running the purge at any crash point converges.
+    * last week's ingest replays a week, not a year).
+    *
+    * Crash contract: the replay runs in two phases — spans and grams for
+    * the WHOLE suffix first, ids partitions last. The ids store is what
+    * `affected` derives from, so as long as any removed id remains
+    * there, a re-run replays the full remaining suffix; rewriting ids
+    * eagerly per batch would let a crash mid-suffix convince the re-run
+    * that nothing is left to repair while later batches still hold stale
+    * spans. All rewrites are deterministic partition overwrites, so
+    * re-running at any crash point converges to the survivor rebuild.
     *
     * @param survivors surviving documents' (idCol, textCol) — the
     *                  post-takedown document store; ids present in the
@@ -563,15 +570,22 @@ object Dedup {
         else {
           val docs = survivors.select(col(idCol).as("id"), col(textCol).as("t"))
           val replay = batches.filter(_ >= affected.min)
-          replay.foreach { b =>
+          // phase 1: spans + grams for the whole suffix (ids untouched,
+          // so a crash anywhere leaves `affected` derivable)
+          val survivorIds = replay.map { b =>
+            // the batch's original novel-id set minus the removed ids —
+            // localCheckpoint severs the lineage from the ids parquet so
+            // phase 2 can overwrite the partition it was read from; the
+            // inner join against the survivor store additionally drops
+            // ids whose documents are already gone (takedown deletes the
+            // doc store first)
+            b -> spark.read.parquet(idsPath)
+              .filter(col("ingest_batch") === b).select("id")
+              .join(ids, Seq("id"), "left_anti")
+              .localCheckpoint()
+          }
+          survivorIds.foreach { case (b, batchIds) =>
             graft.CacheScope.withScope { scope =>
-              // the batch's original novel-id set minus the removed ids;
-              // the inner join against the survivor store drops ids whose
-              // documents are already gone (defense in depth — takedown
-              // deletes the doc store first)
-              val batchIds = spark.read.parquet(idsPath)
-                .filter(col("ingest_batch") === b).select("id")
-                .join(ids, Seq("id"), "left_anti")
               val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
               // earlier iterations' rewrites are already on disk, so this
               // standing set is the repaired prefix — the cascade that
@@ -582,9 +596,11 @@ object Dedup {
                 .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
               spanGramsOf(batchDocs, "id", "t", k, stride, scope)
                 .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")
-              batchDocs.select("id").write.mode("overwrite")
-                .parquet(s"$idsPath/ingest_batch=$b")
             }
+          }
+          // phase 2: retire the removed ids from the ids store, ascending
+          survivorIds.foreach { case (b, batchIds) =>
+            batchIds.write.mode("overwrite").parquet(s"$idsPath/ingest_batch=$b")
           }
           replay
         }

@@ -433,27 +433,46 @@ object Store {
       idCol: String,
       partitionColumns: Seq[String] = Nil,
       graceMillis: Long = 0L): Map[Long, Long] = {
+    val mapping = purgeRewriteGenerations(spark, path, removed, idCol, partitionColumns)
+    if (mapping.isEmpty) return mapping
+    // grace window for readers pinned to pre-purge generations, then
+    // prune everything pre-purge
+    if (graceMillis > 0) Thread.sleep(graceMillis)
+    prunePrePurge(spark, path, mapping.values.min)
+    mapping
+  }
+
+  /** The rewrite half of [[purgeGenerations]]: every retained committed
+    * generation rewritten minus `removed`'s ids, ascending, each
+    * committed as a NEW generation — all pre-purge directories still
+    * stand afterwards (pinned readers untouched; [[purgeSnapshot]] needs
+    * this window to remap manifests before anything is pruned). */
+  private def purgeRewriteGenerations(
+      spark: SparkSession,
+      path: String,
+      removed: DataFrame,
+      idCol: String,
+      partitionColumns: Seq[String] = Nil): Map[Long, Long] = {
     import org.apache.spark.sql.functions.broadcast
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     val preGens = listGenerations(spark, path)
     if (preGens.isEmpty) return Map.empty
     val ids = broadcast(removed.select(col(removed.columns.head).as(idCol)).distinct())
-    // phase 1: rewrite every retained generation, ascending, each
-    // committed as a new generation — all pre-purge directories still
-    // stand, so pinned readers are untouched
-    val mapping = preGens.map { g =>
+    preGens.map { g =>
       val purged = readStoreGeneration(spark, path, g).join(ids, Seq(idCol), "left_anti")
       val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
       writeStore(purged, build.toString, partitionColumns)
       g -> commitGeneration(fs, root, build)
     }.toMap
-    // phase 2: grace window for readers pinned to pre-purge generations
-    if (graceMillis > 0) Thread.sleep(graceMillis)
-    // phase 3: prune EVERYTHING pre-purge — committed generations,
-    // uncommitted debris (a dead writer's partial files can hold removed
-    // rows too), stale builds, and swap-layout asides
-    val firstNew = mapping.values.min
+  }
+
+  /** Prune EVERYTHING pre-purge at `path`: committed generations below
+    * `firstNew`, uncommitted debris (a dead writer's partial files can
+    * hold removed rows too), stale builds, and swap-layout asides. */
+  private def prunePrePurge(spark: SparkSession, path: String, firstNew: Long): Unit = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
     fs.listStatus(root).toSeq.foreach { s =>
       val name = s.getPath.getName
       val preGen = name.startsWith(GenPrefix) &&
@@ -465,7 +484,6 @@ object Store {
       val aside = new Path(path + suffix)
       if (fs.exists(aside)) fs.delete(aside, true)
     }
-    mapping
   }
 
   /** Adopt a store previously written in the plain swap layout into the
@@ -630,6 +648,85 @@ object Store {
         name -> readStoreGeneration(spark, root, pins(name))
       }
     }
+  }
+
+  /** Compliance erasure ACROSS a manifest's stores — the composition of
+    * [[purgeGenerations]] with [[commitSnapshot]]: purging a pinned
+    * store renumbers its generations, which would leave every retained
+    * manifest naming pruned directories (snapshot reads would throw).
+    * This purges each store and then REWRITES the retained manifest
+    * history through the purge mappings: each manifest generation is
+    * re-committed in order with its pins remapped old→new, then the
+    * pre-purge manifests are pruned. Snapshot travel survives erasure —
+    * an old manifest still resolves a consistent cross-store pass, just
+    * minus the erased rows, which is exactly the legal-erasure contract
+    * ("history preserved, erased subjects gone").
+    *
+    * Crash contract: NOTHING is pruned until the stores are rewritten
+    * AND every retained manifest is remapped — a crash at any point
+    * leaves the old generations and old manifests fully standing, so
+    * readers never dangle and a re-run converges to a correct,
+    * fully-erased state (the re-run re-purges the crashed run's twins
+    * too, so passes the crashed run already remapped can appear twice in
+    * the surviving history — duplicate entries of identical content, the
+    * only artifact of the window). A pin outside a store's purge mapping
+    * can therefore only mean the generation was pruned BEFORE this purge
+    * (retention misalignment) — it fails loudly rather than guess.
+    * Writers must be quiesced, as for [[purgeGenerations]].
+    *
+    * @param stores (name, root, idColumn) for every store holding
+    *               subject rows; stores the manifests pin but this list
+    *               omits are left untouched and keep their original pins
+    * @return old manifest generation -> its rewritten replacement
+    */
+  def purgeSnapshot(
+      spark: SparkSession,
+      manifestPath: String,
+      stores: Seq[(String, String, String)],
+      removed: DataFrame,
+      graceMillis: Long = 0L): Map[Long, Long] = {
+    import spark.implicits._
+    require(stores.map(_._1).distinct.size == stores.size, "store names must be unique")
+    val preManifests = listGenerations(spark, manifestPath)
+    if (preManifests.isEmpty) return Map.empty
+    // phase 1: rewrite every store's retained generations — NO pruning
+    // yet, the old directories back the manifests until phase 2 is done
+    val mappings: Map[String, Map[Long, Long]] = stores.map {
+      case (name, root, idCol) =>
+        name -> purgeRewriteGenerations(spark, root, removed, idCol)
+    }.toMap
+    // phase 2: rewrite the manifest history through the mappings, in
+    // order — every retained manifest keeps meaning "one consistent
+    // pass", now of the purged twins
+    val fs = FileSystem.get(new URI(manifestPath), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(manifestPath)
+    val manifestMapping = preManifests.map { m =>
+      val pins = readStoreGeneration(spark, manifestPath, m)
+        .select("store", "generation")
+        .collect().map(r => r.getString(0) -> r.getLong(1)) // one row per store
+      val remapped = pins.map { case (name, gen) =>
+        mappings.get(name) match {
+          case None => (name, gen) // a store this purge was not asked to touch
+          case Some(mapping) => mapping.get(gen) match {
+            case Some(ng) => (name, ng)
+            case None => throw new IllegalStateException(
+              s"manifest generation $m of $manifestPath pins $name@$gen, which was pruned " +
+                "before this purge — refusing to guess what it meant")
+          }
+        }
+      }
+      val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
+      writeStore(remapped.toSeq.toDF("store", "generation").coalesce(1), build.toString, Nil)
+      m -> commitGeneration(fs, root, build)
+    }.toMap
+    // phase 3: grace for in-flight readers, then prune everything
+    // pre-purge — store generations AND manifests in one sweep
+    if (graceMillis > 0) Thread.sleep(graceMillis)
+    stores.foreach { case (name, storeRoot, _) =>
+      if (mappings(name).nonEmpty) prunePrePurge(spark, storeRoot, mappings(name).values.min)
+    }
+    prunePrePurge(spark, manifestPath, manifestMapping.values.min)
+    manifestMapping
   }
 
   /** Run travel ACROSS generations: run-based time travel

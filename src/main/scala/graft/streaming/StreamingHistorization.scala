@@ -437,6 +437,49 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming takedown over the SPANS stores — the removal direction of
+    * [[spansStream]], completing its maintenance story the way
+    * [[takedownStream]] completes [[clusterMaintainStream]]'s. Per
+    * micro-batch of removed ids: delete the ids' documents from the
+    * document store (the survivor source the replay reads), then repair
+    * the three spans stores via
+    * [[graft.operators.Dedup.purgeSpanStores]] — the affected batch
+    * suffix replays over survivors, so survivor spans that existed only
+    * through a removed doc's grams die too.
+    *
+    * Replay safety: the doc-store delete is idempotent, and the purge's
+    * two-phase replay derives its work from the ids store, which is
+    * rewritten LAST — at every crash point a re-delivered removal finds
+    * either ids still standing (full remaining suffix replays,
+    * deterministic content) or the repair complete (empty affected set,
+    * identity). Cost per batch: the affected suffix at original batch
+    * cost — takedown recency, never corpus size. */
+  def spansTakedownStream(
+      removals: DataFrame,
+      docsPath: String,
+      idCol: String,
+      textCol: String,
+      gramsPath: String,
+      idsPath: String,
+      spansPath: String,
+      checkpoint: String,
+      k: Int = 50,
+      stride: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+    removals.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val ids = batch.dropDuplicates()
+        Store.deleteFromStore(session, docsPath, ids, idCol)
+        val survivors = Store.readParquetSafe(session, docsPath).getOrElse(
+          session.range(0).select(col("id").cast("long").as(idCol),
+            lit("").as(textCol)))
+        graft.operators.Dedup.purgeSpanStores(session, ids, survivors,
+          idCol, textCol, gramsPath, idsPath, spansPath, k, stride)
+        ()
+      }
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

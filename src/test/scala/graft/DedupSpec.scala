@@ -530,6 +530,42 @@ class DedupSpec extends SparkSpec {
     assert(again === Seq.empty, "removed id already gone from the ids store")
   }
 
+  test("purgeSpanStores crash window: phase-1 rewrites without the ids rewrite still replay fully") {
+    // the two-phase contract: spans+grams rewrite first, ids LAST. A
+    // crash after phase 1 leaves repaired spans/grams but the removed id
+    // still in the ids store — the re-delivered purge must see a
+    // non-empty affected set and replay (deterministically, to the same
+    // content), not conclude the repair is done
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-crash").toString
+    val b0 = Seq((1L, "aaaaaaaaaaZZZZ"), (2L, "aaaaaaaaaaQQQQ")).toDF("id", "t")
+    val b1 = Seq((3L, "ddddddddddPPPP"), (4L, "ddddddddddRRRR")).toDF("id", "t")
+    val empty = spark.range(0).select($"id".as("gh"))
+    Dedup.incrementalDuplicatedSpans(b0, "id", "t", empty, k = 10)
+      .write.parquet(s"$dir/spans/ingest_batch=0")
+    Dedup.spanGramsOf(b0, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=0")
+    b0.select("id").write.parquet(s"$dir/ids/ingest_batch=0")
+    Dedup.incrementalDuplicatedSpans(
+        b1, "id", "t", spark.read.parquet(s"$dir/grams"), k = 10)
+      .write.parquet(s"$dir/spans/ingest_batch=1")
+    Dedup.spanGramsOf(b1, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=1")
+    b1.select("id").write.parquet(s"$dir/ids/ingest_batch=1")
+    // hand-craft the phase-1-complete crash state: batch 1's spans and
+    // grams already rewritten to survivor content, ids untouched
+    val b1s = b1.filter($"id" =!= 3L)
+    Dedup.incrementalDuplicatedSpans(b1s, "id", "t",
+        spark.read.parquet(s"$dir/grams").filter($"ingest_batch" < 1).select("gh"), k = 10)
+      .write.mode("overwrite").parquet(s"$dir/spans/ingest_batch=1")
+    Dedup.spanGramsOf(b1s, "id", "t", k = 10)
+      .write.mode("overwrite").parquet(s"$dir/grams/ingest_batch=1")
+    val survivors = b0.union(b1s)
+    val replayed = Dedup.purgeSpanStores(spark, Seq(3L).toDF("id"), survivors,
+      "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
+    assert(replayed === Seq(1L), "the re-run must still see batch 1 as affected")
+    assert(spark.read.parquet(s"$dir/spans").filter($"ingest_batch" === 1).count() === 0)
+    assert(spark.read.parquet(s"$dir/ids").filter($"ingest_batch" === 1)
+      .select("id").as[Long].collect().toSet === Set(4L))
+  }
+
   test("removeDocs purgeRetained scrubs the removed ids from every retained labels generation") {
     // the r11 caveat: with labelsGenerations > 1 the repair commits a new
     // labels generation but retention keeps prior passes that still hold

@@ -451,6 +451,81 @@ class StoreSpec extends SparkSpec {
     assert(after("b").select("v").as[String].head() === "p2")
   }
 
+  test("purgeSnapshot: erasure preserves the manifest history, minus the erased rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_purge").toString
+    def pass(rows: Seq[Long], tag: String) = Seq(
+      ("subj", s"$dir/subj", rows.map(i => (i, tag)).toDF("id", "v")),
+      ("stats", s"$dir/stats", Seq((tag, rows.size)).toDF("tag", "n")))
+    val m1 = Store.commitSnapshot(spark, s"$dir/m", pass(1L to 20L, "p1"))
+    val m2 = Store.commitSnapshot(spark, s"$dir/m", pass(1L to 30L, "p2"))
+    val paths = Map("subj" -> s"$dir/subj", "stats" -> s"$dir/stats")
+    val mapping = Store.purgeSnapshot(spark, s"$dir/m",
+      Seq(("subj", s"$dir/subj", "id")), Seq(7L, 13L).toDF("id"))
+    // history preserved: both manifests rewritten, in order, old pruned
+    assert(mapping.keySet === Set(m1, m2))
+    assert(mapping(m1) < mapping(m2))
+    assert(Store.listGenerations(spark, s"$dir/m").toSet === mapping.values.toSet)
+    // the remapped pass-1 manifest resolves pass 1 minus the erased ids,
+    // with the UNTOUCHED stats store still pinned to its pass-1 row
+    val (_, p1) = Store.readSnapshot(spark, s"$dir/m", paths, Some(mapping(m1))).get
+    assert(p1("subj").select("id").as[Long].collect().toSet ===
+      (1L to 20L).filterNot(Set(7L, 13L)).toSet)
+    assert(p1("stats").select("tag").as[String].head() === "p1")
+    // latest resolves pass 2 minus the erased ids
+    val (_, p2) = Store.readSnapshot(spark, s"$dir/m", paths).get
+    assert(p2("subj").select("id").as[Long].collect().toSet ===
+      (1L to 30L).filterNot(Set(7L, 13L)).toSet)
+    assert(p2("stats").select("tag").as[String].head() === "p2")
+    // no retained generation of the subject store holds an erased id
+    Store.listGenerations(spark, s"$dir/subj").foreach { g =>
+      val got = Store.readStoreGeneration(spark, s"$dir/subj", g)
+        .select("id").as[Long].collect().toSet
+      assert(!got.contains(7L) && !got.contains(13L), s"generation $g leaks erased ids")
+    }
+    // empty manifest store -> nothing to do
+    assert(Store.purgeSnapshot(spark, s"$dir/none",
+      Seq(("subj", s"$dir/subj", "id")), Seq(7L).toDF("id")) === Map.empty)
+  }
+
+  test("purgeSnapshot crash window: a run after a mid-purge crash still converges") {
+    // nothing is pruned until stores are rewritten AND manifests are
+    // remapped — so a crash that left purged store twins WITHOUT manifest
+    // remaps keeps the old generations standing, and a re-run resolves
+    // every old pin and finishes the erasure
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_crash").toString
+    def pass(rows: Seq[Long], tag: String) = Seq(
+      ("subj", s"$dir/subj", rows.map(i => (i, tag)).toDF("id", "v")))
+    val m1 = Store.commitSnapshot(spark, s"$dir/m", pass(1L to 20L, "p1"), keep = 4)
+    val m2 = Store.commitSnapshot(spark, s"$dir/m", pass(1L to 30L, "p2"), keep = 4)
+    // the crashed run: subject generations rewritten minus id 7, nothing
+    // pruned, manifests untouched
+    Store.writeStoreGeneration(
+      (1L to 20L).filterNot(_ == 7L).map(i => (i, "p1")).toDF("id", "v"),
+      s"$dir/subj", keep = 10)
+    Store.writeStoreGeneration(
+      (1L to 30L).filterNot(_ == 7L).map(i => (i, "p2")).toDF("id", "v"),
+      s"$dir/subj", keep = 10)
+    // old manifests still resolve (old generations stand)
+    val paths = Map("subj" -> s"$dir/subj")
+    assert(Store.readSnapshot(spark, s"$dir/m", paths, Some(m1)).get
+      ._2("subj").count() === 20)
+    // the recovery run completes the erasure
+    val mapping = Store.purgeSnapshot(spark, s"$dir/m", Seq(("subj", s"$dir/subj", "id")),
+      Seq(7L).toDF("id"))
+    assert(mapping.keySet === Set(m1, m2))
+    Store.listGenerations(spark, s"$dir/subj").foreach { g =>
+      assert(!Store.readStoreGeneration(spark, s"$dir/subj", g)
+        .select("id").as[Long].collect().contains(7L), s"generation $g leaks")
+    }
+    Store.listGenerations(spark, s"$dir/m").foreach { m =>
+      val (_, pinned) = Store.readSnapshot(spark, s"$dir/m", paths, Some(m)).get
+      val got = pinned("subj").select("id").as[Long].collect().toSet
+      assert(!got.contains(7L))
+      assert(got === (1L to got.max).filterNot(_ == 7L).toSet,
+        s"manifest $m resolves a torn pass: $got")
+    }
+  }
+
   test("purgeGenerations scrubs removed ids from every retained generation") {
     val path = java.nio.file.Files.createTempDirectory("graft_gen_purge").toString + "/store"
     val g1 = Store.writeStoreGeneration(

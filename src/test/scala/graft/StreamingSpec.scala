@@ -364,6 +364,53 @@ class StreamingSpec extends SparkSpec {
     assert(slurp(dirA, "spans", spanCols).nonEmpty)
   }
 
+  test("spans takedown stream repairs the spans family and absorbs re-delivery") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("graft-spans-td").toString
+    (0 to 2).foreach(b => docs.filter($"doc_id" % 3 === b).write.parquet(s"$dir/in/d$b"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.spansStream(
+      stream, "doc_id", "text",
+      s"$dir/grams", s"$dir/ids", s"$dir/spans", s"$dir/chk", k = 20))
+    docs.write.parquet(s"$dir/docs")
+    // the takedown feed: every 7th doc
+    docs.filter($"doc_id" % 7 === 0).select("doc_id").write.parquet(s"$dir/rm/d0")
+    def takedown(chk: String): Unit = {
+      val feed = spark.readStream
+        .schema(docs.select("doc_id").schema).parquet(s"$dir/rm/*")
+      StreamingHistorization.runOnce(StreamingHistorization.spansTakedownStream(
+        feed, s"$dir/docs", "doc_id", "text",
+        s"$dir/grams", s"$dir/ids", s"$dir/spans", chk, k = 20))
+    }
+    takedown(s"$dir/chk_rm")
+    // re-delivery: a fresh checkpoint re-applies the same removal — must
+    // be the identity (ids already gone everywhere)
+    takedown(s"$dir/chk_rm2")
+    // all three stores equal the survivor-stream rebuild
+    val survivors = docs.filter($"doc_id" % 7 =!= 0)
+    val dirB = Files.createTempDirectory("graft-spans-td-rebuild").toString
+    (0 to 2).foreach(b =>
+      survivors.filter($"doc_id" % 3 === b).write.parquet(s"$dirB/in/d$b"))
+    val streamB = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dirB/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.spansStream(
+      streamB, "doc_id", "text",
+      s"$dirB/grams", s"$dirB/ids", s"$dirB/spans", s"$dirB/chk", k = 20))
+    def slurp(d: String, store: String, cols: Seq[String]) =
+      spark.read.parquet(s"$d/$store").select(cols.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSet
+    assert(slurp(dir, "spans", Seq("doc_id", "span_start", "span_end", "ingest_batch")) ===
+      slurp(dirB, "spans", Seq("doc_id", "span_start", "span_end", "ingest_batch")))
+    assert(slurp(dir, "ids", Seq("id", "ingest_batch")) ===
+      slurp(dirB, "ids", Seq("id", "ingest_batch")))
+    assert(slurp(dir, "grams", Seq("gh", "ingest_batch")) ===
+      slurp(dirB, "grams", Seq("gh", "ingest_batch")))
+    // and the doc store lost exactly the removed docs
+    assert(spark.read.parquet(s"$dir/docs").count() === survivors.count())
+  }
+
   test("streaming cluster maintenance converges to the full-recompute labeling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)
