@@ -36,3 +36,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Local-diagnosis knob (the driver never sets it): extra JVM flags for
+// the forked run/test JVM, e.g. SPARK_GRAFT_JVM_EXTRA="-Xlog:safepoint"
+// to chase scheduler/GC stalls in a bench run.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

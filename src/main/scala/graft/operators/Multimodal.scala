@@ -122,6 +122,105 @@ object Multimodal {
       unhex(md5(concat(col("payload"),
         lit(s"#${width}x$height").cast("binary")))).as("payload"))
 
+  /** REAL image resize behind the [[resizeStub]] schema — the second
+    * production-true media path after [[perceptualHashImage]]: payloads
+    * with a known image magic decode through `javax.imageio` (public JDK
+    * API), scale into the target box with bilinear interpolation, and
+    * re-encode as PNG; non-image payloads keep the stub derivation
+    * byte-for-byte (so mixed fixtures stay deterministic); decode or
+    * encode failures land in `decode_error` with a null payload, never
+    * throw. Per-partition like every media kernel: a task decodes its
+    * batch of blobs locally, no shuffle, input partitioning preserved.
+    *
+    * Output (id, width, height, payload, decode_error). */
+  def resizeImage(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1, "target box must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map[(Long, Int, Int, Array[Byte], Option[String])] { case (id, payload) =>
+          if (payload == null) (id, width, height, null, None)
+          else imageMagic(payload) match {
+            case None =>
+              // the stub derivation, byte-identical to [[resizeStub]]
+              md.reset()
+              (id, width, height,
+                md.digest(payload ++ s"#${width}x$height".getBytes("UTF-8")), None)
+            case Some(fmt) =>
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload))
+                if (img == null)
+                  (id, width, height, null,
+                    Some(s"$fmt: no ImageIO reader decoded the payload"))
+                else {
+                  val out = new java.awt.image.BufferedImage(
+                    width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = out.createGraphics()
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, width, height, null)
+                  g.dispose()
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(out, "png", bos)
+                  (id, width, height, bos.toByteArray, None)
+                }
+              } catch {
+                case e: Exception =>
+                  (id, width, height, null,
+                    Some(s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+              }
+          }
+        }
+      }.toDF("id", "width", "height", "payload", "decode_error")
+  }
+
+  /** REAL audio metadata — the third production-true media path (after
+    * [[perceptualHashImage]] and [[resizeImage]]): RIFF/WAVE payloads
+    * parse through `javax.sound.sampled` (public JDK API — WAV/PCM needs
+    * no external codec): sample rate, channels, sample bits, frame count
+    * and duration; malformed audio quarantines in `decode_error`;
+    * non-audio payloads pass through flagged `is_audio = false` with
+    * null metadata and NO error (a mixed corpus is not an error
+    * condition). Per-partition, no shuffle, like every media kernel.
+    *
+    * Output (id, is_audio, sample_rate, channels, bits, frames,
+    * duration_ms, decode_error). */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map[(Long, Boolean, Option[Float], Option[Int], Option[Int],
+            Option[Long], Option[Double], Option[String])] { case (id, payload) =>
+          val isWav = payload != null && payload.length >= 12 &&
+            payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+            payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+            payload(10) == 'V' && payload(11) == 'E'
+          if (!isWav) (id, false, None, None, None, None, None, None)
+          else try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val f = in.getFormat
+            val frames = in.getFrameLength
+            val durMs =
+              if (frames >= 0 && f.getSampleRate > 0)
+                Some(frames * 1000.0 / f.getSampleRate)
+              else None
+            (id, true, Some(f.getSampleRate), Some(f.getChannels),
+              Some(f.getSampleSizeInBits), Some(frames), durMs, None)
+          } catch {
+            case e: Exception =>
+              (id, true, None, None, None, None, None,
+                Some(s"wav: ${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+        }
+      }.toDF("id", "is_audio", "sample_rate", "channels", "bits", "frames",
+        "duration_ms", "decode_error")
+  }
+
   /** STUB frame sampling: every `stride`-th "frame" of a fake video =
     * md5 digests of fixed-size byte windows. Real frame extraction keeps
     * the same per-partition batch shape and output schema

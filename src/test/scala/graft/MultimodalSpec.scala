@@ -125,6 +125,67 @@ class MultimodalSpec extends SparkSpec {
     assert(viaJpeg === ((2L, Some(expected), None)))
   }
 
+  test("real image resize: scales into the target box, quarantines corrupt payloads, stubs non-images") {
+    // a solid-red PNG survives any interpolation exactly: every output
+    // pixel must still be pure red at the new dimensions
+    val red = pngBytes(3, 3)((_, _) => 0xff0000)
+    val corrupt = red.take(12)
+    val textPayload = "not an image at all".getBytes("UTF-8")
+    val media = Seq(
+      (1L, red), (2L, corrupt), (3L, textPayload), (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val rows = Multimodal.resizeImage(media, 6, 4)
+      .as[(Long, Int, Int, Array[Byte], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // the real path: decoded output is a 6x4 all-red PNG
+    val (w, h, resized, err) = rows(1L)
+    assert((w, h) === ((6, 4)) && err.isEmpty)
+    val out = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(out.getWidth === 6 && out.getHeight === 4)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert((out.getRGB(x, y) & 0xffffff) === 0xff0000, s"pixel ($x,$y) not red")
+    // corrupt image magic: quarantined, payload null, never thrown
+    assert(rows(2L)._3 === null && rows(2L)._4.exists(_.startsWith("png")))
+    // non-image: byte-identical to the stub derivation
+    val stub = Multimodal.resizeStub(
+        Seq((3L, textPayload)).toDF("id", "payload"), 6, 4)
+      .select("payload").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(rows(3L)._3, stub))
+    assert(rows(3L)._4.isEmpty)
+    // null payload: null out, no error
+    assert(rows(4L)._3 === null && rows(4L)._4.isEmpty)
+  }
+
+  test("real audio parse: WAV metadata from javax.sound, quarantine, non-audio passthrough") {
+    // a genuine 1-second mono 16-bit 8 kHz WAV generated through the
+    // same public JDK API a producer would use
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](8000 * 2) // 8000 frames of silence
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val corrupt = wav.take(16) // RIFF/WAVE magic intact, body truncated
+    val media = Seq(
+      (1L, wav), (2L, corrupt), (3L, "not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "payload")
+    val rows = Multimodal.audioMeta(media)
+      .as[(Long, Boolean, Option[Float], Option[Int], Option[Int],
+        Option[Long], Option[Double], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    // real parse: 8 kHz, mono, 16-bit, 8000 frames, 1000 ms
+    assert(rows(1L) === ((1L, true, Some(8000f), Some(1), Some(16),
+      Some(8000L), Some(1000.0), None)))
+    // truncated body: flagged audio, metadata quarantined, never thrown
+    assert(rows(2L)._2 === true && rows(2L)._8.exists(_.startsWith("wav")))
+    // non-audio and null payloads: passthrough, no error
+    assert(rows(3L) === ((3L, false, None, None, None, None, None, None)))
+    assert(rows(4L) === ((4L, false, None, None, None, None, None, None)))
+  }
+
   test("real image decode: magic routing, quarantine on corrupt payloads, stub for non-images") {
     val png = pngBytes(8, 8)((x, y) => if ((x + y) % 2 == 0) 0x000000 else 0xffffff)
     // a payload that CLAIMS png by magic but is truncated garbage
