@@ -7,7 +7,7 @@ import graft.meta.{Currents, MetaColumns => M}
 import graft.operators._
 import graft.operators.Scd2.ValidFromMode
 import graft.pipeline.Historization
-import graft.sources.{Store, Tables}
+import graft.sources.{Store, StoreIndex, Tables}
 
 /** Driver contract: one registered query per implemented operator
   * (SURVEY.md §2 + north-star extensions), each with DuckDB-equivalent
@@ -405,6 +405,31 @@ object SparkEntry {
     root
   }
 
+  /** Staged range-sorted lineitem store with its file-stats manifest
+    * ([[graft.sources.StoreIndex.writeStoreSorted]]): the data-layout
+    * artifact a production store maintains at write/compaction time so
+    * selective reads touch only the files that can hold the answer.
+    * Built once per corpus generation through the CAS commit (the
+    * manifest records basenames, so it survives the commit rename). */
+  private def stagedSortedLineitemPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/lineitem_sorted_f16"
+    Store.readOrCreateWith(s, path)(dir =>
+      StoreIndex.writeStoreSorted(
+        Tables.lineitem(s, d), dir, Seq("l_orderkey"), numFiles = 16))
+    path
+  }
+
+  /** Staged Z-ordered lineitem store on (l_partkey, l_suppkey): the
+    * two-dimensional layout twin — per-file ranges tight on BOTH columns,
+    * so [[graft.sources.StoreIndex.readStoreBox]] prunes either axis. */
+  private def stagedZOrderLineitemPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/lineitem_zorder_f16"
+    Store.readOrCreateWith(s, path)(dir =>
+      StoreIndex.writeStoreZOrdered(
+        Tables.lineitem(s, d), dir, "l_partkey", "l_suppkey", numFiles = 16))
+    path
+  }
+
   /** Scratch store write for the `x_stage_build_*` accounting rows: these
     * rows measure BUILD cost (compute + persist) honestly on every run,
     * so they write to a throwaway path instead of the shared staging root
@@ -440,6 +465,8 @@ object SparkEntry {
     stagedPhashPairs(s, d, 16, 2).count()
     stagedSpanStores(s, d)
     stagedManifestSnapshot(s, d)
+    stagedSortedLineitemPath(s, d)
+    stagedZOrderLineitemPath(s, d)
     ()
   }
 
@@ -696,6 +723,35 @@ object SparkEntry {
         .filter(pmod(col("l_orderkey"), lit(7)) === 0)
       val mapping = Store.purgeGenerations(s, path, removed, "l_orderkey")
       qtyAsDouble(Store.readStoreGeneration(s, path, mapping(mapping.keys.min)))
+    }),
+    // file-skipping manifest read: a range over the SORT key of the
+    // staged range-sorted store — the driver-side manifest proves which
+    // of the 16 files can intersect [1000, 1999] (file-level pruning,
+    // before any footer is opened), the exact predicate re-applies over
+    // the kept files, so the result is row-identical to a full filtered
+    // scan — which is exactly what the oracle computes
+    "x_store_skipping" -> ((s, d) =>
+      StoreIndex.readStoreSkipping(
+        s, stagedSortedLineitemPath(s, d), "l_orderkey", 1000L, 1999L)),
+    // two-dimensional box over the Z-ordered store: BOTH range predicates
+    // prune through the per-file stats (the Z-layout keeps min/max tight
+    // on both columns; a single-column sort would leave the second
+    // column's per-file range spanning the whole domain)
+    "x_store_zorder_box" -> ((s, d) =>
+      StoreIndex.readStoreBox(s, stagedZOrderLineitemPath(s, d),
+        "l_partkey", 100L, 299L, "l_suppkey", 10L, 39L)),
+    // layout-build accounting row: sort + write + manifest scan, honest
+    // cost of the artifact the two reads above amortize. The returned
+    // row aggregates the MANIFEST — its totals must reproduce the
+    // table's, which is the faithfulness property skipping depends on
+    "x_stage_build_sorted" -> ((s, d) => {
+      val path = "/tmp/graft_scratch/lineitem_sorted_f16"
+      StoreIndex.writeStoreSorted(
+        Tables.lineitem(s, d), path, Seq("l_orderkey"), numFiles = 16)
+      s.read.parquet(StoreIndex.statsManifestPath(path)).agg(
+        sum("n_rows").as("n_rows"),
+        min("min_l_orderkey").as("min_k"), max("max_l_orderkey").as("max_k"),
+        sum("nulls_l_orderkey").as("n_nulls"))
     }),
     // soft-delete stamping: run 2 delivers a SHRUNK full snapshot (every
     // 3rd order key vanished); instead of dropping the vanished keys'
@@ -2478,7 +2534,19 @@ object SparkEntry {
     // the remapped pass-1 manifest resolves the purged twin of the
     // pass-1 hash-store generation: run-1 content minus the erased keys
     // — the same statement through the snapshot axis
-    "x_store_manifest_purged" -> duckRun1PurgedSql)
+    "x_store_manifest_purged" -> duckRun1PurgedSql,
+    // skipping reads are row-identical to the full filtered scan —
+    // the pruning is a fast-path, never a semantic
+    "x_store_skipping" ->
+      "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 1999",
+    "x_store_zorder_box" ->
+      """SELECT * FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
+    // the manifest's totals must reproduce the table's (faithfulness)
+    "x_stage_build_sorted" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_k,
+        |       max(l_orderkey) AS max_k, CAST(0 AS BIGINT) AS n_nulls
+        |FROM lineitem""".stripMargin)
 
   /** Run-1 store content minus the erased keys — shared by the
     * generation-purge and manifest-purge rows (both read "pass 1, after

@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics index ("skipping manifest") and
+  * locality-preserving store layouts (range-sorted, Z-ordered) — the
+  * data-layout half of making a 100 TB store cheap to query.
+  *
+  * The reference rewrites its whole store per run and scans all of it per
+  * read (main.py:19-34) — at scale, read cost has to come down to the
+  * files that can actually contain the answer. Parquet already prunes ROW
+  * GROUPS via footer min/max once a filter is pushed, but the scan still
+  * opens every footer; at 100 TB / ~1M files, listing + footer reads
+  * dominate selective queries. Table formats (Delta, Iceberg) solve this
+  * with file-level column stats kept OUTSIDE the files and consulted on
+  * the driver before any footer is touched. This module is that shape on
+  * plain parquet:
+  *
+  *  - [[writeStoreSorted]] / [[writeStoreZOrdered]] lay the store out so
+  *    per-file [min, max] ranges of the query columns are TIGHT (range
+  *    partitioning concentrates each key range into few files; Z-ordering
+  *    interleaves two dimensions so BOTH stay tight), then record one
+  *    stats row per file in a `_stats` manifest next to the data
+  *    (underscore-prefixed → invisible to plain parquet readers).
+  *  - [[readStoreSkipping]] / [[readStoreBox]] consult the manifest on
+  *    the driver, read ONLY the files whose ranges intersect the
+  *    predicate, and re-apply the exact predicate — pruning is a
+  *    performance fast-path, never a correctness dependency: a missing or
+  *    stale manifest falls back to the full filtered scan, and null
+  *    handling is sound because a range predicate never matches NULL
+  *    (files whose stats are all-NULL skip; NULL rows inside kept files
+  *    fall to the re-applied filter).
+  *
+  * Scale contract: the manifest is O(files) — one short row per data file
+  * — the same driver-side metadata budget every table format pays. The
+  * layouts are one range shuffle at write time; reads shuffle nothing.
+  */
+object StoreIndex {
+
+  /** Z-value (Morton code) of two non-negative dimensions: the low
+    * `bitsPerDim` bits of `x` and `y` bit-interleaved (x in the odd
+    * positions), so lexicographic order on the result walks a Z-curve
+    * through the (x, y) plane and ranges of EITHER dimension stay
+    * clustered (Morton 1966; the layout key behind Delta/Iceberg
+    * Z-ordering). Built entirely from codegen'd bit functions — the
+    * unrolled OR-chain constant-folds into one whole-stage-codegen
+    * expression, no UDF. Values are clamped into [0, 2^bitsPerDim) so
+    * out-of-range inputs degrade to boundary locality instead of
+    * wrapping across the curve. */
+  def zValue(x: Column, y: Column, bitsPerDim: Int = 21): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim must be in [1, 31]")
+    val cap = (1L << bitsPerDim) - 1
+    def clamp(c: Column) = least(greatest(c.cast("long"), lit(0L)), lit(cap))
+    val cx = clamp(x)
+    val cy = clamp(y)
+    (0 until bitsPerDim).map { i =>
+      // bit i of x → position 2i+1; bit i of y → position 2i
+      shiftleft(cx.bitwiseAND(lit(1L << i)), i + 1)
+        .bitwiseOR(shiftleft(cy.bitwiseAND(lit(1L << i)), i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The manifest directory for a store — underscore-prefixed, so
+    * `spark.read.parquet(store)` never sees it as data. */
+  def statsManifestPath(path: String): String = s"$path/_stats"
+
+  /** Write `df` range-partitioned and sorted by `sortCols` into
+    * `numFiles` files, then record the per-file stats manifest over
+    * `statsCols` (default: the sort columns). Range partitioning (not
+    * hash) is what makes the manifest selective: each file covers one
+    * contiguous slice of the sort key, so a range predicate intersects
+    * few files. `numFiles` is the at-scale knob — size it to
+    * bytes/target-file-size exactly like [[Store.compactStore]]. */
+  def writeStoreSorted(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      numFiles: Int = 32,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    require(numFiles >= 1, "numFiles must be positive")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    writeStatsManifest(df.sparkSession, path,
+      if (statsCols.nonEmpty) statsCols else sortCols)
+  }
+
+  /** Write `df` laid out along the Z-curve of (`xCol`, `yCol`): range-
+    * partitioned and sorted by the interleaved [[zValue]], stats recorded
+    * for BOTH dimensions. A store sorted by x alone answers x-ranges well
+    * but every y-range touches every file; the Z-layout keeps per-file
+    * ranges tight in both, so [[readStoreBox]] prunes on either axis.
+    * The z column is layout-only — dropped before the write (projection
+    * preserves the per-partition sort). */
+  def writeStoreZOrdered(
+      df: DataFrame,
+      path: String,
+      xCol: String,
+      yCol: String,
+      numFiles: Int = 32,
+      bitsPerDim: Int = 21): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    val z = "__graft_z"
+    df.withColumn(z, zValue(col(xCol), col(yCol), bitsPerDim))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+      .write.mode("overwrite").parquet(path)
+    writeStatsManifest(df.sparkSession, path, Seq(xCol, yCol))
+  }
+
+  /** (Re)build the stats manifest for a FLAT parquet store (the layout
+    * [[writeStoreSorted]]/[[writeStoreZOrdered]] produce): one row per
+    * data file with `(file, n_rows, min_<c>, max_<c>, nulls_<c> …)` per
+    * stats column, native-typed so the reader compares with the column's
+    * own ordering semantics. File identity is the BASENAME (globally
+    * unique `part-NNNNN-<uuid>` under one write), so the manifest
+    * survives a directory rename — [[Store.readOrCreateWith]]'s CAS
+    * commit moves data and manifest together and both stay valid.
+    * One extra scan of the fresh store (stats columns only, map-side
+    * combined per file) — the write-time price of driver-side pruning. */
+  def writeStatsManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val data = spark.read.parquet(path)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+    }
+    data
+      .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file") +:
+        cols.map(col): _*)
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsManifestPath(path))
+  }
+
+  /** Basenames of the store's data files (flat layout; anything under an
+    * underscore/dot-prefixed directory — `_stats`, `_temporary` — is
+    * metadata, not data). Pure filesystem listing: no footer is opened. */
+  private def dataFileNames(spark: SparkSession, path: String): Set[String] = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+      .toSet
+  }
+
+  /** Files the manifest proves CAN intersect the per-column [lo, hi]
+    * ranges (conjunction across `ranges`), or None when the manifest is
+    * missing, lacks a queried column, or is STALE (its file set no longer
+    * equals the store's — e.g. after a compaction that didn't rebuild it)
+    * — the caller then full-scans, trading speed for unconditional
+    * correctness. */
+  private def candidateFiles(
+      spark: SparkSession,
+      path: String,
+      ranges: Seq[(String, Any, Any)]): Option[Seq[String]] = {
+    Store.readParquetSafe(spark, statsManifestPath(path)).flatMap { m =>
+      val haveStats = ranges.forall { case (c, _, _) =>
+        m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c")
+      }
+      if (!haveStats) None
+      else {
+        // bounded collects: one short row per data file — the same
+        // driver-side metadata budget a table format's planning pays
+        val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
+        if (manifestFiles != dataFileNames(spark, path)) None
+        else {
+          val pred = ranges.map { case (c, lo, hi) =>
+            col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+          }.reduce(_ && _)
+          Some(m.filter(pred).select("file").collect().map(_.getString(0)).toSeq)
+        }
+      }
+    }
+  }
+
+  /** Range read through the manifest: rows of the store at `path` with
+    * `c BETWEEN lo AND hi`, reading only the files whose recorded
+    * [min, max] intersects the range. Row-identical to the full filtered
+    * scan in every case — the exact predicate is re-applied over the kept
+    * files, and any manifest doubt (missing, stale, un-covered column)
+    * falls back to the full scan. */
+  def readStoreSkipping(
+      spark: SparkSession,
+      path: String,
+      c: String,
+      lo: Any,
+      hi: Any): DataFrame =
+    readStoreRanges(spark, path, Seq((c, lo, hi)))
+
+  /** Two-dimensional box read — the consumer [[writeStoreZOrdered]]'s
+    * layout exists for: both range predicates prune through the manifest,
+    * so a box touches only the files whose Z-curve slice crosses it. */
+  def readStoreBox(
+      spark: SparkSession,
+      path: String,
+      cx: String, xlo: Any, xhi: Any,
+      cy: String, ylo: Any, yhi: Any): DataFrame =
+    readStoreRanges(spark, path, Seq((cx, xlo, xhi), (cy, ylo, yhi)))
+
+  /** General conjunctive-range read over the manifest. */
+  def readStoreRanges(
+      spark: SparkSession,
+      path: String,
+      ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "ranges must be non-empty")
+    val full = spark.read.parquet(path)
+    val pred = ranges.map { case (c, lo, hi) => col(c).between(lit(lo), lit(hi)) }
+      .reduce(_ && _)
+    candidateFiles(spark, path, ranges) match {
+      case None => full.filter(pred)
+      case Some(keep) if keep.isEmpty =>
+        // provably-empty result with the store's schema, zero files read
+        full.filter(pred).limit(0)
+      case Some(keep) =>
+        spark.read.schema(full.schema)
+          .parquet(keep.map(f => s"$path/$f"): _*)
+          .filter(pred)
+    }
+  }
+}
