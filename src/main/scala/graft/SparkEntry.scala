@@ -1541,6 +1541,29 @@ object SparkEntry {
       Sketches.robustOutliers(
         Tables.events(s, d).select("event_id", "value"),
         "event_id", "value", threshold = 3.0, k = 256)),
+    // MERGED KMV synopses: three disjoint ingest batches each persist a
+    // ≤ 64-row synopsis; the roll-up (merge + estimate) must EQUAL the
+    // fresh whole-corpus estimate — the lossless-merge law that lets a
+    // store answer "distinct users so far" per batch without re-reading
+    // any shard. The oracle computes the fresh global estimate
+    "x_sketch_kmv_merged" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val parts = (0 to 2).map(b =>
+        Sketches.kmvSynopsis(ev.filter(pmod(col("event_id"), lit(3)) === b), "user_id", k = 64))
+      Sketches.kmvEstimate(Sketches.kmvMerge(parts, k = 64), k = 64)
+    }),
+    // MERGED Count-Min sketches: per-batch cell counts sum to exactly
+    // the fresh corpus sketch (counts are linear), so probing the merged
+    // cells answers the SAME estimates as x_sketch_cms — same oracle
+    "x_sketch_cms_merged" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val parts = (0 to 2).map(b =>
+        Sketches.cmsSketch(li.filter(pmod(col("l_orderkey"), lit(3)) === b),
+          "l_partkey", width = 256, depth = 4))
+      Sketches.cmsProbe(Sketches.cmsMerge(parts),
+        Tables.part(s, d).filter(col("p_partkey") % 50 === 0), "p_partkey",
+        width = 256, depth = 4)
+    }),
     // EXACT heavy hitters (bot/abuse detection shape): Misra-Gries
     // candidates (pass 1, bounded state) -> exact recount of candidates
     // (pass 2, broadcast). Output is exact regardless of sketch
@@ -2535,6 +2558,24 @@ object SparkEntry {
     // pass-1 hash-store generation: run-1 content minus the erased keys
     // — the same statement through the snapshot axis
     "x_store_manifest_purged" -> duckRun1PurgedSql,
+    // merged per-batch CMS cells ≡ fresh corpus sketch (linearity), so
+    // the probe answers the same estimates — same statement
+    "x_sketch_cms_merged" -> baseOracles("x_sketch_cms"),
+    // merged per-batch KMV synopses ≡ fresh global synopsis (lossless
+    // merge), so the estimate is the ungrouped x_sketch_distinct
+    "x_sketch_kmv_merged" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT ${duckHashUniform("user_id", "kmv")} AS u FROM events
+         |),
+         |r AS (
+         |  SELECT u, row_number() OVER (ORDER BY u) AS rn, count(*) OVER () AS nd
+         |  FROM u
+         |)
+         |SELECT round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |             ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END) END, 6)
+         |         AS est_distinct,
+         |       CAST(least(max(nd), 64) AS INT) AS n_kept
+         |FROM r""".stripMargin,
     // skipping reads are row-identical to the full filtered scan —
     // the pruning is a fast-path, never a semantic
     "x_store_skipping" ->

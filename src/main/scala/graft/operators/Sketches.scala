@@ -48,6 +48,57 @@ object Sketches {
       .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_kept")): _*)
   }
 
+  /** KMV SYNOPSIS of one shard/batch of a corpus: the ≤ k smallest
+    * DISTINCT hash-uniforms of `valueCol`, one row each — the mergeable,
+    * persistable form of [[approxDistinctKmv]]'s state. A production
+    * store keeps one synopsis per ingest batch (or partition) and
+    * answers "distinct so far" by [[kmvMerge]] + [[kmvEstimate]] without
+    * re-reading ANY shard — the roll-up pattern every batch-cost
+    * incremental statistic here follows (Bloom synopsis, band index).
+    * Bounded state: the aggregation is map-side combined at ≤ 4k doubles
+    * per partial; the output is ≤ k rows regardless of shard size. */
+  def kmvSynopsis(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 64,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val kmv = udaf(graft.functions.KmvAggregator(k))
+    df.select(Sampling.hashUniform(col(valueCol), salt).as("__u"))
+      .agg(kmv(col("__u")).as("__mins"))
+      .select(explode(col("__mins")).as("u"))
+  }
+
+  /** EXACT merge of KMV synopses: the k smallest distinct uniforms of
+    * the union. Lossless by the synopsis invariant — any uniform among
+    * the k global smallest is among its own shard's k smallest, so the
+    * merge of per-shard synopses carries every value the whole-corpus
+    * synopsis would ([[kmvEstimate]] over the merge therefore EQUALS the
+    * fresh whole-corpus estimate, not approximates it — the property the
+    * oracle pins). Input frames are ≤ k rows each; nothing here scales
+    * with the data. */
+  def kmvMerge(synopses: Seq[DataFrame], k: Int = 64): DataFrame = {
+    require(synopses.nonEmpty, "need at least one synopsis")
+    require(k >= 2, "k must be at least 2")
+    val kmv = udaf(graft.functions.KmvAggregator(k))
+    synopses.reduce(_ unionByName _)
+      .agg(kmv(col("u")).as("__mins"))
+      .select(explode(col("__mins")).as("u"))
+  }
+
+  /** Distinct-count estimate from a (possibly merged) synopsis — the
+    * same (k-1)/U(k) estimator [[approxDistinctKmv]] applies inline,
+    * exact below k. One row: (est_distinct rounded to 6, n_kept). */
+  def kmvEstimate(synopsis: DataFrame, k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    synopsis.agg(sort_array(collect_list(col("u"))).as("__mins"))
+      .withColumn("n_kept", least(size(col("__mins")), lit(k)))
+      .withColumn("est_distinct",
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("__mins"), k)), 6))
+      .select(col("est_distinct"), col("n_kept"))
+  }
+
   /** Bucket index of `item` under the sketch's j-th hash row: a 60-bit
     * md5 prefix of s"$item#$salt#$j" reduced mod `width` — deterministic
     * and engine-reproducible (the DuckDB oracle mirrors it digit for
@@ -103,14 +154,38 @@ object Sketches {
       candidateCol: String,
       width: Int = 1024,
       depth: Int = 4,
+      salt: String = "cms"): DataFrame =
+    cmsProbe(cmsSketch(corpus, itemCol, width, depth, salt),
+      candidates, candidateCol, width, depth, salt)
+
+  /** Probe an ALREADY-BUILT (j, b, c) sketch — fresh from [[cmsSketch]],
+    * read back from a store, or rolled up by [[cmsMerge]] — for a
+    * candidate set's estimated counts. Must be called with the width/
+    * depth/salt the sketch was built with (the bucket derivation is the
+    * contract between build and probe). */
+  def cmsProbe(
+      sketch: DataFrame,
+      candidates: DataFrame,
+      candidateCol: String,
+      width: Int = 1024,
+      depth: Int = 4,
       salt: String = "cms"): DataFrame = {
-    val sketch = cmsSketch(corpus, itemCol, width, depth, salt)
     val probeBuckets = array((0 until depth).map(j => cmsBucket(col(candidateCol), j, width, salt)): _*)
     candidates.select(col(candidateCol)).filter(col(candidateCol).isNotNull).distinct()
       .select(col(candidateCol), posexplode(probeBuckets).as(Seq("j", "b")))
       .join(sketch, Seq("j", "b"), "left_outer")
       .groupBy(candidateCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+  }
+
+  /** EXACT merge of Count-Min sketches over disjoint shards: cell-wise
+    * sum. Counts are linear in the rows, so the merged cells EQUAL the
+    * cells a fresh sketch over the union would hold — per-batch sketches
+    * in a store roll up to the corpus sketch without re-reading any
+    * batch. Bounded: each input is ≤ depth × width rows. */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ unionByName _).groupBy("j", "b").agg(sum("c").as("c"))
   }
 
   /** EXACT heavy hitters — every item whose share of the non-null rows is

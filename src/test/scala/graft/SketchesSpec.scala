@@ -169,4 +169,42 @@ class SketchesSpec extends SparkSpec {
     val const = (0 until 50).map(i => (i.toLong, 7.0)).toDF("id", "v")
     assert(Sketches.robustOutliers(const, "id", "v").count() === 0)
   }
+
+  test("kmv synopsis merge is lossless: merged estimate equals the fresh global estimate") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val k = 32
+    // three disjoint batches by event_id; per-batch synopses merged
+    val parts = (0 to 2).map(b =>
+      Sketches.kmvSynopsis(events.filter(pmod(col("event_id"), lit(3)) === b), "user_id", k))
+    val merged = Sketches.kmvEstimate(Sketches.kmvMerge(parts, k), k)
+      .as[(Double, Int)].head()
+    val fresh = Sketches.kmvEstimate(Sketches.kmvSynopsis(events, "user_id", k), k)
+      .as[(Double, Int)].head()
+    assert(merged === fresh, "merge must be exact, not approximate")
+    // sub-k shard: synopsis is the full distinct set, merge stays exact
+    val tiny = Sketches.kmvSynopsis(events.limit(5), "user_id", k)
+    assert(tiny.count() <= 5)
+    // idempotence under re-merge of the same synopsis (set semantics)
+    val re = Sketches.kmvEstimate(Sketches.kmvMerge(Seq(parts.head, parts.head), k), k)
+      .as[(Double, Int)].head()
+    val one = Sketches.kmvEstimate(parts.head, k).as[(Double, Int)].head()
+    assert(re === one)
+  }
+
+  test("cms merge is linear: merged per-batch cells equal the fresh corpus sketch") {
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val parts = (0 to 2).map(b =>
+      Sketches.cmsSketch(li.filter(pmod(col("l_orderkey"), lit(3)) === b),
+        "l_partkey", width = 128, depth = 4))
+    val merged = Sketches.cmsMerge(parts)
+    val fresh = Sketches.cmsSketch(li, "l_partkey", width = 128, depth = 4)
+    assert(merged.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(merged).count() === 0)
+    // and probing the merged sketch answers the fresh probe's estimates
+    val cands = li.select(col("l_partkey").as("p")).distinct().limit(20)
+    val a = Sketches.cmsProbe(merged, cands, "p", width = 128, depth = 4)
+    val b = Sketches.cmsProbe(fresh, cands, "p", width = 128, depth = 4)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
 }
