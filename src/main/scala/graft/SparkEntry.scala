@@ -1659,6 +1659,12 @@ object SparkEntry {
     "x_events_funnel" -> ((s, d) =>
       EventAnalytics.funnelCounts(Tables.events(s, d), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+    // attribution: purchases joined to the same user's clicks in the
+    // preceding 2 hours — an EQUI-join on user_id with the window as a
+    // post-join filter (never a cartesian); the stream-stream twin
+    // (intervalJoinStream) is pinned ≡ to this operator in StreamingSpec
+    "x_events_attribution" -> ((s, d) =>
+      EventAnalytics.attributionCounts(Tables.events(s, d), "purchase", "click", 120)),
     // ---- extensions: analytic benchmarks over the star schema ----
     "x_agg_pricing" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -4644,6 +4650,21 @@ object SparkEntry {
         |SELECT 2 AS step, 'click' AS step_name, count(t2) AS n_users FROM s2
         |UNION ALL
         |SELECT 3 AS step, 'purchase' AS step_name, count(t3) AS n_users FROM s3""".stripMargin,
+    // equi-join on user + the 5-minute window as a filter, grouped to
+    // per-purchase counts — identical timestamp arithmetic in both engines
+    "x_events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id AS target_id, CAST(ts AS TIMESTAMP) AS target_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |s AS (
+        |  SELECT user_id, event_id AS source_id, CAST(ts AS TIMESTAMP) AS source_ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT target_id, count(*) AS n_sources, min(source_ts) AS first_source_ts
+        |FROM t JOIN s USING (user_id)
+        |WHERE source_ts >= target_ts - INTERVAL 120 MINUTE AND source_ts <= target_ts
+        |GROUP BY target_id""".stripMargin,
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n_events,

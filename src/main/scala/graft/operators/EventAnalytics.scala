@@ -105,6 +105,48 @@ object EventAnalytics {
     hourly.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Attribution join: each event of `targetType` paired with the SAME
+    * user's `sourceType` events in the `lagMinutes` window ending at it
+    * (inclusive on both ends) — the click-to-purchase attribution shape.
+    *
+    * Scale shape: an EQUI-join on user_id (hash-distributed, AQE-skew
+    * handled) with the time window as a post-join filter — never a
+    * cartesian; both sides are pre-filtered to one event type before the
+    * exchange. The streaming twin is [[graft.streaming
+    * .StreamingHistorization.intervalJoinStream]], whose watermark bounds
+    * the SAME window's state.
+    *
+    * @return (user_id, target_id, target_ts, target_value, source_id,
+    *          source_ts), one row per attributed pair
+    */
+  def attributionJoin(
+      events: DataFrame,
+      targetType: String,
+      sourceType: String,
+      lagMinutes: Int = 5): DataFrame = {
+    require(lagMinutes > 0, "lagMinutes must be positive")
+    val targets = events.filter(col("event_type") === targetType)
+      .select(col("user_id"), col("event_id").as("target_id"),
+        col("ts").as("target_ts"), col("value").as("target_value"))
+    val sources = events.filter(col("event_type") === sourceType)
+      .select(col("user_id"), col("event_id").as("source_id"), col("ts").as("source_ts"))
+    targets.join(sources, Seq("user_id"))
+      .filter(col("source_ts") >= col("target_ts") - expr(s"INTERVAL $lagMinutes MINUTES")
+        && col("source_ts") <= col("target_ts"))
+  }
+
+  /** Attribution counts: targets with ≥1 attributed source, with the
+    * pair count — the bounded per-target report over [[attributionJoin]]. */
+  def attributionCounts(
+      events: DataFrame,
+      targetType: String,
+      sourceType: String,
+      lagMinutes: Int = 5): DataFrame =
+    attributionJoin(events, targetType, sourceType, lagMinutes)
+      .groupBy("target_id")
+      .agg(count(lit(1)).as("n_sources"),
+        min("source_ts").as("first_source_ts"))
+
   /** Per-user conversion-funnel times: `t1` is the user's earliest
     * `steps(0)` event, `t(i)` the earliest `steps(i-1)` event STRICTLY
     * after `t(i-1)` — the standard ordered-funnel semantics (ties at the

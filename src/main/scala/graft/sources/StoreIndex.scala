@@ -124,9 +124,15 @@ object StoreIndex {
     * commit moves data and manifest together and both stay valid.
     * One extra scan of the fresh store (stats columns only, map-side
     * combined per file) — the write-time price of driver-side pruning. */
-  def writeStatsManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+  def writeStatsManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+    statsFrame(spark.read.parquet(path), cols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsManifestPath(path))
+
+  /** One stats row per file of `data` (which must carry `_metadata`,
+    * i.e. come straight from a file scan). */
+  private def statsFrame(data: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val data = spark.read.parquet(path)
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
@@ -136,8 +142,61 @@ object StoreIndex {
         cols.map(col): _*)
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(statsManifestPath(path))
+  }
+
+  /** Append a batch to a sorted store WITHOUT invalidating the manifest:
+    * the batch writes as its own range-sorted file(s), stats are computed
+    * by scanning ONLY the new files (batch cost — the standing data is
+    * never re-read), and the manifest is rewritten as old rows + new rows
+    * (the manifest itself is O(files), so its rewrite is driver-cheap).
+    * This is the maintenance half of the skipping story: without it,
+    * every append would leave the manifest stale and [[readStoreSkipping]]
+    * permanently in its full-scan fallback.
+    *
+    * Appended batches may overlap standing key ranges — that only widens
+    * which files a query keeps (less pruning), never correctness; a
+    * periodic [[writeStoreSorted]] rewrite (compaction) restores tight
+    * ranges. If the existing manifest is missing or doesn't match the
+    * pre-append file set, the manifest is rebuilt from the full store —
+    * self-healing instead of compounding staleness. A reader racing the
+    * manifest rewrite may find it mid-write; [[readStoreRanges]] treats
+    * any unreadable manifest as absent and full-scans, so the race costs
+    * speed, never rows. */
+  def appendStoreSorted(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      numFiles: Int = 1,
+      statsCols: Seq[String] = Nil): Unit = {
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    require(numFiles >= 1, "numFiles must be positive")
+    val spark = df.sparkSession
+    val cols = if (statsCols.nonEmpty) statsCols else sortCols
+    val before = dataFileNames(spark, path)
+    val oldManifest = Store.readParquetSafe(spark, statsManifestPath(path))
+      .filter { m =>
+        cols.forall(c => m.columns.contains(s"min_$c")) &&
+          m.select("file").collect().map(_.getString(0)).toSet == before
+      }
+      // materialize the surviving rows NOW: the manifest overwrite below
+      // would otherwise delete the files this frame still plans to read
+      .map(m => m.collect().toSeq -> m.schema)
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("append").parquet(path)
+    val fresh = (dataFileNames(spark, path) -- before).toSeq
+    oldManifest match {
+      case Some((oldRows, oldSchema)) if fresh.nonEmpty =>
+        val newStats = statsFrame(
+          spark.read.parquet(fresh.map(f => s"$path/$f"): _*), cols)
+        val old = spark.createDataFrame(
+          spark.sparkContext.parallelize(oldRows), oldSchema)
+        old.unionByName(newStats)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(statsManifestPath(path))
+      case Some(_) => () // append produced no files (empty batch): manifest still valid
+      case None => writeStatsManifest(spark, path, cols) // absent/stale → full rebuild
+    }
   }
 
   /** Basenames of the store's data files (flat layout; anything under an

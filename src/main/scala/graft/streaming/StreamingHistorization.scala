@@ -56,6 +56,49 @@ object StreamingHistorization {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  /** Stream-STREAM event-time interval join — the streaming twin of
+    * [[graft.operators.EventAnalytics.attributionJoin]]: each
+    * `targetType` event pairs with the SAME user's `sourceType` events
+    * in the `lagMinutes` window ending at it. Both sides derive from one
+    * watermarked source stream (a self-join is just two filters of it);
+    * the watermark plus the bounded time-range condition is what lets
+    * Spark expire join state — a source event older than
+    * watermark − lagMinutes can never match a future target, so its
+    * state drops. Inner join ⇒ append-mode output; rows emit as matches
+    * arrive, completeness at the watermark.
+    *
+    * This is the third state regime in the streaming family: synopsis
+    * stores (foreachBatch), keyed user state (flatMapGroupsWithState /
+    * transformWithState), and here condition-bounded JOIN state managed
+    * entirely by the engine.
+    *
+    * @return (user_id, target_id, target_ts, target_value, source_id,
+    *          source_ts) — the batch operator's columns
+    */
+  def intervalJoinStream(
+      events: DataFrame,
+      targetType: String,
+      sourceType: String,
+      lagMinutes: Int = 5,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(lagMinutes > 0, "lagMinutes must be positive")
+    // NTZ→TIMESTAMP normalization, as in [[windowedEventAgg]].
+    val ev = events.withColumn("ts", col("ts").cast("timestamp"))
+    val targets = ev.filter(col("event_type") === targetType)
+      .select(col("user_id"), col("event_id").as("target_id"),
+        col("ts").as("target_ts"), col("value").as("target_value"))
+      .withWatermark("target_ts", watermarkDelay)
+    val sources = ev.filter(col("event_type") === sourceType)
+      .select(col("user_id").as("source_user"), col("event_id").as("source_id"),
+        col("ts").as("source_ts"))
+      .withWatermark("source_ts", watermarkDelay)
+    targets.join(sources,
+        col("user_id") === col("source_user")
+          && col("source_ts") >= col("target_ts") - expr(s"INTERVAL $lagMinutes MINUTES")
+          && col("source_ts") <= col("target_ts"))
+      .drop("source_user")
+  }
+
   /** Streaming incremental corpus dedup — the streaming twin of
     * [[graft.operators.Dedup.incrementalExact]]: documents stream in,
     * rows whose content digest already exists in the STATIC corpus digest

@@ -115,6 +115,48 @@ class StoreIndexSpec extends SparkSpec {
     assert(expected.exceptAll(out).count() === 0)
   }
 
+  test("appendStoreSorted keeps the manifest live at batch cost; equals a full rebuild") {
+    val dir = Files.createTempDirectory("graft-skip-append").toString + "/store"
+    val df = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 4)
+    StoreIndex.appendStoreSorted(
+      spark.range(5000, 5500).select(col("id").as("k"), col("id").as("v")),
+      dir, Seq("k"), numFiles = 1)
+
+    // incremental manifest ≡ full rebuild (same rows)
+    val incremental = spark.read.parquet(StoreIndex.statsManifestPath(dir)).collect().toSet
+    StoreIndex.writeStatsManifest(spark, dir, Seq("k")) // rebuild in place
+    val full = spark.read.parquet(StoreIndex.statsManifestPath(dir)).collect().toSet
+    assert(incremental === full)
+
+    // skipping stays live: a range inside the appended batch reads only
+    // the appended file, a standing range reads standing files
+    val in = StoreIndex.readStoreSkipping(spark, dir, "k", 5100L, 5200L)
+    assert(in.count() === 101)
+    assert(in.inputFiles.length === 1)
+    val standing = StoreIndex.readStoreSkipping(spark, dir, "k", 0L, 100L)
+    assert(standing.count() === 101)
+    assert(standing.inputFiles.length < 5)
+  }
+
+  test("appendStoreSorted onto a stale manifest self-heals by full rebuild") {
+    val dir = Files.createTempDirectory("graft-skip-heal").toString + "/store"
+    val df = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 4)
+    // out-of-band append leaves the manifest stale…
+    spark.range(2000, 2100).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    // …the next maintained append detects it and rebuilds
+    StoreIndex.appendStoreSorted(
+      spark.range(3000, 3100).select(col("id").as("k"), col("id").as("v")),
+      dir, Seq("k"), numFiles = 1)
+    val m = spark.read.parquet(StoreIndex.statsManifestPath(dir))
+    assert(m.count() === 6) // 4 + out-of-band + maintained
+    val out = StoreIndex.readStoreSkipping(spark, dir, "k", 2000L, 3050L)
+    assert(out.count() === 151)
+    assert(out.inputFiles.length === 2)
+  }
+
   test("manifest survives a directory rename (CAS-commit compatibility)") {
     val base = Files.createTempDirectory("graft-skip-mv").toString
     val df = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))

@@ -50,6 +50,25 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(streamed).count() === 0)
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val batch = graft.sources.Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-ssjoin").toString
+    batch.write.parquet(s"$dir/in")
+
+    val stream = StreamingHistorization.readParquetStream(spark, s"$dir/in", batch.schema)
+    val joined = StreamingHistorization.intervalJoinStream(stream, "purchase", "click", 120,
+      watermarkDelay = "4 hours")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("ssjoin")
+    val expected = graft.operators.EventAnalytics.attributionJoin(batch, "purchase", "click", 120)
+    assert(streamed.count() > 0, "fixture must produce attributed pairs")
+    assert(streamed.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(streamed).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch twin on closed sessions") {
     val batch = graft.sources.Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("graft-sessions").toString
