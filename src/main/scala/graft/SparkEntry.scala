@@ -1252,6 +1252,16 @@ object SparkEntry {
       Embeddings.meanPoolExact(
         Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(16))),
         "grp", "embedding")),
+    // embedding drift between two ingest slices: cosine + L2 between the
+    // slices' exact mean vectors — the dataset-shift monitor a corpus
+    // store runs per batch; slice size never reaches past the two pooling
+    // scans
+    "x_emb_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Embeddings.driftStats(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    }),
     // ---- extensions: text analysis ----
     "x_text_profile" -> ((s, d) =>
       TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text")),
@@ -1652,6 +1662,12 @@ object SparkEntry {
     "x_events_tumbling" -> ((s, d) => EventAnalytics.tumblingAgg(Tables.events(s, d), 60)),
     "x_events_running" -> ((s, d) => EventAnalytics.userRunning(Tables.events(s, d))),
     "x_events_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d), 30)),
+    // the NATIVE session_window twin: engine-managed merge, no session_no;
+    // boundary semantics match sessionize (gap strictly greater splits) at
+    // full microsecond precision — the oracle compares raw timestamps,
+    // not floor-second epochs
+    "x_events_sessionize_native" -> ((s, d) =>
+      EventAnalytics.sessionizeNative(Tables.events(s, d), 30)),
     "x_events_top_types" -> ((s, d) => EventAnalytics.topTypesPerHour(Tables.events(s, d), 3)),
     "x_events_cohort" -> ((s, d) => EventAnalytics.cohortRetention(Tables.events(s, d))),
     // ordered conversion funnel view -> click -> purchase: each step's
@@ -4088,6 +4104,36 @@ object SparkEntry {
         |SELECT grp, i,
         |  round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(v), 6) AS mean
         |FROM x GROUP BY grp, i""".stripMargin,
+    // drift: per-dim exact decimal means (rounded 6, the pooling
+    // contract) → IEEE products → decimal reductions — digit-identical
+    "x_emb_drift" ->
+      """WITH ma AS (
+        |  SELECT CAST(i - 1 AS INT) AS i,
+        |    round(CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(embedding[CAST(i AS INT)]), 6) AS ma
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0), range(1, 65) t(i)
+        |  GROUP BY 1
+        |),
+        |mb AS (
+        |  SELECT CAST(i - 1 AS INT) AS i,
+        |    round(CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(embedding[CAST(i AS INT)]), 6) AS mb
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1), range(1, 65) t(i)
+        |  GROUP BY 1
+        |),
+        |s AS (
+        |  SELECT sum(CAST(ma * mb AS DECIMAL(28,12))) AS sab,
+        |         sum(CAST(ma * ma AS DECIMAL(28,12))) AS saa,
+        |         sum(CAST(mb * mb AS DECIMAL(28,12))) AS sbb,
+        |         sum(CAST((ma - mb) * (ma - mb) AS DECIMAL(28,12))) AS sd
+        |  FROM ma JOIN mb USING (i)
+        |)
+        |SELECT round(CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6)
+        |         AS cos_means,
+        |       round(sqrt(CAST(sd AS DOUBLE)), 6) AS l2_means,
+        |       round(sqrt(CAST(saa AS DOUBLE)), 6) AS norm_a,
+        |       round(sqrt(CAST(sbb AS DOUBLE)), 6) AS norm_b
+        |FROM s""".stripMargin,
     "x_text_profile" -> textProfileOracle,
     "x_text_lang" -> langIdOracle,
     "x_text_logprob" ->
@@ -4702,6 +4748,26 @@ object SparkEntry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    // native session_window twin: same split rule at FULL microsecond
+    // precision (interval comparison, not floor-second epoch diff), no
+    // session_no in the output (the engine tracks identity internally)
+    "x_events_sessionize_native" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    coalesce(CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1)
+        |              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+        |              > INTERVAL 1800 SECOND THEN 1 ELSE 0 END, 1) AS is_new
+        |  FROM events
+        |),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM sess GROUP BY user_id, session_no""".stripMargin,
     "x_events_top_types" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,

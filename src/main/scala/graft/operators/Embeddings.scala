@@ -76,4 +76,42 @@ object Embeddings {
         agg(col(vecCol)).as("centroid"),
         count(col(vecCol)).as("n_members"))
   }
+
+  /** Embedding DRIFT between two corpus slices (ingest batches, time
+    * windows, sources): cosine similarity and L2 distance between the
+    * slices' mean vectors — the cheapest useful dataset-shift monitor
+    * for an embedding column (a mean that moves means the distribution
+    * moved; the converse needs finer monitors, which is why the report
+    * also carries both norms).
+    *
+    * Scale shape: two [[meanPoolExact]] passes (each one map-side-
+    * combined aggregation, dims-bounded state), then arithmetic on
+    * 2×dims rows — nothing downstream of the two scans depends on slice
+    * size. Determinism: means are exact decimal sums rounded to 6 (the
+    * pooling contract), products of those rounded doubles are IEEE-
+    * identical across engines, and the cross-dimension reductions go
+    * through decimal again — so the DuckDB oracle reproduces every
+    * digit.
+    *
+    * @return one row: (cos_means, l2_means, norm_a, norm_b), all
+    *         rounded to 6
+    */
+  def driftStats(a: DataFrame, b: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    def means(df: DataFrame, out: String) =
+      meanPoolExact(df.select(lit(0).as("grp"), col(vecCol)), "grp", vecCol)
+        .select(col("i"), col("mean").as(out))
+    val dec = "decimal(28,12)"
+    means(a, "ma").join(means(b, "mb"), Seq("i"))
+      .agg(
+        sum((col("ma") * col("mb")).cast(dec)).as("sab"),
+        sum((col("ma") * col("ma")).cast(dec)).as("saa"),
+        sum((col("mb") * col("mb")).cast(dec)).as("sbb"),
+        sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast(dec)).as("sd"))
+      .select(
+        round(col("sab").cast("double") /
+          sqrt(col("saa").cast("double") * col("sbb").cast("double")), 6).as("cos_means"),
+        round(sqrt(col("sd").cast("double")), 6).as("l2_means"),
+        round(sqrt(col("saa").cast("double")), 6).as("norm_a"),
+        round(sqrt(col("sbb").cast("double")), 6).as("norm_b"))
+  }
 }

@@ -68,6 +68,29 @@ object EventAnalytics {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` — the engine-
+    * managed twin of [[sessionize]]: one groupBy, the window merge done
+    * by the session-window exec (and available unchanged on a stream,
+    * where [[sessionize]]'s global window functions are not). Boundary
+    * semantics verified identical to [[sessionize]]'s strict `gap >
+    * gapMinutes` split (an event exactly gap after its predecessor
+    * EXTENDS the session) — with one precision caveat: this compares
+    * full-microsecond timestamps, while [[sessionize]] compares
+    * floor-second `unix_timestamp`s, so the two can split differently
+    * only when a gap falls strictly inside (gap, gap+1) seconds.
+    * No `session_no` (the engine tracks identity internally);
+    * `session_end` is the last EVENT time (max ts), not the window's
+    * close (last + gap), to match [[sessionize]]'s report. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("__sw"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("session_value"))
+      .drop("__sw")
+
   /** Cohort retention: users are cohorted by the day of their FIRST event;
     * each (cohort_day, day_offset) cell counts the cohort's users active
     * that many days later, plus the retention ratio against cohort size.

@@ -39,4 +39,24 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(0).getLong(2) === 2L)
     assert(got(1).isNullAt(1) && got(1).getLong(2) === 0L)
   }
+
+  test("driftStats: identical slices report cos 1 / L2 0; a planted shift moves both") {
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)), (2L, Array(3.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val self = Embeddings.driftStats(a, a).head()
+    assert(self.getDouble(0) === 1.0) // cos_means
+    assert(self.getDouble(1) === 0.0) // l2_means
+    assert(self.getDouble(2) === self.getDouble(3)) // norms equal
+
+    // shift every vector by +10 on dim 1: mean moves, cosine drops
+    val b = a.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        (v, i) => org.apache.spark.sql.functions.when(i === 1, v + 10.0f).otherwise(v))
+        .as("embedding"))
+    val drift = Embeddings.driftStats(a, b).head()
+    assert(drift.getDouble(0) < 1.0)
+    assert(drift.getDouble(1) > 9.0) // mean moved ~10 on one dim
+    assert(drift.getDouble(3) > drift.getDouble(2))
+  }
 }

@@ -88,4 +88,37 @@ class EventAnalyticsSpec extends SparkSpec {
     // depths can only shrink
     assert(counts.map(_._3).sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
   }
+
+  test("sessionizeNative matches sessionize, including the exact-gap boundary") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: second event EXACTLY 30 min after the first -> same session
+      // (both forms: strict > splits); third 30:01 after second -> split
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, 11L, ts("2024-01-01 10:30:00"), 2.0),
+      (1L, 12L, ts("2024-01-01 11:00:01"), 4.0),
+      // u2: single event
+      (2L, 20L, ts("2024-01-01 09:00:00"), 8.0),
+      // u3: chain of sub-gap steps spanning > gap total -> ONE session
+      (3L, 30L, ts("2024-01-01 08:00:00"), 1.0),
+      (3L, 31L, ts("2024-01-01 08:20:00"), 1.0),
+      (3L, 32L, ts("2024-01-01 08:40:00"), 1.0),
+      (3L, 33L, ts("2024-01-01 09:00:00"), 1.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val native = EventAnalytics.sessionizeNative(ev, 30)
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    val classic = EventAnalytics.sessionize(ev, 30)
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    assert(native.count() === 4)
+    assert(native.exceptAll(classic).count() === 0)
+    assert(classic.exceptAll(native).count() === 0)
+    // and on the real fixture (whole-second gaps only)
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val n = EventAnalytics.sessionizeNative(events, 30)
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    val c = EventAnalytics.sessionize(events, 30)
+      .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    assert(n.exceptAll(c).count() === 0)
+    assert(c.exceptAll(n).count() === 0)
+  }
 }
