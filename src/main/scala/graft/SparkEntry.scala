@@ -1282,6 +1282,15 @@ object SparkEntry {
         minCompleteness = Map("o_orderkey" -> 1.0, "o_custkey" -> 1.0,
           "o_orderstatus" -> 1.0),
         minUniqueness = Map("o_orderkey" -> 1.0))),
+    // profile drift between two loads: run A = orders minus every 3rd
+    // key, run B = the full table — per-column completeness/uniqueness
+    // deltas and the row ratio from two bounded profile passes
+    "x_quality_drift" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      DataQuality.profileDrift(
+        orders.filter(col("o_orderkey") % 3 =!= 0), orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    }),
     // FK gate with REAL orphans: every 7th order is withheld from the
     // parent side, so its lineitems must surface in n_orphans
     "x_quality_fk" -> ((s, d) =>
@@ -4260,6 +4269,49 @@ object SparkEntry {
     // definitional FK check: orphans = non-null child keys absent from
     // the (shrunken) parent; NULL match_ratio when no key is checkable
     // (n_rows = n_null_key), mirroring the operator's convention
+    // two profile CTEs (one aggregation pass each) joined per column;
+    // ratios round at 6 BEFORE differencing, exactly like the operator
+    "x_quality_drift" ->
+      """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |b AS (SELECT * FROM orders),
+        |pa AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows_a,
+        |         round(CAST(count(o_orderkey) AS DOUBLE) / count(*), 6) AS completeness_a,
+        |         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness_a
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |         round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |         round(CAST(count(o_orderstatus) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_orderstatus) AS DOUBLE) / count(*), 6)
+        |  FROM a
+        |),
+        |pb AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows_b,
+        |         round(CAST(count(o_orderkey) AS DOUBLE) / count(*), 6) AS completeness_b,
+        |         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness_b
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |         round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |         round(CAST(count(o_orderstatus) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_orderstatus) AS DOUBLE) / count(*), 6)
+        |  FROM b
+        |)
+        |SELECT pa."column", n_rows_a, completeness_a, uniqueness_a,
+        |       n_rows_b, completeness_b, uniqueness_b,
+        |       round(completeness_b - completeness_a, 6) AS d_completeness,
+        |       round(uniqueness_b - uniqueness_a, 6) AS d_uniqueness,
+        |       round(CAST(n_rows_b AS DOUBLE) / n_rows_a, 6) AS row_ratio
+        |FROM pa JOIN pb USING ("column")""".stripMargin,
     "x_quality_fk" ->
       """WITH par AS (
         |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0

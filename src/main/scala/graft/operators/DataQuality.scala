@@ -48,6 +48,34 @@ object DataQuality {
           .as("uniqueness"))
   }
 
+  /** Profile DRIFT between two runs of the same table (yesterday's load
+    * vs today's, one source vs another): [[profileColumns]] on each side
+    * joined per column, with the completeness/uniqueness deltas and the
+    * row-count ratio — the schema-level shift monitor a pipeline gates
+    * publishes on (a column whose completeness drops 2 points, or a key
+    * whose uniqueness leaves 1.0, is a broken upstream, not a statistic).
+    *
+    * Scale shape: two single-pass profile aggregations (bounded output:
+    * one row per profiled column each) joined on the column NAME — the
+    * join is metadata-sized. `row_ratio` is NULL when side A is empty
+    * (no evidence, not infinite growth). */
+  def profileDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    val pa = profileColumns(a, cols).select(col("column"),
+      col("n_rows").as("n_rows_a"), col("completeness").as("completeness_a"),
+      col("uniqueness").as("uniqueness_a"))
+    val pb = profileColumns(b, cols).select(col("column"),
+      col("n_rows").as("n_rows_b"), col("completeness").as("completeness_b"),
+      col("uniqueness").as("uniqueness_b"))
+    pa.join(pb, Seq("column"))
+      .withColumn("d_completeness",
+        round(col("completeness_b") - col("completeness_a"), 6))
+      .withColumn("d_uniqueness",
+        round(col("uniqueness_b") - col("uniqueness_a"), 6))
+      .withColumn("row_ratio",
+        round(when(col("n_rows_a") === 0, lit(null))
+          .otherwise(col("n_rows_b").cast("double") / col("n_rows_a")), 6))
+  }
+
   /** Referential-integrity gate: one row per child key column set with
     * the orphan count (child rows whose non-null key has no match in the
     * parent) and the match ratio — the FK check a pipeline runs before

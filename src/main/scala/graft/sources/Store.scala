@@ -384,9 +384,24 @@ object Store {
       df: DataFrame,
       path: String,
       partitionColumns: Seq[String] = Nil,
-      keep: Int = 2): Long = {
+      keep: Int = 2): Long =
+    writeStoreGenerationWith(df.sparkSession, path, keep)(
+      dir => writeStore(df, dir, partitionColumns))
+
+  /** [[writeStoreGeneration]] generalized over the writer, the same
+    * shape as [[readOrCreateWith]]: `writeTo` persists the generation's
+    * content at the build path it is given — any layout, including
+    * [[StoreIndex.writeStoreSorted]]/[[StoreIndex.writeStoreZOrdered]]
+    * (whose `_stats` manifest is basename-keyed, so it stays valid
+    * through the commit rename and [[StoreIndex.readStoreSkipping]]
+    * works against the committed generation directory). Commit
+    * choreography unchanged: writer-private underscore build dir, CAS
+    * rename to the next `gen-<seq>`, retention prune. */
+  def writeStoreGenerationWith(
+      spark: SparkSession,
+      path: String,
+      keep: Int = 2)(writeTo: String => Unit): Long = {
     require(keep >= 1, "keep must be >= 1")
-    val spark = df.sparkSession
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
     if (!fs.exists(root)) fs.mkdirs(root)
@@ -394,7 +409,7 @@ object Store {
     // readers of the root), then CAS-commit — the write itself races with
     // nothing, and the commit is one atomic rename
     val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
-    writeStore(df, build.toString, partitionColumns)
+    writeTo(build.toString)
     val next = commitGeneration(fs, root, build)
     pruneGenerations(fs, root, keep, next)
     next

@@ -29,6 +29,21 @@ class DataQualitySpec extends SparkSpec {
     assert(got === (("id", 0L, 0L, 0L, None, None)))
   }
 
+  test("profileDrift: deltas exact per column, empty side A yields null row_ratio") {
+    val runA = rows // 4 rows, id 3/4 complete
+    val runB = rows.unionByName(Seq((Option.empty[Long], Some("c"))).toDF("id", "tag"))
+    val got = DataQuality.profileDrift(runA, runB, Seq("id", "tag"))
+      .select("column", "n_rows_a", "n_rows_b", "d_completeness", "row_ratio")
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("id")._2 === 4L && got("id")._3 === 5L)
+    assert(got("id")._4 === -0.15) // completeness 3/5 vs 3/4, rounded at 6
+    assert(got("id")._5 === 1.25)
+    assert(got("tag")._4 === 0.05)
+    // empty A: ratio is NULL (no evidence), not a division blow-up
+    val vsEmpty = DataQuality.profileDrift(rows.filter(lit(false)), runB, Seq("id"))
+    assert(vsEmpty.select("row_ratio").head().isNullAt(0))
+  }
+
   test("checkReferentialIntegrity: orphans exact, null keys reported apart") {
     val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None)
       .toDF("fk")

@@ -157,6 +157,28 @@ class StoreIndexSpec extends SparkSpec {
     assert(out.inputFiles.length === 2)
   }
 
+  test("sorted layout composes with generation commits: skipping works per generation") {
+    import graft.sources.Store
+    val root = Files.createTempDirectory("graft-gen-sorted").toString + "/store"
+    def pass(lo: Long, hi: Long) = Store.writeStoreGenerationWith(spark, root, keep = 2)(
+      dir => StoreIndex.writeStoreSorted(
+        spark.range(lo, hi).select(col("id").as("k"), col("id").as("v")),
+        dir, Seq("k"), numFiles = 4))
+    val g1 = pass(0, 1000)
+    val g2 = pass(0, 2000)
+    assert(Store.listGenerations(spark, root) === Seq(g1, g2))
+    // latest generation: manifest engaged, rows correct
+    val latest = StoreIndex.readStoreSkipping(
+      spark, Store.generationPath(root, g2), "k", 1500L, 1600L)
+    assert(latest.count() === 101)
+    assert(latest.inputFiles.length < 4)
+    // the RETAINED prior pass answers through its own manifest too
+    val prior = StoreIndex.readStoreSkipping(
+      spark, Store.generationPath(root, g1), "k", 100L, 200L)
+    assert(prior.count() === 101)
+    assert(prior.inputFiles.length < 4)
+  }
+
   test("manifest survives a directory rename (CAS-commit compatibility)") {
     val base = Files.createTempDirectory("graft-skip-mv").toString
     val df = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
