@@ -724,6 +724,19 @@ object SparkEntry {
       val mapping = Store.purgeGenerations(s, path, removed, "l_orderkey")
       qtyAsDouble(Store.readStoreGeneration(s, path, mapping(mapping.keys.min)))
     }),
+    // symmetric store diff: run-1 snapshot vs the SHRUNK mutated run-2
+    // feed — all three statuses present (added: post-cutoff keys,
+    // removed: the vanished 3rd keys, changed: the 97th-key mutation).
+    // Payloads never shuffle: both sides reduce to (key, digest) first
+    "x_store_diff" -> ((s, d) =>
+      Cdc.storeDiff(snapA(s, d), shrunkB(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("quantity", "returnflag", "linestatus", "shipdate"))),
+    // the publish-gate roll-up of the same diff
+    "x_store_diff_summary" -> ((s, d) =>
+      Cdc.storeDiffSummary(snapA(s, d), shrunkB(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("quantity", "returnflag", "linestatus", "shipdate"))),
     // file-skipping manifest read: a range over the SORT key of the
     // staged range-sorted store — the driver-side manifest proves which
     // of the 16 files can intersect [1000, 1999] (file-level pruning,
@@ -733,6 +746,12 @@ object SparkEntry {
     "x_store_skipping" -> ((s, d) =>
       StoreIndex.readStoreSkipping(
         s, stagedSortedLineitemPath(s, d), "l_orderkey", 1000L, 1999L)),
+    // scattered point lookups through the manifest: each key's file is
+    // proven by [min, max] containment before any footer opens; parquet
+    // row-group stats narrow further inside the kept files
+    "x_store_point_lookup" -> ((s, d) =>
+      StoreIndex.readStoreKeys(
+        s, stagedSortedLineitemPath(s, d), "l_orderkey", Seq(123L, 7777L, 14000L))),
     // two-dimensional box over the Z-ordered store: BOTH range predicates
     // prune through the per-file stats (the Z-layout keeps min/max tight
     // on both columns; a single-column sort would leave the second
@@ -2607,10 +2626,23 @@ object SparkEntry {
          |         AS est_distinct,
          |       CAST(least(max(nd), 64) AS INT) AS n_kept
          |FROM r""".stripMargin,
+    // symmetric diff: both sides reduce to (key, digest) then one full
+    // outer join; the digest recipe is the library record hash
+    "x_store_diff" -> storeDiffOracle(
+      """SELECT l_orderkey, l_linenumber, diff_status, record_hash_a, record_hash_b
+        |FROM diff WHERE diff_status <> 'unchanged'""".stripMargin),
+    "x_store_diff_summary" -> storeDiffOracle(
+      """SELECT sum(CASE WHEN diff_status = 'added' THEN 1 ELSE 0 END) AS n_added,
+        |       sum(CASE WHEN diff_status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+        |       sum(CASE WHEN diff_status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+        |       sum(CASE WHEN diff_status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+        |FROM diff""".stripMargin),
     // skipping reads are row-identical to the full filtered scan —
     // the pruning is a fast-path, never a semantic
     "x_store_skipping" ->
       "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 1999",
+    "x_store_point_lookup" ->
+      "SELECT * FROM lineitem WHERE l_orderkey IN (123, 7777, 14000)",
     "x_store_zorder_box" ->
       """SELECT * FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
@@ -2619,6 +2651,52 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_k,
         |       max(l_orderkey) AS max_k, CAST(0 AS BIGINT) AS n_nulls
         |FROM lineitem""".stripMargin)
+
+  /** Shared CTE chain for the store-diff rows: snapshot A vs the shrunk
+    * mutated run-2 feed, both reduced to (key, record digest), full-outer
+    * joined and classified — `finalSelect` reads from `diff`. */
+  private def storeDiffOracle(finalSelect: String): String = {
+    val digest = (q: String) =>
+      s"""md5(concat_ws('#?', coalesce(CAST(quantity AS VARCHAR),'nan'),
+         |                     coalesce(returnflag,'nan'), coalesce(linestatus,'nan'),
+         |                     coalesce(CAST(shipdate AS VARCHAR),'nan'))) AS $q""".stripMargin
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+       |         l_returnflag AS returnflag, l_linestatus AS linestatus,
+       |         CAST(l_shipdate AS DATE) AS shipdate
+       |  FROM lineitem
+       |),
+       |a AS (SELECT * FROM base WHERE shipdate < DATE '1995-06-01'),
+       |b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CASE WHEN l_orderkey % 97 = 0 THEN CAST(quantity + 10 AS DECIMAL(18,2))
+       |              ELSE quantity END AS quantity,
+       |         returnflag, linestatus, shipdate
+       |  FROM base WHERE l_orderkey % 3 <> 0
+       |),
+       |ha AS (
+       |  SELECT l_orderkey, l_linenumber, max(h) AS record_hash_a
+       |  FROM (SELECT l_orderkey, l_linenumber, ${digest("h")} FROM a)
+       |  GROUP BY 1, 2
+       |),
+       |hb AS (
+       |  SELECT l_orderkey, l_linenumber, max(h) AS record_hash_b
+       |  FROM (SELECT l_orderkey, l_linenumber, ${digest("h")} FROM b)
+       |  GROUP BY 1, 2
+       |),
+       |diff AS (
+       |  SELECT coalesce(ha.l_orderkey, hb.l_orderkey) AS l_orderkey,
+       |         coalesce(ha.l_linenumber, hb.l_linenumber) AS l_linenumber,
+       |         record_hash_a, record_hash_b,
+       |         CASE WHEN record_hash_a IS NULL THEN 'added'
+       |              WHEN record_hash_b IS NULL THEN 'removed'
+       |              WHEN record_hash_a <> record_hash_b THEN 'changed'
+       |              ELSE 'unchanged' END AS diff_status
+       |  FROM ha FULL OUTER JOIN hb
+       |    ON ha.l_orderkey = hb.l_orderkey AND ha.l_linenumber = hb.l_linenumber
+       |)
+       |$finalSelect""".stripMargin
+  }
 
   /** Run-1 store content minus the erased keys — shared by the
     * generation-purge and manifest-purge rows (both read "pass 1, after

@@ -340,4 +340,61 @@ object Cdc {
   /** Driver-side list variant, faithful to SCDHelpers.py:264-265. */
   def deletedByFullLoadList(currentDf: DataFrame, newDf: DataFrame): Seq[String] =
     deletedByFullLoad(currentDf, newDf).collect().map(_.getString(0)).toSeq
+
+  /** Symmetric store diff — the ops-facing "what changed between these
+    * two snapshots" report that [[delta]]/[[deletedByFullLoad]] answer
+    * only half of each: one FULL OUTER join on the key columns, rows
+    * classified `added` (in b only), `removed` (in a only), `changed`
+    * (both sides, differing record digest over `compareCols`). Unchanged
+    * rows are dropped by default (at 100 TB they are ~all rows; the
+    * report should be delta-sized) — pass `keepUnchanged = true` for the
+    * audit variant.
+    *
+    * Scale shape: both sides reduce to (key cols, 32-byte digest) BEFORE
+    * the join — payloads never shuffle; the join is the one exchange.
+    * The digest is the library's md5 record hash
+    * ([[graft.functions.HashColumns.hashExpr]]), so the report composes
+    * with stores that already carry RECORD_HASH.
+    *
+    * @return key columns + (diff_status, record_hash_a, record_hash_b)
+    */
+  def storeDiff(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      keepUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val ha = graft.functions.HashColumns.hashExpr(compareCols.map(col))
+    def side(df: DataFrame, out: String) =
+      df.select((keyCols.map(col) :+ ha.as(out)): _*)
+        // one digest per key: a multi-version side would explode the
+        // outer join; last-writer ambiguity is the caller's to resolve
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col(out)).as(out))
+    val joined = side(a, "record_hash_a")
+      .join(side(b, "record_hash_b"), keyCols, "full_outer")
+      .withColumn("diff_status",
+        when(col("record_hash_a").isNull, lit("added"))
+          .when(col("record_hash_b").isNull, lit("removed"))
+          .when(col("record_hash_a") =!= col("record_hash_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+    (if (keepUnchanged) joined else joined.filter(col("diff_status") =!= "unchanged"))
+      .select((keyCols.map(col) :+ col("diff_status")
+        :+ col("record_hash_a") :+ col("record_hash_b")): _*)
+  }
+
+  /** One-row roll-up of [[storeDiff]]: the counts a publish gate reads. */
+  def storeDiffSummary(
+      a: DataFrame,
+      b: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame =
+    storeDiff(a, b, keyCols, compareCols, keepUnchanged = true)
+      .agg(
+        sum(when(col("diff_status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("diff_status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("diff_status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("diff_status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
 }

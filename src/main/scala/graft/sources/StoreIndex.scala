@@ -221,9 +221,23 @@ object StoreIndex {
   private def candidateFiles(
       spark: SparkSession,
       path: String,
-      ranges: Seq[(String, Any, Any)]): Option[Seq[String]] = {
+      ranges: Seq[(String, Any, Any)]): Option[Seq[String]] =
+    candidateFilesWith(spark, path, ranges.map(_._1).distinct,
+      ranges.map { case (c, lo, hi) =>
+        col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      }.reduce(_ && _))
+
+  /** Core of the manifest consultation: `pred` decides per manifest row
+    * (file) whether the file can matter; `statCols` are the columns
+    * whose stats it reads (all must be covered or the manifest is
+    * unusable for this query). */
+  private def candidateFilesWith(
+      spark: SparkSession,
+      path: String,
+      statCols: Seq[String],
+      pred: => Column): Option[Seq[String]] = {
     Store.readParquetSafe(spark, statsManifestPath(path)).flatMap { m =>
-      val haveStats = ranges.forall { case (c, _, _) =>
+      val haveStats = statCols.forall { c =>
         m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c")
       }
       if (!haveStats) None
@@ -232,12 +246,7 @@ object StoreIndex {
         // driver-side metadata budget a table format's planning pays
         val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
         if (manifestFiles != dataFileNames(spark, path)) None
-        else {
-          val pred = ranges.map { case (c, lo, hi) =>
-            col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-          }.reduce(_ && _)
-          Some(m.filter(pred).select("file").collect().map(_.getString(0)).toSeq)
-        }
+        else Some(m.filter(pred).select("file").collect().map(_.getString(0)).toSeq)
       }
     }
   }
@@ -265,6 +274,34 @@ object StoreIndex {
       cx: String, xlo: Any, xhi: Any,
       cy: String, ylo: Any, yhi: Any): DataFrame =
     readStoreRanges(spark, path, Seq((cx, xlo, xhi), (cy, ylo, yhi)))
+
+  /** Point-lookup read through the manifest: rows whose `c` is in
+    * `keys`, reading only the files whose [min, max] contains AT LEAST
+    * one key. The per-file test is a disjunction of point containments
+    * — a key list is a union of degenerate ranges — so a handful of
+    * scattered keys over a sorted store opens a handful of files, and
+    * parquet's own row-group stats narrow further inside each. Same
+    * correctness contract as [[readStoreSkipping]]: exact `IN` filter
+    * re-applied, full scan on any manifest doubt. */
+  def readStoreKeys(
+      spark: SparkSession,
+      path: String,
+      c: String,
+      keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val full = spark.read.parquet(path)
+    val pred = col(c).isin(keys: _*)
+    val filePred = keys.map(k => col(s"max_$c") >= lit(k) && col(s"min_$c") <= lit(k))
+      .reduce(_ || _)
+    candidateFilesWith(spark, path, Seq(c), filePred) match {
+      case None => full.filter(pred)
+      case Some(keep) if keep.isEmpty => full.filter(pred).limit(0)
+      case Some(keep) =>
+        spark.read.schema(full.schema)
+          .parquet(keep.map(f => s"$path/$f"): _*)
+          .filter(pred)
+    }
+  }
 
   /** General conjunctive-range read over the manifest. */
   def readStoreRanges(

@@ -153,6 +153,24 @@ class CdcSpec extends SparkSpec {
     assert(bare.select("k").as[String].collect().sorted.toSeq === Seq("a", "b", "c"))
   }
 
+  test("storeDiff classifies added/removed/changed; summary counts agree") {
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("id", "tag", "v")
+    val b = Seq((2L, "y", 20.0), (3L, "z", 31.0), (4L, "w", 40.0))
+      .toDF("id", "tag", "v")
+    val diff = Cdc.storeDiff(a, b, Seq("id"), Seq("tag", "v"))
+      .select("id", "diff_status").as[(Long, String)].collect().toMap
+    assert(diff === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // unchanged rows are dropped by default, kept on request
+    val full = Cdc.storeDiff(a, b, Seq("id"), Seq("tag", "v"), keepUnchanged = true)
+    assert(full.count() === 4)
+    val sums = Cdc.storeDiffSummary(a, b, Seq("id"), Seq("tag", "v"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(sums === ((1L, 1L, 1L, 1L)))
+    // self-diff is empty (and the summary all-unchanged)
+    assert(Cdc.storeDiff(a, a, Seq("id"), Seq("tag", "v")).count() === 0)
+  }
+
   test("deletesByColumn selects KEY_HASH of flagged rows") {
     val flagged = current.withColumn("op", org.apache.spark.sql.functions.when($"k" === "b",
       "D").otherwise("U"))

@@ -157,6 +157,20 @@ class StoreIndexSpec extends SparkSpec {
     assert(out.inputFiles.length === 2)
   }
 
+  test("readStoreKeys: scattered point lookups open only the containing files") {
+    val dir = Files.createTempDirectory("graft-skip-keys").toString + "/store"
+    val df = spark.range(0, 8000).select(col("id").as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 8)
+    val out = StoreIndex.readStoreKeys(spark, dir, "k", Seq(5L, 4100L))
+    assert(out.select("k").as[Long].collect().sorted.toSeq === Seq(5L, 4100L).sorted)
+    assert(out.inputFiles.length === 2, "two scattered keys → two files")
+    // absent keys: zero rows, zero files
+    val none = StoreIndex.readStoreKeys(spark, dir, "k", Seq(99999L))
+    assert(none.count() === 0)
+    // un-covered column → full-scan fallback, still correct
+    assert(StoreIndex.readStoreKeys(spark, dir, "v", Seq(7L)).count() === 1)
+  }
+
   test("sorted layout composes with generation commits: skipping works per generation") {
     import graft.sources.Store
     val root = Files.createTempDirectory("graft-gen-sorted").toString + "/store"
