@@ -125,9 +125,26 @@ object StoreIndex {
     * One extra scan of the fresh store (stats columns only, map-side
     * combined per file) — the write-time price of driver-side pruning. */
   def writeStatsManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit =
-    statsFrame(spark.read.parquet(path), cols)
+    padMissingFiles(spark, dataFileNames(spark, path).toSeq,
+      statsFrame(spark.read.parquet(path), cols))
       .coalesce(1)
       .write.mode("overwrite").parquet(statsManifestPath(path))
+
+  /** A ZERO-ROW data file (an empty micro-batch's append) contributes no
+    * group to [[statsFrame]]; without a manifest row it would fail the
+    * file-set staleness check forever and pin the store in the full-scan
+    * fallback. Pad such files with `n_rows = 0` and null stats — null
+    * min/max never satisfies a range/point predicate, which is exactly
+    * right for a file with no rows. */
+  private def padMissingFiles(
+      spark: SparkSession,
+      files: Seq[String],
+      stats: DataFrame): DataFrame = {
+    import spark.implicits._
+    files.toDF("file")
+      .join(stats, Seq("file"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
+  }
 
   /** One stats row per file of `data` (which must carry `_metadata`,
     * i.e. come straight from a file scan). */
@@ -187,8 +204,8 @@ object StoreIndex {
     val fresh = (dataFileNames(spark, path) -- before).toSeq
     oldManifest match {
       case Some((oldRows, oldSchema)) if fresh.nonEmpty =>
-        val newStats = statsFrame(
-          spark.read.parquet(fresh.map(f => s"$path/$f"): _*), cols)
+        val newStats = padMissingFiles(spark, fresh, statsFrame(
+          spark.read.parquet(fresh.map(f => s"$path/$f"): _*), cols))
         val old = spark.createDataFrame(
           spark.sparkContext.parallelize(oldRows), oldSchema)
         old.unionByName(newStats)

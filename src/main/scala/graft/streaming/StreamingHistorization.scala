@@ -349,6 +349,47 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming sink maintaining a RANGE-SORTED, stats-manifested store
+    * ([[graft.sources.StoreIndex]]) — continuous ingestion whose output
+    * stays cheap to query: each micro-batch appends as its own sorted
+    * file(s) via [[graft.sources.StoreIndex.appendStoreSorted]], so the
+    * skipping manifest stays live at batch cost and
+    * `readStoreSkipping`/`readStoreKeys` prune against the store at any
+    * moment between batches.
+    *
+    * Re-delivery: rows whose `idCol` already stands in the store are
+    * dropped by an id-novelty anti-join (the store side reads the id
+    * column ONLY — parquet pruning keeps the probe narrow), and
+    * intra-batch repeats collapse via `dropDuplicates`; a replayed batch
+    * therefore appends nothing. A crash BETWEEN the data append and the
+    * manifest rewrite leaves a stale manifest — the next batch's append
+    * detects the mismatch and rebuilds it (self-healing), and readers
+    * meanwhile fall back to full scans: the crash costs speed, never
+    * rows or duplicates.
+    *
+    * Periodic [[graft.sources.StoreIndex.writeStoreSorted]] rewrite =
+    * compaction (restores tight per-file ranges after many overlapping
+    * batch files), as for every append store in this file. */
+  def sortedStoreSink(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      sortCols: Seq[String],
+      checkpoint: String,
+      filesPerBatch: Int = 1): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val deduped = batch.dropDuplicates(idCol)
+        val novel = Store.readParquetSafe(session, path).fold(deduped)(store =>
+          deduped.join(store.select(idCol), Seq(idCol), "left_anti"))
+        graft.sources.StoreIndex.appendStoreSorted(
+          novel, path, sortCols, numFiles = filesPerBatch)
+        ()
+      }
+
   /** Streaming duplicated-substring spans — the streaming twin of
     * [[graft.operators.Dedup.incrementalDuplicatedSpans]], completing the
     * streaming family (exact dedup, near-dup candidates, cluster

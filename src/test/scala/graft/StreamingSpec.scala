@@ -50,6 +50,38 @@ class StreamingSpec extends SparkSpec {
     assert(expected.exceptAll(streamed).count() === 0)
   }
 
+  test("sorted-store sink keeps the skipping manifest live and absorbs re-delivery") {
+    import graft.sources.StoreIndex
+    val batch = spark.range(0, 6000).select(
+      ($"id" % 1500).as("k"), $"id".as("row_id"), ($"id" * 7).as("v"))
+    val dir = Files.createTempDirectory("graft-sorted-sink").toString
+    // 4 range-disjoint input files, streamed one per micro-batch, so the
+    // store accumulates range-disjoint sorted files the manifest can prune
+    batch.repartitionByRange(4, $"k").write.parquet(s"$dir/in")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = StreamingHistorization.sortedStoreSink(stream, s"$dir/store", "row_id",
+          Seq("k"), s"$dir/cp${java.util.UUID.randomUUID().toString.take(8)}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // full re-delivery (fresh checkpoint, same data): id-novelty absorbs
+    runOnce()
+
+    val store = spark.read.parquet(s"$dir/store")
+    assert(store.count() === 6000, "re-delivery must append nothing")
+    // manifest is live: a key range prunes files and matches the batch filter
+    val skipped = StoreIndex.readStoreSkipping(spark, s"$dir/store", "k", 100L, 300L)
+    val expected = batch.filter($"k".between(100, 300))
+    assert(skipped.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(skipped).count() === 0)
+    assert(skipped.inputFiles.length < store.inputFiles.length,
+      "manifest must prune after streaming appends")
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val batch = graft.sources.Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("graft-ssjoin").toString
