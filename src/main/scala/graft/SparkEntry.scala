@@ -419,6 +419,19 @@ object SparkEntry {
     path
   }
 
+  /** Staged TIME-sorted lineitem store (sorted + manifested on
+    * `l_shipdate`): the time-slice layout — a fact store laid out by
+    * event time is the single most common 100 TB read pattern ("last
+    * week's data"), and the manifest prunes it exactly like a key range
+    * (native TIMESTAMP min/max comparisons). */
+  private def stagedTimeSortedLineitemPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/lineitem_tsorted_f16"
+    Store.readOrCreateWith(s, path)(dir =>
+      StoreIndex.writeStoreSorted(
+        Tables.lineitem(s, d), dir, Seq("l_shipdate"), numFiles = 16))
+    path
+  }
+
   /** Staged Z-ordered lineitem store on (l_partkey, l_suppkey): the
     * two-dimensional layout twin — per-file ranges tight on BOTH columns,
     * so [[graft.sources.StoreIndex.readStoreBox]] prunes either axis. */
@@ -467,6 +480,7 @@ object SparkEntry {
     stagedManifestSnapshot(s, d)
     stagedSortedLineitemPath(s, d)
     stagedZOrderLineitemPath(s, d)
+    stagedTimeSortedLineitemPath(s, d)
     ()
   }
 
@@ -746,6 +760,16 @@ object SparkEntry {
     "x_store_skipping" -> ((s, d) =>
       StoreIndex.readStoreSkipping(
         s, stagedSortedLineitemPath(s, d), "l_orderkey", 1000L, 1999L)),
+    // time-slice read over the shipdate-sorted store: the "one month of
+    // a years-spanning fact store" pattern — the manifest's native
+    // TIMESTAMP min/max prove which files overlap the slice
+    "x_store_time_slice" -> ((s, d) =>
+      // LocalDateTime literals: the parquet column reads as
+      // TIMESTAMP_NTZ in Spark 4, and NTZ compares only against NTZ
+      StoreIndex.readStoreSkipping(
+        s, stagedTimeSortedLineitemPath(s, d), "l_shipdate",
+        java.time.LocalDateTime.parse("1997-03-01T00:00:00"),
+        java.time.LocalDateTime.parse("1997-03-31T23:59:59"))),
     // scattered point lookups through the manifest: each key's file is
     // proven by [min, max] containment before any footer opens; parquet
     // row-group stats narrow further inside the kept files
@@ -1542,6 +1566,12 @@ object SparkEntry {
     "x_sample_cap" -> ((s, d) =>
       Sampling.capPerGroup(Tables.documents(s, d), "doc_id", "source", maxPerGroup = 10)
         .select("doc_id", "source")),
+    // deterministic global training order: contiguous 0-based positions
+    // by hash order — the zipWithIndex build (range exchange + two
+    // narrow stages), never a single-partition global window
+    "x_sample_shuffle" -> ((s, d) =>
+      Sampling.shufflePositions(
+        Tables.documents(s, d).select("doc_id"), "doc_id", "ord")),
     // quality-band mixture: tertile the corpus by (rounded) char entropy
     // via the bottom-k cutpoint sketch, keep 20%/50%/100% per band — the
     // no-global-sort "sample harder from better data" recipe; the score
@@ -2643,6 +2673,10 @@ object SparkEntry {
       "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 1999",
     "x_store_point_lookup" ->
       "SELECT * FROM lineitem WHERE l_orderkey IN (123, 7777, 14000)",
+    "x_store_time_slice" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-03-01 00:00:00'
+        |                     AND TIMESTAMP '1997-03-31 23:59:59'""".stripMargin,
     "x_store_zorder_box" ->
       """SELECT * FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
@@ -4714,6 +4748,14 @@ object SparkEntry {
          |)
          |SELECT doc_id, source FROM u
          |QUALIFY row_number() OVER (PARTITION BY source ORDER BY u, doc_id) <= 10""".stripMargin,
+    // the global hash order reproduces engine-for-engine: md5 of the
+    // same salted string, row_number along it
+    "x_sample_shuffle" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#ord'), doc_id) - 1
+        |         AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
     // DuckDB reads the same on-disk JSONL fixture the Spark query ingests
     // with an equivalent explicit column spec — null literals, missing
     // nested keys, and array lengths must all agree

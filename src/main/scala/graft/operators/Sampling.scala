@@ -277,4 +277,40 @@ object Sampling {
       df(idCol).cast("long") === kept("__keep_id") &&
         df(groupCol) <=> kept("__keep_g"), "left_semi")
   }
+
+  /** Deterministic global training order: every row gets a contiguous
+    * 0-based `shuffle_pos` by ascending md5-of-(id, salt) — a reproducible
+    * corpus-wide shuffle (same salt ⇒ same order on any cluster, any
+    * partitioning; new salt ⇒ fresh epoch order), the "shuffle the
+    * corpus before sharding it into training files" step.
+    *
+    * Scale shape — the classic zipWithIndex build, NOT a global window
+    * (a `Window.orderBy` with no partition key funnels the corpus
+    * through ONE task, and a partitioned-window workaround pays a second
+    * full-row exchange): range-exchange + sort on the hash, then
+    * `zipWithIndex` — a bounded per-partition count job (whose shuffle
+    * lineage the final job REUSES, no re-sort) and a map stamping
+    * offset + local index. The one deliberate RDD hop in the library:
+    * contiguous global enumeration has no exchange-free Catalyst form,
+    * and the hop is two narrow stages over the already-sorted rows.
+    * Ties cannot occur across distinct ids (the digest is of the id)
+    * and duplicate ids order among themselves by id. For writing
+    * shards, follow with `repartitionByRange(n, col("shuffle_pos"))`
+    * so file k holds one contiguous position range.
+    */
+  def shufflePositions(df: DataFrame, idCol: String, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val h = md5(concat(col(idCol).cast("string"), lit("#" + salt)))
+    val sorted = df.withColumn("__h", h)
+      .repartitionByRange(n, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .drop("__h")
+    val schema = sorted.schema.add("shuffle_pos", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -179,4 +179,22 @@ class SamplingSpec extends SparkSpec {
     assert(byGroup("a") === 1, s"group a over cap: $byGroup")
     assert(byGroup("b") === 1, s"group b over cap: $byGroup")
   }
+
+  test("shufflePositions: contiguous permutation, repartition-stable, salt-sensitive") {
+    val rows = spark.range(0, 500).select(col("id"), (col("id") * 3).as("payload"))
+    val got = Sampling.shufflePositions(rows, "id", "epoch1")
+    // a contiguous 0-based permutation, payload carried through
+    assert(got.count() === 500)
+    assert(got.select("shuffle_pos").as[Long].collect().sorted.toSeq === (0L until 500L))
+    assert(got.filter(col("payload") =!= col("id") * 3).count() === 0)
+    // pure function of (id, salt): any input partitioning gives the order
+    val again = Sampling.shufflePositions(rows.repartition(13), "id", "epoch1")
+      .select("id", "shuffle_pos")
+    assert(again.exceptAll(got.select("id", "shuffle_pos")).count() === 0)
+    // a new salt is a fresh epoch order
+    val other = Sampling.shufflePositions(rows, "id", "epoch2").select("id", "shuffle_pos")
+    assert(other.exceptAll(got.select("id", "shuffle_pos")).count() > 0)
+    // and it is genuinely shuffled, not identity order
+    assert(got.filter(col("id") === col("shuffle_pos")).count() < 50)
+  }
 }
