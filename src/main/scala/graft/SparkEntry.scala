@@ -1786,6 +1786,83 @@ object SparkEntry {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
             .cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems"))
+    }),
+    // ---- extensions: reshape (pandas pivot_table / melt / crosstab) ----
+    // wide pivot with a DECLARED vocabulary: single hash aggregate, no
+    // distinct-discovery pass over the pivot column
+    "x_reshape_pivot" -> ((s, d) =>
+      Reshape.pivotAgg(Tables.lineitem(s, d), Seq("l_linestatus"), "l_returnflag",
+        Seq("A", "N", "R"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), "qty_")),
+    // long melt: zero-shuffle row expansion, NULL cells kept
+    "x_reshape_unpivot" -> ((s, d) =>
+      Reshape.melt(Tables.part(s, d), Seq("p_partkey"),
+        Seq("p_retailprice", "p_size"), "metric", "value")),
+    // contingency counts, empty cells 0 (total-preserving)
+    "x_reshape_crosstab" -> ((s, d) =>
+      Reshape.crosstabCounts(Tables.documents(s, d), "source", "lang",
+        Seq("de", "en", "es", "fr", "zh"))),
+    // hierarchical subtotals with explicit grouping flags (subtotal NULL
+    // vs data NULL disambiguated)
+    "x_agg_rollup" -> ((s, d) =>
+      Reshape.rollupAgg(Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
+        Seq(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty")))),
+    // ---- extensions: incrementally-maintained materialized aggregates ----
+    // three ingest batches -> three partial states -> one merge: the
+    // finalized view must hash-match the from-scratch recompute no matter
+    // how the corpus was batched
+    "x_agg_maintain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val batches = (0 until 3).map(i =>
+        MaterializedAgg.partialState(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i), Seq("l_returnflag"), "l_quantity"))
+      MaterializedAgg.finalizeView(
+        MaterializedAgg.mergeStates(batches, Seq("l_returnflag")), Seq("l_returnflag"))
+    }),
+    // delete maintenance: batch 2 retracted from the standing state
+    // (algebraic measures by negative merge, extrema by touched-group
+    // repair over survivors) ≡ recompute over batches 0+1 only
+    "x_agg_maintain_retract" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val g = Seq("l_returnflag")
+      val b = (0 until 3).map(i => li.filter(pmod(col("l_orderkey"), lit(3)) === i))
+      val standing = MaterializedAgg.mergeStates(
+        b.map(MaterializedAgg.partialState(_, g, "l_quantity")), g)
+      val retracted = MaterializedAgg.mergeStates(
+        Seq(standing, MaterializedAgg.retractState(b(2), g, "l_quantity")), g)
+      val survivors = b(0).unionByName(b(1))
+      MaterializedAgg.finalizeView(
+        MaterializedAgg.repairGroups(retracted, survivors, b(2), g, "l_quantity"), g)
+    }),
+    // ---- extension: cross-table fuzzy join (record linkage) ----
+    // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
+    // a deterministically dirtied feed (one substitution at a
+    // key-dependent position); PassJoin blocking, exact verify
+    "x_fuzzy_join" -> ((s, d) => {
+      val clean = Tables.customer(s, d).select(col("c_custkey").as("cid"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("k"))
+      val p = (pmod(col("cid"), lit(12)) + 1).cast("int")
+      val dirty = clean.select(col("cid").as("did"),
+        concat(col("k").substr(lit(1), p - 1), lit("x"),
+          col("k").substr(p + 1, lit(12))).as("k2"))
+      Dedup.fuzzyJoin(clean, "cid", "k", dirty, "did", "k2", maxDist = 1)
+    }),
+    // entity-resolution election on the fuzzy pairs: one canonical clean
+    // match per dirty row (best distance, id tiebreak) — a window keyed
+    // by the dirty id, so the shuffle is per-entity, never global
+    "x_fuzzy_join_best" -> ((s, d) => {
+      val clean = Tables.customer(s, d).select(col("c_custkey").as("cid"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("k"))
+      val p = (pmod(col("cid"), lit(12)) + 1).cast("int")
+      val dirty = clean.select(col("cid").as("did"),
+        concat(col("k").substr(lit(1), p - 1), lit("x"),
+          col("k").substr(p + 1, lit(12))).as("k2"))
+      val pairs = Dedup.fuzzyJoin(clean, "cid", "k", dirty, "did", "k2", maxDist = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("right_id").orderBy(col("dist"), col("left_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
     })
   )
 
@@ -5006,7 +5083,89 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "x_reshape_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A'
+        |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N'
+        |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "x_reshape_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric,
+        |       CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part""".stripMargin,
+    "x_reshape_crosstab" ->
+      """SELECT source,
+        |  count(CASE WHEN lang = 'de' THEN 1 END) AS n_de,
+        |  count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+        |  count(CASE WHEN lang = 'es' THEN 1 END) AS n_es,
+        |  count(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr,
+        |  count(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "x_agg_maintain" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6)
+        |    AS avg_v,
+        |  min(CAST(l_quantity AS DOUBLE)) AS min_v,
+        |  max(CAST(l_quantity AS DOUBLE)) AS max_v
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "x_agg_maintain_retract" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6)
+        |    AS avg_v,
+        |  min(CAST(l_quantity AS DOUBLE)) AS min_v,
+        |  max(CAST(l_quantity AS DOUBLE)) AS max_v
+        |FROM lineitem WHERE l_orderkey % 3 <> 2 GROUP BY 1""".stripMargin,
+    "x_fuzzy_join" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS cid,
+        |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS k
+        |  FROM customer
+        |),
+        |dirty AS (
+        |  SELECT cid AS did,
+        |         substr(k, 1, CAST(cid % 12 AS INT)) || 'x' ||
+        |           substr(k, CAST(cid % 12 AS INT) + 2) AS k2
+        |  FROM clean
+        |)
+        |SELECT c.cid AS left_id, d.did AS right_id,
+        |       CAST(levenshtein(c.k, d.k2) AS INT) AS dist
+        |FROM clean c CROSS JOIN dirty d
+        |WHERE levenshtein(c.k, d.k2) <= 1""".stripMargin,
+    "x_fuzzy_join_best" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS cid,
+        |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS k
+        |  FROM customer
+        |),
+        |dirty AS (
+        |  SELECT cid AS did,
+        |         substr(k, 1, CAST(cid % 12 AS INT)) || 'x' ||
+        |           substr(k, CAST(cid % 12 AS INT) + 2) AS k2
+        |  FROM clean
+        |),
+        |pairs AS (
+        |  SELECT c.cid AS left_id, d.did AS right_id,
+        |         CAST(levenshtein(c.k, d.k2) AS INT) AS dist
+        |  FROM clean c CROSS JOIN dirty d
+        |  WHERE levenshtein(c.k, d.k2) <= 1
+        |)
+        |SELECT left_id, right_id, dist FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY right_id
+        |                           ORDER BY dist, left_id) = 1""".stripMargin
   )
 
   /** DuckDB mirror of TextAnalysis.stopwordHits over token list `w`:

@@ -878,6 +878,83 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Cross-TABLE fuzzy equi-join (record linkage): all (left, right)
+    * pairs within Levenshtein distance `maxDist` between two DIFFERENT
+    * tables — matching a dirty feed against a clean reference — by the
+    * same PassJoin pigeonhole blocking as [[editDistanceNearDuplicates]]
+    * (Li, Deng, Feng, ICDE'11), asymmetrically: the LEFT side indexes
+    * its `maxDist + 1` segment keys, the RIGHT side probes with every
+    * substring of the matching segment geometry inside the ±`maxDist`
+    * position window, candidates survive one fixed-width
+    * (length, segment, hash) equi-join, and an exact `levenshtein`
+    * verify removes hash collisions and window false-positives.
+    *
+    * Scale shape identical to the self-join form: only
+    * (id, length, 8-byte hash) rows shuffle, candidate volume tracks
+    * true near-match density, strings re-enter only for the bounded
+    * verify. Put the REFERENCE table on the left: it pays the cheap
+    * fixed `maxDist + 1` keys per row, while the probe side's
+    * (maxDist+1) × (2·maxDist+1)² key fan-out lands on the feed being
+    * linked. The saturated-template density caveat on
+    * [[editDistanceNearDuplicates]] applies to the PAIR of columns here.
+    *
+    * @return (left_id, right_id, dist), dist ≤ `maxDist`, exact matches
+    *         included at dist 0; rows with no partner emit nothing
+    *         (inner-join semantics — compose with a left-anti on the
+    *         result for the unmatched remainder)
+    */
+  def fuzzyJoin(
+      left: DataFrame,
+      leftIdCol: String,
+      leftStrCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightStrCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1, "maxDist must be at least 1")
+    val d = maxDist
+    val k = d + 1
+    val lbase = left.select(col(leftIdCol).as("left_id"), col(leftStrCol).as("sa"))
+      .filter(col("sa").isNotNull)
+      .withColumn("la", length(col("sa")))
+    val rbase = right.select(col(rightIdCol).as("right_id"), col(rightStrCol).as("sb"))
+      .filter(col("sb").isNotNull)
+      .withColumn("lb", length(col("sb")))
+    val segIdx = explode(array((0 until k).map(lit): _*)).as("i")
+    val idxKeys = {
+      val withI = lbase.select(col("left_id"), col("sa"), col("la"), segIdx)
+      val (st, w) = segGeom(col("la"), col("i"), k)
+      withI.select(col("left_id"), col("la"), col("i"),
+        xxhash64(col("sa").substr(st + 1, w)).as("h"))
+    }
+    val probeKeys = {
+      val combo = explode(array((for (i <- 0 until k; delta <- -d to d)
+        yield struct(lit(i).as("i"), lit(delta).as("delta"))): _*)).as("c")
+      val withC = rbase.select(col("right_id"), col("sb"), col("lb"), combo)
+        .select(col("right_id"), col("sb"), col("lb"),
+          col("c.i").as("i"), (col("lb") + col("c.delta")).as("la"))
+        .filter(col("la") >= 0)
+      val (st, w) = segGeom(col("la"), col("i"), k)
+      withC
+        .withColumn("pmin", greatest(lit(0), st - d))
+        .withColumn("pmax", least(col("lb") - w, st + d))
+        .filter(col("pmax") >= col("pmin"))
+        .select(col("right_id"), col("la"), col("i"), col("sb"), w.as("w"),
+          explode(sequence(col("pmin"), col("pmax"))).as("p"))
+        .select(col("right_id"), col("la"), col("i"),
+          xxhash64(col("sb").substr(col("p") + 1, col("w"))).as("h"))
+        .distinct()
+    }
+    val cand = idxKeys.join(probeKeys, Seq("la", "i", "h"))
+      .select("left_id", "right_id").distinct()
+    cand
+      .join(lbase.select(col("left_id"), col("sa")), Seq("left_id"))
+      .join(rbase.select(col("right_id"), col("sb")), Seq("right_id"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= d)
+      .select("left_id", "right_id", "dist")
+  }
+
   /** Value (0..15) of the hex digit at 1-based position `pos` of `hex`. */
   private def hexDigitVal(hex: Column, pos: Column): Column =
     conv(hex.substr(pos, lit(1)), 16, 10).cast("int")

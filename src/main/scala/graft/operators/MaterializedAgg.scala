@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized aggregates.
+  *
+  * North-star extension: a 100 TB corpus's dataset card (per-group row
+  * counts, sums, extrema) cannot be recomputed from scratch per ingest
+  * batch — the read alone is the cost ceiling. The classical answer
+  * (Gray et al., "Data Cube", ICDE'96) is to persist PARTIAL aggregate
+  * state and maintain it with batch-cost merges, splitting measures by
+  * algebraic class:
+  *
+  *  - distributive/algebraic (count, sum, and avg = sum/count) merge AND
+  *    retract: an append is a `+state`, a delete is a `-state` of just
+  *    the deleted rows — maintenance cost tracks the DELTA, never the
+  *    corpus;
+  *  - extrema (min/max) merge but do NOT retract (deleting the current
+  *    minimum says nothing about the next one); under deletes they are
+  *    maintained by recomputing ONLY the groups the delete touched
+  *    ([[repairGroups]]), so even the holistic part pays
+  *    |touched groups' rows|, not |corpus|.
+  *
+  * The state is a plain DataFrame (groupCols + n, sum, min, max), so it
+  * persists through the ordinary store layer — generation commits,
+  * retention, and as-of reads are inherited rather than reimplemented.
+  * Every function here is a single hash-aggregate shuffle on the group
+  * key with map-side combine; no collect, no window over the corpus.
+  */
+object MaterializedAgg {
+
+  val StateCols: Seq[String] = Seq("n_rows", "sum_v", "min_v", "max_v")
+
+  /** Partial aggregate state of one batch: groupCols + (n_rows, sum_v,
+    * min_v, max_v) with sum_v carried as DECIMAL(28,2) — decimal partial
+    * sums merge associatively regardless of merge order, where a double
+    * sum would drift between merge shapes (the state must hash-match the
+    * recompute no matter how many batches it passed through). */
+  def partialState(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("decimal(28,2)")).as("sum_v"),
+        min(col(valueCol).cast("double")).as("min_v"),
+        max(col(valueCol).cast("double")).as("max_v"))
+
+  /** Merge partial states (any association order). Extrema stay correct
+    * because min/min and max/max are idempotent semilattice merges;
+    * counts/sums add. States whose extrema were invalidated by a
+    * retraction carry NULL there, and NULL-skipping min/max keeps the
+    * merged bound honest for the still-valid parts. */
+  def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** The retraction (negative state) of a deleted batch: merge this with
+    * a standing state to delete the batch's contribution from the
+    * algebraic measures. Extrema are nulled — a retraction cannot
+    * witness the next-best extremum — so downstream [[finalizeView]]
+    * reports NULL min/max for touched groups until [[repairGroups]]
+    * recomputes them from survivors. */
+  def retractState(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    partialState(df, groupCols, valueCol)
+      .withColumn("n_rows", -col("n_rows"))
+      .withColumn("sum_v", -col("sum_v"))
+      .withColumn("min_v", lit(null).cast("double"))
+      .withColumn("max_v", lit(null).cast("double"))
+
+  /** Recompute extrema for exactly the groups present in `touched`,
+    * reading only `survivors` rows of those groups (one semi-join + one
+    * grouped agg over the touched slice). Returns the state with
+    * repaired min/max and untouched groups passed through unchanged. */
+  def repairGroups(
+      state: DataFrame,
+      survivors: DataFrame,
+      touched: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val keys = touched.select(groupCols.map(col): _*).distinct()
+    val repaired = partialState(
+      survivors.join(keys, groupCols, "left_semi"), groupCols, valueCol)
+      .select((groupCols.map(col) :+ col("min_v").as("__rmin") :+ col("max_v").as("__rmax")): _*)
+    val flagged = keys.withColumn("__touched", lit(true))
+    state
+      .join(flagged, groupCols, "left_outer")
+      .join(repaired, groupCols, "left_outer")
+      .withColumn("min_v", when(col("__touched"), col("__rmin")).otherwise(col("min_v")))
+      .withColumn("max_v", when(col("__touched"), col("__rmax")).otherwise(col("max_v")))
+      .drop("__touched", "__rmin", "__rmax")
+      // a group whose every row was retracted merges to n_rows = 0 and a
+      // left-anti miss in the repair: it no longer exists
+      .filter(col("n_rows") > 0)
+  }
+
+  /** User-facing view of a state: n_rows, sum (double), avg = sum/n
+    * rounded to 6, min, max. Groups fully retracted (n_rows = 0) are
+    * dropped — they have no rows, so a recompute would not emit them. */
+  def finalizeView(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state
+      .filter(col("n_rows") > 0)
+      .select((groupCols.map(col) :+
+        col("n_rows") :+
+        col("sum_v").cast("double").as("sum_v") :+
+        round(col("sum_v").cast("double") / col("n_rows"), 6).as("avg_v") :+
+        col("min_v") :+
+        col("max_v")): _*)
+
+  /** The standing merged state of a stream-maintained aggregate store
+    * ([[graft.streaming.StreamingHistorization.aggMaintainStream]]'s
+    * sink): per-batch partial states merged across their `ingest_batch`
+    * partitions — associativity makes the partition layout invisible, so
+    * the answer is identical before and after any compaction. None until
+    * the first batch lands. */
+  def readMaintainedState(
+      spark: SparkSession,
+      path: String,
+      groupCols: Seq[String]): Option[DataFrame] =
+    graft.sources.Store.readParquetSafe(spark, path)
+      .map(df => mergeStates(Seq(df.drop("ingest_batch")), groupCols))
+
+  /** Store-backed maintenance step: read the standing state (absent →
+    * empty), merge the batch's partial (or retraction), commit as a new
+    * generation — readers pinned to prior generations stay consistent,
+    * and the CAS generation commit makes concurrent maintainers safe.
+    * Returns the committed generation. */
+  def maintainStore(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      retract: Boolean = false,
+      keep: Int = 3): Long = {
+    val delta =
+      if (retract) retractState(batch, groupCols, valueCol)
+      else partialState(batch, groupCols, valueCol)
+    val merged = graft.sources.Store.readStoreLatest(spark, path) match {
+      case Some((_, standing)) => mergeStates(Seq(standing, delta), groupCols)
+      case None => delta
+    }
+    graft.sources.Store.writeStoreGeneration(merged, path, keep = keep)
+  }
+}

@@ -190,6 +190,21 @@ object StoreIndex {
     val spark = df.sparkSession
     val cols = if (statsCols.nonEmpty) statsCols else sortCols
     val before = dataFileNames(spark, path)
+    // normalize the append to the standing store's column ORDER: parquet
+    // maps columns by name, but spark.read seeds the frame's column order
+    // from an arbitrary file's footer, so a store whose files disagree on
+    // order surfaces a scheduling-dependent schema to positional
+    // consumers. Appends with a different column SET are refused — that
+    // is schema evolution, which goes through the historization loop's
+    // evolve step, not a silent append.
+    val aligned =
+      if (before.isEmpty) df
+      else {
+        val standing = spark.read.parquet(path).columns
+        require(standing.sorted.sameElements(df.columns.sorted),
+          s"append column set ${df.columns.sorted.mkString(",")} != store ${standing.sorted.mkString(",")}")
+        df.select(standing.map(col(_)): _*)
+      }
     val oldManifest = Store.readParquetSafe(spark, statsManifestPath(path))
       .filter { m =>
         cols.forall(c => m.columns.contains(s"min_$c")) &&
@@ -198,7 +213,7 @@ object StoreIndex {
       // materialize the surviving rows NOW: the manifest overwrite below
       // would otherwise delete the files this frame still plans to read
       .map(m => m.collect().toSeq -> m.schema)
-    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+    aligned.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("append").parquet(path)
     val fresh = (dataFileNames(spark, path) -- before).toSeq

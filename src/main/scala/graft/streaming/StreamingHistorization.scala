@@ -383,8 +383,15 @@ object StreamingHistorization {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val session = batch.sparkSession
         val deduped = batch.dropDuplicates(idCol)
+        // a usingColumns anti-join moves the join key to the front of the
+        // output schema; re-select the input order so every appended file
+        // carries the SAME column order — parquet readers seed the store
+        // schema from an arbitrary file, and a mixed-order store would
+        // surface a scheduling-dependent column order to positional
+        // consumers (exceptAll, by-position writers)
         val novel = Store.readParquetSafe(session, path).fold(deduped)(store =>
-          deduped.join(store.select(idCol), Seq(idCol), "left_anti"))
+          deduped.join(store.select(idCol), Seq(idCol), "left_anti")
+            .select(deduped.columns.map(col(_)): _*))
         graft.sources.StoreIndex.appendStoreSorted(
           novel, path, sortCols, numFiles = filesPerBatch)
         ()
@@ -561,6 +568,56 @@ object StreamingHistorization {
             lit("").as(textCol)))
         graft.operators.Dedup.purgeSpanStores(session, ids, survivors,
           idCol, textCol, gramsPath, idsPath, spansPath, k, stride)
+        ()
+      }
+
+  /** Streaming materialized-aggregate maintenance — the streaming twin of
+    * [[graft.operators.MaterializedAgg.maintainStore]]. Per micro-batch:
+    * id-novelty absorber (facts whose ids an earlier batch already
+    * aggregated are dropped — aggregation, unlike the set-semantics
+    * append stores, would DOUBLE-COUNT a re-delivered row), then the
+    * batch's partial state ([[graft.operators.MaterializedAgg.partialState]])
+    * lands in its own `ingest_batch` partition, following [[spansStream]]'s
+    * exactly-once-without-a-transaction-log shape: every read excludes the
+    * current batch id, every write overwrites only the batch's own
+    * partition, so a replayed batch recomputes identical content from
+    * identical earlier-batch state and rewrites it in place — no crash
+    * point between the state write and the ids write can double-count or
+    * drop a row. The standing answer at any moment is
+    * [[graft.operators.MaterializedAgg.readMaintainedState]] (merge across
+    * batch partitions — associativity makes the partition layout
+    * invisible); per-batch directories compact through
+    * [[Store.compactStore]] like every append store in this file.
+    *
+    * State at 100 TB: the ids store is payload-free and the state store
+    * holds |groups| rows per batch — both slivers; each batch's work is
+    * one anti-join plus one map-side-combined aggregation of the batch. */
+  def aggMaintainStream(
+      rows: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      statePath: String,
+      idsPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        graft.CacheScope.withScope { scope =>
+          def prior(p: String) = Store.readParquetSafe(session, p)
+            .map(_.filter(col("ingest_batch") < batchId))
+          val novel = scope.persist {
+            val b = batch.dropDuplicates(idCol)
+            prior(idsPath).fold(b)(ids =>
+              b.join(ids.select(idCol), Seq(idCol), "left_anti"))
+          }
+          graft.operators.MaterializedAgg.partialState(novel, groupCols, valueCol)
+            .write.mode("overwrite").parquet(s"$statePath/ingest_batch=$batchId")
+          novel.select(idCol).write.mode("overwrite")
+            .parquet(s"$idsPath/ingest_batch=$batchId")
+        }
         ()
       }
 

@@ -701,4 +701,39 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((1L, 2L, 1), (1L, 4L, 0), (2L, 4L, 1)))
   }
+
+  test("fuzzyJoin finds exactly the brute-force cross-table pairs (d=1 and d=2)") {
+    // same adversarial pseudo-random fixture as the self-join test, cut
+    // into two disjoint tables so completeness is pinned against the
+    // cross-table O(n·m) definition (includes dist-0 exact matches,
+    // empty strings, and sub-segment-count lengths)
+    val alpha = "abc"
+    val rows = (0 until 60).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fj$i".getBytes("UTF-8")).map(b => (b & 0xff)).toSeq
+      val len = h.head % 8
+      (i.toLong, (0 until len).map(j => alpha(h(j + 1) % 3)).mkString)
+    }
+    val left = rows.take(30).toDF("lid", "ls")
+    val right = rows.drop(30).toDF("rid", "rs")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.fuzzyJoin(left, "lid", "ls", right, "rid", "rs", maxDist = d)
+        .select("left_id", "right_id", "dist").as[(Long, Long, Int)].collect().toSet
+      val brute = left.crossJoin(right)
+        .select($"lid", $"rid", levenshtein($"ls", $"rs").as("dist"))
+        .filter($"dist" <= d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(brute.nonEmpty, "fixture produced no near pairs — regenerate")
+      assert(got === brute, s"d=$d: cross-table blocking missed or invented pairs")
+    }
+  }
+
+  test("fuzzyJoin: inner semantics — unmatched and null-key rows emit nothing") {
+    val left = Seq((1L, Some("abcdef")), (2L, Some("zzzzzz")), (3L, None))
+      .toDF("lid", "ls")
+    val right = Seq((10L, Some("abcdxf")), (11L, None)).toDF("rid", "rs")
+    val got = Dedup.fuzzyJoin(left, "lid", "ls", right, "rid", "rs", maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 10L, 1)))
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.MaterializedAgg
+
+class MaterializedAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def view(df: DataFrame): Map[String, (Long, Double, Double, Double, Double)] =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+
+  private val data = Seq(
+    ("a", 1.0, 0), ("a", 2.0, 1), ("a", 6.0, 2),
+    ("b", 10.0, 0), ("b", 20.0, 2)).toDF("g", "v", "batch")
+
+  private def direct(df: DataFrame) = MaterializedAgg.finalizeView(
+    MaterializedAgg.partialState(df, Seq("g"), "v"), Seq("g"))
+
+  test("merge of per-batch partials equals the from-scratch aggregate") {
+    val batches = (0 until 3).map(i =>
+      MaterializedAgg.partialState(data.filter(col("batch") === i), Seq("g"), "v"))
+    val merged = MaterializedAgg.finalizeView(
+      MaterializedAgg.mergeStates(batches, Seq("g")), Seq("g"))
+    assert(view(merged) === view(direct(data)))
+    assert(view(merged)("a") === ((3L, 9.0, 3.0, 1.0, 6.0)))
+  }
+
+  test("merge is association-order independent") {
+    val b = (0 until 3).map(i =>
+      MaterializedAgg.partialState(data.filter(col("batch") === i), Seq("g"), "v"))
+    val leftFold = MaterializedAgg.mergeStates(
+      Seq(MaterializedAgg.mergeStates(Seq(b(0), b(1)), Seq("g")), b(2)), Seq("g"))
+    val rightFold = MaterializedAgg.mergeStates(
+      Seq(b(0), MaterializedAgg.mergeStates(Seq(b(1), b(2)), Seq("g"))), Seq("g"))
+    assert(view(MaterializedAgg.finalizeView(leftFold, Seq("g"))) ===
+      view(MaterializedAgg.finalizeView(rightFold, Seq("g"))))
+  }
+
+  test("retraction of a batch nulls extrema; repair restores them from survivors") {
+    val g = Seq("g")
+    val b = (0 until 3).map(i => data.filter(col("batch") === i))
+    val standing = MaterializedAgg.mergeStates(
+      b.map(MaterializedAgg.partialState(_, g, "v")), g)
+    val retracted = MaterializedAgg.mergeStates(
+      Seq(standing, MaterializedAgg.retractState(b(2), g, "v")), g)
+    // pre-repair: algebraic parts already correct, extrema honest-NULL
+    val pre = retracted.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.isNullAt(3) || r.isNullAt(4)))).toMap
+    assert(pre("a")._1 === 2L)
+    val repaired = MaterializedAgg.finalizeView(
+      MaterializedAgg.repairGroups(retracted, b(0).unionByName(b(1)), b(2), g, "v"), g)
+    val expect = direct(data.filter(col("batch") =!= 2))
+    assert(view(repaired) === view(expect))
+    assert(view(repaired)("a") === ((2L, 3.0, 1.5, 1.0, 2.0)))
+  }
+
+  test("fully-retracted groups vanish from the finalized view") {
+    val g = Seq("g")
+    val only = Seq(("solo", 5.0)).toDF("g", "v")
+    val standing = MaterializedAgg.partialState(only, g, "v")
+    val retracted = MaterializedAgg.mergeStates(
+      Seq(standing, MaterializedAgg.retractState(only, g, "v")), g)
+    val repaired = MaterializedAgg.repairGroups(
+      retracted, only.limit(0), only, g, "v")
+    assert(repaired.count() === 0)
+    assert(MaterializedAgg.finalizeView(retracted, g).count() === 0)
+  }
+
+  test("maintainStore: generation-committed append + retract converges to recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("agg_maintain").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val g = Seq("g")
+    val b = (0 until 3).map(i => data.filter(col("batch") === i))
+    b.foreach(batch => MaterializedAgg.maintainStore(spark, path, batch, g, "v"))
+    MaterializedAgg.maintainStore(spark, path, b(2), g, "v", retract = true)
+    val (_, state) = graft.sources.Store.readStoreLatest(spark, path).get
+    // algebraic measures equal the survivor recompute; extrema NULL until repair
+    val fin = MaterializedAgg.finalizeView(state, g)
+      .select("g", "n_rows", "sum_v", "avg_v")
+    val expect = direct(data.filter(col("batch") =!= 2))
+      .select("g", "n_rows", "sum_v", "avg_v")
+    assert(fin.collect().map(_.toSeq).toSet === expect.collect().map(_.toSeq).toSet)
+    // each maintenance step was its own committed generation (keep=3 retained)
+    assert(graft.sources.Store.listGenerations(spark, path).size === 3)
+  }
+}

@@ -76,10 +76,47 @@ class StreamingSpec extends SparkSpec {
     // manifest is live: a key range prunes files and matches the batch filter
     val skipped = StoreIndex.readStoreSkipping(spark, s"$dir/store", "k", 100L, 300L)
     val expected = batch.filter($"k".between(100, 300))
+    // every appended file must carry the input column order: the absorber
+    // anti-join moves its key to the front, and a mixed-order store would
+    // seed spark.read's schema from an arbitrary file (the order became
+    // scheduling-dependent — this exact assert flaked before the sink
+    // re-selected the input order)
+    assert(store.columns.toSeq === batch.columns.toSeq)
     assert(skipped.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(skipped).count() === 0)
     assert(skipped.inputFiles.length < store.inputFiles.length,
       "manifest must prune after streaming appends")
+  }
+
+  test("stream-maintained aggregate state equals the batch recompute under re-delivery") {
+    import graft.operators.MaterializedAgg
+    val batch = spark.range(0, 4000).select(
+      $"id".as("fact_id"), ($"id" % 7).cast("string").as("g"), ($"id" % 13).cast("double").as("v"))
+    val dir = Files.createTempDirectory("graft-agg-stream").toString
+    batch.repartition(4).write.parquet(s"$dir/in")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = StreamingHistorization.aggMaintainStream(stream, "fact_id", Seq("g"), "v",
+          s"$dir/state", s"$dir/ids", s"$dir/cp${java.util.UUID.randomUUID().toString.take(8)}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // full re-delivery with a fresh checkpoint: the id-novelty absorber
+    // must keep every partial at zero — aggregation would double-count
+    runOnce()
+
+    val got = MaterializedAgg.finalizeView(
+      MaterializedAgg.readMaintainedState(spark, s"$dir/state", Seq("g")).get, Seq("g"))
+    val expected = MaterializedAgg.finalizeView(
+      MaterializedAgg.partialState(batch, Seq("g"), "v"), Seq("g"))
+    assert(got.collect().map(_.toSeq).toSet === expected.collect().map(_.toSeq).toSet)
+    // the state store stays sliver-sized: at most |groups| rows per batch
+    val perBatch = spark.read.parquet(s"$dir/state")
+      .groupBy("ingest_batch").count().collect()
+    assert(perBatch.forall(_.getLong(1) <= 7))
   }
 
   test("stream-stream interval join matches the batch attribution join") {
