@@ -1835,6 +1835,18 @@ object SparkEntry {
       MaterializedAgg.finalizeView(
         MaterializedAgg.repairGroups(retracted, survivors, b(2), g, "l_quantity"), g)
     }),
+    // distinct-count measure maintained the same way: per-batch KMV
+    // synopses merged across batches ≡ the single-pass estimate (merge
+    // law); holistic, so deletes go through touched-group repair, not
+    // retraction
+    "x_agg_maintain_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = Seq("event_type")
+      val b = (0 until 3).map(i => ev.filter(pmod(col("user_id"), lit(3)) === i))
+      MaterializedAgg.finalizeDistinct(
+        MaterializedAgg.mergeDistinct(
+          b.map(MaterializedAgg.partialDistinct(_, g, "user_id")), g), g)
+    }),
     // ---- extension: cross-table fuzzy join (record linkage) ----
     // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
     // a deterministically dirtied feed (one substitution at a
@@ -5129,6 +5141,25 @@ object SparkEntry {
         |  min(CAST(l_quantity AS DOUBLE)) AS min_v,
         |  max(CAST(l_quantity AS DOUBLE)) AS max_v
         |FROM lineitem WHERE l_orderkey % 3 <> 2 GROUP BY 1""".stripMargin,
+    // same estimator twin as x_sketch_distinct: the merged synopsis must
+    // equal the single-pass KMV, so the oracle IS the single-pass form
+    "x_agg_maintain_distinct" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT event_type, ${duckHashUniform("user_id", "kmv")} AS u
+         |  FROM events
+         |),
+         |r AS (
+         |  SELECT event_type, u,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM u
+         |)
+         |SELECT event_type,
+         |       round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |             ELSE 63.0 / max(CASE WHEN rn = 64 THEN u END) END, 6)
+         |         AS est_distinct,
+         |       CAST(least(max(nd), 64) AS INT) AS n_kept
+         |FROM r GROUP BY event_type""".stripMargin,
     "x_fuzzy_join" ->
       """WITH clean AS (
         |  SELECT c_custkey AS cid,

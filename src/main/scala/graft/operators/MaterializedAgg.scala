@@ -113,6 +113,55 @@ object MaterializedAgg {
         col("min_v") :+
         col("max_v")): _*)
 
+  /** Per-batch KMV distinct synopsis per group: the ≤ `k` smallest
+    * DISTINCT hash-uniforms of `valueCol` in each group — the mergeable
+    * form of a per-group COUNT(DISTINCT) for the maintained state
+    * (Beyer et al. SIGMOD'07, the same estimator as
+    * [[Sketches.approxDistinctKmv]] but persisted per batch). Distinct
+    * is HOLISTIC: like the extrema it merges ([[mergeDistinct]]) but
+    * does not retract — under deletes, recompute touched groups from
+    * survivors the [[repairGroups]] way. */
+  def partialDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int = 64,
+      salt: String = "kmv"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val kmv = udaf(graft.functions.KmvAggregator(k))
+    df.select((groupCols.map(col) :+
+        Sampling.hashUniform(col(valueCol), salt).as("__u")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("__u")).as("mins_v"))
+  }
+
+  /** Merge per-batch distinct synopses (any association order): the k
+    * smallest of the union of distinct mins is the synopsis the single
+    * pass over the concatenated batches would produce — the KMV merge
+    * law. Bounded state: each group's row carries ≤ k doubles in and
+    * out. */
+  def mergeDistinct(
+      states: Seq[DataFrame],
+      groupCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("mins_v"))))),
+        1, k).as("mins_v"))
+  }
+
+  /** Estimate view of a distinct synopsis: (k−1)/U(k) when the synopsis
+    * is full, exact count of kept mins below that ([[Sketches]]'
+    * estimator, so the two surfaces cannot drift). */
+  def finalizeDistinct(state: DataFrame, groupCols: Seq[String], k: Int = 64): DataFrame =
+    state
+      .withColumn("n_kept", size(col("mins_v")))
+      .withColumn("est_distinct",
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / element_at(col("mins_v"), k)), 6))
+      .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_kept")): _*)
+
   /** The standing merged state of a stream-maintained aggregate store
     * ([[graft.streaming.StreamingHistorization.aggMaintainStream]]'s
     * sink): per-batch partial states merged across their `ingest_batch`

@@ -69,6 +69,26 @@ class MaterializedAggSpec extends SparkSpec {
     assert(MaterializedAgg.finalizeView(retracted, g).count() === 0)
   }
 
+  test("distinct synopsis merge law: merged batches equal the single pass") {
+    val g = Seq("g")
+    // enough distinct values to overflow k in one group (estimator path)
+    // and stay under it in the other (exact path)
+    val rows = ((1 to 300).map(i => ("big", i.toLong)) ++
+      (1 to 10).map(i => ("small", i.toLong))).toDF("g", "v")
+      .withColumn("batch", pmod(col("v"), lit(3)))
+    val b = (0 until 3).map(i => rows.filter(col("batch") === i))
+    val merged = MaterializedAgg.finalizeDistinct(
+      MaterializedAgg.mergeDistinct(
+        b.map(MaterializedAgg.partialDistinct(_, g, "v", k = 16)), g, k = 16), g, k = 16)
+    val single = MaterializedAgg.finalizeDistinct(
+      MaterializedAgg.partialDistinct(rows, g, "v", k = 16), g, k = 16)
+    assert(merged.collect().map(_.toSeq).toSet === single.collect().map(_.toSeq).toSet)
+    val bySize = merged.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(bySize("small") === ((10.0, 10)))          // exact below k
+    assert(bySize("big")._2 === 16)                   // estimator path, synopsis full
+    assert(math.abs(bySize("big")._1 - 300.0) / 300.0 < 0.5)
+  }
+
   test("maintainStore: generation-committed append + retract converges to recompute") {
     val dir = java.nio.file.Files.createTempDirectory("agg_maintain").toFile
     dir.delete()

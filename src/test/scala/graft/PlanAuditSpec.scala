@@ -118,6 +118,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join blocks on fixed-width equi keys, never a nested loop") {
+    Seq("x_fuzzy_join", "x_fuzzy_join_best").foreach { name =>
+      val p = finalPlanOf(name)
+      assert(
+        p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin"),
+        s"$name candidate join lost its (length, segment, hash) equi keys")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degraded to an all-pairs comparison — the PassJoin blocking is gone")
+    }
+  }
+
+  test("maintained-aggregate merge is hash aggregation, no join or window") {
+    // the state merge must stay a union + hash aggregate: a join-shaped or
+    // windowed plan would re-key the corpus instead of merging synopses
+    val p = finalPlanOf("x_agg_maintain")
+    assert(p.contains("HashAggregate"), "state merge lost its hash aggregation")
+    assert(!p.contains("Join"), "state merge plans a join — partials should union, not join")
+  }
+
   test("decontamination and curation broadcast the benchmark side as registered") {
     Seq("x_decontaminate", "x_curate").foreach { name =>
       val p = finalPlanOf(name)

@@ -119,6 +119,34 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch.forall(_.getLong(1) <= 7))
   }
 
+  test("agg-maintain replay: a crash between the state write and the ids write cannot double-count") {
+    import graft.operators.MaterializedAgg
+    val batch = spark.range(0, 1000).select(
+      $"id".as("fact_id"), ($"id" % 5).cast("string").as("g"), lit(1.0).as("v"))
+    val dir = Files.createTempDirectory("graft-agg-replay").toString
+    // crash state after batch 0 committed its PARTIAL STATE but NOT its
+    // ids: the dangerous window — a naive replay would re-aggregate the
+    // same facts on top of the standing partial and double every count
+    MaterializedAgg.partialState(batch, Seq("g"), "v")
+      .write.parquet(s"$dir/state/ingest_batch=0")
+    batch.write.parquet(s"$dir/in/d0")
+    // no checkpoint: the stream replays batch 0 from scratch
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingHistorization.aggMaintainStream(stream, "fact_id", Seq("g"), "v",
+        s"$dir/state", s"$dir/ids", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the replay's novelty read EXCLUDED its own batch partition and its
+    // state write OVERWROTE it: merged answer identical to the recompute
+    val got = MaterializedAgg.finalizeView(
+      MaterializedAgg.readMaintainedState(spark, s"$dir/state", Seq("g")).get, Seq("g"))
+    val want = MaterializedAgg.finalizeView(
+      MaterializedAgg.partialState(batch, Seq("g"), "v"), Seq("g"))
+    assert(got.collect().map(_.toSeq).toSet === want.collect().map(_.toSeq).toSet)
+    assert(spark.read.parquet(s"$dir/ids").count() === batch.count())
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val batch = graft.sources.Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("graft-ssjoin").toString
