@@ -1835,6 +1835,19 @@ object SparkEntry {
       MaterializedAgg.finalizeView(
         MaterializedAgg.repairGroups(retracted, survivors, b(2), g, "l_quantity"), g)
     }),
+    // rolling 7-day revenue per priority over DAILY PARTIALS: the window
+    // sorts per-(priority, day) synopsis rows (groups × days,
+    // corpus-independent), never the orders facts
+    "x_agg_rolling" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      MaterializedAgg.rollingOver(daily, Seq("o_orderpriority"), "day", "rev", 6)
+        .select(col("o_orderpriority"), col("day"),
+          col("rev").cast("double").as("day_rev"),
+          col("roll_sum").cast("double").as("roll7_rev"),
+          col("n_in_window").as("n_days"))
+    }),
     // distinct-count measure maintained the same way: per-batch KMV
     // synopses merged across batches ≡ the single-pass estimate (merge
     // law); holistic, so deletes go through touched-group repair, not
@@ -5141,6 +5154,19 @@ object SparkEntry {
         |  min(CAST(l_quantity AS DOUBLE)) AS min_v,
         |  max(CAST(l_quantity AS DOUBLE)) AS max_v
         |FROM lineitem WHERE l_orderkey % 3 <> 2 GROUP BY 1""".stripMargin,
+    "x_agg_rolling" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, day,
+        |  CAST(rev AS DOUBLE) AS day_rev,
+        |  CAST(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7_rev,
+        |  CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT) AS n_days
+        |FROM daily""".stripMargin,
     // same estimator twin as x_sketch_distinct: the merged synopsis must
     // equal the single-pass KMV, so the oracle IS the single-pass form
     "x_agg_maintain_distinct" ->

@@ -162,6 +162,32 @@ object MaterializedAgg {
           .otherwise(lit((k - 1).toDouble) / element_at(col("mins_v"), k)), 6))
       .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_kept")): _*)
 
+  /** Rolling aggregate over an ALREADY-AGGREGATED frame — the trailing
+    * `precedingRows + 1`-row sum and window population per partition,
+    * ordered by `orderCol`. The input is per-(group, period) partials
+    * ([[partialState]] keyed by group + day), so the window sorts
+    * synopsis rows — cardinality |groups| × |periods|, corpus-independent
+    * — never the facts; a rolling dashboard over a 100 TB fact store
+    * pays the daily partial maintenance plus this sliver-sized window.
+    * ROWS (not RANGE) framing on purpose: "last N present periods" is
+    * well-defined under gaps and deterministic because (partition,
+    * orderCol) is unique in an aggregated frame. */
+  def rollingOver(
+      state: DataFrame,
+      partitionCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      precedingRows: Int): DataFrame = {
+    require(precedingRows >= 0, "precedingRows must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(-precedingRows, 0)
+    state
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+      .withColumn("n_in_window", count(lit(1)).over(w).cast("int"))
+  }
+
   /** The standing merged state of a stream-maintained aggregate store
     * ([[graft.streaming.StreamingHistorization.aggMaintainStream]]'s
     * sink): per-batch partial states merged across their `ingest_batch`

@@ -35,6 +35,9 @@ object Reshape {
       agg: Column,
       prefix: String = ""): DataFrame = {
     require(pivotValues.nonEmpty, "pivotValues must be declared (no discovery pass)")
+    val names = pivotValues.map(prefix + _.toLowerCase)
+    require(names.distinct.size == names.size,
+      s"pivot values collide after lowercasing: ${names.mkString(", ")}")
     val wide = df.groupBy(groupCols.map(col): _*)
       .pivot(pivotCol, pivotValues)
       .agg(agg)

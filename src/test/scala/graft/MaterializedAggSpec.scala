@@ -89,6 +89,20 @@ class MaterializedAggSpec extends SparkSpec {
     assert(math.abs(bySize("big")._1 - 300.0) / 300.0 < 0.5)
   }
 
+  test("rollingOver: trailing-N sum per partition, gap-tolerant, window population honest") {
+    val daily = Seq(
+      ("p1", 1, 10.0), ("p1", 2, 20.0), ("p1", 4, 40.0),  // day 3 missing
+      ("p2", 1, 5.0)).toDF("g", "day", "v")
+    val out = MaterializedAgg.rollingOver(daily, Seq("g"), "day", "v", 1)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getInt(1)) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(rows(("p1", 1)) === ((10.0, 1)))
+    assert(rows(("p1", 2)) === ((30.0, 2)))
+    // ROWS framing: day 4's window is the last 2 PRESENT days (2, 4)
+    assert(rows(("p1", 4)) === ((60.0, 2)))
+    assert(rows(("p2", 1)) === ((5.0, 1)))
+  }
+
   test("maintainStore: generation-committed append + retract converges to recompute") {
     val dir = java.nio.file.Files.createTempDirectory("agg_maintain").toFile
     dir.delete()

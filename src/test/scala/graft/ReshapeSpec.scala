@@ -21,6 +21,14 @@ class ReshapeSpec extends SparkSpec {
     assert(byG("g2").getLong(2) === 7L)
   }
 
+  test("pivotAgg rejects pivot values whose sanitized column names collide") {
+    val df = Seq(("g1", "A", 1)).toDF("g", "p", "v")
+    val err = intercept[IllegalArgumentException] {
+      Reshape.pivotAgg(df, Seq("g"), "p", Seq("A", "a"), sum(col("v")))
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
   test("pivotAgg ignores rows whose pivot value is undeclared") {
     val df = Seq(("g1", "A", 1), ("g1", "Z", 100)).toDF("g", "p", "v")
     val wide = Reshape.pivotAgg(df, Seq("g"), "p", Seq("A"), sum(col("v")))
