@@ -1860,6 +1860,19 @@ object SparkEntry {
         MaterializedAgg.mergeDistinct(
           b.map(MaterializedAgg.partialDistinct(_, g, "user_id")), g), g)
     }),
+    // quantile measure maintained the same way: per-batch bottom-k
+    // (hash, value) synopses — the persisted hash coordinate is what
+    // makes the sample re-mergeable — merged ≡ the single-pass sketch
+    "x_agg_maintain_quantile" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val g = Seq("o_orderpriority")
+      val b = (0 until 3).map(i => ord.filter(pmod(col("o_orderkey"), lit(3)) === i))
+      MaterializedAgg.finalizeQuantile(
+        MaterializedAgg.mergeQuantile(
+          b.map(MaterializedAgg.partialQuantile(_, g, "o_orderkey", "o_totalprice", k = 256)),
+          g, k = 256),
+        g, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
     // ---- extension: cross-table fuzzy join (record linkage) ----
     // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
     // a deterministically dirtied feed (one substitution at a
@@ -5167,6 +5180,27 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY day
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS INT) AS n_days
         |FROM daily""".stripMargin,
+    // merged synopsis ≡ single pass (the merge law), so the oracle IS
+    // x_sketch_quantiles' single-pass form on the same parameters
+    "x_agg_maintain_quantile" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT o_orderpriority, ${duckHashUniform("o_orderkey", "bkq")} AS u,
+         |         CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT o_orderpriority, u, v,
+         |         row_number() OVER (PARTITION BY o_orderpriority ORDER BY u, v) AS rn
+         |  FROM d
+         |),
+         |s AS (
+         |  SELECT o_orderpriority, list_sort(list(v)) AS vs, count(*) AS m
+         |  FROM r WHERE rn <= 256 GROUP BY o_orderpriority
+         |)
+         |SELECT o_orderpriority, CAST(q AS DOUBLE) AS q,
+         |       round(vs[CAST(floor(CAST(q AS DOUBLE) * (m - 1)) AS INT) + 1], 6) AS est_value,
+         |       CAST(m AS INT) AS n_sample
+         |FROM s, (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)""".stripMargin,
     // same estimator twin as x_sketch_distinct: the merged synopsis must
     // equal the single-pass KMV, so the oracle IS the single-pass form
     "x_agg_maintain_distinct" ->

@@ -162,6 +162,68 @@ object MaterializedAgg {
           .otherwise(lit((k - 1).toDouble) / element_at(col("mins_v"), k)), 6))
       .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_kept")): _*)
 
+  /** Per-batch bottom-k quantile synopsis per group: the k rows with
+    * the smallest DISTINCT id-hash uniforms, kept as (hash, value)
+    * pairs (Cohen & Kaplan PODC'07 — a hash-bottom-k IS a uniform
+    * sample, deterministic and mergeable). The hash coordinate is
+    * PERSISTED ([[graft.functions.BottomKPairsAggregator]]): that is
+    * what lets a later batch's synopsis union in and re-trim on the
+    * same ordering, so merged ≡ single-pass. Holistic like distinct:
+    * merges, does not retract — deletes repair via touched-group
+    * recompute. ≤ k (double, double) pairs per group, map-side
+    * combined. */
+  def partialQuantile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int = 256,
+      salt: String = "bkq"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val bkp = udaf(graft.functions.BottomKPairsAggregator(k))
+    val u = Sampling.hashUniform(col(idCol), salt)
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ u.as("__u") :+ col(valueCol).cast("double").as("__v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bkp(col("__u"), col("__v")).as("sample_uv"))
+  }
+
+  /** Merge per-batch quantile synopses (any association order): distinct
+    * pairs of the union, (hash, value)-sorted, first k — exactly the
+    * trim the single pass applies, hence the merge law. */
+  def mergeQuantile(
+      states: Seq[DataFrame],
+      groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sample_uv"))))),
+        1, k).as("sample_uv"))
+  }
+
+  /** Quantile view of a synopsis: for each q in `qs`, the element at
+    * floor(q · (m − 1)) of the sample's VALUES sorted ascending
+    * (nearest-rank on the uniform sample — [[Sketches
+    * .approxQuantilesBottomK]]'s estimator, so the two surfaces cannot
+    * drift). */
+  def finalizeQuantile(
+      state: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be non-empty quantiles in [0, 1]")
+    val vs = array_sort(transform(col("sample_uv"), p => p.getField("_2")))
+    val m = size(vs)
+    state
+      .withColumn("__vs", vs)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("est_value",
+        round(element_at(col("__vs"), (floor(col("q") * (m - 1)) + 1).cast("int")), 6))
+      .withColumn("n_sample", m)
+      .select((groupCols.map(col) :+ col("q") :+ col("est_value") :+ col("n_sample")): _*)
+  }
+
   /** Rolling aggregate over an ALREADY-AGGREGATED frame — the trailing
     * `precedingRows + 1`-row sum and window population per partition,
     * ordered by `orderCol`. The input is per-(group, period) partials

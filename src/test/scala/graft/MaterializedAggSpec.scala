@@ -89,6 +89,29 @@ class MaterializedAggSpec extends SparkSpec {
     assert(math.abs(bySize("big")._1 - 300.0) / 300.0 < 0.5)
   }
 
+  test("quantile synopsis merge law: merged batches equal the single pass") {
+    val g = Seq("g")
+    // > k rows in one group (trim path), < k in the other (exact path)
+    val rows = ((1 to 400).map(i => ("big", i.toLong, i.toDouble)) ++
+      (1 to 9).map(i => ("small", (1000 + i).toLong, i * 10.0)))
+      .toDF("g", "id", "v")
+      .withColumn("batch", pmod(col("id"), lit(3)))
+    val b = (0 until 3).map(i => rows.filter(col("batch") === i))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val merged = MaterializedAgg.finalizeQuantile(
+      MaterializedAgg.mergeQuantile(
+        b.map(MaterializedAgg.partialQuantile(_, g, "id", "v", k = 32)), g, k = 32), g, qs)
+    val single = MaterializedAgg.finalizeQuantile(
+      MaterializedAgg.partialQuantile(rows, g, "id", "v", k = 32), g, qs)
+    assert(merged.collect().map(_.toSeq).toSet === single.collect().map(_.toSeq).toSet)
+    val got = merged.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(got(("small", 0.5)) === ((50.0, 9)))  // exact below k: true median
+    assert(got(("big", 0.5))._2 === 32)          // trimmed to k
+    // uniform-sample median of 1..400 should land broadly mid-range
+    assert(got(("big", 0.5))._1 > 100.0 && got(("big", 0.5))._1 < 300.0)
+  }
+
   test("rollingOver: trailing-N sum per partition, gap-tolerant, window population honest") {
     val daily = Seq(
       ("p1", 1, 10.0), ("p1", 2, 20.0), ("p1", 4, 40.0),  // day 3 missing
