@@ -1835,6 +1835,19 @@ object SparkEntry {
       MaterializedAgg.finalizeView(
         MaterializedAgg.repairGroups(retracted, survivors, b(2), g, "l_quantity"), g)
     }),
+    // row-level expectations with quarantine routing: each bad row
+    // carries the names of the constraints it failed — one stateless
+    // projection, no shuffle
+    "x_quality_quarantine" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val constraints = Seq(
+        "qty_le_45" -> (col("l_quantity") <= 45),
+        "discount_le_8pct" -> (col("l_discount") <= 0.08),
+        "tax_le_6pct" -> (col("l_tax") <= 0.06))
+      val (_, quarantined) = DataQuality.splitQuarantine(li, constraints)
+      quarantined.select(col("l_orderkey"), col("l_linenumber"),
+        array_join(col("violations"), ",").as("reasons"))
+    }),
     // rolling 7-day revenue per priority over DAILY PARTIALS: the window
     // sorts per-(priority, day) synopsis rows (groups × days,
     // corpus-independent), never the orders facts
@@ -5167,6 +5180,19 @@ object SparkEntry {
         |  min(CAST(l_quantity AS DOUBLE)) AS min_v,
         |  max(CAST(l_quantity AS DOUBLE)) AS max_v
         |FROM lineitem WHERE l_orderkey % 3 <> 2 GROUP BY 1""".stripMargin,
+    // NULL predicate = violation (fail-closed) in both engines via the
+    // same coalesce; concat_ws skips the non-violated NULL slots exactly
+    // like array_join over the compacted array
+    "x_quality_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(',',
+        |    CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 'qty_le_45' END,
+        |    CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE) THEN 'discount_le_8pct' END,
+        |    CASE WHEN NOT coalesce(l_tax <= 0.06, FALSE) THEN 'tax_le_6pct' END) AS reasons
+        |FROM lineitem
+        |WHERE NOT coalesce(l_quantity <= 45, FALSE)
+        |   OR NOT coalesce(l_discount <= 0.08, FALSE)
+        |   OR NOT coalesce(l_tax <= 0.06, FALSE)""".stripMargin,
     "x_agg_rolling" ->
       """WITH daily AS (
         |  SELECT o_orderpriority, CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS day,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data-quality profiling — the pre-publish QA gate of a
@@ -120,6 +120,36 @@ object DataQuality {
               .cast("double") /
               (col("n_rows") - coalesce(col("n_null_key"), lit(0L)))), 6)
           .as("match_ratio"))
+  }
+
+  /** Row-level constraint evaluation: every row gains a `violations`
+    * array holding the NAME of each declared constraint it fails —
+    * the expectations/quarantine pattern of declarative ingest
+    * pipelines, as one stateless projection (no shuffle; the whole
+    * evaluation pipelines inside the scan stage at any corpus size).
+    * A predicate that evaluates to NULL (e.g. a comparison against a
+    * NULL cell) counts as a VIOLATION — fail-closed, because a row the
+    * constraints cannot vouch for must not reach the valid output. */
+  def rowViolations(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    require(constraints.map(_._1).distinct.size == constraints.size,
+      "constraint names must be unique")
+    df.withColumn("violations",
+      array_compact(array(constraints.map { case (name, pred) =>
+        when(!coalesce(pred, lit(false)), lit(name))
+      }: _*)))
+  }
+
+  /** Quarantine routing over [[rowViolations]]: (valid rows without the
+    * audit column, quarantined rows with their reasons). Both sides are
+    * filters over the same one-pass projection — an engine executing
+    * them in one job reads the input once. */
+  def splitQuarantine(
+      df: DataFrame,
+      constraints: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val flagged = rowViolations(df, constraints)
+    (flagged.filter(size(col("violations")) === 0).drop("violations"),
+      flagged.filter(size(col("violations")) > 0))
   }
 
   /** [[profileColumns]] plus pass/fail gating: a column passes when its

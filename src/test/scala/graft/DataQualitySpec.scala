@@ -73,6 +73,35 @@ class DataQualitySpec extends SparkSpec {
     assert(empty === (("fk", 0L, 0L, 0L, None)))
   }
 
+  test("splitQuarantine routes rows by named constraints; NULL predicate fails closed") {
+    val df = Seq(
+      (1L, Some(10.0), Some("a")),   // clean
+      (2L, Some(200.0), Some("b")),  // fails v_small
+      (3L, None, Some("c")),         // NULL v: fail-closed on v_small
+      (4L, Some(5.0), None)          // fails tag_present
+    ).toDF("id", "v", "tag")
+    val constraints = Seq(
+      "v_small" -> (col("v") <= 100.0),
+      "tag_present" -> col("tag").isNotNull)
+    val (valid, quarantined) = DataQuality.splitQuarantine(df, constraints)
+    assert(valid.select("id").as[Long].collect().toSet === Set(1L))
+    assert(valid.columns.toSeq === df.columns.toSeq) // audit column removed
+    val reasons = quarantined
+      .select(col("id"), array_join(col("violations"), ",").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(reasons === Map(2L -> "v_small", 3L -> "v_small", 4L -> "tag_present"))
+    // every input row lands on exactly one side
+    assert(valid.count() + quarantined.count() === df.count())
+  }
+
+  test("rowViolations rejects duplicate constraint names") {
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    val err = intercept[IllegalArgumentException] {
+      DataQuality.rowViolations(df, Seq("c" -> (col("v") > 0), "c" -> (col("v") < 10)))
+    }
+    assert(err.getMessage.contains("unique"))
+  }
+
   test("checkColumns gates on thresholds; untouched dimensions don't gate") {
     val got = DataQuality.checkColumns(rows,
       minCompleteness = Map("id" -> 0.7, "tag" -> 0.9),
