@@ -1632,6 +1632,25 @@ object SparkEntry {
         Tables.part(s, d).filter(col("p_partkey") % 50 === 0), "p_partkey",
         width = 256, depth = 4)
     }),
+    // HLL distinct per event type (deterministic md5 registers, p=8):
+    // the harmonic-mean sum runs in fixed point (integer terms
+    // 2^(maxRho−M)), so the estimate is association-order-free and
+    // hash-matches the oracle's identical integer arithmetic; event_id
+    // (~1–3k distinct per type vs m=256) keeps the raw branch active
+    "x_sketch_hll" -> ((s, d) =>
+      Sketches.approxDistinctHll(Tables.events(s, d), Seq("event_type"), "event_id", p = 8)),
+    // MERGED HLL register synopses: per-(group,bucket) MAX over three
+    // event-sharded synopses of user_id (the same user lands in many
+    // shards — the merge must be idempotent, not just additive) equals
+    // the fresh whole-corpus registers, so the merged estimate answers
+    // the fresh statement; p=4 exercises the small-m alpha constant
+    "x_sketch_hll_merged" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val parts = (0 to 2).map(b =>
+        Sketches.hllRegisters(ev.filter(pmod(col("event_id"), lit(3)) === b),
+          Seq("event_type"), "user_id", p = 4))
+      Sketches.hllEstimate(Sketches.hllMerge(parts, Seq("event_type")), Seq("event_type"), p = 4)
+    }),
     // EXACT heavy hitters (bot/abuse detection shape): Misra-Gries
     // candidates (pass 1, bounded state) -> exact recount of candidates
     // (pass 2, broadcast). Output is exact regardless of sketch
@@ -1885,6 +1904,44 @@ object SparkEntry {
           b.map(MaterializedAgg.partialQuantile(_, g, "o_orderkey", "o_totalprice", k = 256)),
           g, k = 256),
         g, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+    // ---- extensions: incrementally-maintained materialized joins ----
+    // three ingest rounds with BOTH sides growing — (L0,R0), (L1,R1),
+    // (∅,R2) — each round contributing only its delta triple
+    // ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR against the sides standing BEFORE it; the
+    // union of the three deltas must hash-match the from-scratch join,
+    // in any batching (the Blakeley SIGMOD'86 insert algebra)
+    "x_join_maintain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val lB = (0 until 2).map(i => li.filter(pmod(col("l_orderkey"), lit(2)) === i))
+      val rB = (0 until 3).map(i => ord.filter(pmod(col("l_orderkey"), lit(3)) === i))
+      val keys = Seq("l_orderkey")
+      // the demo batches are table-halves, not small production deltas:
+      // leave strategy choice to AQE instead of forcing a broadcast
+      val d1 = MaterializedJoin.insertDelta(li.limit(0), lB(0), ord.limit(0), rB(0), keys,
+        broadcastDeltas = false)
+      val d2 = MaterializedJoin.insertDelta(lB(0), lB(1), rB(0), rB(1), keys,
+        broadcastDeltas = false)
+      val d3 = MaterializedJoin.insertDelta(lB(0).unionByName(lB(1)), li.limit(0),
+        rB(0).unionByName(rB(1)), rB(2), keys, broadcastDeltas = false)
+      d1.unionByName(d2).unionByName(d3)
+    }),
+    // delete maintenance by PROVENANCE: left rows with l_linenumber = 3
+    // are deleted; the standing view retracts by anti-join on the left
+    // row id (l_orderkey, l_linenumber) — never a re-join — and must
+    // equal the recompute over surviving left rows
+    "x_join_maintain_retract" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val view = MaterializedJoin.insertDeltaLeft(li, ord, Seq("l_orderkey"),
+        broadcastDelta = false)
+      MaterializedJoin.retractByIds(view,
+        li.filter(col("l_linenumber") === 3), Seq("l_orderkey", "l_linenumber"))
     }),
     // ---- extension: cross-table fuzzy join (record linkage) ----
     // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
@@ -2571,6 +2628,50 @@ object SparkEntry {
        |  FROM sig, generate_series(0, 3) g(band)
        |)""".stripMargin
 
+  /** Grouped HLL estimate over `events` — mirrors [[graft.operators
+    * .Sketches.hllRegisters]]/[[graft.operators.Sketches.hllEstimate]]
+    * digit for digit: same 60-bit md5 hash, bucket = h mod m (low bits),
+    * rho by BINARY-STRING length of the value part (exact, no floating
+    * log2), register max, fixed-point harmonic sum (integer terms
+    * 2^(maxRho−M), absent buckets contributing the register-0 term), and
+    * the identical Scala-computed double literal for α_m·m²·2^maxRho. */
+  private def duckHllSql(valueCol: String, p: Int): String = {
+    val m = 1 << p
+    val w = 60 - p
+    val maxRho = w + 1
+    val num = Sketches.hllNumerator(p)
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         ${duckHash60(s"CAST($valueCol AS VARCHAR) || '#hll'")} AS h
+       |  FROM events WHERE $valueCol IS NOT NULL
+       |),
+       |r AS (
+       |  SELECT event_type, CAST(h % $m AS INT) AS b,
+       |         CAST(CASE WHEN h // $m = 0 THEN $maxRho
+       |                   ELSE $w + 1 - length(bin(h // $m)) END AS INT) AS m_part
+       |  FROM h
+       |),
+       |regs AS (SELECT event_type, b, max(m_part) AS m_reg FROM r GROUP BY event_type, b),
+       |agg AS (
+       |  SELECT event_type, count(*) AS np,
+       |         sum(CAST(1 AS BIGINT) << CAST($maxRho - m_reg AS INT)) AS sp
+       |  FROM regs GROUP BY event_type
+       |),
+       |est AS (
+       |  SELECT event_type,
+       |         CAST(sp + ($m - np) * (CAST(1 AS BIGINT) << $maxRho) AS DOUBLE) AS s,
+       |         CAST($m - np AS INT) AS n_zero_regs
+       |  FROM agg
+       |)
+       |SELECT event_type,
+       |       round(CASE WHEN CAST($num AS DOUBLE) / s <= CAST(${2.5 * m} AS DOUBLE)
+       |                   AND n_zero_regs > 0
+       |                  THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / n_zero_regs)
+       |                  ELSE CAST($num AS DOUBLE) / s END, 6) AS est_distinct,
+       |       n_zero_regs
+       |FROM est""".stripMargin
+  }
+
   /** Document tokenization / shingling CTEs shared by the dedup oracles. */
   private val docShinglesCte: String =
     s"""WITH $duckToksCte,
@@ -2769,6 +2870,23 @@ object SparkEntry {
     // merged per-batch CMS cells ≡ fresh corpus sketch (linearity), so
     // the probe answers the same estimates — same statement
     "x_sketch_cms_merged" -> baseOracles("x_sketch_cms"),
+    // HLL registers and the fixed-point harmonic sum re-derived in SQL —
+    // identical integer arithmetic, identical double literals
+    "x_sketch_hll" -> duckHllSql("event_id", 8),
+    // merged register synopses ≡ fresh whole-corpus registers (max is
+    // idempotent), so the merged estimate answers the fresh statement
+    // over the same (value, p) parameters
+    "x_sketch_hll_merged" -> duckHllSql("user_id", 4),
+    // the three insert-delta triples union to exactly the from-scratch
+    // inner join — the oracle is the join's definition
+    "x_join_maintain" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // provenance retraction ≡ recompute over surviving left rows
+    "x_join_maintain_retract" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linenumber <> 3""".stripMargin,
     // merged per-batch KMV synopses ≡ fresh global synopsis (lossless
     // merge), so the estimate is the ungrouped x_sketch_distinct
     "x_sketch_kmv_merged" ->

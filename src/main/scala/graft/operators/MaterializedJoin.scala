@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized JOIN views — the join half of
+  * the incremental-view-maintenance family ([[MaterializedAgg]] is the
+  * aggregate half).
+  *
+  * North-star extension: a 100 TB fact store joined to a large dimension
+  * cannot be re-joined from scratch per ingest batch — the standing
+  * sides' read alone is the cost ceiling. The classical answer
+  * (Blakeley, Larson & Tompa, "Efficiently Updating Materialized
+  * Views", SIGMOD'86; Gupta & Mumick's IVM survey) is to persist the
+  * join result and maintain it with the DELTA algebra of the inner
+  * equi-join under bag semantics:
+  *
+  *   Δ(L ⋈ R) = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+  *
+  * where L and R are the standing sides BEFORE the batch. Inserts
+  * compose additively (bag union), so a maintained store appends ONLY
+  * the delta rows — batch cost tracks |ΔJ|, never |J|.
+  *
+  * Scale posture of each term: the deltas are batch-sized, so both
+  * delta-probing joins broadcast the delta against the standing side —
+  * the standing stores NEVER shuffle (and when the standing side lives
+  * in a sorted/manifested layout, [[graft.sources.StoreIndex
+  * .readStoreKeys]] restricts the scan to the files that can contain
+  * the delta's keys before any footer opens). ΔL ⋈ ΔR is batch × batch.
+  *
+  * Deletes ride on PROVENANCE, not re-joins: every view row carries its
+  * source rows' id columns (the natural join output already does), so
+  * retracting a deleted source row is an anti-join of the view on those
+  * ids ([[retractByIds]]) — cost |J ⋉ deleted|, with the merge-on-read
+  * tombstone form ([[tombstoneView]]) deferring even that rewrite the
+  * way Delta/Iceberg deletion vectors do: the physical purge composes
+  * with the existing store layer ([[graft.sources.Store
+  * .deleteFromStore]], [[graft.sources.Store.purgeGenerations]])
+  * whenever compaction runs.
+  *
+  * Contract: an inner equi-join on `keys` with the non-key columns of
+  * the two sides disjoint (the usual star-schema shape; rename before
+  * joining otherwise). Outer joins do not maintain by this algebra — a
+  * new right match must RETRACT a standing null-extended row — and are
+  * out of scope here.
+  */
+object MaterializedJoin {
+
+  /** The view delta of J = L ⋈ R for one ingest batch that appended
+    * `deltaL` to L and `deltaR` to R (either may be empty; standing
+    * sides EXCLUDE their deltas). Returns exactly the rows the batch
+    * adds to the view — append them ([[appendDelta]]) and the store
+    * equals the from-scratch re-join, in any batching.
+    *
+    * The two standing-side probes broadcast the delta by default: a
+    * batch is small by construction, and broadcasting it turns the
+    * probe into a shuffle-free scan of the standing store. Disable for
+    * a rare jumbo batch and AQE picks the join strategy instead. */
+  def insertDelta(
+      standingL: DataFrame,
+      deltaL: DataFrame,
+      standingR: DataFrame,
+      deltaR: DataFrame,
+      keys: Seq[String],
+      broadcastDeltas: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    val dl = if (broadcastDeltas) broadcast(deltaL) else deltaL
+    val dr = if (broadcastDeltas) broadcast(deltaR) else deltaR
+    dl.join(standingR, keys)
+      .unionByName(standingL.join(dr, keys))
+      .unionByName(dl.join(dr, keys))
+  }
+
+  /** One-sided convenience: the delta when only the LEFT side grew
+    * (the streaming-facts-static-dimension shape). */
+  def insertDeltaLeft(
+      deltaL: DataFrame,
+      standingR: DataFrame,
+      keys: Seq[String],
+      broadcastDelta: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    (if (broadcastDelta) broadcast(deltaL) else deltaL).join(standingR, keys)
+  }
+
+  /** Retract view rows sourced from deleted input rows, by provenance:
+    * `removed` carries the deleted side's id columns (`idCols`, e.g. the
+    * left row's primary key), and every view row that matches on ALL of
+    * them leaves. An anti-join on ids — never a re-join of the sides. */
+  def retractByIds(
+      standingView: DataFrame,
+      removed: DataFrame,
+      idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty, "need at least one provenance id column")
+    standingView.join(
+      removed.select(idCols.map(col): _*).distinct(), idCols, "left_anti")
+  }
+
+  /** Merge-on-read deletion: the view with `tombstones` (provenance ids
+    * of retracted source rows) masked out at READ time — the physical
+    * rows stay until compaction, so a delete is an O(|ids|) tombstone
+    * append instead of a store rewrite. Same plan shape as
+    * [[retractByIds]]; the distinction is the caller's lifecycle (the
+    * tombstone store accumulates across batches and clears when a
+    * compaction pass applies it physically). */
+  def tombstoneView(
+      standingView: DataFrame,
+      tombstones: DataFrame,
+      idCols: Seq[String]): DataFrame =
+    retractByIds(standingView, tombstones, idCols)
+
+  /** Append one batch's view delta under its own `ingest_batch=N`
+    * partition directory: the maintained store is the union of its
+    * batch partitions, standing rows are never rewritten, and a re-run
+    * of the same batch id overwrites (idempotent under at-least-once
+    * delivery). The partition column is layout, not content — readers
+    * drop it ([[readView]]). */
+  def appendDelta(path: String, batchId: Long, delta: DataFrame): Unit =
+    delta.write.mode("overwrite").parquet(s"$path/ingest_batch=$batchId")
+
+  /** The maintained view: all appended deltas, minus tombstoned
+    * provenance ids when a tombstone store exists. None until the first
+    * batch lands. */
+  def readView(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      tombstonesPath: Option[String] = None,
+      idCols: Seq[String] = Nil): Option[DataFrame] =
+    graft.sources.Store.readParquetSafe(spark, path).map { view =>
+      val v = view.drop("ingest_batch")
+      tombstonesPath.flatMap(graft.sources.Store.readParquetSafe(spark, _)) match {
+        case Some(ts) => tombstoneView(v, ts.drop("ingest_batch"), idCols)
+        case None => v
+      }
+    }
+}

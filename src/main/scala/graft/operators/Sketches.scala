@@ -325,4 +325,122 @@ object Sketches {
       .withColumn("n_sample", m)
       .select((groupCols.map(col) :+ col("q") :+ col("est_value") :+ col("n_sample")): _*)
   }
+
+  // ---- HyperLogLog with deterministic registers ----
+
+  /** HLL register synopsis per group (Flajolet, Fusy, Gandouet &
+    * Meunier, AofA'07): each value's 60-bit md5 hash splits into a
+    * bucket (`hash mod 2^p`, low bits) and a value part (`hash div
+    * 2^p`, the remaining 60−p bits); register b keeps the MAX of
+    * rho = (number of leading zero bits of the value part) + 1. The
+    * engine's own `approx_count_distinct` is also HLL but its registers
+    * are engine-private — this one is md5-derived and mirrored digit
+    * for digit by the DuckDB oracle, the same determinism contract as
+    * the KMV/CMS sketches above. rho is computed by STRING length of
+    * the binary form (`bin`), not floating log2: `length(bin(v))` is
+    * exact where `floor(log2(v))` can round across the power-of-two
+    * boundary at the 48-bit widths involved.
+    *
+    * Unlike KMV (k doubles per group, error ~1/sqrt(k−2)), HLL state is
+    * ≤ 2^p BYTES-worth of small ints per group for ~1.04/sqrt(2^p)
+    * error — the standard choice when groups are many and the synopsis
+    * itself must stay small. Missing buckets ARE state (register 0);
+    * they are represented implicitly (absent rows) and reconstructed by
+    * [[hllEstimate]], so a group's synopsis is at most 2^p rows and
+    * map-side combines like every sketch here.
+    *
+    * @return groupCols + (b, m_reg) */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 8,
+      salt: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1L << p
+    val w = 60 - p
+    val h = conv(md5(concat(col(valueCol).cast("string"), lit(s"#$salt"))).substr(1, 15), 16, 10)
+      .cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ h.as("__h")): _*)
+      .withColumn("b", pmod(col("__h"), lit(m)).cast("int"))
+      .withColumn("__v", expr(s"__h div $m"))
+      .withColumn("__rho",
+        when(col("__v") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("__v")))).cast("int"))
+      .groupBy((groupCols.map(col) :+ col("b")): _*)
+      .agg(max(col("__rho")).as("m_reg"))
+  }
+
+  /** EXACT merge of HLL register synopses: per-(group, bucket) max.
+    * Register max is an idempotent, commutative semilattice merge, so
+    * per-shard synopses roll up to EXACTLY the whole-corpus registers —
+    * [[hllEstimate]] over the merge equals the fresh estimate, the same
+    * lossless-roll-up law the KMV and CMS merges carry (and what the
+    * `x_sketch_hll_merged` oracle pins by reusing the fresh statement). */
+  def hllMerge(synopses: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(synopses.nonEmpty, "need at least one synopsis")
+    synopses.reduce(_ unionByName _)
+      .groupBy((groupCols.map(col) :+ col("b")): _*)
+      .agg(max(col("m_reg")).as("m_reg"))
+  }
+
+  /** The paper's bias-correction constant α_m (small-m table, then the
+    * asymptotic form). */
+  def hllAlpha(m: Int): Double =
+    if (m == 16) 0.673 else if (m == 32) 0.697 else if (m == 64) 0.709
+    else 0.7213 / (1.0 + 1.079 / m)
+
+  /** α_m · m² · 2^(maxRho) — the numerator of the FIXED-POINT harmonic
+    * mean, computed once Scala-side so the Spark plan and the DuckDB
+    * oracle both parse the identical double literal. */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, 61 - p)
+  }
+
+  /** Cardinality estimate from a register synopsis. The harmonic-mean
+    * sum Σ 2^(−M_b) is accumulated in FIXED POINT — each term scaled to
+    * the integer 2^(maxRho − M_b), absent buckets contributing the
+    * register-0 term — because dyadic terms summed in floating point
+    * are association-order-dependent (the estimate must hash-match the
+    * oracle no matter how partial aggregates merged); one double
+    * division at the end is order-free. Small-range correction (linear
+    * counting m·ln(m/V) when the raw estimate ≤ 2.5m and zero registers
+    * exist) per the original paper.
+    *
+    * @return groupCols + (est_distinct rounded to 6, n_zero_regs) */
+  def hllEstimate(synopsis: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val maxRho = 61 - p
+    val num = hllNumerator(p)
+    val grouped =
+      if (groupCols.isEmpty) synopsis.groupBy()
+      else synopsis.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(
+        count(lit(1)).as("__np"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - m_reg)")).as("__sp"))
+      .withColumn("__S",
+        col("__sp") + (lit(m.toLong) - col("__np")) * lit(1L << maxRho))
+      .withColumn("n_zero_regs", (lit(m) - col("__np")).cast("int"))
+      .withColumn("__raw", lit(num) / col("__S").cast("double"))
+      .withColumn("est_distinct",
+        round(
+          when(col("__raw") <= lit(2.5 * m) && col("n_zero_regs") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs").cast("double")))
+            .otherwise(col("__raw")), 6))
+      .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_zero_regs")): _*)
+  }
+
+  /** Inline per-group HLL distinct estimate — registers + estimate in
+    * one statement (the [[approxDistinctKmv]] shape, HLL flavor). */
+  def approxDistinctHll(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 8,
+      salt: String = "hll"): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p, salt), groupCols, p)
 }

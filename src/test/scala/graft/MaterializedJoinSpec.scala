@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MaterializedJoin
+
+class MaterializedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li = graft.sources.Tables.lineitem(spark, sfDir)
+    .select("l_orderkey", "l_linenumber", "l_quantity")
+  private def ord = graft.sources.Tables.orders(spark, sfDir)
+    .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  test("insert deltas union to the from-scratch join, in any batching") {
+    val keys = Seq("l_orderkey")
+    val full = li.join(ord, keys)
+
+    // batching A: left in 2, right in 3, interleaved arrivals
+    val lB = (0 until 2).map(i => li.filter(pmod(col("l_orderkey"), lit(2)) === i))
+    val rB = (0 until 3).map(i => ord.filter(pmod(col("l_orderkey"), lit(3)) === i))
+    val a1 = MaterializedJoin.insertDelta(li.limit(0), lB(0), ord.limit(0), rB(0), keys)
+    val a2 = MaterializedJoin.insertDelta(lB(0), lB(1), rB(0), rB(1), keys)
+    val a3 = MaterializedJoin.insertDelta(lB(0).unionByName(lB(1)), li.limit(0),
+      rB(0).unionByName(rB(1)), rB(2), keys)
+    assert(rows(a1.unionByName(a2).unionByName(a3)) === rows(full))
+
+    // batching B: everything in one batch against empty standing sides
+    val b1 = MaterializedJoin.insertDelta(li.limit(0), li, ord.limit(0), ord, keys)
+    assert(rows(b1) === rows(full))
+  }
+
+  test("bag semantics: duplicate rows contribute multiplicities, not sets") {
+    val l = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "rv")
+    val dl = Seq((1L, "a")).toDF("k", "lv") // a THIRD copy of an existing row
+    val delta = MaterializedJoin.insertDelta(l, dl, r, r.limit(0), Seq("k"))
+    // the new left copy joins both standing right matches: exactly 2 rows
+    assert(delta.count() === 2)
+    val view = l.join(r, Seq("k")).unionByName(delta)
+    assert(rows(view) === rows(l.unionByName(dl).join(r, Seq("k"))))
+  }
+
+  test("retractByIds removes exactly the provenance-matched view rows") {
+    val view = li.join(ord, Seq("l_orderkey"))
+    val deleted = li.filter(col("l_linenumber") === 3)
+    val retracted = MaterializedJoin.retractByIds(
+      view, deleted, Seq("l_orderkey", "l_linenumber"))
+    val recompute = li.filter(col("l_linenumber") =!= 3).join(ord, Seq("l_orderkey"))
+    assert(rows(retracted) === rows(recompute))
+    assert(retracted.count() < view.count())
+  }
+
+  test("append-only store + tombstones: readView equals the maintained statement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mjoin").toString
+    val path = s"$dir/join"
+    val tombs = s"$dir/tombstones"
+    val keys = Seq("l_orderkey")
+    val lB = (0 until 2).map(i => li.filter(pmod(col("l_orderkey"), lit(2)) === i))
+
+    assert(MaterializedJoin.readView(spark, path).isEmpty)
+    MaterializedJoin.appendDelta(path, 0L,
+      MaterializedJoin.insertDelta(li.limit(0), lB(0), ord.limit(0), ord, keys))
+    MaterializedJoin.appendDelta(path, 1L,
+      MaterializedJoin.insertDelta(lB(0), lB(1), ord, ord.limit(0), keys))
+    val view = MaterializedJoin.readView(spark, path).get
+    assert(rows(view) === rows(li.join(ord, keys)))
+
+    // a re-delivered batch id overwrites its partition — idempotent
+    MaterializedJoin.appendDelta(path, 1L,
+      MaterializedJoin.insertDelta(lB(0), lB(1), ord, ord.limit(0), keys))
+    assert(rows(MaterializedJoin.readView(spark, path).get) === rows(li.join(ord, keys)))
+
+    // merge-on-read delete: tombstone left rows, physical rows untouched
+    li.filter(col("l_linenumber") === 3).select("l_orderkey", "l_linenumber")
+      .write.parquet(s"$tombs/ingest_batch=0")
+    val masked = MaterializedJoin.readView(
+      spark, path, Some(tombs), Seq("l_orderkey", "l_linenumber")).get
+    assert(rows(masked) ===
+      rows(li.filter(col("l_linenumber") =!= 3).join(ord, keys)))
+    // the un-tombstoned view still reads everything (rows really stayed)
+    assert(MaterializedJoin.readView(spark, path).get.count() === li.join(ord, keys).count())
+  }
+
+  test("delta joins broadcast the delta, never shuffle the standing side") {
+    val keys = Seq("l_orderkey")
+    val delta = li.limit(50)
+    val plan = MaterializedJoin.insertDeltaLeft(delta, ord, keys)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"standing side must not shuffle:\n$plan")
+  }
+}

@@ -207,4 +207,79 @@ class SketchesSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
   }
+
+  test("hll registers match a bit-level JVM reference implementation") {
+    val p = 8
+    val m = 1L << p
+    val w = 60 - p
+    val vals = (1 to 200).map(i => s"v$i")
+    val df = vals.toDF("v")
+    val got = Sketches.hllRegisters(df, Nil, "v", p = p)
+      .as[(Int, Int)].collect().toMap
+    // reference: same 60-bit md5 prefix, bucket = low bits via mod,
+    // rho = leading-zero count of the (60-p)-bit value part + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = vals
+      .map { v =>
+        val hex = md.digest(s"$v#hll".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        val b = (h % m).toInt
+        val part = h / m
+        val rho =
+          if (part == 0L) w + 1
+          else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(part))
+        (b, rho)
+      }
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got === expected)
+  }
+
+  test("hll estimate is within the error envelope, exact small-range by linear counting") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val truth = events.groupBy("event_type").agg(countDistinct("event_id").as("d"))
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.approxDistinctHll(events, Seq("event_type"), "event_id", p = 8)
+      .select("event_type", "est_distinct")
+      .as[(String, Double)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (et, e) =>
+      val t = truth(et).toDouble
+      // sigma ~ 1.04/sqrt(256) = 6.5%; assert a 4-sigma-ish envelope
+      assert(e > t * 0.7 && e < t * 1.3, s"$et: estimate $e vs true $t")
+    }
+    // tiny cardinality vs m=256 registers: the linear-counting branch
+    // must fire and is EXACT-ish (V zero registers, distinct << m)
+    val small = (1 to 5).map(i => s"u$i").toDF("v")
+    val one = Sketches.approxDistinctHll(small, Nil, "v", p = 8)
+      .as[(Double, Int)].collect().head
+    assert(one._2 > 0, "small input must leave zero registers")
+    assert(one._1 > 3.0 && one._1 < 8.0, s"linear counting estimate ${one._1} for true 5")
+  }
+
+  test("hll merge is idempotent max: merged shard registers equal fresh registers") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    // shards by event id: the same user_id value lands in MANY shards,
+    // so the merge must collapse duplicates (max), not add them
+    val parts = (0 to 2).map(b =>
+      Sketches.hllRegisters(events.filter(pmod(col("event_id"), lit(3)) === b),
+        Seq("event_type"), "user_id", p = 4))
+    val merged = Sketches.hllMerge(parts, Seq("event_type"))
+    val fresh = Sketches.hllRegisters(events, Seq("event_type"), "user_id", p = 4)
+    assert(merged.exceptAll(fresh).count() === 0)
+    assert(fresh.exceptAll(merged).count() === 0)
+    // estimates therefore agree row for row
+    val a = Sketches.hllEstimate(merged, Seq("event_type"), p = 4).collect().map(_.toString).sorted
+    val b = Sketches.hllEstimate(fresh, Seq("event_type"), p = 4).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("hll registers are invariant under repartitioning") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val a = Sketches.hllRegisters(events, Seq("event_type"), "user_id", p = 6)
+      .collect().map(_.toString).sorted
+    val b = Sketches.hllRegisters(events.repartition(7), Seq("event_type"), "user_id", p = 6)
+      .collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
 }
