@@ -621,6 +621,54 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming materialized-JOIN maintenance — the streaming twin of
+    * [[graft.operators.MaterializedJoin]] in its streaming-facts ×
+    * standing-dimension regime. Per micro-batch: id-novelty absorber on
+    * the left row id (a re-delivered fact would re-join and duplicate
+    * its view rows — joins, like aggregation, are not set-semantics),
+    * then the batch's join delta ([[graft.operators.MaterializedJoin
+    * .insertDeltaLeft]]: ΔL ⋈ R, delta broadcast, standing side never
+    * shuffled) lands in its own `ingest_batch` partition via
+    * [[graft.operators.MaterializedJoin.appendDelta]] —
+    * [[aggMaintainStream]]'s exactly-once-without-a-transaction-log
+    * shape: reads exclude the current batch id, writes overwrite only
+    * the batch's own partition, so any crash-point replay recomputes
+    * identical content in place. The standing answer at any moment is
+    * [[graft.operators.MaterializedJoin.readView]] (optionally masked
+    * by a tombstone store for merge-on-read deletes).
+    *
+    * State at 100 TB: the ids store is payload-free and each batch's
+    * work is one anti-join plus one broadcast join of the batch against
+    * the dimension — the view grows by |ΔJ| per batch, never rewrites. */
+  def joinMaintainStream(
+      leftRows: DataFrame,
+      idCols: Seq[String],
+      right: DataFrame,
+      keys: Seq[String],
+      joinPath: String,
+      idsPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    leftRows.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        graft.CacheScope.withScope { scope =>
+          def prior(p: String) = Store.readParquetSafe(session, p)
+            .map(_.filter(col("ingest_batch") < batchId))
+          val novel = scope.persist {
+            val b = batch.dropDuplicates(idCols)
+            prior(idsPath).fold(b)(ids =>
+              b.join(ids.select(idCols.map(col): _*), idCols, "left_anti"))
+          }
+          graft.operators.MaterializedJoin.appendDelta(joinPath, batchId,
+            graft.operators.MaterializedJoin.insertDeltaLeft(novel, right, keys))
+          novel.select(idCols.map(col): _*).write.mode("overwrite")
+            .parquet(s"$idsPath/ingest_batch=$batchId")
+        }
+        ()
+      }
+
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a
     * batch-derived run timestamp, so re-delivered rows (at-least-once

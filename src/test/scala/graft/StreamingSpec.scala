@@ -147,6 +147,58 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/ids").count() === batch.count())
   }
 
+  test("stream-maintained join view equals the batch join under re-delivery") {
+    import graft.operators.MaterializedJoin
+    val dim = spark.range(0, 7).select(
+      $"id".as("k"), concat(lit("dim-"), $"id").as("label"))
+    val facts = spark.range(0, 3000).select(
+      $"id".as("fact_id"), ($"id" % 7).as("k"), ($"id" % 13).cast("double").as("v"))
+    val dir = Files.createTempDirectory("graft-join-stream").toString
+    facts.repartition(3).write.parquet(s"$dir/in")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(facts.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = StreamingHistorization.joinMaintainStream(stream, Seq("fact_id"), dim,
+          Seq("k"), s"$dir/join", s"$dir/ids",
+          s"$dir/cp${java.util.UUID.randomUUID().toString.take(8)}")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // full re-delivery with a fresh checkpoint: the id-novelty absorber
+    // must contribute nothing — a re-joined fact would duplicate rows
+    runOnce()
+
+    val got = MaterializedJoin.readView(spark, s"$dir/join").get
+    val want = facts.join(dim, Seq("k"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
+  test("join-maintain replay: a crash between the delta write and the ids write cannot duplicate") {
+    import graft.operators.MaterializedJoin
+    val dim = spark.range(0, 5).select($"id".as("k"), concat(lit("d"), $"id").as("label"))
+    val facts = spark.range(0, 800).select(
+      $"id".as("fact_id"), ($"id" % 5).as("k"), lit(1.0).as("v"))
+    val dir = Files.createTempDirectory("graft-join-replay").toString
+    // crash state: batch 0 committed its JOIN DELTA but not its ids —
+    // a naive replay would re-join the same facts and double the view
+    MaterializedJoin.appendDelta(s"$dir/join", 0L,
+      MaterializedJoin.insertDeltaLeft(facts, dim, Seq("k")))
+    facts.write.parquet(s"$dir/in/d0")
+    val stream = spark.readStream.schema(facts.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = StreamingHistorization.joinMaintainStream(stream, Seq("fact_id"), dim,
+        Seq("k"), s"$dir/join", s"$dir/ids", s"$dir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = MaterializedJoin.readView(spark, s"$dir/join").get
+    val want = facts.join(dim, Seq("k"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).count() === 0)
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val batch = graft.sources.Tables.events(spark, sfDir)
     val dir = Files.createTempDirectory("graft-ssjoin").toString
