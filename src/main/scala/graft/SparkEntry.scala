@@ -1929,6 +1929,30 @@ object SparkEntry {
         rB(0).unionByName(rB(1)), rB(2), keys, broadcastDeltas = false)
       d1.unionByName(d2).unionByName(d3)
     }),
+    // the two IVM halves COMPOSE: each batch's join delta feeds an
+    // aggregate partial, and the merged state must equal the aggregate
+    // over the from-scratch join — a maintained dashboard over a
+    // maintained join pays |ΔJ| + |touched groups| per batch, never |J|
+    "x_join_agg_maintain" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val lB = (0 until 2).map(i => li.filter(pmod(col("l_orderkey"), lit(2)) === i))
+      val rB = (0 until 3).map(i => ord.filter(pmod(col("l_orderkey"), lit(3)) === i))
+      val keys = Seq("l_orderkey")
+      val deltas = Seq(
+        MaterializedJoin.insertDelta(li.limit(0), lB(0), ord.limit(0), rB(0), keys,
+          broadcastDeltas = false),
+        MaterializedJoin.insertDelta(lB(0), lB(1), rB(0), rB(1), keys,
+          broadcastDeltas = false),
+        MaterializedJoin.insertDelta(lB(0).unionByName(lB(1)), li.limit(0),
+          rB(0).unionByName(rB(1)), rB(2), keys, broadcastDeltas = false))
+      val g = Seq("o_orderpriority")
+      MaterializedAgg.finalizeView(
+        MaterializedAgg.mergeStates(
+          deltas.map(MaterializedAgg.partialState(_, g, "l_quantity")), g), g)
+    }),
     // delete maintenance by PROVENANCE: left rows with l_linenumber = 3
     // are deleted; the standing view retracts by anti-join on the left
     // row id (l_orderkey, l_linenumber) — never a re-join — and must
@@ -2882,6 +2906,17 @@ object SparkEntry {
     "x_join_maintain" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // composed IVM: the merged per-batch-delta aggregate state answers
+    // the aggregate over the join's definition
+    "x_join_agg_maintain" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*), 6)
+        |    AS avg_v,
+        |  min(CAST(l_quantity AS DOUBLE)) AS min_v,
+        |  max(CAST(l_quantity AS DOUBLE)) AS max_v
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // provenance retraction ≡ recompute over surviving left rows
     "x_join_maintain_retract" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice

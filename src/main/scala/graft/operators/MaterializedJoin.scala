@@ -132,4 +132,35 @@ object MaterializedJoin {
         case None => v
       }
     }
+
+  /** COMPACTION for the merge-on-read deletes: physically drop the
+    * tombstoned rows from the view store, preserving its per-batch
+    * partition layout, then clear the tombstone store. The rewrite goes
+    * through the aside-rename swap ([[graft.sources.Store
+    * .writeStoreSwap]]), so a concurrent reader sees the pre- or
+    * post-compaction store, never a half-applied one; the tombstones
+    * clear strictly AFTER the swap commits, so a crash between the two
+    * leaves the already-removed ids still masked at read — a no-op — and
+    * a re-run converges. Run this out-of-band of the maintaining stream
+    * (the usual compaction cadence), like [[graft.sources.Store
+    * .compactStore]] for the file-count half of the same story. */
+  def applyTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      tombstonesPath: String,
+      idCols: Seq[String]): Unit = {
+    require(idCols.nonEmpty, "need at least one provenance id column")
+    graft.sources.Store.readParquetSafe(spark, tombstonesPath).foreach { ts =>
+      val ids = ts.drop("ingest_batch").select(idCols.map(col): _*).distinct()
+      // keep the partition column: the store must stay appendable by
+      // later batch ids after compaction. No broadcast hint: tombstones
+      // accumulate between compactions and may outgrow a broadcast —
+      // AQE picks the strategy from the actual size
+      val kept = spark.read.parquet(path).join(ids, idCols, "left_anti")
+      graft.sources.Store.writeStoreSwap(kept, path, Seq("ingest_batch"))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tombstonesPath), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+    }
+  }
 }

@@ -85,6 +85,34 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(MaterializedJoin.readView(spark, path).get.count() === li.join(ord, keys).count())
   }
 
+  test("applyTombstones physically drops masked rows, clears tombstones, stays appendable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mjoin_ct").toString
+    val path = s"$dir/join"
+    val tombs = s"$dir/tombstones"
+    val keys = Seq("l_orderkey")
+    val idc = Seq("l_orderkey", "l_linenumber")
+    MaterializedJoin.appendDelta(path, 0L,
+      MaterializedJoin.insertDelta(li.limit(0), li, ord.limit(0), ord, keys))
+    li.filter(col("l_linenumber") === 3).select(idc.map(col): _*)
+      .write.parquet(s"$tombs/ingest_batch=0")
+    val maskedBefore = rows(MaterializedJoin.readView(spark, path, Some(tombs), idc).get)
+
+    MaterializedJoin.applyTombstones(spark, path, tombs, idc)
+    // rows physically gone: the UNMASKED view now equals the masked one
+    assert(rows(MaterializedJoin.readView(spark, path).get) === maskedBefore)
+    // tombstone store cleared
+    assert(graft.sources.Store.readParquetSafe(spark, tombs).isEmpty)
+    // re-run with no tombstones is a no-op
+    MaterializedJoin.applyTombstones(spark, path, tombs, idc)
+    assert(rows(MaterializedJoin.readView(spark, path).get) === maskedBefore)
+    // the compacted store still accepts later batch appends
+    val extra = li.filter(col("l_linenumber") === 1).limit(10)
+    MaterializedJoin.appendDelta(path, 7L,
+      MaterializedJoin.insertDeltaLeft(extra, ord, keys, broadcastDelta = false))
+    assert(MaterializedJoin.readView(spark, path).get.count() ===
+      maskedBefore.size + extra.join(ord, keys).count())
+  }
+
   test("delta joins broadcast the delta, never shuffle the standing side") {
     val keys = Seq("l_orderkey")
     val delta = li.limit(50)
