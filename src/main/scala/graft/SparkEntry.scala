@@ -1905,6 +1905,19 @@ object SparkEntry {
           g, k = 256),
         g, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
+    // leaderboard measure maintained the same way: per-batch top-k
+    // (value desc, id asc) synopses — the same semilattice trim law as
+    // the extrema — merged ≡ the fresh whole-corpus leaderboard; the
+    // distinct in the merge absorbs a replayed batch (idempotent)
+    "x_agg_maintain_topk" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val g = Seq("o_orderpriority")
+      val b = (0 until 3).map(i => ord.filter(pmod(col("o_orderkey"), lit(3)) === i))
+      MaterializedAgg.finalizeTopK(
+        MaterializedAgg.mergeTopK(
+          b.map(MaterializedAgg.partialTopK(_, g, "o_orderkey", "o_totalprice", k = 10)),
+          g, k = 10), g)
+    }),
     // ---- extensions: incrementally-maintained materialized joins ----
     // three ingest rounds with BOTH sides growing — (L0,R0), (L1,R1),
     // (∅,R2) — each round contributing only its delta triple
@@ -2906,6 +2919,19 @@ object SparkEntry {
     "x_join_maintain" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    // maintained leaderboard ≡ the fresh top-k definition (semilattice
+    // trim law); both engines tie-break by the id STRING (binary order)
+    "x_agg_maintain_topk" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey AS VARCHAR) AS id,
+        |         CAST(o_totalprice AS DOUBLE) AS value,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY CAST(o_totalprice AS DOUBLE) DESC,
+        |                    CAST(o_orderkey AS VARCHAR)) AS rk
+        |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |)
+        |SELECT o_orderpriority, CAST(rk AS INT) AS rank, id, value
+        |FROM r WHERE rk <= 10""".stripMargin,
     // composed IVM: the merged per-batch-delta aggregate state answers
     // the aggregate over the join's definition
     "x_join_agg_maintain" ->

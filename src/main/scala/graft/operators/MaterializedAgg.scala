@@ -224,6 +224,65 @@ object MaterializedAgg {
       .select((groupCols.map(col) :+ col("q") :+ col("est_value") :+ col("n_sample")): _*)
   }
 
+  /** Per-batch top-k synopsis per group: the k (value DESC, id ASC)-
+    * first rows of the batch, kept as (value, id) pairs — the
+    * leaderboard measure (top documents by score per domain, top
+    * spenders per segment). The same semilattice law as the extrema and
+    * bottom-k samples: the global top-k of a union is contained in the
+    * union of per-shard top-k sets, so per-batch synopses merge
+    * LOSSLESSLY ([[mergeTopK]] re-trims the union) — the merged
+    * leaderboard EQUALS the fresh whole-corpus one, not approximates
+    * it. The id tie-break makes the synopsis deterministic under equal
+    * values. Holistic: merges, does not retract — deletes repair via
+    * touched-group recompute like the extrema. ≤ k pairs per group
+    * cross the shuffle; the window sorts batch rows, not the corpus. */
+  def partialTopK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    // the synopsis stores (NEGATED value, id): ascending struct order is
+    // then exactly (value DESC, id ASC), so the plain array_sort both
+    // engines agree on IS the leaderboard order — no comparator lambda
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).cast("double").desc, col(idCol))
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol) :+ col(valueCol).cast("double").as(valueCol)): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(
+        struct((-col(valueCol)).as("nv"), col(idCol).cast("string").as("id")))).as("top_vi"))
+  }
+
+  /** Merge per-batch top-k synopses (any association order): re-trim
+    * the flattened union on the same (value DESC, id ASC) ordering.
+    * Distinct pairs first: a REPLAYED batch's synopsis must be absorbed
+    * (idempotent), not double-ranked. */
+  def mergeTopK(
+      states: Seq[DataFrame],
+      groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    require(k >= 1, "k must be at least 1")
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("top_vi"))))),
+        1, k).as("top_vi"))
+  }
+
+  /** Leaderboard view of a top-k state: one row per (group, rank). */
+  def finalizeTopK(state: DataFrame, groupCols: Seq[String]): DataFrame =
+    state
+      .select((groupCols.map(col) :+ posexplode(col("top_vi"))): _*)
+      .select((groupCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+
+        col("col.id").as("id") :+
+        (-col("col.nv")).as("value")): _*)
+
   /** Rolling aggregate over an ALREADY-AGGREGATED frame — the trailing
     * `precedingRows + 1`-row sum and window population per partition,
     * ordered by `orderCol`. The input is per-(group, period) partials

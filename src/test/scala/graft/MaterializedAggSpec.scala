@@ -144,4 +144,30 @@ class MaterializedAggSpec extends SparkSpec {
     // each maintenance step was its own committed generation (keep=3 retained)
     assert(graft.sources.Store.listGenerations(spark, path).size === 3)
   }
+
+  test("top-k synopsis merge law: merged batches equal the fresh leaderboard") {
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val g = Seq("o_orderpriority")
+    val fresh = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.partialTopK(ord, g, "o_orderkey", "o_totalprice", k = 7), g)
+      .collect().map(_.toSeq).toSet
+    // batched by order key thirds, merged — must EQUAL fresh, not approximate
+    val b = (0 until 3).map(i => ord.filter(pmod(col("o_orderkey"), lit(3)) === i))
+    val states = b.map(MaterializedAgg.partialTopK(_, g, "o_orderkey", "o_totalprice", k = 7))
+    val merged = MaterializedAgg.finalizeTopK(MaterializedAgg.mergeTopK(states, g, k = 7), g)
+      .collect().map(_.toSeq).toSet
+    assert(merged === fresh)
+    // replay idempotence: a batch's synopsis merged in twice changes nothing
+    val replayed = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.mergeTopK(states :+ states.head, g, k = 7), g)
+      .collect().map(_.toSeq).toSet
+    assert(replayed === fresh)
+    // ranks are 1..k per group with k distinct ids
+    val perGroup = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.mergeTopK(states, g, k = 7), g)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d"))
+      .collect()
+    perGroup.foreach(r => assert(r.getLong(1) === 7L && r.getLong(2) === 7L))
+  }
 }
