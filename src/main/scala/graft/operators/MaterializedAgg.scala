@@ -274,6 +274,31 @@ object MaterializedAgg {
         1, k).as("top_vi"))
   }
 
+  /** Delete maintenance for the top-k measure: like the extrema, a
+    * leaderboard does not retract (deleting the current #1 says nothing
+    * about the next), so touched groups recompute from survivors —
+    * [[repairGroups]]'s shape, |touched groups' rows| never |corpus|.
+    * A touched group with no survivors leaves the state. */
+  def repairTopK(
+      state: DataFrame,
+      survivors: DataFrame,
+      touched: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    val keys = touched.select(groupCols.map(col): _*).distinct()
+    val repaired = partialTopK(
+      survivors.join(keys, groupCols, "left_semi"), groupCols, idCol, valueCol, k)
+      .withColumnRenamed("top_vi", "__rtop")
+    state
+      .join(keys.withColumn("__touched", lit(true)), groupCols, "left_outer")
+      .join(repaired, groupCols, "left_outer")
+      .withColumn("top_vi", when(col("__touched"), col("__rtop")).otherwise(col("top_vi")))
+      .drop("__touched", "__rtop")
+      .filter(col("top_vi").isNotNull && size(col("top_vi")) > 0)
+  }
+
   /** Leaderboard view of a top-k state: one row per (group, rank). */
   def finalizeTopK(state: DataFrame, groupCols: Seq[String]): DataFrame =
     state

@@ -170,4 +170,31 @@ class MaterializedAggSpec extends SparkSpec {
       .collect()
     perGroup.foreach(r => assert(r.getLong(1) === 7L && r.getLong(2) === 7L))
   }
+
+  test("top-k repair: deleting leaders recomputes touched groups from survivors only") {
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val g = Seq("o_orderpriority")
+    val standing = MaterializedAgg.partialTopK(ord, g, "o_orderkey", "o_totalprice", k = 5)
+    // delete the CURRENT LEADERS of one group (its top-2) — the repair
+    // must surface the next-best survivors, untouched groups unchanged
+    val leaders = MaterializedAgg.finalizeTopK(standing, g)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("rank") <= 2)
+      .select(col("id").cast("long").as("o_orderkey"), col("o_orderpriority"))
+    val deleted = ord.join(leaders, Seq("o_orderkey", "o_orderpriority"), "left_semi")
+    val survivors = ord.join(leaders, Seq("o_orderkey", "o_orderpriority"), "left_anti")
+    val repaired = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.repairTopK(standing, survivors, deleted, g, "o_orderkey",
+        "o_totalprice", k = 5), g)
+      .collect().map(_.toSeq).toSet
+    val fresh = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.partialTopK(survivors, g, "o_orderkey", "o_totalprice", k = 5), g)
+      .collect().map(_.toSeq).toSet
+    assert(repaired === fresh)
+    // a touched group whose every row is deleted leaves the state
+    val one = ord.filter(col("o_orderpriority") === "5-LOW")
+    val gone = MaterializedAgg.repairTopK(
+      MaterializedAgg.partialTopK(one, g, "o_orderkey", "o_totalprice", k = 5),
+      one.limit(0), one, g, "o_orderkey", "o_totalprice", k = 5)
+    assert(gone.count() === 0)
+  }
 }
