@@ -1966,6 +1966,23 @@ object SparkEntry {
         MaterializedAgg.mergeStates(
           deltas.map(MaterializedAgg.partialState(_, g, "l_quantity")), g), g)
     }),
+    // star-schema maintenance: fact batches star-join ALL standing
+    // dimensions in one pass (ΔF⋈D1⋈D2, fold of broadcast delta joins —
+    // the dominant 100 TB regime: facts grow continuously, dimensions
+    // maintain on their own cadence); batch-delta union ≡ 3-way join
+    "x_join_maintain_star" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val ordDim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val partDim = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      val b = (0 until 3).map(i => li.filter(pmod(col("l_orderkey"), lit(3)) === i))
+      b.map(MaterializedJoin.insertDeltaStar(_,
+          Seq((ordDim, Seq("l_orderkey")), (partDim, Seq("l_partkey"))),
+          broadcastDelta = false))
+        .reduce(_ unionByName _)
+    }),
     // delete maintenance by PROVENANCE: left rows with l_linenumber = 3
     // are deleted; the standing view retracts by anti-join on the left
     // row id (l_orderkey, l_linenumber) — never a re-join — and must
@@ -2943,6 +2960,13 @@ object SparkEntry {
         |  max(CAST(l_quantity AS DOUBLE)) AS max_v
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // star maintenance ≡ the 3-way join's definition
+    "x_join_maintain_star" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |       o_orderpriority, p_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey""".stripMargin,
     // provenance retraction ≡ recompute over surviving left rows
     "x_join_maintain_retract" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority, o_totalprice

@@ -82,6 +82,23 @@ object MaterializedJoin {
     (if (broadcastDelta) broadcast(deltaL) else deltaL).join(standingR, keys)
   }
 
+  /** Star-schema convenience: the view delta when a FACT batch arrives
+    * against several standing dimensions (the dominant 100 TB shape —
+    * facts grow continuously, dimensions change on their own slower
+    * cadence through [[insertDelta]]'s two-sided form). Folds
+    * [[insertDeltaLeft]] across the dimensions: the batch broadcasts
+    * once per dimension, no standing side ever shuffles, and the result
+    * is ΔF ⋈ D1 ⋈ … ⋈ Dn. */
+  def insertDeltaStar(
+      deltaFact: DataFrame,
+      dims: Seq[(DataFrame, Seq[String])],
+      broadcastDelta: Boolean = true): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    dims.foldLeft(deltaFact) { case (acc, (dim, keys)) =>
+      insertDeltaLeft(acc, dim, keys, broadcastDelta)
+    }
+  }
+
   /** Retract view rows sourced from deleted input rows, by provenance:
     * `removed` carries the deleted side's id columns (`idCols`, e.g. the
     * left row's primary key), and every view row that matches on ALL of

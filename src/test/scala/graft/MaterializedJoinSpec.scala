@@ -85,6 +85,23 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(MaterializedJoin.readView(spark, path).get.count() === li.join(ord, keys).count())
   }
 
+  test("insertDeltaStar folds the fact batch across all dimensions") {
+    val part = graft.sources.Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("l_partkey"), col("p_name"))
+    val liFull = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val b = (0 until 3).map(i => liFull.filter(pmod(col("l_orderkey"), lit(3)) === i))
+    val dims = Seq((ord, Seq("l_orderkey")), (part, Seq("l_partkey")))
+    val maintained = b.map(MaterializedJoin.insertDeltaStar(_, dims)).reduce(_ unionByName _)
+    val full = liFull.join(ord, Seq("l_orderkey")).join(part, Seq("l_partkey"))
+    assert(maintained.count() === full.count())
+    assert(maintained.exceptAll(full).count() === 0)
+    // both dimension probes broadcast the (growing) fact side
+    val plan = MaterializedJoin.insertDeltaStar(liFull.limit(30), dims)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"dimensions must not shuffle:\n$plan")
+  }
+
   test("applyTombstones physically drops masked rows, clears tombstones, stays appendable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mjoin_ct").toString
     val path = s"$dir/join"
