@@ -243,6 +243,8 @@ object MaterializedAgg {
       valueCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    require(!groupCols.contains("top_vi"),
+      "groupCols must not collide with the synopsis column (top_vi)")
     // the synopsis stores (NEGATED value, id): ascending struct order is
     // then exactly (value DESC, id ASC), so the plain array_sort both
     // engines agree on IS the leaderboard order — no comparator lambda

@@ -64,6 +64,7 @@ object MaterializedJoin {
       keys: Seq[String],
       broadcastDeltas: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
+    requireDisjoint(standingL, standingR, keys)
     val dl = if (broadcastDeltas) broadcast(deltaL) else deltaL
     val dr = if (broadcastDeltas) broadcast(deltaR) else deltaR
     dl.join(standingR, keys)
@@ -79,7 +80,18 @@ object MaterializedJoin {
       keys: Seq[String],
       broadcastDelta: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "need at least one join key")
+    requireDisjoint(deltaL, standingR, keys)
     (if (broadcastDelta) broadcast(deltaL) else deltaL).join(standingR, keys)
+  }
+
+  /** The contract's loud half: the inner equi-join on `keys` assumes the
+    * sides' NON-KEY columns are disjoint (the star-schema shape) — an
+    * overlap would produce ambiguous duplicate output columns that only
+    * fail on first downstream reference. Fail at the operator instead. */
+  private def requireDisjoint(l: DataFrame, r: DataFrame, keys: Seq[String]): Unit = {
+    val overlap = l.columns.toSet.intersect(r.columns.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint (rename before joining): ${overlap.mkString(", ")}")
   }
 
   /** Star-schema convenience: the view delta when a FACT batch arrives
@@ -167,6 +179,9 @@ object MaterializedJoin {
       tombstonesPath: String,
       idCols: Seq[String]): Unit = {
     require(idCols.nonEmpty, "need at least one provenance id column")
+    // no view store → nothing to compact; leave any tombstones in place
+    // (they still mask correctly if a view appears via replay)
+    if (graft.sources.Store.readParquetSafe(spark, path).isEmpty) return
     graft.sources.Store.readParquetSafe(spark, tombstonesPath).foreach { ts =>
       val ids = ts.drop("ingest_batch").select(idCols.map(col): _*).distinct()
       // keep the partition column: the store must stay appendable by

@@ -357,6 +357,8 @@ object Sketches {
       p: Int = 8,
       salt: String = "hll"): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    require(!groupCols.exists(Set("b", "m_reg")),
+      "groupCols must not collide with the synopsis columns (b, m_reg)")
     val m = 1L << p
     val w = 60 - p
     val h = conv(md5(concat(col(valueCol).cast("string"), lit(s"#$salt"))).substr(1, 15), 16, 10)
