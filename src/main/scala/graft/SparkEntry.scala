@@ -1966,6 +1966,22 @@ object SparkEntry {
         MaterializedAgg.mergeStates(
           deltas.map(MaterializedAgg.partialState(_, g, "l_quantity")), g), g)
     }),
+    // dimension refresh (the UPDATE third of the lifecycle): every 10th
+    // order's priority changes; the view retracts rows joined to the
+    // touched keys and re-joins the standing facts against just the new
+    // dimension rows — and must equal the recompute over the updated
+    // dimension
+    "x_join_refresh_dim" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val view = MaterializedJoin.insertDeltaLeft(li, ord, Seq("l_orderkey"),
+        broadcastDelta = false)
+      val updated = ord.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderpriority", concat(lit("R-"), col("o_orderpriority")))
+      MaterializedJoin.refreshDimension(view, li, updated, Seq("l_orderkey"))
+    }),
     // star-schema maintenance: fact batches star-join ALL standing
     // dimensions in one pass (ΔF⋈D1⋈D2, fold of broadcast delta joins —
     // the dominant 100 TB regime: facts grow continuously, dimensions
@@ -2960,6 +2976,13 @@ object SparkEntry {
         |  max(CAST(l_quantity AS DOUBLE)) AS max_v
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    // refreshed view ≡ the join over the updated dimension's definition
+    "x_join_refresh_dim" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'R-' || o_orderpriority
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |       o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     // star maintenance ≡ the 3-way join's definition
     "x_join_maintain_star" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,

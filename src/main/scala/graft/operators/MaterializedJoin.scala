@@ -84,6 +84,31 @@ object MaterializedJoin {
     (if (broadcastDelta) broadcast(deltaL) else deltaL).join(standingR, keys)
   }
 
+  /** Dimension refresh — the UPDATE third of the maintenance lifecycle
+    * (inserts: [[insertDelta]]; deletes: [[retractByIds]]/tombstones).
+    * `updatedDim` carries the dimension rows that changed (SCD1 upsert:
+    * new attribute values under existing keys, or entirely new keys);
+    * the view retracts every row joined to a touched key (the join key
+    * IS the dimension's provenance) and re-joins the standing fact side
+    * against just the new dimension rows. Cost: \|J ⋉ touched\| +
+    * \|L ⋈ touched\| — the update batch broadcasts twice, the view and
+    * fact stores never shuffle, and nothing scales with \|J\| or \|L\|
+    * beyond the scan. A dimension DELETE is [[retractByIds]] with the
+    * keys directly; an SCD2-style history join is [[Scd2.temporalJoin]]'s
+    * territory, not this operator's. */
+  def refreshDimension(
+      standingView: DataFrame,
+      standingL: DataFrame,
+      updatedDim: DataFrame,
+      keys: Seq[String],
+      broadcastDim: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    requireDisjoint(standingL, updatedDim, keys)
+    val dim = if (broadcastDim) broadcast(updatedDim) else updatedDim
+    retractByIds(standingView, updatedDim, keys)
+      .unionByName(standingL.join(dim, keys))
+  }
+
   /** The contract's loud half: the inner equi-join on `keys` assumes the
     * sides' NON-KEY columns are disjoint (the star-schema shape) — an
     * overlap would produce ambiguous duplicate output columns that only

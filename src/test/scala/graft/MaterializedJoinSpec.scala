@@ -85,6 +85,21 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(MaterializedJoin.readView(spark, path).get.count() === li.join(ord, keys).count())
   }
 
+  test("refreshDimension: updated, inserted, and unmatched dim keys all converge") {
+    val l = Seq((1L, "f1"), (1L, "f1b"), (2L, "f2"), (3L, "f3")).toDF("k", "fact")
+    val dim0 = Seq((1L, "old1"), (2L, "old2")).toDF("k", "attr")
+    val view = l.join(dim0, Seq("k"))
+    // key 1 updated, key 3 newly appears in the dimension
+    val updated = Seq((1L, "new1"), (3L, "new3")).toDF("k", "attr")
+    val refreshed = MaterializedJoin.refreshDimension(view, l, updated, Seq("k"))
+    val recompute = l.join(
+      Seq((1L, "new1"), (2L, "old2"), (3L, "new3")).toDF("k", "attr"), Seq("k"))
+    assert(rows(refreshed) === rows(recompute))
+    // a second refresh with the same rows is idempotent
+    assert(rows(MaterializedJoin.refreshDimension(refreshed, l, updated, Seq("k"))) ===
+      rows(recompute))
+  }
+
   test("insertDeltaStar folds the fact batch across all dimensions") {
     val part = graft.sources.Tables.part(spark, sfDir)
       .select(col("p_partkey").as("l_partkey"), col("p_name"))
