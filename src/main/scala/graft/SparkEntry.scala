@@ -3015,11 +3015,14 @@ object SparkEntry {
     "x_store_diff" -> storeDiffOracle(
       """SELECT l_orderkey, l_linenumber, diff_status, record_hash_a, record_hash_b
         |FROM diff WHERE diff_status <> 'unchanged'""".stripMargin),
+    // CAST each sum to BIGINT: Spark's sum(when) is LongType but DuckDB's
+    // bare sum(CASE) over INTEGER yields HUGEINT — value-identical yet
+    // typed-hash-distinct on the driver (the r12 red row).
     "x_store_diff_summary" -> storeDiffOracle(
-      """SELECT sum(CASE WHEN diff_status = 'added' THEN 1 ELSE 0 END) AS n_added,
-        |       sum(CASE WHEN diff_status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
-        |       sum(CASE WHEN diff_status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
-        |       sum(CASE WHEN diff_status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged
+      """SELECT CAST(sum(CASE WHEN diff_status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(sum(CASE WHEN diff_status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(sum(CASE WHEN diff_status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(CASE WHEN diff_status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
         |FROM diff""".stripMargin),
     // skipping reads are row-identical to the full filtered scan —
     // the pruning is a fast-path, never a semantic
@@ -3628,7 +3631,7 @@ object SparkEntry {
     // definition, which the oracle states directly
     "x_dedup_editdist" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
-        |       levenshtein(a.s_name, b.s_name) AS dist
+        |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
     // min-label connected components as a recursive CTE: cc enumerates
@@ -4856,7 +4859,7 @@ object SparkEntry {
         |)
         |SELECT doc_id,
         |  CAST((start - 1) // 96 AS INT) AS chunk_idx,
-        |  start AS chunk_start,
+        |  CAST(start AS INT) AS chunk_start,
         |  substring(text, CAST(start AS INT), 120) AS chunk_text
         |FROM st""".stripMargin,
     // the suffix is built from chr() so the oracle text is unambiguous:
@@ -4871,7 +4874,7 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, trim(regexp_replace(nfc, '\s+', ' ', 'g')) AS norm_text,
-        |       length(trim(regexp_replace(nfc, '\s+', ' ', 'g'))) AS n_chars_norm
+        |       CAST(length(trim(regexp_replace(nfc, '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
         |FROM raw""".stripMargin,
     // same whitespace tokenization CTE shape as x_text_quality; vocab =
     // distinct tokens of the every-5th-doc slice

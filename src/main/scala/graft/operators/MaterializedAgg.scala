@@ -248,9 +248,15 @@ object MaterializedAgg {
     // the synopsis stores (NEGATED value, id): ascending struct order is
     // then exactly (value DESC, id ASC), so the plain array_sort both
     // engines agree on IS the leaderboard order — no comparator lambda
+    // tie-break by the id CAST TO STRING: the synopsis stores ids as
+    // strings, so mergeTopK's re-trim (and the VARCHAR oracle) rank
+    // boundary ties lexicographically — selecting here in the id's
+    // native (e.g. numeric) order would pick a different top-k set
+    // whenever a value tie straddles the k boundary and the two orders
+    // disagree (ids 9 vs 10), breaking merged ≡ fresh
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(valueCol).cast("double").desc, col(idCol))
+      .orderBy(col(valueCol).cast("double").desc, col(idCol).cast("string"))
     df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select((groupCols.map(col) :+ col(idCol) :+ col(valueCol).cast("double").as(valueCol)): _*)
       .withColumn("__rk", row_number().over(w))

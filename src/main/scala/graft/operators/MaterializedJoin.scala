@@ -207,17 +207,48 @@ object MaterializedJoin {
     // no view store → nothing to compact; leave any tombstones in place
     // (they still mask correctly if a view appears via replay)
     if (graft.sources.Store.readParquetSafe(spark, path).isEmpty) return
-    graft.sources.Store.readParquetSafe(spark, tombstonesPath).foreach { ts =>
-      val ids = ts.drop("ingest_batch").select(idCols.map(col): _*).distinct()
-      // keep the partition column: the store must stay appendable by
-      // later batch ids after compaction. No broadcast hint: tombstones
-      // accumulate between compactions and may outgrow a broadcast —
-      // AQE picks the strategy from the actual size
-      val kept = spark.read.parquet(path).join(ids, idCols, "left_anti")
-      graft.sources.Store.writeStoreSwap(kept, path, Seq("ingest_batch"))
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(tombstonesPath), spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath), true)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tombstonesPath), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(tombstonesPath)
+    if (!fs.exists(root)) return
+    // SNAPSHOT the tombstone batch partitions up front and apply/delete
+    // only those: a lazy whole-store scan followed by a recursive delete
+    // would silently discard tombstone batches a maintaining stream
+    // appended between the compaction scan and the delete — their rows
+    // would come back unmasked. Listed-but-later-appended batches stay in
+    // place for the next compaction pass, making concurrency with the
+    // single appending stream safe, not just documented.
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("ingest_batch="))
+      .map(_.toString).toSeq
+    applyTombstoneBatches(spark, path, idCols, parts)
+  }
+
+  /** Apply exactly the LISTED tombstone batch partitions, then delete
+    * exactly those directories — the snapshot core of [[applyTombstones]],
+    * separated so the stale-listing race (a batch appended after the
+    * listing) is directly testable. */
+  private[graft] def applyTombstoneBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCols: Seq[String],
+      parts: Seq[String]): Unit = {
+    val snapshot = parts
+      .flatMap(p => graft.sources.Store.readParquetSafe(spark, p))
+    if (snapshot.isEmpty) return
+    val ids = snapshot.reduce(_ unionByName _)
+      .select(idCols.map(col): _*).distinct()
+    // keep the partition column: the store must stay appendable by
+    // later batch ids after compaction. No broadcast hint: tombstones
+    // accumulate between compactions and may outgrow a broadcast —
+    // AQE picks the strategy from the actual size
+    val kept = spark.read.parquet(path).join(ids, idCols, "left_anti")
+    graft.sources.Store.writeStoreSwap(kept, path, Seq("ingest_batch"))
+    parts.foreach { p =>
+      val pp = new org.apache.hadoop.fs.Path(p)
+      org.apache.hadoop.fs.FileSystem.get(
+        pp.toUri, spark.sparkContext.hadoopConfiguration).delete(pp, true)
+      ()
     }
   }
 }

@@ -417,13 +417,26 @@ object Sketches {
     val m = 1 << p
     val maxRho = 61 - p
     val num = hllNumerator(p)
+    // Guard against a p that doesn't match the synopsis' geometry
+    // ([[hllRegisters]] bakes p into every register: b ∈ [0, 2^p),
+    // rho ∈ [1, 61−p]) — a mismatched p would silently yield garbage
+    // estimates (wrong m, wrong maxRho scaling). Checked per ROW inside
+    // the plan so laziness is preserved; the synopsis is ≤ 2^p rows per
+    // group, so the check costs nothing.
+    val checked = synopsis.withColumn("__mreg",
+      when(col("b").between(0, m - 1) && col("m_reg").between(1, maxRho),
+        col("m_reg"))
+        .otherwise(raise_error(concat(
+          lit(s"hll synopsis inconsistent with p=$p "
+            + s"(expect 0 <= b < $m, 1 <= m_reg <= $maxRho): b="),
+          col("b"), lit(", m_reg="), col("m_reg")))))
     val grouped =
-      if (groupCols.isEmpty) synopsis.groupBy()
-      else synopsis.groupBy(groupCols.map(col): _*)
+      if (groupCols.isEmpty) checked.groupBy()
+      else checked.groupBy(groupCols.map(col): _*)
     grouped
       .agg(
         count(lit(1)).as("__np"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - m_reg)")).as("__sp"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - __mreg)")).as("__sp"))
       .withColumn("__S",
         col("__sp") + (lit(m.toLong) - col("__np")) * lit(1L << maxRho))
       .withColumn("n_zero_regs", (lit(m) - col("__np")).cast("int"))

@@ -21,6 +21,29 @@ import graft.sources.Store
   */
 object StreamingHistorization {
 
+  /** Collapse in-batch duplicate ids to ONE deterministic survivor — the
+    * row sorting FIRST over all payload columns (nulls first). A bare
+    * `dropDuplicates(idCols)` keeps an arbitrary row; when a batch holds
+    * the same id with DIFFERENT payloads, a crash-point replay (same
+    * checkpointed source data, different partition scheduling) can keep a
+    * different payload and rewrite a batch partition with content that
+    * differs from the original commit — breaking the exactly-once-by-
+    * idempotent-rewrite contract every maintenance stream in this file
+    * relies on. Payload columns must be orderable (no MapType), which
+    * every stream here satisfies. Batch-cost: one window over batch rows. */
+  private[graft] def survivorFirst(batch: DataFrame, idCols: Seq[String]): DataFrame = {
+    val payload = batch.columns.filterNot(idCols.contains)
+    if (payload.isEmpty) batch.dropDuplicates(idCols)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCols.map(col): _*)
+        .orderBy(payload.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+      batch.withColumn("__survivor_rk", row_number().over(w))
+        .filter(col("__survivor_rk") === 1)
+        .drop("__survivor_rk")
+    }
+  }
+
   /** File-based stream source over a directory of Parquet drops. */
   def readParquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
@@ -190,7 +213,7 @@ object StreamingHistorization {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val session = batch.sparkSession
         val banded0 = graft.operators.Dedup.minhashBandIndex(
-          batch.dropDuplicates(idCol), idCol, textCol, n, k, bands)
+          survivorFirst(batch, Seq(idCol)), idCol, textCol, n, k, bands)
         val index = Store.readParquetSafe(session, indexPath)
         // Novelty is per (id, band, key) tuple, not per id: a crash mid
         // index-append can commit a partial subset of a doc's band rows,
@@ -287,7 +310,7 @@ object StreamingHistorization {
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
           val banded0 = graft.operators.Dedup.minhashBandIndex(
-            batch.dropDuplicates(idCol), idCol, textCol, n, k, bands)
+            survivorFirst(batch, Seq(idCol)), idCol, textCol, n, k, bands)
           val index = Store.readParquetSafe(session, indexPath)
           // tuple-level novelty, as in [[nearDupStream]]: survives a crash
           // that committed only part of a doc's band rows
@@ -382,7 +405,7 @@ object StreamingHistorization {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val session = batch.sparkSession
-        val deduped = batch.dropDuplicates(idCol)
+        val deduped = survivorFirst(batch, Seq(idCol))
         // a usingColumns anti-join moves the join key to the front of the
         // output schema; re-select the input order so every appended file
         // carries the SAME column order — parquet readers seed the store
@@ -453,7 +476,7 @@ object StreamingHistorization {
           def prior(p: String) = Store.readParquetSafe(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
           val novel = scope.persist {
-            val b = batch.dropDuplicates(idCol)
+            val b = survivorFirst(batch, Seq(idCol))
               .select(col(idCol).as("id"), col(textCol).as("t"))
             prior(idsPath).fold(b)(ids =>
               b.join(ids.select("id"), Seq("id"), "left_anti"))
@@ -609,7 +632,7 @@ object StreamingHistorization {
           def prior(p: String) = Store.readParquetSafe(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
           val novel = scope.persist {
-            val b = batch.dropDuplicates(idCol)
+            val b = survivorFirst(batch, Seq(idCol))
             prior(idsPath).fold(b)(ids =>
               b.join(ids.select(idCol), Seq(idCol), "left_anti"))
           }
@@ -657,7 +680,7 @@ object StreamingHistorization {
           def prior(p: String) = Store.readParquetSafe(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
           val novel = scope.persist {
-            val b = batch.dropDuplicates(idCols)
+            val b = survivorFirst(batch, idCols)
             prior(idsPath).fold(b)(ids =>
               b.join(ids.select(idCols.map(col): _*), idCols, "left_anti"))
           }

@@ -171,6 +171,28 @@ class MaterializedAggSpec extends SparkSpec {
     perGroup.foreach(r => assert(r.getLong(1) === 7L && r.getLong(2) === 7L))
   }
 
+  test("top-k boundary tie: selection, merge, and finalize share one total order") {
+    // value tie EXACTLY at the k boundary where numeric and lexicographic
+    // id orders disagree (9 vs 10): the synopsis stores ids as strings, so
+    // selection must tie-break lexicographically too or merged ≠ fresh
+    val rows = Seq((1L, "g", 5.0), (9L, "g", 1.0), (10L, "g", 1.0))
+      .toDF("id", "g", "v")
+    val g = Seq("g")
+    val fresh = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.partialTopK(rows, g, "id", "v", k = 2), g)
+      .collect().map(_.toSeq).toSet
+    // 9 and 10 arrive in different batches; the merge re-trims their union
+    val states = Seq(
+      MaterializedAgg.partialTopK(rows.filter(col("id") =!= 10L), g, "id", "v", k = 2),
+      MaterializedAgg.partialTopK(rows.filter(col("id") === 10L), g, "id", "v", k = 2))
+    val merged = MaterializedAgg.finalizeTopK(
+      MaterializedAgg.mergeTopK(states, g, k = 2), g)
+      .collect().map(_.toSeq).toSet
+    assert(merged === fresh)
+    // and the shared order is the lexicographic one: "10" < "9"
+    assert(fresh.map(_(2)) === Set("1", "10"))
+  }
+
   test("top-k repair: deleting leaders recomputes touched groups from survivors only") {
     val ord = graft.sources.Tables.orders(spark, sfDir)
     val g = Seq("o_orderpriority")

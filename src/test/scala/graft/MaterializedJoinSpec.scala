@@ -145,6 +145,41 @@ class MaterializedJoinSpec extends SparkSpec {
       maskedBefore.size + extra.join(ord, keys).count())
   }
 
+  test("tombstone compaction applies and deletes ONLY the listed batches") {
+    // the concurrent-append race: a tombstone batch appended AFTER the
+    // compaction listed the store must survive the compaction's delete
+    // (and keep masking) — simulated by handing the core a stale listing
+    val dir = java.nio.file.Files.createTempDirectory("graft_mjoin_race").toString
+    val path = s"$dir/join"
+    val tombs = s"$dir/tombstones"
+    val keys = Seq("l_orderkey")
+    val idc = Seq("l_orderkey", "l_linenumber")
+    MaterializedJoin.appendDelta(path, 0L,
+      MaterializedJoin.insertDelta(li.limit(0), li, ord.limit(0), ord, keys))
+    li.filter(col("l_linenumber") === 3).select(idc.map(col): _*)
+      .write.parquet(s"$tombs/ingest_batch=0")
+    // "concurrent" batch 1 lands after the (stale) listing below was taken
+    li.filter(col("l_linenumber") === 4).select(idc.map(col): _*)
+      .write.parquet(s"$tombs/ingest_batch=1")
+    MaterializedJoin.applyTombstoneBatches(spark, path, idc,
+      Seq(s"$tombs/ingest_batch=0"))
+    // batch 0 applied physically; batch 1 NOT applied but still standing
+    assert(rows(MaterializedJoin.readView(spark, path).get) ===
+      rows(li.filter(col("l_linenumber") =!= 3).join(ord, keys)))
+    assert(new java.io.File(s"$tombs/ingest_batch=1").exists())
+    assert(!new java.io.File(s"$tombs/ingest_batch=0").exists())
+    // the surviving batch keeps masking at read until the next compaction
+    assert(rows(MaterializedJoin.readView(spark, path, Some(tombs), idc).get) ===
+      rows(li.filter(col("l_linenumber") =!= 3)
+        .filter(col("l_linenumber") =!= 4).join(ord, keys)))
+    // the next full pass picks it up and converges
+    MaterializedJoin.applyTombstones(spark, path, tombs, idc)
+    assert(rows(MaterializedJoin.readView(spark, path).get) ===
+      rows(li.filter(col("l_linenumber") =!= 3)
+        .filter(col("l_linenumber") =!= 4).join(ord, keys)))
+    assert(graft.sources.Store.readParquetSafe(spark, tombs).isEmpty)
+  }
+
   test("delta joins broadcast the delta, never shuffle the standing side") {
     val keys = Seq("l_orderkey")
     val delta = li.limit(50)

@@ -274,6 +274,23 @@ class SketchesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("hll estimate rejects a synopsis built with a different p") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    // p = 8 registers carry buckets up to 255; estimating them as a p = 4
+    // synopsis (16 buckets) is geometric garbage and must FAIL, not
+    // silently return a wrong estimate
+    val regs = Sketches.hllRegisters(events, Seq("event_type"), "user_id", p = 8)
+    val ex = intercept[Exception] {
+      Sketches.hllEstimate(regs, Seq("event_type"), p = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("hll synopsis inconsistent with p=4")),
+      s"unexpected failure: $ex")
+    // the matching p still estimates fine through the guard
+    assert(Sketches.hllEstimate(regs, Seq("event_type"), p = 8).count() > 0)
+  }
+
   test("hll registers are invariant under repartitioning") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val a = Sketches.hllRegisters(events, Seq("event_type"), "user_id", p = 6)

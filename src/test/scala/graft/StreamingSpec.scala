@@ -797,4 +797,23 @@ class StreamingSpec extends SparkSpec {
     val store = Store.readParquetSafe(spark, s"$dir/store").get
     assert(store.count() === 2) // duplicates absorbed by the hash anti-join
   }
+
+  test("in-batch duplicate ids collapse to ONE payload-deterministic survivor") {
+    // same id, different payloads, shuffled arrival orders and partition
+    // counts: the survivor must be identical every time (the replay
+    // determinism the maintenance streams' exactly-once rewrite needs) —
+    // a bare dropDuplicates keeps whichever row a scheduling race wins
+    val rows = Seq((1L, "b", 2.0), (1L, "a", 9.0), (1L, "a", 3.0),
+      (2L, "z", 1.0), (3L, "k", 4.0), (3L, "k", 4.0))
+    val layouts = Seq(
+      rows.toDF("id", "s", "v").repartition(1),
+      rows.reverse.toDF("id", "s", "v").repartition(7),
+      scala.util.Random.shuffle(rows).toDF("id", "s", "v").repartition(3))
+    val got = layouts.map(df =>
+      StreamingHistorization.survivorFirst(df, Seq("id"))
+        .collect().map(_.toSeq).toSet)
+    assert(got.forall(_ === got.head))
+    // and the survivor is the payload-order minimum, not an arbitrary row
+    assert(got.head === Set(Seq(1L, "a", 3.0), Seq(2L, "z", 1.0), Seq(3L, "k", 4.0)))
+  }
 }

@@ -7,6 +7,13 @@ compares: column names (sorted), row counts, and cell values (rows sorted,
 values canonicalized). Mirrors the driver's t2 gate closely enough to catch
 mismatches before a round lands.
 
+Beyond values, compares column DTYPES: the driver's hash is typed, so a
+value-identical result with BIGINT on the Spark side and HUGEINT on the
+DuckDB side (bare sum(CASE) over INTEGER) hash-mismatches there while the
+canonicalized-value compare here stays silent. Both sides are DESCRIBEd in
+DuckDB so the names are apples-to-apples; a small equivalence map absorbs
+the benign reader differences (timestamp tz-ness), everything else FAILs.
+
 Usage: compare_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
 import json, math, sys
@@ -32,6 +39,16 @@ def frame(rows, cols):
     out.sort()
     return [cols[i] for i in idx], out
 
+def norm_type(t):
+    # Spark writes timestamps as tz-adjusted micros; DuckDB reads them as
+    # TIMESTAMP WITH TIME ZONE while its own SQL yields plain TIMESTAMP.
+    # Same instant either way — not the hazard class this check hunts.
+    return t.replace(" WITH TIME ZONE", "")
+
+def dtypes(con, sql):
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: norm_type(r[1]) for r in rows}
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -44,13 +61,15 @@ def main():
         if only and name not in only:
             continue
         try:
-            got_rel = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            got_rel = con.execute(got_sql)
             gcols = [d[0] for d in got_rel.description]
             grows = got_rel.fetchall()
             exp_rel = con.execute(sql)
             ecols = [d[0] for d in exp_rel.description]
             erows = exp_rel.fetchall()
+            gtypes = dtypes(con, got_sql)
+            etypes = dtypes(con, f"({sql})")
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             failed.append(name)
@@ -59,6 +78,12 @@ def main():
         ec, er = frame(erows, ecols)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
+            failed.append(name); continue
+        drift = [(c, gtypes.get(c), etypes.get(c))
+                 for c in gc if gtypes.get(c) != etypes.get(c)]
+        if drift:
+            print(f"FAIL {name}: dtype drift (spark vs duckdb): " +
+                  ", ".join(f"{c} {g} != {e}" for c, g, e in drift))
             failed.append(name); continue
         if len(gr) != len(er):
             print(f"FAIL {name}: rows {len(gr)} != {len(er)}")
