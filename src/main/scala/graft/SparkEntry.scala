@@ -96,8 +96,10 @@ object SparkEntry {
 
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
+  private val ts3 = "2024-03-01 09:30:00"
   private def cur1 = Currents(ts1)
   private def cur2 = Currents(ts2)
+  private def cur3 = Currents(ts3)
   private val keys = Seq("l_orderkey", "l_linenumber")
 
   /** Deterministic lineitem projection used as CDC/SCD2 snapshot base:
@@ -601,6 +603,16 @@ object SparkEntry {
     "d08_deleted_full_load" -> ((s, d) => {
       val shrunk = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(3)) =!= 0)
       Cdc.deletedByFullLoad(enrichedA(s, d), shrunk)
+    }),
+    // D7/D8 composed INTO the history — the closure the reference's dead
+    // code never wires: run-3 full load drops every 7th order key; the
+    // vanished keys' ACTIVE rows close (runDay − 1 = leap-day 02-29) and
+    // stamp DELETED, closed history and surviving keys pass through
+    "x_scd2_delete_close" -> ((s, d) => {
+      val snap3 = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
+      qtyAsDouble(Scd2.closeVanished(stagedScd2v2(s, d), snap3, cur3)
+        .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash,
+          M.UpdateTs, M.UpdateRunId, M.ValidFrom, M.ValidTo, M.Deleted))
     }),
     "l15_split_active" -> ((s, d) => Scd2.splitMergedDataset(stagedScd2v2(s, d))._2
       .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
@@ -3394,6 +3406,23 @@ object SparkEntry {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM enrichB n
          |  WHERE n.l_orderkey % 3 <> 0 AND n."KEY_HASH" = c."KEY_HASH")""".stripMargin,
+    // delete closure: CASE-close the active rows of vanished keys (run-3
+    // drops every 7th order key; key digest <-> business key is bijective
+    // here, so the modulus states the vanished set directly)
+    "x_scd2_delete_close" ->
+      s"""$scd2Cte
+         |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+         |       "RECORD_HASH",
+         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+         |            THEN TIMESTAMP '$ts3' ELSE "UPDATE_TS" END AS "UPDATE_TS",
+         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+         |            THEN '20240301093000' ELSE "UPDATE_RUN_ID" END AS "UPDATE_RUN_ID",
+         |       "VALID_FROM",
+         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+         |            THEN DATE '2024-02-29' ELSE "VALID_TO" END AS "VALID_TO",
+         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+         |            THEN TIMESTAMP '$ts3' ELSE "DELETED" END AS "DELETED"
+         |FROM v2""".stripMargin,
     "l15_split_active" ->
       s"""$scd2Cte
          |SELECT l_orderkey, l_linenumber, "RECORD_HASH", "VALID_FROM", "VALID_TO"

@@ -210,6 +210,82 @@ object Scd2 {
       else mergeScd2(current, newDf, currents, mode)
   }
 
+  /** Delete CLOSURE — the lifecycle step the reference's dead code
+    * gestures at but never wires: its delete detectors produce key lists
+    * (in-band flags SCDHelpers.py:233-235, full-load diff :246-266) that
+    * no merge consumes, so a key vanishing from a full load stays ACTIVE
+    * forever in the merged store. This composes them into the history:
+    * each deleted key's ACTIVE row closes out exactly like the merge's
+    * changed-current branch — `VALID_TO = runDay − 1`, `UPDATE_TS` /
+    * `UPDATE_RUN_ID` stamped — and additionally carries the `DELETED`
+    * run timestamp when the store has the column (first observation
+    * wins, the [[Cdc.stampDeleted]] convention, so travel can tell a
+    * delete-closure from a change-closure). Closed rows and untouched
+    * keys pass through bit-identical.
+    *
+    * Convergent by construction: a closed key has no active row, so
+    * re-feeding the same deleted keys (or the detector re-observing the
+    * vanished key next run) changes nothing, and intervals stay
+    * non-overlapping because only the open row is ever touched — both
+    * property-tested in Scd2Spec. Resurrection is a later snapshot's
+    * `new_only` row opening a fresh interval; note [[mergeScd2Fast]]'s
+    * closed-key guard means a resurrected key needs an explicit re-open
+    * policy (the reference's semantics: once closed, a key re-inserts
+    * only through the faithful path's active-slice contract).
+    *
+    * Scale shape: `deletedKeys` reduces to distinct 32-byte digests
+    * before ONE left join against the store (AQE broadcasts the small
+    * takedown side), then per-row conditionals — the store payload moves
+    * once, nothing scales with history length.
+    */
+  def closeDeleted(
+      currentDf: DataFrame,
+      deletedKeys: DataFrame,
+      currents: Currents): DataFrame = {
+    require(deletedKeys.columns.contains(KeyHash),
+      s"deletedKeys must carry $KeyHash (the Cdc delete detectors' output)")
+    val del = deletedKeys.select(col(KeyHash)).distinct()
+      .withColumn("__del", lit(true))
+    val runDay = to_date(lit(currents.runDay))
+    val joined = currentDf.join(del, Seq(KeyHash), "left_outer")
+      // capture the hit BEFORE mutating VALID_TO: only the OPEN row of a
+      // deleted key closes; history rows of the same key stay untouched
+      .withColumn("__hit", col("__del").isNotNull && col(ValidTo) === upperBound)
+    val stamped = joined
+      .withColumn(UpdateTs, when(col("__hit"),
+        lit(currents.runTs).cast("timestamp")).otherwise(col(UpdateTs)))
+      .withColumn(UpdateRunId, when(col("__hit"),
+        lit(currents.runId)).otherwise(col(UpdateRunId)))
+      .withColumn(ValidTo, when(col("__hit"),
+        date_sub(runDay, 1)).otherwise(col(ValidTo)))
+    val withDeleted =
+      if (currentDf.columns.contains(Deleted))
+        stamped.withColumn(Deleted,
+          when(col("__hit") && col(Deleted).isNull,
+            lit(currents.runTs).cast("timestamp")).otherwise(col(Deleted)))
+      else stamped
+    withDeleted.select(currentDf.columns.map(col).toSeq: _*)
+  }
+
+  /** Full-load composition of the closure: close every key whose ACTIVE
+    * row is absent from the new full snapshot — the reference's D8
+    * detector ([[Cdc.deletedByFullLoad]], SCDHelpers.py:246-266) finally
+    * consumed by the SCD2 lifecycle. The diff runs on the ACTIVE slice
+    * only (a key surviving solely as closed history is already closed —
+    * diffing the whole store would re-flag it forever); both sides
+    * reduce to key digests before the anti-join, so the probe moves
+    * 32-byte columns, never payloads. */
+  def closeVanished(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents): DataFrame = {
+    require(newDf.columns.contains(KeyHash),
+      s"newDf must carry $KeyHash (enrich the snapshot first)")
+    val activeKeys = currentDf.filter(col(ValidTo) === upperBound).select(col(KeyHash))
+    val gone = activeKeys.join(newDf.select(col(KeyHash)), Seq(KeyHash), "left_anti")
+    closeDeleted(currentDf, gone, currents)
+  }
+
   /** Split a historized table into (closed history, active rows) by the
     * SCD2 upper bound.
     *

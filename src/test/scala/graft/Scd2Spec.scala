@@ -90,6 +90,41 @@ class Scd2Spec extends SparkSpec {
     assert(v2.filter($"k" === "b" && col(ValidTo) === to_date(lit("9999-12-31"))).count() === 1)
   }
 
+  test("delete closure: vanished keys close, re-feed converges, intervals stay disjoint") {
+    // three-run history: b changed (so it has closed history), then run-3
+    // full load loses b and c — their active rows must close at runDay − 1
+    val v1 = Scd2.historizeDataset(
+      snapshot(Seq("a" -> "1", "b" -> "2", "c" -> "3"), c1), None, c1, ValidFromMode.LoadDate)
+    val v2 = Scd2.historizeDataset(
+      snapshot(Seq("a" -> "1", "b" -> "X", "c" -> "3"), c2), Some(v1), c2, ValidFromMode.LoadDate)
+    val s3 = snapshot(Seq("a" -> "1"), c3)
+    val closed = Scd2.closeVanished(v2, s3, c3)
+
+    // closed keys have NO active row; the surviving key is untouched
+    val active = closed.filter(col(ValidTo) === to_date(lit("9999-12-31")))
+    assert(active.select("k").as[String].collect().toSeq === Seq("a"))
+    // the closure stamps exactly like a change close-out, plus DELETED
+    val bClosed = closed.filter($"k" === "b" && col("v") === "X")
+    assert(bClosed.select(col(ValidTo).cast("string")).as[String].head() === "2024-03-19")
+    assert(bClosed.select(UpdateRunId).as[String].head() === c3.runId)
+    assert(bClosed.select(col(Deleted).cast("string")).as[String].head() === c3.runTs)
+    // b's EARLIER closed row is bit-identical (no restamp, no re-close)
+    val bHist = closed.filter($"k" === "b" && col("v") === "2")
+    assert(bHist.select(col(ValidTo).cast("string")).as[String].head() === "2024-02-14")
+    assert(bHist.select(Deleted).collect().head.isNullAt(0))
+    // intervals per key stay pairwise disjoint after the closure
+    val overlaps = closed.alias("x").join(closed.alias("y"),
+      col("x.k") === col("y.k") && col("x." + ValidFrom) < col("y." + ValidFrom) &&
+        col("y." + ValidFrom) <= col("x." + ValidTo))
+    assert(overlaps.count() === 0)
+    // convergence: re-feeding the same load (or the same key list) is a no-op
+    assertSameResult(closed, Scd2.closeVanished(closed, s3, c3))
+    assertSameResult(closed,
+      Scd2.closeDeleted(closed, v2.filter($"k" =!= "a").select(KeyHash), c3))
+    // row count preserved: closure never adds or drops rows
+    assert(closed.count() === v2.count())
+  }
+
   test("splitMergedDataset separates closed history from active rows") {
     val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
     val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
