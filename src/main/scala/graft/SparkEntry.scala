@@ -1904,6 +1904,22 @@ object SparkEntry {
         MaterializedAgg.mergeDistinct(
           b.map(MaterializedAgg.partialDistinct(_, g, "user_id")), g), g)
     }),
+    // HLL flavor of the maintained distinct — the many-groups regime
+    // (2^p registers per group beat k doubles once groups are millions);
+    // shards overlap on user_id so the register-max merge must be
+    // idempotent, then a delete touching ONE group repairs from
+    // survivors (HLL cannot retract), untouched groups' registers stand
+    "x_agg_maintain_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val g = Seq("event_type")
+      val b = (0 to 2).map(i => ev.filter(pmod(col("event_id"), lit(3)) === i))
+      val state = MaterializedAgg.mergeDistinctHll(
+        b.map(MaterializedAgg.partialDistinctHll(_, g, "user_id", p = 4)), g)
+      val gone = col("event_type") === "purchase" && pmod(col("user_id"), lit(2)) === 0
+      val repaired = MaterializedAgg.repairDistinctHll(
+        state, ev.filter(!gone), ev.filter(gone), g, "user_id", p = 4)
+      MaterializedAgg.finalizeDistinctHll(repaired, g, p = 4)
+    }),
     // quantile measure maintained the same way: per-batch bottom-k
     // (hash, value) synopses — the persisted hash coordinate is what
     // makes the sample re-mergeable — merged ≡ the single-pass sketch
@@ -2717,7 +2733,7 @@ object SparkEntry {
     * log2), register max, fixed-point harmonic sum (integer terms
     * 2^(maxRho−M), absent buckets contributing the register-0 term), and
     * the identical Scala-computed double literal for α_m·m²·2^maxRho. */
-  private def duckHllSql(valueCol: String, p: Int): String = {
+  private def duckHllSql(valueCol: String, p: Int, where: String = "1=1"): String = {
     val m = 1 << p
     val w = 60 - p
     val maxRho = w + 1
@@ -2725,7 +2741,7 @@ object SparkEntry {
     s"""WITH h AS (
        |  SELECT event_type,
        |         ${duckHash60(s"CAST($valueCol AS VARCHAR) || '#hll'")} AS h
-       |  FROM events WHERE $valueCol IS NOT NULL
+       |  FROM events WHERE $valueCol IS NOT NULL AND ($where)
        |),
        |r AS (
        |  SELECT event_type, CAST(h % $m AS INT) AS b,
@@ -2959,6 +2975,10 @@ object SparkEntry {
     // idempotent), so the merged estimate answers the fresh statement
     // over the same (value, p) parameters
     "x_sketch_hll_merged" -> duckHllSql("user_id", 4),
+    // maintained HLL after the touched-group repair ≡ the fresh statement
+    // over survivors (the merge law + recompute-repair law in one row)
+    "x_agg_maintain_hll" -> duckHllSql("user_id", 4,
+      where = "NOT (event_type = 'purchase' AND user_id % 2 = 0)"),
     // the three insert-delta triples union to exactly the from-scratch
     // inner join — the oracle is the join's definition
     "x_join_maintain" ->

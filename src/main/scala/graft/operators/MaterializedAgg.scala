@@ -162,6 +162,57 @@ object MaterializedAgg {
           .otherwise(lit((k - 1).toDouble) / element_at(col("mins_v"), k)), 6))
       .select((groupCols.map(col) :+ col("est_distinct") :+ col("n_kept")): _*)
 
+  /** Per-batch HLL register synopsis per group — the MANY-GROUPS distinct
+    * measure ([[partialDistinct]]'s KMV is k=64 doubles per group for
+    * ~12.7% error; HLL p=8 is ≤ 2^p small-int registers for ~6.5%,
+    * better accuracy per synopsis byte once groups number in the
+    * millions, and the register-max merge is IDEMPOTENT, so overlapping
+    * shards and replayed batches absorb instead of inflating). Delegates
+    * to [[Sketches.hllRegisters]] so the maintained surface and the
+    * one-shot sketch cannot drift; state is (groupCols, b, m_reg) ROWS —
+    * at most 2^p per group, map-side combined. Holistic like the KMV
+    * measure: merges ([[mergeDistinctHll]]) but cannot retract (a
+    * register max says nothing about the runner-up) — deletes repair via
+    * touched-group recompute ([[repairDistinctHll]]). */
+  def partialDistinctHll(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 8,
+      salt: String = "hll"): DataFrame =
+    Sketches.hllRegisters(df, groupCols, valueCol, p, salt)
+
+  /** Merge per-batch HLL synopses (any association order, duplicates
+    * welcome): per-(group, bucket) register max — merged registers EQUAL
+    * the fresh whole-corpus registers (the `x_agg_maintain_hll` oracle
+    * answers the fresh statement). */
+  def mergeDistinctHll(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    Sketches.hllMerge(states, groupCols)
+
+  /** Estimate view of an HLL state: [[Sketches.hllEstimate]] —
+    * (est_distinct, n_zero_regs) per group, p-validated in-plan. */
+  def finalizeDistinctHll(state: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame =
+    Sketches.hllEstimate(state, groupCols, p)
+
+  /** Delete maintenance for the HLL measure: registers cannot retract,
+    * so touched groups rebuild from survivors ([[repairGroups]]'s shape
+    * adapted to a rows-per-group synopsis — drop the touched groups'
+    * register rows, union the survivors' fresh registers). Cost tracks
+    * |touched groups' surviving rows|, never the corpus. */
+  def repairDistinctHll(
+      state: DataFrame,
+      survivors: DataFrame,
+      touched: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 8,
+      salt: String = "hll"): DataFrame = {
+    val keys = touched.select(groupCols.map(col): _*).distinct()
+    val rebuilt = Sketches.hllRegisters(
+      survivors.join(keys, groupCols, "left_semi"), groupCols, valueCol, p, salt)
+    state.join(keys, groupCols, "left_anti").unionByName(rebuilt)
+  }
+
   /** Per-batch bottom-k quantile synopsis per group: the k rows with
     * the smallest DISTINCT id-hash uniforms, kept as (hash, value)
     * pairs (Cohen & Kaplan PODC'07 — a hash-bottom-k IS a uniform

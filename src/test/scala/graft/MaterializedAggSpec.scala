@@ -171,6 +171,32 @@ class MaterializedAggSpec extends SparkSpec {
     perGroup.foreach(r => assert(r.getLong(1) === 7L && r.getLong(2) === 7L))
   }
 
+  test("maintained HLL distinct: overlapping shards merge idempotently, deletes repair touched groups only") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val g = Seq("event_type")
+    // shards overlap on user_id — register max must absorb, not add
+    val parts = (0 to 2).map(i =>
+      MaterializedAgg.partialDistinctHll(ev.filter(pmod(col("event_id"), lit(3)) === i),
+        g, "user_id", p = 4))
+    val merged = MaterializedAgg.mergeDistinctHll(parts, g)
+    val fresh = MaterializedAgg.partialDistinctHll(ev, g, "user_id", p = 4)
+    assert(merged.exceptAll(fresh).count() === 0 && fresh.exceptAll(merged).count() === 0)
+    // replayed batch absorbed
+    val replayed = MaterializedAgg.mergeDistinctHll(parts :+ parts.head, g)
+    assert(replayed.exceptAll(fresh).count() === 0)
+    // delete touching one group: repaired state ≡ fresh survivors' state
+    val gone = col("event_type") === "purchase" && pmod(col("user_id"), lit(2)) === 0
+    val repaired = MaterializedAgg.repairDistinctHll(
+      merged, ev.filter(!gone), ev.filter(gone), g, "user_id", p = 4)
+    val freshSurv = MaterializedAgg.partialDistinctHll(ev.filter(!gone), g, "user_id", p = 4)
+    assert(repaired.exceptAll(freshSurv).count() === 0 &&
+      freshSurv.exceptAll(repaired).count() === 0)
+    // untouched groups' register rows are bit-identical to the pre-delete state
+    val untouchedBefore = merged.filter(col("event_type") =!= "purchase")
+    val untouchedAfter = repaired.filter(col("event_type") =!= "purchase")
+    assert(untouchedAfter.exceptAll(untouchedBefore).count() === 0)
+  }
+
   test("top-k boundary tie: selection, merge, and finalize share one total order") {
     // value tie EXACTLY at the k boundary where numeric and lexicographic
     // id orders disagree (9 vs 10): the synopsis stores ids as strings, so
