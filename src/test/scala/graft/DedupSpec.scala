@@ -530,6 +530,80 @@ class DedupSpec extends SparkSpec {
     assert(again === Seq.empty, "removed id already gone from the ids store")
   }
 
+  test("purgeSpanStores replays ONLY batches that depended on withdrawn grams, not the suffix") {
+    // three batches: C (batch 0, taken down) shares its gram with E
+    // (batch 2) but NOT with anything in batch 1 — the purge must rewrite
+    // batch 0 (affected) and batch 2 (its viaStore match loses its only
+    // support), and must NOT touch batch 1 (the r12 form replayed it too)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-dep").toString
+    val b0 = Seq((1L, "ccccccccccZZZZ"), (2L, "xxxxxxxxxxQQQQ")).toDF("id", "t")
+    val b1 = Seq((3L, "mmmmmmmmmmPPPP"), (4L, "nnnnnnnnnnRRRR")).toDF("id", "t")
+    val b2 = Seq((5L, "ccccccccccWWWW")).toDF("id", "t")
+    val empty = spark.range(0).select($"id".as("gh"))
+    def ingest(b: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val standing = if (b == 0) empty
+        else spark.read.parquet(s"$dir/grams").filter($"ingest_batch" < b).select("gh")
+      Dedup.incrementalDuplicatedSpans(df, "id", "t", standing, k = 10)
+        .write.parquet(s"$dir/spans/ingest_batch=$b")
+      Dedup.spanGramsOf(df, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=$b")
+      df.select("id").write.parquet(s"$dir/ids/ingest_batch=$b")
+    }
+    ingest(0L, b0); ingest(1L, b1); ingest(2L, b2)
+    assert(spark.read.parquet(s"$dir/spans").filter($"doc_id" === 5L).count() === 1)
+    val batch1SpansBefore = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/spans/ingest_batch=1"))
+
+    val survivors = b0.filter($"id" =!= 1L).union(b1).union(b2)
+    val replayed = Dedup.purgeSpanStores(spark, Seq(1L).toDF("id"), survivors,
+      "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
+    assert(replayed === Seq(0L, 2L), s"batch 1 must not replay: $replayed")
+    // batch 1's spans partition was not even touched on disk
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/spans/ingest_batch=1")) === batch1SpansBefore)
+    // E's span died with its only gram partner; batch-1 spans unchanged
+    assert(spark.read.parquet(s"$dir/spans").filter($"doc_id" === 5L).count() === 0)
+    // end state equals the survivor rebuild, batch by batch
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-spans-dep-rb").toString
+    def rebuildIngest(b: Long, df: org.apache.spark.sql.DataFrame): Unit = {
+      val standing = if (b == 0) empty
+        else spark.read.parquet(s"$rebuilt/grams").filter($"ingest_batch" < b).select("gh")
+      Dedup.incrementalDuplicatedSpans(df, "id", "t", standing, k = 10)
+        .write.parquet(s"$rebuilt/spans/ingest_batch=$b")
+      Dedup.spanGramsOf(df, "id", "t", k = 10).write.parquet(s"$rebuilt/grams/ingest_batch=$b")
+    }
+    rebuildIngest(0L, b0.filter($"id" =!= 1L)); rebuildIngest(1L, b1); rebuildIngest(2L, b2)
+    def slurp(p: String) = spark.read.parquet(p)
+      .select("doc_id", "span_start", "span_end", "ingest_batch")
+      .collect().map(_.toSeq).toSet
+    assert(slurp(s"$dir/spans") === slurp(s"$rebuilt/spans"))
+  }
+
+  test("purgeSpanStores: a LAST-batch takedown rewrites exactly one batch partition") {
+    // the round-12 scale item stated as a spec: nothing is ingested after
+    // the removed doc, so nothing can depend on its grams — exactly one
+    // partition rewrites no matter how long the store's history is
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-last").toString
+    val batches = (0L to 3L).map { b =>
+      b -> Seq((b * 10 + 1, s"gram${b}gram${b}AA$b"), (b * 10 + 2, s"gram${b}gram${b}BB$b"))
+        .toDF("id", "t")
+    }
+    val empty = spark.range(0).select($"id".as("gh"))
+    batches.foreach { case (b, df) =>
+      val standing = if (b == 0) empty
+        else spark.read.parquet(s"$dir/grams").filter($"ingest_batch" < b).select("gh")
+      Dedup.incrementalDuplicatedSpans(df, "id", "t", standing, k = 10)
+        .write.parquet(s"$dir/spans/ingest_batch=$b")
+      Dedup.spanGramsOf(df, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=$b")
+      df.select("id").write.parquet(s"$dir/ids/ingest_batch=$b")
+    }
+    val survivors = batches.map(_._2).reduce(_ union _).filter($"id" =!= 31L)
+    val replayed = Dedup.purgeSpanStores(spark, Seq(31L).toDF("id"), survivors,
+      "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
+    assert(replayed === Seq(3L), s"expected exactly the last batch: $replayed")
+    assert(spark.read.parquet(s"$dir/ids").filter($"ingest_batch" === 3)
+      .select("id").as[Long].collect().toSet === Set(32L))
+  }
+
   test("purgeSpanStores crash window: phase-1 rewrites without the ids rewrite still replay fully") {
     // the two-phase contract: spans+grams rewrite first, ids LAST. A
     // crash after phase 1 leaves repaired spans/grams but the removed id
