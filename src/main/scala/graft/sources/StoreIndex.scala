@@ -36,10 +36,30 @@ import org.apache.spark.sql.functions._
   *    fall to the re-applied filter).
   *
   * Scale contract: the manifest is O(files) — one short row per data file
-  * — the same driver-side metadata budget every table format pays. The
-  * layouts are one range shuffle at write time; reads shuffle nothing.
+  * — the same driver-side metadata budget every table format pays, and it
+  * is TWO-LEVEL so the planning pass prunes itself: the manifest is
+  * written range-grouped by the primary stats column (each `group=N`
+  * slice covers a contiguous key range) with a `_stats_summary` of one
+  * row per group (group bounds + a file-set fingerprint). A probe reads
+  * the summary (O(groups)), keeps the intersecting groups, and collects
+  * only those manifest slices — ≈ ceil(files/groupSize) rows per matched
+  * group instead of every file's row, which is what keeps planning flat
+  * when a 100 TB store's manifest itself runs to 10⁵–10⁶ rows. Every
+  * doubt (missing/mismatched summary, un-covered column, stale
+  * fingerprint) falls back first to the flat manifest consult and then to
+  * the full scan — the fast path is never a correctness dependency.
+  * The layouts are one range shuffle at write time; reads shuffle nothing.
   */
 object StoreIndex {
+
+  /** Rows per manifest group — the two-level knob: a probe pays
+    * O(groups) summary rows plus ceil(files/groups)-row slices for the
+    * groups it cannot exclude. 1024 keeps a million-file manifest's
+    * summary under ~1k rows while a selective probe reads one slice. */
+  val DefaultManifestGroupSize: Int = 1024
+
+  /** The group summary directory — underscore-prefixed like `_stats`. */
+  def manifestSummaryPath(path: String): String = s"$path/_stats_summary"
 
   /** Z-value (Morton code) of two non-negative dimensions: the low
     * `bitsPerDim` bits of `x` and `y` bit-interleaved (x in the odd
@@ -124,11 +144,68 @@ object StoreIndex {
     * commit moves data and manifest together and both stay valid.
     * One extra scan of the fresh store (stats columns only, map-side
     * combined per file) — the write-time price of driver-side pruning. */
-  def writeStatsManifest(spark: SparkSession, path: String, cols: Seq[String]): Unit =
-    padMissingFiles(spark, dataFileNames(spark, path).toSeq,
-      statsFrame(spark.read.parquet(path), cols))
+  def writeStatsManifest(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      groupSize: Int = DefaultManifestGroupSize): Unit = {
+    val names = dataFileNames(spark, path).toSeq
+    writeManifestGrouped(spark, path,
+      padMissingFiles(spark, names, statsFrame(spark.read.parquet(path), cols)),
+      cols, groupSize, names)
+  }
+
+  /** Commit a stats frame as the TWO-LEVEL manifest: `_stats` partitioned
+    * into `group=N` slices contiguous in the primary column's min (so a
+    * range probe's groups are a key-range slice of the manifest), then
+    * `_stats_summary` — per-group file count and min/max bounds plus the
+    * store's file-set fingerprint, written LAST so a crash between the
+    * two leaves a summary whose fingerprint no longer matches and the
+    * reader drops to the flat consult. The grouping window is a single
+    * narrow task over O(files) short rows — write-time cost, paid where
+    * the append/compaction already scans the batch. */
+  private def writeManifestGrouped(
+      spark: SparkSession,
+      path: String,
+      stats: DataFrame,
+      cols: Seq[String],
+      groupSize: Int,
+      names: Seq[String]): Unit = {
+    require(groupSize >= 1, "groupSize must be positive")
+    val primary = cols.head
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(s"min_$primary").asc_nulls_first, col("file"))
+    val grouped = stats.withColumn("group",
+      floor((row_number().over(w) - 1) / lit(groupSize)).cast("int"))
+    grouped.write.partitionBy("group").mode("overwrite")
+      .parquet(statsManifestPath(path))
+    val aggs = cols.flatMap(c => Seq(
+      min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c")))
+    val (fpN, fpX1, fpX2) = fileSetFingerprint(names)
+    grouped.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_files"), aggs: _*)
+      .withColumn("fp_n", lit(fpN))
+      .withColumn("fp_x1", lit(fpX1))
+      .withColumn("fp_x2", lit(fpX2))
       .coalesce(1)
-      .write.mode("overwrite").parquet(statsManifestPath(path))
+      .write.mode("overwrite").parquet(manifestSummaryPath(path))
+  }
+
+  /** Order-insensitive fingerprint of a file-name set: (count, XOR of the
+    * two md5 halves per name). Lets a probe verify summary freshness
+    * against the store listing with driver CPU only — no manifest rows
+    * collected — with set-equality strength up to md5-XOR collision
+    * (negligible for non-adversarial file names; any mismatch is a
+    * fallback, any collision would need 128 colliding bits). */
+  private def fileSetFingerprint(names: Iterable[String]): (Long, Long, Long) = {
+    var x1 = 0L; var x2 = 0L; var n = 0L
+    names.foreach { f =>
+      val d = java.security.MessageDigest.getInstance("MD5").digest(f.getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.wrap(d)
+      x1 ^= bb.getLong(0); x2 ^= bb.getLong(8); n += 1
+    }
+    (n, x1, x2)
+  }
 
   /** A ZERO-ROW data file (an empty micro-batch's append) contributes no
     * group to [[statsFrame]]; without a manifest row it would fail the
@@ -216,16 +293,20 @@ object StoreIndex {
     aligned.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("append").parquet(path)
-    val fresh = (dataFileNames(spark, path) -- before).toSeq
+    val after = dataFileNames(spark, path)
+    val fresh = (after -- before).toSeq
     oldManifest match {
       case Some((oldRows, oldSchema)) if fresh.nonEmpty =>
         val newStats = padMissingFiles(spark, fresh, statsFrame(
           spark.read.parquet(fresh.map(f => s"$path/$f"): _*), cols))
+        // drop the old grouping and regroup the union: appended ranges may
+        // land anywhere in the key space, and re-slicing (one narrow task
+        // over O(files) short rows) keeps every group a contiguous key
+        // range — the property the summary's pruning power rests on
         val old = spark.createDataFrame(
-          spark.sparkContext.parallelize(oldRows), oldSchema)
-        old.unionByName(newStats)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(statsManifestPath(path))
+          spark.sparkContext.parallelize(oldRows), oldSchema).drop("group")
+        writeManifestGrouped(spark, path, old.unionByName(newStats), cols,
+          DefaultManifestGroupSize, after.toSeq)
       case Some(_) => () // append produced no files (empty batch): manifest still valid
       case None => writeStatsManifest(spark, path, cols) // absent/stale → full rebuild
     }
@@ -274,14 +355,65 @@ object StoreIndex {
       }
       if (!haveStats) None
       else {
-        // bounded collects: one short row per data file — the same
-        // driver-side metadata budget a table format's planning pays
-        val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
-        if (manifestFiles != dataFileNames(spark, path)) None
-        else Some(m.filter(pred).select("file").collect().map(_.getString(0)).toSeq)
+        val names = dataFileNames(spark, path)
+        summaryGroups(spark, path, statCols, names, pred) match {
+          case Some(groups) if m.columns.contains("group") =>
+            // two-level fast path: the group filter partition-prunes the
+            // manifest read, so the collect is bounded by the MATCHED
+            // slices (≈ ceil(files/groupSize) rows each), not O(files)
+            if (groups.isEmpty) Some(Seq.empty)
+            else Some(m.filter(col("group").isInCollection(groups)).filter(pred)
+              .select("file").collect().map(_.getString(0)).toSeq)
+          case _ =>
+            // flat consult (summary missing, stale, or a pre-two-level
+            // manifest): one short row per data file — the driver-side
+            // metadata budget a table format's planning pays
+            val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
+            if (manifestFiles != names) None
+            else Some(m.filter(pred).select("file").collect().map(_.getString(0)).toSeq)
+        }
       }
     }
   }
+
+  /** Group-level consult of the two-level manifest: Some(matched groups)
+    * when the summary exists, covers the queried columns, and its
+    * fingerprint equals the store's current file listing; None routes the
+    * caller to the flat consult. The summary read is O(groups). */
+  private def summaryGroups(
+      spark: SparkSession,
+      path: String,
+      statCols: Seq[String],
+      names: Set[String],
+      pred: => Column): Option[Seq[Int]] =
+    Store.readParquetSafe(spark, manifestSummaryPath(path)).flatMap { sum =>
+      val usable =
+        Seq("group", "fp_n", "fp_x1", "fp_x2").forall(sum.columns.contains) &&
+          statCols.forall { c =>
+            sum.columns.contains(s"min_$c") && sum.columns.contains(s"max_$c")
+          }
+      if (!usable) None
+      else {
+        val fp = sum.select("fp_n", "fp_x1", "fp_x2").limit(1).collect()
+        if (fp.isEmpty) { if (names.isEmpty) Some(Seq.empty) else None }
+        else if ((fp(0).getLong(0), fp(0).getLong(1), fp(0).getLong(2))
+            != fileSetFingerprint(names)) None
+        else Some(sum.filter(pred).select(col("group").cast("int"))
+          .collect().map(_.getInt(0)).toSeq)
+      }
+    }
+
+  /** Spec hook: the groups a conjunctive-range probe would read (None =
+    * the probe would use the flat consult). */
+  private[graft] def probeManifestGroups(
+      spark: SparkSession,
+      path: String,
+      ranges: Seq[(String, Any, Any)]): Option[Seq[Int]] =
+    summaryGroups(spark, path, ranges.map(_._1).distinct,
+      dataFileNames(spark, path),
+      ranges.map { case (c, lo, hi) =>
+        col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      }.reduce(_ && _))
 
   /** Range read through the manifest: rows of the store at `path` with
     * `c BETWEEN lo AND hi`, reading only the files whose recorded

@@ -55,6 +55,52 @@ class StoreIndexSpec extends SparkSpec {
       s"expected pruning: ${skipped.inputFiles.length} vs $total files")
   }
 
+  test("two-level manifest: a bounded probe reads only the intersecting group slices") {
+    // 64 files (16x the suite's usual 4-file fixtures), 4 files per group
+    // -> 16 groups: a probe inside one file's key range must consult at
+    // most ceil(files/groups) + 1 = 2 slices, never the whole manifest
+    val dir = Files.createTempDirectory("graft-skip-2level").toString + "/store"
+    val df = spark.range(0, 64000).select(col("id").as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 64)
+    StoreIndex.writeStatsManifest(spark, dir, Seq("k"), groupSize = 4)
+    // manifest is physically sliced: 16 group partitions on disk
+    val groupDirs = new java.io.File(StoreIndex.statsManifestPath(dir))
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("group="))
+    assert(groupDirs.length === 16, groupDirs.toSeq)
+    // a probe covering ~one file's range consults <= 2 groups
+    val probed = StoreIndex.probeManifestGroups(spark, dir, Seq(("k", 10100L, 10200L)))
+    assert(probed.isDefined, "summary must be usable")
+    assert(probed.get.size <= 2, s"expected <= 2 group slices, got ${probed.get}")
+    // and the read through the sliced path stays row-identical + pruned
+    val skipped = StoreIndex.readStoreSkipping(spark, dir, "k", 10100L, 10200L)
+    val expected = spark.read.parquet(dir).filter(col("k").between(10100, 10200))
+    assert(skipped.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(skipped).count() === 0)
+    assert(skipped.inputFiles.length <= 2, s"file pruning: ${skipped.inputFiles.length}")
+    // a file appended behind the manifest's back stales the FINGERPRINT:
+    // the probe refuses the summary and the read falls back, still correct
+    spark.range(100000, 100100).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(StoreIndex.probeManifestGroups(spark, dir, Seq(("k", 10100L, 10200L))).isEmpty)
+    assert(StoreIndex.readStoreSkipping(spark, dir, "k", 100000L, 100050L).count() === 51)
+  }
+
+  test("appendStoreSorted keeps the two-level summary fresh and the probe bounded") {
+    val dir = Files.createTempDirectory("graft-skip-2append").toString + "/store"
+    val df = spark.range(0, 8000).select(col("id").as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 16)
+    StoreIndex.writeStatsManifest(spark, dir, Seq("k"), groupSize = 4)
+    StoreIndex.appendStoreSorted(
+      spark.range(8000, 8500).select(col("id").as("k"), col("id").as("v")),
+      dir, Seq("k"))
+    // the append REGROUPED the manifest: summary fresh, probe still bounded
+    val probed = StoreIndex.probeManifestGroups(spark, dir, Seq(("k", 8100L, 8200L)))
+    assert(probed.isDefined, "summary must be fresh after the append")
+    assert(probed.get.size <= 2, s"expected <= 2 group slices, got ${probed.get}")
+    val out = StoreIndex.readStoreSkipping(spark, dir, "k", 8100L, 8200L)
+    assert(out.count() === 101)
+  }
+
   test("empty-intersection range returns zero rows with the store schema, zero files") {
     val dir = Files.createTempDirectory("graft-skip-empty").toString + "/store"
     val df = spark.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
