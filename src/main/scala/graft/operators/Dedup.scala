@@ -545,16 +545,16 @@ object Dedup {
     * the entire suffix (O(store age), the scale-killer the round-12
     * verdict flagged).
     *
-    * Crash contract, three phases after a read-only PLANNING pass whose
-    * products (survivor ids, survivor grams, the dependent set) are
-    * checkpointed or collected before anything rewrites: (1) spans for
-    * the whole replay set, (2) grams for affected batches, (3) ids for
-    * affected batches, last. The ids store is what `affected` derives
-    * from and the OLD affected gram partitions are what the dependent set
-    * derives from; the phase order keeps both derivable at every crash
-    * point — a re-run recomputes the same plan (or an already-completed
-    * subset of it) and overwrites deterministic content in place, so any
-    * crash-point replay converges to the survivor rebuild.
+    * Crash contract — write order: (1) spans for affected batches (one
+    * text pass each, shared with the survivor-gram checkpoint), then the
+    * dependent-set derivation and dependent spans, (2) grams for
+    * affected batches, (3) ids for affected batches, last. The ids store
+    * is what `affected` derives from and the OLD affected gram
+    * partitions are what the withdrawn-gram set derives from; both stay
+    * untouched until phases 2-3, so at every crash point a re-run
+    * recomputes the same plan (or an already-completed subset of it) and
+    * overwrites deterministic content in place — any crash-point replay
+    * converges to the survivor rebuild.
     *
     * @param survivors surviving documents' (idCol, textCol) — the
     *                  post-takedown document store; ids present in the
@@ -581,10 +581,21 @@ object Dedup {
         // bounded driver lists: one value per ingested batch (ops-cadence
         // cardinality, never corpus-shaped)
         // partition discovery infers ingest_batch as int; normalize
+        val batches = idsStore.select(col("ingest_batch").cast("long")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
         val affected = idsStore.join(ids, Seq("id"), "left_semi")
           .select(col("ingest_batch").cast("long")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq
         if (affected.isEmpty) Seq.empty
+        else if (batches.forall(b => b < affected.min || affected.contains(b)))
+          // DENSE fast path: every batch above the earliest affected one is
+          // itself affected, so the dependent machinery has nothing to find
+          // and the suffix replay IS the minimal replay. Skip the planning
+          // jobs and gram checkpoints entirely: one text pass per batch,
+          // spans + grams in one scope, standing read from the repaired
+          // disk prefix (earlier iterations' rewrites are already down).
+          purgeSpanSuffix(spark, ids, survivors, idCol, textCol,
+            gramsPath, idsPath, spansPath, k, stride, affected)
         else {
           val affectedSet = affected.toSet
           val docs = survivors.select(col(idCol).as("id"), col(textCol).as("t"))
@@ -606,14 +617,36 @@ object Dedup {
               .join(ids, Seq("id"), "left_anti")
               .localCheckpoint()
           }
-          // survivor gram contributions of the affected batches (gram
-          // content never depends on the standing store, so these are
-          // order-independent); checkpointed — they stand in for the
-          // rewritten partitions everywhere below
-          val survivorGrams = survivorIds.map { case (b, batchIds) =>
-            b -> spanGramsOf(batchIds.join(docs, Seq("id")), "id", "t", k, stride)
-              .localCheckpoint()
-          }.toMap
+          // standing store for batch b, post-purge view: unaffected
+          // partitions below b from disk, affected ones from memory (the
+          // caller supplies the earlier affected batches' survivor grams,
+          // which ascending iteration has already produced)
+          def standingFor(b: Long, mem: Map[Long, DataFrame]) =
+            (spark.read.parquet(gramsPath)
+              .filter(col("ingest_batch").cast("long") < b &&
+                !col("ingest_batch").cast("long").isInCollection(affected))
+              .select("gh")
+              +: affected.filter(_ < b).map(mem(_).select("gh")))
+              .reduce(_ unionByName _)
+          // ---- affected batches, ascending: ONE text pass each (the
+          // scoped persist serves both the survivor-gram checkpoint and
+          // the spans rewrite). Writing these spans before the dependent
+          // set is even derived is crash-safe: the derivation reads only
+          // the ids store and the OLD gram partitions, both untouched
+          // until phases 2-3, so a re-run re-plans identically and
+          // overwrites the same deterministic content
+          val survivorGrams = survivorIds.foldLeft(Map.empty[Long, DataFrame]) {
+            case (mem, (b, batchIds)) =>
+              graft.CacheScope.withScope { scope =>
+                val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
+                val g = spanGramsOf(batchDocs, "id", "t", k, stride, scope)
+                  .localCheckpoint()
+                incrementalDuplicatedSpans(
+                    batchDocs, "id", "t", standingFor(b, mem), k, stride, scope)
+                  .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
+                mem + (b -> g)
+              }
+          }
           // withdrawn support: grams an affected partition held that its
           // survivor content no longer does, tagged with the EARLIEST
           // withdrawing batch (a loss influences only later batches)
@@ -641,25 +674,15 @@ object Dedup {
             .select(col("pfs")).distinct()
             .collect().map(_.getLong(0)).filterNot(affectedSet).sorted.toSeq
           val replay = (affected ++ dependent).sorted
-          // standing store for batch b, post-purge view: unaffected
-          // partitions below b from disk, affected ones from memory
-          def standingFor(b: Long) =
-            (spark.read.parquet(gramsPath)
-              .filter(col("ingest_batch").cast("long") < b &&
-                !col("ingest_batch").cast("long").isInCollection(affected))
-              .select("gh")
-              +: affected.filter(_ < b).map(survivorGrams(_).select("gh")))
-              .reduce(_ unionByName _)
-          // ---- phase 1: spans for the whole replay set (gram and ids
-          // partitions untouched, so a crash here re-plans identically)
-          val survivorIdMap = survivorIds.toMap
-          replay.foreach { b =>
+          // ---- dependent batches: spans only (their documents and grams
+          // are unchanged); still before any gram/ids rewrite
+          dependent.foreach { b =>
             graft.CacheScope.withScope { scope =>
-              val batchIds = survivorIdMap.getOrElse(b,
-                spark.read.parquet(idsPath)
-                  .filter(col("ingest_batch").cast("long") === b).select("id"))
+              val batchIds = spark.read.parquet(idsPath)
+                .filter(col("ingest_batch").cast("long") === b).select("id")
               val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
-              incrementalDuplicatedSpans(batchDocs, "id", "t", standingFor(b), k, stride, scope)
+              incrementalDuplicatedSpans(
+                  batchDocs, "id", "t", standingFor(b, survivorGrams), k, stride, scope)
                 .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
             }
           }
@@ -676,6 +699,49 @@ object Dedup {
           replay
         }
     }
+  }
+
+  /** The dense-case replay loop of [[purgeSpanStores]] (every batch in
+    * the suffix is itself affected): per batch ascending, one scoped text
+    * pass writes spans and grams, standing grams read from the repaired
+    * disk prefix; ids rewrite last (two-phase crash contract — while any
+    * removed id stands, a re-run replays the remaining suffix). */
+  private def purgeSpanSuffix(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame,
+      survivors: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramsPath: String,
+      idsPath: String,
+      spansPath: String,
+      k: Int,
+      stride: Int,
+      replay: Seq[Long]): Seq[Long] = {
+    val docs = survivors.select(col(idCol).as("id"), col(textCol).as("t"))
+    val survivorIds = replay.map { b =>
+      // localCheckpoint severs the lineage from the ids parquet so the
+      // ids phase can overwrite the partition it was read from
+      b -> spark.read.parquet(idsPath)
+        .filter(col("ingest_batch").cast("long") === b).select("id")
+        .join(ids, Seq("id"), "left_anti")
+        .localCheckpoint()
+    }
+    survivorIds.foreach { case (b, batchIds) =>
+      graft.CacheScope.withScope { scope =>
+        val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
+        val standing = spark.read.parquet(gramsPath)
+          .filter(col("ingest_batch").cast("long") < b).select("gh")
+        incrementalDuplicatedSpans(batchDocs, "id", "t", standing, k, stride, scope)
+          .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
+        spanGramsOf(batchDocs, "id", "t", k, stride, scope)
+          .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")
+      }
+    }
+    survivorIds.foreach { case (b, batchIds) =>
+      batchIds.write.mode("overwrite").parquet(s"$idsPath/ingest_batch=$b")
+    }
+    replay
   }
 
   /** Hashed k-gram positions (id, p, gh), the shared derivation of
