@@ -97,9 +97,11 @@ object SparkEntry {
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
   private val ts3 = "2024-03-01 09:30:00"
+  private val ts4 = "2024-04-01 08:00:00"
   private def cur1 = Currents(ts1)
   private def cur2 = Currents(ts2)
   private def cur3 = Currents(ts3)
+  private def cur4 = Currents(ts4)
   private val keys = Seq("l_orderkey", "l_linenumber")
 
   /** Deterministic lineitem projection used as CDC/SCD2 snapshot base:
@@ -611,6 +613,22 @@ object SparkEntry {
     "x_scd2_delete_close" -> ((s, d) => {
       val snap3 = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
       qtyAsDouble(Scd2.closeVanished(stagedScd2v2(s, d), snap3, cur3)
+        .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash,
+          M.UpdateTs, M.UpdateRunId, M.ValidFrom, M.ValidTo, M.Deleted))
+    }),
+    // resurrection: run 4 re-delivers the FULL load, so every key the
+    // run-3 closure closed comes back — a fresh interval opens at the
+    // run-4 day and the validity gap (the deleted epoch) is preserved.
+    // The store-maintenance composition (closure pass + reopen pass) is
+    // registered because the fixture's snapshot is NOT key-unique (the
+    // synthetic lineitem duplicates (orderkey, linenumber)), which the
+    // merge forms' contract excludes; reopenClosed makes no such
+    // assumption. mergeScd2Reopen (merge + reopen in one run) is
+    // property-tested in Scd2Spec under the key-unique contract.
+    "x_scd2_reopen" -> ((s, d) => {
+      val snap3 = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
+      val closed = Scd2.closeVanished(stagedScd2v2(s, d), snap3, cur3).persist()
+      qtyAsDouble(Scd2.reopenClosed(closed, enrichedB(s, d), cur4)
         .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash,
           M.UpdateTs, M.UpdateRunId, M.ValidFrom, M.ValidTo, M.Deleted))
     }),
@@ -2124,6 +2142,22 @@ object SparkEntry {
 
   /** SCD2 CTE chain on top of the snapshots: bootstrap merge of A, then the
     * five-branch merge of B (semantics of SCDHelpers.py:129-220). */
+  /** The delete-closure SELECT over `v2` — shared by `x_scd2_delete_close`
+    * and the reopen row so the two statements cannot drift. */
+  private val scd2CloseSelect: String =
+    s"""SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
+       |       "RECORD_HASH",
+       |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+       |            THEN TIMESTAMP '$ts3' ELSE "UPDATE_TS" END AS "UPDATE_TS",
+       |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+       |            THEN '20240301093000' ELSE "UPDATE_RUN_ID" END AS "UPDATE_RUN_ID",
+       |       "VALID_FROM",
+       |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+       |            THEN DATE '2024-02-29' ELSE "VALID_TO" END AS "VALID_TO",
+       |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
+       |            THEN TIMESTAMP '$ts3' ELSE "DELETED" END AS "DELETED"
+       |FROM v2""".stripMargin
+
   private val scd2Cte: String =
     s"""$snapshotsCte,
        |v1 AS (
@@ -3431,18 +3465,22 @@ object SparkEntry {
     // here, so the modulus states the vanished set directly)
     "x_scd2_delete_close" ->
       s"""$scd2Cte
+         |$scd2CloseSelect""".stripMargin,
+    // resurrection: the closure's output plus a fresh run-4 interval for
+    // every closed key (the full load re-delivers them); the gap between
+    // the close and the reopen is preserved — no row covers it
+    "x_scd2_reopen" ->
+      s"""$scd2Cte,
+         |closed AS (
+         |$scd2CloseSelect
+         |)
+         |SELECT * FROM closed
+         |UNION ALL BY NAME
          |SELECT l_orderkey, l_linenumber, CAST(quantity AS DOUBLE) AS quantity,
-         |       "RECORD_HASH",
-         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
-         |            THEN TIMESTAMP '$ts3' ELSE "UPDATE_TS" END AS "UPDATE_TS",
-         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
-         |            THEN '20240301093000' ELSE "UPDATE_RUN_ID" END AS "UPDATE_RUN_ID",
-         |       "VALID_FROM",
-         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
-         |            THEN DATE '2024-02-29' ELSE "VALID_TO" END AS "VALID_TO",
-         |       CASE WHEN "VALID_TO" = DATE '9999-12-31' AND l_orderkey % 7 = 0
-         |            THEN TIMESTAMP '$ts3' ELSE "DELETED" END AS "DELETED"
-         |FROM v2""".stripMargin,
+         |       "RECORD_HASH", "UPDATE_TS", "UPDATE_RUN_ID",
+         |       DATE '2024-04-01' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO",
+         |       "DELETED"
+         |FROM enrichB WHERE l_orderkey % 7 = 0""".stripMargin,
     "l15_split_active" ->
       s"""$scd2Cte
          |SELECT l_orderkey, l_linenumber, "RECORD_HASH", "VALID_FROM", "VALID_TO"

@@ -286,6 +286,74 @@ object Scd2 {
     closeDeleted(currentDf, gone, currents)
   }
 
+  /** Resurrection — the re-OPEN half of the delete lifecycle
+    * ([[closeDeleted]] is the closing half): snapshot keys that exist in
+    * the store ONLY as closed rows open a fresh interval at the run day.
+    * The plain merge drops such keys silently — its closed-key guard is
+    * faithful to the reference's `new_only` anti-join against the FULL
+    * store (SCDHelpers.py:154-156, spec'd as "keys existing only as
+    * closed rows are NOT re-inserted") — which is correct for a
+    * change-closed store but wrong the moment [[closeDeleted]] enters
+    * the lifecycle: a key deleted in March and re-delivered in May must
+    * come back.
+    *
+    * Semantics: the validity GAP is preserved — `asOf` on a day between
+    * the close and the reopen shows no row for the key, which is the
+    * honest answer (it was deleted then). The reopened row opens at the
+    * run day (not `mode`: the key has history, so the new-key epoch
+    * policies don't apply) and carries the snapshot's delivered meta
+    * columns, like the merge's own `new_only` branch. Idempotent: after
+    * the reopen the key is active again, so re-feeding the same snapshot
+    * routes it through the ordinary unchanged/changed branches and the
+    * closed-only set is empty.
+    *
+    * Scale shape: [[mergeScd2Fast]]'s single-shuffle plan plus two
+    * digest-only joins (closed-minus-active keys, then a semi-join of
+    * the snapshot) — broadcast-friendly, payloads move once. As with
+    * the fast merge, persist `currentDf` first when it is a derived
+    * plan — it is referenced five times across the splits. */
+  def mergeScd2Reopen(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents,
+      mode: ValidFromMode): DataFrame =
+    mergeScd2Fast(currentDf, newDf, currents, mode)
+      .unionByName(reopenDelta(currentDf, newDf, currents)
+        .select(currentDf.columns.map(col).toSeq: _*))
+
+  /** The reopen composed as a STORE-MAINTENANCE pass (no merge): the
+    * store plus the reopen delta — the shape for composing with
+    * [[closeDeleted]]/[[closeVanished]] between merges, when the run's
+    * snapshot has already been merged and only the resurrection is
+    * outstanding. Unlike [[mergeScd2Reopen]] this makes no key-unique
+    * assumption about the snapshot: it touches nothing in the store and
+    * appends exactly the closed-only keys' snapshot rows. */
+  def reopenClosed(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents): DataFrame =
+    currentDf.unionByName(reopenDelta(currentDf, newDf, currents)
+      .select(currentDf.columns.map(col).toSeq: _*))
+
+  /** Fresh intervals for the snapshot rows whose keys exist in the store
+    * ONLY as closed rows — the shared delta of [[mergeScd2Reopen]] and
+    * [[reopenClosed]]. Digest-only joins: closed-minus-active keys, then
+    * a semi-join of the snapshot. */
+  private def reopenDelta(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents): DataFrame = {
+    require(newDf.columns.contains(KeyHash),
+      s"newDf must carry $KeyHash (enrich the snapshot first)")
+    val activeKeys = currentDf.filter(col(ValidTo) === upperBound)
+      .select(col(KeyHash)).distinct()
+    val closedOnly = currentDf.select(col(KeyHash)).distinct()
+      .join(activeKeys, Seq(KeyHash), "left_anti")
+    newDf.join(closedOnly, Seq(KeyHash), "left_semi")
+      .withColumn(ValidFrom, to_date(lit(currents.runDay)))
+      .withColumn(ValidTo, upperBound)
+  }
+
   /** Split a historized table into (closed history, active rows) by the
     * SCD2 upper bound.
     *

@@ -125,6 +125,48 @@ class Scd2Spec extends SparkSpec {
     assert(closed.count() === v2.count())
   }
 
+  test("reopen: a delete-closed key re-delivered later opens a fresh interval, gap preserved") {
+    val v1 = Scd2.historizeDataset(
+      snapshot(Seq("a" -> "1", "b" -> "2"), c1), None, c1, ValidFromMode.LoadDate)
+    val closed = Scd2.closeDeleted(v1,
+      v1.filter($"k" === "b").select(KeyHash), c2).persist()
+    // the plain merge drops the resurrected key (reference semantics)
+    val s3 = snapshot(Seq("a" -> "1", "b" -> "7"), c3)
+    assert(Scd2.mergeScd2Fast(closed, s3, c3, ValidFromMode.LoadDate)
+      .filter($"k" === "b" && col(ValidTo) === to_date(lit("9999-12-31"))).count() === 0)
+    val reopened = Scd2.mergeScd2Reopen(closed, s3, c3, ValidFromMode.LoadDate)
+    // b: the closed interval stands (DELETED stamp intact), a fresh one opens at run day
+    val bRows = reopened.filter($"k" === "b")
+      .select(col("v"), col(ValidFrom).cast("string"), col(ValidTo).cast("string"))
+      .as[(String, String, String)].collect().sortBy(_._2).toSeq
+    assert(bRows === Seq(
+      ("2", "2024-01-01", "2024-02-14"),
+      ("7", "2024-03-20", "9999-12-31")))
+    assert(reopened.filter($"k" === "b" && col(Deleted).isNotNull).count() === 1)
+    // the deleted epoch is a GAP: no b version covers a day inside it
+    assert(Scd2.asOf(reopened, "2024-03-01").filter($"k" === "b").count() === 0)
+    assert(Scd2.asOf(reopened, "2024-03-20").filter($"k" === "b").count() === 1)
+    // idempotent: the key is active again, so re-feeding routes through
+    // the unchanged branch and the closed-only set is empty
+    assertSameResult(reopened,
+      Scd2.mergeScd2Reopen(reopened.persist(), s3, c3, ValidFromMode.LoadDate))
+    // with no closed-only key in the snapshot, reopen ≡ the plain fast merge
+    val sA = snapshot(Seq("a" -> "9"), c3)
+    assertSameResult(
+      Scd2.mergeScd2Reopen(v1, sA, c3, ValidFromMode.LoadDate),
+      Scd2.mergeScd2Fast(v1, sA, c3, ValidFromMode.LoadDate))
+    // the store-maintenance composition: merge the snapshot, then the
+    // reopen pass — equals the one-run merge+reopen form
+    assertSameResult(reopened,
+      Scd2.reopenClosed(
+        Scd2.mergeScd2Fast(closed, s3, c3, ValidFromMode.LoadDate).persist(), s3, c3))
+    // reopenClosed touches nothing in the store: minus the delta it IS the store
+    val viaPass = Scd2.reopenClosed(closed, s3, c3)
+    assert(viaPass.count() === closed.count() + 1)
+    assertSameResult(viaPass.filter(col(ValidFrom) =!= to_date(lit("2024-03-20"))
+      || $"k" =!= "b"), closed)
+  }
+
   test("splitMergedDataset separates closed history from active rows") {
     val s1 = snapshot(Seq("a" -> "1", "b" -> "2"), c1)
     val v1 = Scd2.historizeDataset(s1, None, c1, ValidFromMode.LoadDate)
