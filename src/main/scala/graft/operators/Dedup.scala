@@ -666,9 +666,13 @@ object Dedup {
           // FIRST occurrence is that batch (its positions carried the
           // gram; everything below lost the only support) and the
           // withdrawal happened strictly below it — hash-only joins, one
-          // gram-store scan, never a document re-derivation
+          // gram-store scan, never a document re-derivation. No broadcast
+          // hint: `lost` is takedown-gram-shaped (a bulk retraction can
+          // withdraw ~|removed bytes|/stride grams, far past the 8 GB
+          // broadcast ceiling) — AQE picks broadcast itself when the
+          // withdrawal is actually small
           val dependent = postGrams
-            .join(broadcast(lost), Seq("gh"))
+            .join(lost, Seq("gh"))
             .groupBy("gh").agg(min(col("pb")).as("pfs"), min(col("lb")).as("lb"))
             .filter(col("lb") < col("pfs"))
             .select(col("pfs")).distinct()

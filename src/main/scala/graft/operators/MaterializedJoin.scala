@@ -233,10 +233,18 @@ object MaterializedJoin {
       path: String,
       idCols: Seq[String],
       parts: Seq[String]): Unit = {
-    val snapshot = parts
-      .flatMap(p => graft.sources.Store.readParquetSafe(spark, p))
-    if (snapshot.isEmpty) return
-    val ids = snapshot.reduce(_ unionByName _)
+    // Pair each listed partition with its read: a partition whose read
+    // fails (e.g. an in-flight batch the listing caught mid-write, no
+    // committed footer yet) must NOT be deleted — its ids were never
+    // applied, and destroying it would resurrect the rows it masks.
+    // Only successfully-read partitions are applied-then-deleted; the
+    // rest stay for the next compaction pass.
+    val readParts = parts
+      .map(p => p -> graft.sources.Store.readParquetSafe(spark, p))
+      .collect { case (p, Some(df)) => p -> df }
+    if (readParts.isEmpty) return
+    val applied = readParts.map(_._1)
+    val ids = readParts.map(_._2).reduce(_ unionByName _)
       .select(idCols.map(col): _*).distinct()
     // keep the partition column: the store must stay appendable by
     // later batch ids after compaction. No broadcast hint: tombstones
@@ -244,7 +252,7 @@ object MaterializedJoin {
     // AQE picks the strategy from the actual size
     val kept = spark.read.parquet(path).join(ids, idCols, "left_anti")
     graft.sources.Store.writeStoreSwap(kept, path, Seq("ingest_batch"))
-    parts.foreach { p =>
+    applied.foreach { p =>
       val pp = new org.apache.hadoop.fs.Path(p)
       org.apache.hadoop.fs.FileSystem.get(
         pp.toUri, spark.sparkContext.hadoopConfiguration).delete(pp, true)

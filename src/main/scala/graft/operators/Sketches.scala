@@ -349,7 +349,12 @@ object Sketches {
     * [[hllEstimate]], so a group's synopsis is at most 2^p rows and
     * map-side combines like every sketch here.
     *
-    * @return groupCols + (b, m_reg) */
+    * @return groupCols + (b, m_reg, hll_p) — `hll_p` is the geometry the
+    * synopsis was built with, carried as data so [[hllEstimate]] can
+    * verify the caller's p against it instead of inferring geometry from
+    * register ranges (which only catches the high-p-synopsis direction:
+    * a p=4 synopsis estimated at p=8 passes every per-register bound yet
+    * treats 240 never-existing buckets as empty) */
   def hllRegisters(
       df: DataFrame,
       groupCols: Seq[String],
@@ -357,8 +362,8 @@ object Sketches {
       p: Int = 8,
       salt: String = "hll"): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
-    require(!groupCols.exists(Set("b", "m_reg")),
-      "groupCols must not collide with the synopsis columns (b, m_reg)")
+    require(!groupCols.exists(Set("b", "m_reg", "hll_p")),
+      "groupCols must not collide with the synopsis columns (b, m_reg, hll_p)")
     val m = 1L << p
     val w = 60 - p
     val h = conv(md5(concat(col(valueCol).cast("string"), lit(s"#$salt"))).substr(1, 15), 16, 10)
@@ -372,6 +377,7 @@ object Sketches {
           .otherwise(lit(w + 1) - length(bin(col("__v")))).cast("int"))
       .groupBy((groupCols.map(col) :+ col("b")): _*)
       .agg(max(col("__rho")).as("m_reg"))
+      .withColumn("hll_p", lit(p))
   }
 
   /** EXACT merge of HLL register synopses: per-(group, bucket) max.
@@ -382,9 +388,12 @@ object Sketches {
     * `x_sketch_hll_merged` oracle pins by reusing the fresh statement). */
   def hllMerge(synopses: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(synopses.nonEmpty, "need at least one synopsis")
+    // carry the geometry through: max() is only the idempotent no-op it
+    // must be when all inputs share one p — mixed-p inputs surface at the
+    // next [[hllEstimate]], whose per-row hll_p check some row then fails
     synopses.reduce(_ unionByName _)
       .groupBy((groupCols.map(col) :+ col("b")): _*)
-      .agg(max(col("m_reg")).as("m_reg"))
+      .agg(max(col("m_reg")).as("m_reg"), max(col("hll_p")).as("hll_p"))
   }
 
   /** The paper's bias-correction constant α_m (small-m table, then the
@@ -417,19 +426,25 @@ object Sketches {
     val m = 1 << p
     val maxRho = 61 - p
     val num = hllNumerator(p)
-    // Guard against a p that doesn't match the synopsis' geometry
-    // ([[hllRegisters]] bakes p into every register: b ∈ [0, 2^p),
-    // rho ∈ [1, 61−p]) — a mismatched p would silently yield garbage
-    // estimates (wrong m, wrong maxRho scaling). Checked per ROW inside
-    // the plan so laziness is preserved; the synopsis is ≤ 2^p rows per
-    // group, so the check costs nothing.
+    // Guard against a p that doesn't match the synopsis' geometry. The
+    // synopsis carries its own p ([[hllRegisters]] bakes it in as
+    // `hll_p`), and equality is checked per ROW inside the plan so
+    // laziness is preserved — range checks on (b, m_reg) alone only
+    // catch the high-p-synopsis direction (a p=4 synopsis estimated at
+    // p=8 has every b < 16 < 256 and m_reg almost surely ≤ 53, yet the
+    // estimate would count 240 phantom empty buckets); carried identity
+    // catches both directions. The belt-and-braces range check stays for
+    // tampered/corrupted register values.
+    require(synopsis.columns.contains("hll_p"),
+      "synopsis must carry its hll_p column (build it with hllRegisters/hllMerge)")
     val checked = synopsis.withColumn("__mreg",
-      when(col("b").between(0, m - 1) && col("m_reg").between(1, maxRho),
+      when(col("hll_p") === p &&
+          col("b").between(0, m - 1) && col("m_reg").between(1, maxRho),
         col("m_reg"))
         .otherwise(raise_error(concat(
           lit(s"hll synopsis inconsistent with p=$p "
-            + s"(expect 0 <= b < $m, 1 <= m_reg <= $maxRho): b="),
-          col("b"), lit(", m_reg="), col("m_reg")))))
+            + s"(expect hll_p = $p, 0 <= b < $m, 1 <= m_reg <= $maxRho): hll_p="),
+          col("hll_p"), lit(", b="), col("b"), lit(", m_reg="), col("m_reg")))))
     val grouped =
       if (groupCols.isEmpty) checked.groupBy()
       else checked.groupBy(groupCols.map(col): _*)

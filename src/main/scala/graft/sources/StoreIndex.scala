@@ -155,15 +155,25 @@ object StoreIndex {
       cols, groupSize, names)
   }
 
-  /** Commit a stats frame as the TWO-LEVEL manifest: `_stats` partitioned
+  /** Commit a stats frame as the TWO-LEVEL manifest: the old
+    * `_stats_summary` is DELETED first (probes drop to the always-correct
+    * flat consult for the rebuild window), `_stats` is written partitioned
     * into `group=N` slices contiguous in the primary column's min (so a
     * range probe's groups are a key-range slice of the manifest), then
-    * `_stats_summary` — per-group file count and min/max bounds plus the
-    * store's file-set fingerprint, written LAST so a crash between the
-    * two leaves a summary whose fingerprint no longer matches and the
-    * reader drops to the flat consult. The grouping window is a single
-    * narrow task over O(files) short rows — write-time cost, paid where
-    * the append/compaction already scans the batch. */
+    * the fresh `_stats_summary` — per-group file count and min/max bounds
+    * plus the store's file-set fingerprint — is written LAST.
+    *
+    * Summary and slices are additionally tied by a per-write
+    * `grouping_token` (random, stored in every `_stats` row and the
+    * summary): the file-set fingerprint alone cannot distinguish two
+    * groupings of the SAME files (a rebuild with a different groupSize or
+    * a different primary stats column), so a crash or concurrent probe
+    * pairing an old summary with new slices would prune by the old
+    * grouping's bounds against the new grouping's partition numbers and
+    * silently drop files. Any summary/slice token mismatch routes the
+    * probe to the flat consult. The grouping window is a single narrow
+    * task over O(files) short rows — write-time cost, paid where the
+    * append/compaction already scans the batch. */
   private def writeManifestGrouped(
       spark: SparkSession,
       path: String,
@@ -173,10 +183,16 @@ object StoreIndex {
       names: Seq[String]): Unit = {
     require(groupSize >= 1, "groupSize must be positive")
     val primary = cols.head
+    val token = java.util.UUID.randomUUID().toString
+    val sumPath = new Path(manifestSummaryPath(path))
+    val fs = FileSystem.get(sumPath.toUri, spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sumPath)) { fs.delete(sumPath, true); () }
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(s"min_$primary").asc_nulls_first, col("file"))
-    val grouped = stats.withColumn("group",
-      floor((row_number().over(w) - 1) / lit(groupSize)).cast("int"))
+    val grouped = stats.drop("group", "grouping_token")
+      .withColumn("group",
+        floor((row_number().over(w) - 1) / lit(groupSize)).cast("int"))
+      .withColumn("grouping_token", lit(token))
     grouped.write.partitionBy("group").mode("overwrite")
       .parquet(statsManifestPath(path))
     val aggs = cols.flatMap(c => Seq(
@@ -187,6 +203,7 @@ object StoreIndex {
       .withColumn("fp_n", lit(fpN))
       .withColumn("fp_x1", lit(fpX1))
       .withColumn("fp_x2", lit(fpX2))
+      .withColumn("grouping_token", lit(token))
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestSummaryPath(path))
   }
@@ -304,7 +321,8 @@ object StoreIndex {
         // over O(files) short rows) keeps every group a contiguous key
         // range — the property the summary's pruning power rests on
         val old = spark.createDataFrame(
-          spark.sparkContext.parallelize(oldRows), oldSchema).drop("group")
+          spark.sparkContext.parallelize(oldRows), oldSchema)
+          .drop("group", "grouping_token")
         writeManifestGrouped(spark, path, old.unionByName(newStats), cols,
           DefaultManifestGroupSize, after.toSeq)
       case Some(_) => () // append produced no files (empty batch): manifest still valid
@@ -357,7 +375,15 @@ object StoreIndex {
       else {
         val names = dataFileNames(spark, path)
         summaryGroups(spark, path, statCols, names, pred) match {
-          case Some(groups) if m.columns.contains("group") =>
+          case Some((groups, token)) if m.columns.contains("group") &&
+              m.columns.contains("grouping_token") &&
+              // the summary must describe THESE slices: one slice row's
+              // token suffices (a writeManifestGrouped commit stamps all
+              // rows identically), and it guards the groups.isEmpty
+              // shortcut too — an old summary saying "nothing matches"
+              // over a regrouped manifest must not suppress the read
+              m.select("grouping_token").limit(1).collect()
+                .headOption.exists(_.getString(0) == token) =>
             // two-level fast path: the group filter partition-prunes the
             // manifest read, so the collect is bounded by the MATCHED
             // slices (≈ ceil(files/groupSize) rows each), not O(files)
@@ -376,30 +402,36 @@ object StoreIndex {
     }
   }
 
-  /** Group-level consult of the two-level manifest: Some(matched groups)
-    * when the summary exists, covers the queried columns, and its
-    * fingerprint equals the store's current file listing; None routes the
-    * caller to the flat consult. The summary read is O(groups). */
+  /** Group-level consult of the two-level manifest: Some(matched groups +
+    * the summary's grouping token) when the summary exists, covers the
+    * queried columns, and its fingerprint equals the store's current file
+    * listing; None routes the caller to the flat consult. The caller must
+    * additionally match the token against the `_stats` slices it is about
+    * to trust — the fingerprint proves the summary describes these FILES,
+    * the token proves it describes this GROUPING of them. The summary
+    * read is O(groups). */
   private def summaryGroups(
       spark: SparkSession,
       path: String,
       statCols: Seq[String],
       names: Set[String],
-      pred: => Column): Option[Seq[Int]] =
+      pred: => Column): Option[(Seq[Int], String)] =
     Store.readParquetSafe(spark, manifestSummaryPath(path)).flatMap { sum =>
       val usable =
-        Seq("group", "fp_n", "fp_x1", "fp_x2").forall(sum.columns.contains) &&
+        Seq("group", "fp_n", "fp_x1", "fp_x2", "grouping_token")
+          .forall(sum.columns.contains) &&
           statCols.forall { c =>
             sum.columns.contains(s"min_$c") && sum.columns.contains(s"max_$c")
           }
       if (!usable) None
       else {
-        val fp = sum.select("fp_n", "fp_x1", "fp_x2").limit(1).collect()
-        if (fp.isEmpty) { if (names.isEmpty) Some(Seq.empty) else None }
+        val fp = sum.select("fp_n", "fp_x1", "fp_x2", "grouping_token")
+          .limit(1).collect()
+        if (fp.isEmpty) { if (names.isEmpty) Some((Seq.empty, "")) else None }
         else if ((fp(0).getLong(0), fp(0).getLong(1), fp(0).getLong(2))
             != fileSetFingerprint(names)) None
-        else Some(sum.filter(pred).select(col("group").cast("int"))
-          .collect().map(_.getInt(0)).toSeq)
+        else Some((sum.filter(pred).select(col("group").cast("int"))
+          .collect().map(_.getInt(0)).toSeq, fp(0).getString(3)))
       }
     }
 
@@ -413,7 +445,7 @@ object StoreIndex {
       dataFileNames(spark, path),
       ranges.map { case (c, lo, hi) =>
         col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
-      }.reduce(_ && _))
+      }.reduce(_ && _)).map(_._1)
 
   /** Range read through the manifest: rows of the store at `path` with
     * `c BETWEEN lo AND hi`, reading only the files whose recorded

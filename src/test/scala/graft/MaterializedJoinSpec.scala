@@ -180,6 +180,35 @@ class MaterializedJoinSpec extends SparkSpec {
     assert(graft.sources.Store.readParquetSafe(spark, tombs).isEmpty)
   }
 
+  test("tombstone compaction never deletes a listed batch it could not read") {
+    // the in-flight-write race: the listing can catch a tombstone batch
+    // mid-write (directory exists, no committed parquet footer yet).
+    // Its ids were never applied, so deleting it would resurrect the
+    // rows it masks — the batch must survive untouched for the next pass
+    val dir = java.nio.file.Files.createTempDirectory("graft_mjoin_inflight").toString
+    val path = s"$dir/join"
+    val tombs = s"$dir/tombstones"
+    val keys = Seq("l_orderkey")
+    val idc = Seq("l_orderkey", "l_linenumber")
+    MaterializedJoin.appendDelta(path, 0L,
+      MaterializedJoin.insertDelta(li.limit(0), li, ord.limit(0), ord, keys))
+    li.filter(col("l_linenumber") === 3).select(idc.map(col): _*)
+      .write.parquet(s"$tombs/ingest_batch=0")
+    // batch 1 is "in flight": directory listed, content not yet readable
+    val inflight = new java.io.File(s"$tombs/ingest_batch=1")
+    assert(inflight.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tombs/ingest_batch=1/part-00000.parquet"),
+      "not a parquet footer".getBytes("UTF-8"))
+    MaterializedJoin.applyTombstones(spark, path, tombs, idc)
+    // the readable batch applied and was deleted; the unreadable one
+    // was neither applied nor destroyed
+    assert(rows(MaterializedJoin.readView(spark, path).get) ===
+      rows(li.filter(col("l_linenumber") =!= 3).join(ord, keys)))
+    assert(!new java.io.File(s"$tombs/ingest_batch=0").exists())
+    assert(inflight.exists(), "in-flight tombstone batch must survive the compaction")
+  }
+
   test("delta joins broadcast the delta, never shuffle the standing side") {
     val keys = Seq("l_orderkey")
     val delta = li.limit(50)

@@ -215,7 +215,7 @@ class SketchesSpec extends SparkSpec {
     val vals = (1 to 200).map(i => s"v$i")
     val df = vals.toDF("v")
     val got = Sketches.hllRegisters(df, Nil, "v", p = p)
-      .as[(Int, Int)].collect().toMap
+      .select("b", "m_reg").as[(Int, Int)].collect().toMap
     // reference: same 60-bit md5 prefix, bucket = low bits via mod,
     // rho = leading-zero count of the (60-p)-bit value part + 1
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -289,6 +289,24 @@ class SketchesSpec extends SparkSpec {
       s"unexpected failure: $ex")
     // the matching p still estimates fine through the guard
     assert(Sketches.hllEstimate(regs, Seq("event_type"), p = 8).count() > 0)
+
+    // the OTHER direction: a p = 4 synopsis estimated at p = 8 passes
+    // every per-register range bound (b < 16 < 256, m_reg ≤ 53 w.h.p.)
+    // yet would count 240 phantom empty buckets — only the carried
+    // hll_p identity catches it
+    val low = Sketches.hllRegisters(events, Seq("event_type"), "user_id", p = 4)
+    val ex2 = intercept[Exception] {
+      Sketches.hllEstimate(low, Seq("event_type"), p = 8).collect()
+    }
+    assert(messages(ex2).exists(_.contains("hll synopsis inconsistent with p=8")),
+      s"unexpected failure: $ex2")
+    // and the merge carries the geometry through
+    val merged = Sketches.hllMerge(Seq(low, low), Seq("event_type"))
+    val ex3 = intercept[Exception] {
+      Sketches.hllEstimate(merged, Seq("event_type"), p = 8).collect()
+    }
+    assert(messages(ex3).exists(_.contains("hll synopsis inconsistent with p=8")),
+      s"unexpected failure: $ex3")
   }
 
   test("hll registers are invariant under repartitioning") {

@@ -169,10 +169,13 @@ class StoreIndexSpec extends SparkSpec {
       spark.range(5000, 5500).select(col("id").as("k"), col("id").as("v")),
       dir, Seq("k"), numFiles = 1)
 
-    // incremental manifest ≡ full rebuild (same rows)
-    val incremental = spark.read.parquet(StoreIndex.statsManifestPath(dir)).collect().toSet
+    // incremental manifest ≡ full rebuild (same rows; the grouping token
+    // is per-write identity, not content, so it is excluded)
+    val incremental = spark.read.parquet(StoreIndex.statsManifestPath(dir))
+      .drop("grouping_token").collect().toSet
     StoreIndex.writeStatsManifest(spark, dir, Seq("k")) // rebuild in place
-    val full = spark.read.parquet(StoreIndex.statsManifestPath(dir)).collect().toSet
+    val full = spark.read.parquet(StoreIndex.statsManifestPath(dir))
+      .drop("grouping_token").collect().toSet
     assert(incremental === full)
 
     // skipping stays live: a range inside the appended batch reads only
@@ -247,5 +250,35 @@ class StoreIndexSpec extends SparkSpec {
     val out = StoreIndex.readStoreSkipping(spark, s"$base/final", "k", 100L, 200L)
     assert(out.count() === 101)
     assert(out.inputFiles.length < 4, "pruning must still engage after the rename")
+  }
+
+  test("a stale summary over a regrouped manifest is rejected by the grouping token") {
+    // the file-set fingerprint cannot distinguish two GROUPINGS of the
+    // same files: a rebuild with a different groupSize over an unchanged
+    // store, crashed (or raced) between the _stats and _stats_summary
+    // writes, pairs an old summary with new slices. The old summary's
+    // fingerprint still matches, but its group->bounds map describes the
+    // old grouping — trusting it would prune by the wrong slices and
+    // silently drop rows. The per-write grouping token must reject it.
+    val dir = Files.createTempDirectory("graft-skip-token").toString + "/store"
+    val df = spark.range(0, 4000).select(col("id").as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 8)
+    // default groupSize 1024 >> 8 files -> ONE group covering all of k
+    val sumPath = StoreIndex.manifestSummaryPath(dir)
+    val oldSum = spark.read.parquet(sumPath)
+    val (oldRows, oldSchema) = (oldSum.collect().toSeq, oldSum.schema)
+    // regroup the unchanged store: 8 groups of one file each
+    StoreIndex.writeStatsManifest(spark, dir, Seq("k"), groupSize = 1)
+    // simulate the crash/race: the OLD summary sits over the NEW slices
+    spark.createDataFrame(spark.sparkContext.parallelize(oldRows), oldSchema)
+      .coalesce(1).write.mode("overwrite").parquet(sumPath)
+    // stale summary says "group 0 covers everything"; in the new grouping
+    // group 0 is only the lowest-k file, so trusting it would return zero
+    // candidates for a high-k probe. The token mismatch must route the
+    // probe to the flat consult instead — full rows, pruning intact.
+    val out = StoreIndex.readStoreSkipping(spark, dir, "k", 3500L, 3600L)
+    assert(out.count() === 101,
+      "stale-summary grouping must not suppress matching files")
+    assert(out.inputFiles.length < 8, "flat consult still prunes by file stats")
   }
 }
