@@ -644,6 +644,54 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming HLL distinct maintenance — the streaming twin of the
+    * maintained many-groups distinct measure ([[graft.operators
+    * .MaterializedAgg.partialDistinctHll]]). Per micro-batch the batch's
+    * register synopsis lands in its own `ingest_batch` partition; the
+    * standing estimate ([[readHllEstimate]]) merges all partitions.
+    *
+    * UNLIKE the linear measures ([[aggMaintainStream]]) there is no
+    * id-novelty absorber and no ids store: register max is an idempotent
+    * semilattice merge, so at-least-once re-delivery — duplicate rows
+    * within a batch, the same rows re-delivered across batches, or a
+    * crash-point replay overwriting its own partition — is absorbed by
+    * the MERGE itself; the estimate cannot inflate. The estimate is also
+    * batching-invariant: any split of the rows into micro-batches merges
+    * to the identical registers. State per batch is ≤ 2^p small-int rows
+    * per touched group, payload-free — the per-batch write cost is the
+    * batch scan, nothing scales with history. */
+  def aggMaintainHllStream(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      statePath: String,
+      checkpoint: String,
+      p: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.MaterializedAgg
+          .partialDistinctHll(batch, groupCols, valueCol, p)
+          .write.mode("overwrite").parquet(s"$statePath/ingest_batch=$batchId")
+        ()
+      }
+
+  /** Standing distinct estimate over [[aggMaintainHllStream]]'s state
+    * store: merge every batch partition's registers, then estimate.
+    * None while no batch has committed yet. */
+  def readHllEstimate(
+      spark: SparkSession,
+      statePath: String,
+      groupCols: Seq[String],
+      p: Int = 8): Option[DataFrame] =
+    Store.readParquetSafe(spark, statePath).map { state =>
+      graft.operators.MaterializedAgg.finalizeDistinctHll(
+        graft.operators.MaterializedAgg.mergeDistinctHll(
+          Seq(state.drop("ingest_batch")), groupCols),
+        groupCols, p)
+    }
+
   /** Streaming materialized-JOIN maintenance — the streaming twin of
     * [[graft.operators.MaterializedJoin]] in its streaming-facts ×
     * standing-dimension regime. Per micro-batch: id-novelty absorber on
@@ -691,6 +739,75 @@ object StreamingHistorization {
         }
         ()
       }
+
+  /** SCD2 full-snapshot lifecycle as a stream — the streaming twin of the
+    * COMPLETE delete lifecycle ([[graft.operators.Scd2.closeVanished]] /
+    * [[graft.operators.Scd2.mergeScd2Reopen]]). Contract: each micro-batch
+    * is ONE full load (drive file sources with `maxFilesPerTrigger=1` or
+    * one trigger per drop — two coalesced snapshots would make the younger
+    * one's absences look like deletes). Per batch: the snapshot
+    * meta-enriches under a batch-derived run context, merges WITH
+    * resurrection (new/changed/unchanged branches plus closed-only keys
+    * reopening at the run day, the deleted epoch preserved as an as-of
+    * gap), then vanished keys close (active rows absent from the snapshot
+    * end the day before, `DELETED` stamped), and the result swap-replaces
+    * the store.
+    *
+    * Exactly-once without a transaction log, by a different route than
+    * the append-family streams (no batch partition to overwrite — the
+    * SCD2 store is one logical table): the run context derives from the
+    * BATCH ID, so a crash-point replay re-applies onto the already-
+    * updated store as a fixpoint — every snapshot key is now active with
+    * its delivered hash (unchanged branch), the closed keys are no
+    * longer active (nothing to close), and no snapshot key is
+    * closed-only (nothing to reopen). Spec'd directly on the batch core.
+    *
+    * Scale shape: the batch forms' plans — one wide merge shuffle plus
+    * digest-only closure joins; the store is read once per batch and
+    * persisted across the merge's five self-references. */
+  def scd2LifecycleStream(
+      snapshots: DataFrame,
+      storePath: String,
+      keyColumns: Seq[String],
+      checkpoint: String,
+      mode: graft.operators.Scd2.ValidFromMode = graft.operators.Scd2.ValidFromMode.LoadDate,
+      loadTsForBatch: Long => String = defaultBatchTs): DataStreamWriter[org.apache.spark.sql.Row] =
+    snapshots.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2LifecycleBatch(batch, storePath, keyColumns, mode, loadTsForBatch(batchId))
+      }
+
+  /** One full-load application of the SCD2 lifecycle — the foreachBatch
+    * core of [[scd2LifecycleStream]], separated so the crash-replay
+    * fixpoint (same loadTs applied twice ≡ once) is directly testable. */
+  private[graft] def scd2LifecycleBatch(
+      batch: DataFrame,
+      storePath: String,
+      keyColumns: Seq[String],
+      mode: graft.operators.Scd2.ValidFromMode,
+      loadTs: String): Unit = {
+    val session = batch.sparkSession
+    val cur = Currents(loadTs)
+    graft.CacheScope.withScope { scope =>
+      // full loads are key-unique by contract; at-least-once re-delivery
+      // within the batch collapses to the deterministic survivor first
+      val snap = scope.persist(graft.operators.MetaEnrichment.addMetaColumns(
+        survivorFirst(batch, keyColumns), cur, keyColumns))
+      val merged = Store.readParquetSafe(session, storePath) match {
+        case None =>
+          graft.operators.Scd2.historizeDataset(snap, None, cur, mode)
+        case Some(store) =>
+          val current = scope.persist(store)
+          graft.operators.Scd2.closeVanished(
+            graft.operators.Scd2.mergeScd2Reopen(current, snap, cur, mode),
+            snap, cur)
+      }
+      Store.writeStoreSwap(merged, storePath, Nil)
+    }
+    ()
+  }
 
   /** Historize a stream of snapshots into the current store: every
     * micro-batch runs the reference's enrich + delta + append cycle with a

@@ -798,6 +798,89 @@ class StreamingSpec extends SparkSpec {
     assert(store.count() === 2) // duplicates absorbed by the hash anti-join
   }
 
+  test("scd2 lifecycle stream: merge, delete-closure, and reopen equal the batch composition") {
+    import graft.operators.Scd2
+    import graft.operators.MetaEnrichment.addMetaColumns
+    val dir = Files.createTempDirectory("graft-stream-scd2").toString
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(graft.meta.MetaColumns.TsFormat)
+    // one DAY per batch so close (runDay-1) and reopen (runDay) are visibly apart
+    val tsOf = (b: Long) =>
+      java.time.LocalDate.of(2024, 1, 1).plusDays(b).atTime(9, 0).format(fmt)
+    val snapA = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v")
+    val snapB = Seq(("a", "9"), ("b", "2")).toDF("k", "v") // a changes, c vanishes
+    val snapC = Seq(("a", "9"), ("b", "2"), ("c", "4")).toDF("k", "v") // c returns
+
+    // drive the stream one full load per trigger (the contract)
+    val writer = (s: org.apache.spark.sql.DataFrame) => StreamingHistorization
+      .scd2LifecycleStream(s, s"$dir/store", Seq("k"), s"$dir/chk",
+        loadTsForBatch = tsOf)
+    Seq(snapA, snapB, snapC).zipWithIndex.foreach { case (snap, i) =>
+      // ONE file per drop: a multi-file snapshot under maxFilesPerTrigger=1
+      // would split one full load into several partial "loads"
+      snap.coalesce(1).write.mode("append").parquet(s"$dir/in/drop$i")
+      val stream = spark.readStream.schema(snapA.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      StreamingHistorization.runOnce(writer(stream))
+    }
+    val store = Store.readParquetSafe(spark, s"$dir/store").get
+
+    // batch twin with the identical run contexts
+    val Seq(c1, c2, c3) = (0L to 2L).map(b => graft.meta.Currents(tsOf(b))).toSeq
+    val m = Scd2.ValidFromMode.LoadDate
+    val s1 = Scd2.historizeDataset(addMetaColumns(snapA, c1, Seq("k")), None, c1, m)
+    val e2 = addMetaColumns(snapB, c2, Seq("k"))
+    val s2 = Scd2.closeVanished(Scd2.mergeScd2Reopen(s1, e2, c2, m), e2, c2)
+    val e3 = addMetaColumns(snapC, c3, Seq("k"))
+    val s3 = Scd2.closeVanished(Scd2.mergeScd2Reopen(s2, e3, c3, m), e3, c3)
+    assert(store.collect().map(_.toSeq).toSet === s3.collect().map(_.toSeq).toSet)
+
+    // the lifecycle's observable semantics: c's deleted epoch is a GAP
+    import graft.meta.MetaColumns.{Deleted, ValidTo}
+    assert(Scd2.asOf(store, "2024-01-02").filter($"k" === "c").count() === 0)
+    assert(Scd2.asOf(store, "2024-01-03").filter($"k" === "c" && $"v" === "4").count() === 1)
+    // the close carries the DELETED stamp; the reopened row does not
+    assert(store.filter($"k" === "c" && col(Deleted).isNotNull).count() === 1)
+    assert(store.filter($"k" === "c" && col(ValidTo) === to_date(lit("9999-12-31")))
+      .select(Deleted).collect().head.isNullAt(0))
+  }
+
+  test("streaming hll maintenance absorbs re-delivery and equals the fresh estimate") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val dir = Files.createTempDirectory("graft-stream-hll").toString
+    // three shards PLUS shard 0 re-delivered: the duplicate drop must not
+    // inflate the estimate (register max is idempotent — no ids store).
+    // No per-trigger file cap either: ANY batching merges identically.
+    (0 to 2).foreach(i => events.filter(pmod(col("event_id"), lit(3)) === i)
+      .write.mode("append").parquet(s"$dir/in/drop$i"))
+    events.filter(pmod(col("event_id"), lit(3)) === 0)
+      .write.mode("append").parquet(s"$dir/in/redrop0")
+    val stream = StreamingHistorization.readParquetStream(spark, s"$dir/in/*", events.schema)
+    StreamingHistorization.runOnce(StreamingHistorization.aggMaintainHllStream(
+      stream, Seq("event_type"), "user_id", s"$dir/state", s"$dir/chk", p = 4))
+    val got = StreamingHistorization
+      .readHllEstimate(spark, s"$dir/state", Seq("event_type"), p = 4).get
+    val fresh = graft.operators.Sketches.approxDistinctHll(
+      events, Seq("event_type"), "user_id", p = 4)
+    assert(got.collect().map(_.toSeq).toSet === fresh.collect().map(_.toSeq).toSet)
+  }
+
+  test("scd2 lifecycle batch replay is a fixpoint: same loadTs applied twice equals once") {
+    val dir = Files.createTempDirectory("graft-stream-scd2-replay").toString
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(graft.meta.MetaColumns.TsFormat)
+    val tsOf = (b: Long) =>
+      java.time.LocalDate.of(2024, 1, 1).plusDays(b).atTime(9, 0).format(fmt)
+    val m = graft.operators.Scd2.ValidFromMode.LoadDate
+    val snapA = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v")
+    val snapB = Seq(("a", "9"), ("b", "2")).toDF("k", "v")
+    StreamingHistorization.scd2LifecycleBatch(snapA, s"$dir/store", Seq("k"), m, tsOf(0))
+    StreamingHistorization.scd2LifecycleBatch(snapB, s"$dir/store", Seq("k"), m, tsOf(1))
+    val once = Store.readParquetSafe(spark, s"$dir/store").get.collect().map(_.toSeq).toSet
+    // crash-point replay: the batch re-applies onto the already-updated store
+    StreamingHistorization.scd2LifecycleBatch(snapB, s"$dir/store", Seq("k"), m, tsOf(1))
+    val twice = Store.readParquetSafe(spark, s"$dir/store").get.collect().map(_.toSeq).toSet
+    assert(twice === once, "replay must be byte-identical, not additive")
+  }
+
   test("in-batch duplicate ids collapse to ONE payload-deterministic survivor") {
     // same id, different payloads, shuffled arrival orders and partition
     // counts: the survivor must be identical every time (the replay
