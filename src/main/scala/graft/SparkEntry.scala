@@ -632,6 +632,40 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash,
           M.UpdateTs, M.UpdateRunId, M.ValidFrom, M.ValidTo, M.Deleted))
     }),
+    // TIERED twin of the whole 4-run delete lifecycle: active rows in one
+    // store, closed intervals appended to a run-partitioned archive —
+    // merges touch the active tier plus a KEY_HASH-projected archive
+    // probe, never the history payload (the layout that stops merge cost
+    // scaling with history length). The tiering must be INVISIBLE to
+    // readers: (archive ∪ active) after runs 1-4 (bootstrap, 53-modulus
+    // change, 7-modulus vanish, full re-delivery) answers the flat
+    // lifecycle's closed-form statement. The fixture is ORDERS — the
+    // key-unique dimension — because the tiered lifecycle composes the
+    // merge forms, whose contract is a key-unique full load (the
+    // duplicate-keyed lineitem is the documented reason x_scd2_reopen
+    // uses the pass forms instead). Fresh build each call — this row
+    // measures the tiered lifecycle itself.
+    "x_scd2_tiered" -> ((s, d) => {
+      val base = s"/tmp/graft_scratch/scd2_tier_${dirTag(d, "orders")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(base),
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val m = ValidFromMode.LoadDate
+      val (ap, hp) = (s"$base/active", s"$base/history")
+      val keysO = Seq("o_orderkey")
+      val a = MetaEnrichment.addMetaColumns(ordProj(s, d), cur1, keysO)
+      val b = MetaEnrichment.addMetaColumns(ordSnapB(s, d), cur2, keysO)
+      Scd2Tier.historizeTiered(s, a, ap, hp, cur1, m)
+      Scd2Tier.historizeTiered(s, b, ap, hp, cur2, m)
+      Scd2Tier.historizeTiered(s,
+        b.filter(pmod(col("o_orderkey"), lit(7)) =!= 0), ap, hp, cur3, m)
+      Scd2Tier.historizeTiered(s, b, ap, hp, cur4, m)
+      Scd2Tier.readTiered(s, ap, hp).get
+        .select("o_orderkey", "totalprice", M.RecordHash, M.InsertTs,
+          M.InsertRunId, M.UpdateTs, M.UpdateRunId, M.ValidFrom, M.ValidTo,
+          M.Deleted)
+        .withColumn("totalprice", col("totalprice").cast("double"))
+    }),
     "l15_split_active" -> ((s, d) => Scd2.splitMergedDataset(stagedScd2v2(s, d))._2
       .select("l_orderkey", "l_linenumber", M.RecordHash, M.ValidFrom, M.ValidTo)),
     "l15_split_hist" -> ((s, d) => Scd2.splitMergedDataset(stagedScd2v2(s, d))._1
@@ -3481,6 +3515,78 @@ object SparkEntry {
          |       DATE '2024-04-01' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO",
          |       "DELETED"
          |FROM enrichB WHERE l_orderkey % 7 = 0""".stripMargin,
+    // tiered lifecycle ≡ flat lifecycle: the archive/active split is a
+    // storage layout, not a semantics change. Orders is key-unique and
+    // the mutations are modulus-determined, so the 4-run outcome has a
+    // CLOSED FORM: (a) the pre-change version of every 53-key, closed at
+    // the run-2 boundary; (b) every key's current content — closed with
+    // the DELETED stamp iff it is a 7-key (vanished in run 3); (c) a
+    // fresh run-4 interval for every 7-key (re-delivered in run 4), the
+    // deleted epoch left as a gap
+    "x_scd2_tiered" ->
+      s"""WITH obase AS (
+         |  SELECT o_orderkey, o_orderstatus AS orderstatus,
+         |         CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+         |         CAST(o_orderdate AS DATE) AS orderdate
+         |  FROM orders
+         |),
+         |snapb AS (
+         |  SELECT o_orderkey, orderstatus,
+         |         CASE WHEN o_orderkey % 53 = 0
+         |              THEN CAST(totalprice + 100 AS DECIMAL(18,2))
+         |              ELSE totalprice END AS totalprice,
+         |         orderdate
+         |  FROM obase
+         |),
+         |h1 AS (
+         |  SELECT *, md5(concat_ws('#?',
+         |    coalesce(CAST(o_orderkey AS VARCHAR),'nan'),
+         |    coalesce(orderstatus,'nan'),
+         |    coalesce(CAST(totalprice AS VARCHAR),'nan'),
+         |    coalesce(CAST(orderdate AS VARCHAR),'nan'))) AS rh FROM obase
+         |),
+         |h2 AS (
+         |  SELECT *, md5(concat_ws('#?',
+         |    coalesce(CAST(o_orderkey AS VARCHAR),'nan'),
+         |    coalesce(orderstatus,'nan'),
+         |    coalesce(CAST(totalprice AS VARCHAR),'nan'),
+         |    coalesce(CAST(orderdate AS VARCHAR),'nan'))) AS rh FROM snapb
+         |)
+         |SELECT o_orderkey, CAST(totalprice AS DOUBLE) AS totalprice,
+         |       rh AS "RECORD_HASH",
+         |       TIMESTAMP '$ts1' AS "INSERT_TS", '20240101100000' AS "INSERT_RUN_ID",
+         |       TIMESTAMP '$ts2' AS "UPDATE_TS", '20240215103000' AS "UPDATE_RUN_ID",
+         |       DATE '2024-01-01' AS "VALID_FROM", DATE '2024-02-14' AS "VALID_TO",
+         |       CAST(NULL AS TIMESTAMP) AS "DELETED"
+         |FROM h1 WHERE o_orderkey % 53 = 0
+         |UNION ALL BY NAME
+         |SELECT o_orderkey, CAST(totalprice AS DOUBLE) AS totalprice,
+         |       rh AS "RECORD_HASH",
+         |       CASE WHEN o_orderkey % 53 = 0 THEN TIMESTAMP '$ts2'
+         |            ELSE TIMESTAMP '$ts1' END AS "INSERT_TS",
+         |       CASE WHEN o_orderkey % 53 = 0 THEN '20240215103000'
+         |            ELSE '20240101100000' END AS "INSERT_RUN_ID",
+         |       CASE WHEN o_orderkey % 7 = 0 THEN TIMESTAMP '$ts3'
+         |            WHEN o_orderkey % 53 = 0 THEN TIMESTAMP '$ts2'
+         |            ELSE TIMESTAMP '$ts1' END AS "UPDATE_TS",
+         |       CASE WHEN o_orderkey % 7 = 0 THEN '20240301093000'
+         |            WHEN o_orderkey % 53 = 0 THEN '20240215103000'
+         |            ELSE '20240101100000' END AS "UPDATE_RUN_ID",
+         |       CASE WHEN o_orderkey % 53 = 0 THEN DATE '2024-02-15'
+         |            ELSE DATE '2024-01-01' END AS "VALID_FROM",
+         |       CASE WHEN o_orderkey % 7 = 0 THEN DATE '2024-02-29'
+         |            ELSE DATE '9999-12-31' END AS "VALID_TO",
+         |       CASE WHEN o_orderkey % 7 = 0 THEN TIMESTAMP '$ts3'
+         |            ELSE CAST(NULL AS TIMESTAMP) END AS "DELETED"
+         |FROM h2
+         |UNION ALL BY NAME
+         |SELECT o_orderkey, CAST(totalprice AS DOUBLE) AS totalprice,
+         |       rh AS "RECORD_HASH",
+         |       TIMESTAMP '$ts2' AS "INSERT_TS", '20240215103000' AS "INSERT_RUN_ID",
+         |       TIMESTAMP '$ts2' AS "UPDATE_TS", '20240215103000' AS "UPDATE_RUN_ID",
+         |       DATE '2024-04-01' AS "VALID_FROM", DATE '9999-12-31' AS "VALID_TO",
+         |       CAST(NULL AS TIMESTAMP) AS "DELETED"
+         |FROM h2 WHERE o_orderkey % 7 = 0""".stripMargin,
     "l15_split_active" ->
       s"""$scd2Cte
          |SELECT l_orderkey, l_linenumber, "RECORD_HASH", "VALID_FROM", "VALID_TO"

@@ -343,13 +343,24 @@ object Scd2 {
       currentDf: DataFrame,
       newDf: DataFrame,
       currents: Currents): DataFrame = {
-    require(newDf.columns.contains(KeyHash),
-      s"newDf must carry $KeyHash (enrich the snapshot first)")
     val activeKeys = currentDf.filter(col(ValidTo) === upperBound)
       .select(col(KeyHash)).distinct()
     val closedOnly = currentDf.select(col(KeyHash)).distinct()
       .join(activeKeys, Seq(KeyHash), "left_anti")
-    newDf.join(closedOnly, Seq(KeyHash), "left_semi")
+    reopenDeltaKeys(closedOnly, newDf, currents)
+  }
+
+  /** Fresh intervals for the snapshot rows of an EXPLICIT closed-only key
+    * set — the core [[reopenDelta]] derives its set from a flat store;
+    * [[Scd2Tier]] derives it from the history tier's key digests, where
+    * the flat derivation would see no closed rows at all. */
+  private[operators] def reopenDeltaKeys(
+      closedOnlyKeys: DataFrame,
+      newDf: DataFrame,
+      currents: Currents): DataFrame = {
+    require(newDf.columns.contains(KeyHash),
+      s"newDf must carry $KeyHash (enrich the snapshot first)")
+    newDf.join(closedOnlyKeys.select(col(KeyHash)).distinct(), Seq(KeyHash), "left_semi")
       .withColumn(ValidFrom, to_date(lit(currents.runDay)))
       .withColumn(ValidTo, upperBound)
   }

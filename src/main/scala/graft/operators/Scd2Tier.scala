@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns}
+import graft.sources.Store
+
+/** Tiered SCD2 store: ACTIVE rows in one store, closed history in an
+  * append-only archive — the layout that stops merge cost from scaling
+  * with history length.
+  *
+  * The flat store ([[Scd2.historizeDataset]] over one table, the
+  * reference's shape — SCDHelpers.py:297-301 merges the WHOLE store every
+  * run) rereads and rewrites every closed interval a key has ever had on
+  * every merge: at year N of a daily-merged 100 TB dimension the run cost
+  * is dominated by rows that can never change again. Here each run
+  * touches:
+  *
+  *  - the ACTIVE tier (bounded by the entity count, not by history),
+  *    merged with the same branch semantics as the flat form and
+  *    swap-replaced;
+  *  - the HISTORY tier only twice, both cheaply: a KEY_HASH-projected
+  *    scan (32-byte column, parquet-pruned — the [[Store
+  *    .readCurrentHashes]] trick) to distinguish resurrected keys from
+  *    brand-new ones, and one append of the rows THIS run closed, under
+  *    a `run=<runId>` partition. Closed intervals are immutable, so the
+  *    archive is write-once — object-store friendly, compactable and
+  *    stats-manifestable offline without touching the merge path.
+  *
+  * Semantics are pinned to the flat lifecycle: [[historizeTiered]] over a
+  * sequence of full loads yields (active ∪ history) row-identical to
+  * [[Scd2.mergeScd2Reopen]] + [[Scd2.closeVanished]] over a flat store —
+  * merge branches, vanished-key closure with the DELETED stamp, and
+  * resurrection with the validity gap preserved (the `x_scd2_tiered`
+  * oracle answers the flat statement). The reopen key set derives from
+  * the history tier's digests ([[Scd2.reopenDeltaKeys]]); like
+  * [[Scd2.reopenClosed]] it makes no key-uniqueness assumption.
+  *
+  * Crash contract (history first, active swap second): a replay BEFORE
+  * the active swap recomputes the identical closed set and overwrites
+  * the run partition byte-identically; a replay AFTER the swap finds the
+  * active tier already advanced, computes an EMPTY closed set, and the
+  * non-empty guard leaves the already-committed run partition in place —
+  * every crash point converges to the same store pair.
+  */
+object Scd2Tier {
+  import MetaColumns._
+
+  /** One full-load run of the SCD2 delete lifecycle over the tiered
+    * store: merge-with-resurrection against the active tier, vanished-key
+    * closure, newly-closed rows appended to the history tier, survivors
+    * swap-written as the new active tier. `newDf` must be meta-enriched
+    * ([[MetaEnrichment.addMetaColumns]]). */
+  def historizeTiered(
+      spark: SparkSession,
+      newDf: DataFrame,
+      activePath: String,
+      historyPath: String,
+      currents: Currents,
+      mode: Scd2.ValidFromMode): Unit = {
+    Store.readParquetSafe(spark, activePath) match {
+      case None =>
+        // bootstrap: every row is new_only; nothing can close on run 1
+        Store.writeStoreSwap(
+          Scd2.historizeDataset(newDf, None, currents, mode), activePath, Nil)
+      case Some(activeStore) =>
+        graft.CacheScope.withScope { scope =>
+          val active = scope.persist(activeStore)
+          val snap = scope.persist(newDf)
+          // keys living ONLY in the archive = resurrection candidates.
+          // KEY_HASH-projected scan: the archive's payload never loads.
+          val closedOnly = historyKeys(spark, historyPath)
+            .map(_.join(active.select(col(KeyHash)).distinct(),
+              Seq(KeyHash), "left_anti"))
+          // resurrected keys must NOT reach the merge: against an
+          // active-only current they would classify new_only and open at
+          // the new-key epoch (mode) instead of the run day
+          val snapCore = closedOnly.fold(snap)(keys =>
+            snap.join(keys, Seq(KeyHash), "left_anti"))
+          val merged = Scd2.mergeScd2Fast(active, snapCore, currents, mode)
+          val withReopen = closedOnly.fold(merged)(keys =>
+            merged.unionByName(Scd2.reopenDeltaKeys(keys, snap, currents)
+              .select(merged.columns.map(col).toSeq: _*)))
+          // closure diffs the ACTIVE slice against the FULL snapshot (a
+          // resurrected key is in the snapshot — never re-closed)
+          val closedFinal = scope.persist(
+            Scd2.closeVanished(withReopen, snap, currents))
+          val (hist, activeRows) = Scd2.splitMergedDataset(closedFinal)
+          appendHistory(spark, hist, historyPath, currents)
+          Store.writeStoreSwap(
+            activeRows.select(active.columns.map(col).toSeq: _*),
+            activePath, Nil)
+        }
+    }
+  }
+
+  /** The whole historized table: archive ∪ active — row-identical to the
+    * flat store the same runs would have produced. None until the first
+    * run commits. */
+  def readTiered(
+      spark: SparkSession,
+      activePath: String,
+      historyPath: String): Option[DataFrame] =
+    Store.readParquetSafe(spark, activePath).map { active =>
+      Store.readParquetSafe(spark, historyPath)
+        .map(h => h.drop("run").select(active.columns.map(col).toSeq: _*)
+          .unionByName(active))
+        .getOrElse(active)
+    }
+
+  /** Point-in-time read over the tiered store. Both validity bounds push
+    * to the parquet scans of BOTH tiers; the archive's immutability makes
+    * it the natural home for offline sort/stats-manifest layout so old
+    * days prune to a few files. */
+  def asOfTiered(
+      spark: SparkSession,
+      activePath: String,
+      historyPath: String,
+      day: String): Option[DataFrame] =
+    readTiered(spark, activePath, historyPath).map(Scd2.asOf(_, day))
+
+  /** Distinct KEY_HASH digests of the archive (None when no history
+    * exists yet). Column-pruned: 32 bytes per row reach the driver plan,
+    * the payload columns never leave parquet. */
+  private[graft] def historyKeys(
+      spark: SparkSession,
+      historyPath: String): Option[DataFrame] =
+    Store.readParquetSafe(spark, historyPath)
+      .map(_.select(col(KeyHash)).distinct())
+
+  /** Commit this run's closed rows as `run=<runId>`. Overwrite makes the
+    * pre-swap replay idempotent; the non-empty guard makes the post-swap
+    * replay (which recomputes an empty closed set against the advanced
+    * active tier) leave the committed partition alone instead of wiping
+    * it. A genuine zero-closure run writes nothing. */
+  private def appendHistory(
+      spark: SparkSession,
+      hist: DataFrame,
+      historyPath: String,
+      currents: Currents): Unit = {
+    if (!hist.isEmpty) {
+      hist.drop("run").write.mode("overwrite")
+        .parquet(s"$historyPath/run=${currents.runId}")
+    }
+    ()
+  }
+}

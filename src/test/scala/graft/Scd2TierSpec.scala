@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns}
+import graft.operators.{MetaEnrichment, Scd2, Scd2Tier}
+import graft.sources.Store
+
+class Scd2TierSpec extends SparkSpec {
+  import spark.implicits._
+  import MetaColumns._
+
+  private val fmt =
+    java.time.format.DateTimeFormatter.ofPattern(MetaColumns.TsFormat)
+  private def tsOf(day: Int): String =
+    java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong).atTime(9, 0).format(fmt)
+  private val mode = Scd2.ValidFromMode.LoadDate
+
+  private def enriched(rows: Seq[(String, String)], cur: Currents) =
+    MetaEnrichment.addMetaColumns(rows.toDF("k", "v"), cur, Seq("k"))
+
+  // the 4-run lifecycle: bootstrap, change, vanish (delete-closure), return
+  private val snapA = Seq(("a", "1"), ("b", "2"), ("c", "3"))
+  private val snapB = Seq(("a", "9"), ("b", "2"), ("c", "3")) // a changes
+  private val snapC = Seq(("a", "9"), ("b", "2"))             // c vanishes
+  private val snapD = Seq(("a", "9"), ("b", "2"), ("c", "4")) // c returns
+
+  private def runAll(base: String): Unit =
+    Seq(snapA, snapB, snapC, snapD).zipWithIndex.foreach { case (snap, i) =>
+      val cur = Currents(tsOf(i))
+      Scd2Tier.historizeTiered(spark, enriched(snap, cur),
+        s"$base/active", s"$base/history", cur, mode)
+    }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("tiered lifecycle equals the flat merge + closure + reopen composition") {
+    val base = Files.createTempDirectory("graft-tier").toString
+    runAll(base)
+    // flat twin with identical run contexts
+    val curs = (0 to 3).map(i => Currents(tsOf(i)))
+    var flat = Scd2.historizeDataset(enriched(snapA, curs(0)), None, curs(0), mode)
+    Seq(snapB, snapC, snapD).zip(curs.drop(1)).foreach { case (snap, cur) =>
+      val e = enriched(snap, cur)
+      flat = Scd2.closeVanished(Scd2.mergeScd2Reopen(flat, e, cur, mode), e, cur)
+    }
+    val tiered = Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get
+    assert(rowSet(tiered) === rowSet(flat))
+    // the split really is active-only vs closed-only
+    val active = spark.read.parquet(s"$base/active")
+    assert(active.filter(col(ValidTo) =!= to_date(lit("9999-12-31"))).count() === 0)
+    val hist = spark.read.parquet(s"$base/history")
+    assert(hist.filter(col(ValidTo) === to_date(lit("9999-12-31"))).count() === 0)
+    // and the as-of read sees through the tiering, gap included
+    assert(Scd2Tier.asOfTiered(spark, s"$base/active", s"$base/history", "2024-01-03")
+      .get.filter($"k" === "c").count() === 0) // c's deleted epoch
+    assert(Scd2Tier.asOfTiered(spark, s"$base/active", s"$base/history", "2024-01-01")
+      .get.filter($"k" === "a" && $"v" === "1").count() === 1)
+  }
+
+  test("the archive is append-only: committed run partitions never change") {
+    val base = Files.createTempDirectory("graft-tier-append").toString
+    val cur0 = Currents(tsOf(0)); val cur1 = Currents(tsOf(1))
+    Scd2Tier.historizeTiered(spark, enriched(snapA, cur0),
+      s"$base/active", s"$base/history", cur0, mode)
+    Scd2Tier.historizeTiered(spark, enriched(snapB, cur1),
+      s"$base/active", s"$base/history", cur1, mode)
+    def filesOf(run: String) = {
+      val d = new java.io.File(s"$base/history/run=$run")
+      if (!d.exists()) Set.empty[(String, Long)]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val run1Files = filesOf(cur1.runId)
+    assert(run1Files.nonEmpty, "run 2 closed a's old version")
+    // two more runs (closure + resurrection) must not touch run 2's files
+    val cur2 = Currents(tsOf(2)); val cur3 = Currents(tsOf(3))
+    Scd2Tier.historizeTiered(spark, enriched(snapC, cur2),
+      s"$base/active", s"$base/history", cur2, mode)
+    Scd2Tier.historizeTiered(spark, enriched(snapD, cur3),
+      s"$base/active", s"$base/history", cur3, mode)
+    assert(filesOf(cur1.runId) === run1Files,
+      "committed archive partitions must be immutable")
+    assert(filesOf(cur2.runId).nonEmpty, "run 3's closure landed in its own partition")
+  }
+
+  test("replay of a completed run is a fixpoint, history partition preserved") {
+    val base = Files.createTempDirectory("graft-tier-replay").toString
+    val cur0 = Currents(tsOf(0)); val cur1 = Currents(tsOf(1))
+    Scd2Tier.historizeTiered(spark, enriched(snapA, cur0),
+      s"$base/active", s"$base/history", cur0, mode)
+    Scd2Tier.historizeTiered(spark, enriched(snapC, cur1),
+      s"$base/active", s"$base/history", cur1, mode) // b stays, c closes
+    val once = rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
+    // post-swap replay: the closed set recomputes EMPTY — the guard must
+    // leave run 1's committed partition in place, not overwrite it away
+    Scd2Tier.historizeTiered(spark, enriched(snapC, cur1),
+      s"$base/active", s"$base/history", cur1, mode)
+    val twice = rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
+    assert(twice === once)
+  }
+
+  test("the archive probe is KEY_HASH-projected: history payload never loads") {
+    val base = Files.createTempDirectory("graft-tier-probe").toString
+    runAll(base)
+    val probe = Scd2Tier.historyKeys(spark, s"$base/history").get
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains(s"ReadSchema: struct<$KeyHash:string>"),
+      s"archive probe must prune to the key digest column:\n$scan")
+  }
+}
