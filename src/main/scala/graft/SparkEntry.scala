@@ -1944,6 +1944,17 @@ object SparkEntry {
           col("roll_sum").cast("double").as("roll7_rev"),
           col("n_in_window").as("n_days"))
     }),
+    // rolling DISTINCT over maintained daily HLL partials: sums cannot
+    // roll a distinct (the same user across two days counts once in the
+    // week), register-max can — each day merges its trailing 7 days'
+    // registers and estimates. The window works on synopsis rows
+    // (|types| x |days| x <=16 registers at p=4), never the events
+    "x_agg_rolling_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val daily = MaterializedAgg.partialDistinctHll(
+        ev, Seq("event_type", "day"), "user_id", p = 4)
+      MaterializedAgg.rollingDistinctHll(daily, Seq("event_type"), "day", 7, p = 4)
+    }),
     // distinct-count measure maintained the same way: per-batch KMV
     // synopses merged across batches ≡ the single-pass estimate (merge
     // law); holistic, so deletes go through touched-group repair, not
@@ -3047,6 +3058,59 @@ object SparkEntry {
     // over survivors (the merge law + recompute-repair law in one row)
     "x_agg_maintain_hll" -> duckHllSql("user_id", 4,
       where = "NOT (event_type = 'purchase' AND user_id % 2 = 0)"),
+    // rolling 7-day distinct: per-(type, day) registers window-merged by
+    // register max — the identical fixed-point estimate arithmetic as
+    // duckHllSql, grouped by (type, window day); p=4: m=16, maxRho=57
+    "x_agg_rolling_hll" -> {
+      val m = 16; val w = 56; val maxRho = 57
+      val num = graft.operators.Sketches.hllNumerator(4)
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         ${duckHash60("CAST(user_id AS VARCHAR) || '#hll'")} AS h
+         |  FROM events WHERE user_id IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT event_type, day, CAST(h % $m AS INT) AS b,
+         |         CAST(CASE WHEN h // $m = 0 THEN $maxRho
+         |                   ELSE $w + 1 - length(bin(h // $m)) END AS INT) AS m_part
+         |  FROM h
+         |),
+         |regs AS (
+         |  SELECT event_type, day, b, max(m_part) AS m_reg
+         |  FROM r GROUP BY 1, 2, 3
+         |),
+         |days AS (SELECT DISTINCT event_type, day FROM regs),
+         |wnd AS (
+         |  SELECT d.event_type, d.day, r.b, max(r.m_reg) AS m_reg
+         |  FROM days d JOIN regs r ON r.event_type = d.event_type
+         |    AND r.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2, 3
+         |),
+         |nwin AS (
+         |  SELECT d.event_type, d.day, CAST(count(*) AS INT) AS n_days
+         |  FROM days d JOIN days e ON e.event_type = d.event_type
+         |    AND e.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY 1, 2
+         |),
+         |agg AS (
+         |  SELECT event_type, day, count(*) AS np,
+         |         sum(CAST(1 AS BIGINT) << CAST($maxRho - m_reg AS INT)) AS sp
+         |  FROM wnd GROUP BY 1, 2
+         |),
+         |est AS (
+         |  SELECT event_type, day,
+         |         CAST(sp + ($m - np) * (CAST(1 AS BIGINT) << $maxRho) AS DOUBLE) AS s,
+         |         CAST($m - np AS INT) AS n_zero_regs
+         |  FROM agg
+         |)
+         |SELECT e.event_type, e.day,
+         |       round(CASE WHEN CAST($num AS DOUBLE) / s <= CAST(${2.5 * m} AS DOUBLE)
+         |                   AND n_zero_regs > 0
+         |                  THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / n_zero_regs)
+         |                  ELSE CAST($num AS DOUBLE) / s END, 6) AS est_distinct,
+         |       n_zero_regs, n.n_days
+         |FROM est e JOIN nwin n ON n.event_type = e.event_type AND n.day = e.day""".stripMargin
+    },
     // the three insert-delta triples union to exactly the from-scratch
     // inner join — the oracle is the join's definition
     "x_join_maintain" ->

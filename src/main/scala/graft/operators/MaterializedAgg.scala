@@ -393,6 +393,53 @@ object MaterializedAgg {
       .withColumn("n_in_window", count(lit(1)).over(w).cast("int"))
   }
 
+  /** Rolling-window DISTINCT over maintained per-day HLL partials —
+    * sums don't work for distinct (the same user on Monday and Tuesday
+    * must count once in the week), but register-max does: for each
+    * present day, the trailing `windowDays` days' registers merge and
+    * estimate. `dailyState` is [[partialDistinctHll]] keyed by
+    * groupCols + `dayCol` (exactly the state a maintenance stream keeps),
+    * so the window works on synopsis rows — |groups| × |days| × ≤ 2^p —
+    * never the facts: the rolling-distinct dashboard over a 100 TB event
+    * store pays daily register maintenance plus this sliver-sized
+    * self-join. The join is equi on groupCols with the day window as a
+    * post-join range (the [[EventAnalytics.attributionJoin]] shape —
+    * carry at least one group column at scale so the plan keys on it).
+    * RANGE (calendar) framing on purpose, unlike [[rollingOver]]'s ROWS:
+    * "the last 7 calendar days" is the distinct-users question, and the
+    * per-day `n_days` output makes gap-shortened windows visible.
+    *
+    * @return groupCols + (dayCol, est_distinct, n_zero_regs, n_days) */
+  def rollingDistinctHll(
+      dailyState: DataFrame,
+      groupCols: Seq[String],
+      dayCol: String,
+      windowDays: Int,
+      p: Int = 8): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val wd = "__graft_wd"
+    // the window side renames its columns up front: a self-join through
+    // frame-qualified refs on a derived frame hits Spark's ambiguous-
+    // self-join resolution; disjoint names sidestep it entirely
+    val days = dailyState
+      .select((groupCols.map(c => col(c).as(s"__w_$c")) :+
+        col(dayCol).as(wd)): _*).distinct()
+    val cond = (groupCols.map(c => col(s"__w_$c") === col(c)) :+
+      col(dayCol).between(
+        date_sub(col(wd), windowDays - 1), col(wd))).reduce(_ && _)
+    val joined = days.join(dailyState, cond)
+      .select((groupCols.map(c => col(s"__w_$c").as(c)) :+ col(wd) :+
+        col(dayCol) :+ col("b") :+ col("m_reg") :+ col("hll_p")): _*)
+    val wnd = joined
+      .groupBy((groupCols.map(col) :+ col(wd) :+ col("b")): _*)
+      .agg(max(col("m_reg")).as("m_reg"), max(col("hll_p")).as("hll_p"))
+    val est = Sketches.hllEstimate(wnd, groupCols :+ wd, p)
+    val nDays = joined
+      .groupBy((groupCols.map(col) :+ col(wd)): _*)
+      .agg(countDistinct(col(dayCol)).cast("int").as("n_days"))
+    est.join(nDays, groupCols :+ wd).withColumnRenamed(wd, dayCol)
+  }
+
   /** The standing merged state of a stream-maintained aggregate store
     * ([[graft.streaming.StreamingHistorization.aggMaintainStream]]'s
     * sink): per-batch partial states merged across their `ingest_batch`

@@ -120,6 +120,43 @@ object Scd2Tier {
       day: String): Option[DataFrame] =
     readTiered(spark, activePath, historyPath).map(Scd2.asOf(_, day))
 
+  /** Consolidate the archive's older run partitions: a daily-merged
+    * dimension accrues one `run=` partition per run (365/year of mostly
+    * small files), and closed intervals never change — so everything
+    * older than the newest `keepRuns` partitions collapses into the
+    * oldest KEPT boundary's partition, rewritten through the aside-rename
+    * swap (readers see the old or the new archive, never both — no crash
+    * window where rows exist twice). The newest partitions stay as-is so
+    * the crash-replay guard of in-flight runs still finds its own
+    * partition. Rows are re-sorted by validity inside each written
+    * partition, tightening the parquet row-group min/max on
+    * VALID_FROM/VALID_TO — exactly the stats [[asOfTiered]]'s pushed
+    * bounds prune on, so compaction makes old days CHEAPER to travel to,
+    * not just fewer files. Content-preserving and idempotent; ops
+    * cadence, never on the merge path. */
+  def compactHistory(
+      spark: SparkSession,
+      historyPath: String,
+      keepRuns: Int = 8): Unit = {
+    require(keepRuns >= 1, "keepRuns must be positive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(historyPath), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(historyPath)
+    if (!fs.exists(root)) return
+    val runs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("run="))
+      .map(_.stripPrefix("run=")).sorted
+    if (runs.length <= keepRuns) return
+    val cutoff = runs(runs.length - keepRuns)
+    val remapped = spark.read.parquet(historyPath)
+      .withColumn("run",
+        when(col("run").cast("string") < lit(cutoff), lit(cutoff))
+          .otherwise(col("run").cast("string")))
+      .repartition(col("run"))
+      .sortWithinPartitions(col("run"), col(ValidTo), col(ValidFrom))
+    Store.writeStoreSwap(remapped, historyPath, Seq("run"))
+  }
+
   /** Distinct KEY_HASH digests of the archive (None when no history
     * exists yet). Column-pruned: 32 bytes per row reach the driver plan,
     * the payload columns never leave parquet. */

@@ -245,4 +245,28 @@ class MaterializedAggSpec extends SparkSpec {
       one.limit(0), one, g, "o_orderkey", "o_totalprice", k = 5)
     assert(gone.count() === 0)
   }
+
+  test("rolling hll distinct: every window estimate equals the fresh estimate over its days") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+    val daily = MaterializedAgg.partialDistinctHll(
+      ev, Seq("event_type", "day"), "user_id", p = 4)
+    val rolled = MaterializedAgg.rollingDistinctHll(
+      daily, Seq("event_type"), "day", windowDays = 7, p = 4)
+      .collect().map(r => (r.getString(0), r.getDate(1)) ->
+        ((r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(rolled.nonEmpty)
+    // the law, checked exhaustively: each (type, day)'s rolled estimate
+    // IS the fresh single-pass estimate over that type's trailing window
+    val fresh = rolled.keys.toSeq.sortBy(_.toString).map { case (t, d) =>
+      val lo = java.sql.Date.valueOf(d.toLocalDate.minusDays(6))
+      val slice = ev.filter(col("event_type") === t &&
+        col("day").between(lit(lo), lit(d)))
+      val est = graft.operators.Sketches
+        .approxDistinctHll(slice, Nil, "user_id", p = 4).collect().head
+      val nDays = slice.select("day").distinct().count().toInt
+      (t, d) -> ((est.getDouble(0), est.getInt(1), nDays))
+    }.toMap
+    assert(rolled === fresh)
+  }
 }

@@ -103,6 +103,30 @@ class Scd2TierSpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("archive compaction consolidates old runs, preserves content and as-of reads") {
+    val base = Files.createTempDirectory("graft-tier-compact").toString
+    runAll(base) // runs 1-4: archive holds run partitions for runs 2 and 3
+    val before = rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
+    val asofBefore = rowSet(
+      Scd2Tier.asOfTiered(spark, s"$base/active", s"$base/history", "2024-01-02").get)
+    def runDirs = new java.io.File(s"$base/history").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("run=")).sorted
+    assert(runDirs.length === 2)
+    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 1)
+    assert(runDirs.length === 1, "old runs must collapse into one partition")
+    assert(rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
+      === before, "compaction must be content-preserving")
+    assert(rowSet(Scd2Tier.asOfTiered(spark, s"$base/active", s"$base/history",
+      "2024-01-02").get) === asofBefore)
+    // idempotent: a second pass changes nothing
+    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 1)
+    assert(rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
+      === before)
+    // keepRuns larger than the partition count: no-op
+    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 8)
+    assert(runDirs.length === 1)
+  }
+
   test("the archive probe is KEY_HASH-projected: history payload never loads") {
     val base = Files.createTempDirectory("graft-tier-probe").toString
     runAll(base)
