@@ -133,7 +133,15 @@ object Scd2Tier {
     * VALID_FROM/VALID_TO — exactly the stats [[asOfTiered]]'s pushed
     * bounds prune on, so compaction makes old days CHEAPER to travel to,
     * not just fewer files. Content-preserving and idempotent; ops
-    * cadence, never on the merge path. */
+    * cadence, never on the merge path.
+    *
+    * Writer contract: runs in the SAME writer's schedule as
+    * [[historizeTiered]], between runs — the tiered store is single-
+    * writer by construction (every run swap-replaces the active tier, so
+    * two concurrent runs are already excluded), and compaction inherits
+    * that slot; it does not need the concurrent-appender discipline the
+    * tombstone stores carry, because nothing appends to the archive
+    * except the run that is by contract not executing while this is. */
   def compactHistory(
       spark: SparkSession,
       historyPath: String,

@@ -779,6 +779,38 @@ object StreamingHistorization {
         scd2LifecycleBatch(batch, storePath, keyColumns, mode, loadTsForBatch(batchId))
       }
 
+  /** [[scd2LifecycleStream]] over the TIERED layout ([[graft.operators
+    * .Scd2Tier]]): same one-full-load-per-batch contract and the same
+    * replay-fixpoint exactly-once route, but each batch merges only the
+    * ACTIVE tier and appends its closures to the run-partitioned archive
+    * — the streaming shape whose per-batch cost stays bounded by the
+    * entity count for the store's whole lifetime. The tiered crash
+    * contract composes with the fixpoint: a replay before the active
+    * swap rewrites the run partition byte-identically, a replay after it
+    * computes an empty closed set and the non-empty guard leaves the
+    * committed partition alone. */
+  def scd2TieredStream(
+      snapshots: DataFrame,
+      activePath: String,
+      historyPath: String,
+      keyColumns: Seq[String],
+      checkpoint: String,
+      mode: graft.operators.Scd2.ValidFromMode = graft.operators.Scd2.ValidFromMode.LoadDate,
+      loadTsForBatch: Long => String = defaultBatchTs): DataStreamWriter[org.apache.spark.sql.Row] =
+    snapshots.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = Currents(loadTsForBatch(batchId))
+        graft.CacheScope.withScope { scope =>
+          val snap = scope.persist(graft.operators.MetaEnrichment.addMetaColumns(
+            survivorFirst(batch, keyColumns), cur, keyColumns))
+          graft.operators.Scd2Tier.historizeTiered(
+            batch.sparkSession, snap, activePath, historyPath, cur, mode)
+        }
+        ()
+      }
+
   /** One full-load application of the SCD2 lifecycle — the foreachBatch
     * core of [[scd2LifecycleStream]], separated so the crash-replay
     * fixpoint (same loadTs applied twice ≡ once) is directly testable. */

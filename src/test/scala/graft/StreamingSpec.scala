@@ -864,6 +864,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSet === fresh.collect().map(_.toSeq).toSet)
   }
 
+  test("tiered scd2 stream equals the flat lifecycle stream's store") {
+    import graft.operators.Scd2Tier
+    val dir = Files.createTempDirectory("graft-stream-tier").toString
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(graft.meta.MetaColumns.TsFormat)
+    val tsOf = (b: Long) =>
+      java.time.LocalDate.of(2024, 1, 1).plusDays(b).atTime(9, 0).format(fmt)
+    val snaps = Seq(
+      Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v"),
+      Seq(("a", "9"), ("b", "2")).toDF("k", "v"),
+      Seq(("a", "9"), ("b", "2"), ("c", "4")).toDF("k", "v"))
+    snaps.zipWithIndex.foreach { case (snap, i) =>
+      snap.coalesce(1).write.mode("append").parquet(s"$dir/in/drop$i")
+      snap.coalesce(1).write.mode("append").parquet(s"$dir/in2/drop$i")
+      val tiered = spark.readStream.schema(snaps.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      StreamingHistorization.runOnce(StreamingHistorization.scd2TieredStream(
+        tiered, s"$dir/active", s"$dir/history", Seq("k"), s"$dir/chk",
+        loadTsForBatch = tsOf))
+      val flat = spark.readStream.schema(snaps.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in2/*")
+      StreamingHistorization.runOnce(StreamingHistorization.scd2LifecycleStream(
+        flat, s"$dir/flat", Seq("k"), s"$dir/chk2", loadTsForBatch = tsOf))
+    }
+    val tiered = Scd2Tier.readTiered(spark, s"$dir/active", s"$dir/history").get
+    val flat = Store.readParquetSafe(spark, s"$dir/flat").get
+    assert(tiered.collect().map(_.toSeq).toSet === flat.collect().map(_.toSeq).toSet)
+    // and the active tier really is active-only (the cost-bound claim)
+    import graft.meta.MetaColumns.ValidTo
+    assert(spark.read.parquet(s"$dir/active")
+      .filter(col(ValidTo) =!= to_date(lit("9999-12-31"))).count() === 0)
+  }
+
   test("scd2 lifecycle batch replay is a fixpoint: same loadTs applied twice equals once") {
     val dir = Files.createTempDirectory("graft-stream-scd2-replay").toString
     val fmt = java.time.format.DateTimeFormatter.ofPattern(graft.meta.MetaColumns.TsFormat)
