@@ -424,20 +424,34 @@ object MaterializedAgg {
     val days = dailyState
       .select((groupCols.map(c => col(c).as(s"__w_$c")) :+
         col(dayCol).as(wd)): _*).distinct()
-    val cond = (groupCols.map(c => col(s"__w_$c") === col(c)) :+
+    // <=> on groups: a NULL group is a real group in the daily state
+    // (hllRegisters only filters null VALUES) and must roll like any
+    // other — plain === would silently drop it from the output
+    val cond = (groupCols.map(c => col(s"__w_$c") <=> col(c)) :+
       col(dayCol).between(
         date_sub(col(wd), windowDays - 1), col(wd))).reduce(_ && _)
-    val joined = days.join(dailyState, cond)
+    val wnd = days.join(dailyState, cond)
       .select((groupCols.map(c => col(s"__w_$c").as(c)) :+ col(wd) :+
-        col(dayCol) :+ col("b") :+ col("m_reg") :+ col("hll_p")): _*)
-    val wnd = joined
+        col("b") :+ col("m_reg") :+ col("hll_p")): _*)
       .groupBy((groupCols.map(col) :+ col(wd) :+ col("b")): _*)
       .agg(max(col("m_reg")).as("m_reg"), max(col("hll_p")).as("hll_p"))
     val est = Sketches.hllEstimate(wnd, groupCols :+ wd, p)
-    val nDays = joined
-      .groupBy((groupCols.map(col) :+ col(wd)): _*)
-      .agg(countDistinct(col(dayCol)).cast("int").as("n_days"))
-    est.join(nDays, groupCols :+ wd).withColumnRenamed(wd, dayCol)
+    // n_days depends only on the (group, day) pairs: derive it from the
+    // sliver-sized `days` frame joined to itself, not by re-running the
+    // register join a second time
+    val nDays = days.join(
+        days.select((groupCols.map(c => col(s"__w_$c").as(s"__e_$c")) :+
+          col(wd).as("__ed")): _*),
+        (groupCols.map(c => col(s"__w_$c") <=> col(s"__e_$c")) :+
+          col("__ed").between(
+            date_sub(col(wd), windowDays - 1), col(wd))).reduce(_ && _))
+      .groupBy((groupCols.map(c => col(s"__w_$c")) :+ col(wd).as("__nd")): _*)
+      .agg(count(lit(1)).cast("int").as("n_days"))
+    est.join(nDays,
+        (groupCols.map(c => col(c) <=> col(s"__w_$c")) :+
+          (col(wd) <=> col("__nd"))).reduce(_ && _))
+      .drop((groupCols.map(c => s"__w_$c") :+ "__nd"): _*)
+      .withColumnRenamed(wd, dayCol)
   }
 
   /** The standing merged state of a stream-maintained aggregate store

@@ -59,6 +59,9 @@ object Scd2Tier {
       historyPath: String,
       currents: Currents,
       mode: Scd2.ValidFromMode): Unit = {
+    // a replay landing in a crashed swap's rename gap must NOT mistake
+    // the mid-swap store for "no store yet" and bootstrap over it
+    Store.healSwap(spark, activePath)
     Store.readParquetSafe(spark, activePath) match {
       case None =>
         // bootstrap: every row is new_only; nothing can close on run 1
@@ -101,13 +104,22 @@ object Scd2Tier {
   def readTiered(
       spark: SparkSession,
       activePath: String,
-      historyPath: String): Option[DataFrame] =
-    Store.readParquetSafe(spark, activePath).map { active =>
-      Store.readParquetSafe(spark, historyPath)
+      historyPath: String): Option[DataFrame] = {
+    // a reader racing a swap's rename gap (active: a concurrent run;
+    // history: compactHistory) sees the target missing while the `.old`
+    // aside holds the complete pre-swap store — fall through to it
+    // rather than silently reading "no store": for the archive that
+    // would mean every past version vanishing from this read
+    def readWithAside(p: String) =
+      Store.readParquetSafe(spark, p)
+        .orElse(Store.readParquetSafe(spark, p + ".old"))
+    readWithAside(activePath).map { active =>
+      readWithAside(historyPath)
         .map(h => h.drop("run").select(active.columns.map(col).toSeq: _*)
           .unionByName(active))
         .getOrElse(active)
     }
+  }
 
   /** Point-in-time read over the tiered store. Both validity bounds push
     * to the parquet scans of BOTH tiers; the archive's immutability makes
@@ -146,7 +158,16 @@ object Scd2Tier {
       spark: SparkSession,
       historyPath: String,
       keepRuns: Int = 8): Unit = {
-    require(keepRuns >= 1, "keepRuns must be positive")
+    // >= 2, not >= 1: the NEWEST partition must never be a fold target.
+    // The one run that can legitimately replay after a crash is the
+    // latest, and its replay overwrites its own `run=` partition — if
+    // compaction had folded the whole archive into that partition
+    // (keepRuns = 1), the replay's overwrite would destroy every older
+    // closed interval. With the newest kept as-is, a fold target is
+    // always a completed run that can no longer replay.
+    require(keepRuns >= 2,
+      "keepRuns must be >= 2: the newest run partition must stay out of the fold "
+        + "so a crash-replay's partition overwrite cannot destroy folded history")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(historyPath), spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(historyPath)

@@ -388,12 +388,23 @@ object Sketches {
     * `x_sketch_hll_merged` oracle pins by reusing the fresh statement). */
   def hllMerge(synopses: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
     require(synopses.nonEmpty, "need at least one synopsis")
-    // carry the geometry through: max() is only the idempotent no-op it
-    // must be when all inputs share one p — mixed-p inputs surface at the
-    // next [[hllEstimate]], whose per-row hll_p check some row then fails
+    // carry the geometry through and REFUSE to blend geometries: a
+    // max(hll_p) would relabel a mixed-p bucket as the larger p and the
+    // downstream [[hllEstimate]] guard would pass on every row — the
+    // per-bucket min/max equality check turns the overwhelmingly likely
+    // bucket collision between two geometries (p=4's 16 buckets are a
+    // subset of any larger p's) into an in-plan error instead
     synopses.reduce(_ unionByName _)
       .groupBy((groupCols.map(col) :+ col("b")): _*)
-      .agg(max(col("m_reg")).as("m_reg"), max(col("hll_p")).as("hll_p"))
+      .agg(max(col("m_reg")).as("m_reg"),
+        min(col("hll_p")).as("__pmin"), max(col("hll_p")).as("__pmax"))
+      .withColumn("hll_p",
+        when(col("__pmin") === col("__pmax"), col("__pmax"))
+          .otherwise(raise_error(concat(
+            lit("hllMerge: synopses built with different p (min="),
+            col("__pmin"), lit(", max="), col("__pmax"),
+            lit(") cannot merge — their register geometries are incompatible")))))
+      .drop("__pmin", "__pmax")
   }
 
   /** The paper's bias-correction constant α_m (small-m table, then the

@@ -247,6 +247,20 @@ object Store {
     * resolves `path` in the instant between the two renames fails to list
     * it — is closed by the generation layout ([[writeStoreGeneration]]),
     * where commits never touch the directory a reader resolved. */
+  /** Repair a crashed [[writeStoreSwap]]: if the target is missing and
+    * the `.old` aside exists, the crash fell between the swap's two
+    * renames — restore the aside. MUST run before any decision that
+    * branches on the store's existence (e.g. an SCD2 lifecycle's
+    * bootstrap-vs-merge choice): deciding from a raw read first would
+    * see the mid-swap gap as "no store yet" and bootstrap OVER the
+    * store the next swap's inline self-heal restores a moment later. */
+  def healSwap(spark: SparkSession, path: String): Unit = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val aside = new Path(path + ".old")
+    if (!fs.exists(target) && fs.exists(aside)) { fs.rename(aside, target); () }
+  }
+
   def writeStoreSwap(df: DataFrame, path: String, partitionColumns: Seq[String]): Unit = {
     val spark = df.sparkSession
     val tmp   = path + ".tmp"
@@ -256,7 +270,7 @@ object Store {
     val aside   = new Path(path + ".old")
     // self-heal a crash between the renames of a previous swap BEFORE
     // planning reads `path` (the write below may have lineage on it)
-    if (!fs.exists(target) && fs.exists(aside)) fs.rename(aside, target)
+    healSwap(spark, path)
     writeStore(df, tmp, partitionColumns)
     if (fs.exists(aside)) fs.delete(aside, true)
     if (fs.exists(target)) fs.rename(target, aside)

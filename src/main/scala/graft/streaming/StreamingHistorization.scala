@@ -771,7 +771,7 @@ object StreamingHistorization {
       keyColumns: Seq[String],
       checkpoint: String,
       mode: graft.operators.Scd2.ValidFromMode = graft.operators.Scd2.ValidFromMode.LoadDate,
-      loadTsForBatch: Long => String = defaultBatchTs): DataStreamWriter[org.apache.spark.sql.Row] =
+      loadTsForBatch: Long => String = defaultBatchDayTs): DataStreamWriter[org.apache.spark.sql.Row] =
     snapshots.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -796,7 +796,7 @@ object StreamingHistorization {
       keyColumns: Seq[String],
       checkpoint: String,
       mode: graft.operators.Scd2.ValidFromMode = graft.operators.Scd2.ValidFromMode.LoadDate,
-      loadTsForBatch: Long => String = defaultBatchTs): DataStreamWriter[org.apache.spark.sql.Row] =
+      loadTsForBatch: Long => String = defaultBatchDayTs): DataStreamWriter[org.apache.spark.sql.Row] =
     snapshots.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -822,6 +822,9 @@ object StreamingHistorization {
       loadTs: String): Unit = {
     val session = batch.sparkSession
     val cur = Currents(loadTs)
+    // a replay landing in a crashed swap's rename gap must NOT mistake
+    // the mid-swap store for "no store yet" and bootstrap over it
+    Store.healSwap(session, storePath)
     graft.CacheScope.withScope { scope =>
       // full loads are key-unique by contract; at-least-once re-delivery
       // within the batch collapses to the deterministic survivor first
@@ -870,6 +873,19 @@ object StreamingHistorization {
     * second per batch id — unique run ids without wall-clock dependence. */
   def defaultBatchTs(batchId: Long): String = {
     val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(batchId)
+    base.format(java.time.format.DateTimeFormatter.ofPattern(graft.meta.MetaColumns.TsFormat))
+  }
+
+  /** [[defaultBatchTs]]'s DAY-granular sibling: one day per batch id —
+    * the right default for the SCD2 lifecycle streams, whose close /
+    * reopen semantics are day-granular (`VALID_TO = runDay − 1`,
+    * reopen at `runDay`). Under the seconds-granular default every
+    * micro-batch would share runDay 2024-01-01: a changed key's old
+    * version closes at 2023-12-31 < its own VALID_FROM — an inverted
+    * interval no as-of day matches — and delete gaps are unobservable.
+    * Production callers pass the snapshot's business date instead. */
+  def defaultBatchDayTs(batchId: Long): String = {
+    val base = java.time.LocalDate.of(2024, 1, 1).plusDays(batchId).atTime(9, 0)
     base.format(java.time.format.DateTimeFormatter.ofPattern(graft.meta.MetaColumns.TsFormat))
   }
 

@@ -106,25 +106,36 @@ class Scd2TierSpec extends SparkSpec {
   test("archive compaction consolidates old runs, preserves content and as-of reads") {
     val base = Files.createTempDirectory("graft-tier-compact").toString
     runAll(base) // runs 1-4: archive holds run partitions for runs 2 and 3
+    // run 5 changes b, closing its old version into a third partition
+    val cur4 = Currents(tsOf(4))
+    Scd2Tier.historizeTiered(spark,
+      enriched(Seq(("a", "9"), ("b", "7"), ("c", "4")), cur4),
+      s"$base/active", s"$base/history", cur4, mode)
     val before = rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
     val asofBefore = rowSet(
       Scd2Tier.asOfTiered(spark, s"$base/active", s"$base/history", "2024-01-02").get)
     def runDirs = new java.io.File(s"$base/history").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("run=")).sorted
-    assert(runDirs.length === 2)
-    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 1)
-    assert(runDirs.length === 1, "old runs must collapse into one partition")
+    assert(runDirs.length === 3)
+    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 2)
+    assert(runDirs.length === 2,
+      "old runs fold into the oldest KEPT partition; the newest stays as-is")
     assert(rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
       === before, "compaction must be content-preserving")
     assert(rowSet(Scd2Tier.asOfTiered(spark, s"$base/active", s"$base/history",
       "2024-01-02").get) === asofBefore)
     // idempotent: a second pass changes nothing
-    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 1)
+    Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 2)
     assert(rowSet(Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get)
       === before)
     // keepRuns larger than the partition count: no-op
     Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 8)
-    assert(runDirs.length === 1)
+    assert(runDirs.length === 2)
+    // keepRuns = 1 would let a crash-replay's partition overwrite destroy
+    // the folded archive — refused outright
+    intercept[IllegalArgumentException] {
+      Scd2Tier.compactHistory(spark, s"$base/history", keepRuns = 1)
+    }
   }
 
   test("the archive probe is KEY_HASH-projected: history payload never loads") {

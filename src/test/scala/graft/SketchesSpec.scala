@@ -307,6 +307,21 @@ class SketchesSpec extends SparkSpec {
     }
     assert(messages(ex3).exists(_.contains("hll synopsis inconsistent with p=8")),
       s"unexpected failure: $ex3")
+    // MIXED-p merge must fail loudly, not relabel: a max(hll_p) would
+    // stamp every colliding bucket with the larger p and the estimate
+    // guard would pass on garbage geometry. Which guard fires first is
+    // row-order dependent (the merge's per-bucket mixed-p raise, or the
+    // estimate's hll_p check on an uncollided minority-p bucket) — either
+    // is the loud failure the law requires
+    val ex4 = intercept[Exception] {
+      Sketches.hllEstimate(
+        Sketches.hllMerge(Seq(low, regs), Seq("event_type")),
+        Seq("event_type"), p = 8).collect()
+    }
+    assert(messages(ex4).exists(m =>
+      m.contains("hllMerge: synopses built with different p") ||
+        m.contains("hll synopsis inconsistent with p=8")),
+      s"unexpected failure: $ex4")
   }
 
   test("hll registers are invariant under repartitioning") {
