@@ -64,7 +64,16 @@ object Scd2Tier {
     Store.healSwap(spark, activePath)
     Store.readParquetSafe(spark, activePath) match {
       case None =>
-        // bootstrap: every row is new_only; nothing can close on run 1
+        // bootstrap: every row is new_only; nothing can close on run 1.
+        // REFUSE to bootstrap over a standing archive — an active tier
+        // lost out-of-band with closed history still present would open
+        // fresh mode-epoch intervals OVERLAPPING the archived ones (asOf
+        // would return two rows for covered days); that store needs
+        // operator repair, not a silent re-genesis
+        require(Store.readParquetSafe(spark, historyPath).forall(_.isEmpty),
+          s"active tier at $activePath is missing but the archive at "
+            + s"$historyPath holds closed history — refusing to bootstrap "
+            + "overlapping epochs over it")
         Store.writeStoreSwap(
           Scd2.historizeDataset(newDf, None, currents, mode), activePath, Nil)
       case Some(activeStore) =>

@@ -138,6 +138,23 @@ class Scd2TierSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap over a standing archive is refused, not silently re-genesised") {
+    val base = Files.createTempDirectory("graft-tier-regen").toString
+    runAll(base)
+    // simulate the active tier lost out-of-band; the archive still holds
+    // closed intervals — re-bootstrapping would overlap their epochs
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$base/active"))
+    val cur = Currents(tsOf(9))
+    val ex = intercept[IllegalArgumentException] {
+      Scd2Tier.historizeTiered(spark, enriched(snapD, cur),
+        s"$base/active", s"$base/history", cur, mode)
+    }
+    assert(ex.getMessage.contains("refusing to bootstrap"))
+  }
+
   test("the archive probe is KEY_HASH-projected: history payload never loads") {
     val base = Files.createTempDirectory("graft-tier-probe").toString
     runAll(base)
