@@ -138,6 +138,41 @@ class Scd2TierSpec extends SparkSpec {
     }
   }
 
+  test("tiered equals flat over randomized snapshot sequences (seeded)") {
+    // the hand-built 4-run case exercises each lifecycle branch once;
+    // this drives RANDOM interleavings of change/vanish/return across a
+    // 6-key universe — the orderings that tend to break incremental
+    // stores (vanish-then-change-then-vanish, same-run change+return of
+    // different keys, multi-epoch resurrection)
+    val rnd = new scala.util.Random(20260814L)
+    val keysUniverse = ('a' to 'f').map(_.toString)
+    (1 to 3).foreach { trial =>
+      val base = Files.createTempDirectory(s"graft-tier-prop$trial").toString
+      var flat: Option[org.apache.spark.sql.DataFrame] = None
+      (0 until 5).foreach { runIdx =>
+        val cur = Currents(tsOf(runIdx + 10 * trial))
+        // every key present with probability 2/3; value changes freely
+        val rows = keysUniverse.flatMap(k =>
+          if (rnd.nextInt(3) < 2) Some(k -> rnd.nextInt(3).toString) else None)
+        // run 0 must be non-empty for a meaningful bootstrap
+        val snap = if (rows.isEmpty) Seq("a" -> "0") else rows
+        val e = enriched(snap, cur)
+        Scd2Tier.historizeTiered(spark, e,
+          s"$base/active", s"$base/history", cur, mode)
+        // localCheckpoint truncates the flat chain's lineage each round —
+        // five stacked merges of un-truncated plans re-analyze the whole
+        // history per action and turn this spec into minutes of planning
+        flat = Some((flat match {
+          case None => Scd2.historizeDataset(e, None, cur, mode)
+          case Some(f) =>
+            Scd2.closeVanished(Scd2.mergeScd2Reopen(f, e, cur, mode), e, cur)
+        }).localCheckpoint())
+      }
+      val tiered = Scd2Tier.readTiered(spark, s"$base/active", s"$base/history").get
+      assert(rowSet(tiered) === rowSet(flat.get), s"trial $trial diverged")
+    }
+  }
+
   test("bootstrap over a standing archive is refused, not silently re-genesised") {
     val base = Files.createTempDirectory("graft-tier-regen").toString
     runAll(base)
