@@ -156,9 +156,15 @@ object Similarity {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // a null cosine (null/empty corpus embedding) can never be a
+    // neighbor — drop it HERE so both ranking paths agree: the window
+    // path would sort it last (usually invisible), but the aggregator
+    // path's non-nullable Double input field would kill the whole job
+    // on the first null row
+    val nonNull = scored.filter(col("cos").isNotNull)
     if (integral) {
       val topk = udaf(TopKAggregator(k))
-      scored
+      nonNull
         .groupBy("query_id")
         .agg(topk(col("cos"), col("corpus_id").cast("long")).as("tk"))
         .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "r")))
@@ -169,7 +175,7 @@ object Similarity {
           (col("pos") + 1).cast("int").as("rank"))
     } else {
       val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id").asc)
-      scored.withColumn("rank", row_number().over(w))
+      nonNull.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select("query_id", "corpus_id", "cos", "rank")
     }
@@ -543,12 +549,19 @@ object Similarity {
       .toSeq.toDF("cid", "centroid", "nrm")
   }
 
-  private def collectIvfCentroids(centroidsDf: DataFrame): Array[(Int, Seq[Double], Double)] =
-    centroidsDf.select(col("cid"), col("centroid"), col("nrm")).collect()
+  private def collectIvfCentroids(centroidsDf: DataFrame): Array[(Int, Seq[Double], Double)] = {
+    val rows = centroidsDf.select(col("cid"), col("centroid"), col("nrm")).collect()
+    // fail fast like collectPqCodebooks: zero centroids would build an
+    // empty array() whose getField later dies in analysis with an
+    // opaque "can't extract value" instead of naming the real problem
+    require(rows.nonEmpty,
+      "centroid frame is empty — train centroids over a non-empty corpus first")
+    rows
       .map(r => (r.getInt(0),
         r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue),
         r.getDouble(2)))
       .sortBy(_._1)
+  }
 
   /** The inverted file for a stored [[ivfCentroids]] frame: (`corpusIdCol`,
     * cid) — each corpus row's nearest cell by the same (cos, cid) argmax
@@ -636,10 +649,17 @@ object Similarity {
   def quantizeInt8(vec: Column): Column = {
     val scale = aggregate(vec, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    // the divisor must NOT be referenced inside a per-element lambda:
+    // higher-order functions are interpreted with no subexpression
+    // elimination, so `transform(vec, x => x / scale)` re-runs the
+    // max-abs fold for EVERY component — O(dims²) per row. array_repeat
+    // evaluates the fold once per row and zip_with reads it as a plain
+    // element: three O(dims) folds total instead
     struct(
       scale.as("scale"),
       when(scale === 0.0, transform(vec, _ => lit(0)))
-        .otherwise(transform(vec, x => round(x.cast("double") / scale).cast("int")))
+        .otherwise(zip_with(vec, array_repeat(scale, size(vec)),
+          (x, s) => round(x.cast("double") / s).cast("int")))
         .as("codes"))
   }
 
@@ -930,6 +950,10 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val cents = collectPqCodebooks(codebook)
     val m = cents.length
+    // same guard as every sibling entry point: a dims not divisible by
+    // the stored codebook's m would silently truncate the subspace width
+    // and misalign every ADC table — wrong scores, not an error
+    require(dims % m == 0, s"dims $dims must divide into $m subspaces")
     val enc = encoded.select(col(corpusIdCol).as("corpus_id") +:
       (0 until m).map(s => element_at(col("codes"), s + 1).as(s"c$s")): _*)
     pqProbeCore(queries, queryIdCol, queryVecCol, enc, cents,

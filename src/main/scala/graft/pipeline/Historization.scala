@@ -76,6 +76,9 @@ object Historization {
       recordHashExclude: Seq[String] = Nil): DataFrame = {
     val currents = loadTs.map(Currents(_)).getOrElse(Currents.now())
     val enriched = MetaEnrichment.addMetaColumns(newData, currents, keyColumns, recordHashExclude)
+    // a crashed swap's rename gap must not read as "no store yet" — the
+    // bootstrap branch below would silently discard the whole history
+    Store.healTableSwap(spark, table)
     if (!spark.catalog.tableExists(table)) {
       // Bootstrap (main.py:20-21): everything is delta.
       Store.writeStoreTable(enriched, table, buckets)

@@ -185,10 +185,32 @@ object Store {
   def writeStoreTableSwap(df: DataFrame, table: String, buckets: Int = 256): Unit = {
     val spark = df.sparkSession
     val tmp   = table + "__swap"
+    // heal FIRST, for the same reason writeStoreSwap does: a crash of a
+    // previous swap between DROP and RENAME leaves the store only under
+    // the swap name — the opening DROP of tmp would otherwise delete the
+    // sole surviving copy, and df's lineage on the missing table would
+    // fail anyway
+    healTableSwap(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     writeStoreTable(df, tmp, buckets)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    ()
+  }
+
+  /** Catalog twin of [[healSwap]]: if `table` is missing but its
+    * `__swap` sibling exists, a [[writeStoreTableSwap]] crashed between
+    * its DROP and RENAME — restore the swap. MUST run before any
+    * bootstrap-vs-merge decision that branches on the table's existence
+    * (e.g. [[graft.pipeline.Historization.historizeRunTable]]): deciding
+    * from a raw existence check would see the mid-swap gap as "no store
+    * yet" and silently bootstrap over the whole accumulated history. */
+  def healTableSwap(spark: SparkSession, table: String): Unit = {
+    val tmp = table + "__swap"
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      ()
+    }
   }
 
   /** Bucket-pruned read of the rows that can contain `keyHash`: resolves the
@@ -323,7 +345,11 @@ object Store {
       fs.listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(GenPrefix))
         .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.getName.stripPrefix(GenPrefix).toLong)
+        // non-numeric suffixes (an operator's gen-...bak copy) are not
+        // generations — skip them like existingGenerations does, instead
+        // of one stray directory poisoning every read of the store
+        .flatMap(s => scala.util.Try(
+          s.getPath.getName.stripPrefix(GenPrefix).toLong).toOption)
         .sorted
   }
 
@@ -487,13 +513,57 @@ object Store {
     val root = new Path(path)
     val preGens = listGenerations(spark, path)
     if (preGens.isEmpty) return Map.empty
-    val ids = broadcast(removed.select(col(removed.columns.head).as(idCol)).distinct())
+    val ids = broadcast(removalIds(removed, idCol))
     preGens.map { g =>
+      val genDir = new Path(generationPath(path, g))
+      // preserve a partitioned generation's layout: an explicit caller
+      // choice wins, otherwise detect the hive chain from the directory
+      // itself — rewriting a day-partitioned store flat would silently
+      // turn every partition-pruned reader into a full scan
+      val parts =
+        if (partitionColumns.nonEmpty) partitionColumns
+        else detectPartitionColumns(fs, genDir)
       val purged = readStoreGeneration(spark, path, g).join(ids, Seq(idCol), "left_anti")
       val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
-      writeStore(purged, build.toString, partitionColumns)
+      writeStore(purged, build.toString, parts)
       g -> commitGeneration(fs, root, build)
     }.toMap
+  }
+
+  /** Hive partition columns of an existing parquet directory, detected
+    * from its `col=value` subdirectory chain (outermost first); empty
+    * for a flat layout. Lets the generation-rewrite maintenance paths
+    * (purge, compaction) preserve a partitioned layout without threading
+    * the original writer's partitionColumns through every signature. */
+  private def detectPartitionColumns(fs: FileSystem, dir: Path): Seq[String] = {
+    @annotation.tailrec
+    def walk(d: Path, acc: Seq[String]): Seq[String] = {
+      val subs =
+        if (!fs.exists(d)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(d).filter(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) acc
+      else walk(subs.head.getPath,
+        acc :+ subs.head.getPath.getName.takeWhile(_ != '='))
+    }
+    walk(dir, Nil)
+  }
+
+  /** The removal-id column of a takedown frame: the column NAMED `idCol`
+    * when present, otherwise the frame's single column. A multi-column
+    * frame without `idCol` is ambiguous and refused — silently purging on
+    * whatever column happened to be first would typically anti-join on
+    * nothing and report a compliance erasure as done while the targeted
+    * rows survive. */
+  private def removalIds(removed: DataFrame, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (removed.columns.contains(idCol)) removed.select(col(idCol)).distinct()
+    else {
+      require(removed.columns.length == 1,
+        s"removal frame has columns [${removed.columns.mkString(", ")}] and none is "
+          + s"'$idCol' — pass a single-column frame or one carrying $idCol")
+      removed.select(col(removed.columns.head).as(idCol)).distinct()
+    }
   }
 
   /** Prune EVERYTHING pre-purge at `path`: committed generations below
@@ -590,18 +660,16 @@ object Store {
     val (gen, df) = readStoreLatest(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed generation at $path"))
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
-    def parquetCount(p: Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
     val genDir = new Path(generationPath(path, gen))
-    val before = parquetCount(genDir)
+    val before = countParquetFiles(fs, genDir)
     val bytes = fs.getContentSummary(genDir).getLength
     val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val next = writeStoreGeneration(df.repartition(numFiles), path, keep = keep)
-    (before, parquetCount(new Path(generationPath(path, next))))
+    // preserve a partitioned generation's hive layout — compacting a
+    // day-partitioned store flat would break every partition-pruned read
+    val parts = detectPartitionColumns(fs, genDir)
+    val next = writeStoreGeneration(
+      df.repartition(numFiles), path, partitionColumns = parts, keep = keep)
+    (before, countParquetFiles(fs, new Path(generationPath(path, next))))
   }
 
   /** CROSS-STORE atomic visibility: commit several derived stores AND a
@@ -857,7 +925,7 @@ object Store {
     import org.apache.spark.sql.functions.{broadcast, col}
     readParquetSafe(spark, path) match {
       case Some(df) =>
-        val ids = broadcast(removed.select(col(removed.columns.head).as(idCol)).distinct())
+        val ids = broadcast(removalIds(removed, idCol))
         val kept = df.join(ids, Seq(idCol), "left_anti")
         // count the hits directly (one broadcast semi-join pass) instead of
         // full-store counts before and after the swap
@@ -898,13 +966,7 @@ object Store {
     require(targetBytes >= 1, "targetBytes must be positive")
     import org.apache.spark.sql.functions.col
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
-    def parquetCount(p: Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }
-    val before = parquetCount(new Path(path))
+    val before = countParquetFiles(fs, new Path(path))
     val bytes = fs.getContentSummary(new Path(path)).getLength
     val numFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(path)
@@ -915,7 +977,16 @@ object Store {
       if (partitionColumns.isEmpty) df.repartition(numFiles)
       else df.repartitionByRange(numFiles, partitionColumns.map(col): _*)
     writeStoreSwap(compacted, path, partitionColumns)
-    (before, parquetCount(new Path(path)))
+    (before, countParquetFiles(fs, new Path(path)))
+  }
+
+  /** Recursive count of `.parquet` data files under `p` — the
+    * before/after accounting both compaction paths report. */
+  private def countParquetFiles(fs: FileSystem, p: Path): Long = {
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   /** Canonicalize a store read back to `schema`'s column order and types.

@@ -40,6 +40,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.count() === 5)
   }
 
+  test("a null corpus embedding is excluded from top-k, never a job failure") {
+    // one bad row must not kill the whole ranking: the aggregator path's
+    // (Double, Long) input encoder would die on a null cosine — both
+    // ranking paths now drop null scores up front, identically
+    val dirty = vecs.unionByName(
+      Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val got = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), dirty, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val ids = got.select("corpus_id").as[Long].collect().toSet
+    assert(!ids.contains(9L), "null embedding can never be a neighbor")
+    assert(ids === Set(1L, 2L, 3L, 4L)) // everything real, self excluded
+    // string-id twin takes the window path — same exclusion
+    val gotS = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0).select($"vec_id".cast("string").as("vec_id"), $"embedding"),
+      dirty.select($"vec_id".cast("string").as("vec_id"), $"embedding"),
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    assert(gotS.select("corpus_id").as[String].collect().toSet === Set("1", "2", "3", "4"))
+  }
+
   test("srp bucket key is deterministic, one bit per plane") {
     val b = vecs.select(Similarity.srpBucket($"embedding", 8).as("b")).as[String].collect()
     assert(b.forall(_.length === 8))

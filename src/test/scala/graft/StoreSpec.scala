@@ -642,6 +642,82 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(path + ".tmp").exists())
   }
 
+  test("table swap heals its rename-gap crash instead of bootstrapping over history") {
+    import graft.pipeline.Historization
+    val table = "graft_heal_table"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__swap")
+    try {
+      val snap1 = (1 to 50).map(i => (s"k$i", "v1")).toDF("k", "v")
+      Historization.historizeRunTable(spark, snap1, table, Seq("k"),
+        Some("2024-01-01 10:00:00"), buckets = 2)
+      // simulate the crash window of a later swap: table dropped, the new
+      // generation stranded under the swap name
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__swap")
+      assert(!spark.catalog.tableExists(table))
+      // the next run must heal and MERGE — a raw existence check would
+      // bootstrap and silently discard the accumulated history
+      val snap2 = (1 to 50).map(i => (s"k$i", "v2")).toDF("k", "v")
+      val out = Historization.historizeRunTable(spark, snap2, table, Seq("k"),
+        Some("2024-02-01 10:00:00"), buckets = 2)
+      assert(out.count() === 100, "history must survive the crash-heal (50 v1 + 50 v2)")
+      assert(!spark.catalog.tableExists(s"${table}__swap"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__swap")
+      ()
+    }
+  }
+
+  test("generation compaction and purge preserve a hive-partitioned layout") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_part").toString + "/store"
+    val df = (1 to 300).map(i => (i.toLong, s"p${i % 3}", s"v$i")).toDF("id", "p", "v")
+    Store.writeStoreGeneration(df.repartition(10), path, partitionColumns = Seq("p"), keep = 3)
+    def partDirs(gen: Long) = new java.io.File(Store.generationPath(path, gen))
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("p=")).sorted
+    val (_, _) = Store.compactStoreGenerations(spark, path, keep = 3)
+    val compacted = Store.readStoreLatest(spark, path).get
+    assert(partDirs(compacted._1).toSeq === Seq("p=p0", "p=p1", "p=p2"),
+      "compaction must keep the hive layout, not flatten it")
+    assert(compacted._2.count() === 300)
+    // purge rewrite: same preservation without an explicit partitionColumns
+    val mapping = Store.purgeGenerations(spark, path,
+      Seq(1L, 2L).toDF("id"), "id")
+    val purged = Store.readStoreLatest(spark, path).get
+    assert(mapping.nonEmpty)
+    assert(partDirs(purged._1).toSeq === Seq("p=p0", "p=p1", "p=p2"),
+      "purge must keep the hive layout, not flatten it")
+    assert(purged._2.count() === 298)
+  }
+
+  test("removal frames: named id column wins, ambiguous multi-column frames are refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_removal").toString + "/s"
+    (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(dir)
+    // a frame carrying extra columns BUT the id column by name: id wins
+    val takedown = Seq(("gdpr", 3L), ("gdpr", 4L)).toDF("reason", "id")
+    val n = Store.deleteFromStore(spark, dir, takedown, "id", countDeleted = true)
+    assert(n === Some(2L))
+    assert(spark.read.parquet(dir).count() === 18)
+    // a multi-column frame with NO column named id is ambiguous — refused
+    // (selecting whichever column is first would silently purge nothing)
+    val ambiguous = Seq(("gdpr", 5L)).toDF("reason", "doc")
+    intercept[IllegalArgumentException] {
+      Store.deleteFromStore(spark, dir, ambiguous, "id")
+    }
+  }
+
+  test("listGenerations skips non-numeric gen-like directories instead of failing") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gen_junk").toString + "/store"
+    val g1 = Store.writeStoreGeneration(Seq(1L).toDF("id"), path)
+    // an operator's manual aside: looks like a generation, parses as none
+    val junk = new java.io.File(s"$path/gen-0000000000009.bak")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/gen-0000000000009.bak/_SUCCESS"), Array[Byte]())
+    assert(Store.listGenerations(spark, path) === Seq(g1))
+    assert(Store.readStoreLatest(spark, path).get._1 === g1)
+  }
+
   test("bucketed point-lookup as-of reads one bucket and matches the full-scan path") {
     import graft.operators.Scd2
     import graft.operators.Scd2.ValidFromMode
