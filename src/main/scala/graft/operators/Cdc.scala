@@ -24,6 +24,12 @@ import graft.meta.MetaColumns
 object Cdc {
   import MetaColumns.{Deleted, KeyHash, RecordHash}
 
+  /** [[delta]]'s output column order (the Seq-join puts the join keys
+    * first) — shared by every alternate delta route so their outputs
+    * stay provably column-aligned with the reference form. */
+  private def deltaOutputOrder(newData: DataFrame): Seq[String] =
+    Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
+
   /** Inserts + updates: rows of `newData` with no (KEY_HASH, RECORD_HASH)
     * match in `currentData` (MetaColumnHelpers.py:180-184; SQL main.py:12). */
   def delta(currentData: DataFrame, newData: DataFrame): DataFrame =
@@ -43,8 +49,7 @@ object Cdc {
   def deltaBucketed(currentData: DataFrame, newData: DataFrame): DataFrame = {
     val sets = currentData.groupBy(col(KeyHash))
       .agg(collect_set(col(RecordHash)).as("__cur_rhs"))
-    val deltaOrder = // mimic delta's Seq-join output order exactly
-      Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
+    val deltaOrder = deltaOutputOrder(newData)
     newData.join(sets, Seq(KeyHash), "left_outer")
       .filter(col("__cur_rhs").isNull || !array_contains(col("__cur_rhs"), col(RecordHash)))
       .select(deltaOrder.map(col): _*)
@@ -80,9 +85,16 @@ object Cdc {
   /** j-th Bloom bit position of a row's digest pair: 60-bit md5 prefix
     * mod `bits` (SQL-string form: the pos feeds variable-distance shifts,
     * which the Scala DSL wrappers fix at literal distances). */
-  private def bloomPosSql(bits: Int, salt: String)(j: Int): String =
+  private def bloomPosSql(bits: Int, salt: String)(j: Int): String = {
+    // the salt lands inside a SQL string literal: a quote (or backslash)
+    // would terminate it early and silently change the hash recipe —
+    // refuse rather than escape, so Scala-DSL and SQL forms stay
+    // byte-identical on the same salt
+    require(!salt.exists(c => c == '\'' || c == '\\'),
+      s"bloom salt must not contain quotes or backslashes: $salt")
     s"pmod(CAST(conv(substring(md5(concat(`$KeyHash`, `$RecordHash`, '#$salt#$j')), 1, 15)" +
       s", 16, 10) AS BIGINT), ${bits}L)"
+  }
 
   /** PERSISTABLE Bloom synopsis of a store's (KEY_HASH, RECORD_HASH)
     * pairs: sparse (w, m) word rows — word index, 64-bit mask — built
@@ -154,8 +166,7 @@ object Cdc {
     require(numHashes >= 1, "numHashes must be at least 1")
     val words = collectBloomWords(bloomSynopsis(currentData, bits, numHashes, salt), bits)
     val flagged = bloomFlag(newData, words, bits, numHashes, salt)
-    val deltaOrder = // match delta's Seq-join output order
-      Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
+    val deltaOrder = deltaOutputOrder(newData)
     val definite = flagged.filter(!col("__maybe"))
       .drop("__maybe").select(deltaOrder.map(col): _*)
     val viaJoin = flagged.filter(col("__maybe")).drop("__maybe")
@@ -232,8 +243,7 @@ object Cdc {
     // batch's source pipeline per branch — the batch is small by the
     // regime's contract, so the cache is batch-bounded
     val flagged = scope.persist(bloomFlag(newData, words, bits, numHashes, salt))
-    val deltaOrder = // match delta's Seq-join output order
-      Seq(KeyHash, RecordHash) ++ newData.columns.filterNot(Set(KeyHash, RecordHash))
+    val deltaOrder = deltaOutputOrder(newData)
     val definite = flagged.filter(!col("__maybe"))
       .drop("__maybe").select(deltaOrder.map(col): _*)
     val maybe = flagged.filter(col("__maybe")).drop("__maybe")
@@ -241,6 +251,13 @@ object Cdc {
     // the distinct would be the route's ONLY shuffle — the whole plan
     // stays exchange-free below the broadcasts (pinned in PlanAuditSpec)
     val maybePairs = maybe.select(col(KeyHash), col(RecordHash))
+    // `matched` is batch-bounded because (KEY_HASH, RECORD_HASH) is
+    // UNIQUE in the historized store by construction — the append path
+    // only ever adds pairs the anti-join proved novel — so the semi-join
+    // returns at most one store row per maybe pair. A store that
+    // violates that contract (hand-built, duplicated pairs) would grow
+    // this broadcast with its duplication factor; dedup here would cost
+    // the route's only exchange, so the contract is documented instead.
     val matched = currentData.select(col(KeyHash), col(RecordHash))
       .join(broadcast(maybePairs), Seq(KeyHash, RecordHash), "left_semi")
     val viaJoin = maybe.join(broadcast(matched), Seq(KeyHash, RecordHash), "left_anti")
@@ -262,6 +279,14 @@ object Cdc {
     * back to the new side. The current side is pruned to its two hash
     * columns before the join — at scale that means the join only moves
     * 32-byte digests, never the wide current rows.
+    *
+    * Inner-join caveat, faithful to the reference's shape: against a
+    * MULTI-VERSION current store (several record hashes per key, the
+    * regime [[deltaBucketed]] supports) each matching current version
+    * emits the new row once — the reference's pandas inner merge does
+    * the same. For one-row-per-update semantics over such a store,
+    * dedupe the current side to distinct pairs first (or use [[delta]]
+    * minus [[inserts]]).
     */
   def updates(currentData: DataFrame, newData: DataFrame): DataFrame = {
     val cur = currentData.select(col(KeyHash).as("__cur_key"), col(RecordHash).as("__cur_rec"))
@@ -373,8 +398,18 @@ object Cdc {
         // outer join; last-writer ambiguity is the caller's to resolve
         .groupBy(keyCols.map(col): _*)
         .agg(max(col(out)).as(out))
+    // NULL-SAFE key equality: a using-join never matches null keys, so a
+    // row with a null key column would misreport as added AND removed on
+    // every diff even when both sides are identical — inflating a publish
+    // gate's counts. groupBy above already treats null as a real group;
+    // the join must agree.
+    val right = side(b, "record_hash_b")
+      .select((keyCols.map(c => col(c).as(s"__r_$c")) :+ col("record_hash_b")): _*)
     val joined = side(a, "record_hash_a")
-      .join(side(b, "record_hash_b"), keyCols, "full_outer")
+      .join(right, keyCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _),
+        "full_outer")
+      .select((keyCols.map(c => coalesce(col(c), col(s"__r_$c")).as(c)) :+
+        col("record_hash_a") :+ col("record_hash_b")): _*)
       .withColumn("diff_status",
         when(col("record_hash_a").isNull, lit("added"))
           .when(col("record_hash_b").isNull, lit("removed"))

@@ -131,6 +131,32 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
+  /** The df-capped shingle-intersection core shared by [[jaccardPairs]]
+    * and [[containmentPairs]]: ((id_a, id_b, n_inter), per-doc distinct
+    * shingle sizes). One definition so the df cap, the singleton guard,
+    * and the persist strategy cannot drift between the two measures —
+    * they differ only in the denominator applied to this output. */
+  private def shingleIntersections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleDocFreq: Long,
+      scope: graft.CacheScope): (DataFrame, DataFrame) = {
+    // sh feeds the doc-frequency filter, both self-join sides and the size
+    // aggregate — persist so shingling runs once, not four times
+    val sh = scope.persist(hashedShingles(df, idCol, textCol, n))
+    val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
+    val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("a").join(filtered.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    (inter, sizes)
+  }
+
   /** Candidate near-duplicate pairs by n-gram Jaccard similarity.
     *
     * Distinct shingles per doc are exploded and self-joined; shingles whose
@@ -149,19 +175,8 @@ object Dedup {
       minSim: Double = 0.5,
       maxShingleDocFreq: Long = 1000,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    // sh feeds the doc-frequency filter, both self-join sides and the size
-    // aggregate — persist so shingling runs once, not four times
-    val sh = scope.persist(hashedShingles(df, idCol, textCol, n))
-    val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
-    val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-
-    val inter = filtered.as("a").join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-
+    val (inter, sizes) =
+      shingleIntersections(df, idCol, textCol, n, maxShingleDocFreq, scope)
     scoreJaccard(inter, sizes, minSim)
   }
 
@@ -185,15 +200,8 @@ object Dedup {
       minContainment: Double = 0.8,
       maxShingleDocFreq: Long = 1000,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    val sh = scope.persist(hashedShingles(df, idCol, textCol, n))
-    val joinable = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxShingleDocFreq)
-    val filtered = scope.persist(sh.join(joinable.select("sh"), Seq("sh")))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("a").join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (inter, sizes) =
+      shingleIntersections(df, idCol, textCol, n, maxShingleDocFreq, scope)
     inter
       .join(sizes.toDF("id_a", "sh_a"), Seq("id_a"))
       .join(sizes.toDF("id_b", "sh_b"), Seq("id_b"))
@@ -574,10 +582,22 @@ object Dedup {
       k: Int = 50,
       stride: Int = 1): Seq[Long] = {
     import graft.sources.Store
-    val ids = broadcast(removed.select(col(removed.columns.head).as("id")).distinct())
     Store.readParquetSafe(spark, idsPath) match {
       case None => Seq.empty
       case Some(idsStore) =>
+        // the effective removal set honors the documented contract in
+        // FULL: the caller's list PLUS any id standing in the spans
+        // stores but absent from the survivor store (debris of an
+        // earlier takedown that crashed between the doc-store delete
+        // and this purge) — without the union, ghost ids outside this
+        // run's list keep their grams forever and the ids/grams stores
+        // drift apart permanently. localCheckpoint severs the lineage
+        // from the ids store phase 3 overwrites; no broadcast hint (the
+        // set is takedown-shaped, AQE broadcasts it when small).
+        val ghost = idsStore.select("id").distinct()
+          .join(survivors.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        val ids = removed.select(col(removed.columns.head).as("id")).distinct()
+          .unionByName(ghost).distinct().localCheckpoint()
         // bounded driver lists: one value per ingested batch (ops-cadence
         // cardinality, never corpus-shaped)
         // partition discovery infers ingest_batch as int; normalize
@@ -834,15 +854,18 @@ object Dedup {
       .withColumn("mgrp", sum(col("newgrp")).over(wm.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("id"), col("mgrp"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // __-prefixed like every temp column in this file: a caller frame
+    // that already carries a 'spans' column would otherwise hit an
+    // ambiguous-reference analysis error at the final select
     val spansPerDoc = merged
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"))
       .withColumnRenamed("id", idCol)
     val txt = col(textCol)
     // (pos, acc) fold over disjoint sorted spans: emit the segment before
     // each span, jump pos past it, finish with the tail after the last
     val fold = aggregate(
-      col("spans"),
+      col("__spans"),
       struct(lit(1).as("pos"), lit("").as("acc")),
       (st, sp) => struct(
         (sp.getField("e") + 1).as("pos"),
@@ -853,7 +876,7 @@ object Dedup {
           greatest(length(txt) - st.getField("pos") + 1, lit(0)))))
     df.join(spansPerDoc, Seq(idCol), "left_outer")
       .select(col(idCol).as("doc_id"),
-        when(col("spans").isNull, txt).otherwise(fold).as("cleaned"))
+        when(col("__spans").isNull, txt).otherwise(fold).as("cleaned"))
   }
 
   /** Corpus-wide duplicated-LINE removal — the global form of C4's
@@ -1316,8 +1339,18 @@ object Dedup {
     }
   }
 
+  /** Cheap between-rounds stall signal: sum of per-label hashes. Null on
+    * an empty frame (sum over zero rows), which the loops read as "edge
+    * set emptied". Type-AGNOSTIC on purpose — the previous decimal cast
+    * of the label assumed numeric ids, which threw under ANSI for string
+    * ids (md5-hex doc ids, the id shape this library itself produces)
+    * and, with ANSI off, nulled every checksum so clustering silently
+    * returned self-labels. Soundness never rested on this signal: sum
+    * equality only GATES the one-join edge-consistency test, which is
+    * what actually proves convergence — a hash collision just runs that
+    * test a round early, and its failure continues the loop. */
   private def labelChecksum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    labels.agg(sum(xxhash64(col("label")).cast("decimal(38,0)"))).head.getDecimal(0)
 
   /** The large-star/small-star alternation of Kiveris et al. (SoCC'14
     * §3, Algorithm 2): per round, large-star connects every neighbor v > u
@@ -1331,9 +1364,11 @@ object Dedup {
     * narrow-shuffle shape as plain propagation, never touching payloads.
     *
     * Convergence is detected soundly, not probabilistically: per-node
-    * labels l(v) = min(v, Γ(v)) only ever decrease, so their exact-decimal
-    * sum is monotone; when the sum stalls, a one-join check tests that l
-    * is constant across every remaining edge. Label constancy per edge ⇒
+    * labels l(v) = min(v, Γ(v)) only ever decrease, so a stalled
+    * [[labelChecksum]] between rounds signals a likely fixpoint; the
+    * signal only GATES a one-join check that l is constant across every
+    * remaining edge (the checksum itself proves nothing). Label
+    * constancy per edge ⇒
     * constancy per component (components are preserved), and the component
     * minimum m always has l(m) = m, so a consistent labeling IS the
     * component-min labeling — the loop can stop even if the edge set
@@ -1472,15 +1507,18 @@ object Dedup {
       idCol: String,
       scoreCol: String,
       clusters: DataFrame): DataFrame = {
+    // id-TYPE-AGNOSTIC election (the old max-over-(score, -id) trick
+    // required a cast-to-long that threw on string ids under ANSI and,
+    // with ANSI off, nulled the join key and silently elected nobody):
+    // larger score wins, score tie -> smaller id, NULL score never
+    // beats a non-null one
     val scored = clusters.join(
-      df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
-      Seq("id"))
-    // max over (score, -id): larger score wins, score tie -> smaller id;
-    // struct ordering ranks a NULL score below every non-NULL score
-    val winners = scored.groupBy("cluster_id")
-      .agg(max(struct(col("__score").as("s"), (-col("id")).as("neg_id"))).as("w"))
-      .select((-col("w.neg_id")).as("win_id"))
-    val losers = scored.join(winners, scored("id") === winners("win_id"), "left_anti")
+      df.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -171,6 +171,20 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.storeDiff(a, a, Seq("id"), Seq("tag", "v")).count() === 0)
   }
 
+  test("storeDiff matches null keys across sides instead of double-counting them") {
+    // a using-join never matches null keys: identical sides with a null
+    // key row would misreport one 'removed' AND one 'added' on every
+    // diff, inflating the publish gate's counts — the null-safe key
+    // equality must see them as the same row
+    val a = Seq((Some(1L), "x", 10.0), (None, "n", 5.0)).toDF("id", "tag", "v")
+    assert(Cdc.storeDiff(a, a, Seq("id"), Seq("tag", "v")).count() === 0)
+    // and a genuine change ON the null key classifies as changed, once
+    val b = Seq((Some(1L), "x", 10.0), (None, "n", 6.0)).toDF("id", "tag", "v")
+    val d = Cdc.storeDiff(a, b, Seq("id"), Seq("tag", "v"))
+      .select("diff_status").as[String].collect().toSeq
+    assert(d === Seq("changed"))
+  }
+
   test("deletesByColumn selects KEY_HASH of flagged rows") {
     val flagged = current.withColumn("op", org.apache.spark.sql.functions.when($"k" === "b",
       "D").otherwise("U"))

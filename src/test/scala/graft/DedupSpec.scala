@@ -199,6 +199,28 @@ class DedupSpec extends SparkSpec {
     assert(got.values.forall(_ === 1L))
   }
 
+  test("duplicate clusters and keepBest work on STRING ids (md5-hex shaped)") {
+    // content-hash ids are the natural dedup key shape; the numeric-only
+    // checksum/tiebreak forms threw under ANSI (or silently no-op'd with
+    // ANSI off) — both operators must be id-type-agnostic
+    val pairs = Seq(("a3f5", "b210"), ("b210", "c999"), ("e1", "f2"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a3f5" -> "a3f5", "b210" -> "a3f5", "c999" -> "a3f5",
+      "e1" -> "e1", "f2" -> "e1"))
+    // same via the alternation phase (the checksum-driven loop)
+    val alt = Dedup.duplicateClusters(pairs, switchAfter = 0)
+      .as[(String, String)].collect().toMap
+    assert(alt === got)
+    // keepBest election over string ids: highest score survives per cluster
+    val docs = Seq(("a3f5", 1.0), ("b210", 9.0), ("c999", 3.0),
+      ("e1", 2.0), ("f2", 2.0), ("zz", 7.0)).toDF("doc_id", "score")
+    val kept = Dedup.keepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").as[String].collect().toSet
+    assert(kept === Set("b210", "e1", "zz")) // winners + tie->min id + unpaired
+  }
+
   test("alternation-only labeling equals plain propagation on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 3) {
@@ -528,6 +550,35 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.purgeSpanStores(spark, Seq(3L).toDF("id"), survivors,
       "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
     assert(again === Seq.empty, "removed id already gone from the ids store")
+  }
+
+  test("purgeSpanStores sweeps ghost ids absent from survivors even when not listed") {
+    // the documented contract: an id standing in the spans stores but
+    // absent from the survivor store is treated as removed — debris of
+    // an earlier takedown that deleted the doc store but crashed before
+    // this purge. An EMPTY removal list must still sweep it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-ghost").toString
+    val b0 = Seq((1L, "aaaaaaaaaaZZZZ"), (2L, "aaaaaaaaaaQQQQ")).toDF("id", "t")
+    val b1 = Seq((3L, "ddddddddddPPPP"), (4L, "ddddddddddRRRR")).toDF("id", "t")
+    val empty = spark.range(0).select($"id".as("gh"))
+    Dedup.incrementalDuplicatedSpans(b0, "id", "t", empty, k = 10)
+      .write.parquet(s"$dir/spans/ingest_batch=0")
+    Dedup.spanGramsOf(b0, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=0")
+    b0.select("id").write.parquet(s"$dir/ids/ingest_batch=0")
+    Dedup.incrementalDuplicatedSpans(
+        b1, "id", "t", spark.read.parquet(s"$dir/grams"), k = 10)
+      .write.parquet(s"$dir/spans/ingest_batch=1")
+    Dedup.spanGramsOf(b1, "id", "t", k = 10).write.parquet(s"$dir/grams/ingest_batch=1")
+    b1.select("id").write.parquet(s"$dir/ids/ingest_batch=1")
+    // doc 3 vanished from the doc store out-of-band; removal list EMPTY
+    val survivors = b0.union(b1.filter($"id" =!= 3L))
+    val replayed = Dedup.purgeSpanStores(spark,
+      spark.range(0).select($"id"), survivors,
+      "id", "t", s"$dir/grams", s"$dir/ids", s"$dir/spans", k = 10)
+    assert(replayed === Seq(1L), "the ghost id's batch must rewrite")
+    assert(spark.read.parquet(s"$dir/ids").filter($"ingest_batch" === 1)
+      .select("id").as[Long].collect().toSet === Set(4L))
+    assert(spark.read.parquet(s"$dir/spans").filter($"ingest_batch" === 1).count() === 0)
   }
 
   test("purgeSpanStores replays ONLY batches that depended on withdrawn grams, not the suffix") {
