@@ -5108,6 +5108,8 @@ object SparkEntry {
         |) AS u("column", n_nonnull, n_distinct)""".stripMargin,
     // stride = size - overlap = 96; generate_series is inclusive like
     // Spark's sequence, and both substrings are code-point addressed
+    // redundant-tail rule mirrored: a non-first start within `overlap`
+    // (24) of the end is entirely contained in its predecessor and drops
     "x_text_chunks" ->
       """WITH st AS (
         |  SELECT doc_id, text,
@@ -5118,7 +5120,8 @@ object SparkEntry {
         |  CAST((start - 1) // 96 AS INT) AS chunk_idx,
         |  CAST(start AS INT) AS chunk_start,
         |  substring(text, CAST(start AS INT), 120) AS chunk_text
-        |FROM st""".stripMargin,
+        |FROM st
+        |WHERE start = 1 OR start + 23 < length(text)""".stripMargin,
     // the suffix is built from chr() so the oracle text is unambiguous:
     // chr(769) = combining acute, chr(8491) = Angstrom sign; DuckDB's
     // nfc_normalize must produce the same precomposed bytes as the
@@ -5821,7 +5824,7 @@ object SparkEntry {
        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpeish,
        |    ${hits("en")} AS c_en, ${hits("de")} AS c_de,
        |    ${hits("fr")} AS c_fr, ${hits("es")} AS c_es,
-       |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_punct
+       |    length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} \\t\\n\\r]', '', 'g')) AS n_punct
        |  FROM toks
        |),
        |scored AS (

@@ -54,7 +54,11 @@ object Packing {
       shards: Int = 32): DataFrame = {
     require(budget >= 1, "budget must be positive")
     require(shards >= 1, "shards must be positive")
+    // ROWS frame, not the orderBy default RANGE: under RANGE, duplicate
+    // doc_id values are frame PEERS — both rows' tokens would enter each
+    // row's running total, throwing every later pack boundary off
     val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val assigned = df.select(
         col(idCol).as("doc_id"),
         (col(idCol) % shards).cast("long").as("shard"),
@@ -91,15 +95,31 @@ object Packing {
       tokenCount: Column,
       budget: Long,
       shards: Int = 32): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(shards >= 1, "shards must be positive")
     val rows = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       tokenCount.as("n_tokens"))
     val groups = rows.groupBy("grp")
       .agg(sum(col("n_tokens")).as("grp_tokens"), min(col("doc_id")).as("grp_key"))
-    val packed = packByCount(groups, "grp_key", col("grp_tokens"), budget, shards)
-      .select(col("doc_id").as("grp_key"), col("shard"), col("pack_id"))
+    // the contiguous fill inlined at GROUP level (not via packByCount)
+    // so the pack assignment stays keyed on `grp` itself: joining back
+    // through grp_key alone would duplicate every row of two groups that
+    // share a min doc_id. grp breaks grp_key ties in the fill order, and
+    // ROWS framing keeps tied keys out of each other's running totals.
+    val w = Window.partitionBy("shard").orderBy("grp_key", "grp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = groups
+      .withColumn("shard", (col("grp_key") % shards).cast("long"))
+      .withColumn("cum", sum(col("grp_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("grp_tokens")).cast("double") / budget.toDouble)
+          .cast("long"))
+      .select(col("grp").as("__g"), col("shard"), col("pack_id"))
+    // null-safe group join: a NULL group key is a real group (groupBy
+    // collected it); a plain using-join would silently drop its rows,
+    // breaking the one-row-per-input-row contract
     rows.select("doc_id", "grp")
-      .join(groups.select("grp", "grp_key"), Seq("grp"))
-      .join(packed, Seq("grp_key"))
+      .join(packed, col("grp") <=> col("__g"))
       .select("doc_id", "grp", "shard", "pack_id")
   }
 

@@ -179,26 +179,6 @@ object Sampling {
     df.filter(u < frac)
   }
 
-  /** Keep at most `maxPerGroup` rows per `groupCol` value — the
-    * domain/source frequency cap of web-corpus curation (RefinedWeb §3.2,
-    * FineWeb): a handful of template-heavy domains otherwise dominate the
-    * mixture. Kept rows are the `maxPerGroup` smallest by
-    * ([[hashUniform]], id) within the group, so the survivors are a
-    * deterministic uniform subsample, not a scan-order artifact, and the
-    * same rows survive on any cluster layout or re-run.
-    *
-    * Election runs in a bounded-heap [[graft.functions.TopKAggregator]],
-    * not a `row_number` window: the window would shuffle AND sort every
-    * row of the biggest domain on one reducer — the exact skew this
-    * operator exists to fight — while the heap keeps O(maxPerGroup) state
-    * per group and combines map-side, so a 10M-page domain sends each
-    * mapper's top list across the exchange, never its 10M rows. The
-    * payload only moves in the final id semi-join (AQE broadcasts it when
-    * the kept set is small).
-    *
-    * `idCol` must be integral and unique per row (a NULL id hashes to a
-    * NULL uniform; such rows are dropped, matching [[sampleStratified]]).
-    * NULL group values form their own capped group. */
   /** Quality-band mixture sampling: split the corpus into `fractions.size`
     * equal-population bands by a per-row score (entropy, log-prob, any
     * quality signal) and keep each band at its own rate — the
@@ -230,7 +210,12 @@ object Sampling {
     require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be non-empty keep rates in [0, 1]")
     val nBands = fractions.size
-    val clean = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
+    // NaN drops WITH null: NaN compares greater than every double in
+    // Spark, so it would satisfy every cut and land in the TOP band —
+    // under ascending fractions, corrupt float-math scores would be the
+    // most aggressively KEPT rows instead of excluded ones
+    val clean = df.filter(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+      !isnan(col(scoreCol).cast("double")))
     if (nBands == 1) {
       return clean.filter(hashUniform(col(idCol), s"$salt#keep") < fractions.head)
         .withColumn("band", lit(0))
@@ -241,8 +226,14 @@ object Sampling {
         col(scoreCol).cast("double").as("__v"))
       .agg(bks(col("__u"), col("__v")).as("__vs"))
       .select(array((1 until nBands).map { i =>
-        element_at(col("__vs"),
-          (floor(lit(i.toDouble / nBands) * (size(col("__vs")) - 1)) + 1).cast("int"))
+        // empty-sample guard: with zero clean rows the aggregator yields
+        // an empty/null sample and the index would be 0 — element_at
+        // throws on that unconditionally (and on any index under ANSI),
+        // killing the broadcast build even though no row will ever read
+        // the cuts. Null cuts are correct: there are no rows to band.
+        when(coalesce(size(col("__vs")), lit(0)) === 0, lit(null).cast("double"))
+          .otherwise(element_at(col("__vs"),
+            (floor(lit(i.toDouble / nBands) * (size(col("__vs")) - 1)) + 1).cast("int")))
       }: _*).as("__cuts"))
     clean.crossJoin(broadcast(cuts))
       .withColumn("band",
@@ -252,6 +243,26 @@ object Sampling {
       .drop("__cuts")
   }
 
+  /** Keep at most `maxPerGroup` rows per `groupCol` value — the
+    * domain/source frequency cap of web-corpus curation (RefinedWeb §3.2,
+    * FineWeb): a handful of template-heavy domains otherwise dominate the
+    * mixture. Kept rows are the `maxPerGroup` smallest by
+    * ([[hashUniform]], id) within the group, so the survivors are a
+    * deterministic uniform subsample, not a scan-order artifact, and the
+    * same rows survive on any cluster layout or re-run.
+    *
+    * Election runs in a bounded-heap [[graft.functions.TopKAggregator]],
+    * not a `row_number` window: the window would shuffle AND sort every
+    * row of the biggest domain on one reducer — the exact skew this
+    * operator exists to fight — while the heap keeps O(maxPerGroup) state
+    * per group and combines map-side, so a 10M-page domain sends each
+    * mapper's top list across the exchange, never its 10M rows. The
+    * payload only moves in the final id semi-join (AQE broadcasts it when
+    * the kept set is small).
+    *
+    * `idCol` must be integral and unique per row (a NULL id hashes to a
+    * NULL uniform; such rows are dropped, matching [[sampleStratified]]).
+    * NULL group values form their own capped group. */
   def capPerGroup(
       df: DataFrame,
       idCol: String,

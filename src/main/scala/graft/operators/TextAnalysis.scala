@@ -215,9 +215,10 @@ object TextAnalysis {
   val langOrder: Seq[String] = Seq("en", "de", "fr", "es")
 
   /** Heuristic language ID: argmax of per-language function-word hit
-    * counts; ties and all-zero fall back to "und" (undetermined).
-    * Deterministic: languages are checked in fixed order and a strictly
-    * greater count is required to take the lead. */
+    * counts; all-zero falls back to "und" (undetermined), ties break
+    * toward the earlier [[langOrder]] entry (a strictly greater count is
+    * required to take the lead), so an en/de tie reads "en", never
+    * "und" — deterministic either way. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val counts = langOrder.map(l => stopwordHits(toks, stopwords(l)))
@@ -245,9 +246,15 @@ object TextAnalysis {
       langId(col(textCol)).as("lang"),
       langConfidence(col(textCol)).as("confidence"))
 
-  /** Ratio of non-alphanumeric, non-space characters. */
+  /** Ratio of non-alphanumeric, non-whitespace characters. UNICODE
+    * letter/digit classes, not ASCII: an ASCII-only class counts every
+    * accented letter as punctuation and systematically down-ranks the
+    * de/fr/es prose [[langId]] explicitly supports (plus newlines in any
+    * multi-line doc). Whitespace is an explicit set — Java's \s and
+    * DuckDB/RE2's \s disagree on vertical tab, and the oracle must
+    * match byte-for-byte. */
   def punctRatio(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+    round((length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N} \\t\\n\\r]", "")))
       .cast("double") / greatest(length(text), lit(1)), 6)
 
   /** Mean token length. */
@@ -306,7 +313,10 @@ object TextAnalysis {
     winnowSelect(winnowGramHashes(text, k), w)
 
   /** Stage 1 of winnowing: (gh, p) structs for every k-gram position.
-    * Empty array (not a fingerprint) when the text is shorter than k. */
+    * Typed NULL (not a fingerprint) when the text is shorter than k —
+    * the `when` with no otherwise; [[winnowFingerprintsFold]] and the
+    * kernel both propagate it, and callers aggregate with explode /
+    * flatten semantics where NULL contributes nothing. */
   def winnowGramHashes(text: Column, k: Int): Column = {
     require(k >= 2, "k must be at least 2")
     val n = length(text) - (k - 1)
@@ -616,6 +626,13 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(sequence(lit(1), length(col(textCol)), lit(stride))).as("chunk_start"),
         col(textCol).as("__t"))
+      // drop a REDUNDANT tail: a non-first start within `overlap` of the
+      // end yields a chunk entirely contained in its predecessor (which
+      // covers up to start + overlap − 1) — downstream embedding/indexing
+      // would store a strict duplicate for every doc whose length mod
+      // stride lands in [1, overlap]
+      .filter(col("chunk_start") === 1 ||
+        col("chunk_start") + overlap - 1 < length(col("__t")))
       .select(col("doc_id"),
         ((col("chunk_start") - 1) / stride).cast("int").as("chunk_idx"),
         col("chunk_start"),
@@ -698,10 +715,39 @@ object TextAnalysis {
       greatest(size(toks), lit(1)), 6)
   }
 
+  /** All five Gopher metrics derived from ONE tokenization. The
+    * per-metric helpers each re-run the interpreted split+filter
+    * tokenizer (HOF lambdas defeat subexpression elimination, and
+    * CollapseProject merges any staging projection — the cost the
+    * TokenPairs kernel note measured), so the hot pre-filter path binds
+    * the token array once as a fold's lambda variable and computes every
+    * metric against the materialized array. The caller extracts fields
+    * with `inline(array(...))` — a generator evaluates the struct once
+    * per row, where a plain getField projection would duplicate the
+    * whole subtree per field. Values are bit-identical to the helpers'. */
+  private def gopherMetrics(t: Column): Column =
+    aggregate(
+      array(tokens(t)),
+      struct(lit(0).as("n_tokens"), lit(0.0).as("mean_token_len"),
+        lit(0.0).as("alpha_ratio"), lit(0.0).as("top_bigram_ratio"),
+        lit(0.0).as("top_trigram_ratio")),
+      (_, toks) => struct(
+        size(toks).as("n_tokens"),
+        round(aggregate(toks, lit(0), (a, x) => a + length(x)).cast("double") /
+          greatest(size(toks), lit(1)), 6).as("mean_token_len"),
+        round(size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") /
+          greatest(size(toks), lit(1)), 6).as("alpha_ratio"),
+        round(graft.functions.DedupExpressions.repeatRatioOf(toks, 2), 6)
+          .as("top_bigram_ratio"),
+        round(graft.functions.DedupExpressions.repeatRatioOf(toks, 3), 6)
+          .as("top_trigram_ratio")))
+
   /** Gopher/C4-style corpus quality flags (public filtering heuristics):
     * per-row metrics plus a composite `keep` verdict. Pure per-row
     * projection — no shuffle; at 100 TB this is a scan-speed pre-filter
     * that combines with predicate pushdown on any preceding selection.
+    * Tokenization runs ONCE per row ([[gopherMetrics]]), not once per
+    * metric.
     *
     * Thresholds follow the published shapes (token-count bounds, mean word
     * length bounds, alphabetic-token minimum, repetition caps) and are
@@ -719,12 +765,8 @@ object TextAnalysis {
       maxTopTrigramRatio: Double = 0.20,
       keepText: Boolean = false): DataFrame = {
     val t = col(textCol)
-    val flagged = df.select(col(idCol), t)
-      .withColumn("n_tokens", tokenCount(t))
-      .withColumn("mean_token_len", meanTokenLen(t))
-      .withColumn("alpha_ratio", alphaTokenRatio(t))
-      .withColumn("top_bigram_ratio", topNgramRatio(t, 2))
-      .withColumn("top_trigram_ratio", topNgramRatio(t, 3))
+    val flagged = df
+      .select(col(idCol), t, inline(array(gopherMetrics(t))))
       .withColumn("keep",
         col("n_tokens").between(minTokens, maxTokens) &&
           col("mean_token_len").between(minMeanTokenLen, maxMeanTokenLen) &&

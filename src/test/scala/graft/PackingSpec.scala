@@ -78,6 +78,31 @@ class PackingSpec extends SparkSpec {
     assert(got.exceptAll(again).count() === 0)
   }
 
+  test("packGroups keeps the NULL group: one row out per row in, same pack") {
+    // a null group key is a real group: a plain using-join back to the
+    // rows would silently drop every row of it, breaking the
+    // one-row-per-input-row contract
+    val df = Seq((1L, Some("a"), 10L), (2L, Option.empty[String], 10L),
+      (3L, Option.empty[String], 10L), (4L, Some("b"), 10L))
+      .toDF("doc_id", "grp", "n")
+    val got = Packing.packGroups(df, "doc_id", "grp", col("n"), budget = 100L)
+    assert(got.count() === 4)
+    val nullRows = got.filter($"grp".isNull)
+    assert(nullRows.count() === 2)
+    // group atomicity holds for the null group too
+    assert(nullRows.select("shard", "pack_id").distinct().count() === 1)
+  }
+
+  test("duplicate ids within a shard accumulate row-by-row, not as frame peers") {
+    // RANGE framing would give both duplicate-id rows the SAME running
+    // total (each includes the other), corrupting every later boundary
+    val df = Seq((5L, 6L), (5L, 6L), (7L, 6L)).toDF("doc_id", "n")
+    val got = Packing.packByCount(df, "doc_id", col("n"), budget = 10L, shards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sorted.toSeq
+    // running totals 6, 12, 18 -> preceding totals 0, 6, 12 -> packs 0, 0, 1
+    assert(got === Seq((5L, 0L), (5L, 0L), (7L, 1L)))
+  }
+
   test("pack summary: token totals conserve and fill ratios hover near 1") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val assign = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)

@@ -180,6 +180,20 @@ class SamplingSpec extends SparkSpec {
     assert(byGroup("b") === 1, s"group b over cap: $byGroup")
   }
 
+  test("sampleByScoreBand: empty input yields empty output, NaN scores drop") {
+    // empty input: the cut derivation must not index into the empty
+    // bottom-k sample (element_at throws unconditionally on index 0)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "score")
+    assert(Sampling.sampleByScoreBand(empty, "id", "score",
+      Seq(0.5, 0.9)).count() === 0)
+    // NaN compares greater than every double -> it would land in the TOP
+    // band and be kept at the highest rate; it must drop with the nulls
+    val dirty = Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN), (4L, 3.0))
+      .toDF("id", "score")
+    val got = Sampling.sampleByScoreBand(dirty, "id", "score", Seq(1.0, 1.0))
+    assert(!got.select("id").as[Long].collect().contains(3L))
+  }
+
   test("shufflePositions: contiguous permutation, repartition-stable, salt-sensitive") {
     val rows = spark.range(0, 500).select(col("id"), (col("id") * 3).as("payload"))
     val got = Sampling.shufflePositions(rows, "id", "epoch1")

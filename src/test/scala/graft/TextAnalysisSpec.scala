@@ -251,19 +251,27 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("chunkDocuments: full coverage, exact overlap, short tail, clean edges") {
     val rows = Seq(
-      (1L, Some("abcdefghij")),  // len 10, size 4, overlap 1 -> starts 1,4,7,10
+      (1L, Some("abcdefghij")),  // len 10, size 4, overlap 1 -> starts 1,4,7[,10]
       (2L, Some("ab")),          // shorter than size -> one short chunk
       (3L, Some("")), (4L, None)
     ).toDF("doc_id", "text")
     val got = TextAnalysis.chunkDocuments(rows, "doc_id", "text", size = 4, overlap = 1)
       .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    // the would-be tail at start 10 ("j") is entirely contained in the
+    // chunk at 7 ("ghij") — redundant tails are dropped, coverage intact
     assert(got.filter(_._1 == 1L).toSeq ===
-      Seq((1L, 0, 1, "abcd"), (1L, 1, 4, "defg"), (1L, 2, 7, "ghij"), (1L, 3, 10, "j")))
+      Seq((1L, 0, 1, "abcd"), (1L, 1, 4, "defg"), (1L, 2, 7, "ghij")))
     assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 1, "ab")))
     assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
-    // reassembling stride-aligned prefixes reproduces the document
-    val doc1 = got.filter(_._1 == 1L).map(_._4.take(3)).mkString
-    assert(doc1 === "abcdefghij")
+    // reassembly: stride prefixes plus the final chunk reproduce the doc
+    val parts = got.filter(_._1 == 1L).map(_._4)
+    assert(parts.init.map(_.take(3)).mkString + parts.last === "abcdefghij")
+    // a genuinely new tail (not covered by its predecessor) still emits
+    val more = TextAnalysis.chunkDocuments(
+      Seq((9L, "abcdefgh")).toDF("doc_id", "text"), "doc_id", "text",
+      size = 4, overlap = 1).as[(Long, Int, Int, String)].collect().sortBy(_._2)
+    assert(more.toSeq ===
+      Seq((9L, 0, 1, "abcd"), (9L, 1, 4, "defg"), (9L, 2, 7, "gh")))
   }
 
   test("normalizeNfc composes combining marks; normalizeWhitespace collapses runs") {
