@@ -19,6 +19,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * uniform, _2 = value) — plain parquet, ≤ k entries per group. */
 case class BottomKPairsAggregator(k: Int)
     extends Aggregator[(Double, Double), Seq[(Double, Double)], Seq[(Double, Double)]] {
+  // k <= 0 would silently trim every buffer to empty and the
+  // aggregate would drop all rows with no error
+  require(k >= 1, "k must be at least 1")
+
 
   private def trim(buf: Seq[(Double, Double)]): Seq[(Double, Double)] =
     buf.distinct.sorted.take(k)

@@ -4,9 +4,13 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Bounded bottom-k sample accumulator: keeps the k (hash, value) pairs
-  * with the smallest DISTINCT hash coordinates seen, and finishes with
-  * the retained values sorted ascending.
+/** Bounded bottom-k sample accumulator: keeps the k smallest DISTINCT
+  * (hash, value) PAIRS seen, and finishes with the retained values
+  * sorted ascending. PAIR-distinct, not hash-distinct, is the pinned
+  * semantics (the quantile merge law's SQL twin dedups pairs): with a
+  * unique id column the two coincide; duplicate ids carrying different
+  * values each occupy a sample slot — pass a unique id for the strict
+  * uniform-sample reading.
   *
   * The state behind bottom-k quantile estimation (the sampling scheme of
   * Cohen & Kaplan, "Summarizing Data using Bottom-k Sketches", PODC'07):
@@ -23,6 +27,10 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class BottomKSampleAggregator(k: Int)
     extends Aggregator[(Double, Double), Seq[(Double, Double)], Seq[Double]] {
+  // k <= 0 would silently trim every buffer to empty and the
+  // aggregate would drop all rows with no error
+  require(k >= 1, "k must be at least 1")
+
 
   private def trim(buf: Seq[(Double, Double)]): Seq[(Double, Double)] =
     buf.distinct.sorted.take(k)

@@ -47,6 +47,16 @@ object HashKernels {
   def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
     val md = mdLocal.get()
     val n = shingles.numElements()
+    // fetch each shingle's bytes ONCE, not once per seed: k seeds over
+    // n shingles would otherwise copy k*n byte arrays where n suffice.
+    // Null elements are not shingles and are skipped.
+    val shingleBytes = new Array[Array[Byte]](n)
+    var i0 = 0
+    while (i0 < n) {
+      val u = shingles.getUTF8String(i0)
+      shingleBytes(i0) = if (u == null) null else u.getBytes
+      i0 += 1
+    }
     val mins = new Array[Array[Byte]](k)
     var j = 0
     while (j < k) {
@@ -54,12 +64,14 @@ object HashKernels {
       var best: Array[Byte] = null
       var i = 0
       while (i < n) {
-        val s = shingles.getUTF8String(i).getBytes
-        val buf = new Array[Byte](prefix.length + s.length)
-        System.arraycopy(prefix, 0, buf, 0, prefix.length)
-        System.arraycopy(s, 0, buf, prefix.length, s.length)
-        val h = md5Hex(md, buf)
-        if (best == null || compareHex(h, best) < 0) best = h
+        val s = shingleBytes(i)
+        if (s != null) {
+          val buf = new Array[Byte](prefix.length + s.length)
+          System.arraycopy(prefix, 0, buf, 0, prefix.length)
+          System.arraycopy(s, 0, buf, prefix.length, s.length)
+          val h = md5Hex(md, buf)
+          if (best == null || compareHex(h, best) < 0) best = h
+        }
         i += 1
       }
       // empty shingle arrays cannot occur (shingles() always emits >= 1),
@@ -438,9 +450,14 @@ object HashKernels {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      if (prev != null && t.equals(prev)) run += 1
-      else { run = 1; prev = t }
-      if (run <= maxRun) out.add(t)
+      // null elements are not tokens: skip them (a null after a non-null
+      // would otherwise NPE, and a copied-through null would violate the
+      // declared containsNull = false output schema)
+      if (t != null) {
+        if (prev != null && t.equals(prev)) run += 1
+        else { run = 1; prev = t }
+        if (run <= maxRun) out.add(t)
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -456,7 +473,10 @@ object HashKernels {
     val balance = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      val h = md5Hex(md, tokens.getUTF8String(i).getBytes)
+      val u = tokens.getUTF8String(i)
+      if (u == null) { i += 1 }
+      else {
+      val h = md5Hex(md, u.getBytes)
       var b = 0
       while (b < bits) {
         val digit = Character.digit(h(b / 4).toChar, 16)
@@ -465,6 +485,7 @@ object HashKernels {
         b += 1
       }
       i += 1
+      }
     }
     var fp = 0L
     var b = 0
@@ -761,9 +782,13 @@ case class BloomProbe(
         left == o.left && right == o.right && java.util.Arrays.equals(words, o.words))
     case _ => false
   }
+  // Catalyst hashes expressions repeatedly (ExpressionSet membership,
+  // canonicalization, attribute maps); the words array is immutable for
+  // this expression's lifetime, so its content hash is computed once —
+  // not a 128k-long walk per hashCode call at the default filter size
+  @transient private lazy val wordsHash: Int = java.util.Arrays.hashCode(words)
   override def hashCode(): Int = java.util.Objects.hash(
-    left, right, Int.box(bits), Int.box(numHashes), salt,
-    Int.box(java.util.Arrays.hashCode(words)))
+    left, right, Int.box(bits), Int.box(numHashes), salt, Int.box(wordsHash))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess

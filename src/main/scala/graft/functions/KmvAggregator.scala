@@ -19,6 +19,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * between O(k·log k) compactions, so per-row maintenance is O(1) appends.
   */
 case class KmvAggregator(k: Int) extends Aggregator[Double, Seq[Double], Seq[Double]] {
+  // k <= 0 would silently trim every buffer to empty and the
+  // aggregate would drop all rows with no error
+  require(k >= 1, "k must be at least 1")
+
 
   private def trim(buf: Seq[Double]): Seq[Double] =
     buf.distinct.sorted.take(k)

@@ -19,6 +19,10 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  // k <= 0 would silently trim every buffer to empty and the
+  // aggregate would drop all rows with no error
+  require(k >= 1, "k must be at least 1")
+
 
   private def ord: Ordering[(Double, Long)] =
     Ordering.by { case (score, id) => (-score, id) }

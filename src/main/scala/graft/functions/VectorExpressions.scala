@@ -124,6 +124,12 @@ case class PqAdcTable(
     codebook: IndexedSeq[Double],
     offset: Int,
     d0: Int) extends UnaryExpression {
+  // a codebook whose length is not a multiple of d0 would silently
+  // truncate the last centroid's tail — fail at construction, not with
+  // wrong ADC scores mid-job
+  require(d0 >= 1, "d0 must be positive")
+  require(codebook.nonEmpty && codebook.length % d0 == 0,
+    s"codebook length ${codebook.length} must be a positive multiple of d0=$d0")
 
   private def codes: Int = codebook.length / d0
 
@@ -241,6 +247,13 @@ case class PqArgBest(
     norms2: IndexedSeq[Double],
     offset: Int,
     d0: Int) extends UnaryExpression {
+  // shape guard: a codebook/norms2 mismatch would read past the
+  // codebook mid-job (per-row AIOOBE in executor codegen, far from the
+  // construction bug) and an empty norms2 would return -1 as a
+  // valid-looking "nearest code"
+  require(d0 >= 1, "d0 must be positive")
+  require(norms2.nonEmpty && codebook.length == norms2.length * d0,
+    s"codebook length ${codebook.length} != ${norms2.length} codes x d0=$d0")
 
   private def codes: Int = norms2.length
 

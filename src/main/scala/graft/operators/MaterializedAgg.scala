@@ -129,7 +129,10 @@ object MaterializedAgg {
       salt: String = "kmv"): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val kmv = udaf(graft.functions.KmvAggregator(k))
-    df.select((groupCols.map(col) :+
+    // NULL values are not distinct values; their NULL uniform would kill
+    // the aggregator's non-nullable input (the HLL measure agrees)
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+
         Sampling.hashUniform(col(valueCol), salt).as("__u")): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(kmv(col("__u")).as("mins_v"))

@@ -156,12 +156,12 @@ object Similarity {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    // a null cosine (null/empty corpus embedding) can never be a
-    // neighbor — drop it HERE so both ranking paths agree: the window
-    // path would sort it last (usually invisible), but the aggregator
-    // path's non-nullable Double input field would kill the whole job
-    // on the first null row
-    val nonNull = scored.filter(col("cos").isNotNull)
+    // a null OR NaN cosine (null/empty embedding, NaN component) can
+    // never be a neighbor — drop both HERE so the ranking paths agree:
+    // the aggregator path would die on null (non-nullable Double input)
+    // and sort NaN last, while the window path sorts null/NaN FIRST
+    // under Spark's total order and would seat them in top-k slots
+    val nonNull = scored.filter(col("cos").isNotNull && !isnan(col("cos")))
     if (integral) {
       val topk = udaf(TopKAggregator(k))
       nonNull

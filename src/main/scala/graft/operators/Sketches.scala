@@ -38,7 +38,11 @@ object Sketches {
     require(k >= 2, "k must be at least 2")
     val kmv = udaf(graft.functions.KmvAggregator(k))
     val u = Sampling.hashUniform(col(valueCol), salt)
-    df.select((groupCols.map(col) :+ u.as("__u")): _*)
+    // a NULL value hashes to a NULL uniform, which the aggregator's
+    // non-nullable Double input turns into a job failure — NULLs are
+    // not distinct values, drop them (the HLL/quantile paths agree)
+    df.filter(col(valueCol).isNotNull)
+      .select((groupCols.map(col) :+ u.as("__u")): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(kmv(col("__u")).as("__mins"))
       .withColumn("n_kept", size(col("__mins")))
@@ -64,7 +68,8 @@ object Sketches {
       salt: String = "kmv"): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val kmv = udaf(graft.functions.KmvAggregator(k))
-    df.select(Sampling.hashUniform(col(valueCol), salt).as("__u"))
+    df.filter(col(valueCol).isNotNull)
+      .select(Sampling.hashUniform(col(valueCol), salt).as("__u"))
       .agg(kmv(col("__u")).as("__mins"))
       .select(explode(col("__mins")).as("u"))
   }
