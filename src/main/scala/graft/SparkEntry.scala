@@ -5522,10 +5522,12 @@ object SparkEntry {
     "x_events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |    coalesce(CASE WHEN CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) -
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP), 1)
+        |              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) IS NULL
+        |           OR CAST(floor(date_part('epoch', CAST(ts AS TIMESTAMP))) AS BIGINT) -
         |              CAST(floor(date_part('epoch', lag(CAST(ts AS TIMESTAMP), 1)
         |                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))) AS BIGINT)
-        |              > 1800 THEN 1 ELSE 0 END, 1) AS is_new
+        |              > 1800 THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |),
         |sess AS (

@@ -24,6 +24,8 @@ object DataQuality {
     * row per column with zero counts and null ratios. */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in profile list: ${cols.mkString(", ")}")
     val aggs =
       count(lit(1)).as("__n") +:
       cols.flatMap { c =>
@@ -169,6 +171,11 @@ object DataQuality {
     val uniqExpr = minUniqueness.foldLeft(lit(true)) { case (acc, (c, t)) =>
       when(col("column") === c, col("uniqueness") >= t && acc).otherwise(acc)
     }
-    profileColumns(df, cols).withColumn("pass", compExpr && uniqExpr)
+    // NULL ratios (the empty-input profile) must FAIL the gate, not
+    // vanish from it: pass = NULL would make the documented
+    // `.filter(!$"pass")` abort check filter the row out and publish
+    // the empty table — the exact failure the gate exists to stop
+    profileColumns(df, cols)
+      .withColumn("pass", coalesce(compExpr && uniqExpr, lit(false)))
   }
 }

@@ -51,27 +51,37 @@ object Decontamination {
       textCol: String,
       n: Int = 13,
       minHits: Long = 1L): DataFrame = {
-    val benchSh = broadcast(
-      bench.select(explode(Dedup.shingles(col(textCol), n)).as("s"))
-        .select(shingleHash(col("s")).as("sh"))
-        .distinct())
-    // one shingle pass: the denominator is row-local size(), the explode
-    // feeds hit detection — the kernel runs once per document
-    val withSh = train.select(col(idCol).as("doc_id"),
-      Dedup.shingles(col(textCol), n).as("shs"))
-    val hits = withSh.select(col("doc_id"), explode(col("shs")).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("sh"))
-      .join(benchSh, Seq("sh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    withSh.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left_outer")
+    // the benchmark's distinct shingle hashes collapse into ONE broadcast
+    // row and every document probes it ROW-LOCALLY — the streaming twin's
+    // shape ([[benchShingleSetRow]]), now the batch shape too: the
+    // previous two-branch form referenced the shingled frame twice (no
+    // cross-branch CSE: the kernel ran twice and train scanned twice) and
+    // shuffled the hit rows; this runs the kernel once inside a fold
+    // binding and shuffles NOTHING. Document shingles are distinct by the
+    // kernel's contract (the stream ≡ batch spec rests on it), so the set
+    // intersection size IS the colliding-shingle count. A null text has
+    // zero shingles, zero hits, contamination 0 — not the config-
+    // dependent size(NULL) artifact.
+    val benchRow = benchShingleSetRow(bench, textCol, n)
+    val probe = aggregate(
+      array(hashedShingles(col(textCol), n)),
+      struct(lit(0L).as("n_shingles"), lit(0L).as("n_hits")),
+      (_, shs) => struct(
+        when(shs.isNull, lit(0L))
+          .otherwise(size(shs).cast("long")).as("n_shingles"),
+        when(shs.isNull, lit(0L))
+          .otherwise(size(array_intersect(shs, col("__bench_sh"))).cast("long"))
+          .as("n_hits")))
+    train.crossJoin(broadcast(benchRow))
+      .select(col(idCol).as("doc_id"), inline(array(probe)))
       .select(
         col("doc_id"),
         col("n_shingles"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles"), 6)
+        col("n_hits"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_shingles"), 6))
           .as("contamination"),
-        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+        (col("n_hits") >= minHits).as("contaminated"))
   }
 
   /** Per-benchmark contamination attribution: like [[contaminationReport]],
@@ -110,7 +120,7 @@ object Decontamination {
   def benchShingleSetRow(bench: DataFrame, textCol: String, n: Int): DataFrame =
     bench.select(explode(Dedup.shingles(col(textCol), n)).as("s"))
       .select(shingleHash(col("s")).as("sh"))
-      .distinct()
+      // collect_set dedups by definition — no distinct() pre-shuffle
       .agg(sort_array(collect_set(col("sh"))).as("__bench_sh"))
 
   /** Row-local hashed distinct shingles of a text column — the per-document

@@ -71,10 +71,18 @@ object Embeddings {
     * Null vectors are skipped; a group of only nulls pools to null. */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String, dims: Int): DataFrame = {
     val agg = udaf(new MeanVecAgg(dims))
+    // a vector CONTAINING a null element cannot reach the aggregator (its
+    // primitive Array[Float] input encoder dies on the element) — treat
+    // the whole vector as null, which the aggregator already skips. The
+    // exact form instead averages around the hole per dimension; for the
+    // corrupt-input rows this guards, dropping the vector is the honest
+    // reading (and the job survives, which is the point).
+    val clean = when(exists(col(vecCol), x => x.isNull), lit(null))
+      .otherwise(col(vecCol))
     df.groupBy(col(groupCol).as("grp"))
       .agg(
-        agg(col(vecCol)).as("centroid"),
-        count(col(vecCol)).as("n_members"))
+        agg(clean).as("centroid"),
+        count(clean).as("n_members"))
   }
 
   /** Embedding DRIFT between two corpus slices (ingest batches, time
@@ -101,16 +109,30 @@ object Embeddings {
       meanPoolExact(df.select(lit(0).as("grp"), col(vecCol)), "grp", vecCol)
         .select(col("i"), col("mean").as(out))
     val dec = "decimal(28,12)"
-    means(a, "ma").join(means(b, "mb"), Seq("i"))
+    // FULL outer + in-plan raise: an inner join would silently truncate a
+    // dimensionality mismatch (a broken re-embed, exactly what a drift
+    // monitor exists to catch) to the common prefix and report a
+    // plausible-looking drift over it. The check rides in the aggregate
+    // (max) so column pruning cannot drop it.
+    means(a, "ma").join(means(b, "mb"), Seq("i"), "full_outer")
+      .withColumn("__dim_chk",
+        when(col("ma").isNull || col("mb").isNull,
+          raise_error(concat(
+            lit("driftStats: slices disagree on embedding dimensionality "
+              + "(one side has no dimension "), col("i"), lit(")"))))
+          .otherwise(lit(0)))
       .agg(
         sum((col("ma") * col("mb")).cast(dec)).as("sab"),
         sum((col("ma") * col("ma")).cast(dec)).as("saa"),
         sum((col("mb") * col("mb")).cast(dec)).as("sbb"),
-        sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast(dec)).as("sd"))
+        sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast(dec)).as("sd"),
+        max(col("__dim_chk")).as("__dim_chk"))
       .select(
         round(col("sab").cast("double") /
           sqrt(col("saa").cast("double") * col("sbb").cast("double")), 6).as("cos_means"),
-        round(sqrt(col("sd").cast("double")), 6).as("l2_means"),
+        // + __dim_chk (always 0 when the check passes) keeps the check
+        // aggregate REFERENCED — column pruning would drop an unused one
+        round(sqrt(col("sd").cast("double") + col("__dim_chk")), 6).as("l2_means"),
         round(sqrt(col("saa").cast("double")), 6).as("norm_a"),
         round(sqrt(col("sbb").cast("double")), 6).as("norm_b"))
   }

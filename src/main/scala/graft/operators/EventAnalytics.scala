@@ -53,11 +53,16 @@ object EventAnalytics {
     * pattern — one shuffle, two sorts share the same partitioning. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val newSession = when(
-      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)) >
-        gapMinutes * 60L, 1).otherwise(lit(0))
+    // the first event per user genuinely STARTS a session: the lag-null
+    // case must be in the when itself — a coalesce around
+    // when(...).otherwise(0) is dead (otherwise(0) never yields NULL),
+    // which silently made session_no 0-based
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val newSession = when(prevTs.isNull ||
+      unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapMinutes * 60L, 1)
+      .otherwise(lit(0))
     events
-      .withColumn("is_new", coalesce(newSession, lit(1)))
+      .withColumn("is_new", newSession)
       .withColumn("session_no", sum(col("is_new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_no"))

@@ -38,6 +38,8 @@ object Reshape {
     val names = pivotValues.map(prefix + _.toLowerCase)
     require(names.distinct.size == names.size,
       s"pivot values collide after lowercasing: ${names.mkString(", ")}")
+    require(!groupCols.exists(names.contains),
+      s"pivot column names ${names.mkString(", ")} collide with group columns")
     val wide = df.groupBy(groupCols.map(col): _*)
       .pivot(pivotCol, pivotValues)
       .agg(agg)

@@ -52,7 +52,16 @@ class DecontaminationSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet"), bench, "doc_id", "text", n = 3)
     rep.count()
     val plan = rep.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "benchmark shingles are not broadcast")
+    // the bench set is ONE broadcast row probed row-locally: the only
+    // join is the single-row broadcast cross join, and the corpus side
+    // has no exchange at all (the previous shape broadcast-hash-joined
+    // exploded hit rows and shuffled them back per doc)
+    assert(plan.contains("BroadcastExchange"), "benchmark row is not broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin"), s"corpus must not shuffle:\n$plan")
+    // no grouping of corpus rows anywhere: hits are counted row-locally
+    assert(!plan.contains("HashAggregate(keys=[doc_id"),
+      s"per-doc aggregation crept back in:\n$plan")
   }
 
   test("per-benchmark attribution splits hits by suite and sums to the aggregate") {
