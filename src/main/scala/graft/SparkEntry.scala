@@ -1481,12 +1481,15 @@ object SparkEntry {
         k = 12, w = 8, minShared = 2, maxFpDocFreq = 100)),
     // the composed curation pipeline: quality -> dedup -> decontaminate
     // -> split, one operator, oracle-checked as a whole
+    // shingleN = 3 pinned at each call: the oracle mirrors trigram
+    // shingles on this SMALL fixture (production default is 13-grams —
+    // at n=3 on a real corpus nearly everything shares a shingle)
     "x_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.curate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text")
+        "doc_id", "text", shingleN = 3)
     }),
     // the same pipeline with the optional language gate on: docs whose
     // stopword-profile language is not English drop out at the scan stage
@@ -1495,7 +1498,7 @@ object SparkEntry {
       Curation.curate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", languages = Some(Set("en")))
+        "doc_id", "text", shingleN = 3, languages = Some(Set("en")))
     }),
     // curation with the near-dup cluster stage: exact dedup, then simhash
     // Hamming pairs -> transitive clusters -> keep the cluster minimum.
@@ -1508,7 +1511,7 @@ object SparkEntry {
       Curation.curate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", nearDup = Some((16, 1)),
+        "doc_id", "text", shingleN = 3, nearDup = Some((16, 1)),
         nearDupPairs = Some(stagedSimhashPairs(s, d, 16, 2).filter(col("hamming") <= 1)))
     }),
     // curation with the MEDIA near-dup stage: after exact dedup, the docs'
@@ -1521,7 +1524,7 @@ object SparkEntry {
       Curation.curate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", mediaDup = Some((16, 2)),
+        "doc_id", "text", shingleN = 3, mediaDup = Some((16, 2)),
         // the staged full-corpus phash pair store, restricted to
         // survivors inside curate — the production shape (pairs computed
         // once per corpus, not once per question); equality with the

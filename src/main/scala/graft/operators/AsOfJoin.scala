@@ -52,6 +52,13 @@ object AsOfJoin {
     require(tolerance.isEmpty || !keys.contains(rightTs),
       "rightTs cannot be a join key when tolerance is set")
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
+    // a prefixed right name colliding with a left column would emit a
+    // DataFrame with duplicate columns — unusable only LATER (ambiguous
+    // reference, parquet write failure); refuse at call time
+    val collisions = rightPayload.map(rightPrefix + _).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"prefixed right columns collide with left columns: ${collisions.mkString(", ")} "
+        + "— choose a different rightPrefix")
     val rStruct = struct(rightPayload.map(col): _*)
     val rStructType = right.select(rStruct.as("r")).schema("r").dataType
     // tie-break keeps its native type: a string cast would order numeric
@@ -74,8 +81,14 @@ object AsOfJoin {
         lit(null).cast(l.schema("__l").dataType).as("__l"),
         rStruct.as("__r")): _*)
       // a null right timestamp would sort nulls-first and "match" left rows
-      // preceding all real right rows; ASOF semantics exclude such rows
-      .filter(col("__ts").isNotNull)
+      // preceding all real right rows; ASOF semantics exclude such rows.
+      // Null KEY columns likewise: equi-join (and DuckDB ASOF) semantics
+      // never match null = null, but partitionBy groups nulls together —
+      // a null-key right row would cross-match every null-key left row.
+      // Dropping them here leaves null-key LEFT rows alone in their
+      // partition: retained with a null payload, the left-outer answer.
+      .filter(col("__ts").isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
 
     // right rows sort before left rows at equal ts (false < true), so an
     // exactly-coincident right row is visible to the left row's running last

@@ -73,7 +73,7 @@ object Curation {
       textCol: String,
       splits: Seq[(String, Double)] =
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      shingleN: Int = 3,
+      shingleN: Int = 13,
       minHits: Long = 1L,
       languages: Option[Set[String]] = None,
       nearDup: Option[(Int, Int)] = None,
@@ -87,6 +87,15 @@ object Curation {
     require(mediaDupPairs.isEmpty || mediaDup.nonEmpty,
       "mediaDupPairs requires mediaDup: staged pairs are only consumed by the " +
         "media near-duplicate stage, which mediaDup enables")
+    // the media stage routes ids through Multimodal's LONG id schema:
+    // a string id would cast to null, no pairs would form, and the stage
+    // would silently remove nothing — refuse non-integral ids up front
+    if (mediaDup.nonEmpty) {
+      val t = docs.schema(idCol).dataType
+      require(Seq("byte", "short", "integer", "long").contains(t.typeName),
+        s"mediaDup requires an integral $idCol (got ${t.typeName}): "
+          + "Multimodal's media schema keys on long ids")
+    }
     // keepText = one corpus scan: quality metrics, the keep filter and the
     // downstream stages all read the same projection — no semi-join back
     val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)

@@ -66,15 +66,20 @@ object Multimodal {
   /** Pure-SQL twin of [[decodeMeta]] for engines-parity checking: the same
     * deterministic fake metadata as codegen'd expressions. Exists so the
     * stub's plumbing has an oracle; a real decoder obviously has no SQL
-    * twin. */
-  def decodeMetaSql(media: DataFrame): DataFrame =
+    * twin. A NULL payload decodes as an EMPTY blob on both sides — the
+    * typed row cannot carry null dimensions (primitive Int fields), so
+    * the kernel's empty-blob reading is the contract and the SQL twin
+    * coalesces to match rather than null-propagating into a parity gap. */
+  def decodeMetaSql(media: DataFrame): DataFrame = {
+    val p = coalesce(col("payload"), lit(Array.emptyByteArray))
     media.select(
       col("id"),
-      length(col("payload")).cast("int").as("byteLen"),
-      md5(col("payload")).as("contentHash"),
-      (length(col("payload")) % 640 + 1).cast("int").as("width"),
-      (length(col("payload")) % 480 + 1).cast("int").as("height"),
-      when(length(col("payload")) % 2 === 0, "png").otherwise("jpeg").as("format"))
+      length(p).cast("int").as("byteLen"),
+      md5(p).as("contentHash"),
+      (length(p) % 640 + 1).cast("int").as("width"),
+      (length(p) % 480 + 1).cast("int").as("height"),
+      when(length(p) % 2 === 0, "png").otherwise("jpeg").as("format"))
+  }
 
   /** STUB feature extraction: a `dims`-wide deterministic fake embedding
     * per blob — feature i is the first 4 hex digits of md5(payload ++ "#i")
@@ -226,8 +231,14 @@ object Multimodal {
     * the same per-partition batch shape and output schema
     * (id, frame_no, frame_hash). */
   def sampleFrames(media: DataFrame, stride: Int = 4, frameBytes: Int = 16): DataFrame = {
+    // stride <= 0 would make frame_no % stride NULL and silently filter
+    // every frame; null payloads have NO frames (greatest(null, 1) would
+    // otherwise fabricate a phantom frame 0 with a null hash)
+    require(stride >= 1, "stride must be at least 1")
+    require(frameBytes >= 1, "frameBytes must be at least 1")
     val nFrames = greatest(floor(length(col("payload")) / frameBytes), lit(1)).cast("int")
-    media.select(col("id"),
+    media.filter(col("payload").isNotNull)
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), nFrames - 1),
           i => md5(col("payload").substr(i * frameBytes + 1, lit(frameBytes)))))
           .as(Seq("frame_no", "frame_hash")))

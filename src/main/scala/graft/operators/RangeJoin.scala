@@ -43,10 +43,19 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val pb = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
+    // one OUTLIER interval (an open-ended sentinel hi, a mis-chosen
+    // width) would materialize millions-to-quadrillions of bucket
+    // elements and kill the stage — fail with the actual row's span and
+    // a remedy instead of an array-allocation error deep in a task
+    val maxBuckets = 4 * 1024 * 1024L
+    val lo = floor(col(loCol) / bucketWidth).cast("long")
+    val hi = floor(col(hiCol) / bucketWidth).cast("long")
     val ib = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        floor(col(hiCol) / bucketWidth).cast("long"))))
+      explode(sequence(lo,
+        when(hi - lo < maxBuckets, hi).otherwise(raise_error(concat(
+          lit(s"pointInInterval: interval spans more than $maxBuckets buckets "
+            + s"at bucketWidth=$bucketWidth ("), col(loCol), lit(".."),
+          col(hiCol), lit(") — widen bucketWidth or clamp sentinel bounds")))))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")

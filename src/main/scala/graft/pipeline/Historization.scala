@@ -42,7 +42,11 @@ object Historization {
     val currents = loadTs.map(Currents(_)).getOrElse(Currents.now())
     val enriched = MetaEnrichment.addMetaColumns(newData, currents, keyColumns, recordHashExclude)
 
-    Store.readParquetSafe(spark, storePath) match {
+    // schema-enforced read: the store is hive-partitioned by the business
+    // keys, and partition type INFERENCE would re-type numeric-looking
+    // string keys ("007" -> 7 -> canonicalized "7"), silently rewriting
+    // stored key values while their KEY_HASH still encodes the original
+    Store.readParquetSafeAs(spark, storePath, enriched.schema) match {
       case None =>
         // Bootstrap: no current store yet (main.py:20-21) — everything is delta.
         Store.writeStore(enriched, storePath, keyColumns)
@@ -53,7 +57,7 @@ object Historization {
         // The plan reads storePath; swap-write avoids overwrite-while-reading.
         Store.writeStoreSwap(updated, storePath, keyColumns)
     }
-    Store.readParquetSafe(spark, storePath).get
+    Store.readParquetSafeAs(spark, storePath, enriched.schema).get
   }
 
   /** [[historizeRun]] against a catalog BUCKETED table instead of a path —
@@ -144,11 +148,21 @@ object Historization {
       keyColumns: Seq[String],
       targetSchema: org.apache.spark.sql.types.StructType,
       defaultValues: Map[String, Any] = Map.empty,
-      recordHashExclude: Seq[String] = Nil): DataFrame =
+      recordHashExclude: Seq[String] = Nil): DataFrame = {
+    val evolved =
+      SchemaEvolution.prepareSchema(newData, targetSchema, defaultValues, removeColumns = true)
+    // widen the STANDING frame too, exactly like [[historizeRunEvolving]]
+    // widens the stored generation: a current accumulated under an older
+    // schema would otherwise fail the unionByName with the new-column
+    // delta — the advertised drift case would crash instead of evolving.
+    // The enriched target schema derives from an empty-plan enrichment
+    // (schema-only, no action).
+    val metaSchema = MetaEnrichment
+      .addMetaColumns(evolved.limit(0), currents, keyColumns, recordHashExclude).schema
     historizeFrames(
-      current,
-      SchemaEvolution.prepareSchema(newData, targetSchema, defaultValues, removeColumns = true),
-      currents, keyColumns, recordHashExclude)
+      SchemaEvolution.prepareSchema(current, metaSchema),
+      evolved, currents, keyColumns, recordHashExclude)
+  }
 
   /** [[historizeRun]] with in-loop schema evolution: the persisted twin of
     * [[historizeFramesEvolving]]. The stored generation is ALSO widened to

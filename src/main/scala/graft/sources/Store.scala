@@ -81,6 +81,19 @@ object Store {
   def readParquetSafe(spark: SparkSession, path: String): Option[DataFrame] =
     Try(spark.read.parquet(path)).toOption
 
+  /** [[readParquetSafe]] with an ENFORCED schema. Partition-column type
+    * inference otherwise re-types numeric-LOOKING string partition values
+    * on read-back ("007" infers as int 7, and the canonicalizing cast
+    * back to string yields "7"): a store hive-partitioned by string
+    * business keys would silently rewrite those key values across runs
+    * while KEY_HASH still encodes the original — the schema pins the
+    * partition columns' types so values round-trip. */
+  def readParquetSafeAs(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] =
+    Try(spark.read.schema(schema).parquet(path)).toOption
+
   /** Projected read of only the two hash columns (MetaColumnHelpers.py:164-169).
     * Parquet column pruning keeps the scan minimal. */
   def readCurrentHashes(spark: SparkSession, path: String): Option[DataFrame] =

@@ -12,7 +12,9 @@ class CurationSpec extends SparkSpec {
   private lazy val bench = docs.filter($"doc_id" % 20 === 0)
 
   test("curate equals the hand-composed stage chain") {
-    val got = Curation.curate(train, bench, "doc_id", "text")
+    // shingleN = 3 matches the hand chain below; the API default is the
+    // production 13-gram recipe
+    val got = Curation.curate(train, bench, "doc_id", "text", shingleN = 3)
     val qualityIds = TextAnalysis.gopherishFlags(train, "doc_id", "text")
       .filter($"keep").select("doc_id")
     val kept = train.join(qualityIds, Seq("doc_id"), "left_semi")
