@@ -30,18 +30,27 @@ object SchemaEvolution {
       newSchema: StructType,
       defaultValues: Map[String, Any] = Map.empty,
       removeColumns: Boolean = false): DataFrame = {
-    val oldFields = df.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSet
-    val existing  = df.columns.toSet
+    // existence matching is CASE-INSENSITIVE, like Spark's own default
+    // resolution: a case-sensitive set would classify a case-drifted
+    // feed column ("UserName" vs target "username") as MISSING, and the
+    // default-literal withColumn — which resolves case-insensitively —
+    // would then silently REPLACE the existing column's data with the
+    // default. The cast branch keeps the target's spelling.
+    val oldFields = df.schema.fields
+      .map(f => (f.name.toLowerCase, f.dataType, f.nullable)).toSet
+    val existing = df.columns.map(_.toLowerCase).toSet
 
-    val changed = newSchema.fields.filter(f => !oldFields.contains((f.name, f.dataType, f.nullable)))
+    val changed = newSchema.fields
+      .filter(f => !oldFields.contains((f.name.toLowerCase, f.dataType, f.nullable)))
     val evolved = changed.foldLeft(df) { (acc, f) =>
-      if (existing.contains(f.name)) acc.withColumn(f.name, col(f.name).cast(f.dataType))
+      if (existing.contains(f.name.toLowerCase))
+        acc.withColumn(f.name, col(f.name).cast(f.dataType))
       else acc.withColumn(f.name, lit(defaultValues.get(f.name).orNull).cast(f.dataType))
     }
 
     if (removeColumns) {
-      val keep = newSchema.fieldNames.toSet
-      evolved.drop(evolved.columns.filterNot(keep).toSeq: _*)
+      val keep = newSchema.fieldNames.map(_.toLowerCase).toSet
+      evolved.drop(evolved.columns.filterNot(c => keep.contains(c.toLowerCase)).toSeq: _*)
     } else evolved
   }
 }

@@ -42,6 +42,11 @@ object Historization {
     val currents = loadTs.map(Currents(_)).getOrElse(Currents.now())
     val enriched = MetaEnrichment.addMetaColumns(newData, currents, keyColumns, recordHashExclude)
 
+    // a crashed swap's rename gap must not read as "no store yet" — the
+    // bootstrap branch would recreate the store from this one snapshot
+    // and the next swap would delete the `.old` aside holding the whole
+    // accumulated history (historizeStream replays batches through here)
+    Store.healSwap(spark, storePath)
     // schema-enforced read: the store is hive-partitioned by the business
     // keys, and partition type INFERENCE would re-type numeric-looking
     // string keys ("007" -> 7 -> canonicalized "7"), silently rewriting

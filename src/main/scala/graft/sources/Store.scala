@@ -81,6 +81,19 @@ object Store {
   def readParquetSafe(spark: SparkSession, path: String): Option[DataFrame] =
     Try(spark.read.parquet(path)).toOption
 
+  /** [[readParquetSafe]] that only treats a MISSING path as absent: any
+    * other failure (transient FS error, corrupt footer) propagates. The
+    * safe form's catch-all is right for opportunistic reads; a
+    * maintenance stream's id-novelty absorber or a takedown's survivor
+    * read must NOT mistake an IO hiccup for "no store yet" — that would
+    * silently double-count state or classify every standing id as
+    * removable debris. */
+  def readParquetStrict(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) None
+    else Some(spark.read.parquet(path))
+  }
+
   /** [[readParquetSafe]] with an ENFORCED schema. Partition-column type
     * inference otherwise re-types numeric-LOOKING string partition values
     * on read-back ("007" infers as int 7, and the canonicalizing cast

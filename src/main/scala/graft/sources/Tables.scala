@@ -17,6 +17,10 @@ object Tables {
 
   /** Load a table by name from an sf directory. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the nanos conf must be set BEFORE the footer read: without it the
+    // events scan throws on the TIMESTAMP(NANOS) column and the rebuild
+    // case below is unreachable — by-name loads must work like events()
+    if (name == "events") configure(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" if df.schema("ts").dataType.typeName == "long" =>

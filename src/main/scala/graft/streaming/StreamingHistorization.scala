@@ -64,7 +64,10 @@ object StreamingHistorization {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        // 28,6 like MaterializedAgg.partialState: 18,6 overflows to NULL
+        // at |value| >= 1e12 (a bytes counter) and sum() would silently
+        // skip the row while n_events counts it
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
 
   /** Streaming exact dedup: drops rows repeating their `dedupCols` within
     * the watermark window — bounded state for at-least-once sources. */
@@ -171,8 +174,50 @@ object StreamingHistorization {
       .withColumn("__shs", Decontamination.hashedShingles(col(textCol), n))
       .withColumn("__k", lit(1))
       .join(benchRow, Seq("__k"))
-      .filter(size(array_intersect(col("__shs"), col("__bench_sh"))) < minHits)
+      // coalesce: a null text has null shingles and size(null) is a
+      // config-dependent null/-1 — the batch twin keeps such docs (they
+      // cannot be contaminated), so the stream must too
+      .filter(coalesce(
+        size(array_intersect(col("__shs"), col("__bench_sh"))).cast("long"),
+        lit(0L)) < minHits)
       .drop("__k", "__shs", "__bench_sh")
+  }
+
+  /** Per-batch near-dup candidate derivation shared by [[nearDupStream]]
+    * and [[clusterMaintainStream]]: band the batch's deterministic
+    * survivors, take the TUPLE-level novelty against the standing index
+    * (a crash mid index-append can commit a partial subset of a doc's
+    * band rows — an id-level anti-join would drop the rest forever),
+    * and emit normalized candidate pairs (intra-batch plus batch ×
+    * standing index). One definition so the two streams' replay
+    * semantics cannot drift. Returns (novel band rows, distinct pairs);
+    * both are persisted in `scope` — the caller appends them. */
+  private def batchCandidatePairs(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: Option[DataFrame],
+      n: Int,
+      k: Int,
+      bands: Int,
+      scope: graft.CacheScope): (DataFrame, DataFrame) = {
+    val banded0 = graft.operators.Dedup.minhashBandIndex(
+      survivorFirst(batch, Seq(idCol)), idCol, textCol, n, k, bands)
+    val novel = scope.persist(index.fold(banded0) { ix =>
+      banded0.join(ix.select("id", "band", "key"), Seq("id", "band", "key"), "left_anti")
+    })
+    val intra = novel.as("a").join(novel.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = scope.persist(index.fold(intra) { ix =>
+      intra.union(
+        novel.as("b").join(ix.as("c"),
+            col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+          .select(least(col("b.id"), col("c.id")).as("id_a"),
+            greatest(col("b.id"), col("c.id")).as("id_b")))
+    }.distinct())
+    (novel, pairs)
   }
 
   /** Streaming near-duplicate candidate discovery — the streaming twin of
@@ -212,33 +257,16 @@ object StreamingHistorization {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val session = batch.sparkSession
-        val banded0 = graft.operators.Dedup.minhashBandIndex(
-          survivorFirst(batch, Seq(idCol)), idCol, textCol, n, k, bands)
-        val index = Store.readParquetSafe(session, indexPath)
-        // Novelty is per (id, band, key) tuple, not per id: a crash mid
-        // index-append can commit a partial subset of a doc's band rows,
-        // and an id-level anti-join would then drop the rest forever.
-        val novel = index.fold(banded0) { ix =>
-          banded0.join(ix.select("id", "band", "key"), Seq("id", "band", "key"), "left_anti")
-        }.persist()
-        try {
-          val intra = novel.as("a").join(novel.as("b"),
-              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-                col("a.id") < col("b.id"))
-            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          val pairs = index.fold(intra) { ix =>
-            intra.union(
-              novel.as("b").join(ix.as("c"),
-                  col("b.band") === col("c.band") && col("b.key") === col("c.key"))
-                .select(least(col("b.id"), col("c.id")).as("id_a"),
-                  greatest(col("b.id"), col("c.id")).as("id_b")))
-          }.distinct()
+        graft.CacheScope.withScope { scope =>
+          val index = Store.readParquetStrict(session, indexPath)
+          val (novel, pairs) = batchCandidatePairs(
+            batch, idCol, textCol, index, n, k, bands, scope)
           // pairs first: if the job dies between the writes, the replayed
           // batch still finds its docs un-indexed and re-emits into the
           // pairs store, whose consumers read it as a set
           pairs.write.mode("append").parquet(pairsPath)
           novel.write.mode("append").parquet(indexPath)
-        } finally { novel.unpersist(blocking = false); () }
+        }
         ()
       }
 
@@ -302,32 +330,25 @@ object StreamingHistorization {
       maxIters: Int = 25,
       labelsGenerations: Int = 0,
       manifestPath: Option[String] = None,
-      statsPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      statsPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // constructor-argument validation runs at WRITER CONSTRUCTION, not
+    // per micro-batch: checked inside foreachBatch it would fire AFTER
+    // the batch's pairs append, and every restart of the permanently-
+    // failing query would grow the pairs store before dying again
+    require(manifestPath.isEmpty == statsPath.isEmpty,
+      "manifestPath and statsPath come together: a manifest without its "
+        + "second store pins nothing to compose")
+    require(manifestPath.isEmpty || labelsGenerations > 0,
+      "manifestPath requires labelsGenerations > 0 (snapshot pins generations)")
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
-          val banded0 = graft.operators.Dedup.minhashBandIndex(
-            survivorFirst(batch, Seq(idCol)), idCol, textCol, n, k, bands)
-          val index = Store.readParquetSafe(session, indexPath)
-          // tuple-level novelty, as in [[nearDupStream]]: survives a crash
-          // that committed only part of a doc's band rows
-          val novel = scope.persist(index.fold(banded0) { ix =>
-            banded0.join(ix.select("id", "band", "key"), Seq("id", "band", "key"), "left_anti")
-          })
-          val intra = novel.as("a").join(novel.as("b"),
-              col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-                col("a.id") < col("b.id"))
-            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          val pairs = scope.persist(index.fold(intra) { ix =>
-            intra.union(
-              novel.as("b").join(ix.as("c"),
-                  col("b.band") === col("c.band") && col("b.key") === col("c.key"))
-                .select(least(col("b.id"), col("c.id")).as("id_a"),
-                  greatest(col("b.id"), col("c.id")).as("id_b")))
-          }.distinct())
+          val index = Store.readParquetStrict(session, indexPath)
+          val (novel, pairs) = batchCandidatePairs(
+            batch, idCol, textCol, index, n, k, bands, scope)
           val standing = (
             if (labelsGenerations > 0) {
               // adopt a swap-layout labels store as generation 1 rather
@@ -335,7 +356,7 @@ object StreamingHistorization {
               // flag flips on an existing deployment
               Store.migrateToGenerations(session, labelsPath)
               Store.readStoreLatest(session, labelsPath).map(_._2)
-            } else Store.readParquetSafe(session, labelsPath))
+            } else Store.readParquetStrict(session, labelsPath))
             .getOrElse(pairs.select(col("id_a").as("id"), col("id_a").as("cluster_id")).limit(0))
           val updated = graft.operators.Dedup.updateClusters(
             standing, pairs, maxIters = maxIters, scope = scope)
@@ -371,6 +392,7 @@ object StreamingHistorization {
         }
         ()
       }
+  }
 
   /** Streaming sink maintaining a RANGE-SORTED, stats-manifested store
     * ([[graft.sources.StoreIndex]]) — continuous ingestion whose output
@@ -412,7 +434,7 @@ object StreamingHistorization {
         // schema from an arbitrary file, and a mixed-order store would
         // surface a scheduling-dependent column order to positional
         // consumers (exceptAll, by-position writers)
-        val novel = Store.readParquetSafe(session, path).fold(deduped)(store =>
+        val novel = Store.readParquetStrict(session, path).fold(deduped)(store =>
           deduped.join(store.select(idCol), Seq(idCol), "left_anti")
             .select(deduped.columns.map(col(_)): _*))
         graft.sources.StoreIndex.appendStoreSorted(
@@ -473,7 +495,7 @@ object StreamingHistorization {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
-          def prior(p: String) = Store.readParquetSafe(session, p)
+          def prior(p: String) = Store.readParquetStrict(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
           val novel = scope.persist {
             val b = survivorFirst(batch, Seq(idCol))
@@ -586,7 +608,7 @@ object StreamingHistorization {
         val session = batch.sparkSession
         val ids = batch.dropDuplicates()
         Store.deleteFromStore(session, docsPath, ids, idCol)
-        val survivors = Store.readParquetSafe(session, docsPath).getOrElse(
+        val survivors = Store.readParquetStrict(session, docsPath).getOrElse(
           session.range(0).select(col("id").cast("long").as(idCol),
             lit("").as(textCol)))
         graft.operators.Dedup.purgeSpanStores(session, ids, survivors,
@@ -629,7 +651,7 @@ object StreamingHistorization {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
-          def prior(p: String) = Store.readParquetSafe(session, p)
+          def prior(p: String) = Store.readParquetStrict(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
           val novel = scope.persist {
             val b = survivorFirst(batch, Seq(idCol))
@@ -685,7 +707,7 @@ object StreamingHistorization {
       statePath: String,
       groupCols: Seq[String],
       p: Int = 8): Option[DataFrame] =
-    Store.readParquetSafe(spark, statePath).map { state =>
+    Store.readParquetStrict(spark, statePath).map { state =>
       graft.operators.MaterializedAgg.finalizeDistinctHll(
         graft.operators.MaterializedAgg.mergeDistinctHll(
           Seq(state.drop("ingest_batch")), groupCols),
@@ -725,7 +747,7 @@ object StreamingHistorization {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
-          def prior(p: String) = Store.readParquetSafe(session, p)
+          def prior(p: String) = Store.readParquetStrict(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
           val novel = scope.persist {
             val b = survivorFirst(batch, idCols)
@@ -830,7 +852,7 @@ object StreamingHistorization {
       // within the batch collapses to the deterministic survivor first
       val snap = scope.persist(graft.operators.MetaEnrichment.addMetaColumns(
         survivorFirst(batch, keyColumns), cur, keyColumns))
-      val merged = Store.readParquetSafe(session, storePath) match {
+      val merged = Store.readParquetStrict(session, storePath) match {
         case None =>
           graft.operators.Scd2.historizeDataset(snap, None, cur, mode)
         case Some(store) =>
@@ -860,12 +882,16 @@ object StreamingHistorization {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // At-least-once sources can re-deliver content *within* one batch
-        // (several file drops coalesce under AvailableNow); collapse exact
-        // duplicates before the run so the anti-join sees a key-unique
-        // snapshot, matching the reference's input contract.
+        // (several file drops coalesce under AvailableNow). A bare
+        // dropDuplicates() only collapses EXACT duplicates: two coalesced
+        // snapshots delivering the same key with different payloads would
+        // both pass the hash anti-join and append two "current" rows
+        // under one run id. Collapse to the deterministic per-key
+        // survivor instead — the key-unique snapshot the reference's
+        // input contract requires.
         Historization.historizeRun(
-          batch.sparkSession, batch.dropDuplicates(), storePath, keyColumns,
-          Some(loadTsForBatch(batchId)))
+          batch.sparkSession, survivorFirst(batch, keyColumns), storePath,
+          keyColumns, Some(loadTsForBatch(batchId)))
         ()
       }
 

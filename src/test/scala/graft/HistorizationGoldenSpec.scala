@@ -116,4 +116,45 @@ class HistorizationGoldenSpec extends SparkSpec {
     val versions = out.groupBy("k").count().as[(String, Long)].collect().toMap
     assert(versions === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("prepareSchema resolves case-drifted columns instead of defaulting over them") {
+    import org.apache.spark.sql.types._
+    // a case-sensitive existence check would classify "UserName" as
+    // missing "username", and the default-literal withColumn (which
+    // resolves case-insensitively) would REPLACE the real data
+    val df = Seq(("alice", 1), ("bob", 2)).toDF("UserName", "v")
+    val target = StructType(Seq(
+      StructField("username", StringType, nullable = true),
+      StructField("v", IntegerType, nullable = true)))
+    val out = graft.operators.SchemaEvolution.prepareSchema(
+      df, target, defaultValues = Map("username" -> "LOST"))
+    assert(out.select("username").as[String].collect().sorted.toSeq ===
+      Seq("alice", "bob"), "case-drifted column data must survive evolution")
+    // a genuinely missing column still gets its default
+    val out2 = graft.operators.SchemaEvolution.prepareSchema(
+      df, StructType(target.fields :+ StructField("src", StringType, nullable = true)),
+      defaultValues = Map("src" -> "feed1"))
+    assert(out2.select("src").distinct().as[String].collect().toSeq === Seq("feed1"))
+  }
+
+  test("a coalesced batch with two payloads per key keeps one deterministic survivor") {
+    import graft.streaming.StreamingHistorization
+    val dir = Files.createTempDirectory("graft-hist-coalesce").toString
+    // two snapshot drops coalesce into ONE micro-batch (no per-trigger
+    // cap): key "a" arrives with two different payloads; a content-exact
+    // dropDuplicates would append BOTH as current rows under one run id
+    Seq(("a", "v1"), ("b", "x")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in/d0")
+    Seq(("a", "v2")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(
+      Seq(("a", "b")).toDF("k", "v").schema).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.historizeStream(
+      stream, s"$dir/store", Seq("k"), s"$dir/chk"))
+    val store = Store.readParquetSafe(spark, s"$dir/store").get
+    assert(store.filter($"k" === "a").count() === 1,
+      "one key-unique survivor per batch, not one row per payload")
+    // deterministic: the payload-order minimum survives
+    assert(store.filter($"k" === "a").select("v").as[String].collect().toSeq === Seq("v1"))
+  }
 }
