@@ -138,12 +138,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "state merge plans a join — partials should union, not join")
   }
 
-  test("decontamination and curation broadcast the benchmark side as registered") {
-    Seq("x_decontaminate", "x_curate").foreach { name =>
-      val p = finalPlanOf(name)
-      assert(p.contains("BroadcastHashJoin"),
-        s"$name lost the broadcast benchmark join — the corpus would shuffle for hit detection")
-    }
+  test("decontamination probes a single-row benchmark broadcast, corpus never shuffles") {
+    // r13 shape (Decontamination.contaminationReport): the benchmark
+    // collapses to ONE collect_set row, broadcast via IdentityBroadcastMode,
+    // and every corpus row probes it locally with array_intersect. The
+    // corpus side must plan ZERO shuffle exchanges — the previous
+    // BroadcastHashJoin shape shuffled the hit rows and ran the shingle
+    // kernel twice; if either assertion fires the zero-shuffle probe
+    // regressed to a join-shaped plan.
+    val p = finalPlanOf("x_decontaminate")
+    assert(p.contains("IdentityBroadcastMode"),
+      "x_decontaminate lost the single-row benchmark broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "x_decontaminate gained a shuffle exchange — the corpus (or benchmark) is being re-keyed")
+  }
+
+  test("composed curation keeps the single-row benchmark broadcast for its decontaminate stage") {
+    // curation's other stages (dedup, media) legitimately shuffle; the
+    // decontamination stage inside it must still be the broadcast-set probe.
+    val p = finalPlanOf("x_curate")
+    assert(p.contains("IdentityBroadcastMode"),
+      "x_curate's decontaminate stage lost the single-row benchmark broadcast")
   }
 
   test("bloom-routed batch delta never exchanges the standing store") {
