@@ -880,6 +880,34 @@ object Store {
   def readOrCreate(spark: SparkSession, path: String)(build: => DataFrame): DataFrame =
     readOrCreateWith(spark, path)(tmp => writeStore(build, tmp, Nil))
 
+  /** [[readOrCreateWith]] for a directory artifact that is not itself one
+    * parquet store (e.g. a tiered-store root holding `active/` and
+    * `history/` sub-stores): same build-into-sibling + rename-if-absent
+    * CAS, but commit is marked by an own `_STAGED` file (the sub-stores
+    * carry their own `_SUCCESS`) and nothing is read back — the caller
+    * addresses the sub-paths itself. Returns `path` for chaining. */
+  def ensureStagedDir(spark: SparkSession, path: String)(build: String => Unit): String = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    if (!fs.exists(new Path(target, "_STAGED"))) {
+      val tmpName = s"_build_${java.util.UUID.randomUUID().toString.take(8)}"
+      val tmp = new Path(target.getParent, tmpName)
+      build(tmp.toString)
+      fs.create(new Path(tmp, "_STAGED")).close()
+      if (!fs.rename(tmp, target) || fs.exists(new Path(target, tmpName))) {
+        fs.delete(new Path(target, tmpName), true)
+        fs.delete(tmp, true)
+        ()
+      }
+      if (!fs.exists(new Path(target, "_STAGED")))
+        throw new IllegalStateException(
+          s"ensureStagedDir: commit of $path did not land and no concurrent builder " +
+            "committed it either — rename failed for a non-race reason " +
+            "(permissions, quota, missing parent directory?)")
+    }
+    path
+  }
+
   /** [[readOrCreate]] generalized over the writer: `writeTo` persists the
     * store content at the path it is given (any layout — partitioned,
     * bucketed directories, …); commit-if-absent choreography as above. */

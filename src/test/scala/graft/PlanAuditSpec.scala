@@ -161,6 +161,22 @@ class PlanAuditSpec extends SparkSpec {
       "x_curate's decontaminate stage lost the single-row benchmark broadcast")
   }
 
+  test("tiered merge's archive probe scans KEY_HASH only — the payload never loads") {
+    // the property that makes the tiered layout cheap: historizeTiered's
+    // only merge-path read of the history tier is the resurrection-key
+    // probe, and it must column-prune to the 32-byte digest. The probe
+    // runs as a side effect inside the x_scd2_tiered/_run registrations
+    // (their RETURNED plan is the readTiered, which legitimately loads
+    // the payload), so the pin addresses the probe plan directly over
+    // the staged archive the _run row merges against.
+    val (_, hp) = SparkEntry.stagedTierRuns13(spark, sfDir)
+    val p = graft.operators.Scd2Tier.historyKeys(spark, hp).get
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<KEY_HASH:string>"),
+      "archive probe reads more than the KEY_HASH digest — merge cost would " +
+        s"scale with history payload width:\n$p")
+  }
+
   test("bloom-routed batch delta never exchanges the standing store") {
     // the route's 100 TB claim in plan form: the store is read once,
     // map-side, under a broadcast semi-join — zero shuffle exchanges
