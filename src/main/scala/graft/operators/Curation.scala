@@ -28,6 +28,13 @@ object Curation {
     * @param docs      training corpus (idCol, textCol)
     * @param bench     benchmark/eval set to decontaminate against (broadcast)
     * @param splits    (name, weight) split spec, weights summing to <= 1
+    * @param shingleN  decontamination shingle width in tokens. BREAKING
+    *                  CHANGE (v13): the default moved from 3 to 13 — the
+    *                  published-recipe range is 8–13, and 3-gram flagging
+    *                  at corpus scale is mostly false positives. Callers
+    *                  that relied on the old default now get different
+    *                  (strictly fewer) contamination drops; pass
+    *                  `shingleN = 3` explicitly to keep the old survivors
     * @param languages when set, keep only docs whose [[TextAnalysis.langId]]
     *                  is in the set (the C4/Gopher language gate); another
     *                  per-row predicate fused into the same corpus scan

@@ -102,7 +102,10 @@ object Embeddings {
     * digit.
     *
     * @return one row: (cos_means, l2_means, norm_a, norm_b), all
-    *         rounded to 6
+    *         rounded to 6. An EMPTY slice (zero rows / all-null vectors)
+    *         yields null comparative stats and a null norm on that side —
+    *         there is no mean to drift against; only two NON-empty slices
+    *         of different dimensionality raise.
     */
   def driftStats(a: DataFrame, b: DataFrame, vecCol: String = "embedding"): DataFrame = {
     def means(df: DataFrame, out: String) =
@@ -112,21 +115,26 @@ object Embeddings {
     // FULL outer + in-plan raise: an inner join would silently truncate a
     // dimensionality mismatch (a broken re-embed, exactly what a drift
     // monitor exists to catch) to the common prefix and report a
-    // plausible-looking drift over it. The check rides in the aggregate
-    // (max) so column pruning cannot drop it.
+    // plausible-looking drift over it. The check compares per-side
+    // NON-NULL dimension counts after the aggregate, not per-row null
+    // partners: an EMPTY slice (zero rows, or all-null vectors) is not a
+    // dimensionality disagreement — it has no dimensions at all — and
+    // returns all-null stats (there is no mean to drift against), while
+    // two non-empty slices of different width still die loudly.
     means(a, "ma").join(means(b, "mb"), Seq("i"), "full_outer")
-      .withColumn("__dim_chk",
-        when(col("ma").isNull || col("mb").isNull,
-          raise_error(concat(
-            lit("driftStats: slices disagree on embedding dimensionality "
-              + "(one side has no dimension "), col("i"), lit(")"))))
-          .otherwise(lit(0)))
       .agg(
         sum((col("ma") * col("mb")).cast(dec)).as("sab"),
         sum((col("ma") * col("ma")).cast(dec)).as("saa"),
         sum((col("mb") * col("mb")).cast(dec)).as("sbb"),
         sum(((col("ma") - col("mb")) * (col("ma") - col("mb"))).cast(dec)).as("sd"),
-        max(col("__dim_chk")).as("__dim_chk"))
+        count(col("ma")).as("__na"),
+        count(col("mb")).as("__nb"))
+      .withColumn("__dim_chk",
+        when(col("__na") =!= col("__nb") && col("__na") > 0 && col("__nb") > 0,
+          raise_error(concat(
+            lit("driftStats: slices disagree on embedding dimensionality ("),
+            col("__na"), lit(" vs "), col("__nb"), lit(" dimensions)"))))
+          .otherwise(lit(0)))
       .select(
         round(col("sab").cast("double") /
           sqrt(col("saa").cast("double") * col("sbb").cast("double")), 6).as("cos_means"),

@@ -50,7 +50,14 @@ object RangeJoin {
     val maxBuckets = 4 * 1024 * 1024L
     val lo = floor(col(loCol) / bucketWidth).cast("long")
     val hi = floor(col(hiCol) / bucketWidth).cast("long")
-    val ib = intervals.withColumn("__bucket",
+    // a NULL bound can never satisfy the inclusive containment predicate,
+    // so such intervals are dropped up front — the same no-match result
+    // the exact filter would produce, without tripping the outlier guard
+    // below (hi - lo is NULL for them, which would otherwise fall into
+    // the raise_error branch with a misleading span message)
+    val ib = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .withColumn("__bucket",
       explode(sequence(lo,
         when(hi - lo < maxBuckets, hi).otherwise(raise_error(concat(
           lit(s"pointInInterval: interval spans more than $maxBuckets buckets "

@@ -451,9 +451,16 @@ object Sketches {
     // estimate would count 240 phantom empty buckets); carried identity
     // catches both directions. The belt-and-braces range check stays for
     // tampered/corrupted register values.
-    require(synopsis.columns.contains("hll_p"),
-      "synopsis must carry its hll_p column (build it with hllRegisters/hllMerge)")
-    val checked = synopsis.withColumn("__mreg",
+    // Migration path for register synopses persisted before hll_p existed:
+    // absent column = "assume the caller's p" (exactly the pre-hll_p
+    // contract those stores were built under), still subject to the range
+    // check below. A standing store can be upgraded once with
+    // `withColumn("hll_p", lit(p))` at its next rewrite; any synopsis
+    // built by the current hllRegisters/hllMerge carries the real value.
+    val carried =
+      if (synopsis.columns.contains("hll_p")) synopsis
+      else synopsis.withColumn("hll_p", lit(p))
+    val checked = carried.withColumn("__mreg",
       when(col("hll_p") === p &&
           col("b").between(0, m - 1) && col("m_reg").between(1, maxRho),
         col("m_reg"))

@@ -59,4 +59,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(drift.getDouble(1) > 9.0) // mean moved ~10 on one dim
     assert(drift.getDouble(3) > drift.getDouble(2))
   }
+
+  test("driftStats: empty slice returns null stats; real width mismatch still dies") {
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)), (2L, Array(3.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // zero-row slice: not a dimensionality disagreement — the comparative
+    // stats are null (nothing to drift against) while the NON-empty
+    // slice's own norm still reports
+    val r = Embeddings.driftStats(a, a.limit(0)).head()
+    Seq(0, 1, 3).foreach(i => assert(r.isNullAt(i), s"col $i should be null"))
+    assert(r.getDouble(2) > 0) // norm_a: slice a exists
+    // all-null-vector slice behaves the same
+    val nulls = Seq((9L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val r2 = Embeddings.driftStats(a, nulls).head()
+    Seq(0, 1, 3).foreach(i => assert(r2.isNullAt(i), s"col $i should be null"))
+    assert(r2.getDouble(2) > 0)
+    // two NON-empty slices of different width must still fail loudly
+    val wide = Seq((1L, Array(1.0f, 0.0f, 2.0f, 5.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Embeddings.driftStats(a, wide).head())
+    assert(e.getMessage.contains("dimensionality")
+      || Option(e.getCause).exists(_.getMessage.contains("dimensionality")))
+  }
 }

@@ -44,6 +44,22 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("null interval bounds drop the interval — no match, no outlier error") {
+    // a NULL lo or hi can never satisfy the containment predicate; it must
+    // not reach the bucket-span outlier guard (where hi - lo is NULL and
+    // the error message would claim a span it cannot know)
+    val withNulls = intervals.select($"iid", $"lo", $"hi").unionByName(Seq(
+      (20L, Option.empty[Long], Option(50L)),
+      (21L, Option(0L), Option.empty[Long])
+    ).toDF("iid", "lo", "hi"))
+    val got = RangeJoin.pointInInterval(points, "v", withNulls, "lo", "hi", 16L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.crossJoin(intervals)
+      .filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+  }
+
   test("the physical plan is a hash equi-join on the bucket, not a nested loop") {
     val plan = RangeJoin.pointInInterval(points, "v", intervals, "lo", "hi", 16L)
       .queryExecution.executedPlan.toString

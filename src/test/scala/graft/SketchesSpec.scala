@@ -274,6 +274,31 @@ class SketchesSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("hll estimate accepts a pre-hll_p synopsis as the caller's p") {
+    // migration path: register stores persisted before hll_p existed have
+    // no such column — the estimate assumes the caller's p (the contract
+    // those stores were written under), range-checked, same answer as the
+    // carried-p synopsis
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val regs = Sketches.hllRegisters(events, Seq("event_type"), "user_id", p = 8)
+    val legacy = regs.drop("hll_p")
+    val a = Sketches.hllEstimate(regs, Seq("event_type"), p = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Sketches.hllEstimate(legacy, Seq("event_type"), p = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // the range check still guards a legacy synopsis read at a wrong
+    // SMALLER p (b >= 16 registers exist at p=8); the p=4 geometry
+    // violation fails loudly rather than estimating garbage
+    val ex = intercept[Exception] {
+      Sketches.hllEstimate(legacy, Seq("event_type"), p = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("hll synopsis inconsistent with p=4")),
+      s"unexpected failure: $ex")
+  }
+
   test("hll estimate rejects a synopsis built with a different p") {
     val events = graft.sources.Tables.events(spark, sfDir)
     // p = 8 registers carry buckets up to 255; estimating them as a p = 4
