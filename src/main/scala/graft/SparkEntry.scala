@@ -94,6 +94,79 @@ object SparkEntry {
 
   private[graft] def ensureJsonlFixture(): Unit = writeJsonlFixture(jsonlFixtureDir)
 
+  /** Hand-authored URL canonicalization edge vectors (url_id, url) — one
+    * per rule of [[graft.operators.Urls.canonicalizeUrl]]'s scaladoc list,
+    * shared verbatim with the DuckDB oracle (the VALUES literal is
+    * GENERATED from this val, so the two engines cannot drift). No single
+    * quotes allowed: the oracle embeds these as SQL string literals. */
+  private val urlEdgeVectors: Seq[(Long, String)] = Seq(
+    1000001L -> "HTTP://WWW.Example.COM/Path/File",
+    1000002L -> "http://example.com:80/a",
+    1000003L -> "https://example.com:443/a",
+    1000004L -> "https://example.com:8443/a",
+    1000005L -> "http://example.com:443/a",
+    1000006L -> "https://a.com/x#section-2",
+    1000007L -> "https://a.com/x?k=v#frag",
+    1000008L -> "https://a.com",
+    1000009L -> "https://a.com?b=2&a=1",
+    1000010L -> "https://a.com/x?utm_source=tw&b=2&utm_medium=s&a=1",
+    1000011L -> "https://a.com/x?fbclid=XYZ&gclid=1&msclkid=2&igshid=3&mc_eid=4",
+    1000012L -> "https://a.com/x?utm_source=tw",
+    1000013L -> "https://a.com/x?myutm_source=keep",
+    1000014L -> "https://a.com/x?utmost=keep",
+    1000015L -> "https://a.com/x?fbclid&a",
+    1000016L -> "https://a.com/x?a=1&&b=2&",
+    1000017L -> "https://a.com/x?",
+    1000018L -> "http://User:Pw@HOST.Com:80/a",
+    1000019L -> "https://a.com/x?to=user@b.com",
+    1000020L -> "https://a.com/CaseSensitive?Key=Val",
+    1000021L -> "  https://a.com/x  ",
+    1000022L -> "not a url",
+    1000023L -> "mailto:x@y.com",
+    1000024L -> "/relative/path?utm_source=x",
+    // canonical twins of 1000006/1000021 — URL-level dedup must collapse
+    1000025L -> "HTTPS://A.COM:443/x?utm_campaign=z#frag2",
+    1000026L -> "https://a.com/x")
+
+  /** SQL VALUES literal of [[urlEdgeVectors]] for the oracle side. */
+  private val urlEdgeValuesSql: String = {
+    require(urlEdgeVectors.forall(!_._2.contains("'")),
+      "url edge vectors must not contain single quotes (embedded in SQL)")
+    urlEdgeVectors.map { case (i, u) => s"($i, '$u')" }.mkString(", ")
+  }
+
+  /** URL fixture: the edge vectors plus a messy URL derived per document —
+    * scheme/host case, a default port, param order, tracking params, and a
+    * fragment all vary by doc_id while the CANONICAL form depends only on
+    * doc_id % 250, so every 250-congruent pair of docs collapses under
+    * URL dedup. The derivation is plain column arithmetic replayed
+    * verbatim by the oracle's twin expression. */
+  private def urlFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edge = urlEdgeVectors.toDF("url_id", "url")
+    val doc = col("doc_id")
+    val k = pmod(doc, lit(250))
+    val derived = Tables.documents(s, d).select(
+      (doc + 2000000L).as("url_id"),
+      concat(
+        when(pmod(doc, lit(2)) === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(pmod(doc, lit(3)) === 0, lit("Site")).otherwise(lit("site")),
+        pmod(k, lit(37)).cast("string"), lit(".Example.com"),
+        when(pmod(doc, lit(4)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), k.cast("string"),
+        when(pmod(doc, lit(2)) === 0,
+          concat(lit("?a="), pmod(k, lit(5)).cast("string"),
+            lit("&b="), pmod(k, lit(7)).cast("string")))
+          .otherwise(concat(lit("?b="), pmod(k, lit(7)).cast("string"),
+            lit("&a="), pmod(k, lit(5)).cast("string"))),
+        when(pmod(doc, lit(3)) === 1,
+          concat(lit("&utm_source=feed&fbclid="), doc.cast("string")))
+          .otherwise(lit("")),
+        when(pmod(doc, lit(5)) === 0, concat(lit("#sec"), doc.cast("string")))
+          .otherwise(lit(""))).as("url"))
+    edge.unionByName(derived)
+  }
+
   private val ts1 = "2024-01-01 10:00:00"
   private val ts2 = "2024-02-15 10:30:00"
   private val ts3 = "2024-03-01 09:30:00"
@@ -1529,6 +1602,23 @@ object SparkEntry {
     "x_text_redact" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))),
+    // URL canonicalization — the first stage of every public web-corpus
+    // recipe (CCNet/RefinedWeb/C4 dedupe by normalized URL before any
+    // content pass). The rule list lives in Urls.canonicalizeUrl; the
+    // oracle replays it as DuckDB regex/list expressions over the SAME
+    // fixture (hand edge vectors + per-document derived mess)
+    "x_text_url_canonical" -> ((s, d) =>
+      urlFixture(s, d).select(col("url_id"),
+        Urls.canonicalizeUrl(col("url")).as("canonical_url"),
+        Urls.urlHost(col("url")).as("host"))),
+    // URL-level exact dedup: one hash aggregation on the canonical
+    // string, smallest id survives — at 100 TB this drops duplicates on
+    // a ~100-byte key before any payload is read
+    "x_dedup_url" -> ((s, d) =>
+      Urls.duplicateUrls(urlFixture(s, d), "url_id", "url")),
+    // per-host corpus accounting (crawl budgeting / domain blocklists)
+    "x_text_url_hosts" -> ((s, d) =>
+      Urls.hostStats(urlFixture(s, d), "url")),
     // intra-doc repetition removal: collapse consecutive duplicate tokens
     "x_text_collapse" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -3199,6 +3289,68 @@ object SparkEntry {
        |       DATE '9999-12-31' AS "VALID_TO",
        |       CAST(NULL AS TIMESTAMP) AS "DELETED"
        |FROM h2 WHERE o_orderkey % 7 <> 0 AND o_orderkey % 31 <> 0""".stripMargin
+
+  /** Shared oracle fragment: the URL fixture (edge VALUES + the derived
+    * per-document mess) canonicalized by the DuckDB replay of
+    * [[graft.operators.Urls.canonicalizeUrl]]'s rule list. Yields table
+    * `urlcanon(url_id, canonical_url, host)`. */
+  private val urlCanonCte: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM (VALUES $urlEdgeValuesSql) AS t(url_id, url)
+       |  UNION ALL
+       |  SELECT 2000000 + doc_id,
+       |         CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+       |         CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END ||
+       |         CAST((doc_id % 250) % 37 AS VARCHAR) || '.Example.com' ||
+       |         CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+       |         '/Docs/' || CAST(doc_id % 250 AS VARCHAR) ||
+       |         CASE WHEN doc_id % 2 = 0
+       |              THEN '?a=' || CAST((doc_id % 250) % 5 AS VARCHAR) ||
+       |                   '&b=' || CAST((doc_id % 250) % 7 AS VARCHAR)
+       |              ELSE '?b=' || CAST((doc_id % 250) % 7 AS VARCHAR) ||
+       |                   '&a=' || CAST((doc_id % 250) % 5 AS VARCHAR) END ||
+       |         CASE WHEN doc_id % 3 = 1
+       |              THEN '&utm_source=feed&fbclid=' || CAST(doc_id AS VARCHAR)
+       |              ELSE '' END ||
+       |         CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR)
+       |              ELSE '' END
+       |  FROM documents
+       |),
+       |u1 AS (SELECT url_id, trim(url) AS t FROM raw),
+       |u2 AS (SELECT *, regexp_replace(t, '#.*', '') AS nofrag FROM u1),
+       |u3 AS (SELECT *,
+       |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |         regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u2),
+       |u4 AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS authority,
+       |         regexp_replace(rest, '^[^/?]*', '') AS pathq FROM u3),
+       |u5 AS (SELECT *, regexp_extract(authority, '^(.*@)?', 1) AS userinfo,
+       |         lower(regexp_replace(authority, '^.*@', '')) AS hostport FROM u4),
+       |u6 AS (SELECT *,
+       |         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+       |              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+       |              ELSE hostport END AS hostport2,
+       |         regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+       |         CASE WHEN contains(pathq, '?')
+       |              THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS query
+       |       FROM u5),
+       |u7 AS (SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS norm_path,
+       |         list_sort(list_filter(str_split(query, '&'),
+       |           p -> p <> '' AND NOT regexp_matches(p,
+       |             '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|igshid|mc_eid)(=|$$)'))) AS kept
+       |       FROM u6),
+       |urlcanon AS (
+       |  SELECT url_id,
+       |         CASE WHEN scheme = '' THEN t
+       |              ELSE scheme || '://' || userinfo || hostport2 || norm_path ||
+       |                   CASE WHEN len(kept) > 0
+       |                        THEN '?' || array_to_string(kept, '&') ELSE '' END
+       |         END AS canonical_url,
+       |         CASE WHEN scheme = '' THEN ''
+       |              ELSE lower(regexp_replace(
+       |                     regexp_replace(authority, '^.*@', ''), ':[0-9]*$$', ''))
+       |         END AS host
+       |  FROM u7
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = baseOracles ++ Map(
     // deliberately the SAME statements as x_sim_pq / x_sim_ivf: probing a
@@ -5196,6 +5348,18 @@ object SparkEntry {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    "x_text_url_canonical" ->
+      s"""$urlCanonCte
+         |SELECT url_id, canonical_url, host FROM urlcanon""".stripMargin,
+    "x_dedup_url" ->
+      s"""$urlCanonCte
+         |SELECT canonical_url, min(url_id) AS keep_id, count(*) AS n_dups
+         |FROM urlcanon GROUP BY canonical_url""".stripMargin,
+    "x_text_url_hosts" ->
+      s"""$urlCanonCte
+         |SELECT host, count(*) AS n_pages,
+         |       count(DISTINCT canonical_url) AS n_urls
+         |FROM urlcanon GROUP BY host""".stripMargin,
     // definitional FK check: orphans = non-null child keys absent from
     // the (shrunken) parent; NULL match_ratio when no key is checkable
     // (n_rows = n_null_key), mirroring the operator's convention

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and URL-level dedup — the FIRST stage of every
+  * public web-corpus recipe (CCNet, RefinedWeb, C4 all dedupe by
+  * normalized URL before any content pass): at 100 TB the cheapest
+  * duplicate is the one dropped on a 100-byte key before its payload is
+  * ever shingled, embedded, or even read past the metadata column.
+  *
+  * Everything here is Spark built-ins (trim / regexp / array ops) — no
+  * UDFs, whole-stage codegen end to end, and a DuckDB oracle can replay
+  * the identical rule list. The rules (applied in order):
+  *
+  *  1. trim surrounding whitespace;
+  *  2. strings without a `scheme://` pass through unchanged (relative
+  *     URLs, mailto:, data: — not this operator's job to guess at);
+  *  3. strip the fragment (`#...` — never reaches the server);
+  *  4. lowercase the scheme and the host[:port] (RFC 3986 §6.2.2.1;
+  *     userinfo, path and query stay case-sensitive);
+  *  5. strip the scheme's default port (`:80` for http, `:443` for
+  *     https);
+  *  6. an empty path becomes `/` (RFC 3986 §6.2.3);
+  *  7. drop tracking parameters — names starting `utm_` plus the
+  *     [[Urls.TrackingParams]] click-id set — and empty params
+  *     (`a=1&&b=2`), then SORT the survivors bytewise and rejoin; a
+  *     query left empty drops its `?`.
+  *
+  * Deliberately NOT done (each changes which pages a URL names):
+  * percent-encoding normalization beyond case, `www.` stripping, path
+  * dot-segment removal, trailing-slash collapse on non-empty paths —
+  * recipes disagree on all four; callers wanting them can compose more
+  * regexp passes on top of the canonical form.
+  */
+object Urls {
+
+  /** Click-id / mail-campaign parameters dropped by rule 7 (alongside the
+    * `utm_*` prefix family). Exact, case-sensitive names — the forms the
+    * ad platforms actually emit. */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "igshid", "mc_eid")
+
+  /** Java-regex form of rule 7's drop test against a single `k=v` (or
+    * bare `k`) query param. */
+  private[operators] val trackingParamPattern: String =
+    s"^(utm_[A-Za-z0-9_]*|${TrackingParams.mkString("|")})(=|$$)"
+
+  /** Canonical form of `url` per the rule list above. Null-safe (null →
+    * null); never throws on malformed input — a string that does not
+    * look like `scheme://...` is returned trimmed, unchanged. */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val noFrag = regexp_replace(t, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authority = regexp_extract(rest, "^([^/?]*)", 1)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    // greedy (.*@) captures through the LAST @, the RFC authority split
+    val userinfo = regexp_extract(authority, "^(.*@)?", 1)
+    val hostport = lower(regexp_replace(authority, "^.*@", ""))
+    val noDefPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val query = when(pathq.contains("?"), regexp_replace(pathq, "^[^?]*\\?", ""))
+      .otherwise(lit(""))
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern)))
+    val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(scheme === "", t)
+      .otherwise(concat(scheme, lit("://"), userinfo, noDefPort, normPath, queryPart))
+  }
+
+  /** Registrable host of the canonical form — lowercased, ports and
+    * userinfo stripped — the per-host aggregation key (host-level crawl
+    * budgeting, spam-domain cuts). Empty string for non-URL strings. */
+  def urlHost(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    when(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) === "", lit(""))
+      .otherwise(lower(regexp_replace(
+        regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^.*@", ""),
+        ":[0-9]*$", "")))
+  }
+
+  /** URL-level exact dedup: one row per canonical URL — the smallest
+    * `idCol` as the survivor plus the duplicate count. The
+    * [[Dedup.exactDuplicates]] shape keyed on the canonical string: one
+    * hash aggregation, map-side combined, nothing pairwise. */
+  def duplicateUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-host corpus accounting over canonical URLs: page count and
+    * distinct canonical-URL count per registrable host — the numbers a
+    * crawl-budget or domain-blocklist pass keys on. One aggregation. */
+  def hostStats(df: DataFrame, urlCol: String): DataFrame =
+    df.select(urlHost(col(urlCol)).as("host"),
+        canonicalizeUrl(col(urlCol)).as("__canon"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"),
+        count_distinct(col("__canon")).as("n_urls"))
+}

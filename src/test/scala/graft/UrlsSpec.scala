@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Urls
+
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(Urls.canonicalizeUrl(col("u"))).collect()(0).getString(0)
+
+  private def host(url: String): String =
+    Seq(url).toDF("u").select(Urls.urlHost(col("u"))).collect()(0).getString(0)
+
+  test("canonicalization rule list, one vector per rule") {
+    val vectors = Seq(
+      // case-fold scheme + host only
+      ("HTTP://WWW.Example.COM/Path/File", "http://www.example.com/Path/File"),
+      // default ports strip, non-default ports stay
+      ("http://example.com:80/a", "http://example.com/a"),
+      ("https://example.com:443/a", "https://example.com/a"),
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      ("http://example.com:443/a", "http://example.com:443/a"),
+      // fragment strips
+      ("https://a.com/x#section-2", "https://a.com/x"),
+      ("https://a.com/x?k=v#frag", "https://a.com/x?k=v"),
+      // empty path normalizes, also in front of a query
+      ("https://a.com", "https://a.com/"),
+      ("https://a.com?b=2&a=1", "https://a.com/?a=1&b=2"),
+      // tracking params drop (utm_ prefix + click-id set), rest sorts
+      ("https://a.com/x?utm_source=tw&b=2&utm_medium=s&a=1", "https://a.com/x?a=1&b=2"),
+      ("https://a.com/x?fbclid=XYZ&gclid=1&msclkid=2&igshid=3&mc_eid=4",
+        "https://a.com/x"),
+      ("https://a.com/x?utm_source=tw", "https://a.com/x"),
+      // a param merely CONTAINING utm_ is not a tracking param
+      ("https://a.com/x?myutm_source=keep", "https://a.com/x?myutm_source=keep"),
+      ("https://a.com/x?utmost=keep", "https://a.com/x?utmost=keep"),
+      // bare (valueless) tracking names drop too; bare others survive
+      ("https://a.com/x?fbclid&a", "https://a.com/x?a"),
+      // empty params collapse; fully-empty query drops its ?
+      ("https://a.com/x?a=1&&b=2&", "https://a.com/x?a=1&b=2"),
+      ("https://a.com/x?", "https://a.com/x"),
+      // userinfo preserved case-sensitively, host behind it still folds
+      ("http://User:Pw@HOST.Com/a", "http://User:Pw@host.com/a"),
+      // @ inside the QUERY must not confuse the authority split
+      ("https://a.com/x?to=user@b.com", "https://a.com/x?to=user@b.com"),
+      // path and query case preserved
+      ("https://a.com/CaseSensitive?Key=Val", "https://a.com/CaseSensitive?Key=Val"),
+      // whitespace trims
+      ("  https://a.com/x  ", "https://a.com/x"),
+      // non-URL strings pass through trimmed
+      ("not a url", "not a url"),
+      ("mailto:x@y.com", "mailto:x@y.com"),
+      ("/relative/path?utm_source=x", "/relative/path?utm_source=x"))
+    vectors.foreach { case (in, want) =>
+      assert(canon(in) === want, s"canonicalizeUrl($in)")
+    }
+    // null-safe
+    val n = Seq(Option.empty[String]).toDF("u")
+      .select(Urls.canonicalizeUrl(col("u"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("canonicalization is idempotent on every vector") {
+    val messy = Seq(
+      "HTTP://WWW.Example.COM:80/Path?z=1&utm_source=x&y=2#frag",
+      "https://User@B.com:443?b&a&fbclid=1",
+      "not a url")
+    messy.foreach { u =>
+      val once = canon(u)
+      assert(canon(once) === once, s"not idempotent on $u -> $once")
+    }
+  }
+
+  test("urlHost: lowercased, userinfo and port stripped; empty for non-URLs") {
+    assert(host("HTTPS://User@WWW.Example.COM:8443/a?x=1") === "www.example.com")
+    assert(host("http://a.com") === "a.com")
+    assert(host("not a url") === "")
+  }
+
+  test("duplicateUrls collapses canonical twins to the smallest id") {
+    val df = Seq(
+      (3L, "https://a.com/x?b=2&a=1"),
+      (1L, "HTTPS://A.com:443/x?a=1&b=2&utm_source=t#f"),
+      (2L, "https://a.com/y")
+    ).toDF("url_id", "url")
+    val got = Urls.duplicateUrls(df, "url_id", "url")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("https://a.com/x?a=1&b=2", 1L, 2L), ("https://a.com/y", 2L, 1L)))
+  }
+
+  test("hostStats counts pages and distinct canonical urls per host") {
+    val df = Seq(
+      (1L, "https://A.com/x"), (2L, "https://a.com:443/x#f"), (3L, "https://a.com/y"),
+      (4L, "http://b.com/")
+    ).toDF("url_id", "url")
+    val got = Urls.hostStats(df, "url").as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("a.com", 3L, 2L), ("b.com", 1L, 1L)))
+  }
+
+  test("dedup plan is one hash aggregation, nothing pairwise") {
+    val df = Seq((1L, "https://a.com/x")).toDF("url_id", "url")
+    val p = Urls.duplicateUrls(df, "url_id", "url")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate") && !p.contains("Join"), p)
+  }
+}
