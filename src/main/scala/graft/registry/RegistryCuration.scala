@@ -1,0 +1,464 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns => M}
+import graft.operators._
+import graft.operators.Scd2.ValidFromMode
+import graft.pipeline.Historization
+import graft.sources.{Store, StoreIndex, Tables}
+import graft.registry.Helpers._
+import graft.registry.OracleCtes._
+
+/** Registrations: composed curation, decontamination, and data-quality gates.
+  * One entry per implemented operator, each paired with its DuckDB
+  * oracle twin; composed into the driver contract by
+  * [[graft.SparkEntry]]. Entries moved verbatim from SparkEntry
+  * (r14 split — VERDICT r13 item 7). */
+private[graft] object RegistryCuration {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // per-benchmark attribution: the eval docs split into two suites by
+    // doc_id % 40; hits counted per (doc, suite)
+    "x_decontaminate_by" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.contaminationByBenchmark(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0)
+          .withColumn("suite",
+            when(col("doc_id") % 40 === 0, lit("suite_a")).otherwise(lit("suite_b"))),
+        "doc_id", "text", "suite", n = 3)
+    }),
+    // benchmark decontamination: every 20th doc plays the eval set, the
+    // rest is the training corpus; 3-gram collision flags contamination
+    // (same shingle derivation as the dedup family / docShinglesCte)
+    "x_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 3, minHits = 1)
+    }),
+    // deequ-style publish gate: one aggregation pass profiles all three
+    // columns; o_orderkey is unique (uniqueness 1.0), o_custkey is a
+    // 10:1 foreign key (0.1), o_orderstatus is a tiny enum
+    "x_quality_checks" -> ((s, d) =>
+      DataQuality.checkColumns(Tables.orders(s, d),
+        minCompleteness = Map("o_orderkey" -> 1.0, "o_custkey" -> 1.0,
+          "o_orderstatus" -> 1.0),
+        minUniqueness = Map("o_orderkey" -> 1.0))),
+    // profile drift between two loads: run A = orders minus every 3rd
+    // key, run B = the full table — per-column completeness/uniqueness
+    // deltas and the row ratio from two bounded profile passes
+    "x_quality_drift" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      DataQuality.profileDrift(
+        orders.filter(col("o_orderkey") % 3 =!= 0), orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    }),
+    // FK gate with REAL orphans: every 7th order is withheld from the
+    // parent side, so its lineitems must surface in n_orphans
+    "x_quality_fk" -> ((s, d) =>
+      DataQuality.checkReferentialIntegrity(
+        Tables.lineitem(s, d),
+        Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 0),
+        Seq("l_orderkey" -> "o_orderkey"))),
+    // the composed curation pipeline: quality -> dedup -> decontaminate
+    // -> split, one operator, oracle-checked as a whole
+    // shingleN = 3 pinned at each call: the oracle mirrors trigram
+    // shingles on this SMALL fixture (production default is 13-grams —
+    // at n=3 on a real corpus nearly everything shares a shingle)
+    "x_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3)
+    }),
+    // the same pipeline with the optional language gate on: docs whose
+    // stopword-profile language is not English drop out at the scan stage
+    "x_curate_lang" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3, languages = Some(Set("en")))
+    }),
+    // curation with the near-dup cluster stage: exact dedup, then simhash
+    // Hamming pairs -> transitive clusters -> keep the cluster minimum.
+    // Pairs come from the staged store, restricted inside `curate` to the
+    // surviving docs (pair membership is pairwise, so hamming<=1 pairs
+    // are exactly the staged hamming<=2 rows filtered) — curation reuses
+    // the corpus pair set instead of re-deriving its own
+    "x_curate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3, nearDup = Some((16, 1)),
+        nearDupPairs = Some(stagedSimhashPairs(s, d, 16, 2).filter(col("hamming") <= 1)))
+    }),
+    // curation with the MEDIA near-dup stage: after exact dedup, the docs'
+    // payloads run the perceptual-hash pipeline (aHash fingerprints ->
+    // pigeonhole Hamming pairs -> transitive clusters -> keep the cluster
+    // minimum) — the multimodal twin of x_curate_neardup, composing
+    // Multimodal.phashNearDuplicates into the same CC + election stages
+    "x_curate_media" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3, mediaDup = Some((16, 2)),
+        // the staged full-corpus phash pair store, restricted to
+        // survivors inside curate — the production shape (pairs computed
+        // once per corpus, not once per question); equality with the
+        // in-query computation is spec-pinned in CurationSpec
+        mediaDupPairs = Some(stagedPhashPairs(s, d, 16, 2)))
+    }),
+    // row-level expectations with quarantine routing: each bad row
+    // carries the names of the constraints it failed — one stateless
+    // projection, no shuffle
+    "x_quality_quarantine" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val constraints = Seq(
+        "qty_le_45" -> (col("l_quantity") <= 45),
+        "discount_le_8pct" -> (col("l_discount") <= 0.08),
+        "tax_le_6pct" -> (col("l_tax") <= 0.06))
+      val (_, quarantined) = DataQuality.splitQuarantine(li, constraints)
+      quarantined.select(col("l_orderkey"), col("l_linenumber"),
+        array_join(col("violations"), ",").as("reasons"))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    // the four curation stages in one statement; quality CTEs and the
+    // keep predicate are the SAME vals the standalone x_text_quality
+    // oracle uses, the split bound is written (0.9 + 0.05) so both
+    // engines accumulate the identical IEEE double
+    // x_curate plus the near-dup cluster stage between exact dedup and
+    // decontamination: simhash fps (shared tail CTE) -> pigeonhole pairs
+    // restricted to dedup survivors -> recursive min-label components ->
+    // drop non-minimum members. Restricting PAIRS to survivors equals the
+    // operator's pairs-over-survivors (blocking commutes with the subset)
+    "x_curate_neardup" ->
+      s"""WITH RECURSIVE $duckToksCte,
+         |$duckShinglesTailCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |$simhashFpTailCte,
+         |${duckHammingPairs(16, 1)},
+         |pairs2 AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN dedup da ON da.doc_id = p.id_a
+         |  JOIN dedup db ON db.doc_id = p.id_b
+         |),
+         |${duckCcLosers("pairs2")},
+         |ndd AS (
+         |  SELECT d.doc_id FROM dedup d
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN ndd USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM ndd d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    // the x_curate_neardup statement with the pair source swapped: phash
+    // fingerprints (the x_media_phash derivation) instead of simhash —
+    // the media cluster stage composed into curation
+    "x_curate_media" ->
+      s"""WITH RECURSIVE $duckToksCte,
+         |$duckShinglesTailCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |$phashFpTailCte,
+         |${duckHammingPairs(16, 2)},
+         |pairs2 AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN dedup da ON da.doc_id = p.id_a
+         |  JOIN dedup db ON db.doc_id = p.id_b
+         |),
+         |${duckCcLosers("pairs2")},
+         |ndd AS (
+         |  SELECT d.doc_id FROM dedup d
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN ndd USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM ndd d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    "x_curate" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN dedup USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM dedup d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    // x_curate with the language gate: identical statement except `base`
+    // additionally requires the generated stopword-profile argmax = 'en';
+    // the lang CASE is built from the same vals as the x_text_lang oracle
+    "x_curate_lang" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |lng AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      ${TextAnalysis.langOrder.map(l => s"${duckLangHits(l)} AS c_$l").mkString(", ")}
+         |    FROM toks
+         |  ) WHERE ($duckLangCase) = 'en'
+         |),
+         |base AS (
+         |  SELECT m.doc_id FROM m JOIN lng USING (doc_id)
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN dedup USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM dedup d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    "x_decontaminate_by" ->
+      s"""$docShinglesCte,
+         |bench AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN doc_id % 40 = 0 THEN 'suite_a' ELSE 'suite_b' END AS bench_id,
+         |    unnest(shingles) AS s
+         |  FROM sh WHERE doc_id % 20 = 0
+         |),
+         |train AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 <> 0
+         |)
+         |SELECT t.doc_id, b.bench_id, count(*) AS n_hits
+         |FROM train t JOIN bench b USING (s)
+         |GROUP BY 1, 2""".stripMargin,
+    "x_decontaminate" ->
+      s"""$docShinglesCte,
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |train AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 <> 0
+         |),
+         |hits AS (
+         |  SELECT t.doc_id, count(*) AS n_hits
+         |  FROM train t JOIN bench USING (s) GROUP BY 1
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id)
+         |SELECT s.doc_id, s.n_shingles,
+         |       coalesce(h.n_hits, 0) AS n_hits,
+         |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles, 6) AS contamination,
+         |       coalesce(h.n_hits, 0) >= 1 AS contaminated
+         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
+    // definitional FK check: orphans = non-null child keys absent from
+    // the (shrunken) parent; NULL match_ratio when no key is checkable
+    // (n_rows = n_null_key), mirroring the operator's convention
+    // two profile CTEs (one aggregation pass each) joined per column;
+    // ratios round at 6 BEFORE differencing, exactly like the operator
+    "x_quality_drift" ->
+      """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+        |b AS (SELECT * FROM orders),
+        |pa AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows_a,
+        |         round(CAST(count(o_orderkey) AS DOUBLE) / count(*), 6) AS completeness_a,
+        |         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness_a
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |         round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |         round(CAST(count(o_orderstatus) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_orderstatus) AS DOUBLE) / count(*), 6)
+        |  FROM a
+        |),
+        |pb AS (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows_b,
+        |         round(CAST(count(o_orderkey) AS DOUBLE) / count(*), 6) AS completeness_b,
+        |         round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS uniqueness_b
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |         round(CAST(count(o_custkey) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_custkey) AS DOUBLE) / count(*), 6)
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |         round(CAST(count(o_orderstatus) AS DOUBLE) / count(*), 6),
+        |         round(CAST(count(DISTINCT o_orderstatus) AS DOUBLE) / count(*), 6)
+        |  FROM b
+        |)
+        |SELECT pa."column", n_rows_a, completeness_a, uniqueness_a,
+        |       n_rows_b, completeness_b, uniqueness_b,
+        |       round(completeness_b - completeness_a, 6) AS d_completeness,
+        |       round(uniqueness_b - uniqueness_a, 6) AS d_uniqueness,
+        |       round(CAST(n_rows_b AS DOUBLE) / n_rows_a, 6) AS row_ratio
+        |FROM pa JOIN pb USING ("column")""".stripMargin,
+    "x_quality_fk" ->
+      """WITH par AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0
+        |),
+        |agg AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (l_orderkey IS NULL) AS n_null_key,
+        |    count(*) FILTER (l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM par)) AS n_orphans
+        |  FROM lineitem
+        |)
+        |SELECT 'l_orderkey' AS key, n_rows, n_null_key, n_orphans,
+        |  CASE WHEN n_rows - n_null_key = 0 THEN NULL
+        |       ELSE round(CAST(n_rows - n_null_key - n_orphans AS DOUBLE) /
+        |                  (n_rows - n_null_key), 6)
+        |  END AS match_ratio
+        |FROM agg""".stripMargin,
+    // the gate is definitional SQL: per-column counts over one scan;
+    // pass = thresholds in the registered call
+    "x_quality_checks" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(o_custkey) AS nn_ck, count(DISTINCT o_custkey) AS nd_ck,
+        |    count(o_orderkey) AS nn_ok, count(DISTINCT o_orderkey) AS nd_ok,
+        |    count(o_orderstatus) AS nn_os, count(DISTINCT o_orderstatus) AS nd_os
+        |  FROM orders
+        |)
+        |SELECT u."column", n AS n_rows, u.n_nonnull, u.n_distinct,
+        |  round(CAST(u.n_nonnull AS DOUBLE) / n, 6) AS completeness,
+        |  round(CAST(u.n_distinct AS DOUBLE) / n, 6) AS uniqueness,
+        |  (CASE u."column"
+        |     WHEN 'o_orderkey' THEN
+        |       round(CAST(u.n_nonnull AS DOUBLE) / n, 6) >= 1.0
+        |       AND round(CAST(u.n_distinct AS DOUBLE) / n, 6) >= 1.0
+        |     WHEN 'o_custkey' THEN round(CAST(u.n_nonnull AS DOUBLE) / n, 6) >= 1.0
+        |     ELSE round(CAST(u.n_nonnull AS DOUBLE) / n, 6) >= 1.0
+        |   END) AS pass
+        |FROM m, (VALUES
+        |  ('o_custkey',     (SELECT nn_ck FROM m), (SELECT nd_ck FROM m)),
+        |  ('o_orderkey',    (SELECT nn_ok FROM m), (SELECT nd_ok FROM m)),
+        |  ('o_orderstatus', (SELECT nn_os FROM m), (SELECT nd_os FROM m))
+        |) AS u("column", n_nonnull, n_distinct)""".stripMargin,
+    // NULL predicate = violation (fail-closed) in both engines via the
+    // same coalesce; concat_ws skips the non-violated NULL slots exactly
+    // like array_join over the compacted array
+    "x_quality_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  concat_ws(',',
+        |    CASE WHEN NOT coalesce(l_quantity <= 45, FALSE) THEN 'qty_le_45' END,
+        |    CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE) THEN 'discount_le_8pct' END,
+        |    CASE WHEN NOT coalesce(l_tax <= 0.06, FALSE) THEN 'tax_le_6pct' END) AS reasons
+        |FROM lineitem
+        |WHERE NOT coalesce(l_quantity <= 45, FALSE)
+        |   OR NOT coalesce(l_discount <= 0.08, FALSE)
+        |   OR NOT coalesce(l_tax <= 0.06, FALSE)""".stripMargin,
+  )
+}

@@ -1,0 +1,685 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns => M}
+import graft.operators._
+import graft.operators.Scd2.ValidFromMode
+import graft.pipeline.Historization
+import graft.sources.{Store, StoreIndex, Tables}
+import graft.registry.Helpers._
+import graft.registry.OracleCtes._
+
+/** Registrations: deduplication — exact, MinHash-LSH, SimHash, duplicated spans, clusters, survivor election, fuzzy join, URL canonicalization.
+  * One entry per implemented operator, each paired with its DuckDB
+  * oracle twin; composed into the driver contract by
+  * [[graft.SparkEntry]]. Entries moved verbatim from SparkEntry
+  * (r14 split — VERDICT r13 item 7). */
+private[graft] object RegistryDedup {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ---- staged-store BUILD accounting rows: the one-time cost of the
+    // artifacts every staged read above amortizes, measured as its own
+    // row (compute + persist to scratch) instead of silently landing on
+    // whichever read-query touches a store first ----
+    "x_stage_build_neardup_pairs" -> ((s, d) =>
+      buildScratch(s, "neardup_pairs_b16_h2")(
+        Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text", 16, 2))),
+    // ---- extensions: dedup ----
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", Seq("text"))),
+    "x_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", n = 3, minSim = 0.1)),
+    // the subset-duplicate screen: |A∩B| / min(|A|,|B|) — catches a short
+    // doc contained in a long one, which Jaccard's union denominator
+    // structurally misses (spec pins an explicit planted case)
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, minContainment = 0.5)),
+    // the containment screen wired into the ELECTION path: pairs → CC →
+    // keepBest with n_chars scoring, so a contained near-subset LOSES to
+    // its container (the container is the longer member of the pair) —
+    // the composition real curation runs on subset duplicates. Pairs are
+    // computed FRESH over the full corpus, deliberately NOT the staged
+    // survivor-restricted shortcut the simhash/phash stages use: their
+    // pair membership is per-document (fingerprints), so restriction is
+    // exact; containment's df-capped shingle join makes pair membership
+    // corpus-relative (dropping docs changes shingle document
+    // frequencies), and a restricted staged set would NOT equal a fresh
+    // computation over the survivors
+    "x_dedup_containment_elect" -> ((s, d) =>
+      Dedup.keepBest(Tables.documents(s, d), "doc_id", "n_chars",
+        Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minContainment = 0.5).select("id_a", "id_b"))
+        .select("doc_id")),
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text", n = 3, k = 8, bands = 4)),
+    // cross-run near-dup: odd-id docs are the new batch, the even-id docs'
+    // persisted band index plays the accumulated corpus index
+    "x_dedup_minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val index = Dedup.minhashBandIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalMinhashCandidates(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", index)
+    }),
+    "x_dedup_minhash_verified" -> ((s, d) =>
+      Dedup.minhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        n = 3, k = 8, bands = 4, minSim = 0.3)),
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashGroups(Tables.documents(s, d), "doc_id", "text", bits = 16)),
+    "x_dedup_simhash_near" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, maxHamming = 2)),
+    // the corpus-scale setting of the same operator: a 64-bit fingerprint
+    // (bits=16 saturates its 2^16 space on a real corpus and buckets go
+    // quadratic) — exercises the full-width block arithmetic including
+    // the sign bit, which carries fingerprint bit 0 at width 64
+    "x_dedup_simhash_wide" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        bits = 64, maxHamming = 3)),
+    // record-linkage dedup: every supplier-name pair within one edit,
+    // found by PassJoin segment pigeonhole blocking with an exact
+    // levenshtein verify. Sequential ID-style names ("Supplier#000...")
+    // keep the true near-pair count linear-ish in rows — the density
+    // regime the operator is for; saturated template spaces (part names:
+    // 2% of ALL pairs are true dist-1 matches at sf0.1) make any exact
+    // method's OUTPUT quadratic and belong to the n-gram/simhash family
+    // instead (density caveat on the operator's scaladoc)
+    "x_dedup_editdist" -> ((s, d) =>
+      Dedup.editDistanceNearDuplicates(Tables.supplier(s, d), "s_suppkey", "s_name",
+        maxDist = 1)),
+    // transitive duplicate clusters over the simhash near-dup pairs: the
+    // step pair emitters stop short of — A~B, B~C collapse into one
+    // cluster named by the minimum member
+    "x_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+          Dedup.simhashNearDuplicates(Tables.documents(s, d), "doc_id", "text",
+            bits = 16, maxHamming = 2))
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+    // incremental cluster maintenance: pairs NOT touching a doc_id ≡ 9
+    // (mod 10) play the standing labeling, every pair touching one plays
+    // the new ~10% batch — a realistic ingestion slice, so the query's
+    // cost demonstrates the batch-cost claim (the r8 registration made
+    // the "batch" half the corpus and cost two full CC loops).
+    // updateClusters must be row-identical to the full recompute — so the
+    // oracle IS the x_dedup_clusters statement. Pairs come from the
+    // staged store, and the STANDING labeling is staged too: before the
+    // batch arrives, production's labels store already exists — the
+    // query's steady-state cost is the batch update, not a standing-side
+    // CC re-run per question (that fresh cost stays measured by
+    // x_dedup_clusters)
+    "x_dedup_clusters_incremental" -> ((s, d) => {
+      val pairs = stagedSimhashPairs(s, d, 16, 2)
+      val batch = pairs.filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
+      Dedup.updateClusters(stagedStandingLabels(s, d), batch)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    // the takedown direction: remove the doc_id ≡ 3 (mod 25) batch (~4%)
+    // from the standing labeling + pair set at affected-component cost;
+    // removeDocsFromClusters must equal the full recompute without the
+    // ids, so the oracle is the recursive-CC statement over the kept
+    // pairs. Standing labels + pairs are the staged WIDE (64-bit) stores:
+    // at the corpus-scale fingerprint width components are small, so the
+    // affected-component claim does real work — on the saturated 16-bit
+    // graph (one giant component at sf0.1) any removal's "affected
+    // subgraph" IS the whole graph and the repair degenerates to a full
+    // CC by graph shape, not by operator design (dense-graph correctness,
+    // including bridge splits, stays spec-pinned in DedupSpec)
+    "x_dedup_clusters_removed" -> ((s, d) => {
+      val pairs = stagedSimhashPairs(s, d, 64, 3)
+      val removed = Tables.documents(s, d).filter(col("doc_id") % 25 === 3).select("doc_id")
+      val (labels2, _) = Dedup.removeDocsFromClusters(
+        stagedSimhashClusters(s, d, 64, 3), pairs, removed)
+      labels2.select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+    // one-row dedup dataset-card stats — a READ of the staged labeling
+    // (the labelsPath store the maintenance loop keeps current), the way
+    // production answers it; the labeling's derivation is oracle-checked
+    // end-to-end by x_dedup_clusters
+    "x_dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusterStats(stagedSimhashClusters(s, d, 16, 2))),
+    // corpus-level cluster dedup: drop every clustered doc except the
+    // cluster minimum; unpaired docs survive. Losers come from the staged
+    // labeling — the payload-bearing corpus joins the label store once
+    "x_dedup_canonical" -> ((s, d) =>
+      Dedup.keepCanonicalWith(Tables.documents(s, d), "doc_id",
+          stagedSimhashClusters(s, d, 16, 2))
+        .select("doc_id")),
+    // score-elected survivor: within each simhash cluster the LONGEST
+    // member survives (ties: min id) — the election real curation runs,
+    // instead of keepCanonical's min-id convention; election over the
+    // staged labeling
+    "x_dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBestWith(Tables.documents(s, d), "doc_id", "n_chars",
+          stagedSimhashClusters(s, d, 16, 2))
+        .select("doc_id")),
+    // the corpus-scale width run END-TO-END: 64-bit pairs (the setting a
+    // real corpus ships — 16-bit fingerprint space saturates) fed through
+    // CC and the score election, so the full-width block arithmetic is
+    // oracle-checked all the way to cluster labels and survivors, not
+    // just at the pair emitter. Both wide queries answer from the staged
+    // 64-bit labeling (the CC loop runs inside its one-time build; the
+    // steady-state fresh CC cost stays measured by x_dedup_clusters)
+    "x_dedup_clusters_wide" -> ((s, d) =>
+      stagedSimhashClusters(s, d, 64, 3)
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+    "x_dedup_keep_best_wide" -> ((s, d) =>
+      Dedup.keepBestWith(Tables.documents(s, d), "doc_id", "n_chars",
+          stagedSimhashClusters(s, d, 64, 3))
+        .select("doc_id")),
+    // duplicated 30-char substring spans across the corpus
+    "x_dedup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 30, stride = 1, minDocFreq = 2)),
+    // incremental spans: odd-id docs play the new batch, the even-id
+    // docs' distinct gram-hash store plays the accumulated corpus — the
+    // spans the batch would get from the full-corpus run, at batch cost
+    // (the minhash/exact/embedding incremental convention)
+    "x_dedup_spans_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        Dedup.spanGramsOf(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          k = 30, stride = 1),
+        k = 30, stride = 1)
+    }),
+    // the EXACT form (suffix-array semantics, string-verified — the
+    // oracle statement is shared with x_dedup_spans because that SQL
+    // already groups by the gram string; equality of the two rows is the
+    // no-collision observation, spec-pinned on a planted fixture)
+    "x_dedup_spans_exact" -> ((s, d) =>
+      Dedup.duplicatedSpansExact(Tables.documents(s, d), "doc_id", "text",
+        k = 30, minDocFreq = 2)),
+    // the scale setting of the same operator: stride 4 samples every 4th
+    // position, cutting explode volume 4x — the knob a 100 TB run uses.
+    // Registered alongside the exhaustive form so the stride arithmetic
+    // (position set AND island merge over stride-spaced runs) is
+    // oracle-checked, not just unit-tested
+    // the standing spans-family stores (grams / ids / spans, built by the
+    // per-batch ingestion loop over three doc_id%3 batches) — the BUILD
+    // accounting row: fresh build into scratch each run, returning the
+    // accumulated spans store. Prefix-asymmetric semantics: a position is
+    // duplicated iff another doc in an earlier-or-same batch shares its
+    // gram (the spansStream contract), which the oracle replays with a
+    // batch-aware join
+    "x_stage_build_spans" -> ((s, d) => {
+      val path = s"/tmp/graft_scratch/span_stores_build"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      buildSpanStores(s, d, path)
+      s.read.parquet(s"$path/spans").select(col("doc_id"), col("span_start"),
+        col("span_end"), col("ingest_batch").cast("int").as("ingest_batch"))
+    }),
+    // takedown over the spans family: purge every 7th doc from a fresh
+    // copy of the staged stores — the replay rewrites the affected batch
+    // suffix, so survivors' spans that existed only through a removed
+    // doc's grams die too (no per-id delete can see those). The result
+    // must equal the ingestion loop over the SURVIVOR corpus, which the
+    // oracle computes independently; the copy+replay cost is the honest
+    // per-takedown price
+    "x_dedup_spans_purged" -> ((s, d) => {
+      val src = stagedSpanStores(s, d)
+      val path = s"/tmp/graft_scratch/spans_purge_${dirTag(d, "documents")}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(src),
+        fs, new org.apache.hadoop.fs.Path(path), false, conf)
+      val docs = Tables.documents(s, d)
+      Dedup.purgeSpanStores(s,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0).select("doc_id", "text"),
+        "doc_id", "text", s"$path/grams", s"$path/ids", s"$path/spans", k = 30)
+      s.read.parquet(s"$path/spans").select(col("doc_id"), col("span_start"),
+        col("span_end"), col("ingest_batch").cast("int").as("ingest_batch"))
+    }),
+    "x_dedup_spans_strided" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 30, stride = 4, minDocFreq = 2)),
+    // the transformation side of span dedup: cut every duplicated island
+    // from all but its first-occurrence (min doc id) document and re-emit
+    // the cleaned corpus — Lee et al.'s actual output, not coordinates
+    "x_dedup_spans_removed" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        k = 30, stride = 1, minDocFreq = 2)),
+    // incremental (cross-run) exact dedup: even-id docs play the already-
+    // ingested corpus (digest store), the full table is the new batch
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val known = docs.filter(col("doc_id") % 2 === 0)
+        .select(graft.functions.HashColumns.hashExpr(Seq(col("text"))).as("content_hash"))
+      Dedup.incrementalExact(docs, "doc_id", Seq("text"), known)
+        .select("doc_id", "content_hash")
+    }),
+    // URL canonicalization — the first stage of every public web-corpus
+    // recipe (CCNet/RefinedWeb/C4 dedupe by normalized URL before any
+    // content pass). The rule list lives in Urls.canonicalizeUrl; the
+    // oracle replays it as DuckDB regex/list expressions over the SAME
+    // fixture (hand edge vectors + per-document derived mess)
+    "x_text_url_canonical" -> ((s, d) =>
+      urlFixture(s, d).select(col("url_id"),
+        Urls.canonicalizeUrl(col("url")).as("canonical_url"),
+        Urls.urlHost(col("url")).as("host"))),
+    // URL-level exact dedup: one hash aggregation on the canonical
+    // string, smallest id survives — at 100 TB this drops duplicates on
+    // a ~100-byte key before any payload is read
+    "x_dedup_url" -> ((s, d) =>
+      Urls.duplicateUrls(urlFixture(s, d), "url_id", "url")),
+    // per-host corpus accounting (crawl budgeting / domain blocklists)
+    "x_text_url_hosts" -> ((s, d) =>
+      Urls.hostStats(urlFixture(s, d), "url")),
+    // ---- extension: cross-table fuzzy join (record linkage) ----
+    // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
+    // a deterministically dirtied feed (one substitution at a
+    // key-dependent position); PassJoin blocking, exact verify
+    "x_fuzzy_join" -> ((s, d) => {
+      val clean = Tables.customer(s, d).select(col("c_custkey").as("cid"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("k"))
+      val p = (pmod(col("cid"), lit(12)) + 1).cast("int")
+      val dirty = clean.select(col("cid").as("did"),
+        concat(col("k").substr(lit(1), p - 1), lit("x"),
+          col("k").substr(p + 1, lit(12))).as("k2"))
+      Dedup.fuzzyJoin(clean, "cid", "k", dirty, "did", "k2", maxDist = 1)
+    }),
+    // entity-resolution election on the fuzzy pairs: one canonical clean
+    // match per dirty row (best distance, id tiebreak) — a window keyed
+    // by the dirty id, so the shuffle is per-entity, never global
+    "x_fuzzy_join_best" -> ((s, d) => {
+      val clean = Tables.customer(s, d).select(col("c_custkey").as("cid"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("k"))
+      val p = (pmod(col("cid"), lit(12)) + 1).cast("int")
+      val dirty = clean.select(col("cid").as("did"),
+        concat(col("k").substr(lit(1), p - 1), lit("x"),
+          col("k").substr(p + 1, lit(12))).as("k2"))
+      val pairs = Dedup.fuzzyJoin(clean, "cid", "k", dirty, "did", "k2", maxDist = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("right_id").orderBy(col("dist"), col("left_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "x_dedup_exact" ->
+      """SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash,
+        |       min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "x_dedup_jaccard" ->
+      s"""$docShinglesCte,
+         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+         |joinable AS (
+         |  SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND 1000
+         |),
+         |fil AS (SELECT ex.* FROM ex JOIN joinable USING (s)),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+         |  FROM fil a JOIN fil b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1""".stripMargin,
+    // same CTE chain as the Jaccard statement; only the denominator
+    // changes — containment of the smaller shingle set (shared CTE with
+    // the election twin so the derivations cannot drift)
+    "x_dedup_containment" ->
+      s"""$containmentInterCte
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5""".stripMargin,
+    // containment pairs through CC + the n_chars election: identical
+    // ranked/losers tail as x_dedup_keep_best, over the containment CTE
+    "x_dedup_containment_elect" ->
+      s"""${containmentInterCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b
+         |  WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6) >= 0.5
+         |),
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
+    "x_dedup_minhash" ->
+      s"""$minhashBandedCte
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.key = b.key AND a.id < b.id""".stripMargin,
+    // batch (odd ids) probes the accumulated band index (even ids): the
+    // same banded derivation, restricted on each join side
+    "x_dedup_minhash_incremental" ->
+      s"""$minhashBandedCte
+         |SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+         |FROM banded b JOIN banded c
+         |  ON b.band = c.band AND b.key = c.key
+         | AND b.id % 2 = 1 AND c.id % 2 = 0""".stripMargin,
+    "x_dedup_minhash_verified" ->
+      s"""$docShinglesCte,
+         |sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(0, 8),
+         |      j -> list_min(list_transform(shingles,
+         |             s -> md5(concat(CAST(j AS VARCHAR), '#', s))))) AS sig
+         |  FROM sh
+         |),
+         |banded AS (
+         |  SELECT id, g.band,
+         |         md5(array_to_string(sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM sig, generate_series(0, 3) g(band)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         |),
+         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+         |sizes AS (SELECT id, count(*) AS n_sh FROM ex GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN ex a ON a.id = c.id_a
+         |  JOIN ex b ON b.id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.id = id_a
+         |JOIN sizes sb ON sb.id = id_b
+         |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.3""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""$simhashFpCte
+         |SELECT fp AS simhash, min(doc_id) AS keep_id, count(*) AS n_docs
+         |FROM fp GROUP BY 1""".stripMargin,
+    "x_dedup_simhash_near" ->
+      s"""$simhashNearPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // the pairs-store build row persists exactly this pair set
+    "x_stage_build_neardup_pairs" ->
+      s"""$simhashNearPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // 64-bit twin: same pigeonhole pipeline, blocks generated from the
+    // SAME hammingBlocks computation; DuckDB's arithmetic >> differs from
+    // Spark's unsigned shift only above the masked width, so the block
+    // values agree bit-for-bit even when the sign bit is set
+    "x_dedup_simhash_wide" ->
+      s"""$simhashWideNearPairsCte
+         |SELECT id_a, id_b, hamming FROM pairs""".stripMargin,
+    // the wide pair graph through the SAME recursive-CC and election
+    // statements as the 16-bit family
+    "x_dedup_clusters_wide" ->
+      s"""${simhashWideNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    "x_dedup_keep_best_wide" ->
+      s"""${simhashWideNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
+    // the blocking is an implementation detail; the contract is the O(n²)
+    // definition, which the oracle states directly
+    "x_dedup_editdist" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+    // min-label connected components as a recursive CTE: cc enumerates
+    // (node, reachable node) over the symmetric edge list, so min(label)
+    // per node is the component minimum — the same fixpoint the iterative
+    // Spark loop converges to
+    "x_dedup_clusters" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // incremental ≡ full recompute on the union graph, so the oracle is
+    // the same recursive-CC statement as x_dedup_clusters
+    "x_dedup_clusters_incremental" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    // takedown ≡ full recompute over the pairs not touching a removed id
+    // (other docs' fingerprints are unchanged, so kept pairs ARE the
+    // surviving corpus's pairs) — over the WIDE pair graph, the width
+    // whose small components make affected-component repair meaningful
+    "x_dedup_clusters_removed" ->
+      s"""${simhashWideNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |kept AS (
+         |  SELECT id_a, id_b FROM pairs WHERE id_a % 25 <> 3 AND id_b % 25 <> 3
+         |),
+         |${duckConnectedComponents("kept")}
+         |SELECT id AS doc_id, min(label) AS cluster_id FROM cc GROUP BY id""".stripMargin,
+    "x_dedup_cluster_stats" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id)
+         |SELECT count(*) AS n_clusters,
+         |       CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_docs_clustered,
+         |       CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size,
+         |       CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS n_removable
+         |FROM szs""".stripMargin,
+    "x_dedup_canonical" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckCcLosers("pairs")}
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
+    // survivor = rank-1 by (n_chars DESC, id) within the recursive-CTE
+    // component — NULLS LAST mirrors the struct-max's null-loses rule
+    "x_dedup_keep_best" ->
+      s"""${simhashNearPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |${duckConnectedComponents("pairs")},
+         |comp AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+         |ranked AS (
+         |  SELECT c.id, row_number() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |),
+         |losers AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = d.doc_id)""".stripMargin,
+    // same position set (1-based starts, stride 1), raw-substring joins
+    // instead of the 60-bit hashes, identical island-merge windows
+    "x_dedup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p FROM docs)
+        |),
+        |dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |dp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM dp
+        |)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // the staged spans stores' accumulated content: the ingestion loop
+    // over the full corpus, replayed batch-aware
+    "x_stage_build_spans" -> duckSpansBatchedSql("1 = 1"),
+    // after purging every 7th doc, the stores equal the ingestion loop
+    // over the SURVIVOR corpus — including survivor spans that existed
+    // only through a removed doc's grams, which must be gone
+    "x_dedup_spans_purged" -> duckSpansBatchedSql("doc_id % 7 <> 0"),
+    // strided twin: position set steps by 4 and the island-merge group key
+    // subtracts row_number()*4, so runs of stride-spaced duplicated
+    // positions merge exactly as the Scala window does
+    "x_dedup_spans_strided" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28, 4)) AS p FROM docs)
+        |),
+        |dup AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |dp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (gram)
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) * 4 AS grp
+        |  FROM dp
+        |)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // removal twin of the span report: same position set, but a position
+    // is cut only when this doc is not the gram's min-id keeper; islands
+    // interval-merge (strictly-overlapping only), then the cleaned text
+    // reassembles from lag-segments + string_agg + tail — equivalent to
+    // the Spark fold over disjoint sorted spans
+    "x_dedup_spans_removed" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p FROM docs)
+        |),
+        |st AS (
+        |  SELECT gram, min(doc_id) AS keeper FROM pos
+        |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |cut AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN st USING (gram)
+        |  WHERE pos.doc_id <> st.keeper
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM cut
+        |),
+        |sp AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 29 AS e FROM isl GROUP BY doc_id, grp
+        |),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp
+        |),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS mgrp
+        |  FROM mk
+        |),
+        |merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg GROUP BY doc_id, mgrp
+        |),
+        |segs AS (
+        |  SELECT m.doc_id, m.s,
+        |    substring(d.text,
+        |      coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) + 1,
+        |      m.s - coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) - 1) AS seg
+        |  FROM merged m JOIN documents d USING (doc_id)
+        |),
+        |heads AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY s) AS head FROM segs GROUP BY doc_id
+        |),
+        |tails AS (
+        |  SELECT doc_id, max(e) AS me FROM merged GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN t.me IS NULL THEN d.text
+        |       ELSE coalesce(h.head, '') || substring(d.text, t.me + 1) END AS cleaned
+        |FROM documents d
+        |LEFT JOIN heads h USING (doc_id)
+        |LEFT JOIN tails t USING (doc_id)""".stripMargin,
+    "x_dedup_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), 'nan')) AS content_hash
+        |  FROM documents
+        |),
+        |known AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 2 = 0),
+        |novel AS (
+        |  SELECT h.* FROM h LEFT JOIN known k USING (content_hash)
+        |  WHERE k.content_hash IS NULL
+        |)
+        |SELECT doc_id, content_hash FROM (
+        |  SELECT doc_id, content_hash,
+        |    row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |  FROM novel
+        |) WHERE rn = 1""".stripMargin,
+    "x_text_url_canonical" ->
+      s"""$urlCanonCte
+         |SELECT url_id, canonical_url, host FROM urlcanon""".stripMargin,
+    "x_dedup_url" ->
+      s"""$urlCanonCte
+         |SELECT canonical_url, min(url_id) AS keep_id, count(*) AS n_dups
+         |FROM urlcanon GROUP BY canonical_url""".stripMargin,
+    "x_text_url_hosts" ->
+      s"""$urlCanonCte
+         |SELECT host, count(*) AS n_pages,
+         |       count(DISTINCT canonical_url) AS n_urls
+         |FROM urlcanon GROUP BY host""".stripMargin,
+    "x_fuzzy_join" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS cid,
+        |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS k
+        |  FROM customer
+        |),
+        |dirty AS (
+        |  SELECT cid AS did,
+        |         substr(k, 1, CAST(cid % 12 AS INT)) || 'x' ||
+        |           substr(k, CAST(cid % 12 AS INT) + 2) AS k2
+        |  FROM clean
+        |)
+        |SELECT c.cid AS left_id, d.did AS right_id,
+        |       CAST(levenshtein(c.k, d.k2) AS INT) AS dist
+        |FROM clean c CROSS JOIN dirty d
+        |WHERE levenshtein(c.k, d.k2) <= 1""".stripMargin,
+    "x_fuzzy_join_best" ->
+      """WITH clean AS (
+        |  SELECT c_custkey AS cid,
+        |         substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS k
+        |  FROM customer
+        |),
+        |dirty AS (
+        |  SELECT cid AS did,
+        |         substr(k, 1, CAST(cid % 12 AS INT)) || 'x' ||
+        |           substr(k, CAST(cid % 12 AS INT) + 2) AS k2
+        |  FROM clean
+        |),
+        |pairs AS (
+        |  SELECT c.cid AS left_id, d.did AS right_id,
+        |         CAST(levenshtein(c.k, d.k2) AS INT) AS dist
+        |  FROM clean c CROSS JOIN dirty d
+        |  WHERE levenshtein(c.k, d.k2) <= 1
+        |)
+        |SELECT left_id, right_id, dist FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY right_id
+        |                           ORDER BY dist, left_id) = 1""".stripMargin,
+  )
+}

@@ -1,0 +1,609 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns => M}
+import graft.operators._
+import graft.operators.Scd2.ValidFromMode
+import graft.pipeline.Historization
+import graft.sources.{Store, StoreIndex, Tables}
+import graft.registry.Helpers._
+import graft.registry.OracleCtes._
+
+/** Registrations: embedding similarity — ANN (LSH/PQ/IVF), SemDeDup, k-means, drift, skew/range joins.
+  * One entry per implemented operator, each paired with its DuckDB
+  * oracle twin; composed into the driver contract by
+  * [[graft.SparkEntry]]. Entries moved verbatim from SparkEntry
+  * (r14 split — VERDICT r13 item 7). */
+private[graft] object RegistrySimilarity {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ---- extensions: similarity search ----
+    "x_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    }),
+    // params measured, not guessed: recall@10 = 0.90 on the sf0.01
+    // embeddings (SimilaritySpec pins a 0.6 CI floor on exactly these)
+    "x_sim_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        planes = 2, dims = 64, tables = 4)
+    }),
+    // the composed quantized-ANN path: SRP buckets over int8 codes (the
+    // wide shuffle moves 1-byte codes, not floats), exact re-rank on the
+    // original vectors. Same planes/tables as x_sim_ann_lsh — bucket signs
+    // are scale-invariant, so recall matches the dequantized measurement
+    // (0.90 at sf0.01; same CI floor applies)
+    "x_sim_ann_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedLshTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        planes = 2, dims = 64, tables = 4)
+    }),
+    // product quantization + ADC: corpus as 16 4-dim-subspace codes,
+    // per-query lookup tables, reconstructed-norm cosine shortlist,
+    // exact re-rank of the top-40. recall@10 = 0.76 at sf0.01 (CI floor
+    // 0.6 in SimilaritySpec)
+    "x_sim_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        m = 16, codes = 16, iters = 2, probe = 40)
+    }),
+    // recall@10 = 0.70 at sf0.01 (same CI floor applies)
+    "x_sim_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, centroids = 16, nprobe = 8)
+    }),
+    // persist-then-probe PQ: the codebook frame and code table are the
+    // artifacts a production corpus encodes ONCE and stores; the probe
+    // trains and encodes nothing. Must equal x_sim_pq row-for-row (same
+    // oracle statement); the parquet round-trip itself is pinned in
+    // SimilaritySpec — registered queries stay pure
+    "x_sim_pq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 16, codes = 16, iters = 2)
+      Similarity.pqTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb), cb,
+        k = 10, probe = 40)
+    }),
+    // persist-then-probe IVF: stored centroid frame + inverted file,
+    // corpus vectors join in by id only for scoring; equals x_sim_ivf
+    "x_sim_ivf_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents), cents,
+        k = 10, nprobe = 8)
+    }),
+    // IVF over Lloyd-REFINED centroids: kmeansCentroids replaces the
+    // md5-sample coarse quantizer on the SAME stored-artifact probe path
+    // (the drop-in refinement the kmeans scaladoc promises). Measured:
+    // recall@10 0.88 vs 0.70 for the sample at the same nprobe=8 —
+    // training the quantizer buys recall with zero probe-cost change
+    "x_sim_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 2)
+        .withColumn("nrm", Similarity.l2Norm(col("centroid")))
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        Similarity.ivfAssignWith(emb, "vec_id", "embedding", cents), cents,
+        k = 10, nprobe = 8)
+    }),
+    // the COMPOSED index (IVFADC, Jégou et al. 2011): PQ codes of the
+    // residual within each IVF cell, probed by q·c + ADC(q·r) over the
+    // posting's stored true norm, exact re-rank of the top-80. All three
+    // artifacts (centroid frame, residual codebooks, coded postings) are
+    // the persist-once model synopses; recall@10 = 0.78 at sf0.01
+    // (CI floor 0.6 in SimilaritySpec)
+    "x_sim_ivfpq_index" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+      val cb = Similarity.ivfPqCodebook(emb, "vec_id", "embedding", cents,
+        m = 16, codes = 32, iters = 2)
+      val post = Similarity.ivfPqEncodeWith(emb, "vec_id", "embedding", cents, cb)
+      Similarity.ivfPqTopKWith(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", post, cents, cb,
+        k = 10, nprobe = 10, probe = 80)
+    }),
+    // the batch-cost demonstration for the PQ leg (the kmeans-incremental
+    // shape): codebook trained on the corpus, but ONLY the vec_id ≡ 4
+    // (mod 5) batch is encoded through the stored model — the per-batch
+    // cost a production ingest pays. Codes flattened to CSV (atomic dump
+    // columns only, the r6 rule)
+    "x_sim_pq_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+        m = 16, codes = 16, iters = 2)
+      Similarity.pqEncodeWith(emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", cb)
+        .select(col("vec_id"), array_join(col("codes"), ",").as("codes_csv"))
+    }),
+    // same for the IVF leg: centroids trained on the corpus, only the
+    // batch assigned through the stored frame into the inverted file
+    "x_sim_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", centroids = 16)
+      Similarity.ivfAssignWith(emb.filter(col("vec_id") % 5 === 4), "vec_id", "embedding", cents)
+    }),
+    // int8 scalar quantization: 4x smaller vectors for the ANN shuffle.
+    // The dump flattens codes to a CSV string: the driver's checker sorts
+    // every dumped column, and array-typed cells crash its pandas sort
+    // (r6 red row) — registered dumps expose only atomic-typed columns.
+    "x_sim_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"),
+          array_join(col("q.codes"), ",").as("codes_csv"))),
+    // 2^4 buckets per table × 2 OR'd tables: bucket count sized for the
+    // sf0.01/sf0.1 corpus (use embeddingNearDupPairsAuto at unknown scale)
+    "x_sim_near_dup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCos = 0.4, planes = 4, dims = 64, tables = 2)),
+    // cross-run semantic near-dup: odd-id vectors are the new batch, the
+    // even-id vectors' persisted bucket index plays the accumulated
+    // corpus index (the embedding twin of x_dedup_minhash_incremental)
+    "x_sim_near_dup_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val index = Similarity.srpBucketIndex(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        planes = 4, dims = 64, tables = 2)
+      Similarity.incrementalEmbeddingCandidates(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", index,
+        planes = 4, dims = 64, tables = 2)
+    }),
+    // the production composition: candidates from the index probe, then
+    // exact cosine over only the candidate pairs
+    "x_sim_near_dup_incr_verified" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 2 === 0)
+      val index = Similarity.srpBucketIndex(corpus, "vec_id", "embedding",
+        planes = 4, dims = 64, tables = 2)
+      Similarity.incrementalEmbeddingNearDuplicates(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", index, corpus,
+        minCos = 0.4, planes = 4, dims = 64, tables = 2)
+    }),
+    // size-derived bucket count: planes = autoPlanes(count, 64) — the
+    // copy-paste template that still holds at unknown corpus scale (the
+    // oracle mirrors the derivation with a scalar count() subquery)
+    "x_sim_near_dup_auto" -> ((s, d) =>
+      Similarity.embeddingNearDupPairsAuto(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCos = 0.4, dims = 64, tables = 2, targetPerBucket = 64)),
+    // ---- extensions: salted skew join (oracle = the plain join it must
+    // be row-identical to; returnflag has 3 values -> maximal key skew) ----
+    "x_skew_join" -> ((s, d) => {
+      val li = liProj(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("returnflag"), col("quantity"))
+      val dim = li.groupBy("returnflag").agg(
+        count(lit(1)).as("n_flag"),
+        sum(col("quantity")).cast("double").as("sum_qty"))
+      SkewJoin.saltedInnerJoin(li.drop("quantity"), dim, Seq("returnflag"), salt = 8)
+    }),
+    // bucketed interval join: shipments landing inside 31-day order
+    // windows (every 601st order), an equi-join on 16-day buckets plus the
+    // exact containment filter — never a nested-loop/cartesian plan.
+    // Day numbers are the NTZ timestamp's date part as epoch days
+    // (timezone-free on both engines); the window subset is deterministic
+    "x_range_join" -> ((s, d) => {
+      val day = (c: org.apache.spark.sql.Column) => unix_date(c.cast("date"))
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        day(col("l_shipdate")).as("ship_day"))
+      val win = Tables.orders(s, d).filter(col("o_orderkey") % 601 === 0)
+        .select(col("o_orderkey").as("win_key"),
+          day(col("o_orderdate")).as("lo"),
+          (day(col("o_orderdate")) + 30).as("hi"))
+      RangeJoin.pointInInterval(li, "ship_day", win, "lo", "hi", bucketWidth = 16)
+        .select("win_key", "l_orderkey", "l_linenumber", "ship_day")
+    }),
+    // SemDeDup-style semantic dedup: deterministic k-means (IVF-seeded,
+    // two decimal-sum Lloyd rounds) buckets the corpus; within-cluster
+    // cosine pairs feed the standard cluster/canonical machinery; output
+    // is the surviving (canonical + unpaired) vec_ids
+    "x_emb_semdedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        minCos = 0.4, k = 8, iters = 2).select("vec_id")),
+    // persisted k-means model: centroids trained on the corpus once
+    // (kmeansCentroids — the k-means leg of the persisted-model story),
+    // a ~20% "new batch" assigned through the stored frame
+    // (kmeansAssignWith) must land in exactly the cells the full in-loop
+    // assignment gives those rows
+    "x_emb_kmeans_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.kmeansAssignWith(emb.filter(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", cents)
+    }),
+    // ---- extensions: embedding pooling ----
+    "x_emb_meanpool" -> ((s, d) =>
+      Embeddings.meanPoolExact(
+        Tables.embeddings(s, d).withColumn("grp", pmod(col("vec_id"), lit(16))),
+        "grp", "embedding")),
+    // embedding drift between two ingest slices: cosine + L2 between the
+    // slices' exact mean vectors — the dataset-shift monitor a corpus
+    // store runs per batch; slice size never reaches past the two pooling
+    // scans
+    "x_emb_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Embeddings.driftStats(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "x_sim_topk" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cos
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // 4 OR'd tables x 2 planes, global plane index t*2+p — exactly
+    // srpBucketKeys(planes = 2, tables = 4); candidate pairs are
+    // de-duplicated across tables before scoring, like lshTopK
+    "x_sim_ann_lsh" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 2), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 2 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 3) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |                    AND q.id < 5 AND q.id <> c.id
+        |),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(vq.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+        |          / (vq.nrm * vc.nrm), 6) AS cos
+        |  FROM cand JOIN v vq ON vq.id = query_id JOIN v vc ON vc.id = corpus_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // x_sim_ann_lsh's statement with one substitution: bucket signs come
+    // from the int8 codes (same scale/round derivation as x_sim_quantize);
+    // scoring still reads the original vectors — mirroring the operator's
+    // quantized-candidates / exact-re-rank split
+    "x_sim_ann_quantized" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT vec_id AS id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |),
+        |qz AS (
+        |  SELECT id,
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END AS codes
+        |  FROM s
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 2), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(codes[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 2 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM qz, generate_series(0, 3) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+        |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |                    AND q.id < 5 AND q.id <> c.id
+        |),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(vq.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+        |          / (vq.nrm * vc.nrm), 6) AS cos
+        |  FROM cand JOIN v vq ON vq.id = query_id JOIN v vc ON vc.id = corpus_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // full PQ mirror: subspace-indexed kmeans CTEs, ADC lookup tables,
+    // shortlist + exact re-rank — see duckPqSql for the parity pins
+    "x_sim_pq" -> duckPqSql(m = 16, ks = 16, iters = 2, probe = 40, k = 10),
+    "x_sim_ivf" ->
+      s"""WITH $duckIvfAssignCtes,
+        |probe AS (
+        |  SELECT id AS query_id, vv AS qv, nrm AS qn, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+        |    FROM pairs WHERE id < 5
+        |  ) WHERE rn <= 8
+        |),
+        |scored AS (
+        |  SELECT p.query_id, a.id AS corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(p.qv[i] AS DOUBLE) * CAST(a.vv[i] AS DOUBLE))) / (p.qn * a.nrm), 6) AS cos
+        |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.id <> p.query_id
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, cos, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+    // same per-vector max/127 scale and round-half-away-from-zero code
+    // derivation as quantizeInt8; CAST of the already-integral round()
+    // output is exact in both engines. codes flattened to CSV so the
+    // driver's checker only ever sorts scalar cells (r6 fix).
+    "x_sim_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, scale,
+        |  array_to_string(
+        |    CASE WHEN scale = 0
+        |         THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END,
+        |    ',') AS codes_csv
+        |FROM s""".stripMargin,
+    "x_sim_near_dup" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 4 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id
+        |),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(va.vv[i] AS DOUBLE) * CAST(vb.vv[i] AS DOUBLE)))
+        |          / (va.nrm * vb.nrm), 6) AS cos
+        |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
+        |)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    // batch (odd ids) probes the accumulated bucket index (even ids):
+    // the same bucket derivation as x_sim_near_dup, restricted per side
+    "x_sim_near_dup_incremental" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 4 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t)
+        |)
+        |SELECT DISTINCT b1.id AS batch_id, c.id AS corpus_id
+        |FROM b b1 JOIN b c ON b1.tbl = c.tbl AND b1.bucket = c.bucket
+        | AND b1.id % 2 = 1 AND c.id % 2 = 0""".stripMargin,
+    // candidates CTE as above, then the x_sim_near_dup cosine verify
+    // restricted to them
+    "x_sim_near_dup_incr_verified" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * 4 + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT b1.id AS batch_id, c.id AS corpus_id
+        |  FROM b b1 JOIN b c ON b1.tbl = c.tbl AND b1.bucket = c.bucket
+        |   AND b1.id % 2 = 1 AND c.id % 2 = 0
+        |),
+        |scored AS (
+        |  SELECT batch_id, corpus_id,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(vb.vv[i] AS DOUBLE) * CAST(vc.vv[i] AS DOUBLE)))
+        |          / (vb.nrm * vc.nrm), 6) AS cos
+        |  FROM cand JOIN v vb ON vb.id = batch_id JOIN v vc ON vc.id = corpus_id
+        |)
+        |SELECT batch_id, corpus_id, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    // same bucketed-pairs shape as x_sim_near_dup, but `planes` is the
+    // size-derived value: a params CTE mirrors Similarity.autoPlanes
+    // (ceil(ln(max(n/targetPerBucket, 1))/ln 2 - 1e-9), floored at 1) with
+    // targetPerBucket = 64 — the shared epsilon absorbs 1-ulp ln()
+    // divergence between engines at exact-power-of-two bucket counts
+    "x_sim_near_dup_auto" ->
+      """WITH params AS (
+        |  SELECT greatest(1, CAST(ceil(ln(greatest(count(*) / 64.0, 1.0)) / ln(2.0) - 1e-9) AS INT)) AS planes
+        |  FROM embeddings
+        |),
+        |v AS (
+        |  SELECT vec_id AS id, embedding AS vv,
+        |    sqrt(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |),
+        |b AS (
+        |  SELECT id, t.t AS tbl,
+        |    array_to_string(list_transform(range(0, params.planes), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, 65),
+        |             i -> CAST(vv[i] AS DOUBLE) *
+        |                  ((strpos('0123456789abcdef',
+        |                     substring(md5(concat(CAST(t.t * params.planes + p AS VARCHAR), '#', CAST(i - 1 AS VARCHAR))), 1, 1))
+        |                    - 1) % 2 * 2 - 1))) > 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM v, generate_series(0, 1) t(t), params
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        |  FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.id < b2.id
+        |),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    round(list_sum(list_transform(range(1, 65),
+        |            i -> CAST(va.vv[i] AS DOUBLE) * CAST(vb.vv[i] AS DOUBLE)))
+        |          / (va.nrm * vb.nrm), 6) AS cos
+        |  FROM cand JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b
+        |)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4""".stripMargin,
+    "x_skew_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag AS returnflag,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS quantity
+        |  FROM lineitem
+        |),
+        |dim AS (
+        |  SELECT returnflag, count(*) AS n_flag,
+        |         CAST(sum(quantity) AS DOUBLE) AS sum_qty
+        |  FROM li GROUP BY returnflag
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, returnflag, d.n_flag, d.sum_qty
+        |FROM li l JOIN dim d USING (returnflag)""".stripMargin,
+    // plain BETWEEN join — DuckDB plans it fine at oracle scale; the
+    // bucketed rewrite is the Spark side's distributed-scale concern
+    "x_range_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS INT) AS ship_day
+        |  FROM lineitem
+        |),
+        |win AS (
+        |  SELECT o_orderkey AS win_key,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS lo,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) + 30 AS hi
+        |  FROM orders WHERE o_orderkey % 601 = 0
+        |)
+        |SELECT win_key, l_orderkey, l_linenumber, ship_day
+        |FROM li JOIN win ON ship_day BETWEEN lo AND hi""".stripMargin,
+    // k-means (k=8, 2 Lloyd rounds) -> within-cluster cosine pairs ->
+    // recursive-CC losers -> survivors; the clustering CTEs reuse the
+    // green IVF-init/argmax and meanpool-decimal derivations
+    "x_emb_semdedup" ->
+      s"""WITH RECURSIVE ${duckKmeansCtes(8, 2)},
+         |prs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    round(list_sum(list_transform(range(1, 65),
+         |      i -> CAST(a.vv[i] AS DOUBLE) * CAST(b.vv[i] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+         |),
+         |pairs2 AS (SELECT id_a, id_b FROM prs WHERE cos >= 0.4),
+         |${duckCcLosers("pairs2")}
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = e.vec_id)""".stripMargin,
+    // the Lloyd chain's own final assignment, restricted to the batch —
+    // assignment through the stored centroid frame is definitionally the
+    // same argmax
+    "x_emb_kmeans_incremental" ->
+      s"""WITH ${duckKmeansCtes(8, 2)}
+         |SELECT id AS vec_id, cid FROM a2 WHERE id % 5 = 4""".stripMargin,
+    "x_emb_meanpool" ->
+      """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
+        |x AS (
+        |  SELECT grp, CAST(i - 1 AS INT) AS i,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+        |  FROM e, range(1, 65) t(i)
+        |)
+        |SELECT grp, i,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(v), 6) AS mean
+        |FROM x GROUP BY grp, i""".stripMargin,
+    // drift: per-dim exact decimal means (rounded 6, the pooling
+    // contract) → IEEE products → decimal reductions — digit-identical
+    "x_emb_drift" ->
+      """WITH ma AS (
+        |  SELECT CAST(i - 1 AS INT) AS i,
+        |    round(CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(embedding[CAST(i AS INT)]), 6) AS ma
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id % 2 = 0), range(1, 65) t(i)
+        |  GROUP BY 1
+        |),
+        |mb AS (
+        |  SELECT CAST(i - 1 AS INT) AS i,
+        |    round(CAST(sum(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(28,12))) AS DOUBLE) / count(embedding[CAST(i AS INT)]), 6) AS mb
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id % 2 = 1), range(1, 65) t(i)
+        |  GROUP BY 1
+        |),
+        |s AS (
+        |  SELECT sum(CAST(ma * mb AS DECIMAL(28,12))) AS sab,
+        |         sum(CAST(ma * ma AS DECIMAL(28,12))) AS saa,
+        |         sum(CAST(mb * mb AS DECIMAL(28,12))) AS sbb,
+        |         sum(CAST((ma - mb) * (ma - mb) AS DECIMAL(28,12))) AS sd
+        |  FROM ma JOIN mb USING (i)
+        |)
+        |SELECT round(CAST(sab AS DOUBLE) / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6)
+        |         AS cos_means,
+        |       round(sqrt(CAST(sd AS DOUBLE)), 6) AS l2_means,
+        |       round(sqrt(CAST(saa AS DOUBLE)), 6) AS norm_a,
+        |       round(sqrt(CAST(sbb AS DOUBLE)), 6) AS norm_b
+        |FROM s""".stripMargin,
+  )
+}

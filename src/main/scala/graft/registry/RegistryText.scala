@@ -1,0 +1,594 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.meta.{Currents, MetaColumns => M}
+import graft.operators._
+import graft.operators.Scd2.ValidFromMode
+import graft.pipeline.Historization
+import graft.sources.{Store, StoreIndex, Tables}
+import graft.registry.Helpers._
+import graft.registry.OracleCtes._
+
+/** Registrations: text analysis, tokenization/BPE, and sequence packing.
+  * One entry per implemented operator, each paired with its DuckDB
+  * oracle twin; composed into the driver contract by
+  * [[graft.SparkEntry]]. Entries moved verbatim from SparkEntry
+  * (r14 split — VERDICT r13 item 7). */
+private[graft] object RegistryText {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ---- extensions: text analysis ----
+    "x_text_profile" -> ((s, d) =>
+      TextAnalysis.profile(Tables.documents(s, d), "doc_id", "text")),
+    "x_text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "vector", "join", "hash"))),
+    "x_text_quality" -> ((s, d) =>
+      TextAnalysis.gopherishFlags(Tables.documents(s, d), "doc_id", "text")),
+    // code-point Shannon entropy: the gibberish/binary-junk band signal
+    "x_text_entropy" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        round(TextAnalysis.charEntropy(col("text")), 6).as("char_entropy"))),
+    // embedding-prep chunking: 120-char windows, 24-char overlap; the
+    // tail window is shorter, which the oracle's substring mirrors
+    "x_text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        size = 120, overlap = 24)),
+    // pre-dedup canonicalization: NFC composition + whitespace collapse.
+    // The fixture corpus is ASCII (NFC-identity), so a decomposed suffix
+    // — combining acute U+0301 and the Angstrom sign U+212B, which NFC
+    // maps to precomposed é and Å — is appended to make the composition
+    // path itself the thing under oracle check
+    "x_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeWhitespace(TextAnalysis.normalizeNfc(
+          concat(col("text"), lit("  café Å end ")))).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))),
+    // tokenizer coverage: every-5th-doc slice plays the reference vocab,
+    // the rest of the corpus is measured against it
+    "x_text_oov" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.oovRate(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(explode(graft.operators.Dedup.tokens(col("text"))).as("tok")))
+    }),
+    "x_text_report" -> ((s, d) =>
+      TextAnalysis.corpusReport(Tables.documents(s, d), "text")),
+    "x_text_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))),
+    // intra-doc repetition removal: collapse consecutive duplicate tokens
+    "x_text_collapse" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.collapseTokenRuns(col("text")).as("collapsed"))),
+    // corpus-wide C4-style line dedup: the synthetic corpus is single-
+    // line, so the query first derives 8-token lines (regex parity with
+    // the oracle checked byte-for-byte), then keeps only each repeated
+    // line's global first occurrence
+    "x_text_dedup_lines" -> ((s, d) =>
+      Dedup.dedupLinesAcrossCorpus(
+        Tables.documents(s, d).withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){8})", "$1\n")),
+        "doc_id", "text")),
+    // stopword-profile language ID (C4/Gopher gate): per-row argmax of
+    // function-word hit ratios; the oracle's stopword lists are generated
+    // from the SAME TextAnalysis.stopwords val, so they cannot drift
+    "x_text_lang" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+    // CCNet-style unigram log-prob quality score against the corpus's own
+    // unigram distribution; decimal-summed, ln-parity per bm25 precedent
+    "x_text_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    // bigram conditional log-prob: word-order-sensitive quality score
+    // against the corpus's own bigram distribution; docs with < 2 tokens
+    // are absent on both engines
+    "x_text_bigram" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+    // corpus boilerplate discovery: top word-3-grams by document
+    // frequency, distributed top-k (TakeOrdered), gram-text tiebreak
+    "x_text_boilerplate" -> ((s, d) =>
+      TextAnalysis.frequentNgrams(Tables.documents(s, d), "doc_id", "text",
+        n = 3, topK = 20)),
+    // inverted-index tf-idf cosine: lexical near-dup pairs through shared
+    // sub-cap terms only — never all-pairs
+    "x_text_tfidf_pairs" -> ((s, d) =>
+      TextAnalysis.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+        minSim = 0.3, maxTermDocFreq = 100)),
+    // positional winnowing fingerprints (Schleimer et al. SIGMOD'03):
+    // rightmost-min of each w-hash window over character k-grams
+    "x_text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d), "doc_id", "text", k = 12, w = 8)),
+    // MOSS-style overlap report: docs sharing >= 2 winnowed fingerprints
+    "x_text_winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowSimilarPairs(Tables.documents(s, d), "doc_id", "text",
+        k = 12, w = 8, minShared = 2, maxFpDocFreq = 100)),
+    // ---- extensions: sequence packing (context-window assembly) ----
+    "x_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512L, shards = 8)),
+    "x_pack_summary" -> ((s, d) =>
+      Packing.packSummary(
+        Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+          budget = 512L, shards = 8),
+        budget = 512L)),
+    // group-atomic: synthetic groups of ~1% of the corpus each stay whole
+    "x_pack_groups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.packGroups(
+        docs.withColumn("grp", (col("doc_id") % 100).cast("long")),
+        "doc_id", "grp",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        budget = 2048L, shards = 8)
+    }),
+    // packing budgeted by the byte-level BPE merge-table count
+    // ([[graft.operators.TextAnalysis.bpeCount]]) — the production-
+    // truthful budget: context windows are sized in tokenizer tokens,
+    // and a whitespace count under-sizes punctuation-dense text. The
+    // oracle replays the SAME merges table as a sequential replace
+    // chain (equivalent to the encoder loop for the well-formed table)
+    // the validator guards the oracle's sequential-replay assumption:
+    // an ill-formed table would be rejected here, never mis-hashed
+    "x_pack_bpe" -> ((s, d) =>
+      Packing.packByCount(Tables.documents(s, d), "doc_id",
+        TextAnalysis.bpeCount(col("text"),
+          TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)).cast("long"),
+        budget = 2048L, shards = 8)),
+    // kernel cost at a PRODUCTION vocabulary size: the same packing
+    // statement over the ~55k-rule stress table (every printable digram
+    // ranked + frequent-trigram composites — denser merge activity than
+    // a trained 50k vocabulary, so this upper-bounds the real cost). No
+    // SQL twin: a 55k-rule replace chain is not an oracle, it's a second
+    // implementation — the driver records the rows-only check, and the
+    // bench row is the point (VERDICT r11 #3: within ~2x of the 58-rule
+    // kernel time).
+    "x_pack_bpe50k" -> ((s, d) =>
+      Packing.packByCount(Tables.documents(s, d), "doc_id",
+        TextAnalysis.bpeCount(col("text"),
+          TextAnalysis.StressBpeMerges50k).cast("long"), budget = 8192L, shards = 8)),
+    // the id-emitting side of the tokenizer: the token STREAM a training
+    // pipeline feeds the model (bpeCount only sizes it). Exploded to
+    // scalar rows for the compare; 1/13 of the corpus bounds the row
+    // volume while exercising every kernel path on real text
+    "x_text_bpe_encode" -> ((s, d) =>
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), posexplode(TextAnalysis.bpeEncode(col("text"),
+          TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges))))
+        .select(col("doc_id"), (col("pos") + 1).as("tok_pos"),
+          col("col").as("token_id"))),
+    // the packed TRAINING SEQUENCES themselves: pack membership by the
+    // count kernel, per-pack token stream = member docs' id arrays
+    // concatenated in pack_pos order — the operator a 100 TB pretraining
+    // run ships to the trainer. collect_list is per-(shard, pack) — its
+    // size is the pack's doc count, bounded by budget/min-doc-tokens,
+    // never corpus-shaped; array_sort makes the unordered collect
+    // deterministic
+    "x_pack_bpe_sequences" -> ((s, d) => {
+      val merges = TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)
+      val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(13)) === 0)
+      val packed = Packing.packByCount(docs, "doc_id",
+        TextAnalysis.bpeCount(col("text"), merges).cast("long"),
+        budget = 2048L, shards = 8)
+      packed
+        .join(docs.select(col("doc_id"),
+          TextAnalysis.bpeEncode(col("text"), merges).as("ids")), Seq("doc_id"))
+        .groupBy("shard", "pack_id")
+        .agg(collect_list(struct(col("pack_pos"), col("ids"))).as("parts"))
+        .select(col("shard"), col("pack_id"),
+          posexplode(flatten(transform(array_sort(col("parts")),
+            x => x.getField("ids")))))
+        .select(col("shard"), col("pack_id"),
+          (col("pos") + 1).cast("long").as("seq_pos"), col("col").as("token_id"))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    // token-run collapsing: keep w[i] iff it differs from w[i-1] (i = 1
+    // always kept; w[0] is NULL in DuckDB's 1-based lists, and NULL <>
+    // never passes, so the i = 1 arm carries the first token)
+    "x_text_collapse" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(list_transform(range(1, len(w) + 1),
+        |    i -> CASE WHEN i = 1 OR w[i] <> w[i-1] THEN w[i] END),
+        |    x -> x IS NOT NULL), ' ') AS collapsed
+        |FROM toks""".stripMargin,
+    // global line dedup: keeper = row_number 1 over (doc_id, p) per line
+    // hash — the same lexicographic-min convention as Spark's
+    // min(struct(id, p)); DuckDB list lambdas are 1-based, hence i - 1
+    "x_text_dedup_lines" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id,
+         |         regexp_replace(text, '((?:\\S+ ){8})', '\\1' || chr(10), 'g') AS text
+         |  FROM documents
+         |),
+         |sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM lined),
+         |ex AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, ls[CAST(i AS INT)] AS line
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM sp)
+         |),
+         |el AS (SELECT doc_id, p, ${duckHash60("line")} AS lh FROM ex
+         |       WHERE length(line) >= 1),
+         |rk AS (SELECT doc_id, p,
+         |              row_number() OVER (PARTITION BY lh ORDER BY doc_id, p) AS rn
+         |       FROM el),
+         |dl AS (SELECT doc_id, list(p) AS dp FROM rk WHERE rn > 1 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       CASE WHEN d.dp IS NULL THEN s.text
+         |            -- coalesce: DuckDB's array_to_string is NULL on an empty
+         |            -- list, but a fully-deduplicated doc keeps empty text
+         |            ELSE coalesce(array_to_string(
+         |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
+         |              chr(10)), '')
+         |       END AS cleaned
+         |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
+    // contiguous-fill packing: pack = floor(preceding-cumsum / budget)
+    // within an id-ordered shard window — byte-identical window semantics
+    // in Spark and DuckDB
+    // per-doc token-ID stream: the replay chain split back into symbols
+    // and joined to the standard BPE vocabulary (bytes 0..255, rule at
+    // rank r = id 256 + r)
+    "x_text_bpe_encode" ->
+      s"""WITH ${duckBpeIdCtes("doc_id % 13 = 0")}
+         |SELECT doc_id, CAST(tok_pos AS INT) AS tok_pos, id AS token_id
+         |FROM ord""".stripMargin,
+    // packed training sequences: the x_pack_bpe pack derivation (counts
+    // from the id stream, same cum/floor fill) restricted to the 1/13
+    // corpus, then each pack's stream = member docs' ids in
+    // (pack_pos, tok_pos) order
+    "x_pack_bpe_sequences" ->
+      s"""WITH ${duckBpeIdCtes("doc_id % 13 = 0")},
+         |cnt AS (
+         |  SELECT d.doc_id, CAST(coalesce(count(o.id), 0) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) d
+         |  LEFT JOIN ord o ON o.doc_id = d.doc_id
+         |  GROUP BY d.doc_id
+         |),
+         |t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, n_tokens FROM cnt
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM t
+         |),
+         |p AS (
+         |  SELECT doc_id, shard,
+         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id
+         |  FROM c
+         |),
+         |pp AS (
+         |  SELECT doc_id, shard, pack_id,
+         |    row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS pack_pos
+         |  FROM p
+         |),
+         |seq AS (
+         |  SELECT pp.shard, pp.pack_id, o.id,
+         |    row_number() OVER (PARTITION BY pp.shard, pp.pack_id
+         |                       ORDER BY pp.pack_pos, o.tok_pos) AS seq_pos
+         |  FROM pp JOIN ord o ON o.doc_id = pp.doc_id
+         |)
+         |SELECT shard, pack_id, CAST(seq_pos AS BIGINT) AS seq_pos, id AS token_id
+         |FROM seq""".stripMargin,
+    "x_pack_bpe" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CASE WHEN i = 1 THEN tok0 ELSE ' ' || tok0 END AS tok
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(text, ' ')) AS tok0,
+         |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+         |    FROM documents
+         |  )
+         |),
+         |sym AS (
+         |  SELECT doc_id, ${duckBpeSymExpr("tok")} AS s
+         |  FROM tok WHERE tok <> ''
+         |),
+         |cnt AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(length(s) - length(replace(s, '>', ''))), 0) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents d LEFT JOIN sym ON sym.doc_id = d.doc_id
+         |  GROUP BY d.doc_id
+         |),
+         |t AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard, n_tokens FROM cnt
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM t
+         |),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id
+         |  FROM c
+         |)
+         |SELECT doc_id, shard, n_tokens, pack_id,
+         |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
+         |    AS pack_pos
+         |FROM p""".stripMargin,
+    "x_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT doc_id, shard, n_tokens, pack_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
+        |    AS pack_pos
+        |FROM p""".stripMargin,
+    // groups pack as units by total tokens (window over GROUPS, keyed and
+    // sharded by each group's smallest doc_id), then join back to rows
+    "x_pack_groups" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 100 AS BIGINT) AS grp,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT grp, sum(n_tokens) AS grp_tokens, min(doc_id) AS grp_key
+        |  FROM t GROUP BY grp
+        |),
+        |c AS (
+        |  SELECT grp, grp_tokens, grp_key, CAST(grp_key % 8 AS BIGINT) AS shard,
+        |    sum(grp_tokens) OVER (PARTITION BY grp_key % 8 ORDER BY grp_key) AS cum
+        |  FROM g
+        |),
+        |p AS (
+        |  SELECT grp, shard,
+        |    CAST(floor(CAST(cum - grp_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT t.doc_id, t.grp, p.shard, p.pack_id
+        |FROM t JOIN p USING (grp)""".stripMargin,
+    "x_pack_summary" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |       round(CAST(sum(n_tokens) AS DOUBLE) / 512.0, 6) AS fill_ratio
+        |FROM p GROUP BY shard, pack_id""".stripMargin,
+    "x_text_profile" -> textProfileOracle,
+    "x_text_lang" -> langIdOracle,
+    "x_text_logprob" ->
+      s"""WITH $duckToksCte,
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+         |  GROUP BY 1, 2
+         |),
+         |freq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+         |tot AS (SELECT sum(cf) AS total FROM freq)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CAST(ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE))
+         |                       * CAST(tf AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |        / CAST(sum(tf) AS DOUBLE), 6) AS logprob
+         |FROM tf JOIN freq USING (term), tot
+         |GROUP BY doc_id""".stripMargin,
+    // bigram mirror of x_text_logprob: P(w2|w1) = cbg/cp where cp sums
+    // the bigram counts sharing the prefix; 1-based list indexing, i in
+    // [1, len-1] pairs w[i] with w[i+1], so <2-token docs vanish
+    "x_text_bigram" ->
+      s"""WITH $duckToksCte,
+         |bg AS (
+         |  SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+         |),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+         |bgf AS (SELECT w1, w2, sum(tf) AS cbg FROM tf GROUP BY 1, 2),
+         |pref AS (SELECT w1, sum(cbg) AS cp FROM bgf GROUP BY 1)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(CAST(ln(CAST(cbg AS DOUBLE) / CAST(cp AS DOUBLE))
+         |                       * CAST(tf AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |        / CAST(sum(tf) AS DOUBLE), 6) AS logprob
+         |FROM tf JOIN bgf USING (w1, w2) JOIN pref USING (w1)
+         |GROUP BY doc_id""".stripMargin,
+    "x_text_boilerplate" ->
+      s"""$docShinglesCte,
+         |ex AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)
+         |SELECT gram, count(*) AS df FROM ex GROUP BY gram
+         |ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    // weights, dot products and norms mirror TextAnalysis.tfidfCosinePairs
+    // operand-for-operand: round(tf*ln(1+n/df),6) weights, decimal sums
+    "x_text_tfidf_pairs" ->
+      s"""$docShinglesCte,
+         |tf AS (
+         |  SELECT id, term, count(*) AS tf
+         |  FROM (SELECT doc_id AS id, unnest(w) AS term FROM toks)
+         |  GROUP BY 1, 2
+         |),
+         |st AS (SELECT count(DISTINCT id) AS n FROM tf),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |  HAVING count(*) <= 100
+         |),
+         |wt AS (
+         |  SELECT id, term,
+         |         round(CAST(tf AS DOUBLE)
+         |               * ln(1.0 + CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS w
+         |  FROM tf JOIN dfreq USING (term), st
+         |),
+         |nrm AS (
+         |  SELECT id, sum(CAST(w * w AS DECIMAL(28,12))) AS nrm FROM wt GROUP BY id
+         |),
+         |num AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |         sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS dot
+         |  FROM wt a JOIN wt b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |       round(CAST(dot AS DOUBLE)
+         |             / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+         |         AS cosine
+         |FROM num
+         |JOIN nrm na ON na.id = id_a
+         |JOIN nrm nb ON nb.id = id_b
+         |WHERE round(CAST(dot AS DOUBLE)
+         |            / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6) >= 0.3""".stripMargin,
+    "x_text_winnow" ->
+      s"""$winnowFpsCte
+         |SELECT doc_id, pos, fp FROM fps""".stripMargin,
+    "x_text_winnow_pairs" ->
+      s"""$winnowFpsCte,
+         |dfp AS (SELECT DISTINCT doc_id AS id, fp FROM fps),
+         |jn AS (
+         |  SELECT fp FROM dfp GROUP BY fp HAVING count(*) BETWEEN 2 AND 100
+         |),
+         |fl AS (SELECT id, d.fp FROM dfp d JOIN jn USING (fp))
+         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         |FROM fl a JOIN fl b ON a.fp = b.fp AND a.id < b.id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "x_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |),
+        |d AS (SELECT doc_id, w, len(w) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+        |terms AS (SELECT doc_id, dl, unnest(w) AS term FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |  FROM terms WHERE term IN ('spark', 'vector', 'join', 'hash')
+        |  GROUP BY doc_id, term
+        |),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)) /
+        |    (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))) AS s
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS id,
+        |  round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY doc_id""".stripMargin,
+    // generated from the same pattern list the operator uses, so query and
+    // oracle cannot drift; DuckDB needs the 'g' flag for replace-all
+    "x_text_redact" -> {
+      val chain = TextAnalysis.piiPatterns.foldLeft("text") { case (acc, (tag, p)) =>
+        s"regexp_replace($acc, '$p', '<$tag>', 'g')"
+      }
+      s"SELECT doc_id, $chain AS redacted FROM documents"
+    },
+    // stride = size - overlap = 96; generate_series is inclusive like
+    // Spark's sequence, and both substrings are code-point addressed
+    // redundant-tail rule mirrored: a non-first start within `overlap`
+    // (24) of the end is entirely contained in its predecessor and drops
+    "x_text_chunks" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text), 96)) AS start
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 96 AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS chunk_start,
+        |  substring(text, CAST(start AS INT), 120) AS chunk_text
+        |FROM st
+        |WHERE start = 1 OR start + 23 < length(text)""".stripMargin,
+    // the suffix is built from chr() so the oracle text is unambiguous:
+    // chr(769) = combining acute, chr(8491) = Angstrom sign; DuckDB's
+    // nfc_normalize must produce the same precomposed bytes as the
+    // JDK Normalizer, and \s is ASCII whitespace in both regex engines
+    "x_text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    nfc_normalize(text || '  cafe' || chr(769) || ' ' || chr(8491) || ' end ')
+        |      AS nfc
+        |  FROM documents
+        |)
+        |SELECT doc_id, trim(regexp_replace(nfc, '\s+', ' ', 'g')) AS norm_text,
+        |       CAST(length(trim(regexp_replace(nfc, '\s+', ' ', 'g'))) AS INT) AS n_chars_norm
+        |FROM raw""".stripMargin,
+    // same whitespace tokenization CTE shape as x_text_quality; vocab =
+    // distinct tokens of the every-5th-doc slice
+    "x_text_oov" ->
+      """WITH voc AS (
+        |  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |           t -> length(t) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |d AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+        |           t -> length(t) > 0) AS w
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |),
+        |ex AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |kn AS (
+        |  SELECT doc_id, count(*) AS n_known
+        |  FROM ex JOIN voc USING (tok) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, len(w) AS n_tokens,
+        |       len(w) - coalesce(n_known, 0) AS n_oov,
+        |       round(CASE WHEN len(w) = 0 THEN 0.0
+        |             ELSE CAST(len(w) - coalesce(n_known, 0) AS DOUBLE) / len(w)
+        |             END, 6) AS oov_rate
+        |FROM d LEFT JOIN kn USING (doc_id)""".stripMargin,
+    // DuckDB's entropy aggregate is log2-based and substring is
+    // code-point addressed, both matching the kernel; empty list → 0.0
+    // on both engines
+    "x_text_entropy" ->
+      """SELECT doc_id,
+        |  round(list_aggregate(list_transform(range(1, length(text) + 1),
+        |          i -> substring(text, i, 1)), 'entropy'), 6) AS char_entropy
+        |FROM documents""".stripMargin,
+    "x_text_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM documents
+         |),
+         |$qualityMetricsCte
+         |SELECT doc_id, n_tokens, mean_token_len, alpha_ratio,
+         |       top_bigram_ratio, top_trigram_ratio,
+         |       $qualityKeepPredicate AS keep
+         |FROM m""".stripMargin,
+    "x_text_report" ->
+      """WITH toks AS (
+        |  SELECT text, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w
+        |  FROM documents
+        |),
+        |d AS (SELECT text, len(w) AS n_tok FROM toks)
+        |SELECT count(*) AS n_docs,
+        |  count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+        |  count(CASE WHEN length(text) = 0 THEN 1 END) AS n_empty,
+        |  quantile_cont(n_tok, 0.5) AS tokens_p50,
+        |  quantile_cont(n_tok, 0.9) AS tokens_p90,
+        |  quantile_cont(n_tok, 0.99) AS tokens_p99,
+        |  round(CAST(sum(CAST(n_tok AS DECIMAL(28,6))) AS DOUBLE) / count(n_tok), 6)
+        |    AS tokens_mean
+        |FROM d""".stripMargin,
+  )
+}
