@@ -143,4 +143,65 @@ object Decontamination {
       .select(col("doc_id").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Contaminated character SPANS of each training document — the
+    * surgical alternative to document-drop decontamination: a position is
+    * contaminated iff its k-character gram also occurs anywhere in the
+    * benchmark set, and contaminated positions merge into maximal
+    * islands, exactly the [[Dedup.duplicatedSpans]] island semantics with
+    * the benchmark playing the "other document". Published recipes that
+    * drop whole documents on one 13-gram hit throw away entire books for
+    * a quoted test question; span-level reporting localizes the leak so
+    * the scrub ([[decontaminateSpans]]) can keep the clean remainder.
+    *
+    * Scale shape: the benchmark's distinct gram hashes are tiny by
+    * construction (benchmarks are MBs) and BROADCAST — the corpus's
+    * per-position grams probe them in a map-side left-semi join, so the
+    * training payload is scanned once and NEVER shuffled; only the (rare)
+    * hit positions enter the per-doc island window. Gram derivation is
+    * the bounded per-row explode the spans family already pays, on 60-bit
+    * md5-prefix longs (8-byte primitive keys).
+    *
+    * @return (doc_id, span_start, span_end) — 1-based inclusive character
+    *         positions of each maximal contaminated region
+    */
+  def contaminatedSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      stride: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val benchGrams = Dedup.spanGramsOf(bench, idCol, textCol, k, stride, scope)
+    val hits = Dedup.spanGrams(train, idCol, textCol, k, stride,
+        minDocFreq = 2, scope = scope)
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .select("id", "p")
+    Dedup.spanIslands(hits, k, stride)
+      .select(col("id").as("doc_id"), col("s").as("span_start"),
+        col("e").as("span_end"))
+  }
+
+  /** Training corpus with contaminated SPANS excised — the transformation
+    * side of [[contaminatedSpans]]: each document's contaminated islands
+    * are interval-merged and cut out, the surviving segments re-joined in
+    * order ([[Dedup.cutSpans]], the same surgery as span dedup). Clean
+    * documents (and null texts) pass through untouched via the left join.
+    *
+    * @return (doc_id, cleaned) for EVERY training row
+    */
+  def decontaminateSpans(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30,
+      stride: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    val islands = contaminatedSpans(train, bench, idCol, textCol, k, stride, scope)
+      .select(col("doc_id").as("id"), col("span_start").as("s"),
+        col("span_end").as("e"))
+    Dedup.cutSpans(train, idCol, textCol, islands)
+  }
 }

@@ -771,7 +771,7 @@ object Dedup {
   /** Hashed k-gram positions (id, p, gh), the shared derivation of
     * [[duplicatedSpans]] and [[removeDuplicatedSpans]]: one bounded
     * per-row explode (≤ len/stride positions), grams as 60-bit longs. */
-  private def spanGrams(
+  private[operators] def spanGrams(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -795,7 +795,7 @@ object Dedup {
   /** Merge a (id, p) duplicated-position set into maximal islands
     * (id, s, e) of stride-spaced runs — the island step shared by the
     * span report and the span removal. */
-  private def spanIslands(dupPos: DataFrame, k: Int, stride: Int): DataFrame = {
+  private[operators] def spanIslands(dupPos: DataFrame, k: Int, stride: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("p")
     dupPos
       .withColumn("grp", col("p") - row_number().over(w) * stride)
@@ -836,14 +836,31 @@ object Dedup {
       stride: Int = 1,
       minDocFreq: Int = 2,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = spanGrams(df, idCol, textCol, k, stride, minDocFreq, scope)
     val stats = grams.groupBy("gh")
       .agg(countDistinct(col("id")).as("df"), min(col("id")).as("keeper"))
       .filter(col("df") >= minDocFreq)
     val cut = grams.join(stats, Seq("gh")).filter(col("id") =!= col("keeper"))
       .select("id", "p")
-    val islands = spanIslands(cut, k, stride)
+    cutSpans(df, idCol, textCol, spanIslands(cut, k, stride))
+  }
+
+  /** Excise an (id, s, e) island set from each document's text — the
+    * surgery step shared by [[removeDuplicatedSpans]] and
+    * [[Decontamination.decontaminateSpans]]. Islands may overlap
+    * (interval-merged here before the cut); every input row returns,
+    * untouched rows (including null texts) pass through a left join.
+    *
+    * Scale shape: merge and collapse are per-doc windows over the narrow
+    * island rows only — the payload joins exactly once, against ONE
+    * array row per affected doc, and the cut itself is a per-row fold
+    * over the doc's own sorted spans. */
+  private[graft] def cutSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      islands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // interval-merge overlapping islands: strictly s > running-max(e)
     // starts a new group (adjacent spans may stay separate — the fold
     // emits an empty segment between them, which is harmless)

@@ -39,6 +39,27 @@ private[graft] object RegistryCuration {
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", n = 3, minHits = 1)
     }),
+    // span-level decontamination: same bench split, 30-char grams (the
+    // spans-family width) — reports the contaminated ISLANDS instead of
+    // flagging whole documents; bench gram set broadcast, corpus probes
+    // map-side (zero corpus shuffle before the hit filter)
+    "x_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.contaminatedSpans(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 30, stride = 1)
+    }),
+    // the scrub: contaminated islands interval-merged and excised, the
+    // clean remainder re-joined in order — the surgical alternative to
+    // dropping a whole document for one quoted benchmark line
+    "x_decontaminate_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontamination.decontaminateSpans(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", k = 30, stride = 1)
+    }),
     // deequ-style publish gate: one aggregation pass profiles all three
     // columns; o_orderkey is unique (uniqueness 1.0), o_custkey is a
     // 10:1 foreign key (0.1), o_orderstatus is a tiny enum
@@ -359,6 +380,93 @@ private[graft] object RegistryCuration {
          |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_shingles, 6) AS contamination,
          |       coalesce(h.n_hits, 0) >= 1 AS contaminated
          |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id""".stripMargin,
+    // same position set as the Spark side (1-based starts, stride 1),
+    // raw-substring joins instead of the 60-bit hashes, identical
+    // island-merge window — the x_dedup_spans oracle with the bench gram
+    // set replacing the df >= 2 duplication gate
+    "x_decontaminate_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 30
+        |),
+        |bench AS (
+        |  SELECT DISTINCT substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT text, unnest(range(1, length(text) - 28)) AS p
+        |        FROM docs WHERE doc_id % 20 = 0)
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p
+        |        FROM docs WHERE doc_id % 20 <> 0)
+        |),
+        |hit AS (SELECT pos.doc_id, pos.p FROM pos JOIN bench USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM hit
+        |)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
+    // the scrub twin: the x_dedup_spans_removed surgery (interval merge,
+    // segment stitch, tail append) with the contaminated-island cut set,
+    // final select over the TRAIN rows so clean and short/null texts
+    // pass through
+    "x_decontaminate_scrub" ->
+      """WITH train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        |),
+        |docs AS (SELECT doc_id, text FROM train WHERE length(text) >= 30),
+        |bench AS (
+        |  SELECT DISTINCT substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT text, unnest(range(1, length(text) - 28)) AS p
+        |        FROM documents WHERE doc_id % 20 = 0 AND length(text) >= 30)
+        |),
+        |pos AS (
+        |  SELECT doc_id, CAST(p AS INT) AS p, substring(text, CAST(p AS INT), 30) AS gram
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 28)) AS p FROM docs)
+        |),
+        |cut AS (SELECT pos.doc_id, pos.p FROM pos JOIN bench USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp
+        |  FROM cut
+        |),
+        |sp AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 29 AS e FROM isl GROUP BY doc_id, grp
+        |),
+        |mk AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp
+        |),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS mgrp
+        |  FROM mk
+        |),
+        |merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM mg GROUP BY doc_id, mgrp
+        |),
+        |segs AS (
+        |  SELECT m.doc_id, m.s,
+        |    substring(d.text,
+        |      coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) + 1,
+        |      m.s - coalesce(lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) - 1) AS seg
+        |  FROM merged m JOIN train d USING (doc_id)
+        |),
+        |heads AS (
+        |  SELECT doc_id, string_agg(seg, '' ORDER BY s) AS head FROM segs GROUP BY doc_id
+        |),
+        |tails AS (
+        |  SELECT doc_id, max(e) AS me FROM merged GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN t.me IS NULL THEN d.text
+        |       ELSE coalesce(h.head, '') || substring(d.text, t.me + 1) END AS cleaned
+        |FROM train d
+        |LEFT JOIN heads h USING (doc_id)
+        |LEFT JOIN tails t USING (doc_id)""".stripMargin,
     // definitional FK check: orphans = non-null child keys absent from
     // the (shrunken) parent; NULL match_ratio when no key is checkable
     // (n_rows = n_null_key), mirroring the operator's convention

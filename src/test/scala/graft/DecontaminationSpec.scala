@@ -92,4 +92,76 @@ class DecontaminationSpec extends SparkSpec {
     assert(rep.filter(!$"contaminated").count() === 0)
     assert(rep.filter($"contamination" =!= 1.0).count() === 0)
   }
+
+  // ---- span-level decontamination ----
+
+  private lazy val spanBench = Seq(
+    (100L, "0123456789ABCDEFGHIJ") // 20 chars: 10-grams at positions 1..11
+  ).toDF("doc_id", "text")
+
+  private lazy val spanTrain = Seq(
+    // benchmark text embedded verbatim at chars 6..25
+    (1L, "xxxxx0123456789ABCDEFGHIJyyyyy"),
+    // no 10-gram in common
+    (2L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    // null text: no grams, passes through the scrub untouched
+    (3L, null.asInstanceOf[String]),
+    // shorter than k: exempt by construction
+    (4L, "012345678")
+  ).toDF("doc_id", "text")
+
+  test("contaminatedSpans localizes the quoted benchmark region exactly") {
+    val spans = Decontamination.contaminatedSpans(
+        spanTrain, spanBench, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // contaminated 10-gram starts: 6..16; island = [6, 16 + 9] = the
+    // embedded benchmark slice, chars 6..25, and nothing else
+    assert(spans === Seq((1L, 6, 25)))
+  }
+
+  test("decontaminateSpans excises the island and keeps everything else") {
+    val cleaned = Decontamination.decontaminateSpans(
+        spanTrain, spanBench, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(cleaned(1L) === Some("xxxxxyyyyy"))
+    assert(cleaned(2L) === Some("zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"))
+    assert(cleaned(3L) === None)
+    assert(cleaned(4L) === Some("012345678"))
+  }
+
+  test("a fully-contaminated document scrubs to the empty string") {
+    val copy = Seq((7L, "0123456789ABCDEFGHIJ")).toDF("doc_id", "text")
+    val cleaned = Decontamination.decontaminateSpans(
+        copy, spanBench, "doc_id", "text", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(7L) === "")
+  }
+
+  test("span probe broadcasts the bench grams — the corpus side never shuffles") {
+    val spans = Decontamination.contaminatedSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(200),
+      spanBench, "doc_id", "text", k = 30)
+    spans.count()
+    val plan = spans.queryExecution.executedPlan.toString
+    // hit detection is a map-side broadcast LEFT-SEMI: the corpus's
+    // exploded positions probe the (tiny) bench gram set in place; the
+    // only exchange is the per-doc island window over the hit rows
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bench grams are not broadcast-semi-probed:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus gram set shuffled:\n$plan")
+  }
+
+  test("span report ≡ scrub: cutting the reported islands reproduces the scrub") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val train = docs.filter($"doc_id" % 20 =!= 0)
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val viaReport = {
+      val islands = Decontamination.contaminatedSpans(
+          train, bench, "doc_id", "text", k = 30)
+        .select($"doc_id".as("id"), $"span_start".as("s"), $"span_end".as("e"))
+      graft.operators.Dedup.cutSpans(train, "doc_id", "text", islands)
+    }
+    val direct = Decontamination.decontaminateSpans(train, bench, "doc_id", "text", k = 30)
+    assert(direct.exceptAll(viaReport).isEmpty && viaReport.exceptAll(direct).isEmpty)
+  }
 }
