@@ -314,6 +314,11 @@ object SparkEntry {
     // the pruning is a fast-path, never a semantic
     "x_store_skipping" ->
       "SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 1999",
+    // the metadata-only count must equal the exact filtered count —
+    // manifest arithmetic plus boundary scans is a fast-path, never a
+    // semantic
+    "x_store_count_range" ->
+      "SELECT count(*) AS n_rows FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 35000",
     "x_store_point_lookup" ->
       "SELECT * FROM lineitem WHERE l_orderkey IN (123, 7777, 14000)",
     "x_store_time_slice" ->

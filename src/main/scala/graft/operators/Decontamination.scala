@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag (or drop) training documents whose word
@@ -203,5 +203,62 @@ object Decontamination {
       .select(col("doc_id").as("id"), col("span_start").as("s"),
         col("span_end").as("e"))
     Dedup.cutSpans(train, idCol, textCol, islands)
+  }
+
+  /** The benchmark's distinct k-char gram hashes collapsed into ONE row (a
+    * sorted array column `__bench_gh`) — the broadcastable form a stateless
+    * stream-static join probes row-locally ([[graft.streaming
+    * .StreamingHistorization.scrubSpansStream]]), the char-gram twin of
+    * [[benchShingleSetRow]]. */
+  def benchGramSetRow(
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      stride: Int = 1): DataFrame =
+    Dedup.spanGramsOf(bench, idCol, textCol, k, stride)
+      .agg(sort_array(collect_set(col("gh"))).as("__bench_gh"))
+
+  /** ROW-LOCAL scrub: `text` with every contaminated island excised, as one
+    * column expression over the broadcast bench gram set — no explode, no
+    * join, no window, so a stateless stream can apply it per micro-batch
+    * row. Equals [[decontaminateSpans]]'s `cleaned` on the same inputs
+    * (batch ≡ stream is spec-pinned): positions whose k-gram hash is in
+    * `benchSet` fold into strictly-overlap-merged [p, p+k-1] intervals —
+    * exactly the island + interval-merge composition of the batch path —
+    * and the same (pos, acc) segment-stitch fold cuts them out.
+    *
+    * Cost shape: the per-row `array_intersect` builds its probe set from
+    * the DOC's grams (bounded by doc length); the position filter then
+    * probes only this doc's (rare) hit set. The batch path's explode +
+    * broadcast-semi form stays the bulk-corpus shape (codegen'd join vs
+    * interpreted HOFs); this form exists for the streaming twin, where
+    * per-row HOF cost is the price of statelessness. */
+  def scrubSpansExpr(text: Column, benchSet: Column, k: Int): Column = {
+    val ghs = TextAnalysis.winnowGramHashes(text, k) // (gh, p) per position, or null
+    val hitSet = array_intersect(transform(ghs, g => g("gh")), benchSet)
+    val pos = filter(ghs, g => array_contains(hitSet, g("gh"))) // ascending p
+    val spans = aggregate(
+      pos,
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, g) => {
+        val p = g("p")
+        val last = element_at(acc, -1)
+        when(size(acc) === 0 || p > last("e"),
+            concat(acc, array(struct(p.as("s"), (p + k - 1).as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"), (p + k - 1).as("e")))))
+      })
+    val cut = aggregate(
+      spans,
+      struct(lit(1).as("pos"), lit("").as("acc")),
+      (st, sp) => struct(
+        (sp.getField("e") + 1).as("pos"),
+        concat(st.getField("acc"),
+          text.substr(st.getField("pos"), sp.getField("s") - st.getField("pos"))).as("acc")),
+      st => concat(st.getField("acc"),
+        text.substr(st.getField("pos"),
+          greatest(length(text) - st.getField("pos") + 1, lit(0)))))
+    when(ghs.isNull || size(spans) === 0, text).otherwise(cut)
   }
 }

@@ -342,6 +342,14 @@ private[graft] object RegistryParity {
     "x_store_skipping" -> ((s, d) =>
       StoreIndex.readStoreSkipping(
         s, stagedSortedLineitemPath(s, d), "l_orderkey", 1000L, 1999L)),
+    // metadata-only range count: files wholly inside the range contribute
+    // straight from their manifest rows (no data IO), only the two edge
+    // files of the sorted layout are scanned — single-column, pushed-down.
+    // The wide range makes most of the 16 files interior, so the row
+    // exercises the metadata path, not the scan fallback
+    "x_store_count_range" -> ((s, d) =>
+      StoreIndex.countRange(
+        s, stagedSortedLineitemPath(s, d), "l_orderkey", 5000L, 35000L)),
     // time-slice read over the shipdate-sorted store: the "one month of
     // a years-spanning fact store" pattern — the manifest's native
     // TIMESTAMP min/max prove which files overlap the slice

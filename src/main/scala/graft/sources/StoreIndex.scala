@@ -366,7 +366,21 @@ object StoreIndex {
       spark: SparkSession,
       path: String,
       statCols: Seq[String],
-      pred: => Column): Option[Seq[String]] = {
+      pred: => Column): Option[Seq[String]] =
+    candidateManifest(spark, path, statCols, pred)
+      .map(_.select("file").collect().map(_.getString(0)).toSeq)
+
+  /** [[candidateFilesWith]]'s core, returning the PRUNED MANIFEST ROWS
+    * (file + per-column stats) instead of just names — [[countRange]]
+    * reads n_rows/null counts off these rows to answer without touching
+    * contained files. Same trust ladder: two-level fast path when the
+    * summary's fingerprint AND grouping token match, flat consult
+    * otherwise, None when the manifest cannot be trusted at all. */
+  private def candidateManifest(
+      spark: SparkSession,
+      path: String,
+      statCols: Seq[String],
+      pred: => Column): Option[DataFrame] = {
     Store.readParquetSafe(spark, statsManifestPath(path)).flatMap { m =>
       val haveStats = statCols.forall { c =>
         m.columns.contains(s"min_$c") && m.columns.contains(s"max_$c")
@@ -385,18 +399,17 @@ object StoreIndex {
               m.select("grouping_token").limit(1).collect()
                 .headOption.exists(_.getString(0) == token) =>
             // two-level fast path: the group filter partition-prunes the
-            // manifest read, so the collect is bounded by the MATCHED
+            // manifest read, so a collect is bounded by the MATCHED
             // slices (≈ ceil(files/groupSize) rows each), not O(files)
-            if (groups.isEmpty) Some(Seq.empty)
-            else Some(m.filter(col("group").isInCollection(groups)).filter(pred)
-              .select("file").collect().map(_.getString(0)).toSeq)
+            if (groups.isEmpty) Some(m.filter(pred).limit(0))
+            else Some(m.filter(col("group").isInCollection(groups)).filter(pred))
           case _ =>
             // flat consult (summary missing, stale, or a pre-two-level
             // manifest): one short row per data file — the driver-side
             // metadata budget a table format's planning pays
             val manifestFiles = m.select("file").collect().map(_.getString(0)).toSet
             if (manifestFiles != names) None
-            else Some(m.filter(pred).select("file").collect().map(_.getString(0)).toSeq)
+            else Some(m.filter(pred))
         }
       }
     }
@@ -517,6 +530,67 @@ object StoreIndex {
         spark.read.schema(full.schema)
           .parquet(keep.map(f => s"$path/$f"): _*)
           .filter(pred)
+    }
+  }
+
+  /** METADATA-ONLY range count: `count(*) WHERE c BETWEEN lo AND hi`
+    * answered from the stats manifest wherever possible — the aggregate
+    * pushdown a table format's planning layer performs (Iceberg/Snowflake
+    * answer these from file metadata; parquet footers carry the same
+    * min/max/null-count triple this manifest mirrors).
+    *
+    * Per candidate file: a file wholly CONTAINED in the range
+    * (min ≥ lo ∧ max ≤ hi, null count known) contributes
+    * `n_rows - nulls` straight from its manifest row — no data IO at
+    * all; only BOUNDARY files (intersecting but not contained) are
+    * scanned, single-column and predicate-pushed. On a range-sorted or
+    * z-ordered store a range of any width touches at most the two edge
+    * files, so at 100 TB the count costs O(matched manifest slices)
+    * planning + two column-pruned file reads where a naive count scans
+    * the table. Files with no recorded null count (legacy manifest rows)
+    * demote to boundary — scanned, never guessed. Any manifest doubt
+    * (missing, stale, un-covered column) falls back to the exact full
+    * filtered count. Intended for the store-layout key columns
+    * (integral/string/date); NaN-bearing double keys belong in the
+    * fallback path, as NaN breaks min/max containment reasoning.
+    *
+    * @return one row, `n_rows: bigint` — always equal to the full
+    *         filtered count
+    */
+  def countRange(
+      spark: SparkSession,
+      path: String,
+      c: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    import spark.implicits._
+    val full = spark.read.parquet(path)
+    val pred = col(c).between(lit(lo), lit(hi))
+    val filePred = col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    candidateManifest(spark, path, Seq(c), filePred) match {
+      case None => full.filter(pred).agg(count(lit(1)).as("n_rows"))
+      case Some(cand) =>
+        val contained =
+          if (cand.columns.contains(s"nulls_$c"))
+            col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+              col(s"nulls_$c").isNotNull
+          else lit(false)
+        // ONE bounded aggregate over the pruned manifest rows: the
+        // contained files' row contribution plus the boundary file list
+        // (collect_list drops the nulls the when() leaves for contained
+        // files). Driver state is O(candidate files of this range).
+        val row = cand.agg(
+          sum(when(contained, col("n_rows") - col(s"nulls_$c"))
+            .otherwise(lit(0L))).as("interior"),
+          collect_list(when(!contained, col("file"))).as("boundary"))
+          .collect()(0)
+        val interior = if (row.isNullAt(0)) 0L else row.getLong(0)
+        val boundary = row.getSeq[String](1)
+        if (boundary.isEmpty) Seq(interior).toDF("n_rows")
+        else spark.read.schema(full.schema)
+          .parquet(boundary.map(f => s"$path/$f"): _*)
+          .select(col(c)).filter(pred)
+          .agg((count(lit(1)) + lit(interior)).cast("long").as("n_rows"))
     }
   }
 }

@@ -183,6 +183,39 @@ object StreamingHistorization {
       .drop("__k", "__shs", "__bench_sh")
   }
 
+  /** Streaming span-level decontamination — the streaming twin of
+    * [[graft.operators.Decontamination.decontaminateSpans]]: the
+    * benchmark's distinct k-char gram hashes collapse into a single
+    * broadcast row, every streamed document joins it on a constant key
+    * (stateless stream-static), and the contaminated islands are found
+    * AND excised entirely row-locally ([[graft.operators.Decontamination
+    * .scrubSpansExpr]] — the island merge is a fold over the row's own
+    * hit positions, so no window, no state store, and re-delivered rows
+    * scrub byte-identically). Returns `docs` with `textCol` scrubbed;
+    * clean, short, and null texts pass through untouched.
+    *
+    * Scale note: same bench-size caveat as [[decontaminateStream]] — the
+    * per-row probe suits MB-scale benchmarks (their gram set is the
+    * broadcast row); for an oversized bench run the batch operator inside
+    * foreachBatch.
+    */
+  def scrubSpansStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 30): DataFrame = {
+    import graft.operators.Decontamination
+    val benchRow = broadcast(
+      Decontamination.benchGramSetRow(bench, idCol, textCol, k).withColumn("__k", lit(1)))
+    docs
+      .withColumn("__k", lit(1))
+      .join(benchRow, Seq("__k"))
+      .withColumn(textCol,
+        Decontamination.scrubSpansExpr(col(textCol), col("__bench_gh"), k))
+      .drop("__k", "__bench_gh")
+  }
+
   /** Per-batch near-dup candidate derivation shared by [[nearDupStream]]
     * and [[clusterMaintainStream]]: band the batch's deterministic
     * survivors, take the TUPLE-level novelty against the standing index

@@ -153,6 +153,26 @@ class PlanAuditSpec extends SparkSpec {
       "x_decontaminate gained a shuffle exchange — the corpus (or benchmark) is being re-keyed")
   }
 
+  test("span decontamination broadcast-semi-probes the bench grams; the scrub joins the payload once") {
+    // the corpus's exploded gram positions probe the (tiny) bench gram set
+    // in a map-side broadcast LEFT-SEMI — a sort-merge shape here would
+    // mean the 100 TB corpus gram stream is being shuffled to meet an
+    // MB-scale benchmark
+    val spans = finalPlanOf("x_decontaminate_spans")
+    assert(spans.contains("BroadcastHashJoin") && spans.contains("LeftSemi"),
+      "x_decontaminate_spans lost the broadcast-semi bench probe")
+    assert(!spans.contains("SortMergeJoin"),
+      "x_decontaminate_spans shuffles the corpus gram stream")
+    // the scrub's only payload join is the one left-outer against the
+    // per-doc merged-span rows (plus the same broadcast-semi gram probe)
+    val scrub = finalPlanOf("x_decontaminate_scrub")
+    assert(scrub.contains("BroadcastHashJoin") && scrub.contains("LeftSemi"),
+      "x_decontaminate_scrub lost the broadcast-semi bench probe")
+    assert(!scrub.contains("CartesianProduct") &&
+      !scrub.contains("BroadcastNestedLoopJoin"),
+      "x_decontaminate_scrub degraded to an all-pairs shape")
+  }
+
   test("composed curation keeps the single-row benchmark broadcast for its decontaminate stage") {
     // curation's other stages (dedup, media) legitimately shuffle; the
     // decontamination stage inside it must still be the broadcast-set probe.

@@ -137,6 +137,56 @@ class StoreIndexSpec extends SparkSpec {
     assert(fb.count() === 11)
   }
 
+  test("countRange: exact on every range shape, metadata-only when files are contained") {
+    val dir = Files.createTempDirectory("graft-cntrange").toString + "/store"
+    val df = spark.range(0, 10000).select(
+      (col("id") % 5000).as("k"), col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 8)
+    val full = spark.read.parquet(dir)
+    def exact(lo: Long, hi: Long): Long =
+      full.filter(col("k").between(lo, hi)).count()
+    def got(lo: Long, hi: Long) =
+      StoreIndex.countRange(spark, dir, "k", lo, hi)
+    // mid-range (interior + boundary files), single-file range, empty
+    // range beyond the domain, inverted bounds, full domain
+    for ((lo, hi) <- Seq((700L, 3800L), (100L, 120L), (9000L, 9999L),
+        (300L, 200L), (0L, 4999L))) {
+      assert(got(lo, hi).as[Long].collect().toSeq === Seq(exact(lo, hi)),
+        s"countRange($lo, $hi) diverged from the exact count")
+    }
+    // the full-domain count is answered WITHOUT opening any data file:
+    // every file is contained, so the result frame has no parquet scan
+    assert(got(0L, 4999L).inputFiles.isEmpty,
+      "all-contained range should be answered from the manifest alone")
+    // a mid-range count opens only the two BOUNDARY files of the sorted
+    // layout — the contained middle contributes via manifest arithmetic
+    val mid = got(700L, 3800L)
+    assert(mid.as[Long].collect().toSeq === Seq(exact(700L, 3800L)))
+    assert(mid.inputFiles.length <= 2,
+      s"expected <=2 boundary files, got ${mid.inputFiles.length}")
+  }
+
+  test("countRange: null keys never count; stale manifest falls back exactly") {
+    val dir = Files.createTempDirectory("graft-cntnull").toString + "/store"
+    val df = spark.range(0, 1000).select(
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 4)
+    val exact = spark.read.parquet(dir)
+      .filter(col("k").between(0, 999)).count()
+    assert(exact === 900L, "fixture sanity: 100 null keys excluded")
+    // the whole-domain range contains every file; nulls must come OFF the
+    // manifest's n_rows via the recorded null counts
+    assert(StoreIndex.countRange(spark, dir, "k", 0L, 999L)
+      .as[Long].collect().toSeq === Seq(900L))
+    // stale manifest (a data file appended behind its back) -> exact full
+    // count, never manifest arithmetic over the stale rows
+    spark.range(5000, 5100).select(col("id").as("k"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(StoreIndex.countRange(spark, dir, "k", 0L, 9999L)
+      .as[Long].collect().toSeq === Seq(1000L))
+  }
+
   test("z-ordered store prunes a y-only box where the x-sorted layout cannot") {
     val base = Files.createTempDirectory("graft-z").toString
     val grid = spark.range(0, 64 * 64).select(

@@ -782,6 +782,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds.nonEmpty && batchIds.size < train.count())
   }
 
+  test("streaming span scrub equals the batch scrub and is stateless under re-delivery") {
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val train = docsAll.filter($"doc_id" % 20 =!= 0)
+    val bench = docsAll.filter($"doc_id" % 20 === 0)
+
+    val dir = Files.createTempDirectory("graft-stream-scrub").toString
+    train.write.parquet(s"$dir/in")
+    train.write.mode("append").parquet(s"$dir/in") // full re-delivery
+
+    val stream = spark.readStream.schema(train.schema).parquet(s"$dir/in")
+    val scrubbed = StreamingHistorization.scrubSpansStream(
+      stream, bench, "doc_id", "text", k = 30)
+    val q = scrubbed.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("scrub_stream")
+      .select($"doc_id", $"text".as("cleaned")).distinct()
+    val batch = graft.operators.Decontamination
+      .decontaminateSpans(train, bench, "doc_id", "text", k = 30)
+    // row-local fold ≡ batch explode/join/window composition, byte-for-byte
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // stateless: both deliveries scrub identically, so distinct halves the rows
+    assert(spark.table("scrub_stream").count() === 2L * batch.count())
+    // fixture sanity: the scrub actually rewrote something
+    assert(batch.join(train, Seq("doc_id"))
+      .filter($"cleaned" =!= $"text" ||
+        ($"cleaned".isNull =!= $"text".isNull)).count() > 0)
+  }
+
   test("foreachBatch historization absorbs re-delivered snapshots idempotently") {
     val dir = Files.createTempDirectory("graft-stream-hist").toString
     val snap = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
