@@ -319,6 +319,10 @@ object SparkEntry {
     // semantic
     "x_store_count_range" ->
       "SELECT count(*) AS n_rows FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 35000",
+    "x_store_sum_range" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 35000""".stripMargin,
     "x_store_point_lookup" ->
       "SELECT * FROM lineitem WHERE l_orderkey IN (123, 7777, 14000)",
     "x_store_time_slice" ->

@@ -555,6 +555,25 @@ private[graft] object Helpers {
     path
   }
 
+  /** Staged ROLLUP-projection store: (l_orderkey, quantity as decimal),
+    * key-sorted, manifest recording min/max/nulls/SUM for both columns —
+    * the layout [[graft.sources.StoreIndex.aggRange]] answers range
+    * rollups from. The decimal cast is the dump-layer convention applied
+    * at the STORE layer: per-file partial sums re-associate addition, so
+    * the measure must be exact-typed for the metadata path to reproduce
+    * the oracle's global sum bit-for-bit (doubles would differ in the
+    * last ulps by association order). */
+  private[graft] def stagedRollupLineitemPath(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_staged/${dirTag(d, "lineitem")}/lineitem_rollup_f16"
+    Store.readOrCreateWith(s, path)(dir =>
+      StoreIndex.writeStoreSorted(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,2)").as("quantity_dec")),
+        dir, Seq("l_orderkey"), numFiles = 16,
+        statsCols = Seq("l_orderkey", "quantity_dec")))
+    path
+  }
+
   /** Staged TIME-sorted lineitem store (sorted + manifested on
     * `l_shipdate`): the time-slice layout — a fact store laid out by
     * event time is the single most common 100 TB read pattern ("last
@@ -617,6 +636,7 @@ private[graft] object Helpers {
     stagedTierRuns13(s, d)
     stagedTier4Runs(s, d)
     stagedSortedLineitemPath(s, d)
+    stagedRollupLineitemPath(s, d)
     stagedZOrderLineitemPath(s, d)
     stagedTimeSortedLineitemPath(s, d)
     ()

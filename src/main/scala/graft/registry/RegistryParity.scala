@@ -350,6 +350,17 @@ private[graft] object RegistryParity {
     "x_store_count_range" -> ((s, d) =>
       StoreIndex.countRange(
         s, stagedSortedLineitemPath(s, d), "l_orderkey", 5000L, 35000L)),
+    // metadata-first rollup over the rollup-projection store: contained
+    // files contribute their manifest sums (count AND sum(quantity))
+    // without being opened; only the range's edge files are scanned.
+    // The decimal store column keeps the re-associated partial sums
+    // bit-equal to the oracle's global sum; the dump casts to double
+    "x_store_sum_range" -> ((s, d) =>
+      StoreIndex.aggRange(
+        s, stagedRollupLineitemPath(s, d), "l_orderkey", 5000L, 35000L,
+        Seq("quantity_dec"))
+        .select(col("n_rows"),
+          col("sum_quantity_dec").cast("double").as("sum_qty"))),
     // time-slice read over the shipdate-sorted store: the "one month of
     // a years-spanning fact store" pattern — the manifest's native
     // TIMESTAMP min/max prove which files overlap the slice

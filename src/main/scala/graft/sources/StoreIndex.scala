@@ -241,12 +241,21 @@ object StoreIndex {
   }
 
   /** One stats row per file of `data` (which must carry `_metadata`,
-    * i.e. come straight from a file scan). */
+    * i.e. come straight from a file scan). Numeric stats columns
+    * additionally record the per-file SUM — the extra triple-to-quad is
+    * what lets [[aggRange]] answer range rollups without touching
+    * contained files (parquet footers carry min/max/null-count; the sum
+    * is the one aggregate a metadata layer must add itself). */
   private def statsFrame(data: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val aggs = cols.flatMap { c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      val base = Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         sum(col(c).isNull.cast("long")).as(s"nulls_$c"))
+      data.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          base :+ sum(col(c)).as(s"sum_$c")
+        case _ => base
+      }
     }
     data
       .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("file") +:
@@ -323,7 +332,12 @@ object StoreIndex {
         val old = spark.createDataFrame(
           spark.sparkContext.parallelize(oldRows), oldSchema)
           .drop("group", "grouping_token")
-        writeManifestGrouped(spark, path, old.unionByName(newStats), cols,
+        // allowMissingColumns: a legacy manifest predates the per-file
+        // sum_<c> columns — its rows union with null sums, which
+        // [[aggRange]] reads as "sums unrecorded" and routes to the scan
+        // path (nulls_<c> is null too), never as a zero contribution
+        writeManifestGrouped(spark, path,
+          old.unionByName(newStats, allowMissingColumns = true), cols,
           DefaultManifestGroupSize, after.toSeq)
       case Some(_) => () // append produced no files (empty batch): manifest still valid
       case None => writeStatsManifest(spark, path, cols) // absent/stale → full rebuild
@@ -591,6 +605,113 @@ object StoreIndex {
           .parquet(boundary.map(f => s"$path/$f"): _*)
           .select(col(c)).filter(pred)
           .agg((count(lit(1)) + lit(interior)).cast("long").as("n_rows"))
+    }
+  }
+
+  /** METADATA-FIRST range rollup: `count(*)` plus `sum(<v>)` per value
+    * column `WHERE c BETWEEN lo AND hi` — [[countRange]] extended to the
+    * measure sums the manifest records per file ([[statsFrame]]'s
+    * `sum_<c>` quad for numeric stats columns). A file may contribute
+    * its stored sums without being opened only when it is wholly
+    * contained AND has ZERO null keys (a null-key row's measure is in
+    * the stored sum but outside the predicate) AND its value-column null
+    * counts are recorded (legacy manifest rows aren't — they demote to
+    * the scan, never to a guess). Boundary and demoted files are scanned
+    * key+measures only, predicate-pushed. Sum-of-null-measures
+    * semantics match SQL exactly: the result sum is NULL iff no matched
+    * row has a non-null measure, tracked via the per-file non-null
+    * counts. Any manifest doubt falls back to the exact full filtered
+    * aggregate.
+    *
+    * Sum determinism note: per-file partial sums re-associate the
+    * addition, exact for integral and decimal measures — at 100 TB put
+    * doubles behind a decimal cast in the store layout (the library's
+    * dump-layer convention) rather than summing IEEE doubles in any
+    * order-sensitive path.
+    *
+    * @return one row: `n_rows: bigint, sum_<v>` per value column, always
+    *         equal to the full filtered aggregate
+    */
+  def aggRange(
+      spark: SparkSession,
+      path: String,
+      c: String,
+      lo: Any,
+      hi: Any,
+      valueCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val full = spark.read.parquet(path)
+    val pred = col(c).between(lit(lo), lit(hi))
+    def exact(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        valueCols.map(v => sum(col(v)).as(s"sum_$v")): _*)
+    // derivation only (nothing executes): the exact path's result dtypes,
+    // which the metadata-path literals must reproduce bit-for-bit
+    val target = exact(full.filter(pred)).schema
+    val filePred = col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    candidateManifest(spark, path, Seq(c), filePred) match {
+      case None => exact(full.filter(pred))
+      case Some(cand) =>
+        val sumsRecorded = cand.columns.contains(s"nulls_$c") &&
+          valueCols.forall(v =>
+            cand.columns.contains(s"sum_$v") && cand.columns.contains(s"nulls_$v"))
+        if (!sumsRecorded) {
+          // key pruning still applies, but no file may contribute
+          // metadata-only (the sum/null-count columns are absent, so the
+          // per-row expressions below would not even resolve): exact
+          // aggregate over the candidate files, key+measures only
+          val files = cand.select("file").collect().map(_.getString(0)).toSeq
+          return exact(
+            if (files.isEmpty) full.filter(pred).limit(0)
+            else spark.read.schema(full.schema)
+              .parquet(files.map(f => s"$path/$f"): _*)
+              .select(col(c) +: valueCols.map(col): _*).filter(pred))
+        }
+        val contained =
+          valueCols.map(v => col(s"nulls_$v").isNotNull)
+            .foldLeft(col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+              col(s"nulls_$c") === 0)(_ && _)
+        val aggs =
+          sum(when(contained, col("n_rows") - col(s"nulls_$c"))
+            .otherwise(lit(0L))).as("__n") +:
+          collect_list(when(!contained, col("file"))).as("__boundary") +:
+          valueCols.flatMap(v => Seq(
+            sum(when(contained, coalesce(col(s"sum_$v"), lit(0)))).as(s"__sum_$v"),
+            sum(when(contained, col("n_rows") - col(s"nulls_$v"))
+              .otherwise(lit(0L))).as(s"__cnt_$v")))
+        val row = cand.agg(aggs.head, aggs.tail: _*).collect()(0)
+        def longAt(name: String): Long =
+          if (row.isNullAt(row.fieldIndex(name))) 0L
+          else row.getLong(row.fieldIndex(name))
+        val interiorN = longAt("__n")
+        val boundary = row.getSeq[String](row.fieldIndex("__boundary"))
+        def sumLit(v: String): Column = {
+          val i = row.fieldIndex(s"__sum_$v")
+          (if (row.isNullAt(i)) lit(0) else lit(row.get(i)))
+            .cast(target(s"sum_$v").dataType)
+        }
+        val base: DataFrame =
+          if (boundary.isEmpty)
+            Seq(1).toDF("__k").select(
+              lit(0L).as("__bn") +: valueCols.flatMap(v => Seq(
+                lit(null).cast(target(s"sum_$v").dataType).as(s"__bsum_$v"),
+                lit(0L).as(s"__bcnt_$v"))): _*)
+          else
+            spark.read.schema(full.schema)
+              .parquet(boundary.map(f => s"$path/$f"): _*)
+              .select(col(c) +: valueCols.map(col): _*).filter(pred)
+              .agg(count(lit(1)).as("__bn"),
+                valueCols.flatMap(v => Seq(
+                  sum(col(v)).as(s"__bsum_$v"),
+                  count(col(v)).as(s"__bcnt_$v"))): _*)
+        base.select(
+          (lit(interiorN) + col("__bn")).cast("long").as("n_rows") +:
+          valueCols.map { v =>
+            val t = target(s"sum_$v").dataType
+            when(lit(longAt(s"__cnt_$v")) + col(s"__bcnt_$v") === 0, lit(null).cast(t))
+              .otherwise((sumLit(v) + coalesce(col(s"__bsum_$v"), lit(0)).cast(t)).cast(t))
+              .as(s"sum_$v")
+          }: _*)
     }
   }
 }

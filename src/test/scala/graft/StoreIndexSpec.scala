@@ -187,6 +187,69 @@ class StoreIndexSpec extends SparkSpec {
       .as[Long].collect().toSeq === Seq(1000L))
   }
 
+  test("aggRange: metadata-first sums equal the exact rollup, incl. null keys and measures") {
+    val dir = Files.createTempDirectory("graft-aggrange").toString + "/store"
+    val df = spark.range(0, 10000).select(
+      // every 50th KEY is null: its measure must never leak into a
+      // metadata-only contribution (the file holding it demotes to scan)
+      when(col("id") % 50 === 0, lit(null)).otherwise(col("id") % 5000).as("k"),
+      // every 7th MEASURE is null: sums skip it, non-null counts track it
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise((col("id") % 100).cast("decimal(10,2)")).as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 8,
+      statsCols = Seq("k", "v"))
+    val full = spark.read.parquet(dir)
+    def exact(lo: Long, hi: Long) =
+      full.filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    def got(lo: Long, hi: Long) =
+      StoreIndex.aggRange(spark, dir, "k", lo, hi, Seq("v"))
+    for ((lo, hi) <- Seq((700L, 3800L), (100L, 120L), (0L, 4999L),
+        (9000L, 9999L), (300L, 200L))) {
+      val g = got(lo, hi).collect().toSeq
+      val e = exact(lo, hi).collect().toSeq
+      assert(g === e, s"aggRange($lo, $hi): $g != $e")
+    }
+    // schema (dtype) identity with the exact path — the driver's oracle
+    // compare hashes dtypes too
+    assert(got(700L, 3800L).schema === exact(700L, 3800L).schema)
+    // the all-null-measure degenerate range: sum must be NULL, not 0
+    val allNull = spark.range(0, 70).select(lit(7777L).as("k"),
+      lit(null).cast("decimal(10,2)").as("v"))
+    val dir2 = Files.createTempDirectory("graft-aggnull").toString + "/store"
+    StoreIndex.writeStoreSorted(allNull, dir2, Seq("k"), numFiles = 2,
+      statsCols = Seq("k", "v"))
+    val r = StoreIndex.aggRange(spark, dir2, "k", 0L, 9999L, Seq("v")).collect()(0)
+    assert(r.getLong(0) === 70L && r.isNullAt(1),
+      "sum over only-null measures must be SQL NULL")
+    // a store without recorded value stats answers exactly via the scan
+    val dir3 = Files.createTempDirectory("graft-aggnosum").toString + "/store"
+    StoreIndex.writeStoreSorted(df, dir3, Seq("k"), numFiles = 4) // stats: k only
+    assert(StoreIndex.aggRange(spark, dir3, "k", 700L, 3800L, Seq("v"))
+      .collect().toSeq === exact(700L, 3800L).collect().toSeq)
+  }
+
+  test("aggRange: a wide range on the sorted layout opens only the edge files") {
+    val dir = Files.createTempDirectory("graft-aggprune").toString + "/store"
+    val df = spark.range(0, 10000).select(
+      (col("id") % 5000).as("k"), (col("id") % 100).cast("decimal(10,2)").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 8,
+      statsCols = Seq("k", "v"))
+    val full = spark.read.parquet(dir)
+    val mid = StoreIndex.aggRange(spark, dir, "k", 700L, 3800L, Seq("v"))
+    assert(mid.collect().toSeq ===
+      full.filter(col("k").between(700, 3800))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v")).collect().toSeq)
+    assert(mid.inputFiles.length <= 2,
+      s"expected <=2 boundary files, got ${mid.inputFiles.length}")
+    // whole domain: all files contained, no data file opened at all
+    val whole = StoreIndex.aggRange(spark, dir, "k", 0L, 4999L, Seq("v"))
+    assert(whole.inputFiles.isEmpty,
+      "all-contained rollup should be answered from the manifest alone")
+    assert(whole.collect().toSeq ===
+      full.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v")).collect().toSeq)
+  }
+
   test("z-ordered store prunes a y-only box where the x-sorted layout cannot") {
     val base = Files.createTempDirectory("graft-z").toString
     val grid = spark.range(0, 64 * 64).select(
