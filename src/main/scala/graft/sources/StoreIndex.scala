@@ -584,10 +584,15 @@ object StoreIndex {
     candidateManifest(spark, path, Seq(c), filePred) match {
       case None => full.filter(pred).agg(count(lit(1)).as("n_rows"))
       case Some(cand) =>
+        // coalesce: contained must be two-valued — a NULL (a stats gap on
+        // a candidate row) would make when(contained)/when(!contained)
+        // BOTH miss the file, silently dropping its rows from the count
         val contained =
           if (cand.columns.contains(s"nulls_$c"))
-            col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
-              col(s"nulls_$c").isNotNull
+            coalesce(
+              col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+                col(s"nulls_$c").isNotNull,
+              lit(false))
           else lit(false)
         // ONE bounded aggregate over the pruned manifest rows: the
         // contained files' row contribution plus the boundary file list
@@ -667,10 +672,14 @@ object StoreIndex {
               .parquet(files.map(f => s"$path/$f"): _*)
               .select(col(c) +: valueCols.map(col): _*).filter(pred))
         }
-        val contained =
+        // coalesce: a NULL verdict (stats gap on a candidate row) would
+        // drop the file from BOTH the interior arithmetic and the
+        // boundary list — force it to the boundary scan instead
+        val contained = coalesce(
           valueCols.map(v => col(s"nulls_$v").isNotNull)
             .foldLeft(col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
-              col(s"nulls_$c") === 0)(_ && _)
+              col(s"nulls_$c") === 0)(_ && _),
+          lit(false))
         val aggs =
           sum(when(contained, col("n_rows") - col(s"nulls_$c"))
             .otherwise(lit(0L))).as("__n") +:
