@@ -928,15 +928,58 @@ object Dedup {
       textCol: String,
       sep: String = "\n",
       minLineLen: Int = 1,
-      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    dedupUnitsAcrossCorpus(df, idCol, textCol, sep, minLineLen, identity, scope)
+
+  /** Corpus-wide duplicated-PARAGRAPH removal with normalized matching —
+    * the FineWeb-style variant of [[dedupLinesAcrossCorpus]]: units split
+    * on the paragraph separator and two paragraphs count as duplicates
+    * when their CANONICAL forms agree (whitespace runs collapsed to one
+    * space, ends trimmed, case folded), so reflowed or re-cased
+    * boilerplate still dedups; every occurrence except the global first
+    * (keep-min (doc id, position)) is cut and the survivors re-join with
+    * their ORIGINAL text — normalization decides matching, never output.
+    * Paragraphs whose normalized form is shorter than `minParaLen` are
+    * exempt (always kept), so blank and separator-only units never
+    * collapse into one global survivor.
+    *
+    * Same scale shape as the line form: narrow (id, pos, 60-bit hash)
+    * rows shuffle once; payload text never enters the dedup shuffle.
+    *
+    * @return (doc_id, cleaned) for EVERY input row; cleaned = original
+    *         text when nothing was cut (including null texts)
+    */
+  def dedupParagraphsAcrossCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
+    dedupUnitsAcrossCorpus(df, idCol, textCol, sep, minParaLen,
+      u => lower(trim(regexp_replace(u, "\\s+", " "))), scope)
+
+  /** Shared engine for [[dedupLinesAcrossCorpus]] /
+    * [[dedupParagraphsAcrossCorpus]]: `canon` maps each unit to the form
+    * that defines duplicate identity (and that `minLen` measures); the
+    * reassembled output always keeps original unit text. */
+  private def dedupUnitsAcrossCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String,
+      minLen: Int,
+      canon: Column => Column,
+      scope: graft.CacheScope): DataFrame = {
     require(sep.nonEmpty, "sep must be non-empty")
-    require(minLineLen >= 0, "minLineLen must be non-negative")
+    require(minLen >= 0, "minLen must be non-negative")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = scope.persist(
       df.select(col(idCol).as("id"),
           posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
-        .filter(length(col("line")) >= minLineLen)
-        .select(col("id"), col("p"), shingleHash(col("line")).as("lh")))
+        .select(col("id"), col("p"), canon(col("line")).as("cl"))
+        .filter(length(col("cl")) >= minLen)
+        .select(col("id"), col("p"), shingleHash(col("cl")).as("lh")))
     val keepers = lines.groupBy("lh")
       .agg(min(struct(col("id"), col("p"))).as("keep"))
     val drops = lines.join(keepers, Seq("lh"))

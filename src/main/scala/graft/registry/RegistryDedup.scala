@@ -270,6 +270,21 @@ private[graft] object RegistryDedup {
     // per-host corpus accounting (crawl budgeting / domain blocklists)
     "x_text_url_hosts" -> ((s, d) =>
       Urls.hostStats(urlFixture(s, d), "url")),
+    // corpus-wide paragraph dedup with NORMALIZED matching (FineWeb
+    // style): the single-line corpus first derives 20-token paragraphs,
+    // every 7th doc is upper-cased so the case-fold + whitespace-collapse
+    // canonicalization is itself the thing under oracle check — repeated
+    // paragraphs dedup across the case variants, survivors keep original
+    // text
+    "x_dedup_paragraphs" -> ((s, d) =>
+      Dedup.dedupParagraphsAcrossCorpus(
+        Tables.documents(s, d)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .withColumn("text",
+            regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n")),
+        "doc_id", "text")),
     // ---- extension: cross-table fuzzy join (record linkage) ----
     // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
     // a deterministically dirtied feed (one substitution at a
@@ -644,6 +659,44 @@ private[graft] object RegistryDedup {
          |SELECT host, count(*) AS n_pages,
          |       count(DISTINCT canonical_url) AS n_urls
          |FROM urlcanon GROUP BY host""".stripMargin,
+    // normalized-paragraph dedup: canonical form = whitespace runs
+    // collapsed, trimmed, lower-cased; keep-min (doc_id, position);
+    // survivors rejoin with ORIGINAL text. Mirrors x_text_dedup_lines'
+    // CTE chain with the canonicalization inserted before the hash.
+    "x_dedup_paragraphs" ->
+      s"""WITH up AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents
+         |),
+         |para AS (
+         |  SELECT doc_id,
+         |         regexp_replace(text, '((?:\\S+ ){20})',
+         |                        '\\1' || chr(10) || chr(10), 'g') AS text
+         |  FROM up
+         |),
+         |sp AS (SELECT doc_id, text,
+         |              string_split(text, chr(10) || chr(10)) AS ls FROM para),
+         |ex AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, ls[CAST(i AS INT)] AS u
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM sp)
+         |),
+         |cn AS (SELECT doc_id, p,
+         |              lower(trim(regexp_replace(u, '\\s+', ' ', 'g'))) AS cu
+         |       FROM ex),
+         |el AS (SELECT doc_id, p, ${duckHash60("cu")} AS ph FROM cn
+         |       WHERE length(cu) >= 1),
+         |rk AS (SELECT doc_id, p,
+         |              row_number() OVER (PARTITION BY ph ORDER BY doc_id, p) AS rn
+         |       FROM el),
+         |dl AS (SELECT doc_id, list(p) AS dp FROM rk WHERE rn > 1 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       CASE WHEN d.dp IS NULL THEN s.text
+         |            ELSE coalesce(array_to_string(
+         |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
+         |              chr(10) || chr(10)), '')
+         |       END AS cleaned
+         |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
     "x_fuzzy_join" ->
       """WITH clean AS (
         |  SELECT c_custkey AS cid,

@@ -269,6 +269,28 @@ class DedupSpec extends SparkSpec {
     assert(repart === out, "labeling independent of partitioning")
   }
 
+  test("dedupParagraphsAcrossCorpus matches on the normalized form, keeps original text") {
+    val df = Seq(
+      (1L, "the shared  boilerplate\n\nbody one"),
+      (2L, "THE SHARED BOILERPLATE\n\nbody two"),   // case + spacing variant: dup
+      (3L, " the shared boilerplate \n\nbody three"), // pad variant: dup
+      (4L, "a\n\nbody one"),                        // 'a' below minParaLen=2: exempt
+      (5L, "body two\n\nfresh paragraph")           // 'body two' repeats doc 2
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphsAcrossCorpus(df, "doc_id", "text",
+      minParaLen = 2).as[(Long, String)].collect().toMap
+    assert(out(1L) === "the shared  boilerplate\n\nbody one",
+      "global first keeps its ORIGINAL (un-normalized) text")
+    assert(out(2L) === "body two", "case/spacing variant cut as duplicate")
+    assert(out(3L) === "body three", "padded variant cut as duplicate")
+    assert(out(4L) === "a",
+      "short paragraph exempt from dedup; repeated 'body one' cut (first is doc 1's)")
+    assert(out(5L) === "fresh paragraph", "cross-doc repeat of 'body two' cut")
+    val repart = Dedup.dedupParagraphsAcrossCorpus(df.repartition(7), "doc_id",
+      "text", minParaLen = 2).as[(Long, String)].collect().toMap
+    assert(repart === out, "labeling independent of partitioning")
+  }
+
   test("duplicatedSpansExact equals brute force on a planted-overlap fixture") {
     val k = 10
     // planted overlaps: docs 1/2 share a k+5 block mid-text (one maximal
