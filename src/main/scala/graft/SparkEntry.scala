@@ -56,20 +56,34 @@ object SparkEntry {
   // same keys, same lambdas — the r14 split is file layout only)
   // --------------------------------------------------------------------
 
+  /** Compose per-family registry Seqs into one Map, REFUSING duplicate
+    * keys: `Seq ++ Seq ... .toMap` silently last-wins on a key registered
+    * in two families, and the queries/oracle key-parity check cannot see
+    * a collision when both sides define the key — so a future family
+    * accidentally re-registering an existing name would silently shadow
+    * the original entry instead of failing the build. */
+  private def composed[V](parts: Seq[(String, V)]*): Map[String, V] = {
+    val all = parts.flatten
+    val dupes = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dupes.isEmpty,
+      s"duplicate registry keys across families: ${dupes.toSeq.sorted.mkString(", ")}")
+    all.toMap
+  }
+
   /** Dump-layer canonicalization: decimal columns hash-diverge between the
     * Spark parquet dump and DuckDB (CORRECTNESS_r01: rows+schema matched,
     * hash didn't, on every quantity-carrying entry). Decimal math stays
     * internal; only the dumped projection casts to double (values are exact
     * halves — lossless). Oracles mirror with CAST(... AS DOUBLE). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (RegistryParity.queries ++ RegistryDedup.queries ++ RegistryCuration.queries ++
-      RegistryText.queries ++ RegistrySimilarity.queries ++ RegistrySampling.queries ++
-      RegistryEvents.queries ++ RegistryAnalytics.queries).toMap
+    composed(RegistryParity.queries, RegistryDedup.queries, RegistryCuration.queries,
+      RegistryText.queries, RegistrySimilarity.queries, RegistrySampling.queries,
+      RegistryEvents.queries, RegistryAnalytics.queries)
 
   private lazy val baseOracles: Map[String, String] =
-    (RegistryParity.oracles ++ RegistryDedup.oracles ++ RegistryCuration.oracles ++
-      RegistryText.oracles ++ RegistrySimilarity.oracles ++ RegistrySampling.oracles ++
-      RegistryEvents.oracles ++ RegistryAnalytics.oracles).toMap
+    composed(RegistryParity.oracles, RegistryDedup.oracles, RegistryCuration.oracles,
+      RegistryText.oracles, RegistrySimilarity.oracles, RegistrySampling.oracles,
+      RegistryEvents.oracles, RegistryAnalytics.oracles)
 
   def oracleSql: Map[String, String] = baseOracles ++ Map(
     // deliberately the SAME statements as x_sim_pq / x_sim_ivf: probing a
@@ -323,6 +337,17 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 35000""".stripMargin,
+    // the full quad rollup is a fast path over the same exact aggregate;
+    // avg is one double division over exact decimal/long totals on both
+    // engines, rounded on both sides
+    "x_store_minmax_range" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        |       CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |             / count(l_quantity), 6) AS avg_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 35000""".stripMargin,
     "x_store_point_lookup" ->
       "SELECT * FROM lineitem WHERE l_orderkey IN (123, 7777, 14000)",
     "x_store_time_slice" ->
@@ -336,5 +361,11 @@ object SparkEntry {
     "x_stage_build_sorted" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_k,
         |       max(l_orderkey) AS max_k, CAST(0 AS BIGINT) AS n_nulls
+        |FROM lineitem""".stripMargin,
+    // the rollup store's quad manifest reproduces the projected table
+    "x_stage_build_rollup" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_k,
+        |       max(l_orderkey) AS max_k, CAST(0 AS BIGINT) AS n_nulls,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin)
 }

@@ -72,6 +72,24 @@ object Curation {
     *                  both endpoints (exact for the same pairwise-
     *                  membership reason). Production computes the phash
     *                  pair store once per corpus generation.
+    * @param urlGate   when set to (urls, urlCol, rules), a domain
+    *                  blocklist gate BEFORE the quality stage — the first
+    *                  stage of the public web recipes (C4/RefinedWeb cut
+    *                  blocked domains before any content pass): `urls`
+    *                  maps `idCol` to a URL column `urlCol`; docs whose
+    *                  host a rule blocks ([[Urls.blockedHostIds]] — exact
+    *                  host or `*.domain` proper-subdomain wildcard, one
+    *                  broadcast suffix equi-join, never a corpus regex)
+    *                  are dropped, as are docs with NO url row (a
+    *                  crawl-less document has no provenance to gate on —
+    *                  the conservative web-recipe posture)
+    * @param qualityModel when set to (weights, bias, minScore), a
+    *                  model-based quality gate after the hard Gopher
+    *                  thresholds: [[TextAnalysis.qualityScoreExpr]] over
+    *                  the SAME metric columns the flags pass computed
+    *                  (no second tokenization), kept when
+    *                  `score >= minScore` — the standard second filter
+    *                  (fastText-recipe shape) fused into the same scan
     */
   def curate(
       docs: DataFrame,
@@ -87,7 +105,9 @@ object Curation {
       ccMaxIters: Int = 25,
       nearDupPairs: Option[DataFrame] = None,
       mediaDup: Option[(Int, Int)] = None,
-      mediaDupPairs: Option[DataFrame] = None): DataFrame = {
+      mediaDupPairs: Option[DataFrame] = None,
+      urlGate: Option[(DataFrame, String, DataFrame)] = None,
+      qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None): DataFrame = {
     require(nearDupPairs.isEmpty || nearDup.nonEmpty,
       "nearDupPairs requires nearDup: staged pairs are only consumed by the " +
         "near-duplicate stage, which nearDup enables")
@@ -103,10 +123,22 @@ object Curation {
         s"mediaDup requires an integral $idCol (got ${t.typeName}): "
           + "Multimodal's media schema keys on long ids")
     }
-    // keepText = one corpus scan: quality metrics, the keep filter and the
-    // downstream stages all read the same projection — no semi-join back
-    val quality = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
+    // URL blocklist gate first: the cheapest cut (a ~30-byte host key)
+    // happens before any tokenization; survivors = docs whose url row
+    // exists and is not blocked
+    val gated = urlGate.fold(docs) { case (urls, urlCol, rules) =>
+      docs.join(
+        Urls.filterBlockedHosts(urls, idCol, urlCol, rules).select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
+    // keepText = one corpus scan: quality metrics, the keep filter, the
+    // optional model score and the downstream stages all read the same
+    // projection — no semi-join back, no second tokenization
+    val flagged = TextAnalysis.gopherishFlags(gated, idCol, textCol, keepText = true)
       .filter(col("keep"))
+    val quality = qualityModel.fold(flagged) { case (w, b, minScore) =>
+        flagged.filter(TextAnalysis.qualityScoreExpr(w, b) >= lit(minScore))
+      }
       .select(col(idCol), col(textCol))
     val kept = languages.fold(quality) { ls =>
       quality.filter(TextAnalysis.langId(col(textCol))

@@ -233,32 +233,56 @@ object Decontamination {
     * probes only this doc's (rare) hit set. The batch path's explode +
     * broadcast-semi form stays the bulk-corpus shape (codegen'd join vs
     * interpreted HOFs); this form exists for the streaming twin, where
-    * per-row HOF cost is the price of statelessness. */
+    * per-row HOF cost is the price of statelessness.
+    *
+    * Evaluation-staging note: `ghs`, the hit set, and the merged spans
+    * are each BOUND ONCE per row as a fold's lambda variable (the
+    * [[TextAnalysis.gopherishFlags]] `gopherMetrics` idiom). Higher-order
+    * functions are interpreted (no codegen subexpression elimination),
+    * and `CollapseProject` re-inlines a staging projection's alias into a
+    * consuming lambda when it is referenced once — so an inline `hitSet`
+    * expression would re-derive the FULL gram-hash array (one md5 per
+    * position) inside the position filter's body, once per position:
+    * O(n²) md5 work per document, exactly the HOF-inlining trap
+    * [[TextAnalysis.winnowSelect]]'s scaladoc warns about. The lambda
+    * binding caps the chain at one evaluation each: grams once, intersect
+    * once, spans once (the guard and the cut read the bound variable). */
   def scrubSpansExpr(text: Column, benchSet: Column, k: Int): Column = {
-    val ghs = TextAnalysis.winnowGramHashes(text, k) // (gh, p) per position, or null
-    val hitSet = array_intersect(transform(ghs, g => g("gh")), benchSet)
-    val pos = filter(ghs, g => array_contains(hitSet, g("gh"))) // ascending p
-    val spans = aggregate(
-      pos,
-      array().cast("array<struct<s:int,e:int>>"),
-      (acc, g) => {
-        val p = g("p")
-        val last = element_at(acc, -1)
-        when(size(acc) === 0 || p > last("e"),
-            concat(acc, array(struct(p.as("s"), (p + k - 1).as("e")))))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(last("s").as("s"), (p + k - 1).as("e")))))
-      })
-    val cut = aggregate(
-      spans,
-      struct(lit(1).as("pos"), lit("").as("acc")),
-      (st, sp) => struct(
-        (sp.getField("e") + 1).as("pos"),
-        concat(st.getField("acc"),
-          text.substr(st.getField("pos"), sp.getField("s") - st.getField("pos"))).as("acc")),
-      st => concat(st.getField("acc"),
-        text.substr(st.getField("pos"),
-          greatest(length(text) - st.getField("pos") + 1, lit(0)))))
-    when(ghs.isNull || size(spans) === 0, text).otherwise(cut)
+    // bind(v)(f): evaluate v once per row, hand f an O(1) lambda-variable
+    // reference. aggregate over a 1-element array = merge(init, v); the
+    // init pins the RESULT type (string — every bind below returns the
+    // scrubbed text).
+    def bind(v: Column)(f: Column => Column): Column =
+      aggregate(array(v), lit(null).cast("string"), (_, x) => f(x))
+    bind(TextAnalysis.winnowGramHashes(text, k)) { ghs => // (gh, p) per position, or null
+      bind(array_intersect(transform(ghs, g => g("gh")), benchSet)) { hits =>
+        val pos = filter(ghs, g => array_contains(hits, g("gh"))) // ascending p
+        val spansOf = aggregate(
+          pos,
+          array().cast("array<struct<s:int,e:int>>"),
+          (acc, g) => {
+            val p = g("p")
+            val last = element_at(acc, -1)
+            when(size(acc) === 0 || p > last("e"),
+                concat(acc, array(struct(p.as("s"), (p + k - 1).as("e")))))
+              .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+                array(struct(last("s").as("s"), (p + k - 1).as("e")))))
+          })
+        bind(spansOf) { spans =>
+          val cut = aggregate(
+            spans,
+            struct(lit(1).as("pos"), lit("").as("acc")),
+            (st, sp) => struct(
+              (sp.getField("e") + 1).as("pos"),
+              concat(st.getField("acc"),
+                text.substr(st.getField("pos"),
+                  sp.getField("s") - st.getField("pos"))).as("acc")),
+            st => concat(st.getField("acc"),
+              text.substr(st.getField("pos"),
+                greatest(length(text) - st.getField("pos") + 1, lit(0)))))
+          when(ghs.isNull || size(spans) === 0, text).otherwise(cut)
+        }
+      }
+    }
   }
 }

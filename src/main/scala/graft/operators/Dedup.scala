@@ -984,15 +984,107 @@ object Dedup {
       .agg(min(struct(col("id"), col("p"))).as("keep"))
     val drops = lines.join(keepers, Seq("lh"))
       .filter(struct(col("id"), col("p")) =!= col("keep"))
-      .groupBy(col("id").as(idCol))
+      .select(col("id"), col("p"))
+    cutUnitPositions(df, idCol, textCol, sep, sepLit, drops)
+  }
+
+  /** Shared reassembly tail of the unit-dedup family: cut every (id, p)
+    * unit position in `drops` from its document and re-join the
+    * survivors with their ORIGINAL text; unaffected docs pass through a
+    * left join untouched. `drops` collapses to one array row per
+    * affected doc before meeting the payload — the text joins exactly
+    * once. */
+  private def cutUnitPositions(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String,
+      sepLit: String,
+      drops: DataFrame): DataFrame = {
+    val perDoc = drops.groupBy(col("id").as(idCol))
       .agg(collect_set(col("p")).as("__drop"))
     val txt = col(textCol)
-    df.join(drops, Seq(idCol), "left_outer")
+    df.join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol).as("doc_id"),
         when(col("__drop").isNull, txt).otherwise(
           array_join(
             filter(split(txt, sepLit), (_, i) => !array_contains(col("__drop"), i)),
             sep)).as("cleaned"))
+  }
+
+  /** Corpus-wide paragraph NEAR-dup removal — the MinHash extension of
+    * [[dedupParagraphsAcrossCorpus]]: exact-on-canonical-form matching
+    * misses reflowed boilerplate with one word changed; here every
+    * DISTINCT canonical paragraph gets a MinHash signature over its word
+    * n-gram shingles ([[minhashSignature]]'s kernel) and LSH band keys,
+    * and election runs per band BUCKET: a paragraph class is cut — every
+    * occurrence — when any of its buckets holds a class with a strictly
+    * smaller first occurrence (min (doc id, position), the library's
+    * keep-min convention); a surviving class keeps exactly its first
+    * occurrence, so exact duplicates degenerate to the exact operator's
+    * semantics (identical canonicals share every band). Election is
+    * single-pass by bucket order — deliberately NOT transitive-closure
+    * (the doc-level [[keepCanonical]] path owns that): a class whose
+    * bucket winner was itself cut elsewhere stays cut, the standard
+    * one-pass LSH election a FineWeb-style paragraph pass runs at scale.
+    *
+    * Scale shape: narrow (id, pos, 60-bit hash) occurrence rows shuffle
+    * once; signatures are computed once per DISTINCT canonical paragraph
+    * (boilerplate repeated millions of times hashes once), never per
+    * occurrence; buckets are band-key groups (one window over
+    * classes × bands rows), never all-pairs; the payload text joins
+    * exactly once at reassembly.
+    *
+    * @return (doc_id, cleaned) for EVERY input row; cleaned = original
+    *         text when nothing was cut (including null texts)
+    */
+  def nearDedupParagraphsAcrossCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(minParaLen >= 0, "minParaLen must be non-negative")
+    require(k % bands == 0, "bands must divide k")
+    import org.apache.spark.sql.expressions.Window
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val canon = (u: Column) => lower(trim(regexp_replace(u, "\\s+", " ")))
+    val units = scope.persist(
+      df.select(col(idCol).as("id"),
+          posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
+        .select(col("id"), col("p"), canon(col("line")).as("cl"))
+        .filter(length(col("cl")) >= minParaLen)
+        .select(col("id"), col("p"), col("cl"), shingleHash(col("cl")).as("lh")))
+    // one row per DISTINCT canonical paragraph: its election key (the
+    // class's first occurrence) and one representative canonical string
+    // (identical by 60-bit hash up to the documented collision odds)
+    val classes = scope.persist(units.groupBy("lh")
+      .agg(min(struct(col("id"), col("p"))).as("mk"), min(col("cl")).as("cl")))
+    // signature staged as its own projection (the Generate above it
+    // references the sig ATTRIBUTE — the fold runs once per class)
+    val banded = classes
+      .select(col("lh"), col("mk"), minhashSignature(col("cl"), n, k).as("sig"))
+      .select(col("lh"), col("mk"),
+        posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
+    // bucket election: the class loses when any bucket holds a strictly
+    // smaller election key (distinct classes never share mk — an
+    // occurrence belongs to exactly one class)
+    val losers = banded
+      .withColumn("__bmin", min(col("mk")).over(Window.partitionBy("band", "key")))
+      .filter(col("mk") =!= col("__bmin"))
+      .select("lh").distinct()
+    val keyed = units
+      .join(classes.select(col("lh"), col("mk")), Seq("lh"))
+      .join(losers.withColumn("__lose", lit(true)), Seq("lh"), "left_outer")
+    val drops = keyed
+      .filter(col("__lose").isNotNull || struct(col("id"), col("p")) =!= col("mk"))
+      .select(col("id"), col("p"))
+    cutUnitPositions(df, idCol, textCol, sep, sepLit, drops)
   }
 
   /** Start offsets (0-based) and widths of the `maxDist + 1` contiguous

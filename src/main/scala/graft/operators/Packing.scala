@@ -123,6 +123,82 @@ object Packing {
       .select("doc_id", "grp", "shard", "pack_id")
   }
 
+  /** Best-fit-decreasing packing — the padding-waste optimizer beside
+    * [[packSequences]]' contiguous fill: within a shard, documents are
+    * processed in (token count DESC, doc id ASC) order and each lands in
+    * the FULLEST already-open bin that still fits (ties → smallest bin
+    * id); no feasible bin opens a new one. A document larger than the
+    * budget gets a new bin of its own (the bin overflows and is never
+    * feasible again), like the oversized-document rule of the row form.
+    * The assignment is a pure function of (ids, token counts, budget,
+    * shards) — BFD's order-sensitivity is pinned down by the total
+    * (n_tokens DESC, doc_id) order, so the result is deterministic and
+    * repartition-stable, and a DuckDB recursive CTE replays it exactly.
+    *
+    * Scale shape: BFD is inherently SEQUENTIAL within a shard (each
+    * assignment depends on every prior one), so this is the library's
+    * one sanctioned `mapPartitions` — narrow (id, shard, tokens) triples
+    * only (never the text), one shuffle to co-locate shards, parallelism
+    * = `shards` (size ≈ cluster cores), per-doc cost O(log bins) via a
+    * treemap keyed on bin fill. Null token counts pack as 0.
+    *
+    * @return (doc_id, shard, n_tokens, pack_id, pack_pos) — `pack_pos`
+    *         is the document's 1-based assignment order inside its pack
+    */
+  def packBestFit(
+      df: DataFrame,
+      idCol: String,
+      tokenCount: Column,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(shards >= 1, "shards must be positive")
+    val t = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(t.typeName),
+      s"packBestFit requires an integral $idCol (got ${t.typeName})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val triples = df.select(
+        col(idCol).cast("long").as("doc_id"),
+        (col(idCol) % shards).cast("long").as("shard"),
+        coalesce(tokenCount.cast("long"), lit(0L)).as("n_tokens"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+    triples.mapPartitions { it =>
+      // per-shard state, reset at each shard boundary (shards are
+      // contiguous under the sort; several shards may share a partition)
+      var curShard = Long.MinValue
+      var opened = false
+      var nextBin = 0L
+      val binUsed = scala.collection.mutable.HashMap.empty[Long, Long]
+      val binCount = scala.collection.mutable.HashMap.empty[Long, Long]
+      // fill -> open bin ids at that fill (sorted, so ties pick min id)
+      val byUsed = new java.util.TreeMap[Long, java.util.TreeSet[Long]]
+      it.map { case (docId, shard, nTokens) =>
+        if (!opened || shard != curShard) {
+          curShard = shard; opened = true; nextBin = 0L
+          binUsed.clear(); binCount.clear(); byUsed.clear()
+        }
+        val entry = byUsed.floorEntry(budget - nTokens)
+        val bin =
+          if (entry == null) { val b = nextBin; nextBin += 1; b }
+          else {
+            val b = entry.getValue.first()
+            entry.getValue.remove(b)
+            if (entry.getValue.isEmpty) byUsed.remove(entry.getKey)
+            b
+          }
+        val newUsed = binUsed.getOrElse(bin, 0L) + nTokens
+        binUsed(bin) = newUsed
+        byUsed.computeIfAbsent(newUsed, _ => new java.util.TreeSet[Long]).add(bin)
+        val pos = binCount.getOrElse(bin, 0L) + 1L
+        binCount(bin) = pos
+        (docId, shard, nTokens, bin, pos)
+      }
+    }.toDF("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
+  }
+
   /** Per-pack roll-up of a [[packSequences]] assignment: document count,
     * token total, and fill ratio against the budget (>1 = the pack's last
     * document overflowed). */

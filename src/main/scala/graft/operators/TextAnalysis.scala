@@ -778,6 +778,51 @@ object TextAnalysis {
     if (keepText) flagged else flagged.drop(textCol)
   }
 
+  /** Metric columns [[qualityScoreExpr]] accepts — the
+    * [[gopherishFlags]] metric surface. */
+  private val QualityFeatures: Set[String] = Set(
+    "n_tokens", "mean_token_len", "alpha_ratio",
+    "top_bigram_ratio", "top_trigram_ratio")
+
+  /** Fixed-weight linear quality score as ONE column expression over
+    * already-computed [[gopherishFlags]] metric columns:
+    * `sigmoid(bias + Σ wᵢ·fᵢ)`, rounded to 6 places. The public
+    * fastText/CCNet recipe shape — a linear model over cheap features —
+    * applied as a columnar dot product: pure built-in expressions,
+    * codegen end to end, no model runtime, no UDF. Weights are
+    * caller-supplied (trained offline on public data); the sum order is
+    * the weight-list order, mirrored literally by the DuckDB oracle. */
+  def qualityScoreExpr(weights: Seq[(String, Double)], bias: Double): Column = {
+    require(weights.nonEmpty, "need at least one feature weight")
+    val unknown = weights.map(_._1).filterNot(QualityFeatures)
+    require(unknown.isEmpty,
+      s"unknown quality features ${unknown.mkString(", ")}; " +
+        s"known: ${QualityFeatures.toSeq.sorted.mkString(", ")}")
+    val z = weights.foldLeft(lit(bias)) { case (acc, (f, w)) =>
+      acc + col(f).cast("double") * lit(w)
+    }
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Model-based quality scoring per document: [[gopherishFlags]]'s
+    * metrics (ONE tokenization pass, same as the flags path) fed through
+    * [[qualityScoreExpr]]. Higher = more likely "quality" under the
+    * caller's weights; gate with `score >= threshold` as a per-row
+    * predicate fused into the corpus scan — at 100 TB this is the
+    * standard second filter after the hard Gopher thresholds.
+    *
+    * @return (doc_id, n_tokens, quality_score)
+    */
+  def qualityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[(String, Double)],
+      bias: Double): DataFrame =
+    gopherishFlags(df, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("n_tokens"),
+        qualityScoreExpr(weights, bias).as("quality_score"))
+
   /** BM25 relevance of every document against a bag of query terms —
     * the standard lexical ranking function for corpus search / curation
     * (Robertson & Walker's Okapi BM25, public literature).

@@ -103,4 +103,90 @@ object Urls {
       .groupBy("host")
       .agg(count(lit(1)).as("n_pages"),
         count_distinct(col("__canon")).as("n_urls"))
+
+  /** Cross-run (incremental) URL dedup: batch rows whose canonical URL
+    * already exists in the standing canonical-URL store drop via ONE
+    * anti-join on the ~100-byte key; intra-batch repeats then collapse
+    * keep-min — the [[Dedup.incrementalExact]] pattern applied to the
+    * cheapest dedup stage, so at steady state the first web-corpus gate
+    * costs one batch scan, never a corpus re-read. The returned rows are
+    * both the ingestible novelty AND exactly what the caller appends to
+    * the standing store for the next run.
+    *
+    * @param knownCanonical standing store, `canonical_url` column
+    * @return (canonical_url, keep_id) — one row per NOVEL canonical URL,
+    *         smallest `idCol` surviving
+    */
+  def incrementalDuplicateUrls(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      knownCanonical: DataFrame): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .join(knownCanonical.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keep_id"))
+
+  /** Blocklist rules parsed to the join-ready form: `rule` (the first
+    * column of `rules`, trimmed, lowercased, empties dropped) becomes
+    * `(__dom, __wild)` — `"spam.com"` is an EXACT host rule
+    * (`__wild = false`), `"*.spam.com"` a WILDCARD rule
+    * (`__wild = true`, `__dom = "spam.com"`) blocking every PROPER
+    * subdomain (`a.spam.com`, `x.y.spam.com`) but NOT `spam.com` itself
+    * — callers wanting both list both forms, the convention of the
+    * public blocklist formats that distinguish them. */
+  private def parsedRules(rules: DataFrame): DataFrame = {
+    val ruleCol = rules.columns.head
+    rules.select(trim(lower(col(ruleCol))).as("__rule"))
+      .filter(col("__rule") =!= "")
+      .select(
+        when(col("__rule").startsWith("*."), col("__rule").substr(lit(3), length(col("__rule"))))
+          .otherwise(col("__rule")).as("__dom"),
+        col("__rule").startsWith("*.").as("__wild"))
+      .distinct()
+  }
+
+  /** All label-suffixes of a host as (suf, proper) structs: for
+    * `a.b.spam.com` — `(a.b.spam.com, false)`, `(b.spam.com, true)`,
+    * `(spam.com, true)`, `(com, true)`. Bounded by the host's label
+    * count (≤ ~10 for real hostnames); empty array for non-URL rows. */
+  private def hostSuffixStructs(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(length(host) > 0, transform(sequence(lit(1), size(labels)), i =>
+        struct(
+          array_join(slice(labels, i, size(labels) - i + 1), ".").as("suf"),
+          (i > 1).as("proper"))))
+      .otherwise(array().cast("array<struct<suf:string,proper:boolean>>"))
+  }
+
+  /** Ids whose URL's host a blocklist blocks — the domain/robots gate
+    * every public web recipe (C4, RefinedWeb) applies before content
+    * passes. An exact rule matches the FULL host; a wildcard rule
+    * (`*.dom`) matches any PROPER label-suffix — both as ONE broadcast
+    * equi-join on exploded label-suffix strings, so the corpus is never
+    * regex-scanned against the rule list (an `rlike`/LIKE per rule would
+    * be rules × corpus regex work; this is corpus × labels 8-byte-ish
+    * string equality, map-side). Rules are a caller-supplied frame: at
+    * 100 TB a curated blocklist is thousands-to-millions of rows —
+    * broadcastable — and never justifies a scan-side regex.
+    *
+    * @param rules one-column frame of rules: `host` (exact) or
+    *              `*.domain` (proper subdomains)
+    * @return distinct blocked `idCol` values
+    */
+  def blockedHostIds(df: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame =
+    df.select(col(idCol),
+        explode(hostSuffixStructs(urlHost(col(urlCol)))).as("__s"))
+      .join(broadcast(parsedRules(rules)),
+        col("__s.suf") === col("__dom") && col("__s.proper") === col("__wild"),
+        "left_semi")
+      .select(col(idCol)).distinct()
+
+  /** `df` with every blocklist-blocked row removed — [[blockedHostIds]]'s
+    * transformation side, all input columns preserved. Survivors =
+    * corpus anti-joined on the (distinct, narrow) blocked-id set. */
+  def filterBlockedHosts(df: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame =
+    df.join(blockedHostIds(df, idCol, urlCol, rules), Seq(idCol), "left_anti")
 }

@@ -642,6 +642,19 @@ private[graft] object Helpers {
     ()
   }
 
+  /** Fixed public-shape quality-model weights shared by the standalone
+    * score row, the curation composition row, and their oracles — one
+    * val so the literal doubles (and so the IEEE dot product) cannot
+    * drift between the engines. Signs follow the obvious priors: longer
+    * mean tokens and alphabetic text up, repetition down. */
+  private[graft] val qualityWeights: Seq[(String, Double)] = Seq(
+    "mean_token_len" -> 0.4,
+    "alpha_ratio" -> 2.5,
+    "top_bigram_ratio" -> -3.0,
+    "top_trigram_ratio" -> -2.0)
+  private[graft] val qualityBias: Double = -2.0
+  private[graft] val qualityMinScore: Double = 0.5
+
   /** Mixture-sampling setting shared by the x_sample_mixture query and
     * its oracle: 4 weighted sources splitting a 10k-char budget 4:3:2:1.
     * One val so the weight list (and so the normalized IEEE targets from

@@ -765,6 +765,19 @@ private[graft] object OracleCtes {
       |  FROM toks
       |)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.qualityScoreExpr]]:
+    * the identical left-associated dot product (feature × literal weight
+    * in weight-list order) and sigmoid, rounded to 6 — built from the
+    * same Seq as the Spark side so the literals cannot drift. Expects the
+    * [[qualityMetricsCte]] metric columns in scope. */
+  private[graft] def duckQualityScore(
+      weights: Seq[(String, Double)], bias: Double): String = {
+    val z = weights.foldLeft(s"CAST($bias AS DOUBLE)") { case (acc, (f, w)) =>
+      s"($acc + CAST($f AS DOUBLE) * CAST($w AS DOUBLE))"
+    }
+    s"round(1.0 / (1.0 + exp(-($z))), 6)"
+  }
+
   private[graft] val qualityKeepPredicate: String =
     """(n_tokens BETWEEN 20 AND 100000)
       |       AND (mean_token_len BETWEEN 2.0 AND 12.0)

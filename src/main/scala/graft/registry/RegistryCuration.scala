@@ -96,6 +96,38 @@ private[graft] object RegistryCuration {
         docs.filter(col("doc_id") % 20 === 0),
         "doc_id", "text", shingleN = 3)
     }),
+    // the pipeline with the domain-blocklist gate on: per-doc URLs carry
+    // a deterministic host (every 11th doc on an "ads." subdomain); one
+    // EXACT rule and one WILDCARD (*.domain, proper subdomains only)
+    // rule cut hosts BEFORE the quality scan — the suffix equi-join gate
+    // (never a corpus regex), composed as curation's first stage
+    "x_curate_url" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 11 === 0, lit("ads.")).otherwise(lit("")),
+          lit("site"), pmod(col("doc_id"), lit(37)).cast("string"),
+          lit(".example.com/d/"), col("doc_id").cast("string")).as("url"))
+      val rules = Seq("site5.example.com", "*.site7.example.com").toDF("rule")
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3,
+        urlGate = Some((urls, "url", rules)))
+    }),
+    // the pipeline with the model-based quality gate on: the fixed-weight
+    // sigmoid score over the SAME metric columns the flags pass computed,
+    // kept at score >= 0.5 — the fastText-recipe second filter fused into
+    // the same scan
+    "x_curate_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3,
+        qualityModel = Some((qualityWeights, qualityBias, qualityMinScore)))
+    }),
     // the same pipeline with the optional language gate on: docs whose
     // stopword-profile language is not English drop out at the scan stage
     "x_curate_lang" -> ((s, d) => {
@@ -270,6 +302,90 @@ private[graft] object RegistryCuration {
          |base AS (
          |  SELECT doc_id FROM m
          |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN dedup USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM dedup d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    // x_curate with the URL blocklist gate: identical statement except
+    // `base` additionally excludes blocked hosts — the oracle replays the
+    // gate's SEMANTICS over the same deterministic host derivation
+    // (exact rule hits the non-ads host, the wildcard rule hits only the
+    // ads. proper subdomain)
+    "x_curate_url" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |    AND NOT ((doc_id % 11 <> 0 AND doc_id % 37 = 5)
+         |          OR (doc_id % 11 = 0 AND doc_id % 37 = 7))
+         |),
+         |hashed AS (
+         |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM documents d JOIN base USING (doc_id)
+         |),
+         |dedup AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0
+         |),
+         |tr AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM sh JOIN dedup USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s)),
+         |clean AS (
+         |  SELECT d.doc_id FROM dedup d LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    // x_curate with the model gate: identical statement except `base`
+    // additionally requires the shared-weight sigmoid score >= 0.5
+    "x_curate_quality" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |base AS (
+         |  SELECT doc_id FROM m
+         |  WHERE $qualityKeepPredicate AND doc_id % 20 <> 0
+         |    AND ${duckQualityScore(qualityWeights, qualityBias)} >= $qualityMinScore
          |),
          |hashed AS (
          |  SELECT d.doc_id, md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash

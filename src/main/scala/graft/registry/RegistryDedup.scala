@@ -270,6 +270,16 @@ private[graft] object RegistryDedup {
     // per-host corpus accounting (crawl budgeting / domain blocklists)
     "x_text_url_hosts" -> ((s, d) =>
       Urls.hostStats(urlFixture(s, d), "url")),
+    // incremental (cross-run) URL dedup: even-id urls play the standing
+    // canonical store; the full fixture is the new batch — the cheapest
+    // dedup stage at batch cost (the x_dedup_incremental pattern on the
+    // ~100-byte canonical key)
+    "x_dedup_url_incremental" -> ((s, d) => {
+      val urls = urlFixture(s, d)
+      val known = urls.filter(col("url_id") % 2 === 0)
+        .select(Urls.canonicalizeUrl(col("url")).as("canonical_url")).distinct()
+      Urls.incrementalDuplicateUrls(urls, "url_id", "url", known)
+    }),
     // corpus-wide paragraph dedup with NORMALIZED matching (FineWeb
     // style): the single-line corpus first derives 20-token paragraphs,
     // every 7th doc is upper-cased so the case-fold + whitespace-collapse
@@ -281,6 +291,27 @@ private[graft] object RegistryDedup {
         Tables.documents(s, d)
           .withColumn("text",
             when(col("doc_id") % 7 === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .withColumn("text",
+            regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n")),
+        "doc_id", "text")),
+    // paragraph NEAR-dup with reassembly: the exact-canonical fixture
+    // plus a one-token mutation on every doc_id % 3 == 1 doc ("the" ->
+    // "th3" before the paragraph breaks are injected — token count, and
+    // so break positions, unchanged), so reflowed boilerplate one word
+    // apart exists and must ALSO collapse. MinHash per distinct
+    // canonical paragraph, per-bucket keep-min election, losers cut,
+    // survivors re-joined with original text; the oracle replays the
+    // identical signature/band arithmetic
+    "x_dedup_paragraphs_near" -> ((s, d) =>
+      Dedup.nearDedupParagraphsAcrossCorpus(
+        Tables.documents(s, d)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .withColumn("text",
+            when(col("doc_id") % 3 === 1,
+              regexp_replace(col("text"), "\\bthe\\b", "th3"))
               .otherwise(col("text")))
           .withColumn("text",
             regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n")),
@@ -659,6 +690,19 @@ private[graft] object RegistryDedup {
          |SELECT host, count(*) AS n_pages,
          |       count(DISTINCT canonical_url) AS n_urls
          |FROM urlcanon GROUP BY host""".stripMargin,
+    // cross-run URL dedup ≡ the full-fixture dedup restricted to
+    // canonicals absent from the standing (even-id) store
+    "x_dedup_url_incremental" ->
+      s"""$urlCanonCte,
+         |known AS (
+         |  SELECT DISTINCT canonical_url FROM urlcanon WHERE url_id % 2 = 0
+         |),
+         |novel AS (
+         |  SELECT u.* FROM urlcanon u LEFT JOIN known k USING (canonical_url)
+         |  WHERE k.canonical_url IS NULL
+         |)
+         |SELECT canonical_url, min(url_id) AS keep_id
+         |FROM novel GROUP BY canonical_url""".stripMargin,
     // normalized-paragraph dedup: canonical form = whitespace runs
     // collapsed, trimmed, lower-cased; keep-min (doc_id, position);
     // survivors rejoin with ORIGINAL text. Mirrors x_text_dedup_lines'
@@ -690,6 +734,84 @@ private[graft] object RegistryDedup {
          |              row_number() OVER (PARTITION BY ph ORDER BY doc_id, p) AS rn
          |       FROM el),
          |dl AS (SELECT doc_id, list(p) AS dp FROM rk WHERE rn > 1 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       CASE WHEN d.dp IS NULL THEN s.text
+         |            ELSE coalesce(array_to_string(
+         |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
+         |              chr(10) || chr(10)), '')
+         |       END AS cleaned
+         |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
+    // paragraph NEAR-dup: the exact-paragraph chain extended by the
+    // MinHash/LSH replay (identical hash arithmetic to the minhash
+    // oracles: md5(j || '#' || shingle) mins, md5-of-band-slice keys)
+    // and the per-bucket keep-min election; drops = every occurrence of
+    // a losing class + every non-first occurrence of a survivor
+    "x_dedup_paragraphs_near" ->
+      s"""WITH up AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents
+         |),
+         |mu AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 1
+         |              THEN regexp_replace(text, '\\bthe\\b', 'th3', 'g')
+         |              ELSE text END AS text
+         |  FROM up
+         |),
+         |para AS (
+         |  SELECT doc_id,
+         |         regexp_replace(text, '((?:\\S+ ){20})',
+         |                        '\\1' || chr(10) || chr(10), 'g') AS text
+         |  FROM mu
+         |),
+         |sp AS (SELECT doc_id, text,
+         |              string_split(text, chr(10) || chr(10)) AS ls FROM para),
+         |ex AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, ls[CAST(i AS INT)] AS u
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM sp)
+         |),
+         |cn AS (SELECT doc_id, p,
+         |              lower(trim(regexp_replace(u, '\\s+', ' ', 'g'))) AS cu
+         |       FROM ex),
+         |el AS (SELECT doc_id, p, cu, ${duckHash60("cu")} AS ph FROM cn
+         |       WHERE length(cu) >= 1),
+         |occ AS (SELECT ph, doc_id, p,
+         |               row_number() OVER (PARTITION BY ph ORDER BY doc_id, p) AS rn
+         |        FROM el),
+         |mk AS (SELECT ph, doc_id AS mk_doc, p AS mk_p FROM occ WHERE rn = 1),
+         |cw AS (
+         |  SELECT ph, list_filter(regexp_split_to_array(min(cu), '\\s+'),
+         |                         t -> length(t) > 0) AS w
+         |  FROM el GROUP BY ph
+         |),
+         |sg AS (
+         |  SELECT ph,
+         |    list_transform(range(0, 8), j -> list_min(list_transform(
+         |      list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+         |        i -> array_to_string(w[i+1:i+3], ' '))),
+         |      s -> md5(CAST(j AS VARCHAR) || '#' || s)))) AS sig
+         |  FROM cw
+         |),
+         |bd AS (
+         |  SELECT s.ph, g.band,
+         |         md5(array_to_string(s.sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM sg s, generate_series(0, 3) g(band)
+         |),
+         |bj AS (SELECT b.ph, b.band, b.key, m.mk_doc, m.mk_p
+         |       FROM bd b JOIN mk m USING (ph)),
+         |lsr AS (
+         |  SELECT DISTINCT ph FROM (
+         |    SELECT ph, row_number() OVER (PARTITION BY band, key
+         |                                  ORDER BY mk_doc, mk_p) AS brn
+         |    FROM bj
+         |  ) WHERE brn > 1
+         |),
+         |drops AS (
+         |  SELECT o.doc_id, o.p FROM occ o LEFT JOIN lsr USING (ph)
+         |  WHERE lsr.ph IS NOT NULL OR o.rn > 1
+         |),
+         |dl AS (SELECT doc_id, list(p) AS dp FROM drops GROUP BY doc_id)
          |SELECT s.doc_id,
          |       CASE WHEN d.dp IS NULL THEN s.text
          |            ELSE coalesce(array_to_string(

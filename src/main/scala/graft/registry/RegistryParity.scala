@@ -361,6 +361,21 @@ private[graft] object RegistryParity {
         Seq("quantity_dec"))
         .select(col("n_rows"),
           col("sum_quantity_dec").cast("double").as("sum_qty"))),
+    // the FULL metadata-first rollup quad: contained files contribute
+    // count, stored sum, AND recorded min/max without being opened (the
+    // min/max were already in the manifest; avg = double(sum)/count is
+    // free) — only the range's edge files are scanned. One double
+    // division over exact decimal/long totals keeps both engines (and
+    // both paths) bit-identical
+    "x_store_minmax_range" -> ((s, d) =>
+      StoreIndex.statsRange(
+        s, stagedRollupLineitemPath(s, d), "l_orderkey", 5000L, 35000L,
+        Seq("quantity_dec"))
+        .select(col("n_rows"),
+          col("sum_quantity_dec").cast("double").as("sum_qty"),
+          col("min_quantity_dec").cast("double").as("min_qty"),
+          col("max_quantity_dec").cast("double").as("max_qty"),
+          round(col("avg_quantity_dec"), 6).as("avg_qty"))),
     // time-slice read over the shipdate-sorted store: the "one month of
     // a years-spanning fact store" pattern — the manifest's native
     // TIMESTAMP min/max prove which files overlap the slice
@@ -396,6 +411,26 @@ private[graft] object RegistryParity {
         sum("n_rows").as("n_rows"),
         min("min_l_orderkey").as("min_k"), max("max_l_orderkey").as("max_k"),
         sum("nulls_l_orderkey").as("n_nulls"))
+    }),
+    // rollup-STORE build accounting, split out of x_stage_build_sorted
+    // (r14 landed the sum-quad manifest and the rollup-projection store
+    // inside one timed row, making a regression in either unattributable):
+    // this row measures projection + decimal cast + sort + write + the
+    // two-column quad-stats manifest scan. The returned row aggregates the
+    // MANIFEST — its totals must reproduce the table's, the faithfulness
+    // property aggRange/statsRange depend on
+    "x_stage_build_rollup" -> ((s, d) => {
+      val path = "/tmp/graft_scratch/lineitem_rollup_f16"
+      StoreIndex.writeStoreSorted(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(18,2)").as("quantity_dec")),
+        path, Seq("l_orderkey"), numFiles = 16,
+        statsCols = Seq("l_orderkey", "quantity_dec"))
+      s.read.parquet(StoreIndex.statsManifestPath(path)).agg(
+        sum("n_rows").as("n_rows"),
+        min("min_l_orderkey").as("min_k"), max("max_l_orderkey").as("max_k"),
+        sum("nulls_quantity_dec").as("n_nulls"),
+        sum("sum_quantity_dec").cast("double").as("sum_qty"))
     }),
     // soft-delete stamping: run 2 delivers a SHRUNK full snapshot (every
     // 3rd order key vanished); instead of dropping the vanished keys'

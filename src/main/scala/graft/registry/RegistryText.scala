@@ -26,6 +26,13 @@ private[graft] object RegistryText {
         Seq("spark", "vector", "join", "hash"))),
     "x_text_quality" -> ((s, d) =>
       TextAnalysis.gopherishFlags(Tables.documents(s, d), "doc_id", "text")),
+    // fixed-weight linear quality classifier (the public fastText/CCNet
+    // recipe shape): sigmoid over a columnar dot product of the Gopher
+    // metric surface — pure built-in expressions, the oracle replays the
+    // identical literal sum order from the same shared weight Seq
+    "x_text_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text",
+        Helpers.qualityWeights, Helpers.qualityBias)),
     // code-point Shannon entropy: the gibberish/binary-junk band signal
     "x_text_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -113,6 +120,14 @@ private[graft] object RegistryText {
         Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
           budget = 512L, shards = 8),
         budget = 512L)),
+    // best-fit-decreasing twin: tokens-desc order, fullest feasible open
+    // bin (ties -> smallest bin id) — deterministic under the pinned
+    // total order; the oracle replays the sequential algorithm as a
+    // recursive CTE stepping one document per shard per iteration
+    "x_pack_bfd" -> ((s, d) =>
+      Packing.packBestFit(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        budget = 512L, shards = 8)),
     // group-atomic: synthetic groups of ~1% of the corpus each stay whole
     "x_pack_groups" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -313,6 +328,57 @@ private[graft] object RegistryText {
          |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
          |    AS pack_pos
          |FROM p""".stripMargin,
+    // the BFD assignment replayed sequentially: the recursive CTE steps
+    // one document per shard per iteration, carrying the open-bin list
+    // (bin id, fill) as a struct list; the pick = the fullest feasible
+    // bin via list_sort on (used, -bin) structs (last = max fill, min id)
+    "x_pack_bfd" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)), 0) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |d AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    row_number() OVER (PARTITION BY shard
+        |                       ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM t
+        |),
+        |step AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+        |         CAST([] AS STRUCT(bin BIGINT, used BIGINT)[]) AS bins,
+        |         CAST(NULL AS BIGINT) AS doc_id,
+        |         CAST(NULL AS BIGINT) AS n_tokens,
+        |         CAST(NULL AS BIGINT) AS pack_id
+        |  FROM (SELECT DISTINCT shard FROM d)
+        |  UNION ALL
+        |  SELECT shard, rn,
+        |    CASE WHEN pick IS NULL
+        |         THEN list_append(bins, {'bin': nb, 'used': nt})
+        |         ELSE list_transform(bins, b ->
+        |           CASE WHEN b.bin = pick
+        |                THEN {'bin': b.bin, 'used': b.used + nt}
+        |                ELSE b END)
+        |    END AS bins,
+        |    doc_id, nt AS n_tokens, coalesce(pick, nb) AS pack_id
+        |  FROM (
+        |    SELECT s.shard, s.rn + 1 AS rn, s.bins AS bins, d.doc_id,
+        |           d.n_tokens AS nt, CAST(len(s.bins) AS BIGINT) AS nb,
+        |           CASE WHEN len(list_filter(s.bins,
+        |                          b -> b.used + d.n_tokens <= 512)) = 0
+        |                THEN NULL
+        |                ELSE -(list_last(list_sort(list_transform(
+        |                    list_filter(s.bins, b -> b.used + d.n_tokens <= 512),
+        |                    b -> {'used': b.used, 'negbin': -b.bin}))).negbin)
+        |           END AS pick
+        |    FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+        |  )
+        |)
+        |SELECT doc_id, shard, n_tokens, pack_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY rn)
+        |       AS BIGINT) AS pack_pos
+        |FROM step WHERE doc_id IS NOT NULL""".stripMargin,
     "x_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
@@ -574,6 +640,16 @@ private[graft] object RegistryText {
          |SELECT doc_id, n_tokens, mean_token_len, alpha_ratio,
          |       top_bigram_ratio, top_trigram_ratio,
          |       $qualityKeepPredicate AS keep
+         |FROM m""".stripMargin,
+    "x_text_quality_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM documents
+         |),
+         |$qualityMetricsCte
+         |SELECT doc_id, n_tokens,
+         |       ${duckQualityScore(Helpers.qualityWeights, Helpers.qualityBias)}
+         |         AS quality_score
          |FROM m""".stripMargin,
     "x_text_report" ->
       """WITH toks AS (

@@ -311,7 +311,13 @@ object StoreIndex {
     val oldManifest = Store.readParquetSafe(spark, statsManifestPath(path))
       .filter { m =>
         cols.forall(c => m.columns.contains(s"min_$c")) &&
-          m.select("file").collect().map(_.getString(0)).toSet == before
+          summaryProvesListing(spark, path, m, before).getOrElse {
+            // flat fallback (no summary, or a summary not token-tied to
+            // these slices): one collected name per manifest row — the
+            // pre-two-level manifest's O(files) check, paid only when the
+            // O(groups) proof is unavailable (spec-pinned)
+            m.select("file").collect().map(_.getString(0)).toSet == before
+          }
       }
       // materialize the surviving rows NOW: the manifest overwrite below
       // would otherwise delete the files this frame still plans to read
@@ -343,6 +349,38 @@ object StoreIndex {
       case None => writeStatsManifest(spark, path, cols) // absent/stale → full rebuild
     }
   }
+
+  /** O(groups) freshness proof of a manifest frame against a file
+    * listing: the `_stats_summary`'s file-set fingerprint proves which
+    * file set the summary describes, and the shared grouping token ties
+    * the summary to THESE `_stats` slices — token tie + fingerprint match
+    * together prove the manifest's file set equals `names` WITHOUT
+    * collecting one row per data file (set equality up to md5-XOR
+    * collision, the fingerprint's documented strength). Some(false) =
+    * the summary is tied to these slices and its fingerprint differs —
+    * the manifest is provably stale. None = no usable summary or a
+    * summary from another commit (crash window): the caller falls back
+    * to the flat O(files) name comparison. */
+  private def summaryProvesListing(
+      spark: SparkSession,
+      path: String,
+      m: DataFrame,
+      names: Set[String]): Option[Boolean] =
+    Store.readParquetSafe(spark, manifestSummaryPath(path)).flatMap { sum =>
+      if (!Seq("fp_n", "fp_x1", "fp_x2", "grouping_token").forall(sum.columns.contains)
+          || !m.columns.contains("grouping_token")) None
+      else {
+        val fp = sum.select("fp_n", "fp_x1", "fp_x2", "grouping_token").limit(1).collect()
+        if (fp.isEmpty) None
+        else {
+          val tokenTied = m.select("grouping_token").limit(1).collect()
+            .headOption.exists(_.getString(0) == fp(0).getString(3))
+          if (!tokenTied) None
+          else Some((fp(0).getLong(0), fp(0).getLong(1), fp(0).getLong(2))
+            == fileSetFingerprint(names))
+        }
+      }
+    }
 
   /** Basenames of the store's data files (flat layout; anything under an
     * underscore/dot-prefixed directory — `_stats`, `_temporary` — is
@@ -674,9 +712,21 @@ object StoreIndex {
         }
         // coalesce: a NULL verdict (stats gap on a candidate row) would
         // drop the file from BOTH the interior arithmetic and the
-        // boundary list — force it to the boundary scan instead
+        // boundary list — force it to the boundary scan instead.
+        //
+        // Per value column a file may contribute metadata-only ONLY when
+        // its sum is actually RECORDED: a legacy (pre-sum-quad) manifest
+        // row gains a NULL sum_<v> when a later appendStoreSorted unions
+        // the manifests with allowMissingColumns — its nulls_<v> is
+        // non-null, so the null-count test alone would admit it and the
+        // coalesce(sum, 0) below would contribute 0 for real measures
+        // (a silently wrong non-NULL sum). A NULL sum is legitimate only
+        // when every measure in the file is null (nulls_<v> = n_rows);
+        // otherwise the row demotes to the boundary scan — the scaladoc's
+        // "demote to the scan, never to a guess", enforced.
         val contained = coalesce(
-          valueCols.map(v => col(s"nulls_$v").isNotNull)
+          valueCols.map(v => col(s"nulls_$v").isNotNull &&
+              (col(s"sum_$v").isNotNull || col(s"nulls_$v") === col("n_rows")))
             .foldLeft(col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
               col(s"nulls_$c") === 0)(_ && _),
           lit(false))
@@ -720,6 +770,137 @@ object StoreIndex {
             when(lit(longAt(s"__cnt_$v")) + col(s"__bcnt_$v") === 0, lit(null).cast(t))
               .otherwise((sumLit(v) + coalesce(col(s"__bsum_$v"), lit(0)).cast(t)).cast(t))
               .as(s"sum_$v")
+          }: _*)
+    }
+  }
+
+  /** METADATA-FIRST full range rollup: `count(*)` plus `sum/min/max/avg`
+    * per value column `WHERE c BETWEEN lo AND hi` — [[aggRange]] extended
+    * to the whole manifest quad. A wholly-contained file (same containment
+    * contract as [[aggRange]]: zero null keys, value null counts AND sums
+    * recorded) contributes its row count, stored sum, and recorded
+    * min/max with zero data IO — min/max were already in the manifest;
+    * avg is sum over non-null count, free. Boundary and demoted files are
+    * scanned key+measures only, predicate-pushed.
+    *
+    * Null semantics match SQL exactly: min/max ignore null measures (an
+    * all-null interior file's recorded min/max are NULL and contribute
+    * nothing; `least`/`greatest` skip them), sum/avg are NULL iff no
+    * matched row has a non-null measure. avg is DEFINED as
+    * `double(sum) / count(non-null)` — one double division over exact
+    * (integral/decimal) totals, so metadata and exact paths are
+    * bit-identical by construction. Any manifest doubt falls back to the
+    * exact full filtered aggregate.
+    *
+    * @return one row: `n_rows: bigint`, then `sum_<v>, min_<v>, max_<v>,
+    *         avg_<v>: double` per value column — always equal to the
+    *         full filtered aggregate
+    */
+  def statsRange(
+      spark: SparkSession,
+      path: String,
+      c: String,
+      lo: Any,
+      hi: Any,
+      valueCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val full = spark.read.parquet(path)
+    val pred = col(c).between(lit(lo), lit(hi))
+    def exact(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        valueCols.flatMap(v => Seq(
+          sum(col(v)).as(s"sum_$v"),
+          min(col(v)).as(s"min_$v"),
+          max(col(v)).as(s"max_$v"),
+          (sum(col(v)).cast("double") / count(col(v))).as(s"avg_$v"))): _*)
+    // derivation only (nothing executes): the exact path's result dtypes,
+    // which the metadata-path literals must reproduce bit-for-bit
+    val target = exact(full.filter(pred)).schema
+    val filePred = col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    candidateManifest(spark, path, Seq(c), filePred) match {
+      case None => exact(full.filter(pred))
+      case Some(cand) =>
+        val quadRecorded = cand.columns.contains(s"nulls_$c") &&
+          valueCols.forall(v =>
+            cand.columns.contains(s"sum_$v") && cand.columns.contains(s"nulls_$v") &&
+              cand.columns.contains(s"min_$v") && cand.columns.contains(s"max_$v"))
+        if (!quadRecorded) {
+          // key pruning still applies, but no file may contribute
+          // metadata-only: exact aggregate over the candidate files
+          val files = cand.select("file").collect().map(_.getString(0)).toSeq
+          return exact(
+            if (files.isEmpty) full.filter(pred).limit(0)
+            else spark.read.schema(full.schema)
+              .parquet(files.map(f => s"$path/$f"): _*)
+              .select(col(c) +: valueCols.map(col): _*).filter(pred))
+        }
+        // same containment ladder as aggRange, including the legacy-row
+        // demotion: a NULL recorded sum is trusted only when the file's
+        // measures are all null (nulls_<v> = n_rows)
+        val contained = coalesce(
+          valueCols.map(v => col(s"nulls_$v").isNotNull &&
+              (col(s"sum_$v").isNotNull || col(s"nulls_$v") === col("n_rows")))
+            .foldLeft(col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+              col(s"nulls_$c") === 0)(_ && _),
+          lit(false))
+        val aggs =
+          sum(when(contained, col("n_rows") - col(s"nulls_$c"))
+            .otherwise(lit(0L))).as("__n") +:
+          collect_list(when(!contained, col("file"))).as("__boundary") +:
+          valueCols.flatMap(v => Seq(
+            sum(when(contained, coalesce(col(s"sum_$v"), lit(0)))).as(s"__sum_$v"),
+            sum(when(contained, col("n_rows") - col(s"nulls_$v"))
+              .otherwise(lit(0L))).as(s"__cnt_$v"),
+            min(when(contained, col(s"min_$v"))).as(s"__min_$v"),
+            max(when(contained, col(s"max_$v"))).as(s"__max_$v")))
+        val row = cand.agg(aggs.head, aggs.tail: _*).collect()(0)
+        def longAt(name: String): Long =
+          if (row.isNullAt(row.fieldIndex(name))) 0L
+          else row.getLong(row.fieldIndex(name))
+        val interiorN = longAt("__n")
+        val boundary = row.getSeq[String](row.fieldIndex("__boundary"))
+        def sumLit(v: String): Column = {
+          val i = row.fieldIndex(s"__sum_$v")
+          (if (row.isNullAt(i)) lit(0) else lit(row.get(i)))
+            .cast(target(s"sum_$v").dataType)
+        }
+        def boundLit(v: String, side: String): Column = {
+          val i = row.fieldIndex(s"__${side}_$v")
+          (if (row.isNullAt(i)) lit(null) else lit(row.get(i)))
+            .cast(target(s"${side}_$v").dataType)
+        }
+        val base: DataFrame =
+          if (boundary.isEmpty)
+            Seq(1).toDF("__k").select(
+              lit(0L).as("__bn") +: valueCols.flatMap(v => Seq(
+                lit(null).cast(target(s"sum_$v").dataType).as(s"__bsum_$v"),
+                lit(0L).as(s"__bcnt_$v"),
+                lit(null).cast(target(s"min_$v").dataType).as(s"__bmin_$v"),
+                lit(null).cast(target(s"max_$v").dataType).as(s"__bmax_$v"))): _*)
+          else
+            spark.read.schema(full.schema)
+              .parquet(boundary.map(f => s"$path/$f"): _*)
+              .select(col(c) +: valueCols.map(col): _*).filter(pred)
+              .agg(count(lit(1)).as("__bn"),
+                valueCols.flatMap(v => Seq(
+                  sum(col(v)).as(s"__bsum_$v"),
+                  count(col(v)).as(s"__bcnt_$v"),
+                  min(col(v)).as(s"__bmin_$v"),
+                  max(col(v)).as(s"__bmax_$v"))): _*)
+        base.select(
+          (lit(interiorN) + col("__bn")).cast("long").as("n_rows") +:
+          valueCols.flatMap { v =>
+            val t = target(s"sum_$v").dataType
+            val cnt = lit(longAt(s"__cnt_$v")) + col(s"__bcnt_$v")
+            val total =
+              when(cnt === 0, lit(null).cast(t))
+                .otherwise((sumLit(v) + coalesce(col(s"__bsum_$v"), lit(0)).cast(t)).cast(t))
+            Seq(
+              total.as(s"sum_$v"),
+              least(boundLit(v, "min"), col(s"__bmin_$v")).as(s"min_$v"),
+              greatest(boundLit(v, "max"), col(s"__bmax_$v")).as(s"max_$v"),
+              when(cnt === 0, lit(null).cast("double"))
+                .otherwise(total.cast("double") / cnt).as(s"avg_$v"))
           }: _*)
     }
   }

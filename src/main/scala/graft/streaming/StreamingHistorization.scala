@@ -147,6 +147,30 @@ object StreamingHistorization {
       .join(knownDigests.select(col("content_hash")), Seq("content_hash"), "left_anti")
       .dropDuplicates("content_hash")
 
+  /** Streaming URL canonicalization + URL-level dedup — the web-corpus
+    * ENTRY stage as a stream, the URL twin of [[incrementalExactStream]]:
+    * [[graft.operators.Urls.canonicalizeUrl]] is a pure column expression
+    * (stateless, codegen'd), rows whose canonical URL already exists in
+    * the STANDING canonical store drop via a stream-static anti-join on
+    * the ~100-byte key (map-side; no streaming state), then intra-batch
+    * repeats collapse through `dropDuplicates` on the canonical key. A
+    * re-delivered row re-drops identically — the standing-store absorber
+    * makes re-delivery a no-op, the batch operator's
+    * ([[graft.operators.Urls.incrementalDuplicateUrls]]) contract
+    * streamed. Same state note as the exact twin: refresh
+    * `knownCanonical` per ingestion epoch.
+    *
+    * @return batch rows + `canonical_url`, novel canonicals only
+    */
+  def urlDedupStream(
+      docs: DataFrame,
+      urlCol: String,
+      knownCanonical: DataFrame): DataFrame =
+    docs.withColumn("canonical_url",
+        graft.operators.Urls.canonicalizeUrl(col(urlCol)))
+      .join(knownCanonical.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      .dropDuplicates("canonical_url")
+
   /** Streaming benchmark decontamination — the streaming twin of
     * [[graft.operators.Decontamination.decontaminate]]: the benchmark's
     * distinct shingle hashes collapse into a single broadcast row
