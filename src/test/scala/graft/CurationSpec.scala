@@ -29,6 +29,44 @@ class CurationSpec extends SparkSpec {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("url gate removes exactly blocked-host and url-less docs, before any text pass") {
+    val urls = train.select($"doc_id",
+      concat(lit("https://"),
+        when($"doc_id" % 11 === 0, lit("ads.")).otherwise(lit("")),
+        lit("site"), pmod($"doc_id", lit(37)).cast("string"),
+        lit(".example.com/d/"), $"doc_id".cast("string")).as("url"))
+      .filter($"doc_id" % 13 =!= 0) // every 13th doc has NO url row
+    val rules = Seq("site5.example.com", "*.site7.example.com").toDF("rule")
+    val got = Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+      urlGate = Some((urls, "url", rules)))
+    // the gate's semantics re-derived as plain id arithmetic: url-less
+    // (every 13th), exact rule (non-ads host site5), wildcard rule (the
+    // ads. proper subdomain of site7)
+    val blockedOrUrlless = ($"doc_id" % 13 === 0) ||
+      (($"doc_id" % 11 =!= 0) && ($"doc_id" % 37 === 5)) ||
+      (($"doc_id" % 11 === 0) && ($"doc_id" % 37 === 7))
+    val expected = Curation.curate(
+      train.filter(!blockedOrUrlless), bench, "doc_id", "text", shingleN = 3)
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
+  test("quality-model gate equals the hand-applied score filter over the same metrics") {
+    import graft.registry.Helpers.{qualityWeights, qualityBias, qualityMinScore}
+    val got = Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+      qualityModel = Some((qualityWeights, qualityBias, qualityMinScore)))
+    val scored = TextAnalysis.gopherishFlags(train, "doc_id", "text")
+      .filter($"keep")
+      .filter(TextAnalysis.qualityScoreExpr(qualityWeights, qualityBias)
+        >= qualityMinScore)
+      .select("doc_id")
+    val expected = Curation.curate(
+      train.join(scored, Seq("doc_id"), "left_semi"),
+      bench, "doc_id", "text", shingleN = 3)
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
   test("curate rejects staged pairs without the near-dup stage enabled") {
     // nearDupPairs is only consumed by the nearDup stage; supplying it
     // alone must fail loudly instead of silently skipping near-dup

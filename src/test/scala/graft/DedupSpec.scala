@@ -291,6 +291,41 @@ class DedupSpec extends SparkSpec {
     assert(repart === out, "labeling independent of partitioning")
   }
 
+  test("nearDedupParagraphsAcrossCorpus: near twins collapse keep-min, exact degenerates") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearTwin = boiler.replace("kappa", "kappXX") // one token differs
+    val df = Seq(
+      (1L, s"$boiler\n\nunrelated body one entirely distinct text here"),
+      (2L, s"$nearTwin\n\nsecond doc other paragraph wholly different"),
+      (3L, s"${boiler.toUpperCase}\n\nthird doc own unique paragraph body"),
+      (4L, "completely separate content with zero shingle overlap anywhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDedupParagraphsAcrossCorpus(df, "doc_id", "text",
+      n = 2, k = 8, bands = 4).as[(Long, String)].collect().toMap
+    // keep-min: doc 1 (smallest first occurrence) keeps the boilerplate
+    assert(out(1L).startsWith(boiler), "class winner keeps its original text")
+    assert(!out(2L).contains("alpha beta") && out(2L).contains("second doc"),
+      "the one-word-changed near twin is cut, its own paragraph survives")
+    assert(!out(3L).contains("ALPHA BETA") && out(3L).contains("third doc"),
+      "the case variant degenerates to exact dedup (identical canonicals share all bands)")
+    assert(out(4L) === "completely separate content with zero shingle overlap anywhere",
+      "untouched docs pass through byte-identical")
+    // deterministic under repartitioning (pure function of the corpus)
+    val repart = Dedup.nearDedupParagraphsAcrossCorpus(df.repartition(7),
+      "doc_id", "text", n = 2, k = 8, bands = 4)
+      .as[(Long, String)].collect().toMap
+    assert(repart === out)
+  }
+
+  test("nearDedupParagraphsAcrossCorpus plan: bucket-joined election, no all-pairs") {
+    val df = Seq((1L, "a b c\n\nd e f"), (2L, "a b c\n\ng h i")).toDF("doc_id", "text")
+    val plan = Dedup.nearDedupParagraphsAcrossCorpus(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"election must stay a band-bucket window + equi joins:\n$plan")
+  }
+
   test("duplicatedSpansExact equals brute force on a planted-overlap fixture") {
     val k = 10
     // planted overlaps: docs 1/2 share a k+5 block mid-text (one maximal

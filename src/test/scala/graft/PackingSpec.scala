@@ -114,4 +114,76 @@ class PackingSpec extends SparkSpec {
     // just sanity-check the ratio column is populated and positive
     assert(summary.filter($"fill_ratio" <= 0).count() === 0)
   }
+
+  test("packBestFit: hand vector — fullest feasible bin wins, ties take the smaller bin") {
+    // one shard; processing order (tokens desc, id): 9, 8, 6, 5a, 5b, 2
+    val df = Seq(
+      (0L, 9L), (1L, 8L), (2L, 6L), (3L, 5L), (4L, 5L), (5L, 2L)
+    ).toDF("doc_id", "n")
+    val got = Packing.packBestFit(df, "doc_id", col("n"), budget = 10L, shards = 1)
+      .select("doc_id", "n_tokens", "pack_id", "pack_pos")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 9 -> bin0 (new); 8 -> bin1 (bin0 at 9 infeasible); 6 -> bin2;
+    // 5 -> bins at 9,8,6: feasible ≤5 remaining? 10-5=5 -> floor fill 5:
+    //      none ≤5... fills are 9,8,6 -> none ≤ 5 -> bin3 (new);
+    // 5 -> fills 9,8,6,5: feasible fill ≤ 5 -> bin3 (fill 5) wins -> 10;
+    // 2 -> capacity 8: fills 9,8,6,10 -> fullest ≤8 is 8 (bin1) -> 10
+    assert(got === Seq(
+      (0L, 9L, 0L, 1L), (1L, 8L, 1L, 1L), (2L, 6L, 2L, 1L),
+      (3L, 5L, 3L, 1L), (4L, 5L, 3L, 2L), (5L, 2L, 1L, 2L)))
+    // tie case: two bins at the same fill — the smaller bin id wins
+    val tie = Seq((0L, 5L), (1L, 5L), (2L, 4L))
+      .toDF("doc_id", "n")
+    val got2 = Packing.packBestFit(tie, "doc_id", col("n"), budget = 9L, shards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // 5 -> bin0; 5 -> bin1 (bin0 infeasible: 5+5>9); 4 -> both at 5, min id
+    assert(got2 === Seq((0L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
+  test("packBestFit: conserves tokens, respects the budget, oversized docs isolate") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tokCount = graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+    val bfd = Packing.packBestFit(corpus, "doc_id", tokCount, budget = 512L, shards = 8)
+    assert(bfd.count() === corpus.count(), "exactly one row per document")
+    val seqp = Packing.packSequences(corpus, "doc_id", "text", budget = 512L, shards = 8)
+    assert(bfd.agg(sum("n_tokens")).as[Long].head() ===
+      seqp.agg(sum("n_tokens")).as[Long].head(), "token conservation")
+    // hard budget: a pack over the budget must be an oversized singleton
+    val over = bfd.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .filter(col("t") > 512 && col("n") > 1)
+    assert(over.count() === 0, "no multi-doc pack exceeds the budget")
+  }
+
+  test("packBestFit: no more bins than budget-respecting next-fit; repartition-stable") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tokCount = graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+    val budget = 512L
+    val bfd = Packing.packBestFit(corpus, "doc_id", tokCount, budget, shards = 8)
+    val binsBfd = bfd.select("shard", "pack_id").distinct().count()
+    // reference baseline computed driver-side: budget-RESPECTING next-fit
+    // in the same (tokens desc, id) order — close the bin when the next
+    // doc does not fit. (packSequences is NOT comparable: its contiguous
+    // fill packs "tighter" only by overflowing packs past the budget.)
+    val perShard = bfd.select("shard", "n_tokens")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val binsNextFit = perShard.values.map { rows =>
+      val desc = rows.map(_._2).sorted(Ordering[Long].reverse)
+      var bins = 0L; var fill = budget + 1 // force-open on first doc
+      desc.foreach { t =>
+        if (fill + t > budget) { bins += 1; fill = t } else fill += t
+      }
+      bins
+    }.sum
+    assert(binsBfd <= binsNextFit,
+      s"best-fit must not waste more bins than next-fit: $binsBfd vs $binsNextFit")
+    // a theoretical floor, and determinism under a different input layout
+    val floor = bfd.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select(ceil(col("t").cast("double") / budget)).as[Long].collect().sum
+    assert(binsBfd >= floor)
+    val again = Packing.packBestFit(corpus.repartition(13), "doc_id", tokCount,
+      budget, shards = 8)
+    assert(bfd.exceptAll(again).count() === 0 && again.exceptAll(bfd).count() === 0,
+      "assignment is a pure function of (ids, counts, budget, shards)")
+  }
 }

@@ -7,6 +7,7 @@ package graft
   * on a cluster.
   */
 class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
 
   /** Static (pre-execution) plan — what Catalyst commits to at planning
     * time. Under AQE this is the initial adaptive plan. */
@@ -208,6 +209,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       "bloom-routed delta gained a shuffle exchange — the store (or batch) is being exchanged")
     assert(p.contains("graft_bloom_probe"), "bloom probe lost the native kernel")
+  }
+
+  test("url blocklist gate is a broadcast equi-join over exploded suffixes, never a regex scan") {
+    // the gate's 100 TB posture: rules meet the corpus through suffix
+    // string EQUALITY (broadcast hash), so rule-list size never multiplies
+    // scan cost; an rlike/LIKE-per-rule shape would be rules × corpus
+    // regex work. x_curate_url composes the gate as curation's first stage.
+    // (the composed plan legitimately contains ONE BroadcastNestedLoopJoin
+    // — the single-row IdentityBroadcastMode decontaminate probe — so the
+    // all-pairs pin lives on the gate's own plan, where it is exact)
+    val p = finalPlanOf("x_curate_url")
+    assert(p.contains("BroadcastHashJoin"),
+      "blocklist gate lost its broadcast equi-join")
+    val gate = graft.operators.Urls.blockedHostIds(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "concat('https://h', doc_id % 37, '.example.com/x') AS url"),
+      "doc_id", "url",
+      Seq("*.example.com").toDF("rule"))
+      .queryExecution.executedPlan.toString
+    assert(gate.contains("BroadcastHashJoin") && gate.contains("LeftSemi"),
+      s"gate probe lost the broadcast left-semi:\n$gate")
+    assert(!gate.contains("BroadcastNestedLoopJoin") && !gate.contains("CartesianProduct"),
+      "blocklist gate degraded to an all-pairs / regex-driven shape")
+  }
+
+  test("best-fit packing shuffles narrow triples only — the text never moves") {
+    // packBestFit's mapPartitions is fed by a projection of (id, shard,
+    // token count): the exchange must carry exactly those three columns,
+    // and the scan must prune to (doc_id, text) — a plan moving the text
+    // through the shuffle would ship the corpus payload to pack 8-byte
+    // counts
+    val df = SparkEntry.queries("x_pack_bfd")(spark, sfDir)
+    // sparkPlan (pre-AQE): the adaptive wrapper hides Exchange nodes from
+    // collect() until execution
+    val plan = df.queryExecution.sparkPlan
+    spark.catalog.clearCache()
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "packBestFit lost its shard co-location shuffle")
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"packBestFit shuffles the payload text: ${cols.mkString(",")}")
+      assert(cols.length <= 3,
+        s"packBestFit shuffle wider than (id, shard, count): ${cols.mkString(",")}")
+    }
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.forall(!_.metadata("ReadSchema").contains("lang")),
+      "packBestFit scan reads columns the packing never uses")
   }
 
   test("scd2 merge executes inside whole-stage codegen") {

@@ -250,6 +250,135 @@ class StoreIndexSpec extends SparkSpec {
       full.agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v")).collect().toSeq)
   }
 
+  test("statsRange: metadata quad rollup equals the exact aggregate on every shape") {
+    val dir = Files.createTempDirectory("graft-statsrange").toString + "/store"
+    val df = spark.range(0, 10000).select(
+      when(col("id") % 50 === 0, lit(null)).otherwise(col("id") % 5000).as("k"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise((col("id") % 100).cast("decimal(10,2)")).as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 8,
+      statsCols = Seq("k", "v"))
+    val full = spark.read.parquet(dir)
+    def exact(lo: Long, hi: Long) =
+      full.filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          (sum(col("v")).cast("double") / count(col("v"))).as("avg_v"))
+    def got(lo: Long, hi: Long) =
+      StoreIndex.statsRange(spark, dir, "k", lo, hi, Seq("v"))
+    for ((lo, hi) <- Seq((700L, 3800L), (100L, 120L), (0L, 4999L),
+        (9000L, 9999L), (300L, 200L))) {
+      val g = got(lo, hi).collect().toSeq
+      val e = exact(lo, hi).collect().toSeq
+      assert(g === e, s"statsRange($lo, $hi): $g != $e")
+    }
+    // dtype identity with the exact path (nullability excluded: the
+    // parquet dump round-trip erases it and the driver hashes DuckDB-
+    // described dtypes)
+    assert(got(700L, 3800L).schema.map(f => (f.name, f.dataType)) ===
+      exact(700L, 3800L).schema.map(f => (f.name, f.dataType)))
+    // all-contained domain: answered from the manifest alone, zero files
+    val clean = Files.createTempDirectory("graft-statsclean").toString + "/store"
+    StoreIndex.writeStoreSorted(
+      spark.range(0, 5000).select(col("id").as("k"),
+        (col("id") % 100).cast("decimal(10,2)").as("v")),
+      clean, Seq("k"), numFiles = 8, statsCols = Seq("k", "v"))
+    val whole = StoreIndex.statsRange(spark, clean, "k", 0L, 4999L, Seq("v"))
+    assert(whole.inputFiles.isEmpty,
+      "all-contained quad rollup should be metadata-only")
+    // all-null-measure degenerate: sum/min/max/avg all SQL NULL
+    val dir2 = Files.createTempDirectory("graft-statsnull").toString + "/store"
+    StoreIndex.writeStoreSorted(
+      spark.range(0, 70).select(lit(7777L).as("k"),
+        lit(null).cast("decimal(10,2)").as("v")),
+      dir2, Seq("k"), numFiles = 2, statsCols = Seq("k", "v"))
+    val r = StoreIndex.statsRange(spark, dir2, "k", 0L, 9999L, Seq("v")).collect()(0)
+    assert(r.getLong(0) === 70L && (1 to 4).forall(r.isNullAt),
+      "only-null measures: every rollup field must be SQL NULL")
+    // min/max unrecorded for v (stats: k only) -> exact via candidate scan
+    val dir3 = Files.createTempDirectory("graft-statsnostats").toString + "/store"
+    StoreIndex.writeStoreSorted(df, dir3, Seq("k"), numFiles = 4)
+    assert(StoreIndex.statsRange(spark, dir3, "k", 700L, 3800L, Seq("v"))
+      .collect().toSeq === exact(700L, 3800L).collect().toSeq)
+  }
+
+  test("legacy pre-sum manifest rows demote to the scan after an append (never a 0 sum)") {
+    // a manifest written BEFORE the sum-quad era records min/max/nulls for
+    // v but no sum_v; a later appendStoreSorted unions it with fresh
+    // sum-carrying rows (allowMissingColumns), leaving the legacy rows
+    // with non-null nulls_v and NULL sum_v. Those rows must route to the
+    // boundary scan — contributing coalesce(sum, 0) would be a silently
+    // wrong non-NULL total (ADVICE r14, high).
+    val dir = Files.createTempDirectory("graft-legacy").toString + "/store"
+    val df = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 100).cast("decimal(10,2)").as("v"))
+    StoreIndex.writeStoreSorted(df, dir, Seq("k"), numFiles = 4,
+      statsCols = Seq("k", "v"))
+    // simulate the pre-sum era: rewrite the _stats slices WITHOUT sum_v,
+    // preserving group + grouping_token (summary untouched, still tied)
+    val statsPath = StoreIndex.statsManifestPath(dir)
+    val legacy = spark.read.parquet(statsPath).drop("sum_v", "sum_k")
+    val rows = legacy.collect().toSeq
+    val schema = legacy.schema
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.partitionBy("group").mode("overwrite").parquet(statsPath)
+    // maintained append: fresh stats DO carry sums; the union leaves the
+    // standing rows' sums NULL
+    StoreIndex.appendStoreSorted(
+      spark.range(10000, 10500).select(col("id").as("k"),
+        (col("id") % 100).cast("decimal(10,2)").as("v")),
+      dir, Seq("k"), numFiles = 1, statsCols = Seq("k", "v"))
+    val m = spark.read.parquet(statsPath)
+    assert(m.columns.contains("sum_v") &&
+      m.filter(col("sum_v").isNull && col("nulls_v").isNotNull).count() === 4,
+      "the four legacy rows must carry NULL sum_v beside non-null nulls_v")
+    val full = spark.read.parquet(dir)
+    def exact(lo: Long, hi: Long) =
+      full.filter(col("k").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).as("sum_v"))
+    // ranges that wholly CONTAIN legacy files: without the demotion the
+    // metadata path would add 0 for their sums
+    for ((lo, hi) <- Seq((0L, 3999L), (0L, 10499L), (500L, 3500L))) {
+      val g = StoreIndex.aggRange(spark, dir, "k", lo, hi, Seq("v")).collect().toSeq
+      assert(g === exact(lo, hi).collect().toSeq, s"aggRange($lo, $hi) on legacy rows")
+    }
+    // the quad rollup shares the containment ladder
+    val g2 = StoreIndex.statsRange(spark, dir, "k", 0L, 10499L, Seq("v")).collect()(0)
+    val e2 = full.filter(col("k").between(0, 10499))
+      .agg(count(lit(1)), sum(col("v")), min(col("v")), max(col("v")),
+        sum(col("v")).cast("double") / count(col("v"))).collect()(0)
+    assert(g2 === e2, "statsRange on legacy rows must demote, not guess")
+    // the appended (sum-carrying) file alone still answers metadata-only
+    val fresh = StoreIndex.aggRange(spark, dir, "k", 10000L, 10499L, Seq("v"))
+    assert(fresh.inputFiles.isEmpty, "the fresh file's sums are trusted")
+    assert(fresh.collect().toSeq === exact(10000L, 10499L).collect().toSeq)
+  }
+
+  test("appendStoreSorted without a summary uses the flat check and stays maintained") {
+    // the O(groups) staleness proof needs the _stats_summary; with it
+    // deleted, the append must fall back to the flat name comparison and
+    // still treat the manifest as fresh — extending it at batch cost
+    // instead of a full rebuild or a silent invalidation
+    val dir = Files.createTempDirectory("graft-nosummary").toString + "/store"
+    StoreIndex.writeStoreSorted(
+      spark.range(0, 1000).select(col("id").as("k"), col("id").as("v")),
+      dir, Seq("k"), numFiles = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(StoreIndex.manifestSummaryPath(dir)), true)
+    StoreIndex.appendStoreSorted(
+      spark.range(5000, 5500).select(col("id").as("k"), col("id").as("v")),
+      dir, Seq("k"), numFiles = 1)
+    val m = spark.read.parquet(StoreIndex.statsManifestPath(dir))
+    assert(m.count() === 5, "old 4 rows + the appended file (flat-fallback path)")
+    // the append's writeManifestGrouped recreates the summary; probes are
+    // two-level again
+    assert(StoreIndex.probeManifestGroups(spark, dir,
+      Seq(("k", 5100L, 5200L))).nonEmpty)
+    val in = StoreIndex.readStoreSkipping(spark, dir, "k", 5100L, 5200L)
+    assert(in.count() === 101 && in.inputFiles.length === 1)
+  }
+
   test("z-ordered store prunes a y-only box where the x-sorted layout cannot") {
     val base = Files.createTempDirectory("graft-z").toString
     val grid = spark.range(0, 64 * 64).select(

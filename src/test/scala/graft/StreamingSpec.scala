@@ -350,6 +350,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("inc_dedup").count().toInt === batchTwin.size)
   }
 
+  test("streaming URL canon + dedup equals the batch operator under re-delivery") {
+    // derived messy URLs over the documents ids: canonical twins differ in
+    // scheme case / default port / param order / tracking params
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 400)
+    val urls = docs.select($"doc_id".as("url_id"),
+      concat(
+        when($"doc_id" % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        lit("site"), pmod($"doc_id" % 100, lit(37)).cast("string"), lit(".example.com"),
+        when($"doc_id" % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/d/"), ($"doc_id" % 100).cast("string"),
+        when($"doc_id" % 3 === 0, lit("?utm_source=x&a=1")).otherwise(lit("?a=1")))
+        .as("url"))
+    val known = urls.filter($"url_id" % 2 === 0)
+      .select(graft.operators.Urls.canonicalizeUrl($"url").as("canonical_url"))
+      .distinct()
+    val dir = Files.createTempDirectory("graft-url-stream").toString
+    urls.write.parquet(s"$dir/in")
+    urls.write.mode("append").parquet(s"$dir/in") // full re-delivery
+
+    val stream = spark.readStream.schema(urls.schema).parquet(s"$dir/in")
+    val novel = StreamingHistorization.urlDedupStream(stream, "url", known)
+    val q = novel.writeStream.format("memory").queryName("url_dedup")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // keep-first on a stream is arrival-order-dependent: compare the
+    // CANONICAL set against the batch operator, and one row per canonical
+    val streamed = spark.table("url_dedup")
+      .select("canonical_url").as[String].collect().toSet
+    val batchTwin = graft.operators.Urls
+      .incrementalDuplicateUrls(urls, "url_id", "url", known)
+      .select("canonical_url").as[String].collect().toSet
+    assert(streamed === batchTwin)
+    assert(spark.table("url_dedup").count().toInt === batchTwin.size)
+    // no standing canonical ever re-ingests
+    assert(spark.table("url_dedup")
+      .join(known, Seq("canonical_url"), "left_semi").count() === 0)
+  }
+
   test("streaming near-dup candidates equal the batch self-join under re-delivery") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text").filter($"doc_id" < 300)

@@ -577,4 +577,30 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
   }
+
+  test("qualityScore equals the hand-computed sigmoid over the gopher metrics") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val weights = Seq("mean_token_len" -> 0.4, "alpha_ratio" -> 2.5,
+      "top_bigram_ratio" -> -3.0, "top_trigram_ratio" -> -2.0)
+    val bias = -2.0
+    val got = TextAnalysis.qualityScore(docs, "doc_id", "text", weights, bias)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val metrics = TextAnalysis.gopherishFlags(docs, "doc_id", "text")
+      .select("doc_id", "mean_token_len", "alpha_ratio",
+        "top_bigram_ratio", "top_trigram_ratio")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    metrics.foreach { case (id, mtl, ar, bg, tg) =>
+      val z = bias + mtl * 0.4 + ar * 2.5 + bg * -3.0 + tg * -2.0
+      val want = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) === want, s"doc $id")
+    }
+    // scores live strictly inside (0, 1) — a sigmoid, not a flag
+    assert(got.values.forall(s => s > 0.0 && s < 1.0))
+    // unknown feature names are refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.qualityScoreExpr(Seq("no_such_metric" -> 1.0), 0.0)
+    }
+    assert(ex.getMessage.contains("no_such_metric"))
+  }
 }

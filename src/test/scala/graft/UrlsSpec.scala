@@ -104,4 +104,66 @@ class UrlsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate") && !p.contains("Join"), p)
   }
+
+  test("blocklist: exact rule matches the full host only, wildcard only proper subdomains") {
+    val df = Seq(
+      (1L, "https://spam.com/a"),        // exact target of neither rule form below
+      (2L, "https://x.spam.com/b"),      // proper subdomain -> wildcard blocks
+      (3L, "https://a.b.spam.com/c"),    // deeper subdomain -> wildcard blocks
+      (4L, "https://ham.com/d"),
+      (5L, "https://notspam.com/e"),     // suffix of the STRING, not of the labels
+      (6L, "https://exact.org/f"),       // exact rule blocks
+      (7L, "https://sub.exact.org/g"),   // exact rule does NOT block subdomains
+      (8L, "not a url")                  // no host -> never blocked
+    ).toDF("id", "url")
+    val rules = Seq("*.spam.com", "exact.org", "", "  EXACT.org  ").toDF("rule")
+    val blocked = Urls.blockedHostIds(df, "id", "url", rules)
+      .as[Long].collect().sorted.toSeq
+    assert(blocked === Seq(2L, 3L, 6L),
+      s"wildcard = proper subdomains, exact = full host, labels not substrings: $blocked")
+    val kept = Urls.filterBlockedHosts(df, "id", "url", rules)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L, 7L, 8L))
+    // both forms listed block the domain and its subdomains together
+    val both = Seq("spam.com", "*.spam.com").toDF("rule")
+    assert(Urls.blockedHostIds(df, "id", "url", both)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("blocklist plan: broadcast suffix equi-join, no rule-driven regex over the corpus") {
+    val df = Seq((1L, "https://x.spam.com/b")).toDF("id", "url")
+    val rules = Seq("*.spam.com").toDF("rule")
+    val plan = Urls.filterBlockedHosts(df, "id", "url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only RLike in the plan is canonicalization's CONSTANT tracking-
+    // param pattern; no expression derives a regex from the rule table —
+    // pinned by the join being a plain equi hash join above
+  }
+
+  test("incrementalDuplicateUrls: standing canonicals absorb; second run ingests nothing") {
+    val batch = Seq(
+      (10L, "HTTPS://A.com:443/x?b=2&a=1#f"),
+      (11L, "https://a.com/x?a=1&b=2"),
+      (12L, "https://b.com/y")
+    ).toDF("url_id", "url")
+    val empty = Seq.empty[String].toDF("canonical_url")
+    val novel1 = Urls.incrementalDuplicateUrls(batch, "url_id", "url", empty)
+    assert(novel1.as[(String, Long)].collect().toSet ===
+      Set(("https://a.com/x?a=1&b=2", 10L), ("https://b.com/y", 12L)),
+      "canonical twins collapse keep-min within the batch")
+    // the returned canonicals ARE the store append: a second identical
+    // run against the grown store ingests nothing
+    val novel2 = Urls.incrementalDuplicateUrls(
+      batch, "url_id", "url", novel1.select("canonical_url"))
+    assert(novel2.count() === 0)
+    // a genuinely new URL still lands
+    val batch2 = batch.unionByName(Seq((13L, "https://c.com/z")).toDF("url_id", "url"))
+    val novel3 = Urls.incrementalDuplicateUrls(
+      batch2, "url_id", "url", novel1.select("canonical_url"))
+    assert(novel3.as[(String, Long)].collect().toSet ===
+      Set(("https://c.com/z", 13L)))
+  }
 }
