@@ -956,8 +956,7 @@ object Dedup {
       sep: String = "\n\n",
       minParaLen: Int = 1,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame =
-    dedupUnitsAcrossCorpus(df, idCol, textCol, sep, minParaLen,
-      u => lower(trim(regexp_replace(u, "\\s+", " "))), scope)
+    dedupUnitsAcrossCorpus(df, idCol, textCol, sep, minParaLen, paraCanon, scope)
 
   /** Shared engine for [[dedupLinesAcrossCorpus]] /
     * [[dedupParagraphsAcrossCorpus]]: `canon` maps each unit to the form
@@ -974,18 +973,109 @@ object Dedup {
     require(sep.nonEmpty, "sep must be non-empty")
     require(minLen >= 0, "minLen must be non-negative")
     val sepLit = java.util.regex.Pattern.quote(sep)
-    val lines = scope.persist(
-      df.select(col(idCol).as("id"),
-          posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
-        .select(col("id"), col("p"), canon(col("line")).as("cl"))
-        .filter(length(col("cl")) >= minLen)
-        .select(col("id"), col("p"), shingleHash(col("cl")).as("lh")))
+    val lines = scope.persist(unitHashes(df, idCol, textCol, sepLit, minLen, canon))
     val keepers = lines.groupBy("lh")
       .agg(min(struct(col("id"), col("p"))).as("keep"))
     val drops = lines.join(keepers, Seq("lh"))
       .filter(struct(col("id"), col("p")) =!= col("keep"))
       .select(col("id"), col("p"))
     cutUnitPositions(df, idCol, textCol, sep, sepLit, drops)
+  }
+
+  /** The normalized-paragraph canonical form shared by every paragraph
+    * operator: whitespace runs to one space, ends trimmed, case folded —
+    * normalization decides MATCHING, never output. */
+  private def paraCanon(u: Column): Column =
+    lower(trim(regexp_replace(u, "\\s+", " ")))
+
+  /** (id, p, lh) unit-occurrence rows: one per kept unit position, keyed
+    * by the 60-bit hash of the unit's canonical form — the narrow frame
+    * every unit-dedup variant shuffles instead of the text. */
+  private def unitHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepLit: String,
+      minLen: Int,
+      canon: Column => Column): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
+      .select(col("id"), col("p"), canon(col("line")).as("cl"))
+      .filter(length(col("cl")) >= minLen)
+      .select(col("id"), col("p"), shingleHash(col("cl")).as("lh"))
+
+  /** Distinct canonical-paragraph hashes of a corpus slice — the standing
+    * store [[dedupParagraphsIncremental]] probes and the append its
+    * NOVEL complement feeds: after cleaning a batch, append
+    * `novelParagraphHashes(batch, …, standing)` and the next run's
+    * standing set is exact. 8-byte rows — the whole store is a sliver of
+    * the corpus (the digest-store pattern of [[incrementalExact]], at
+    * paragraph granularity). */
+  def paragraphHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minParaLen: Int = 1): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    unitHashes(df, idCol, textCol, java.util.regex.Pattern.quote(sep),
+      minParaLen, paraCanon).select("lh").distinct()
+  }
+
+  /** [[paragraphHashes]] restricted to hashes ABSENT from the standing
+    * store — exactly the rows to append after ingesting the batch. */
+  def novelParagraphHashes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      standing: DataFrame,
+      sep: String = "\n\n",
+      minParaLen: Int = 1): DataFrame =
+    paragraphHashes(df, idCol, textCol, sep, minParaLen)
+      .join(standing.select(col("lh")), Seq("lh"), "left_anti")
+
+  /** Cross-run (incremental) paragraph dedup — the steady-state form of
+    * [[dedupParagraphsAcrossCorpus]]: a batch paragraph is cut when its
+    * canonical hash exists in the STANDING store (some earlier run
+    * already kept it) or an earlier occurrence exists within the batch
+    * itself (keep-min (doc id, position), the batch-internal half of the
+    * global convention). Equals the corpus-wide operator over
+    * (ingested ∪ batch) restricted to the batch whenever ingested ids
+    * order before batch ids — and the batch never re-reads or re-hashes
+    * the ingested corpus: one anti/semi probe of an 8-byte hash store,
+    * batch cost forever, the property that makes continuous paragraph
+    * dedup affordable at 100 TB.
+    *
+    * @param standing distinct canonical-paragraph hashes accumulated so
+    *                 far (`lh` column; [[paragraphHashes]] of the
+    *                 ingested corpus, or the maintained append store)
+    * @return (doc_id, cleaned) for EVERY batch row
+    */
+  def dedupParagraphsIncremental(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      standing: DataFrame,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(minParaLen >= 0, "minParaLen must be non-negative")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val units = scope.persist(
+      unitHashes(df, idCol, textCol, sepLit, minParaLen, paraCanon))
+    // standing hits: every occurrence is cut (the keeper lives in an
+    // earlier run); the probe is a semi-join against 8-byte hashes
+    val hit = units.join(standing.select(col("lh")), Seq("lh"), "left_semi")
+      .select(col("id"), col("p"))
+    // batch-novel hashes: keep-min within the batch, cut the rest
+    val novel = units.join(standing.select(col("lh")), Seq("lh"), "left_anti")
+    val keepers = novel.groupBy("lh")
+      .agg(min(struct(col("id"), col("p"))).as("keep"))
+    val intra = novel.join(keepers, Seq("lh"))
+      .filter(struct(col("id"), col("p")) =!= col("keep"))
+      .select(col("id"), col("p"))
+    cutUnitPositions(df, idCol, textCol, sep, sepLit, hit.unionByName(intra))
   }
 
   /** Shared reassembly tail of the unit-dedup family: cut every (id, p)
@@ -1053,11 +1143,10 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     import org.apache.spark.sql.expressions.Window
     val sepLit = java.util.regex.Pattern.quote(sep)
-    val canon = (u: Column) => lower(trim(regexp_replace(u, "\\s+", " ")))
     val units = scope.persist(
       df.select(col(idCol).as("id"),
           posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
-        .select(col("id"), col("p"), canon(col("line")).as("cl"))
+        .select(col("id"), col("p"), paraCanon(col("line")).as("cl"))
         .filter(length(col("cl")) >= minParaLen)
         .select(col("id"), col("p"), col("cl"), shingleHash(col("cl")).as("lh")))
     // one row per DISTINCT canonical paragraph: its election key (the

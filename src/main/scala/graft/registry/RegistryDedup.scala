@@ -295,6 +295,23 @@ private[graft] object RegistryDedup {
           .withColumn("text",
             regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n")),
         "doc_id", "text")),
+    // incremental (cross-run) paragraph dedup: even docs' paragraph-hash
+    // store plays the ingested corpus, odd docs are the new batch — a
+    // batch paragraph is cut when its canonical hash is standing (an
+    // earlier run keeps it) or an earlier batch occurrence exists; the
+    // ingested corpus is never re-read, only its 8-byte hash store
+    "x_dedup_paragraphs_incremental" -> ((s, d) => {
+      val para = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n"))
+      val standing = Dedup.paragraphHashes(
+        para.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.dedupParagraphsIncremental(
+        para.filter(col("doc_id") % 2 === 1), "doc_id", "text", standing)
+    }),
     // paragraph NEAR-dup with reassembly: the exact-canonical fixture
     // plus a one-token mutation on every doc_id % 3 == 1 doc ("the" ->
     // "th3" before the paragraph breaks are injected — token count, and
@@ -741,6 +758,50 @@ private[graft] object RegistryDedup {
          |              chr(10) || chr(10)), '')
          |       END AS cleaned
          |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
+    // incremental paragraph dedup: the exact-paragraph chain with the
+    // keep-min election split into the standing-store hit (every batch
+    // occurrence cut) and the batch-internal keep-min (rest cut)
+    "x_dedup_paragraphs_incremental" ->
+      s"""WITH up AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents
+         |),
+         |para AS (
+         |  SELECT doc_id,
+         |         regexp_replace(text, '((?:\\S+ ){20})',
+         |                        '\\1' || chr(10) || chr(10), 'g') AS text
+         |  FROM up
+         |),
+         |sp AS (SELECT doc_id, text,
+         |              string_split(text, chr(10) || chr(10)) AS ls FROM para),
+         |ex AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, ls[CAST(i AS INT)] AS u
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM sp)
+         |),
+         |cn AS (SELECT doc_id, p,
+         |              lower(trim(regexp_replace(u, '\\s+', ' ', 'g'))) AS cu
+         |       FROM ex),
+         |el AS (SELECT doc_id, p, ${duckHash60("cu")} AS ph FROM cn
+         |       WHERE length(cu) >= 1),
+         |standing AS (SELECT DISTINCT ph FROM el WHERE doc_id % 2 = 0),
+         |batch AS (SELECT * FROM el WHERE doc_id % 2 = 1),
+         |rk AS (
+         |  SELECT b.doc_id, b.p, b.ph,
+         |         s.ph IS NOT NULL AS hit,
+         |         row_number() OVER (PARTITION BY b.ph ORDER BY b.doc_id, b.p) AS rn
+         |  FROM batch b LEFT JOIN standing s USING (ph)
+         |),
+         |dl AS (SELECT doc_id, list(p) AS dp FROM rk
+         |       WHERE hit OR rn > 1 GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       CASE WHEN d.dp IS NULL THEN s.text
+         |            ELSE coalesce(array_to_string(
+         |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
+         |              chr(10) || chr(10)), '')
+         |       END AS cleaned
+         |FROM sp s LEFT JOIN dl d USING (doc_id)
+         |WHERE s.doc_id % 2 = 1""".stripMargin,
     // paragraph NEAR-dup: the exact-paragraph chain extended by the
     // MinHash/LSH replay (identical hash arithmetic to the minhash
     // oracles: md5(j || '#' || shingle) mins, md5-of-band-slice keys)

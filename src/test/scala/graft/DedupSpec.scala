@@ -291,6 +291,37 @@ class DedupSpec extends SparkSpec {
     assert(repart === out, "labeling independent of partitioning")
   }
 
+  test("dedupParagraphsIncremental equals the corpus-wide operator restricted to the batch") {
+    val ingested = Seq(
+      (1L, "shared para one\n\nalpha only here"),
+      (2L, "beta only here\n\nshared para two")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared para one\n\ngamma repeats in batch"),
+      (11L, "gamma repeats in batch\n\nshared para two\n\ndelta only here"),
+      (12L, "gamma repeats in batch")
+    ).toDF("doc_id", "text")
+    val standing = Dedup.paragraphHashes(ingested, "doc_id", "text")
+    val got = Dedup.dedupParagraphsIncremental(batch, "doc_id", "text", standing)
+      .as[(Long, String)].collect().toMap
+    // law: ≡ the corpus-wide operator over (ingested ∪ batch), restricted
+    // to the batch (ingested ids order first, so keep-min favors them)
+    val full = Dedup.dedupParagraphsAcrossCorpus(
+        ingested.unionByName(batch), "doc_id", "text")
+      .filter($"doc_id" >= 10L).as[(Long, String)].collect().toMap
+    assert(got === full)
+    assert(got(10L) === "gamma repeats in batch", "standing hit cut, batch-novel keeper kept")
+    assert(got(11L) === "delta only here", "intra-batch repeat and standing hit both cut")
+    assert(got(12L) === "", "doc of only-duplicate paragraphs cleans to empty")
+    // the novel complement IS the store append: re-ingesting the same
+    // batch against the grown store cuts every paragraph
+    val grown = standing.unionByName(
+      Dedup.novelParagraphHashes(batch, "doc_id", "text", standing))
+    val again = Dedup.dedupParagraphsIncremental(batch, "doc_id", "text", grown)
+      .as[(Long, String)].collect().toMap
+    assert(again.values.forall(_ === ""), "a re-delivered batch ingests nothing")
+  }
+
   test("nearDedupParagraphsAcrossCorpus: near twins collapse keep-min, exact degenerates") {
     val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val nearTwin = boiler.replace("kappa", "kappXX") // one token differs
