@@ -113,6 +113,13 @@ object Urls {
     * both the ingestible novelty AND exactly what the caller appends to
     * the standing store for the next run.
     *
+    * NULL-safe: a null URL canonicalizes to a null key, which
+    * [[duplicateUrls]]' groupBy already treats as ONE class — the
+    * standing-store probe matches it null-safely (`<=>`), so a null
+    * class ingested once is absorbed forever instead of re-emitted every
+    * run (a plain `=` anti-join never matches null and would leak one
+    * null row per batch at steady state).
+    *
     * @param knownCanonical standing store, `canonical_url` column
     * @return (canonical_url, keep_id) — one row per NOVEL canonical URL,
     *         smallest `idCol` surviving
@@ -123,7 +130,8 @@ object Urls {
       urlCol: String,
       knownCanonical: DataFrame): DataFrame =
     df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
-      .join(knownCanonical.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      .join(knownCanonical.select(col("canonical_url").as("__known")),
+        col("canonical_url") <=> col("__known"), "left_anti")
       .groupBy("canonical_url")
       .agg(min(col(idCol)).as("keep_id"))
 

@@ -168,7 +168,10 @@ object StreamingHistorization {
       knownCanonical: DataFrame): DataFrame =
     docs.withColumn("canonical_url",
         graft.operators.Urls.canonicalizeUrl(col(urlCol)))
-      .join(knownCanonical.select(col("canonical_url")), Seq("canonical_url"), "left_anti")
+      // null-safe probe (the batch twin's contract): a null canonical
+      // ingested once must be absorbed, not re-emitted every epoch
+      .join(knownCanonical.select(col("canonical_url").as("__known")),
+        col("canonical_url") <=> col("__known"), "left_anti")
       .dropDuplicates("canonical_url")
 
   /** Streaming benchmark decontamination — the streaming twin of

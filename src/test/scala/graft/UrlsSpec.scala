@@ -166,4 +166,20 @@ class UrlsSpec extends SparkSpec {
     assert(novel3.as[(String, Long)].collect().toSet ===
       Set(("https://c.com/z", 13L)))
   }
+
+  test("incrementalDuplicateUrls absorbs the NULL canonical class across runs") {
+    // a null URL canonicalizes to a null key; a plain = anti-join never
+    // matches null, so without the null-safe probe the null class would
+    // re-ingest on EVERY run — a steady-state leak
+    val batch = Seq((20L, Option.empty[String]), (21L, None), (22L, Some("https://a.com/")))
+      .toDF("url_id", "url")
+    val empty = Seq.empty[String].toDF("canonical_url")
+    val novel1 = Urls.incrementalDuplicateUrls(batch, "url_id", "url", empty)
+    assert(novel1.count() === 2, "null class collapses keep-min like any other")
+    assert(novel1.filter($"canonical_url".isNull).select("keep_id")
+      .as[Long].collect().toSeq === Seq(20L))
+    val novel2 = Urls.incrementalDuplicateUrls(
+      batch, "url_id", "url", novel1.select("canonical_url"))
+    assert(novel2.count() === 0, "the ingested null class is absorbed, not re-emitted")
+  }
 }
