@@ -199,6 +199,85 @@ object Packing {
     }.toDF("doc_id", "shard", "n_tokens", "pack_id", "pack_pos")
   }
 
+  /** Group-atomic best-fit-decreasing packing — [[packGroups]]' atomicity
+    * with [[packBestFit]]'s election: groups pack as units by their token
+    * totals in (total DESC, group key ASC, group ASC) order into the
+    * fullest feasible open bin (min-bin-id ties; a group larger than the
+    * budget overflows its own bin), then the assignment joins back to
+    * rows null-safely. Deterministic under the pinned total order (the
+    * group column breaks grp_key ties, so two groups sharing a min doc id
+    * cannot swap), repartition-stable, and replayable by the same
+    * recursive-CTE oracle shape as the row form.
+    *
+    * Scale: one groupBy of (group, n_tokens) pairs, the sequential BFD
+    * over GROUP rows (group count ≪ row count; parallelism = shards),
+    * one join back on the group key. The payload never moves.
+    *
+    * @return (doc_id, grp, shard, pack_id) — one row per input row
+    */
+  def packGroupsBestFit(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      tokenCount: Column,
+      budget: Long,
+      shards: Int = 32): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    require(shards >= 1, "shards must be positive")
+    val rows = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      tokenCount.as("n_tokens"))
+    val groups = rows.groupBy("grp")
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("grp_tokens"),
+        min(col("doc_id")).as("grp_key"))
+    val sorted = groups
+      .withColumn("shard", (col("grp_key") % shards).cast("long"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("grp_tokens").desc,
+        col("grp_key"), col("grp"))
+    // Row-generic mapPartitions (grp may be any orderable type, incl.
+    // null): rows arrive in the pinned order, the bin state machine is
+    // the packBestFit one keyed per shard
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pack_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val iShard = sorted.schema.fieldIndex("shard")
+    val iTokens = sorted.schema.fieldIndex("grp_tokens")
+    val packed = sorted.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var opened = false
+      var nextBin = 0L
+      val binUsed = scala.collection.mutable.HashMap.empty[Long, Long]
+      val byUsed = new java.util.TreeMap[Long, java.util.TreeSet[Long]]
+      it.map { r =>
+        val shard = r.getLong(iShard)
+        val t = r.getLong(iTokens)
+        if (!opened || shard != curShard) {
+          curShard = shard; opened = true; nextBin = 0L
+          binUsed.clear(); byUsed.clear()
+        }
+        val entry = byUsed.floorEntry(budget - t)
+        val bin =
+          if (entry == null) { val b = nextBin; nextBin += 1; b }
+          else {
+            val b = entry.getValue.first()
+            entry.getValue.remove(b)
+            if (entry.getValue.isEmpty) byUsed.remove(entry.getKey)
+            b
+          }
+        val newUsed = binUsed.getOrElse(bin, 0L) + t
+        binUsed(bin) = newUsed
+        byUsed.computeIfAbsent(newUsed, _ => new java.util.TreeSet[Long]).add(bin)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // null-safe group join (the packGroups contract): a NULL group is a
+    // real group; a using-join would silently drop its rows
+    rows.select("doc_id", "grp")
+      .join(packed.select(col("grp").as("__g"), col("shard"), col("pack_id")),
+        col("grp") <=> col("__g"))
+      .select("doc_id", "grp", "shard", "pack_id")
+  }
+
   /** Per-pack roll-up of a [[packSequences]] assignment: document count,
     * token total, and fill ratio against the budget (>1 = the pack's last
     * document overflowed). */

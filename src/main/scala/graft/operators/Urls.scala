@@ -151,6 +151,9 @@ object Urls {
         when(col("__rule").startsWith("*."), col("__rule").substr(lit(3), length(col("__rule"))))
           .otherwise(col("__rule")).as("__dom"),
         col("__rule").startsWith("*.").as("__wild"))
+      // a bare "*." rule leaves an empty domain, which would match the
+      // empty trailing suffix of a (malformed) trailing-dot host — drop it
+      .filter(col("__dom") =!= "")
       .distinct()
   }
 

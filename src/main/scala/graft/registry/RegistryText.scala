@@ -137,6 +137,16 @@ private[graft] object RegistryText {
         TextAnalysis.tokenCount(col("text")).cast("long"),
         budget = 2048L, shards = 8)
     }),
+    // group-atomic BFD: packGroups' atomicity with packBestFit's
+    // fullest-feasible election over group token totals
+    "x_pack_groups_bfd" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Packing.packGroupsBestFit(
+        docs.withColumn("grp", (col("doc_id") % 100).cast("long")),
+        "doc_id", "grp",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        budget = 2048L, shards = 8)
+    }),
     // packing budgeted by the byte-level BPE merge-table count
     // ([[graft.operators.TextAnalysis.bpeCount]]) — the production-
     // truthful budget: context windows are sized in tokenizer tokens,
@@ -425,6 +435,58 @@ private[graft] object RegistryText {
         |)
         |SELECT t.doc_id, t.grp, p.shard, p.pack_id
         |FROM t JOIN p USING (grp)""".stripMargin,
+    // the group-atomic BFD replayed sequentially over GROUP totals — the
+    // x_pack_bfd recursive chain with (grp_tokens DESC, grp_key, grp)
+    // as the pinned processing order
+    "x_pack_groups_bfd" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, CAST(doc_id % 100 AS BIGINT) AS grp,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |g AS (
+        |  SELECT grp, CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS grp_tokens,
+        |         min(doc_id) AS grp_key
+        |  FROM t GROUP BY grp
+        |),
+        |d AS (
+        |  SELECT grp, grp_tokens, grp_key, CAST(grp_key % 8 AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY grp_key % 8
+        |                       ORDER BY grp_tokens DESC, grp_key, grp) AS rn
+        |  FROM g
+        |),
+        |step AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+        |         CAST([] AS STRUCT(bin BIGINT, used BIGINT)[]) AS bins,
+        |         CAST(NULL AS BIGINT) AS grp, CAST(NULL AS BIGINT) AS pack_id
+        |  FROM (SELECT DISTINCT shard FROM d)
+        |  UNION ALL
+        |  SELECT shard, rn,
+        |    CASE WHEN pick IS NULL
+        |         THEN list_append(bins, {'bin': nb, 'used': nt})
+        |         ELSE list_transform(bins, b ->
+        |           CASE WHEN b.bin = pick
+        |                THEN {'bin': b.bin, 'used': b.used + nt}
+        |                ELSE b END)
+        |    END AS bins,
+        |    grp, coalesce(pick, nb) AS pack_id
+        |  FROM (
+        |    SELECT s.shard, s.rn + 1 AS rn, s.bins AS bins, d.grp,
+        |           d.grp_tokens AS nt, CAST(len(s.bins) AS BIGINT) AS nb,
+        |           CASE WHEN len(list_filter(s.bins,
+        |                          b -> b.used + d.grp_tokens <= 2048)) = 0
+        |                THEN NULL
+        |                ELSE -(list_last(list_sort(list_transform(
+        |                    list_filter(s.bins, b -> b.used + d.grp_tokens <= 2048),
+        |                    b -> {'used': b.used, 'negbin': -b.bin}))).negbin)
+        |           END AS pick
+        |    FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+        |  )
+        |)
+        |SELECT t.doc_id, t.grp, p.shard, p.pack_id
+        |FROM t JOIN (SELECT grp, shard, pack_id FROM step
+        |             WHERE grp IS NOT NULL) p USING (grp)""".stripMargin,
     "x_pack_summary" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

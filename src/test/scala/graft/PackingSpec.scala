@@ -155,6 +155,39 @@ class PackingSpec extends SparkSpec {
     assert(over.count() === 0, "no multi-doc pack exceeds the budget")
   }
 
+  test("packGroupsBestFit: group-atomic BFD, null group kept, hand vector") {
+    // group totals 9, 8, 6, 5, 5, 2 — the row-form hand vector at group
+    // level, incl. a two-row group (atomicity) and a NULL group
+    val df = Seq(
+      (0L, Some(0L), 4L), (1L, Some(0L), 5L), // grp 0: total 9, key 0
+      (10L, Some(1L), 8L),                    // grp 1: total 8
+      (20L, Some(2L), 6L),
+      (30L, Some(3L), 5L),
+      (40L, Some(4L), 5L),
+      (50L, Option.empty[Long], 2L)           // NULL group: total 2, key 50
+    ).toDF("doc_id", "grp", "n")
+    val got = Packing.packGroupsBestFit(df, "doc_id", "grp", col("n"),
+      budget = 10L, shards = 1)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // BFD over totals: 9->bin0, 8->bin1, 6->bin2, 5->bin3, 5->bin3(10),
+    // 2->bin1(10); both grp-0 rows share bin 0, the null group lands bin 1
+    assert(got === Seq((0L, 0L), (1L, 0L), (10L, 1L), (20L, 2L),
+      (30L, 3L), (40L, 3L), (50L, 1L)))
+    // corpus: atomicity + one row per input + repartition stability
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("grp", (col("doc_id") % 25).cast("long"))
+    val tok = graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
+    val big = Packing.packGroupsBestFit(corpus, "doc_id", "grp", tok,
+      budget = 2048L, shards = 4)
+    assert(big.count() === corpus.count())
+    assert(big.groupBy("grp")
+      .agg(countDistinct(concat_ws("#", col("shard"), col("pack_id"))).as("n"))
+      .filter($"n" > 1).count() === 0, "a group never splits across packs")
+    val again = Packing.packGroupsBestFit(corpus.repartition(13), "doc_id", "grp",
+      tok, budget = 2048L, shards = 4)
+    assert(big.exceptAll(again).count() === 0 && again.exceptAll(big).count() === 0)
+  }
+
   test("packBestFit: no more bins than budget-respecting next-fit; repartition-stable") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     val tokCount = graft.operators.TextAnalysis.tokenCount(col("text")).cast("long")
