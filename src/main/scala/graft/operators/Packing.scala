@@ -7,15 +7,21 @@ import org.apache.spark.sql.functions._
 /** Sequence packing: assign documents to fixed token-budget packs for
   * training-batch assembly (context-window filling).
   *
-  * North-star extension (no counterpart in the reference). The semantics
-  * are deliberately the DETERMINISTIC contiguous-fill variant: within a
-  * shard, documents are laid out in id order and a pack closes when the
-  * running token total crosses the budget — so the assignment is a pure
-  * function of (ids, token counts, budget, shards), reproducible in any
-  * engine with window functions (the DuckDB oracle mirrors it exactly).
-  * First-fit-decreasing packs ~1% tighter but is order-sensitive and
-  * unstable under re-partitioning — the wrong trade for a distributed,
-  * resumable pipeline.
+  * North-star extension (no counterpart in the reference). Two packing
+  * disciplines, both PURE FUNCTIONS of (ids, token counts, budget,
+  * shards) and so repartition-stable and engine-reproducible:
+  *
+  *  - contiguous fill ([[packSequences]]/[[packByCount]]/[[packGroups]]):
+  *    id order, a pack closes when the running total crosses the budget
+  *    (packs may overflow by their last document) — one window, the
+  *    cheapest shape, the default;
+  *  - best-fit-decreasing ([[packBestFit]]/[[packGroupsBestFit]]):
+  *    (tokens DESC, id) order into the fullest feasible open bin — packs
+  *    never exceed the budget (oversized singletons aside) and padding
+  *    waste drops, at the cost of a sequential per-shard pass. Plain
+  *    FFD/BFD is order-sensitive; pinning the total order is what makes
+  *    this variant deterministic enough for a distributed, resumable
+  *    pipeline (and for a sequential-replay oracle).
   *
   * Scale shape: one hash-partitioned window per shard (`doc_id % shards`),
   * cumulative sum inside — a single shuffle of (id, shard, n_tokens)

@@ -135,6 +135,64 @@ object Urls {
       .groupBy("canonical_url")
       .agg(min(col(idCol)).as("keep_id"))
 
+  /** TRUE iff a robots.txt body fully disallows `userAgent` at root —
+    * the "respect robots" half of the domain gate, as one column
+    * expression over the raw text (scan-local: robots bodies live one
+    * per host row, no explode, no shuffle). Implements the documented
+    * deterministic subset of the Robots Exclusion Protocol (RFC 9309
+    * shapes, public literature): groups start at a RUN of consecutive
+    * `User-agent:` lines (later UA lines after a directive start a new
+    * group), a group applies when any of its agents is `*` or equals
+    * `userAgent` (case-insensitive), and the host is fully disallowed
+    * when an applying group contains `Disallow: /` (path exactly `/`
+    * after trimming). Comments (`#…`) strip, CR strips, matching is
+    * whitespace-tolerant. Deliberately NOT implemented (each would be a
+    * guess the caller should make explicitly): Allow-precedence, path
+    * prefixes shorter than the full root cut, crawl-delay.
+    *
+    * One interpreted fold over the row's own lines — bounded per row;
+    * NULL body → false (no robots, nothing disallowed). */
+  def robotsBlocksAll(robotsTxt: Column, userAgent: String = "*"): Column = {
+    val ua = userAgent.toLowerCase
+    val fold = aggregate(
+      split(regexp_replace(robotsTxt, "\r", ""), "\n"),
+      struct(lit(false).as("accum"), lit(false).as("matches"),
+        lit(false).as("blocked")),
+      (st, l) => {
+        val c = trim(regexp_replace(l, "#.*", ""))
+        val lc = lower(c)
+        val after = trim(regexp_replace(c, "^[^:]*:", ""))
+        val isUa = lc.startsWith("user-agent:")
+        val isDis = lc.startsWith("disallow:")
+        val m = lower(after) === "*" || lower(after) === lit(ua)
+        struct(
+          isUa.as("accum"),
+          when(isUa,
+              when(st.getField("accum"), st.getField("matches") || m).otherwise(m))
+            .otherwise(st.getField("matches")).as("matches"),
+          (st.getField("blocked") ||
+            (isDis && st.getField("matches") && after === "/")).as("blocked"))
+      },
+      st => st.getField("blocked"))
+    coalesce(fold, lit(false))
+  }
+
+  /** Hosts whose robots.txt fully disallows `userAgent` at root, as
+    * EXACT-host `rule` rows — feed them straight into
+    * [[filterBlockedHosts]] beside the curated blocklist: the robots
+    * corpus is per-host (tiny next to the document corpus), so deriving
+    * the rules costs one scan of it and the gate stays the same
+    * broadcast suffix equi-join. */
+  def robotsDisallowedHosts(
+      robots: DataFrame,
+      hostCol: String,
+      robotsCol: String,
+      userAgent: String = "*"): DataFrame =
+    robots.filter(robotsBlocksAll(col(robotsCol), userAgent))
+      .select(lower(trim(col(hostCol))).as("rule"))
+      .filter(col("rule") =!= "")
+      .distinct()
+
   /** Blocklist rules parsed to the join-ready form: `rule` (the first
     * column of `rules`, trimmed, lowercased, empties dropped) becomes
     * `(__dom, __wild)` — `"spam.com"` is an EXACT host rule

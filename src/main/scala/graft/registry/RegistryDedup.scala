@@ -270,6 +270,30 @@ private[graft] object RegistryDedup {
     // per-host corpus accounting (crawl budgeting / domain blocklists)
     "x_text_url_hosts" -> ((s, d) =>
       Urls.hostStats(urlFixture(s, d), "url")),
+    // robots.txt-derived blocklist rules: per-host robots bodies (five
+    // deterministic variants exercising comments, case, whitespace,
+    // agent-run accumulation, and non-matching agents) parsed by the
+    // documented REP subset — hosts fully disallowed for '*' come back
+    // as exact-host rules for the blocklist gate
+    "x_text_robots" -> ((s, d) => {
+      val h = pmod(col("doc_id"), lit(37))
+      val robots = Tables.documents(s, d).select(
+        concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
+        when(pmod(h, lit(5)) === 0,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /")))
+          .when(pmod(h, lit(5)) === 1,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /private"),
+              lit(""), lit("User-agent: badbot"), lit("Disallow: /")))
+          .when(pmod(h, lit(5)) === 2,
+            concat_ws("\n", lit("# note"), lit("USER-AGENT: *   "),
+              lit(" Disallow:   /  ")))
+          .when(pmod(h, lit(5)) === 3,
+            concat_ws("\n", lit("User-agent: badbot"), lit("User-agent: *"),
+              lit("Disallow: /")))
+          .otherwise(concat_ws("\n", lit("User-agent: badbot"), lit("Disallow: /")))
+          .as("robots_txt")).distinct()
+      Urls.robotsDisallowedHosts(robots, "host", "robots_txt")
+    }),
     // incremental (cross-run) URL dedup: even-id urls play the standing
     // canonical store; the full fixture is the new batch — the cheapest
     // dedup stage at batch cost (the x_dedup_incremental pattern on the
@@ -707,6 +731,64 @@ private[graft] object RegistryDedup {
          |SELECT host, count(*) AS n_pages,
          |       count(DISTINCT canonical_url) AS n_urls
          |FROM urlcanon GROUP BY host""".stripMargin,
+    // the REP-subset parse replayed relationally: lines numbered, groups
+    // = cumulative count of User-agent RUN starts, a group matches when
+    // any of its UA lines names '*', blocked = matching group holding a
+    // root Disallow
+    "x_text_robots" ->
+      """WITH robots AS (
+        |  SELECT DISTINCT
+        |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+        |    CASE CAST((doc_id % 37) % 5 AS INT)
+        |      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+        |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+        |                  || chr(10) || chr(10) || 'User-agent: badbot'
+        |                  || chr(10) || 'Disallow: /'
+        |      WHEN 2 THEN '# note' || chr(10) || 'USER-AGENT: *   '
+        |                  || chr(10) || ' Disallow:   /  '
+        |      WHEN 3 THEN 'User-agent: badbot' || chr(10) || 'User-agent: *'
+        |                  || chr(10) || 'Disallow: /'
+        |      ELSE 'User-agent: badbot' || chr(10) || 'Disallow: /'
+        |    END AS txt
+        |  FROM documents
+        |),
+        |l AS (
+        |  SELECT host, CAST(i AS INT) AS i, ls[CAST(i AS INT)] AS line
+        |  FROM (SELECT host,
+        |               string_split(regexp_replace(txt, chr(13), '', 'g'),
+        |                            chr(10)) AS ls,
+        |               unnest(range(1,
+        |                 len(string_split(regexp_replace(txt, chr(13), '', 'g'),
+        |                                  chr(10))) + 1)) AS i
+        |        FROM robots)
+        |),
+        |f AS (
+        |  SELECT host, i,
+        |         starts_with(lower(trim(regexp_replace(line, '#.*', ''))),
+        |                     'user-agent:') AS is_ua,
+        |         starts_with(lower(trim(regexp_replace(line, '#.*', ''))),
+        |                     'disallow:') AS is_dis,
+        |         trim(regexp_replace(trim(regexp_replace(line, '#.*', '')),
+        |                             '^[^:]*:', '')) AS after
+        |  FROM l
+        |),
+        |r AS (
+        |  SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY i),
+        |                     false) AS prev_ua
+        |  FROM f
+        |),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY host ORDER BY i) AS grp
+        |  FROM r
+        |),
+        |m AS (
+        |  SELECT host, grp, bool_or(is_ua AND lower(after) = '*') AS matches
+        |  FROM g GROUP BY host, grp
+        |)
+        |SELECT DISTINCT g.host AS rule
+        |FROM g JOIN m USING (host, grp)
+        |WHERE g.is_dis AND g.after = '/' AND m.matches""".stripMargin,
     // cross-run URL dedup ≡ the full-fixture dedup restricted to
     // canonicals absent from the standing (even-id) store
     "x_dedup_url_incremental" ->

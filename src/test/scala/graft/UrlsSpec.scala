@@ -167,6 +167,33 @@ class UrlsSpec extends SparkSpec {
       Set(("https://c.com/z", 13L)))
   }
 
+  test("robotsDisallowedHosts: REP-subset hand vectors, composes into the gate") {
+    val robots = Seq(
+      ("h0.com", "User-agent: *\nDisallow: /"),                 // plain full block
+      ("h1.com", "User-agent: *\nDisallow: /private\n\nUser-agent: badbot\nDisallow: /"),
+      ("h2.com", "# note\nUSER-AGENT: *   \n Disallow:   /  "), // case/space/comment
+      ("h3.com", "User-agent: badbot\nUser-agent: *\nDisallow: /"), // agent-run accumulation
+      ("h4.com", "User-agent: badbot\nDisallow: /"),            // other agent only
+      ("h5.com", "Disallow: /"),                                // directive before any group
+      ("h6.com", null.asInstanceOf[String])                     // no robots at all
+    ).toDF("host", "robots_txt")
+    val rules = Urls.robotsDisallowedHosts(robots, "host", "robots_txt")
+    assert(rules.as[String].collect().sorted.toSeq === Seq("h0.com", "h2.com", "h3.com"),
+      "only groups naming * (incl. accumulated runs) with a root Disallow block")
+    // a named agent matches its own group AND *
+    val mine = Urls.robotsDisallowedHosts(robots, "host", "robots_txt",
+      userAgent = "badbot")
+    assert(mine.as[String].collect().sorted.toSeq ===
+      Seq("h0.com", "h1.com", "h2.com", "h3.com", "h4.com"))
+    // the derived rules feed the same gate as a curated blocklist
+    val pages = Seq((1L, "https://h0.com/x"), (2L, "https://h1.com/x"),
+      (3L, "https://sub.h0.com/x")).toDF("id", "url")
+    val kept = Urls.filterBlockedHosts(pages, "id", "url", rules)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L),
+      "exact-host robots rules block the host itself, not its subdomains")
+  }
+
   test("incrementalDuplicateUrls absorbs the NULL canonical class across runs") {
     // a null URL canonicalizes to a null key; a plain = anti-join never
     // matches null, so without the null-safe probe the null class would
