@@ -1125,6 +1125,16 @@ object Dedup {
     * classes × bands rows), never all-pairs; the payload text joins
     * exactly once at reassembly.
     *
+    * Band keys are [[lshBandKeys]]' 60-bit digest-prefix truncations and
+    * the election here is TERMINAL — unlike the candidate-generation
+    * paths (where a downstream exact-verify absorbs key collisions), a
+    * 60-bit prefix collision between two distinct band digests merges
+    * their buckets and cuts a paragraph nothing re-checks. Accepted at
+    * the documented ~n²/2⁶¹ odds (n = distinct paragraph classes; one
+    * false bucket-merge per ~10¹⁸ class-pairs) for the 8-byte shuffle
+    * keys — the same trade every 60-bit key in this file makes, flagged
+    * here because no verify follows.
+    *
     * @return (doc_id, cleaned) for EVERY input row; cleaned = original
     *         text when nothing was cut (including null texts)
     */
@@ -1173,6 +1183,145 @@ object Dedup {
     val drops = keyed
       .filter(col("__lose").isNotNull || struct(col("id"), col("p")) =!= col("mk"))
       .select(col("id"), col("p"))
+    cutUnitPositions(df, idCol, textCol, sep, sepLit, drops)
+  }
+
+  /** The standing paragraph NEAR-dup index: one (lh, band, key) row per
+    * LSH band of every DISTINCT canonical paragraph of the corpus slice —
+    * the paragraph-granularity sibling of [[minhashBandIndex]] and the
+    * store [[nearDedupParagraphsIncremental]] probes. Append
+    * [[novelParagraphBands]] after each ingested batch and the index
+    * stays exactly the full-corpus index (kept AND cut classes — the
+    * corpus-wide election consults every class, so the incremental law
+    * needs both). 8-byte keys, `bands` rows per class, no payloads. */
+  def paragraphBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(k % bands == 0, "bands must divide k")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    df.select(posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
+      .select(paraCanon(col("line")).as("cl"))
+      .filter(length(col("cl")) >= minParaLen)
+      .select(col("cl"), shingleHash(col("cl")).as("lh"))
+      .groupBy("lh").agg(min(col("cl")).as("cl"))
+      .select(col("lh"), minhashSignature(col("cl"), n, k).as("sig"))
+      .select(col("lh"),
+        posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key")))
+  }
+
+  /** Band rows of the batch's lh-NOVEL paragraph classes — exactly what
+    * the caller appends to the standing index after ingesting the batch
+    * (ALL novel classes, election winners and losers alike: the
+    * corpus-wide election consults cut classes too, so dropping losers
+    * would let a future reflow of a cut paragraph slip through where the
+    * batch operator would have caught it). Re-delivering an ingested
+    * batch yields zero rows. */
+  def novelParagraphBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      standing: DataFrame,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4): DataFrame =
+    paragraphBandIndex(df, idCol, textCol, sep, minParaLen, n, k, bands)
+      .join(standing.select(col("lh")).distinct(), Seq("lh"), "left_anti")
+
+  /** Cross-run (incremental) paragraph NEAR-dup — the steady-state form
+    * of [[nearDedupParagraphsAcrossCorpus]], completing the tier
+    * [[dedupParagraphsIncremental]]'s exact probe cannot catch (reflowed
+    * boilerplate one word apart arriving in a later batch): a batch
+    * paragraph class is cut — every batch occurrence — when
+    *
+    *  - its canonical hash is STANDING (the exact tier: some earlier run
+    *    keeps it; one semi-join against the index's 8-byte lh column), or
+    *  - any of its LSH band buckets is OCCUPIED by a standing class (the
+    *    near tier: one (band, key) semi-join against the index — standing
+    *    always wins, the cross-run election posture), or
+    *  - a batch-novel class with a smaller first occurrence shares a
+    *    bucket (the batch-internal half of the corpus-wide election);
+    *
+    * a surviving class keeps exactly its first occurrence. Equals the
+    * corpus-wide operator over (ingested ∪ batch) restricted to the
+    * batch whenever ingested ids order before batch ids and `standing` is
+    * the ingested corpus's full [[paragraphBandIndex]] (spec-pinned) —
+    * and the batch never re-reads or re-shingles the ingested corpus:
+    * two bounded probes of a narrow standing index, batch cost forever.
+    *
+    * Signatures are computed once per DISTINCT batch-novel class, never
+    * per occurrence; the election is per band bucket, never all-pairs;
+    * the 60-bit band keys are terminal here like the corpus-wide form
+    * (same documented collision posture). NULL texts pass through.
+    *
+    * @param standing accumulated (lh, band, key) paragraph band index
+    * @return (doc_id, cleaned) for EVERY batch row
+    */
+  def nearDedupParagraphsIncremental(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      standing: DataFrame,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4,
+      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    require(minParaLen >= 0, "minParaLen must be non-negative")
+    require(k % bands == 0, "bands must divide k")
+    import org.apache.spark.sql.expressions.Window
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val units = scope.persist(
+      df.select(col(idCol).as("id"),
+          posexplode(split(col(textCol), sepLit)).as(Seq("p", "line")))
+        .select(col("id"), col("p"), paraCanon(col("line")).as("cl"))
+        .filter(length(col("cl")) >= minParaLen)
+        .select(col("id"), col("p"), col("cl"), shingleHash(col("cl")).as("lh")))
+    val standingLh = standing.select(col("lh")).distinct()
+    // exact tier: every occurrence of a standing class is cut
+    val hit = units.join(standingLh, Seq("lh"), "left_semi")
+      .select(col("id"), col("p"))
+    // batch-novel classes, one signature each
+    val novel = units.join(standingLh, Seq("lh"), "left_anti")
+    val classes = scope.persist(novel.groupBy("lh")
+      .agg(min(struct(col("id"), col("p"))).as("mk"), min(col("cl")).as("cl")))
+    val banded = scope.persist(classes
+      .select(col("lh"), col("mk"), minhashSignature(col("cl"), n, k).as("sig"))
+      .select(col("lh"), col("mk"),
+        posexplode(lshBandKeys(col("sig"), bands, k / bands)).as(Seq("band", "key"))))
+    // near tier: a bucket any standing class occupies cuts the batch class
+    val nearHit = banded
+      .join(standing.select(col("band"), col("key")), Seq("band", "key"), "left_semi")
+      .select("lh").distinct()
+    // batch-internal election over ALL novel classes — a near-hit class
+    // still OCCUPIES its buckets (the corpus-wide election is one-pass:
+    // a class losing to a class that was itself cut elsewhere stays cut),
+    // so excluding near-hits here would resurrect their bucket-mates
+    val losers = banded
+      .withColumn("__bmin", min(col("mk")).over(Window.partitionBy("band", "key")))
+      .filter(col("mk") =!= col("__bmin"))
+      .select("lh").distinct()
+    // distinct: a class can be BOTH a near-hit and an election loser, and
+    // a duplicated key would fan the occurrence join out
+    val cutClasses = nearHit.unionByName(losers).distinct()
+      .withColumn("__lose", lit(true))
+    val novelKeyed = novel
+      .join(classes.select(col("lh"), col("mk")), Seq("lh"))
+      .join(cutClasses, Seq("lh"), "left_outer")
+    val drops = novelKeyed
+      .filter(col("__lose").isNotNull || struct(col("id"), col("p")) =!= col("mk"))
+      .select(col("id"), col("p"))
+      .unionByName(hit)
     cutUnitPositions(df, idCol, textCol, sep, sepLit, drops)
   }
 

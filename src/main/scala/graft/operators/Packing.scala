@@ -219,7 +219,14 @@ object Packing {
     * over GROUP rows (group count ≪ row count; parallelism = shards),
     * one join back on the group key. The payload never moves.
     *
-    * @return (doc_id, grp, shard, pack_id) — one row per input row
+    * A group whose doc ids are ALL null has a null `grp_key` and so a
+    * null shard; like [[packGroups]] it packs (alone, deterministically)
+    * in the null shard instead of NPE-ing inside the state machine.
+    *
+    * @return (doc_id, grp, shard, pack_id, pack_pos) — one row per input
+    *         row; `pack_pos` is the GROUP's 1-based assignment order
+    *         inside its pack (shared by all rows of the group), the
+    *         [[packBestFit]] contract at group granularity
     */
   def packGroupsBestFit(
       df: DataFrame,
@@ -230,6 +237,13 @@ object Packing {
       shards: Int = 32): DataFrame = {
     require(budget >= 1, "budget must be positive")
     require(shards >= 1, "shards must be positive")
+    // fail fast at the API boundary like packBestFit: a non-integral id
+    // makes grp_key % shards null for EVERY group, and the Row-based
+    // state machine below reads shard as a primitive long (packGroups
+    // tolerates null shards because it stays in DataFrame land)
+    val t = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(t.typeName),
+      s"packGroupsBestFit requires an integral $idCol (got ${t.typeName})")
     val rows = df.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
       tokenCount.as("n_tokens"))
     val groups = rows.groupBy("grp")
@@ -244,8 +258,11 @@ object Packing {
     // null): rows arrive in the pinned order, the bin state machine is
     // the packBestFit one keyed per shard
     val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "pack_id", org.apache.spark.sql.types.LongType, nullable = false))
+      sorted.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          "pack_id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "pack_pos", org.apache.spark.sql.types.LongType, nullable = false)))
     val iShard = sorted.schema.fieldIndex("shard")
     val iTokens = sorted.schema.fieldIndex("grp_tokens")
     val packed = sorted.mapPartitions { it =>
@@ -253,13 +270,16 @@ object Packing {
       var opened = false
       var nextBin = 0L
       val binUsed = scala.collection.mutable.HashMap.empty[Long, Long]
+      val binCount = scala.collection.mutable.HashMap.empty[Long, Long]
       val byUsed = new java.util.TreeMap[Long, java.util.TreeSet[Long]]
       it.map { r =>
-        val shard = r.getLong(iShard)
+        // an all-null-id group's shard is null (scaladoc); key its state
+        // under a sentinel no real `grp_key % shards` value can take
+        val shard = if (r.isNullAt(iShard)) Long.MinValue + 1 else r.getLong(iShard)
         val t = r.getLong(iTokens)
         if (!opened || shard != curShard) {
           curShard = shard; opened = true; nextBin = 0L
-          binUsed.clear(); byUsed.clear()
+          binUsed.clear(); binCount.clear(); byUsed.clear()
         }
         val entry = byUsed.floorEntry(budget - t)
         val bin =
@@ -273,15 +293,18 @@ object Packing {
         val newUsed = binUsed.getOrElse(bin, 0L) + t
         binUsed(bin) = newUsed
         byUsed.computeIfAbsent(newUsed, _ => new java.util.TreeSet[Long]).add(bin)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+        val pos = binCount.getOrElse(bin, 0L) + 1L
+        binCount(bin) = pos
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin :+ pos)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     // null-safe group join (the packGroups contract): a NULL group is a
     // real group; a using-join would silently drop its rows
     rows.select("doc_id", "grp")
-      .join(packed.select(col("grp").as("__g"), col("shard"), col("pack_id")),
+      .join(packed.select(col("grp").as("__g"), col("shard"), col("pack_id"),
+          col("pack_pos")),
         col("grp") <=> col("__g"))
-      .select("doc_id", "grp", "shard", "pack_id")
+      .select("doc_id", "grp", "shard", "pack_id", "pack_pos")
   }
 
   /** Per-pack roll-up of a [[packSequences]] assignment: document count,

@@ -146,9 +146,13 @@ object Urls {
     * `userAgent` (case-insensitive), and the host is fully disallowed
     * when an applying group contains `Disallow: /` (path exactly `/`
     * after trimming). Comments (`#…`) strip, CR strips, matching is
-    * whitespace-tolerant. Deliberately NOT implemented (each would be a
-    * guess the caller should make explicitly): Allow-precedence, path
-    * prefixes shorter than the full root cut, crawl-delay.
+    * whitespace-tolerant; a line that is EMPTY after comment-stripping
+    * is skipped entirely — per RFC 9309 a comment or blank line neither
+    * ends a `User-agent:` run nor a group (`User-agent: *` / `# note` /
+    * `User-agent: badbot` / `Disallow: /` blocks for BOTH agents).
+    * Deliberately NOT implemented here (the PATH-rule surface is
+    * [[robotsPathRules]]/[[robotsBlockedPathIds]]): Allow-precedence,
+    * path prefixes shorter than the full root cut, crawl-delay.
     *
     * One interpreted fold over the row's own lines — bounded per row;
     * NULL body → false (no robots, nothing disallowed). */
@@ -165,13 +169,15 @@ object Urls {
         val isUa = lc.startsWith("user-agent:")
         val isDis = lc.startsWith("disallow:")
         val m = lower(after) === "*" || lower(after) === lit(ua)
-        struct(
+        // comment-only / blank lines pass the state through untouched —
+        // they must not end a UA run (RFC 9309 group shape)
+        when(c === "", st).otherwise(struct(
           isUa.as("accum"),
           when(isUa,
               when(st.getField("accum"), st.getField("matches") || m).otherwise(m))
             .otherwise(st.getField("matches")).as("matches"),
           (st.getField("blocked") ||
-            (isDis && st.getField("matches") && after === "/")).as("blocked"))
+            (isDis && st.getField("matches") && after === "/")).as("blocked")))
       },
       st => st.getField("blocked"))
     coalesce(fold, lit(false))
@@ -192,6 +198,150 @@ object Urls {
       .select(lower(trim(col(hostCol))).as("rule"))
       .filter(col("rule") =!= "")
       .distinct()
+
+  /** Path component of a URL string (before `?`/`#`; empty path → `/`,
+    * the RFC 3986 §6.2.3 form [[canonicalizeUrl]] applies) — what the
+    * robots path gate matches rules against. Empty string for strings
+    * without a `scheme://` (nothing to gate). */
+  def urlPath(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    when(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) === "", lit(""))
+      .otherwise(when(path === "", lit("/")).otherwise(path))
+  }
+
+  /** Per-host PATH rules of the Robots Exclusion Protocol — the
+    * longest-match surface [[robotsBlocksAll]]'s root-only cut deliberately
+    * skips (real hosts mostly disallow PATHS, not roots): every
+    * `Allow:`/`Disallow:` directive of the groups RFC 9309 selects for
+    * `userAgent`, as one (host, allow, path) row each, ready for
+    * [[robotsBlockedPathIds]].
+    *
+    * Group selection per RFC 9309 §2.2.1: when ANY group names
+    * `userAgent` exactly (case-insensitive), only those groups apply —
+    * even if they are empty (an empty specific group means "this crawler
+    * may fetch everything", and `*` groups must NOT leak through);
+    * otherwise the `*` groups apply. Groups start at a run of consecutive
+    * `User-agent:` lines; comment-only/blank lines neither end a run nor
+    * a group; a directive line ends the run (later UA lines start a new
+    * group). Directives with an EMPTY path match nothing (RFC: an empty
+    * `Disallow:` allows everything) and are dropped at parse.
+    *
+    * Documented subset (each omission is a caller-visible policy choice,
+    * not an approximation): path values are matched as PLAIN OCTET
+    * PREFIXES of the URL path — no `*`/`$` wildcards, no percent-encoding
+    * normalization, no query-string matching; `crawl-delay`/`sitemap`
+    * lines are ignored.
+    *
+    * One scan-local fold per robots row (bodies are bounded); the output
+    * is rules-shaped (rows ≈ directives across hosts — robots-file-sized,
+    * broadcastable), never corpus-shaped. */
+  def robotsPathRules(
+      robots: DataFrame,
+      hostCol: String,
+      robotsCol: String,
+      userAgent: String = "*"): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val emptyRules = array().cast("array<struct<ua:boolean,allow:boolean,path:string>>")
+    val fold = aggregate(
+      split(regexp_replace(col(robotsCol), "\r", ""), "\n"),
+      struct(lit(false).as("accum"), lit(false).as("mstar"),
+        lit(false).as("mua"), lit(false).as("sawua"),
+        emptyRules.as("rules")),
+      (st, l) => {
+        val c = trim(regexp_replace(l, "#.*", ""))
+        val lc = lower(c)
+        val after = trim(regexp_replace(c, "^[^:]*:", ""))
+        val isUa = lc.startsWith("user-agent:")
+        val isAllow = lc.startsWith("allow:")
+        val isDis = lc.startsWith("disallow:")
+        val mS = lower(after) === "*"
+        val mU = lower(after) === lit(ua)
+        val inRun = st.getField("accum")
+        // group membership AFTER this line: UA lines extend (in a run) or
+        // restart (new run) the group's agent set; other lines keep it
+        val newStar = when(isUa,
+            when(inRun, st.getField("mstar") || mS).otherwise(mS))
+          .otherwise(st.getField("mstar"))
+        val newUa = when(isUa,
+            when(inRun, st.getField("mua") || mU).otherwise(mU))
+          .otherwise(st.getField("mua"))
+        val emit = (isAllow || isDis) && (newStar || newUa) && after =!= ""
+        when(c === "", st).otherwise(struct(
+          isUa.as("accum"),
+          newStar.as("mstar"),
+          newUa.as("mua"),
+          (st.getField("sawua") || (isUa && mU)).as("sawua"),
+          when(emit,
+              concat(st.getField("rules"), array(struct(
+                newUa.as("ua"), isAllow.as("allow"), after.as("path")))))
+            .otherwise(st.getField("rules")).as("rules")))
+      },
+      // tier selection: a specific group exists -> only its rules; else
+      // the star groups' rules (ua = sawua covers both arms: when sawua
+      // is false every surviving rule is a star rule by construction)
+      st => filter(st.getField("rules"),
+        r => r.getField("ua") === st.getField("sawua")))
+    robots
+      .select(lower(trim(col(hostCol))).as("host"), explode(fold).as("__r"))
+      .filter(col("host") =!= "")
+      .select(col("host"), col("__r.allow").as("allow"), col("__r.path").as("path"))
+      .distinct()
+  }
+
+  /** Ids whose URL the robots PATH rules disallow under RFC 9309
+    * longest-match: among a host's rules whose path is an octet prefix
+    * of the URL path, the LONGEST wins; a length tie between an Allow
+    * and a Disallow resolves to Allow (the RFC's least-restrictive tie
+    * rule); no matching rule (or no rules for the host) means allowed.
+    *
+    * Join shape: the rule set is robots-corpus-sized (directives across
+    * hosts — thousands-to-millions of short rows), so it BROADCASTS and
+    * the corpus meets it in one hash equi-join on the exact host string
+    * with the prefix test as the join's residual filter; per-URL fan-out
+    * is bounded by that one host's rule count (a robots file is ≤ a few
+    * hundred directives), and the corpus is never regex-scanned.
+    * Deliberately NOT bucketed by first path segment: a prefix rule is
+    * not segment-aligned (`/foo` must match `/foobar`), so a segment
+    * equi-key would silently under-block — host equality already bounds
+    * the verify work to one file's directives.
+    *
+    * @param rules (host, allow, path) rows — [[robotsPathRules]] output
+    * @return distinct blocked `idCol` values
+    */
+  def robotsBlockedPathIds(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val pr = rules.select(lower(trim(col("host"))).as("__rhost"),
+        col("allow").cast("boolean").as("__rallow"), col("path").as("__rpath"))
+      .filter(col("__rhost") =!= "" && col("__rpath").isNotNull && col("__rpath") =!= "")
+      .distinct()
+    df.select(col(idCol), urlHost(col(urlCol)).as("__h"), urlPath(col(urlCol)).as("__p"))
+      .filter(col("__h") =!= "")
+      .join(broadcast(pr),
+        col("__h") === col("__rhost") && col("__p").startsWith(col("__rpath")))
+      .groupBy(col(idCol))
+      // longest match, Allow wins ties: lexicographic struct max over
+      // (prefix length, allow) — (5, true) > (5, false) > (4, true)
+      .agg(max(struct(length(col("__rpath")).as("l"),
+        col("__rallow").as("allow"))).as("__best"))
+      .filter(!col("__best").getField("allow"))
+      .select(col(idCol))
+  }
+
+  /** `df` with every robots-path-disallowed row removed — the
+    * transformation side of [[robotsBlockedPathIds]], all input columns
+    * preserved (the [[filterBlockedHosts]] contract for the path gate). */
+  def filterRobotsPathBlocked(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rules: DataFrame): DataFrame =
+    df.join(robotsBlockedPathIds(df, idCol, urlCol, rules), Seq(idCol), "left_anti")
 
   /** Blocklist rules parsed to the join-ready form: `rule` (the first
     * column of `rules`, trimmed, lowercased, empties dropped) becomes

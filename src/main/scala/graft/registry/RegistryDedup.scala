@@ -270,29 +270,69 @@ private[graft] object RegistryDedup {
     // per-host corpus accounting (crawl budgeting / domain blocklists)
     "x_text_url_hosts" -> ((s, d) =>
       Urls.hostStats(urlFixture(s, d), "url")),
-    // robots.txt-derived blocklist rules: per-host robots bodies (five
+    // robots.txt-derived blocklist rules: per-host robots bodies (six
     // deterministic variants exercising comments, case, whitespace,
-    // agent-run accumulation, and non-matching agents) parsed by the
-    // documented REP subset — hosts fully disallowed for '*' come back
-    // as exact-host rules for the blocklist gate
+    // agent-run accumulation, non-matching agents, and a comment line
+    // INSIDE a User-agent run — which per RFC 9309 must not end the run)
+    // parsed by the documented REP subset — hosts fully disallowed for
+    // '*' come back as exact-host rules for the blocklist gate
     "x_text_robots" -> ((s, d) => {
       val h = pmod(col("doc_id"), lit(37))
       val robots = Tables.documents(s, d).select(
         concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
-        when(pmod(h, lit(5)) === 0,
+        when(pmod(h, lit(6)) === 0,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /")))
-          .when(pmod(h, lit(5)) === 1,
+          .when(pmod(h, lit(6)) === 1,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /private"),
               lit(""), lit("User-agent: badbot"), lit("Disallow: /")))
-          .when(pmod(h, lit(5)) === 2,
+          .when(pmod(h, lit(6)) === 2,
             concat_ws("\n", lit("# note"), lit("USER-AGENT: *   "),
               lit(" Disallow:   /  ")))
-          .when(pmod(h, lit(5)) === 3,
+          .when(pmod(h, lit(6)) === 3,
             concat_ws("\n", lit("User-agent: badbot"), lit("User-agent: *"),
               lit("Disallow: /")))
+          .when(pmod(h, lit(6)) === 4,
+            concat_ws("\n", lit("User-agent: *"), lit("# interleaved note"),
+              lit("User-agent: badbot"), lit("Disallow: /")))
           .otherwise(concat_ws("\n", lit("User-agent: badbot"), lit("Disallow: /")))
           .as("robots_txt")).distinct()
       Urls.robotsDisallowedHosts(robots, "host", "robots_txt")
+    }),
+    // robots PATH rules + RFC 9309 longest-match gate (the dominant real
+    // robots shape — path-level Disallow with Allow carve-outs): five
+    // per-host body variants exercise a path Disallow under a longer
+    // Allow, an Allow/Disallow LENGTH TIE (Allow wins), a specific-UA
+    // group overriding '*' (tier selection), an empty Disallow (matches
+    // nothing), and three-level longest-match nesting; eight
+    // deterministic URL paths probe every branch. The oracle replays
+    // group selection, the tier filter, octet-prefix matching, and the
+    // (length DESC, allow DESC) election relationally
+    "x_text_robots_paths" -> ((s, d) => {
+      val h = pmod(col("doc_id"), lit(37))
+      val robots = Tables.documents(s, d).select(
+        concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
+        when(pmod(h, lit(5)) === 0,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /private"),
+              lit("Allow: /private/ok")))
+          .when(pmod(h, lit(5)) === 1,
+            concat_ws("\n", lit("User-agent: *"), lit("Allow: /p"),
+              lit("Disallow: /p"), lit("Disallow: /public")))
+          .when(pmod(h, lit(5)) === 2,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /"), lit(""),
+              lit("User-agent: graftbot"), lit("Disallow: /private")))
+          .when(pmod(h, lit(5)) === 3,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow:")))
+          .otherwise(concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a"),
+            lit("Allow: /a/b"), lit("Disallow: /a/b/c")))
+          .as("robots_txt")).distinct()
+      val rules = Urls.robotsPathRules(robots, "host", "robots_txt",
+        userAgent = "graftbot")
+      val paths = array(lit("/"), lit("/private/ok/x"), lit("/private/y"),
+        lit("/p/z"), lit("/a/b/c/d"), lit("/a/b/q"), lit("/a/x"), lit("/public"))
+      val urls = Tables.documents(s, d).select(col("doc_id").as("url_id"),
+        concat(lit("https://site"), h.cast("string"), lit(".example.com"),
+          element_at(paths, (pmod(col("doc_id"), lit(8)) + 1).cast("int"))).as("url"))
+      Urls.robotsBlockedPathIds(urls, "url_id", "url", rules)
     }),
     // incremental (cross-run) URL dedup: even-id urls play the standing
     // canonical store; the full fixture is the new batch — the cheapest
@@ -357,6 +397,30 @@ private[graft] object RegistryDedup {
           .withColumn("text",
             regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n")),
         "doc_id", "text")),
+    // incremental (cross-run) paragraph NEAR-dup: the x_dedup_paragraphs_near
+    // fixture split even/odd — even docs' paragraph BAND INDEX plays the
+    // standing store, odd docs are the new batch. A batch class is cut
+    // when its hash is standing (exact tier), when a standing class
+    // occupies any of its band buckets (near tier — reflowed boilerplate
+    // from an earlier run), or when it loses the batch-internal bucket
+    // election; the ingested corpus is never re-read, only its narrow
+    // (lh, band, key) index
+    "x_dedup_paragraphs_near_incremental" -> ((s, d) => {
+      val para = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 3 === 1,
+            regexp_replace(col("text"), "\\bthe\\b", "th3"))
+            .otherwise(col("text")))
+        .withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){20})", "$1\n\n"))
+      val standing = Dedup.paragraphBandIndex(
+        para.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.nearDedupParagraphsIncremental(
+        para.filter(col("doc_id") % 2 === 1), "doc_id", "text", standing)
+    }),
     // ---- extension: cross-table fuzzy join (record linkage) ----
     // clean reference keys (12-hex md5 prefixes, high-entropy) linked to
     // a deterministically dirtied feed (one substitution at a
@@ -731,15 +795,17 @@ private[graft] object RegistryDedup {
          |SELECT host, count(*) AS n_pages,
          |       count(DISTINCT canonical_url) AS n_urls
          |FROM urlcanon GROUP BY host""".stripMargin,
-    // the REP-subset parse replayed relationally: lines numbered, groups
-    // = cumulative count of User-agent RUN starts, a group matches when
-    // any of its UA lines names '*', blocked = matching group holding a
-    // root Disallow
+    // the REP-subset parse replayed relationally: lines numbered,
+    // comment-only/blank lines DROPPED before grouping (they end no UA
+    // run — RFC 9309), groups = cumulative count of User-agent RUN
+    // starts over the remaining lines, a group matches when any of its
+    // UA lines names '*', blocked = matching group holding a root
+    // Disallow
     "x_text_robots" ->
       """WITH robots AS (
         |  SELECT DISTINCT
         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
-        |    CASE CAST((doc_id % 37) % 5 AS INT)
+        |    CASE CAST((doc_id % 37) % 6 AS INT)
         |      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
         |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
         |                  || chr(10) || chr(10) || 'User-agent: badbot'
@@ -747,6 +813,9 @@ private[graft] object RegistryDedup {
         |      WHEN 2 THEN '# note' || chr(10) || 'USER-AGENT: *   '
         |                  || chr(10) || ' Disallow:   /  '
         |      WHEN 3 THEN 'User-agent: badbot' || chr(10) || 'User-agent: *'
+        |                  || chr(10) || 'Disallow: /'
+        |      WHEN 4 THEN 'User-agent: *' || chr(10) || '# interleaved note'
+        |                  || chr(10) || 'User-agent: badbot'
         |                  || chr(10) || 'Disallow: /'
         |      ELSE 'User-agent: badbot' || chr(10) || 'Disallow: /'
         |    END AS txt
@@ -771,6 +840,7 @@ private[graft] object RegistryDedup {
         |         trim(regexp_replace(trim(regexp_replace(line, '#.*', '')),
         |                             '^[^:]*:', '')) AS after
         |  FROM l
+        |  WHERE trim(regexp_replace(line, '#.*', '')) <> ''
         |),
         |r AS (
         |  SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY i),
@@ -789,6 +859,94 @@ private[graft] object RegistryDedup {
         |SELECT DISTINCT g.host AS rule
         |FROM g JOIN m USING (host, grp)
         |WHERE g.is_dis AND g.after = '/' AND m.matches""".stripMargin,
+    // the PATH-rule parse + longest-match gate replayed relationally:
+    // the x_text_robots line/group machinery extended with Allow
+    // directives and per-group agent sets; tier selection keeps a host's
+    // graftbot-group rules when any exist, else its '*' rules; the
+    // decision is the (prefix length DESC, allow DESC) election over
+    // octet-prefix matches, blocked = best rule is a Disallow
+    "x_text_robots_paths" ->
+      """WITH robots AS (
+        |  SELECT DISTINCT
+        |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+        |    CASE CAST((doc_id % 37) % 5 AS INT)
+        |      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+        |                  || chr(10) || 'Allow: /private/ok'
+        |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Allow: /p'
+        |                  || chr(10) || 'Disallow: /p'
+        |                  || chr(10) || 'Disallow: /public'
+        |      WHEN 2 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+        |                  || chr(10) || chr(10) || 'User-agent: graftbot'
+        |                  || chr(10) || 'Disallow: /private'
+        |      WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow:'
+        |      ELSE 'User-agent: *' || chr(10) || 'Disallow: /a'
+        |           || chr(10) || 'Allow: /a/b' || chr(10) || 'Disallow: /a/b/c'
+        |    END AS txt
+        |  FROM documents
+        |),
+        |l AS (
+        |  SELECT host, CAST(i AS INT) AS i, ls[CAST(i AS INT)] AS line
+        |  FROM (SELECT host,
+        |               string_split(regexp_replace(txt, chr(13), '', 'g'),
+        |                            chr(10)) AS ls,
+        |               unnest(range(1,
+        |                 len(string_split(regexp_replace(txt, chr(13), '', 'g'),
+        |                                  chr(10))) + 1)) AS i
+        |        FROM robots)
+        |),
+        |f AS (
+        |  SELECT host, i,
+        |         starts_with(lower(trim(regexp_replace(line, '#.*', ''))),
+        |                     'user-agent:') AS is_ua,
+        |         starts_with(lower(trim(regexp_replace(line, '#.*', ''))),
+        |                     'allow:') AS is_allow,
+        |         starts_with(lower(trim(regexp_replace(line, '#.*', ''))),
+        |                     'disallow:') AS is_dis,
+        |         trim(regexp_replace(trim(regexp_replace(line, '#.*', '')),
+        |                             '^[^:]*:', '')) AS after
+        |  FROM l
+        |  WHERE trim(regexp_replace(line, '#.*', '')) <> ''
+        |),
+        |r AS (
+        |  SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY i),
+        |                     false) AS prev_ua
+        |  FROM f
+        |),
+        |g AS (
+        |  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY host ORDER BY i) AS grp
+        |  FROM r
+        |),
+        |m AS (
+        |  SELECT host, grp,
+        |         bool_or(is_ua AND lower(after) = '*') AS m_star,
+        |         bool_or(is_ua AND lower(after) = 'graftbot') AS m_ua
+        |  FROM g GROUP BY host, grp
+        |),
+        |saw AS (SELECT host, bool_or(m_ua) AS saw_ua FROM m GROUP BY host),
+        |eff AS (
+        |  SELECT DISTINCT g.host, g.is_allow AS allow, g.after AS path
+        |  FROM g
+        |  JOIN m USING (host, grp)
+        |  JOIN saw USING (host)
+        |  WHERE (g.is_allow OR g.is_dis) AND g.after <> ''
+        |    AND (m.m_star OR m.m_ua) AND m.m_ua = saw.saw_ua
+        |),
+        |urls AS (
+        |  SELECT doc_id AS url_id,
+        |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+        |    (['/', '/private/ok/x', '/private/y', '/p/z', '/a/b/c/d',
+        |      '/a/b/q', '/a/x', '/public'])[CAST(doc_id % 8 AS INT) + 1] AS path
+        |  FROM documents
+        |),
+        |matched AS (
+        |  SELECT u.url_id, e.allow,
+        |    row_number() OVER (PARTITION BY u.url_id
+        |                       ORDER BY length(e.path) DESC, e.allow DESC) AS rn
+        |  FROM urls u
+        |  JOIN eff e ON u.host = e.host AND starts_with(u.path, e.path)
+        |)
+        |SELECT url_id FROM matched WHERE rn = 1 AND NOT allow""".stripMargin,
     // cross-run URL dedup ≡ the full-fixture dedup restricted to
     // canonicals absent from the standing (even-id) store
     "x_dedup_url_incremental" ->
@@ -962,6 +1120,118 @@ private[graft] object RegistryDedup {
          |              chr(10) || chr(10)), '')
          |       END AS cleaned
          |FROM sp s LEFT JOIN dl d USING (doc_id)""".stripMargin,
+    // incremental paragraph NEAR-dup: the near chain split into the
+    // standing (even-doc) side — distinct classes + their band keys —
+    // and the batch (odd-doc) side; cuts = exact standing hits, batch
+    // classes sharing a bucket with ANY standing class, batch-internal
+    // bucket-election losers (over ALL novel classes — a near-hit class
+    // still occupies its buckets, the one-pass election), and survivors'
+    // non-first occurrences
+    "x_dedup_paragraphs_near_incremental" ->
+      s"""WITH up AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents
+         |),
+         |mu AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 1
+         |              THEN regexp_replace(text, '\\bthe\\b', 'th3', 'g')
+         |              ELSE text END AS text
+         |  FROM up
+         |),
+         |para AS (
+         |  SELECT doc_id,
+         |         regexp_replace(text, '((?:\\S+ ){20})',
+         |                        '\\1' || chr(10) || chr(10), 'g') AS text
+         |  FROM mu
+         |),
+         |sp AS (SELECT doc_id, text,
+         |              string_split(text, chr(10) || chr(10)) AS ls FROM para),
+         |ex AS (
+         |  SELECT doc_id, CAST(i AS INT) - 1 AS p, ls[CAST(i AS INT)] AS u
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM sp)
+         |),
+         |cn AS (SELECT doc_id, p,
+         |              lower(trim(regexp_replace(u, '\\s+', ' ', 'g'))) AS cu
+         |       FROM ex),
+         |el AS (SELECT doc_id, p, cu, ${duckHash60("cu")} AS ph FROM cn
+         |       WHERE length(cu) >= 1),
+         |sel AS (SELECT * FROM el WHERE doc_id % 2 = 0),
+         |bel AS (SELECT * FROM el WHERE doc_id % 2 = 1),
+         |sph AS (SELECT DISTINCT ph FROM sel),
+         |scw AS (
+         |  SELECT ph, list_filter(regexp_split_to_array(min(cu), '\\s+'),
+         |                         t -> length(t) > 0) AS w
+         |  FROM sel GROUP BY ph
+         |),
+         |ssg AS (
+         |  SELECT ph,
+         |    list_transform(range(0, 8), j -> list_min(list_transform(
+         |      list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+         |        i -> array_to_string(w[i+1:i+3], ' '))),
+         |      s -> md5(CAST(j AS VARCHAR) || '#' || s)))) AS sig
+         |  FROM scw
+         |),
+         |sbd AS (
+         |  SELECT s.ph, g.band,
+         |         md5(array_to_string(s.sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM ssg s, generate_series(0, 3) g(band)
+         |),
+         |occ AS (SELECT ph, doc_id, p,
+         |               row_number() OVER (PARTITION BY ph ORDER BY doc_id, p) AS rn
+         |        FROM bel),
+         |hitocc AS (SELECT o.doc_id, o.p FROM occ o JOIN sph USING (ph)),
+         |nocc AS (SELECT o.* FROM occ o LEFT JOIN sph s USING (ph)
+         |         WHERE s.ph IS NULL),
+         |mk AS (SELECT ph, doc_id AS mk_doc, p AS mk_p FROM nocc WHERE rn = 1),
+         |bcw AS (
+         |  SELECT b.ph, list_filter(regexp_split_to_array(min(b.cu), '\\s+'),
+         |                           t -> length(t) > 0) AS w
+         |  FROM bel b JOIN mk USING (ph) GROUP BY b.ph
+         |),
+         |bsg AS (
+         |  SELECT ph,
+         |    list_transform(range(0, 8), j -> list_min(list_transform(
+         |      list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+         |        i -> array_to_string(w[i+1:i+3], ' '))),
+         |      s -> md5(CAST(j AS VARCHAR) || '#' || s)))) AS sig
+         |  FROM bcw
+         |),
+         |bbd AS (
+         |  SELECT s.ph, g.band,
+         |         md5(array_to_string(s.sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM bsg s, generate_series(0, 3) g(band)
+         |),
+         |nearhit AS (
+         |  SELECT DISTINCT b.ph FROM bbd b
+         |  JOIN sbd s ON b.band = s.band AND b.key = s.key
+         |),
+         |bj AS (SELECT b.ph, b.band, b.key, m.mk_doc, m.mk_p
+         |       FROM bbd b JOIN mk m USING (ph)),
+         |lsr AS (
+         |  SELECT DISTINCT ph FROM (
+         |    SELECT ph, row_number() OVER (PARTITION BY band, key
+         |                                  ORDER BY mk_doc, mk_p) AS brn
+         |    FROM bj
+         |  ) WHERE brn > 1
+         |),
+         |cut AS (SELECT ph FROM nearhit UNION SELECT ph FROM lsr),
+         |drops AS (
+         |  SELECT doc_id, p FROM hitocc
+         |  UNION ALL
+         |  SELECT o.doc_id, o.p FROM nocc o LEFT JOIN cut USING (ph)
+         |  WHERE cut.ph IS NOT NULL OR o.rn > 1
+         |),
+         |dl AS (SELECT doc_id, list(p) AS dp FROM drops GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |       CASE WHEN d.dp IS NULL THEN s.text
+         |            ELSE coalesce(array_to_string(
+         |              list_filter(s.ls, (x, i) -> NOT list_contains(d.dp, i - 1)),
+         |              chr(10) || chr(10)), '')
+         |       END AS cleaned
+         |FROM sp s LEFT JOIN dl d USING (doc_id)
+         |WHERE s.doc_id % 2 = 1""".stripMargin,
     "x_fuzzy_join" ->
       """WITH clean AS (
         |  SELECT c_custkey AS cid,

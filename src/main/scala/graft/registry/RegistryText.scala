@@ -484,9 +484,11 @@ private[graft] object RegistryText {
         |    FROM step s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
         |  )
         |)
-        |SELECT t.doc_id, t.grp, p.shard, p.pack_id
-        |FROM t JOIN (SELECT grp, shard, pack_id FROM step
-        |             WHERE grp IS NOT NULL) p USING (grp)""".stripMargin,
+        |SELECT t.doc_id, t.grp, p.shard, p.pack_id, p.pack_pos
+        |FROM t JOIN (SELECT grp, shard, pack_id,
+        |               CAST(row_number() OVER (PARTITION BY shard, pack_id
+        |                                       ORDER BY rn) AS BIGINT) AS pack_pos
+        |             FROM step WHERE grp IS NOT NULL) p USING (grp)""".stripMargin,
     "x_pack_summary" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,

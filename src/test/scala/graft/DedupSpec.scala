@@ -357,6 +357,63 @@ class DedupSpec extends SparkSpec {
       s"election must stay a band-bucket window + equi joins:\n$plan")
   }
 
+  test("nearDedupParagraphsIncremental: incremental law, all three tiers, re-delivery") {
+    // guaranteed near pairs (no LSH luck): token sequences with IDENTICAL
+    // n-gram shingle SETS but different canonical strings share every
+    // band by construction — 'rep one rep one rep' vs '... rep one'
+    // filler paragraphs share NO trigram with each other (a shared
+    // 3-shingle would make them near-dups of one another and pollute the
+    // tier assertions)
+    val ingested = Seq(
+      (1L, "alpha beta gamma delta epsilon\n\nfirst ingested filler about misty fjords"),
+      (2L, "ping pong ping pong ping\n\nsecond ingested filler regarding copper bells")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ping pong ping pong ping pong\n\ntenth filler where crocodiles cross rivers"),
+      (11L, "alpha beta gamma delta epsilon\n\neleventh filler as lanterns glow dimly"),
+      (12L, "rep one rep one rep\n\ntwelfth filler since foxes chase kites"),
+      (13L, "rep one rep one rep one\n\nthirteenth filler because pigeons study maps")
+    ).toDF("doc_id", "text")
+    val standing = Dedup.paragraphBandIndex(ingested, "doc_id", "text")
+    val got = Dedup.nearDedupParagraphsIncremental(batch, "doc_id", "text", standing)
+      .as[(Long, String)].collect().toMap
+    // the incremental law: ≡ the corpus-wide operator over
+    // (ingested ∪ batch) restricted to the batch (ingested ids order
+    // first and the standing index holds ALL ingested classes)
+    val full = Dedup.nearDedupParagraphsAcrossCorpus(
+        ingested.unionByName(batch), "doc_id", "text")
+      .filter($"doc_id" >= 10L).as[(Long, String)].collect().toMap
+    assert(got === full, "incremental ≠ corpus-wide restricted to the batch")
+    assert(got(10L) === "tenth filler where crocodiles cross rivers",
+      "NEAR tier: a reflow of a standing paragraph is cut without re-reading the corpus")
+    assert(got(11L) === "eleventh filler as lanterns glow dimly",
+      "EXACT tier: a standing canonical repeat is cut")
+    assert(got(12L).startsWith("rep one rep one rep"),
+      "batch-novel bucket winner keeps its first occurrence")
+    assert(got(13L) === "thirteenth filler because pigeons study maps",
+      "batch-internal election: the larger first-occurrence near twin is cut")
+    // the novel complement IS the index append; a re-delivered batch is
+    // absorbed entirely and ingests nothing
+    val grown = standing.unionByName(
+      Dedup.novelParagraphBands(batch, "doc_id", "text", standing))
+    val again = Dedup.nearDedupParagraphsIncremental(batch, "doc_id", "text", grown)
+      .as[(Long, String)].collect().toMap
+    assert(again.values.forall(_ === ""),
+      "every paragraph of a re-delivered batch is standing — all cut")
+    assert(Dedup.novelParagraphBands(batch, "doc_id", "text", grown).count() === 0,
+      "re-delivery appends nothing to the index")
+  }
+
+  test("nearDedupParagraphsIncremental plan: two index probes + bucket window, no all-pairs") {
+    val standing = Seq((1L, 0, 7L)).toDF("lh", "band", "key")
+    val batch = Seq((1L, "a b c\n\nd e f"), (2L, "a b c\n\ng h i")).toDF("doc_id", "text")
+    val plan = Dedup.nearDedupParagraphsIncremental(batch, "doc_id", "text", standing)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental election must stay semi-join probes + a bucket window:\n$plan")
+  }
+
   test("duplicatedSpansExact equals brute force on a planted-overlap fixture") {
     val k = 10
     // planted overlaps: docs 1/2 share a k+5 block mid-text (one maximal

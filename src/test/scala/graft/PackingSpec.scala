@@ -168,11 +168,15 @@ class PackingSpec extends SparkSpec {
     ).toDF("doc_id", "grp", "n")
     val got = Packing.packGroupsBestFit(df, "doc_id", "grp", col("n"),
       budget = 10L, shards = 1)
-      .select("doc_id", "pack_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      .select("doc_id", "pack_id", "pack_pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     // BFD over totals: 9->bin0, 8->bin1, 6->bin2, 5->bin3, 5->bin3(10),
-    // 2->bin1(10); both grp-0 rows share bin 0, the null group lands bin 1
-    assert(got === Seq((0L, 0L), (1L, 0L), (10L, 1L), (20L, 2L),
-      (30L, 3L), (40L, 3L), (50L, 1L)))
+    // 2->bin1(10); both grp-0 rows share bin 0, the null group lands bin 1.
+    // pack_pos = the GROUP's assignment order in its pack (row-form
+    // contract at group level): grp 4 is bin 3's 2nd, null grp is bin 1's
+    // 2nd, every first occupant is 1 — both grp-0 ROWS share pos 1
+    assert(got === Seq((0L, 0L, 1L), (1L, 0L, 1L), (10L, 1L, 1L),
+      (20L, 2L, 1L), (30L, 3L, 1L), (40L, 3L, 2L), (50L, 1L, 2L)))
     // corpus: atomicity + one row per input + repartition stability
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("grp", (col("doc_id") % 25).cast("long"))
@@ -186,6 +190,31 @@ class PackingSpec extends SparkSpec {
     val again = Packing.packGroupsBestFit(corpus.repartition(13), "doc_id", "grp",
       tok, budget = 2048L, shards = 4)
     assert(big.exceptAll(again).count() === 0 && again.exceptAll(big).count() === 0)
+  }
+
+  test("packGroupsBestFit: non-integral id refused; all-null-id group packs in the null shard") {
+    // the packBestFit boundary guard, not a deep-plan NPE: a string id
+    // would null every grp_key % shards and explode inside mapPartitions
+    val bad = Seq(("a", 0L, 5L)).toDF("doc_id", "grp", "n")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packGroupsBestFit(bad, "doc_id", "grp", col("n"), budget = 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+    // integral ids that are ALL null within a group: grp_key (min id) is
+    // null, so the group's shard is null — it must pack deterministically
+    // there (the packGroups tolerance), not NPE in the state machine
+    val withNulls = Seq(
+      (Some(0L), 0L, 4L), (Some(1L), 0L, 5L),
+      (Option.empty[Long], 7L, 3L), (Option.empty[Long], 7L, 2L)
+    ).toDF("doc_id", "grp", "n")
+    val out = Packing.packGroupsBestFit(withNulls, "doc_id", "grp", col("n"),
+      budget = 10L, shards = 2)
+    assert(out.count() === 4, "one output row per input row")
+    val nullShard = out.filter($"grp" === 7L)
+      .select("shard", "pack_id", "pack_pos")
+      .as[(Option[Long], Long, Long)].collect().toSeq
+    assert(nullShard === Seq((None, 0L, 1L), (None, 0L, 1L)),
+      "the all-null-id group lands whole in the null shard's first bin")
   }
 
   test("packBestFit: no more bins than budget-respecting next-fit; repartition-stable") {

@@ -234,6 +234,20 @@ class PlanAuditSpec extends SparkSpec {
       "blocklist gate degraded to an all-pairs / regex-driven shape")
   }
 
+  test("robots path gate: rules broadcast into a host hash equi-join, never a loop join") {
+    // the PATH gate's 100 TB posture (the blocklist-gate pin's sibling):
+    // parsed (host, allow, path) rules are robots-corpus-sized and
+    // broadcast; the corpus meets them in ONE hash equi-join on the host
+    // string with the octet-prefix test as the join's residual filter —
+    // a BroadcastNestedLoopJoin here would mean the prefix test displaced
+    // the equi key and every URL scans every rule
+    val p = finalPlanOf("x_text_robots_paths")
+    assert(p.contains("BroadcastHashJoin"),
+      "robots path gate lost its broadcast host equi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "robots path gate degraded to an all-pairs shape")
+  }
+
   test("best-fit packing shuffles narrow triples only — the text never moves") {
     // packBestFit's mapPartitions is fed by a projection of (id, shard,
     // token count): the exchange must carry exactly those three columns,

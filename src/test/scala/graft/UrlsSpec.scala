@@ -194,6 +194,80 @@ class UrlsSpec extends SparkSpec {
       "exact-host robots rules block the host itself, not its subdomains")
   }
 
+  test("robotsBlocksAll: a comment/blank line does not end a User-agent run") {
+    // RFC 9309: groups are delimited by directive lines, not by comments
+    // or blank lines — 'User-agent: *' / '# note' / 'User-agent: badbot'
+    // / 'Disallow: /' is ONE group naming both agents
+    val robots = Seq(
+      ("c0.com", "User-agent: *\n# note\nUser-agent: badbot\nDisallow: /"),
+      ("c1.com", "User-agent: *\n\nUser-agent: badbot\nDisallow: /"),
+      // control: a DIRECTIVE between the UA lines still splits the groups
+      ("c2.com", "User-agent: *\nDisallow: /private\nUser-agent: badbot\nDisallow: /")
+    ).toDF("host", "robots_txt")
+    val rules = Urls.robotsDisallowedHosts(robots, "host", "robots_txt")
+    assert(rules.as[String].collect().sorted.toSeq === Seq("c0.com", "c1.com"),
+      "comment and blank lines keep the UA run open; a directive closes it")
+  }
+
+  test("robotsPathRules + robotsBlockedPathIds: RFC 9309 longest-match hand vectors") {
+    val robots = Seq(
+      // Allow carve-out under a longer match
+      ("p0.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+      // LENGTH TIE between Allow and Disallow -> Allow wins (RFC least-
+      // restrictive rule); an unrelated Disallow still blocks
+      ("p1.com", "User-agent: *\nAllow: /p\nDisallow: /p\nDisallow: /public"),
+      // tier selection: a specific group exists -> '*' must NOT leak
+      ("p2.com", "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nDisallow: /private"),
+      // empty Disallow matches nothing
+      ("p3.com", "User-agent: *\nDisallow:"),
+      // an EMPTY specific group allows everything ('*' still must not leak)
+      ("p4.com", "User-agent: *\nDisallow: /\n\nUser-agent: graftbot"),
+      // prefix rules are not segment-aligned: /foo matches /foobar
+      ("p5.com", "User-agent: *\nDisallow: /foo")
+    ).toDF("host", "robots_txt")
+    val rules = Urls.robotsPathRules(robots, "host", "robots_txt", userAgent = "graftbot")
+    // rule-set shape: p2/p4 keep only their graftbot tier, p3 parses to
+    // no rules at all (empty path), p4's specific group is empty
+    val r2 = rules.filter($"host" === "p2.com")
+      .select("allow", "path").as[(Boolean, String)].collect().toSeq
+    assert(r2 === Seq((false, "/private")), "specific tier only — '*' rules dropped")
+    assert(rules.filter($"host" === "p3.com").count() === 0, "empty Disallow parses away")
+    assert(rules.filter($"host" === "p4.com").count() === 0,
+      "an empty specific group yields no rules AND suppresses the '*' tier")
+    val pages = Seq(
+      (0L, "https://p0.com/private/ok/x"),  // Allow /private/ok (11) > Disallow /private (8)
+      (1L, "https://p0.com/private/y"),     // Disallow /private -> blocked
+      (2L, "https://p1.com/p/z"),           // tie at /p -> Allow wins
+      (3L, "https://p1.com/public"),        // Disallow /public -> blocked
+      (4L, "https://p2.com/private/y"),     // graftbot tier -> blocked
+      (5L, "https://p2.com/anything"),      // '*' root Disallow must not leak
+      (6L, "https://p3.com/x"),             // no rules -> allowed
+      (7L, "https://p4.com/x"),             // empty specific group -> allowed
+      (8L, "https://p5.com/foobar"),        // octet prefix, not segment -> blocked
+      (9L, "https://p5.com/fo"),            // shorter than the rule -> allowed
+      (10L, "https://unlisted.com/x")       // host without robots -> allowed
+    ).toDF("id", "url")
+    val blocked = Urls.robotsBlockedPathIds(pages, "id", "url", rules)
+      .as[Long].collect().sorted.toSeq
+    assert(blocked === Seq(1L, 3L, 4L, 8L))
+    val kept = Urls.filterRobotsPathBlocked(pages, "id", "url", rules)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(0L, 2L, 5L, 6L, 7L, 9L, 10L))
+  }
+
+  test("robots path gate plan: rules broadcast, host hash equi-join, no corpus regex") {
+    val robots = Seq(("p0.com", "User-agent: *\nDisallow: /private"))
+      .toDF("host", "robots_txt")
+    val rules = Urls.robotsPathRules(robots, "host", "robots_txt")
+    val pages = Seq((1L, "https://p0.com/private/y")).toDF("id", "url")
+    val plan = Urls.robotsBlockedPathIds(pages, "id", "url", rules)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the rule probe must be a broadcast hash equi-join on the host")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "prefix verify rides the equi-join as a residual, never a loop join")
+  }
+
   test("incrementalDuplicateUrls absorbs the NULL canonical class across runs") {
     // a null URL canonicalizes to a null key; a plain = anti-join never
     // matches null, so without the null-safe probe the null class would
