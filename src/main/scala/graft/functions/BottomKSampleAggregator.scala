@@ -51,3 +51,44 @@ case class BottomKSampleAggregator(k: Int)
   override def bufferEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
 }
+
+/** [[BottomKSampleAggregator]] finishing with the retained (hash, value)
+  * PAIRS — the persistable synopsis form behind
+  * [[graft.operators.Sketches.quantileSynopsis]]: keeping the hashes is
+  * what makes the sample MERGEABLE after the fact (the bottom-k of a
+  * union is decided by the hashes; a values-only sample cannot re-enter
+  * an election). Pairs come back sorted by (hash, value) — the trim
+  * order — so the output is deterministic under any partial-merge order.
+  *
+  * A pair with NaN in either slot is SKIPPED at reduce: the callers fold
+  * "row has no sampleable value" (null id / null value) into NaN so the
+  * synopsis can ride inside a single multi-aggregate pass over data that
+  * other aggregates in the same pass DO count (a Spark UDAF cannot
+  * filter its own input rows). hashUniform never emits NaN, so no real
+  * key is lost.
+  */
+case class BottomKPairSampleAggregator(k: Int)
+    extends Aggregator[(Double, Double), Seq[(Double, Double)], Seq[(Double, Double)]] {
+  require(k >= 1, "k must be at least 1")
+
+  private def trim(buf: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    buf.distinct.sorted.take(k)
+
+  override def zero: Seq[(Double, Double)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Double)], uv: (Double, Double)): Seq[(Double, Double)] = {
+    if (uv._1.isNaN || uv._2.isNaN) buf
+    else {
+      val appended = buf :+ uv
+      if (appended.size.toLong > 4L * k) trim(appended) else appended
+    }
+  }
+
+  override def merge(a: Seq[(Double, Double)], b: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    trim(a ++ b)
+
+  override def finish(buf: Seq[(Double, Double)]): Seq[(Double, Double)] = trim(buf)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(Double, Double)]] = ExpressionEncoder()
+}

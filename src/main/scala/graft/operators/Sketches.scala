@@ -331,6 +331,86 @@ object Sketches {
       .select((groupCols.map(col) :+ col("q") :+ col("est_value") :+ col("n_sample")): _*)
   }
 
+  /** QUANTILE SYNOPSIS of one shard/batch: the ≤ k hash-smallest DISTINCT
+    * (uniform, value) pairs of the slice, one row each — the mergeable,
+    * persistable form of [[approxQuantilesBottomK]]'s state and the
+    * quantile member of the KMV/CMS/HLL synopsis-merge-estimate family.
+    * A production store keeps one synopsis per ingest batch and answers
+    * "token-length distribution so far" by [[quantileMerge]] +
+    * [[quantileEstimate]] without re-reading ANY shard.
+    *
+    * Why bottom-k and not KLL or GK: GK summaries have no merge at all;
+    * KLL merges, but its compaction is ORDER-SENSITIVE — under Spark's
+    * nondeterministic partial-aggregate merge order the same data can
+    * yield different registers run to run, which breaks both this
+    * library's repartition-stability contract and any relational oracle
+    * replay. The bottom-k sample's merge is a SEMILATTICE (the k
+    * hash-smallest pairs of a union), so it is order-free, idempotent,
+    * and lossless — the property every sketch here carries — at the
+    * price of more state per unit of accuracy: by the DKW inequality a
+    * k-row uniform sample bounds EVERY quantile's rank error at once,
+    * P(sup error > ε) ≤ 2·exp(−2kε²), i.e. ε = sqrt(ln(2/δ) / (2k)) —
+    * k = 256 gives ~8.5% rank error at 95% confidence, k = 4096 ~2%
+    * (a KLL of equal size would give ~10× less; size k to the need).
+    * Exact when the slice has ≤ k distinct (uniform, value) pairs. */
+  def quantileSynopsis(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      k: Int = 256,
+      salt: String = "bkq"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val bkp = udaf(graft.functions.BottomKPairSampleAggregator(k))
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(Sampling.hashUniform(col(idCol), salt).as("__u"),
+        col(valueCol).cast("double").as("__v"))
+      .agg(bkp(col("__u"), col("__v")).as("__s"))
+      .select(explode(col("__s")).as("p"))
+      .select(col("p._1").as("u"), col("p._2").as("v"))
+  }
+
+  /** EXACT merge of quantile synopses: the k hash-smallest distinct
+    * (uniform, value) pairs of the union. Lossless by the same synopsis
+    * invariant as [[kmvMerge]] — any pair among the k global smallest is
+    * among its own shard's k smallest — so [[quantileEstimate]] over the
+    * merge EQUALS the fresh whole-corpus estimate (the law the
+    * `x_sketch_quantile_merged` oracle pins). Inputs are ≤ k rows each;
+    * nothing here scales with the data. */
+  def quantileMerge(synopses: Seq[DataFrame], k: Int = 256): DataFrame = {
+    require(synopses.nonEmpty, "need at least one synopsis")
+    require(k >= 1, "k must be at least 1")
+    val bkp = udaf(graft.functions.BottomKPairSampleAggregator(k))
+    synopses.reduce(_ unionByName _)
+      .agg(bkp(col("u"), col("v")).as("__s"))
+      .select(explode(col("__s")).as("p"))
+      .select(col("p._1").as("u"), col("p._2").as("v"))
+  }
+
+  /** Quantile estimates from a (possibly merged) synopsis — the same
+    * lower-value-convention read as [[approxQuantilesBottomK]]: quantile
+    * q is the value-sorted sample at index floor(q·(m−1)). Re-trims to
+    * the k hash-smallest pairs first, so feeding a merged-but-untrimmed
+    * union is safe. One row per q: (q, est_value rounded to 6,
+    * n_sample). */
+  def quantileEstimate(
+      synopsis: DataFrame,
+      qs: Seq[Double],
+      k: Int = 256): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "qs must be non-empty quantiles in [0, 1]")
+    val trimmed = slice(array_sort(collect_list(struct(col("u"), col("v")))), 1, k)
+    synopsis
+      .agg(trimmed.as("__ps"))
+      .select(array_sort(transform(col("__ps"), p => p.getField("v"))).as("__vs"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("est_value",
+        round(element_at(col("__vs"),
+          (floor(col("q") * (size(col("__vs")) - 1)) + 1).cast("int")), 6))
+      .withColumn("n_sample", size(col("__vs")))
+      .select(col("q"), col("est_value"), col("n_sample"))
+  }
+
   // ---- HyperLogLog with deterministic registers ----
 
   /** HLL register synopsis per group (Flajolet, Fusy, Gandouet &

@@ -920,6 +920,49 @@ object TextAnalysis {
           count(col("n_tok")), 6).as("tokens_mean"))
   }
 
+  /** [[corpusReport]] answering its percentile rows from the bottom-k
+    * quantile sketch instead of exact percentiles — the 100 TB form: the
+    * exact report's `percentile` is a global sort of the token counts,
+    * while the sketch crosses the exchange as ONE ≤ k-pair synopsis (the
+    * [[Sketches.quantileSynopsis]] state, riding the SAME single
+    * aggregation pass as the counts — null texts fold to NaN pairs the
+    * aggregator skips, since a UDAF cannot filter rows the neighboring
+    * counts must still see). Count and mean columns are exactly
+    * [[corpusReport]]'s; p50/p90/p99 carry the sketch's DKW rank-error
+    * envelope (~sqrt(ln(2/δ)/(2k)) — k = 256 ≈ 8.5% at 95%, spec-pinned
+    * against the exact row). Needs an id column to hash the sample on. */
+  def corpusReportSketched(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 256,
+      salt: String = "bkq"): DataFrame = {
+    val bkp = udaf(graft.functions.BottomKPairSampleAggregator(k))
+    val t = col("text")
+    val nan = lit(Double.NaN)
+    val est = (vs: org.apache.spark.sql.Column, q: Double) =>
+      round(element_at(vs, (floor(lit(q) * (size(vs) - 1)) + 1).cast("int")), 6)
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("n_tok", tokenCount(t))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(t.isNull, 1)).as("n_null"),
+        count(when(length(t) === 0, 1)).as("n_empty"),
+        bkp(
+          when(col("id").isNotNull && col("n_tok").isNotNull,
+            Sampling.hashUniform(col("id"), salt)).otherwise(nan),
+          coalesce(col("n_tok").cast("double"), nan)).as("__s"),
+        round(sum(col("n_tok").cast("decimal(28,6)")).cast("double") /
+          count(col("n_tok")), 6).as("tokens_mean"))
+      .withColumn("__vs", array_sort(transform(col("__s"), p => p.getField("_2"))))
+      .select(col("n_docs"), col("n_null"), col("n_empty"),
+        est(col("__vs"), 0.5).as("tokens_p50"),
+        est(col("__vs"), 0.9).as("tokens_p90"),
+        est(col("__vs"), 0.99).as("tokens_p99"),
+        col("tokens_mean"),
+        size(col("__vs")).as("n_sample"))
+  }
+
   /** One-stop profile of a document table. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

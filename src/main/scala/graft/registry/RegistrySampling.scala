@@ -97,6 +97,20 @@ private[graft] object RegistrySampling {
         Sketches.kmvSynopsis(ev.filter(pmod(col("event_id"), lit(3)) === b), "user_id", k = 64))
       Sketches.kmvEstimate(Sketches.kmvMerge(parts, k = 64), k = 64)
     }),
+    // MERGED quantile synopses: three disjoint order batches each persist
+    // a ≤ 256-pair bottom-k synopsis; merge + estimate must EQUAL the
+    // fresh single-pass estimate — the semilattice merge law that makes
+    // bottom-k the right mergeable quantile sketch here (KLL's
+    // order-sensitive compaction could not hash-match any replay). The
+    // oracle computes the fresh whole-corpus statement
+    "x_sketch_quantile_merged" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val parts = (0 to 2).map(b =>
+        Sketches.quantileSynopsis(ord.filter(pmod(col("o_orderkey"), lit(3)) === b),
+          "o_orderkey", "o_totalprice", k = 256))
+      Sketches.quantileEstimate(Sketches.quantileMerge(parts, k = 256),
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 256)
+    }),
     // MERGED Count-Min sketches: per-batch cell counts sum to exactly
     // the fresh corpus sketch (counts are linear), so probing the merged
     // cells answers the SAME estimates as x_sketch_cms — same oracle
@@ -252,6 +266,22 @@ private[graft] object RegistrySampling {
          |SELECT p_partkey, min(coalesce(c, 0)) AS est_count
          |FROM pr LEFT JOIN sk USING (hj, b)
          |GROUP BY p_partkey""".stripMargin,
+    // merged synopsis ≡ single pass (the quantile merge law), so the
+    // oracle IS the fresh global bottom-k statement on the same
+    // parameters — the x_sketch_kmv_merged accounting, quantile flavor
+    "x_sketch_quantile_merged" ->
+      s"""WITH d AS (
+         |  SELECT DISTINCT ${duckHashUniform("o_orderkey", "bkq")} AS u,
+         |         CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+         |),
+         |r AS (SELECT u, v, row_number() OVER (ORDER BY u, v) AS rn FROM d),
+         |s AS (SELECT list_sort(list(v)) AS vs, count(*) AS m FROM r WHERE rn <= 256)
+         |SELECT CAST(q AS DOUBLE) AS q,
+         |       round(vs[CAST(floor(CAST(q AS DOUBLE) * (m - 1)) AS INT) + 1], 6)
+         |         AS est_value,
+         |       CAST(m AS INT) AS n_sample
+         |FROM s, (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)""".stripMargin,
     // bottom-k quantiles: the k hash-smallest DISTINCT (uniform, value)
     // pairs per group are the sample in both engines; quantile q reads
     // the sorted sample at floor(q*(m-1)) (lower-value convention)

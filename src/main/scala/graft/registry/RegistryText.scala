@@ -63,6 +63,14 @@ private[graft] object RegistryText {
     }),
     "x_text_report" -> ((s, d) =>
       TextAnalysis.corpusReport(Tables.documents(s, d), "text")),
+    // the corpus report answering its percentiles from the bottom-k
+    // quantile sketch — the 100 TB form (x_text_report's exact
+    // percentile is a global sort of the token counts; the sketch
+    // crosses the exchange as one ≤ 256-pair synopsis riding the same
+    // aggregation pass as the counts)
+    "x_text_report_sketched" -> ((s, d) =>
+      TextAnalysis.corpusReportSketched(Tables.documents(s, d), "doc_id", "text",
+        k = 256)),
     "x_text_redact" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))),
@@ -730,5 +738,40 @@ private[graft] object RegistryText {
         |  round(CAST(sum(CAST(n_tok AS DECIMAL(28,6))) AS DOUBLE) / count(n_tok), 6)
         |    AS tokens_mean
         |FROM d""".stripMargin,
+    // the sketched report: count/mean columns are x_text_report's; the
+    // percentiles read the bottom-k sample (the x_sketch_quantiles CTE,
+    // one global group keyed on doc_id) at floor(q*(m-1))
+    "x_text_report_sketched" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     t -> length(t) > 0) AS w
+         |  FROM documents
+         |),
+         |d AS (SELECT doc_id, text, len(w) AS n_tok FROM toks),
+         |sm AS (
+         |  SELECT DISTINCT ${duckHashUniform("doc_id", "bkq")} AS u,
+         |         CAST(n_tok AS DOUBLE) AS v
+         |  FROM d WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+         |),
+         |r AS (SELECT u, v, row_number() OVER (ORDER BY u, v) AS rn FROM sm),
+         |s AS (SELECT list_sort(list(v)) AS vs, count(*) AS m FROM r WHERE rn <= 256),
+         |c AS (
+         |  SELECT count(*) AS n_docs,
+         |    count(CASE WHEN text IS NULL THEN 1 END) AS n_null,
+         |    count(CASE WHEN length(text) = 0 THEN 1 END) AS n_empty,
+         |    round(CAST(sum(CAST(n_tok AS DECIMAL(28,6))) AS DOUBLE) / count(n_tok), 6)
+         |      AS tokens_mean
+         |  FROM d
+         |)
+         |SELECT c.n_docs, c.n_null, c.n_empty,
+         |  round(s.vs[CAST(floor(CAST(0.5 AS DOUBLE) * (s.m - 1)) AS INT) + 1], 6)
+         |    AS tokens_p50,
+         |  round(s.vs[CAST(floor(CAST(0.9 AS DOUBLE) * (s.m - 1)) AS INT) + 1], 6)
+         |    AS tokens_p90,
+         |  round(s.vs[CAST(floor(CAST(0.99 AS DOUBLE) * (s.m - 1)) AS INT) + 1], 6)
+         |    AS tokens_p99,
+         |  c.tokens_mean, CAST(s.m AS INT) AS n_sample
+         |FROM c, s""".stripMargin,
   )
 }

@@ -357,4 +357,90 @@ class SketchesSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(a.toSeq === b.toSeq)
   }
+
+  test("quantile synopsis merge is a lossless semilattice: merged ≡ single-pass, idempotent") {
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val single = Sketches.quantileSynopsis(ord, "o_orderkey", "o_totalprice", k = 64)
+    val parts = (0 to 3).map(b =>
+      Sketches.quantileSynopsis(ord.filter(pmod($"o_orderkey", lit(4)) === b),
+        "o_orderkey", "o_totalprice", k = 64))
+    val merged = Sketches.quantileMerge(parts, k = 64)
+    assert(merged.exceptAll(single).count() === 0 &&
+      single.exceptAll(merged).count() === 0,
+      "merge of per-shard synopses must equal the whole-corpus synopsis")
+    // idempotent (semilattice): re-merging an already-merged shard is a no-op
+    val again = Sketches.quantileMerge(Seq(merged, parts.head), k = 64)
+    assert(again.exceptAll(single).count() === 0 &&
+      single.exceptAll(again).count() === 0)
+    // and the estimates answer the fresh statement
+    val e1 = Sketches.quantileEstimate(merged, Seq(0.5, 0.9), k = 64)
+      .as[(Double, Double, Int)].collect().sorted.toSeq
+    val e2 = Sketches.quantileEstimate(single, Seq(0.5, 0.9), k = 64)
+      .as[(Double, Double, Int)].collect().sorted.toSeq
+    assert(e1 === e2)
+  }
+
+  test("quantile estimate sits inside the DKW rank-error envelope vs the exact distribution") {
+    // DKW at k = 256: eps = sqrt(ln(2/δ)/(2k)) ≈ 0.085 at δ = 0.05; the
+    // sample is hash-deterministic so this either holds forever or fails
+    // loudly — assert the documented bound with no slack games
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+      .filter($"o_totalprice".isNotNull && $"o_orderkey".isNotNull)
+    val n = ord.count().toDouble
+    val syn = Sketches.quantileSynopsis(ord, "o_orderkey", "o_totalprice", k = 256)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val est = Sketches.quantileEstimate(syn, qs, k = 256)
+      .select("q", "est_value").as[(Double, Double)].collect().toMap
+    qs.foreach { q =>
+      val v = est(q)
+      val rank = ord.filter($"o_totalprice".cast("double") <= v).count() / n
+      assert(math.abs(rank - q) <= 0.085,
+        s"q=$q estimate $v has empirical rank $rank — outside the DKW envelope")
+    }
+  }
+
+  test("quantile synopsis is exact below k and invariant under repartitioning") {
+    val small = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 40.0)).toDF("id", "v")
+    val est = Sketches.quantileEstimate(
+      Sketches.quantileSynopsis(small, "id", "v", k = 64), Seq(0.0, 0.5, 1.0), k = 64)
+      .select("q", "est_value").as[(Double, Double)].collect().toMap
+    // 4 < k: the sample IS the data; lower-value convention on the sorted
+    // values [10,20,30,40]: q=0.5 -> index floor(0.5*3)=1 -> 20
+    assert(est(0.0) === 10.0 && est(0.5) === 20.0 && est(1.0) === 40.0)
+    val ord = graft.sources.Tables.orders(spark, sfDir)
+    val a = Sketches.quantileSynopsis(ord, "o_orderkey", "o_totalprice", k = 32)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Sketches.quantileSynopsis(ord.repartition(7), "o_orderkey", "o_totalprice", k = 32)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("corpusReportSketched: counts and mean equal the exact report; percentiles in envelope") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val exact = TextAnalysis.corpusReport(docs, "text").collect()(0)
+    val sk = TextAnalysis.corpusReportSketched(docs, "doc_id", "text", k = 256).collect()(0)
+    assert(sk.getAs[Long]("n_docs") === exact.getAs[Long]("n_docs"))
+    assert(sk.getAs[Long]("n_null") === exact.getAs[Long]("n_null"))
+    assert(sk.getAs[Long]("n_empty") === exact.getAs[Long]("n_empty"))
+    assert(sk.getAs[Double]("tokens_mean") === exact.getAs[Double]("tokens_mean"))
+    // percentile envelope against the exact token-count distribution
+    val counts = docs.select(TextAnalysis.tokenCount(col("text")).cast("double").as("c"))
+      .filter($"c".isNotNull)
+    val n = counts.count().toDouble
+    Seq(0.5 -> "tokens_p50", 0.9 -> "tokens_p90").foreach { case (q, c) =>
+      val v = sk.getAs[Double](c)
+      val rank = counts.filter($"c" <= v).count() / n
+      assert(math.abs(rank - q) <= 0.085, s"$c=$v rank $rank outside DKW envelope")
+    }
+    // null texts fold to NaN pairs the aggregator skips: the sample never
+    // absorbs a null row, while the SAME single pass still counts it
+    val tiny = Seq((1L, Some("a b c")), (2L, Some("d e")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.corpusReportSketched(tiny, "doc_id", "text", k = 256).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 3L && r.getAs[Long]("n_null") === 1L)
+    assert(r.getAs[Int]("n_sample") === 2, "the null row must not occupy a sample slot")
+    // 2 < k: exact fallback — values [2,3], q=0.5 reads floor(0.5*1)=0 -> 2
+    assert(r.getAs[Double]("tokens_p50") === 2.0)
+  }
 }
