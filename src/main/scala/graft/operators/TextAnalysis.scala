@@ -175,6 +175,116 @@ object TextAnalysis {
     merges
   }
 
+  /** Learn a BPE merges table FROM the corpus — the training half of the
+    * tokenizer lifecycle ([[bpeCount]]/[[bpeEncode]] consume the result;
+    * the GPT-2 loader/saver round-trips it): the public BPE algorithm
+    * (Sennrich, Haddow & Birch, ACL'16 — count adjacent symbol pairs over
+    * the word-frequency table, merge the most frequent, repeat), run over
+    * the SAME pre-tokenization as the encode kernels (split on the space
+    * byte, non-first pre-tokens keep their leading space) so a learned
+    * table is exactly what the kernels expect. The result is
+    * training-well-formed BY CONSTRUCTION — every rule's symbols are
+    * single bytes or products of strictly earlier rules — so it passes
+    * [[validateBpeMerges]] and the sequential-replay oracle form holds.
+    *
+    * Scale shape: the corpus is scanned ONCE into a distinct-pre-token
+    * frequency table (vocabulary-sized, ≪ corpus — the classic trainer's
+    * word-count dict); each round is one pair-count aggregation over that
+    * table plus a driver-side collect of exactly ONE row (the elected
+    * pair — rounds-bounded driver state, the ops-cadence contract), and
+    * the merge applies as a single codegen'd string `replace` over the
+    * encoded column (symbols ride as `<hex>`-wrapped byte strings, so a
+    * left-to-right non-overlapping replace IS the BPE merge application;
+    * wrappers make cross-token and partial-symbol matches impossible).
+    * Each round's table persists and the previous round's unpersists —
+    * per-round cost stays O(vocabulary), never O(rounds · corpus).
+    *
+    * Ties elect deterministically by (count DESC, left ASC, right ASC);
+    * training stops early when no adjacent pair reaches `minPairCount`
+    * (a rank learned from a once-seen pair generalizes nothing).
+    *
+    * @param rounds        merge rules to learn (bounded driver loop)
+    * @param minPairCount  stop when the best pair's weighted count is
+    *                      below this (default 2)
+    * @return learned merges, rank order — [[bpeCount]]-ready
+    */
+  def bpeTrainMerges(
+      df: DataFrame,
+      textCol: String,
+      rounds: Int,
+      minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(rounds >= 1, "rounds must be at least 1")
+    require(minPairCount >= 1L, "minPairCount must be at least 1")
+    // pre-tokens, the kernel convention: split on ' ', non-first keep the
+    // leading space, empties drop (a run of spaces yields ' ' pre-tokens)
+    val pt = df.select(col(textCol).as("t")).filter(col("t").isNotNull)
+      .select(posexplode(split(col("t"), " ", -1)).as(Seq("i", "w")))
+      .select(when(col("i") === 0, col("w"))
+        .otherwise(concat(lit(" "), col("w"))).as("tok"))
+      .filter(col("tok") =!= "")
+    // the word-frequency table, symbols encoded as wrapped hex bytes:
+    // "th" -> "<74><68>" — merge (74, 68) is replace("<74><68>", "<7468>")
+    var wf = pt.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(lower(hex(col("tok"))), "([0-9a-f]{2})", "<$1>").as("enc"),
+        col("freq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      val top = wf
+        .select(regexp_extract_all(col("enc"), lit("<([0-9a-f]+)>"), lit(1)).as("sy"),
+          col("freq"))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("a"),
+            element_at(col("sy"), i + 1).as("b")))).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = wf.select(
+          replace(col("enc"), lit(s"<$a><$b>"), lit(s"<${a + b}>")).as("enc"),
+          col("freq")).persist()
+        next.count() // materialize before releasing the parent
+        wf.unpersist(blocking = false)
+        wf = next
+      }
+      r += 1
+    }
+    wf.unpersist(blocking = false)
+    merges.toVector
+  }
+
+  /** Byte→unicode map of the public GPT-2 alphabet — inverse of
+    * [[unicodeToByte]], for [[saveBpeMerges]]. */
+  private lazy val byteToUnicode: Map[Int, Char] =
+    unicodeToByte.map { case (c, b) => (b, c) }
+
+  /** Write a merges table in the public GPT-2 `merges.txt` format — the
+    * inverse of [[loadBpeMerges]] (load(save(t)) == t, spec-pinned):
+    * each hex-byte symbol maps through the byte→unicode alphabet, one
+    * `left right` rule per line under a `#version` header. Driver-side
+    * like the loader: a merges table is a bounded model artifact. */
+  def saveBpeMerges(merges: Seq[(String, String)], path: String): Unit = {
+    def toAlphabet(sym: String): String = {
+      require(sym.matches("([0-9a-f]{2})+"),
+        s"'$sym' is not a lowercase-hex byte string")
+      sym.grouped(2).map(h => byteToUnicode(Integer.parseInt(h, 16))).mkString
+    }
+    val lines = "#version: 0.2" +:
+      merges.map { case (a, b) => s"${toAlphabet(a)} ${toAlphabet(b)}" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
   /** Deterministic ~55k-rule stress vocabulary for measuring kernel cost
     * at a production vocabulary size (the real ~50k GPT-2 merges file is
     * licensed DATA, not shippable): every printable-ASCII digram ranked

@@ -180,6 +180,20 @@ private[graft] object RegistryText {
       Packing.packByCount(Tables.documents(s, d), "doc_id",
         TextAnalysis.bpeCount(col("text"),
           TextAnalysis.StressBpeMerges50k).cast("long"), budget = 8192L, shards = 8)),
+    // TOKENIZER TRAINING: learn the first 8 merge rules from the corpus
+    // by iterative top-pair election over the distinct-pre-token
+    // frequency table (the public BPE algorithm; ties break (count DESC,
+    // pair ASC)); the oracle replays all 8 rounds as an unrolled CTE
+    // chain over the same wrapped-hex word encoding. The learned table
+    // is training-well-formed by construction — validated in the call,
+    // so the registered row doubles as the validates-check
+    "x_text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val merges = TextAnalysis.validateBpeMerges(
+        TextAnalysis.bpeTrainMerges(Tables.documents(s, d), "text", rounds = 8))
+      merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    }),
     // the id-emitting side of the tokenizer: the token STREAM a training
     // pipeline feeds the model (bpeCount only sizes it). Exploded to
     // scalar rows for the compare; 1/13 of the corpus bounds the row
@@ -216,7 +230,53 @@ private[graft] object RegistryText {
     }),
   )
 
+  /** The BPE training election replayed as an UNROLLED CTE chain, one
+    * (m_r, w_r) pair per round: m_r elects round r's pair by
+    * (sum(freq) DESC, a, b) with the minPairCount floor, w_r applies it
+    * as the same wrapped-hex string replace the Spark side runs (symbols
+    * ride as `<hex>` tokens, so left-to-right non-overlapping replace IS
+    * the merge application). A round with no qualifying pair leaves m_r
+    * (and every later CTE) empty — exactly the Spark side's early stop. */
+  private def duckBpeTrainSql(rounds: Int, minPairCount: Long): String = {
+    val head =
+      s"""WITH pt AS (
+         |  SELECT CASE WHEN i = 1 THEN ls[CAST(i AS INT)]
+         |              ELSE ' ' || ls[CAST(i AS INT)] END AS tok
+         |  FROM (SELECT ls, unnest(range(1, len(ls) + 1)) AS i
+         |        FROM (SELECT string_split(text, ' ') AS ls
+         |              FROM documents WHERE text IS NOT NULL))
+         |),
+         |w0 AS (
+         |  SELECT regexp_replace(lower(hex(tok)), '([0-9a-f]{2})', '<\\1>', 'g') AS enc,
+         |         count(*) AS freq
+         |  FROM pt WHERE tok <> '' GROUP BY 1
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |m$r AS (
+         |  SELECT a, b FROM (
+         |    SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i AS INT) + 1] AS b, freq
+         |    FROM (SELECT sy, freq, unnest(range(1, len(sy))) AS i
+         |          FROM (SELECT regexp_extract_all(enc, '<([0-9a-f]+)>', 1) AS sy,
+         |                       freq
+         |                FROM w${r - 1}))
+         |  ) GROUP BY a, b HAVING sum(freq) >= $minPairCount
+         |  ORDER BY sum(freq) DESC, a, b LIMIT 1
+         |),
+         |w$r AS (
+         |  SELECT replace(w.enc, '<' || m.a || '><' || m.b || '>',
+         |                 '<' || m.a || m.b || '>') AS enc, w.freq
+         |  FROM w${r - 1} w, m$r m
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to rounds).map(r =>
+      s"""SELECT CAST(${r - 1} AS BIGINT) AS rank, a AS "left", b AS "right" FROM m$r""")
+      .mkString("\n", "\nUNION ALL ", "")
+    head + roundCtes + sel
+  }
+
   val oracles: Seq[(String, String)] = Seq(
+    "x_text_bpe_train" -> duckBpeTrainSql(rounds = 8, minPairCount = 2L),
     // token-run collapsing: keep w[i] iff it differs from w[i-1] (i = 1
     // always kept; w[0] is NULL in DuckDB's 1-based lists, and NULL <>
     // never passes, so the i = 1 arm carries the first token)

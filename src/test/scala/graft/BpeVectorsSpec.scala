@@ -115,6 +115,46 @@ class BpeVectorsSpec extends SparkSpec {
     assert(got === Seq(257, 0x20, 257))
   }
 
+  test("bpeTrainMerges: hand-derived elections, ties, space rule, early stop") {
+    // freq: "to" x2, " to" x1 -> round 1 elects (74,6f) at weighted count
+    // 3 over (20,74) at 1; round 2's only pair (20,746f) counts 1 < 2 ->
+    // early stop after ONE rule despite rounds = 8
+    val m1 = TextAnalysis.bpeTrainMerges(
+      Seq("to to", "to").toDF("text"), "text", rounds = 8)
+    assert(m1 === Seq("74" -> "6f"))
+    // the leading-space convention trains too: "a a a"/"a a" makes " a"
+    // (x3) beat bare "a" (x2, single symbol, no pair) -> rule (20,61)
+    val m2 = TextAnalysis.bpeTrainMerges(
+      Seq("a a a", "a a").toDF("text"), "text", rounds = 8)
+    assert(m2 === Seq("20" -> "61"))
+    // tie at count 2 breaks (left ASC, right ASC): (61,62) beats (63,64)
+    val m3 = TextAnalysis.bpeTrainMerges(
+      Seq("ab", "ab", "cd", "cd").toDF("text"), "text", rounds = 1)
+    assert(m3 === Seq("61" -> "62"))
+  }
+
+  test("learned merges validate, round-trip the GPT-2 format, and drive the kernels") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val learned = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 12)
+    assert(learned.size === 12, "sf corpus has 12 rounds of frequent pairs")
+    // training-well-formed BY CONSTRUCTION -> the validator accepts
+    assert(TextAnalysis.isTrainingWellFormed(learned))
+    // GPT-2 format round-trip: load(save(t)) == t
+    val dir = java.nio.file.Files.createTempDirectory("bpe_train")
+    val p = dir.resolve("learned.txt").toString
+    TextAnalysis.saveBpeMerges(learned, p)
+    assert(TextAnalysis.loadBpeMerges(p) === learned)
+    // the kernels consume the learned table: encode length == count on
+    // every doc, and the merges genuinely fire (fewer tokens than bytes)
+    val probe = docs.limit(50).select(
+      TextAnalysis.bpeCount(col("text"), learned).as("n"),
+      size(TextAnalysis.bpeEncode(col("text"), learned)).as("m"),
+      length(col("text")).as("bytes"))
+    assert(probe.filter(col("n") =!= col("m")).count() === 0)
+    assert(probe.filter(col("n") < col("bytes")).count() > 0,
+      "learned rules never fired — training is broken")
+  }
+
   test("loader rejects non-well-formed tables and alien alphabet chars") {
     val dir = java.nio.file.Files.createTempDirectory("bpe_bad")
     val notFormed = dir.resolve("bad1.txt")
