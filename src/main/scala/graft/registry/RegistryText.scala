@@ -211,6 +211,23 @@ private[graft] object RegistryText {
     // size is the pack's doc count, bounded by budget/min-doc-tokens,
     // never corpus-shaped; array_sort makes the unordered collect
     // deterministic
+    // the training-shard EXPORT — the last step before a training job
+    // reads the corpus: pack-level sequences land in fixed-count shard
+    // files (16 per file, deterministic shard=<s>/file_idx=<f>/data.parquet
+    // names) with a per-file manifest, committed as a store GENERATION
+    // (crash-safe, resumable — a died export leaves only invisible build
+    // debris). The row prices a fresh export every run and returns the
+    // manifest; the oracle replays the per-shard window assignment
+    "x_pack_shard_export" -> ((s, d) => {
+      val packed = Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512L, shards = 8)
+      val seqs = packed.groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
+      val path = "/tmp/graft_scratch/shard_export"
+      graft.sources.ShardExport.exportTrainingShards(seqs, path,
+        seqPerFile = 16, keep = 1)
+      graft.sources.ShardExport.shardManifest(s, path)
+    }),
     "x_pack_bpe_sequences" -> ((s, d) => {
       val merges = TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)
       val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(13)) === 0)
@@ -478,6 +495,37 @@ private[graft] object RegistryText {
         |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) AS BIGINT)
         |    AS pack_pos
         |FROM p""".stripMargin,
+    // the export's assignment law replayed: the x_pack_sequences chain
+    // rolled to pack level, file_idx = floor(rank/16) per shard stream,
+    // manifest = per-file counts + the deterministic address
+    "x_pack_shard_export" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT shard, n_tokens,
+        |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |),
+        |seqs AS (SELECT shard, pack_id FROM p GROUP BY shard, pack_id),
+        |a AS (
+        |  SELECT shard, pack_id,
+        |    CAST(floor((row_number() OVER (PARTITION BY shard ORDER BY pack_id)
+        |                - 1) / 16.0) AS BIGINT) AS file_idx
+        |  FROM seqs
+        |)
+        |SELECT shard, file_idx, count(*) AS n_seqs,
+        |  'shard=' || CAST(shard AS VARCHAR) || '/file_idx='
+        |    || CAST(file_idx AS VARCHAR) || '/data.parquet' AS file
+        |FROM a GROUP BY shard, file_idx""".stripMargin,
     // groups pack as units by total tokens (window over GROUPS, keyed and
     // sharded by each group's smallest doc_id), then join back to rows
     "x_pack_groups" ->

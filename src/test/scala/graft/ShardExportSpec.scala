@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, TextAnalysis}
+import graft.sources.{ShardExport, Store}
+
+class ShardExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def packLevel(shards: Int = 4) = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Packing.packSequences(docs, "doc_id", "text", budget = 512L, shards = shards)
+      .groupBy("shard", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens_total"))
+  }
+
+  test("fixed-count layout: every file full except each shard's last; round-trip reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("shardex").toString
+    val seqs = packLevel()
+    val gen = ShardExport.exportTrainingShards(seqs, dir, seqPerFile = 8)
+    assert(gen === 1L)
+    val manifest = ShardExport.shardManifest(spark, dir)
+    // fixed count: only the max file_idx of a shard may hold < 8
+    val short = manifest.as("m").join(
+        manifest.groupBy("shard").agg(max("file_idx").as("last")), Seq("shard"))
+      .filter($"n_seqs" =!= 8L && $"file_idx" =!= $"last")
+    assert(short.count() === 0, "a non-final shard file is not full")
+    assert(manifest.agg(sum("n_seqs")).as[Long].head() === seqs.count(),
+      "manifest sequence total conserves")
+    // round-trip: reading every shard file back yields exactly the input
+    val back = ShardExport.readAllShards(spark, dir)
+      .select($"shard".cast("long"), $"pack_id", $"n_docs", $"tokens_total")
+    val in = seqs.select($"shard", $"pack_id", $"n_docs", $"tokens_total")
+    assert(back.exceptAll(in).count() === 0 && in.exceptAll(back).count() === 0)
+    // deterministic addressing: a worker reads one file by name alone and
+    // gets exactly the manifest's row count for it
+    val first = manifest.orderBy("shard", "file_idx")
+      .select($"shard".cast("long"), $"file_idx", $"n_seqs")
+      .as[(Long, Long, Long)].head()
+    assert(ShardExport.readShard(spark, dir, first._1, first._2).count() === first._3)
+  }
+
+  test("assignment is a pure function: repartition-stable, window-law shaped") {
+    val seqs = packLevel()
+    val a = ShardExport.shardAssignment(seqs, 8)
+      .select("shard", "pack_id", "file_idx").collect().map(_.toString).sorted.toSeq
+    val b = ShardExport.shardAssignment(seqs.repartition(13), 8)
+      .select("shard", "pack_id", "file_idx").collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("re-export commits the next generation; a crashed build's debris is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("shardex2").toString
+    val seqs = packLevel()
+    assert(ShardExport.exportTrainingShards(seqs, dir, seqPerFile = 8, keep = 2) === 1L)
+    // simulate a writer that died mid-build: an uncommitted underscore
+    // sibling must neither resolve as a generation nor break the next one
+    val debris = new java.io.File(s"$dir/_gen_build_deadbeef")
+    debris.mkdirs()
+    java.nio.file.Files.writeString(debris.toPath.resolve("junk"), "partial")
+    assert(ShardExport.exportTrainingShards(seqs.limit(3), dir, seqPerFile = 2, keep = 2) === 2L)
+    assert(Store.listGenerations(spark, dir) === Seq(1L, 2L))
+    assert(ShardExport.shardManifest(spark, dir).agg(sum("n_seqs")).as[Long].head() === 3L,
+      "the latest generation answers the reads")
+    // the previous generation stays readable for pinned readers (keep = 2)
+    assert(spark.read.parquet(s"${Store.generationPath(dir, 1L)}/_shards_manifest")
+      .count() > 0)
+  }
+
+  test("the composed path: learned tokenizer -> packed sequences -> shard files") {
+    // the lifecycle the packing family exists for, end to end: train a
+    // merges table, size packs by its counts, export the shards
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = TextAnalysis.validateBpeMerges(
+      TextAnalysis.bpeTrainMerges(docs, "text", rounds = 4))
+    val packed = Packing.packByCount(docs, "doc_id",
+      TextAnalysis.bpeCount(col("text"), merges).cast("long"),
+      budget = 2048L, shards = 4)
+    val seqs = packed.groupBy("shard", "pack_id").agg(sum("n_tokens").as("tokens_total"))
+    val dir = java.nio.file.Files.createTempDirectory("shardex3").toString
+    ShardExport.exportTrainingShards(seqs, dir, seqPerFile = 4)
+    assert(ShardExport.shardManifest(spark, dir).agg(sum("n_seqs")).as[Long].head()
+      === seqs.count())
+  }
+}
