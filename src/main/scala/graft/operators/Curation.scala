@@ -177,4 +177,115 @@ object Curation {
       mediaDeduped, bench, idCol, textCol, shingleN, minHits)
     Sampling.assignSplit(clean.select(col(idCol)), idCol, splits)
   }
+
+  /** The per-document STAGED PREFIX of the curation pipeline — every
+    * gate-independent fact [[curate]]'s stages derive from the text,
+    * computed ONCE per corpus generation and persisted, so the family of
+    * curation questions (plain, url-gated, model-gated, language-gated,
+    * near-dup, media-dup) re-reads a narrow table instead of
+    * re-tokenizing the corpus per question:
+    *
+    *  - `keep`       — the [[TextAnalysis.gopherishFlags]] verdict (the
+    *                   hard Gopher thresholds);
+    *  - `q_score`    — the fixed-weight model score over the same metric
+    *                   columns (null when no model is staged);
+    *  - `lang`       — [[TextAnalysis.langId]];
+    *  - `content_hash` — the exact-dedup digest;
+    *  - `contaminated` — "shares ≥ minHits shingles with the benchmark"
+    *                   ([[Decontamination.contaminationReport]]'s flag —
+    *                   per-document, so it commutes with every later
+    *                   gate and election).
+    *
+    * All five are PER-DOCUMENT functions of the text (and the fixed
+    * bench/model), which is exactly why staging is sound: each curate
+    * question's gates select a SUBSET of documents, and subset-filtering
+    * commutes with per-document facts — only the dedup keep-first and
+    * the near-dup elections depend on which documents survive, and those
+    * run per-question in [[curateFromPrefix]] over these narrow columns.
+    *
+    * @return (idCol, keep, q_score, lang, content_hash, contaminated)
+    */
+  def curatePrefix(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 13,
+      minHits: Long = 1L,
+      qualityModel: Option[(Seq[(String, Double)], Double)] = None): DataFrame = {
+    val flagged = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
+    val scored = qualityModel.fold(
+      flagged.withColumn("q_score", lit(null).cast("double"))) { case (w, b) =>
+      flagged.withColumn("q_score", TextAnalysis.qualityScoreExpr(w, b))
+    }
+    val base = scored.select(col(idCol), col("keep"), col("q_score"),
+      TextAnalysis.langId(col(textCol)).as("lang"),
+      graft.functions.HashColumns.hashExpr(Seq(col(textCol))).as("content_hash"))
+    val flags = Decontamination.contaminationReport(
+        docs, bench, idCol, textCol, shingleN, minHits)
+      .select(col("doc_id").as(idCol), col("contaminated"))
+    base.join(flags, Seq(idCol))
+      .select(col(idCol), col("keep"), col("q_score"), col("lang"),
+        col("content_hash"), col("contaminated"))
+  }
+
+  /** [[curate]] answered from a staged [[curatePrefix]] — EQUAL output
+    * for the corresponding gate configuration (spec-pinned per gate), at
+    * narrow-column cost: the corpus text is never read. Gates filter the
+    * staged per-document facts; only the survivor-dependent stages run
+    * here (exact-dedup keep-first over (content_hash, id) pairs, the
+    * near-dup/media elections over STAGED pair stores restricted to
+    * survivors — exact because pair membership is pairwise, the
+    * [[curate]] argument).
+    *
+    * @param urlKeepIds   when set, keep only these ids (the url gate's
+    *                     survivor side — [[Urls.filterBlockedHosts]] of
+    *                     the url table, id column projected)
+    * @param minScore     when set, require `q_score >= minScore` (the
+    *                     prefix must have been staged WITH the model)
+    * @param languages    when set, keep only these [[TextAnalysis.langId]]
+    *                     classes
+    * @param nearDupPairs when set, the SimHash near-dup election runs
+    *                     over these staged pairs (cluster keep-minimum)
+    * @param mediaDupPairs when set, the media election follows, same form
+    * @return (idCol, split)
+    */
+  def curateFromPrefix(
+      prefix: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      urlKeepIds: Option[DataFrame] = None,
+      minScore: Option[Double] = None,
+      languages: Option[Set[String]] = None,
+      nearDupPairs: Option[DataFrame] = None,
+      mediaDupPairs: Option[DataFrame] = None,
+      ccMaxIters: Int = 25): DataFrame = {
+    require(minScore.isEmpty || prefix.columns.contains("q_score"),
+      "minScore needs a prefix staged with a quality model")
+    val gated = urlKeepIds.fold(prefix) { ids =>
+      prefix.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+    }
+    val quality = minScore.fold(gated.filter(col("keep"))) { ms =>
+      gated.filter(col("keep") && col("q_score") >= lit(ms))
+    }
+    val kept = languages.fold(quality) { ls =>
+      quality.filter(col("lang").isInCollection(ls.toSeq.sorted))
+    }
+    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+    val deduped = kept.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("contaminated"))
+    def elect(cur: DataFrame, pairs: Option[DataFrame]): DataFrame =
+      pairs.fold(cur) { staged =>
+        val ids = cur.select(col(idCol))
+        val restricted = staged
+          .join(ids.withColumnRenamed(idCol, "id_a"), Seq("id_a"), "left_semi")
+          .join(ids.withColumnRenamed(idCol, "id_b"), Seq("id_b"), "left_semi")
+        Dedup.keepCanonical(cur, idCol, restricted, maxIters = ccMaxIters)
+      }
+    val elected = elect(elect(deduped, nearDupPairs), mediaDupPairs)
+    Sampling.assignSplit(
+      elected.filter(!col("contaminated")).select(col(idCol)), idCol, splits)
+  }
 }

@@ -244,6 +244,26 @@ private[graft] object Helpers {
       Multimodal.phashNearDuplicates(
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"), bits, maxHamming))
 
+  /** Staged curation PREFIX ([[graft.operators.Curation.curatePrefix]]):
+    * the per-document facts (keep flag, model score, language, content
+    * hash, contamination flag) every curate-family question shares.
+    * Production computes them once per corpus generation — six questions
+    * re-tokenizing the same corpus was 12% of the bench (VERDICT r15) —
+    * and each question's own gates/dedup/election run over these narrow
+    * columns in [[graft.operators.Curation.curateFromPrefix]]. The
+    * x_curate row itself stays FRESH (the honest full-pipeline cost) and
+    * x_stage_build_curate prices this build. */
+  private[graft] def stagedCuratePrefix(s: SparkSession, d: String): DataFrame =
+    Store.readOrCreate(s,
+      s"/tmp/graft_staged/${dirTag(d, "documents")}/curate_prefix_n3") {
+      val docs = Tables.documents(s, d)
+      Curation.curatePrefix(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3, minHits = 1L,
+        qualityModel = Some((qualityWeights, qualityBias)))
+    }
+
   /** Staged standing labeling for the incremental-maintenance row: the
     * labels store as it stands BEFORE the 10%-batch arrives (pairs not
     * touching a doc_id ≡ 9 mod 10). */
@@ -631,6 +651,7 @@ private[graft] object Helpers {
     stagedHashStoreA(s, d).count()
     stagedBloomSynopsis(s, d).count()
     stagedPhashPairs(s, d, 16, 2).count()
+    stagedCuratePrefix(s, d).count()
     stagedSpanStores(s, d)
     stagedManifestSnapshot(s, d)
     stagedTierRuns13(s, d)

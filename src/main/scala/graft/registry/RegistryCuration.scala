@@ -99,8 +99,12 @@ private[graft] object RegistryCuration {
     // the pipeline with the domain-blocklist gate on: per-doc URLs carry
     // a deterministic host (every 11th doc on an "ads." subdomain); one
     // EXACT rule and one WILDCARD (*.domain, proper subdomains only)
-    // rule cut hosts BEFORE the quality scan — the suffix equi-join gate
-    // (never a corpus regex), composed as curation's first stage
+    // rule cut hosts BEFORE the quality stage — the suffix equi-join gate
+    // (never a corpus regex). Like every gated family member this reads
+    // the STAGED curation prefix (r15 VERDICT: the six curate rows
+    // re-tokenized the corpus per question — 12% of the bench); the gate
+    // itself and the survivor-dependent stages run per-question, and
+    // prefix ≡ fresh is spec-pinned in CurationSpec
     "x_curate_url" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -110,63 +114,50 @@ private[graft] object RegistryCuration {
           lit("site"), pmod(col("doc_id"), lit(37)).cast("string"),
           lit(".example.com/d/"), col("doc_id").cast("string")).as("url"))
       val rules = Seq("site5.example.com", "*.site7.example.com").toDF("rule")
-      Curation.curate(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", shingleN = 3,
-        urlGate = Some((urls, "url", rules)))
+      Curation.curateFromPrefix(stagedCuratePrefix(s, d), "doc_id",
+        urlKeepIds = Some(
+          Urls.filterBlockedHosts(urls, "doc_id", "url", rules).select("doc_id")))
     }),
     // the pipeline with the model-based quality gate on: the fixed-weight
-    // sigmoid score over the SAME metric columns the flags pass computed,
-    // kept at score >= 0.5 — the fastText-recipe second filter fused into
-    // the same scan
-    "x_curate_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Curation.curate(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", shingleN = 3,
-        qualityModel = Some((qualityWeights, qualityBias, qualityMinScore)))
-    }),
+    // sigmoid score staged beside the flags (same metric columns, same
+    // scan), kept at score >= 0.5 — the fastText-recipe second filter
+    "x_curate_quality" -> ((s, d) =>
+      Curation.curateFromPrefix(stagedCuratePrefix(s, d), "doc_id",
+        minScore = Some(qualityMinScore))),
     // the same pipeline with the optional language gate on: docs whose
-    // stopword-profile language is not English drop out at the scan stage
-    "x_curate_lang" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Curation.curate(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", shingleN = 3, languages = Some(Set("en")))
-    }),
+    // staged stopword-profile language is not English drop out
+    "x_curate_lang" -> ((s, d) =>
+      Curation.curateFromPrefix(stagedCuratePrefix(s, d), "doc_id",
+        languages = Some(Set("en")))),
     // curation with the near-dup cluster stage: exact dedup, then simhash
     // Hamming pairs -> transitive clusters -> keep the cluster minimum.
-    // Pairs come from the staged store, restricted inside `curate` to the
-    // surviving docs (pair membership is pairwise, so hamming<=1 pairs
-    // are exactly the staged hamming<=2 rows filtered) — curation reuses
-    // the corpus pair set instead of re-deriving its own
-    "x_curate_neardup" -> ((s, d) => {
+    // Pairs come from the staged store, restricted to the surviving docs
+    // (pair membership is pairwise, so hamming<=1 pairs are exactly the
+    // staged hamming<=2 rows filtered) — both the per-doc facts AND the
+    // pair set are computed once per corpus, never once per question
+    "x_curate_neardup" -> ((s, d) =>
+      Curation.curateFromPrefix(stagedCuratePrefix(s, d), "doc_id",
+        nearDupPairs = Some(stagedSimhashPairs(s, d, 16, 2).filter(col("hamming") <= 1)))),
+    // curation with the MEDIA near-dup stage: after exact dedup, the
+    // perceptual-hash pair store (aHash fingerprints -> pigeonhole
+    // Hamming pairs) drives the same transitive-cluster + keep-minimum
+    // election — the multimodal twin of x_curate_neardup
+    "x_curate_media" -> ((s, d) =>
+      Curation.curateFromPrefix(stagedCuratePrefix(s, d), "doc_id",
+        mediaDupPairs = Some(stagedPhashPairs(s, d, 16, 2)))),
+    // prefix-build accounting row: the honest cost of the staged
+    // curation prefix the five gated rows above amortize (quality
+    // metrics + model score + language + content hash + contamination
+    // flag, two corpus passes, one persisted write). Returns the built
+    // table for the oracle compare — the full prefix CONTENT is
+    // oracle-checked, not just its totals
+    "x_stage_build_curate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      Curation.curate(
+      buildScratch(s, "curate_prefix_n3")(Curation.curatePrefix(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", shingleN = 3, nearDup = Some((16, 1)),
-        nearDupPairs = Some(stagedSimhashPairs(s, d, 16, 2).filter(col("hamming") <= 1)))
-    }),
-    // curation with the MEDIA near-dup stage: after exact dedup, the docs'
-    // payloads run the perceptual-hash pipeline (aHash fingerprints ->
-    // pigeonhole Hamming pairs -> transitive clusters -> keep the cluster
-    // minimum) — the multimodal twin of x_curate_neardup, composing
-    // Multimodal.phashNearDuplicates into the same CC + election stages
-    "x_curate_media" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Curation.curate(
-        docs.filter(col("doc_id") % 20 =!= 0),
-        docs.filter(col("doc_id") % 20 === 0),
-        "doc_id", "text", shingleN = 3, mediaDup = Some((16, 2)),
-        // the staged full-corpus phash pair store, restricted to
-        // survivors inside curate — the production shape (pairs computed
-        // once per corpus, not once per question); equality with the
-        // in-query computation is spec-pinned in CurationSpec
-        mediaDupPairs = Some(stagedPhashPairs(s, d, 16, 2)))
+        "doc_id", "text", shingleN = 3, minHits = 1L,
+        qualityModel = Some((qualityWeights, qualityBias))))
     }),
     // row-level expectations with quarantine routing: each bad row
     // carries the names of the constraints it failed — one stateless
@@ -184,6 +175,33 @@ private[graft] object RegistryCuration {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // the staged prefix's FULL CONTENT replayed: quality keep predicate
+    // and model score over the shared metric CTE, the stopword-profile
+    // language argmax, the exact-dedup digest, and the any-shared-shingle
+    // contamination flag — all per-document facts, so the statement is
+    // gate-free and the six curate oracles stay untouched
+    "x_stage_build_curate" ->
+      s"""$docShinglesCte,
+         |$qualityMetricsCte,
+         |lng AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.langOrder.map(l => s"${duckLangHits(l)} AS c_$l").mkString(", ")}
+         |  FROM toks
+         |),
+         |bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 20 <> 0),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bench USING (s))
+         |SELECT m.doc_id,
+         |  ($qualityKeepPredicate) AS keep,
+         |  ${duckQualityScore(qualityWeights, qualityBias)} AS q_score,
+         |  ($duckLangCase) AS lang,
+         |  md5(coalesce(CAST(d.text AS VARCHAR), 'nan')) AS content_hash,
+         |  (h.doc_id IS NOT NULL) AS contaminated
+         |FROM m
+         |JOIN lng USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |LEFT JOIN hits h USING (doc_id)
+         |WHERE m.doc_id % 20 <> 0""".stripMargin,
     // the four curation stages in one statement; quality CTEs and the
     // keep predicate are the SAME vals the standalone x_text_quality
     // oracle uses, the split bound is written (0.9 + 0.05) so both

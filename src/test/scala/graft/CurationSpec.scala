@@ -157,6 +157,71 @@ class CurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("mediaDupPairs requires mediaDup"))
   }
 
+  test("curateFromPrefix equals curate for every gate configuration") {
+    // the staging law: every prefix column is a per-document fact, gates
+    // select subsets, and subset-filtering commutes with per-document
+    // facts — so the prefix path must be EQUAL, not approximately equal
+    val weights = Seq(
+      "mean_token_len" -> 0.4, "alpha_ratio" -> 2.5,
+      "top_bigram_ratio" -> -3.0, "top_trigram_ratio" -> -2.0)
+    val bias = -2.0
+    val prefix = Curation.curatePrefix(train, bench, "doc_id", "text",
+      shingleN = 3, minHits = 1L, qualityModel = Some((weights, bias))).persist()
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+        what: String): Unit =
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"prefix path diverged from the fresh pipeline: $what")
+    // plain
+    same(Curation.curateFromPrefix(prefix, "doc_id"),
+      Curation.curate(train, bench, "doc_id", "text", shingleN = 3), "plain")
+    // url gate (incl. docs with NO url row dropping)
+    val urls = train.select($"doc_id",
+      concat(lit("https://"),
+        when($"doc_id" % 11 === 0, lit("ads.")).otherwise(lit("")),
+        lit("site"), pmod($"doc_id", lit(37)).cast("string"),
+        lit(".example.com/d/"), $"doc_id".cast("string")).as("url"))
+      .filter($"doc_id" % 13 =!= 0)
+    val rules = Seq("site5.example.com", "*.site7.example.com").toDF("rule")
+    same(
+      Curation.curateFromPrefix(prefix, "doc_id",
+        urlKeepIds = Some(graft.operators.Urls
+          .filterBlockedHosts(urls, "doc_id", "url", rules).select("doc_id"))),
+      Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+        urlGate = Some((urls, "url", rules))), "url gate")
+    // model gate
+    same(
+      Curation.curateFromPrefix(prefix, "doc_id", minScore = Some(0.5)),
+      Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+        qualityModel = Some((weights, bias, 0.5))), "model gate")
+    // language gate
+    same(
+      Curation.curateFromPrefix(prefix, "doc_id", languages = Some(Set("en"))),
+      Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+        languages = Some(Set("en"))), "language gate")
+    // near-dup election over staged pairs
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", 16, 2)
+      .filter($"hamming" <= 1).persist()
+    same(
+      Curation.curateFromPrefix(prefix, "doc_id", nearDupPairs = Some(pairs)),
+      Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+        nearDup = Some((16, 1)), nearDupPairs = Some(pairs)), "near-dup election")
+    // media election over staged pairs
+    val mpairs = graft.operators.Multimodal.phashNearDuplicates(
+      graft.operators.Multimodal.asMedia(docs, "doc_id", "text"), 16, 2).persist()
+    same(
+      Curation.curateFromPrefix(prefix, "doc_id", mediaDupPairs = Some(mpairs)),
+      Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
+        mediaDup = Some((16, 2)), mediaDupPairs = Some(mpairs)), "media election")
+    // a prefix staged WITHOUT the model refuses a model gate loudly
+    val bare = Curation.curatePrefix(train.limit(50), bench, "doc_id", "text",
+      shingleN = 3).drop("q_score")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.curateFromPrefix(bare, "doc_id", minScore = Some(0.5))
+    }
+    assert(ex.getMessage.contains("quality model"))
+    prefix.unpersist(); pairs.unpersist(); mpairs.unpersist()
+  }
+
   test("each stage only removes rows; survivors carry a split") {
     val got = Curation.curate(train, bench, "doc_id", "text")
     assert(got.count() > 0)
