@@ -229,11 +229,12 @@ object Urls {
     * group). Directives with an EMPTY path match nothing (RFC: an empty
     * `Disallow:` allows everything) and are dropped at parse.
     *
-    * Documented subset (each omission is a caller-visible policy choice,
-    * not an approximation): path values are matched as PLAIN OCTET
-    * PREFIXES of the URL path — no `*`/`$` wildcards, no percent-encoding
-    * normalization, no query-string matching; `crawl-delay`/`sitemap`
-    * lines are ignored.
+    * Path values pass through VERBATIM (trimmed) — the matching
+    * semantics, including RFC 9309 `*` wildcards and the trailing `$`
+    * end anchor, live in [[robotsBlockedPathIds]]. Documented subset
+    * (each omission is a caller-visible policy choice, not an
+    * approximation): no percent-encoding normalization, no query-string
+    * matching; `crawl-delay`/`sitemap` lines are ignored.
     *
     * One scan-local fold per robots row (bodies are bounded); the output
     * is rules-shaped (rows ≈ directives across hosts — robots-file-sized,
@@ -292,19 +293,28 @@ object Urls {
   }
 
   /** Ids whose URL the robots PATH rules disallow under RFC 9309
-    * longest-match: among a host's rules whose path is an octet prefix
-    * of the URL path, the LONGEST wins; a length tie between an Allow
-    * and a Disallow resolves to Allow (the RFC's least-restrictive tie
-    * rule); no matching rule (or no rules for the host) means allowed.
+    * longest-match with FULL pattern semantics: a rule path matches as an
+    * octet prefix of the URL path, `*` inside it matches any octet
+    * sequence (including empty), and a TRAILING `$` anchors the match to
+    * the end of the path (a non-trailing `$` is a literal octet, the
+    * public-implementation convention). Among a host's matching rules
+    * the MOST SPECIFIC wins — specificity = the rule path's length as
+    * written, the public robots-matcher priority — and a specificity tie
+    * between an Allow and a Disallow resolves to Allow (the RFC's
+    * least-restrictive tie rule); no matching rule (or no rules for the
+    * host) means allowed.
     *
     * Join shape: the rule set is robots-corpus-sized (directives across
     * hosts — thousands-to-millions of short rows), so it BROADCASTS and
     * the corpus meets it in one hash equi-join on the exact host string
-    * with the prefix test as the join's residual filter; per-URL fan-out
-    * is bounded by that one host's rule count (a robots file is ≤ a few
-    * hundred directives), and the corpus is never regex-scanned.
-    * Deliberately NOT bucketed by first path segment: a prefix rule is
-    * not segment-aligned (`/foo` must match `/foobar`), so a segment
+    * with the pattern test as the join's residual filter. Each rule
+    * compiles ONCE (on the broadcast side) to a SQL LIKE pattern — `%`/
+    * `_`/`\` escaped, `*` → `%`, trailing-`$` anchor vs appended `%` —
+    * so the residual is the engine's native LIKE, never a per-rule regex
+    * over the corpus; per-URL fan-out is bounded by that one host's rule
+    * count (a robots file is ≤ a few hundred directives). Deliberately
+    * NOT bucketed by first path segment: a prefix rule is not
+    * segment-aligned (`/foo` must match `/foobar`), so a segment
     * equi-key would silently under-block — host equality already bounds
     * the verify work to one file's directives.
     *
@@ -316,17 +326,28 @@ object Urls {
       idCol: String,
       urlCol: String,
       rules: DataFrame): DataFrame = {
+    val anchored = col("__rpath").endsWith("$")
+    val body = when(anchored,
+        col("__rpath").substr(lit(1), length(col("__rpath")) - 1))
+      .otherwise(col("__rpath"))
+    // LIKE compile: escape the LIKE metachars in literal octets, then *
+    // becomes %; an anchored rule must match the WHOLE path, an
+    // unanchored one any prefix (trailing %)
+    val esc = replace(replace(replace(body,
+      lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+    val pat = replace(esc, lit("*"), lit("%"))
     val pr = rules.select(lower(trim(col("host"))).as("__rhost"),
         col("allow").cast("boolean").as("__rallow"), col("path").as("__rpath"))
       .filter(col("__rhost") =!= "" && col("__rpath").isNotNull && col("__rpath") =!= "")
       .distinct()
+      .withColumn("__rpat", when(anchored, pat).otherwise(concat(pat, lit("%"))))
     df.select(col(idCol), urlHost(col(urlCol)).as("__h"), urlPath(col(urlCol)).as("__p"))
       .filter(col("__h") =!= "")
       .join(broadcast(pr),
-        col("__h") === col("__rhost") && col("__p").startsWith(col("__rpath")))
+        col("__h") === col("__rhost") && like(col("__p"), col("__rpat"), lit('\\')))
       .groupBy(col(idCol))
-      // longest match, Allow wins ties: lexicographic struct max over
-      // (prefix length, allow) — (5, true) > (5, false) > (4, true)
+      // most specific match, Allow wins ties: lexicographic struct max
+      // over (rule length, allow) — (5, true) > (5, false) > (4, true)
       .agg(max(struct(length(col("__rpath")).as("l"),
         col("__rallow").as("allow"))).as("__best"))
       .filter(!col("__best").getField("allow"))

@@ -299,39 +299,47 @@ private[graft] object RegistryDedup {
       Urls.robotsDisallowedHosts(robots, "host", "robots_txt")
     }),
     // robots PATH rules + RFC 9309 longest-match gate (the dominant real
-    // robots shape — path-level Disallow with Allow carve-outs): five
+    // robots shape — path-level Disallow with Allow carve-outs): seven
     // per-host body variants exercise a path Disallow under a longer
     // Allow, an Allow/Disallow LENGTH TIE (Allow wins), a specific-UA
     // group overriding '*' (tier selection), an empty Disallow (matches
-    // nothing), and three-level longest-match nesting; eight
-    // deterministic URL paths probe every branch. The oracle replays
-    // group selection, the tier filter, octet-prefix matching, and the
+    // nothing), three-level longest-match nesting, a '$'-anchored
+    // wildcard suffix rule (/*.pdf$), and mid-pattern '*' wildcards with
+    // a wildcard-vs-wildcard specificity race; twelve deterministic URL
+    // paths probe every branch. The oracle replays group selection, the
+    // tier filter, the LIKE-compiled pattern match, and the
     // (length DESC, allow DESC) election relationally
     "x_text_robots_paths" -> ((s, d) => {
       val h = pmod(col("doc_id"), lit(37))
       val robots = Tables.documents(s, d).select(
         concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
-        when(pmod(h, lit(5)) === 0,
+        when(pmod(h, lit(7)) === 0,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /private"),
               lit("Allow: /private/ok")))
-          .when(pmod(h, lit(5)) === 1,
+          .when(pmod(h, lit(7)) === 1,
             concat_ws("\n", lit("User-agent: *"), lit("Allow: /p"),
               lit("Disallow: /p"), lit("Disallow: /public")))
-          .when(pmod(h, lit(5)) === 2,
+          .when(pmod(h, lit(7)) === 2,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /"), lit(""),
               lit("User-agent: graftbot"), lit("Disallow: /private")))
-          .when(pmod(h, lit(5)) === 3,
+          .when(pmod(h, lit(7)) === 3,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow:")))
-          .otherwise(concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a"),
-            lit("Allow: /a/b"), lit("Disallow: /a/b/c")))
+          .when(pmod(h, lit(7)) === 4,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a"),
+              lit("Allow: /a/b"), lit("Disallow: /a/b/c")))
+          .when(pmod(h, lit(7)) === 5,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /*.pdf$")))
+          .otherwise(concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a*z"),
+            lit("Allow: /a*zz")))
           .as("robots_txt")).distinct()
       val rules = Urls.robotsPathRules(robots, "host", "robots_txt",
         userAgent = "graftbot")
       val paths = array(lit("/"), lit("/private/ok/x"), lit("/private/y"),
-        lit("/p/z"), lit("/a/b/c/d"), lit("/a/b/q"), lit("/a/x"), lit("/public"))
+        lit("/p/z"), lit("/a/b/c/d"), lit("/a/b/q"), lit("/a/x"), lit("/public"),
+        lit("/docs/r.pdf"), lit("/docs/r.pdfx"), lit("/abcz"), lit("/abczz"))
       val urls = Tables.documents(s, d).select(col("doc_id").as("url_id"),
         concat(lit("https://site"), h.cast("string"), lit(".example.com"),
-          element_at(paths, (pmod(col("doc_id"), lit(8)) + 1).cast("int"))).as("url"))
+          element_at(paths, (pmod(col("doc_id"), lit(12)) + 1).cast("int"))).as("url"))
       Urls.robotsBlockedPathIds(urls, "url_id", "url", rules)
     }),
     // incremental (cross-run) URL dedup: even-id urls play the standing
@@ -862,14 +870,16 @@ private[graft] object RegistryDedup {
     // the PATH-rule parse + longest-match gate replayed relationally:
     // the x_text_robots line/group machinery extended with Allow
     // directives and per-group agent sets; tier selection keeps a host's
-    // graftbot-group rules when any exist, else its '*' rules; the
-    // decision is the (prefix length DESC, allow DESC) election over
-    // octet-prefix matches, blocked = best rule is a Disallow
+    // graftbot-group rules when any exist, else its '*' rules; rules
+    // compile to LIKE patterns (escape %/_/\, '*' -> '%', trailing-$
+    // anchor vs appended '%') and the decision is the
+    // (rule length DESC, allow DESC) election, blocked = best rule is a
+    // Disallow
     "x_text_robots_paths" ->
       """WITH robots AS (
         |  SELECT DISTINCT
         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
-        |    CASE CAST((doc_id % 37) % 5 AS INT)
+        |    CASE CAST((doc_id % 37) % 7 AS INT)
         |      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
         |                  || chr(10) || 'Allow: /private/ok'
         |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Allow: /p'
@@ -879,8 +889,11 @@ private[graft] object RegistryDedup {
         |                  || chr(10) || chr(10) || 'User-agent: graftbot'
         |                  || chr(10) || 'Disallow: /private'
         |      WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow:'
-        |      ELSE 'User-agent: *' || chr(10) || 'Disallow: /a'
+        |      WHEN 4 THEN 'User-agent: *' || chr(10) || 'Disallow: /a'
         |           || chr(10) || 'Allow: /a/b' || chr(10) || 'Disallow: /a/b/c'
+        |      WHEN 5 THEN 'User-agent: *' || chr(10) || 'Disallow: /*.pdf$'
+        |      ELSE 'User-agent: *' || chr(10) || 'Disallow: /a*z'
+        |           || chr(10) || 'Allow: /a*zz'
         |    END AS txt
         |  FROM documents
         |),
@@ -932,11 +945,23 @@ private[graft] object RegistryDedup {
         |  WHERE (g.is_allow OR g.is_dis) AND g.after <> ''
         |    AND (m.m_star OR m.m_ua) AND m.m_ua = saw.saw_ua
         |),
+        |cmp AS (
+        |  SELECT host, allow, path,
+        |    CASE WHEN ends_with(path, '$')
+        |         THEN replace(replace(replace(replace(
+        |                substr(path, 1, length(path) - 1),
+        |                '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+        |         ELSE replace(replace(replace(replace(path,
+        |                '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') || '%'
+        |    END AS pat
+        |  FROM eff
+        |),
         |urls AS (
         |  SELECT doc_id AS url_id,
         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
         |    (['/', '/private/ok/x', '/private/y', '/p/z', '/a/b/c/d',
-        |      '/a/b/q', '/a/x', '/public'])[CAST(doc_id % 8 AS INT) + 1] AS path
+        |      '/a/b/q', '/a/x', '/public', '/docs/r.pdf', '/docs/r.pdfx',
+        |      '/abcz', '/abczz'])[CAST(doc_id % 12 AS INT) + 1] AS path
         |  FROM documents
         |),
         |matched AS (
@@ -944,7 +969,7 @@ private[graft] object RegistryDedup {
         |    row_number() OVER (PARTITION BY u.url_id
         |                       ORDER BY length(e.path) DESC, e.allow DESC) AS rn
         |  FROM urls u
-        |  JOIN eff e ON u.host = e.host AND starts_with(u.path, e.path)
+        |  JOIN cmp e ON u.host = e.host AND u.path LIKE e.pat ESCAPE '\'
         |)
         |SELECT url_id FROM matched WHERE rn = 1 AND NOT allow""".stripMargin,
     // cross-run URL dedup ≡ the full-fixture dedup restricted to

@@ -255,6 +255,32 @@ class UrlsSpec extends SparkSpec {
     assert(kept === Seq(0L, 2L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("robots path gate: '*' wildcards, '$' end anchor, LIKE metachars stay literal") {
+    val robots = Seq(
+      ("w0.com", "User-agent: *\nDisallow: /*.pdf$"),
+      ("w1.com", "User-agent: *\nDisallow: /a*z\nAllow: /a*zz"),
+      // rules containing the LIKE metachars '%' and '_' — RFC treats them
+      // as literal octets; the pattern compile must escape them
+      ("w2.com", "User-agent: *\nDisallow: /100%\nDisallow: /x_y")
+    ).toDF("host", "robots_txt")
+    val rules = Urls.robotsPathRules(robots, "host", "robots_txt")
+    val pages = Seq(
+      (0L, "https://w0.com/docs/r.pdf"),  // anchored wildcard suffix hits
+      (1L, "https://w0.com/docs/r.pdfx"), // '$' anchor: must NOT match
+      (2L, "https://w0.com/r.pdf"),       // '*' matches a one-octet gap
+      (3L, "https://w1.com/abcz"),        // /a*z matches, /a*zz does not
+      (4L, "https://w1.com/abczz"),       // both match; Allow is longer
+      (5L, "https://w1.com/ab"),          // neither matches
+      (6L, "https://w2.com/100%off"),     // literal '%' octet matches
+      (7L, "https://w2.com/100toff"),     // would match only if % were a wildcard
+      (8L, "https://w2.com/x_y/z"),       // literal '_' octet matches
+      (9L, "https://w2.com/xAy/z")        // would match only if _ were a wildcard
+    ).toDF("id", "url")
+    val blocked = Urls.robotsBlockedPathIds(pages, "id", "url", rules)
+      .as[Long].collect().sorted.toSeq
+    assert(blocked === Seq(0L, 2L, 3L, 6L, 8L))
+  }
+
   test("robots path gate plan: rules broadcast, host hash equi-join, no corpus regex") {
     val robots = Seq(("p0.com", "User-agent: *\nDisallow: /private"))
       .toDF("host", "robots_txt")
