@@ -174,6 +174,84 @@ object StreamingHistorization {
         col("canonical_url") <=> col("__known"), "left_anti")
       .dropDuplicates("canonical_url")
 
+  /** Streaming paragraph NEAR-dup maintenance loop — the streaming twin
+    * of [[graft.operators.Dedup.nearDedupParagraphsIncremental]], in the
+    * synopsis-store regime ([[clusterMaintainStream]]'s shape): each
+    * micro-batch
+    *
+    *  1. absorbs re-delivered DOCUMENTS against the standing content-hash
+    *     store (novelty anti-join + in-batch `dropDuplicates` — a
+    *     replayed batch contributes nothing anywhere);
+    *  2. runs the law-pinned batch operator against the standing
+    *     paragraph band index (exact lh tier, (band, key) near tier,
+    *     batch-internal election);
+    *  3. appends — novelty-guarded — the cleaned docs to `outPath`, the
+    *     novel classes' bands to `bandIndexPath`, and the novel doc
+    *     hashes to `docHashPath`.
+    *
+    * Crash contract: every append is NOVELTY-GUARDED against its own
+    * store (the out append anti-joins the standing `doc_id` column —
+    * parquet-pruned, id-only — exactly the [[appendSortedStream]]
+    * absorber shape), so a crash inside the three-append window
+    * re-delivers the batch and CONVERGES: already-written cleaned rows
+    * are not re-appended, already-written bands/hashes absorb, and the
+    * missing appends complete. Document ids must be stable across
+    * re-deliveries (the historization contract).
+    *
+    * State is store-shaped, never in the state store: the loop reads two
+    * narrow standing tables (8-byte paragraph keys; 32-byte doc digests)
+    * and the out store's id column — batch cost forever, the batch
+    * operator's 100 TB posture streamed. */
+  def paragraphMaintainStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      docHashPath: String,
+      bandIndexPath: String,
+      outPath: String,
+      checkpoint: String,
+      sep: String = "\n\n",
+      minParaLen: Int = 1,
+      n: Int = 3,
+      k: Int = 8,
+      bands: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        graft.CacheScope.withScope { scope =>
+          import graft.operators.Dedup
+          val hashed = batch.withColumn("__ch",
+            graft.functions.HashColumns.hashExpr(Seq(col(textCol))))
+          val novel = scope.persist(
+            Store.readParquetStrict(session, docHashPath)
+              .fold(hashed) { st =>
+                hashed.join(st.select(col("content_hash").as("__known")),
+                  col("__ch") <=> col("__known"), "left_anti")
+              }
+              .dropDuplicates("__ch")
+              .select(col(idCol), col(textCol), col("__ch")))
+          val index = Store.readParquetStrict(session, bandIndexPath)
+            .getOrElse(session.range(0).select(col("id").as("lh"),
+              lit(0).cast("int").as("band"), col("id").as("key")))
+          val cleaned = Dedup.nearDedupParagraphsIncremental(
+            novel.select(col(idCol), col(textCol)), idCol, textCol, index,
+            sep, minParaLen, n, k, bands, scope)
+          val toEmit = Store.readParquetStrict(session, outPath)
+            .fold(cleaned) { out =>
+              cleaned.join(out.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            }
+          toEmit.write.mode("append").parquet(outPath)
+          Dedup.novelParagraphBands(novel, idCol, textCol, index,
+              sep, minParaLen, n, k, bands)
+            .write.mode("append").parquet(bandIndexPath)
+          novel.select(col("__ch").as("content_hash"))
+            .write.mode("append").parquet(docHashPath)
+        }
+        ()
+      }
+
   /** Streaming benchmark decontamination — the streaming twin of
     * [[graft.operators.Decontamination.decontaminate]]: the benchmark's
     * distinct shingle hashes collapse into a single broadcast row

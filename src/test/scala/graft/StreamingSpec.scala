@@ -1001,4 +1001,58 @@ class StreamingSpec extends SparkSpec {
     // and the survivor is the payload-order minimum, not an arbitrary row
     assert(got.head === Set(Seq(1L, "a", 3.0), Seq(2L, "z", 1.0), Seq(3L, "k", 4.0)))
   }
+
+  test("paragraphMaintainStream ≡ the per-batch operator chain; re-delivery converges") {
+    // the paragraph fixture: 20-token breaks + every-7th-doc case fold,
+    // so exact AND near (case-variant) repeats cross the batch boundary
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 240)
+      .withColumn("text",
+        when($"doc_id" % 7 === 0, upper($"text")).otherwise($"text"))
+      .withColumn("text", regexp_replace($"text", "((?:\\S+ ){20})", "$1\n\n"))
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-para-stream").toString
+    val evens = docs.filter($"doc_id" % 2 === 0)
+    val odds = docs.filter($"doc_id" % 2 === 1)
+    evens.write.parquet(s"$dir/in/d0")
+    odds.write.parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.paragraphMaintainStream(
+      stream, "doc_id", "text", s"$dir/hashes", s"$dir/index", s"$dir/out",
+      s"$dir/chk"))
+    // the hand-replayed twin: batch 1 vs an empty index, batch 2 (doc-
+    // hash-novel rows only) vs batch 1's band index
+    import graft.operators.Dedup
+    val emptyIdx = spark.range(0).select($"id".as("lh"),
+      lit(0).cast("int").as("band"), $"id".as("key"))
+    val cleaned1 = Dedup.nearDedupParagraphsIncremental(
+      evens, "doc_id", "text", emptyIdx)
+    val idx1 = Dedup.novelParagraphBands(evens, "doc_id", "text", emptyIdx)
+    val h1 = evens.select(
+      graft.functions.HashColumns.hashExpr(Seq($"text")).as("content_hash")).distinct()
+    val odds2 = odds
+      .withColumn("__ch", graft.functions.HashColumns.hashExpr(Seq($"text")))
+      .join(h1.select($"content_hash".as("__k")), $"__ch" <=> $"__k", "left_anti")
+      .dropDuplicates("__ch").select("doc_id", "text")
+    val cleaned2 = Dedup.nearDedupParagraphsIncremental(odds2, "doc_id", "text", idx1)
+    val expected = cleaned1.unionByName(cleaned2)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(out).count() === 0,
+      "streamed output must equal the per-batch operator chain")
+    // re-delivery: replaying BOTH batches through a fresh checkpoint
+    // appends nothing anywhere (the doc-hash absorber + novelty guards)
+    val (nOut, nIdx, nHash) = (out.count(),
+      spark.read.parquet(s"$dir/index").count(),
+      spark.read.parquet(s"$dir/hashes").count())
+    val replay = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.paragraphMaintainStream(
+      replay, "doc_id", "text", s"$dir/hashes", s"$dir/index", s"$dir/out",
+      s"$dir/chk2"))
+    assert(spark.read.parquet(s"$dir/out").count() === nOut)
+    assert(spark.read.parquet(s"$dir/index").count() === nIdx)
+    assert(spark.read.parquet(s"$dir/hashes").count() === nHash)
+  }
 }
