@@ -203,18 +203,28 @@ object TextAnalysis {
     * training stops early when no adjacent pair reaches `minPairCount`
     * (a rank learned from a once-seen pair generalizes nothing).
     *
-    * @param rounds        merge rules to learn (bounded driver loop)
-    * @param minPairCount  stop when the best pair's weighted count is
-    *                      below this (default 2)
+    * At production vocabulary sizes (tens of thousands of rounds) the
+    * per-round `replace` chain would grow an arbitrarily deep lineage —
+    * a cache eviction would replay EVERY prior round; every
+    * `checkpointEvery` rounds the table localCheckpoints instead
+    * (lineage truncated to the materialized blocks, still
+    * vocabulary-sized state).
+    *
+    * @param rounds          merge rules to learn (bounded driver loop)
+    * @param minPairCount    stop when the best pair's weighted count is
+    *                        below this (default 2)
+    * @param checkpointEvery lineage-truncation cadence in rounds
     * @return learned merges, rank order — [[bpeCount]]-ready
     */
   def bpeTrainMerges(
       df: DataFrame,
       textCol: String,
       rounds: Int,
-      minPairCount: Long = 2L): Seq[(String, String)] = {
+      minPairCount: Long = 2L,
+      checkpointEvery: Int = 24): Seq[(String, String)] = {
     require(rounds >= 1, "rounds must be at least 1")
     require(minPairCount >= 1L, "minPairCount must be at least 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
     // pre-tokens, the kernel convention: split on ' ', non-first keep the
     // leading space, empties drop (a run of spaces yields ' ' pre-tokens)
     val pt = df.select(col(textCol).as("t")).filter(col("t").isNotNull)
@@ -249,10 +259,12 @@ object TextAnalysis {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = wf.select(
+        val applied = wf.select(
           replace(col("enc"), lit(s"<$a><$b>"), lit(s"<${a + b}>")).as("enc"),
-          col("freq")).persist()
-        next.count() // materialize before releasing the parent
+          col("freq"))
+        val next =
+          if ((r + 1) % checkpointEvery == 0) applied.localCheckpoint(true)
+          else { val p = applied.persist(); p.count(); p }
         wf.unpersist(blocking = false)
         wf = next
       }
@@ -260,6 +272,25 @@ object TextAnalysis {
     }
     wf.unpersist(blocking = false)
     merges.toVector
+  }
+
+  /** The vocabulary the standard BPE construction induces from a merges
+    * table — ids 0..255 are the single-byte symbols (lowercase-hex form),
+    * the rule at rank r defines id 256 + r for its concatenation, and
+    * when two rules concatenate to the SAME symbol the FIRST wins (the
+    * [[bpeEncode]] kernel's own putIfAbsent convention, so
+    * `bpeVocab(m)` is exactly the id space [[bpeEncode]] emits under
+    * `m`). The artifact a trainer publishes beside `merges.txt`; with it
+    * a consumer can DECODE an id stream back to bytes — losslessness is
+    * spec-pinned (decode ∘ encode = identity). Driver-side: a vocabulary
+    * is a bounded model artifact like the merges table. */
+  def bpeVocab(merges: Seq[(String, String)]): Seq[(Int, String)] = {
+    val bytes = (0 until 256).map(b => (b, f"$b%02x"))
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val rules = merges.zipWithIndex.flatMap { case ((a, b), r) =>
+      if (seen.add(a + b)) Some((256 + r, a + b)) else None
+    }
+    bytes ++ rules
   }
 
   /** Byte→unicode map of the public GPT-2 alphabet — inverse of

@@ -194,6 +194,18 @@ private[graft] object RegistryText {
       merges.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("rank", "left", "right")
     }),
+    // the trained VOCABULARY — what a pipeline publishes beside
+    // merges.txt and what decodes the packed id streams back to bytes:
+    // 256 byte ids + 256+rank per learned rule (first rule wins a
+    // duplicate concatenation, the encode kernel's own convention);
+    // losslessness (decode ∘ encode = identity) is spec-pinned
+    "x_text_bpe_vocab" -> ((s, d) => {
+      import s.implicits._
+      val merges = TextAnalysis.bpeTrainMerges(Tables.documents(s, d), "text",
+        rounds = 8)
+      TextAnalysis.bpeVocab(merges).map { case (i, sym) => (i.toLong, sym) }
+        .toDF("token_id", "symbol")
+    }),
     // the id-emitting side of the tokenizer: the token STREAM a training
     // pipeline feeds the model (bpeCount only sizes it). Exploded to
     // scalar rows for the compare; 1/13 of the corpus bounds the row
@@ -253,8 +265,10 @@ private[graft] object RegistryText {
     * as the same wrapped-hex string replace the Spark side runs (symbols
     * ride as `<hex>` tokens, so left-to-right non-overlapping replace IS
     * the merge application). A round with no qualifying pair leaves m_r
-    * (and every later CTE) empty — exactly the Spark side's early stop. */
-  private def duckBpeTrainSql(rounds: Int, minPairCount: Long): String = {
+    * (and every later CTE) empty — exactly the Spark side's early stop.
+    * The CTE chain is shared by the merges dump and the vocab dump so
+    * the two statements cannot drift. */
+  private def duckBpeTrainCtes(rounds: Int, minPairCount: Long): String = {
     val head =
       s"""WITH pt AS (
          |  SELECT CASE WHEN i = 1 THEN ls[CAST(i AS INT)]
@@ -286,14 +300,36 @@ private[graft] object RegistryText {
          |  FROM w${r - 1} w, m$r m
          |)""".stripMargin
     }.mkString
-    val sel = (1 to rounds).map(r =>
+    head + roundCtes
+  }
+
+  private def duckBpeTrainSql(rounds: Int, minPairCount: Long): String =
+    duckBpeTrainCtes(rounds, minPairCount) + (1 to rounds).map(r =>
       s"""SELECT CAST(${r - 1} AS BIGINT) AS rank, a AS "left", b AS "right" FROM m$r""")
       .mkString("\n", "\nUNION ALL ", "")
-    head + roundCtes + sel
+
+  /** The trained vocabulary dump: 256 byte ids plus 256+rank per learned
+    * rule, FIRST rule winning a duplicate concatenation (the encode
+    * kernel's putIfAbsent convention, replayed as a row_number window). */
+  private def duckBpeVocabSql(rounds: Int, minPairCount: Long): String = {
+    val ranked = (1 to rounds).map(r =>
+      s"SELECT CAST(${r - 1} AS BIGINT) AS rank, a, b FROM m$r")
+      .mkString("\nUNION ALL ")
+    duckBpeTrainCtes(rounds, minPairCount) +
+      s"""
+         |SELECT CAST(t.b AS BIGINT) AS token_id, printf('%02x', t.b) AS symbol
+         |FROM range(0, 256) t(b)
+         |UNION ALL
+         |SELECT 256 + rank AS token_id, sym AS symbol FROM (
+         |  SELECT rank, a || b AS sym,
+         |         row_number() OVER (PARTITION BY a || b ORDER BY rank) AS rn
+         |  FROM ($ranked)
+         |) WHERE rn = 1""".stripMargin
   }
 
   val oracles: Seq[(String, String)] = Seq(
     "x_text_bpe_train" -> duckBpeTrainSql(rounds = 8, minPairCount = 2L),
+    "x_text_bpe_vocab" -> duckBpeVocabSql(rounds = 8, minPairCount = 2L),
     // token-run collapsing: keep w[i] iff it differs from w[i-1] (i = 1
     // always kept; w[0] is NULL in DuckDB's 1-based lists, and NULL <>
     // never passes, so the i = 1 arm carries the first token)

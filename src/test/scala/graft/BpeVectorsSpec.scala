@@ -155,6 +155,29 @@ class BpeVectorsSpec extends SparkSpec {
       "learned rules never fired — training is broken")
   }
 
+  test("bpeVocab decodes the encode kernel's id stream losslessly") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(40)
+    val merges = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 10)
+    val vocab = TextAnalysis.bpeVocab(merges).toMap
+    assert(vocab.size >= 256 && vocab.size <= 256 + merges.size)
+    // ids 0..255 are the bytes; learned ids resolve their rule's product
+    assert(vocab(0x61) === "61")
+    def decode(ids: Seq[Int]): String = {
+      val hex = ids.map(vocab).mkString
+      new String(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")
+    }
+    // the pre-tokenizer splits on ' ' and re-prefixes non-first tokens, so
+    // byte-concatenating the decoded symbols reconstructs the text exactly
+    val rows = docs.select(col("text"),
+      TextAnalysis.bpeEncode(col("text"), merges).as("ids"))
+      .collect()
+    rows.foreach { r =>
+      val ids = r.getSeq[Int](1)
+      assert(ids.forall(vocab.contains), "kernel emitted an id outside the vocab")
+      assert(decode(ids) === r.getString(0), "decode(encode(t)) must equal t")
+    }
+  }
+
   test("loader rejects non-well-formed tables and alien alphabet chars") {
     val dir = java.nio.file.Files.createTempDirectory("bpe_bad")
     val notFormed = dir.resolve("bad1.txt")
