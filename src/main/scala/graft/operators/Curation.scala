@@ -188,7 +188,10 @@ object Curation {
     *  - `keep`       — the [[TextAnalysis.gopherishFlags]] verdict (the
     *                   hard Gopher thresholds);
     *  - `q_score`    — the fixed-weight model score over the same metric
-    *                   columns (null when no model is staged);
+    *                   columns (the column exists ONLY when a model is
+    *                   staged — an always-null column would let a later
+    *                   `minScore` gate silently drop every row instead
+    *                   of refusing a model-less prefix);
     *  - `lang`       — [[TextAnalysis.langId]];
     *  - `content_hash` — the exact-dedup digest;
     *  - `contaminated` — "shares ≥ minHits shingles with the benchmark"
@@ -214,19 +217,16 @@ object Curation {
       minHits: Long = 1L,
       qualityModel: Option[(Seq[(String, Double)], Double)] = None): DataFrame = {
     val flagged = TextAnalysis.gopherishFlags(docs, idCol, textCol, keepText = true)
-    val scored = qualityModel.fold(
-      flagged.withColumn("q_score", lit(null).cast("double"))) { case (w, b) =>
-      flagged.withColumn("q_score", TextAnalysis.qualityScoreExpr(w, b))
+    val scoreCol = qualityModel.map { case (w, b) =>
+      TextAnalysis.qualityScoreExpr(w, b).as("q_score")
     }
-    val base = scored.select(col(idCol), col("keep"), col("q_score"),
+    val base = flagged.select(Seq(col(idCol), col("keep")) ++ scoreCol ++ Seq(
       TextAnalysis.langId(col(textCol)).as("lang"),
-      graft.functions.HashColumns.hashExpr(Seq(col(textCol))).as("content_hash"))
+      graft.functions.HashColumns.hashExpr(Seq(col(textCol))).as("content_hash")): _*)
     val flags = Decontamination.contaminationReport(
         docs, bench, idCol, textCol, shingleN, minHits)
       .select(col("doc_id").as(idCol), col("contaminated"))
     base.join(flags, Seq(idCol))
-      .select(col(idCol), col("keep"), col("q_score"), col("lang"),
-        col("content_hash"), col("contaminated"))
   }
 
   /** [[curate]] answered from a staged [[curatePrefix]] — EQUAL output

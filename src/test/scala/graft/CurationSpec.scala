@@ -212,9 +212,12 @@ class CurationSpec extends SparkSpec {
       Curation.curateFromPrefix(prefix, "doc_id", mediaDupPairs = Some(mpairs)),
       Curation.curate(train, bench, "doc_id", "text", shingleN = 3,
         mediaDup = Some((16, 2)), mediaDupPairs = Some(mpairs)), "media election")
-    // a prefix staged WITHOUT the model refuses a model gate loudly
+    // a prefix staged WITHOUT the model carries NO q_score column (an
+    // always-null column would let the gate silently drop every row),
+    // so a model gate over it refuses loudly
     val bare = Curation.curatePrefix(train.limit(50), bench, "doc_id", "text",
-      shingleN = 3).drop("q_score")
+      shingleN = 3)
+    assert(!bare.columns.contains("q_score"))
     val ex = intercept[IllegalArgumentException] {
       Curation.curateFromPrefix(bare, "doc_id", minScore = Some(0.5))
     }
