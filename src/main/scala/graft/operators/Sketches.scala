@@ -389,9 +389,14 @@ object Sketches {
   /** Quantile estimates from a (possibly merged) synopsis — the same
     * lower-value-convention read as [[approxQuantilesBottomK]]: quantile
     * q is the value-sorted sample at index floor(q·(m−1)). Re-trims to
-    * the k hash-smallest pairs first, so feeding a merged-but-untrimmed
-    * union is safe. One row per q: (q, est_value rounded to 6,
-    * n_sample). */
+    * the k hash-smallest DISTINCT pairs first (the same `.distinct` the
+    * aggregator's own trim applies), so feeding a merged-but-untrimmed
+    * union is safe even when the synopses OVERLAP — duplicate (u, v)
+    * pairs would otherwise occupy sample slots inside the k window and
+    * bias the estimate. An empty synopsis (corpus of only null ids or
+    * values) yields null est_value rows, matching the exact report's
+    * degraded-input behavior. One row per q: (q, est_value rounded to
+    * 6, n_sample). */
   def quantileEstimate(
       synopsis: DataFrame,
       qs: Seq[Double],
@@ -399,14 +404,16 @@ object Sketches {
     require(k >= 1, "k must be at least 1")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "qs must be non-empty quantiles in [0, 1]")
-    val trimmed = slice(array_sort(collect_list(struct(col("u"), col("v")))), 1, k)
+    val trimmed =
+      slice(array_sort(array_distinct(collect_list(struct(col("u"), col("v"))))), 1, k)
     synopsis
       .agg(trimmed.as("__ps"))
       .select(array_sort(transform(col("__ps"), p => p.getField("v"))).as("__vs"))
       .withColumn("q", explode(array(qs.map(lit): _*)))
       .withColumn("est_value",
-        round(element_at(col("__vs"),
-          (floor(col("q") * (size(col("__vs")) - 1)) + 1).cast("int")), 6))
+        when(size(col("__vs")) === 0, lit(null).cast("double"))
+          .otherwise(round(element_at(col("__vs"),
+            (floor(col("q") * (size(col("__vs")) - 1)) + 1).cast("int")), 6)))
       .withColumn("n_sample", size(col("__vs")))
       .select(col("q"), col("est_value"), col("n_sample"))
   }

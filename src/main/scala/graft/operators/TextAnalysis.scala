@@ -1082,7 +1082,9 @@ object TextAnalysis {
     val t = col("text")
     val nan = lit(Double.NaN)
     val est = (vs: org.apache.spark.sql.Column, q: Double) =>
-      round(element_at(vs, (floor(lit(q) * (size(vs) - 1)) + 1).cast("int")), 6)
+      when(size(vs) === 0, lit(null).cast("double"))
+        .otherwise(round(
+          element_at(vs, (floor(lit(q) * (size(vs) - 1)) + 1).cast("int")), 6))
     df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("n_tok", tokenCount(t))
       .agg(

@@ -225,11 +225,14 @@ private[graft] object RegistryText {
     // deterministic
     // the training-shard EXPORT — the last step before a training job
     // reads the corpus: pack-level sequences land in fixed-count shard
-    // files (16 per file, deterministic shard=<s>/file_idx=<f>/data.parquet
-    // names) with a per-file manifest, committed as a store GENERATION
+    // files (16 per file, deterministic shard=<s>/file_idx=<f> dirs)
+    // with a per-file manifest, committed as a store GENERATION
     // (crash-safe, resumable — a died export leaves only invisible build
     // debris). The row prices a fresh export every run and returns the
-    // manifest; the oracle replays the per-shard window assignment
+    // manifest's logical columns; the oracle replays the per-shard
+    // window assignment. The manifest's `file` column records the ACTUAL
+    // part-file path (physical name, committer-assigned — deliberately
+    // not renamed, so not oracle-replayable) and is dropped here.
     "x_pack_shard_export" -> ((s, d) => {
       val packed = Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
         budget = 512L, shards = 8)
@@ -239,6 +242,7 @@ private[graft] object RegistryText {
       graft.sources.ShardExport.exportTrainingShards(seqs, path,
         seqPerFile = 16, keep = 1)
       graft.sources.ShardExport.shardManifest(s, path)
+        .select("shard", "file_idx", "n_seqs")
     }),
     "x_pack_bpe_sequences" -> ((s, d) => {
       val merges = TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)
@@ -558,9 +562,7 @@ private[graft] object RegistryText {
         |                - 1) / 16.0) AS BIGINT) AS file_idx
         |  FROM seqs
         |)
-        |SELECT shard, file_idx, count(*) AS n_seqs,
-        |  'shard=' || CAST(shard AS VARCHAR) || '/file_idx='
-        |    || CAST(file_idx AS VARCHAR) || '/data.parquet' AS file
+        |SELECT shard, file_idx, count(*) AS n_seqs
         |FROM a GROUP BY shard, file_idx""".stripMargin,
     // groups pack as units by total tokens (window over GROUPS, keyed and
     // sharded by each group's smallest doc_id), then join back to rows

@@ -1,8 +1,5 @@
 package graft.sources
 
-import java.net.URI
-
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,7 +15,7 @@ import org.apache.spark.sql.functions._
   * generation ([[Store.writeStoreGenerationWith]]):
   *
   * {{{
-  *   <path>/gen-<seq>/shard=<s>/file_idx=<f>/data.parquet   — the shards
+  *   <path>/gen-<seq>/shard=<s>/file_idx=<f>/part-*.parquet — the shards
   *   <path>/gen-<seq>/_shards_manifest/                     — (shard,
   *                     file_idx, n_seqs, file) parquet rows
   *   <path>/gen-<seq>/_SUCCESS                              — commit marker
@@ -27,19 +24,28 @@ import org.apache.spark.sql.functions._
   * Every file holds exactly `seqPerFile` sequences except the last file
   * of each shard stream (the remainder). The assignment is a PURE
   * function of ((shard, pack_id) order, seqPerFile) — repartition-stable
-  * and replayable by a window-function oracle — and a training job can
-  * address any shard file by name alone.
+  * and replayable by a window-function oracle — and a training job
+  * addresses any shard file through the manifest's `file` column, which
+  * records the ACTUAL part-file path under the generation. The layout is
+  * deterministic at the MANIFEST level, not the physical-name level:
+  * part files keep the names Spark's committer gave them, because
+  * renaming every output file to a synthetic name would be O(files)
+  * driver-side FS mutation — and on an object store a rename is a
+  * server-side COPY, i.e. a 100 TB export would rewrite every byte a
+  * second time after writing it.
   *
   * Scale shape: the sequence→file assignment is one per-shard window over
   * (shard, pack_id) rows (shards are independent streams, parallelism =
   * shards, like [[graft.operators.Packing]]); the write is one shuffle to
   * co-locate each output file's rows; the manifest is a bounded roll-up
-  * (one row per file). Nothing driver-side scales with the corpus.
+  * (one row per file) built by a footer-only re-scan of the written
+  * files (`_metadata.file_name` + partition columns — zero data columns
+  * read). Nothing driver-side scales with the corpus, and the driver
+  * never lists or mutates the output tree.
   */
 object ShardExport {
 
   private val ManifestDir = "_shards_manifest"
-  private val DataFileName = "data.parquet"
 
   /** The deterministic sequence→file assignment: `file_idx` =
     * floor(rank / seqPerFile) where rank is the row's 0-based position
@@ -71,29 +77,30 @@ object ShardExport {
     Store.writeStoreGenerationWith(spark, path, keep) { dir =>
       // one task per output file: every (shard, file_idx) key lands in
       // exactly one partition, so partitionBy writes exactly one part
-      // file per directory — renamed below to the deterministic name
+      // file per directory — the manifest below records its actual name
       assigned
         .repartition(col("shard"), col("file_idx"))
         .write.partitionBy("shard", "file_idx").parquet(dir)
-      val fs = FileSystem.get(new URI(dir), spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(new Path(dir)).filter(_.isDirectory).foreach { sh =>
-        fs.listStatus(sh.getPath).filter(_.isDirectory).foreach { fl =>
-          val parts = fs.listStatus(fl.getPath)
-            .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-          require(parts.length == 1,
-            s"expected exactly one part file in ${fl.getPath}, found ${parts.length}")
-          fs.rename(parts.head.getPath, new Path(fl.getPath, DataFileName))
-          // orphaned checksum siblings of the renamed part file
-          fs.listStatus(fl.getPath)
-            .filter(s => s.getPath.getName.startsWith(".part-"))
-            .foreach(s => fs.delete(s.getPath, false))
-        }
-      }
-      // bounded manifest: one row per file, addressed by its final name
-      assigned.groupBy("shard", "file_idx")
-        .agg(count(lit(1)).as("n_seqs"))
+      // bounded manifest: one row per written file, addressed by the
+      // ACTUAL part-file path — a footer-only re-scan (partition columns
+      // + _metadata, zero data columns), no driver listing or rename
+      val fileName = when(size(col("__fns")) === 1, element_at(col("__fns"), 1))
+        .otherwise(raise_error(concat(
+          lit("expected exactly one part file per (shard, file_idx) dir, found "),
+          size(col("__fns")).cast("string"), lit(" for shard="), col("shard"),
+          lit("/file_idx="), col("file_idx"))))
+      spark.read.parquet(dir)
+        // partition-column inference narrows to int; restore the
+        // assignment's long dtypes so the manifest schema is stable
+        .select(col("shard").cast("long").as("shard"),
+          col("file_idx").cast("long").as("file_idx"),
+          col("_metadata").getField("file_name").as("__fn"))
+        .groupBy("shard", "file_idx")
+        .agg(count(lit(1)).as("n_seqs"),
+          array_sort(collect_set(col("__fn"))).as("__fns"))
         .withColumn("file", concat(lit("shard="), col("shard"),
-          lit("/file_idx="), col("file_idx"), lit("/"), lit(DataFileName)))
+          lit("/file_idx="), col("file_idx"), lit("/"), fileName))
+        .drop("__fns")
         .coalesce(1)
         .write.parquet(s"$dir/$ManifestDir")
     }
@@ -112,10 +119,19 @@ object ShardExport {
     spark.read.parquet(s"${latestGen(spark, path)}/$ManifestDir")
 
   /** One shard file of the latest generation, by its deterministic
-    * address — what a training worker reads (payload columns only; the
-    * partition values live in the path). */
-  def readShard(spark: SparkSession, path: String, shard: Long, fileIdx: Long): DataFrame =
-    spark.read.parquet(s"${latestGen(spark, path)}/shard=$shard/file_idx=$fileIdx/$DataFileName")
+    * (shard, file_idx) address RESOLVED THROUGH THE MANIFEST to the
+    * actual part-file path — what a training worker reads (payload
+    * columns only; the partition values live in the path). One bounded
+    * manifest lookup per call; no directory listing. */
+  def readShard(spark: SparkSession, path: String, shard: Long, fileIdx: Long): DataFrame = {
+    val gen = latestGen(spark, path)
+    val hits = spark.read.parquet(s"$gen/$ManifestDir")
+      .filter(col("shard") === shard && col("file_idx") === fileIdx)
+      .select("file").collect()
+    require(hits.length == 1,
+      s"shard=$shard/file_idx=$fileIdx resolves to ${hits.length} manifest rows in $gen")
+    spark.read.parquet(s"$gen/${hits.head.getString(0)}")
+  }
 
   /** Every sequence of the latest generation with its (shard, file_idx)
     * re-attached from the directory layout — the round-trip read the

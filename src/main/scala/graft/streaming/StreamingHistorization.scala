@@ -230,8 +230,15 @@ object StreamingHistorization {
                 hashed.join(st.select(col("content_hash").as("__known")),
                   col("__ch") <=> col("__known"), "left_anti")
               }
-              .dropDuplicates("__ch")
-              .select(col(idCol), col(textCol), col("__ch")))
+              // in-batch absorber: keep-min(id) per content hash, the same
+              // deterministic election every other dedup in the library
+              // uses — dropDuplicates would keep a partition-order-
+              // dependent row when one micro-batch carries two docs with
+              // identical text
+              .groupBy(col("__ch"))
+              .agg(min(struct(col(idCol), col(textCol))).as("__w"))
+              .select(col("__w").getField(idCol).as(idCol),
+                col("__w").getField(textCol).as(textCol), col("__ch")))
           val index = Store.readParquetStrict(session, bandIndexPath)
             .getOrElse(session.range(0).select(col("id").as("lh"),
               lit(0).cast("int").as("band"), col("id").as("key")))

@@ -39,6 +39,21 @@ class ShardExportSpec extends SparkSpec {
       .select($"shard".cast("long"), $"file_idx", $"n_seqs")
       .as[(Long, Long, Long)].head()
     assert(ShardExport.readShard(spark, dir, first._1, first._2).count() === first._3)
+    // the committer's output is untouched post-commit: every data file
+    // under the generation keeps its part- name (no driver rename), and
+    // every manifest `file` address resolves to one of those files
+    val genDir = new java.io.File(Store.generationPath(dir, gen))
+    val dataFiles = genDir.listFiles.filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles).filter(_.getName.startsWith("file_idx="))
+      .flatMap(_.listFiles).filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_.getName.startsWith("part-")),
+      "a data file lost its committer-assigned part- name")
+    val addressed = manifest.select("file").as[String].collect()
+    assert(addressed.length === dataFiles.length)
+    addressed.foreach { f =>
+      assert(new java.io.File(genDir, f).isFile, s"manifest file $f missing on disk")
+      assert(f.split("/").last.startsWith("part-"))
+    }
   }
 
   test("assignment is a pure function: repartition-stable, window-law shaped") {
