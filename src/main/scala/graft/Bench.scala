@@ -79,7 +79,9 @@ object Bench {
     // SPARK_GRAFT_ONLY (a substring filter) scopes a local run to the
     // queries under study; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // bench surface = the registered contract + bench-only extras (cost
+    // rows whose algorithm is oracle-checked by a registered twin)
+    val queries = (SparkEntry.queries ++ SparkEntry.benchExtras).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
     val passes = (1 to 3).map(_ => queries.map { case (name, fn) => once(name, fn) })
     val raw = queries.zipWithIndex.map { case ((name, _), i) =>

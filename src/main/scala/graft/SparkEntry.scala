@@ -80,6 +80,19 @@ object SparkEntry {
       RegistryText.queries, RegistrySimilarity.queries, RegistrySampling.queries,
       RegistryEvents.queries, RegistryAnalytics.queries)
 
+  /** Bench-only rows (run by [[Bench]] beside `queries`, never dumped by
+    * [[Verify]]): cost measurements whose algorithm is oracle-checked by a
+    * registered row but whose corpus-wide statement has no SQL twin.
+    * Composed through the same duplicate-key guard INCLUDING the
+    * registered keys, so an extra can never shadow a registered query. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = {
+    val extras = composed(RegistryText.benchExtras)
+    val clashes = extras.keySet.intersect(queries.keySet)
+    require(clashes.isEmpty,
+      s"bench extras shadow registered queries: ${clashes.toSeq.sorted.mkString(", ")}")
+    extras
+  }
+
   private lazy val baseOracles: Map[String, String] =
     composed(RegistryParity.oracles, RegistryDedup.oracles, RegistryCuration.oracles,
       RegistryText.oracles, RegistrySimilarity.oracles, RegistrySampling.oracles,

@@ -168,18 +168,24 @@ private[graft] object RegistryText {
         TextAnalysis.bpeCount(col("text"),
           TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)).cast("long"),
         budget = 2048L, shards = 8)),
-    // kernel cost at a PRODUCTION vocabulary size: the same packing
-    // statement over the ~55k-rule stress table (every printable digram
-    // ranked + frequent-trigram composites — denser merge activity than
-    // a trained 50k vocabulary, so this upper-bounds the real cost). No
-    // SQL twin: a 55k-rule replace chain is not an oracle, it's a second
-    // implementation — the driver records the rows-only check, and the
-    // bench row is the point (VERDICT r11 #3: within ~2x of the 58-rule
-    // kernel time).
-    "x_pack_bpe50k" -> ((s, d) =>
-      Packing.packByCount(Tables.documents(s, d), "doc_id",
-        TextAnalysis.bpeCount(col("text"),
-          TextAnalysis.StressBpeMerges50k).cast("long"), budget = 8192L, shards = 8)),
+    // the 50k COUNTING PATH against DuckDB (closing five rounds of
+    // x_pack_bpe50k's rows-only exemption): bpeCount at the full ~55k-rule
+    // stress vocabulary over a bounded sample (~7 docs at sf0.01 — the
+    // KERNEL is the thing under test; the corpus-wide cost row lives in
+    // benchExtras). The oracle re-derives the whole 55,005-rule table from
+    // its published construction IN SQL (printable digrams ranked
+    // lexicographically + frequent-letter trigram composites), drops rules
+    // whose pattern bytes never occur in the sample (a replace with no
+    // possible match is a no-op — merges never create byte content, so any
+    // pattern that ever matches during replay is a contiguous byte
+    // substring of some initial pre-token), and replays the survivors in
+    // rank order as a RECURSIVE replace chain — generic in the rules, not
+    // an unrolled second implementation.
+    "x_text_bpe50k_count" -> ((s, d) =>
+      Tables.documents(s, d).filter(pmod(col("doc_id"), lit(83)) === 0)
+        .select(col("doc_id"),
+          TextAnalysis.bpeCount(col("text"),
+            TextAnalysis.StressBpeMerges50k).cast("long").as("n_tok"))),
     // TOKENIZER TRAINING: learn the first 8 merge rules from the corpus
     // by iterative top-pair election over the distinct-pre-token
     // frequency table (the public BPE algorithm; ties break (count DESC,
@@ -331,7 +337,89 @@ private[graft] object RegistryText {
          |) WHERE rn = 1""".stripMargin
   }
 
+  /** Bench-only rows: cost measurements whose ALGORITHM is oracle-checked
+    * elsewhere but whose corpus-wide statement has no DuckDB twin at full
+    * scale. Run by [[graft.Bench]] alongside the registered queries;
+    * deliberately NOT part of [[graft.SparkEntry.queries]], so the
+    * driver's correctness contract stays 100% oracle-paired. */
+  val benchExtras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // kernel cost at a PRODUCTION vocabulary size: the x_pack_bpe packing
+    // statement over the ~55k-rule stress table (denser merge activity
+    // than a trained 50k vocabulary, so this upper-bounds the real cost).
+    // The 50k counting path meets DuckDB at x_text_bpe50k_count (bounded
+    // sample, full rule depth); this row prices it corpus-wide (VERDICT
+    // r11 #3: within ~2x of the 58-rule kernel time).
+    "x_pack_bpe50k" -> ((s, d) =>
+      Packing.packByCount(Tables.documents(s, d), "doc_id",
+        TextAnalysis.bpeCount(col("text"),
+          TextAnalysis.StressBpeMerges50k).cast("long"), budget = 8192L, shards = 8)),
+  )
+
   val oracles: Seq[(String, String)] = Seq(
+    // the full-depth stress-table replay: re-derive all 55,005 rules from
+    // the published construction (95 printable bytes -> digrams in
+    // lexicographic (a, b) order; 22 frequent letters -> trigram
+    // composites over their digram products), keep the rules whose
+    // pattern bytes occur in the sample (merges never create byte
+    // content, so any pattern that ever matches during replay is a
+    // contiguous byte substring of some initial pre-token — dropped
+    // rules are provably no-op replaces), and apply the survivors in
+    // rank order, one per recursion step. MATERIALIZED pins the live
+    // rule table: DuckDB would otherwise re-derive the 55k rules inside
+    // every recursion step.
+    "x_text_bpe50k_count" ->
+      """WITH RECURSIVE
+        |pr AS (SELECT printf('%02x', r) AS h, CAST(r - 32 AS BIGINT) AS i
+        |       FROM range(32, 127) t(r)),
+        |fq AS (
+        |  SELECT printf('%02x', unicode(c)) AS h, CAST(o - 1 AS BIGINT) AS i
+        |  FROM (SELECT unnest(string_split('e t a o i n s h r d l u c m f w y p v b g k', ' ')) AS c,
+        |               unnest(range(1, 23)) AS o)
+        |),
+        |rules AS (
+        |  SELECT a.i * 95 + b.i AS rank, a.h AS lhs, b.h AS rhs FROM pr a, pr b
+        |  UNION ALL
+        |  SELECT 9025 + (fa.i * 22 + fb.i) * 95 + c.i AS rank, fa.h || fb.h AS lhs, c.h AS rhs
+        |  FROM fq fa, fq fb, pr c
+        |),
+        |tok AS (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN tok0 ELSE ' ' || tok0 END AS tok, i
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(text, ' ')) AS tok0,
+        |      unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |    FROM documents WHERE doc_id % 83 = 0
+        |  )
+        |),
+        |sym0 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_agg(regexp_replace(lower(hex(encode(tok))), '(..)', '>\1|', 'g'),
+        |               '#' ORDER BY i) AS w
+        |  FROM tok WHERE tok <> ''
+        |  GROUP BY doc_id
+        |),
+        |hx AS MATERIALIZED (
+        |  SELECT string_agg(replace(replace(w, '>', ''), '|', ''), '#') AS all_hex
+        |  FROM sym0
+        |),
+        |live AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY rank) - 1 AS step, lhs, rhs
+        |  FROM rules, hx WHERE contains(hx.all_hex, lhs || rhs)
+        |),
+        |steps AS (
+        |  SELECT doc_id, w, CAST(0 AS BIGINT) AS r FROM sym0
+        |  UNION ALL
+        |  SELECT s.doc_id,
+        |    replace(s.w, '>' || ru.lhs || '|>' || ru.rhs || '|',
+        |            '>' || ru.lhs || ru.rhs || '|'),
+        |    s.r + 1
+        |  FROM steps s JOIN live ru ON ru.step = s.r
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(length(s.w) - length(replace(s.w, '>', '')), 0) AS BIGINT) AS n_tok
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 83 = 0) d
+        |LEFT JOIN (SELECT doc_id, w FROM steps
+        |           WHERE r = (SELECT count(*) FROM live)) s USING (doc_id)""".stripMargin,
     "x_text_bpe_train" -> duckBpeTrainSql(rounds = 8, minPairCount = 2L),
     "x_text_bpe_vocab" -> duckBpeVocabSql(rounds = 8, minPairCount = 2L),
     // token-run collapsing: keep w[i] iff it differs from w[i-1] (i = 1

@@ -29,18 +29,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("every registered query has an oracle; no oracle is orphaned") {
     // the round-4 regression class: a query registered without an oracleSql
-    // entry silently downgrades the driver's check to rows-only. A query
-    // may only be exempted here, explicitly, with a justification comment.
-    // x_pack_bpe50k: a BENCH row measuring the BPE kernel at a ~55k-rule
-    // production vocabulary size. Its algorithm is oracle-checked at
-    // x_pack_bpe (58-rule replay-chain twin); a 55k-rule DuckDB replace
-    // chain would not be an oracle, it would be a second implementation.
-    // The driver records the rows-only check for this row by design.
-    val oracleExempt = Set("x_pack_bpe50k")
-    assert(SparkEntry.queries.keySet -- oracleExempt === SparkEntry.oracleSql.keySet,
+    // entry silently downgrades the driver's check to rows-only. Since r17
+    // there are NO exemptions: the contract is 100% oracle-paired (cost
+    // rows without a SQL twin live in SparkEntry.benchExtras instead —
+    // x_pack_bpe50k moved there once x_text_bpe50k_count oracled the 50k
+    // counting path at full rule depth).
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet,
       "queries and oracleSql drifted: " +
-        s"missing=${(SparkEntry.queries.keySet -- oracleExempt -- SparkEntry.oracleSql.keySet).toSeq.sorted} " +
+        s"missing=${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted} " +
         s"orphaned=${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
+    // bench extras are the mirror rule: never oracle-paired, never
+    // shadowing a registered key (benchExtras itself enforces the latter)
+    assert(SparkEntry.benchExtras.keySet.intersect(SparkEntry.oracleSql.keySet).isEmpty,
+      "a bench extra has an oracle — register it as a query instead")
   }
 
   test("registered dumps expose only atomic-typed columns") {
@@ -65,9 +66,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no registered query plans a cartesian product") {
     // static check on purpose: a cartesian is a planning-time property, and
-    // every query's runtime behavior is already executed by its own spec
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      assert(!planOf(name).contains("CartesianProduct"),
+    // every query's runtime behavior is already executed by its own spec.
+    // Bench extras are included: they run in the scored bench, so a plan
+    // regression there is a real 100 TB regression too.
+    val all = SparkEntry.queries ++ SparkEntry.benchExtras
+    all.keys.toSeq.sorted.foreach { name =>
+      val p = all(name)(spark, sfDir).queryExecution.executedPlan.toString
+      spark.catalog.clearCache()
+      assert(!p.contains("CartesianProduct"),
         s"$name degraded to a cartesian product")
     }
   }
