@@ -1037,6 +1037,94 @@ object TextAnalysis {
       regexp_replace(c, p, s"<$tag>")
     }
 
+  // ---- extended PII classes (checksum-validated) ----
+  //
+  // The next classes every public curation recipe scrubs after the regex
+  // trio: payment cards, IBANs, and national ids. These are NOT pure
+  // regex classes — a 16-digit number is only a card if it passes Luhn
+  // (ISO/IEC 7812), an IBAN only if its mod-97 remainder is 1 (ISO
+  // 13616), a Spanish DNI only if its check letter matches — so redaction
+  // extracts candidates, validates each with a pure-expression fold, and
+  // replaces only the validated matches (false positives stay verbatim:
+  // a random 16-digit number is data, not PII). Same engine-portable
+  // regex subset as [[piiPatterns]].
+
+  /** Candidate payment card: 13–19 digits with optional single space/dash
+    * separators. Runs longer than 19 digits can never match (no word
+    * boundary inside a digit run), so identifiers stay untouched. */
+  val CardPattern: String = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Candidate IBAN: country code + check digits + 10–30 alphanumerics
+    * (ISO 13616 BBAN bounds). */
+  val IbanPattern: String = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{10,30}\\b"
+
+  /** Candidate Spanish DNI: 8 digits + check letter. */
+  val DniPattern: String = "\\b[0-9]{8}[A-Z]\\b"
+
+  /** US SSN in its canonical dashed form — format-only (SSNs carry no
+    * public checksum), the standard C4-style treatment. */
+  val SsnPattern: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** The DNI check-letter alphabet: letter = alphabet[number mod 23]. */
+  val DniLetters: String = "TRWAGMYFPDXBNJZSQVHLCKE"
+
+  /** Luhn checksum over a candidate's digits (separators stripped): from
+    * the rightmost digit, double every second one, fold digit sums, valid
+    * iff total ≡ 0 (mod 10). An unrolled-per-character expression fold —
+    * no UDF, stays in codegen. */
+  private[graft] def luhnValid(m: Column): Column = {
+    val ds = reverse(regexp_replace(m, "[^0-9]", ""))
+    val contrib = transform(sequence(lit(1), length(ds)), i => {
+      val d = ascii(ds.substr(i, lit(1))) - lit(48)
+      when(pmod(i - 1, lit(2)) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    pmod(aggregate(contrib, lit(0), (acc, x) => acc + x), lit(10)) === 0
+  }
+
+  /** ISO 13616 mod-97 check: move the first four characters to the end,
+    * read letters as two-digit values (A=10…Z=35), fold the decimal
+    * expansion mod 97 character by character (the standard bounded-state
+    * trick — the full number exceeds any integer width). Valid iff 1. */
+  private[graft] def ibanValid(m: Column): Column = {
+    val ra = concat(m.substr(lit(5), length(m) - 4), m.substr(lit(1), lit(4)))
+    val rem = aggregate(sequence(lit(1), length(ra)), lit(0), (acc, i) => {
+      val c = ascii(ra.substr(i, lit(1)))
+      when(c >= 65, pmod(acc * 100 + (c - 55), lit(97)))
+        .otherwise(pmod(acc * 10 + (c - 48), lit(97)))
+    })
+    rem === 1
+  }
+
+  /** DNI check letter: alphabet[number mod 23] must equal the 9th char. */
+  private[graft] def dniValid(m: Column): Column =
+    m.substr(lit(9), lit(1)) ===
+      lit(DniLetters).substr((m.substr(lit(1), lit(8)).cast("long") % 23).cast("int") + 1, lit(1))
+
+  /** Extract candidates for `pattern`, keep those passing `valid`, and
+    * literal-replace each with its tag — the conditional-redaction shape
+    * a plain regexp_replace cannot express. Bounded per-row state (a
+    * document's own matches); pure built-ins. */
+  private def redactValidated(
+      text: Column, pattern: String, valid: Column => Column, tag: String): Column = {
+    val matches = filter(regexp_extract_all(text, lit(pattern), lit(0)), valid)
+    aggregate(matches, text, (acc, m) => replace(acc, m, lit(s"<$tag>")))
+  }
+
+  /** [[redactPii]] plus the checksum-validated classes: IBAN (mod-97),
+    * payment cards (Luhn), Spanish DNI (check letter), then US SSN
+    * (format). IBAN runs before cards so a card pattern can never eat an
+    * IBAN's digit tail; both run after the base trio so emails/phones
+    * are already collapsed. Validation failures stay verbatim —
+    * spec-pinned false-positive guards. */
+  def redactPiiExtended(text: Column): Column = {
+    val base = redactPii(text)
+    val iban = redactValidated(base, IbanPattern, ibanValid, "IBAN")
+    val card = redactValidated(iban, CardPattern, luhnValid, "CARD")
+    val dni = redactValidated(card, DniPattern, dniValid, "DNI")
+    regexp_replace(dni, SsnPattern, "<SSN>")
+  }
+
   /** One-row corpus report — the numbers a dataset card leads with: doc
     * count, empty/null counts, token-count percentiles and mean. Uses
     * EXACT percentiles (cross-engine verifiable); swap in

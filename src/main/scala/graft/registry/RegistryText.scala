@@ -74,6 +74,25 @@ private[graft] object RegistryText {
     "x_text_redact" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("redacted"))),
+    // extended PII classes with CHECKSUM validation (redaction only on a
+    // passing Luhn / mod-97 / check-letter — a random 16-digit number is
+    // data, not PII): the fixture plants valid-and-invalid vector pairs
+    // for every class onto real corpus text, so both the redactions and
+    // the false-positive guards are oracle-checked on every doc
+    "x_text_redact_pii2" -> ((s, d) => {
+      val v = pmod(col("doc_id"), lit(8))
+      val planted = when(v === 0, lit("pay 4111 1111 1111 1111 today"))
+        .when(v === 1, lit("fake 1234 5678 9012 3456 stays"))
+        .when(v === 2, lit("iban DE89370400440532013000 ok"))
+        .when(v === 3, lit("iban DE89370400440532013001 bad"))
+        .when(v === 4, lit("id 12345678Z ssn 123-45-6789"))
+        .when(v === 5, lit("id 12345678A stays amex 378282246310005 goes"))
+        .when(v === 6, lit("card 5500-0000-0000-0004 mail a@b.co tel +49 151 234 5678"))
+        .otherwise(lit("ref 12345678901234567890 is an id not a card"))
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.redactPiiExtended(concat(col("text"), lit(" "), planted))
+          .as("redacted"))
+    }),
     // intra-doc repetition removal: collapse consecutive duplicate tokens
     "x_text_collapse" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -336,6 +355,40 @@ private[graft] object RegistryText {
          |  FROM ($ranked)
          |) WHERE rn = 1""".stripMargin
   }
+
+  // ---- DuckDB twins of the checksum-validated PII folds (generated
+  // from the SAME pattern/alphabet constants the operator uses) ----
+
+  /** Luhn over `m`'s digits: the operator's per-character fold verbatim. */
+  private def duckLuhn(m: String): String = {
+    val ds = s"reverse(regexp_replace($m, '[^0-9]', '', 'g'))"
+    val d = s"(ascii(substring($ds, CAST(i AS INT), 1)) - 48)"
+    s"(list_sum(list_transform(range(1, len($ds) + 1), i -> " +
+      s"CASE WHEN (i - 1) % 2 = 1 THEN CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 " +
+      s"ELSE 2 * $d END ELSE $d END)) % 10 = 0)"
+  }
+
+  /** ISO 13616 mod-97 fold over the rearranged IBAN. */
+  private def duckIban(m: String): String = {
+    val ra = s"(substring($m, 5) || substring($m, 1, 4))"
+    s"(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($ra) + 1), i -> " +
+      s"CAST(ascii(substring($ra, CAST(i AS INT), 1)) AS BIGINT))), " +
+      "(acc, c) -> CASE WHEN c >= 65 THEN (acc * 100 + (c - 55)) % 97 " +
+      "ELSE (acc * 10 + (c - 48)) % 97 END) = 1)"
+  }
+
+  /** DNI check letter: alphabet[number mod 23] = 9th character. */
+  private def duckDni(m: String): String =
+    s"(substring($m, 9, 1) = substring('${TextAnalysis.DniLetters}', " +
+      s"CAST(CAST(substring($m, 1, 8) AS BIGINT) % 23 AS INT) + 1, 1))"
+
+  /** One conditional-redaction stage: extract candidates, keep validated
+    * ones, literal-replace each — list_reduce with the text prepended as
+    * the fold init, the exact shape of the operator's `aggregate`. */
+  private def duckRedactStage(pat: String, valid: String => String, tag: String): String =
+    s"list_reduce(list_prepend(t, list_filter(regexp_extract_all(t, '$pat'), " +
+      s"m -> ${valid("m")})), (acc, m) -> replace(acc, m, '<$tag>'))"
 
   /** Bench-only rows: cost measurements whose ALGORITHM is oracle-checked
     * elsewhere but whose corpus-wide statement has no DuckDB twin at full
@@ -874,6 +927,38 @@ private[graft] object RegistryText {
         s"regexp_replace($acc, '$p', '<$tag>', 'g')"
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
+    },
+    // the extended classes replayed stage by stage: base regex trio, then
+    // one conditional-redaction CTE per checksum class (IBAN mod-97, card
+    // Luhn, DNI check letter — list_filter with the fold spelled out),
+    // then the format-only SSN replace; the planted-vector CASE mirrors
+    // the registered row's when-chain
+    "x_text_redact_pii2" -> {
+      val base = TextAnalysis.piiPatterns.foldLeft("t") { case (acc, (tag, p)) =>
+        s"regexp_replace($acc, '$p', '<$tag>', 'g')"
+      }
+      s"""WITH src AS (
+         |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 8 AS INT)
+         |    WHEN 0 THEN 'pay 4111 1111 1111 1111 today'
+         |    WHEN 1 THEN 'fake 1234 5678 9012 3456 stays'
+         |    WHEN 2 THEN 'iban DE89370400440532013000 ok'
+         |    WHEN 3 THEN 'iban DE89370400440532013001 bad'
+         |    WHEN 4 THEN 'id 12345678Z ssn 123-45-6789'
+         |    WHEN 5 THEN 'id 12345678A stays amex 378282246310005 goes'
+         |    WHEN 6 THEN 'card 5500-0000-0000-0004 mail a@b.co tel +49 151 234 5678'
+         |    ELSE 'ref 12345678901234567890 is an id not a card' END AS t
+         |  FROM documents
+         |),
+         |p0 AS (SELECT doc_id, $base AS t FROM src),
+         |p1 AS (SELECT doc_id,
+         |  ${duckRedactStage(TextAnalysis.IbanPattern, duckIban, "IBAN")} AS t FROM p0),
+         |p2 AS (SELECT doc_id,
+         |  ${duckRedactStage(TextAnalysis.CardPattern, duckLuhn, "CARD")} AS t FROM p1),
+         |p3 AS (SELECT doc_id,
+         |  ${duckRedactStage(TextAnalysis.DniPattern, duckDni, "DNI")} AS t FROM p2)
+         |SELECT doc_id,
+         |  regexp_replace(t, '${TextAnalysis.SsnPattern}', '<SSN>', 'g') AS redacted
+         |FROM p3""".stripMargin
     },
     // stride = size - overlap = 96; generate_series is inclusive like
     // Spark's sequence, and both substrings are code-point addressed

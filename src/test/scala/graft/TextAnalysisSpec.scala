@@ -363,6 +363,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3) === "nothing sensitive here 12.5 percent")
   }
 
+  test("redactPiiExtended: checksum-validated classes redact; failures stay verbatim") {
+    val rows = Seq(
+      // Luhn-valid public test cards in three separator styles
+      "pay 4111 1111 1111 1111 now",
+      "card 5500-0000-0000-0004 on file",
+      "amex 378282246310005 works",
+      // the false-positive guards: 16 digits failing Luhn, off-by-one card
+      "fake 1234 5678 9012 3456 stays",
+      "fake 4111 1111 1111 1112 stays",
+      // a >19-digit run is an identifier, never a card
+      "ref 12345678901234567890 is an id",
+      // IBAN: mod-97 pass and fail
+      "iban DE89370400440532013000 ok",
+      "iban GB82WEST12345698765432 ok",
+      "iban DE89370400440532013001 bad",
+      // DNI: check letter pass and fail; SSN is format-only
+      "id 12345678Z here",
+      "id 12345678A here",
+      "ssn 123-45-6789 filed",
+      // the base trio still runs first
+      "mail a@b.co tel +49 151 234 5678"
+    ).toDF("text").select(TextAnalysis.redactPiiExtended($"text").as("r")).as[String].collect()
+    assert(rows(0) === "pay <CARD> now")
+    assert(rows(1) === "card <CARD> on file")
+    assert(rows(2) === "amex <CARD> works")
+    assert(rows(3) === "fake 1234 5678 9012 3456 stays")
+    assert(rows(4) === "fake 4111 1111 1111 1112 stays")
+    assert(rows(5) === "ref 12345678901234567890 is an id")
+    assert(rows(6) === "iban <IBAN> ok")
+    assert(rows(7) === "iban <IBAN> ok")
+    assert(rows(8) === "iban DE89370400440532013001 bad")
+    assert(rows(9) === "id <DNI> here")
+    assert(rows(10) === "id 12345678A here")
+    assert(rows(11) === "ssn <SSN> filed")
+    assert(rows(12) === "mail <EMAIL> tel <PHONE>")
+  }
+
   test("winnowing: coverage gap <= w, shared substring guarantee, edge lengths") {
     val k = 12; val w = 8
     val docsReal = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
