@@ -212,6 +212,55 @@ object Urls {
       .otherwise(when(path === "", lit("/")).otherwise(path))
   }
 
+  /** RFC 3986 §2.3 unreserved characters — the octets whose
+    * percent-encoded and literal forms are EQUIVALENT by the RFC, so
+    * normalization may decode them. Everything else stays encoded (a
+    * decoded `%2F` would change which slashes are path separators; a
+    * decoded `%2A` would turn a literal asterisk into a wildcard). */
+  private[graft] val UnreservedChars: String =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+
+  /** Uppercase hex codes of [[UnreservedChars]], index-aligned. */
+  private[graft] val UnreservedHex: Seq[String] =
+    UnreservedChars.map(c => f"${c.toInt}%02X")
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2): hex digits
+    * case-fold to uppercase and encoded UNRESERVED octets decode to
+    * their literal character, so equivalent encodings of the same path
+    * compare equal (`/s%65cret` ≡ `/secret`, `%7e` ≡ `%7E` ≡ `~`).
+    * Reserved and non-ASCII octets stay encoded — decoding them would
+    * change the path's structure. A `%` not followed by two hex digits
+    * passes through literally (the lenient public-matcher convention).
+    * Pure expression fold over the `%`-split pieces — bounded per-row
+    * state, no UDF. */
+  def normalizePercentEncoding(s: Column): Column = {
+    val pieces = split(s, "%", -1)
+    val rest = slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0)))
+    aggregate(rest, element_at(pieces, 1), (acc, pc) => {
+      val hh = upper(pc.substr(lit(1), lit(2)))
+      val tail = pc.substr(lit(3), greatest(length(pc) - 2, lit(0)))
+      val idx = array_position(lit(UnreservedHex.toArray), hh)
+      val norm = when(!pc.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), pc))
+        .otherwise(when(idx > 0,
+            concat(lit(UnreservedChars).substr(idx.cast("int"), lit(1)), tail))
+          .otherwise(concat(lit("%"), hh, tail)))
+      concat(acc, norm)
+    })
+  }
+
+  /** Path PLUS query of a URL string (before `#`; empty path → `/`) —
+    * what query-bearing robots rules match against. Same scheme/empty
+    * conventions as [[urlPath]]. */
+  def urlPathQuery(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    when(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) === "", lit(""))
+      .otherwise(when(pathq === "", lit("/"))
+        .when(pathq.startsWith("?"), concat(lit("/"), pathq))
+        .otherwise(pathq))
+  }
+
   /** Per-host PATH rules of the Robots Exclusion Protocol — the
     * longest-match surface [[robotsBlocksAll]]'s root-only cut deliberately
     * skips (real hosts mostly disallow PATHS, not roots): every
@@ -230,11 +279,11 @@ object Urls {
     * `Disallow:` allows everything) and are dropped at parse.
     *
     * Path values pass through VERBATIM (trimmed) — the matching
-    * semantics, including RFC 9309 `*` wildcards and the trailing `$`
-    * end anchor, live in [[robotsBlockedPathIds]]. Documented subset
-    * (each omission is a caller-visible policy choice, not an
-    * approximation): no percent-encoding normalization, no query-string
-    * matching; `crawl-delay`/`sitemap` lines are ignored.
+    * semantics (RFC 9309 `*` wildcards, the trailing `$` end anchor,
+    * percent-encoding normalization, query-bearing rules) live in
+    * [[robotsBlockedPathIds]]. Documented subset (a caller-visible
+    * policy choice, not an approximation): `crawl-delay`/`sitemap`
+    * lines are ignored.
     *
     * One scan-local fold per robots row (bodies are bounded); the output
     * is rules-shaped (rows ≈ directives across hosts — robots-file-sized,
@@ -297,12 +346,21 @@ object Urls {
     * octet prefix of the URL path, `*` inside it matches any octet
     * sequence (including empty), and a TRAILING `$` anchors the match to
     * the end of the path (a non-trailing `$` is a literal octet, the
-    * public-implementation convention). Among a host's matching rules
-    * the MOST SPECIFIC wins — specificity = the rule path's length as
-    * written, the public robots-matcher priority — and a specificity tie
-    * between an Allow and a Disallow resolves to Allow (the RFC's
-    * least-restrictive tie rule); no matching rule (or no rules for the
-    * host) means allowed.
+    * public-implementation convention). Both sides normalize
+    * percent-encodings first ([[normalizePercentEncoding]]: uppercase
+    * hex, unreserved octets decoded), so `/s%65cret` in a rule blocks
+    * `/secret` in a URL and vice versa — and two spellings of the same
+    * rule collapse to ONE broadcast row; an encoded `%2A` stays encoded,
+    * i.e. is matched literally, never as a wildcard. A rule whose path
+    * carries a `?` matches against the URL's `path?query`
+    * ([[urlPathQuery]]); plain rules keep matching the query-stripped
+    * path (`Disallow: /search?q=` gates the query without gating
+    * `/search/results`). Among a host's matching rules the MOST SPECIFIC
+    * wins — specificity = the NORMALIZED rule path's length (equivalent
+    * encodings of one rule get equal priority), the public
+    * robots-matcher shape — and a specificity tie between an Allow and a
+    * Disallow resolves to Allow (the RFC's least-restrictive tie rule);
+    * no matching rule (or no rules for the host) means allowed.
     *
     * Join shape: the rule set is robots-corpus-sized (directives across
     * hosts — thousands-to-millions of short rows), so it BROADCASTS and
@@ -337,14 +395,25 @@ object Urls {
       lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
     val pat = replace(esc, lit("*"), lit("%"))
     val pr = rules.select(lower(trim(col("host"))).as("__rhost"),
-        col("allow").cast("boolean").as("__rallow"), col("path").as("__rpath"))
+        col("allow").cast("boolean").as("__rallow"),
+        // normalize at compile: equivalent encodings of one rule collapse
+        // to one broadcast row, and specificity reads the normalized form
+        normalizePercentEncoding(col("path")).as("__rpath"))
       .filter(col("__rhost") =!= "" && col("__rpath").isNotNull && col("__rpath") =!= "")
       .distinct()
       .withColumn("__rpat", when(anchored, pat).otherwise(concat(pat, lit("%"))))
-    df.select(col(idCol), urlHost(col(urlCol)).as("__h"), urlPath(col(urlCol)).as("__p"))
+      // a query-bearing rule matches path?query; a plain rule matches the
+      // query-stripped path (an encoded %3F stays encoded = literal, so
+      // only a structural '?' flips a rule to the query surface)
+      .withColumn("__rq", col("__rpath").contains("?"))
+    df.select(col(idCol), urlHost(col(urlCol)).as("__h"),
+        normalizePercentEncoding(urlPath(col(urlCol))).as("__p"),
+        normalizePercentEncoding(urlPathQuery(col(urlCol))).as("__pq"))
       .filter(col("__h") =!= "")
       .join(broadcast(pr),
-        col("__h") === col("__rhost") && like(col("__p"), col("__rpat"), lit('\\')))
+        col("__h") === col("__rhost") &&
+          like(when(col("__rq"), col("__pq")).otherwise(col("__p")),
+            col("__rpat"), lit('\\')))
       .groupBy(col(idCol))
       // most specific match, Allow wins ties: lexicographic struct max
       // over (rule length, allow) — (5, true) > (5, false) > (4, true)

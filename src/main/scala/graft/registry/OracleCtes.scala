@@ -336,6 +336,21 @@ private[graft] object OracleCtes {
     * occurrences per rule, exactly the encoder loop's result for the
     * training-well-formed [[graft.operators.TextAnalysis
     * .DefaultBpeMerges]] (see its scaladoc for the argument). */
+  /** DuckDB twin of [[graft.operators.Urls.normalizePercentEncoding]]:
+    * fold over the `%`-split pieces — malformed escapes pass through,
+    * unreserved octets decode via the SAME alphabet/hex constants the
+    * operator uses, everything else case-folds its hex. */
+  private[graft] def duckNormPct(e: String): String = {
+    val hexList = graft.operators.Urls.UnreservedHex.map(h => s"'$h'").mkString(", ")
+    val alpha = graft.operators.Urls.UnreservedChars
+    val pos = s"list_position([$hexList], upper(substring(pc, 1, 2)))"
+    s"list_reduce(list_prepend(string_split($e, '%')[1], string_split($e, '%')[2:]), " +
+      "(acc, pc) -> acc || CASE " +
+      "WHEN NOT regexp_matches(pc, '^[0-9A-Fa-f]{2}') THEN '%' || pc " +
+      s"WHEN coalesce($pos, 0) > 0 THEN substring('$alpha', $pos, 1) || substring(pc, 3) " +
+      "ELSE '%' || upper(substring(pc, 1, 2)) || substring(pc, 3) END)"
+  }
+
   private[graft] def duckBpeSymExpr(tokCol: String): String = {
     val base = s"regexp_replace(lower(hex(encode($tokCol))), '(..)', '>\\1|', 'g')"
     graft.operators.TextAnalysis.DefaultBpeMerges.foldLeft(base) { case (acc, (a, b)) =>

@@ -299,47 +299,60 @@ private[graft] object RegistryDedup {
       Urls.robotsDisallowedHosts(robots, "host", "robots_txt")
     }),
     // robots PATH rules + RFC 9309 longest-match gate (the dominant real
-    // robots shape — path-level Disallow with Allow carve-outs): seven
+    // robots shape — path-level Disallow with Allow carve-outs): nine
     // per-host body variants exercise a path Disallow under a longer
     // Allow, an Allow/Disallow LENGTH TIE (Allow wins), a specific-UA
     // group overriding '*' (tier selection), an empty Disallow (matches
     // nothing), three-level longest-match nesting, a '$'-anchored
-    // wildcard suffix rule (/*.pdf$), and mid-pattern '*' wildcards with
-    // a wildcard-vs-wildcard specificity race; twelve deterministic URL
-    // paths probe every branch. The oracle replays group selection, the
-    // tier filter, the LIKE-compiled pattern match, and the
-    // (length DESC, allow DESC) election relationally
+    // wildcard suffix rule (/*.pdf$), mid-pattern '*' wildcards with a
+    // wildcard-vs-wildcard specificity race, PERCENT-ENCODED rules
+    // (unreserved octets decode, hex case-folds, %2A stays a literal
+    // asterisk-encoding — never a wildcard), and QUERY-BEARING rules
+    // (match path?query; plain rules keep matching the query-stripped
+    // path); sixteen deterministic URL paths (incl. %-encoded and
+    // ?-bearing ones) probe every branch. The oracle replays group
+    // selection, the tier filter, the percent normalization, the
+    // LIKE-compiled pattern match, and the (length DESC, allow DESC)
+    // election relationally
     "x_text_robots_paths" -> ((s, d) => {
       val h = pmod(col("doc_id"), lit(37))
       val robots = Tables.documents(s, d).select(
         concat(lit("site"), h.cast("string"), lit(".example.com")).as("host"),
-        when(pmod(h, lit(7)) === 0,
+        when(pmod(h, lit(9)) === 0,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /private"),
               lit("Allow: /private/ok")))
-          .when(pmod(h, lit(7)) === 1,
+          .when(pmod(h, lit(9)) === 1,
             concat_ws("\n", lit("User-agent: *"), lit("Allow: /p"),
               lit("Disallow: /p"), lit("Disallow: /public")))
-          .when(pmod(h, lit(7)) === 2,
+          .when(pmod(h, lit(9)) === 2,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /"), lit(""),
               lit("User-agent: graftbot"), lit("Disallow: /private")))
-          .when(pmod(h, lit(7)) === 3,
+          .when(pmod(h, lit(9)) === 3,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow:")))
-          .when(pmod(h, lit(7)) === 4,
+          .when(pmod(h, lit(9)) === 4,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a"),
               lit("Allow: /a/b"), lit("Disallow: /a/b/c")))
-          .when(pmod(h, lit(7)) === 5,
+          .when(pmod(h, lit(9)) === 5,
             concat_ws("\n", lit("User-agent: *"), lit("Disallow: /*.pdf$")))
-          .otherwise(concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a*z"),
-            lit("Allow: /a*zz")))
+          .when(pmod(h, lit(9)) === 6,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /a*z"),
+              lit("Allow: /a*zz")))
+          .when(pmod(h, lit(9)) === 7,
+            concat_ws("\n", lit("User-agent: *"), lit("Disallow: /s%65cret"),
+              lit("Allow: /s%65cret/pub%6cic"), lit("Disallow: /item%2A")))
+          .otherwise(concat_ws("\n", lit("User-agent: *"),
+            lit("Disallow: /search?q="), lit("Allow: /search?q=safe")))
           .as("robots_txt")).distinct()
       val rules = Urls.robotsPathRules(robots, "host", "robots_txt",
         userAgent = "graftbot")
       val paths = array(lit("/"), lit("/private/ok/x"), lit("/private/y"),
         lit("/p/z"), lit("/a/b/c/d"), lit("/a/b/q"), lit("/a/x"), lit("/public"),
-        lit("/docs/r.pdf"), lit("/docs/r.pdfx"), lit("/abcz"), lit("/abczz"))
+        lit("/docs/r.pdf"), lit("/docs/r.pdfx"), lit("/abcz"), lit("/abczz"),
+        lit("/s%65cret/x"), lit("/secret/public/y"), lit("/search?q=test"),
+        lit("/search?q=safe1"), lit("/item%2a"), lit("/item*"))
       val urls = Tables.documents(s, d).select(col("doc_id").as("url_id"),
         concat(lit("https://site"), h.cast("string"), lit(".example.com"),
-          element_at(paths, (pmod(col("doc_id"), lit(12)) + 1).cast("int"))).as("url"))
+          element_at(paths, (pmod(col("doc_id"), lit(18)) + 1).cast("int"))).as("url"))
       Urls.robotsBlockedPathIds(urls, "url_id", "url", rules)
     }),
     // incremental (cross-run) URL dedup: even-id urls play the standing
@@ -876,10 +889,10 @@ private[graft] object RegistryDedup {
     // (rule length DESC, allow DESC) election, blocked = best rule is a
     // Disallow
     "x_text_robots_paths" ->
-      """WITH robots AS (
+      s"""WITH robots AS (
         |  SELECT DISTINCT
         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
-        |    CASE CAST((doc_id % 37) % 7 AS INT)
+        |    CASE CAST((doc_id % 37) % 9 AS INT)
         |      WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
         |                  || chr(10) || 'Allow: /private/ok'
         |      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Allow: /p'
@@ -891,9 +904,14 @@ private[graft] object RegistryDedup {
         |      WHEN 3 THEN 'User-agent: *' || chr(10) || 'Disallow:'
         |      WHEN 4 THEN 'User-agent: *' || chr(10) || 'Disallow: /a'
         |           || chr(10) || 'Allow: /a/b' || chr(10) || 'Disallow: /a/b/c'
-        |      WHEN 5 THEN 'User-agent: *' || chr(10) || 'Disallow: /*.pdf$'
-        |      ELSE 'User-agent: *' || chr(10) || 'Disallow: /a*z'
+        |      WHEN 5 THEN 'User-agent: *' || chr(10) || 'Disallow: /*.pdf$$'
+        |      WHEN 6 THEN 'User-agent: *' || chr(10) || 'Disallow: /a*z'
         |           || chr(10) || 'Allow: /a*zz'
+        |      WHEN 7 THEN 'User-agent: *' || chr(10) || 'Disallow: /s%65cret'
+        |           || chr(10) || 'Allow: /s%65cret/pub%6cic'
+        |           || chr(10) || 'Disallow: /item%2A'
+        |      ELSE 'User-agent: *' || chr(10) || 'Disallow: /search?q='
+        |           || chr(10) || 'Allow: /search?q=safe'
         |    END AS txt
         |  FROM documents
         |),
@@ -945,31 +963,43 @@ private[graft] object RegistryDedup {
         |  WHERE (g.is_allow OR g.is_dis) AND g.after <> ''
         |    AND (m.m_star OR m.m_ua) AND m.m_ua = saw.saw_ua
         |),
+        |nrm AS (
+        |  SELECT host, allow, ${duckNormPct("path")} AS path FROM eff
+        |),
         |cmp AS (
-        |  SELECT host, allow, path,
-        |    CASE WHEN ends_with(path, '$')
+        |  SELECT host, allow, path, contains(path, '?') AS rq,
+        |    CASE WHEN ends_with(path, '$$')
         |         THEN replace(replace(replace(replace(
         |                substr(path, 1, length(path) - 1),
-        |                '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+        |                '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
         |         ELSE replace(replace(replace(replace(path,
-        |                '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') || '%'
+        |                '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%') || '%'
         |    END AS pat
-        |  FROM eff
+        |  FROM nrm
         |),
         |urls AS (
         |  SELECT doc_id AS url_id,
         |    'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
         |    (['/', '/private/ok/x', '/private/y', '/p/z', '/a/b/c/d',
         |      '/a/b/q', '/a/x', '/public', '/docs/r.pdf', '/docs/r.pdfx',
-        |      '/abcz', '/abczz'])[CAST(doc_id % 12 AS INT) + 1] AS path
+        |      '/abcz', '/abczz', '/s%65cret/x', '/secret/public/y',
+        |      '/search?q=test', '/search?q=safe1', '/item%2a', '/item*'
+        |     ])[CAST(doc_id % 18 AS INT) + 1] AS rawp
         |  FROM documents
+        |),
+        |np AS (
+        |  SELECT url_id, host,
+        |    ${duckNormPct("regexp_extract(rawp, '^([^?]*)', 1)")} AS p,
+        |    ${duckNormPct("rawp")} AS pq
+        |  FROM urls
         |),
         |matched AS (
         |  SELECT u.url_id, e.allow,
         |    row_number() OVER (PARTITION BY u.url_id
         |                       ORDER BY length(e.path) DESC, e.allow DESC) AS rn
-        |  FROM urls u
-        |  JOIN cmp e ON u.host = e.host AND u.path LIKE e.pat ESCAPE '\'
+        |  FROM np u
+        |  JOIN cmp e ON u.host = e.host
+        |    AND (CASE WHEN e.rq THEN u.pq ELSE u.p END) LIKE e.pat ESCAPE '\\'
         |)
         |SELECT url_id FROM matched WHERE rn = 1 AND NOT allow""".stripMargin,
     // cross-run URL dedup ≡ the full-fixture dedup restricted to

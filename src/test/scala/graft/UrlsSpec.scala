@@ -281,6 +281,42 @@ class UrlsSpec extends SparkSpec {
     assert(blocked === Seq(0L, 2L, 3L, 6L, 8L))
   }
 
+  test("robots path gate: percent-encoding equivalence, %2A stays literal, query rules") {
+    val robots = Seq(
+      // encoded unreserved octets in the rule (incl. lowercase hex):
+      // must block the decoded URL form and the differently-encoded form
+      ("e0.com", "User-agent: *\nDisallow: /s%65cret\nAllow: /s%65cret/pub%6cic"),
+      // %2A is an ENCODED asterisk: literal match only, never a wildcard
+      ("e1.com", "User-agent: *\nDisallow: /item%2A"),
+      // query-bearing rules match path?query; plain rules never see the query
+      ("e2.com", "User-agent: *\nDisallow: /search?q=\nAllow: /search?q=safe"),
+      ("e3.com", "User-agent: *\nDisallow: /login")
+    ).toDF("host", "robots_txt")
+    val rules = Urls.robotsPathRules(robots, "host", "robots_txt")
+    val pages = Seq(
+      (0L, "https://e0.com/secret/x"),        // decoded form blocked
+      (1L, "https://e0.com/s%65cret/y"),      // encoded URL ≡ decoded rule
+      (2L, "https://e0.com/secret/public/z"), // longer decoded Allow wins
+      (3L, "https://e0.com/sXcret/x"),        // %65 is 'e', not a wildcard
+      (4L, "https://e1.com/item%2a"),         // hex case-folds; literal %2A hits
+      (5L, "https://e1.com/item*"),           // a real '*' octet is NOT %2A
+      (6L, "https://e1.com/itemX"),           // %2A must not wildcard
+      (7L, "https://e2.com/search?q=test"),   // query rule gates the query
+      (8L, "https://e2.com/search?q=safe1"),  // longer query Allow wins
+      (9L, "https://e2.com/search/results"),  // path-only URL unaffected
+      (10L, "https://e3.com/login?next=/x"),  // plain rule matches sans query
+      (11L, "https://e3.com/log")             // prefix miss stays a miss
+    ).toDF("id", "url")
+    val blocked = Urls.robotsBlockedPathIds(pages, "id", "url", rules)
+      .as[Long].collect().sorted.toSeq
+    assert(blocked === Seq(0L, 1L, 4L, 7L, 10L))
+    // malformed escapes pass through literally on both surfaces
+    val norm = Seq("/a%zz", "/b%4", "/c%4G", "/d%7e", "/e%2F")
+      .toDF("p").select(Urls.normalizePercentEncoding($"p")).as[String]
+      .collect().toSeq
+    assert(norm === Seq("/a%zz", "/b%4", "/c%4G", "/d~", "/e%2F"))
+  }
+
   test("robots path gate plan: rules broadcast, host hash equi-join, no corpus regex") {
     val robots = Seq(("p0.com", "User-agent: *\nDisallow: /private"))
       .toDF("host", "robots_txt")
