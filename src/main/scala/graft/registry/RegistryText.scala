@@ -97,6 +97,24 @@ private[graft] object RegistryText {
     "x_text_collapse" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.collapseTokenRuns(col("text")).as("collapsed"))),
+    // trained char-bigram language ID over 25 languages incl. non-Latin
+    // scripts (the model tier above langId's 4-language stopword
+    // heuristic): profiles train from the in-repo UDHR seeds at query
+    // time (seed-sized — the training IS part of what the oracle
+    // replays); the fixture plants each seed language as a prefix on
+    // doc_id % 26 (the 26th variant keeps raw corpus text), so every
+    // profile, the argmax, and the prefix cap are all exercised
+    "x_text_lang_model" -> ((s, d) =>
+      LangModel.langClassifyDefault(
+        langModelFixture(Tables.documents(s, d)), "doc_id", "text")),
+    // the curation gate a multilingual pipeline runs: keep documents the
+    // MODEL reads as English — on the planted fixture that keeps the raw
+    // variant and drops the 25 planted-prefix variants
+    "x_text_lang_model_gate" -> ((s, d) =>
+      LangModel.langClassifyDefault(
+        langModelFixture(Tables.documents(s, d)), "doc_id", "text")
+        .filter(col("lang") === "en")
+        .select(col("doc_id"))),
     // corpus-wide C4-style line dedup: the synthetic corpus is single-
     // line, so the query first derives 8-token lines (regex parity with
     // the oracle checked byte-for-byte), then keeps only each repeated
@@ -354,6 +372,94 @@ private[graft] object RegistryText {
          |         row_number() OVER (PARTITION BY a || b ORDER BY rank) AS rn
          |  FROM ($ranked)
          |) WHERE rn = 1""".stripMargin
+  }
+
+  /** The language-model fixture: seed-language prefixes planted by
+    * doc_id % 26 (variant 25 keeps raw corpus text), shared by the
+    * classify row and the gate row. */
+  private def langModelFixture(docs: DataFrame): DataFrame = {
+    val seedArr = array(LangModel.DefaultLangSeeds.map(s => lit(s._2)): _*)
+    val v = pmod(col("doc_id"), lit(26))
+    docs.select(col("doc_id"),
+      when(v < 25, concat(element_at(seedArr, (v + 1).cast("int")), lit(" "),
+        col("text"))).otherwise(col("text")).as("text"))
+  }
+
+  /** DuckDB twin of the whole language-model path — seed VALUES from the
+    * SAME constant, profile training (add-one smoothing over the global
+    * gram vocabulary, 6-decimal logp/floor), planted fixture, prefix-256
+    * bigrams, decimal score sums, (score DESC, lang ASC) argmax, and the
+    * no-match → 'und' fallback. The straightforward 25-language cross
+    * replay; the operator's synthetic-candidate optimization provably
+    * elects the same winner (every unmatched language other than the
+    * max-floor one is dominated). */
+  private def duckLangModelSql(finalSelect: String): String = {
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val AZ = az.toUpperCase
+    val seedRows = LangModel.DefaultLangSeeds
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(",\n        |    ")
+    val plantCase = LangModel.DefaultLangSeeds.zipWithIndex
+      .map { case ((_, t), i) => s"WHEN $i THEN '$t' || ' ' || text" }
+      .mkString("\n        |      ")
+    s"""WITH seeds AS (
+        |  SELECT * FROM (VALUES
+        |    $seedRows) s(lang, text)
+        |),
+        |sg AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(t)),
+        |    i -> substring(t, CAST(i AS INT), 2))) AS gram
+        |  FROM (SELECT lang, translate(text, '$AZ', '$az') AS t FROM seeds)
+        |),
+        |cnts AS (SELECT lang, gram, count(*) AS cnt FROM sg GROUP BY lang, gram),
+        |vv AS (SELECT count(DISTINCT gram) AS v FROM cnts),
+        |tt AS (SELECT lang, sum(cnt) AS tot FROM cnts GROUP BY lang),
+        |prof AS (
+        |  SELECT lang, gram,
+        |    round(ln((cnt + 1.0) / (tot + v)), 6) AS logp,
+        |    round(ln(1.0 / (tot + v)), 6) AS floor
+        |  FROM cnts JOIN tt USING (lang) CROSS JOIN vv
+        |),
+        |langs AS (SELECT DISTINCT lang, floor FROM prof),
+        |src AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 26 AS INT)
+        |      $plantCase
+        |      ELSE text END AS text
+        |  FROM documents
+        |),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> substring(t, CAST(i AS INT), 2))) AS gram
+        |  FROM (SELECT doc_id,
+        |          translate(substring(coalesce(text, ''), 1, 256), '$AZ', '$az') AS t
+        |        FROM src)
+        |),
+        |gt AS (
+        |  SELECT s.doc_id, coalesce(c.g, 0) AS g
+        |  FROM src s LEFT JOIN (SELECT doc_id, count(*) AS g FROM dg GROUP BY doc_id) c
+        |    USING (doc_id)
+        |),
+        |mt AS (
+        |  SELECT doc_id, lang, sum(CAST(logp AS DECIMAL(28,6))) AS mlp,
+        |    count(*) AS mc
+        |  FROM dg JOIN prof USING (gram) GROUP BY doc_id, lang
+        |),
+        |sc AS (
+        |  SELECT gt.doc_id, l.lang,
+        |    round(CAST(coalesce(mt.mlp, 0) AS DOUBLE)
+        |          + (gt.g - coalesce(mt.mc, 0)) * l.floor, 6) AS score,
+        |    coalesce(mt.mc, 0) AS mc
+        |  FROM gt CROSS JOIN langs l
+        |  LEFT JOIN mt ON mt.doc_id = gt.doc_id AND mt.lang = l.lang
+        |),
+        |rk AS (
+        |  SELECT doc_id, lang, score,
+        |    max(mc) OVER (PARTITION BY doc_id) AS maxm,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, lang ASC) AS rn
+        |  FROM sc
+        |)
+        |$finalSelect""".stripMargin
   }
 
   // ---- DuckDB twins of the checksum-validated PII folds (generated
@@ -928,6 +1034,15 @@ private[graft] object RegistryText {
       }
       s"SELECT doc_id, $chain AS redacted FROM documents"
     },
+    // the trained-language-ID replay (training + argmax, one statement)
+    "x_text_lang_model" -> duckLangModelSql(
+      """SELECT doc_id,
+        |  CASE WHEN maxm = 0 THEN 'und' ELSE lang END AS lang,
+        |  CASE WHEN maxm = 0 THEN NULL ELSE score END AS lang_score
+        |FROM rk WHERE rn = 1""".stripMargin),
+    "x_text_lang_model_gate" -> duckLangModelSql(
+      """SELECT doc_id
+        |FROM rk WHERE rn = 1 AND maxm > 0 AND lang = 'en'""".stripMargin),
     // the extended classes replayed stage by stage: base regex trio, then
     // one conditional-redaction CTE per checksum class (IBAN mod-97, card
     // Luhn, DNI check letter — list_filter with the fold spelled out),
