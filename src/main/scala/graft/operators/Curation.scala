@@ -288,4 +288,179 @@ object Curation {
     Sampling.assignSplit(
       elected.filter(!col("contaminated")).select(col(idCol)), idCol, splits)
   }
+
+  /** Standing state the steady-state curation loop accumulates — three
+    * narrow stores, each fed by the matching novelty output of
+    * [[curateIncremental]]:
+    *
+    *  - `knownDigests`   — `content_hash` of every GATE-SURVIVING content
+    *                       class ingested so far (32 bytes/class);
+    *  - `knownCanonical` — `canonical_url` of every blocklist-surviving
+    *                       URL class (the url tier's store; present iff
+    *                       the tier runs);
+    *  - `bandIndex`      — (id, band, key) LSH band rows of every
+    *                       EXACT-SURVIVING ingested document, kept AND
+    *                       near-cut (the corpus-wide bucket election
+    *                       consults every exact survivor, so the
+    *                       incremental law needs both — the
+    *                       [[Dedup.paragraphBandIndex]] convention);
+    *                       present iff the near tier runs.
+    */
+  final case class CurationState(
+      knownDigests: DataFrame,
+      knownCanonical: Option[DataFrame] = None,
+      bandIndex: Option[DataFrame] = None)
+
+  /** One batch's output: the surviving (idCol, split) rows plus the
+    * novelty appends that keep the NEXT run incremental. Append each
+    * novelty frame to its store and re-delivering the same batch ingests
+    * nothing (spec-pinned). */
+  final case class CurationIncrement(
+      survivors: DataFrame,
+      novelDigests: DataFrame,
+      novelCanonical: Option[DataFrame] = None,
+      novelBands: Option[DataFrame] = None)
+
+  /** Empty standing state (run the first batch against this; its novelty
+    * outputs ARE the initial stores). */
+  def emptyState(
+      spark: org.apache.spark.sql.SparkSession,
+      url: Boolean = false,
+      near: Boolean = false): CurationState = {
+    def empty(cols: (String, String)*): DataFrame =
+      spark.range(0).select(cols.map { case (n, t) =>
+        lit(null).cast(t).as(n) }: _*)
+    CurationState(
+      knownDigests = empty("content_hash" -> "string"),
+      knownCanonical =
+        if (url) Some(empty("canonical_url" -> "string")) else None,
+      bandIndex =
+        if (near) Some(empty("id" -> "long", "band" -> "int", "key" -> "long"))
+        else None)
+  }
+
+  /** STEADY-STATE composed curation — the production web-ingest loop:
+    * gate ONE new batch against standing stores instead of re-running
+    * the corpus-wide pipeline, at batch cost forever. Stage order is the
+    * corpus-wide composition's:
+    *
+    *   url tier (blocklist + standing-canonical novelty) → quality gates
+    *   → exact dedup vs the standing digest store → banded near-dup vs
+    *   the standing band index → benchmark decontamination → split
+    *
+    * THE INCREMENTAL LAW (spec-pinned): with stores accumulated from the
+    * ingested corpus (equivalently: by running this operator over the
+    * ingested batches in order, appending each increment's novelty),
+    * the survivors equal the CORPUS-WIDE composition over
+    * ingested ∪ batch restricted to the batch — under the historization
+    * id convention (batch ids exceed ingested ids, so every keep-min
+    * election favors the ingested side, which is what "standing store
+    * wins" implements). Per-document stages (gates, contamination,
+    * split) restrict trivially; the three election stages restrict
+    * because (a) a batch URL/content class with a standing occurrence
+    * always loses to it, (b) intra-batch elections see every batch
+    * class, and (c) duplicate content shares every band bucket, so
+    * electing among batch EXACT-survivors equals electing among all
+    * batch docs (the one-pass-election argument of
+    * [[Dedup.nearDedupParagraphsIncremental]] lifted to documents).
+    *
+    * The near tier is BANDING-AS-PREDICATE (bucket keep-min, the
+    * FineWeb/paragraph convention) rather than [[curate]]'s
+    * simhash-pairs + connected components: bucket-local elections
+    * restrict to a batch exactly, while transitive clusters can span
+    * standing docs and would need the incremental-CC machinery — the
+    * documented trade for a steady-state loop with index-probe cost.
+    *
+    * Scale shape: the batch never meets corpus payloads — it probes the
+    * canonical store (~100-byte keys), the digest store (32-byte keys),
+    * and the band index (8-byte keys) with hash joins; the bench gram
+    * set broadcasts ([[Decontamination.decontaminate]]); everything else
+    * is per-row. Steady-state cost is O(batch), never O(corpus).
+    *
+    * @param urlGate (urls, urlCol, rules) — requires
+    *                `state.knownCanonical`; docs cut when blocked, when
+    *                their canonical URL is standing, or when a smaller
+    *                batch id shares it
+    * @param nearDup (n, k, bands) minhash shape — requires
+    *                `state.bandIndex`
+    * @return survivors + the three novelty appends
+    */
+  def curateIncremental(
+      batch: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      state: CurationState,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      shingleN: Int = 13,
+      minHits: Long = 1L,
+      languages: Option[Set[String]] = None,
+      qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None,
+      urlGate: Option[(DataFrame, String, DataFrame)] = None,
+      nearDup: Option[(Int, Int, Int)] = None,
+      scope: graft.CacheScope = graft.CacheScope.Global): CurationIncrement = {
+    require(urlGate.isEmpty || state.knownCanonical.nonEmpty,
+      "urlGate requires a standing canonical-URL store in the state")
+    require(nearDup.isEmpty || state.bandIndex.nonEmpty,
+      "nearDup requires a standing band index in the state")
+    // url tier: blocklist first (stateless broadcast), then canonical
+    // novelty vs the standing store + intra-batch keep-min — the
+    // incrementalDuplicateUrls semantics, winners carried forward
+    val (urlKept, novelCanonical) = urlGate match {
+      case None => (batch, None)
+      case Some((urls, urlCol, rules)) =>
+        val unblocked = Urls.filterBlockedHosts(urls, idCol, urlCol, rules)
+        val winners = scope.persist(Urls.incrementalDuplicateUrls(
+          unblocked, idCol, urlCol, state.knownCanonical.get))
+        (batch.join(winners.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi"),
+          Some(winners.select(col("canonical_url"))))
+    }
+    // per-document gates — the curatePrefix facts computed for THIS batch
+    val flagged = TextAnalysis.gopherishFlags(urlKept, idCol, textCol, keepText = true)
+      .filter(col("keep"))
+    val quality = qualityModel.fold(flagged) { case (w, b, minScore) =>
+        flagged.filter(TextAnalysis.qualityScoreExpr(w, b) >= lit(minScore))
+      }
+      .select(col(idCol), col(textCol))
+    val kept = languages.fold(quality) { ls =>
+      quality.filter(TextAnalysis.langId(col(textCol)).isInCollection(ls.toSeq.sorted))
+    }
+    // exact tier: standing digest anti-join + intra-batch keep-min; the
+    // survivors carry content_hash = exactly the novel classes
+    val exact = scope.persist(
+      Dedup.incrementalExact(kept, idCol, Seq(textCol), state.knownDigests))
+    val novelDigests = exact.select(col("content_hash"))
+    // near tier: band rows of every batch exact-survivor probe the
+    // standing index (cut on any occupied bucket) and elect keep-min
+    // among themselves; ALL of them append (kept and cut — the corpus-
+    // wide election consults every exact survivor)
+    val (nearKept, novelBands) = nearDup match {
+      case None => (exact.drop("content_hash"), None)
+      case Some((n, k, bands)) =>
+        val bandRows = scope.persist(Dedup.minhashBandIndex(
+          exact.select(col(idCol), col(textCol)), idCol, textCol, n, k, bands))
+        val standingCut = bandRows.as("b")
+          .join(state.bandIndex.get.as("c"),
+            col("b.band") === col("c.band") && col("b.key") === col("c.key"),
+            "left_semi")
+          .select(col("id")).distinct()
+        val w = Window.partitionBy("band", "key")
+        val batchCut = bandRows
+          .withColumn("__bmin", min(col("id")).over(w))
+          .filter(col("id") =!= col("__bmin"))
+          .select(col("id")).distinct()
+        val cut = standingCut.unionByName(batchCut).distinct()
+        (exact.join(cut.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+          .drop("content_hash"),
+          Some(bandRows))
+    }
+    val clean = Decontamination.decontaminate(
+      nearKept, bench, idCol, textCol, shingleN, minHits)
+    CurationIncrement(
+      survivors = Sampling.assignSplit(clean.select(col(idCol)), idCol, splits),
+      novelDigests = novelDigests,
+      novelCanonical = novelCanonical,
+      novelBands = novelBands)
+  }
 }

@@ -235,4 +235,172 @@ class CurationSpec extends SparkSpec {
     // no benchmark doc can survive into the output
     assert(got.join(bench, Seq("doc_id"), "left_semi").count() === 0)
   }
+
+  // ---- steady-state composed curation (curateIncremental) ----
+
+  // diverse long fillers (every doc passes the quality gate); the near
+  // twins are one-token mutations empirically verified to share an LSH
+  // band with their original — deterministic forever under the fixed
+  // md5 signature arithmetic, no LSH luck involved
+  private val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+    "river bank while morning light settles on the tall grass and the birds call"
+  private val fillerB = "a steady rain fell across the old town square as vendors " +
+    "opened their stalls and the church bell counted out the early hours again"
+  private val fillerC = "deep in the valley the farmers walked their fields checking " +
+    "rows of young corn while clouds drifted slowly over the distant blue hills"
+  private val fillerD = "under the harbor lights the fishing boats unloaded crates of " +
+    "silver fish while gulls circled overhead and ropes creaked against the piers"
+  private val fillerE = "seven lanterns hung along the narrow alley where cats watched " +
+    "strangers pass and distant music drifted from an open doorway into the night air"
+  private val fillerF = "inside the museum hall students sketched marble statues while " +
+    "guides described ancient trade routes and sunlight streamed onto polished floors"
+
+  private def incFixture = {
+    val ingested = Seq(
+      (1L, fillerA),
+      (2L, fillerB)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, fillerA),                              // exact tier: standing hit
+      (11L, fillerB.replace("again", "anew")),     // near tier: standing band hit
+      (12L, fillerC),                              // survivor: batch-novel class min
+      (13L, fillerC.replace("hills", "peaks")),    // near tier: batch election cut
+      (14L, fillerD),                              // url tier: canonical standing (doc 1's)
+      (15L, fillerD),                              // url tier: intra-batch keep-min (10 wins)
+      (16L, "tiny"),                               // quality gate cut
+      (17L, fillerE),                              // blocklist cut (ads. host)
+      (18L, fillerF)                               // decontamination cut (bench match)
+    ).toDF("doc_id", "text")
+    // url identity rides an EFFECTIVE id: 14 takes doc 1's whole url
+    // (standing canonical), 15 takes doc 10's (intra-batch collision)
+    val eid = when($"doc_id" === 14L, lit(1L))
+      .when($"doc_id" === 15L, lit(10L)).otherwise($"doc_id")
+    val urls = (ingested.select($"doc_id") unionByName batch.select($"doc_id"))
+      .select($"doc_id", concat(lit("https://"),
+        when($"doc_id" === 17L, lit("ads.")).otherwise(lit("")),
+        lit("h"), pmod(eid, lit(5)).cast("string"),
+        lit(".example.com/p/"), eid.cast("string")).as("url"))
+    val bench2 = Seq((100L, fillerF)).toDF("doc_id", "text")
+    val rules = Seq("*.example.org" /* no match */ ,
+      "ads.h2.example.com").toDF("rule")
+    (ingested, batch, urls, bench2, rules)
+  }
+
+  /** The corpus-wide composition curateIncremental's law references:
+    * url blocklist + canonical keep-min → quality gate → exact keep-min
+    * → banded bucket keep-min → decontaminate → split. */
+  private def corpusTwin(corpus: org.apache.spark.sql.DataFrame,
+      urls: org.apache.spark.sql.DataFrame,
+      rules: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Urls
+    val unblocked = Urls.filterBlockedHosts(urls, "doc_id", "url", rules)
+    val urlWinners = Urls.duplicateUrls(unblocked, "doc_id", "url")
+      .select($"keep_id".as("doc_id"))
+    val urlKept = corpus.join(urlWinners, Seq("doc_id"), "left_semi")
+    val quality = TextAnalysis.gopherishFlags(urlKept, "doc_id", "text", keepText = true)
+      .filter($"keep").select("doc_id", "text")
+    val exactIds = quality
+      .withColumn("h", graft.functions.HashColumns.hashExpr(Seq($"text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi")
+    val bandRows = Dedup.minhashBandIndex(exact, "doc_id", "text", 3, 8, 4)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val cut = bandRows.withColumn("m", min($"id").over(w))
+      .filter($"id" =!= $"m").select($"id".as("doc_id")).distinct()
+    val nearKept = exact.join(cut, Seq("doc_id"), "left_anti")
+    val clean = Decontamination.decontaminate(nearKept, bench, "doc_id", "text", 3, 1L)
+    Sampling.assignSplit(clean.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+  }
+
+  test("curateIncremental: the incremental law, every tier firing") {
+    val (ingested, batch, urls, bench2, rules) = incFixture
+    val ingUrls = urls.join(ingested.select("doc_id"), Seq("doc_id"), "left_semi")
+    val batchUrls = urls.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+    // stores accumulate by the operator's own novelty outputs: batch 0 =
+    // the ingested corpus against empty state
+    val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, url = true, near = true), shingleN = 3,
+      urlGate = Some((ingUrls, "url", rules)), nearDup = Some((3, 8, 4)))
+    val state = Curation.CurationState(inc0.novelDigests,
+      inc0.novelCanonical, inc0.novelBands)
+    val inc = Curation.curateIncremental(batch, bench2, "doc_id", "text", state,
+      shingleN = 3, urlGate = Some((batchUrls, "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    val got = inc.survivors.as[(Long, String)].collect().toMap
+    // the law: corpus-wide composition over ingested ∪ batch, restricted
+    // to the batch (batch ids exceed ingested ids — the historization
+    // convention every keep-min election rides)
+    val full = corpusTwin(ingested.unionByName(batch), urls, rules, bench2)
+      .filter($"doc_id" >= 10L).as[(Long, String)].collect().toMap
+    assert(got === full, "incremental ≠ corpus-wide restricted to the batch")
+    // every tier fired, each on its intended doc:
+    val gotIds = got.keySet
+    assert(!gotIds.contains(10L), "exact tier: standing content hash must cut")
+    assert(!gotIds.contains(11L), "near tier: standing band occupancy must cut")
+    assert(gotIds.contains(12L), "batch-novel near class keeps its min id")
+    assert(!gotIds.contains(13L), "near tier: batch bucket election must cut")
+    assert(!gotIds.contains(14L), "url tier: canonical standing with ingested 1")
+    assert(!gotIds.contains(15L), "url tier: intra-batch canonical keep-min (10 wins)")
+    assert(!gotIds.contains(16L), "quality gate cut")
+    assert(!gotIds.contains(17L), "blocklist: ads.h2.example.com is cut")
+    assert(!gotIds.contains(18L), "decontamination: the bench-matching doc is cut")
+    assert(gotIds === Set(12L))
+  }
+
+  test("curateIncremental: re-delivery ingests nothing once novelty is appended") {
+    val (ingested, batch, urls, bench2, rules) = incFixture
+    val ingUrls = urls.join(ingested.select("doc_id"), Seq("doc_id"), "left_semi")
+    val batchUrls = urls.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+    val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, url = true, near = true), shingleN = 3,
+      urlGate = Some((ingUrls, "url", rules)), nearDup = Some((3, 8, 4)))
+    val state1 = Curation.CurationState(inc0.novelDigests,
+      inc0.novelCanonical, inc0.novelBands)
+    val inc1 = Curation.curateIncremental(batch, bench2, "doc_id", "text", state1,
+      shingleN = 3, urlGate = Some((batchUrls, "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    val state2 = Curation.CurationState(
+      state1.knownDigests.unionByName(inc1.novelDigests),
+      Some(state1.knownCanonical.get.unionByName(inc1.novelCanonical.get)),
+      Some(state1.bandIndex.get.unionByName(inc1.novelBands.get)))
+    val again = Curation.curateIncremental(batch, bench2, "doc_id", "text", state2,
+      shingleN = 3, urlGate = Some((batchUrls, "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    assert(again.survivors.count() === 0, "a re-delivered batch must not survive")
+    assert(again.novelCanonical.get.count() === 0, "re-delivery appends no canonicals")
+    assert(again.novelDigests.count() === 0, "re-delivery appends no digests")
+    assert(again.novelBands.get.count() === 0, "re-delivery appends no bands")
+  }
+
+  test("curateIncremental plan: store probes are hash joins, bench broadcasts, no corpus re-read") {
+    val (ingested, batch, urls, bench2, rules) = incFixture
+    val batchUrls = urls.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+    val state = Curation.CurationState(
+      Seq("00" * 16).toDF("content_hash"),
+      Some(Seq("https://x.example.com/1").toDF("canonical_url")),
+      Some(Seq((1L, 0, 7L)).toDF("id", "band", "key")))
+    val inc = Curation.curateIncremental(batch, bench2, "doc_id", "text", state,
+      shingleN = 3, urlGate = Some((batchUrls, "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    val plan = inc.survivors.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "no election may degrade to a cartesian")
+    spark.catalog.clearCache()
+  }
+
+  test("curateIncremental refuses a tier without its standing store") {
+    val (ingested, batch, urls, bench2, rules) = incFixture
+    intercept[IllegalArgumentException] {
+      Curation.curateIncremental(batch, bench2, "doc_id", "text",
+        Curation.emptyState(spark), shingleN = 3,
+        nearDup = Some((3, 8, 4)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.curateIncremental(batch, bench2, "doc_id", "text",
+        Curation.emptyState(spark), shingleN = 3,
+        urlGate = Some((urls, "url", rules)))
+    }
+  }
 }
