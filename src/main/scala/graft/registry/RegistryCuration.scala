@@ -145,6 +145,54 @@ private[graft] object RegistryCuration {
     "x_curate_media" -> ((s, d) =>
       Curation.curateFromPrefix(stagedCuratePrefix(s, d), "doc_id",
         mediaDupPairs = Some(stagedPhashPairs(s, d, 16, 2)))),
+    // STEADY-STATE composed curation — the production web-ingest loop as
+    // one oracle row: even non-bench docs play the ingested corpus (its
+    // stores built by the operator's own batch-0 run against empty
+    // state), odd docs play the new batch, with deterministic even-
+    // neighbor text derivations so the standing tiers fire (doc%9==1:
+    // near-dup of the even neighbor via an appended token; doc%9==4: its
+    // exact copy) and floor(doc_id/3)-keyed urls so canonical classes
+    // span both sides (plus ads./exact blocklist hits). The oracle
+    // replays the INCREMENTAL LAW form: the corpus-wide composition over
+    // ingested ∪ batch, restricted to the batch — so the law itself is
+    // what DuckDB checks
+    "x_curate_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val ingested = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 20 =!= 0)
+      val even = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("eid"), col("text").as("etext"))
+      // batch ids bump by 10000: the incremental law's increasing-id
+      // convention (new docs get new ids) — elections favor the standing
+      // side exactly when corpus-wide keep-min would
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .join(even, col("doc_id") - 1 === col("eid"), "left")
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          when(col("doc_id") % 9 === 1, concat(col("etext"), lit(" zmutivar")))
+            .when(col("doc_id") % 9 === 4, col("etext"))
+            .otherwise(col("text")).as("text"))
+      def urlsOf(df: DataFrame) = {
+        // mostly-unique urls with a 1-in-5 neighbor-collision slice, so
+        // the canonical tier fires without dominating the fixture
+        val oid = pmod(col("doc_id"), lit(10000L))
+        val p = when(pmod(oid, lit(5)) === 2, oid - 1).otherwise(oid)
+        df.select(col("doc_id"), concat(lit("https://"),
+          when(pmod(p, lit(11)) === 0, lit("ads.")).otherwise(lit("")),
+          lit("site"), pmod(p, lit(37)).cast("string"),
+          lit(".example.com/d/"), p.cast("string")).as("url"))
+      }
+      import s.implicits._
+      val rules = Seq("site5.example.com", "*.site7.example.com").toDF("rule")
+      val inc0 = Curation.curateIncremental(ingested, bench, "doc_id", "text",
+        Curation.emptyState(s, url = true, near = true), shingleN = 3,
+        urlGate = Some((urlsOf(ingested), "url", rules)), nearDup = Some((3, 8, 4)))
+      val state = Curation.CurationState(inc0.novelDigests,
+        inc0.novelCanonical, inc0.novelBands)
+      Curation.curateIncremental(batch, bench, "doc_id", "text", state,
+        shingleN = 3, urlGate = Some((urlsOf(batch), "url", rules)),
+        nearDup = Some((3, 8, 4))).survivors
+    }),
     // prefix-build accounting row: the honest cost of the staged
     // curation prefix the five gated rows above amortize (quality
     // metrics + model score + language + content hash + contamination
@@ -308,6 +356,121 @@ private[graft] object RegistryCuration {
          |),
          |u AS (
          |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u FROM clean
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
+    // the incremental law AS the oracle: the corpus-wide composition
+    // (url blocklist + canonical keep-min → quality → exact keep-min →
+    // banded bucket keep-min → decontaminate → split) over
+    // ingested ∪ batch, restricted to the batch — what the registered
+    // row computes through its standing stores
+    "x_curate_incremental" ->
+      s"""WITH src AS (
+         |  SELECT CASE WHEN d.doc_id % 2 = 1 THEN d.doc_id + 10000
+         |              ELSE d.doc_id END AS doc_id,
+         |    CASE WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 1
+         |           THEN e.text || ' zmutivar'
+         |         WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 4 THEN e.text
+         |         ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN documents e ON d.doc_id % 2 = 1 AND e.doc_id = d.doc_id - 1
+         |  WHERE d.doc_id % 2 = 1 OR d.doc_id % 20 <> 0
+         |),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    CASE WHEN p % 11 = 0 THEN 'ads.' ELSE '' END ||
+         |      'site' || CAST(p % 37 AS VARCHAR) || '.example.com' AS host,
+         |    'https://' ||
+         |      CASE WHEN p % 11 = 0 THEN 'ads.' ELSE '' END ||
+         |      'site' || CAST(p % 37 AS VARCHAR) || '.example.com/d/' ||
+         |      CAST(p AS VARCHAR) AS url
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN (doc_id % 10000) % 5 = 2 THEN (doc_id % 10000) - 1
+         |               ELSE doc_id % 10000 END AS p
+         |        FROM src)
+         |),
+         |unblocked AS (
+         |  SELECT doc_id, url FROM hosts
+         |  WHERE host <> 'site5.example.com'
+         |    AND NOT (host LIKE '%.site7.example.com')
+         |),
+         |urlwin AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+         |    FROM unblocked
+         |  ) WHERE rn = 1
+         |),
+         |toks AS (
+         |  SELECT s.doc_id,
+         |    list_filter(regexp_split_to_array(s.text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM src s JOIN urlwin USING (doc_id)
+         |),
+         |$qualityMetricsCte,
+         |base AS (SELECT doc_id FROM m WHERE $qualityKeepPredicate),
+         |hashed AS (
+         |  SELECT s.doc_id, md5(coalesce(CAST(s.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM src s JOIN base USING (doc_id)
+         |),
+         |exact AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |shx AS (
+         |  SELECT t.doc_id,
+         |    list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+         |      i -> array_to_string(w[i+1:i+3], ' '))) AS shingles
+         |  FROM toks t JOIN exact USING (doc_id)
+         |),
+         |sig AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(range(0, 8),
+         |      j -> list_min(list_transform(shingles,
+         |             s -> md5(concat(CAST(j AS VARCHAR), '#', s))))) AS sig
+         |  FROM shx
+         |),
+         |banded AS (
+         |  SELECT id, g.band,
+         |         md5(array_to_string(sig[g.band*2+1:g.band*2+2], '|')) AS key
+         |  FROM sig, generate_series(0, 3) g(band)
+         |),
+         |nearcut AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id, min(id) OVER (PARTITION BY band, key) AS mn FROM banded
+         |  ) WHERE id <> mn
+         |),
+         |nearkept AS (
+         |  SELECT e.doc_id FROM exact e LEFT JOIN nearcut n ON n.id = e.doc_id
+         |  WHERE n.id IS NULL
+         |),
+         |btoks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM documents WHERE doc_id % 20 = 0
+         |),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(w) - 3, 0) + 1),
+         |    i -> array_to_string(w[i+1:i+3], ' ')))) AS s
+         |  FROM btoks
+         |),
+         |tr AS (
+         |  SELECT k.doc_id, unnest(x.shingles) AS s
+         |  FROM nearkept k JOIN shx x USING (doc_id)
+         |),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bsh USING (s)),
+         |clean AS (
+         |  SELECT k.doc_id FROM nearkept k LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u
+         |  FROM clean WHERE doc_id >= 10000
          |)
          |SELECT doc_id,
          |  CASE WHEN u < 0.9 THEN 'train'
