@@ -259,6 +259,103 @@ object StreamingHistorization {
         ()
       }
 
+  /** Streaming steady-state curation — the streaming twin of
+    * [[graft.operators.Curation.curateIncremental]]: each micro-batch is
+    * gated against the standing stores (canonical URLs, content digests,
+    * LSH band index — all store-shaped, never in the state store), its
+    * survivors append to `outPath`, and each novelty frame appends to
+    * its store, so the next micro-batch is incremental too. The
+    * production web-ingest loop as one `writeStream`.
+    *
+    * Crash contract — appends run in REVERSE pipeline order (out, bands,
+    * digests, canonicals), which makes every crash window converge on
+    * re-delivery WITHOUT a separate seen-ids absorber:
+    *
+    *  - crash before any append: full recompute (stores unchanged);
+    *  - after out: survivors recompute identically (or to ∅ once a later
+    *    store grew — out is already written either way) and the id guard
+    *    absorbs the double-append;
+    *  - after bands: the near tier now cuts the batch against its own
+    *    standing bands, but the exact tier (whose digest store is still
+    *    ungrown) reproduces the SAME novel digests, and the band id
+    *    guard absorbs the duplicate bands;
+    *  - after digests: the exact tier absorbs the whole batch, so only
+    *    the canonical append (url tier runs upstream of exact) still
+    *    produces rows — exactly the missing one;
+    *  - after canonicals: the url tier absorbs the batch entirely and
+    *    every recomputed frame is empty.
+    *
+    * Ids must be stable across re-deliveries and increase run over run
+    * (the historization convention the incremental law rides).
+    *
+    * @param urlTier (urlCol, rules, canonicalPath) — the url gate over a
+    *                url column carried ON the stream
+    * @param nearDup (n, k, bands, bandIndexPath)
+    */
+  def curateMaintainStream(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      digestPath: String,
+      outPath: String,
+      checkpoint: String,
+      urlTier: Option[(String, DataFrame, String)] = None,
+      nearDup: Option[(Int, Int, Int, String)] = None,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      shingleN: Int = 13,
+      minHits: Long = 1L,
+      languages: Option[Set[String]] = None,
+      qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        graft.CacheScope.withScope { scope =>
+          import graft.operators.Curation
+          val e = Curation.emptyState(session, urlTier.nonEmpty, nearDup.nonEmpty)
+          val state = Curation.CurationState(
+            Store.readParquetStrict(session, digestPath)
+              .map(_.select(col("content_hash"))).getOrElse(e.knownDigests),
+            e.knownCanonical.map { emp =>
+              Store.readParquetStrict(session, urlTier.get._3)
+                .map(_.select(col("canonical_url"))).getOrElse(emp)
+            },
+            e.bandIndex.map { emp =>
+              Store.readParquetStrict(session, nearDup.get._4)
+                .map(_.select(col("id"), col("band"), col("key"))).getOrElse(emp)
+            })
+          val inc = Curation.curateIncremental(
+            batch, bench, idCol, textCol, state, splits, shingleN, minHits,
+            languages, qualityModel,
+            urlGate = urlTier.map { case (urlCol, rules, _) =>
+              (batch.select(col(idCol), col(urlCol)), urlCol, rules)
+            },
+            nearDup = nearDup.map(t => (t._1, t._2, t._3)), scope = scope)
+          // reverse pipeline order; guards where a window can double-append
+          val toEmit = Store.readParquetStrict(session, outPath)
+            .fold(inc.survivors) { out =>
+              inc.survivors.join(out.select(col(idCol)), Seq(idCol), "left_anti")
+            }
+          toEmit.write.mode("append").parquet(outPath)
+          inc.novelBands.foreach { nb =>
+            val guarded = Store.readParquetStrict(session, nearDup.get._4)
+              .fold(nb) { idx =>
+                nb.join(idx.select(col("id")).distinct(), Seq("id"), "left_anti")
+              }
+            guarded.write.mode("append").parquet(nearDup.get._4)
+          }
+          inc.novelDigests.write.mode("append").parquet(digestPath)
+          inc.novelCanonical.foreach {
+            _.write.mode("append").parquet(urlTier.get._3)
+          }
+        }
+        ()
+      }
+
   /** Streaming benchmark decontamination — the streaming twin of
     * [[graft.operators.Decontamination.decontaminate]]: the benchmark's
     * distinct shingle hashes collapse into a single broadcast row

@@ -1055,4 +1055,73 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/index").count() === nIdx)
     assert(spark.read.parquet(s"$dir/hashes").count() === nHash)
   }
+
+  test("curateMaintainStream ≡ sequential curateIncremental; re-delivery converges") {
+    import graft.operators.Curation
+    val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while morning light settles on the tall grass and the birds call"
+    val fillerB = "a steady rain fell across the old town square as vendors " +
+      "opened their stalls and the church bell counted out the early hours again"
+    val fillerC = "deep in the valley the farmers walked their fields checking " +
+      "rows of young corn while clouds drifted slowly over the distant blue hills"
+    val fillerF = "inside the museum hall students sketched marble statues while " +
+      "guides described ancient trade routes and sunlight streamed onto polished floors"
+    def url(id: Long, ads: Boolean = false) =
+      s"https://${if (ads) "ads." else ""}h${id % 5}.example.com/p/$id"
+    val ingested = Seq(
+      (1L, fillerA, url(1)), (2L, fillerB, url(2))).toDF("doc_id", "text", "url")
+    val batch = Seq(
+      (10L, fillerA, url(10)),                             // exact standing hit
+      (11L, fillerB.replace("again", "anew"), url(11)),    // near standing hit
+      (12L, fillerC, url(12)),                             // survivor
+      (13L, fillerC.replace("hills", "peaks"), url(13)),   // batch near election
+      (14L, fillerA + " unique tail words here", url(1)),  // url standing hit
+      (15L, fillerF, url(15, ads = true)),                 // blocklist
+      (16L, fillerF, url(16))                              // decontaminated
+    ).toDF("doc_id", "text", "url")
+    val bench = Seq((100L, fillerF)).toDF("doc_id", "text")
+    val rules = Seq(s"ads.h0.example.com").toDF("rule")
+    val dir = Files.createTempDirectory("graft-curate-stream").toString
+    ingested.write.parquet(s"$dir/in/d0")
+    batch.write.parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(ingested.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    def writer(chk: String) = StreamingHistorization.curateMaintainStream(
+      stream, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", chk,
+      urlTier = Some(("url", rules, s"$dir/canon")),
+      nearDup = Some((3, 8, 4, s"$dir/bands")), shingleN = 3)
+    StreamingHistorization.runOnce(writer(s"$dir/chk"))
+    // the batch twin: two sequential curateIncremental runs, novelty
+    // threaded between them by hand
+    val inc0 = Curation.curateIncremental(ingested, bench, "doc_id", "text",
+      Curation.emptyState(spark, url = true, near = true), shingleN = 3,
+      urlGate = Some((ingested.select($"doc_id", $"url"), "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    val st1 = Curation.CurationState(inc0.novelDigests,
+      inc0.novelCanonical, inc0.novelBands)
+    val inc1 = Curation.curateIncremental(batch, bench, "doc_id", "text", st1,
+      shingleN = 3, urlGate = Some((batch.select($"doc_id", $"url"), "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    val expected = inc0.survivors.unionByName(inc1.survivors)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(out).count() === 0,
+      "streamed survivors must equal the sequential incremental runs")
+    // the hand fixture's intent: only 12 survives batch 2 (plus batch 1's
+    // own survivors), each tier having cut its intended doc
+    assert(out.filter($"doc_id" >= 10L).select("doc_id").as[Long].collect().toSeq
+      === Seq(12L))
+    // re-delivery through a fresh checkpoint appends nothing anywhere
+    val counts = Seq("out", "digests", "canon", "bands")
+      .map(p => spark.read.parquet(s"$dir/$p").count())
+    val replay = spark.readStream.schema(ingested.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.curateMaintainStream(
+      replay, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", s"$dir/chk2",
+      urlTier = Some(("url", rules, s"$dir/canon")),
+      nearDup = Some((3, 8, 4, s"$dir/bands")), shingleN = 3))
+    val after = Seq("out", "digests", "canon", "bands")
+      .map(p => spark.read.parquet(s"$dir/$p").count())
+    assert(after === counts, "a re-delivered stream must ingest nothing")
+  }
 }
