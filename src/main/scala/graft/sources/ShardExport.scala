@@ -138,4 +138,70 @@ object ShardExport {
     * specs pin against the input. */
   def readAllShards(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(latestGen(spark, path))
+
+  /** Every (shard, pack_id) key across ALL committed generations — the
+    * id-novelty absorber's probe side. Column-pruned: only the two key
+    * columns are read from any generation. None before the first commit. */
+  def standingShardKeys(spark: SparkSession, path: String): Option[DataFrame] = {
+    val gens = Store.listGenerations(spark, path)
+    if (gens.isEmpty) None
+    else Some(gens.map { g =>
+      spark.read.parquet(Store.generationPath(path, g))
+        .select(col("shard").cast("long").as("shard"), col("pack_id"))
+    }.reduce(_ unionByName _).distinct())
+  }
+
+  /** STREAMING training-shard export — the continuous-ingestion form of
+    * [[exportTrainingShards]]: each micro-batch's NOVEL packed sequences
+    * commit as the next generation of the shard store, so a training job
+    * tails the corpus by reading generations as they appear. Unlike the
+    * snapshot stores, these generations are DELTAS — an append log of
+    * disjoint sequence sets — so `keep` is pinned to the maximum:
+    * pruning a generation here would delete corpus data, not an old
+    * snapshot (re-sharding/compaction is a batch re-export to a fresh
+    * path).
+    *
+    * Re-delivery: sequences whose (shard, pack_id) already stand in ANY
+    * committed generation drop via one anti-join against
+    * [[standingShardKeys]] (keys only — 16 bytes/sequence, column-pruned
+    * from the data files), and intra-batch repeats collapse keep-min
+    * deterministically; a fully re-delivered batch commits NO generation
+    * at all (empty batches are skipped, so replays cannot inflate the
+    * generation sequence). Crash safety is the generation CAS's: a death
+    * between the data write and the commit rename leaves only invisible
+    * `_gen_build_*` debris — nothing publishes, and the re-delivered
+    * batch (its keys still novel) re-exports cleanly.
+    *
+    * Per-batch cost: the absorber probe grows with total exported KEYS
+    * (narrow columnar read), the export itself is batch-cost — the
+    * documented trade for a log the trainer can tail without a manifest
+    * service. */
+  def exportShardsStream(
+      packs: DataFrame,
+      path: String,
+      seqPerFile: Int,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    packs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val session = batch.sparkSession
+        val keys = Seq("shard", "pack_id")
+        val others = batch.columns.filterNot(keys.contains)
+        // deterministic intra-batch absorber: keep-min payload per key
+        // (dropDuplicates would keep a partition-order-dependent row)
+        val deduped = batch.groupBy(keys.map(col): _*)
+          .agg(min(struct(others.map(col): _*)).as("__w"))
+          .select(keys.map(col) ++ others.map(c => col(s"__w.$c").as(c)): _*)
+          .select(batch.columns.map(col).toSeq: _*)
+        val novel = standingShardKeys(session, path).fold(deduped) { st =>
+          deduped.join(st, keys, "left_anti")
+            .select(batch.columns.map(col).toSeq: _*)
+        }
+        if (!novel.isEmpty) {
+          exportTrainingShards(novel, path, seqPerFile, keep = Int.MaxValue)
+          ()
+        }
+      }
 }

@@ -83,6 +83,51 @@ class ShardExportSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("exportShardsStream: delta generations, key absorber, re-delivery commits nothing") {
+    import graft.streaming.StreamingHistorization
+    val dir = java.nio.file.Files.createTempDirectory("shardstream").toString
+    val b0 = (0L until 20L).map(i => (i % 4, i, i + 100L))
+      .toDF("shard", "pack_id", "tokens_total")
+    // batch 1 re-delivers half of batch 0's keys (with DIFFERENT payloads,
+    // which must not matter — the absorber keys on (shard, pack_id)) and
+    // brings 8 new keys
+    val b1 = (10L until 28L).map(i => (i % 4, i, i + 900L))
+      .toDF("shard", "pack_id", "tokens_total")
+    b0.coalesce(1).write.parquet(s"$dir/in/d0")
+    b1.coalesce(1).write.parquet(s"$dir/in/d1")
+    val stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(
+      ShardExport.exportShardsStream(stream, s"$dir/shards", seqPerFile = 4,
+        s"$dir/chk"))
+    assert(Store.listGenerations(spark, s"$dir/shards") === Seq(1L, 2L))
+    // gen 1 = batch 0 exactly; gen 2 = batch 1's NOVEL keys with batch 1's
+    // payloads (the re-delivered half absorbed, its new payloads ignored)
+    def gen(g: Long) = spark.read.parquet(Store.generationPath(s"$dir/shards", g))
+      .select($"shard".cast("long"), $"pack_id", $"tokens_total")
+    assert(gen(1L).exceptAll(b0).count() === 0 && b0.exceptAll(gen(1L)).count() === 0)
+    val novel1 = b1.filter($"pack_id" >= 20L)
+    assert(gen(2L).exceptAll(novel1).count() === 0 &&
+      novel1.exceptAll(gen(2L)).count() === 0)
+    // stream ≡ batch layout: gen 2's manifest equals a hand export of the
+    // same novel rows
+    val handDir = java.nio.file.Files.createTempDirectory("shardhand").toString
+    ShardExport.exportTrainingShards(novel1, handDir, seqPerFile = 4)
+    val streamed = ShardExport.shardManifest(spark, s"$dir/shards")
+      .select("shard", "file_idx", "n_seqs")
+    val hand = ShardExport.shardManifest(spark, handDir)
+      .select("shard", "file_idx", "n_seqs")
+    assert(streamed.exceptAll(hand).count() === 0 && hand.exceptAll(streamed).count() === 0)
+    // full re-delivery through a fresh checkpoint commits NO generation
+    val replay = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(
+      ShardExport.exportShardsStream(replay, s"$dir/shards", seqPerFile = 4,
+        s"$dir/chk2"))
+    assert(Store.listGenerations(spark, s"$dir/shards") === Seq(1L, 2L),
+      "a re-delivered stream must not inflate the generation log")
+  }
+
   test("the composed path: learned tokenizer -> packed sequences -> shard files") {
     // the lifecycle the packing family exists for, end to end: train a
     // merges table, size packs by its counts, export the shards
