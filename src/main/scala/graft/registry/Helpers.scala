@@ -264,6 +264,72 @@ private[graft] object Helpers {
         qualityModel = Some((qualityWeights, qualityBias)))
     }
 
+  /** The steady-state curation fixture, shared by the registered rows,
+    * the staged-state builder, and the build-pricing row: even non-bench
+    * docs play the ingested corpus; odd docs — re-keyed +10000 per the
+    * increasing-id convention — play the new batch, with deterministic
+    * even-neighbor text derivations (doc%9==1: near-dup via an appended
+    * token; doc%9==4: exact copy) and 1-in-5 URL collisions. */
+  private[graft] def curateIncIngested(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 20 =!= 0)
+  }
+
+  private[graft] def curateIncBench(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+
+  private[graft] def curateIncBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("eid"), col("text").as("etext"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .join(even, col("doc_id") - 1 === col("eid"), "left")
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        when(col("doc_id") % 9 === 1, concat(col("etext"), lit(" zmutivar")))
+          .when(col("doc_id") % 9 === 4, col("etext"))
+          .otherwise(col("text")).as("text"))
+  }
+
+  private[graft] def curateIncUrls(df: DataFrame): DataFrame = {
+    val oid = pmod(col("doc_id"), lit(10000L))
+    val p = when(pmod(oid, lit(5)) === 2, oid - 1).otherwise(oid)
+    df.select(col("doc_id"), concat(lit("https://"),
+      when(pmod(p, lit(11)) === 0, lit("ads.")).otherwise(lit("")),
+      lit("site"), pmod(p, lit(37)).cast("string"),
+      lit(".example.com/d/"), p.cast("string")).as("url"))
+  }
+
+  private[graft] def curateIncRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("site5.example.com", "*.site7.example.com").toDF("rule")
+  }
+
+  /** The batch-0 run: the ingested corpus through [[graft.operators
+    * .Curation.curateIncremental]] against EMPTY state — its novelty
+    * outputs ARE the standing stores the steady-state row reads. */
+  private[graft] def curateIncBatch0(s: SparkSession, d: String): Curation.CurationIncrement = {
+    val ingested = curateIncIngested(s, d)
+    Curation.curateIncremental(ingested, curateIncBench(s, d), "doc_id", "text",
+      Curation.emptyState(s, url = true, near = true), shingleN = 3,
+      urlGate = Some((curateIncUrls(ingested), "url", curateIncRules(s))),
+      nearDup = Some((3, 8, 4)))
+  }
+
+  /** Staged steady-state curation stores (canonical URLs, content
+    * digests, LSH band index) — production accumulates these across
+    * ingestion runs; the bench row reads them so it measures the
+    * STEADY-STATE batch cost, and `x_stage_build_curate_state` prices
+    * the build. */
+  private[graft] def stagedCurateState(s: SparkSession, d: String): Curation.CurationState = {
+    val base = s"/tmp/graft_staged/${dirTag(d, "documents")}/curate_inc"
+    lazy val inc0 = curateIncBatch0(s, d)
+    val digests = Store.readOrCreate(s, s"$base/digests")(inc0.novelDigests)
+    val canon = Store.readOrCreate(s, s"$base/canon")(inc0.novelCanonical.get)
+    val bands = Store.readOrCreate(s, s"$base/bands")(inc0.novelBands.get)
+    Curation.CurationState(digests, Some(canon), Some(bands))
+  }
+
   /** Staged standing labeling for the incremental-maintenance row: the
     * labels store as it stands BEFORE the 10%-batch arrives (pairs not
     * touching a doc_id ≡ 9 mod 10). */
@@ -652,6 +718,7 @@ private[graft] object Helpers {
     stagedBloomSynopsis(s, d).count()
     stagedPhashPairs(s, d, 16, 2).count()
     stagedCuratePrefix(s, d).count()
+    stagedCurateState(s, d).knownDigests.count()
     stagedSpanStores(s, d)
     stagedManifestSnapshot(s, d)
     stagedTierRuns13(s, d)

@@ -156,42 +156,28 @@ private[graft] object RegistryCuration {
     // replays the INCREMENTAL LAW form: the corpus-wide composition over
     // ingested ∪ batch, restricted to the batch — so the law itself is
     // what DuckDB checks
+    // The registered row reads the STAGED standing stores and runs the
+    // batch leg only — the steady-state cost the operator exists for
+    // (the five-gated-curate-rows precedent); x_stage_build_curate_state
+    // prices the batch-0 build, and the oracle below replays the LAW, so
+    // the staged stores' whole semantics stay cross-engine-checked
     "x_curate_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 20 === 0)
-      val ingested = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 20 =!= 0)
-      val even = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("eid"), col("text").as("etext"))
-      // batch ids bump by 10000: the incremental law's increasing-id
-      // convention (new docs get new ids) — elections favor the standing
-      // side exactly when corpus-wide keep-min would
-      val batch = docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("text"))
-        .join(even, col("doc_id") - 1 === col("eid"), "left")
-        .select((col("doc_id") + 10000L).as("doc_id"),
-          when(col("doc_id") % 9 === 1, concat(col("etext"), lit(" zmutivar")))
-            .when(col("doc_id") % 9 === 4, col("etext"))
-            .otherwise(col("text")).as("text"))
-      def urlsOf(df: DataFrame) = {
-        // mostly-unique urls with a 1-in-5 neighbor-collision slice, so
-        // the canonical tier fires without dominating the fixture
-        val oid = pmod(col("doc_id"), lit(10000L))
-        val p = when(pmod(oid, lit(5)) === 2, oid - 1).otherwise(oid)
-        df.select(col("doc_id"), concat(lit("https://"),
-          when(pmod(p, lit(11)) === 0, lit("ads.")).otherwise(lit("")),
-          lit("site"), pmod(p, lit(37)).cast("string"),
-          lit(".example.com/d/"), p.cast("string")).as("url"))
-      }
-      import s.implicits._
-      val rules = Seq("site5.example.com", "*.site7.example.com").toDF("rule")
-      val inc0 = Curation.curateIncremental(ingested, bench, "doc_id", "text",
-        Curation.emptyState(s, url = true, near = true), shingleN = 3,
-        urlGate = Some((urlsOf(ingested), "url", rules)), nearDup = Some((3, 8, 4)))
-      val state = Curation.CurationState(inc0.novelDigests,
-        inc0.novelCanonical, inc0.novelBands)
-      Curation.curateIncremental(batch, bench, "doc_id", "text", state,
-        shingleN = 3, urlGate = Some((urlsOf(batch), "url", rules)),
+      val batch = curateIncBatch(s, d)
+      Curation.curateIncremental(batch, curateIncBench(s, d), "doc_id", "text",
+        stagedCurateState(s, d), shingleN = 3,
+        urlGate = Some((curateIncUrls(batch), "url", curateIncRules(s))),
         nearDup = Some((3, 8, 4))).survivors
+    }),
+    // build-pricing row for the staged curation state: the ingested
+    // corpus through the operator against EMPTY state, all three novelty
+    // stores written fresh to scratch every run; returns the digest
+    // store (full content oracle — the canonical and band stores are
+    // law-checked through x_curate_incremental itself)
+    "x_stage_build_curate_state" -> ((s, d) => {
+      val inc0 = curateIncBatch0(s, d)
+      buildScratch(s, "curate_inc_canon")(inc0.novelCanonical.get)
+      buildScratch(s, "curate_inc_bands")(inc0.novelBands.get)
+      buildScratch(s, "curate_inc_digests")(inc0.novelDigests)
     }),
     // prefix-build accounting row: the honest cost of the staged
     // curation prefix the five gated rows above amortize (quality
@@ -221,6 +207,59 @@ private[graft] object RegistryCuration {
         array_join(col("violations"), ",").as("reasons"))
     }),
   )
+
+  /** Shared fixture CTEs of the steady-state curation oracles: the
+    * even/odd(+10000) corpus derivation, the url tier, the quality gate,
+    * and the content hashes of its survivors (`hashed`). The build row
+    * reads `hashed` restricted to the ingested side; the law row
+    * continues through the elections. */
+  private lazy val duckCurateIncPrefix: String =
+    s"""WITH src AS (
+         |  SELECT CASE WHEN d.doc_id % 2 = 1 THEN d.doc_id + 10000
+         |              ELSE d.doc_id END AS doc_id,
+         |    CASE WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 1
+         |           THEN e.text || ' zmutivar'
+         |         WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 4 THEN e.text
+         |         ELSE d.text END AS text
+         |  FROM documents d
+         |  LEFT JOIN documents e ON d.doc_id % 2 = 1 AND e.doc_id = d.doc_id - 1
+         |  WHERE d.doc_id % 2 = 1 OR d.doc_id % 20 <> 0
+         |),
+         |hosts AS (
+         |  SELECT doc_id,
+         |    CASE WHEN p % 11 = 0 THEN 'ads.' ELSE '' END ||
+         |      'site' || CAST(p % 37 AS VARCHAR) || '.example.com' AS host,
+         |    'https://' ||
+         |      CASE WHEN p % 11 = 0 THEN 'ads.' ELSE '' END ||
+         |      'site' || CAST(p % 37 AS VARCHAR) || '.example.com/d/' ||
+         |      CAST(p AS VARCHAR) AS url
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN (doc_id % 10000) % 5 = 2 THEN (doc_id % 10000) - 1
+         |               ELSE doc_id % 10000 END AS p
+         |        FROM src)
+         |),
+         |unblocked AS (
+         |  SELECT doc_id, url FROM hosts
+         |  WHERE host <> 'site5.example.com'
+         |    AND NOT (host LIKE '%.site7.example.com')
+         |),
+         |urlwin AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+         |    FROM unblocked
+         |  ) WHERE rn = 1
+         |),
+         |toks AS (
+         |  SELECT s.doc_id,
+         |    list_filter(regexp_split_to_array(s.text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM src s JOIN urlwin USING (doc_id)
+         |),
+         |$qualityMetricsCte,
+         |base AS (SELECT doc_id FROM m WHERE $qualityKeepPredicate),
+         |hashed AS (
+         |  SELECT s.doc_id, md5(coalesce(CAST(s.text AS VARCHAR), 'nan')) AS content_hash
+         |  FROM src s JOIN base USING (doc_id)
+         |)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // the staged prefix's FULL CONTENT replayed: quality keep predicate
@@ -367,53 +406,14 @@ private[graft] object RegistryCuration {
     // banded bucket keep-min → decontaminate → split) over
     // ingested ∪ batch, restricted to the batch — what the registered
     // row computes through its standing stores
+    // the staged-state build: digest store = one hash per gate-surviving
+    // ingested content class (the canonical and band stores are checked
+    // through the law row above/below)
+    "x_stage_build_curate_state" ->
+      s"""$duckCurateIncPrefix
+         |SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 10000""".stripMargin,
     "x_curate_incremental" ->
-      s"""WITH src AS (
-         |  SELECT CASE WHEN d.doc_id % 2 = 1 THEN d.doc_id + 10000
-         |              ELSE d.doc_id END AS doc_id,
-         |    CASE WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 1
-         |           THEN e.text || ' zmutivar'
-         |         WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 4 THEN e.text
-         |         ELSE d.text END AS text
-         |  FROM documents d
-         |  LEFT JOIN documents e ON d.doc_id % 2 = 1 AND e.doc_id = d.doc_id - 1
-         |  WHERE d.doc_id % 2 = 1 OR d.doc_id % 20 <> 0
-         |),
-         |hosts AS (
-         |  SELECT doc_id,
-         |    CASE WHEN p % 11 = 0 THEN 'ads.' ELSE '' END ||
-         |      'site' || CAST(p % 37 AS VARCHAR) || '.example.com' AS host,
-         |    'https://' ||
-         |      CASE WHEN p % 11 = 0 THEN 'ads.' ELSE '' END ||
-         |      'site' || CAST(p % 37 AS VARCHAR) || '.example.com/d/' ||
-         |      CAST(p AS VARCHAR) AS url
-         |  FROM (SELECT doc_id,
-         |          CASE WHEN (doc_id % 10000) % 5 = 2 THEN (doc_id % 10000) - 1
-         |               ELSE doc_id % 10000 END AS p
-         |        FROM src)
-         |),
-         |unblocked AS (
-         |  SELECT doc_id, url FROM hosts
-         |  WHERE host <> 'site5.example.com'
-         |    AND NOT (host LIKE '%.site7.example.com')
-         |),
-         |urlwin AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
-         |    FROM unblocked
-         |  ) WHERE rn = 1
-         |),
-         |toks AS (
-         |  SELECT s.doc_id,
-         |    list_filter(regexp_split_to_array(s.text, '\\s+'), t -> length(t) > 0) AS w
-         |  FROM src s JOIN urlwin USING (doc_id)
-         |),
-         |$qualityMetricsCte,
-         |base AS (SELECT doc_id FROM m WHERE $qualityKeepPredicate),
-         |hashed AS (
-         |  SELECT s.doc_id, md5(coalesce(CAST(s.text AS VARCHAR), 'nan')) AS content_hash
-         |  FROM src s JOIN base USING (doc_id)
-         |),
+      s"""$duckCurateIncPrefix,
          |exact AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id,
