@@ -463,4 +463,61 @@ object Curation {
       novelCanonical = novelCanonical,
       novelBands = novelBands)
   }
+
+  /** TAKEDOWN of standing curation state — the erasure/compliance twin of
+    * [[curateIncremental]]: when documents leave the corpus (copyright
+    * takedown, right-to-be-forgotten), the standing stores must forget
+    * their keys, or the steady-state loop would keep suppressing
+    * re-submissions of content whose prior copy no longer exists — and an
+    * erasure request isn't honored while the content's digest, canonical
+    * URL, and band fingerprints persist.
+    *
+    * Key derivation mirrors ingestion exactly: digest =
+    * [[Dedup.incrementalExact]]'s content hash of `textCol`; canonical =
+    * [[Urls.canonicalizeUrl]] of the removed docs' URLs; band rows delete
+    * by id. Deleting the CLASS key is exact, not conservative: a standing
+    * class has exactly ONE standing occupant (later duplicates were cut at
+    * ingestion, never ingested), so the removed winner's key has no other
+    * standing holder — the class correctly re-opens. The precondition is
+    * the flip side: `removed` should be docs actually standing in the
+    * corpus; taking down an id that was CUT at ingestion (its class winner
+    * still stands) would re-open a class that is still occupied. Keys not
+    * present in a store anti-join away silently, so takedown is
+    * IDEMPOTENT — re-running a takedown (or racing two) converges.
+    *
+    * Scale shape: takedown batches are small by nature — every derived key
+    * frame broadcasts, each store purge is one broadcast anti-join, and
+    * corpus payloads are never read. Persist the returned frames through
+    * the store's swap write so readers see old-or-new, never half-purged
+    * ([[graft.sources.Store]]'s generation contract); the OUT corpus
+    * itself purges through the store's own erasure path.
+    *
+    * @param removed     (idCol, textCol) of the standing docs being removed
+    * @param removedUrls (urls, urlCol) for the same ids — required when the
+    *                    state carries a canonical store and the url tier
+    *                    should forget them; None leaves that store untouched
+    * @return the state with every removed key purged
+    */
+  def curateStateTakedown(
+      state: CurationState,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      removedUrls: Option[(DataFrame, String)] = None): CurationState = {
+    val digKeys = removed.select(
+      graft.functions.HashColumns.hashExpr(Seq(col(textCol))).as("content_hash"))
+    val purgedDigests = state.knownDigests
+      .join(broadcast(digKeys), Seq("content_hash"), "left_anti")
+    val purgedCanonical = state.knownCanonical.map { c =>
+      removedUrls.fold(c) { case (urls, urlCol) =>
+        c.join(
+          broadcast(urls.select(
+            Urls.canonicalizeUrl(col(urlCol)).as("canonical_url"))),
+          Seq("canonical_url"), "left_anti")
+      }
+    }
+    val purgedBands = state.bandIndex.map(
+      _.join(broadcast(removed.select(col(idCol).as("id"))), Seq("id"), "left_anti"))
+    CurationState(purgedDigests, purgedCanonical, purgedBands)
+  }
 }

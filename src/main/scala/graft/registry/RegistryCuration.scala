@@ -179,6 +179,27 @@ private[graft] object RegistryCuration {
       buildScratch(s, "curate_inc_bands")(inc0.novelBands.get)
       buildScratch(s, "curate_inc_digests")(inc0.novelDigests)
     }),
+    // TAKEDOWN of standing curation state — the erasure/compliance leg of
+    // the steady-state loop: every 10th ingested doc leaves the corpus,
+    // and the standing stores forget its digest, canonical URL, and band
+    // rows (broadcast anti-joins over derived keys; keys that were never
+    // stored — gate-cut docs, blocked hosts — anti-join away silently,
+    // which is the idempotency the operator documents). All three purged
+    // stores are rewritten through the swap write and priced here; the
+    // digest store's full content is the oracle (store minus the removed
+    // docs' content hashes), the band/canonical purges and the
+    // novelty-restored re-submission law are spec-pinned in CurationSpec
+    "x_curate_state_takedown" -> ((s, d) => {
+      val removed = curateIncIngested(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id"), col("text"))
+      val purged = Curation.curateStateTakedown(stagedCurateState(s, d),
+        removed, "doc_id", "text",
+        removedUrls = Some((curateIncUrls(removed), "url")))
+      buildScratch(s, "curate_takedown_canon")(purged.knownCanonical.get)
+      buildScratch(s, "curate_takedown_bands")(purged.bandIndex.get)
+      buildScratch(s, "curate_takedown_digests")(purged.knownDigests)
+    }),
     // prefix-build accounting row: the honest cost of the staged
     // curation prefix the five gated rows above amortize (quality
     // metrics + model score + language + content hash + contamination
@@ -412,6 +433,17 @@ private[graft] object RegistryCuration {
     "x_stage_build_curate_state" ->
       s"""$duckCurateIncPrefix
          |SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 10000""".stripMargin,
+    // the takedown arithmetic: the staged digest store (the build row's
+    // statement) minus the removed ingested docs' content hashes — key
+    // derivation mirrors ingestion (same md5-coalesce form), removal is
+    // set subtraction whether or not the key was ever stored
+    "x_curate_state_takedown" ->
+      s"""$duckCurateIncPrefix
+         |SELECT DISTINCT content_hash FROM hashed
+         |WHERE doc_id < 10000
+         |  AND content_hash NOT IN (
+         |    SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan'))
+         |    FROM src WHERE doc_id < 10000 AND doc_id % 10 = 2)""".stripMargin,
     "x_curate_incremental" ->
       s"""$duckCurateIncPrefix,
          |exact AS (

@@ -33,6 +33,21 @@ private[graft] object RegistryText {
     "x_text_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text",
         Helpers.qualityWeights, Helpers.qualityBias)),
+    // TRAINED quality classifier (the learned tier above the fixed-weight
+    // score): delta-rule gradient descent over min-max-scaled Gopher
+    // metrics, labels = reference-corpus membership (the DCLM/fastText
+    // recipe), Elliott fast-sigmoid activation so every iteration is
+    // rational arithmetic — the oracle replays ALL iterations as chained
+    // CTEs, so the row pins the whole GD law, not just the fixed point.
+    // Fixture: docs from non-reference sources carry an appended ad-spam
+    // suffix (the crawl-side signal the metrics can see)
+    "x_text_quality_train" -> ((s, d) =>
+      QualityModel.weightTraceDf(s, qcTrained(s, d))),
+    // the trained model applied back over the corpus: scale with the
+    // TRAINING stats, trained dot product, Elliott score, gate at 0.5
+    "x_text_quality_trained" -> ((s, d) =>
+      QualityModel.classifyQuality(qcCorpus(s, d), "doc_id", "text",
+        qcTrained(s, d), qcThreshold)),
     // code-point Shannon entropy: the gibberish/binary-junk band signal
     "x_text_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -495,6 +510,121 @@ private[graft] object RegistryText {
   private def duckRedactStage(pat: String, valid: String => String, tag: String): String =
     s"list_reduce(list_prepend(t, list_filter(regexp_extract_all(t, '$pat'), " +
       s"m -> ${valid("m")})), (acc, m) -> replace(acc, m, '<$tag>'))"
+
+  // ---- trained quality classifier: fixture + hyperparameters (shared
+  // by the Spark rows and the generated oracle so they cannot drift) ----
+
+  /** Reference-corpus sources (label 1); the rest play crawl text. */
+  private val qcPositiveSources: Seq[String] = (0 until 10).map(i => s"src$i")
+
+  /** Ad-spam suffix appended to crawl-side docs — repeated bigrams and a
+    * tripled unigram move exactly the metrics the classifier reads. */
+  private val qcJunk: String =
+    " click here click here buy now buy now win big win big free free free"
+
+  private val qcIters: Int = 8
+  private val qcLr: Double = 0.5
+  private val qcThreshold: Double = 0.5
+
+  private def qcLabel = col("source").isin(qcPositiveSources: _*)
+
+  private def qcCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      when(qcLabel, col("text"))
+        .otherwise(concat(col("text"), lit(qcJunk))).as("text"))
+
+  private def qcTrained(s: SparkSession, d: String): QualityModel.TrainedQuality =
+    QualityModel.trainQualityClassifier(qcCorpus(s, d), "doc_id", "text",
+      qcLabel, qcIters, qcLr)
+
+  /** DuckDB twin of the trained-quality GD: the identical fixture, label,
+    * min-max scaling, Elliott activation, decimal gradient sums, and
+    * per-iteration rounding, unrolled as one chained CTE per iteration —
+    * generated from the same constants the Spark rows read (the
+    * [[duckLangModelSql]] shape), `finalSelect` picks the artifact. */
+  private def duckQualityTrainSql(finalSelect: String): String = {
+    val feats = QualityModel.Features
+    val k = feats.size
+    val pos = qcPositiveSources.map(p => s"'$p'").mkString(", ")
+    val statsCols = feats.zipWithIndex.map { case (f, j) =>
+      s"min(CAST($f AS DOUBLE)) AS mn$j, max(CAST($f AS DOUBLE)) AS mx$j"
+    }.mkString(",\n    ")
+    val scaledCols = feats.zipWithIndex.map { case (f, j) =>
+      s"CASE WHEN mx$j = mn$j THEN 0.0 " +
+        s"ELSE round((CAST($f AS DOUBLE) - mn$j) / (mx$j - mn$j), 6) END AS s$j"
+    }.mkString(",\n    ")
+    val ws = (0 until k).map(j => s"w$j").mkString(", ")
+    val z = (0 until k).foldLeft("b") { (acc, j) => s"($acc + w$j * s$j)" }
+    def upd(prev: String, g: String): String =
+      s"round(max($prev) - CAST($qcLr AS DOUBLE) * " +
+        s"(CAST(sum(CAST($g AS DECIMAL(28,6))) AS DOUBLE) / count(*)), 6)"
+    val iterCtes = (1 to qcIters).map { i =>
+      s"""it$i AS (
+  SELECT
+    ${upd("b", "(p - y)")} AS b,
+    ${(0 until k).map(j => s"${upd(s"w$j", s"(p - y) * s$j")} AS w$j")
+        .mkString(",\n    ")}
+  FROM (
+    SELECT q.*, round(0.5 + zz / (2.0 * (1.0 + abs(zz))), 6) AS p
+    FROM (SELECT sc.*, b, $ws, $z AS zz FROM sc CROSS JOIN it${i - 1}) q
+  )
+)"""
+    }.mkString(",\n")
+    s"""WITH src AS (
+  SELECT doc_id, source,
+    CASE WHEN source IN ($pos) THEN text ELSE text || '$qcJunk' END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+  FROM src
+),
+$qualityMetricsCte,
+lab AS (
+  SELECT m.*, CASE WHEN s.source IN ($pos) THEN 1.0 ELSE 0.0 END AS y
+  FROM m JOIN src s USING (doc_id)
+  WHERE m.n_tokens IS NOT NULL
+),
+st AS (SELECT $statsCols FROM lab),
+sc AS MATERIALIZED (
+  SELECT doc_id, y,
+    $scaledCols
+  FROM lab CROSS JOIN st
+),
+it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, ${(0 until k)
+        .map(j => s"CAST(0.0 AS DOUBLE) AS w$j").mkString(", ")}),
+$iterCtes
+$finalSelect"""
+  }
+
+  /** Final select of the train row: the full weight trace unpivoted to
+    * (iter, feature, weight), iteration 0 as literals. */
+  private def qcTraceSelect: String = {
+    val feats = QualityModel.Features
+    val zero =
+      (s"SELECT CAST(0 AS INT) AS iter, '${QualityModel.BiasFeature}' AS feature, " +
+        "CAST(0.0 AS DOUBLE) AS weight") +:
+        feats.map(f => s"SELECT 0, '$f', 0.0")
+    val its = (1 to qcIters).flatMap { i =>
+      s"SELECT $i, '${QualityModel.BiasFeature}', b FROM it$i" +:
+        feats.zipWithIndex.map { case (f, j) => s"SELECT $i, '$f', w$j FROM it$i" }
+    }
+    (zero ++ its).mkString("\nUNION ALL ")
+  }
+
+  /** Final select of the trained-score row: the last iteration's weights
+    * applied back over the scaled corpus, gated at the threshold. */
+  private def qcTrainedSelect: String = {
+    val k = QualityModel.Features.size
+    val ws = (0 until k).map(j => s"w$j").mkString(", ")
+    val z = (0 until k).foldLeft("b") { (acc, j) => s"($acc + w$j * s$j)" }
+    s"""SELECT doc_id, p AS clf_score, (p >= CAST($qcThreshold AS DOUBLE)) AS keep
+FROM (
+  SELECT q.doc_id, round(0.5 + zz / (2.0 * (1.0 + abs(zz))), 6) AS p
+  FROM (SELECT sc.*, b, $ws, $z AS zz FROM sc CROSS JOIN it$qcIters) q
+)"""
+  }
 
   /** Bench-only rows: cost measurements whose ALGORITHM is oracle-checked
     * elsewhere but whose corpus-wide statement has no DuckDB twin at full
@@ -1157,6 +1287,12 @@ private[graft] object RegistryText {
          |       ${duckQualityScore(Helpers.qualityWeights, Helpers.qualityBias)}
          |         AS quality_score
          |FROM m""".stripMargin,
+    // the trained classifier's WHOLE weight trace replayed: one chained
+    // CTE per GD iteration (Elliott activation, decimal gradient sums,
+    // 6-decimal weight re-rounding), generated from the same constants
+    "x_text_quality_train" -> duckQualityTrainSql(qcTraceSelect),
+    // the last iteration's weights applied back over the scaled corpus
+    "x_text_quality_trained" -> duckQualityTrainSql(qcTrainedSelect),
     "x_text_report" ->
       """WITH toks AS (
         |  SELECT text, list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS w

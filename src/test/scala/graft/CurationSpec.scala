@@ -403,4 +403,85 @@ class CurationSpec extends SparkSpec {
         urlGate = Some((urls, "url", rules)))
     }
   }
+
+  /** Standing state over ingested docs 1 and 2 (the incFixture corpus),
+    * plus the pieces the takedown tests reuse. */
+  private def takedownFixture = {
+    val (ingested, _, urls, bench2, rules) = incFixture
+    val ingUrls = urls.join(ingested.select("doc_id"), Seq("doc_id"), "left_semi")
+    val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, url = true, near = true), shingleN = 3,
+      urlGate = Some((ingUrls, "url", rules)), nearDup = Some((3, 8, 4)))
+    val state = Curation.CurationState(inc0.novelDigests,
+      inc0.novelCanonical, inc0.novelBands)
+    (state, urls, bench2, rules)
+  }
+
+  test("curateStateTakedown: removed keys leave every store, retained keys stay") {
+    val (state, urls, _, _) = takedownFixture
+    val removed = Seq((1L, fillerA)).toDF("doc_id", "text")
+    val purged = Curation.curateStateTakedown(state, removed, "doc_id", "text",
+      removedUrls = Some((urls.filter($"doc_id" === 1L), "url")))
+    val hashOf = (t: String) => Seq(t).toDF("text")
+      .select(graft.functions.HashColumns.hashExpr(Seq($"text")).as("h"))
+      .as[String].head()
+    val digests = purged.knownDigests.as[String].collect().toSet
+    assert(!digests.contains(hashOf(fillerA)), "removed digest must be gone")
+    assert(digests === Set(hashOf(fillerB)), "retained digest must stay")
+    val canon = purged.knownCanonical.get.as[String].collect().toSet
+    assert(canon === Set("https://h2.example.com/p/2"),
+      "only the retained doc's canonical survives")
+    val bands = purged.bandIndex.get.select($"id").distinct().as[Long].collect().toSet
+    assert(bands === Set(2L), "band rows purge by id")
+    assert(purged.bandIndex.get.count() ===
+      state.bandIndex.get.filter($"id" === 2L).count())
+  }
+
+  test("takedown restores novelty: removed content re-ingests, retained stays cut") {
+    val (state, _, bench2, rules) = takedownFixture
+    val removed = Seq((1L, fillerA)).toDF("doc_id", "text")
+    val removedUrls = Seq((1L, "https://h1.example.com/p/1")).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, fillerA),  // exact copy of the REMOVED doc 1 — must re-ingest
+      (11L, fillerC),  // novel text on the removed doc's URL — must re-ingest
+      (12L, fillerB)   // exact copy of the RETAINED doc 2 — must stay cut
+    ).toDF("doc_id", "text")
+    val batchUrls = Seq(
+      (10L, "https://h0.example.com/p/10"),
+      (11L, "https://h1.example.com/p/1"),
+      (12L, "https://h2.example.com/p/12")).toDF("doc_id", "url")
+    def run(st: Curation.CurationState) =
+      Curation.curateIncremental(batch, bench2, "doc_id", "text", st,
+        shingleN = 3, urlGate = Some((batchUrls, "url", rules)),
+        nearDup = Some((3, 8, 4)))
+        .survivors.select("doc_id").as[Long].collect().toSet
+    assert(run(state) === Set.empty,
+      "pre-takedown every batch doc hits a standing key")
+    val purged = Curation.curateStateTakedown(state, removed, "doc_id", "text",
+      removedUrls = Some((removedUrls, "url")))
+    assert(run(purged) === Set(10L, 11L),
+      "takedown must re-open exactly the removed doc's classes")
+  }
+
+  test("takedown is idempotent and ignores never-stored keys") {
+    val (state, _, _, _) = takedownFixture
+    val ghost = Seq((999L, "content that was never ingested")).toDF("doc_id", "text")
+    val ghostUrls = Seq((999L, "https://nowhere.example.com/x")).toDF("doc_id", "url")
+    val purged = Curation.curateStateTakedown(state, ghost, "doc_id", "text",
+      removedUrls = Some((ghostUrls, "url")))
+    assert(purged.knownDigests.as[String].collect().toSet ===
+      state.knownDigests.as[String].collect().toSet)
+    assert(purged.knownCanonical.get.as[String].collect().toSet ===
+      state.knownCanonical.get.as[String].collect().toSet)
+    assert(purged.bandIndex.get.count() === state.bandIndex.get.count())
+    // re-running a real takedown converges on the same stores
+    val removed = Seq((1L, fillerA)).toDF("doc_id", "text")
+    val once = Curation.curateStateTakedown(state, removed, "doc_id", "text")
+    val twice = Curation.curateStateTakedown(once, removed, "doc_id", "text")
+    assert(once.knownDigests.as[String].collect().toSet ===
+      twice.knownDigests.as[String].collect().toSet)
+    // no removedUrls -> the canonical store is left untouched
+    assert(once.knownCanonical.get.as[String].collect().toSet ===
+      state.knownCanonical.get.as[String].collect().toSet)
+  }
 }
