@@ -485,6 +485,14 @@ object Curation {
     * present in a store anti-join away silently, so takedown is
     * IDEMPOTENT — re-running a takedown (or racing two) converges.
     *
+    * Near-tier scope: only the removed ids' OWN band rows leave the index.
+    * Rows of docs that were near-CUT against the removed doc stay (the
+    * index remembers every exact-survivor ever seen — the corpus-wide
+    * election needs that), so a re-submission of NEAR (not exact) content
+    * can still be suppressed by those other docs' fingerprints. That is
+    * the intended erasure semantics: the removed document's fingerprints
+    * are gone; fingerprints that remain belong to other documents.
+    *
     * Scale shape: takedown batches are small by nature — every derived key
     * frame broadcasts, each store purge is one broadcast anti-join, and
     * corpus payloads are never read. Persist the returned frames through
