@@ -438,6 +438,37 @@ object HashKernels {
     h
   }
 
+  /** All code-point n-grams of `s` in reading order, NON-distinct — the
+    * character-n-gram event list a char-level language model counts.
+    * Code-point addressed (astral-plane safe), value-identical to the
+    * interpreted HOF form `transform(sequence(1, numChars − (n−1)),
+    * i -> substr(s, i, n))`; shorter-than-n strings yield an EMPTY array
+    * (callers null-guard to keep the HOF form's null → empty contract).
+    * One pass: code-point boundaries are collected once and each gram is
+    * one substring copy — not the O(len) scan PER GRAM that repeated
+    * codepoint-addressed `substr` costs on multi-byte text. */
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // code-point start offsets (UTF-16 indices) + the end sentinel
+    val bounds = new java.util.ArrayList[Integer](len + 1)
+    var i = 0
+    while (i < len) {
+      bounds.add(i)
+      i += Character.charCount(str.codePointAt(i))
+    }
+    bounds.add(len)
+    val m = bounds.size - 1
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m - n + 1)
+    var k = 0
+    while (k <= m - n) {
+      out(k) = UTF8String.fromString(str.substring(bounds.get(k), bounds.get(k + n)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Collapse runs of consecutive identical tokens to at most `maxRun`
     * occurrences ("a a a b a" → "a b a" at maxRun = 1) — intra-document
     * repetition removal, the token-level sibling of C4's duplicate-line
@@ -682,6 +713,26 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 /** Codegen'd Shannon entropy (bits) over a string column's code points. */
+/** Codegen'd code-point n-gram array over a string column. */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charGrams(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charGrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
 case class CharEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_char_entropy"
@@ -914,6 +965,10 @@ object DedupExpressions {
   /** Codegen'd code-point Shannon entropy (bits) of a string column. */
   def charEntropyOf(text: Column): Column =
     CatalystBridge.column(CharEntropy(CatalystBridge.expression(text)))
+
+  /** Codegen'd code-point n-gram array of a string column. */
+  def charGramsOf(text: Column, n: Int): Column =
+    CatalystBridge.column(CharGrams(CatalystBridge.expression(text), n))
 
   /** Codegen'd Unicode NFC composition of a string column. */
   def nfcNormalizeOf(text: Column): Column =

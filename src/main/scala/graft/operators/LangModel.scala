@@ -74,8 +74,18 @@ object LangModel {
   /** ASCII-only case fold (see the determinism contract). */
   private def foldCase(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
 
-  /** Character bigrams of `t` as an array; empty when shorter than n. */
+  /** Character n-grams of `t` as an array; empty when null or shorter
+    * than n. The codegen'd [[graft.functions.CharGrams]] kernel — one
+    * boundary pass per row where the HOF form's repeated codepoint-
+    * addressed `substr` re-scans the prefix per gram (the measured hot
+    * spot of classification); [[gramArrayFold]] is the interpreted twin
+    * the parity spec folds. */
   private def gramArray(t: Column, n: Int): Column =
+    coalesce(graft.functions.DedupExpressions.charGramsOf(t, n),
+      array().cast("array<string>"))
+
+  /** Interpreted HOF form of [[gramArray]] — spec/parity only. */
+  private[graft] def gramArrayFold(t: Column, n: Int): Column =
     when(length(t) >= n,
       transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
@@ -131,8 +141,22 @@ object LangModel {
       prefixLen: Int = 256): DataFrame = {
     require(n >= 1, "n must be at least 1")
     require(prefixLen >= n, "prefixLen must cover at least one gram")
-    val t = foldCase(col(textCol).substr(lit(1), lit(prefixLen)))
-    val base = df.select(col(idCol), gramArray(t, n).as("__gs"))
+    val pref = df.select(col(idCol),
+      foldCase(col(textCol).substr(lit(1), lit(prefixLen))).as("__t"))
+    // the gram explode multiplies per-row work by ~prefixLen·|matching
+    // langs|; when the incoming scan offers fewer partitions than the
+    // cluster (one small file — the single-file bench layout, or a skewed
+    // file mix), the whole explode+probe+partial-agg chain single-threads.
+    // Spread the NARROW (id, ≤prefixLen-char prefix) projection first:
+    // the shuffle moves ~0.2% of the bytes the explode then produces.
+    // Results are unaffected — every downstream step is key-addressed
+    // (decimal sums, struct-min elections are order-independent).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (!pref.isStreaming && pref.rdd.getNumPartitions < par)
+        pref.repartition(par)
+      else pref
+    val base = spread.select(col(idCol), gramArray(col("__t"), n).as("__gs"))
       .select(col(idCol), col("__gs"), size(col("__gs")).as("__g"))
     val grams = base.select(col(idCol), col("__g"), explode(col("__gs")).as("gram"))
     val prof = profiles.select(col("lang"), col("gram"),

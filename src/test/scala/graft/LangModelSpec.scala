@@ -73,6 +73,34 @@ class LangModelSpec extends SparkSpec {
       "language fan-out must ride equi-joins only")
   }
 
+  test("CharGrams kernel ≡ the interpreted HOF fold, incl. astral plane and multi-byte scripts") {
+    import graft.functions.DedupExpressions
+    def kernel(n: Int) = coalesce(DedupExpressions.charGramsOf($"text", n),
+      array().cast("array<string>"))
+    val cases = Seq("hello there", "ab", "a", "", "𝄞a𝄞b",
+      "человек добрый", "人人生而自由", null.asInstanceOf[String])
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    assert(cases.select(kernel(2).as("k"), LangModel.gramArrayFold($"text", 2).as("f"))
+      .filter(not($"k" <=> $"f")).count() === 0)
+    // astral-plane sanity: 𝄞a𝄞b has 4 code points -> 3 bigrams
+    val astral = cases.filter($"id" === 4L).select(kernel(2)).head().getSeq[String](0)
+    assert(astral === Seq("𝄞a", "a𝄞", "𝄞b"))
+    // and on the real corpus at both model widths
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Seq(2, 3).foreach { n =>
+      assert(docs.select(kernel(n).as("k"), LangModel.gramArrayFold($"text", n).as("f"))
+        .filter(not($"k" <=> $"f")).count() === 0, s"kernel/fold divergence at n=$n")
+    }
+  }
+
+  test("a single-partition scan redistributes before the gram explode") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").coalesce(1)
+    val plan = LangModel.langClassifyDefault(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      "the narrow prefix projection must spread when the scan is starved")
+  }
+
   test("prefix cap bounds the gram explode; the tail never changes the verdict") {
     val en = LangModel.DefaultLangSeeds.toMap.apply("en")
     val ru = LangModel.DefaultLangSeeds.toMap.apply("ru")
