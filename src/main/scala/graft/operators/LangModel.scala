@@ -107,20 +107,30 @@ object LangModel {
       textCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, "n must be at least 1")
+    // ONE aggregation job over seed-sized data, collected whole: the
+    // gram-count table IS the model (a few thousand (lang, gram, cnt)
+    // rows — bounded by construction), and deriving the vocabulary size,
+    // per-language totals, and log-probs locally avoids re-running the
+    // seed explode for each side of a counts⋈totals join every time a
+    // consumer evaluates the profiles. Arithmetic is the same IEEE ops +
+    // 6-decimal HALF_UP rounds the oracle replays; the returned frame is
+    // a local relation that broadcasts as-is into classification.
     val counts = seed
       .select(col(langCol).as("lang"),
         explode(gramArray(foldCase(col(textCol)), n)).as("gram"))
       .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
-      .persist()
-    val v = counts.select("gram").distinct().count()
-    val tot = counts.groupBy("lang").agg(sum("cnt").as("tot"))
-    val out = counts.join(tot, Seq("lang"))
-      .select(col("lang"), col("gram"),
-        round(log((col("cnt") + lit(1.0)) / (col("tot") + lit(v.toDouble))), 6)
-          .as("logp"),
-        round(log(lit(1.0) / (col("tot") + lit(v.toDouble))), 6).as("floor"))
-    counts.unpersist(blocking = false)
-    out
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val v = counts.map(_._2).distinct.length.toDouble
+    val tot = counts.groupBy(_._1).map { case (l, rs) => (l, rs.map(_._3).sum) }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = counts.map { case (l, g, c) =>
+      val t = tot(l).toDouble
+      (l, g, r6(math.log((c + 1.0) / (t + v))), r6(math.log(1.0 / (t + v))))
+    }
+    import seed.sparkSession.implicits._
+    rows.toSeq.toDF("lang", "gram", "logp", "floor")
   }
 
   /** Classify each document against trained [[langProfiles]]: score(l) =

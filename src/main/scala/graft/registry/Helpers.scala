@@ -270,8 +270,21 @@ private[graft] object Helpers {
     * increasing-id convention — play the new batch, with deterministic
     * even-neighbor text derivations (doc%9==1: near-dup via an appended
     * token; doc%9==4: exact copy) and 1-in-5 URL collisions. */
-  private[graft] def curateIncIngested(s: SparkSession, d: String): DataFrame = {
+  /** The fixture's documents table, with its id-bound assumption enforced:
+    * the increasing-id convention re-keys the batch at +10000 and folds
+    * URL identity mod 10000, and the law oracles split ingested/batch on
+    * `doc_id < 10000` — all silently wrong if the corpus ever reaches id
+    * 10000 (every driver sf stays far below), so fail loudly instead. */
+  private def curateIncDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 10000L,
+      s"curateInc fixture assumes doc_id < 10000, saw max id $maxId in $d")
+    docs
+  }
+
+  private[graft] def curateIncIngested(s: SparkSession, d: String): DataFrame = {
+    val docs = curateIncDocs(s, d)
     docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 20 =!= 0)
   }
 
@@ -279,7 +292,7 @@ private[graft] object Helpers {
     Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
 
   private[graft] def curateIncBatch(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = curateIncDocs(s, d)
     val even = docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("eid"), col("text").as("etext"))
     docs.filter(col("doc_id") % 2 === 1)

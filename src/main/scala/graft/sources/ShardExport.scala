@@ -73,6 +73,12 @@ object ShardExport {
       seqPerFile: Int,
       keep: Int = 2): Long = {
     val spark = packs.sparkSession
+    // refuse an empty export loudly: zero rows would write zero data
+    // files, the footer-only manifest re-scan below would die on schema
+    // inference, and an "empty generation" is never what a training-shard
+    // caller means — the streaming path already skips empty batches
+    require(!packs.isEmpty,
+      s"refusing to export an empty sequence set to $path — nothing to shard")
     val assigned = shardAssignment(packs, seqPerFile)
     Store.writeStoreGenerationWith(spark, path, keep) { dir =>
       // one task per output file: every (shard, file_idx) key lands in

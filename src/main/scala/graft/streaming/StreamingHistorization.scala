@@ -342,9 +342,16 @@ object StreamingHistorization {
             }
           toEmit.write.mode("append").parquet(outPath)
           inc.novelBands.foreach { nb =>
+            // guard on the FULL (id, band, key) row, not the id: the band
+            // store holds several rows per doc, and a crash mid-append can
+            // publish a strict subset of them — an id-keyed guard would
+            // then drop the doc's MISSING rows forever on re-delivery,
+            // while the row-keyed guard appends exactly the gap (each row
+            // idempotent, every crash window converges)
             val guarded = Store.readParquetStrict(session, nearDup.get._4)
               .fold(nb) { idx =>
-                nb.join(idx.select(col("id")).distinct(), Seq("id"), "left_anti")
+                nb.join(idx.select(col("id"), col("band"), col("key")),
+                  Seq("id", "band", "key"), "left_anti")
               }
             guarded.write.mode("append").parquet(nearDup.get._4)
           }

@@ -143,4 +143,15 @@ class ShardExportSpec extends SparkSpec {
     assert(ShardExport.shardManifest(spark, dir).agg(sum("n_seqs")).as[Long].head()
       === seqs.count())
   }
+
+  test("an empty export refuses loudly instead of dying in the manifest re-scan") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("shard", "pack_id", "n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("shardex4").toString
+    val e = intercept[IllegalArgumentException] {
+      ShardExport.exportTrainingShards(empty, dir, seqPerFile = 4)
+    }
+    assert(e.getMessage.contains("empty sequence set"))
+    // nothing committed: the store has no generations
+    assert(graft.sources.Store.listGenerations(spark, dir).isEmpty)
+  }
 }

@@ -1056,6 +1056,15 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/hashes").count() === nHash)
   }
 
+  /** Pin the file-source delivery order of parquet drops: every file of
+    * drop i gets a strictly earlier modification time than drop i+1's —
+    * the source orders by (mtime, path), and back-to-back writes can
+    * share a millisecond, leaving the order to a UUID-part-name tiebreak. */
+  private def pinDropOrder(dirs: String*): Unit =
+    dirs.zipWithIndex.foreach { case (d, i) =>
+      new java.io.File(d).listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+
   test("curateMaintainStream ≡ sequential curateIncremental; re-delivery converges") {
     import graft.operators.Curation
     val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
@@ -1082,8 +1091,16 @@ class StreamingSpec extends SparkSpec {
     val bench = Seq((100L, fillerF)).toDF("doc_id", "text")
     val rules = Seq(s"ads.h0.example.com").toDF("rule")
     val dir = Files.createTempDirectory("graft-curate-stream").toString
-    ingested.write.parquet(s"$dir/in/d0")
-    batch.write.parquet(s"$dir/in/d1")
+    // ONE file per drop with strictly increasing mtimes: the file source
+    // takes maxFilesPerTrigger files per batch in (mtime, path) order, so
+    // a multi-part drop would split one logical batch into per-FILE
+    // batches in UUID-name tiebreak order — and the 12-vs-13 intra-batch
+    // election would nondeterministically become a standing-store
+    // election won by whichever file sorted first (a real flake this
+    // test shipped with until it fired)
+    ingested.coalesce(1).write.parquet(s"$dir/in/d0")
+    batch.coalesce(1).write.parquet(s"$dir/in/d1")
+    pinDropOrder(s"$dir/in/d0", s"$dir/in/d1")
     val stream = spark.readStream.schema(ingested.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
     def writer(chk: String) = StreamingHistorization.curateMaintainStream(
@@ -1123,5 +1140,50 @@ class StreamingSpec extends SparkSpec {
     val after = Seq("out", "digests", "canon", "bands")
       .map(p => spark.read.parquet(s"$dir/$p").count())
     assert(after === counts, "a re-delivered stream must ingest nothing")
+  }
+
+  test("a partially committed bands append converges on re-delivery (row-keyed guard)") {
+    import graft.operators.Curation
+    val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while morning light settles on the tall grass and the birds call"
+    val fillerB = "a steady rain fell across the old town square as vendors " +
+      "opened their stalls and the church bell counted out the early hours again"
+    val docs = Seq(
+      (1L, fillerA, "https://h1.example.com/p/1"),
+      (2L, fillerB, "https://h2.example.com/p/2")).toDF("doc_id", "text", "url")
+    val bench = Seq((100L, "inside the museum hall students sketched"))
+      .toDF("doc_id", "text")
+    val rules = Seq("ads.h0.example.com").toDF("rule")
+    val inc0 = Curation.curateIncremental(docs, bench, "doc_id", "text",
+      Curation.emptyState(spark, url = true, near = true), shingleN = 3,
+      urlGate = Some((docs.select($"doc_id", $"url"), "url", rules)),
+      nearDup = Some((3, 8, 4)))
+    val allBands = inc0.novelBands.get.persist()
+    val dir = Files.createTempDirectory("graft-curate-partial").toString
+    // simulate the crash window: out fully appended, only TWO of the
+    // first doc's band rows visible, digests/canon not yet written
+    val firstDoc = allBands.agg(min($"id")).head.getLong(0)
+    inc0.survivors.write.parquet(s"$dir/out")
+    allBands.filter($"id" === firstDoc).limit(2).write.parquet(s"$dir/bands")
+    docs.coalesce(1).write.parquet(s"$dir/in/d0")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.curateMaintainStream(
+      stream, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", s"$dir/chk",
+      urlTier = Some(("url", rules, s"$dir/canon")),
+      nearDup = Some((3, 8, 4, s"$dir/bands")), shingleN = 3))
+    // the gap fills exactly: full band set, no duplicates (an id-keyed
+    // guard would have dropped the first doc's missing rows forever)
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(bands.exceptAll(allBands).count() === 0 &&
+      allBands.exceptAll(bands).count() === 0,
+      "re-delivery must append exactly the missing band rows")
+    // every other store converged too
+    assert(spark.read.parquet(s"$dir/out").exceptAll(inc0.survivors).count() === 0 &&
+      inc0.survivors.exceptAll(spark.read.parquet(s"$dir/out")).count() === 0)
+    assert(spark.read.parquet(s"$dir/digests").exceptAll(inc0.novelDigests).count() === 0 &&
+      inc0.novelDigests.exceptAll(spark.read.parquet(s"$dir/digests")).count() === 0)
+    allBands.unpersist(blocking = false)
+    ()
   }
 }
