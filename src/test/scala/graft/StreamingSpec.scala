@@ -1142,6 +1142,56 @@ class StreamingSpec extends SparkSpec {
     assert(after === counts, "a re-delivered stream must ingest nothing")
   }
 
+  test("compacting the curation stores between batches changes nothing but the file count") {
+    import graft.operators.Curation
+    import graft.sources.Store
+    val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while morning light settles on the tall grass and the birds call"
+    val fillerB = "a steady rain fell across the old town square as vendors " +
+      "opened their stalls and the church bell counted out the early hours again"
+    val fillerC = "deep in the valley the farmers walked their fields checking " +
+      "rows of young corn while clouds drifted slowly over the distant blue hills"
+    val d0 = Seq((1L, fillerA, "https://h1.example.com/p/1"),
+      (2L, fillerB, "https://h2.example.com/p/2")).toDF("doc_id", "text", "url")
+    val d1 = Seq((10L, fillerA, "https://h0.example.com/p/10"),  // exact standing hit
+      (11L, fillerC, "https://h1.example.com/p/11"),             // survivor
+      (12L, fillerB, "https://h2.example.com/p/2")               // url standing hit
+    ).toDF("doc_id", "text", "url")
+    val bench = Seq((100L, "inside the museum hall students sketched")).toDF("doc_id", "text")
+    val rules = Seq("ads.h0.example.com").toDF("rule")
+    def run(dir: String, compactBetween: Boolean): Unit = {
+      d0.coalesce(1).write.parquet(s"$dir/in/d0")
+      val s0 = spark.readStream.schema(d0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      def writer(src: org.apache.spark.sql.DataFrame, chk: String) =
+        StreamingHistorization.curateMaintainStream(
+          src, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", chk,
+          urlTier = Some(("url", rules, s"$dir/canon")),
+          nearDup = Some((3, 8, 4, s"$dir/bands")), shingleN = 3)
+      StreamingHistorization.runOnce(writer(s0, s"$dir/chk"))
+      // the maintenance window: stream stopped, stores compact in place
+      // (the swap write — readers see old or new, never half-compacted)
+      if (compactBetween)
+        Seq("digests", "canon", "bands", "out").foreach { p =>
+          Store.compactStore(spark, s"$dir/$p")
+        }
+      d1.coalesce(1).write.parquet(s"$dir/in/d1")
+      val s1 = spark.readStream.schema(d0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+      StreamingHistorization.runOnce(writer(s1, s"$dir/chk"))
+    }
+    val plain = Files.createTempDirectory("graft-curate-nocompact").toString
+    val compacted = Files.createTempDirectory("graft-curate-compact").toString
+    run(plain, compactBetween = false)
+    run(compacted, compactBetween = true)
+    Seq("out", "digests", "canon", "bands").foreach { p =>
+      val a = spark.read.parquet(s"$plain/$p")
+      val b = spark.read.parquet(s"$compacted/$p")
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+        s"$p must be content-identical across the compaction")
+    }
+  }
+
   test("a partially committed bands append converges on re-delivery (row-keyed guard)") {
     import graft.operators.Curation
     val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
