@@ -104,13 +104,36 @@ object Bench {
     // median-of-3 per query, summed: robust companion to the scored min —
     // a min-vs-median gap flags environment noise, not plan cost
     val totalMedian = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","median":$totalMedian,"queries":$qs,"cold":$colds,"errors":$errs,"sf":"$sfDir"}"""
+    // Regression tripwire (VERDICT r17 item 8): diff this run's per-query
+    // mins against the most recent persisted full-surface run at the SAME
+    // sf dir and surface the movers machine-readably — the driver-facing
+    // BENCH_rN.json truncates to a 2000-char stdout tail, which is how
+    // r17's +20 s tiered-SCD2 move became unattributable. Skipped (empty
+    // drift) when no prior run or the run was scoped by SPARK_GRAFT_ONLY.
+    val priorQueries: Map[String, Double] =
+      if (only.nonEmpty) Map.empty
+      else BenchHistory.lastFullRun(sfDir).getOrElse(Map.empty)
+    val drift = results.collect {
+      case (k, v, _, _, None)
+          if priorQueries.get(k).exists(p => math.abs(v - p) > 0.5) =>
+        (k, v - priorQueries(k))
+    }.sortBy { case (_, dv) => -math.abs(dv) }
+    drift.foreach { case (k, dv) =>
+      System.err.println(f"[bench] drift $k ${if (dv > 0) "+" else ""}$dv%.2fs vs prior run")
+    }
+    val driftJson = drift.map { case (k, dv) => s"\"" + k + "\":" + dv }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","median":$totalMedian,"queries":$qs,"cold":$colds,"errors":$errs,"drift":$driftJson,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces: also drop the line in a file in case stdout is
-    // mangled by a wrapping build tool's log prefixes.
+    // mangled by a wrapping build tool's log prefixes — and append it to
+    // the COMMITTED history log (bench_last.json is gitignored, which is
+    // exactly how rounds 1–16's per-query maps were lost; the history
+    // file keeps every full-surface run diffable round over round).
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    if (only.isEmpty) BenchHistory.append(json)
     // The driver parses a bounded TAIL of stdout (observed: 2000 chars), so
     // the LAST line must be short. Full per-query detail is above and in
     // bench_last.json; this compact line is the machine-readable metric.

@@ -504,6 +504,17 @@ object Curation {
     * @param removedUrls (urls, urlCol) for the same ids — required when the
     *                    state carries a canonical store and the url tier
     *                    should forget them; None leaves that store untouched
+    * @param strict      when true, enforce the precondition loudly: every
+    *                    removed digest (and canonical URL, when urls are
+    *                    given) must be STANDING in its store, or the call
+    *                    fails before purging anything — taking down an
+    *                    ingestion-CUT duplicate would otherwise silently
+    *                    delete the still-standing winner's class keys and
+    *                    re-open an occupied class. Band rows need no check:
+    *                    they delete by the removed doc's OWN id, which is
+    *                    exact whether or not that doc was near-cut. Default
+    *                    false keeps the idempotent/ghost-key-tolerant
+    *                    behavior for retry/replay callers
     * @return the state with every removed key purged
     */
   def curateStateTakedown(
@@ -511,17 +522,39 @@ object Curation {
       removed: DataFrame,
       idCol: String,
       textCol: String,
-      removedUrls: Option[(DataFrame, String)] = None): CurationState = {
+      removedUrls: Option[(DataFrame, String)] = None,
+      strict: Boolean = false): CurationState = {
     val digKeys = removed.select(
       graft.functions.HashColumns.hashExpr(Seq(col(textCol))).as("content_hash"))
+    if (strict) {
+      // takedown batches are key-sized, so the precondition probe is one
+      // bounded anti-join count per store, paid before any purge
+      val ghostDigests = digKeys.distinct()
+        .join(state.knownDigests, Seq("content_hash"), "left_anti").count()
+      require(ghostDigests == 0L,
+        s"strict takedown: $ghostDigests removed content digest(s) are not " +
+          "standing — removing an ingestion-cut duplicate would re-open a " +
+          "class whose winner still stands")
+      removedUrls.zip(state.knownCanonical).foreach { case ((urls, urlCol), c) =>
+        val ghostCanon = urls
+          .select(Urls.canonicalizeUrl(col(urlCol)).as("__rm_canon")).distinct()
+          .join(c, col("__rm_canon") <=> col("canonical_url"), "left_anti").count()
+        require(ghostCanon == 0L,
+          s"strict takedown: $ghostCanon removed canonical URL(s) are not standing")
+      }
+    }
     val purgedDigests = state.knownDigests
       .join(broadcast(digKeys), Seq("content_hash"), "left_anti")
     val purgedCanonical = state.knownCanonical.map { c =>
       removedUrls.fold(c) { case (urls, urlCol) =>
+        // null-safe (<=>): ingestion's novelty probe matches a null
+        // canonical key null-safely, so a standing null class (null /
+        // uncanonicalizable URL) must be purgeable the same way — a plain
+        // `=` anti-join could never remove it
         c.join(
           broadcast(urls.select(
-            Urls.canonicalizeUrl(col(urlCol)).as("canonical_url"))),
-          Seq("canonical_url"), "left_anti")
+            Urls.canonicalizeUrl(col(urlCol)).as("__rm_canon"))),
+          col("canonical_url") <=> col("__rm_canon"), "left_anti")
       }
     }
     val purgedBands = state.bandIndex.map(

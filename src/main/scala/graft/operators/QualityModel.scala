@@ -160,6 +160,11 @@ object QualityModel {
       w = Features.indices.map(j => round6(w(j) - lr * (g(s"g$j") / n))).toVector
       trace :+= ((bias, w))
     }
+    // training runs eagerly to completion above, so the scaled frame has
+    // no live consumers once the trace is built — release it instead of
+    // leaving a dead cached frame for the session's lifetime (the registry
+    // trains twice per bench run)
+    scaled.unpersist(blocking = false)
     TrainedQuality(stats, trace)
   }
 

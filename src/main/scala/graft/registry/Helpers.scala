@@ -85,6 +85,110 @@ private[graft] object Helpers {
 
   private[graft] def ensureJsonlFixture(): Unit = writeJsonlFixture(jsonlFixtureDir)
 
+  /** Fixture dir for the WARC/WET ingestion check (query and oracle both
+    * read the values derived from one record list, so they cannot drift). */
+  private[graft] val warcFixtureDir: String =
+    sys.env.getOrElse("GRAFT_WARC_FIXTURE_DIR", "/tmp/graft_warc_fixture")
+
+  /** The GOOD records of the WARC fixture — (file, rec_idx, warc_type,
+    * url, ts, mime, body) — the single source for BOTH the on-disk fixture
+    * bytes ([[writeWarcFixture]]) and the oracle VALUES literal
+    * ([[warcValuesSql]]). `rec_idx` is each record's 0-based position in
+    * its file COUNTING the malformed records interleaved by the writer
+    * (b.warc's quarantine slots are 0, 2, 4, 6), exactly the address
+    * [[graft.sources.Warc.readWarc]] assigns. `a.warc.gz` is written one
+    * gzip member per record (the Common Crawl layout); `b.warc` is plain
+    * bytes with the malformed records in between. No single quotes in any
+    * value (embedded in SQL). */
+  private[graft] val warcGoodRecords
+      : Seq[(String, Long, Option[String], Option[String], Option[String], Option[String], String)] = {
+    def conv(f: String, i: Long, host: String, day: Int, body: String) =
+      (f, i, Some("conversion"), Some(s"https://$host/p$i"),
+        Some(f"2024-05-$day%02dT10:0$i%01d:00Z"), Some("text/plain"), body)
+    Seq(
+      // single-line body: these values embed in standard (non-escaped)
+      // SQL string literals, so no \r\n may appear inside a payload
+      ("a.warc.gz", 0L, Some("warcinfo"), None,
+        Some("2024-05-01T10:00:00Z"), Some("application/warc-fields"),
+        "software: graft-fixture 1.0"),
+      conv("a.warc.gz", 1L, "w1.example.com", 1, "alpha beta gamma delta"),
+      conv("a.warc.gz", 2L, "w2.example.com", 1, "the quick brown fox jumps over the dog"),
+      conv("a.warc.gz", 3L, "w3.example.com", 2, "duplicate body shared across files"),
+      conv("a.warc.gz", 4L, "w4.example.com", 2, ""),
+      conv("a.warc.gz", 5L, "w5.example.com", 3,
+        "unicode payload: uüber straße 中文"),
+      ("a.warc.gz", 6L, Some("response"), Some("https://w6.example.com/raw"),
+        Some("2024-05-03T11:00:00Z"), Some("text/html"),
+        "<html><body>hello</body></html>"),
+      conv("a.warc.gz", 7L, "w7.example.com", 4, "tail record of the gz stream"),
+      conv("b.warc", 1L, "b1.example.com", 5, "first good record after leading garbage"),
+      conv("b.warc", 3L, "b3.example.com", 5, "survives the bad content-length neighbor"),
+      ("b.warc", 5L, Some("response"), Some("https://b5.example.com/page"),
+        Some("2024-05-06T09:00:00Z"), Some("text/html; charset=UTF-8"),
+        "<p>response capture</p>"))
+  }
+
+  /** (Re)write the two-file WARC fixture: every good record above plus
+    * four malformed records in `b.warc` (leading garbage bytes, a
+    * non-numeric Content-Length, a colon-less header line, a truncated
+    * final payload) — each must quarantine as ONE `parse_error` row at
+    * the rec_idx the good list skips, never break its neighbors. */
+  private[graft] def writeWarcFixture(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    def recBytes(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+      val h = headers.map { case (k, v) => s"$k: $v\r\n" }.mkString
+      (s"WARC/1.0\r\n$h" + s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def headersOf(r: (String, Long, Option[String], Option[String], Option[String], Option[String], String)) =
+      Seq("WARC-Type" -> r._3, "WARC-Target-URI" -> r._4,
+        "WARC-Date" -> r._5, "Content-Type" -> r._6)
+        .collect { case (k, Some(v)) => k -> v }
+    def gzMember(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(b); gz.close()
+      bos.toByteArray
+    }
+    val aRecs = warcGoodRecords.filter(_._1 == "a.warc.gz")
+    java.nio.file.Files.write(p.resolve("a.warc.gz"),
+      aRecs.map(r => gzMember(recBytes(headersOf(r), r._7.getBytes("UTF-8"))))
+        .reduce(_ ++ _))
+    val bGood = warcGoodRecords.filter(_._1 == "b.warc")
+      .map(r => recBytes(headersOf(r), r._7.getBytes("UTF-8")))
+    val badClen = ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+      + "WARC-Target-URI: https://bad.example.com/clen\r\n"
+      + "Content-Length: abc\r\n\r\nskipped body line\r\n\r\n").getBytes("UTF-8")
+    val badHeader = ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+      + "NoColonHeaderLine\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n").getBytes("UTF-8")
+    val truncated = ("WARC/1.0\r\nWARC-Type: conversion\r\n"
+      + "WARC-Target-URI: https://trunc.example.com/t\r\n"
+      + "Content-Length: 100\r\n\r\nonly twenty bytes her").getBytes("UTF-8")
+    java.nio.file.Files.write(p.resolve("b.warc"),
+      "leading garbage that is not a warc record\r\n".getBytes("UTF-8")
+        ++ bGood(0) ++ badClen ++ bGood(1) ++ badHeader ++ bGood(2) ++ truncated)
+    ()
+  }
+
+  private[graft] def ensureWarcFixture(): Unit = writeWarcFixture(warcFixtureDir)
+
+  /** SQL VALUES literal of [[warcGoodRecords]] with each record's payload
+    * byte length — the oracle twin of the good-record scan. */
+  private[graft] val warcValuesSql: String = {
+    def q(o: Option[String]) =
+      o.map(s => s"'$s'").getOrElse("CAST(NULL AS VARCHAR)")
+    require(warcGoodRecords.forall { r =>
+      !r._7.contains("'") && !r._7.contains("\r") && !r._7.contains("\n") &&
+        Seq(r._3, r._4, r._5, r._6).flatten.forall(!_.contains("'")) },
+      "warc fixture values must be single-line and quote-free (embedded in SQL)")
+    warcGoodRecords.map { r =>
+      val nBytes = r._7.getBytes("UTF-8").length
+      s"('${r._1}', ${r._2}, ${q(r._3)}, ${q(r._4)}, ${q(r._5)}, ${q(r._6)}, " +
+        s"$nBytes, '${r._7}')"
+    }.mkString(", ")
+  }
+
   /** Hand-authored URL canonicalization edge vectors (url_id, url) — one
     * per rule of [[graft.operators.Urls.canonicalizeUrl]]'s scaladoc list,
     * shared verbatim with the DuckDB oracle (the VALUES literal is
@@ -264,22 +368,31 @@ private[graft] object Helpers {
         qualityModel = Some((qualityWeights, qualityBias)))
     }
 
-  /** The steady-state curation fixture, shared by the registered rows,
-    * the staged-state builder, and the build-pricing row: even non-bench
-    * docs play the ingested corpus; odd docs — re-keyed +10000 per the
-    * increasing-id convention — play the new batch, with deterministic
-    * even-neighbor text derivations (doc%9==1: near-dup via an appended
-    * token; doc%9==4: exact copy) and 1-in-5 URL collisions. */
-  /** The fixture's documents table, with its id-bound assumption enforced:
-    * the increasing-id convention re-keys the batch at +10000 and folds
-    * URL identity mod 10000, and the law oracles split ingested/batch on
-    * `doc_id < 10000` — all silently wrong if the corpus ever reaches id
-    * 10000 (every driver sf stays far below), so fail loudly instead. */
+  /** Dirs whose documents table already passed the curateInc id-bound
+    * check — the max(doc_id) probe is one eager aggregate job, and the
+    * fixture builders below run inside bench-timed windows, so it must
+    * run once per (immutable) sf dir, not once per call. */
+  private val curateIncCheckedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The steady-state curation fixture's documents table (shared by the
+    * registered rows, the staged-state builder, and the build-pricing
+    * row: even non-bench docs play the ingested corpus; odd docs —
+    * re-keyed +10000 per the increasing-id convention — play the new
+    * batch), with its id-bound assumption enforced once per dir: the
+    * re-key folds URL identity mod 10000 and the law oracles split
+    * ingested/batch on `doc_id < 10000` — all silently wrong if the
+    * corpus ever reaches id 10000 (every driver sf stays far below), so
+    * fail loudly instead. */
   private def curateIncDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
-    require(maxId < 10000L,
-      s"curateInc fixture assumes doc_id < 10000, saw max id $maxId in $d")
+    if (!curateIncCheckedDirs.contains(d)) {
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < 10000L,
+        s"curateInc fixture assumes doc_id < 10000, saw max id $maxId in $d")
+      curateIncCheckedDirs.add(d)
+      ()
+    }
     docs
   }
 

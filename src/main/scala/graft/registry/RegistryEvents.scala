@@ -50,6 +50,30 @@ private[graft] object RegistryEvents {
           col("length").as("byte_len"),
           lower(hex(col("content"))).as("content_hex"))
     }),
+    // WARC/WET ingestion — the web-archive entry format every public
+    // corpus recipe starts from: a two-file fixture (one gzip member per
+    // record à la Common Crawl + a plain file carrying four malformed
+    // records) is (re)written driver-side, parsed one streaming pass per
+    // file, malformed records quarantined per row (spec-pinned in
+    // WarcSpec); the oracle is a VALUES literal generated from the SAME
+    // record list the fixture writer serializes, so bytes and expectation
+    // cannot drift
+    "x_warc_scan" -> ((s, _) => {
+      writeWarcFixture(warcFixtureDir)
+      graft.sources.Warc.readWarc(s, warcFixtureDir)
+        .filter(col("parse_error").isNull)
+        .select(substring_index(col("file"), "/", -1).as("fname"),
+          col("rec_idx"), col("warc_type"), col("url"), col("ts"),
+          col("mime"), col("n_bytes"), col("text"))
+    }),
+    // the WET consumption surface: good conversion records only, the
+    // (url, ts, text) projection the curation loop ingests
+    "x_warc_wet" -> ((s, _) => {
+      writeWarcFixture(warcFixtureDir)
+      graft.sources.Warc.readWet(s, warcFixtureDir)
+        .select(substring_index(col("file"), "/", -1).as("fname"),
+          col("rec_idx"), col("url"), col("ts"), col("text"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -139,6 +163,20 @@ private[graft] object RegistryEvents {
          |       size AS byte_len,
          |       lower(hex(content)) AS content_hex
          |FROM read_blob('$mediaFixtureDir/*.bin')""".stripMargin,
+    // the good-record expectation generated from the same Scala record
+    // list the fixture writer serializes to disk — DuckDB cannot parse
+    // WARC, so the oracle states the ground truth the parser must recover
+    // (incl. the rec_idx gaps where b.warc's malformed records quarantine)
+    "x_warc_scan" ->
+      s"""SELECT fname, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type, url,
+         |       ts, mime, CAST(n_bytes AS BIGINT) AS n_bytes, body AS text
+         |FROM (VALUES $warcValuesSql)
+         |  t(fname, rec_idx, warc_type, url, ts, mime, n_bytes, body)""".stripMargin,
+    "x_warc_wet" ->
+      s"""SELECT fname, CAST(rec_idx AS BIGINT) AS rec_idx, url, ts, body AS text
+         |FROM (VALUES $warcValuesSql)
+         |  t(fname, rec_idx, warc_type, url, ts, mime, n_bytes, body)
+         |WHERE warc_type = 'conversion'""".stripMargin,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(length(text) AS INT) AS "byteLen",

@@ -1,0 +1,196 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC / WET ingestion — the record-delimited web-archive format every
+  * public corpus recipe starts from (Common Crawl publishes WARC capture
+  * files and WET text extracts; C4, RefinedWeb, FineWeb, CCNet all begin
+  * at these files). The reference has no counterpart (its entry point is
+  * `pd.read_csv`, `main.py:16`); this source exists so the curation loop
+  * ([[graft.operators.Curation.curateIncremental]]) can be fed from the
+  * real entry format: WARC record → (url, ts, mime, payload/text) →
+  * [[graft.operators.Urls.canonicalizeUrl]] → gates.
+  *
+  * Format (ISO 28500, public spec): each record is a `WARC/x.y` version
+  * line, `Name: value` header lines, an empty line, then exactly
+  * `Content-Length` payload bytes, then a blank separator. Common Crawl
+  * compresses ONE GZIP MEMBER PER RECORD and concatenates the members, so
+  * a `.warc.gz` is itself a valid multi-member gzip stream —
+  * `GZIPInputStream` walks the members transparently, and this reader
+  * handles plain and gzipped files through the same byte parser (sniffed
+  * by the 0x1f8b magic, not the file name).
+  *
+  * Scale shape: files are the unit of parallelism — one task per file via
+  * the `binaryFile` source (a Common Crawl segment is ~100k files of
+  * ~1 GB, far wider than any cluster), and each task is one streaming
+  * pass over its file's decompressed bytes with bounded per-record state.
+  * Whole-file rows cap at the 2 GB byte-array limit, which the WARC
+  * ecosystem's own ~1 GB rotation convention stays under; re-splitting a
+  * single file is deliberately NOT attempted (gzip members are not
+  * seekable without an index).
+  *
+  * Malformed input follows the [[graft.operators.Multimodal]] quarantine
+  * convention: a bad record costs ONE quarantined row (`parse_error` set,
+  * payload fields null) — never the task — and the parser resyncs to the
+  * next `WARC/` version line, so one corrupt record cannot eat the rest
+  * of its file.
+  */
+object Warc {
+
+  /** One parsed WARC record (or one quarantined parse failure). */
+  final case class WarcRecord(
+      file: String,
+      rec_idx: Long,
+      warc_type: Option[String],
+      url: Option[String],
+      ts: Option[String],
+      mime: Option[String],
+      n_bytes: Option[Long],
+      payload: Option[Array[Byte]],
+      parse_error: Option[String])
+
+  /** Read every WARC record under `path` (file, directory, or glob —
+    * `binaryFile` semantics): one row per record, one task per file.
+    *
+    * Columns: `file` (full path), `rec_idx` (0-based position in its
+    * file, quarantined rows included — the replay-stable record address),
+    * `warc_type` (`WARC-Type` header), `url` (`WARC-Target-URI`), `ts`
+    * (`WARC-Date`), `mime` (`Content-Type`), `n_bytes` (payload length),
+    * `payload` (raw bytes), `text` (payload decoded as UTF-8, the WET
+    * consumption form), `parse_error` (null for good rows).
+    *
+    * @param glob optional name filter, e.g. `"*.warc.gz"`
+    */
+  def readWarc(spark: SparkSession, path: String, glob: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val reader = spark.read.format("binaryFile")
+    val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    files.flatMap { case (file, bytes) => parseWarcBytes(file, bytes) }
+      .toDF()
+      .select(col("file"), col("rec_idx"), col("warc_type"), col("url"),
+        col("ts"), col("mime"), col("n_bytes"), col("payload"),
+        // UTF-8 view via the binary→string cast (never throws on stray
+        // bytes, unlike `decode` which raises MALFORMED_CHARACTER_CODING):
+        // the WET text surface; binary captures stay addressable through
+        // `payload`
+        col("payload").cast("string").as("text"),
+        col("parse_error"))
+  }
+
+  /** [[readWarc]] narrowed to the rows a text pipeline consumes: good
+    * (un-quarantined) records of `warcType`, projected to
+    * (url, ts, mime, text). WET extracts are `conversion` records (the
+    * default); raw captures are `response`. */
+  def readWet(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = None,
+      warcType: String = "conversion"): DataFrame =
+    readWarc(spark, path, glob)
+      .filter(col("parse_error").isNull && col("warc_type") === warcType)
+      .select(col("file"), col("rec_idx"), col("url"), col("ts"),
+        col("mime"), col("text"))
+
+  private val GzipMagic0 = 0x1f.toByte
+  private val GzipMagic1 = 0x8b.toByte
+
+  /** Parse one file's raw bytes into records. Package-visible for the
+    * parser specs; bounded state = one record's headers + payload. */
+  private[sources] def parseWarcBytes(
+      file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val raw = new java.io.ByteArrayInputStream(bytes)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      if (bytes.length >= 2 && bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
+        // multi-member aware: one gzip member per record (the Common
+        // Crawl layout) decompresses as one continuous stream
+        new java.util.zip.GZIPInputStream(raw)
+      else raw))
+
+    // Byte-accurate line reader: returns the line WITHOUT its \r?\n
+    // terminator, null at EOF. WARC headers are ASCII by spec; payload
+    // bytes are never routed through here (readFully below).
+    def readLine(): String = {
+      val sb = new java.lang.StringBuilder(128)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      val n = sb.length()
+      if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+      sb.toString
+    }
+
+    val out = Seq.newBuilder[WarcRecord]
+    var idx = 0L
+    def quarantine(err: String): Unit = {
+      out += WarcRecord(file, idx, None, None, None, None, None, None, Some(err))
+      idx += 1
+    }
+    // resync after a malformed record: drop lines until the next version
+    // line (or EOF) — one bad record quarantines alone, the rest of the
+    // file still parses. Returns the version line to process next.
+    def resyncTo(line: String): String = {
+      var l = line
+      while (l != null && !l.startsWith("WARC/")) l = readLine()
+      l
+    }
+
+    var line = readLine()
+    while (line != null) {
+      if (line.isEmpty) line = readLine() // inter-record blank separators
+      else if (!line.startsWith("WARC/")) {
+        quarantine(s"expected a WARC/ version line, got: ${line.take(80)}")
+        line = resyncTo(readLine())
+      } else {
+        // header block: Name: value lines up to the first empty line
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var hline = readLine()
+        var badHeader: Option[String] = None
+        while (hline != null && hline.nonEmpty && badHeader.isEmpty) {
+          val colon = hline.indexOf(':')
+          if (colon <= 0)
+            badHeader = Some(s"malformed header line: ${hline.take(80)}")
+          else {
+            headers.put(hline.substring(0, colon).trim.toLowerCase,
+              hline.substring(colon + 1).trim)
+            hline = readLine()
+          }
+        }
+        val clen = headers.get("content-length").flatMap(v => v.toLongOption)
+        if (badHeader.nonEmpty) {
+          quarantine(badHeader.get); line = resyncTo(readLine())
+        } else if (clen.isEmpty || clen.exists(c => c < 0 || c > Int.MaxValue)) {
+          // >2 GiB single records exceed the JVM byte-array bound (and the
+          // WARC ecosystem's own rotation convention) — quarantine, don't wrap
+          quarantine("missing or invalid Content-Length: "
+            + headers.getOrElse("content-length", "<absent>"))
+          line = resyncTo(readLine())
+        } else {
+          val want = clen.get
+          val payload = new Array[Byte](want.toInt)
+          val got = try { in.readFully(payload); want } catch {
+            case _: java.io.EOFException => -1L
+          }
+          if (got < 0) {
+            quarantine(s"truncated payload: expected $want bytes, hit EOF")
+            line = null // EOF — nothing left to resync to
+          } else {
+            out += WarcRecord(file, idx,
+              headers.get("warc-type"),
+              headers.get("warc-target-uri"),
+              headers.get("warc-date"),
+              headers.get("content-type"),
+              Some(want), Some(payload), None)
+            idx += 1
+            line = readLine()
+          }
+        }
+      }
+    }
+    in.close()
+    out.result()
+  }
+}
