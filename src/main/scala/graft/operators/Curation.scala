@@ -305,28 +305,47 @@ object Curation {
     *                       incremental law needs both — the
     *                       [[Dedup.paragraphBandIndex]] convention);
     *                       present iff the near tier runs.
+    *  - `fpIndex`        — blocked SimHash rows (id, fp, blk, bval) of
+    *                       every exact-surviving ingested document
+    *                       ([[Dedup.simhashBlockedIndex]]); present iff
+    *                       the TRANSITIVE near tier (`nearCc`) runs.
+    *  - `ccLabels`       — the standing (id, cluster_id) labeling over
+    *                       the Hamming-pair graph of those documents
+    *                       ([[Dedup.duplicateClusters]] fixpoint); a
+    *                       MAINTAINED store (each batch REPLACES it with
+    *                       [[Dedup.updateClusters]]' output — swap-write
+    *                       it, don't append); present iff `nearCc` runs.
     */
   final case class CurationState(
       knownDigests: DataFrame,
       knownCanonical: Option[DataFrame] = None,
-      bandIndex: Option[DataFrame] = None)
+      bandIndex: Option[DataFrame] = None,
+      fpIndex: Option[DataFrame] = None,
+      ccLabels: Option[DataFrame] = None)
 
   /** One batch's output: the surviving (idCol, split) rows plus the
     * novelty appends that keep the NEXT run incremental. Append each
     * novelty frame to its store and re-delivering the same batch ingests
-    * nothing (spec-pinned). */
+    * nothing (spec-pinned). `ccLabels` is the exception to the
+    * append-only shape: it is the FULL updated labeling and REPLACES the
+    * standing `ccLabels` store (the [[Dedup.updateClusters]] maintenance
+    * contract — labels of standing docs can change when a batch bridges
+    * their components). */
   final case class CurationIncrement(
       survivors: DataFrame,
       novelDigests: DataFrame,
       novelCanonical: Option[DataFrame] = None,
-      novelBands: Option[DataFrame] = None)
+      novelBands: Option[DataFrame] = None,
+      novelFps: Option[DataFrame] = None,
+      ccLabels: Option[DataFrame] = None)
 
   /** Empty standing state (run the first batch against this; its novelty
     * outputs ARE the initial stores). */
   def emptyState(
       spark: org.apache.spark.sql.SparkSession,
       url: Boolean = false,
-      near: Boolean = false): CurationState = {
+      near: Boolean = false,
+      nearCc: Boolean = false): CurationState = {
     def empty(cols: (String, String)*): DataFrame =
       spark.range(0).select(cols.map { case (n, t) =>
         lit(null).cast(t).as(n) }: _*)
@@ -336,6 +355,12 @@ object Curation {
         if (url) Some(empty("canonical_url" -> "string")) else None,
       bandIndex =
         if (near) Some(empty("id" -> "long", "band" -> "int", "key" -> "long"))
+        else None,
+      fpIndex =
+        if (nearCc) Some(empty("id" -> "long", "fp" -> "long",
+          "blk" -> "int", "bval" -> "long")) else None,
+      ccLabels =
+        if (nearCc) Some(empty("id" -> "long", "cluster_id" -> "long"))
         else None)
   }
 
@@ -383,7 +408,23 @@ object Curation {
     *                batch id shares it
     * @param nearDup (n, k, bands) minhash shape — requires
     *                `state.bandIndex`
-    * @return survivors + the three novelty appends
+    * @param nearCc  (simhashBits, maxHamming) — the TRANSITIVE near tier,
+    *                mutually exclusive with `nearDup`: the batch's
+    *                SimHash blocked rows probe the standing fingerprint
+    *                index for cross pairs ([[Dedup.hammingProbePairs]]),
+    *                pair up among themselves, and the standing labeling
+    *                advances through [[Dedup.updateClusters]] (condensed-
+    *                graph repair — batch cost, O(corpus) only in the
+    *                final narrow relabel pass). A batch doc is cut iff it
+    *                is not its component's minimum id, which under the
+    *                increasing-id convention is exactly [[curate]]'s
+    *                `nearDup` CC election restricted to the batch — the
+    *                transitive semantics the banded tier trades away
+    *                (bucket-local elections cannot see A~B~C chains whose
+    *                ends share no bucket; the divergence is spec-pinned).
+    *                Requires `state.fpIndex` + `state.ccLabels`
+    * @return survivors + the novelty appends (+ the replacement labeling
+    *         when `nearCc` runs)
     */
   def curateIncremental(
       batch: DataFrame,
@@ -399,11 +440,17 @@ object Curation {
       qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None,
       urlGate: Option[(DataFrame, String, DataFrame)] = None,
       nearDup: Option[(Int, Int, Int)] = None,
+      nearCc: Option[(Int, Int)] = None,
       scope: graft.CacheScope = graft.CacheScope.Global): CurationIncrement = {
     require(urlGate.isEmpty || state.knownCanonical.nonEmpty,
       "urlGate requires a standing canonical-URL store in the state")
     require(nearDup.isEmpty || state.bandIndex.nonEmpty,
       "nearDup requires a standing band index in the state")
+    require(nearDup.isEmpty || nearCc.isEmpty,
+      "nearDup (banding-as-predicate) and nearCc (transitive clusters) are " +
+        "alternative near tiers — pick one")
+    require(nearCc.isEmpty || (state.fpIndex.nonEmpty && state.ccLabels.nonEmpty),
+      "nearCc requires a standing fingerprint index and labeling in the state")
     // url tier: blocklist first (stateless broadcast), then canonical
     // novelty vs the standing store + intra-batch keep-min — the
     // incrementalDuplicateUrls semantics, winners carried forward
@@ -455,13 +502,38 @@ object Curation {
           .drop("content_hash"),
           Some(bandRows))
     }
+    // transitive near tier: batch blocked fingerprints probe the standing
+    // index (cross pairs) and pair among themselves (intra pairs); the
+    // standing labeling advances by condensed-graph repair, and a batch
+    // doc survives iff it is its component's minimum — the CC election of
+    // the corpus-wide pipeline, answered at batch probe cost
+    val (ccKept, novelFps, newLabels) = nearCc match {
+      case None => (nearKept, None, None)
+      case Some((bits, maxHam)) =>
+        val batchBlocked = scope.persist(Dedup.simhashBlockedIndex(
+          exact.select(col(idCol), col(textCol)), idCol, textCol, bits, maxHam))
+        val cross = Dedup.hammingProbePairs(state.fpIndex.get, batchBlocked, maxHam)
+        val intra = batchBlocked.as("a").join(batchBlocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+              col("a.id") < col("b.id"))
+          .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHam)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates(Seq("id_a", "id_b"))
+        val labels = scope.persist(Dedup.updateClusters(
+          state.ccLabels.get, cross.unionByName(intra), scope = scope))
+        val cut = labels.filter(col("cluster_id") =!= col("id")).select(col("id"))
+        (nearKept.join(cut.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"),
+          Some(batchBlocked), Some(labels))
+    }
     val clean = Decontamination.decontaminate(
-      nearKept, bench, idCol, textCol, shingleN, minHits)
+      ccKept, bench, idCol, textCol, shingleN, minHits)
     CurationIncrement(
       survivors = Sampling.assignSplit(clean.select(col(idCol)), idCol, splits),
       novelDigests = novelDigests,
       novelCanonical = novelCanonical,
-      novelBands = novelBands)
+      novelBands = novelBands,
+      novelFps = novelFps,
+      ccLabels = newLabels)
   }
 
   /** TAKEDOWN of standing curation state — the erasure/compliance twin of
@@ -484,6 +556,14 @@ object Curation {
     * still stands) would re-open a class that is still occupied. Keys not
     * present in a store anti-join away silently, so takedown is
     * IDEMPOTENT — re-running a takedown (or racing two) converges.
+    *
+    * CC-tier scope (`fpIndex`/`ccLabels`): the removed ids' fingerprint
+    * rows leave the index by id, and the labeling is REPAIRED, not just
+    * filtered — a removed document can be the bridge of its component, so
+    * the affected components re-cluster over pairs re-derived from the
+    * purged index while every other label passes through (the
+    * [[Dedup.removeDocsFromClusters]] argument at the same
+    * affected-component cost).
     *
     * Near-tier scope: only the removed ids' OWN band rows leave the index.
     * Rows of docs that were near-CUT against the removed doc stay (the
@@ -559,6 +639,42 @@ object Curation {
     }
     val purgedBands = state.bandIndex.map(
       _.join(broadcast(removed.select(col(idCol).as("id"))), Seq("id"), "left_anti"))
-    CurationState(purgedDigests, purgedCanonical, purgedBands)
+    // CC-tier stores: fp rows delete by the removed doc's own id (exact);
+    // the labeling repairs per [[Dedup.removeDocsFromClusters]]' argument —
+    // only components that CONTAINED a removed id can change (a removal
+    // can split one), so re-cluster the affected subgraph only, with its
+    // pairs re-derived from the PURGED fingerprint index (the index is the
+    // pair source of record here; maxHamming is recoverable from its block
+    // geometry: blocks = maxHamming + 1). Every other label passes through.
+    val rmIds = broadcast(removed.select(col(idCol).as("id")).distinct())
+    val purgedFps = state.fpIndex.map(
+      _.join(rmIds, Seq("id"), "left_anti"))
+    val purgedLabels = (state.ccLabels, purgedFps) match {
+      case (Some(labels), Some(fps)) =>
+        val affected = broadcast(
+          labels.join(rmIds, Seq("id"), "left_semi").select("cluster_id").distinct())
+        // using-joins move the join key to the front — re-select so the
+        // returned labeling keeps the store's (id, cluster_id) order
+        val untouched = labels.join(affected, Seq("cluster_id"), "left_anti")
+          .select("id", "cluster_id")
+        val affectedNodes =
+          labels.join(affected, Seq("cluster_id"), "left_semi").select("id")
+        val sub = fps.join(broadcast(affectedNodes), Seq("id"), "left_semi")
+        val maxHam = sub.agg(max(col("blk"))).head.getAs[Any](0) match {
+          case null => 0 // no surviving affected fingerprints: nothing to pair
+          case b: Int => b // blocks are 0..maxHamming
+        }
+        val subPairs = sub.as("a").join(sub.as("b"),
+            col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+              col("a.id") < col("b.id"))
+          .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHam)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates(Seq("id_a", "id_b"))
+        Some(untouched.unionByName(
+          Dedup.duplicateClusters(subPairs).select("id", "cluster_id")))
+      case (l, _) => l
+    }
+    CurationState(purgedDigests, purgedCanonical, purgedBands,
+      purgedFps, purgedLabels)
   }
 }

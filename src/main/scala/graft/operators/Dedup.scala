@@ -1640,6 +1640,47 @@ object Dedup {
       .dropDuplicates(Seq("id_a", "id_b"))
   }
 
+  /** Pigeonhole-blocked SimHash rows — (id, fp, blk, bval), one row per
+    * (document, block) — the PERSISTED probe-index form of
+    * [[hammingNearDuplicates]]'s candidate side: a standing store of these
+    * rows lets a batch find its Hamming neighbors among ALL previously
+    * ingested documents with one (blk, bval) equi-join
+    * ([[hammingProbePairs]]), never a corpus re-fingerprint. The block
+    * geometry is [[hammingBlocks]]' — shared with the all-pairs operator
+    * and the oracle generation, so an index written at (bits, maxHamming)
+    * is probe-compatible with exactly that distance. */
+  def simhashBlockedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < bits, "need 1 <= maxHamming < bits")
+    val blockCols = hammingBlocks(bits, maxHamming).zipWithIndex.map { case ((lo, w), j) =>
+      struct(lit(j).as("blk"),
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit((1L << w) - 1)).as("bval"))
+    }
+    df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("fp"))
+      .select(col("id"), col("fp"), explode(array(blockCols: _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.blk").as("blk"), col("b.bval").as("bval"))
+  }
+
+  /** Cross-side Hamming pairs between a batch's blocked rows and a
+    * standing blocked index (both [[simhashBlockedIndex]] shaped, SAME
+    * (bits, maxHamming) geometry): candidates from the (blk, bval)
+    * equi-join — exhaustive by the pigeonhole argument — then the exact
+    * popcount verify. Output is (id_a, id_b) with the STANDING id in
+    * `id_a`, batch id in `id_b`; batch-sized, never index-sized. */
+  def hammingProbePairs(
+      standing: DataFrame,
+      batch: DataFrame,
+      maxHamming: Int): DataFrame =
+    batch.as("b").join(standing.as("s"),
+        col("b.blk") === col("s.blk") && col("b.bval") === col("s.bval"))
+      .filter(bit_count(col("s.fp").bitwiseXOR(col("b.fp"))) <= maxHamming)
+      .select(col("s.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+
   /** Connected components over an undirected duplicate-pair graph: each
     * node's label converges to the smallest node id in its component, so
     * every near-duplicate cluster is named by its minimum member. This is

@@ -456,6 +456,36 @@ private[graft] object Helpers {
     Curation.CurationState(digests, Some(canon), Some(bands))
   }
 
+  /** The batch-0 run of the TRANSITIVE (CC) steady-state variant: the
+    * ingested corpus against empty `nearCc` state — its novelty outputs
+    * (digests, canonicals, blocked fingerprints, labeling) are the
+    * standing stores the CC law row reads. Simhash 64-bit / Hamming ≤ 3 —
+    * the corpus-scale wide geometry (16-bit over-clusters this fixture
+    * into a handful of giant components), replayed by the shared wide
+    * oracle CTEs. */
+  private[graft] def curateIncBatch0Cc(s: SparkSession, d: String): Curation.CurationIncrement = {
+    val ingested = curateIncIngested(s, d)
+    Curation.curateIncremental(ingested, curateIncBench(s, d), "doc_id", "text",
+      Curation.emptyState(s, url = true, nearCc = true), shingleN = 3,
+      urlGate = Some((curateIncUrls(ingested), "url", curateIncRules(s))),
+      nearCc = Some((64, 3)))
+  }
+
+  /** Staged steady-state CC-curation stores — the `nearCc` twin of
+    * [[stagedCurateState]] (same digest/canonical stores rebuilt under
+    * this variant's own root so neither fixture can poison the other,
+    * plus the blocked fingerprint index and the maintained labeling). */
+  private[graft] def stagedCurateCcState(s: SparkSession, d: String): Curation.CurationState = {
+    val base = s"/tmp/graft_staged/${dirTag(d, "documents")}/curate_inc_cc"
+    lazy val inc0 = curateIncBatch0Cc(s, d)
+    val digests = Store.readOrCreate(s, s"$base/digests")(inc0.novelDigests)
+    val canon = Store.readOrCreate(s, s"$base/canon")(inc0.novelCanonical.get)
+    val fps = Store.readOrCreate(s, s"$base/fps")(inc0.novelFps.get)
+    val labels = Store.readOrCreate(s, s"$base/labels")(inc0.ccLabels.get)
+    Curation.CurationState(digests, Some(canon),
+      fpIndex = Some(fps), ccLabels = Some(labels))
+  }
+
   /** Staged standing labeling for the incremental-maintenance row: the
     * labels store as it stands BEFORE the 10%-batch arrives (pairs not
     * touching a doc_id ≡ 9 mod 10). */
@@ -845,6 +875,7 @@ private[graft] object Helpers {
     stagedPhashPairs(s, d, 16, 2).count()
     stagedCuratePrefix(s, d).count()
     stagedCurateState(s, d).knownDigests.count()
+    stagedCurateCcState(s, d).knownDigests.count()
     stagedSpanStores(s, d)
     stagedManifestSnapshot(s, d)
     stagedTierRuns13(s, d)

@@ -168,6 +168,22 @@ private[graft] object RegistryCuration {
         urlGate = Some((curateIncUrls(batch), "url", curateIncRules(s))),
         nearDup = Some((3, 8, 4))).survivors
     }),
+    // the TRANSITIVE near tier in the steady-state loop (nearCc): the
+    // batch's blocked SimHash rows probe the standing fingerprint index,
+    // the standing labeling advances by condensed-graph repair, and a
+    // batch doc survives iff it is its component's minimum — curate's CC
+    // election at batch probe cost, the semantics the banded tier trades
+    // away. Same fixture and staging shape as x_curate_incremental; the
+    // oracle replays the LAW: the corpus-wide composition with the
+    // simhash-CC election (the x_curate_neardup chain) over
+    // ingested ∪ batch, restricted to the batch
+    "x_curate_incremental_cc" -> ((s, d) => {
+      val batch = curateIncBatch(s, d)
+      Curation.curateIncremental(batch, curateIncBench(s, d), "doc_id", "text",
+        stagedCurateCcState(s, d), shingleN = 3,
+        urlGate = Some((curateIncUrls(batch), "url", curateIncRules(s))),
+        nearCc = Some((64, 3))).survivors
+    }),
     // build-pricing row for the staged curation state: the ingested
     // corpus through the operator against EMPTY state, all three novelty
     // stores written fresh to scratch every run; returns the digest
@@ -229,13 +245,14 @@ private[graft] object RegistryCuration {
     }),
   )
 
-  /** Shared fixture CTEs of the steady-state curation oracles: the
+  /** Shared fixture CTEs of the steady-state curation oracles (CTE body,
+    * no WITH prefix — the CC law row needs a `WITH RECURSIVE` head): the
     * even/odd(+10000) corpus derivation, the url tier, the quality gate,
     * and the content hashes of its survivors (`hashed`). The build row
-    * reads `hashed` restricted to the ingested side; the law row
-    * continues through the elections. */
-  private lazy val duckCurateIncPrefix: String =
-    s"""WITH src AS (
+    * reads `hashed` restricted to the ingested side; the law rows
+    * continue through the elections. */
+  private lazy val duckCurateIncPrefixBody: String =
+    s"""src AS (
          |  SELECT CASE WHEN d.doc_id % 2 = 1 THEN d.doc_id + 10000
          |              ELSE d.doc_id END AS doc_id,
          |    CASE WHEN d.doc_id % 2 = 1 AND d.doc_id % 9 = 1
@@ -431,21 +448,80 @@ private[graft] object RegistryCuration {
     // ingested content class (the canonical and band stores are checked
     // through the law row above/below)
     "x_stage_build_curate_state" ->
-      s"""$duckCurateIncPrefix
+      s"""WITH $duckCurateIncPrefixBody
          |SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 10000""".stripMargin,
     // the takedown arithmetic: the staged digest store (the build row's
     // statement) minus the removed ingested docs' content hashes — key
     // derivation mirrors ingestion (same md5-coalesce form), removal is
     // set subtraction whether or not the key was ever stored
     "x_curate_state_takedown" ->
-      s"""$duckCurateIncPrefix
+      s"""WITH $duckCurateIncPrefixBody
          |SELECT DISTINCT content_hash FROM hashed
          |WHERE doc_id < 10000
          |  AND content_hash NOT IN (
          |    SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan'))
          |    FROM src WHERE doc_id < 10000 AND doc_id % 10 = 2)""".stripMargin,
+    // the CC law AS the oracle: the corpus-wide composition with the
+    // TRANSITIVE simhash-CC election (fingerprints over the gated docs,
+    // pigeonhole pairs restricted to exact survivors — blocking commutes
+    // with the subset — recursive min-label components, drop non-minimum
+    // members) over ingested ∪ batch, restricted to the batch: what the
+    // registered row computes through the standing fp index + labeling
+    "x_curate_incremental_cc" ->
+      s"""WITH RECURSIVE $duckCurateIncPrefixBody,
+         |exact AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+         |    FROM hashed
+         |  ) WHERE rn = 1
+         |),
+         |${simhashFpTail(64)},
+         |${duckHammingPairs(64, 3)},
+         |pairs2 AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN exact ea ON ea.doc_id = p.id_a
+         |  JOIN exact eb ON eb.doc_id = p.id_b
+         |),
+         |${duckCcLosers("pairs2")},
+         |cckept AS (
+         |  SELECT e.doc_id FROM exact e
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.id = e.doc_id)
+         |),
+         |shx AS (
+         |  SELECT t.doc_id,
+         |    list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+         |      i -> array_to_string(w[i+1:i+3], ' '))) AS shingles
+         |  FROM toks t JOIN cckept USING (doc_id)
+         |),
+         |btoks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS w
+         |  FROM documents WHERE doc_id % 20 = 0
+         |),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    range(0, greatest(len(w) - 3, 0) + 1),
+         |    i -> array_to_string(w[i+1:i+3], ' ')))) AS s
+         |  FROM btoks
+         |),
+         |tr AS (SELECT doc_id, unnest(shingles) AS s FROM shx),
+         |hits AS (SELECT DISTINCT t.doc_id FROM tr t JOIN bsh USING (s)),
+         |clean AS (
+         |  SELECT k.doc_id FROM cckept k LEFT JOIN hits h USING (doc_id)
+         |  WHERE h.doc_id IS NULL
+         |),
+         |u AS (
+         |  SELECT doc_id, ${duckHashUniform("doc_id", "split")} AS u
+         |  FROM clean WHERE doc_id >= 10000
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.9 THEN 'train'
+         |       WHEN u < (0.9 + 0.05) THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u""".stripMargin,
     "x_curate_incremental" ->
-      s"""$duckCurateIncPrefix,
+      s"""WITH $duckCurateIncPrefixBody,
          |exact AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id,

@@ -484,4 +484,171 @@ class CurationSpec extends SparkSpec {
     assert(once.knownCanonical.get.as[String].collect().toSet ===
       state.knownCanonical.get.as[String].collect().toSet)
   }
+
+  // ---- the TRANSITIVE (nearCc) near tier ----
+  //
+  // Chain geometry, measured once and pinned (64-bit token simhash):
+  // B = chainA with token 4 changed (hamming 5), C = the SAME bag of
+  // tokens as B-with-token-14-changed but REVERSED (token simhash is
+  // order-insensitive: hamming(B, C) = 7; hamming(A, C) = 12), C2 = C
+  // with one more pre-reversal change (hamming(C, C2) = 3,
+  // hamming(A, C2) = 15, hamming(B, C2) = 10). At maxHamming = 8 the
+  // pair graph is exactly the chain A–B–C–C2: no shortcut edges, so
+  // only a TRANSITIVE election can see that C/C2 duplicate A. The
+  // reversal also makes C's 3-gram shingles disjoint from A's and B's —
+  // the banded tier's blind spot the divergence test pins.
+  private val chainA = ("river stones gathered along the quiet valley floor " +
+    "where morning light touched tall grass and distant farms woke slowly " +
+    "under pale clouds").split(" ")
+  private val chainB = chainA.updated(4, "narrow").mkString(" ")
+  private val chainC = chainA.updated(4, "narrow").updated(14, "narrow")
+    .reverse.mkString(" ")
+  private val chainC2 = chainA.updated(4, "narrow").updated(14, "narrow")
+    .updated(9, "golden").reverse.mkString(" ")
+
+  private def ccFixture = {
+    val ingested = Seq((1L, fillerA), (2L, chainA.mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, fillerA),   // exact tier: standing hit
+      (20L, chainB),    // cc tier: direct pair with standing 2
+      (21L, chainC),    // cc tier: TRANSITIVE cut (paired only with 20)
+      (22L, fillerC),   // survivor
+      (23L, "tiny"),    // quality gate cut
+      (24L, fillerF)    // decontamination cut
+    ).toDF("doc_id", "text")
+    val bench2 = Seq((100L, fillerF)).toDF("doc_id", "text")
+    (ingested, batch, bench2)
+  }
+
+  /** The corpus-wide composition the CC law references: quality gate →
+    * exact keep-min → simhash pairs → transitive clusters → keep each
+    * cluster's minimum → decontaminate → split ([[Curation.curate]]'s
+    * `nearDup` chain at the incremental tier's geometry). */
+  private def corpusTwinCc(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, bits: Int, maxHam: Int) = {
+    val quality = TextAnalysis.gopherishFlags(corpus, "doc_id", "text", keepText = true)
+      .filter($"keep").select("doc_id", "text")
+    val exactIds = quality
+      .withColumn("h", graft.functions.HashColumns.hashExpr(Seq($"text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val exact = quality.join(exactIds, Seq("doc_id"), "left_semi")
+    val pairs = Dedup.simhashNearDuplicates(exact, "doc_id", "text", bits, maxHam)
+    val nearKept = Dedup.keepCanonical(exact, "doc_id", pairs)
+    val clean = Decontamination.decontaminate(nearKept, bench, "doc_id", "text", 3, 1L)
+    Sampling.assignSplit(clean.select("doc_id"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+  }
+
+  test("curateIncremental nearCc: the incremental law with transitive clusters") {
+    val (ingested, batch, bench2) = ccFixture
+    val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, nearCc = true), shingleN = 3,
+      nearCc = Some((64, 8)))
+    val state = Curation.CurationState(inc0.novelDigests,
+      fpIndex = inc0.novelFps, ccLabels = inc0.ccLabels)
+    val inc = Curation.curateIncremental(batch, bench2, "doc_id", "text", state,
+      shingleN = 3, nearCc = Some((64, 8)))
+    val got = inc.survivors.as[(Long, String)].collect().toMap
+    val full = corpusTwinCc(ingested.unionByName(batch), bench2, 64, 8)
+      .filter($"doc_id" >= 10L).as[(Long, String)].collect().toMap
+    assert(got === full, "incremental nearCc ≠ corpus-wide CC restricted to the batch")
+    val gotIds = got.keySet
+    assert(!gotIds.contains(10L), "exact tier: standing content hash must cut")
+    assert(!gotIds.contains(20L), "cc tier: direct pair with the standing doc must cut")
+    assert(!gotIds.contains(21L),
+      "cc tier: the chain's far end must cut TRANSITIVELY (no direct pair with 2)")
+    assert(!gotIds.contains(23L) && !gotIds.contains(24L))
+    assert(gotIds === Set(22L))
+    // the labeling the batch returns is the full-graph labeling: 2, 20,
+    // 21 share one component named by the standing minimum
+    val labels = inc.ccLabels.get.as[(Long, Long)].collect().toMap
+    assert(labels(20L) === 2L && labels(21L) === 2L && labels(2L) === 2L)
+  }
+
+  test("curateIncremental nearCc: re-delivery ingests nothing, labeling unchanged") {
+    val (ingested, batch, bench2) = ccFixture
+    val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, nearCc = true), shingleN = 3,
+      nearCc = Some((64, 8)))
+    val state1 = Curation.CurationState(inc0.novelDigests,
+      fpIndex = inc0.novelFps, ccLabels = inc0.ccLabels)
+    val inc1 = Curation.curateIncremental(batch, bench2, "doc_id", "text", state1,
+      shingleN = 3, nearCc = Some((64, 8)))
+    val state2 = Curation.CurationState(
+      state1.knownDigests.unionByName(inc1.novelDigests),
+      fpIndex = Some(state1.fpIndex.get.unionByName(inc1.novelFps.get)),
+      ccLabels = inc1.ccLabels)
+    val again = Curation.curateIncremental(batch, bench2, "doc_id", "text", state2,
+      shingleN = 3, nearCc = Some((64, 8)))
+    assert(again.survivors.count() === 0, "a re-delivered batch must not survive")
+    assert(again.novelDigests.count() === 0, "re-delivery appends no digests")
+    assert(again.novelFps.get.count() === 0, "re-delivery appends no fingerprints")
+    assert(again.ccLabels.get.as[(Long, Long)].collect().sorted ===
+      inc1.ccLabels.get.as[(Long, Long)].collect().sorted,
+      "re-delivery must leave the labeling unchanged")
+  }
+
+  test("nearCc cuts the transitive chain end the banded tier structurally misses") {
+    val (ingested, batch, bench2) = ccFixture
+    // banded run over the SAME fixture: C's reversal makes its 3-gram
+    // shingles disjoint from A's and B's, so C shares no band bucket
+    // with either (measured: A–B share 1 bucket, B–C and A–C share 0) —
+    // bucket-local elections cannot see the chain
+    val b0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, near = true), shingleN = 3,
+      nearDup = Some((3, 8, 4)))
+    val bandState = Curation.CurationState(b0.novelDigests, bandIndex = b0.novelBands)
+    val banded = Curation.curateIncremental(batch, bench2, "doc_id", "text",
+      bandState, shingleN = 3, nearDup = Some((3, 8, 4)))
+      .survivors.select("doc_id").as[Long].collect().toSet
+    val cc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+      Curation.emptyState(spark, nearCc = true), shingleN = 3,
+      nearCc = Some((64, 8)))
+    val ccState = Curation.CurationState(cc0.novelDigests,
+      fpIndex = cc0.novelFps, ccLabels = cc0.ccLabels)
+    val cc = Curation.curateIncremental(batch, bench2, "doc_id", "text",
+      ccState, shingleN = 3, nearCc = Some((64, 8)))
+      .survivors.select("doc_id").as[Long].collect().toSet
+    assert(!banded.contains(20L), "B shares a bucket with standing A: banded cuts it")
+    assert(banded.contains(21L),
+      "the banded tier KEEPS the chain end (no shared bucket) — the documented trade")
+    assert(!cc.contains(21L), "the cc tier cuts it transitively")
+    assert(cc === banded - 21L, "the two tiers differ exactly on the chain end")
+  }
+
+  test("curateStateTakedown repairs the CC labeling: bridge removal splits the component") {
+    // standing chain 1–2–3–4 (A–B–C–C2); doc 2 is the only bridge
+    // between 1 and {3, 4} (hamming(A,C)=12, (A,C2)=15, (B,C2)=10 — all
+    // beyond 8)
+    val standing = Seq((1L, chainA.mkString(" ")), (2L, chainB),
+      (3L, chainC), (4L, chainC2)).toDF("doc_id", "text")
+    val fps = Dedup.simhashBlockedIndex(standing, "doc_id", "text", 64, 8)
+    val pairs = Dedup.hammingNearDuplicates(
+      standing.select($"doc_id".as("id"),
+        Dedup.simhash($"text", 64).as("fp")), "id", "fp", 64, 8)
+    val labels = Dedup.duplicateClusters(pairs)
+    val state = Curation.CurationState(
+      standing.select(graft.functions.HashColumns.hashExpr(Seq($"text")).as("content_hash")),
+      fpIndex = Some(fps), ccLabels = Some(labels))
+    assert(labels.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), "pre-takedown: one chain component")
+    val purged = Curation.curateStateTakedown(state,
+      Seq((2L, chainB)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(purged.fpIndex.get.filter($"id" === 2L).count() === 0,
+      "removed doc's fingerprint rows leave the index")
+    val repaired = purged.ccLabels.get.as[(Long, Long)].collect().toMap
+    // the bridge is gone: 1 has no surviving pair (drops from the
+    // labeling, as a recompute would drop it); {3, 4} stay a component
+    // named by their own minimum, no longer by 1
+    assert(repaired === Map(3L -> 3L, 4L -> 3L),
+      "component must SPLIT and relabel, not just filter the removed row")
+    // the repair law: identical to a from-scratch rebuild over the
+    // purged fingerprint index
+    val rebuilt = Dedup.duplicateClusters(
+      Dedup.hammingNearDuplicates(
+        standing.filter($"doc_id" =!= 2L).select($"doc_id".as("id"),
+          Dedup.simhash($"text", 64).as("fp")), "id", "fp", 64, 8))
+      .as[(Long, Long)].collect().toMap
+    assert(repaired === rebuilt)
+  }
 }
