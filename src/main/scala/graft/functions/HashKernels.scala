@@ -563,6 +563,93 @@ object HashKernels {
     }
     fp
   }
+
+  /** RFC 3492 §6.1 bias adaptation (decoder direction). */
+  private def punyAdapt(delta0: Int, numPoints: Int, first: Boolean): Int = {
+    var delta = if (first) delta0 / 700 else delta0 / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > 455) { delta /= 35; k += 36 } // 455 = ((36-1)*26)/2
+    k + 36 * delta / (delta + 38)
+  }
+
+  /** RFC 3492 §6.2 punycode decode of one ACE label BODY (the part after
+    * `xn--`, already lowercased). Returns null when the body is not valid
+    * punycode — bad digit, truncated digit group, arithmetic overflow,
+    * surrogate / out-of-range code point, or an empty decode — so callers
+    * keep the original label verbatim (the lenient convention of
+    * [[graft.operators.Urls.normalizePercentEncoding]]). The interpreted
+    * expression-fold twin lives in
+    * [[graft.operators.Urls.punycodeDecodeLabel]]; kernel ≡ fold is
+    * spec-pinned. */
+  def punycodeDecodeLabel(body: String): String = {
+    val d = body.lastIndexOf('-')
+    val basic = if (d >= 0) body.substring(0, d) else ""
+    val ext = if (d >= 0) body.substring(d + 1) else body
+    var bi = 0
+    while (bi < basic.length) {
+      if (basic.charAt(bi) >= 0x80) return null
+      bi += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    basic.foreach(c => out += c.toInt)
+    var n = 128; var i = 0; var bias = 72
+    var p = 0
+    while (p < ext.length) {
+      val oldi = i
+      var w = 1
+      var k = 36
+      var done = false
+      while (!done) {
+        if (p >= ext.length) return null // dangling digit group
+        val c = ext.charAt(p); p += 1
+        val digit =
+          if (c >= 'a' && c <= 'z') c - 'a'
+          else if (c >= '0' && c <= '9') c - '0' + 26
+          else if (c >= 'A' && c <= 'Z') c - 'A'
+          else return null
+        if (w != 0 && digit > (Int.MaxValue - i) / w) return null
+        i += digit * w
+        val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+        if (digit < t) done = true
+        else {
+          if (w > Int.MaxValue / (36 - t)) return null
+          w *= 36 - t
+          k += 36
+        }
+      }
+      bias = punyAdapt(i - oldi, out.length + 1, oldi == 0)
+      n += i / (out.length + 1)
+      i %= out.length + 1
+      if (n > 0x10FFFF || (n >= 0xD800 && n <= 0xDFFF)) return null
+      out.insert(i, n)
+      i += 1
+    }
+    if (out.isEmpty) return null
+    val sb = new java.lang.StringBuilder(out.length + 8)
+    out.foreach(cp => sb.appendCodePoint(cp))
+    sb.toString
+  }
+
+  /** Decode every `xn--` (ACE) label of an already-lowercased host to its
+    * Unicode form; invalid labels stay verbatim. Fast path: hosts without
+    * the ACE marker return the INPUT object — one substring scan, zero
+    * allocation, which is ~every host at web scale. */
+  def idnDecodeHost(host: UTF8String): UTF8String = {
+    val s = host.toString
+    if (!s.contains("xn--")) return host
+    val labels = s.split("\\.", -1)
+    var changed = false
+    var li = 0
+    while (li < labels.length) {
+      if (labels(li).startsWith("xn--")) {
+        val dec = punycodeDecodeLabel(labels(li).substring(4))
+        if (dec != null) { labels(li) = dec; changed = true }
+      }
+      li += 1
+    }
+    if (!changed) host else UTF8String.fromString(labels.mkString("."))
+  }
 }
 
 /** Codegen'd MinHash signature over a shingle array column. */
@@ -730,6 +817,26 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charGrams($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+/** Codegen'd IDN (punycode) host-label decode over a string column. */
+case class IdnDecodeHost(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_idn_host"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.idnDecodeHost(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.idnDecodeHost($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IdnDecodeHost =
     copy(child = newChild)
 }
 
@@ -973,6 +1080,10 @@ object DedupExpressions {
   /** Codegen'd Unicode NFC composition of a string column. */
   def nfcNormalizeOf(text: Column): Column =
     CatalystBridge.column(NfcNormalize(CatalystBridge.expression(text)))
+
+  /** Codegen'd IDN (punycode) host-label decode of a string column. */
+  def idnDecodeHostOf(host: Column): Column =
+    CatalystBridge.column(IdnDecodeHost(CatalystBridge.expression(host)))
 
   /** Codegen'd average-hash perceptual fingerprint of a binary column. */
   def phashOf(payload: Column, bits: Int): Column =

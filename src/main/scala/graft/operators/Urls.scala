@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *  7. drop tracking parameters — names starting `utm_` plus the
   *     [[Urls.TrackingParams]] click-id set — and empty params
   *     (`a=1&&b=2`), then SORT the survivors bytewise and rejoin; a
-  *     query left empty drops its `?`.
+  *     query left empty drops its `?`;
+  *  8. decode internationalized (`xn--`, RFC 3492 punycode) host labels
+  *     to their Unicode form ([[Urls.decodeIdnHost]]), so the ACE and
+  *     Unicode spellings of one hostname share one canonical class —
+  *     invalid ACE labels pass through verbatim.
   *
   * Deliberately NOT done (each changes which pages a URL names):
   * percent-encoding normalization beyond case, `www.` stripping, path
@@ -45,6 +49,160 @@ object Urls {
   private[operators] val trackingParamPattern: String =
     s"^(utm_[A-Za-z0-9_]*|${TrackingParams.mkString("|")})(=|$$)"
 
+  /** Punycode digit alphabet (RFC 3492 §5): a-z → 0-25, 0-9 → 26-35.
+    * Hosts are lowercased before any label reaches the decoder, so the
+    * uppercase arm never occurs. */
+  private val PunyAlphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** Overflow guard for the decoder's accumulators — far above anything a
+    * 63-octet DNS label can legitimately produce, far below double
+    * mantissa precision (the fold divides via floor(double)). */
+  private val PunyMax = 10000000L
+
+  /** Integer division for small positive longs inside the fold: values
+    * are bounded by [[PunyMax]], well inside exact double range. */
+  private def idiv(a: Column, b: Column): Column =
+    floor(a.cast("double") / b.cast("double")).cast("long")
+
+  /** RFC 3492 §6.1 `adapt(delta, numpoints, firsttime)` as expressions.
+    * The `while delta > 455` loop divides by 35 each round, and delta is
+    * bounded by [[PunyMax]] — ⌈log₃₅(1e7/455)⌉ = 3 — so a fixed 4-round
+    * unroll is exact. */
+  private def punyAdapt(delta: Column, numpoints: Column, firsttime: Column): Column = {
+    val d0 = idiv(delta, when(firsttime, lit(700L)).otherwise(lit(2L)))
+    val d1 = d0 + idiv(d0, numpoints)
+    val rounds = (1 to 4).scanLeft((d1, lit(0L))) { case ((d, k), _) =>
+      (when(d > 455L, idiv(d, lit(35L))).otherwise(d),
+        when(d > 455L, k + 36L).otherwise(k))
+    }
+    val (dF, kF) = rounds.last
+    kF + idiv(lit(36L) * dF, dF + 38L)
+  }
+
+  /** UTF-8 byte sequence of one code point as a hex string — pure
+    * arithmetic, so the decoded code points can become a string through
+    * `unhex` + the binary→string cast (Spark has no codepoint→char
+    * function). Surrogates and out-of-range values are excluded by the
+    * decoder's validity checks before this runs. */
+  private def utf8Hex(cp: Column): Column = {
+    def byteHex(b: Column): Column = lpad(conv(b.cast("long"), 10, 16), 2, "0")
+    when(cp < 0x80L, byteHex(cp))
+      .when(cp < 0x800L, concat(
+        byteHex(shiftright(cp, 6) + 0xC0L),
+        byteHex(pmod(cp, lit(64L)) + 0x80L)))
+      .when(cp < 0x10000L, concat(
+        byteHex(shiftright(cp, 12) + 0xE0L),
+        byteHex(pmod(shiftright(cp, 6), lit(64L)) + 0x80L),
+        byteHex(pmod(cp, lit(64L)) + 0x80L)))
+      .otherwise(concat(
+        byteHex(shiftright(cp, 18) + 0xF0L),
+        byteHex(pmod(shiftright(cp, 12), lit(64L)) + 0x80L),
+        byteHex(pmod(shiftright(cp, 6), lit(64L)) + 0x80L),
+        byteHex(pmod(cp, lit(64L)) + 0x80L)))
+  }
+
+  /** Decode ONE already-lowercased punycode label body (the part after
+    * `xn--`) per RFC 3492 §6.2, as a pure expression fold — the
+    * INTERPRETED EXECUTABLE SPECIFICATION of the codegen'd
+    * [[graft.functions.HashKernels.punycodeDecodeLabel]] kernel (the
+    * library's twin convention: the fold states the algorithm in
+    * relational primitives, the kernel runs the hot path; kernel ≡ fold
+    * is spec-pinned). The hot path is the kernel because this fold's
+    * expression tree is large enough to push a whole projection out of
+    * whole-stage codegen. Returns null when the label is not valid
+    * punycode (bad digit, truncated digit group, overflow,
+    * surrogate/out-of-range code point) — callers fall back to the
+    * original label, the lenient convention [[normalizePercentEncoding]]
+    * set.
+    *
+    * State per char: the inserted code points (`out`), the decoder
+    * registers (n, i, bias, w, k, oldi — RFC names), and a failure flag.
+    * Bounded per row: labels are ≤ 63 octets by DNS, and every
+    * accumulator is capped at [[PunyMax]]. */
+  private[graft] def punycodeDecodeLabel(body: Column): Column = {
+    val chars = (s: Column) => filter(split(s, ""), c => c =!= "")
+    // basic code points precede the LAST hyphen; no hyphen → all deltas
+    val ext = substring_index(body, "-", -1)
+    val basic = when(body.contains("-"),
+      body.substr(lit(1), length(body) - length(ext) - 1)).otherwise(lit(""))
+    val basicOk = basic.rlike("^[\\x00-\\x7f]*$")
+    val init = struct(
+      transform(chars(basic), c => ascii(c).cast("long")).as("out"),
+      lit(128L).as("n"), lit(0L).as("i"), lit(72L).as("bias"),
+      lit(1L).as("w"), lit(36L).as("k"), lit(0L).as("oldi"),
+      (!basicOk).as("failed"))
+    val folded = aggregate(chars(ext), init, (st, c) => {
+      val digit = instr(lit(PunyAlphabet), c).cast("long") - 1L
+      val i2 = st.getField("i") + digit * st.getField("w")
+      val kb = st.getField("k") - st.getField("bias")
+      val t = when(kb < 1L, 1L).when(kb > 26L, 26L).otherwise(kb)
+      val lenp1 = size(st.getField("out")).cast("long") + 1L
+      val n2 = st.getField("n") + idiv(i2, lenp1)
+      val i3 = pmod(i2, lenp1)
+      val bias2 = punyAdapt(i2 - st.getField("oldi"), lenp1,
+        st.getField("oldi") === 0L)
+      val out2 = concat(
+        slice(st.getField("out"), lit(1), i3.cast("int")),
+        array(n2),
+        slice(st.getField("out"), (i3 + 1L).cast("int"),
+          size(st.getField("out")) - i3.cast("int")))
+      val w2 = st.getField("w") * (lit(36L) - t)
+      val fail = st.getField("failed") || digit < 0L || i2 > PunyMax ||
+        w2 > PunyMax || n2 > 0x10FFFFL ||
+        (digit < t && n2 >= 0xD800L && n2 <= 0xDFFFL)
+      when(fail, struct(st.getField("out").as("out"), st.getField("n").as("n"),
+          st.getField("i").as("i"), st.getField("bias").as("bias"),
+          st.getField("w").as("w"), st.getField("k").as("k"),
+          st.getField("oldi").as("oldi"), lit(true).as("failed")))
+        .when(digit < t, struct(out2.as("out"), n2.as("n"),
+          (i3 + 1L).as("i"), bias2.as("bias"), lit(1L).as("w"),
+          lit(36L).as("k"), (i3 + 1L).as("oldi"), lit(false).as("failed")))
+        .otherwise(struct(st.getField("out").as("out"), st.getField("n").as("n"),
+          i2.as("i"), st.getField("bias").as("bias"), w2.as("w"),
+          (st.getField("k") + 36L).as("k"), st.getField("oldi").as("oldi"),
+          lit(false).as("failed")))
+    })
+    // a dangling digit group (last digit ≥ its threshold) leaves k ≠ 36;
+    // an empty decode (empty ACE body) is not a hostname label
+    val valid = !folded.getField("failed") && folded.getField("k") === 36L &&
+      size(folded.getField("out")) > 0
+    val hex = aggregate(folded.getField("out"), lit(""),
+      (acc, cp) => concat(acc, utf8Hex(cp)))
+    when(valid, unhex(hex).cast("string")).otherwise(lit(null).cast("string"))
+  }
+
+  /** Internationalized-hostname normalization: every `xn--` (ACE) label
+    * of an already-lowercased host decodes to its Unicode form, so
+    * `xn--mnchen-3ya.de` and `münchen.de` share ONE canonical class, one
+    * host-stats row, and one blocklist rule ([[parsedRules]] folds rule
+    * hosts through the same decoder). Invalid ACE labels pass through
+    * verbatim (lenient, never throws); hosts without `xn--` skip the
+    * fold entirely — the guard keeps the common path at one `contains`.
+    * Decoding (RFC 5895's display direction) rather than encoding keeps
+    * the canonical form human-auditable; either direction would collapse
+    * the class, but only one canonical spelling may exist and the
+    * decoder is the side expressible without Unicode case-fold tables
+    * (the encoder's nameprep step is engine-specific).
+    *
+    * Hot path = the codegen'd [[graft.functions.IdnDecodeHost]] kernel
+    * (one `contains` scan for the ~every-host non-IDN case); the
+    * interpreted relational twin [[decodeIdnHostFold]] is kept as the
+    * executable specification, parity-pinned in UrlsSpec. */
+  def decodeIdnHost(host: Column): Column =
+    graft.functions.DedupExpressions.idnDecodeHostOf(host)
+
+  /** [[decodeIdnHost]] as pure relational expressions (split / transform /
+    * the [[punycodeDecodeLabel]] fold) — the executable specification the
+    * kernel is pinned against. Not the hot path: see
+    * [[punycodeDecodeLabel]]. */
+  private[graft] def decodeIdnHostFold(host: Column): Column =
+    when(host.contains("xn--"),
+      array_join(transform(split(host, "\\."), lbl =>
+        when(lbl.startsWith("xn--"),
+          coalesce(punycodeDecodeLabel(lbl.substr(lit(5), length(lbl) - 4)), lbl))
+          .otherwise(lbl)), "."))
+      .otherwise(host)
+
   /** Canonical form of `url` per the rule list above. Null-safe (null →
     * null); never throws on malformed input — a string that does not
     * look like `scheme://...` is returned trimmed, unchanged. */
@@ -58,9 +216,10 @@ object Urls {
     // greedy (.*@) captures through the LAST @, the RFC authority split
     val userinfo = regexp_extract(authority, "^(.*@)?", 1)
     val hostport = lower(regexp_replace(authority, "^.*@", ""))
-    val noDefPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
+    val noDefPort = decodeIdnHost(
+      when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport))
     val path = regexp_extract(pathq, "^([^?]*)", 1)
     val normPath = when(path === "", lit("/")).otherwise(path)
     val query = when(pathq.contains("?"), regexp_replace(pathq, "^[^?]*\\?", ""))
@@ -80,9 +239,9 @@ object Urls {
     val noFrag = regexp_replace(trim(url), "#.*", "")
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     when(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) === "", lit(""))
-      .otherwise(lower(regexp_replace(
+      .otherwise(decodeIdnHost(lower(regexp_replace(
         regexp_replace(regexp_extract(rest, "^([^/?]*)", 1), "^.*@", ""),
-        ":[0-9]*$", "")))
+        ":[0-9]*$", ""))))
   }
 
   /** URL-level exact dedup: one row per canonical URL — the smallest
@@ -446,8 +605,12 @@ object Urls {
     rules.select(trim(lower(col(ruleCol))).as("__rule"))
       .filter(col("__rule") =!= "")
       .select(
-        when(col("__rule").startsWith("*."), col("__rule").substr(lit(3), length(col("__rule"))))
-          .otherwise(col("__rule")).as("__dom"),
+        // rule hosts fold through the same IDN decode as URL hosts, so
+        // the ACE and Unicode spellings of one rule are ONE broadcast row
+        // gating both spellings of the host
+        decodeIdnHost(
+          when(col("__rule").startsWith("*."), col("__rule").substr(lit(3), length(col("__rule"))))
+            .otherwise(col("__rule"))).as("__dom"),
         col("__rule").startsWith("*.").as("__wild"))
       // a bare "*." rule leaves an empty domain, which would match the
       // empty trailing suffix of a (malformed) trailing-dot host — drop it

@@ -223,6 +223,45 @@ private[graft] object Helpers {
     1000025L -> "HTTPS://A.COM:443/x?utm_campaign=z#frag2",
     1000026L -> "https://a.com/x")
 
+  /** Internationalized-hostname vectors — (url_id, url, expected
+    * canonical, expected host). The EXPECTED side is written literally
+    * from the IDNA ground truth (RFC 3492's own examples and published
+    * registrations), so the oracle states what the decoder must recover
+    * rather than replaying it: DuckDB holds these literals as a VALUES
+    * relation while Spark derives them at runtime. Mixed spellings of one
+    * hostname (ACE, Unicode, uppercase-ACE) must collapse to ONE
+    * canonical class; invalid ACE labels must pass through verbatim. */
+  private[graft] val idnEdgeVectors: Seq[(Long, String, String, String)] = Seq(
+    (3000001L, "https://xn--mnchen-3ya.de/path",
+      "https://münchen.de/path", "münchen.de"),
+    (3000002L, "https://münchen.de/path",
+      "https://münchen.de/path", "münchen.de"),
+    (3000003L, "HTTPS://XN--MNCHEN-3YA.DE:443/path",
+      "https://münchen.de/path", "münchen.de"),
+    (3000004L, "https://sub.xn--bcher-kva.example/x?b=2&a=1",
+      "https://sub.bücher.example/x?a=1&b=2", "sub.bücher.example"),
+    (3000005L, "https://xn--fiqs8s.cn/x", "https://中国.cn/x", "中国.cn"),
+    (3000006L, "https://xn--d1acufc.xn--p1ai/x",
+      "https://домен.рф/x", "домен.рф"),
+    // invalid ACE bodies stay verbatim: digits-only overflow, empty body
+    (3000007L, "https://xn--999999999.example/x",
+      "https://xn--999999999.example/x", "xn--999999999.example"),
+    (3000008L, "https://xn--.example/x",
+      "https://xn--.example/x", "xn--.example"),
+    (3000009L, "http://user@xn--mnchen-3ya.de:80/x#frag",
+      "http://user@münchen.de/x", "münchen.de"),
+    (3000010L, "https://xn--mnchen-3ya.de:8443/x",
+      "https://münchen.de:8443/x", "münchen.de"))
+
+  /** SQL VALUES literal of [[idnEdgeVectors]] for the oracle side. */
+  private[graft] val idnEdgeValuesSql: String = {
+    require(idnEdgeVectors.forall(v =>
+      !v._2.contains("'") && !v._3.contains("'") && !v._4.contains("'")),
+      "idn edge vectors must not contain single quotes (embedded in SQL)")
+    idnEdgeVectors.map { case (i, u, c, h) => s"($i, '$u', '$c', '$h')" }
+      .mkString(", ")
+  }
+
   /** SQL VALUES literal of [[urlEdgeVectors]] for the oracle side. */
   private[graft] val urlEdgeValuesSql: String = {
     require(urlEdgeVectors.forall(!_._2.contains("'")),

@@ -270,6 +270,20 @@ private[graft] object RegistryDedup {
     // per-host corpus accounting (crawl budgeting / domain blocklists)
     "x_text_url_hosts" -> ((s, d) =>
       Urls.hostStats(urlFixture(s, d), "url")),
+    // internationalized hostnames: xn-- (ACE/punycode) labels decode to
+    // their Unicode form inside canonicalization — RFC 3492 as a pure
+    // expression fold, no UDF — so mixed spellings of one hostname share
+    // one canonical class and one blocklist row; invalid ACE labels pass
+    // through verbatim. The oracle holds the IDNA ground truth as
+    // literals (DuckDB cannot replay punycode); the wildcard-blocklist
+    // both-spellings law is spec-pinned in UrlsSpec
+    "x_text_url_idn" -> ((s, _) => {
+      import s.implicits._
+      idnEdgeVectors.map(v => (v._1, v._2)).toDF("url_id", "url")
+        .select(col("url_id"),
+          Urls.canonicalizeUrl(col("url")).as("canonical_url"),
+          Urls.urlHost(col("url")).as("host"))
+    }),
     // robots.txt-derived blocklist rules: per-host robots bodies (six
     // deterministic variants exercising comments, case, whitespace,
     // agent-run accumulation, non-matching agents, and a comment line
@@ -816,6 +830,10 @@ private[graft] object RegistryDedup {
          |SELECT host, count(*) AS n_pages,
          |       count(DISTINCT canonical_url) AS n_urls
          |FROM urlcanon GROUP BY host""".stripMargin,
+    "x_text_url_idn" ->
+      s"""SELECT CAST(url_id AS BIGINT) AS url_id, canonical_url, host
+         |FROM (VALUES $idnEdgeValuesSql)
+         |  t(url_id, url, canonical_url, host)""".stripMargin,
     // the REP-subset parse replayed relationally: lines numbered,
     // comment-only/blank lines DROPPED before grouping (they end no UA
     // run — RFC 9309), groups = cumulative count of User-agent RUN

@@ -302,6 +302,27 @@ private[graft] object RegistryText {
       graft.sources.ShardExport.shardManifest(s, path)
         .select("shard", "file_idx", "n_seqs")
     }),
+    // trainer-facing BOUNDARY METADATA riding the export: each sequence
+    // carries doc_ids/doc_offsets arrays (pack_pos order, token offsets
+    // within the sequence) so a trainer loss-masks document boundaries
+    // straight from the shard file — no join back to pack rows. The row
+    // exports fresh, reads the shards BACK, and explodes the arrays; the
+    // oracle replays the assignment with a per-pack running token sum
+    "x_pack_shard_boundaries" -> ((s, d) => {
+      val packed = Packing.packSequences(Tables.documents(s, d), "doc_id", "text",
+        budget = 512L, shards = 8)
+      val path = "/tmp/graft_scratch/shard_export_bounds"
+      graft.sources.ShardExport.exportTrainingShards(
+        graft.sources.ShardExport.sequenceBoundaries(packed), path,
+        seqPerFile = 16, keep = 1)
+      graft.sources.ShardExport.readAllShards(s, path)
+        .select(col("shard").cast("long").as("shard"), col("pack_id"),
+          posexplode(arrays_zip(col("doc_ids"), col("doc_offsets"))))
+        .select(col("shard"), col("pack_id"),
+          (col("pos") + 1).cast("long").as("seq_pos"),
+          col("col.doc_ids").as("doc_id"),
+          col("col.doc_offsets").as("doc_offset"))
+    }),
     "x_pack_bpe_sequences" -> ((s, d) => {
       val merges = TextAnalysis.validateBpeMerges(TextAnalysis.DefaultBpeMerges)
       val docs = Tables.documents(s, d).filter(pmod(col("doc_id"), lit(13)) === 0)
@@ -941,6 +962,34 @@ FROM (
         |)
         |SELECT shard, file_idx, count(*) AS n_seqs
         |FROM a GROUP BY shard, file_idx""".stripMargin,
+    // the boundary arrays replayed flat: per (shard, pack) position in
+    // doc_id order, offset = running token sum of the PRECEDING members
+    "x_pack_shard_boundaries" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |),
+        |p AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS pack_id
+        |  FROM c
+        |)
+        |SELECT shard, pack_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id)
+        |       AS BIGINT) AS seq_pos,
+        |  doc_id,
+        |  CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard, pack_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS doc_offset
+        |FROM p""".stripMargin,
     // groups pack as units by total tokens (window over GROUPS, keyed and
     // sharded by each group's smallest doc_id), then join back to rows
     "x_pack_groups" ->

@@ -61,6 +61,36 @@ object ShardExport {
         .cast("long"))
   }
 
+  /** Per-sequence document-boundary metadata from a pack assignment
+    * ([[graft.operators.Packing.packSequences]] rows): one row per
+    * (shard, pack_id) carrying `doc_ids` and `doc_offsets` arrays in
+    * pack_pos order — `doc_offsets(i)` is the token offset where member
+    * `doc_ids(i)` starts inside the packed sequence. Exported beside the
+    * sequence payload, a trainer can LOSS-MASK document boundaries (no
+    * cross-document attention / no loss on the first token after a
+    * boundary) straight from the shard file, without joining back to the
+    * pack-assignment table. Per-group state is pack-sized (bounded by
+    * budget / min-doc-tokens), never corpus-shaped; the collect sorts on
+    * pack_pos so the unordered aggregation is deterministic.
+    *
+    * @return (shard, pack_id, n_docs, n_tokens, doc_ids, doc_offsets)
+    */
+  def sequenceBoundaries(packed: DataFrame): DataFrame =
+    packed.groupBy("shard", "pack_id")
+      .agg(array_sort(collect_list(
+        struct(col("pack_pos"), col("doc_id"), col("n_tokens")))).as("__m"))
+      .select(col("shard"), col("pack_id"),
+        size(col("__m")).cast("long").as("n_docs"),
+        aggregate(col("__m"), lit(0L),
+          (a, x) => a + x.getField("n_tokens")).as("n_tokens"),
+        transform(col("__m"), x => x.getField("doc_id")).as("doc_ids"),
+        aggregate(col("__m"),
+          struct(lit(0L).as("cum"), array().cast("array<long>").as("offs")),
+          (acc, x) => struct(
+            (acc.getField("cum") + x.getField("n_tokens")).as("cum"),
+            concat(acc.getField("offs"), array(acc.getField("cum"))).as("offs")),
+          acc => acc.getField("offs")).as("doc_offsets"))
+
   /** Export `packs` (one row per sequence, unique (shard, pack_id)) as
     * the next generation of the shard store at `path`; returns the
     * committed generation number. Crash-safe and concurrent-writer-safe

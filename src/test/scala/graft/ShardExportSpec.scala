@@ -144,6 +144,38 @@ class ShardExportSpec extends SparkSpec {
       === seqs.count())
   }
 
+  test("boundary metadata round-trips through the export; offsets obey the token-sum law") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 512L, shards = 4)
+    val bounds = ShardExport.sequenceBoundaries(packed)
+    val dir = java.nio.file.Files.createTempDirectory("shardex_bounds").toString
+    ShardExport.exportTrainingShards(bounds, dir, seqPerFile = 8)
+    val back = ShardExport.readAllShards(spark, dir)
+      .select($"shard".cast("long"), $"pack_id", $"n_docs", $"n_tokens",
+        $"doc_ids", $"doc_offsets")
+      .as[(Long, Long, Long, Long, Seq[Long], Seq[Long])].collect()
+    val packRows = packed
+      .as[(Long, Long, Long, Long, Long)].collect() // doc_id, shard, n_tokens, pack_id, pack_pos
+      .groupBy(r => (r._2, r._4))
+    assert(back.length === packRows.size, "one exported row per pack")
+    back.foreach { case (shard, packId, nDocs, nTokens, ids, offs) =>
+      val members = packRows((shard, packId)).sortBy(_._5)
+      // doc_ids reconstruct the pack membership in pack_pos order — the
+      // trainer needs NO join back to the assignment table
+      assert(ids === members.map(_._1).toSeq, s"doc_ids of ($shard, $packId)")
+      assert(nDocs === members.length && nTokens === members.map(_._3).sum)
+      // the offsets law: first member starts at 0, each next at the
+      // running token sum — exactly the loss-mask boundaries
+      assert(offs === members.map(_._3).scanLeft(0L)(_ + _).init.toSeq,
+        s"doc_offsets of ($shard, $packId)")
+    }
+    // addressing one shard file through the manifest yields the same arrays
+    val one = ShardExport.readShard(spark, dir, shard = 0L, fileIdx = 0L)
+    assert(one.columns.toSet ===
+      Set("pack_id", "n_docs", "n_tokens", "doc_ids", "doc_offsets"))
+    assert(one.count() > 0)
+  }
+
   test("an empty export refuses loudly instead of dying in the manifest re-scan") {
     val empty = Seq.empty[(Long, Long, Long)].toDF("shard", "pack_id", "n_tokens")
     val dir = java.nio.file.Files.createTempDirectory("shardex4").toString

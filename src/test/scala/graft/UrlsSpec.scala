@@ -345,4 +345,87 @@ class UrlsSpec extends SparkSpec {
       batch, "url_id", "url", novel1.select("canonical_url"))
     assert(novel2.count() === 0, "the ingested null class is absorbed, not re-emitted")
   }
+
+  // ---- internationalized (IDN / punycode) hostnames ----
+
+  test("IDN kernel equals the interpreted expression-fold twin on every vector class") {
+    // the codegen'd kernel is the hot path; the relational fold is its
+    // executable specification — parity across valid ACE of several
+    // scripts, invalid bodies (digit, overflow, empty, dangling group),
+    // multi-label hosts, astral code points, and decode-free hosts
+    val hosts = Seq(
+      "xn--mnchen-3ya.de", "xn--bcher-kva.example", "xn--nxasmq6b.example",
+      "xn--d1acufc.xn--p1ai", "xn--fiqs8s.cn", "xn--ls8h.example",
+      "xn--.example", "xn--999999999.example", "xn--a!b.example",
+      "xn--abc", "xn--abc-", "mixed.xn--mnchen-3ya.de", "plain.example.com",
+      "xn--80akhbyknj4f.example", "")
+    val got = hosts.toDF("h")
+      .select(Urls.decodeIdnHost($"h").as("k"), Urls.decodeIdnHostFold($"h").as("f"))
+      .as[(String, String)].collect()
+    hosts.zip(got).foreach { case (h, (k, f)) =>
+      assert(k === f, s"kernel/fold divergence on $h")
+    }
+  }
+
+  test("punycode decode matches java.net.IDN across real registrations and RFC samples") {
+    // the expression fold vs the JDK's IDNA implementation over ACE forms
+    // covering Latin diacritics, Greek, Cyrillic, Arabic, Hebrew, CJK,
+    // multi-label TLDs, and a decode-free ASCII host
+    val hosts = Seq(
+      "xn--mnchen-3ya.de", "xn--bcher-kva.example", "xn--nxasmq6b.example",
+      "xn--wgbh1c.example", "xn--d1acufc.xn--p1ai", "xn--fiqs8s.cn",
+      "xn--80akhbyknj4f.example", "xn--mgbh0fb.xn--kgbechtv",
+      "xn--4dbrk0ce.example", "xn--mgba3a4f16a.example",
+      "xn--ogbpf8fl.example", "xn--kprw13d.example",
+      "mixed.xn--mnchen-3ya.de", "plain.example.com")
+    val got = hosts.toDF("h")
+      .select($"h", Urls.decodeIdnHost($"h").as("d"))
+      .as[(String, String)].collect().toMap
+    hosts.foreach { h =>
+      assert(got(h) === java.net.IDN.toUnicode(h), s"host $h")
+    }
+  }
+
+  test("invalid ACE labels pass through verbatim; astral decode stays valid UTF-8") {
+    val vec = Seq(
+      "xn--.example",          // empty body
+      "xn--999999999.example", // overflow
+      "xn--a!b.example",       // digit outside the alphabet
+      "xn--abc",               // dangling digit group body decodes or stays — never throws
+      "xn--ls8h.example")      // U+1F4A9, beyond the JDK's IDNA2003 range
+    val got = vec.toDF("h").select(Urls.decodeIdnHost($"h")).as[String].collect()
+    assert(got(0) === "xn--.example")
+    assert(got(1) === "xn--999999999.example")
+    assert(got(2) === "xn--a!b.example")
+    // the astral label is VALID RFC 3492 (the JDK rejects it only because
+    // it implements IDNA2003); the fold decodes it to the real code point
+    assert(got(4) === new String(Character.toChars(0x1F4A9)) + ".example")
+  }
+
+  test("mixed IDN spellings collapse to one canonical class and one blocklist rule") {
+    val urls = Seq(
+      (1L, "https://xn--mnchen-3ya.de/x"),
+      (2L, "https://münchen.de/x"),
+      (3L, "HTTPS://XN--MNCHEN-3YA.DE:443/x"),
+      (4L, "https://a.xn--mnchen-3ya.de/y"),
+      (5L, "https://a.münchen.de/y"),
+      (6L, "https://other.example.com/z")).toDF("url_id", "url")
+    val classes = Urls.duplicateUrls(urls, "url_id", "url")
+      .as[(String, Long, Long)].collect()
+    assert(classes.find(_._1 == "https://münchen.de/x").map(c => (c._2, c._3))
+      === Some((1L, 3L)), "three spellings, ONE canonical class, min id kept")
+    // a wildcard rule in EITHER spelling gates BOTH host spellings
+    for (rule <- Seq("*.xn--mnchen-3ya.de", "*.münchen.de")) {
+      val blocked = Urls.blockedHostIds(urls, "url_id", "url",
+        Seq(rule).toDF("rule")).as[Long].collect().toSet
+      assert(blocked === Set(4L, 5L),
+        s"rule $rule must hit both subdomain spellings, never the apex or others")
+    }
+    // and an exact rule in either spelling gates the apex in both spellings
+    for (rule <- Seq("xn--mnchen-3ya.de", "münchen.de")) {
+      val blocked = Urls.blockedHostIds(urls, "url_id", "url",
+        Seq(rule).toDF("rule")).as[Long].collect().toSet
+      assert(blocked === Set(1L, 2L, 3L), s"exact rule $rule")
+    }
+  }
 }
