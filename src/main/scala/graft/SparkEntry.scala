@@ -11,6 +11,7 @@ import graft.sources.{Store, StoreIndex, Tables}
 import graft.registry._
 import graft.registry.Helpers.{enrichedA, enrichedB}
 import graft.registry.OracleCtes._
+import graft.registry.OracleCtesVectors._
 
 
 /** Driver contract: one registered query per implemented operator
@@ -94,8 +95,8 @@ object SparkEntry {
   }
 
   private lazy val baseOracles: Map[String, String] =
-    composed(RegistryParity.oracles, RegistryDedup.oracles, RegistryCuration.oracles,
-      RegistryText.oracles, RegistrySimilarity.oracles, RegistrySampling.oracles,
+    composed(RegistryParity.oracles, RegistryDedupOracles.oracles, RegistryCuration.oracles,
+      RegistryTextOracles.oracles, RegistrySimilarity.oracles, RegistrySampling.oracles,
       RegistryEvents.oracles, RegistryAnalytics.oracles)
 
   def oracleSql: Map[String, String] = baseOracles ++ Map(

@@ -408,6 +408,22 @@ object Curation {
     *                batch id shares it
     * @param nearDup (n, k, bands) minhash shape — requires
     *                `state.bandIndex`
+    * @param nearDupSkew (hotBucketThreshold, salt) — skew armor for the
+    *                banded tier on boilerplate-heavy corpora, where one
+    *                LSH bucket (a site template's band key) can hold a
+    *                large share of the batch and pin its whole probe on
+    *                one reducer. The operator first measures the batch's
+    *                hottest bucket (one map-side-combined count over the
+    *                band rows — batch-sized, skew-free by the combiner);
+    *                ONLY past the threshold does the probe switch to the
+    *                salted form ([[SkewJoin.saltedInnerJoin]] against the
+    *                DISTINCT standing keys — a hot key then occupies
+    *                `salt` reducers) and the batch election to a
+    *                combine-then-broadcast-join shape instead of the
+    *                window sort. Row-identical to the plain probe
+    *                (spec-pinned); below the threshold the plan is
+    *                byte-for-byte the unsalted one, so well-behaved
+    *                batches never pay the salt's replication
     * @param nearCc  (simhashBits, maxHamming) — the TRANSITIVE near tier,
     *                mutually exclusive with `nearDup`: the batch's
     *                SimHash blocked rows probe the standing fingerprint
@@ -440,6 +456,7 @@ object Curation {
       qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None,
       urlGate: Option[(DataFrame, String, DataFrame)] = None,
       nearDup: Option[(Int, Int, Int)] = None,
+      nearDupSkew: Option[(Long, Int)] = None,
       nearCc: Option[(Int, Int)] = None,
       scope: graft.CacheScope = graft.CacheScope.Global): CurationIncrement = {
     require(urlGate.isEmpty || state.knownCanonical.nonEmpty,
@@ -487,16 +504,46 @@ object Curation {
       case Some((n, k, bands)) =>
         val bandRows = scope.persist(Dedup.minhashBandIndex(
           exact.select(col(idCol), col(textCol)), idCol, textCol, n, k, bands))
-        val standingCut = bandRows.as("b")
-          .join(state.bandIndex.get.as("c"),
-            col("b.band") === col("c.band") && col("b.key") === col("c.key"),
-            "left_semi")
-          .select(col("id")).distinct()
-        val w = Window.partitionBy("band", "key")
-        val batchCut = bandRows
-          .withColumn("__bmin", min(col("id")).over(w))
-          .filter(col("id") =!= col("__bmin"))
-          .select(col("id")).distinct()
+        // skew measurement (only when armor is requested): the hottest
+        // batch bucket, from one map-side-combined count — a bounded
+        // batch-sized job, never a corpus pass
+        val salted = nearDupSkew.filter { case (threshold, _) =>
+          val hot = bandRows.groupBy("band", "key").count()
+            .agg(max(col("count"))).head()
+          !hot.isNullAt(0) && hot.getLong(0) > threshold
+        }
+        val (standingCut, batchCut) = salted match {
+          case Some((_, salt)) =>
+            // hot-bucket path: the standing side collapses to DISTINCT
+            // keys first (the combiner absorbs ITS skew), then the probe
+            // is the salted equi-join — one hot batch key spreads over
+            // `salt` reducers; the election aggregates per-bucket minima
+            // (combine again) and joins them back broadcast, replacing
+            // the window sort that would heap the hot bucket on one task
+            val standingKeys = state.bandIndex.get.select("band", "key").distinct()
+            val sCut = SkewJoin.saltedInnerJoin(
+              bandRows.select(col("id"), col("band"), col("key")),
+              standingKeys, Seq("band", "key"), salt)
+              .select(col("id")).distinct()
+            val mins = bandRows.groupBy("band", "key")
+              .agg(min(col("id")).as("__bmin"))
+            val bCut = bandRows.join(broadcast(mins), Seq("band", "key"))
+              .filter(col("id") =!= col("__bmin"))
+              .select(col("id")).distinct()
+            (sCut, bCut)
+          case None =>
+            val sCut = bandRows.as("b")
+              .join(state.bandIndex.get.as("c"),
+                col("b.band") === col("c.band") && col("b.key") === col("c.key"),
+                "left_semi")
+              .select(col("id")).distinct()
+            val w = Window.partitionBy("band", "key")
+            val bCut = bandRows
+              .withColumn("__bmin", min(col("id")).over(w))
+              .filter(col("id") =!= col("__bmin"))
+              .select(col("id")).distinct()
+            (sCut, bCut)
+        }
         val cut = standingCut.unionByName(batchCut).distinct()
         (exact.join(cut.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
           .drop("content_hash"),

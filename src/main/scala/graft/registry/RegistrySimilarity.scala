@@ -10,6 +10,7 @@ import graft.pipeline.Historization
 import graft.sources.{Store, StoreIndex, Tables}
 import graft.registry.Helpers._
 import graft.registry.OracleCtes._
+import graft.registry.OracleCtesVectors._
 
 /** Registrations: embedding similarity — ANN (LSH/PQ/IVF), SemDeDup, k-means, drift, skew/range joins.
   * One entry per implemented operator, each paired with its DuckDB

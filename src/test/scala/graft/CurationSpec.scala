@@ -616,6 +616,50 @@ class CurationSpec extends SparkSpec {
     assert(cc === banded - 21L, "the two tiers differ exactly on the chain end")
   }
 
+  test("nearDupSkew: the salt engages only past the threshold and is row-identical") {
+    // planted hot bucket: 40 batch docs share a long boilerplate prefix
+    // with a tiny unique suffix — the suffix's few shingles almost never
+    // displace a minhash minimum, so the docs pile into the SAME band
+    // buckets (the boilerplate-template shape that hot-spots LSH keys)
+    val boiler = "the committee shall convene on the first monday of every " +
+      "month to review all pending applications and publish its findings " +
+      "in the public register within fourteen days"
+    val ingested = Seq((1L, boiler + " anchor edition zero")).toDF("doc_id", "text")
+    val batch = (10L to 49L).map(i => (i, s"$boiler unique$i"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((100L, "benchmark only sentence nothing shares")).toDF("doc_id", "text")
+    def run(skew: Option[(Long, Int)]) = {
+      val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+        Curation.emptyState(spark, near = true), shingleN = 3,
+        nearDup = Some((3, 8, 4)))
+      Curation.curateIncremental(batch, bench2, "doc_id", "text",
+        Curation.CurationState(inc0.novelDigests, bandIndex = inc0.novelBands),
+        shingleN = 3, nearDup = Some((3, 8, 4)), nearDupSkew = skew)
+    }
+    val hotIsHot = run(None).novelBands.get
+      .groupBy("band", "key").count().agg(max("count")).head.getLong(0)
+    assert(hotIsHot >= 30L, s"fixture must actually plant a hot bucket, max=$hotIsHot")
+    val plain = run(None)
+    val saltedOn = run(Some((10L, 4)))   // threshold below the hot bucket
+    val saltedOff = run(Some((10000L, 4))) // threshold above it
+    val planOn = saltedOn.survivors.queryExecution.sparkPlan.toString
+    val planOff = saltedOff.survivors.queryExecution.sparkPlan.toString
+    assert(planOn.contains("__salt"),
+      "past the threshold the probe must be the salted join")
+    assert(!planOff.contains("__salt"),
+      "below the threshold the plan must stay the unsalted probe")
+    assert(!planOn.contains("CartesianProduct"))
+    // row identity: survivors and every novelty append match the plain run
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    assert(ids(saltedOn.survivors) === ids(plain.survivors))
+    assert(saltedOn.novelDigests.as[String].collect().sorted ===
+      plain.novelDigests.as[String].collect().sorted)
+    assert(saltedOn.novelBands.get.as[(Long, Int, Long)].collect().sorted ===
+      plain.novelBands.get.as[(Long, Int, Long)].collect().sorted)
+    spark.catalog.clearCache()
+  }
+
   test("curateStateTakedown repairs the CC labeling: bridge removal splits the component") {
     // standing chain 1–2–3–4 (A–B–C–C2); doc 2 is the only bridge
     // between 1 and {3, 4} (hamming(A,C)=12, (A,C2)=15, (B,C2)=10 — all
