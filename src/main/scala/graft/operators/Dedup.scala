@@ -1721,6 +1721,14 @@ object Dedup {
     *                 beyond any real corpus (it needs ~log₂ diameter)
     * @param switchAfter propagation rounds before falling back to the
     *                    alternation; 0 = straight to large-star/small-star
+    * @param driverEdgeBound distinct-canonical-edge count under which the
+    *                 components are solved by ONE collect + union-find in
+    *                 driver memory instead of the eager round loop —
+    *                 identical output (parity spec-pinned); 0 disables.
+    *                 Duplicate-pair graphs are sparse by construction, so
+    *                 this is the common case at batch scale; the
+    *                 distributed loop engages when the edge set genuinely
+    *                 outgrows the driver
     * @return (id, cluster_id) for every node that appears in `pairs`;
     *         cluster_id = min node id of the component
     */
@@ -1730,18 +1738,39 @@ object Dedup {
       idBCol: String = "id_b",
       maxIters: Int = 25,
       scope: graft.CacheScope = graft.CacheScope.Global,
-      switchAfter: Int = 8): DataFrame = {
+      switchAfter: Int = 8,
+      driverEdgeBound: Int = 1 << 20): DataFrame = {
     // symmetric closure: min labels must flow both ways along every edge.
     // Dedup in canonical (lo, hi) form FIRST — the distinct shuffles |E|
     // rows, then the reverse direction is a map-only mirror of the same
     // deduped frame; distinct-ing the 2|E|-row symmetric union would pay
     // double shuffle volume on the largest frame the loop touches.
-    val canon = pairs
+    val canon = scope.persist(pairs
       .select(least(col(idACol), col(idBCol)).as("src"),
         greatest(col(idACol), col(idBCol)).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val edges = scope.persist(
-      canon.union(canon.select(col("dst").as("src"), col("src").as("dst"))))
+      .filter(col("src") =!= col("dst")).distinct())
+    // DRIVER FAST PATH (the bpeTrainMerges precedent): when the DISTINCT
+    // canonical edge set fits `driverEdgeBound`, collect it once and run
+    // union-find in driver memory — identical output (min-id components,
+    // parity spec-pinned), ONE job instead of an eager multi-round loop
+    // whose per-round jobs (join + aggregate + checkpoint + checksum)
+    // cost more in scheduling than the data at batch scale. This is a
+    // BOUND ON THE CONDENSED GRAPH, not the corpus: duplicate-pair
+    // graphs are sparse by construction (banded/blocked candidates), and
+    // the steady-state loops ([[updateClusters]]) condense to batch-sized
+    // graphs, so at 100 TB the distributed loop engages exactly when the
+    // edge set genuinely exceeds driver memory. The probe is a bounded
+    // limit-count over the cached edge frame, never a full count first.
+    val driverTypeOk = canon.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (driverTypeOk && driverEdgeBound > 0 &&
+        canon.limit(driverEdgeBound + 1).count() <= driverEdgeBound)
+      return driverComponents(pairs.sparkSession, canon)
+    val edges = canon.union(canon.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var sumNow = labelChecksum(labels)
@@ -1768,6 +1797,55 @@ object Dedup {
         .select(col("id").as("src"), col("label").as("dst"))
       alternatingComponents(edges.union(shortcuts), maxIters - iter)
     }
+  }
+
+  /** The driver fast path's union-find over a collected canonical edge
+    * set: path-compressed find, union roots toward the SMALLER id under
+    * the type's own ordering (numeric for integral ids, lexicographic
+    * for strings — exactly the `min` the distributed loop aggregates
+    * with), so every component is named by its minimum member. Output
+    * rows keep the input id type. */
+  private def driverComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      canon: DataFrame): DataFrame = {
+    val dt = canon.schema("src").dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _ =>
+        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val rows = canon.collect()
+    canon.unpersist(blocking = false)
+    rows.foreach { e =>
+      val (a, b) = (e.get(0), e.get(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+      // register both endpoints even when already rooted (singleton init)
+      parent.getOrElseUpdate(a, find(a))
+      parent.getOrElseUpdate(b, find(b))
+      ()
+    }
+    val out = rows.iterator
+      .flatMap(e => Iterator(e.get(0), e.get(1)))
+      .toSet[Any].toSeq
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", dt, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
   }
 
   /** Cheap between-rounds stall signal: sum of per-label hashes. Null on

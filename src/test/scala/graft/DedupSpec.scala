@@ -177,26 +177,59 @@ class DedupSpec extends SparkSpec {
   }
 
   test("duplicate clusters: long chain converges; reversed edge order agrees") {
-    // a 12-node path needs ~diameter rounds — exercises the fixpoint loop
+    // a 12-node path needs ~diameter rounds — exercises the fixpoint LOOP
+    // (driver path disabled; the default bound would take the fast path)
     val chain = (1L to 11L).map(i => (i + 1, i)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    val got = Dedup.duplicateClusters(chain, driverEdgeBound = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.size === 12 && got.values.forall(_ === 1L))
   }
 
   test("duplicate clusters: empty pair set yields empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(empty).count() === 0)
-    assert(Dedup.duplicateClusters(empty, switchAfter = 0).count() === 0)
+    assert(Dedup.duplicateClusters(empty, switchAfter = 0, driverEdgeBound = 0).count() === 0)
   }
 
   test("duplicate clusters: 200-node path converges under the default cap " +
     "via the large-star/small-star fallback") {
     // diameter 199: plain propagation would need 199 rounds, far past the
-    // default maxIters = 25 — the alternation phase must carry it
+    // default maxIters = 25 — the alternation phase must carry it (driver
+    // path disabled so the distributed machinery is what's under test)
     val path = (1L to 199L).map(i => (i + 1, i)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(path).as[(Long, Long)].collect().toMap
+    val got = Dedup.duplicateClusters(path, driverEdgeBound = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.size === 200)
     assert(got.values.forall(_ === 1L))
+  }
+
+  test("duplicate clusters: driver fast path equals the distributed loop") {
+    // the bpeTrainMerges precedent applied to CC: below driverEdgeBound
+    // one collect + union-find replaces the eager round loop — output
+    // must be row-identical on every graph shape (chains forcing the
+    // alternation, stars, singleton-free dupes) and every id type
+    val rnd = new scala.util.Random(7)
+    val messy = ((1L to 120L).map(i => (i + 1, i)) ++ // one long chain
+      (0 until 200).map(_ => (rnd.nextInt(80).toLong + 500L,
+        rnd.nextInt(80).toLong + 500L)) ++            // dense random blob
+      Seq((900L, 901L), (901L, 900L), (902L, 902L)))  // dupes + self-loop
+      .toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(messy).as[(Long, Long)].collect().toMap
+    val loop = Dedup.duplicateClusters(messy, driverEdgeBound = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === loop, "driver union-find must equal the distributed loop")
+    val strs = Seq(("a3f5", "b210"), ("b210", "c999"), ("e1", "f2"))
+      .toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(strs).as[(String, String)].collect().toMap ===
+      Dedup.duplicateClusters(strs, driverEdgeBound = 0)
+        .as[(String, String)].collect().toMap,
+      "string ids: lexicographic minima must agree between the paths")
+    // the probe bound is exact: a graph of exactly bound+1 edges loops
+    val atBound = (1L to 5L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(atBound, driverEdgeBound = 5)
+      .as[(Long, Long)].collect().toMap ===
+      Dedup.duplicateClusters(atBound, driverEdgeBound = 4)
+        .as[(Long, Long)].collect().toMap)
   }
 
   test("duplicate clusters and keepBest work on STRING ids (md5-hex shaped)") {
@@ -209,8 +242,9 @@ class DedupSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got === Map("a3f5" -> "a3f5", "b210" -> "a3f5", "c999" -> "a3f5",
       "e1" -> "e1", "f2" -> "e1"))
-    // same via the alternation phase (the checksum-driven loop)
-    val alt = Dedup.duplicateClusters(pairs, switchAfter = 0)
+    // same via the alternation phase (the checksum-driven loop; driver
+    // path disabled so the distributed string-id arithmetic is tested)
+    val alt = Dedup.duplicateClusters(pairs, switchAfter = 0, driverEdgeBound = 0)
       .as[(String, String)].collect().toMap
     assert(alt === got)
     // keepBest election over string ids: highest score survives per cluster
