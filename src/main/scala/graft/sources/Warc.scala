@@ -98,12 +98,16 @@ object Warc {
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
-  /** Parse one file's raw bytes into records. Package-visible for the
-    * parser specs; bounded state = one record's headers + payload. */
+  /** Parse one file's raw bytes into a LAZY record iterator. Peak task
+    * memory stays at the compressed source (the binaryFile row) plus ONE
+    * decompressed record — a materialized Seq would hold a ~1 GB .warc.gz
+    * file's full 3–5 GB decompressed content per task. Package-visible
+    * for the parser specs; bounded state = one record's headers +
+    * payload. */
   private[sources] def parseWarcBytes(
-      file: String, bytes: Array[Byte]): Seq[WarcRecord] = {
-    val raw = new java.io.ByteArrayInputStream(bytes)
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      file: String, bytes: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private val raw = new java.io.ByteArrayInputStream(bytes)
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       if (bytes.length >= 2 && bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
         // multi-member aware: one gzip member per record (the Common
         // Crawl layout) decompresses as one continuous stream
@@ -113,7 +117,7 @@ object Warc {
     // Byte-accurate line reader: returns the line WITHOUT its \r?\n
     // terminator, null at EOF. WARC headers are ASCII by spec; payload
     // bytes are never routed through here (readFully below).
-    def readLine(): String = {
+    private def readLine(): String = {
       val sb = new java.lang.StringBuilder(128)
       var b = in.read()
       if (b < 0) return null
@@ -123,74 +127,87 @@ object Warc {
       sb.toString
     }
 
-    val out = Seq.newBuilder[WarcRecord]
-    var idx = 0L
-    def quarantine(err: String): Unit = {
-      out += WarcRecord(file, idx, None, None, None, None, None, None, Some(err))
-      idx += 1
-    }
     // resync after a malformed record: drop lines until the next version
     // line (or EOF) — one bad record quarantines alone, the rest of the
     // file still parses. Returns the version line to process next.
-    def resyncTo(line: String): String = {
-      var l = line
+    private def resyncTo(l0: String): String = {
+      var l = l0
       while (l != null && !l.startsWith("WARC/")) l = readLine()
       l
     }
 
-    var line = readLine()
-    while (line != null) {
-      if (line.isEmpty) line = readLine() // inter-record blank separators
-      else if (!line.startsWith("WARC/")) {
-        quarantine(s"expected a WARC/ version line, got: ${line.take(80)}")
-        line = resyncTo(readLine())
-      } else {
-        // header block: Name: value lines up to the first empty line
-        val headers = scala.collection.mutable.Map.empty[String, String]
-        var hline = readLine()
-        var badHeader: Option[String] = None
-        while (hline != null && hline.nonEmpty && badHeader.isEmpty) {
-          val colon = hline.indexOf(':')
-          if (colon <= 0)
-            badHeader = Some(s"malformed header line: ${hline.take(80)}")
-          else {
-            headers.put(hline.substring(0, colon).trim.toLowerCase,
-              hline.substring(colon + 1).trim)
-            hline = readLine()
-          }
-        }
-        val clen = headers.get("content-length").flatMap(v => v.toLongOption)
-        if (badHeader.nonEmpty) {
-          quarantine(badHeader.get); line = resyncTo(readLine())
-        } else if (clen.isEmpty || clen.exists(c => c < 0 || c > Int.MaxValue)) {
-          // >2 GiB single records exceed the JVM byte-array bound (and the
-          // WARC ecosystem's own rotation convention) — quarantine, don't wrap
-          quarantine("missing or invalid Content-Length: "
-            + headers.getOrElse("content-length", "<absent>"))
+    private var idx = 0L
+    private var line = readLine()
+    private var pending: WarcRecord = null
+
+    private def emit(r: WarcRecord): WarcRecord = { idx += 1; r }
+    private def quarantined(err: String): WarcRecord =
+      emit(WarcRecord(file, idx, None, None, None, None, None, None, Some(err)))
+
+    // advance to the next record (good or quarantined), or EOF
+    private def advance(): Unit = {
+      pending = null
+      while (pending == null && line != null) {
+        if (line.isEmpty) line = readLine() // inter-record blank separators
+        else if (!line.startsWith("WARC/")) {
+          pending = quarantined(s"expected a WARC/ version line, got: ${line.take(80)}")
           line = resyncTo(readLine())
         } else {
-          val want = clen.get
-          val payload = new Array[Byte](want.toInt)
-          val got = try { in.readFully(payload); want } catch {
-            case _: java.io.EOFException => -1L
+          // header block: Name: value lines up to the first empty line
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var hline = readLine()
+          var badHeader: Option[String] = None
+          while (hline != null && hline.nonEmpty && badHeader.isEmpty) {
+            val colon = hline.indexOf(':')
+            if (colon <= 0)
+              badHeader = Some(s"malformed header line: ${hline.take(80)}")
+            else {
+              headers.put(hline.substring(0, colon).trim.toLowerCase,
+                hline.substring(colon + 1).trim)
+              hline = readLine()
+            }
           }
-          if (got < 0) {
-            quarantine(s"truncated payload: expected $want bytes, hit EOF")
-            line = null // EOF — nothing left to resync to
+          val clen = headers.get("content-length").flatMap(v => v.toLongOption)
+          if (badHeader.nonEmpty) {
+            pending = quarantined(badHeader.get); line = resyncTo(readLine())
+          } else if (clen.isEmpty || clen.exists(c => c < 0 || c > Int.MaxValue)) {
+            // >2 GiB single records exceed the JVM byte-array bound (and
+            // the WARC ecosystem's own rotation convention) — quarantine,
+            // don't wrap
+            pending = quarantined("missing or invalid Content-Length: "
+              + headers.getOrElse("content-length", "<absent>"))
+            line = resyncTo(readLine())
           } else {
-            out += WarcRecord(file, idx,
-              headers.get("warc-type"),
-              headers.get("warc-target-uri"),
-              headers.get("warc-date"),
-              headers.get("content-type"),
-              Some(want), Some(payload), None)
-            idx += 1
-            line = readLine()
+            val want = clen.get
+            val payload = new Array[Byte](want.toInt)
+            val got = try { in.readFully(payload); want } catch {
+              case _: java.io.EOFException => -1L
+            }
+            if (got < 0) {
+              pending = quarantined(s"truncated payload: expected $want bytes, hit EOF")
+              line = null // EOF — nothing left to resync to
+            } else {
+              pending = emit(WarcRecord(file, idx,
+                headers.get("warc-type"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                headers.get("content-type"),
+                Some(want), Some(payload), None))
+              line = readLine()
+            }
           }
         }
       }
+      if (pending == null) in.close()
     }
-    in.close()
-    out.result()
+
+    advance()
+    override def hasNext: Boolean = pending != null
+    override def next(): WarcRecord = {
+      if (pending == null) throw new NoSuchElementException("exhausted WARC iterator")
+      val r = pending
+      advance()
+      r
+    }
   }
 }
