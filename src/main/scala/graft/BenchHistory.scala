@@ -33,8 +33,11 @@ object BenchHistory {
   private val QueriesField = "\"queries\":\\{([^}]*)\\}".r
   private val Pair = "\"([^\"]+)\":([-+0-9.Ee]+)".r
 
-  /** The per-query min map of the LATEST recorded run whose `sf` field
-    * equals `sfDir`; None when no history or no matching run. */
+  /** The per-query min map of the LATEST recorded CLEAN run at `sfDir`;
+    * None when no history or no matching run. Runs with errors are
+    * skipped as baselines: their `queries` map carries PENALTY values
+    * (≥ 60 s) for the failed rows, and diffing real mins against
+    * penalties would flood the tripwire with false movers. */
   def lastFullRun(sfDir: String): Option[Map[String, Double]] =
     try {
       if (!java.nio.file.Files.exists(HistoryFile)) None
@@ -42,7 +45,8 @@ object BenchHistory {
         val lines = java.nio.file.Files.readAllLines(HistoryFile)
         import scala.jdk.CollectionConverters._
         lines.asScala.reverseIterator
-          .find(_.contains("\"sf\":\"" + sfDir + "\""))
+          .find(l => l.contains("\"sf\":\"" + sfDir + "\"") &&
+            l.contains("\"errors\":{}"))
           .flatMap(l => QueriesField.findFirstMatchIn(l).map(_.group(1)))
           .map(body => Pair.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)

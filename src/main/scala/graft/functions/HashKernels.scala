@@ -573,13 +573,26 @@ object HashKernels {
     k + 36 * delta / (delta + 38)
   }
 
+  /** Overflow bound shared bit-for-bit with the expression-fold twin
+    * ([[graft.operators.Urls]].PunyMax): the decoder's i/w accumulators
+    * fail past it. Any VALID 63-octet label stays far below (worst case:
+    * delta ≈ 0x10FFFF × 64 ≈ 7·10⁷), and the bound keeps every product
+    * (≤ 35 × bound ≈ 7.5·10¹⁰) inside both Long range and the fold's
+    * exact-double window. */
+  val PunyMax: Long = Int.MaxValue.toLong
+
   /** RFC 3492 §6.2 punycode decode of one ACE label BODY (the part after
     * `xn--`, already lowercased). Returns null when the body is not valid
     * punycode — bad digit, truncated digit group, arithmetic overflow,
     * surrogate / out-of-range code point, or an empty decode — so callers
     * keep the original label verbatim (the lenient convention of
-    * [[graft.operators.Urls.normalizePercentEncoding]]). The interpreted
-    * expression-fold twin lives in
+    * [[graft.operators.Urls.normalizePercentEncoding]]); NEVER throws (a
+    * crafted digit group must cost one verbatim label, not the task).
+    * All accumulators are Long with post-add bound checks in EXACTLY the
+    * fold twin's form, so kernel ≡ fold holds on the overflow frontier
+    * too — an Int `n` here once wrapped negative on a crafted group,
+    * passed the range checks, and crashed appendCodePoint. The
+    * interpreted expression-fold twin lives in
     * [[graft.operators.Urls.punycodeDecodeLabel]]; kernel ≡ fold is
     * spec-pinned. */
   def punycodeDecodeLabel(body: String): String = {
@@ -593,36 +606,36 @@ object HashKernels {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     basic.foreach(c => out += c.toInt)
-    var n = 128; var i = 0; var bias = 72
+    var n = 128L; var i = 0L; var bias = 0L + 72
     var p = 0
     while (p < ext.length) {
       val oldi = i
-      var w = 1
-      var k = 36
+      var w = 1L
+      var k = 36L
       var done = false
       while (!done) {
         if (p >= ext.length) return null // dangling digit group
         val c = ext.charAt(p); p += 1
-        val digit =
+        val digit: Long =
           if (c >= 'a' && c <= 'z') c - 'a'
           else if (c >= '0' && c <= '9') c - '0' + 26
           else if (c >= 'A' && c <= 'Z') c - 'A'
           else return null
-        if (w != 0 && digit > (Int.MaxValue - i) / w) return null
-        i += digit * w
-        val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+        i += digit * w // exact: both factors bounded by PunyMax checks below
+        if (i > PunyMax) return null
+        val t = if (k <= bias) 1L else if (k >= bias + 26) 26L else k - bias
         if (digit < t) done = true
         else {
-          if (w > Int.MaxValue / (36 - t)) return null
           w *= 36 - t
+          if (w > PunyMax) return null
           k += 36
         }
       }
-      bias = punyAdapt(i - oldi, out.length + 1, oldi == 0)
+      bias = punyAdapt((i - oldi).toInt, out.length + 1, oldi == 0)
       n += i / (out.length + 1)
+      if (n > 0x10FFFFL || (n >= 0xD800L && n <= 0xDFFFL)) return null
       i %= out.length + 1
-      if (n > 0x10FFFF || (n >= 0xD800 && n <= 0xDFFF)) return null
-      out.insert(i, n)
+      out.insert(i.toInt, n.toInt)
       i += 1
     }
     if (out.isEmpty) return null

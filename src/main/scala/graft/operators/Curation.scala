@@ -527,7 +527,12 @@ object Curation {
               .select(col("id")).distinct()
             val mins = bandRows.groupBy("band", "key")
               .agg(min(col("id")).as("__bmin"))
-            val bCut = bandRows.join(broadcast(mins), Seq("band", "key"))
+            // the join back is SALTED too, not broadcast: `mins` is one
+            // row per distinct batch bucket — on exactly the large skewed
+            // batches this path exists for, that can exceed the broadcast
+            // limit, while its per-key single row makes it the cheap
+            // replicated side of the salted join (r18 review finding)
+            val bCut = SkewJoin.saltedInnerJoin(bandRows, mins, Seq("band", "key"), salt)
               .filter(col("id") =!= col("__bmin"))
               .select(col("id")).distinct()
             (sCut, bCut)

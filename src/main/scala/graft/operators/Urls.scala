@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   *     Unicode spellings of one hostname share one canonical class —
   *     invalid ACE labels pass through verbatim.
   *
+  * MIGRATION NOTE (rule 8, added r18): a standing canonical-URL store
+  * written by the PRE-IDN rule list keeps ACE spellings; against such a
+  * store the incremental novelty probe and takedown purge (which both
+  * canonicalize with the NEW rules) will not match those rows. Before
+  * resuming a steady-state loop across this upgrade, re-canonicalize the
+  * store once: `store.select(decodeIdnHost(col("canonical_url"))
+  * .as("canonical_url")).distinct()` through the swap write — a single
+  * narrow map over keys, no corpus read. Stores without `xn--` rows
+  * (greppable in one scan) need nothing.
+  *
   * Deliberately NOT done (each changes which pages a URL names):
   * percent-encoding normalization beyond case, `www.` stripping, path
   * dot-segment removal, trailing-slash collapse on non-empty paths —
@@ -54,10 +64,15 @@ object Urls {
     * uppercase arm never occurs. */
   private val PunyAlphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
 
-  /** Overflow guard for the decoder's accumulators — far above anything a
-    * 63-octet DNS label can legitimately produce, far below double
-    * mantissa precision (the fold divides via floor(double)). */
-  private val PunyMax = 10000000L
+  /** Overflow guard for the decoder's accumulators — shared bit-for-bit
+    * with the kernel ([[graft.functions.HashKernels.PunyMax]]) so the two
+    * implementations fail on EXACTLY the same labels. Any valid 63-octet
+    * label stays far below it (worst case delta ≈ 0x10FFFF × 64 ≈ 7·10⁷ —
+    * an earlier 10⁷ under-bound made the fold reject exotic-but-valid
+    * labels the kernel decoded), and every intermediate product
+    * (≤ 35 × bound ≈ 7.5·10¹⁰) stays inside the fold's exact-double
+    * window (< 2⁵²). */
+  private val PunyMax = graft.functions.HashKernels.PunyMax
 
   /** Integer division for small positive longs inside the fold: values
     * are bounded by [[PunyMax]], well inside exact double range. */
@@ -65,13 +80,14 @@ object Urls {
     floor(a.cast("double") / b.cast("double")).cast("long")
 
   /** RFC 3492 §6.1 `adapt(delta, numpoints, firsttime)` as expressions.
-    * The `while delta > 455` loop divides by 35 each round, and delta is
-    * bounded by [[PunyMax]] — ⌈log₃₅(1e7/455)⌉ = 3 — so a fixed 4-round
-    * unroll is exact. */
+    * The `while delta > 455` loop divides by 35 each round; deltas that
+    * matter (group-completing, pre-fail) are bounded by [[PunyMax]] —
+    * ⌈log₃₅(2³¹/455)⌉ = 5 — so a fixed 6-round unroll is exact with one
+    * round of headroom. */
   private def punyAdapt(delta: Column, numpoints: Column, firsttime: Column): Column = {
     val d0 = idiv(delta, when(firsttime, lit(700L)).otherwise(lit(2L)))
     val d1 = d0 + idiv(d0, numpoints)
-    val rounds = (1 to 4).scanLeft((d1, lit(0L))) { case ((d, k), _) =>
+    val rounds = (1 to 6).scanLeft((d1, lit(0L))) { case ((d, k), _) =>
       (when(d > 455L, idiv(d, lit(35L))).otherwise(d),
         when(d > 455L, k + 36L).otherwise(k))
     }
@@ -147,8 +163,11 @@ object Urls {
         slice(st.getField("out"), (i3 + 1L).cast("int"),
           size(st.getField("out")) - i3.cast("int")))
       val w2 = st.getField("w") * (lit(36L) - t)
+      // w2 only guards the CONTINUING branch: on a group-completing digit
+      // it is discarded, and failing on it there would reject valid
+      // labels the kernel accepts (kernel-parity bug fixed in r18 review)
       val fail = st.getField("failed") || digit < 0L || i2 > PunyMax ||
-        w2 > PunyMax || n2 > 0x10FFFFL ||
+        (digit >= t && w2 > PunyMax) || n2 > 0x10FFFFL ||
         (digit < t && n2 >= 0xD800L && n2 <= 0xDFFFL)
       when(fail, struct(st.getField("out").as("out"), st.getField("n").as("n"),
           st.getField("i").as("i"), st.getField("bias").as("bias"),
@@ -216,10 +235,17 @@ object Urls {
     // greedy (.*@) captures through the LAST @, the RFC authority split
     val userinfo = regexp_extract(authority, "^(.*@)?", 1)
     val hostport = lower(regexp_replace(authority, "^.*@", ""))
-    val noDefPort = decodeIdnHost(
-      when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-        .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-        .otherwise(hostport))
+    val noDefault = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    // IDN decode sees the HOST alone: with a surviving explicit port the
+    // final label would reach the decoder as "tld:8443" — ':' is not a
+    // punycode digit, so a final-position ACE label would silently stay
+    // verbatim and the ACE/Unicode spellings would NOT share a class
+    // (r18 review finding); the port re-attaches after the decode
+    val portPart = regexp_extract(noDefault, "(:[0-9]*)$", 1)
+    val noDefPort = concat(
+      decodeIdnHost(regexp_replace(noDefault, ":[0-9]*$", "")), portPart)
     val path = regexp_extract(pathq, "^([^?]*)", 1)
     val normPath = when(path === "", lit("/")).otherwise(path)
     val query = when(pathq.contains("?"), regexp_replace(pathq, "^[^?]*\\?", ""))

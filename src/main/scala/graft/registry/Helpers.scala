@@ -251,7 +251,12 @@ private[graft] object Helpers {
     (3000009L, "http://user@xn--mnchen-3ya.de:80/x#frag",
       "http://user@münchen.de/x", "münchen.de"),
     (3000010L, "https://xn--mnchen-3ya.de:8443/x",
-      "https://münchen.de:8443/x", "münchen.de"))
+      "https://münchen.de:8443/x", "münchen.de"),
+    // ACE label in FINAL position WITH a surviving port: the decoder must
+    // see the host alone, or the last label arrives as "xn--p1ai:8443"
+    // and stays verbatim (r18 review finding)
+    (3000011L, "https://xn--d1acufc.xn--p1ai:8443/x",
+      "https://домен.рф:8443/x", "домен.рф"))
 
   /** SQL VALUES literal of [[idnEdgeVectors]] for the oracle side. */
   private[graft] val idnEdgeValuesSql: String = {

@@ -98,6 +98,10 @@ object Warc {
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
+  /** Header/resync line cap — far above any real WARC header line, far
+    * below task memory; see the readLine comment in [[parseWarcBytes]]. */
+  private val MaxLineBytes = 64 * 1024
+
   /** Parse one file's raw bytes into a LAZY record iterator. Peak task
     * memory stays at the compressed source (the binaryFile row) plus ONE
     * decompressed record — a materialized Seq would hold a ~1 GB .warc.gz
@@ -113,17 +117,31 @@ object Warc {
         // Crawl layout) decompresses as one continuous stream
         new java.util.zip.GZIPInputStream(raw)
       else raw))
+    // a consumer that stops early (limit(n), a downstream failure) never
+    // exhausts the iterator, so the inflater's native buffers would wait
+    // for finalization — close at task end instead (close is idempotent)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
 
     // Byte-accurate line reader: returns the line WITHOUT its \r?\n
     // terminator, null at EOF. WARC headers are ASCII by spec; payload
-    // bytes are never routed through here (readFully below).
+    // bytes are never routed through here (readFully below). CAPPED at
+    // MaxLineBytes: a newline-free misnamed binary (or a lying
+    // Content-Length routing payload bytes through resync) must not
+    // buffer the whole file as chars — past the cap the chunk returns
+    // as-is (it cannot start with "WARC/", so it quarantines/resyncs)
+    // and the next call continues from the following byte, keeping the
+    // pass O(file) time at O(cap) memory.
     private def readLine(): String = {
       val sb = new java.lang.StringBuilder(128)
       var b = in.read()
       if (b < 0) return null
-      while (b >= 0 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      while (b >= 0 && b != '\n' && sb.length() < MaxLineBytes) {
+        sb.append(b.toChar); b = in.read()
+      }
       val n = sb.length()
-      if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+      val capped = b >= 0 && b != '\n'
+      if (!capped && n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
       sb.toString
     }
 

@@ -402,6 +402,42 @@ class UrlsSpec extends SparkSpec {
     assert(got(4) === new String(Character.toChars(0x1F4A9)) + ".example")
   }
 
+  test("overflow frontier: crafted groups stay verbatim without throwing; " +
+    "exotic valid labels decode identically on both paths") {
+    // 'xn--j416146o' encodes a digit group whose value wraps Int — an
+    // Int-typed `n` once went negative, slipped past the range checks,
+    // and crashed appendCodePoint inside the task (r18 review, confirmed
+    // crash). Ground truth (python punycode codec): invalid. Must stay
+    // verbatim on BOTH paths, never throw.
+    val crafted = "xn--j416146o.com"
+    val k1 = Seq(crafted).toDF("h").select(Urls.decodeIdnHost($"h")).as[String].head()
+    val f1 = Seq(crafted).toDF("h").select(Urls.decodeIdnHostFold($"h")).as[String].head()
+    assert(k1 === crafted && f1 === crafted)
+    // a long basic prefix + astral code point: VALID punycode whose delta
+    // (~2.9e7) exceeded the fold's old 1e7 bound — the fold rejected what
+    // the kernel decoded (r18 review). Ground truth (python punycode
+    // codec): 'a'*30 + U+E0001.
+    val exotic = "xn--aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa-1j923u.example"
+    val want = ("a" * 30) + new String(Character.toChars(0xE0001)) + ".example"
+    val k2 = Seq(exotic).toDF("h").select(Urls.decodeIdnHost($"h")).as[String].head()
+    val f2 = Seq(exotic).toDF("h").select(Urls.decodeIdnHostFold($"h")).as[String].head()
+    assert(k2 === want, "kernel must decode the exotic-but-valid label")
+    assert(f2 === want, "fold must agree past its old under-bound")
+  }
+
+  test("a final-position ACE label with a surviving port still decodes") {
+    // with the port attached, the last label reaches the decoder as
+    // 'p1ai:8443' and stays verbatim — the decode must see the host alone
+    // (r18 review); urlHost strips ports first and was never affected
+    val u = "https://xn--d1acufc.xn--p1ai:8443/x"
+    val got = Seq(u).toDF("u")
+      .select(Urls.canonicalizeUrl($"u"), Urls.urlHost($"u"))
+      .as[(String, String)].head()
+    val host = "домен.рф" // домен.рф
+    assert(got._1 === s"https://$host:8443/x")
+    assert(got._2 === host)
+  }
+
   test("mixed IDN spellings collapse to one canonical class and one blocklist rule") {
     val urls = Seq(
       (1L, "https://xn--mnchen-3ya.de/x"),

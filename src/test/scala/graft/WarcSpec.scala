@@ -75,4 +75,19 @@ class WarcSpec extends SparkSpec {
     java.nio.file.Files.write(d.resolve("empty.warc"), Array.emptyByteArray)
     assert(Warc.readWarc(spark, d.toString).count() === 0)
   }
+
+  test("a newline-free misnamed binary quarantines in bounded chunks, never buffers whole") {
+    // the line reader caps at 64 KiB: a file with no 0x0a bytes (a binary
+    // dropped into the WARC dir) must march through in capped chunks —
+    // quarantined rows, bounded memory, no exception (r18 review finding)
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_bin")
+    val junk = Array.tabulate(300 * 1024)(i => (33 + (i * 7) % 90).toByte) // printable, no \n
+    java.nio.file.Files.write(d.resolve("junk.warc"), junk)
+    val rows = Warc.readWarc(spark, d.toString)
+      .select("rec_idx", "parse_error").collect()
+    assert(rows.length === 1 && !rows.head.isNullAt(1),
+      "a structureless file costs ONE quarantine row (resync consumes the " +
+        "rest in capped chunks without emitting)")
+    assert(rows.head.getString(1).startsWith("expected a WARC/ version line"))
+  }
 }
