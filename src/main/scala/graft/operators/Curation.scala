@@ -656,6 +656,14 @@ object Curation {
       textCol: String,
       removedUrls: Option[(DataFrame, String)] = None,
       strict: Boolean = false): CurationState = {
+    // mirror curateIncremental's precondition: a labeling without its
+    // fingerprint index is an inconsistent state — the repair re-derives
+    // affected-component pairs FROM the index, so passing the labeling
+    // through unpurged would keep removed ids' label rows (and bridged
+    // components merged) silently
+    require(state.ccLabels.isEmpty || state.fpIndex.nonEmpty,
+      "takedown of a state carrying ccLabels requires its fpIndex: the " +
+        "labeling repair re-derives pairs from the fingerprint index")
     val digKeys = removed.select(
       graft.functions.HashColumns.hashExpr(Seq(col(textCol))).as("content_hash"))
     if (strict) {

@@ -1811,7 +1811,15 @@ object Dedup {
     val dt = canon.schema("src").dataType
     val lt: (Any, Any) => Boolean = dt match {
       case org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+        // UTF-8 BYTE order, not Java's UTF-16 code-unit order: the
+        // distributed loop's `min` aggregates UTF8String binary
+        // comparisons, and the two orders disagree when ids mix
+        // U+E000–U+FFFF with supplementary code points — the parity
+        // contract requires electing the SAME component minimum
+        (a, b) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])) < 0
       case _ =>
         (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
     }

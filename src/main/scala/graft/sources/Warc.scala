@@ -98,6 +98,18 @@ object Warc {
   private val GzipMagic0 = 0x1f.toByte
   private val GzipMagic1 = 0x8b.toByte
 
+  /** [[java.util.zip.GZIPInputStream]] with the inflater's unconsumed
+    * compressed-byte count exposed. OpenJDK's multi-member walk treats an
+    * UNREADABLE next member header as plain EOF (readTrailer swallows the
+    * header parse failure) — a damaged member boundary silently truncates
+    * the rest of a .warc.gz. Unconsumed-after-EOF is the tell: a clean
+    * final trailer leaves the inflater empty, a swallowed header parse
+    * leaves the damaged member's bytes sitting in the buffer. */
+  private final class MemberGzipStream(raw: java.io.InputStream)
+      extends java.util.zip.GZIPInputStream(raw) {
+    def unconsumed: Int = inf.getRemaining
+  }
+
   /** Header/resync line cap — far above any real WARC header line, far
     * below task memory; see the readLine comment in [[parseWarcBytes]]. */
   private val MaxLineBytes = 64 * 1024
@@ -111,38 +123,64 @@ object Warc {
   private[sources] def parseWarcBytes(
       file: String, bytes: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
     private val raw = new java.io.ByteArrayInputStream(bytes)
-    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      if (bytes.length >= 2 && bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
-        // multi-member aware: one gzip member per record (the Common
-        // Crawl layout) decompresses as one continuous stream
-        new java.util.zip.GZIPInputStream(raw)
-      else raw))
+    // set when an IOException must still be reported AFTER an
+    // already-pending record is delivered (the error escaped from the
+    // look-ahead read that followed a completed record); also carries a
+    // first-gzip-header parse failure from construction
+    private var terminalErr: String = null
+    private var gz: MemberGzipStream = null
+    private val in: java.io.DataInputStream = {
+      val base: java.io.InputStream =
+        if (bytes.length >= 2 && bytes(0) == GzipMagic0 && bytes(1) == GzipMagic1)
+          // multi-member aware: one gzip member per record (the Common
+          // Crawl layout) decompresses as one continuous stream. The
+          // constructor itself parses the first member header — a corrupt
+          // one must cost a quarantine row, not the task
+          try { gz = new MemberGzipStream(raw); gz } catch {
+            case e: java.io.IOException => terminalErr = ioMsg(e); raw
+          }
+        else raw
+      new java.io.DataInputStream(new java.io.BufferedInputStream(base))
+    }
     // a consumer that stops early (limit(n), a downstream failure) never
     // exhausts the iterator, so the inflater's native buffers would wait
     // for finalization — close at task end instead (close is idempotent)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
 
+    // one-byte pushback for the capped readLine exit: the byte that
+    // tripped the cap is already consumed and belongs to the NEXT chunk —
+    // dropping it would shear one byte per chunk, so a "WARC/" version
+    // line starting exactly at a chunk boundary would lose its 'W' during
+    // resync and a well-formed record would quarantine
+    private var pushback: Int = -1
+    private def readByte(): Int =
+      if (pushback >= 0) { val b = pushback; pushback = -1; b } else in.read()
+
     // Byte-accurate line reader: returns the line WITHOUT its \r?\n
-    // terminator, null at EOF. WARC headers are ASCII by spec; payload
-    // bytes are never routed through here (readFully below). CAPPED at
-    // MaxLineBytes: a newline-free misnamed binary (or a lying
-    // Content-Length routing payload bytes through resync) must not
-    // buffer the whole file as chars — past the cap the chunk returns
-    // as-is (it cannot start with "WARC/", so it quarantines/resyncs)
-    // and the next call continues from the following byte, keeping the
-    // pass O(file) time at O(cap) memory.
+    // terminator, null at EOF. Bytes accumulate and decode as UTF-8 at
+    // line end (WARC 1.0 headers are UTF-8-capable; a per-byte toChar
+    // would mojibake non-ASCII header values); payload bytes are never
+    // routed through here (readFully below). CAPPED at MaxLineBytes: a
+    // newline-free misnamed binary (or a lying Content-Length routing
+    // payload bytes through resync) must not buffer the whole file —
+    // past the cap the chunk returns as-is (it cannot start with
+    // "WARC/", so it quarantines/resyncs), the cap-tripping byte pushes
+    // back, and the next call continues from it, keeping the pass
+    // O(file) time at O(cap) memory.
     private def readLine(): String = {
-      val sb = new java.lang.StringBuilder(128)
-      var b = in.read()
+      val buf = new java.io.ByteArrayOutputStream(128)
+      var b = readByte()
       if (b < 0) return null
-      while (b >= 0 && b != '\n' && sb.length() < MaxLineBytes) {
-        sb.append(b.toChar); b = in.read()
+      while (b >= 0 && b != '\n' && buf.size() < MaxLineBytes) {
+        buf.write(b); b = readByte()
       }
-      val n = sb.length()
       val capped = b >= 0 && b != '\n'
-      if (!capped && n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-      sb.toString
+      if (capped) pushback = b
+      val arr = buf.toByteArray
+      val n = if (!capped && arr.length > 0 && arr(arr.length - 1) == '\r')
+        arr.length - 1 else arr.length
+      new String(arr, 0, n, java.nio.charset.StandardCharsets.UTF_8)
     }
 
     // resync after a malformed record: drop lines until the next version
@@ -155,16 +193,63 @@ object Warc {
     }
 
     private var idx = 0L
-    private var line = readLine()
     private var pending: WarcRecord = null
+    private var truncationChecked = false
 
     private def emit(r: WarcRecord): WarcRecord = { idx += 1; r }
     private def quarantined(err: String): WarcRecord =
       emit(WarcRecord(file, idx, None, None, None, None, None, None, Some(err)))
 
-    // advance to the next record (good or quarantined), or EOF
+    private var line =
+      if (terminalErr != null) null
+      else try readLine() catch {
+        case e: java.io.IOException => terminalErr = ioMsg(e); null
+      }
+
+    // advance to the next record (good or quarantined), or EOF. The whole
+    // walk is fenced against IOException (a corrupt gzip member mid-stream
+    // throws ZipException from in.read(), not just EOF): the contract is
+    // ONE quarantined row for the unreadable remainder, never a failed
+    // task — the stream cannot be trusted past the throw, so the error row
+    // is terminal.
+    private def ioMsg(e: java.io.IOException): String =
+      "io error (stream unreadable past this point): " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}"
+
     private def advance(): Unit = {
       pending = null
+      if (terminalErr != null) {
+        pending = quarantined(terminalErr); terminalErr = null
+        truncationChecked = true // the stream is broken, not cleanly ended
+        in.close()
+        return
+      }
+      try advanceLoop() catch {
+        case e: java.io.IOException =>
+          if (pending == null) pending = quarantined(ioMsg(e))
+          else terminalErr = ioMsg(e)
+          line = null
+          truncationChecked = true
+      }
+      if (pending == null && line == null && gz != null && !truncationChecked) {
+        // clean EOF of a gzip stream: verify every compressed byte was
+        // actually inflated — OpenJDK treats an unreadable next member
+        // header as EOF (readTrailer swallows the parse failure), silently
+        // dropping the file's tail. The final member's 8-byte trailer is
+        // read AROUND the inflater, so a clean end still reports up to 8
+        // "remaining" bytes; anything beyond that is a dropped tail.
+        // (Best-effort: a damaged tail shorter than a gzip header can be
+        // fully consumed by the swallowed header probe and pass.)
+        truncationChecked = true
+        val leftover = gz.unconsumed.toLong + raw.available().toLong
+        if (leftover > 8)
+          pending = quarantined(s"gzip member boundary damaged: ~${leftover - 8} " +
+            "compressed byte(s) left undecoded at stream end")
+      }
+      if (pending == null) in.close()
+    }
+
+    private def advanceLoop(): Unit = {
       while (pending == null && line != null) {
         if (line.isEmpty) line = readLine() // inter-record blank separators
         else if (!line.startsWith("WARC/")) {
@@ -216,7 +301,6 @@ object Warc {
           }
         }
       }
-      if (pending == null) in.close()
     }
 
     advance()

@@ -660,6 +660,20 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("curateStateTakedown refuses a labeling without its fingerprint index") {
+    // the repair re-derives affected-component pairs FROM the index; a
+    // state carrying ccLabels but no fpIndex used to fall through with the
+    // labeling unpurged — removed ids kept their label rows silently
+    val state = Curation.CurationState(
+      Seq("h1").toDF("content_hash"),
+      ccLabels = Some(Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")))
+    val e = intercept[IllegalArgumentException] {
+      Curation.curateStateTakedown(state,
+        Seq((2L, "gone")).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("fpIndex"))
+  }
+
   test("curateStateTakedown repairs the CC labeling: bridge removal splits the component") {
     // standing chain 1–2–3–4 (A–B–C–C2); doc 2 is the only bridge
     // between 1 and {3, 4} (hamming(A,C)=12, (A,C2)=15, (B,C2)=10 — all

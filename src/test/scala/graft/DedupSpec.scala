@@ -224,6 +224,17 @@ class DedupSpec extends SparkSpec {
       Dedup.duplicateClusters(strs, driverEdgeBound = 0)
         .as[(String, String)].collect().toMap,
       "string ids: lexicographic minima must agree between the paths")
+    // the ordering frontier: Java's UTF-16 code-unit compare puts a
+    // private-use BMP char (U+F8FF, 3 UTF-8 bytes) BELOW a supplementary
+    // code point (U+10000, surrogate pair / 4 UTF-8 bytes), while Spark's
+    // UTF8String binary compare orders them the other way — the driver
+    // path must elect the SAME minimum as the loop's `min` aggregate
+    val exotic = Seq(("", new String(Character.toChars(0x10000))))
+      .toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(exotic).as[(String, String)].collect().toMap ===
+      Dedup.duplicateClusters(exotic, driverEdgeBound = 0)
+        .as[(String, String)].collect().toMap,
+      "supplementary-vs-BMP ids: UTF-8 byte order, not UTF-16 code-unit order")
     // the probe bound is exact: a graph of exactly bound+1 edges loops
     val atBound = (1L to 5L).map(i => (i + 1, i)).toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(atBound, driverEdgeBound = 5)

@@ -76,6 +76,87 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readWarc(spark, d.toString).count() === 0)
   }
 
+  private def gzMember(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  private def record(uri: String, body: String): Array[Byte] = {
+    val payload = body.getBytes("UTF-8")
+    (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+      payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("a damaged gzip member boundary surfaces as a quarantine row, not silent truncation") {
+    // OpenJDK's GZIPInputStream treats an unreadable next-member header as
+    // EOF: without the leftover probe the tail of the file would vanish
+    // with zero parse_error rows
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_gzdmg")
+    val tail = "this tail is not a gzip member and must not vanish".getBytes("UTF-8")
+    java.nio.file.Files.write(d.resolve("dmg.warc.gz"),
+      gzMember(record("https://ok.example.com/a", "good body")) ++ tail)
+    val rows = Warc.readWarc(spark, d.toString)
+      .select("rec_idx", "url", "parse_error").orderBy("rec_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(2) && rows(0).getString(1) === "https://ok.example.com/a")
+    assert(rows(1).getString(2).startsWith("gzip member boundary damaged"))
+  }
+
+  test("a corrupt gzip member mid-stream costs one terminal io row, never the task") {
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_gzcorrupt")
+    val m2 = gzMember(record("https://two.example.com/b", "second body"))
+    // keep the 10-byte member header valid, flip bytes inside the deflate
+    // stream — GZIPInputStream throws ZipException from read(), which the
+    // old EOF-only catch turned into a failed Spark task
+    for (i <- 12 until math.min(m2.length - 9, 24)) m2(i) = (m2(i) ^ 0x5a).toByte
+    java.nio.file.Files.write(d.resolve("corrupt.warc.gz"),
+      gzMember(record("https://one.example.com/a", "first body")) ++ m2)
+    val rows = Warc.readWarc(spark, d.toString)
+      .select("rec_idx", "url", "parse_error").orderBy("rec_idx").collect()
+    assert(rows.length === 2, s"got ${rows.mkString("; ")}")
+    assert(rows(0).isNullAt(2) && rows(0).getString(1) === "https://one.example.com/a")
+    assert(rows(1).getString(2).startsWith("io error"))
+  }
+
+  test("a corrupt FIRST gzip header quarantines the file, never the task") {
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_gzhdr")
+    // valid magic bytes, garbage after — the GZIPInputStream CONSTRUCTOR
+    // parses the first header and throws
+    java.nio.file.Files.write(d.resolve("hdr.warc.gz"),
+      Array[Byte](0x1f, 0x8b.toByte) ++ Array.fill[Byte](40)(0x77))
+    val rows = Warc.readWarc(spark, d.toString)
+      .select("parse_error").collect()
+    assert(rows.length === 1 && rows(0).getString(0).startsWith("io error"))
+  }
+
+  test("a WARC/ version line starting exactly at a resync chunk boundary survives") {
+    // the 64 KiB line cap consumes one look-ahead byte per chunk; without
+    // the pushback that byte is lost, so a version line whose 'W' lands on
+    // the boundary would resync past a well-formed record
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_cap")
+    val junk = Array.fill[Byte](64 * 1024)('x'.toByte) // no newline anywhere
+    java.nio.file.Files.write(d.resolve("cap.warc"),
+      junk ++ record("https://boundary.example.com/p", "body after the cap"))
+    val rows = Warc.readWarc(spark, d.toString)
+      .select("rec_idx", "url", "parse_error").orderBy("rec_idx").collect()
+    assert(rows.length === 2, s"got ${rows.mkString("; ")}")
+    assert(rows(0).getString(2).startsWith("expected a WARC/ version line"))
+    assert(rows(1).isNullAt(2) && rows(1).getString(1) === "https://boundary.example.com/p",
+      "the record at the chunk boundary must parse (one-byte pushback)")
+  }
+
+  test("non-ASCII header values decode as UTF-8, not per-byte Latin-1") {
+    val d = java.nio.file.Files.createTempDirectory("graft_warc_utf8hdr")
+    java.nio.file.Files.write(d.resolve("u.warc"),
+      record("https://münchen.example/straße", "utf8 header value"))
+    val rows = Warc.readWarc(spark, d.toString).select("url", "parse_error").collect()
+    assert(rows.length === 1 && rows(0).isNullAt(1))
+    assert(rows(0).getString(0) === "https://münchen.example/straße")
+  }
+
   test("a newline-free misnamed binary quarantines in bounded chunks, never buffers whole") {
     // the line reader caps at 64 KiB: a file with no 0x0a bytes (a binary
     // dropped into the WARC dir) must march through in capped chunks —
