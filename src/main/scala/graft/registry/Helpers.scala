@@ -189,6 +189,184 @@ private[graft] object Helpers {
     }.mkString(", ")
   }
 
+  /** Fixture dir for the WARC `response` HTML-extraction check. */
+  private[graft] val warcHtmlFixtureDir: String =
+    sys.env.getOrElse("GRAFT_WARC_HTML_FIXTURE_DIR", "/tmp/graft_warc_html_fixture")
+
+  /** One WARC `response` extraction vector: the record the fixture writer
+    * serializes AND the hand-stated expectation the oracle holds as a
+    * VALUES literal — one list, so bytes and expectation cannot drift.
+    * `expTextNl` carries line breaks as the literal marker `<NL>` (the
+    * query projects `regexp_replace(text, chr(10), ...)` to match — SQL
+    * VALUES rows stay single-line). Expectations are STATED, not derived:
+    * they encode what the HTTP split / charset resolution / HTML
+    * extraction must produce, per [[graft.functions.WebKernels]]' spec. */
+  private[graft] final case class WarcHtmlVector(
+      url: String,
+      httpHeaders: Seq[String], // full header lines incl. the status line
+      body: Array[Byte],
+      expStatus: Option[Int],
+      expCt: Option[String],
+      expCharset: Option[String],
+      expTextNl: Option[String],
+      expErr: Option[String])
+
+  private[graft] def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  /** RFC 9112 chunked framing of a body, split at `at` (two chunks). */
+  private def chunked(b: Array[Byte], at: Int): Array[Byte] = {
+    def chunk(part: Array[Byte]): Array[Byte] =
+      (part.length.toHexString + "\r\n").getBytes("ISO-8859-1") ++ part ++
+        "\r\n".getBytes("ISO-8859-1")
+    chunk(b.take(at)) ++ chunk(b.drop(at)) ++ "0\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  /** The `response`-record extraction vectors, rec_idx = list position.
+    * Bodies cover: charset from header / meta / http-equiv / fallback,
+    * gzip + chunked + combined codings, script/style/comment/entity/
+    * literal-angle HTML shapes, text/plain passthrough, BOM strip, bare
+    * (envelope-less) captures, 404 bodies, and the deterministic error
+    * classes (non-text body, unsupported coding, malformed chunking).
+    * Non-deterministic error text (JDK exception messages for corrupt
+    * gzip) is spec territory, not oracle territory. */
+  private[graft] val warcHtmlVectors: Seq[WarcHtmlVector] = {
+    def ok(ct: String, extra: String*): Seq[String] =
+      Seq("HTTP/1.1 200 OK", s"Content-Type: $ct") ++ extra
+    Seq(
+      WarcHtmlVector("https://h0.example/full",
+        ok("text/html; charset=utf-8"),
+        ("<html><head><title>T1</title><script>var x = \"<p>not text</p>\";" +
+          "</script><style>p{color:red}</style></head><body><h1>Head &amp; " +
+          "Tail</h1><p>first para</p><p>3 &lt; 5 &#233;l&egrave;ve " +
+          "😀 &foobar;</p><!-- gone --><div>a <b>bold</b> word" +
+          "</div></body></html>").getBytes("UTF-8"),
+        Some(200), Some("text/html; charset=utf-8"), Some("utf-8"),
+        Some("T1<NL>Head & Tail<NL>first para<NL>3 < 5 élève " +
+          "😀 &foobar;<NL>a bold word"), None),
+      WarcHtmlVector("https://h1.example/latin",
+        ok("text/html; charset=ISO-8859-1"),
+        "<html><body><p>straße für alle</p></body></html>"
+          .getBytes("ISO-8859-1"),
+        Some(200), Some("text/html; charset=ISO-8859-1"), Some("iso-8859-1"),
+        Some("straße für alle"), None),
+      WarcHtmlVector("https://h2.example/meta1252",
+        ok("text/html"),
+        ("<html><head><meta charset=\"windows-1252\"></head><body><p>caf" +
+          "é €50 — dash</p></body></html>").getBytes("windows-1252"),
+        Some(200), Some("text/html"), Some("windows-1252"),
+        Some("café €50 — dash"), None),
+      WarcHtmlVector("https://h3.example/httpequiv",
+        ok("text/html"),
+        ("<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; " +
+          "charset=iso-8859-15\"></head><body><p>price €99</p></body></html>")
+          .getBytes("ISO-8859-15"),
+        Some(200), Some("text/html"), Some("iso-8859-15"),
+        Some("price €99"), None),
+      WarcHtmlVector("https://h4.example/gzip",
+        ok("text/html; charset=utf-8", "Content-Encoding: gzip"),
+        gzipBytes("<p>gzip body works</p>".getBytes("UTF-8")),
+        Some(200), Some("text/html; charset=utf-8"), Some("utf-8"),
+        Some("gzip body works"), None),
+      WarcHtmlVector("https://h5.example/chunked",
+        ok("text/html", "Transfer-Encoding: chunked"),
+        chunked("<p>chunked body</p>".getBytes("UTF-8"), 7),
+        Some(200), Some("text/html"), Some("utf-8"),
+        Some("chunked body"), None),
+      WarcHtmlVector("https://h6.example/both",
+        ok("text/html", "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+        chunked(gzipBytes("<p>both codings</p>".getBytes("UTF-8")), 11),
+        Some(200), Some("text/html"), Some("utf-8"),
+        Some("both codings"), None),
+      WarcHtmlVector("https://h7.example/plain",
+        ok("text/plain; charset=utf-8"),
+        "plain text line one\ntags <kept> literal & raw line two"
+          .getBytes("UTF-8"),
+        Some(200), Some("text/plain; charset=utf-8"), Some("utf-8"),
+        Some("plain text line one<NL>tags <kept> literal & raw line two"), None),
+      WarcHtmlVector("https://h8.example/png",
+        ok("image/png"),
+        Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
+        Some(200), Some("image/png"), None, None,
+        Some("non-text body: image/png")),
+      WarcHtmlVector("https://h9.example/brotli",
+        ok("text/html", "Content-Encoding: br"),
+        Array[Byte](1, 2, 3),
+        Some(200), Some("text/html"), None, None,
+        Some("unsupported content-encoding: br")),
+      WarcHtmlVector("https://h10.example/badchunk",
+        ok("text/html", "Transfer-Encoding: chunked"),
+        "zz\r\nnot a chunk\r\n0\r\n\r\n".getBytes("ISO-8859-1"),
+        Some(200), Some("text/html"), None, None,
+        Some("malformed chunked framing: bad size line [zz]")),
+      WarcHtmlVector("https://h11.example/boguscharset",
+        ok("text/html; charset=bogus-enc"),
+        "<p>fallback wins</p>".getBytes("UTF-8"),
+        Some(200), Some("text/html; charset=bogus-enc"), Some("utf-8"),
+        Some("fallback wins"), None),
+      WarcHtmlVector("https://h12.example/bare",
+        Nil, // no HTTP envelope at all: the capture stored the entity only
+        "<p>bare entity capture</p>".getBytes("UTF-8"),
+        None, None, Some("utf-8"), Some("bare entity capture"), None),
+      WarcHtmlVector("https://h13.example/bom",
+        ok("text/html; charset=utf-8"),
+        Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+          "<p>bom stripped</p>".getBytes("UTF-8"),
+        Some(200), Some("text/html; charset=utf-8"), Some("utf-8"),
+        Some("bom stripped"), None),
+      WarcHtmlVector("https://h14.example/notfound",
+        Seq("HTTP/1.1 404 Not Found", "Content-Type: text/html"),
+        "<h1>404</h1><p>page gone</p>".getBytes("UTF-8"),
+        Some(404), Some("text/html"), Some("utf-8"),
+        Some("404<NL>page gone"), None),
+      WarcHtmlVector("https://h15.example/nbsp",
+        ok("text/html; charset=utf-8"),
+        "<p>a&nbsp;b c</p>".getBytes("UTF-8"),
+        Some(200), Some("text/html; charset=utf-8"), Some("utf-8"),
+        Some("a b c"), None))
+  }
+
+  /** (Re)write the `response`-record fixture: one gzip member per record
+    * (the Common Crawl layout), payload = HTTP envelope + body bytes. */
+  private[graft] def writeWarcHtmlFixture(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    val members = warcHtmlVectors.map { v =>
+      val payload =
+        if (v.httpHeaders.isEmpty) v.body
+        else (v.httpHeaders.mkString("", "\r\n", "\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ v.body)
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: ${v.url}\r\n" +
+        s"WARC-Date: 2024-06-01T12:00:00Z\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+        payload ++ "\r\n\r\n".getBytes("UTF-8")
+      gzipBytes(rec)
+    }
+    java.nio.file.Files.write(p.resolve("html.warc.gz"), members.reduce(_ ++ _))
+    ()
+  }
+
+  /** SQL VALUES literal of [[warcHtmlVectors]]' expectations. */
+  private[graft] val warcHtmlValuesSql: String = {
+    def q(o: Option[String]) =
+      o.map(s => s"'$s'").getOrElse("CAST(NULL AS VARCHAR)")
+    def qi(o: Option[Int]) =
+      o.map(_.toString).getOrElse("CAST(NULL AS INT)")
+    require(warcHtmlVectors.flatMap(v =>
+      Seq(v.expCt, v.expCharset, v.expTextNl, v.expErr).flatten :+ v.url)
+      .forall(s => !s.contains("'") && !s.contains("\n") && !s.contains("\r")),
+      "warc html expectations must be single-line and quote-free (embedded in SQL)")
+    warcHtmlVectors.zipWithIndex.map { case (v, i) =>
+      s"($i, '${v.url}', ${qi(v.expStatus)}, ${q(v.expCt)}, ${q(v.expCharset)}, " +
+        s"${q(v.expTextNl)}, ${q(v.expErr)})"
+    }.mkString(", ")
+  }
+
   /** Hand-authored URL canonicalization edge vectors (url_id, url) — one
     * per rule of [[graft.operators.Urls.canonicalizeUrl]]'s scaladoc list,
     * shared verbatim with the DuckDB oracle (the VALUES literal is

@@ -74,6 +74,19 @@ private[graft] object RegistryEvents {
         .select(substring_index(col("file"), "/", -1).as("fname"),
           col("rec_idx"), col("url"), col("ts"), col("text"))
     }),
+    // the raw-capture text path: response records → HTTP split (chunked/
+    // gzip decoded) → charset resolve → HTML extraction; expectations are
+    // HAND-STATED per vector (the x_warc_scan convention — DuckDB holds
+    // the ground truth, Spark derives it). Line breaks project as the
+    // <NL> marker so the VALUES rows stay single-line.
+    "x_warc_html" -> ((s, _) => {
+      writeWarcHtmlFixture(warcHtmlFixtureDir)
+      graft.sources.Warc.readResponses(s, warcHtmlFixtureDir)
+        .select(col("rec_idx"), col("url"), col("http_status"),
+          col("content_type"), col("charset"),
+          regexp_replace(col("text"), "\n", "<NL>").as("text_nl"),
+          col("extract_error"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -177,6 +190,16 @@ private[graft] object RegistryEvents {
          |FROM (VALUES $warcValuesSql)
          |  t(fname, rec_idx, warc_type, url, ts, mime, n_bytes, body)
          |WHERE warc_type = 'conversion'""".stripMargin,
+    // hand-stated extraction ground truth per response vector (DuckDB
+    // cannot parse WARC or run the HTTP/HTML machinery — it holds what
+    // the extractor must produce)
+    "x_warc_html" ->
+      s"""SELECT CAST(rec_idx AS BIGINT) AS rec_idx, url,
+         |       CAST(http_status AS INT) AS http_status, content_type,
+         |       charset, text_nl, extract_error
+         |FROM (VALUES $warcHtmlValuesSql)
+         |  t(rec_idx, url, http_status, content_type, charset, text_nl,
+         |    extract_error)""".stripMargin,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(length(text) AS INT) AS "byteLen",
