@@ -408,8 +408,9 @@ object Curation {
     *                batch id shares it
     * @param nearDup (n, k, bands) minhash shape — requires
     *                `state.bandIndex`
-    * @param nearDupSkew (hotBucketThreshold, salt) — skew armor for the
-    *                banded tier on boilerplate-heavy corpora, where one
+    * @param nearDupSkew (hotBucketThreshold, salt) — skew armor for
+    *                WHICHEVER near tier runs. Banded tier: on
+    *                boilerplate-heavy corpora one
     *                LSH bucket (a site template's band key) can hold a
     *                large share of the batch and pin its whole probe on
     *                one reducer. The operator first measures the batch's
@@ -420,7 +421,14 @@ object Curation {
     *                DISTINCT standing keys — a hot key then occupies
     *                `salt` reducers) and the batch election to a
     *                combine-then-broadcast-join shape instead of the
-    *                window sort. Row-identical to the plain probe
+    *                window sort. CC tier: the same measured switch over
+    *                the batch's hottest (blk, bval) Hamming block — a
+    *                fingerprint-identical boilerplate block would heap
+    *                one reducer in both the standing probe and the
+    *                intra-batch self-join; past the threshold both run
+    *                as [[SkewJoin.saltedInnerJoin]] with the standing/
+    *                left side salted and the batch side replicated.
+    *                Row-identical to the plain probe
     *                (spec-pinned); below the threshold the plan is
     *                byte-for-byte the unsalted one, so well-behaved
     *                batches never pay the salt's replication
@@ -564,13 +572,46 @@ object Curation {
       case Some((bits, maxHam)) =>
         val batchBlocked = scope.persist(Dedup.simhashBlockedIndex(
           exact.select(col(idCol), col(textCol)), idCol, textCol, bits, maxHam))
-        val cross = Dedup.hammingProbePairs(state.fpIndex.get, batchBlocked, maxHam)
-        val intra = batchBlocked.as("a").join(batchBlocked.as("b"),
-            col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
-              col("a.id") < col("b.id"))
-          .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHam)
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .dropDuplicates(Seq("id_a", "id_b"))
+        // the banded tier's skew switch applied to Hamming blocks: one
+        // map-side-combined count over the batch's (blk, bval) rows —
+        // batch-sized, skew-free by the combiner — gates the salted form
+        val salted = nearDupSkew.filter { case (threshold, _) =>
+          val hot = batchBlocked.groupBy("blk", "bval").count()
+            .agg(max(col("count"))).head()
+          !hot.isNullAt(0) && hot.getLong(0) > threshold
+        }
+        val (cross, intra) = salted match {
+          case Some((_, salt)) =>
+            // pair work in a bucket is the PRODUCT of its two sides, so
+            // salting ONE side spreads the whole bucket: the standing
+            // side salts (corpus-scale — must shuffle exactly once), the
+            // batch side replicates salt× (batch-sized, the cheap side by
+            // the steady-state assumption). Row-identical to the plain
+            // probe (spec-pinned on a planted hot block).
+            val b = batchBlocked.select(col("id").as("__b_id"),
+              col("fp").as("__b_fp"), col("blk"), col("bval"))
+            val crossS = SkewJoin.saltedInnerJoin(
+                state.fpIndex.get, b, Seq("blk", "bval"), salt)
+              .filter(bit_count(col("fp").bitwiseXOR(col("__b_fp"))) <= maxHam)
+              .select(col("id").as("id_a"), col("__b_id").as("id_b"))
+              .dropDuplicates(Seq("id_a", "id_b"))
+            val intraS = SkewJoin.saltedInnerJoin(
+                batchBlocked, b, Seq("blk", "bval"), salt)
+              .filter(col("id") < col("__b_id") &&
+                bit_count(col("fp").bitwiseXOR(col("__b_fp"))) <= maxHam)
+              .select(col("id").as("id_a"), col("__b_id").as("id_b"))
+              .dropDuplicates(Seq("id_a", "id_b"))
+            (crossS, intraS)
+          case None =>
+            val crossP = Dedup.hammingProbePairs(state.fpIndex.get, batchBlocked, maxHam)
+            val intraP = batchBlocked.as("a").join(batchBlocked.as("b"),
+                col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval") &&
+                  col("a.id") < col("b.id"))
+              .filter(bit_count(col("a.fp").bitwiseXOR(col("b.fp"))) <= maxHam)
+              .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+              .dropDuplicates(Seq("id_a", "id_b"))
+            (crossP, intraP)
+        }
         val labels = scope.persist(Dedup.updateClusters(
           state.ccLabels.get, cross.unionByName(intra), scope = scope))
         val cut = labels.filter(col("cluster_id") =!= col("id")).select(col("id"))

@@ -660,6 +660,52 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("nearDupSkew on the CC tier: salt engages only past the threshold, row-identical") {
+    // planted hot Hamming block: boilerplate docs with a one-token suffix
+    // change keep most SimHash bits identical, so (blk, bval) block values
+    // repeat across the batch — the fp-identical-template shape that heaps
+    // one reducer in both the standing probe and the intra-batch self-join
+    val boiler = "the committee shall convene on the first monday of every " +
+      "month to review all pending applications and publish its findings " +
+      "in the public register within fourteen days"
+    val ingested = Seq((1L, boiler + " anchor edition zero")).toDF("doc_id", "text")
+    val batch = (10L to 49L).map(i => (i, s"$boiler unique$i"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((100L, "benchmark only sentence nothing shares")).toDF("doc_id", "text")
+    def run(skew: Option[(Long, Int)]) = {
+      val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
+        Curation.emptyState(spark, nearCc = true), shingleN = 3,
+        nearCc = Some((64, 8)))
+      Curation.curateIncremental(batch, bench2, "doc_id", "text",
+        Curation.CurationState(inc0.novelDigests,
+          fpIndex = inc0.novelFps, ccLabels = inc0.ccLabels),
+        shingleN = 3, nearCc = Some((64, 8)), nearDupSkew = skew)
+    }
+    val hotIsHot = run(None).novelFps.get
+      .groupBy("blk", "bval").count().agg(max("count")).head.getLong(0)
+    assert(hotIsHot >= 30L, s"fixture must actually plant a hot block, max=$hotIsHot")
+    val plain = run(None)
+    val saltedOn = run(Some((10L, 4)))     // threshold below the hot block
+    val saltedOff = run(Some((10000L, 4))) // threshold above it
+    val planOn = saltedOn.survivors.queryExecution.sparkPlan.toString
+    val planOff = saltedOff.survivors.queryExecution.sparkPlan.toString
+    assert(planOn.contains("__salt"),
+      "past the threshold both CC pair joins must be the salted form")
+    assert(!planOff.contains("__salt"),
+      "below the threshold the plan must stay the unsalted probe")
+    assert(!planOn.contains("CartesianProduct"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    assert(ids(saltedOn.survivors) === ids(plain.survivors))
+    assert(saltedOn.novelDigests.as[String].collect().sorted ===
+      plain.novelDigests.as[String].collect().sorted)
+    assert(saltedOn.ccLabels.get.as[(Long, Long)].collect().sorted ===
+      plain.ccLabels.get.as[(Long, Long)].collect().sorted,
+      "the advanced labeling must be row-identical under the salt")
+    assert(ids(saltedOff.survivors) === ids(plain.survivors))
+    spark.catalog.clearCache()
+  }
+
   test("curateStateTakedown refuses a labeling without its fingerprint index") {
     // the repair re-derives affected-component pairs FROM the index; a
     // state carrying ccLabels but no fpIndex used to fall through with the
