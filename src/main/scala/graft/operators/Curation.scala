@@ -629,6 +629,74 @@ object Curation {
       ccLabels = newLabels)
   }
 
+  /** Store roots for a curation state persisted as ONE pinned snapshot
+    * ([[commitCurationSnapshot]]); optional paths present iff the state
+    * carries the matching store. */
+  final case class CurationStorePaths(
+      manifestPath: String,
+      digestsPath: String,
+      canonicalPath: Option[String] = None,
+      bandsPath: Option[String] = None,
+      fpsPath: Option[String] = None,
+      labelsPath: Option[String] = None)
+
+  /** Commit a [[CurationState]] atomically: every store writes a
+    * FULL-content generation, then one manifest pins them all
+    * ([[graft.sources.Store.commitSnapshot]]'s crash contract — stores
+    * first, manifest last, so a crash ANYWHERE leaves the previously
+    * pinned state complete and visible; newly written generations stay
+    * unreferenced until the manifest lands). This is the batch-caller
+    * contract [[curateStateTakedown]]'s scaladoc used to delegate to
+    * write ordering: persist the takedown's output through this and
+    * readers get old-or-new, never half-purged, without reading anything.
+    *
+    * Layout note: full-content generations — the batch deployment shape
+    * (takedown and rebuilds produce full frames anyway). The STREAMING
+    * loop's delta-generation layout ([[graft.streaming
+    * .StreamingHistorization.curateMaintainStream]]'s `nearCc` mode) is a
+    * different store convention; taking down a delta-layout state means
+    * compacting it to a full snapshot first (carried gap, documented).
+    *
+    * @return the committed manifest generation
+    */
+  def commitCurationSnapshot(
+      state: CurationState,
+      paths: CurationStorePaths,
+      keep: Int = 2): Long = {
+    def aligned(name: String, df: Option[DataFrame], p: Option[String]) = {
+      require(df.isEmpty == p.isEmpty,
+        s"$name store and its path must come together (state has ${df.nonEmpty}, " +
+          s"paths has ${p.nonEmpty})")
+      df.zip(p).map { case (d, path) => (name, path, d) }
+    }
+    val stores = Seq(("digests", paths.digestsPath, state.knownDigests)) ++
+      aligned("canonical", state.knownCanonical, paths.canonicalPath) ++
+      aligned("bands", state.bandIndex, paths.bandsPath) ++
+      aligned("fps", state.fpIndex, paths.fpsPath) ++
+      aligned("labels", state.ccLabels, paths.labelsPath)
+    graft.sources.Store.commitSnapshot(
+      state.knownDigests.sparkSession, paths.manifestPath, stores, keep)
+  }
+
+  /** Read back the newest (or `manifestGen`-pinned) committed curation
+    * snapshot — the consistent cross-store state a maintenance pass or
+    * the steady-state loop resumes from. None when nothing has committed. */
+  def readCurationSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: CurationStorePaths,
+      manifestGen: Option[Long] = None): Option[(Long, CurationState)] = {
+    val wanted = Map("digests" -> paths.digestsPath) ++
+      paths.canonicalPath.map("canonical" -> _) ++
+      paths.bandsPath.map("bands" -> _) ++
+      paths.fpsPath.map("fps" -> _) ++
+      paths.labelsPath.map("labels" -> _)
+    graft.sources.Store.readSnapshot(spark, paths.manifestPath, wanted, manifestGen)
+      .map { case (g, m) =>
+        g -> CurationState(m("digests"), m.get("canonical"), m.get("bands"),
+          m.get("fps"), m.get("labels"))
+      }
+  }
+
   /** TAKEDOWN of standing curation state — the erasure/compliance twin of
     * [[curateIncremental]]: when documents leave the corpus (copyright
     * takedown, right-to-be-forgotten), the standing stores must forget

@@ -773,6 +773,54 @@ object Store {
     }
   }
 
+  /** [[readSnapshot]] where some stores are DELTA stores: each committed
+    * generation holds an INCREMENT (one pass's novelty, O(batch) to
+    * write), and the pinned content is the UNION of every committed
+    * generation up to the pin — the O(corpus)-per-pass rewrite a
+    * full-content snapshot would force on an append-only store is the
+    * reason this form exists. `fullPaths` stores read exactly the pinned
+    * generation ([[readSnapshot]] semantics — e.g. a labeling whose pass
+    * output is inherently the full relabel).
+    *
+    * Delta consumers must carry SET semantics (anti-join / semi-join /
+    * dropDuplicates probes): a pass that crashed after writing its delta
+    * but before the manifest commit leaves an ORPHAN generation below the
+    * re-run's pin, so the union can contain the same increment twice.
+    * That is the documented crash artifact — duplicate delta ROWS, never
+    * missing or phantom keys — and exactly the artifact every store the
+    * curation loop maintains absorbs by construction.
+    *
+    * The union reads as ONE multi-path parquet relation, so the plan does
+    * not grow a node per pass; retention for delta roots must be
+    * unbounded (pruning an old delta generation deletes data, unlike a
+    * full-content store where only history is lost).
+    */
+  def readSnapshotDeltas(
+      spark: SparkSession,
+      manifestPath: String,
+      deltaPaths: Map[String, String],
+      fullPaths: Map[String, String],
+      manifestGen: Option[Long] = None): Option[(Long, Map[String, DataFrame])] = {
+    val resolved = manifestGen.orElse(listGenerations(spark, manifestPath).lastOption)
+    resolved.map { g =>
+      val pins = readStoreGeneration(spark, manifestPath, g)
+        .select("store", "generation")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // one row per store
+      val missing = (deltaPaths.keySet ++ fullPaths.keySet).diff(pins.keySet)
+      require(missing.isEmpty,
+        s"manifest generation $g of $manifestPath does not pin: ${missing.mkString(", ")}")
+      val full = fullPaths.map { case (name, root) =>
+        name -> readStoreGeneration(spark, root, pins(name))
+      }
+      val deltas = deltaPaths.map { case (name, root) =>
+        val gens = listGenerations(spark, root).filter(_ <= pins(name))
+        require(gens.nonEmpty, s"no committed generations at $root up to pin ${pins(name)}")
+        name -> spark.read.parquet(gens.map(generationPath(root, _)): _*)
+      }
+      g -> (full ++ deltas)
+    }
+  }
+
   /** Compliance erasure ACROSS a manifest's stores — the composition of
     * [[purgeGenerations]] with [[commitSnapshot]]: purging a pinned
     * store renumbers its generations, which would leave every retained

@@ -63,13 +63,52 @@ object Warc {
     * @param glob optional name filter, e.g. `"*.warc.gz"`
     */
   def readWarc(spark: SparkSession, path: String, glob: Option[String] = None): DataFrame = {
-    import spark.implicits._
     val reader = spark.read.format("binaryFile")
-    val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
-      .load(path)
-      .select(col("path"), col("content"))
+    parsedRecords(glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .load(path))
+  }
+
+  /** STREAMING twin of [[readWarc]]: a landing-directory file stream —
+    * new `.warc`/`.warc.gz` files dropped under `path` arrive as
+    * micro-batches of parsed records (the `binaryFile` format has a file
+    * stream source, and the record parse is the same per-file lazy
+    * iterator). File-per-task parallelism and the quarantine contract
+    * carry over unchanged; files are the streaming unit too, so a
+    * replayed file re-parses to the identical record set (rec_idx is
+    * position-stable) — feed [[graft.streaming.StreamingHistorization
+    * .curateMaintainStream]] to close the crawl-to-corpus loop
+    * end-to-end.
+    *
+    * @param maxFilesPerTrigger bound files per micro-batch (a crawl
+    *        segment drop can be thousands of files; unbounded first
+    *        batches are how streaming jobs OOM their driver listing) */
+  def readWarcStream(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    // a streaming source cannot infer its schema; binaryFile's is fixed
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val reader0 = spark.readStream.format("binaryFile").schema(binaryFileSchema)
+    val reader1 = glob.fold(reader0)(g => reader0.option("pathGlobFilter", g))
+    val reader = maxFilesPerTrigger.fold(reader1)(n =>
+      reader1.option("maxFilesPerTrigger", n.toString))
+    parsedRecords(reader.load(path))
+  }
+
+  /** The shared parse: a `binaryFile`-shaped frame (batch or streaming)
+    * to one row per WARC record. */
+  private def parsedRecords(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    files.flatMap { case (file, bytes) => parseWarcBytes(file, bytes) }
+      .flatMap { case (file, bytes) => parseWarcBytes(file, bytes) }
       .toDF()
       .select(col("file"), col("rec_idx"), col("warc_type"), col("url"),
         col("ts"), col("mime"), col("n_bytes"), col("payload"),
@@ -116,9 +155,15 @@ object Warc {
   def readResponses(
       spark: SparkSession,
       path: String,
-      glob: Option[String] = None): DataFrame = {
+      glob: Option[String] = None): DataFrame =
+    responsesOf(readWarc(spark, path, glob))
+
+  /** The response-extraction stage over any [[readWarc]]-shaped frame —
+    * batch or STREAMING ([[readWarcStream]]): every stage is a per-row
+    * expression, so it composes onto a stream unchanged. */
+  def responsesOf(records: DataFrame): DataFrame = {
     import graft.functions.WebExpressions._
-    val http = readWarc(spark, path, glob)
+    val http = records
       .filter(col("parse_error").isNull && col("warc_type") === "response")
       .withColumn("__http", httpParseOf(col("payload")))
     val isText = lower(coalesce(col("__http.content_type"), lit("")))

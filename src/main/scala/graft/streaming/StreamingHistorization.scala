@@ -288,9 +288,30 @@ object StreamingHistorization {
     * Ids must be stable across re-deliveries and increase run over run
     * (the historization convention the incremental law rides).
     *
+    * TRANSITIVE (CC) TIER — `nearCc = (bits, maxHamming, manifestPath,
+    * fpsPath, labelsPath)`, mutually exclusive with `nearDup`. The
+    * append-only crash contract above cannot carry it: the labeling is a
+    * REPLACE store (a batch can relabel standing docs), so in this mode
+    * the batch's store updates commit as ONE PINNED SNAPSHOT
+    * ([[graft.sources.Store.commitSnapshot]]) — `digestPath` (and the url
+    * tier's canonical path) become DELTA generation stores (each batch
+    * commits only its novelty, O(batch)), `labelsPath` holds the full
+    * relabel per batch (inherent to [[graft.operators.Dedup
+    * .updateClusters]]' output), and the manifest pins all of them last.
+    * Batch-start state reads through [[graft.sources.Store
+    * .readSnapshotDeltas]] at the newest manifest, so a crash anywhere
+    * before the manifest commit re-runs the batch against the intact
+    * PRIOR snapshot; the only crash artifact is an orphan delta
+    * generation below the re-run's pin — duplicate delta rows, which
+    * every probe absorbs by set semantics (anti-join / dropDuplicates).
+    * Write order is still out-first, snapshot-last: once the snapshot
+    * includes the batch, the exact tier absorbs it and survivors
+    * recompute empty, so out written any later would lose rows.
+    *
     * @param urlTier (urlCol, rules, canonicalPath) — the url gate over a
     *                url column carried ON the stream
     * @param nearDup (n, k, bands, bandIndexPath)
+    * @param nearCc  (bits, maxHamming, manifestPath, fpsPath, labelsPath)
     */
   def curateMaintainStream(
       docs: DataFrame,
@@ -307,8 +328,11 @@ object StreamingHistorization {
       shingleN: Int = 13,
       minHits: Long = 1L,
       languages: Option[Set[String]] = None,
-      qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None,
+      nearCc: Option[(Int, Int, String, String, String)] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(nearDup.isEmpty || nearCc.isEmpty,
+      "nearDup and nearCc are alternative near tiers — pick one")
     docs.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -316,6 +340,47 @@ object StreamingHistorization {
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
           import graft.operators.Curation
+          nearCc match {
+            case Some((bits, maxHam, manifestPath, fpsPath, labelsPath)) =>
+              val eCc = Curation.emptyState(session, urlTier.nonEmpty,
+                near = false, nearCc = true)
+              val deltaPaths = Map("digests" -> digestPath, "fps" -> fpsPath) ++
+                urlTier.map(t => "canonical" -> t._3)
+              val state = Store.readSnapshotDeltas(
+                  session, manifestPath, deltaPaths, Map("labels" -> labelsPath)) match {
+                case None => eCc // first batch: its novelty seeds the stores
+                case Some((_, m)) => Curation.CurationState(
+                  m("digests").select(col("content_hash")),
+                  urlTier.map(_ => m("canonical").select(col("canonical_url"))),
+                  None,
+                  Some(m("fps").select(col("id"), col("fp"), col("blk"), col("bval"))),
+                  Some(m("labels").select(col("id"), col("cluster_id"))))
+              }
+              val inc = Curation.curateIncremental(
+                batch, bench, idCol, textCol, state, splits, shingleN, minHits,
+                languages, qualityModel,
+                urlGate = urlTier.map { case (urlCol, rules, _) =>
+                  (batch.select(col(idCol), col(urlCol)), urlCol, rules)
+                },
+                nearCc = Some((bits, maxHam)), scope = scope)
+              val toEmit = Store.readParquetStrict(session, outPath)
+                .fold(inc.survivors) { out =>
+                  inc.survivors.join(out.select(col(idCol)), Seq(idCol), "left_anti")
+                }
+              toEmit.write.mode("append").parquet(outPath)
+              // one atomic pass commit: delta stores get the batch's
+              // novelty, labels the full updated labeling, manifest last.
+              // Unbounded retention — pruning a delta generation deletes
+              // data; compaction is a separate maintenance concern
+              Store.commitSnapshot(session, manifestPath, Seq(
+                ("digests", digestPath, inc.novelDigests),
+                ("fps", fpsPath, inc.novelFps.get),
+                ("labels", labelsPath, inc.ccLabels.get)) ++
+                urlTier.map(t => ("canonical", t._3, inc.novelCanonical.get)),
+                keep = Int.MaxValue)
+              ()
+            // append-only tiers: the original reverse-order append body
+            case None =>
           val e = Curation.emptyState(session, urlTier.nonEmpty, nearDup.nonEmpty)
           val state = Curation.CurationState(
             Store.readParquetStrict(session, digestPath)
@@ -359,9 +424,11 @@ object StreamingHistorization {
           inc.novelCanonical.foreach {
             _.write.mode("append").parquet(urlTier.get._3)
           }
+          }
         }
         ()
       }
+  }
 
   /** Streaming benchmark decontamination — the streaming twin of
     * [[graft.operators.Decontamination.decontaminate]]: the benchmark's

@@ -706,6 +706,48 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("commitCurationSnapshot: a takedown interrupted between stores leaves old state visible") {
+    import graft.sources.Store
+    val docs = Seq((1L, chainA.mkString(" ")), (2L, chainB), (3L, "a wholly " +
+      "unrelated document about harbor lights and evening ferries crossing " +
+      "the calm strait while dock workers loaded crates of fresh fish under " +
+      "bright lamps and gulls circled the warm chimney smoke above town"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((100L, "benchmark only sentence nothing shares")).toDF("doc_id", "text")
+    val inc = Curation.curateIncremental(docs, bench2, "doc_id", "text",
+      Curation.emptyState(spark, nearCc = true), shingleN = 3, nearCc = Some((64, 8)))
+    val state0 = Curation.CurationState(inc.novelDigests,
+      fpIndex = inc.novelFps, ccLabels = inc.ccLabels)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation_snap").toString
+    val paths = Curation.CurationStorePaths(s"$dir/manifest", s"$dir/digests",
+      fpsPath = Some(s"$dir/fps"), labelsPath = Some(s"$dir/labels"))
+    val g1 = Curation.commitCurationSnapshot(state0, paths)
+    val (_, standing) = Curation.readCurationSnapshot(spark, paths).get
+    val digests0 = standing.knownDigests.as[String].collect().sorted
+    // takedown doc 2, but CRASH mid-commit: only the digests generation
+    // lands, fps/labels/manifest never written
+    val purged = Curation.curateStateTakedown(standing,
+      Seq((2L, chainB)).toDF("doc_id", "text"), "doc_id", "text")
+    Store.writeStoreGeneration(purged.knownDigests, s"$dir/digests", keep = 2)
+    val (gAfterCrash, visible) = Curation.readCurationSnapshot(spark, paths).get
+    assert(gAfterCrash === g1, "the manifest still pins the pre-takedown pass")
+    assert(visible.knownDigests.as[String].collect().sorted === digests0,
+      "readers see the UNPURGED state — the orphan purged generation is invisible")
+    assert(visible.fpIndex.get.filter($"id" === 2L).count() > 0)
+    // recovery: re-run the takedown commit in full; the snapshot flips
+    // atomically to fully-purged
+    val purged2 = Curation.curateStateTakedown(visible,
+      Seq((2L, chainB)).toDF("doc_id", "text"), "doc_id", "text")
+    val g2 = Curation.commitCurationSnapshot(purged2, paths)
+    assert(g2 > g1)
+    val (_, after) = Curation.readCurationSnapshot(spark, paths).get
+    assert(after.knownDigests.count() === 2 &&
+      after.fpIndex.get.filter($"id" === 2L).count() === 0 &&
+      after.ccLabels.get.filter($"id" === 2L).count() === 0,
+      "every store purged, visible as one pass")
+    spark.catalog.clearCache()
+  }
+
   test("curateStateTakedown refuses a labeling without its fingerprint index") {
     // the repair re-derives affected-component pairs FROM the index; a
     // state carrying ccLabels but no fpIndex used to fall through with the

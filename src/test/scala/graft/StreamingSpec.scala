@@ -1236,4 +1236,161 @@ class StreamingSpec extends SparkSpec {
     allBands.unpersist(blocking = false)
     ()
   }
+
+  test("curateMaintainStream nearCc: snapshot commit ≡ sequential runs; re-delivery no-op") {
+    import graft.operators.Curation
+    import graft.sources.Store
+    val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while morning light settles on the tall grass and the birds call"
+    val fillerC = "deep in the valley the farmers walked their fields checking " +
+      "rows of young corn while clouds drifted slowly over the distant blue hills"
+    // the CurationSpec chain fixture: B pairs with standing A (hamming 5),
+    // C pairs only with B (7) — C's cut is TRANSITIVE, the semantics the
+    // snapshot-committed labels store exists to carry
+    val chainA = ("river stones gathered along the quiet valley floor " +
+      "where morning light touched tall grass and distant farms woke slowly " +
+      "under pale clouds").split(" ")
+    val chainB = chainA.updated(4, "narrow").mkString(" ")
+    val chainC = chainA.updated(4, "narrow").updated(14, "narrow")
+      .reverse.mkString(" ")
+    val ingested = Seq((1L, fillerA, "https://h1.example.com/p/1"),
+      (2L, chainA.mkString(" "), "https://h2.example.com/p/2"))
+      .toDF("doc_id", "text", "url")
+    val batch = Seq(
+      (10L, fillerA, "https://h1.example.com/p/10"),  // exact standing hit
+      (20L, chainB, "https://h2.example.com/p/20"),   // cc: direct pair with standing 2
+      (21L, chainC, "https://h2.example.com/p/21"),   // cc: TRANSITIVE cut via 20
+      (22L, fillerC, "https://h3.example.com/p/22"),  // survivor
+      (23L, fillerC, "https://ads.h0.example.com/p")  // blocklist
+    ).toDF("doc_id", "text", "url")
+    val bench = Seq((100L, "inside the museum hall students sketched"))
+      .toDF("doc_id", "text")
+    val rules = Seq("ads.h0.example.com").toDF("rule")
+    val dir = Files.createTempDirectory("graft-curate-cc-stream").toString
+    ingested.coalesce(1).write.parquet(s"$dir/in/d0")
+    batch.coalesce(1).write.parquet(s"$dir/in/d1")
+    pinDropOrder(s"$dir/in/d0", s"$dir/in/d1")
+    def writer(src: org.apache.spark.sql.DataFrame, chk: String) =
+      StreamingHistorization.curateMaintainStream(
+        src, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", chk,
+        urlTier = Some(("url", rules, s"$dir/canon")), shingleN = 3,
+        nearCc = Some((64, 8, s"$dir/manifest", s"$dir/fps", s"$dir/labels")))
+    val s0 = spark.readStream.schema(ingested.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(writer(s0, s"$dir/chk"))
+    // the batch twin: two sequential curateIncremental runs
+    val inc0 = Curation.curateIncremental(ingested, bench, "doc_id", "text",
+      Curation.emptyState(spark, url = true, nearCc = true), shingleN = 3,
+      urlGate = Some((ingested.select($"doc_id", $"url"), "url", rules)),
+      nearCc = Some((64, 8)))
+    val st1 = Curation.CurationState(inc0.novelDigests, inc0.novelCanonical,
+      None, inc0.novelFps, inc0.ccLabels)
+    val inc1 = Curation.curateIncremental(batch, bench, "doc_id", "text", st1,
+      shingleN = 3, urlGate = Some((batch.select($"doc_id", $"url"), "url", rules)),
+      nearCc = Some((64, 8)))
+    val expected = inc0.survivors.unionByName(inc1.survivors)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(out).count() === 0,
+      "streamed survivors must equal the sequential incremental runs")
+    assert(out.filter($"doc_id" >= 10L).select("doc_id").as[Long].collect().toSet
+      === Set(22L), "exact/direct/transitive/blocklist docs all cut; 22 survives")
+    // the committed snapshot state equals the sequential final state
+    val snap = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps",
+        "canonical" -> s"$dir/canon"),
+      Map("labels" -> s"$dir/labels")).get._2
+    assert(snap("labels").as[(Long, Long)].collect().sorted ===
+      inc1.ccLabels.get.as[(Long, Long)].collect().sorted,
+      "the snapshot labels must be the sequential run final labeling")
+    val expDigests = inc0.novelDigests.unionByName(inc1.novelDigests)
+    assert(snap("digests").exceptAll(expDigests).count() === 0 &&
+      expDigests.exceptAll(snap("digests")).count() === 0)
+    // re-delivery through a fresh checkpoint changes no store CONTENT
+    // (empty delta generations and a fresh manifest pin are the only
+    // artifacts — content is what the law speaks about)
+    def stateContent(): Seq[Long] = {
+      val m = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+        Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps",
+          "canonical" -> s"$dir/canon"), Map("labels" -> s"$dir/labels")).get._2
+      Seq(m("digests").count(), m("fps").count(), m("canonical").count(),
+        m("labels").count(), spark.read.parquet(s"$dir/out").count())
+    }
+    val before = stateContent()
+    val s1 = spark.readStream.schema(ingested.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(writer(s1, s"$dir/chk2"))
+    assert(stateContent() === before,
+      "a fully re-delivered stream must change no snapshot content")
+  }
+
+  test("curateMaintainStream nearCc: a mid-commit crash leaves the prior snapshot intact") {
+    import graft.operators.Curation
+    import graft.sources.Store
+    val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while morning light settles on the tall grass and the birds call"
+    val fillerB = "a steady rain fell across the old town square as vendors " +
+      "opened their stalls and the church bell counted out the early hours again"
+    val fillerC = "deep in the valley the farmers walked their fields checking " +
+      "rows of young corn while clouds drifted slowly over the distant blue hills"
+    val d0 = Seq((1L, fillerA), (2L, fillerB)).toDF("doc_id", "text")
+    val d1 = Seq((10L, fillerA), (11L, fillerC)).toDF("doc_id", "text")
+    val bench = Seq((100L, "inside the museum hall students sketched"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-curate-cc-crash").toString
+    def writer(src: org.apache.spark.sql.DataFrame, chk: String) =
+      StreamingHistorization.curateMaintainStream(
+        src, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", chk,
+        shingleN = 3,
+        nearCc = Some((64, 8, s"$dir/manifest", s"$dir/fps", s"$dir/labels")))
+    // batch 1 commits normally
+    d0.coalesce(1).write.parquet(s"$dir/in/d0")
+    val s0 = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(writer(s0, s"$dir/chk"))
+    val manifestGen0 = Store.listGenerations(spark, s"$dir/manifest").last
+    // the sequential twin of batch 2, to forge the crash window from
+    val st1 = {
+      val m = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+        Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps"),
+        Map("labels" -> s"$dir/labels")).get._2
+      Curation.CurationState(m("digests"), None, None,
+        Some(m("fps")), Some(m("labels")))
+    }
+    val inc1 = Curation.curateIncremental(d1, bench, "doc_id", "text", st1,
+      shingleN = 3, nearCc = Some((64, 8)))
+    // CRASH WINDOW: batch 2 appended out and committed the digests and
+    // fps DELTAS, then died before labels and the manifest
+    inc1.survivors.write.mode("append").parquet(s"$dir/out")
+    Store.writeStoreGeneration(inc1.novelDigests, s"$dir/digests", keep = Int.MaxValue)
+    Store.writeStoreGeneration(inc1.novelFps.get, s"$dir/fps", keep = Int.MaxValue)
+    // the prior snapshot is INTACT: the manifest still pins batch 1 only
+    assert(Store.listGenerations(spark, s"$dir/manifest").last === manifestGen0,
+      "no manifest advanced during the crash window")
+    val prior = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps"),
+      Map("labels" -> s"$dir/labels")).get._2
+    assert(prior("digests").count() === 2 && prior("labels").count() === 0,
+      "snapshot readers see batch 1 state only — orphan deltas are above the pin")
+    // recovery: deliver both drops through a fresh checkpoint; batch 1
+    // absorbs, batch 2 recomputes against the prior snapshot and commits
+    d1.coalesce(1).write.parquet(s"$dir/in/d1")
+    pinDropOrder(s"$dir/in/d0", s"$dir/in/d1")
+    val s1 = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(writer(s1, s"$dir/chk2"))
+    val recovered = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps"),
+      Map("labels" -> s"$dir/labels")).get._2
+    // content convergence as SETS: the orphan deltas duplicate rows below
+    // the new pin, which every probe absorbs — the documented artifact
+    val expDigests = st1.knownDigests.unionByName(inc1.novelDigests)
+    assert(recovered("digests").distinct.exceptAll(expDigests.distinct).count() === 0 &&
+      expDigests.distinct.exceptAll(recovered("digests").distinct).count() === 0)
+    assert(recovered("labels").as[(Long, Long)].collect().sorted ===
+      inc1.ccLabels.get.as[(Long, Long)].collect().sorted)
+    // out converged without duplicate survivor rows
+    val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSeq
+    assert(out.sorted === out.distinct.sorted, "the id guard absorbed the replayed out rows")
+  }
 }

@@ -157,6 +157,69 @@ class WarcSpec extends SparkSpec {
     assert(rows(0).getString(0) === "https://münchen.example/straße")
   }
 
+  test("readWarcStream parses the same record set as the batch reader") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("graft_warc_stream_out")
+    val chk = java.nio.file.Files.createTempDirectory("graft_warc_stream_chk")
+    val q = Warc.readWarcStream(spark, dir, maxFilesPerTrigger = Some(1))
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", chk.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out.toString)
+      .withColumn("fname", substring_index(col("file"), "/", -1))
+      .select("fname", "rec_idx", "warc_type", "url", "parse_error")
+    val batch = all.select("fname", "rec_idx", "warc_type", "url", "parse_error")
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "stream and batch must parse identical records incl. quarantine rows")
+  }
+
+  test("end to end: a WARC landing dir streams through extraction into the curation loop") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingHistorization
+    val landing = java.nio.file.Files.createTempDirectory("graft_warc_landing")
+    val state = java.nio.file.Files.createTempDirectory("graft_warc_curate").toString
+    def rec(uri: String, body: String): Array[Byte] = {
+      val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        s"<html><body><p>$body</p></body></html>").getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+        payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val textA = (1 to 40).map(i => s"document alpha sentence $i carries plain words").mkString(" ")
+    val textB = (1 to 40).map(i => s"document beta topic $i differs from everything").mkString(" ")
+    // drop 1: two captures; drop 2: a re-crawl of A (exact dup) + novel B
+    java.nio.file.Files.write(landing.resolve("seg0.warc"),
+      rec("https://w.example/a", textA))
+    java.nio.file.Files.write(landing.resolve("seg1.warc"),
+      rec("https://w.example/a2", textA) ++ rec("https://w.example/b", textB))
+    val bench = {
+      import spark.implicits._
+      Seq((900L, "held out benchmark sentence")).toDF("doc_id", "text")
+    }
+    val stream = Warc.responsesOf(
+        Warc.readWarcStream(spark, landing.toString, maxFilesPerTrigger = Some(1)))
+      .filter(col("extract_error").isNull)
+      // a stable, increasing doc id from the record address (file + slot):
+      // the historization convention the incremental law rides
+      .select(xxhash64(col("file"), col("rec_idx")).as("doc_id"), col("text"))
+    val writer = StreamingHistorization.curateMaintainStream(
+      stream, bench, "doc_id", "text", s"$state/digests", s"$state/out",
+      s"$state/chk", shingleN = 3,
+      nearCc = Some((64, 8, s"$state/manifest", s"$state/fps", s"$state/labels")))
+    StreamingHistorization.runOnce(writer)
+    val out = spark.read.parquet(s"$state/out")
+    assert(out.count() === 2,
+      "three captures, one an exact re-crawl: two documents reach the corpus")
+    val digests = graft.sources.Store.readSnapshotDeltas(spark, s"$state/manifest",
+      Map("digests" -> s"$state/digests", "fps" -> s"$state/fps"),
+      Map("labels" -> s"$state/labels")).get._2("digests")
+    assert(digests.count() === 2, "two novel content classes ingested")
+  }
+
   test("a newline-free misnamed binary quarantines in bounded chunks, never buffers whole") {
     // the line reader caps at 64 KiB: a file with no 0x0a bytes (a binary
     // dropped into the WARC dir) must march through in capped chunks —
