@@ -123,7 +123,11 @@ object Bench {
     }
     val driftJson = drift.map { case (k, dv) => s"\"" + k + "\":" + dv }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","median":$totalMedian,"queries":$qs,"cold":$colds,"errors":$errs,"drift":$driftJson,"sf":"$sfDir"}"""
+    // scoped runs carry their filter so the history keeps solo-protocol
+    // measurements (the r18 spans-drift bisect shape) WITHOUT becoming
+    // drift baselines — lastFullRun skips "only"-marked lines
+    val onlyField = only.fold("")(o => s""""only":"$o",""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",$onlyField"median":$totalMedian,"queries":$qs,"cold":$colds,"errors":$errs,"drift":$driftJson,"sf":"$sfDir"}"""
     println(json)
     // Belt-and-braces: also drop the line in a file in case stdout is
     // mangled by a wrapping build tool's log prefixes — and append it to
@@ -133,7 +137,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    if (only.isEmpty) BenchHistory.append(json)
+    BenchHistory.append(json)
     // The driver parses a bounded TAIL of stdout (observed: 2000 chars), so
     // the LAST line must be short. Full per-query detail is above and in
     // bench_last.json; this compact line is the machine-readable metric.

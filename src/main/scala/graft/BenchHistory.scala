@@ -46,7 +46,7 @@ object BenchHistory {
         import scala.jdk.CollectionConverters._
         lines.asScala.reverseIterator
           .find(l => l.contains("\"sf\":\"" + sfDir + "\"") &&
-            l.contains("\"errors\":{}"))
+            l.contains("\"errors\":{}") && !l.contains("\"only\":"))
           .flatMap(l => QueriesField.findFirstMatchIn(l).map(_.group(1)))
           .map(body => Pair.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)

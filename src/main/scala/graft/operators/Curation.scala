@@ -466,7 +466,8 @@ object Curation {
       nearDup: Option[(Int, Int, Int)] = None,
       nearDupSkew: Option[(Long, Int)] = None,
       nearCc: Option[(Int, Int)] = None,
-      scope: graft.CacheScope = graft.CacheScope.Global): CurationIncrement = {
+      scope: graft.CacheScope = graft.CacheScope.Global,
+      ccDriverEdgeBound: Int = 1 << 20): CurationIncrement = {
     require(urlGate.isEmpty || state.knownCanonical.nonEmpty,
       "urlGate requires a standing canonical-URL store in the state")
     require(nearDup.isEmpty || state.bandIndex.nonEmpty,
@@ -613,7 +614,8 @@ object Curation {
             (crossP, intraP)
         }
         val labels = scope.persist(Dedup.updateClusters(
-          state.ccLabels.get, cross.unionByName(intra), scope = scope))
+          state.ccLabels.get, cross.unionByName(intra), scope = scope,
+          driverEdgeBound = ccDriverEdgeBound))
         val cut = labels.filter(col("cluster_id") =!= col("id")).select(col("id"))
         (nearKept.join(cut.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"),
           Some(batchBlocked), Some(labels))

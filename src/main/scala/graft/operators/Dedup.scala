@@ -2062,6 +2062,18 @@ object Dedup {
     *
     * @param labels existing (id, cluster_id) labeling
     * @param newPairs the batch's edges; endpoints may be known or fresh
+    * @param driverEdgeBound distinct-canonical-pair count under which the
+    *        whole repair plans DRIVER-SIDE (the [[duplicateClusters]]
+    *        fast-path precedent, lifted to the full operator): the batch
+    *        pairs and the ENDPOINT labels collect (both batch-bounded —
+    *        the endpoint lookup is a broadcast semi-join, never a labels
+    *        shuffle), the condensed union-find runs in driver memory, and
+    *        the corpus-side work collapses to ONE broadcast relabel join
+    *        plus a local fresh-rows union. The eager path's per-batch
+    *        scaffolding (endpoint distinct, a corpus-labels shuffle join,
+    *        a cached intermediate, the condensed CC jobs) is exactly the
+    *        steady-state latency a streaming loop pays EVERY micro-batch.
+    *        0 disables; output parity is spec-pinned
     * @return (id, cluster_id) over all labeled nodes plus the batch's
     *         endpoints — the same frame a full recompute would produce
     */
@@ -2071,7 +2083,23 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIters: Int = 25,
-      scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
+      scope: graft.CacheScope = graft.CacheScope.Global,
+      driverEdgeBound: Int = 1 << 20): DataFrame = {
+    val driverTypeOk = newPairs.schema(idACol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (driverTypeOk && driverEdgeBound > 0) {
+      val canon = scope.persist(newPairs
+        .select(least(col(idACol), col(idBCol)).as("a"),
+          greatest(col(idACol), col(idBCol)).as("b"))
+        .distinct())
+      if (canon.limit(driverEdgeBound + 1).count() <= driverEdgeBound)
+        return updateClustersDriver(labels, canon)
+      canon.unpersist(blocking = false)
+    }
     val ends = newPairs.select(col(idACol).as("id"))
       .union(newPairs.select(col(idBCol).as("id"))).distinct()
     // batch endpoints → current labels; fresh nodes label themselves
@@ -2093,6 +2121,87 @@ object Dedup {
       .join(remap.withColumnRenamed("old_label", "lbl"), Seq("lbl"), "left_outer")
       .select(col("id"), coalesce(col("new_label"), col("lbl")).as("cluster_id"))
     relabeled.union(freshNodes)
+  }
+
+  /** [[updateClusters]]' driver fast path over a COLLECTED canonical pair
+    * set: endpoint labels fetched by one broadcast semi-join (map-side —
+    * the labels store is never shuffled), condensed union-find in driver
+    * memory under the same min ordering the distributed loop aggregates
+    * with, then ONE broadcast relabel join + a local fresh-rows union.
+    * Output row-identical to the eager path (parity spec-pinned). */
+  private def updateClustersDriver(
+      labels: DataFrame,
+      canon: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    val dt = canon.schema("a").dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        // UTF-8 byte order = the distributed min's UTF8String ordering
+        (x, y) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(x.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(y.asInstanceOf[String])) < 0
+      case _ =>
+        (x, y) => x.asInstanceOf[Number].longValue < y.asInstanceOf[Number].longValue
+    }
+    val pairsLocal = canon.collect().map(r => (r.get(0), r.get(1)))
+    canon.unpersist(blocking = false)
+    val endpoints = pairsLocal.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    // endpoint-label lookup: batch-bounded output, broadcast semi-join —
+    // the corpus-sized labeling streams map-side, nothing shuffles
+    val endsDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          endpoints.toSeq.map(org.apache.spark.sql.Row(_))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt, nullable = false))))
+    val labMap: Map[Any, Any] = labels
+      .join(broadcast(endsDf), Seq("id"), "left_semi")
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    def lblOf(id: Any): Any = labMap.getOrElse(id, id)
+    // union-find over the CONDENSED edges, roots elected toward the min
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairsLocal.foreach { case (a, b) =>
+      val (la, lb) = (lblOf(a), lblOf(b))
+      if (la != lb) {
+        val (ra, rb) = (find(la), find(lb))
+        if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    // remap only labels the repair actually MOVED — identity rows would
+    // bloat the broadcast for nothing
+    val moved = parent.keysIterator
+      .flatMap(k => { val r = find(k); if (r != k) Some(k -> r) else None })
+      .toMap
+    val outType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", dt, nullable = false)))
+    val relabeled =
+      if (moved.isEmpty) labels.select(col("id"), col("cluster_id"))
+      else {
+        val remapDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              moved.toSeq.map { case (o, n) => org.apache.spark.sql.Row(o, n) }).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cluster_id", dt, nullable = false),
+            org.apache.spark.sql.types.StructField("__new", dt, nullable = false))))
+        labels.join(broadcast(remapDf), Seq("cluster_id"), "left_outer")
+          .select(col("id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+      }
+    val freshRows = endpoints.toSeq.filterNot(labMap.contains)
+      .map(id => org.apache.spark.sql.Row(id, { val l = lblOf(id); moved.getOrElse(l, l) }))
+    val freshDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(freshRows).asJava), outType)
+    relabeled.unionByName(freshDf)
   }
 
   /** Remove a batch of document ids from a standing [[duplicateClusters]]

@@ -672,21 +672,27 @@ class CurationSpec extends SparkSpec {
     val batch = (10L to 49L).map(i => (i, s"$boiler unique$i"))
       .toDF("doc_id", "text")
     val bench2 = Seq((100L, "benchmark only sentence nothing shares")).toDF("doc_id", "text")
-    def run(skew: Option[(Long, Int)]) = {
+    def run(skew: Option[(Long, Int)], edgeBound: Int = 1 << 20) = {
       val inc0 = Curation.curateIncremental(ingested, bench2, "doc_id", "text",
         Curation.emptyState(spark, nearCc = true), shingleN = 3,
         nearCc = Some((64, 8)))
       Curation.curateIncremental(batch, bench2, "doc_id", "text",
         Curation.CurationState(inc0.novelDigests,
           fpIndex = inc0.novelFps, ccLabels = inc0.ccLabels),
-        shingleN = 3, nearCc = Some((64, 8)), nearDupSkew = skew)
+        shingleN = 3, nearCc = Some((64, 8)), nearDupSkew = skew,
+        ccDriverEdgeBound = edgeBound)
     }
     val hotIsHot = run(None).novelFps.get
       .groupBy("blk", "bval").count().agg(max("count")).head.getLong(0)
     assert(hotIsHot >= 30L, s"fixture must actually plant a hot block, max=$hotIsHot")
     val plain = run(None)
-    val saltedOn = run(Some((10L, 4)))     // threshold below the hot block
-    val saltedOff = run(Some((10000L, 4))) // threshold above it
+    // plan-shape assertions pin the EAGER repair path (edgeBound 0): the
+    // driver fast path collects the pair set, so the salted join runs in
+    // a job the survivors plan no longer carries; row-identity below
+    // additionally covers the default (driver) path
+    val saltedOn = run(Some((10L, 4)), edgeBound = 0)   // threshold below the hot block
+    val saltedOff = run(Some((10000L, 4)), edgeBound = 0) // threshold above it
+    val saltedOnFast = run(Some((10L, 4)))
     val planOn = saltedOn.survivors.queryExecution.sparkPlan.toString
     val planOff = saltedOff.survivors.queryExecution.sparkPlan.toString
     assert(planOn.contains("__salt"),
@@ -703,6 +709,10 @@ class CurationSpec extends SparkSpec {
       plain.ccLabels.get.as[(Long, Long)].collect().sorted,
       "the advanced labeling must be row-identical under the salt")
     assert(ids(saltedOff.survivors) === ids(plain.survivors))
+    assert(ids(saltedOnFast.survivors) === ids(plain.survivors) &&
+      saltedOnFast.ccLabels.get.as[(Long, Long)].collect().sorted ===
+        plain.ccLabels.get.as[(Long, Long)].collect().sorted,
+      "the salted probe under the DRIVER repair path is row-identical too")
     spark.catalog.clearCache()
   }
 

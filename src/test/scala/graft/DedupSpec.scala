@@ -614,7 +614,45 @@ class DedupSpec extends SparkSpec {
       val full = Dedup.duplicateClusters(oldDf.union(batchDf))
         .as[(Long, Long)].collect().toMap
       assert(incremental === full, s"trial $trial: incremental diverged from recompute")
+      // the eager (distributed) repair path stays under test and agrees
+      val eager = Dedup.updateClusters(Dedup.duplicateClusters(oldDf), batchDf,
+        driverEdgeBound = 0).as[(Long, Long)].collect().toMap
+      assert(eager === full, s"trial $trial: eager path diverged from recompute")
     }
+  }
+
+  test("updateClusters: driver fast path equals the eager path on every id shape") {
+    // fresh-only pairs, standing merges, a bridge across two standing
+    // components, self-pairs (re-delivered cross probes), and string ids
+    val standing = Dedup.duplicateClusters(
+      Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b"))
+    val batch = Seq((2L, 5L),   // bridges components 1 and 5
+      (20L, 21L),               // brand-new cluster
+      (9L, 9L),                 // self-pair: endpoint must still label
+      (30L, 30L),               // fresh self-pair: labels itself
+      (6L, 22L)).toDF("id_a", "id_b") // standing + fresh endpoint
+    val fast = Dedup.updateClusters(standing, batch)
+      .as[(Long, Long)].collect().toMap
+    val eager = Dedup.updateClusters(standing, batch, driverEdgeBound = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === eager, "long ids: the two paths must agree row-for-row")
+    assert(fast(5L) === 1L && fast(6L) === 1L && fast(22L) === 1L,
+      "the bridge merged components toward the global minimum")
+    assert(fast(30L) === 30L && fast(9L) === 8L)
+    val standingS = Dedup.duplicateClusters(
+      Seq(("b", "c"), ("x", "y")).toDF("id_a", "id_b"))
+    val batchS = Seq(("c", "x"), ("a", "b")).toDF("id_a", "id_b")
+    assert(Dedup.updateClusters(standingS, batchS)
+      .as[(String, String)].collect().toMap ===
+      Dedup.updateClusters(standingS, batchS, driverEdgeBound = 0)
+        .as[(String, String)].collect().toMap,
+      "string ids: the two paths must agree")
+    // the probe bound is exact: bound+1 canonical pairs take the eager path
+    val atBound = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Dedup.updateClusters(standing, atBound, driverEdgeBound = 3)
+      .as[(Long, Long)].collect().toMap ===
+      Dedup.updateClusters(standing, atBound, driverEdgeBound = 2)
+        .as[(Long, Long)].collect().toMap)
   }
 
   test("updateClusters: empty batch is the identity on the labeling") {
