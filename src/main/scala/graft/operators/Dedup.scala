@@ -2176,8 +2176,10 @@ object Dedup {
       }
     }
     // remap only labels the repair actually MOVED — identity rows would
-    // bloat the broadcast for nothing
-    val moved = parent.keysIterator
+    // bloat the broadcast for nothing. Keys SNAPSHOT first: find()
+    // path-compresses (mutates the map), and mutating a mutable HashMap
+    // under its own keysIterator silently skips entries
+    val moved = parent.keys.toArray
       .flatMap(k => { val r = find(k); if (r != k) Some(k -> r) else None })
       .toMap
     val outType = org.apache.spark.sql.types.StructType(Seq(

@@ -653,6 +653,15 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap ===
       Dedup.updateClusters(standing, atBound, driverEdgeBound = 2)
         .as[(Long, Long)].collect().toMap)
+    // deep chain unioned leaf-first: the remap pass's find() path-compresses
+    // long parent chains, which once skipped entries by mutating the map
+    // under its own keys iterator (caught by the takedown stream spec) —
+    // every chain node must relabel to the minimum
+    val emptyL = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    val chain = (1L until 60L).reverse.map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(Dedup.updateClusters(emptyL, chain).as[(Long, Long)].collect().toMap ===
+      (1L to 60L).map(i => i -> 1L).toMap,
+      "deep-chain remap must move every node (keys snapshot before find)")
   }
 
   test("updateClusters: empty batch is the identity on the labeling") {
