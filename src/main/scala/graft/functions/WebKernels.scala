@@ -431,6 +431,147 @@ object WebKernels {
     }
     UTF8String.fromString(res.toString)
   }
+
+  /** Segment an HTML document into visible-text BLOCKS — the jusText /
+    * trafilatura content model (the block is the unit every density-based
+    * boilerplate classifier scores): a block break at every block-level
+    * tag (open or close, [[blockTags]]), everything else inline. Per
+    * block:
+    *
+    *  - `text`  — the block's visible text, whitespace-normalized: any
+    *    intra-block whitespace run collapses to ONE space (a literal
+    *    newline in the markup is layout between inline content, NOT a
+    *    block boundary — this is where the model deliberately diverges
+    *    from [[htmlToText]], which preserves source line breaks; on
+    *    newline-free markup the block texts joined with `\n` equal
+    *    [[htmlToText]] exactly, spec-pinned),
+    *  - `links` — non-whitespace chars emitted while at least one `<a>`
+    *    element was open (the numerator of jusText's link density),
+    *  - `chars` — all non-whitespace chars (the denominator; whitespace
+    *    is excluded from both counts so padding can't dilute density).
+    *    Both counts are UTF-16 units — a supplementary code point
+    *    (emoji) counts 2; density is a ratio, the unit cancels.
+    *
+    * Blocks with no non-whitespace content are not emitted. Script /
+    * style / comment / CDATA / entity handling is [[htmlToText]]'s
+    * (entity-decoded characters count as emitted chars). Anchor depth
+    * floors at zero (stray `</a>` is wild-HTML-normal) and persists
+    * across block breaks (an anchor wrapping a `<div>` keeps its content
+    * link-counted); a self-closing `<a/>` opens nothing. */
+  def htmlToBlocks(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = html.toString
+    val n = s.length
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val cur = new java.lang.StringBuilder(256)
+    var links = 0
+    var chars = 0
+    var anchorDepth = 0
+    def isWs(ch: Char): Boolean = Character.isWhitespace(ch) || ch == '\u00a0'
+    def emitChar(ch: Char): Unit = {
+      cur.append(ch)
+      if (!isWs(ch)) {
+        chars += 1
+        if (anchorDepth > 0) links += 1
+      }
+    }
+    def emitStr(str: String): Unit = {
+      var i = 0
+      while (i < str.length) { emitChar(str.charAt(i)); i += 1 }
+    }
+    def flushBlock(): Unit = {
+      if (chars > 0) {
+        // intra-block normalization: ws runs -> one space, ends trimmed
+        val raw = cur.toString
+        val res = new java.lang.StringBuilder(raw.length)
+        var k = 0
+        while (k < raw.length) {
+          val ch = raw.charAt(k)
+          if (isWs(ch)) {
+            k += 1
+            while (k < raw.length && isWs(raw.charAt(k))) k += 1
+            if (res.length() > 0 && k < raw.length) res.append(' ')
+          } else { res.append(ch); k += 1 }
+        }
+        blocks += new GenericInternalRow(Array[Any](
+          UTF8String.fromString(res.toString), links, chars))
+      }
+      cur.setLength(0); links = 0; chars = 0
+    }
+    var i = 0
+    var rawUntil: String = null
+    while (i < n) {
+      val c = s.charAt(i)
+      if (rawUntil != null) {
+        if (c == '<' && s.regionMatches(true, i, rawUntil, 0, rawUntil.length) &&
+            (i + rawUntil.length >= n || {
+              val nc = s.charAt(i + rawUntil.length)
+              nc == '>' || nc == '/' || Character.isWhitespace(nc)
+            })) {
+          i += rawUntil.length
+          while (i < n && s.charAt(i) != '>') i += 1
+          if (i < n) i += 1
+          rawUntil = null
+        } else i += 1
+      } else if (c == '<' && i + 1 < n &&
+          (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/' ||
+            s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+        if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (s.regionMatches(false, i, "<![CDATA[", 0, 9)) {
+          val end = s.indexOf("]]>", i + 9)
+          i = if (end < 0) n else end + 3
+        } else {
+          val isClose = s.charAt(i + 1) == '/'
+          var j = i + (if (isClose) 2 else 1)
+          val nameStart = j
+          while (j < n && s.charAt(j).isLetterOrDigit) j += 1
+          val name = s.substring(nameStart, j).toLowerCase
+          var q = 0.toChar
+          while (j < n && (q != 0 || s.charAt(j) != '>')) {
+            val cj = s.charAt(j)
+            if (q == 0 && (cj == '"' || cj == '\'')) q = cj
+            else if (q != 0 && cj == q) q = 0.toChar
+            j += 1
+          }
+          val selfClosed = j < n && j - 1 > nameStart && s.charAt(j - 1) == '/'
+          if ((name == "script" || name == "style") && !isClose && !selfClosed)
+            rawUntil = "</" + name
+          if (name == "a") {
+            if (isClose) anchorDepth = math.max(0, anchorDepth - 1)
+            else if (!selfClosed) anchorDepth += 1
+          }
+          if (blockTags.contains(name)) flushBlock()
+          i = if (j < n) j + 1 else n
+        }
+      } else if (c == '&') {
+        var j = i + 1
+        val limit = math.min(n, i + 32)
+        while (j < limit && s.charAt(j) != ';' && s.charAt(j) != '&' &&
+          !s.charAt(j).isWhitespace && s.charAt(j) != '<') j += 1
+        if (j < limit && j > i + 1 && s.charAt(j) == ';') {
+          val body = s.substring(i + 1, j)
+          val decoded: String =
+            if (body.charAt(0) == '#') {
+              val hex = body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X')
+              val digits = if (hex) body.substring(2) else body.substring(1)
+              try {
+                val cp = Integer.parseInt(digits, if (hex) 16 else 10)
+                if (Character.isValidCodePoint(cp) && cp > 0)
+                  new String(Character.toChars(cp))
+                else null
+              } catch { case _: NumberFormatException => null }
+            } else entities.get(body)
+          if (decoded != null) { emitStr(decoded); i = j + 1 }
+          else { emitChar(c); i += 1 }
+        } else { emitChar(c); i += 1 }
+      } else {
+        emitChar(c); i += 1
+      }
+    }
+    flushBlock()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(blocks.toArray)
+  }
 }
 
 /** Codegen'd HTTP response-message split: binary payload →
@@ -512,6 +653,34 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd HTML block segmentation of a string column:
+  * array(struct(text, links, chars)) — see [[WebKernels.htmlToBlocks]]. */
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlBlocks.schema
+  override def prettyName: String = "graft_html_blocks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WebKernels.htmlToBlocks(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WebKernels.htmlToBlocks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
+    copy(child = newChild)
+}
+
+object HtmlBlocks {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("text", StringType),
+    StructField("links", IntegerType),
+    StructField("chars", IntegerType))), containsNull = false)
+}
+
 /** Column factories for the web-extraction kernels. */
 object WebExpressions {
   /** HTTP message split of a binary payload column:
@@ -532,4 +701,36 @@ object WebExpressions {
   /** Visible text of an HTML string column. */
   def htmlTextOf(html: Column): Column =
     CatalystBridge.column(HtmlToText(CatalystBridge.expression(html)))
+
+  /** Visible-text BLOCKS of an HTML string column with per-block link /
+    * char counts: array(struct(text, links, chars)) — the input every
+    * density-based boilerplate classifier scores. */
+  def htmlBlocksOf(html: Column): Column =
+    CatalystBridge.column(HtmlBlocks(CatalystBridge.expression(html)))
+
+  /** MAIN-CONTENT text of an HTML string column — the jusText-style
+    * density selection every WARC-first recipe applies where
+    * [[htmlTextOf]] keeps ALL visible text (nav bars, footers, link
+    * farms included): keep the blocks with at least `minChars`
+    * non-whitespace chars AND link density (`links / chars`) at most
+    * `maxLinkDensity`, joined in document order with `\n`. Defaults are
+    * the jusText ballpark (length_low≈70, max_link_density 0.2).
+    *
+    * Documented subset: no stop-word tier and no near-good neighbor
+    * promotion (jusText's language-dependent refinements) — the
+    * selection is a pure per-block law, so it stays declarative (plain
+    * higher-order functions over [[htmlBlocksOf]], whole-stage codegen)
+    * and replayable as four lines of SQL. A page with no qualifying
+    * block yields the EMPTY string (a gate can drop it); null html stays
+    * null. */
+  def mainTextOf(html: Column, minChars: Int = 70,
+      maxLinkDensity: Double = 0.2): Column = {
+    import org.apache.spark.sql.functions._
+    val kept = filter(htmlBlocksOf(html), b =>
+      b.getField("chars") >= lit(minChars) &&
+        b.getField("links").cast("double") <=
+          b.getField("chars").cast("double") * lit(maxLinkDensity))
+    when(html.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", transform(kept, b => b.getField("text"))))
+  }
 }

@@ -87,6 +87,35 @@ private[graft] object RegistryEvents {
           regexp_replace(col("text"), "\n", "<NL>").as("text_nl"),
           col("extract_error"))
     }),
+    // block segmentation ground truth: the per-block (text, links, chars)
+    // rows every density-based boilerplate classifier scores —
+    // expectations HAND-STATED per vector ([[WebVectors]]); `chars`
+    // derives from the stated text by definition (non-ws count)
+    "x_warc_blocks" -> ((s, _) => {
+      import s.implicits._
+      WebVectors.htmlBlockVectors.map(v => (v.vecId, v.html))
+        .toDF("vec_id", "html")
+        .select(col("vec_id"),
+          posexplode(graft.functions.WebExpressions.htmlBlocksOf(col("html"))))
+        .select(col("vec_id"), col("pos").as("block_idx"),
+          col("col.text").as("text"), col("col.links").as("links"),
+          col("col.chars").as("chars"))
+    }),
+    // jusText-style main-content selection: Spark derives it from the RAW
+    // html (kernel + higher-order-function filter), DuckDB replays the
+    // selection LAW over the stated block table — two independent routes
+    // to the same rows, so both the segmentation and the density gate are
+    // cross-checked
+    "x_warc_main" -> ((s, _) => {
+      import s.implicits._
+      WebVectors.htmlBlockVectors.map(v => (v.vecId, v.html))
+        .toDF("vec_id", "html")
+        .select(col("vec_id"),
+          regexp_replace(
+            graft.functions.WebExpressions.mainTextOf(col("html"),
+              WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity),
+            "\n", "<NL>").as("main_nl"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -200,6 +229,30 @@ private[graft] object RegistryEvents {
          |FROM (VALUES $warcHtmlValuesSql)
          |  t(rec_idx, url, http_status, content_type, charset, text_nl,
          |    extract_error)""".stripMargin,
+    // hand-stated block rows (chars derived from the stated text)
+    "x_warc_blocks" ->
+      s"""SELECT vec_id, block_idx, text, links, chars
+         |FROM (VALUES ${WebVectors.htmlBlocksValuesSql})
+         |  t(vec_id, block_idx, text, links, chars)""".stripMargin,
+    // the selection law replayed over the stated block table: keep
+    // chars >= minChars AND links <= chars * maxLinkDensity, join kept
+    // texts in block order; vectors with no kept block emit ''
+    "x_warc_main" ->
+      s"""WITH blocks AS (
+         |  SELECT * FROM (VALUES ${WebVectors.htmlBlocksValuesSql})
+         |    t(vec_id, block_idx, text, links, chars)
+         |), vecs AS (
+         |  SELECT * FROM (VALUES ${WebVectors.htmlVecIdsSql}) v(vec_id)
+         |), kept AS (
+         |  SELECT vec_id, block_idx, text FROM blocks
+         |  WHERE chars >= ${WebVectors.mainMinChars}
+         |    AND links <= chars * ${WebVectors.mainMaxLinkDensity}
+         |)
+         |SELECT v.vec_id,
+         |       coalesce(string_agg(k.text, '<NL>' ORDER BY k.block_idx), '')
+         |         AS main_nl
+         |FROM vecs v LEFT JOIN kept k USING (vec_id)
+         |GROUP BY v.vec_id""".stripMargin,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(length(text) AS INT) AS "byteLen",

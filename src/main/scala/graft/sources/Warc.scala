@@ -160,8 +160,17 @@ object Warc {
 
   /** The response-extraction stage over any [[readWarc]]-shaped frame —
     * batch or STREAMING ([[readWarcStream]]): every stage is a per-row
-    * expression, so it composes onto a stream unchanged. */
-  def responsesOf(records: DataFrame): DataFrame = {
+    * expression, so it composes onto a stream unchanged.
+    *
+    * @param mainContent when set (minChars, maxLinkDensity), HTML rows
+    *        carry an extra `main_text` column — the density-selected
+    *        MAIN content ([[graft.functions.WebExpressions.mainTextOf]]:
+    *        nav/footer/link-farm blocks dropped), next to the keep-all
+    *        `text`; non-HTML text rows carry their `text` verbatim there
+    *        (plain text has no boilerplate blocks to select against) */
+  def responsesOf(
+      records: DataFrame,
+      mainContent: Option[(Int, Double)] = None): DataFrame = {
     import graft.functions.WebExpressions._
     val http = records
       .filter(col("parse_error").isNull && col("warc_type") === "response")
@@ -173,7 +182,7 @@ object Warc {
       .contains("html") || col("__http.content_type").isNull
     val decoded = http.withColumn("__dec",
       charsetDecodeOf(col("__http.body"), col("__http.content_type")))
-    decoded.select(
+    val base = Seq(
       col("file"), col("rec_idx"), col("url"), col("ts"),
       col("__http.status").as("http_status"),
       col("__http.content_type").as("content_type"),
@@ -184,6 +193,12 @@ object Warc {
       coalesce(col("__http.err"),
         when(!isText, concat(lit("non-text body: "),
           col("__http.content_type")))).as("extract_error"))
+    val cols = base ++ mainContent.map { case (minChars, maxDensity) =>
+      when(isHtml, mainTextOf(col("__dec.text"), minChars, maxDensity))
+        .when(isText, col("__dec.text"))
+        .as("main_text")
+    }
+    decoded.select(cols: _*)
   }
 
   private val GzipMagic0 = 0x1f.toByte

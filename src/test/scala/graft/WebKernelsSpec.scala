@@ -168,4 +168,114 @@ class WebKernelsSpec extends SparkSpec {
         "the unique page survives")
     assert(inc.novelDigests.count() === 2, "two novel content classes ingest")
   }
+
+  // ---- block segmentation + main-content selection ----
+
+  private def blocksOf(html: String): Seq[(String, Int, Int)] =
+    Seq(Tuple1(html)).toDF("html")
+      .select(explode(WebExpressions.htmlBlocksOf(col("html"))).as("b"))
+      .select(col("b.text"), col("b.links"), col("b.chars"))
+      .collect().toSeq.map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+
+  test("htmlToBlocks matches every hand-stated oracle vector") {
+    import graft.registry.WebVectors
+    for (v <- WebVectors.htmlBlockVectors) {
+      val got = blocksOf(v.html)
+      val want = v.expBlocks.map { case (t, l) =>
+        (t, l, t.count(c => !(Character.isWhitespace(c) || c == '\u00a0')))
+      }
+      assert(got === want, s"vec ${v.vecId}")
+    }
+  }
+
+  test("parity: block texts joined with \\n equal htmlToText on newline-free markup") {
+    import graft.registry.WebVectors
+    for (v <- WebVectors.htmlBlockVectors if !v.html.contains("\n")) {
+      val joined = blocksOf(v.html).map(_._1).mkString("\n")
+      val full = Seq(Tuple1(v.html)).toDF("html")
+        .select(WebExpressions.htmlTextOf(col("html"))).head().getString(0)
+      assert(joined === full, s"vec ${v.vecId}")
+    }
+  }
+
+  test("literal markup newline: a line break to htmlToText, a space to the block model") {
+    val html = "<p>line one\nline two</p>"
+    assert(blocksOf(html) === Seq(("line one line two", 0, 14)))
+    val full = Seq(Tuple1(html)).toDF("html")
+      .select(WebExpressions.htmlTextOf(col("html"))).head().getString(0)
+    assert(full === "line one\nline two")
+  }
+
+  test("nested anchors: depth counts until the LAST close; decoded entities count") {
+    val html = "<p><a href=\"x\">out <a href=\"y\">in</a> still</a> done &amp;co</p>"
+    // out(3) + in(2) + still(5) counted at depth>=1; "done &co" after the
+    // final close is not; the decoded '&' is one char
+    assert(blocksOf(html) === Seq(("out in still done &co", 10, 17)))
+  }
+
+  test("main-content selection: body kept (links included), nav/footer/farm dropped") {
+    import graft.registry.WebVectors
+    val v1 = WebVectors.htmlBlockVectors.find(_.vecId == 1).get
+    val main = Seq(Tuple1(v1.html)).toDF("html")
+      .select(WebExpressions.mainTextOf(col("html"),
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity))
+      .head().getString(0)
+    assert(main === v1.expBlocks(2)._1 + "\n" + v1.expBlocks(4)._1,
+      "the two body paragraphs, in order — nav, heading, short note, footer gone")
+    val farm = WebVectors.htmlBlockVectors.find(_.vecId == 2).get
+    val farmMain = Seq(Tuple1(farm.html)).toDF("html")
+      .select(WebExpressions.mainTextOf(col("html"),
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity))
+      .head().getString(0)
+    assert(farmMain === "", "68 chars of pure link farm: long enough, too dense")
+  }
+
+  test("main-content boundaries: chars == minChars kept, density == max kept, one past dropped") {
+    import graft.registry.WebVectors
+    val v7 = WebVectors.htmlBlockVectors.find(_.vecId == 7).get
+    val main = Seq(Tuple1(v7.html)).toDF("html")
+      .select(WebExpressions.mainTextOf(col("html"), 40, 0.2))
+      .head().getString(0)
+    assert(main === v7.expBlocks.head._1,
+      "40 chars / 8 links (exactly 0.2) kept; 39 chars dropped; 9 links dropped")
+  }
+
+  test("main-content null/empty posture: null html stays null, zero-block page is ''") {
+    val rows = Seq(Tuple1(null: String), Tuple1("<div><script>x</script></div>"))
+      .toDF("html")
+      .select(WebExpressions.mainTextOf(col("html"), 40, 0.2).as("m"))
+      .collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getString(0) === "")
+  }
+
+  test("responsesOf mainContent: html selected, plain text verbatim, non-text null") {
+    val d = java.nio.file.Files.createTempDirectory("warc_main")
+    def rec(uri: String, ct: String, body: Array[Byte]): Array[Byte] = {
+      val payload = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+        .getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+        payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val body = "<div><a href=\"/\">Home</a> <a href=\"/x\">More</a></div>" +
+      "<p>a real paragraph with plenty of ordinary words in it for the gate</p>"
+    java.nio.file.Files.write(d.resolve("cap.warc"),
+      rec("https://m.example/h", "text/html; charset=utf-8", body.getBytes("UTF-8")) ++
+        rec("https://m.example/t", "text/plain", "just plain text".getBytes("UTF-8")) ++
+        rec("https://m.example/p", "image/png", Array[Byte](1, 2, 3)))
+    val out = Warc.responsesOf(Warc.readWarc(spark, d.toString),
+        mainContent = Some((40, 0.2)))
+      .select(col("rec_idx"), col("text"), col("main_text"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(out(0L)._1 ===
+      Some("Home More\na real paragraph with plenty of ordinary words in it for the gate"))
+    assert(out(0L)._2 ===
+      Some("a real paragraph with plenty of ordinary words in it for the gate"),
+      "the nav block is gone from main_text only")
+    assert(out(1L)._1 === Some("just plain text") && out(1L)._2 === Some("just plain text"),
+      "plain text has no blocks to select against — verbatim")
+    assert(out(2L)._1 === None && out(2L)._2 === None)
+  }
 }
