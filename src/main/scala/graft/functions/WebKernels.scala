@@ -396,7 +396,11 @@ object WebKernels {
               val digits = if (hex) body.substring(2) else body.substring(1)
               try {
                 val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-                if (Character.isValidCodePoint(cp) && cp > 0)
+                // surrogate-range refs would decode to an UNPAIRED
+                // surrogate char (mangled to '?' at UTF-8 conversion) —
+                // invalid per HTML5, verbatim per the lenient convention
+                if (Character.isValidCodePoint(cp) && cp > 0 &&
+                    !(cp >= 0xD800 && cp <= 0xDFFF))
                   new String(Character.toChars(cp))
                 else null
               } catch { case _: NumberFormatException => null }
@@ -557,7 +561,11 @@ object WebKernels {
               val digits = if (hex) body.substring(2) else body.substring(1)
               try {
                 val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-                if (Character.isValidCodePoint(cp) && cp > 0)
+                // surrogate-range refs would decode to an UNPAIRED
+                // surrogate char (mangled to '?' at UTF-8 conversion) —
+                // invalid per HTML5, verbatim per the lenient convention
+                if (Character.isValidCodePoint(cp) && cp > 0 &&
+                    !(cp >= 0xD800 && cp <= 0xDFFF))
                   new String(Character.toChars(cp))
                 else null
               } catch { case _: NumberFormatException => null }

@@ -105,6 +105,11 @@ class WebKernelsSpec extends SparkSpec {
     assert(t("&#xFFFFFFFF; &#0; &#x; &notareference; &amp") ===
       "&#xFFFFFFFF; &#0; &#x; &notareference; &amp",
       "invalid numeric / unknown named / unterminated references stay verbatim")
+    assert(t("&#xD800; &#55296; &#xDFFF;") === "&#xD800; &#55296; &#xDFFF;",
+      "surrogate-range references stay verbatim — decoding would emit an " +
+        "unpaired surrogate that mangles to ? at UTF-8 conversion")
+    assert(t("&#x1F600;").codePointAt(0) === 0x1F600,
+      "supplementary code points past the surrogate gap still decode")
     assert(t("<p>a</p> \n <p>b</p>") === "a\nb",
       "raw NBSP chars participate in whitespace-run normalization")
     assert(t("x&nbsp;&nbsp;y") === "x y",
