@@ -116,6 +116,23 @@ private[graft] object RegistryEvents {
               WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity),
             "\n", "<NL>").as("main_nl"))
     }),
+    // cross-page boilerplate: blocks repeated on >= 2 distinct pages of
+    // one HOST cut everywhere (site templates pass any density gate);
+    // Spark derives hosts/blocks from raw (url, html) rows, DuckDB
+    // replays the census + density law over the STATED block table —
+    // incl. the per-host scoping (the footer survives on the other host)
+    // and IDN spellings pooling one host
+    "x_warc_main_site" -> ((s, _) => {
+      import s.implicits._
+      val rows = WebVectors.siteDocVectors.map(v => (v.docId, v.url, v.html)) ++
+        WebVectors.siteSpecialDocs
+      graft.operators.WebContent.mainContentByHost(
+        rows.toDF("doc_id", "url", "html"), "doc_id", "url", "html",
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+        WebVectors.siteHostRepeatMin)
+        .select(col("doc_id"),
+          regexp_replace(col("main_text"), "\n", "<NL>").as("main_nl"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -253,6 +270,32 @@ private[graft] object RegistryEvents {
          |         AS main_nl
          |FROM vecs v LEFT JOIN kept k USING (vec_id)
          |GROUP BY v.vec_id""".stripMargin,
+    // census + density law over the stated block table; hosts stated
+    // post-canonicalization (both IDN spellings pool under one host)
+    "x_warc_main_site" ->
+      s"""WITH blocks AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteBlocksValuesSql})
+         |    t(doc_id, host, block_idx, text, links, chars)
+         |), docs AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteDocsValuesSql}) d(doc_id, has_html)
+         |), boiler AS (
+         |  SELECT host, text FROM blocks
+         |  GROUP BY host, text
+         |  HAVING count(DISTINCT doc_id) >= ${WebVectors.siteHostRepeatMin}
+         |), kept AS (
+         |  SELECT b.doc_id, b.block_idx, b.text
+         |  FROM blocks b LEFT JOIN boiler o
+         |    ON b.host = o.host AND b.text = o.text
+         |  WHERE o.text IS NULL AND b.chars >= ${WebVectors.mainMinChars}
+         |    AND b.links <= b.chars * ${WebVectors.mainMaxLinkDensity}
+         |), agg AS (
+         |  SELECT doc_id, string_agg(text, '<NL>' ORDER BY block_idx) AS m
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN NOT d.has_html THEN NULL
+         |            ELSE coalesce(a.m, '') END AS main_nl
+         |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "x_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         |       CAST(length(text) AS INT) AS "byteLen",

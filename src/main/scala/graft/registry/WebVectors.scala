@@ -114,4 +114,110 @@ private[graft] object WebVectors {
     * an empty-string row). */
   val htmlVecIdsSql: String =
     htmlBlockVectors.map(v => s"(${v.vecId})").mkString(", ")
+
+  // ---- cross-page (per-host) boilerplate vectors ----
+
+  /** One block of a generated site page: `anchor` renders inside an
+    * `<a>` (its non-ws chars are the block's stated link count), `plain`
+    * after it. The page html is GENERATED from the blocks — this family
+    * tests the CROSS-PAGE law ([[graft.operators.WebContent
+    * .mainContentByHost]]), not the parser (`x_warc_blocks` owns that). */
+  final case class SiteBlock(anchor: String, plain: String) {
+    def text: String =
+      if (anchor.isEmpty) plain
+      else if (plain.isEmpty) anchor
+      else anchor + " " + plain
+    def html: String =
+      "<p>" + (if (anchor.isEmpty) ""
+        else "<a href=\"#\">" + anchor + "</a>" + (if (plain.isEmpty) "" else " ")) +
+        plain + "</p>"
+  }
+
+  /** One site page: url (the operator derives the host), the HAND-STATED
+    * canonical host the oracle pools on, and the page's blocks. */
+  final case class SiteDocVector(
+      docId: Int,
+      url: String,
+      expHost: String,
+      blocks: Seq[SiteBlock]) {
+    def html: String = blocks.map(_.html).mkString
+  }
+
+  private val footer = SiteBlock("", "This website and its contents are " +
+    "provided for general information purposes only and come with no " +
+    "warranty of any kind.")
+  private val weekly = SiteBlock("", "Subscribe to the weekly newsletter " +
+    "for fresh updates delivered every morning.")
+  private val cafeWelcome = SiteBlock("", "Welcome to the cafe homepage " +
+    "where every espresso tells a little story.")
+
+  /** Coverage: a footer on every host-A page (cut on ALL of them — no
+    * first-page keeper) that also appears on ONE host-B page (kept there:
+    * the census is per host), a block repeated twice WITHIN one page only
+    * (kept twice: distinct-page counting), the density law still gating
+    * non-repeated blocks (a short block drops, a linky block at density
+    * 12/65 keeps), and the two IDN spellings of one host pooling their
+    * pages (the shared block cuts across `xn--caf-dma` and `café`). */
+  val siteDocVectors: Seq[SiteDocVector] = Seq(
+    SiteDocVector(1, "https://a.example/p1", "a.example", Seq(
+      footer,
+      SiteBlock("", "Page one tells a long and unique story about " +
+        "mountain weather patterns in the north."),
+      SiteBlock("", "Too short."))),
+    SiteDocVector(2, "https://a.example/p2", "a.example", Seq(
+      weekly,
+      SiteBlock("", "Page two describes harvest seasons and the quiet " +
+        "rhythm of village markets in detail."),
+      weekly,
+      footer)),
+    SiteDocVector(3, "https://a.example/p3", "a.example", Seq(
+      SiteBlock("", "Page three explains the ancient craft of building " +
+        "wooden boats by hand on the coast."),
+      footer)),
+    SiteDocVector(4, "https://b.example/q1", "b.example", Seq(
+      footer,
+      SiteBlock("click here now", "for the full report on quarterly " +
+        "earnings and the outlook ahead"))),
+    SiteDocVector(5, "https://xn--caf-dma.example/r1", "café.example", Seq(
+      cafeWelcome,
+      SiteBlock("", "The roastery in the old town square opens at seven " +
+        "and closes after midnight."))),
+    SiteDocVector(6, "https://café.example/r2", "café.example", Seq(
+      SiteBlock("", "Our beans arrive each Tuesday from small farms in " +
+        "the southern highlands region."),
+      cafeWelcome)),
+    SiteDocVector(7, "/no/scheme", "", Seq(
+      SiteBlock("", "A page with no scheme still extracts its one " +
+        "substantial paragraph correctly."))))
+
+  /** Special pages outside the generated family: a zero-block page
+    * (main = empty string) and a null html (main = null). */
+  val siteSpecialDocs: Seq[(Int, String, String)] = Seq(
+    (90, "https://a.example/empty", "<div><script>var y = 2;</script></div>"),
+    (91, "https://a.example/missing", null))
+
+  /** The cross-page census threshold the registry row runs and the oracle
+    * law replays. */
+  val siteHostRepeatMin: Int = 2
+
+  /** VALUES literal (doc_id, host, block_idx, text, links, chars) of the
+    * generated pages' blocks, hosts hand-stated. */
+  val siteBlocksValuesSql: String = {
+    require(siteDocVectors.flatMap(_.blocks.map(_.text)).forall(t =>
+      !t.contains("'") && !t.contains("\n") && !t.contains("\r")),
+      "site block texts must be single-line and quote-free")
+    val rows = for {
+      v <- siteDocVectors
+      (b, idx) <- v.blocks.zipWithIndex
+    } yield s"(${v.docId}, '${v.expHost}', $idx, '${b.text}', " +
+      s"${nonWs(b.anchor)}, ${nonWs(b.text)})"
+    rows.mkString(", ")
+  }
+
+  /** VALUES literal (doc_id, has_html) over ALL site docs incl. the
+    * specials — the oracle's doc list (null html → null main). */
+  val siteDocsValuesSql: String =
+    (siteDocVectors.map(v => (v.docId, true)) ++
+      siteSpecialDocs.map { case (id, _, html) => (id, html != null) })
+      .map { case (id, h) => s"($id, $h)" }.mkString(", ")
 }
