@@ -64,21 +64,36 @@ object WebContent {
       maxLinkDensity: Double = 0.2,
       hostRepeatMin: Int = 2): DataFrame = {
     require(hostRepeatMin >= 2, "hostRepeatMin < 2 would cut every block")
-    val blocks = docs
-      .select(col(idCol), coalesce(Urls.urlHost(col(urlCol)), lit("")).as("__host"),
-        posexplode(WebExpressions.htmlBlocksOf(col(htmlCol))))
-      .select(col(idCol), col("__host"), col("pos").as("__idx"),
-        col("col.text").as("__text"), col("col.links").as("__links"),
-        col("col.chars").as("__chars"))
-      .withColumn("__bh", md5(col("__text")))
+    val blocks = blockRows(docs, idCol, urlCol, htmlCol)
     // the census: pages-per-(host, block) — only ids and hashes shuffle
     val boiler = blocks
       .groupBy(col("__host"), col("__bh"))
       .agg(countDistinct(col(idCol)).as("__pages"))
       .filter(col("__pages") >= hostRepeatMin)
       .select(col("__host"), col("__bh"))
-    val kept = blocks
-      .join(boiler, Seq("__host", "__bh"), "left_anti")
+    rebuild(docs, idCol, htmlCol,
+      blocks.join(boiler, Seq("__host", "__bh"), "left_anti"),
+      minChars, maxLinkDensity)
+  }
+
+  /** The exploded block frame both deployments run on:
+    * (idCol, __host, __idx, __text, __links, __chars, __bh). */
+  private def blockRows(
+      docs: DataFrame, idCol: String, urlCol: String, htmlCol: String): DataFrame =
+    docs
+      .select(col(idCol), coalesce(Urls.urlHost(col(urlCol)), lit("")).as("__host"),
+        posexplode(WebExpressions.htmlBlocksOf(col(htmlCol))))
+      .select(col(idCol), col("__host"), col("pos").as("__idx"),
+        col("col.text").as("__text"), col("col.links").as("__links"),
+        col("col.chars").as("__chars"))
+      .withColumn("__bh", md5(col("__text")))
+
+  /** Density-gate the surviving blocks and rebuild one main_text per
+    * input row (zero kept blocks → '', null html → null). */
+  private def rebuild(
+      docs: DataFrame, idCol: String, htmlCol: String,
+      survivors: DataFrame, minChars: Int, maxLinkDensity: Double): DataFrame = {
+    val kept = survivors
       .filter(col("__chars") >= lit(minChars) &&
         col("__links").cast("double") <=
           col("__chars").cast("double") * lit(maxLinkDensity))
@@ -93,5 +108,94 @@ object WebContent {
       .select(col(idCol),
         when(col(htmlCol).isNotNull, coalesce(col("main_text"), lit("")))
           .as("main_text"))
+  }
+
+  /** The standing-census rows a steady-state deployment persists: one
+    * (host, bh, page) row per distinct block occurrence per page —
+    * page = the id cast to string, so the store's schema is stable
+    * across caller id types. SET semantics: re-appending any subset is
+    * absorbed by the probe's distinct counting, the same crash-artifact
+    * posture as every curation store. */
+  def siteCensusRows(
+      docs: DataFrame, idCol: String, urlCol: String, htmlCol: String): DataFrame =
+    blockRows(docs, idCol, urlCol, htmlCol)
+      .select(col("__host").as("host"), col("__bh").as("bh"),
+        col(idCol).cast("string").as("page"))
+      .distinct()
+
+  /** Incremental result: `main` — (idCol, main_text) for the batch;
+    * `novelCensus` — the batch's census rows NOT already standing
+    * ((host, bh, page), [[siteCensusRows]] schema), the only append the
+    * standing store needs. */
+  final case class SiteIncResult(main: DataFrame, novelCensus: DataFrame)
+
+  /** STEADY-STATE twin of [[mainContentByHost]]: extract the batch's
+    * main content against a STANDING census ([[siteCensusRows]] rows of
+    * everything ingested so far) at O(batch) probe cost — the corpus is
+    * never re-read.
+    *
+    * Law, identical to the fresh operator restricted to the batch: a
+    * batch block cuts iff its (host, block) sits on ≥ `hostRepeatMin`
+    * distinct pages of the UNION of standing and batch census rows —
+    * so a standing template cuts a batch page that carries it, a block
+    * crossing the threshold only WITH the batch's own pages cuts too,
+    * and intra-batch repetition counts exactly once per page. What the
+    * incremental form cannot do (inherent to emit-once streams, the
+    * banded-tier trade): retroactively re-emit an INGESTED page whose
+    * block only now became boilerplate — its stored main text keeps the
+    * block; the census still advances, so every LATER page cuts it.
+    *
+    * Re-delivery converges: appending `novelCensus` and re-running the
+    * same batch yields the identical `main` (the batch's pages are then
+    * standing, so every count it contributed is simply read from the
+    * store instead of added) and an empty `novelCensus`.
+    *
+    * Scale shape: the standing store joins the batch's distinct
+    * (host, bh) keys — an equi-join the optimizer broadcasts when the
+    * batch is small; matched store rows are bounded by the matching
+    * keys' page lists, aggregated map-side to one count per key before
+    * touching batch rows. Novelty is one anti-join on (host, bh, page).
+    * Nothing corpus-sized shuffles, nothing collects.
+    */
+  def mainContentByHostIncremental(
+      batch: DataFrame,
+      idCol: String,
+      urlCol: String,
+      htmlCol: String,
+      censusStore: DataFrame,
+      minChars: Int = 70,
+      maxLinkDensity: Double = 0.2,
+      hostRepeatMin: Int = 2): SiteIncResult = {
+    require(hostRepeatMin >= 2, "hostRepeatMin < 2 would cut every block")
+    val blocks = blockRows(batch, idCol, urlCol, htmlCol)
+    val batchPages = blocks
+      .select(col("__host"), col("__bh"), col(idCol).cast("string").as("page"))
+      .distinct()
+    val keys = batchPages.select(col("__host"), col("__bh")).distinct()
+    // standing pages per batch key — the store never shuffles whole:
+    // only rows matching batch keys aggregate, map-side combined
+    val standing = censusStore
+      .join(keys, censusStore("host") === keys("__host") &&
+        censusStore("bh") === keys("__bh"))
+      .groupBy(col("host").as("__host"), col("bh").as("__bh"))
+      .agg(countDistinct(col("page")).as("__standing"))
+      .select(col("__host"), col("__bh"), col("__standing"))
+    val novelCensus = batchPages
+      .join(censusStore, batchPages("__host") === censusStore("host") &&
+        batchPages("__bh") === censusStore("bh") &&
+        batchPages("page") === censusStore("page"), "left_anti")
+      .select(col("__host").as("host"), col("__bh").as("bh"), col("page"))
+    val novel = novelCensus
+      .groupBy(col("host").as("__host"), col("bh").as("__bh"))
+      .agg(count(lit(1)).as("__novel"))
+      .select(col("__host"), col("__bh"), col("__novel"))
+    val boiler = standing.join(novel, Seq("__host", "__bh"), "full_outer")
+      .filter(coalesce(col("__standing"), lit(0L)) +
+        coalesce(col("__novel"), lit(0L)) >= hostRepeatMin)
+      .select(col("__host"), col("__bh"))
+    val main = rebuild(batch, idCol, htmlCol,
+      blocks.join(boiler, Seq("__host", "__bh"), "left_anti"),
+      minChars, maxLinkDensity)
+    SiteIncResult(main, novelCensus)
   }
 }

@@ -133,6 +133,28 @@ private[graft] object RegistryEvents {
         .select(col("doc_id"),
           regexp_replace(col("main_text"), "\n", "<NL>").as("main_nl"))
     }),
+    // the steady-state twin: the batch extracts against a STANDING
+    // census (docs 1-4 staged as census rows) at O(batch) probe cost;
+    // the oracle replays the corpus-wide law (census over standing UNION
+    // batch) restricted to the batch — standing-driven, accumulated, and
+    // intra-batch cuts all pinned
+    "x_warc_main_site_incremental" -> ((s, _) => {
+      import s.implicits._
+      val standing = WebVectors.siteDocVectors
+        .filter(_.docId <= WebVectors.siteIncStandingMaxId)
+        .map(v => (v.docId, v.url, v.html)).toDF("doc_id", "url", "html")
+      val census = graft.operators.WebContent.siteCensusRows(
+        standing, "doc_id", "url", "html")
+      val batch = (WebVectors.siteIncBatchVectors.map(v => (v.docId, v.url, v.html)) ++
+        WebVectors.siteIncSpecialDocs).toDF("doc_id", "url", "html")
+      graft.operators.WebContent.mainContentByHostIncremental(
+        batch, "doc_id", "url", "html", census,
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+        WebVectors.siteHostRepeatMin)
+        .main
+        .select(col("doc_id"),
+          regexp_replace(col("main_text"), "\n", "<NL>").as("main_nl"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -285,6 +307,38 @@ private[graft] object RegistryEvents {
          |), kept AS (
          |  SELECT b.doc_id, b.block_idx, b.text
          |  FROM blocks b LEFT JOIN boiler o
+         |    ON b.host = o.host AND b.text = o.text
+         |  WHERE o.text IS NULL AND b.chars >= ${WebVectors.mainMinChars}
+         |    AND b.links <= b.chars * ${WebVectors.mainMaxLinkDensity}
+         |), agg AS (
+         |  SELECT doc_id, string_agg(text, '<NL>' ORDER BY block_idx) AS m
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN NOT d.has_html THEN NULL
+         |            ELSE coalesce(a.m, '') END AS main_nl
+         |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // the corpus-wide law over standing UNION batch, restricted to the
+    // batch — exactly what the incremental probe must reproduce
+    "x_warc_main_site_incremental" ->
+      s"""WITH standing AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteBlocksValuesSql})
+         |    t(doc_id, host, block_idx, text, links, chars)
+         |  WHERE doc_id <= ${WebVectors.siteIncStandingMaxId}
+         |), batch AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteIncBlocksValuesSql})
+         |    t(doc_id, host, block_idx, text, links, chars)
+         |), docs AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteIncDocsValuesSql}) d(doc_id, has_html)
+         |), boiler AS (
+         |  SELECT host, text FROM (
+         |    SELECT host, text, doc_id FROM standing
+         |    UNION ALL SELECT host, text, doc_id FROM batch
+         |  ) GROUP BY host, text
+         |  HAVING count(DISTINCT doc_id) >= ${WebVectors.siteHostRepeatMin}
+         |), kept AS (
+         |  SELECT b.doc_id, b.block_idx, b.text
+         |  FROM batch b LEFT JOIN boiler o
          |    ON b.host = o.host AND b.text = o.text
          |  WHERE o.text IS NULL AND b.chars >= ${WebVectors.mainMinChars}
          |    AND b.links <= b.chars * ${WebVectors.mainMaxLinkDensity}

@@ -220,4 +220,58 @@ private[graft] object WebVectors {
     (siteDocVectors.map(v => (v.docId, true)) ++
       siteSpecialDocs.map { case (id, _, html) => (id, html != null) })
       .map { case (id, h) => s"($id, $h)" }.mkString(", ")
+
+  // ---- steady-state (incremental) site-census vectors ----
+
+  /** The standing corpus of the incremental family: site docs 1–4 (the
+    * host-A trio + the host-B page — `siteBlocksValuesSql` filtered to
+    * `doc_id <= 4` on the oracle side). */
+  val siteIncStandingMaxId: Int = 4
+
+  private val signup = SiteBlock("", "Sign up today and receive a free " +
+    "starter guide with every new account you open.")
+
+  /** The batch: coverage of every census source — doc 20 cut by STANDING
+    * counts alone (host-A footer already on 3 ingested pages), doc 21 cut
+    * by standing+batch ACCUMULATION (host-B footer: 1 standing + this
+    * page = threshold), docs 22/23 cut by INTRA-BATCH repetition on a
+    * host the store has never seen. */
+  val siteIncBatchVectors: Seq[SiteDocVector] = Seq(
+    SiteDocVector(20, "https://a.example/p4", "a.example", Seq(
+      footer,
+      SiteBlock("", "Page four compares steel and aluminium frames " +
+        "across a decade of touring mileage."))),
+    SiteDocVector(21, "https://b.example/q2", "b.example", Seq(footer)),
+    SiteDocVector(22, "https://c.example/n1", "c.example", Seq(
+      signup,
+      SiteBlock("", "North branch news covers the harbour expansion and " +
+        "its effect on morning traffic."))),
+    SiteDocVector(23, "https://c.example/n2", "c.example", Seq(
+      SiteBlock("", "South branch news reviews the night market and the " +
+        "new ferry timetable changes."),
+      signup)))
+
+  /** The batch's null-html special (main = null). */
+  val siteIncSpecialDocs: Seq[(Int, String, String)] = Seq(
+    (24, "https://c.example/missing", null))
+
+  /** VALUES literal (doc_id, host, block_idx, text, links, chars) of the
+    * batch pages' blocks. */
+  val siteIncBlocksValuesSql: String = {
+    require(siteIncBatchVectors.flatMap(_.blocks.map(_.text)).forall(t =>
+      !t.contains("'") && !t.contains("\n") && !t.contains("\r")),
+      "site batch block texts must be single-line and quote-free")
+    val rows = for {
+      v <- siteIncBatchVectors
+      (b, idx) <- v.blocks.zipWithIndex
+    } yield s"(${v.docId}, '${v.expHost}', $idx, '${b.text}', " +
+      s"${nonWs(b.anchor)}, ${nonWs(b.text)})"
+    rows.mkString(", ")
+  }
+
+  /** VALUES literal (doc_id, has_html) of the batch's doc list. */
+  val siteIncDocsValuesSql: String =
+    (siteIncBatchVectors.map(v => (v.docId, true)) ++
+      siteIncSpecialDocs.map { case (id, _, html) => (id, html != null) })
+      .map { case (id, h) => s"($id, $h)" }.mkString(", ")
 }

@@ -63,4 +63,56 @@ class WebContentSpec extends SparkSpec {
       "doc_id", "url", "html").queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- steady-state twin ----
+
+  private def standingDocsDf = WebVectors.siteDocVectors
+    .filter(_.docId <= WebVectors.siteIncStandingMaxId)
+    .map(v => (v.docId, v.url, v.html)).toDF("doc_id", "url", "html")
+
+  private def batchDf = (WebVectors.siteIncBatchVectors
+    .map(v => (v.docId, v.url, v.html)) ++ WebVectors.siteIncSpecialDocs)
+    .toDF("doc_id", "url", "html")
+
+  private def incRun(census: org.apache.spark.sql.DataFrame) =
+    WebContent.mainContentByHostIncremental(batchDf, "doc_id", "url", "html",
+      census, WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+      WebVectors.siteHostRepeatMin)
+
+  test("incremental equals the fresh operator restricted to the batch") {
+    val census = WebContent.siteCensusRows(standingDocsDf, "doc_id", "url", "html")
+    val inc = incRun(census).main
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    val freshAll = WebContent.mainContentByHost(
+        standingDocsDf.unionByName(batchDf), "doc_id", "url", "html",
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+        WebVectors.siteHostRepeatMin)
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    val batchIds = WebVectors.siteIncBatchVectors.map(_.docId) ++
+      WebVectors.siteIncSpecialDocs.map(_._1)
+    for (id <- batchIds) assert(inc(id) === freshAll(id), s"doc $id")
+    // the three census sources, stated: standing-driven, accumulated,
+    // intra-batch
+    assert(!inc(20).get.contains("This website"), "host-A footer cut by standing counts")
+    assert(inc(21) === Some(""), "host-B footer cut by standing+batch accumulation")
+    assert(!inc(22).get.contains("Sign up") && !inc(23).get.contains("Sign up"),
+      "intra-batch repetition on an unseen host cuts both pages")
+    assert(inc(24) === None)
+  }
+
+  test("re-delivery converges: append novelty, re-run, identical main and empty novelty") {
+    val census = WebContent.siteCensusRows(standingDocsDf, "doc_id", "url", "html")
+    val first = incRun(census)
+    val firstMain = first.main.collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    val grown = census.unionByName(first.novelCensus)
+    val second = incRun(grown)
+    val secondMain = second.main.collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(secondMain === firstMain, "the batch's own counts read from the store")
+    assert(second.novelCensus.count() === 0)
+    // novelty never re-states a standing row
+    assert(first.novelCensus.join(census,
+      Seq("host", "bh", "page"), "left_semi").count() === 0)
+  }
 }
