@@ -218,6 +218,16 @@ class WebKernelsSpec extends SparkSpec {
     assert(blocksOf(html) === Seq(("out in still done &co", 10, 17)))
   }
 
+  test("anchor recognition edges: quoted trailing slash, unquoted value ending />, CAPS tags") {
+    assert(blocksOf("<p>x <a href=\"a/\">inside</a> y</p>") === Seq(("x inside y", 6, 8)),
+      "a '/' INSIDE a quoted attribute value does not self-close the anchor")
+    assert(blocksOf("<p>x <a href=x/>notlink</p>") === Seq(("x notlink", 0, 8)),
+      "an unquoted value ending in /> reads self-closed — the documented " +
+        "lenient subset (a browser would parse href as x/)")
+    assert(blocksOf("<p><A HREF=\"x\">CAPS</A> after</p>") === Seq(("CAPS after", 4, 9)),
+      "tag names are case-insensitive")
+  }
+
   test("main-content selection: body kept (links included), nav/footer/farm dropped") {
     import graft.registry.WebVectors
     val v1 = WebVectors.htmlBlockVectors.find(_.vecId == 1).get
