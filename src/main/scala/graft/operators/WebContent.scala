@@ -198,4 +198,28 @@ object WebContent {
       minChars, maxLinkDensity)
     SiteIncResult(main, novelCensus)
   }
+
+  /** TAKEDOWN of pages from a standing census — the erasure twin of
+    * [[siteCensusRows]] ([[Curation.curateStateTakedown]]'s posture at
+    * this store): when pages leave the corpus (copyright takedown,
+    * right-to-be-forgotten), their census rows must leave too, and the
+    * law must RE-OPEN honestly — a block whose page count drops below
+    * `hostRepeatMin` stops being boilerplate, so later pages carrying it
+    * keep it again (no legacy suppression: the census never remembers
+    * erased pages). One anti-join on the page key — the store rows are
+    * keyed by page, so erasure needs no census recount; idempotent on
+    * never-stored ids. Callers persist the result through their store's
+    * swap/snapshot convention.
+    *
+    * @param removedIds one column of page ids (any type — cast to string
+    *        exactly as [[siteCensusRows]] casts them)
+    */
+  def siteCensusTakedown(
+      censusStore: DataFrame,
+      removedIds: DataFrame,
+      idCol: String): DataFrame =
+    censusStore.join(
+      removedIds.select(col(idCol).cast("string").as("page")).distinct(),
+      Seq("page"), "left_anti")
+      .select(col("host"), col("bh"), col("page"))
 }

@@ -155,6 +155,29 @@ private[graft] object RegistryEvents {
         .select(col("doc_id"),
           regexp_replace(col("main_text"), "\n", "<NL>").as("main_nl"))
     }),
+    // census takedown + re-opening: erase all host-A standing pages,
+    // then a new host-A page KEEPS the former template (count below the
+    // threshold — no legacy suppression) while host B's retained row
+    // still accumulates to a cut on its new page
+    "x_warc_main_site_takedown" -> ((s, _) => {
+      import s.implicits._
+      val standing = WebVectors.siteDocVectors
+        .filter(_.docId <= WebVectors.siteIncStandingMaxId)
+        .map(v => (v.docId, v.url, v.html)).toDF("doc_id", "url", "html")
+      val purged = graft.operators.WebContent.siteCensusTakedown(
+        graft.operators.WebContent.siteCensusRows(standing, "doc_id", "url", "html"),
+        WebVectors.siteTakedownRemovedIds.toDF("doc_id"), "doc_id")
+      val batch = WebVectors.siteIncBatchVectors
+        .filter(_.docId <= WebVectors.siteTakedownBatchMaxId)
+        .map(v => (v.docId, v.url, v.html)).toDF("doc_id", "url", "html")
+      graft.operators.WebContent.mainContentByHostIncremental(
+        batch, "doc_id", "url", "html", purged,
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+        WebVectors.siteHostRepeatMin)
+        .main
+        .select(col("doc_id"),
+          regexp_replace(col("main_text"), "\n", "<NL>").as("main_nl"))
+    }),
     "x_media_meta" -> ((s, d) =>
       Multimodal.decodeMetaSql(Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text"))),
     "x_media_frames" -> ((s, d) =>
@@ -330,6 +353,40 @@ private[graft] object RegistryEvents {
          |    t(doc_id, host, block_idx, text, links, chars)
          |), docs AS (
          |  SELECT * FROM (VALUES ${WebVectors.siteIncDocsValuesSql}) d(doc_id, has_html)
+         |), boiler AS (
+         |  SELECT host, text FROM (
+         |    SELECT host, text, doc_id FROM standing
+         |    UNION ALL SELECT host, text, doc_id FROM batch
+         |  ) GROUP BY host, text
+         |  HAVING count(DISTINCT doc_id) >= ${WebVectors.siteHostRepeatMin}
+         |), kept AS (
+         |  SELECT b.doc_id, b.block_idx, b.text
+         |  FROM batch b LEFT JOIN boiler o
+         |    ON b.host = o.host AND b.text = o.text
+         |  WHERE o.text IS NULL AND b.chars >= ${WebVectors.mainMinChars}
+         |    AND b.links <= b.chars * ${WebVectors.mainMaxLinkDensity}
+         |), agg AS (
+         |  SELECT doc_id, string_agg(text, '<NL>' ORDER BY block_idx) AS m
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |       CASE WHEN NOT d.has_html THEN NULL
+         |            ELSE coalesce(a.m, '') END AS main_nl
+         |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // the union census over (standing MINUS removed) and the batch —
+    // erased pages never count, retained pages still do
+    "x_warc_main_site_takedown" ->
+      s"""WITH standing AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteBlocksValuesSql})
+         |    t(doc_id, host, block_idx, text, links, chars)
+         |  WHERE doc_id <= ${WebVectors.siteIncStandingMaxId}
+         |    AND doc_id NOT IN (${WebVectors.siteTakedownRemovedIds.mkString(", ")})
+         |), batch AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteIncBlocksValuesSql})
+         |    t(doc_id, host, block_idx, text, links, chars)
+         |  WHERE doc_id <= ${WebVectors.siteTakedownBatchMaxId}
+         |), docs AS (
+         |  SELECT * FROM (VALUES ${WebVectors.siteTakedownDocsValuesSql}) d(doc_id, has_html)
          |), boiler AS (
          |  SELECT host, text FROM (
          |    SELECT host, text, doc_id FROM standing

@@ -274,4 +274,20 @@ private[graft] object WebVectors {
     (siteIncBatchVectors.map(v => (v.docId, true)) ++
       siteIncSpecialDocs.map { case (id, _, html) => (id, html != null) })
       .map { case (id, h) => s"($id, $h)" }.mkString(", ")
+
+  /** The census-takedown family: erase ALL host-A standing pages (the
+    * footer's count drops 3 → 0, so a new host-A page KEEPS it — the
+    * re-opening law) while host B's page stays (its footer count still
+    * accumulates to the threshold with the new host-B page — retained
+    * rows keep counting). */
+  val siteTakedownRemovedIds: Seq[Int] = Seq(1, 2, 3)
+
+  /** The takedown row's batch: the host-A and host-B pages of the
+    * incremental family (docs 20 and 21). */
+  val siteTakedownBatchMaxId: Int = 21
+
+  /** VALUES literal (doc_id, has_html) of the takedown row's batch. */
+  val siteTakedownDocsValuesSql: String =
+    siteIncBatchVectors.filter(_.docId <= siteTakedownBatchMaxId)
+      .map(v => s"(${v.docId}, true)").mkString(", ")
 }

@@ -100,6 +100,36 @@ class WebContentSpec extends SparkSpec {
     assert(inc(24) === None)
   }
 
+  test("takedown re-opens the law: erased pages never count, retained pages still do") {
+    val census = WebContent.siteCensusRows(standingDocsDf, "doc_id", "url", "html")
+    val purged = WebContent.siteCensusTakedown(census,
+      WebVectors.siteTakedownRemovedIds.toDF("doc_id"), "doc_id")
+    val batch = WebVectors.siteIncBatchVectors
+      .filter(_.docId <= WebVectors.siteTakedownBatchMaxId)
+      .map(v => (v.docId, v.url, v.html)).toDF("doc_id", "url", "html")
+    val got = WebContent.mainContentByHostIncremental(batch, "doc_id", "url", "html",
+        purged, WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+        WebVectors.siteHostRepeatMin)
+      .main.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(20).contains("This website"),
+      "all host-A pages erased: the footer is no longer a template there")
+    assert(got(21) === "",
+      "host B's page was retained: its footer still accumulates to a cut")
+    // ≡ the fresh operator over the SURVIVING corpus restricted to the batch
+    val survivors = standingDocsDf
+      .filter(!col("doc_id").isin(WebVectors.siteTakedownRemovedIds: _*))
+      .unionByName(batch)
+    val fresh = WebContent.mainContentByHost(survivors, "doc_id", "url", "html",
+        WebVectors.mainMinChars, WebVectors.mainMaxLinkDensity,
+        WebVectors.siteHostRepeatMin)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    for (id <- Seq(20, 21)) assert(got(id) === fresh(id), s"doc $id")
+    // idempotent: ghost ids and double takedown are no-ops
+    val again = WebContent.siteCensusTakedown(purged,
+      (WebVectors.siteTakedownRemovedIds ++ Seq(777)).toDF("doc_id"), "doc_id")
+    assert(again.count() === purged.count())
+  }
+
   test("re-delivery converges: append novelty, re-run, identical main and empty novelty") {
     val census = WebContent.siteCensusRows(standingDocsDf, "doc_id", "url", "html")
     val first = incRun(census)
