@@ -848,4 +848,84 @@ object Curation {
     CurationState(purgedDigests, purgedCanonical, purgedBands,
       purgedFps, purgedLabels)
   }
+
+  /** TAKEDOWN over the STREAMING loop's delta-generation snapshot layout
+    * — the erasure twin of [[graft.streaming.StreamingHistorization
+    * .curateMaintainStream]]'s `nearCc` mode, closing the carried gap
+    * [[commitCurationSnapshot]] documented ("compact to a full snapshot
+    * first"): the compaction IS the takedown commit. The newest manifest
+    * resolves the pinned state (delta stores as their `[base, pin]`
+    * union, labels at its pin), [[curateStateTakedown]] purges it, and
+    * the purged FULL content commits as ONE REBASED snapshot
+    * ([[graft.sources.Store.commitSnapshot]] `rebase`): each delta
+    * store's new generation is a full snapshot AND its own base, so
+    * snapshot readers stop unioning the pre-takedown deltas (which still
+    * hold the removed keys — they now back only older manifests, and a
+    * compliance deployment follows with [[graft.sources.Store
+    * .purgeSnapshot]] to scrub that history).
+    *
+    * Crash contract inherited whole: stores write first, manifest last —
+    * a crash anywhere leaves the prior manifest pinning the intact
+    * pre-takedown state, and the orphan full generations sit above its
+    * pins (invisible; a later delta commit that unions one sees only
+    * duplicate rows of standing content, the documented artifact class).
+    * Re-running the takedown converges. The streaming loop resumes on
+    * the rebased snapshot unchanged: it carries bases forward through
+    * [[graft.sources.Store.readManifestPins]] on every commit.
+    *
+    * The loop must be QUIESCED across the call (the
+    * [[graft.sources.Store.purgeGenerations]] contract): a batch racing
+    * the takedown could commit a manifest the takedown never read.
+    *
+    * @param censusPath the site-census delta store, when the loop runs
+    *                   the site-content tier ([[WebContent
+    *                   .siteCensusTakedown]] purges it by page id in the
+    *                   same atomic commit)
+    * @return the committed manifest generation; None when no snapshot
+    *         has ever committed (nothing standing to take down)
+    */
+  def curateTakedownSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String,
+      digestPath: String,
+      fpsPath: String,
+      labelsPath: String,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      canonicalPath: Option[String] = None,
+      removedUrls: Option[(DataFrame, String)] = None,
+      censusPath: Option[String] = None,
+      strict: Boolean = false,
+      keep: Int = Int.MaxValue): Option[Long] = {
+    val deltaPaths = Map("digests" -> digestPath, "fps" -> fpsPath) ++
+      canonicalPath.map("canonical" -> _) ++ censusPath.map("census" -> _)
+    graft.sources.Store.readSnapshotDeltas(
+      spark, manifestPath, deltaPaths, Map("labels" -> labelsPath)).map { case (_, m) =>
+      // delta unions can carry orphan-generation duplicates; the rebased
+      // generation is the store's SET, so dedup each on its row key
+      val state = CurationState(
+        m("digests").select(col("content_hash")).distinct(),
+        canonicalPath.map(_ => m("canonical").select(col("canonical_url")).distinct()),
+        None,
+        Some(m("fps").select(col("id"), col("fp"), col("blk"), col("bval"))
+          .dropDuplicates(Seq("id", "blk"))),
+        Some(m("labels").select(col("id"), col("cluster_id"))))
+      val purged = curateStateTakedown(
+        state, removed, idCol, textCol, removedUrls, strict)
+      val purgedCensus = censusPath.map { _ =>
+        WebContent.siteCensusTakedown(
+          m("census").select(col("host"), col("bh"), col("page")).distinct(),
+          removed, idCol)
+      }
+      val stores = Seq(
+        ("digests", digestPath, purged.knownDigests),
+        ("fps", fpsPath, purged.fpIndex.get),
+        ("labels", labelsPath, purged.ccLabels.get)) ++
+        canonicalPath.map(p => ("canonical", p, purged.knownCanonical.get)) ++
+        censusPath.zip(purgedCensus).map { case (p, c) => ("census", p, c) }
+      graft.sources.Store.commitSnapshot(spark, manifestPath, stores,
+        keep = keep, rebase = deltaPaths.keySet)
+    }
+  }
 }

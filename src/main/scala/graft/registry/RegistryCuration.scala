@@ -216,6 +216,50 @@ private[graft] object RegistryCuration {
       buildScratch(s, "curate_takedown_bands")(purged.bandIndex.get)
       buildScratch(s, "curate_takedown_digests")(purged.knownDigests)
     }),
+    // TAKEDOWN over the STREAMING loop's delta-generation snapshot
+    // layout: the staged CC state is committed as TWO delta generations
+    // per store (the micro-batch layout — each commit holds one batch's
+    // novelty, the pinned content is their union), then
+    // curateTakedownSnapshot purges and REBASES it in one atomic
+    // manifest commit — no compact-to-full first. The digest store read
+    // back through the rebased snapshot is the oracle (the same
+    // set-subtraction law as x_curate_state_takedown, arrived at through
+    // the delta-union + rebase machinery instead of a full-store
+    // rewrite); the fps/labels/canonical purges, the crash window, and
+    // the base carry-forward are spec-pinned in StreamingSpec. Fresh
+    // scratch each run — takedown mutates, staged stores are immutable —
+    // so the row prices the honest 2-commit + purge + rebase pass
+    "x_curate_takedown_snapshot" -> ((s, d) => {
+      val path = s"/tmp/graft_scratch/curate_td_snap_${dirTag(d, "documents")}"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val st = stagedCurateCcState(s, d)
+      def half(df: DataFrame, key: org.apache.spark.sql.Column, even: Boolean) =
+        df.filter(pmod(crc32(key.cast("string")), lit(2))
+          === lit(if (even) 0 else 1))
+      def commit(even: Boolean): Unit = {
+        Store.commitSnapshot(s, s"$path/m", Seq(
+          ("digests", s"$path/digests",
+            half(st.knownDigests, col("content_hash"), even)),
+          ("canonical", s"$path/canon",
+            half(st.knownCanonical.get, coalesce(col("canonical_url"), lit("")), even)),
+          ("fps", s"$path/fps", half(st.fpIndex.get, col("id"), even)),
+          ("labels", s"$path/labels", st.ccLabels.get)), keep = Int.MaxValue)
+        ()
+      }
+      commit(true); commit(false)
+      val removed = curateIncIngested(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id"), col("text"))
+      Curation.curateTakedownSnapshot(s, s"$path/m",
+        s"$path/digests", s"$path/fps", s"$path/labels",
+        removed, "doc_id", "text",
+        canonicalPath = Some(s"$path/canon"),
+        removedUrls = Some((curateIncUrls(removed), "url")))
+      Store.readSnapshotDeltas(s, s"$path/m",
+        Map("digests" -> s"$path/digests"), Map.empty).get._2("digests")
+    }),
     // prefix-build accounting row: the honest cost of the staged
     // curation prefix the five gated rows above amortize (quality
     // metrics + model score + language + content hash + contamination
@@ -298,6 +342,17 @@ private[graft] object RegistryCuration {
          |  SELECT s.doc_id, md5(coalesce(CAST(s.text AS VARCHAR), 'nan')) AS content_hash
          |  FROM src s JOIN base USING (doc_id)
          |)""".stripMargin
+
+  /** Shared by the two takedown rows: the standing digest set minus the
+    * removed docs' content hashes — one law, two storage routes (swap
+    * rewrite vs delta-snapshot rebase). */
+  private lazy val duckTakedownDigestsSql: String =
+    s"""WITH $duckCurateIncPrefixBody
+       |SELECT DISTINCT content_hash FROM hashed
+       |WHERE doc_id < 10000
+       |  AND content_hash NOT IN (
+       |    SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan'))
+       |    FROM src WHERE doc_id < 10000 AND doc_id % 10 = 2)""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // the staged prefix's FULL CONTENT replayed: quality keep predicate
@@ -454,13 +509,11 @@ private[graft] object RegistryCuration {
     // statement) minus the removed ingested docs' content hashes — key
     // derivation mirrors ingestion (same md5-coalesce form), removal is
     // set subtraction whether or not the key was ever stored
-    "x_curate_state_takedown" ->
-      s"""WITH $duckCurateIncPrefixBody
-         |SELECT DISTINCT content_hash FROM hashed
-         |WHERE doc_id < 10000
-         |  AND content_hash NOT IN (
-         |    SELECT md5(coalesce(CAST(text AS VARCHAR), 'nan'))
-         |    FROM src WHERE doc_id < 10000 AND doc_id % 10 = 2)""".stripMargin,
+    "x_curate_state_takedown" -> duckTakedownDigestsSql,
+    // the SAME set-subtraction law, arrived at through the delta-layout
+    // snapshot machinery (two delta commits unioned, purged, rebased):
+    // the storage route differs, the standing-content law cannot
+    "x_curate_takedown_snapshot" -> duckTakedownDigestsSql,
     // the CC law AS the oracle: the corpus-wide composition with the
     // TRANSITIVE simhash-CC election (fingerprints over the gated docs,
     // pigeonhole pairs restricted to exact survivors — blocking commutes

@@ -722,24 +722,74 @@ object Store {
     * generation; a purge or out-of-band commit breaks that alignment, so
     * size `keep` to the oldest manifest you still serve).
     *
+    * BASE generations (the delta-store rebase axis): each pin carries a
+    * `base` generation, and [[readSnapshotDeltas]] unions only the delta
+    * generations in `[base, pin]`. Base 0 (the default — generations
+    * start at 1) means "from the beginning", i.e. the plain delta-union
+    * read. A store named in `rebase` records ITS OWN newly committed
+    * generation as the base: the committed content is a FULL snapshot of
+    * the store and every earlier delta stops being part of the pinned
+    * content — how a compaction or a delta-layout takedown
+    * ([[graft.operators.Curation.curateTakedownSnapshot]]) rewrites an
+    * append-only history without rewriting it. `bases` carries existing
+    * bases FORWARD on ordinary delta commits (a loop that ever rebased
+    * must keep pinning that base, or the next commit would resurrect the
+    * pre-base rows); read them with [[readManifestPins]]. Manifests
+    * written before this column existed read as base 0 everywhere.
+    *
     * @param stores (name, root path, content) per store; name is the key
     *               readers use
+    * @param bases  name -> base generation to record (absent -> 0)
+    * @param rebase stores whose committed generation IS the new base —
+    *               their content must be the full store, not a delta
     * @return the committed manifest generation
     */
   def commitSnapshot(
       spark: SparkSession,
       manifestPath: String,
       stores: Seq[(String, String, DataFrame)],
-      keep: Int = 2): Long = {
+      keep: Int = 2,
+      bases: Map[String, Long] = Map.empty,
+      rebase: Set[String] = Set.empty): Long = {
     import spark.implicits._
     require(stores.nonEmpty, "a snapshot needs at least one store")
     require(stores.map(_._1).distinct.size == stores.size, "store names must be unique")
+    val names = stores.map(_._1).toSet
+    require((bases.keySet ++ rebase).subsetOf(names),
+      s"bases/rebase name stores outside this commit: " +
+        s"${(bases.keySet ++ rebase).diff(names).mkString(", ")}")
+    require(bases.keySet.intersect(rebase).isEmpty,
+      "a store cannot both carry a base and rebase — the rebase IS its new base")
     val pins = stores.map { case (name, path, df) =>
-      (name, writeStoreGeneration(df, path, keep = keep))
+      val g = writeStoreGeneration(df, path, keep = keep)
+      (name, g, if (rebase(name)) g else bases.getOrElse(name, 0L))
     }
     // one row per store — a driver-sized frame by construction
-    writeStoreGeneration(pins.toDF("store", "generation").coalesce(1),
+    writeStoreGeneration(pins.toDF("store", "generation", "base").coalesce(1),
       manifestPath, keep = keep)
+  }
+
+  /** The pin rows of one manifest generation: name -> (pinned generation,
+    * base generation), resolved at the newest committed manifest or a
+    * `manifestGen` pin. Base is 0 for manifests written before the base
+    * column existed (and for never-rebased stores) — the "union every
+    * delta" read. This is what a loop committing through
+    * [[commitSnapshot]] reads to CARRY bases forward. None when no
+    * manifest has committed. */
+  def readManifestPins(
+      spark: SparkSession,
+      manifestPath: String,
+      manifestGen: Option[Long] = None): Option[(Long, Map[String, (Long, Long)])] = {
+    val resolved = manifestGen.orElse(listGenerations(spark, manifestPath).lastOption)
+    resolved.map { g =>
+      val df = readStoreGeneration(spark, manifestPath, g)
+      val withBase =
+        if (df.columns.contains("base")) df.select("store", "generation", "base")
+        else df.select(col("store"), col("generation"),
+          org.apache.spark.sql.functions.lit(0L).as("base"))
+      g -> withBase.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
   }
 
   /** Read a consistent cross-store snapshot: resolve the manifest (the
@@ -759,16 +809,12 @@ object Store {
       manifestPath: String,
       paths: Map[String, String],
       manifestGen: Option[Long] = None): Option[(Long, Map[String, DataFrame])] = {
-    val resolved = manifestGen.orElse(listGenerations(spark, manifestPath).lastOption)
-    resolved.map { g =>
-      val pins = readStoreGeneration(spark, manifestPath, g)
-        .select("store", "generation")
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // one row per store
+    readManifestPins(spark, manifestPath, manifestGen).map { case (g, pins) =>
       val missing = paths.keySet.diff(pins.keySet)
       require(missing.isEmpty,
         s"manifest generation $g of $manifestPath does not pin: ${missing.mkString(", ")}")
       g -> paths.map { case (name, root) =>
-        name -> readStoreGeneration(spark, root, pins(name))
+        name -> readStoreGeneration(spark, root, pins(name)._1)
       }
     }
   }
@@ -793,7 +839,10 @@ object Store {
     * The union reads as ONE multi-path parquet relation, so the plan does
     * not grow a node per pass; retention for delta roots must be
     * unbounded (pruning an old delta generation deletes data, unlike a
-    * full-content store where only history is lost).
+    * full-content store where only history is lost) — until a REBASE
+    * ([[commitSnapshot]]'s `rebase`) pins a base generation, after which
+    * the pinned content is the union of `[base, pin]` only and the
+    * pre-base generations back nothing but older manifests.
     */
   def readSnapshotDeltas(
       spark: SparkSession,
@@ -801,20 +850,18 @@ object Store {
       deltaPaths: Map[String, String],
       fullPaths: Map[String, String],
       manifestGen: Option[Long] = None): Option[(Long, Map[String, DataFrame])] = {
-    val resolved = manifestGen.orElse(listGenerations(spark, manifestPath).lastOption)
-    resolved.map { g =>
-      val pins = readStoreGeneration(spark, manifestPath, g)
-        .select("store", "generation")
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // one row per store
+    readManifestPins(spark, manifestPath, manifestGen).map { case (g, pins) =>
       val missing = (deltaPaths.keySet ++ fullPaths.keySet).diff(pins.keySet)
       require(missing.isEmpty,
         s"manifest generation $g of $manifestPath does not pin: ${missing.mkString(", ")}")
       val full = fullPaths.map { case (name, root) =>
-        name -> readStoreGeneration(spark, root, pins(name))
+        name -> readStoreGeneration(spark, root, pins(name)._1)
       }
       val deltas = deltaPaths.map { case (name, root) =>
-        val gens = listGenerations(spark, root).filter(_ <= pins(name))
-        require(gens.nonEmpty, s"no committed generations at $root up to pin ${pins(name)}")
+        val (pin, base) = pins(name)
+        val gens = listGenerations(spark, root).filter(x => x >= base && x <= pin)
+        require(gens.nonEmpty,
+          s"no committed generations at $root in [$base, $pin]")
         name -> spark.read.parquet(gens.map(generationPath(root, _)): _*)
       }
       g -> (full ++ deltas)
@@ -872,22 +919,21 @@ object Store {
     val fs = FileSystem.get(new URI(manifestPath), spark.sparkContext.hadoopConfiguration)
     val root = new Path(manifestPath)
     val manifestMapping = preManifests.map { m =>
-      val pins = readStoreGeneration(spark, manifestPath, m)
-        .select("store", "generation")
-        .collect().map(r => r.getString(0) -> r.getLong(1)) // one row per store
-      val remapped = pins.map { case (name, gen) =>
+      val pins = readManifestPins(spark, manifestPath, Some(m)).get._2.toSeq
+      val remapped = pins.map { case (name, (gen, base)) =>
         mappings.get(name) match {
-          case None => (name, gen) // a store this purge was not asked to touch
-          case Some(mapping) => mapping.get(gen) match {
-            case Some(ng) => (name, ng)
-            case None => throw new IllegalStateException(
-              s"manifest generation $m of $manifestPath pins $name@$gen, which was pruned " +
-                "before this purge — refusing to guess what it meant")
-          }
+          case None => (name, gen, base) // a store this purge was not asked to touch
+          case Some(mapping) =>
+            def remap(g: Long, what: String): Long =
+              if (g == 0L) 0L // base 0 = "from the beginning", not a directory
+              else mapping.getOrElse(g, throw new IllegalStateException(
+                s"manifest generation $m of $manifestPath pins $name $what $g, which was " +
+                  "pruned before this purge — refusing to guess what it meant"))
+            (name, remap(gen, "at"), remap(base, "based at"))
         }
       }
       val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
-      writeStore(remapped.toSeq.toDF("store", "generation").coalesce(1), build.toString, Nil)
+      writeStore(remapped.toDF("store", "generation", "base").coalesce(1), build.toString, Nil)
       m -> commitGeneration(fs, root, build)
     }.toMap
     // phase 3: grace for in-flight readers, then prune everything

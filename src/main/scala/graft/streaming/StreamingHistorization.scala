@@ -308,10 +308,33 @@ object StreamingHistorization {
     * includes the batch, the exact tier absorbs it and survivors
     * recompute empty, so out written any later would lose rows.
     *
+    * SITE-CONTENT TIER — `siteTier = (urlCol, censusPath, minChars,
+    * maxLinkDensity, hostRepeatMin)`: when the stream carries raw HTML
+    * (`textCol` is then the HTML column), each batch first extracts main
+    * content against the STANDING site census ([[graft.operators
+    * .WebContent.mainContentByHostIncremental]] — standing templates cut
+    * new pages at batch probe cost) and every downstream stage runs over
+    * the extracted `main_text` in `textCol`'s place, so the digests,
+    * fingerprints and decontamination all speak about CONTENT, not
+    * markup. The census store rides the loop's own crash contract: in
+    * append-only mode its (host, bh, page) novelty appends LAST (most
+    * upstream stage — a crash before it re-derives identical extraction
+    * and every downstream store absorbs the batch; a crash after it
+    * converges because re-delivered batches read their own census rows
+    * as standing, the operator's pinned convergence law), row-key
+    * guarded like the band store; in `nearCc` mode it is one more delta
+    * store in the atomic snapshot. Enabling the tier on a standing
+    * `nearCc` deployment whose manifests predate it fails loudly (the
+    * manifest does not pin `census`) — seed a census commit first.
+    *
     * @param urlTier (urlCol, rules, canonicalPath) — the url gate over a
     *                url column carried ON the stream
     * @param nearDup (n, k, bands, bandIndexPath)
     * @param nearCc  (bits, maxHamming, manifestPath, fpsPath, labelsPath)
+    * @param siteTier (urlCol, censusPath, minChars, maxLinkDensity,
+    *                 hostRepeatMin) — hosts pool post-canonicalization,
+    *                 so this tier's urlCol is the same raw column
+    *                 `urlTier` gates on
     */
   def curateMaintainStream(
       docs: DataFrame,
@@ -329,7 +352,8 @@ object StreamingHistorization {
       minHits: Long = 1L,
       languages: Option[Set[String]] = None,
       qualityModel: Option[(Seq[(String, Double)], Double, Double)] = None,
-      nearCc: Option[(Int, Int, String, String, String)] = None)
+      nearCc: Option[(Int, Int, String, String, String)] = None,
+      siteTier: Option[(String, String, Int, Double, Int)] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(nearDup.isEmpty || nearCc.isEmpty,
       "nearDup and nearCc are alternative near tiers — pick one")
@@ -340,24 +364,47 @@ object StreamingHistorization {
         val session = batch.sparkSession
         graft.CacheScope.withScope { scope =>
           import graft.operators.Curation
+          // the site-content tier's extraction against a standing census
+          // frame: the curation batch gets main_text IN textCol's place
+          // (downstream stages speak content, not markup), plus the
+          // census novelty its store needs. Both derive deterministically
+          // from (batch, census), so every crash-window recompute is
+          // governed by whether the census grew — the operator's pinned
+          // convergence law
+          def emptyCensus = session.range(0).select(
+            lit(null).cast("string").as("host"), lit(null).cast("string").as("bh"),
+            lit(null).cast("string").as("page"))
+          def siteExtract(census: DataFrame): (DataFrame, DataFrame) = {
+            val (urlCol, _, minChars, maxLd, repeatMin) = siteTier.get
+            val r = graft.operators.WebContent.mainContentByHostIncremental(
+              batch, idCol, urlCol, textCol, census, minChars, maxLd, repeatMin)
+            (scope.persist(batch.drop(textCol)
+               .join(r.main.withColumnRenamed("main_text", textCol), Seq(idCol))),
+              r.novelCensus)
+          }
           nearCc match {
             case Some((bits, maxHam, manifestPath, fpsPath, labelsPath)) =>
               val eCc = Curation.emptyState(session, urlTier.nonEmpty,
                 near = false, nearCc = true)
               val deltaPaths = Map("digests" -> digestPath, "fps" -> fpsPath) ++
-                urlTier.map(t => "canonical" -> t._3)
-              val state = Store.readSnapshotDeltas(
+                urlTier.map(t => "canonical" -> t._3) ++
+                siteTier.map(t => "census" -> t._2)
+              val (state, census) = Store.readSnapshotDeltas(
                   session, manifestPath, deltaPaths, Map("labels" -> labelsPath)) match {
-                case None => eCc // first batch: its novelty seeds the stores
-                case Some((_, m)) => Curation.CurationState(
+                case None => (eCc, emptyCensus) // first batch seeds the stores
+                case Some((_, m)) => (Curation.CurationState(
                   m("digests").select(col("content_hash")),
                   urlTier.map(_ => m("canonical").select(col("canonical_url"))),
                   None,
                   Some(m("fps").select(col("id"), col("fp"), col("blk"), col("bval"))),
-                  Some(m("labels").select(col("id"), col("cluster_id"))))
+                  Some(m("labels").select(col("id"), col("cluster_id")))),
+                  siteTier.fold(emptyCensus)(_ =>
+                    m("census").select(col("host"), col("bh"), col("page"))))
               }
+              val (curBatch, novelCensus) = siteTier.fold((batch, emptyCensus))(_ =>
+                siteExtract(census))
               val inc = Curation.curateIncremental(
-                batch, bench, idCol, textCol, state, splits, shingleN, minHits,
+                curBatch, bench, idCol, textCol, state, splits, shingleN, minHits,
                 languages, qualityModel,
                 urlGate = urlTier.map { case (urlCol, rules, _) =>
                   (batch.select(col(idCol), col(urlCol)), urlCol, rules)
@@ -370,14 +417,23 @@ object StreamingHistorization {
               toEmit.write.mode("append").parquet(outPath)
               // one atomic pass commit: delta stores get the batch's
               // novelty, labels the full updated labeling, manifest last.
+              // Bases carry forward from the prior manifest so a rebase
+              // (curateTakedownSnapshot / a compaction) stays in force.
               // Unbounded retention — pruning a delta generation deletes
               // data; compaction is a separate maintenance concern
-              Store.commitSnapshot(session, manifestPath, Seq(
+              val stores = Seq(
                 ("digests", digestPath, inc.novelDigests),
                 ("fps", fpsPath, inc.novelFps.get),
                 ("labels", labelsPath, inc.ccLabels.get)) ++
-                urlTier.map(t => ("canonical", t._3, inc.novelCanonical.get)),
-                keep = Int.MaxValue)
+                urlTier.map(t => ("canonical", t._3, inc.novelCanonical.get)) ++
+                siteTier.map(t => ("census", t._2, novelCensus))
+              val names = stores.map(_._1).toSet
+              val priorBases = Store.readManifestPins(session, manifestPath)
+                .map(_._2.collect {
+                  case (n, (_, b)) if b != 0L && names(n) => n -> b })
+                .getOrElse(Map.empty[String, Long])
+              Store.commitSnapshot(session, manifestPath, stores,
+                keep = Int.MaxValue, bases = priorBases)
               ()
             // append-only tiers: the original reverse-order append body
             case None =>
@@ -393,8 +449,13 @@ object StreamingHistorization {
               Store.readParquetStrict(session, nearDup.get._4)
                 .map(_.select(col("id"), col("band"), col("key"))).getOrElse(emp)
             })
+          val (curBatch, novelCensus) = siteTier.fold((batch, emptyCensus)) { t =>
+            siteExtract(Store.readParquetStrict(session, t._2)
+              .map(_.select(col("host"), col("bh"), col("page")))
+              .getOrElse(emptyCensus))
+          }
           val inc = Curation.curateIncremental(
-            batch, bench, idCol, textCol, state, splits, shingleN, minHits,
+            curBatch, bench, idCol, textCol, state, splits, shingleN, minHits,
             languages, qualityModel,
             urlGate = urlTier.map { case (urlCol, rules, _) =>
               (batch.select(col(idCol), col(urlCol)), urlCol, rules)
@@ -423,6 +484,22 @@ object StreamingHistorization {
           inc.novelDigests.write.mode("append").parquet(digestPath)
           inc.novelCanonical.foreach {
             _.write.mode("append").parquet(urlTier.get._3)
+          }
+          siteTier.foreach { t =>
+            // LAST (most upstream stage): once the census holds the batch,
+            // a re-delivery reads its own rows as standing — identical
+            // main, empty novelty (the operator's convergence law), and
+            // every downstream store has already absorbed the batch. The
+            // guard is row-keyed like the band store's: a crash mid-append
+            // publishes a subset of a page's rows, and re-delivery appends
+            // exactly the gap (counts are over the standing∪novel union,
+            // so partial absorption never changes the extraction)
+            val guarded = Store.readParquetStrict(session, t._2)
+              .fold(novelCensus) { c =>
+                novelCensus.join(c.select(col("host"), col("bh"), col("page")),
+                  Seq("host", "bh", "page"), "left_anti")
+              }
+            guarded.write.mode("append").parquet(t._2)
           }
           }
         }

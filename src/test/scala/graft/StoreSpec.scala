@@ -526,6 +526,80 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("snapshot rebase: the pinned delta union restarts at the base generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_rebase").toString
+    val dp = Map("d" -> s"$dir/d")
+    def delta(rows: Seq[Long], bases: Map[String, Long] = Map.empty) =
+      Store.commitSnapshot(spark, s"$dir/m",
+        Seq(("d", s"$dir/d", rows.toDF("id"))), keep = Int.MaxValue, bases = bases)
+    def pinnedIds(gen: Option[Long] = None): Set[Long] =
+      Store.readSnapshotDeltas(spark, s"$dir/m", dp, Map.empty, gen).get
+        ._2("d").select("id").as[Long].collect().toSet
+    val m1 = delta(Seq(1L, 2L))
+    val m2 = delta(Seq(3L))
+    assert(pinnedIds() === Set(1L, 2L, 3L), "plain delta union before any rebase")
+    // the rebase: a FULL generation (here: the union minus an erased id)
+    // becomes its own base — pre-base deltas stop backing the pin
+    val m3 = Store.commitSnapshot(spark, s"$dir/m",
+      Seq(("d", s"$dir/d", Seq(1L, 3L).toDF("id"))),
+      keep = Int.MaxValue, rebase = Set("d"))
+    assert(pinnedIds() === Set(1L, 3L), "the rebased pin reads the full generation only")
+    // older manifests still resolve their pre-rebase unions (travel)
+    assert(pinnedIds(Some(m1)) === Set(1L, 2L) && pinnedIds(Some(m2)) === Set(1L, 2L, 3L))
+    // a later delta commit CARRIES the base forward: union = [base, pin]
+    val base3 = Store.readManifestPins(spark, s"$dir/m").get._2("d")._2
+    assert(base3 > 0L, "the rebase recorded its own generation as base")
+    delta(Seq(4L), bases = Map("d" -> base3))
+    assert(pinnedIds() === Set(1L, 3L, 4L),
+      "post-rebase deltas stack on the base, never on the pre-base rows")
+    // a commit that FORGETS the base resurrects pre-base rows — the
+    // contract readManifestPins exists for
+    delta(Seq(5L))
+    assert(pinnedIds() === Set(1L, 2L, 3L, 4L, 5L))
+    assert(m3 > m2)
+  }
+
+  test("snapshot rebase: pre-base-column manifests read as base 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_legacy").toString
+    Store.writeStoreGeneration(Seq(1L, 2L).toDF("id"), s"$dir/d", keep = Int.MaxValue)
+    Store.writeStoreGeneration(Seq(3L).toDF("id"), s"$dir/d", keep = Int.MaxValue)
+    // a manifest written BEFORE the base column existed: (store, generation)
+    Store.writeStoreGeneration(
+      Seq(("d", 2L)).toDF("store", "generation").coalesce(1), s"$dir/m")
+    assert(Store.readManifestPins(spark, s"$dir/m").get._2 === Map("d" -> (2L, 0L)))
+    val got = Store.readSnapshotDeltas(spark, s"$dir/m",
+      Map("d" -> s"$dir/d"), Map.empty).get._2("d")
+    assert(got.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "legacy manifests union every delta up to the pin")
+  }
+
+  test("purgeSnapshot remaps base generations alongside the pins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_purge_base").toString
+    val dp = Map("d" -> s"$dir/d")
+    Store.commitSnapshot(spark, s"$dir/m",
+      Seq(("d", s"$dir/d", Seq((1L, "x"), (7L, "x")).toDF("id", "v"))),
+      keep = Int.MaxValue)
+    // rebase to a full generation, then one more delta on top of it
+    Store.commitSnapshot(spark, s"$dir/m",
+      Seq(("d", s"$dir/d", Seq((1L, "x"), (7L, "y")).toDF("id", "v"))),
+      keep = Int.MaxValue, rebase = Set("d"))
+    val base = Store.readManifestPins(spark, s"$dir/m").get._2("d")._2
+    val mLast = Store.commitSnapshot(spark, s"$dir/m",
+      Seq(("d", s"$dir/d", Seq((9L, "z")).toDF("id", "v"))),
+      keep = Int.MaxValue, bases = Map("d" -> base))
+    val mapping = Store.purgeSnapshot(spark, s"$dir/m",
+      Seq(("d", s"$dir/d", "id")), Seq(7L).toDF("id"))
+    // the remapped latest manifest still reads [base', pin']: the erased
+    // id is gone AND the pre-base generation stays invisible — base
+    // remapped through the same old->new mapping as the pin
+    val (_, m) = Store.readSnapshotDeltas(spark, s"$dir/m", dp, Map.empty,
+      Some(mapping(mLast))).get
+    assert(m("d").select("id").as[Long].collect().toSet === Set(1L, 9L))
+    val (pin, base2) = Store.readManifestPins(spark, s"$dir/m",
+      Some(mapping(mLast))).get._2("d")
+    assert(base2 > 0L && base2 < pin, "the purged manifest carries a remapped base")
+  }
+
   test("purgeGenerations scrubs removed ids from every retained generation") {
     val path = java.nio.file.Files.createTempDirectory("graft_gen_purge").toString + "/store"
     val g1 = Store.writeStoreGeneration(

@@ -1393,4 +1393,138 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSeq
     assert(out.sorted === out.distinct.sorted, "the id guard absorbed the replayed out rows")
   }
+
+  private def digestOf(t: String): String = Seq(Tuple1(t)).toDF("text")
+    .select(graft.functions.HashColumns.hashExpr(Seq($"text")).as("h"))
+    .as[String].head()
+
+  test("curateTakedownSnapshot: delta-layout takedown rebases atomically; the loop resumes on it") {
+    import graft.operators.Curation
+    import graft.sources.Store
+    val fillerA = "the quick brown fox jumps over the lazy dog near the quiet " +
+      "river bank while morning light settles on the tall grass and the birds call"
+    val fillerB = "a steady rain fell across the old town square as vendors " +
+      "opened their stalls and the church bell counted out the early hours again"
+    val fillerC = "deep in the valley the farmers walked their fields checking " +
+      "rows of young corn while clouds drifted slowly over the distant blue hills"
+    val bench = Seq((100L, "inside the museum hall students sketched"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-curate-cc-takedown").toString
+    def writer(src: org.apache.spark.sql.DataFrame) =
+      StreamingHistorization.curateMaintainStream(
+        src, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", s"$dir/chk",
+        shingleN = 3,
+        nearCc = Some((64, 8, s"$dir/manifest", s"$dir/fps", s"$dir/labels")))
+    def stream() = spark.readStream
+      .schema(Seq((1L, "")).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    Seq((1L, fillerA), (2L, fillerB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/in/d0")
+    Seq((10L, fillerC)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/in/d1")
+    pinDropOrder(s"$dir/in/d0", s"$dir/in/d1")
+    StreamingHistorization.runOnce(writer(stream()))
+    // the takedown, straight over the delta layout — no compaction first
+    val removed = Seq((2L, fillerB)).toDF("doc_id", "text")
+    assert(Curation.curateTakedownSnapshot(spark, s"$dir/manifest",
+      s"$dir/digests", s"$dir/fps", s"$dir/labels",
+      removed, "doc_id", "text").nonEmpty)
+    val dp = Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps")
+    def snap() = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      dp, Map("labels" -> s"$dir/labels")).get._2
+    val purged = snap()
+    assert(purged("digests").select("content_hash").as[String].collect().toSet
+      === Set(digestOf(fillerA), digestOf(fillerC)),
+      "the removed content class left the pinned digest union")
+    assert(purged("fps").filter($"id" === 2L).count() === 0 &&
+      purged("labels").filter($"id" === 2L).count() === 0)
+    // the takedown commit is a REBASE: the delta stores pin their own
+    // full generation as base, labels stays a plain full store
+    val pins = Store.readManifestPins(spark, s"$dir/manifest").get._2
+    assert(pins("digests")._2 === pins("digests")._1 &&
+      pins("fps")._2 === pins("fps")._1)
+    // the loop RESUMES on the rebased snapshot: a re-submission of the
+    // removed content survives (its class re-opened), and the next
+    // commit carries the base forward instead of resurrecting the
+    // pre-takedown deltas
+    Seq((20L, fillerB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/in/d2")
+    new java.io.File(s"$dir/in/d2").listFiles()
+      .foreach(_.setLastModified(1700000000000L + 2 * 60000L))
+    StreamingHistorization.runOnce(writer(stream()))
+    assert(spark.read.parquet(s"$dir/out").filter($"doc_id" === 20L).count() === 1,
+      "the erased class re-opened for re-submission")
+    val after = snap()
+    assert(after("digests").select("content_hash").as[String].collect().toSet
+      === Set(digestOf(fillerA), digestOf(fillerC), digestOf(fillerB)))
+    assert(after("digests").count() === 3,
+      "the carried base keeps the pre-takedown delta rows out of the union")
+    val pins2 = Store.readManifestPins(spark, s"$dir/manifest").get._2
+    assert(pins2("digests")._2 === pins("digests")._2,
+      "the loop carried the rebase base forward")
+    // takedown over a never-committed manifest: nothing standing, None
+    assert(Curation.curateTakedownSnapshot(spark, s"$dir/none",
+      s"$dir/digests", s"$dir/fps", s"$dir/labels",
+      removed, "doc_id", "text") === None)
+  }
+
+  test("curateTakedownSnapshot crash window: orphan full generations leave the prior snapshot intact") {
+    import graft.operators.Curation
+    import graft.sources.Store
+    // the near-dup chain pair (hamming 5): both docs label into ONE
+    // cluster, so the takedown exercises the labeling REPAIR, not just
+    // row filtering
+    val chainA = ("river stones gathered along the quiet valley floor " +
+      "where morning light touched tall grass and distant farms woke slowly " +
+      "under pale clouds").split(" ")
+    val fillerA = chainA.mkString(" ")
+    val fillerB = chainA.updated(4, "narrow").mkString(" ")
+    val bench = Seq((100L, "inside the museum hall students sketched"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-curate-cc-td-crash").toString
+    Seq((1L, fillerA), (2L, fillerB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/in/d0")
+    val src = spark.readStream
+      .schema(Seq((1L, "")).toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(StreamingHistorization.curateMaintainStream(
+      src, bench, "doc_id", "text", s"$dir/digests", s"$dir/out", s"$dir/chk",
+      shingleN = 3,
+      nearCc = Some((64, 8, s"$dir/manifest", s"$dir/fps", s"$dir/labels"))))
+    val manifestGen0 = Store.listGenerations(spark, s"$dir/manifest").last
+    val dp = Map("digests" -> s"$dir/digests", "fps" -> s"$dir/fps")
+    def digests(): Set[String] = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      dp, Map("labels" -> s"$dir/labels")).get._2("digests")
+      .select("content_hash").as[String].collect().toSet
+    val before = digests()
+    assert(before === Set(digestOf(fillerA), digestOf(fillerB)))
+    // CRASH WINDOW: a takedown died after writing its full purged
+    // generations but before the manifest — stores-first, manifest-last
+    Store.writeStoreGeneration(Seq(digestOf(fillerA)).toDF("content_hash"),
+      s"$dir/digests", keep = Int.MaxValue)
+    val fpsNow = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      dp, Map("labels" -> s"$dir/labels")).get._2("fps")
+    Store.writeStoreGeneration(fpsNow.filter($"id" =!= 2L),
+      s"$dir/fps", keep = Int.MaxValue)
+    assert(Store.listGenerations(spark, s"$dir/manifest").last === manifestGen0 &&
+      digests() === before,
+      "orphan generations sit above the prior pins — readers see the intact state")
+    // the re-run converges; running it twice is a no-op on content
+    val removed = Seq((2L, fillerB)).toDF("doc_id", "text")
+    Curation.curateTakedownSnapshot(spark, s"$dir/manifest",
+      s"$dir/digests", s"$dir/fps", s"$dir/labels", removed, "doc_id", "text")
+    assert(digests() === Set(digestOf(fillerA)))
+    Curation.curateTakedownSnapshot(spark, s"$dir/manifest",
+      s"$dir/digests", s"$dir/fps", s"$dir/labels", removed, "doc_id", "text")
+    assert(digests() === Set(digestOf(fillerA)), "takedown re-runs converge")
+    val labels = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      dp, Map("labels" -> s"$dir/labels")).get._2("labels")
+    assert(labels.count() === 0,
+      "the repair dissolved the pair's cluster: the survivor is a singleton " +
+        "again (labels only ever hold paired docs)")
+    val fps = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      dp, Map("labels" -> s"$dir/labels")).get._2("fps")
+    assert(fps.select("id").as[Long].distinct.collect().toSet === Set(1L),
+      "the survivor's fingerprints stand; the removed doc's are gone")
+  }
 }
