@@ -877,6 +877,13 @@ object Curation {
     * [[graft.sources.Store.purgeGenerations]] contract): a batch racing
     * the takedown could commit a manifest the takedown never read.
     *
+    * @param removed (idCol, textCol) of the standing docs being removed;
+    *                textCol must carry THE TEXT THE LOOP HASHED — when
+    *                the loop ran the site-content tier, that is the
+    *                EXTRACTED main text (what the deployment exported),
+    *                not the raw html: digest keys derive from it, and a
+    *                raw-html frame would silently purge no digest
+    *                (`strict = true` fails loudly on exactly that)
     * @param censusPath the site-census delta store, when the loop runs
     *                   the site-content tier ([[WebContent
     *                   .siteCensusTakedown]] purges it by page id in the

@@ -1527,4 +1527,160 @@ class StreamingSpec extends SparkSpec {
     assert(fps.select("id").as[Long].distinct.collect().toSet === Set(1L),
       "the survivor's fingerprints stand; the removed doc's are gone")
   }
+
+  // ---- the site-content tier in the curation loop ----
+
+  private val siteFillerA = "the quick brown fox jumps over the lazy dog near " +
+    "the quiet river bank while morning light settles on the tall grass and the birds call"
+  private val siteFillerB = "a steady rain fell across the old town square as " +
+    "vendors opened their stalls and the church bell counted out the early hours again"
+  private val siteFillerC = "deep in the valley the farmers walked their fields " +
+    "checking rows of young corn while clouds drifted slowly over the distant blue hills"
+  private val siteFooter = "this website uses cookies to improve your browsing " +
+    "experience and by continuing to read our pages you accept the posted terms"
+  // the bench shares the loop's textCol name — "html" here (the tier
+  // replaces that column's content with the extracted main text, so the
+  // decontamination compares extracted text against bench text)
+  private val siteBench =
+    Seq((100L, "inside the museum hall students sketched")).toDF("doc_id", "html")
+
+  test("curateMaintainStream siteTier ≡ extraction + curation composed per batch; re-delivery converges") {
+    import graft.operators.{Curation, WebContent}
+    import graft.sources.Store
+    // batch 0: two pages of host 1 share the footer — the census cuts it
+    // INTRA-batch, both mains are the fillers alone
+    val d0 = Seq(
+      (1L, s"<p>$siteFillerA</p><div>$siteFooter</div>", "https://h1.example.com/p/1"),
+      (2L, s"<p>$siteFillerB</p><div>$siteFooter</div>", "https://h1.example.com/p/2")
+    ).toDF("doc_id", "html", "url")
+    // batch 1: 10 extracts to a STANDING content class (exact cut);
+    // 11 carries host 1's footer — cut by the STANDING census; 12 keeps
+    // the footer on its unseen host, so its main is filler + footer
+    val d1 = Seq(
+      (10L, s"<p>$siteFillerA</p>", "https://h2.example.com/p/10"),
+      (11L, s"<div>$siteFooter</div><p>$siteFillerC</p>", "https://h1.example.com/p/11"),
+      (12L, s"<p>$siteFillerC</p><div>$siteFooter</div>", "https://h3.example.com/p/12")
+    ).toDF("doc_id", "html", "url")
+    val dir = Files.createTempDirectory("graft-curate-site").toString
+    d0.coalesce(1).write.parquet(s"$dir/in/d0")
+    d1.coalesce(1).write.parquet(s"$dir/in/d1")
+    pinDropOrder(s"$dir/in/d0", s"$dir/in/d1")
+    def writer(src: org.apache.spark.sql.DataFrame, chk: String) =
+      StreamingHistorization.curateMaintainStream(
+        src, siteBench, "doc_id", "html", s"$dir/digests", s"$dir/out", chk,
+        shingleN = 3,
+        siteTier = Some(("url", s"$dir/census", 40, 0.2, 2)))
+    def stream() = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(writer(stream(), s"$dir/chk"))
+    // the sequential twin: per-batch extraction against the accumulating
+    // census, curation over the extracted text
+    val emptyCensus = spark.range(0).select(lit(null).cast("string").as("host"),
+      lit(null).cast("string").as("bh"), lit(null).cast("string").as("page"))
+    val site0 = WebContent.mainContentByHostIncremental(
+      d0, "doc_id", "url", "html", emptyCensus, 40, 0.2, 2)
+    val b0 = d0.drop("html")
+      .join(site0.main.withColumnRenamed("main_text", "html"), Seq("doc_id"))
+    val inc0 = Curation.curateIncremental(b0, siteBench, "doc_id", "html",
+      Curation.emptyState(spark), shingleN = 3)
+    val site1 = WebContent.mainContentByHostIncremental(
+      d1, "doc_id", "url", "html", site0.novelCensus, 40, 0.2, 2)
+    val b1 = d1.drop("html")
+      .join(site1.main.withColumnRenamed("main_text", "html"), Seq("doc_id"))
+    val inc1 = Curation.curateIncremental(b1, siteBench, "doc_id", "html",
+      Curation.CurationState(inc0.novelDigests), shingleN = 3)
+    val expected = inc0.survivors.unionByName(inc1.survivors)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(out).count() === 0,
+      "streamed survivors must equal the per-batch composition")
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 11L, 12L),
+      "10 cut exact vs standing main; 11's footer cut by the standing census")
+    // the digest store speaks CONTENT: 12's class is filler + kept footer
+    val digests = spark.read.parquet(s"$dir/digests")
+      .select("content_hash").as[String].collect().toSet
+    assert(digests === Set(digestOf(siteFillerA), digestOf(siteFillerB),
+      digestOf(siteFillerC), digestOf(siteFillerC + "\n" + siteFooter)))
+    // the census store accumulated exactly the corpus census rows
+    val census = spark.read.parquet(s"$dir/census")
+    val expCensus = WebContent.siteCensusRows(
+      d0.unionByName(d1), "doc_id", "url", "html")
+    assert(census.exceptAll(expCensus).count() === 0 &&
+      expCensus.exceptAll(census).count() === 0)
+    // full re-delivery through a fresh checkpoint changes nothing
+    val before = Seq(spark.read.parquet(s"$dir/out").count(),
+      spark.read.parquet(s"$dir/digests").count(), census.count())
+    StreamingHistorization.runOnce(writer(stream(), s"$dir/chk2"))
+    val after = Seq(spark.read.parquet(s"$dir/out").count(),
+      spark.read.parquet(s"$dir/digests").count(),
+      spark.read.parquet(s"$dir/census").count())
+    assert(after === before, "re-delivered batches must append nothing anywhere")
+  }
+
+  test("curateMaintainStream siteTier + nearCc: census rides the snapshot; takedown re-opens it") {
+    import graft.operators.Curation
+    import graft.sources.Store
+    val d0 = Seq(
+      (1L, s"<p>$siteFillerA</p><div>$siteFooter</div>", "https://h1.example.com/p/1"),
+      (2L, s"<p>$siteFillerB</p><div>$siteFooter</div>", "https://h1.example.com/p/2")
+    ).toDF("doc_id", "html", "url")
+    val d1 = Seq(
+      (10L, s"<p>$siteFillerA</p>", "https://h2.example.com/p/10"),
+      (11L, s"<p>$siteFillerC</p>", "https://h4.example.com/p/11")
+    ).toDF("doc_id", "html", "url")
+    val dir = Files.createTempDirectory("graft-curate-site-cc").toString
+    d0.coalesce(1).write.parquet(s"$dir/in/d0")
+    d1.coalesce(1).write.parquet(s"$dir/in/d1")
+    pinDropOrder(s"$dir/in/d0", s"$dir/in/d1")
+    def writer(src: org.apache.spark.sql.DataFrame) =
+      StreamingHistorization.curateMaintainStream(
+        src, siteBench, "doc_id", "html", s"$dir/digests", s"$dir/out", s"$dir/chk",
+        shingleN = 3,
+        nearCc = Some((64, 8, s"$dir/manifest", s"$dir/fps", s"$dir/labels")),
+        siteTier = Some(("url", s"$dir/census", 40, 0.2, 2)))
+    def stream() = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+    StreamingHistorization.runOnce(writer(stream()))
+    assert(spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+      === Set(1L, 2L, 11L), "10's extracted main is a standing class")
+    val dp = Map("digests" -> s"$dir/digests", "census" -> s"$dir/census")
+    def pinned(name: String) = Store.readSnapshotDeltas(spark, s"$dir/manifest",
+      dp, Map("labels" -> s"$dir/labels")).get._2(name)
+    assert(pinned("digests").select("content_hash").as[String].collect().toSet
+      === Set(digestOf(siteFillerA), digestOf(siteFillerB), digestOf(siteFillerC)))
+    assert(pinned("census").select("page").distinct.as[String].collect().toSet
+      === Set("1", "2", "10", "11"),
+      "every batch page's census rows commit through the snapshot")
+    // TAKEDOWN of host 1's two pages — removed carries the EXTRACTED
+    // mains (what the deployment exported), and the census purge rides
+    // the same atomic commit
+    val removed = Seq((1L, siteFillerA), (2L, siteFillerB)).toDF("doc_id", "main")
+    assert(Curation.curateTakedownSnapshot(spark, s"$dir/manifest",
+      s"$dir/digests", s"$dir/fps", s"$dir/labels", removed, "doc_id", "main",
+      censusPath = Some(s"$dir/census")).nonEmpty)
+    assert(pinned("census").select("page").distinct.as[String].collect().toSet
+      === Set("10", "11"), "the erased pages left the census")
+    assert(pinned("digests").select("content_hash").as[String].collect().toSet
+      === Set(digestOf(siteFillerC)))
+    // the law RE-OPENS through the resumed loop: host 1's footer is no
+    // longer a template (30 keeps it in its main — its digest proves the
+    // extraction), and the erased content class accepts a re-submission
+    Seq(
+      (30L, s"<div>$siteFooter</div><p>$siteFillerC</p>", "https://h1.example.com/p/30"),
+      (31L, s"<p>$siteFillerA</p>", "https://h5.example.com/p/31")
+    ).toDF("doc_id", "html", "url").coalesce(1).write.parquet(s"$dir/in/d2")
+    new java.io.File(s"$dir/in/d2").listFiles()
+      .foreach(_.setLastModified(1700000000000L + 2 * 60000L))
+    StreamingHistorization.runOnce(writer(stream()))
+    val outAfter = spark.read.parquet(s"$dir/out").select("doc_id").as[Long]
+      .collect().toSet
+    assert(outAfter.contains(30L) && outAfter.contains(31L))
+    val digAfter = pinned("digests").select("content_hash").as[String].collect().toSet
+    assert(digAfter.contains(digestOf(siteFooter + "\n" + siteFillerC)),
+      "30's main KEEPS the re-opened footer — the census forgot the erased pages")
+    assert(digAfter.contains(digestOf(siteFillerA)),
+      "the erased content class re-opened for re-submission")
+    assert(!digAfter.contains(digestOf(siteFillerB)),
+      "the carried base keeps pre-takedown digest deltas out of the union")
+  }
 }
