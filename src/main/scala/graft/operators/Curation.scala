@@ -656,8 +656,10 @@ object Curation {
     * (takedown and rebuilds produce full frames anyway). The STREAMING
     * loop's delta-generation layout ([[graft.streaming
     * .StreamingHistorization.curateMaintainStream]]'s `nearCc` mode) is a
-    * different store convention; taking down a delta-layout state means
-    * compacting it to a full snapshot first (carried gap, documented).
+    * different store convention; take THAT down with
+    * [[curateTakedownSnapshot]] (one atomic rebase commit — no
+    * compact-to-full pass), and fold its per-batch delta growth with
+    * [[graft.sources.Store.compactSnapshotDeltas]].
     *
     * @return the committed manifest generation
     */

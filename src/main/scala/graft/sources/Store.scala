@@ -868,6 +868,42 @@ object Store {
     }
   }
 
+  /** MAINTENANCE compaction of a delta-store snapshot: the streaming
+    * curation loop commits one delta generation per store per
+    * micro-batch, so a long-lived deployment's pinned union grows a
+    * parquet directory per batch — this folds the current pinned state
+    * into ONE full generation per delta store and commits it as a
+    * REBASED snapshot ([[commitSnapshot]] `rebase`), after which readers
+    * union a single directory again and the loop stacks new deltas on
+    * the base. Delta rows deduplicate (`distinct`) — the union's only
+    * legitimate duplicates are orphan-generation crash artifacts, and
+    * every consumer is set-semantic by contract; full stores re-commit
+    * their pinned content unchanged. Content-neutral by construction
+    * (the compacted pin reads the same SET every probe already saw);
+    * crash-safe the usual way (stores first, manifest last — a crash
+    * leaves orphan full generations above the prior pins). Writers must
+    * be quiesced, as for any maintenance pass that must not race a
+    * commit. Pre-base generations stay on disk backing older manifests
+    * (snapshot travel); reclaim them with [[purgeSnapshot]]-style
+    * history rewrites, never ad hoc.
+    *
+    * @return the committed manifest generation; None when no manifest
+    *         has ever committed
+    */
+  def compactSnapshotDeltas(
+      spark: SparkSession,
+      manifestPath: String,
+      deltaPaths: Map[String, String],
+      fullPaths: Map[String, String] = Map.empty,
+      keep: Int = Int.MaxValue): Option[Long] =
+    readSnapshotDeltas(spark, manifestPath, deltaPaths, fullPaths).map { case (_, m) =>
+      val stores = deltaPaths.toSeq.map { case (name, root) =>
+        (name, root, m(name).distinct()) } ++
+        fullPaths.toSeq.map { case (name, root) => (name, root, m(name)) }
+      commitSnapshot(spark, manifestPath, stores, keep = keep,
+        rebase = deltaPaths.keySet)
+    }
+
   /** Compliance erasure ACROSS a manifest's stores — the composition of
     * [[purgeGenerations]] with [[commitSnapshot]]: purging a pinned
     * store renumbers its generations, which would leave every retained

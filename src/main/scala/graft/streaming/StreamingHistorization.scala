@@ -418,9 +418,10 @@ object StreamingHistorization {
               // one atomic pass commit: delta stores get the batch's
               // novelty, labels the full updated labeling, manifest last.
               // Bases carry forward from the prior manifest so a rebase
-              // (curateTakedownSnapshot / a compaction) stays in force.
-              // Unbounded retention — pruning a delta generation deletes
-              // data; compaction is a separate maintenance concern
+              // (curateTakedownSnapshot / Store.compactSnapshotDeltas)
+              // stays in force. Unbounded retention — pruning a delta
+              // generation deletes data; fold per-batch delta growth
+              // with compactSnapshotDeltas between batches
               val stores = Seq(
                 ("digests", digestPath, inc.novelDigests),
                 ("fps", fpsPath, inc.novelFps.get),

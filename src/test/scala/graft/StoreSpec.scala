@@ -573,6 +573,38 @@ class StoreSpec extends SparkSpec {
       "legacy manifests union every delta up to the pin")
   }
 
+  test("compactSnapshotDeltas folds the pinned union into one rebased full generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_compact").toString
+    val dp = Map("d" -> s"$dir/d")
+    val fp = Map("f" -> s"$dir/f")
+    def commitBatch(rows: Seq[Long], tag: String, bases: Map[String, Long]) =
+      Store.commitSnapshot(spark, s"$dir/m", Seq(
+        ("d", s"$dir/d", rows.toDF("id")),
+        ("f", s"$dir/f", Seq(tag).toDF("v"))), keep = Int.MaxValue, bases = bases)
+    commitBatch(Seq(1L, 2L), "p1", Map.empty)
+    commitBatch(Seq(3L), "p2", Map.empty)
+    // a crash orphan below the next pin: duplicate delta rows in the union
+    Store.writeStoreGeneration(Seq(3L).toDF("id"), s"$dir/d", keep = Int.MaxValue)
+    commitBatch(Seq(4L), "p3", Map.empty)
+    def read() = Store.readSnapshotDeltas(spark, s"$dir/m", dp, fp).get._2
+    assert(read()("d").count() === 5, "the orphan duplicates a row pre-compaction")
+    assert(Store.compactSnapshotDeltas(spark, s"$dir/m", dp, fp).nonEmpty)
+    // content-neutral as a SET, physically one directory, duplicates gone
+    val after = read()
+    assert(after("d").select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(after("d").count() === 4, "compaction collapsed the orphan duplicate")
+    assert(after("f").select("v").as[String].head() === "p3",
+      "full stores re-commit their pinned content unchanged")
+    val (pin, base) = Store.readManifestPins(spark, s"$dir/m").get._2("d")
+    assert(base === pin, "the compacted generation is its own base")
+    // the loop stacks new deltas on the base by carrying it forward
+    commitBatch(Seq(5L), "p4", Map("d" -> base))
+    assert(read()("d").select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(read()("d").count() === 5, "pre-base generations stay out of the union")
+    // no manifest -> None
+    assert(Store.compactSnapshotDeltas(spark, s"$dir/none", dp) === None)
+  }
+
   test("purgeSnapshot remaps base generations alongside the pins") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_purge_base").toString
     val dp = Map("d" -> s"$dir/d")
