@@ -904,6 +904,63 @@ object Store {
         rebase = deltaPaths.keySet)
     }
 
+  /** RETENTION for a delta-store snapshot deployment: the streaming loop
+    * commits one manifest and one delta generation per store per
+    * micro-batch with unbounded `keep` (pruning a referenced delta
+    * generation would delete data), so history grows per batch forever —
+    * this drops the manifests older than the newest `keepManifests` and
+    * then every store generation NO retained manifest can reference:
+    * for a delta store, generations below the minimum window start over
+    * the retained manifests that pin it (a base-0 pin needs everything
+    * from generation 1, so it blocks pruning — REBASE first, via
+    * [[compactSnapshotDeltas]] or a takedown, and let the pre-rebase
+    * manifests age out); for a full store, generations below the
+    * minimum retained pin. Conservative by design: generations inside
+    * or above any retained window are never touched (orphans above the
+    * newest pin are a crashed batch's re-deliverable debris), and a
+    * store pinned by NO retained manifest is left whole rather than
+    * guessed at.
+    *
+    * Crash contract: manifests prune FIRST — a crash afterwards leaves
+    * unreferenced store generations standing (garbage, re-run
+    * converges), never a retained manifest naming a pruned directory.
+    * `graceMillis` holds the store prune back for readers that resolved
+    * an old manifest just before it vanished. Writers must be quiesced,
+    * as for every maintenance pass here.
+    *
+    * @return store name (and "manifest") -> pruned directory count
+    */
+  def pruneSnapshotHistory(
+      spark: SparkSession,
+      manifestPath: String,
+      deltaPaths: Map[String, String],
+      fullPaths: Map[String, String] = Map.empty,
+      keepManifests: Int = 2,
+      graceMillis: Long = 0L): Map[String, Int] = {
+    require(keepManifests >= 1, "keepManifests must be >= 1")
+    val all = listGenerations(spark, manifestPath)
+    if (all.isEmpty) return Map.empty
+    val retained = all.takeRight(keepManifests)
+    val pinsPer = retained.map(m => readManifestPins(spark, manifestPath, Some(m)).get._2)
+    def deleteBelow(root: String, cut: Long): Int = {
+      val fs = FileSystem.get(new URI(root), spark.sparkContext.hadoopConfiguration)
+      val doomed = listGenerations(spark, root).filter(_ < cut)
+      doomed.foreach(g => fs.delete(new Path(generationPath(root, g)), true))
+      doomed.size
+    }
+    val manifestPruned = deleteBelow(manifestPath, retained.head)
+    if (graceMillis > 0) Thread.sleep(graceMillis)
+    val storePruned = (deltaPaths.keySet ++ fullPaths.keySet).toSeq.map { name =>
+      val needs = pinsPer.flatMap(_.get(name)).map { case (pin, base) =>
+        if (deltaPaths.contains(name)) { if (base == 0L) 1L else base } else pin
+      }
+      // pinned by no retained manifest -> no basis to prune; leave whole
+      val cut = if (needs.isEmpty) Long.MinValue else needs.min
+      name -> deleteBelow(deltaPaths.getOrElse(name, fullPaths(name)), cut)
+    }
+    (storePruned :+ ("manifest" -> manifestPruned)).toMap
+  }
+
   /** Compliance erasure ACROSS a manifest's stores — the composition of
     * [[purgeGenerations]] with [[commitSnapshot]]: purging a pinned
     * store renumbers its generations, which would leave every retained

@@ -605,6 +605,45 @@ class StoreSpec extends SparkSpec {
     assert(Store.compactSnapshotDeltas(spark, s"$dir/none", dp) === None)
   }
 
+  test("pruneSnapshotHistory drops aged manifests and the generations nothing retained references") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap_retain").toString
+    val dp = Map("d" -> s"$dir/d")
+    val fp = Map("f" -> s"$dir/f")
+    def commitBatch(rows: Seq[Long], tag: String, bases: Map[String, Long]) =
+      Store.commitSnapshot(spark, s"$dir/m", Seq(
+        ("d", s"$dir/d", rows.toDF("id")),
+        ("f", s"$dir/f", Seq(tag).toDF("v"))), keep = Int.MaxValue, bases = bases)
+    val m1 = commitBatch(Seq(1L, 2L), "p1", Map.empty)
+    commitBatch(Seq(3L), "p2", Map.empty)
+    val m3 = Store.compactSnapshotDeltas(spark, s"$dir/m", dp, fp).get
+    val base = Store.readManifestPins(spark, s"$dir/m").get._2("d")._2
+    commitBatch(Seq(4L), "p4", Map("d" -> base))
+    // keep 3: the oldest retained manifest pins base 0, which needs every
+    // delta from generation 1 — the base-0 pin BLOCKS delta pruning
+    val r1 = Store.pruneSnapshotHistory(spark, s"$dir/m", dp, fp, keepManifests = 3)
+    assert(r1 === Map("d" -> 0, "f" -> 1, "manifest" -> 1),
+      "m1 and the full store's unreferenced pass prune; base-0 blocks the deltas")
+    assert(Store.listGenerations(spark, s"$dir/m").size === 3 &&
+      Store.listGenerations(spark, s"$dir/d").size === 4)
+    // keep 2: every retained manifest is post-rebase — the pre-rebase
+    // deltas have nothing referencing them and go
+    val r2 = Store.pruneSnapshotHistory(spark, s"$dir/m", dp, fp, keepManifests = 2)
+    assert(r2 === Map("d" -> 2, "f" -> 1, "manifest" -> 1))
+    // the newest read is untouched, and travel to the oldest RETAINED
+    // manifest still resolves its full window
+    val now = Store.readSnapshotDeltas(spark, s"$dir/m", dp, fp).get._2
+    assert(now("d").select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(now("f").select("v").as[String].head() === "p4")
+    val back = Store.readSnapshotDeltas(spark, s"$dir/m", dp, fp, Some(m3)).get._2
+    assert(back("d").select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(back("f").select("v").as[String].head() === "p2")
+    assert(!Store.listGenerations(spark, s"$dir/m").contains(m1), "aged manifests are gone")
+    // guard rails
+    intercept[IllegalArgumentException](
+      Store.pruneSnapshotHistory(spark, s"$dir/m", dp, fp, keepManifests = 0))
+    assert(Store.pruneSnapshotHistory(spark, s"$dir/none", dp, fp) === Map.empty)
+  }
+
   test("purgeSnapshot remaps base generations alongside the pins") {
     val dir = java.nio.file.Files.createTempDirectory("graft_snap_purge_base").toString
     val dp = Map("d" -> s"$dir/d")
