@@ -51,29 +51,39 @@ object Decontamination {
       textCol: String,
       n: Int = 13,
       minHits: Long = 1L): DataFrame = {
-    // the benchmark's distinct shingle hashes collapse into ONE broadcast
-    // row and every document probes it ROW-LOCALLY — the streaming twin's
-    // shape ([[benchShingleSetRow]]), now the batch shape too: the
-    // previous two-branch form referenced the shingled frame twice (no
-    // cross-branch CSE: the kernel ran twice and train scanned twice) and
-    // shuffled the hit rows; this runs the kernel once inside a fold
-    // binding and shuffles NOTHING. Document shingles are distinct by the
-    // kernel's contract (the stream ≡ batch spec rests on it), so the set
-    // intersection size IS the colliding-shingle count. A null text has
-    // zero shingles, zero hits, contamination 0 — not the config-
-    // dependent size(NULL) artifact.
-    val benchRow = benchShingleSetRow(bench, textCol, n)
-    val probe = aggregate(
-      array(hashedShingles(col(textCol), n)),
-      struct(lit(0L).as("n_shingles"), lit(0L).as("n_hits")),
-      (_, shs) => struct(
-        when(shs.isNull, lit(0L))
-          .otherwise(size(shs).cast("long")).as("n_shingles"),
-        when(shs.isNull, lit(0L))
-          .otherwise(size(array_intersect(shs, col("__bench_sh"))).cast("long"))
-          .as("n_hits")))
-    train.crossJoin(broadcast(benchRow))
-      .select(col(idCol).as("doc_id"), inline(array(probe)))
+    // hit detection is a BROADCAST HASH JOIN on exploded shingle hashes:
+    // the benchmark relation's hash table is built once per task and each
+    // document shingle probes it in O(1). The r16 one-broadcast-row form
+    // (`array_intersect(shs, __bench_sh)`) evaluated that intersection
+    // per ROW, and Spark's ArrayIntersect rebuilds an OpenHashSet over
+    // its second argument — the WHOLE benchmark set — for every document
+    // (measured: the dominant cost of every decontamination row, growing
+    // with |bench| × |corpus rows|, a quadratic term the join form does
+    // not have). Shingles are distinct per document by the kernel's
+    // contract, so counting matched exploded rows IS the set-intersection
+    // size. The array materializes once (`__shs` is referenced twice, so
+    // CollapseProject keeps the staging projection — no double kernel
+    // run); explode_outer keeps null/short texts as a null-shingle row
+    // that matches nothing, giving them n_shingles 0, n_hits 0,
+    // contamination 0. The only shuffle is the map-side-combined
+    // one-row-per-doc aggregate; the payload never moves.
+    val benchSh = broadcast(
+      bench.select(explode(Dedup.shingles(col(textCol), n)).as("__s"))
+        .select(shingleHash(col("__s")).as("__sh")).distinct()
+        .withColumn("__hit", lit(1L)))
+    train
+      .select(col(idCol).as("doc_id"), hashedShingles(col(textCol), n).as("__shs"))
+      .select(col("doc_id"),
+        when(col("__shs").isNull, lit(0L))
+          .otherwise(size(col("__shs")).cast("long")).as("n_shingles"),
+        // array_distinct: shingle STRINGS are distinct by the kernel's
+        // contract, but two strings could collide into one 60-bit hash —
+        // the old array_intersect counted distinct HASHES, so match it
+        explode_outer(array_distinct(col("__shs"))).as("__doc_sh"))
+      .join(benchSh, col("__doc_sh") === col("__sh"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
       .select(
         col("doc_id"),
         col("n_shingles"),

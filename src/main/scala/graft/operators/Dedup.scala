@@ -371,9 +371,19 @@ object Dedup {
       minDocFreq: Int = 2,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     val grams = spanGrams(df, idCol, textCol, k, stride, minDocFreq, scope)
-    val dupGrams = grams.groupBy("gh")
-      .agg(countDistinct(col("id")).as("df"))
-      .filter(col("df") >= minDocFreq)
+    // "in >= 2 distinct docs" is min(id) != max(id): a plain min/max
+    // aggregate partial-aggregates map-side and plans ONE exchange on gh,
+    // where count(DISTINCT id) plans a (gh, id) dedup exchange FIRST —
+    // two shuffles and no map-side reduction of repeated-gram positions
+    val dupGrams =
+      if (minDocFreq == 2)
+        grams.groupBy("gh")
+          .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+      else
+        grams.groupBy("gh")
+          .agg(countDistinct(col("id")).as("df"))
+          .filter(col("df") >= minDocFreq)
     val dupPos = grams.join(dupGrams.select("gh"), Seq("gh"), "left_semi")
     spanIslands(dupPos, k, stride)
       .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
@@ -415,11 +425,19 @@ object Dedup {
     // caching gram STRINGS for every position would hold k× the corpus
     val grams = spanGrams(df, idCol, textCol, k, stride = 1, minDocFreq, scope)
     // hash-level candidates: a 60-bit hash with doc frequency < minDocFreq
-    // cannot hide a string with doc frequency >= minDocFreq
-    val candHash = grams.groupBy("gh")
-      .agg(countDistinct(col("id")).as("hdf"))
-      .filter(col("hdf") >= minDocFreq)
-      .select("gh")
+    // cannot hide a string with doc frequency >= minDocFreq. minDocFreq=2
+    // decides by min(id) != max(id) — one exchange, map-side-combined —
+    // instead of count(DISTINCT id)'s extra (gh, id) dedup shuffle
+    val candHash = (
+      if (minDocFreq == 2)
+        grams.groupBy("gh")
+          .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+      else
+        grams.groupBy("gh")
+          .agg(countDistinct(col("id")).as("hdf"))
+          .filter(col("hdf") >= minDocFreq)
+      ).select("gh")
     // pass 2: re-derive gram strings for CANDIDATE DOCS only (the cached
     // hash frame names them — docs with no hash-candidate position cannot
     // contribute a duplicated gram), then keep only hash-candidate
@@ -435,11 +453,18 @@ object Dedup {
         .select(col("id"), col("p"), t.substr(col("p"), lit(k)).as("g"),
           shingleHash(t.substr(col("p"), lit(k))).as("gh"))
         .join(candHash, Seq("gh"), "left_semi"))
-    // string-level verify: exact duplication, collision-free
-    val dupStr = cand.groupBy("g")
-      .agg(countDistinct(col("id")).as("df"))
-      .filter(col("df") >= minDocFreq)
-      .select("g")
+    // string-level verify: exact duplication, collision-free (same
+    // min/max-vs-countDistinct split as the hash level)
+    val dupStr = (
+      if (minDocFreq == 2)
+        cand.groupBy("g")
+          .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+      else
+        cand.groupBy("g")
+          .agg(countDistinct(col("id")).as("df"))
+          .filter(col("df") >= minDocFreq)
+      ).select("g")
     val dupPos = cand.join(dupStr, Seq("g"), "left_semi").select("id", "p")
     spanIslands(dupPos, k, 1)
       .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
@@ -486,12 +511,19 @@ object Dedup {
       stride: Int = 1,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     val grams = spanGrams(batch, idCol, textCol, k, stride, minDocFreq = 2, scope)
-    val viaStore = grams.join(standingGrams.select("gh"), Seq("gh"), "left_semi")
-    val intraBatch = grams.join(
-      grams.groupBy("gh").agg(countDistinct(col("id")).as("df"))
-        .filter(col("df") >= 2).select("gh"),
-      Seq("gh"), "left_semi")
-    val dupPos = viaStore.select("id", "p").union(intraBatch.select("id", "p")).distinct()
+    // duplication is a fact about the GRAM alone (standing membership, or
+    // >= 2 distinct batch docs — min(id) != max(id)), so decide it on the
+    // narrow per-gh aggregate and probe the (id, p) rows ONCE: the
+    // previous shape semi-joined the position rows twice and paid a
+    // position-level union + distinct shuffle. The two branches are
+    // disjoint by construction (a gh has either one batch doc or more),
+    // so the union needs no dedup and positions stay unique.
+    val ghAgg = grams.groupBy("gh")
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+    val dupGh = ghAgg.filter(col("__mn") =!= col("__mx")).select("gh")
+      .unionByName(ghAgg.filter(col("__mn") === col("__mx")).select("gh")
+        .join(standingGrams.select("gh"), Seq("gh"), "left_semi"))
+    val dupPos = grams.join(dupGh, Seq("gh"), "left_semi").select("id", "p")
     spanIslands(dupPos, k, stride)
       .select(col("id").as("doc_id"), col("s").as("span_start"), col("e").as("span_end"))
   }
@@ -837,9 +869,19 @@ object Dedup {
       minDocFreq: Int = 2,
       scope: graft.CacheScope = graft.CacheScope.Global): DataFrame = {
     val grams = spanGrams(df, idCol, textCol, k, stride, minDocFreq, scope)
-    val stats = grams.groupBy("gh")
-      .agg(countDistinct(col("id")).as("df"), min(col("id")).as("keeper"))
-      .filter(col("df") >= minDocFreq)
+    // minDocFreq=2: df >= 2 is min(id) != max(id), and the keeper IS the
+    // min — one map-side-combined exchange instead of countDistinct's two
+    val stats =
+      if (minDocFreq == 2)
+        grams.groupBy("gh")
+          .agg(min(col("id")).as("keeper"), max(col("id")).as("__mx"))
+          .filter(col("keeper") =!= col("__mx"))
+          .select("gh", "keeper")
+      else
+        grams.groupBy("gh")
+          .agg(countDistinct(col("id")).as("df"), min(col("id")).as("keeper"))
+          .filter(col("df") >= minDocFreq)
+          .select("gh", "keeper")
     val cut = grams.join(stats, Seq("gh")).filter(col("id") =!= col("keeper"))
       .select("id", "p")
     cutSpans(df, idCol, textCol, spanIslands(cut, k, stride))

@@ -52,16 +52,16 @@ class DecontaminationSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet"), bench, "doc_id", "text", n = 3)
     rep.count()
     val plan = rep.queryExecution.executedPlan.toString
-    // the bench set is ONE broadcast row probed row-locally: the only
-    // join is the single-row broadcast cross join, and the corpus side
-    // has no exchange at all (the previous shape broadcast-hash-joined
-    // exploded hit rows and shuffled them back per doc)
-    assert(plan.contains("BroadcastExchange"), "benchmark row is not broadcast")
+    // the bench set is a broadcast hash relation built ONCE per task and
+    // probed by each exploded doc shingle in O(1) — the r19 shape (the
+    // r16 one-row array_intersect probe rebuilt a hash set over the WHOLE
+    // benchmark per corpus row). The corpus payload must never shuffle to
+    // meet the benchmark: no sort-merge/shuffled-hash join anywhere; the
+    // only exchange is the narrow one-row-per-doc aggregate
+    assert(plan.contains("BroadcastExchange"), "benchmark side is not broadcast")
+    assert(plan.contains("BroadcastHashJoin"), "bench probe lost its broadcast hash join")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle:\n$plan")
     assert(!plan.contains("ShuffledHashJoin"), s"corpus must not shuffle:\n$plan")
-    // no grouping of corpus rows anywhere: hits are counted row-locally
-    assert(!plan.contains("HashAggregate(keys=[doc_id"),
-      s"per-doc aggregation crept back in:\n$plan")
   }
 
   test("per-benchmark attribution splits hits by suite and sums to the aggregate") {

@@ -145,19 +145,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "state merge plans a join — partials should union, not join")
   }
 
-  test("decontamination probes a single-row benchmark broadcast, corpus never shuffles") {
-    // r13 shape (Decontamination.contaminationReport): the benchmark
-    // collapses to ONE collect_set row, broadcast via IdentityBroadcastMode,
-    // and every corpus row probes it locally with array_intersect. The
-    // corpus side must plan ZERO shuffle exchanges — the previous
-    // BroadcastHashJoin shape shuffled the hit rows and ran the shingle
-    // kernel twice; if either assertion fires the zero-shuffle probe
-    // regressed to a join-shaped plan.
+  test("decontamination broadcast-hash-joins the benchmark set, corpus never sort-merges") {
+    // r19 shape (Decontamination.contaminationReport): the benchmark's
+    // distinct shingle hashes broadcast as a hash relation built once per
+    // task; exploded doc shingles probe it in O(1) and combine map-side to
+    // one narrow row per doc. (The r13–r18 single-row array_intersect
+    // probe was zero-shuffle but rebuilt a hash set over the WHOLE
+    // benchmark per corpus row — a |bench| × |corpus| term that dominated
+    // every decontamination row.) The corpus must still never shuffle to
+    // MEET the benchmark: broadcast join only, and the sole shuffle is the
+    // narrow per-doc aggregate exchange.
     val p = finalPlanOf("x_decontaminate")
-    assert(p.contains("IdentityBroadcastMode"),
-      "x_decontaminate lost the single-row benchmark broadcast")
-    assert(!p.contains("Exchange hashpartitioning"),
-      "x_decontaminate gained a shuffle exchange — the corpus (or benchmark) is being re-keyed")
+    assert(p.contains("BroadcastHashJoin"),
+      "x_decontaminate lost the broadcast bench-set probe")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "x_decontaminate shuffles the corpus to meet the benchmark")
   }
 
   test("span decontamination broadcast-semi-probes the bench grams; the scrub joins the payload once") {
@@ -180,12 +182,13 @@ class PlanAuditSpec extends SparkSpec {
       "x_decontaminate_scrub degraded to an all-pairs shape")
   }
 
-  test("composed curation keeps the single-row benchmark broadcast for its decontaminate stage") {
+  test("composed curation keeps the broadcast bench probe for its decontaminate stage") {
     // curation's other stages (dedup, media) legitimately shuffle; the
-    // decontamination stage inside it must still be the broadcast-set probe.
+    // decontamination stage inside it must still probe the benchmark via
+    // a broadcast hash relation (r19 shape), never a corpus shuffle.
     val p = finalPlanOf("x_curate")
-    assert(p.contains("IdentityBroadcastMode"),
-      "x_curate's decontaminate stage lost the single-row benchmark broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      "x_curate's decontaminate stage lost the broadcast bench-set probe")
   }
 
   test("tiered merge's archive probe scans KEY_HASH only — the payload never loads") {
