@@ -78,8 +78,18 @@ object Scd2Tier {
           Scd2.historizeDataset(newDf, None, currents, mode), activePath, Nil)
       case Some(activeStore) =>
         graft.CacheScope.withScope { scope =>
-          val active = scope.persist(activeStore)
-          val snap = scope.persist(newDf)
+          // the active tier is a plain STORE READ: re-scanning columnar
+          // parquet for its two merge references costs less than building
+          // a cache of it (measured r19: the cache build alone exceeded
+          // the whole uncached merge chain), and at 100 TB caching the
+          // full active tier would evict everything else on the
+          // executors. The snapshot is likewise left uncached — its
+          // references live inside the ONE materialized plan
+          // (closedFinal), and a caller whose snapshot is expensive to
+          // derive can persist it upstream. Only closedFinal persists:
+          // three actions consume it (the isEmpty guard and both writes).
+          val active = activeStore
+          val snap = newDf
           // keys living ONLY in the archive = resurrection candidates.
           // KEY_HASH-projected scan: the archive's payload never loads.
           val closedOnly = historyKeys(spark, historyPath)
