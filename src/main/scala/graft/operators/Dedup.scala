@@ -631,13 +631,17 @@ object Dedup {
         val ids = removed.select(col(removed.columns.head).as("id")).distinct()
           .unionByName(ghost).distinct().localCheckpoint()
         // bounded driver lists: one value per ingested batch (ops-cadence
-        // cardinality, never corpus-shaped)
-        // partition discovery infers ingest_batch as int; normalize
-        val batches = idsStore.select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
-        val affected = idsStore.join(ids, Seq("id"), "left_semi")
-          .select(col("ingest_batch").cast("long")).distinct()
-          .collect().map(_.getLong(0)).sorted.toSeq
+        // cardinality, never corpus-shaped). One scan answers BOTH
+        // planning questions — the batch list and which batches hold a
+        // removed id — instead of two separate jobs over the ids store
+        // (partition discovery infers ingest_batch as int; normalize)
+        val batchHits = idsStore
+          .select(col("ingest_batch").cast("long").as("__b"), col("id"))
+          .join(ids.withColumn("__rm", lit(1)), Seq("id"), "left")
+          .groupBy(col("__b")).agg(max(col("__rm")).as("__hit"))
+          .collect().map(r => (r.getLong(0), !r.isNullAt(1)))
+        val batches = batchHits.map(_._1).sorted.toSeq
+        val affected = batchHits.collect { case (b, true) => b }.sorted.toSeq
         if (affected.isEmpty) Seq.empty
         else if (batches.forall(b => b < affected.min || affected.contains(b)))
           // DENSE fast path: every batch above the earliest affected one is
@@ -757,11 +761,30 @@ object Dedup {
     }
   }
 
+  /** Run independent Spark actions concurrently from the driver (guide
+    * §2.6: overlap independent jobs so one job's task tail back-fills
+    * with the next job's tasks). FIFO scheduling gives exactly the
+    * back-fill behavior; failures propagate like a sequential loop. */
+  private[graft] def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    ()
+  }
+
   /** The dense-case replay loop of [[purgeSpanStores]] (every batch in
-    * the suffix is itself affected): per batch ascending, one scoped text
-    * pass writes spans and grams, standing grams read from the repaired
-    * disk prefix; ids rewrite last (two-phase crash contract — while any
-    * removed id stands, a re-run replays the remaining suffix). */
+    * the suffix is itself affected), restructured into three concurrent
+    * WAVES (r19, guide §2.6): a batch's grams depend only on its own
+    * survivor documents, so every replay batch's gram partition rewrites
+    * in one concurrent wave; spans then recompute concurrently, each
+    * probing the already-repaired disk prefix (`ingest_batch < b` now
+    * filters the full repaired directory to exactly the standing set the
+    * ascending loop saw); ids rewrite last, also concurrently. The crash
+    * contract is unchanged — it rests ONLY on the ids phase being final
+    * (while any removed id stands, a re-run replays the remaining suffix
+    * and overwrites deterministic content in place), which the wave
+    * order preserves. */
   private def purgeSpanSuffix(
       spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame,
@@ -775,28 +798,34 @@ object Dedup {
       stride: Int,
       replay: Seq[Long]): Seq[Long] = {
     val docs = survivors.select(col(idCol).as("id"), col(textCol).as("t"))
+    // ONE checkpoint of every replay batch's survivor ids (not one per
+    // batch): localCheckpoint severs the lineage from the ids parquet so
+    // the ids phase can overwrite the partitions it was read from
+    val survivorAll = spark.read.parquet(idsPath)
+      .select(col("ingest_batch").cast("long").as("__b"), col("id"))
+      .filter(col("__b").isInCollection(replay))
+      .join(ids, Seq("id"), "left_anti")
+      .localCheckpoint()
     val survivorIds = replay.map { b =>
-      // localCheckpoint severs the lineage from the ids parquet so the
-      // ids phase can overwrite the partition it was read from
-      b -> spark.read.parquet(idsPath)
-        .filter(col("ingest_batch").cast("long") === b).select("id")
-        .join(ids, Seq("id"), "left_anti")
-        .localCheckpoint()
+      b -> survivorAll.filter(col("__b") === b).select("id")
     }
-    survivorIds.foreach { case (b, batchIds) =>
-      graft.CacheScope.withScope { scope =>
-        val batchDocs = scope.persist(batchIds.join(docs, Seq("id")))
-        val standing = spark.read.parquet(gramsPath)
-          .filter(col("ingest_batch").cast("long") < b).select("gh")
-        incrementalDuplicatedSpans(batchDocs, "id", "t", standing, k, stride, scope)
-          .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")
-        spanGramsOf(batchDocs, "id", "t", k, stride, scope)
-          .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")
-      }
+    graft.CacheScope.withScope { scope =>
+      val batchDocs = survivorIds.map { case (b, batchIds) =>
+        b -> scope.persist(batchIds.join(docs, Seq("id")))
+      }.toMap
+      runConcurrently(replay.map(b => () =>
+        spanGramsOf(batchDocs(b), "id", "t", k, stride, scope)
+          .write.mode("overwrite").parquet(s"$gramsPath/ingest_batch=$b")))
+      runConcurrently(replay.map(b => () =>
+        incrementalDuplicatedSpans(batchDocs(b), "id", "t",
+            spark.read.parquet(gramsPath)
+              .filter(col("ingest_batch").cast("long") < b).select("gh"),
+            k, stride, scope)
+          .write.mode("overwrite").parquet(s"$spansPath/ingest_batch=$b")))
     }
-    survivorIds.foreach { case (b, batchIds) =>
+    runConcurrently(survivorIds.map { case (b, batchIds) => () =>
       batchIds.write.mode("overwrite").parquet(s"$idsPath/ingest_batch=$b")
-    }
+    })
     replay
   }
 

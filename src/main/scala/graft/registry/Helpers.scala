@@ -975,19 +975,29 @@ private[graft] object Helpers {
     * [[graft.operators.Dedup.purgeSpanStores]] repairs. */
   private[graft] def buildSpanStores(s: SparkSession, d: String, root: String): Unit = {
     val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("text").as("t"))
-    (0 to 2).foreach { b =>
-      graft.CacheScope.withScope { scope =>
-        val batch = scope.persist(docs.filter(pmod(col("id"), lit(3)) === b))
-        val standing =
-          if (b == 0) s.range(0).select(col("id").as("gh"))
-          else s.read.parquet(s"$root/grams").filter(col("ingest_batch") < b).select("gh")
-        Dedup.incrementalDuplicatedSpans(batch, "id", "t", standing, k = 30,
-            stride = 1, scope = scope)
-          .write.mode("overwrite").parquet(s"$root/spans/ingest_batch=$b")
-        Dedup.spanGramsOf(batch, "id", "t", k = 30, stride = 1, scope = scope)
-          .write.mode("overwrite").parquet(s"$root/grams/ingest_batch=$b")
-        batch.select("id").write.mode("overwrite").parquet(s"$root/ids/ingest_batch=$b")
-      }
+    // three concurrent WAVES instead of nine sequential actions (guide
+    // §2.6): each batch's grams depend only on its own documents, so all
+    // gram partitions write concurrently; each batch's spans then probe
+    // the standing prefix (`ingest_batch < b`) from the completed gram
+    // directory — the identical standing set the sequential loop read —
+    // and the ids wave runs last, mirroring the streaming loop's
+    // spans-then-maintenance order per batch
+    graft.CacheScope.withScope { scope =>
+      val batches = (0 to 2).map { b =>
+        b -> scope.persist(docs.filter(pmod(col("id"), lit(3)) === b))
+      }.toMap
+      Dedup.runConcurrently((0 to 2).map(b => () =>
+        Dedup.spanGramsOf(batches(b), "id", "t", k = 30, stride = 1, scope = scope)
+          .write.mode("overwrite").parquet(s"$root/grams/ingest_batch=$b")))
+      Dedup.runConcurrently((0 to 2).map(b => () =>
+        Dedup.incrementalDuplicatedSpans(batches(b), "id", "t",
+            if (b == 0) s.range(0).select(col("id").as("gh"))
+            else s.read.parquet(s"$root/grams").filter(col("ingest_batch") < b).select("gh"),
+            k = 30, stride = 1, scope = scope)
+          .write.mode("overwrite").parquet(s"$root/spans/ingest_batch=$b")))
+      Dedup.runConcurrently((0 to 2).map(b => () =>
+        batches(b).select("id").write.mode("overwrite")
+          .parquet(s"$root/ids/ingest_batch=$b")))
     }
   }
 
