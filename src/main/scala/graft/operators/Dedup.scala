@@ -761,17 +761,10 @@ object Dedup {
     }
   }
 
-  /** Run independent Spark actions concurrently from the driver (guide
-    * §2.6: overlap independent jobs so one job's task tail back-fills
-    * with the next job's tasks). FIFO scheduling gives exactly the
-    * back-fill behavior; failures propagate like a sequential loop. */
-  private[graft] def runConcurrently(tasks: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
-    ()
-  }
+  /** Run independent Spark actions concurrently from the driver — see
+    * [[graft.Jobs.runConcurrently]]. */
+  private[graft] def runConcurrently(tasks: Seq[() => Unit]): Unit =
+    graft.Jobs.runConcurrently(tasks)
 
   /** The dense-case replay loop of [[purgeSpanStores]] (every batch in
     * the suffix is itself affected), restructured into three concurrent

@@ -760,10 +760,14 @@ object Store {
         s"${(bases.keySet ++ rebase).diff(names).mkString(", ")}")
     require(bases.keySet.intersect(rebase).isEmpty,
       "a store cannot both carry a base and rebase — the rebase IS its new base")
-    val pins = stores.map { case (name, path, df) =>
+    // the member stores are independent (distinct roots) — write their
+    // generations concurrently so one store's task tail back-fills with
+    // the next store's tasks; the manifest still commits strictly LAST,
+    // which is the entire crash contract
+    val pins = graft.Jobs.mapConcurrently(stores.map { case (name, path, df) => () =>
       val g = writeStoreGeneration(df, path, keep = keep)
       (name, g, if (rebase(name)) g else bases.getOrElse(name, 0L))
-    }
+    })
     // one row per store — a driver-sized frame by construction
     writeStoreGeneration(pins.toDF("store", "generation", "base").coalesce(1),
       manifestPath, keep = keep)
