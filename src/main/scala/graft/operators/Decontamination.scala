@@ -225,9 +225,20 @@ object Decontamination {
       idCol: String,
       textCol: String,
       k: Int,
-      stride: Int = 1): DataFrame =
-    Dedup.spanGramsOf(bench, idCol, textCol, k, stride)
+      stride: Int = 1): DataFrame = {
+    // OWN md5-prefix derivation, deliberately NOT [[Dedup.spanGramsOf]]
+    // (which keys on xxhash64 since r19): this set is probed row-locally
+    // by [[scrubSpansExpr]] through [[TextAnalysis.winnowGramHashes]],
+    // whose gh values are the md5-prefix hash — the two derivations must
+    // stay bit-identical for the streaming scrub to match the batch cut
+    val t = col(textCol)
+    bench.select(t.as("__t"))
+      .filter(length(col("__t")) >= k)
+      .select(explode(sequence(lit(1), length(col("__t")) - (k - 1), lit(stride)))
+        .as("__p"), col("__t"))
+      .select(shingleHash(col("__t").substr(col("__p"), lit(k))).as("gh"))
       .agg(sort_array(collect_set(col("gh"))).as("__bench_gh"))
+  }
 
   /** ROW-LOCAL scrub: `text` with every contaminated island excised, as one
     * column expression over the broadcast bench gram set — no explode, no

@@ -451,7 +451,8 @@ object Dedup {
         .select(col("id"),
           explode(sequence(lit(1), length(t) - (k - 1), lit(1))).as("p"), t)
         .select(col("id"), col("p"), t.substr(col("p"), lit(k)).as("g"),
-          shingleHash(t.substr(col("p"), lit(k))).as("gh"))
+          // must match spanGrams' gh derivation (the candHash semi-join key)
+          xxhash64(t.substr(col("p"), lit(k))).as("gh"))
         .join(candHash, Seq("gh"), "left_semi"))
     // string-level verify: exact duplication, collision-free (same
     // min/max-vs-countDistinct split as the hash level)
@@ -843,7 +844,17 @@ object Dedup {
         .select(col("id"),
           explode(sequence(lit(1), length(t) - (k - 1), lit(stride))).as("p"),
           t)
-        .select(col("id"), col("p"), shingleHash(t.substr(col("p"), lit(k))).as("gh")))
+        // xxhash64, not the md5-prefix shingleHash: the gram hash never
+        // reaches an output or an oracle (the spans oracles decide by the
+        // gram STRING), it only keys joins/stores — and hashing EVERY
+        // position of the corpus is the spans family's hottest kernel
+        // (measured r19: md5-conv 2.4 s vs xxhash64 1.6 s per pass at
+        // sf0.1). [[Decontamination.benchGramSetRow]] deliberately does
+        // NOT share this derivation — its set is probed by the
+        // md5-keyed [[TextAnalysis.winnowGramHashes]] in the streaming
+        // scrub. Gram STORES persist these keys: bump the staged-store
+        // path when this derivation changes (span_stores_h64).
+        .select(col("id"), col("p"), xxhash64(t.substr(col("p"), lit(k))).as("gh")))
   }
 
   /** Merge a (id, p) duplicated-position set into maximal islands

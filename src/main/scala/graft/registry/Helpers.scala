@@ -729,10 +729,12 @@ private[graft] object Helpers {
       Dedup.duplicateClusters(stagedSimhashPairs(s, d, bits, maxHamming)))
 
   private[graft] def scd2v2(spark: SparkSession, dir: String): DataFrame = {
-    // v1 is referenced three times by the second merge (closed/active/
-    // closed-key splits) — persist so the bootstrap subtree runs once.
+    // v1 (the bootstrap historization — a stamped scan, no join) is
+    // referenced three times by the second merge, but re-deriving a
+    // columnar scan + hash projection three times costs less than
+    // building a cache of the full wide frame (the r19 measured pattern:
+    // cache builds dominated every row that persisted a cheap subtree)
     val v1 = Scd2.historizeDataset(enrichedA(spark, dir), None, cur1, ValidFromMode.LoadDate)
-      .persist()
     Scd2.historizeDataset(enrichedB(spark, dir), Some(v1), cur2, ValidFromMode.LoadDate)
   }
 
@@ -1004,7 +1006,10 @@ private[graft] object Helpers {
   /** Staged spans-family stores (build-once): the standing state the
     * purge row repairs a fresh copy of. */
   private[graft] def stagedSpanStores(s: SparkSession, d: String): String = {
-    val root = s"/tmp/graft_staged/${dirTag(d, "documents")}/span_stores"
+    // path suffix `h64`: the gram stores persist spanGrams' hash keys,
+    // which moved from md5-prefix to xxhash64 in r19 — a stale committed
+    // md5-keyed store must not be probed by xxhash64 batch grams
+    val root = s"/tmp/graft_staged/${dirTag(d, "documents")}/span_stores_h64"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$root/ids/ingest_batch=2/_SUCCESS")

@@ -120,7 +120,7 @@ private[graft] object RegistryParity {
     // property-tested in Scd2Spec under the key-unique contract.
     "x_scd2_reopen" -> ((s, d) => {
       val snap3 = enrichedB(s, d).filter(pmod(col("l_orderkey"), lit(7)) =!= 0)
-      val closed = Scd2.closeVanished(stagedScd2v2(s, d), snap3, cur3).persist()
+      val closed = Scd2.closeVanished(stagedScd2v2(s, d), snap3, cur3)
       qtyAsDouble(Scd2.reopenClosed(closed, enrichedB(s, d), cur4)
         .select("l_orderkey", "l_linenumber", "quantity", M.RecordHash,
           M.UpdateTs, M.UpdateRunId, M.ValidFrom, M.ValidTo, M.Deleted))
