@@ -540,7 +540,12 @@ object Store {
     val preGens = listGenerations(spark, path)
     if (preGens.isEmpty) return Map.empty
     val ids = broadcast(removalIds(removed, idCol))
-    preGens.map { g =>
+    // the purged rewrites are independent (each reads its own pre-purge
+    // directory, writes its own build dir) — run them concurrently; the
+    // COMMITS stay sequential and ascending, because generation order is
+    // meaning-bearing (readStoreLatest resolves max) and an interleaved
+    // CAS could give an older generation's purged twin the higher number
+    val builds = graft.Jobs.mapConcurrently(preGens.map { g => () =>
       val genDir = new Path(generationPath(path, g))
       // preserve a partitioned generation's layout: an explicit caller
       // choice wins, otherwise detect the hive chain from the directory
@@ -552,8 +557,9 @@ object Store {
       val purged = readStoreGeneration(spark, path, g).join(ids, Seq(idCol), "left_anti")
       val build = new Path(root, s"$GenBuildPrefix${java.util.UUID.randomUUID().toString.take(8)}")
       writeStore(purged, build.toString, parts)
-      g -> commitGeneration(fs, root, build)
-    }.toMap
+      (g, build)
+    })
+    builds.map { case (g, build) => g -> commitGeneration(fs, root, build) }.toMap
   }
 
   /** Hive partition columns of an existing parquet directory, detected
