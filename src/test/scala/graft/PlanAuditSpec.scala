@@ -288,7 +288,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("scd2 merge executes inside whole-stage codegen") {
     val df = SparkEntry.queries("d06_scd2_merge")(spark, sfDir)
-    df.count() // resolve AQE to the final plan
+    // execute THIS QueryExecution (df.count() builds a separate one and
+    // leaves df's adaptive plan unresolved — the pre-r19 pass relied on
+    // the since-removed v1 cache's build plan printing codegen stars)
+    df.queryExecution.toRdd.count()
     val p = df.queryExecution.executedPlan.toString
     spark.catalog.clearCache()
     // codegen'd operators print with a "*(stageId)" star prefix
