@@ -543,6 +543,60 @@ object Dedup {
     spanGrams(batch, idCol, textCol, k, stride, minDocFreq = 2, scope)
       .select("gh").distinct()
 
+  /** On-disk key format of the standing gram stores ([[spanGramsOf]]
+    * output accumulated across batches): bumped whenever the gram-hash
+    * derivation changes (r19 moved it from md5-prefix to xxhash64).
+    * Probing a store written under a DIFFERENT format returns zero
+    * matches — silently missed duplicates and mixed-key purge rewrites —
+    * so every path-level reader/writer of a gram store runs
+    * [[gramKeyFormatGuard]] first and fails fast on a mismatch. */
+  private[graft] val GramKeyFormat = "xxhash64.v1"
+
+  private[graft] val GramKeyFormatFile = "_gram_key_format"
+
+  /** Enforce the gram-store key-format contract at `gramsPath`:
+    *
+    *  - marker present and equal to [[GramKeyFormat]] — proceed;
+    *  - marker present but different — fail fast (the store's keys and
+    *    this build's probe keys can never match);
+    *  - data present with NO marker — a store from before the marker
+    *    existed (md5-prefix era): fail fast with the migration path;
+    *  - empty/absent store — stamp the marker (underscore-prefixed, so
+    *    parquet readers and partition discovery never see it as data).
+    */
+  def gramKeyFormatGuard(
+      spark: org.apache.spark.sql.SparkSession,
+      gramsPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(gramsPath), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(gramsPath)
+    val marker = new org.apache.hadoop.fs.Path(root, GramKeyFormatFile)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(found == GramKeyFormat,
+        s"gram store at $gramsPath is keyed '$found' but this build derives " +
+          s"'$GramKeyFormat' keys — probing it would silently miss every " +
+          "duplicate; rebuild the store by re-ingesting the surviving " +
+          "documents (the purgeSpanStores replay over the full corpus) " +
+          "before mixing key formats")
+    } else if (fs.exists(root) &&
+        fs.listStatus(root).exists(!_.getPath.getName.startsWith("_"))) {
+      throw new IllegalStateException(
+        s"gram store at $gramsPath holds data but carries no " +
+          s"$GramKeyFormatFile marker — a pre-versioning (md5-prefix era) " +
+          s"store cannot be probed by '$GramKeyFormat' keys; rebuild it by " +
+          "re-ingesting the surviving documents, which stamps the marker")
+    } else {
+      fs.mkdirs(root)
+      val out = fs.create(marker, true)
+      try out.write(GramKeyFormat.getBytes("UTF-8")) finally out.close()
+      ()
+    }
+  }
+
   /** Takedown over the STANDING SPANS STORES — the removal direction of
     * [[graft.streaming.StreamingHistorization.spansStream]], completing
     * the spans family's maintenance story the way [[removeDocs]] does the
@@ -615,6 +669,7 @@ object Dedup {
       k: Int = 50,
       stride: Int = 1): Seq[Long] = {
     import graft.sources.Store
+    gramKeyFormatGuard(spark, gramsPath)
     Store.readParquetSafe(spark, idsPath) match {
       case None => Seq.empty
       case Some(idsStore) =>

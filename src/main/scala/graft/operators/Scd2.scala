@@ -187,6 +187,90 @@ object Scd2 {
     closed.unionByName(emitted)
   }
 
+  /** [[mergeScd2Fast]] with the vanished-key CLOSURE fused into the same
+    * full-outer join — row-identical (spec-pinned in Scd2Spec) to the
+    * sequential composition
+    * `closeVanished(mergeScd2Fast(currentDf, newDf, currents, mode), newDf, currents)`
+    * under the merge forms' key-unique contract, at HALF the passes: the
+    * sequential form re-derives the merged frame's active keys and joins
+    * the whole merged output against the snapshot keys again, so the
+    * full-outer join subtree is evaluated twice; here a current-side row
+    * with no snapshot match (`hasC && !hasN`) IS the vanished key — the
+    * join already proves the absence the closure's anti-join re-proves —
+    * and it closes in the same emit (`VALID_TO = runDay − 1`,
+    * UPDATE_TS/UPDATE_RUN_ID stamped, DELETED stamped first-observation-
+    * wins when the store carries the column, exactly
+    * [[closeDeleted]]'s branches).
+    *
+    * `currentAllActive = true` additionally skips the closed-slice split
+    * and the closed-key guard join: the TIERED store's active tier
+    * contains open rows only by construction ([[splitMergedDataset]]
+    * routes every closed row to the archive; the bootstrap write is
+    * all-open), so `closed` is provably empty and the two extra scans +
+    * one distinct shuffle that derive it are dead weight per run. Callers
+    * whose current frame can hold closed rows MUST leave it false. */
+  def mergeScd2FastClosing(
+      currentDf: DataFrame,
+      newDf: DataFrame,
+      currents: Currents,
+      mode: ValidFromMode,
+      currentAllActive: Boolean = false): DataFrame = {
+    val outCols  = currentDf.columns.toSeq
+    val runDay   = to_date(lit(currents.runDay))
+    val closed   =
+      if (currentAllActive) None
+      else Some(currentDf.filter(col(ValidTo) =!= upperBound || col(ValidTo).isNull))
+    val active   =
+      if (currentAllActive) currentDf
+      else currentDf.filter(col(ValidTo) === upperBound)
+
+    val c = active.alias("c")
+    val n = newDf.alias("n")
+    val base = c.join(n, col("c." + KeyHash) === col("n." + KeyHash), "full_outer")
+    val joined = closed.fold(base) { cl =>
+      base.join(cl.select(col(KeyHash).as("__closed_key")).distinct(),
+        col("n." + KeyHash) === col("__closed_key"), "left_outer")
+    }
+
+    val hasC     = col("c." + KeyHash).isNotNull
+    val hasN     = col("n." + KeyHash).isNotNull
+    val inClosed = if (currentAllActive) lit(false) else col("__closed_key").isNotNull
+    val changed  = hasC && hasN && (col("c." + RecordHash) =!= col("n." + RecordHash))
+    // the active slice holds open rows only, so an unmatched current-side
+    // row is exactly closeVanished's "active key absent from the snapshot"
+    val vanished = hasC && !hasN
+    val closeOut = changed || vanished
+
+    val currentSide = struct(outCols.map {
+      case UpdateTs    => when(closeOut, lit(currents.runTs).cast("timestamp"))
+                            .otherwise(col("c." + UpdateTs)).as(UpdateTs)
+      case UpdateRunId => when(closeOut, lit(currents.runId))
+                            .otherwise(col("c." + UpdateRunId)).as(UpdateRunId)
+      case ValidTo     => when(closeOut, date_sub(runDay, 1))
+                            .otherwise(col("c." + ValidTo)).as(ValidTo)
+      case Deleted     => when(vanished && col("c." + Deleted).isNull,
+                            lit(currents.runTs).cast("timestamp"))
+                            .otherwise(col("c." + Deleted)).as(Deleted)
+      case other       => col("c." + other).as(other)
+    }: _*)
+
+    val newSide = struct(outCols.map {
+      case ValidFrom => when(!hasC, to_date(lit(validFromDate(mode, currents))))
+                          .otherwise(runDay).as(ValidFrom)
+      case ValidTo   => upperBound.as(ValidTo)
+      case other     => col("n." + other).as(other)
+    }: _*)
+
+    val emitted = joined.select(
+      explode(filter(array(
+        when(hasC, currentSide),
+        when(changed || (!hasC && !inClosed), newSide)
+      ), x => x.isNotNull)).as("r"))
+      .select(outCols.map(cn => col("r." + cn)): _*)
+
+    closed.fold(emitted)(_.unionByName(emitted))
+  }
+
   /** Bootstrap-aware wrapper (SCDHelpers.py:297-301): when no current store
     * exists yet, merge against the empty historized frame.
     *

@@ -984,6 +984,7 @@ private[graft] object Helpers {
     // directory — the identical standing set the sequential loop read —
     // and the ids wave runs last, mirroring the streaming loop's
     // spans-then-maintenance order per batch
+    Dedup.gramKeyFormatGuard(s, s"$root/grams")
     graft.CacheScope.withScope { scope =>
       val batches = (0 to 2).map { b =>
         b -> scope.persist(docs.filter(pmod(col("id"), lit(3)) === b))

@@ -888,6 +888,9 @@ object StreamingHistorization {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
+        // key-format contract: refuse to probe/extend a gram store keyed
+        // under a different hash derivation (silent zero-match otherwise)
+        graft.operators.Dedup.gramKeyFormatGuard(session, gramsPath)
         graft.CacheScope.withScope { scope =>
           def prior(p: String) = Store.readParquetStrict(session, p)
             .map(_.filter(col("ingest_batch") < batchId))
